@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.DomainSpec
+import graft.functions._
+import graft.queries.Fixtures
+import graft.store.DomainStore
+
+/** Dev smoke: drives the driver's t1 surface (SparkEntry.entry) plus a few
+  * behaviors the contract queries can't show (sparse upsert copy-forward,
+  * publish-token visibility, single-key get). Exits non-zero on failure. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failures = 0
+    def check(name: String)(cond: => Boolean): Unit = {
+      val ok = try cond catch { case e: Throwable => println(s"[smoke] $name EXCEPTION: $e"); false }
+      println(s"[smoke] $name: ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures += 1
+    }
+
+    check("entry rows > 0")(SparkEntry.entry(spark).count() > 0)
+
+    // Sparse upsert: 1 new key -> exactly 1 shard rewritten, 7 copy-forwarded.
+    val root = Fixtures.scratch("/root/testdata/sf0.001", "smoke-sparse")
+    val conf = Fixtures.conf
+    new Path(root).getFileSystem(conf).delete(new Path(root), true)
+    val store = DomainStore.create(root, DomainSpec(numShards = 8), conf)
+    store.write(Fixtures.customerKv(spark, "/root/testdata/sf0.001"), version = 1L)
+    val delta = spark.range(1)
+      .select(long_be(lit(1L)).as("key"), utf8_bytes(lit("UPDATED")).as("value"))
+    store.upsert(spark, delta, newVersion = 2L)
+    val fs = new Path(root).getFileSystem(conf)
+    val copied = (0 until 8).count { s =>
+      val a = fs.listStatus(new Path(s"$root/1/shard=$s")).map(_.getPath.getName).toSet
+      val b = fs.listStatus(new Path(s"$root/2/shard=$s")).map(_.getPath.getName).toSet
+      a == b
+    }
+    check("sparse upsert copy-forwards 7 of 8 shards")(copied == 7)
+    check("sparse upsert updated value")(
+      store.get(spark, java.nio.ByteBuffer.allocate(8).putLong(1L).array())
+        .exists(new String(_, "UTF-8") == "UPDATED"))
+    check("count unchanged after upsert")(store.count(spark) ==
+      Fixtures.table(spark, "/root/testdata/sf0.001", "customer").count())
+
+    // Publish-token visibility: an unpublished version is invisible.
+    check("unpublished version invisible") {
+      store.versions.createVersion(3L)
+      val latest = store.latestVersion
+      store.versions.failVersion(3L)
+      latest == 2L
+    }
+    // Duplicate publish rejected.
+    check("duplicate version rejected")(
+      try { store.versions.createVersion(2L); false }
+      catch { case _: IllegalArgumentException => true })
+
+    spark.stop()
+    if (failures > 0) { println(s"[smoke] $failures FAILURES"); sys.exit(1) }
+    println("[smoke] all OK")
+  }
+}

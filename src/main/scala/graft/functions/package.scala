@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.interop
+
+import graft.core.ShardIndexExpr
+
+/**
+ * Column-level functions of the graft engine. Everything here is either a
+ * native Catalyst expression or a composition of Spark built-ins, so it all
+ * stays inside whole-stage codegen (no Scala UDFs in hot paths).
+ */
+package object functions {
+
+  /** Reference-compatible shard routing: `BigInteger(md5(key)) mod n` (see [[graft.core.ShardIndex]]). */
+  def shard_index(key: Column, n: Int): Column = {
+    require(n > 0, s"numShards must be positive, got $n")
+    interop.column(ShardIndexExpr(interop.expression(key), Literal(n)))
+  }
+
+  /** Dynamic-shard-count variant (n as a column, e.g. from a spec join). */
+  def shard_index(key: Column, n: Column): Column =
+    interop.column(ShardIndexExpr(interop.expression(key), interop.expression(n)))
+
+  // --- Key codecs: typed columns <-> the engine's opaque binary keys. ---
+  // The reference keeps keys/values as raw bytes and pushes serde to callers
+  // (client.clj:72-84); these helpers are the "caller-side serde" for the
+  // common typed cases, built from codegen'd Spark functions.
+
+  /** BIGINT -> 8-byte big-endian binary (two's complement, order-preserving for non-negative values). */
+  def long_be(c: Column): Column = unhex(lpad(hex(c.cast("long")), 16, "0"))
+
+  /** INT -> 4-byte big-endian binary. */
+  def int_be(c: Column): Column = unhex(lpad(hex(c.cast("int")), 8, "0"))
+
+  /** 8-byte big-endian binary -> BIGINT (inverse of [[long_be]] for values that fit in a signed long). */
+  def be_long(c: Column): Column = conv(hex(c), 16, 10).cast("long")
+
+  /** UTF-8 string -> binary. */
+  def utf8_bytes(c: Column): Column = encode(c, "UTF-8")
+
+  /** binary -> UTF-8 string. */
+  def bytes_utf8(c: Column): Column = decode(c, "UTF-8")
+
+  /** Composite key: concatenation of already-encoded binary parts. */
+  def composite_key(parts: Column*): Column = concat(parts: _*)
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.DomainSpec
+import graft.functions._
+import graft.store.DomainStore
+
+/**
+ * Scratch domain builders for the driver-contract queries. Domains are
+ * materialized once per (scale-factor dir, fixture) per JVM under the
+ * build's scratch dir, then reused by subsequent queries in the same run.
+ */
+object Fixtures {
+
+  val ScratchRoot = "/root/repo/target/graft-scratch"
+
+  private val built = TrieMap[String, DomainStore]()
+
+  def conf = new Configuration()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def sanitize(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  def scratch(sfDir: String, name: String): String =
+    s"$ScratchRoot/${sanitize(sfDir)}/$name"
+
+  /** Build (or reuse) a domain fixture. The builder gets a fresh root. */
+  def domain(spark: SparkSession, sfDir: String, name: String, spec: DomainSpec)(
+      build: (DomainStore, SparkSession) => Unit): DomainStore =
+    built.getOrElseUpdate(
+      s"${sanitize(sfDir)}/$name", {
+        val root = scratch(sfDir, name)
+        val fs = new Path(root).getFileSystem(conf)
+        fs.delete(new Path(root), true) // stale output of a previous JVM
+        val store = DomainStore.create(root, spec, conf)
+        build(store, spark)
+        store
+      })
+
+  /** customer as KV: key = big-endian c_custkey, value = utf8 c_name. */
+  def customerKv(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+      .select(
+        long_be(col("c_custkey")).as("key"),
+        utf8_bytes(col("c_name")).as("value"))
+
+  /** The flagship customer domain (8 shards, single version 1). */
+  def customerDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(spark, sfDir, "customer-8", DomainSpec(numShards = 8)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+    }
+
+  /** Two published full versions: v1 values = c_name, v2 values = c_mktsegment. */
+  def customerVersionedDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(spark, sfDir, "customer-versions", DomainSpec(numShards = 4)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+      store.write(
+        table(s, sfDir, "customer").select(
+          long_be(col("c_custkey")).as("key"),
+          utf8_bytes(col("c_mktsegment")).as("value")),
+        version = 2L)
+    }
+
+  /** v1 = names for all keys; v2 = upsert of mktsegment for custkey % 3 == 0
+    * (untouched shards copy-forward). */
+  def customerUpsertDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(spark, sfDir, "customer-upsert", DomainSpec(numShards = 8)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+      val delta = table(s, sfDir, "customer")
+        .where(col("c_custkey") % 3 === 0)
+        .select(
+          long_be(col("c_custkey")).as("key"),
+          utf8_bytes(col("c_mktsegment")).as("value"))
+      store.upsert(s, delta, newVersion = 2L)
+    }
+
+  /** 3-shard customer domain resharded to 5 shards (reference reshard!, W6). */
+  def customerReshardedDomain(spark: SparkSession, sfDir: String): DomainStore = {
+    domain(spark, sfDir, "customer-3", DomainSpec(numShards = 3)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+    }
+    built.getOrElseUpdate(
+      s"${sanitize(sfDir)}/customer-5-resharded", {
+        val dst = scratch(sfDir, "customer-5-resharded")
+        val fs = new Path(dst).getFileSystem(conf)
+        fs.delete(new Path(dst), true)
+        DomainStore.reshard(
+          spark,
+          scratch(sfDir, "customer-3"),
+          dst,
+          newNumShards = 5,
+          version = 1L,
+          conf)
+      })
+  }
+
+  /** lineitem as KV: key = 12-byte (orderkey BE ++ linenumber BE),
+    * value = utf8 l_suppkey — the heavy KV fixture for bench. */
+  def lineitemKv(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .select(
+        composite_key(long_be(col("l_orderkey")), int_be(col("l_linenumber"))).as("key"),
+        utf8_bytes(col("l_suppkey").cast("string")).as("value"))
+
+  def lineitemDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(spark, sfDir, "lineitem-16", DomainSpec(numShards = 16)) { (store, s) =>
+      store.write(lineitemKv(s, sfDir), version = 1L)
+    }
+}

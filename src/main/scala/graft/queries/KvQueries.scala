@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/**
+ * Driver-contract queries for the KV-domain parity surface (SURVEY.md §2.2,
+ * §2.3): build/round-trip, multiGet (hit + miss), count, reshard, upsert,
+ * version resolution, and shard routing. Every query decodes the engine's
+ * opaque binary keys/values back to typed columns so the DuckDB oracle can
+ * compare values instead of blobs (SURVEY.md §7.4).
+ */
+object KvQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1-W4 + S1/S2 + Q7: build a domain, read every pair back.
+    "kv_build_roundtrip" -> { (s, dir) =>
+      Fixtures.customerDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
+    // Q1/Q2: batched point lookup; absent keys yield null values, not errors.
+    "kv_multiget" -> { (s, dir) =>
+      val customer = Fixtures.table(s, dir, "customer")
+      val keys = customer
+        .where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"))
+        .unionByName(customer
+          .where(col("c_custkey") % 50 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey")))
+        .select(long_be(col("c_custkey")).as("key"))
+      Fixtures.customerDomain(s, dir).multiGet(keys)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
+    // Q6: getCount.
+    "kv_count" -> { (s, dir) =>
+      Fixtures.customerDomain(s, dir).read(s).agg(count(lit(1)).as("cnt"))
+    },
+    // W6: reshard 3 -> 5 preserves the exact set of pairs.
+    "kv_reshard" -> { (s, dir) =>
+      Fixtures.customerReshardedDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
+    // W7/W8: upsert with last-write-wins per key + copy-forward of
+    // untouched shards.
+    "kv_upsert" -> { (s, dir) =>
+      Fixtures.customerUpsertDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("v"))
+    },
+    // V2/V4/Q10: reads resolve the newest *published* version at plan time.
+    "kv_version_latest" -> { (s, dir) =>
+      Fixtures.customerVersionedDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("v"))
+    },
+    // Q4 (O1): reference-compatible md5-BigInteger-mod shard routing,
+    // checked value-by-value against DuckDB's own md5.
+    "kv_shard_routing" -> { (s, dir) =>
+      Fixtures.table(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          shard_index(utf8_bytes(col("o_orderkey").cast("string")), RoutingShards)
+            .as("shard"))
+    },
+    // Q4+Q6: per-shard fanout of the routing function (the write-side
+    // histogram a domain build produces for these keys).
+    "kv_shard_distribution" -> { (s, dir) =>
+      Fixtures.table(s, dir, "orders")
+        .select(
+          shard_index(utf8_bytes(col("o_orderkey").cast("string")), RoutingShards)
+            .as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("cnt"))
+    })
+
+  val RoutingShards = 16
+
+  def oracleSql: Map[String, String] = {
+    val n = RoutingShards
+    val p64 = java.math.BigInteger.ONE.shiftLeft(64).mod(java.math.BigInteger.valueOf(n.toLong)).longValue()
+    Map(
+      "kv_build_roundtrip" ->
+        "SELECT c_custkey, c_name FROM customer",
+      "kv_multiget" ->
+        """WITH ks AS (
+          |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000 FROM customer WHERE c_custkey % 50 = 0)
+          |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
+      "kv_count" ->
+        "SELECT count(*) AS cnt FROM customer",
+      "kv_reshard" ->
+        "SELECT c_custkey, c_name FROM customer",
+      "kv_upsert" ->
+        "SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment ELSE c_name END AS v FROM customer",
+      "kv_version_latest" ->
+        "SELECT c_custkey, c_mktsegment AS v FROM customer",
+      // Replicates new BigInteger(md5(key)).mod(n) — the 16 md5 bytes as a
+      // *signed* big-endian value — using two unsigned 64-bit halves.
+      "kv_shard_routing" ->
+        s"""WITH h AS (SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS hx FROM orders),
+           |parts AS (SELECT o_orderkey,
+           |  ('0x' || substr(hx, 1, 16))::UBIGINT AS hi,
+           |  ('0x' || substr(hx, 17, 16))::UBIGINT AS lo,
+           |  substr(hx, 1, 1) >= '8' AS neg FROM h)
+           |SELECT o_orderkey,
+           |  CAST(((((hi % $n)::BIGINT + $n - CASE WHEN neg THEN $p64 ELSE 0 END) % $n) * $p64
+           |        + (lo % $n)::BIGINT) % $n AS INT) AS shard
+           |FROM parts""".stripMargin,
+      "kv_shard_distribution" ->
+        s"""WITH h AS (SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS hx FROM orders),
+           |parts AS (SELECT o_orderkey,
+           |  ('0x' || substr(hx, 1, 16))::UBIGINT AS hi,
+           |  ('0x' || substr(hx, 17, 16))::UBIGINT AS lo,
+           |  substr(hx, 1, 1) >= '8' AS neg FROM h),
+           |r AS (SELECT CAST(((((hi % $n)::BIGINT + $n - CASE WHEN neg THEN $p64 ELSE 0 END) % $n) * $p64
+           |        + (lo % $n)::BIGINT) % $n AS INT) AS shard FROM parts)
+           |SELECT shard, count(*) AS cnt FROM r GROUP BY shard""".stripMargin)
+  }
+}

@@ -1,0 +1,287 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DomainSpec, ShardIndex}
+import graft.functions.shard_index
+
+/**
+ * A *domain*: a named, versioned, sharded key-value dataset — the engine's
+ * re-expression of the reference's DomainStore + write pipeline + read
+ * surface (SURVEY.md §1.1, §2.2, §2.3). Layout:
+ *
+ *   <root>/domain-spec.json            spec (numShards, scheme, format)
+ *   <root>/<version>/shard=<i>/part-….parquet   sorted-by-key parquet per shard
+ *   <root>/<version>.version           publish token
+ *
+ * Design notes for scale (SURVEY.md §7):
+ *  - `shard=<i>` is a real partition column, so key lookups prune to one
+ *    directory via built-in partition pruning — the Spark equivalent of the
+ *    reference's "a lookup touches exactly 1 of N shards" routing
+ *    (HashModScheme.java:7-11).
+ *  - Within a shard, files are sorted by key, so parquet min/max row-group
+ *    stats skip most of a shard on point lookups — replacing the B-tree.
+ *  - The build is one shuffle (repartition to shards) + in-partition sort,
+ *    exactly the reference's single GroupBy-with-secondary-sort
+ *    (KeyValTailAssembly.java:61-85); numShards is decoupled from cluster
+ *    parallelism, so a 100 TB domain just uses a larger numShards.
+ */
+class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
+  spec.validate()
+
+  val versions = new VersionedStore(root, conf)
+
+  def numShards: Int = spec.numShards
+
+  // ----------------------------------------------------------------- write
+
+  /**
+   * Bulk build: shardize -> one shuffle -> per-partition sort -> parquet.
+   * `df` must have columns `key: binary`, `value: binary`. The version is
+   * only visible to readers after the token is written (all-or-nothing
+   * publish, reference ElephantDBTap.java:166-188).
+   */
+  def write(df: DataFrame, version: Long, dedupKeys: Boolean = false): Unit = {
+    versions.createVersion(version)
+    val kv0 = df.select(col("key"), col("value"))
+    val kv = if (dedupKeys) kv0.dropDuplicates("key") else kv0
+    try {
+      shardedSorted(kv)
+        .write
+        .option("compression", "zstd")
+        .partitionBy("shard")
+        .parquet(versions.versionPath(version).toString)
+      versions.succeedVersion(version)
+    } catch {
+      case e: Throwable =>
+        versions.failVersion(version)
+        throw e
+    }
+  }
+
+  /** The canonical write plan: add shard column, route each shard to exactly
+    * one task, sort each shard by key. */
+  private def shardedSorted(kv: DataFrame): DataFrame =
+    kv.withColumn("shard", shard_index(col("key"), numShards))
+      .withColumn("_pid", DomainStore.shardToPartitionId(col("shard"), numShards))
+      .repartition(numShards, col("_pid"))
+      .sortWithinPartitions("shard", "key")
+      .drop("_pid")
+
+  // ------------------------------------------------------------------ read
+
+  /** Snapshot read of the newest published version (key, value, shard).
+    * Version resolution happens here, at plan time — per-query snapshot
+    * isolation, the lock-free replacement for the reference's hot-swap
+    * (common/domain.clj:208-228). */
+  def read(spark: SparkSession): DataFrame =
+    readVersion(spark, latestVersion)
+
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    require(versions.getAllVersions.contains(version), s"version $version not published under $root")
+    spark.read
+      .option("basePath", versions.versionPath(version).toString)
+      .parquet(versions.versionPath(version).toString)
+      .withColumn("shard", col("shard").cast("int"))
+  }
+
+  def latestVersion: Long =
+    versions.mostRecentVersion.getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+
+  /**
+   * Batched point lookup — the reference's flagship `multiGet` RPC
+   * (keyval/core.clj:118-134) as one declarative plan:
+   *  - route: distinct shards of the key set -> partition-pruned scan
+   *    (reads only the `shard=<i>` dirs any key can live in);
+   *  - scatter/gather: broadcast-hash inner join of the pruned scan against
+   *    the (small) key set;
+   *  - absent keys come back with a null value, not an error
+   *    (core.thrift:6-8): they're re-attached via a broadcast anti-join.
+   *
+   * `keys` needs a `key: binary` column. Point-lookup batches are small by
+   * contract; for bulk joins against a domain use `read()` and join freely.
+   */
+  def multiGet(keys: DataFrame): DataFrame = {
+    val spark = keys.sparkSession
+    val n = numShards
+    val keySet = keys.select(col("key")).distinct()
+    val routed = keySet.withColumn("shard", shard_index(col("key"), n))
+    // Driver-side shard routing: at most n small ints, never key data.
+    val shards = routed.select("shard").distinct().collect().map(_.getInt(0))
+    val pruned = read(spark).where(col("shard").isin(shards.toIndexedSeq: _*))
+    val hits = pruned.join(broadcast(routed.select("key")), Seq("key"), "inner")
+    val misses = routed
+      .select("key")
+      .join(broadcast(hits.select("key")), Seq("key"), "left_anti")
+      .withColumn("value", lit(null).cast("binary"))
+    hits.select(col("key"), col("value")).unionByName(misses)
+  }
+
+  /** Single-key lookup: partition-pruned, row-group-skipping scan. */
+  def get(spark: SparkSession, key: Array[Byte]): Option[Array[Byte]] = {
+    val shard = ShardIndex.shardIndex(key, numShards)
+    read(spark)
+      .where(col("shard") === shard && col("key") === lit(key))
+      .select("value")
+      .limit(1)
+      .collect()
+      .headOption
+      .map(_.getAs[Array[Byte]](0))
+  }
+
+  /** Total pair count (reference getCount, a full scan there; here a
+    * column-free parquet scan driven by row-group metadata). */
+  def count(spark: SparkSession): Long = read(spark).count()
+
+  // --------------------------------------------------------------- updates
+
+  /**
+   * Incremental upsert with last-write-wins-per-key (new version beats old,
+   * reference append semantics, persistence/keyval_test.clj:40-48) and
+   * copy-forward of untouched shards (reference synchronizeVersions,
+   * DomainStore.java:156-180): shards that receive no new keys are published
+   * into the new version as raw file copies — no decode, no shuffle. Only
+   * shards with new data are re-merged and rewritten.
+   */
+  def upsert(spark: SparkSession, newDf: DataFrame, newVersion: Long): Unit = {
+    val oldVersion = latestVersion
+    val n = numShards
+    val incoming = newDf
+      .select(col("key"), col("value"))
+      .withColumn("shard", shard_index(col("key"), n))
+    // Affected-shard set: at most n ints on the driver.
+    val affected =
+      incoming.select("shard").distinct().collect().map(_.getInt(0)).toSet
+    val old = readVersion(spark, oldVersion)
+    val oldAffected = old.where(col("shard").isin(affected.toSeq: _*))
+    val merged = incoming.unionByName(
+      oldAffected.join(incoming.select("key"), Seq("key"), "left_anti"))
+
+    versions.createVersion(newVersion)
+    try {
+      shardedSorted(merged.select("key", "value"))
+        .write
+        .option("compression", "zstd")
+        .partitionBy("shard")
+        .parquet(versions.versionPath(newVersion).toString)
+      copyForward(oldVersion, newVersion, (0 until n).filterNot(affected))
+      versions.succeedVersion(newVersion)
+    } catch {
+      case e: Throwable =>
+        versions.failVersion(newVersion)
+        throw e
+    }
+  }
+
+  /** Raw FS copy of untouched `shard=<i>` dirs from one version into a
+    * not-yet-published one. */
+  private def copyForward(fromVersion: Long, toVersion: Long, shards: Seq[Int]): Unit = {
+    val fs = versions.fs
+    shards.foreach { s =>
+      val src = new Path(versions.versionPath(fromVersion), s"shard=$s")
+      if (fs.exists(src)) {
+        val dst = new Path(versions.versionPath(toVersion), s"shard=$s")
+        FileUtil.copy(fs, src, fs, dst, false, true, conf)
+      }
+    }
+  }
+}
+
+object DomainStore {
+
+  /** Open-or-create: writes `domain-spec.json` for a new domain; for an
+    * existing one the stored spec must equal the supplied spec (reference
+    * DomainStore.java:36-54). */
+  def create(root: String, spec: DomainSpec, conf: Configuration): DomainStore = {
+    spec.validate()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val specPath = new Path(rootPath, DomainSpec.FileName)
+    if (fs.exists(specPath)) {
+      val existing = readSpec(rootPath, conf)
+      require(
+        existing == spec,
+        s"domain at $root already exists with a different spec: $existing vs $spec")
+    } else {
+      fs.mkdirs(rootPath)
+      val out = fs.create(specPath, true)
+      out.write(spec.toJson.getBytes("UTF-8"))
+      out.close()
+    }
+    new DomainStore(rootPath, spec, conf)
+  }
+
+  /** Open an existing domain, reading its spec from disk. */
+  def open(root: String, conf: Configuration): DomainStore = {
+    val rootPath = new Path(root)
+    new DomainStore(rootPath, readSpec(rootPath, conf), conf)
+  }
+
+  def exists(root: String, conf: Configuration): Boolean = {
+    val rootPath = new Path(root)
+    rootPath.getFileSystem(conf).exists(new Path(rootPath, DomainSpec.FileName))
+  }
+
+  private def readSpec(root: Path, conf: Configuration): DomainSpec = {
+    val fs = root.getFileSystem(conf)
+    val specPath = new Path(root, DomainSpec.FileName)
+    require(fs.exists(specPath), s"no ${DomainSpec.FileName} under $root")
+    val len = fs.getFileStatus(specPath).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(specPath)
+    try in.readFully(0L, buf)
+    finally in.close()
+    DomainSpec.fromJson(new String(buf, "UTF-8"))
+  }
+
+  /**
+   * Reshard a domain N -> M (reference `reshard!`, cascalog/keyval.clj:55-66):
+   * one read + one shuffle into a new domain; the set of (key, value) pairs
+   * is invariant.
+   */
+  def reshard(
+      spark: SparkSession,
+      srcRoot: String,
+      dstRoot: String,
+      newNumShards: Int,
+      version: Long,
+      conf: Configuration): DomainStore = {
+    val src = open(srcRoot, conf)
+    val dst = create(dstRoot, src.spec.copy(numShards = newNumShards), conf)
+    dst.write(src.read(spark).select("key", "value"), version)
+    dst
+  }
+
+  /**
+   * shard -> partition-id mapping that makes `repartition(n, _pid)` place
+   * shard i in partition i *exactly* (Spark's HashPartitioning is
+   * pmod(murmur3(x), n), which would co-locate several shards per task and
+   * leave others empty — bad file sizing at scale). The preimage table is
+   * computed once on the driver: for each target partition t, an int j with
+   * pmod(murmur3_hash(j), n) == t.
+   */
+  private[graft] def shardToPartitionId(shard: Column, n: Int): Column = {
+    val preimage = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var j = 0
+    var remaining = n
+    while (remaining > 0) {
+      val t = pmodMurmur(j, n)
+      if (!found(t)) { found(t) = true; preimage(t) = j; remaining -= 1 }
+      j += 1
+    }
+    element_at(typedlit(preimage.toIndexedSeq), shard + 1)
+  }
+
+  private def pmodMurmur(value: Int, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(value, org.apache.spark.sql.types.IntegerType, 42L)
+      .toInt
+    val r = h % n
+    if (r < 0) r + n else r
+  }
+}

@@ -1,0 +1,95 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/**
+ * Versioned directory store on a Hadoop FileSystem — same layout and
+ * semantics as the reference's VersionedStore
+ * (elephantdb-core/src/jvm/elephantdb/store/VersionedStore.java):
+ *
+ *   <root>/<version>/...          data of one immutable version
+ *   <root>/<version>.version      empty token; its existence IS the publish
+ *
+ * A version is visible to readers iff its token exists (succeedVersion,
+ * VersionedStore.java:102-108). Readers resolve `mostRecentVersion` at plan
+ * time, giving per-query snapshot isolation with no locking — the Spark-side
+ * replacement for the reference's read-lock/hot-swap machinery
+ * (SURVEY.md §3.3).
+ *
+ * Version ids are caller-supplied longs (the reference uses
+ * currentTimeMillis at the call site, VersionedStore.java:78-80); the engine
+ * never reads the clock, keeping runs reproducible.
+ */
+class VersionedStore(val root: Path, conf: Configuration) {
+
+  def this(root: String, conf: Configuration) = this(new Path(root), conf)
+
+  private[store] def fs: FileSystem = root.getFileSystem(conf)
+
+  def versionPath(version: Long): Path = new Path(root, version.toString)
+  private def tokenPath(version: Long): Path = new Path(root, s"$version.version")
+
+  /** Allocate a new (unpublished) version dir; rejects an already-published
+    * id and clears any leftover partial dir (VersionedStore.java:78-91). */
+  def createVersion(version: Long): Path = {
+    val f = fs
+    require(!f.exists(tokenPath(version)), s"version $version already exists at $root")
+    val p = versionPath(version)
+    if (f.exists(p)) f.delete(p, true)
+    f.mkdirs(root)
+    p
+  }
+
+  /** Atomically publish: create the token file (VersionedStore.java:102-108). */
+  def succeedVersion(version: Long): Unit = {
+    val f = fs
+    f.mkdirs(versionPath(version))
+    f.create(tokenPath(version), true).close()
+  }
+
+  /** Abort/unpublish: delete data dir and token (VersionedStore.java:93-100). */
+  def failVersion(version: Long): Unit = deleteVersion(version)
+
+  def deleteVersion(version: Long): Unit = {
+    val f = fs
+    f.delete(versionPath(version), true)
+    f.delete(tokenPath(version), false)
+  }
+
+  /** Published versions, newest first (VersionedStore.java:64-76). */
+  def getAllVersions: Seq[Long] = {
+    val f = fs
+    if (!f.exists(root)) Seq.empty
+    else
+      f.listStatus(root)
+        .iterator
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".version"))
+        .map(_.stripSuffix(".version").toLong)
+        .toSeq
+        .sorted(Ordering[Long].reverse)
+  }
+
+  def mostRecentVersion: Option[Long] = getAllVersions.headOption
+
+  /** Newest published version <= maxVersion (VersionedStore.java:140-146). */
+  def mostRecentVersion(maxVersion: Long): Option[Long] =
+    getAllVersions.find(_ <= maxVersion)
+
+  /** Keep the newest `versionsToKeep` published versions; delete the rest
+    * and reap never-published partial dirs (VersionedStore.java:110-127). */
+  def cleanup(versionsToKeep: Int): Unit = {
+    val keep = getAllVersions.take(versionsToKeep).toSet
+    val f = fs
+    if (f.exists(root)) {
+      f.listStatus(root).foreach { st =>
+        val name = st.getPath.getName
+        val version =
+          if (name.endsWith(".version")) name.stripSuffix(".version").toLongOption
+          else name.toLongOption
+        version.foreach { v => if (!keep.contains(v)) deleteVersion(v) }
+      }
+    }
+  }
+}
