@@ -22,12 +22,17 @@ object SparkEntry {
       .select(bytes_utf8(col("value")).as("l_suppkey"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data-pipeline extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    KvQueries.queries
+    KvQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimQueries.queries ++ MmQueries.queries ++
+      EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    KvQueries.oracleSql
+    KvQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++
+      DedupQueries.oracleSql ++ SimQueries.oracleSql ++ MmQueries.oracleSql ++
+      EventQueries.oracleSql
 }

@@ -1,0 +1,124 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ *  - [[cosine]] / [[bruteForceTopK]]: the exact baseline — O(Q*N) dot
+ *    products, all inside codegen (zip_with + aggregate), no shuffle
+ *    beyond one broadcast of the query set.
+ *  - [[annTopK]]: the scale path — random-hyperplane LSH with L tables;
+ *    candidates share a bucket in any table, then exact re-rank. At 100 TB
+ *    the bucket join replaces the full cross product; table count / plane
+ *    count trade recall for candidate volume.
+ *
+ * Arithmetic is done in double after an explicit cast, left-to-right in
+ * element order, so results are bit-stable across engines.
+ */
+object Similarity {
+
+  /** Elementwise-cast to double — all math happens in double. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** (id, vec, norm) with vectors pre-cast and norms precomputed once —
+    * shared prep for all the joins below. */
+  def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", norm(col("vec")))
+
+  /** All pairs with cosine >= threshold (embedding near-dup dedup).
+    * Exact O(N^2/2); sample or switch to [[annTopK]] buckets at scale. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    p.as("a")
+      .join(p.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val scored = c.join(broadcast(q), col("id") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Seeded random hyperplanes: `tables` tables x `planes` planes x dim. */
+  private def hyperplanes(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new Random(42)
+    Array.fill(tables, planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bucket id of a vector under one table's planes. */
+  private def bucketId(vec: Column, tablePlanes: Array[Array[Double]]): Column =
+    tablePlanes.zipWithIndex.map { case (plane, b) =>
+      when(dot(vec, typedlit(plane.toIndexedSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, table, bucket) assignment — the ANN "index build". */
+  def lshBuckets(p: DataFrame, tables: Int, planes: Int, dim: Int): DataFrame = {
+    val hp = hyperplanes(tables, planes, dim)
+    val entries = (0 until tables).map { t =>
+      struct(lit(t).as("table"), bucketId(col("vec"), hp(t)).as("bucket"))
+    }
+    p.select(col("id"), col("vec"), col("norm"), explode(array(entries: _*)).as("e"))
+      .select(col("id"), col("vec"), col("norm"), col("e.table").as("table"), col("e.bucket").as("bucket"))
+  }
+
+  /**
+   * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
+   * with the query in any table; exact cosine re-rank of candidates only.
+   * Output schema matches [[bruteForceTopK]] (rank may hold < k rows when
+   * buckets are sparse).
+   */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 8,
+      planes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val cb = lshBuckets(prepared(corpus, idCol, vecCol), tables, planes, dim)
+    val qb = lshBuckets(prepared(queries, idCol, vecCol), tables, planes, dim)
+      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
+        col("table"), col("bucket"))
+    val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("vec"), col("norm"), col("qvec"), col("qnorm"))
+      .dropDuplicates("query_id", "id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    cand
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+}

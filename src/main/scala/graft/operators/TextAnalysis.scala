@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language identification, and document
+ * fingerprinting. Everything is built from codegen'd Spark SQL functions
+ * (no UDFs), so the operators run inside whole-stage codegen and scale
+ * embarrassingly (per-row, no shuffle).
+ *
+ * The heuristics are deliberately simple *and exactly reproducible in
+ * ANSI SQL*, so every operator has a DuckDB oracle.
+ */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count. */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword count: letter runs, single digits, single symbols. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Lowercased alphanumeric word tokens (the unit for simhash / stopwords). */
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** How many tokens are stopwords (quality signal: prose vs noise). */
+  def stopwordCount(text: Column): Column =
+    size(filter(wordTokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** Marker stopwords per language for the language-ID heuristic:
+    * count marker-word hits, argmax with a fixed tie order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"),
+    "es" -> Seq("el", "los", "y", "que", "una"))
+
+  /** Non-overlapping occurrence count of ` marker ` in the padded text —
+    * pure integer string math so any SQL engine agrees exactly. */
+  def markerOccurrences(text: Column, marker: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val needle = s" $marker "
+    ((length(padded) - length(regexp_replace(padded, needle, ""))) / needle.length).cast("int")
+  }
+
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang).map(m => markerOccurrences(text, m)).reduce(_ + _)
+
+  /** argmax of the language scores with fixed priority order; 'und' when
+    * no marker hits at all. */
+  def langId(scores: Map[String, Column]): Column = {
+    val ordered = LangMarkers.map(_._1)
+    ordered.zipWithIndex.foldRight(lit("und")) { case ((lang, i), elseCol) =>
+      val beats = ordered.drop(i + 1).map(o => scores(lang) >= scores(o)) :+ (scores(lang) > 0)
+      when(beats.reduce(_ && _), lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Rolling polynomial hash of the full character stream
+    * (acc*31 + codepoint, mod 1e9+7) — the document fingerprint. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+
+  /** Canonical normalized form for exact near-dup matching: lowercase,
+    * strip non-alphanumerics, collapse whitespace. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Full quality report: one row per document, all signals. */
+  def qualityReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      wsTokenCount(t).cast("long").as("ws_tokens"),
+      bpeTokenCount(t).cast("long").as("bpe_tokens"),
+      stopwordCount(t).cast("long").as("stopword_cnt"),
+      punctCount(t).cast("long").as("punct_cnt"))
+      .withColumn(
+        "stopword_ratio",
+        col("stopword_cnt").cast("double") / greatest(col("ws_tokens"), lit(1)))
+      .withColumn(
+        "avg_token_len",
+        col("n_chars").cast("double") / greatest(col("ws_tokens"), lit(1)))
+  }
+
+  /** Language-ID report: per-language marker scores + predicted language. */
+  def langIdReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scored = LangMarkers.foldLeft(df.select(col(idCol), t)) { case (d, (lang, _)) =>
+      d.withColumn(s"score_$lang", langScore(t, lang).cast("long"))
+    }
+    scored
+      .withColumn(
+        "lang_pred",
+        langId(LangMarkers.map { case (l, _) => l -> col(s"score_$l") }.toMap))
+      .drop(textCol)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/**
+ * Driver-contract queries for the dedup operators. The probabilistic ones
+ * (MinHash-LSH) are verified exactly: LSH only *finds candidates*; every
+ * emitted pair passed an exact Jaccard check, and the banding is sized so
+ * recall at the threshold is ~1 - 6e-8 — so the output equals the oracle's
+ * exhaustive all-pairs scan.
+ */
+object DedupQueries {
+
+  val JaccardSampleMod = 4
+  val JaccardSampleThreshold = 0.5
+  val MinHashThreshold = 0.8
+  val SimHashMaxDist = 3
+  val CosineThreshold = 0.44
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Fixtures.table(s, dir, "documents"), "doc_id", "text")
+    },
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Fixtures.table(s, dir, "documents").where(col("doc_id") % JaccardSampleMod === 0),
+        "doc_id", "text", JaccardSampleThreshold)
+    },
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minHashPairs(Fixtures.table(s, dir, "documents"), "doc_id", "text", MinHashThreshold)
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simHashPairs(
+        Dedup.simHash(Fixtures.table(s, dir, "documents"), "doc_id", "text"),
+        SimHashMaxDist)
+    },
+    "dedup_embedding" -> { (s, dir) =>
+      Similarity.nearDupPairs(
+        Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
+    })
+
+  /** Shared oracle CTE: distinct 5-gram shingles + exact Jaccard pairs. */
+  private def jaccardOracle(filt: String, threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents $filt),
+       |pos AS (SELECT doc_id, text, unnest(range(1, greatest(length(text)-4, 0)+1)) AS i FROM d),
+       |s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh FROM pos),
+       |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b,
+       |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+       |FROM inter JOIN c ca ON ca.doc_id = ia JOIN c cb ON cb.doc_id = ib
+       |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM n GROUP BY norm""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      jaccardOracle(s"WHERE doc_id % $JaccardSampleMod = 0", JaccardSampleThreshold),
+    "dedup_minhash" ->
+      jaccardOracle("", MinHashThreshold),
+    "dedup_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT::BIGINT AS h32 FROM tok),
+         |bits AS (SELECT doc_id, unnest(range(0, 32)) AS b, h32 FROM h),
+         |v AS (SELECT doc_id, b, sum(CASE WHEN (h32 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+         |      FROM bits GROUP BY 1, 2),
+         |sh AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS v
+         |       FROM v GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS dist
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.v, b.v)) <= $SimHashMaxDist""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineThreshold""".stripMargin)
+}

@@ -24,8 +24,13 @@ object Fixtures {
 
   def conf = new Configuration()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
+    // BIGINT nanos under this legacy flag (the engine's ts convention —
+    // see graft.operators.Events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   private def sanitize(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9.]+", "_")

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * General relational surface (scan/filter/project/agg/join/window/top-k) —
+ * beyond the reference (which has no SQL, SURVEY.md §2.5) but table stakes
+ * for the engine and the bench headliners. Monetary aggregates use integer
+ * cents so Spark and DuckDB agree bit-for-bit regardless of summation
+ * order.
+ */
+object RelQueries {
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style scan+agg over lineitem.
+    "q1_agg" -> { (s, dir) =>
+      Fixtures.table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("sum_disc_scaled"),
+          count(lit(1)).as("count_order"))
+    },
+    // TPC-H Q3-style 3-way join + agg + top-10.
+    "q3_join" -> { (s, dir) =>
+      val cust = Fixtures.table(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = Fixtures.table(s, dir, "orders")
+      val li = Fixtures.table(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_scaled"))
+        .orderBy(col("revenue_scaled").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    // Window functions: per-customer order sequence + running spend.
+    "q_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Fixtures.table(s, dir, "orders")
+        .withColumn("order_seq", row_number().over(w).cast("long"))
+        .withColumn(
+          "running_cents",
+          sum(cents(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("o_orderkey"), col("o_custkey"), col("order_seq"), col("running_cents"))
+    },
+    // Top-k with deterministic tie-break.
+    "q_topk" -> { (s, dir) =>
+      Fixtures.table(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+        .limit(15)
+    })
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_scaled,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_scaled DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS order_seq,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_topk" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 15""".stripMargin)
+}
