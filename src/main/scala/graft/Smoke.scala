@@ -52,6 +52,25 @@ object Smoke {
     check("count unchanged after upsert")(store.count(spark) ==
       Fixtures.table(spark, "/root/testdata/sf0.001", "customer").count())
 
+    // Streaming twin drains to the same result as the batch operator.
+    check("streaming windowAgg == batch") {
+      val dir = "/root/repo/target/graft-scratch/smoke-stream"
+      val p = new Path(dir)
+      val fsS = p.getFileSystem(conf)
+      fsS.delete(p, true); fsS.mkdirs(p)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fsS, new Path("/root/testdata/sf0.001/events.parquet"),
+        fsS, new Path(s"$dir/events-0.parquet"), false, conf)
+      val batch = graft.operators.Events
+        .windowAgg(Fixtures.table(spark, "/root/testdata/sf0.001", "events"), 5)
+        .collect().map(_.toString).toSet
+      val q = graft.streaming.StreamingEvents.windowAggToMemory(spark, dir, 5, "smoke_stream")
+      try {
+        q.processAllAvailable()
+        spark.table("smoke_stream").collect().map(_.toString).toSet == batch && batch.nonEmpty
+      } finally q.stop()
+    }
+
     // Publish-token visibility: an unpublished version is invisible.
     check("unpublished version invisible") {
       store.versions.createVersion(3L)

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one SparkContext per test JVM). */
+trait SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def sf(name: String): String = s"/root/testdata/$name"
+
+  /** Fresh scratch dir under the build target (never outside the repo). */
+  def scratch(name: String): String = {
+    val dir = s"/root/repo/target/test-scratch/$name"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).delete(p, true)
+    dir
+  }
+}

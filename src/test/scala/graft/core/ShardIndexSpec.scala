@@ -1,0 +1,60 @@
+package graft.core
+
+import java.math.BigInteger
+import java.security.MessageDigest
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{shard_index, utf8_bytes}
+
+/** Pins the O1 routing function (SURVEY.md §4): signed-BigInteger md5 mod,
+  * byte-compatible with the reference HashModScheme. */
+class ShardIndexSpec extends SparkSuite {
+
+  /** Independent re-derivation (not via ShardIndex) for cross-checking. */
+  private def reference(key: Array[Byte], n: Int): Int =
+    new BigInteger(MessageDigest.getInstance("MD5").digest(key))
+      .mod(BigInteger.valueOf(n.toLong)).intValue()
+
+  test("pinned vectors incl. md5 with leading 1-bit (negative BigInteger)") {
+    // md5("0") = cfcd... has a leading 1-bit -> negative signed BigInteger;
+    // expected values cross-checked externally (python int.from_bytes signed).
+    val cases = Seq("0", "1", "42", "12345", "hello", "999999", "x8", "zq")
+    val expected16 = Seq(10, 11, 6, 11, 2, 14, 13, 8)
+    cases.zip(expected16).foreach { case (s, exp) =>
+      assert(ShardIndex.shardIndex(s.getBytes("UTF-8"), 16) === exp, s"key=$s")
+    }
+  }
+
+  test("property: range, determinism, agreement with independent impl") {
+    val rnd = new Random(7)
+    (1 to 2000).foreach { _ =>
+      val key = Array.fill(1 + rnd.nextInt(64))(rnd.nextInt().toByte)
+      val n = 1 + rnd.nextInt(1024)
+      val s = ShardIndex.shardIndex(key, n)
+      assert(s >= 0 && s < n)
+      assert(s === ShardIndex.shardIndex(key, n))
+      assert(s === reference(key, n))
+    }
+  }
+
+  test("expression (codegen path) agrees with the Scala function") {
+    import spark.implicits._
+    val df = (0 until 1000).map(_.toString).toDF("s")
+      .select(col("s"), shard_index(utf8_bytes(col("s")), 64).as("shard"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) === ShardIndex.shardIndex(r.getString(0).getBytes("UTF-8"), 64))
+    }
+  }
+
+  test("distribution is roughly uniform") {
+    val counts = (0 until 10000)
+      .map(i => ShardIndex.shardIndex(s"key-$i".getBytes("UTF-8"), 16))
+      .groupBy(identity).view.mapValues(_.size)
+    assert(counts.size === 16)
+    counts.values.foreach(c => assert(c > 400 && c < 850, s"skewed distribution: $counts"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavior checks the DuckDB oracle can't express: LSH recall, sketch
+  * invariants, batching-independence of the multimodal stub. */
+class OperatorsSpec extends SparkSuite {
+
+  private lazy val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+  private lazy val embs = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+
+  test("minhash: identical docs get identical signatures; sig length 128") {
+    import spark.implicits._
+    val two = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again")).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(Dedup.shingles(two, "doc_id", "text"))
+      .collect().map(r => r.getSeq[Long](1))
+    assert(sigs.length === 2)
+    assert(sigs(0).length === 128)
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("minhash-LSH finds every exact-jaccard pair at threshold (recall = 1 here)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical text -> distance 0; disjoint vocab -> large distance") {
+    import spark.implicits._
+    val three = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zulu yankee xray whiskey victor")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(Dedup.simHash(three, "doc_id", "text"), 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("ann recall@10 >= 0.5 vs brute force (random vectors are LSH-adversarial)") {
+    val q = embs.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 = $recall")
+  }
+
+  test("cosine: self-similarity is 1.0") {
+    val p = Similarity.prepared(embs.limit(10), "vec_id", "embedding")
+    val selfs = p.select(Similarity.dot(col("vec"), col("vec")) / (col("norm") * col("norm")))
+      .collect().map(_.getDouble(0))
+    selfs.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("multimodal: feature extraction is independent of partitioning/batching") {
+    import spark.implicits._
+    val media = Multimodal.pack(docs, "doc_id", "text").as[MediaRecord]
+    val a = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    val b = Multimodal.extractFeatures(spark, media.repartition(7))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+    // byte_sum really is the payload byte sum
+    val one = docs.orderBy("doc_id").limit(1).collect()(0)
+    val expected = one.getString(1).getBytes("UTF-8").map(_.toLong & 0xff).sum
+    assert(a(one.getLong(0)).byte_sum === expected)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.{DomainSpec, ShardIndex}
+import graft.functions._
+
+/** Ports the reference's active test coverage (SURVEY.md §5): round-trips,
+  * cross-shard isolation, reshard invariance, last-write-wins, version
+  * semantics, spec validation. */
+class DomainStoreSpec extends SparkSuite {
+
+  private val conf = new Configuration()
+
+  private def kv(pairs: (String, String)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+      .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+  }
+
+  private def readPairs(store: DomainStore): Set[(String, String)] =
+    store.read(spark)
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("build -> read round-trip preserves the exact pair set") {
+    val store = DomainStore.create(scratch("rt"), DomainSpec(4), conf)
+    val pairs = Seq("foo" -> "bar", "hot" -> "dog", "biggie" -> "tupac",
+      "key" -> "val", "ham" -> "burger", "x" -> "y")
+    store.write(kv(pairs: _*), 1L)
+    assert(readPairs(store) === pairs.toSet)
+  }
+
+  test("cross-shard isolation: every key lives exactly on its routed shard") {
+    val store = DomainStore.create(scratch("iso"), DomainSpec(8), conf)
+    val pairs = (0 until 200).map(i => s"k$i" -> s"v$i")
+    store.write(kv(pairs: _*), 1L)
+    val rows = store.read(spark)
+      .select(bytes_utf8(col("key")), col("shard")).collect()
+    assert(rows.length === 200)
+    rows.foreach { r =>
+      assert(r.getInt(1) === ShardIndex.shardIndex(r.getString(0).getBytes("UTF-8"), 8))
+    }
+  }
+
+  test("reshard 3 -> 1 -> 5 preserves pairs and spec fields") {
+    val pairs = Seq("foo" -> "bar", "hot" -> "dog", "biggie" -> "tupac",
+      "lady" -> "gaga", "answer" -> "42", "terrible" -> "parity")
+    // scratch() wipes the dir on every call — resolve each path exactly once
+    val (rs3, rs1, rs5) = (scratch("rs3"), scratch("rs1"), scratch("rs5"))
+    val s3 = DomainStore.create(rs3, DomainSpec(3, persistenceOptions = Map("dummy" -> "value")), conf)
+    s3.write(kv(pairs: _*), 1L)
+    val s1 = DomainStore.reshard(spark, rs3, rs1, 1, 1L, conf)
+    assert(readPairs(s1) === pairs.toSet)
+    assert(s1.spec.numShards === 1)
+    assert(s1.spec.persistenceOptions === Map("dummy" -> "value"))
+    val s5 = DomainStore.reshard(spark, rs1, rs5, 5, 1L, conf)
+    assert(readPairs(s5) === pairs.toSet)
+    assert(s5.spec.numShards === 5)
+  }
+
+  test("upsert battery: last write wins per key (reference keyval_test)") {
+    // create ["a"->"1"], append ["c"->"3","b"->"4"], re-append ["a"->"4","d"->"5"]
+    val store = DomainStore.create(scratch("lww"), DomainSpec(2), conf)
+    store.write(kv("a" -> "1"), 1L)
+    store.upsert(spark, kv("c" -> "3", "b" -> "4"), 2L)
+    store.upsert(spark, kv("a" -> "4", "d" -> "5"), 3L)
+    assert(readPairs(store) === Set("a" -> "4", "b" -> "4", "c" -> "3", "d" -> "5"))
+  }
+
+  test("version store: unsucceeded versions invisible, cleanup keeps newest k") {
+    val vs = new VersionedStore(scratch("vs"), conf)
+    Seq(1L, 2L, 3L).foreach { v => vs.createVersion(v); vs.succeedVersion(v) }
+    vs.createVersion(10L) // never succeeded
+    assert(vs.getAllVersions === Seq(3L, 2L, 1L))
+    assert(vs.mostRecentVersion === Some(3L))
+    assert(vs.mostRecentVersion(2L) === Some(2L))
+    vs.cleanup(2)
+    assert(vs.getAllVersions === Seq(3L, 2L))
+    assert(!vs.fs.exists(vs.versionPath(10L)), "cleanup reaps unsucceeded partial dirs")
+  }
+
+  test("spec: json round-trip, validation, on-disk mismatch rejected") {
+    val spec = DomainSpec(20, persistenceOptions = Map("dummy" -> "value"))
+    assert(DomainSpec.fromJson(spec.toJson) === spec)
+    intercept[IllegalArgumentException](DomainSpec(0).validate())
+    intercept[IllegalArgumentException](DomainSpec(4, shardScheme = "nope").validate())
+    val root = scratch("speccheck")
+    DomainStore.create(root, DomainSpec(4), conf)
+    intercept[IllegalArgumentException](DomainStore.create(root, DomainSpec(8), conf))
+    assert(DomainStore.open(root, conf).spec === DomainSpec(4))
+  }
+
+  test("multiGet: hits resolve, absent keys yield null value (not error)") {
+    val store = DomainStore.create(scratch("mg"), DomainSpec(4), conf)
+    store.write(kv("a" -> "1", "b" -> "2"), 1L)
+    val keys = kv("a" -> "", "zz" -> "").select(col("key"))
+    val got = store.multiGet(keys)
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got === Map("a" -> Some("1"), "zz" -> None))
+  }
+
+  test("write rejects duplicate keys only in dedup mode semantics") {
+    val store = DomainStore.create(scratch("dup"), DomainSpec(2), conf)
+    store.write(kv("a" -> "1", "a" -> "2"), 1L, dedupKeys = true)
+    assert(store.count(spark) === 1L)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSuite
+import graft.operators.Events
+
+/** The streaming twin must produce exactly the batch result once the
+  * stream drains (same declarative plan, incremental execution). */
+class StreamingSpec extends SparkSuite {
+
+  test("streaming windowAgg == batch windowAgg over the same files") {
+    val src = sf("sf0.001/events.parquet")
+    // file stream source needs a directory; stage the table into one
+    val dir = scratch("stream-events")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/events-0.parquet"), false, conf)
+
+    val batch = Events.windowAgg(spark.read.parquet(src), 5)
+      .collect().map(normalize).toSet
+
+    val q = StreamingEvents.windowAggToMemory(spark, dir, 5, "ev_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ev_stream_test").collect().map(normalize).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  private def normalize(r: Row): (java.sql.Timestamp, String, Long, Long) =
+    (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
+}
