@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.interop
 
-import graft.core.ShardIndexExpr
+import graft.core.{DoubleArrayDot, ShardIndexExpr}
 
 /**
  * Column-level functions of the graft engine. Everything here is either a
@@ -46,4 +46,9 @@ package object functions {
 
   /** Composite key: concatenation of already-encoded binary parts. */
   def composite_key(parts: Column*): Column = concat(parts: _*)
+
+  /** Codegen'd left-to-right dot product of two array<double> columns
+    * (see [[graft.core.DoubleArrayDot]]). */
+  def array_dot(a: Column, b: Column): Column =
+    interop.column(DoubleArrayDot(interop.expression(a), interop.expression(b)))
 }

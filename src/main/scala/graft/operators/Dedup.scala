@@ -25,15 +25,36 @@ object Dedup {
 
   val ShingleSize = 5
 
-  /** Distinct character n-gram shingles: (id, shingle). The inverted-index
-    * building block for Jaccard and MinHash. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = ShingleSize): DataFrame = {
-    val positions = sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(0)))
+  /** Distinct character n-gram shingles: (id, shingle). The unit for the
+    * exact char-level Jaccard audit. Built from explode + substring
+    * (whole-stage codegen) rather than a higher-order `transform` (which is
+    * interpreter-only) — the distinct happens in the aggregate shuffle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = ShingleSize): DataFrame =
+    df.where(length(col(textCol)) >= n) // sequence(1, len-n+1) needs len >= n (it would count *down* otherwise)
+      .select(
+        col(idCol).as("id"),
+        col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)) - (n - 1))).as("pos"))
+      .select(col("id"), expr(s"substring(t, pos, $n)").as("shingle"))
+      .dropDuplicates("id", "shingle")
+
+  val WordShingleSize = 3
+
+  /** Distinct word n-gram shingles — the MinHash unit. Word n-grams give
+    * near-zero Jaccard between unrelated documents while near-duplicates
+    * stay ~1, so LSH banding actually separates (char shingles on natural
+    * text push random-pair similarity high enough that every pair becomes
+    * an LSH candidate). */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = WordShingleSize): DataFrame =
     df.select(
         col(idCol).as("id"),
-        explode(array_distinct(
-          transform(positions, i => col(textCol).substr(i, lit(n))))).as("shingle"))
-  }
+        TextAnalysis.wordTokens(col(textCol)).as("ts"))
+      .where(size(col("ts")) >= n)
+      .select(col("id"), col("ts"), explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("pos"))
+      .select(
+        col("id"),
+        concat_ws(" ", (0 until n).map(i => element_at(col("ts"), col("pos") + i)): _*).as("shingle"))
+      .dropDuplicates("id", "shingle")
 
   /** Exact dedup on normalized text: keep the smallest id per group.
     * Output: (keep_id, n_copies) — one row per distinct normalized text. */
@@ -51,8 +72,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      n: Int = ShingleSize): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      n: Int = ShingleSize): DataFrame =
+    jaccardPairsFromShingles(shingles(df, idCol, textCol, n), threshold)
+
+  /** Exhaustive exact Jaccard pairs >= threshold from any shingle table. */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -90,12 +114,13 @@ object Dedup {
   }
 
   /** MinHash signatures: (id, sig array<long>). One aggregation = one
-    * shuffle; 128 partial-aggregated min columns, no row explosion. */
+    * shuffle; 128 partial-aggregated min columns, no row explosion. The
+    * shingle base hash is projected once, not recomputed per hash column. */
   def minHashSignatures(sh: DataFrame): DataFrame = {
-    val x = pmod(xxhash64(col("shingle")), lit(HashPrime))
+    val based = sh.select(col("id"), pmod(xxhash64(col("shingle")), lit(HashPrime)).as("x"))
     val mins = (0 until NumHashes)
-      .map(i => min(pmod(x * hashA(i) + hashB(i), lit(HashPrime))).as(s"m$i"))
-    sh.groupBy(col("id"))
+      .map(i => min(pmod(col("x") * hashA(i) + hashB(i), lit(HashPrime))).as(s"m$i"))
+    based.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -134,8 +159,15 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol)
+    // Shingles feed three consumers (signatures, sizes, verification) —
+    // materialize once instead of recomputing the explode+distinct.
+    val sh = wordShingles(df, idCol, textCol).persist()
     val cand = lshCandidates(lshBands(minHashSignatures(sh)))
+    exactJaccardOfCandidates(sh, cand, threshold)
+  }
+
+  /** Exact Jaccard verification restricted to a candidate pair set. */
+  def exactJaccardOfCandidates(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("sa")
       .join(broadcast(cand), col("sa.id") === col("id_a"))
@@ -148,18 +180,24 @@ object Dedup {
 
   /** 32-bit SimHash over word tokens (frequency-weighted — every token
     * occurrence votes): per token take 32 bits of md5, each bit votes +-1;
-    * sketch bit b is 1 iff the vote sum > 0. */
+    * sketch bit b is 1 iff the vote sum > 0. One aggregation with 32
+    * partial-sum columns — no 32x bit-row explosion, single shuffle. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(
       col(idCol).as("id"),
       explode(TextAnalysis.wordTokens(col(textCol))).as("t"))
     val h32 = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
-    tok.select(col("id"), h32.as("h"), explode(sequence(lit(0), lit(31))).as("b"))
-      .withColumn("vote", when(expr("(h >> b) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("id"), col("b"))
-      .agg(sum(col("vote")).as("s"))
+    val votes = (0 until 32)
+      .map(b => sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
+    tok.select(col("id"), h32.as("h"))
       .groupBy(col("id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(
+        col("id"),
+        (0 until 32)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist. All-pairs here

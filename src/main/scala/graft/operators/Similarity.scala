@@ -6,37 +6,36 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.array_dot
+
 /**
  * Similarity search over an embedding column (array<float>).
  *
  *  - [[cosine]] / [[bruteForceTopK]]: the exact baseline — O(Q*N) dot
- *    products, all inside codegen (zip_with + aggregate), no shuffle
+ *    products through [[graft.core.DoubleArrayDot]], a custom codegen
+ *    expression (Spark's higher-order functions are interpreter-only and
+ *    unrolled element_at chains blow up generated-code size); no shuffle
  *    beyond one broadcast of the query set.
  *  - [[annTopK]]: the scale path — random-hyperplane LSH with L tables;
  *    candidates share a bucket in any table, then exact re-rank. At 100 TB
  *    the bucket join replaces the full cross product; table count / plane
  *    count trade recall for candidate volume.
  *
- * Arithmetic is done in double after an explicit cast, left-to-right in
+ * All math is double after an explicit cast and sums run left-to-right in
  * element order, so results are bit-stable across engines.
  */
 object Similarity {
 
-  /** Elementwise-cast to double — all math happens in double. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  def dot(a: Column, b: Column): Column = array_dot(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+  def norm(a: Column): Column = sqrt(array_dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** (id, vec, norm) with vectors pre-cast and norms precomputed once —
-    * shared prep for all the joins below. */
+  /** (id, vec, norm) with vectors cast to array<double> and norms
+    * precomputed once — shared prep for all the joins below. */
   def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .withColumn("norm", norm(col("vec")))
 
   /** All pairs with cosine >= threshold (embedding near-dup dedup).
@@ -75,10 +74,11 @@ object Similarity {
     Array.fill(tables, planes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bucket id of a vector under one table's planes. */
+  /** Sign-bucket id of a vector under one table's planes (dot against a
+    * literal plane array — same codegen'd loop kernel). */
   private def bucketId(vec: Column, tablePlanes: Array[Array[Double]]): Column =
     tablePlanes.zipWithIndex.map { case (plane, b) =>
-      when(dot(vec, typedlit(plane.toIndexedSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
+      when(array_dot(vec, typedlit(plane.toIndexedSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** (id, table, bucket) assignment — the ANN "index build". */

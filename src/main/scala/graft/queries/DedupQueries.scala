@@ -42,18 +42,30 @@ object DedupQueries {
         Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
     })
 
-  /** Shared oracle CTE: distinct 5-gram shingles + exact Jaccard pairs. */
-  private def jaccardOracle(filt: String, threshold: Double): String =
-    s"""WITH d AS (SELECT doc_id, text FROM documents $filt),
-       |pos AS (SELECT doc_id, text, unnest(range(1, greatest(length(text)-4, 0)+1)) AS i FROM d),
-       |s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh FROM pos),
-       |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+  /** Exact-Jaccard oracle tail shared by both shingle units. */
+  private def jaccardTail(threshold: Double): String =
+    s"""c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
        |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
        |SELECT ia AS id_a, ib AS id_b,
        |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
        |FROM inter JOIN c ca ON ca.doc_id = ia JOIN c cb ON cb.doc_id = ib
        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $threshold""".stripMargin
+
+  /** Character 5-gram shingles + exact Jaccard pairs. */
+  private def jaccardOracle(filt: String, threshold: Double): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents $filt),
+       |pos AS (SELECT doc_id, text, unnest(range(1, greatest(length(text)-4, 0)+1)) AS i FROM d),
+       |s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh FROM pos),
+       |${jaccardTail(threshold)}""".stripMargin
+
+  /** Word 3-gram shingles (the MinHash unit) + exact Jaccard pairs. */
+  private def wordJaccardOracle(threshold: Double): String =
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+       |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),
+       |s AS (SELECT DISTINCT doc_id,
+       |  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)] AS sh FROM pos),
+       |${jaccardTail(threshold)}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -64,7 +76,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" ->
       jaccardOracle(s"WHERE doc_id % $JaccardSampleMod = 0", JaccardSampleThreshold),
     "dedup_minhash" ->
-      jaccardOracle("", MinHashThreshold),
+      wordJaccardOracle(MinHashThreshold),
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
          |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT::BIGINT AS h32 FROM tok),

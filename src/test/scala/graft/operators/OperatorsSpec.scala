@@ -23,11 +23,13 @@ class OperatorsSpec extends SparkSuite {
   }
 
   test("minhash-LSH finds every exact-jaccard pair at threshold (recall = 1 here)") {
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.8)
+    val exact = Dedup.jaccardPairsFromShingles(
+        Dedup.wordShingles(docs, "doc_id", "text"), 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minHashPairs(docs, "doc_id", "text", 0.8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh === exact)
+    assert(exact.nonEmpty)
   }
 
   test("simhash: identical text -> distance 0; disjoint vocab -> large distance") {
