@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.queries.Fixtures
+
+/** Dev tool: dumps formatted physical plans for the load-bearing queries
+  * so pushdown / pruning / join strategy / codegen can be audited. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def dump(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+
+    val domain = Fixtures.customerDomain(spark, sfDir)
+    dump("single-key get (expect: PartitionFilters shard=, PushedFilters key=)") {
+      val k = java.nio.ByteBuffer.allocate(8).putLong(42L).array()
+      val shard = graft.core.ShardIndex.shardIndex(k, domain.numShards)
+      domain.read(spark).where(col("shard") === shard && col("key") === lit(k)).select("value")
+    }
+    dump("multiGet (expect: pruned scan + broadcast hash join)") {
+      val keys = Fixtures.table(spark, sfDir, "customer")
+        .where(col("c_custkey") % 7 === 0)
+        .select(long_be(col("c_custkey")).as("key"))
+      domain.multiGet(keys)
+    }
+    dump("q1_agg (expect: PushedFilters l_shipdate, pruned ReadSchema)") {
+      queries.RelQueries.queries("q1_agg")(spark, sfDir)
+    }
+    dump("q3_join (expect: broadcast join on customer)") {
+      queries.RelQueries.queries("q3_join")(spark, sfDir)
+    }
+    dump("domain build plan (expect: one Exchange + in-partition Sort)") {
+      import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+      val kvDf = Fixtures.customerKv(spark, sfDir)
+      kvDf.withColumn("shard", shard_index(col("key"), 8))
+        .withColumn("_pid", lit(0)) // stand-in; real write uses shardToPartitionId
+        .repartition(8, col("_pid"))
+        .sortWithinPartitions("shard", "key")
+        .drop("_pid")
+    }
+    spark.stop()
+  }
+}

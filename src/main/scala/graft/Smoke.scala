@@ -78,6 +78,16 @@ object Smoke {
       store.versions.failVersion(3L)
       latest == 2L
     }
+    // Catalog surface: the scratch root is a database of domains.
+    check("catalog lists domains with ready status") {
+      val cat = new graft.store.DomainCatalog(
+        s"${Fixtures.ScratchRoot}/_root_testdata_sf0.001", conf)
+      val names = cat.listDomains
+      names.contains("smoke-sparse") &&
+        cat.metadata("smoke-sparse").status == "ready" &&
+        cat.metadata("smoke-sparse").latestVersion.contains(2L)
+    }
+
     // Duplicate publish rejected.
     check("duplicate version rejected")(
       try { store.versions.createVersion(2L); false }

@@ -1,0 +1,72 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.core.DomainSpec
+
+/** Per-domain metadata readout — the engine's answer to the reference's
+  * getDomainMetaData/getMetaData RPCs (core.thrift:45-54,89-90). */
+case class DomainMetadata(
+    name: String,
+    spec: DomainSpec,
+    versions: Seq[Long],
+    latestVersion: Option[Long]) {
+  /** Reference status semantics collapse to: a domain with at least one
+    * published version is serveable ("ready"), otherwise it is "loading". */
+  def status: String = if (latestVersion.isDefined) "ready" else "loading"
+}
+
+/**
+ * Catalog over a directory of domains — the batch-engine re-expression of
+ * the reference's database/domain enumeration + status surface
+ * (getDomains/getStatus/getDomainStatus, SURVEY.md Q8-Q10) and the boot
+ * GC (purge-unused-domains!, V10). A "database" here is just a root dir
+ * whose children each hold a domain-spec.json.
+ */
+class DomainCatalog(val root: Path, conf: Configuration) {
+
+  def this(root: String, conf: Configuration) = this(new Path(root), conf)
+
+  private def fs = root.getFileSystem(conf)
+
+  /** Domain names = child dirs carrying a domain-spec.json. */
+  def listDomains: Seq[String] = {
+    val f = fs
+    if (!f.exists(root)) Seq.empty
+    else
+      f.listStatus(root)
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => f.exists(new Path(new Path(root, n), DomainSpec.FileName)))
+        .toSeq
+        .sorted
+  }
+
+  def domain(name: String): DomainStore =
+    DomainStore.open(new Path(root, name).toString, conf)
+
+  def metadata(name: String): DomainMetadata = {
+    val d = domain(name)
+    DomainMetadata(name, d.spec, d.versions.getAllVersions, d.versions.mostRecentVersion)
+  }
+
+  def metadataAll: Seq[DomainMetadata] = listDomains.map(metadata)
+
+  /** Reference `update`/`updateAll` semantics: readers resolve the newest
+    * published version at plan time, so "refresh" is just re-resolution. */
+  def refresh(name: String): Option[Long] = metadata(name).latestVersion
+
+  /** Delete domain dirs not in the keep set (reference
+    * purge-unused-domains!, common/database.clj:79-93). */
+  def purgeUnused(keep: Set[String]): Seq[String] = {
+    val doomed = listDomains.filterNot(keep)
+    val f = fs
+    doomed.foreach(n => f.delete(new Path(root, n), true))
+    doomed
+  }
+
+  /** Apply VersionedStore.cleanup to every domain (V5 across the catalog). */
+  def cleanupAll(versionsToKeep: Int): Unit =
+    listDomains.foreach(n => domain(n).versions.cleanup(versionsToKeep))
+}
