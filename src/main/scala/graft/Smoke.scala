@@ -78,6 +78,19 @@ object Smoke {
       store.versions.failVersion(3L)
       latest == 2L
     }
+    // Stateful streaming sessionization drains to the batch result.
+    check("stateful streaming sessions == batch") {
+      val dir = "/root/repo/target/graft-scratch/smoke-stream" // staged above
+      val batch = graft.operators.Events
+        .sessionStats(Fixtures.table(spark, "/root/testdata/sf0.001", "events"), 30)
+        .collect().map(_.toString).toSet
+      val q = graft.streaming.StreamingEvents.sessionStatsToMemory(spark, dir, 30, "smoke_sessions")
+      try {
+        q.processAllAvailable()
+        spark.table("smoke_sessions").collect().map(_.toString).toSet == batch && batch.nonEmpty
+      } finally q.stop()
+    }
+
     // Catalog surface: the scratch root is a database of domains.
     check("catalog lists domains with ready status") {
       val cat = new graft.store.DomainCatalog(

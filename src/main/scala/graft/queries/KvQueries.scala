@@ -72,6 +72,18 @@ object KvQueries {
           shard_index(utf8_bytes(col("o_orderkey").cast("string")), RoutingShards)
             .as("shard"))
     },
+    // Flagship at bench scale: bulk build of the lineitem domain
+    // (composite 12-byte key) + multiGet of ~1% of keys, decoded back.
+    "kv_lineitem_lookup" -> { (s, dir) =>
+      val keys = Fixtures.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 97 === 0)
+        .select(composite_key(long_be(col("l_orderkey")), int_be(col("l_linenumber"))).as("key"))
+      Fixtures.lineitemDomain(s, dir).multiGet(keys)
+        .select(
+          be_long(expr("substring(key, 1, 8)")).as("l_orderkey"),
+          be_long(expr("substring(key, 9, 4)")).as("l_linenumber"),
+          bytes_utf8(col("value")).as("suppkey"))
+    },
     // Q4+Q6: per-shard fanout of the routing function (the write-side
     // histogram a domain build produces for these keys).
     "kv_shard_distribution" -> { (s, dir) =>
@@ -99,6 +111,10 @@ object KvQueries {
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
       "kv_count" ->
         "SELECT count(*) AS cnt FROM customer",
+      "kv_lineitem_lookup" ->
+        """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          |  CAST(l_suppkey AS VARCHAR) AS suppkey
+          |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin,
       "kv_reshard" ->
         "SELECT c_custkey, c_name FROM customer",
       "kv_upsert" ->

@@ -52,6 +52,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       shardedSorted(kv)
         .write
         .option("compression", "zstd")
+        .options(spec.persistenceOptions) // engine tuning passthrough (reference persistenceOptions)
         .partitionBy("shard")
         .parquet(versions.versionPath(version).toString)
       versions.succeedVersion(version)
@@ -166,6 +167,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       shardedSorted(merged.select("key", "value"))
         .write
         .option("compression", "zstd")
+        .options(spec.persistenceOptions)
         .partitionBy("shard")
         .parquet(versions.versionPath(newVersion).toString)
       copyForward(oldVersion, newVersion, (0 until n).filterNot(affected))

@@ -1,10 +1,21 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
 
 import graft.operators.Events
+
+/** One raw event under the ts-as-nanos convention. */
+case class StreamEvent(
+    event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Per-user session accumulator carried across micro-batches. */
+case class SessionState(n_sessions: Long, last_ts: Long, n_events: Long, value_cents: Long)
+
+/** Running per-user session stats (the streaming output row). */
+case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long, value_cents: Long)
 
 /**
  * Structured-Streaming twins of the batch event operators. The same
@@ -54,4 +65,50 @@ object StreamingEvents {
       .format("memory")
       .queryName(queryName)
       .start()
+
+  /** HALF_UP cents — matches Spark's round() on doubles exactly. */
+  private def cents(v: Double): Long =
+    new java.math.BigDecimal(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /**
+   * Stateful streaming sessionization: per-user session state carried
+   * across micro-batches via mapGroupsWithState (the KeyValueGroupedDataset
+   * custom-state path). Events are ordered by (ts, event_id) within each
+   * batch; cross-batch ordering relies on the file stream delivering files
+   * in event-time order (true for time-partitioned ingest dirs — for fully
+   * unordered sources, buffer by watermark before this operator).
+   * Emits the running per-user totals each batch (update mode); after the
+   * stream drains, the memory table equals the batch
+   * [[graft.operators.Events.sessionStats]].
+   */
+  def sessionStatsToMemory(
+      spark: SparkSession,
+      dir: String,
+      gapMinutes: Int,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val gapNs = gapMinutes * 60L * 1000000000L
+    readEvents(spark, dir).as[StreamEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val newSession = st.last_ts == Long.MinValue || e.ts - st.last_ts > gapNs
+            st = SessionState(
+              st.n_sessions + (if (newSession) 1L else 0L),
+              e.ts,
+              st.n_events + 1L,
+              st.value_cents + cents(e.value))
+          }
+          state.update(st)
+          UserSessions(uid, st.n_sessions, st.n_events, st.value_cents)
+      }
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 }

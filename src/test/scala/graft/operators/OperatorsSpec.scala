@@ -32,6 +32,17 @@ class OperatorsSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("prefix-filtered jaccard == naive inverted-index jaccard") {
+    import org.apache.spark.sql.functions.col
+    val sample = docs.where(col("doc_id") % 4 === 0)
+    val sh = Dedup.shingles(sample, "doc_id", "text")
+    val naive = Dedup.jaccardPairsFromShingles(sh, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = Dedup.prefixFilteredJaccardPairs(sh, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered === naive)
+  }
+
   test("simhash: identical text -> distance 0; disjoint vocab -> large distance") {
     import spark.implicits._
     val three = Seq(

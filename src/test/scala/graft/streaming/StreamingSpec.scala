@@ -34,4 +34,30 @@ class StreamingSpec extends SparkSuite {
 
   private def normalize(r: Row): (java.sql.Timestamp, String, Long, Long) =
     (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
+
+  test("stateful streaming sessionization == batch sessionStats") {
+    val src = sf("sf0.001/events.parquet")
+    val dir = scratch("stream-sessions")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/events-0.parquet"), false, conf)
+
+    val batch = Events.sessionStats(spark.read.parquet(src), 30)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val q = StreamingEvents.sessionStatsToMemory(spark, dir, 30, "sess_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
