@@ -59,6 +59,41 @@ object RelQueries {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("l_partkey"))
         .limit(15)
+    },
+    // ROLLUP hierarchy totals (multi-dimensional aggregate surface).
+    "q_rollup" -> { (s, dir) =>
+      Fixtures.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+    },
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "q_semi_anti" -> { (s, dir) =>
+      val cust = Fixtures.table(s, dir, "customer")
+      val ord = Fixtures.table(s, dir, "orders")
+      val semi = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n")).withColumn("grp", lit("with_orders"))
+      val anti = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n")).withColumn("grp", lit("without_orders"))
+      semi.unionByName(anti).select(col("grp"), col("n"))
+    },
+    // Date scalar functions + two-level time rollup.
+    "q_orders_by_month" -> { (s, dir) =>
+      Fixtures.table(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+    },
+    // JSON scalar extraction from the events props column.
+    "ev_json_extract" -> { (s, dir) =>
+      Fixtures.table(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"), count(lit(1)).as("n"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -91,5 +126,28 @@ object RelQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_topk" ->
       """SELECT l_partkey, count(*) AS cnt FROM lineitem
-        |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 15""".stripMargin)
+        |GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 15""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT 'with_orders' AS grp, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS grp, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_orders_by_month" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+        |  CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)
 }
