@@ -104,12 +104,18 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    *    (core.thrift:6-8): they're re-attached via a broadcast anti-join.
    *
    * `keys` needs a `key: binary` column. Point-lookup batches are small by
-   * contract; for bulk joins against a domain use `read()` and join freely.
+   * contract (they are broadcast); for key sets too large to broadcast —
+   * a bulk enrichment rather than a lookup — pass `broadcastKeys = false`
+   * to get a co-shuffled sort-merge join instead (no pruning: a huge key
+   * set touches every shard anyway).
    */
-  def multiGet(keys: DataFrame): DataFrame = {
+  def multiGet(keys: DataFrame, broadcastKeys: Boolean = true): DataFrame = {
     val spark = keys.sparkSession
     val n = numShards
     val keySet = keys.select(col("key")).distinct()
+    if (!broadcastKeys) {
+      return keySet.join(read(spark).select("key", "value"), Seq("key"), "left_outer")
+    }
     val routed = keySet.withColumn("shard", shard_index(col("key"), n))
     // Driver-side shard routing: at most n small ints, never key data.
     val shards = routed.select("shard").distinct().collect().map(_.getInt(0))

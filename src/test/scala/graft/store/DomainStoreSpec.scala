@@ -102,6 +102,11 @@ class DomainStoreSpec extends SparkSuite {
       .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
     assert(got === Map("a" -> Some("1"), "zz" -> None))
+    // bulk (shuffle-join) path: same semantics, no broadcast
+    val bulk = store.multiGet(keys, broadcastKeys = false)
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(bulk === got)
   }
 
   test("write rejects duplicate keys only in dedup mode semantics") {
