@@ -92,6 +92,55 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: a seeded k-means coarse
+   * quantizer assigns every corpus vector to one of `nlist` cells; each
+   * query probes its `nprobe` nearest cells and exact-reranks only those
+   * candidates. The standard billion-scale ANN layout: the cell assignment
+   * is one ML fit + one projection, the search reads ~nprobe/nlist of the
+   * corpus instead of all of it.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepared(corpus, idCol, vecCol).withColumn("fv", array_to_vector(col("vec")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(c)
+    val assigned = model.transform(c).select(col("id"), col("vec"), col("norm"), col("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // Per query: squared L2 distance to every centroid (codegen'd dots),
+    // keep the nprobe nearest cells.
+    val q0 = prepared(queries, idCol, vecCol)
+    val cellDists = centroids.zipWithIndex.map { case (ctr, i) =>
+      val lit_c = typedlit(ctr.toIndexedSeq)
+      struct(
+        (array_dot(col("vec"), col("vec")) - lit(2.0) * array_dot(col("vec"), lit_c)
+          + lit(ctr.map(x => x * x).sum)).as("dist"),
+        lit(i).as("cell"))
+    }
+    val probes = q0
+      .withColumn("cells", slice(sort_array(array(cellDists: _*)), 1, nprobe))
+      .select(
+        col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
+        explode(col("cells").getField("cell")).as("cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /**
    * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
    * with the query in any table; exact cosine re-rank of candidates only.
    * Output schema matches [[bruteForceTopK]] (rank may hold < k rows when

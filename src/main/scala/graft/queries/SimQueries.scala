@@ -32,6 +32,14 @@ object SimQueries {
         emb.where(col("vec_id") % QueryMod === 0),
         "vec_id", "embedding", TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
+    "sim_ann_ivf" -> { (s, dir) =>
+      val emb = Fixtures.table(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb,
+        emb.where(col("vec_id") % QueryMod === 0),
+        "vec_id", "embedding", TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -44,6 +52,6 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $TopK""".stripMargin)
-  // sim_ann_lsh: intentionally no oracle (approximate operator; recall
-  // pinned against sim_topk_exact in SimilaritySpec).
+  // sim_ann_lsh / sim_ann_ivf: intentionally no oracle (approximate
+  // operators; recall pinned against the exact result in OperatorsSpec).
 }

@@ -64,6 +64,19 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.5, s"recall@10 = $recall")
   }
 
+  test("ivf recall@10 >= 0.5 vs brute force; probing all cells -> recall 1") {
+    val q = embs.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf recall@10 = $recall")
+    val full = Similarity.ivfTopK(embs, q, "vec_id", "embedding", 10, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nprobe = nlist must equal the exact result")
+  }
+
   test("cosine: self-similarity is 1.0") {
     val p = Similarity.prepared(embs.limit(10), "vec_id", "embedding")
     val selfs = p.select(Similarity.dot(col("vec"), col("vec")) / (col("norm") * col("norm")))
