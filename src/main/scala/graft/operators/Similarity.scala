@@ -91,13 +91,76 @@ object Similarity {
       .select(col("id"), col("vec"), col("norm"), col("e.table").as("table"), col("e.bucket").as("bucket"))
   }
 
+  /** Squared-L2 distance of `vec` to each centroid, as sortable
+    * (dist, cell) structs — the shared kernel of assignment (nearest 1)
+    * and probing (nearest nprobe). All dots go through the codegen'd
+    * [[graft.core.DoubleArrayDot]] loop; ties break on cell id because
+    * struct ordering compares fields left to right. */
+  private def cellDistStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.zipWithIndex.map { case (ctr, i) =>
+      val lit_c = typedlit(ctr.toIndexedSeq)
+      struct(
+        (array_dot(vec, vec) - lit(2.0) * array_dot(vec, lit_c)
+          + lit(ctr.map(x => x * x).sum)).as("dist"),
+        lit(i).as("cell"))
+    }.toIndexedSeq
+
+  /** Index of the nearest centroid. */
+  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(sort_array(array(cellDistStructs(vec, centroids): _*)), 1).getField("cell")
+
   /**
-   * IVF (inverted-file) approximate top-k: a seeded k-means coarse
+   * Deterministic DataFrame-native k-means (Lloyd's algorithm) over a
+   * `vec: array<double>` column. Pure Catalyst — no RDDs, no ML pipeline —
+   * so the whole quantizer stays inside whole-stage codegen and never
+   * touches the RDD shuffle-serializer path (Kryo needs `--add-opens
+   * java.base/java.nio` on JDK 17+, which a host JVM may not pass).
+   *
+   * Seeds are the `nlist` vectors with the smallest ids (deterministic,
+   * no RNG inside the engine). Each iteration computes per-cell per-dim
+   * sums as `dim` partial aggregates — map-side combine, no row
+   * explosion — and collects only `nlist x dim` doubles to the driver.
+   * Empty cells keep their previous centroid. At 100 TB you train the
+   * quantizer on a deterministic hash-sample (`trainMod` > 1: keep ids
+   * with xxhash64(id) % trainMod == 0) and assign the full corpus once.
+   */
+  private[graft] def kmeansCentroids(
+      p: DataFrame,
+      nlist: Int,
+      dim: Int,
+      iters: Int = 10,
+      trainMod: Int = 1): Array[Array[Double]] = {
+    val train =
+      if (trainMod <= 1) p
+      else p.where(pmod(xxhash64(col("id")), lit(trainMod.toLong)) === 0)
+    var centroids: Array[Array[Double]] = train
+      .orderBy(col("id")).limit(nlist)
+      .select(col("vec")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val dimSums = (0 until dim).map(i => sum(element_at(col("vec"), i + 1)).as(s"s$i"))
+      val rows = train
+        .select(nearestCell(col("vec"), centroids).as("cell"), col("vec"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
+        .collect()
+      val next = centroids.map(_.clone())
+      rows.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(cell) = Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k: a deterministic k-means coarse
    * quantizer assigns every corpus vector to one of `nlist` cells; each
    * query probes its `nprobe` nearest cells and exact-reranks only those
-   * candidates. The standard billion-scale ANN layout: the cell assignment
-   * is one ML fit + one projection, the search reads ~nprobe/nlist of the
-   * corpus instead of all of it.
+   * candidates. The standard billion-scale ANN layout: the search reads
+   * ~nprobe/nlist of the corpus instead of all of it.
    */
   def ivfTopK(
       corpus: DataFrame,
@@ -107,27 +170,15 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val c = prepared(corpus, idCol, vecCol).withColumn("fv", array_to_vector(col("vec")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(c)
-    val assigned = model.transform(c).select(col("id"), col("vec"), col("norm"), col("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
+    val c = prepared(corpus, idCol, vecCol)
+    val dim = c.select(size(col("vec"))).head().getInt(0)
+    val centroids = kmeansCentroids(c, nlist, dim)
+    val assigned = c.withColumn("cell", nearestCell(col("vec"), centroids))
     // Per query: squared L2 distance to every centroid (codegen'd dots),
     // keep the nprobe nearest cells.
     val q0 = prepared(queries, idCol, vecCol)
-    val cellDists = centroids.zipWithIndex.map { case (ctr, i) =>
-      val lit_c = typedlit(ctr.toIndexedSeq)
-      struct(
-        (array_dot(col("vec"), col("vec")) - lit(2.0) * array_dot(col("vec"), lit_c)
-          + lit(ctr.map(x => x * x).sum)).as("dist"),
-        lit(i).as("cell"))
-    }
     val probes = q0
-      .withColumn("cells", slice(sort_array(array(cellDists: _*)), 1, nprobe))
+      .withColumn("cells", slice(sort_array(array(cellDistStructs(col("vec"), centroids): _*)), 1, nprobe))
       .select(
         col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
         explode(col("cells").getField("cell")).as("cell"))
