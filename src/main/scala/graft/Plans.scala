@@ -14,6 +14,8 @@ object Plans {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // sketch aggregates are 128+ columns wide; keep them in codegen
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -17,6 +17,8 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // sketch aggregates are 128+ columns wide; keep them in codegen
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -44,7 +44,13 @@ object Dedup {
     * near-zero Jaccard between unrelated documents while near-duplicates
     * stay ~1, so LSH banding actually separates (char shingles on natural
     * text push random-pair similarity high enough that every pair becomes
-    * an LSH candidate). */
+    * an LSH candidate).
+    *
+    * Per-doc dedup is `groupBy(id).collect_set` (not
+    * `dropDuplicates(id, shingle)`) so the output stays hash-partitioned
+    * by `id` through the explode: the downstream signature aggregate and
+    * set-size aggregate both group by `id` and reuse this partitioning —
+    * the whole MinHash sketch pipeline runs on a single shuffle. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = WordShingleSize): DataFrame =
     df.select(
         col(idCol).as("id"),
@@ -54,7 +60,9 @@ object Dedup {
       .select(
         col("id"),
         concat_ws(" ", (0 until n).map(i => element_at(col("ts"), col("pos") + i)): _*).as("shingle"))
-      .dropDuplicates("id", "shingle")
+      .groupBy(col("id"))
+      .agg(collect_set(col("shingle")).as("shs"))
+      .select(col("id"), explode(col("shs")).as("shingle"))
 
   /** Exact dedup on normalized text: keep the smallest id per group.
     * Output: (keep_id, n_copies) — one row per distinct normalized text. */
@@ -73,7 +81,9 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = ShingleSize): DataFrame =
-    jaccardPairsFromShingles(shingles(df, idCol, textCol, n), threshold)
+    // Three consumers (both join sides + the size aggregate) — materialize
+    // the shingle table once instead of re-running explode + distinct.
+    jaccardPairsFromShingles(shingles(df, idCol, textCol, n).persist(), threshold)
 
   /**
    * Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin): order each

@@ -110,47 +110,59 @@ object Similarity {
     element_at(sort_array(array(cellDistStructs(vec, centroids): _*)), 1).getField("cell")
 
   /**
-   * Deterministic DataFrame-native k-means (Lloyd's algorithm) over a
-   * `vec: array<double>` column. Pure Catalyst — no RDDs, no ML pipeline —
-   * so the whole quantizer stays inside whole-stage codegen and never
-   * touches the RDD shuffle-serializer path (Kryo needs `--add-opens
-   * java.base/java.nio` on JDK 17+, which a host JVM may not pass).
+   * Deterministic k-means (Lloyd's algorithm) for the IVF coarse
+   * quantizer. Training happens driver-side on a collected sample — the
+   * standard billion-scale layout: a quantizer with nlist cells needs only
+   * ~100s of points per cell to train, so even at 100 TB the training set
+   * is a bounded hash-sample (`trainMod` > 1 keeps ids with
+   * xxhash64(id) % trainMod == 0), while *assignment* of the full corpus
+   * stays distributed and codegen'd. Driver-side training costs one
+   * collect instead of `iters` Spark jobs, each of which would recompile
+   * the centroid-literal expressions. No MLlib / no RDDs anywhere, so
+   * nothing touches the RDD shuffle-serializer path (Kryo needs
+   * `--add-opens java.base/java.nio` on JDK 17+, which a host JVM may not
+   * pass).
    *
-   * Seeds are the `nlist` vectors with the smallest ids (deterministic,
-   * no RNG inside the engine). Each iteration computes per-cell per-dim
-   * sums as `dim` partial aggregates — map-side combine, no row
-   * explosion — and collects only `nlist x dim` doubles to the driver.
-   * Empty cells keep their previous centroid. At 100 TB you train the
-   * quantizer on a deterministic hash-sample (`trainMod` > 1: keep ids
-   * with xxhash64(id) % trainMod == 0) and assign the full corpus once.
+   * Seeds are the `nlist` vectors with the smallest ids; the sample is
+   * processed in ascending-id order, so results are bit-reproducible.
+   * Empty cells keep their previous centroid.
    */
   private[graft] def kmeansCentroids(
       p: DataFrame,
       nlist: Int,
-      dim: Int,
       iters: Int = 10,
       trainMod: Int = 1): Array[Array[Double]] = {
     val train =
       if (trainMod <= 1) p
       else p.where(pmod(xxhash64(col("id")), lit(trainMod.toLong)) === 0)
-    var centroids: Array[Array[Double]] = train
-      .orderBy(col("id")).limit(nlist)
+    val sample: Array[Array[Double]] = train
+      .orderBy(col("id"))
       .select(col("vec")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "ivf: empty training set")
+    val dim = sample(0).length
+    var centroids = sample.take(nlist).map(_.clone())
+    val k = centroids.length
     for (_ <- 0 until iters) {
-      val dimSums = (0 until dim).map(i => sum(element_at(col("vec"), i + 1)).as(s"s$i"))
-      val rows = train
-        .select(nearestCell(col("vec"), centroids).as("cell"), col("vec"))
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"), dimSums: _*)
-        .collect()
-      val next = centroids.map(_.clone())
-      rows.foreach { r =>
-        val cell = r.getInt(0)
-        val n = r.getLong(1).toDouble
-        next(cell) = Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
       }
-      centroids = next
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
     }
     centroids
   }
@@ -171,8 +183,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
-    val dim = c.select(size(col("vec"))).head().getInt(0)
-    val centroids = kmeansCentroids(c, nlist, dim)
+    val centroids = kmeansCentroids(c, nlist)
     val assigned = c.withColumn("cell", nearestCell(col("vec"), centroids))
     // Per query: squared L2 distance to every centroid (codegen'd dots),
     // keep the nprobe nearest cells.

@@ -29,7 +29,14 @@ object Fixtures {
     // BIGINT nanos under this legacy flag (the engine's ts convention —
     // see graft.operators.Events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The test-scale tables are single-row-group files — unsplittable, so
+    // without this every pipeline runs its scan-side work on one core.
+    // One tiny shuffle buys full parallelism; predicates and pruning still
+    // push through Repartition to the scan. (At production scale inputs
+    // span many row groups and callers read them directly, not through
+    // this fixture helper.)
     spark.read.parquet(s"$sfDir/$name.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
   }
 
   private def sanitize(sfDir: String): String =

@@ -9,6 +9,8 @@ trait SparkSuite extends AnyFunSuite {
     .master("local[8]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "8")
+    // sketch aggregates are 128+ columns wide; keep them in codegen
+    .config("spark.sql.codegen.maxFields", "256")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
