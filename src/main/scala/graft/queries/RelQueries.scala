@@ -88,6 +88,41 @@ object RelQueries {
           count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("total_cents"))
     },
+    // TPC-H Q5-style 6-table join: the big fact tables shuffle-join on
+    // their keys; supplier/nation/region ride along as broadcasts (the
+    // 100 TB discipline: dimension tables never shuffle the fact table).
+    "q5_region_revenue" -> { (s, dir) =>
+      val region = Fixtures.table(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = Fixtures.table(s, dir, "nation")
+      val supp = Fixtures.table(s, dir, "supplier")
+      val cust = Fixtures.table(s, dir, "customer")
+      val ord = Fixtures.table(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Fixtures.table(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("revenue_scaled"))
+    },
+    // Fact-to-dimension join + brand rollup (part is the broadcast dim).
+    "q_brand_volume" -> { (s, dir) =>
+      val part = Fixtures.table(s, dir, "part")
+      Fixtures.table(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          count(lit(1)).as("n"))
+    },
     // JSON scalar extraction from the events props column.
     "ev_json_extract" -> { (s, dir) =>
       Fixtures.table(s, dir, "events")
@@ -144,6 +179,26 @@ object RelQueries {
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_scaled
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q_brand_volume" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)) AS BIGINT) AS sum_k,
