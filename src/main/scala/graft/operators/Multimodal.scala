@@ -76,4 +76,54 @@ object Multimodal {
         n_frames = 1 + (r.n_bytes % 8).toInt,
         byte_sum = sum)
     }
+
+  /**
+   * Batched "resize": dimensions divide by `factor`, payload keeps every
+   * `factor`-th byte. STUB transform (a real one calls an image library in
+   * `resizeBatch`), but the pipeline shape is the production one: binary
+   * in, binary out, constant memory per batch, output is a first-class
+   * media Dataset that downstream operators (describe / extractFeatures /
+   * frameSample) consume unchanged.
+   */
+  def resize(spark: SparkSession, media: Dataset[MediaRecord], factor: Int = 2): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(factor >= 1, "resize factor must be >= 1")
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(b => resizeBatch(b, factor))
+    }
+  }
+
+  /** STUB: one batch through the "resizer". */
+  private def resizeBatch(batch: Seq[MediaRecord], factor: Int): Seq[MediaRecord] =
+    batch.map { r =>
+      val out = new Array[Byte]((r.content.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = r.content(i * factor); i += 1 }
+      MediaRecord(
+        media_id = r.media_id,
+        content = out,
+        format = s"${r.format};resize=1/$factor",
+        n_bytes = out.length.toLong)
+    }
+
+  /**
+   * Frame sampling for video-like payloads: emit up to `k` evenly spaced
+   * frame indices out of the item's `n_frames` (`floor(i * n_frames / k)`,
+   * deduplicated — short clips yield fewer samples). Pure codegen — frame
+   * *selection* is arithmetic on metadata and never touches payload bytes;
+   * only the chosen frames would be decoded downstream (by
+   * [[extractFeatures]]-style batches), which is the point at 100 TB:
+   * sample first, decode after.
+   */
+  def frameSample(media: DataFrame, k: Int = 4): DataFrame =
+    media
+      .select(
+        col("media_id"),
+        (lit(1) + pmod(col("n_bytes"), lit(8L))).cast("int").as("n_frames"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(
+        col("media_id"),
+        col("n_frames").cast("long").as("n_frames"),
+        floor(col("i") * col("n_frames") / k).cast("long").as("frame_no"))
+      .distinct()
 }

@@ -31,6 +31,21 @@ object MmQueries {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"),
           col("byte_sum"))
+    },
+    "mm_resize" -> { (s, dir) =>
+      import s.implicits._
+      val media = Multimodal.pack(Fixtures.table(s, dir, "documents"), "doc_id", "text")
+        .as[MediaRecord]
+      Multimodal.resize(s, media).toDF()
+        .select(
+          col("media_id"),
+          col("n_bytes").as("out_bytes"),
+          col("format"),
+          md5(col("content")).as("content_md5"))
+    },
+    "mm_frame_sample" -> { (s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.pack(Fixtures.table(s, dir, "documents"), "doc_id", "text"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -46,5 +61,20 @@ object MmQueries {
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |    [CAST(unicode(c) AS BIGINT) FOR c IN list_filter(string_split(text, ''), x -> x != '')]),
         |    (a, b) -> a + b) AS BIGINT) AS byte_sum
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // Resize stub keeps every 2nd byte (ASCII payloads: byte i == char i+1).
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(ceil(octet_length(text::BLOB) / 2.0) AS BIGINT) AS out_bytes,
+        |  'fake/raw;resize=1/2' AS format,
+        |  md5(array_to_string(
+        |    [substr(text, CAST(i AS INT), 1) FOR i IN range(1, octet_length(text::BLOB)+1, 2)],
+        |    '')) AS content_md5
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id,
+        |    CAST(1 + octet_length(text::BLOB) % 8 AS BIGINT) AS n_frames FROM documents),
+        |s AS (SELECT media_id, n_frames, unnest(range(0, 4)) AS i FROM f)
+        |SELECT DISTINCT media_id, n_frames,
+        |  CAST(floor(i * n_frames / 4) AS BIGINT) AS frame_no FROM s""".stripMargin)
 }

@@ -98,4 +98,27 @@ class OperatorsSpec extends SparkSuite {
     val expected = one.getString(1).getBytes("UTF-8").map(_.toLong & 0xff).sum
     assert(a(one.getLong(0)).byte_sum === expected)
   }
+
+  test("multimodal: resize halves payloads; frame sampling is evenly spaced and bounded") {
+    import spark.implicits._
+    val media = Multimodal.pack(docs, "doc_id", "text").as[MediaRecord]
+    val resized = Multimodal.resize(spark, media).collect().map(r => r.media_id -> r).toMap
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    assert(resized.keySet === orig.keySet)
+    orig.foreach { case (id, r) =>
+      val out = resized(id)
+      assert(out.n_bytes === (r.n_bytes + 1) / 2)
+      assert(out.content.toSeq === r.content.grouped(2).map(_.head).toSeq)
+      assert(out.format.endsWith(";resize=1/2"))
+    }
+    val frames = Multimodal.frameSample(media.toDF(), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    frames.groupBy(_._1).foreach { case (_, fs) =>
+      val n = fs.head._2
+      assert(fs.map(_._3).distinct.length === fs.length) // deduplicated
+      assert(fs.length <= math.min(4, n))                // never more than k or n_frames
+      fs.foreach { case (_, nf, no) => assert(no >= 0 && no < nf) }
+    }
+    assert(frames.nonEmpty)
+  }
 }
