@@ -140,9 +140,28 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .map(_.getAs[Array[Byte]](0))
   }
 
-  /** Total pair count (reference getCount, a full scan there; here a
-    * column-free parquet scan driven by row-group metadata). */
-  def count(spark: SparkSession): Long = read(spark).count()
+  /** Total pair count (reference getCount — a full scan of every shard
+    * there, `common/domain.clj:289–293`). Here it is metadata-only: the
+    * per-file row counts come from parquet footers alone, summed in
+    * parallel, without launching a Spark job or reading a single data
+    * page. `spark` is unused but kept so callers can treat every domain
+    * read op uniformly. */
+  def count(spark: SparkSession): Long = {
+    import scala.collection.parallel.CollectionConverters._
+    val vp = versions.versionPath(latestVersion)
+    val fs = vp.getFileSystem(conf)
+    val files = scala.collection.mutable.ArrayBuffer[Path]()
+    val it = fs.listFiles(vp, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath
+    }
+    files.par.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 
   // --------------------------------------------------------------- updates
 
