@@ -46,6 +46,27 @@ class DomainStoreSpec extends SparkSuite {
     }
   }
 
+  test("64-shard build: every shard dir holds exactly one file, all shards populated") {
+    // numShards >> shuffle.partitions exercises shardToPartitionId's
+    // murmur-preimage routing: shard i must land in partition i exactly,
+    // or some dirs would hold several files and others none (the file-
+    // sizing property the 100 TB layout depends on).
+    val n = 64
+    val store = DomainStore.create(scratch("wide"), DomainSpec(n), conf)
+    val pairs = (0 until 2000).map(i => s"wk$i" -> s"wv$i")
+    store.write(kv(pairs: _*), 1L)
+    val fs = store.root.getFileSystem(conf)
+    val vp = new org.apache.hadoop.fs.Path(store.root, "1")
+    val shardDirs = fs.listStatus(vp).filter(_.getPath.getName.startsWith("shard="))
+    assert(shardDirs.length === n)
+    shardDirs.foreach { d =>
+      val files = fs.listStatus(d.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${d.getPath.getName} has ${files.length} files")
+    }
+    assert(readPairs(store) === pairs.toSet)
+    assert(store.count(spark) === 2000L)
+  }
+
   test("reshard 3 -> 1 -> 5 preserves pairs and spec fields") {
     val pairs = Seq("foo" -> "bar", "hot" -> "dog", "biggie" -> "tupac",
       "lady" -> "gaga", "answer" -> "42", "terrible" -> "parity")
