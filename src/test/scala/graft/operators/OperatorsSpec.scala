@@ -32,6 +32,32 @@ class OperatorsSpec extends SparkSuite {
     assert(exact.nonEmpty)
   }
 
+  test("minhash-LSH == exhaustive jaccard on a random corpus with planted dups") {
+    import spark.implicits._
+    // Seeded, so deterministic: exact copies (j = 1), one-token mutations
+    // (j anywhere in [0, 1)), and unrelated docs. At threshold 0.8 the
+    // 32x4 banding miss probability is ~6e-8 per qualifying pair.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    def doc() = Seq.fill(10 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, doc()))
+    val copies = base.take(10).map { case (i, t) => (1000L + i, t) }
+    val mutated = base.slice(10, 25).map { case (i, t) =>
+      val toks = t.split(" ")
+      toks(rnd.nextInt(toks.length)) = vocab(rnd.nextInt(vocab.size))
+      (2000L + i, toks.mkString(" "))
+    }
+    val corpus = (base ++ copies ++ mutated).toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairsFromShingles(
+        Dedup.wordShingles(corpus, "doc_id", "text"), 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashPairs(corpus, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.size >= 10) // at least the planted exact copies
+  }
+
   test("prefix-filtered jaccard == naive inverted-index jaccard") {
     import org.apache.spark.sql.functions.col
     val sample = docs.where(col("doc_id") % 4 === 0)
