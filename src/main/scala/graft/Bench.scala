@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.core.Sessions
+
 /**
  * Driver-run benchmark: times every contract query at the given scale
  * factor and prints one JSON line. Queries are materialized through the
@@ -12,21 +14,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // sketch aggregates are 128+ columns wide; keep them in codegen
-      .config("spark.sql.codegen.maxFields", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Untimed warmup: run the sf0.001 flagship once so JIT + codegen +
     // parquet-reader init aren't billed to whichever query sorts first.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: $e") }
+    // The warmup built the sf0.001 flagship fixture; forget it so a bench
+    // at sf0.001 still times that domain build in pass 1.
+    spark.catalog.clearCache()
+    queries.Fixtures.reset()
 
     // Stable order for comparable per-query numbers across rounds.
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+
+import graft.core.Sessions
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity}
@@ -10,15 +12,7 @@ import graft.queries.Fixtures
 object Debug {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      // sketch aggregates are 128+ columns wide; keep them in codegen
-      .config("spark.sql.codegen.maxFields", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+
+import graft.core.Sessions
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -11,15 +13,7 @@ import graft.queries.Fixtures
 object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      // sketch aggregates are 128+ columns wide; keep them in codegen
-      .config("spark.sql.codegen.maxFields", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def dump(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {

@@ -2,6 +2,8 @@ package graft
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+
+import graft.core.Sessions
 import org.apache.spark.sql.functions._
 
 import graft.core.DomainSpec
@@ -14,14 +16,7 @@ import graft.store.DomainStore
   * publish-token visibility, single-key get). Exits non-zero on failure. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      // sketch aggregates are 128+ columns wide; keep them in codegen
-      .config("spark.sql.codegen.maxFields", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
     def check(name: String)(cond: => Boolean): Unit = {

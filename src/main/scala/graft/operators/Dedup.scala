@@ -83,6 +83,9 @@ object Dedup {
       n: Int = ShingleSize): DataFrame =
     // Three consumers (both join sides + the size aggregate) — materialize
     // the shingle table once instead of re-running explode + distinct.
+    // The persist is scoped to the session cache (as in minHashPairs):
+    // long-lived sessions calling this per batch should
+    // spark.catalog.clearCache() between batches.
     jaccardPairsFromShingles(shingles(df, idCol, textCol, n).persist(), threshold)
 
   /**

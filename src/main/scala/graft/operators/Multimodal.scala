@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media item: opaque payload bytes + typed metadata — the pattern for
@@ -62,6 +62,13 @@ object Multimodal {
     }
   }
 
+  /** The stub media model's frame count — ONE definition, used by the
+    * batched decoder (scalar) and the codegen'd frame sampler (column),
+    * so the two paths (and their oracles) cannot drift. */
+  def frameCount(nBytes: Long): Int = 1 + (nBytes % 8).toInt
+  def frameCountCol(nBytes: Column): Column =
+    (lit(1) + pmod(nBytes, lit(8L))).cast("int")
+
   /** STUB: one batch through the "decoder". Deterministic fake features:
     * width/height derived from payload length, byte_sum as the "content". */
   private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
@@ -73,7 +80,7 @@ object Multimodal {
         media_id = r.media_id,
         width = (r.n_bytes % 640).toInt,
         height = (r.n_bytes % 480).toInt,
-        n_frames = 1 + (r.n_bytes % 8).toInt,
+        n_frames = frameCount(r.n_bytes),
         byte_sum = sum)
     }
 
@@ -115,15 +122,17 @@ object Multimodal {
    * [[extractFeatures]]-style batches), which is the point at 100 TB:
    * sample first, decode after.
    */
-  def frameSample(media: DataFrame, k: Int = 4): DataFrame =
+  def frameSample(media: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, "frameSample k must be >= 1")
     media
       .select(
         col("media_id"),
-        (lit(1) + pmod(col("n_bytes"), lit(8L))).cast("int").as("n_frames"),
+        frameCountCol(col("n_bytes")).as("n_frames"),
         explode(sequence(lit(0), lit(k - 1))).as("i"))
       .select(
         col("media_id"),
         col("n_frames").cast("long").as("n_frames"),
         floor(col("i") * col("n_frames") / k).cast("long").as("frame_no"))
       .distinct()
+  }
 }

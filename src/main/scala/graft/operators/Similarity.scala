@@ -91,17 +91,18 @@ object Similarity {
       .select(col("id"), col("vec"), col("norm"), col("e.table").as("table"), col("e.bucket").as("bucket"))
   }
 
-  /** Squared-L2 distance of `vec` to each centroid, as sortable
-    * (dist, cell) structs — the shared kernel of assignment (nearest 1)
-    * and probing (nearest nprobe). All dots go through the codegen'd
+  /** Centroid-distance ranking structs (score, cell) for a vector — the
+    * shared kernel of assignment (nearest 1) and probing (nearest nprobe).
+    * `score` is squared L2 minus the per-row constant `vec·vec` term
+    * (ordering is all callers use, so the constant is dropped — one dot
+    * per centroid instead of two). All dots go through the codegen'd
     * [[graft.core.DoubleArrayDot]] loop; ties break on cell id because
     * struct ordering compares fields left to right. */
   private def cellDistStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
     centroids.zipWithIndex.map { case (ctr, i) =>
       val lit_c = typedlit(ctr.toIndexedSeq)
       struct(
-        (array_dot(vec, vec) - lit(2.0) * array_dot(vec, lit_c)
-          + lit(ctr.map(x => x * x).sum)).as("dist"),
+        (lit(ctr.map(x => x * x).sum) - lit(2.0) * array_dot(vec, lit_c)).as("score"),
         lit(i).as("cell"))
     }.toIndexedSeq
 
@@ -123,25 +124,51 @@ object Similarity {
    * `--add-opens java.base/java.nio` on JDK 17+, which a host JVM may not
    * pass).
    *
-   * Seeds are the `nlist` vectors with the smallest ids; the sample is
-   * processed in ascending-id order, so results are bit-reproducible.
-   * Empty cells keep their previous centroid.
+   * The training set is bounded unconditionally: rows are ranked by
+   * `xxhash64(id)` (a deterministic pseudo-random order, id tie-break)
+   * and the first `maxTrainRows` taken — a TakeOrdered, not a global
+   * sort, so the driver collect is capped at `maxTrainRows x dim`
+   * doubles no matter the corpus size. Seeds are the first `nlist`
+   * sample vectors; everything is seedless-deterministic, so results
+   * are bit-reproducible. Empty cells keep their previous centroid.
    */
   private[graft] def kmeansCentroids(
       p: DataFrame,
       nlist: Int,
       iters: Int = 10,
-      trainMod: Int = 1): Array[Array[Double]] = {
-    val train =
-      if (trainMod <= 1) p
-      else p.where(pmod(xxhash64(col("id")), lit(trainMod.toLong)) === 0)
-    val sample: Array[Array[Double]] = train
-      .orderBy(col("id"))
+      maxTrainRows: Int = 65536): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = p
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(maxTrainRows)
       .select(col("vec")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "ivf: empty training set")
     val dim = sample(0).length
-    var centroids = sample.take(nlist).map(_.clone())
+    // Deterministic farthest-point (k-center) seeding: start from the
+    // first sample vector, then repeatedly take the point farthest from
+    // the seeds chosen so far — well-separated cells without RNG.
+    var centroids = {
+      val k = math.min(nlist, sample.length)
+      val seeds = Array.ofDim[Array[Double]](k)
+      seeds(0) = sample(0).clone()
+      val minD = Array.fill(sample.length)(Double.MaxValue)
+      var s = 1
+      while (s < k) {
+        var farIdx = 0; var farD = -1.0
+        var i = 0
+        while (i < sample.length) {
+          var d = 0.0; var j = 0
+          val last = seeds(s - 1)
+          while (j < dim) { val t = sample(i)(j) - last(j); d += t * t; j += 1 }
+          if (d < minD(i)) minD(i) = d
+          if (minD(i) > farD) { farD = minD(i); farIdx = i }
+          i += 1
+        }
+        seeds(s) = sample(farIdx).clone()
+        s += 1
+      }
+      seeds
+    }
     val k = centroids.length
     for (_ <- 0 until iters) {
       val sums = Array.ofDim[Double](k, dim)
@@ -181,9 +208,10 @@ object Similarity {
       vecCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      maxTrainRows: Int = 65536): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
-    val centroids = kmeansCentroids(c, nlist)
+    val centroids = kmeansCentroids(c, nlist, maxTrainRows = maxTrainRows)
     val assigned = c.withColumn("cell", nearestCell(col("vec"), centroids))
     // Per query: squared L2 distance to every centroid (codegen'd dots),
     // keep the nprobe nearest cells.
