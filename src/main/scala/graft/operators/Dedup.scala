@@ -244,13 +244,44 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash Hamming distance <= maxDist. All-pairs here
-    * (fine to ~10^4 docs); at corpus scale, band the 32 bits into chunks
-    * and join on exact chunk matches first (same LSH idea as MinHash). */
+  /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively
+    * (O(N^2) — the audit/oracle twin of [[simHashPairsBanded]]). */
   def simHashPairs(simhashes: DataFrame, maxDist: Int): DataFrame =
     simhashes.as("a")
       .join(simhashes.as("b"), col("a.id") < col("b.id"))
       .withColumn("dist", expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
       .where(col("dist") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+
+  /**
+   * Corpus-scale SimHash pairing: band the 32-bit sketch into `chunks`
+   * equal bit-ranges; by pigeonhole, two sketches within Hamming distance
+   * maxDist < chunks must agree exactly on at least one chunk, so an
+   * equi-join on (chunk index, chunk value) yields a candidate superset
+   * and the exact bit_count check removes false positives — output is
+   * identical to [[simHashPairs]] while the join touches only same-bucket
+   * pairs (~linear for non-degenerate corpora, same shape as MinHash-LSH
+   * banding).
+   */
+  def simHashPairsBanded(simhashes: DataFrame, maxDist: Int, chunks: Int = 4): DataFrame = {
+    require(maxDist < chunks, s"pigeonhole needs maxDist < chunks (got $maxDist >= $chunks)")
+    require(32 % chunks == 0, "chunks must divide 32")
+    val width = 32 / chunks
+    val mask = (1L << width) - 1L
+    val sh = simhashes.persist() // both join sides + the verify lookups
+    val banded = sh.select(
+      col("id"), col("simhash"),
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("chunk"), expr(s"(simhash >> ${c * width}) & $mask").as("cv"))
+      }: _*)).as("b"))
+      .select(col("id"), col("simhash"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("dist"))
+      .where(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -33,7 +33,7 @@ object DedupQueries {
       Dedup.minHashPairs(Fixtures.table(s, dir, "documents"), "doc_id", "text", MinHashThreshold)
     },
     "dedup_simhash" -> { (s, dir) =>
-      Dedup.simHashPairs(
+      Dedup.simHashPairsBanded(
         Dedup.simHash(Fixtures.table(s, dir, "documents"), "doc_id", "text"),
         SimHashMaxDist)
     },

@@ -5,15 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites (one SparkContext per test JVM). */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
+  lazy val spark: SparkSession = graft.core.Sessions.builder("local[8]", 8)
     .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "8")
-    // sketch aggregates are 128+ columns wide; keep them in codegen
-    .config("spark.sql.codegen.maxFields", "256")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"

@@ -80,6 +80,17 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("banded simhash pairing == exhaustive all-pairs (pigeonhole exactness)") {
+    val sketches = Dedup.simHash(docs, "doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exhaustive = norm(Dedup.simHashPairs(sketches, 3))
+    val banded = norm(Dedup.simHashPairsBanded(sketches, 3))
+    assert(banded === exhaustive)
+    assert(exhaustive.nonEmpty)
+  }
+
   test("ann recall@10 >= 0.5 vs brute force (random vectors are LSH-adversarial)") {
     val q = embs.where(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
