@@ -176,32 +176,37 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   def upsert(spark: SparkSession, newDf: DataFrame, newVersion: Long): Unit = {
     val oldVersion = latestVersion
     val n = numShards
+    // The delta feeds three consumers (affected-shard scan, the union, and
+    // the anti-join); it is small by contract, so materialize it once.
     val incoming = newDf
       .select(col("key"), col("value"))
       .withColumn("shard", shard_index(col("key"), n))
-    // Affected-shard set: at most n ints on the driver.
-    val affected =
-      incoming.select("shard").distinct().collect().map(_.getInt(0)).toSet
-    val old = readVersion(spark, oldVersion)
-    val oldAffected = old.where(col("shard").isin(affected.toSeq: _*))
-    val merged = incoming.unionByName(
-      oldAffected.join(incoming.select("key"), Seq("key"), "left_anti"))
-
-    versions.createVersion(newVersion)
+      .persist()
     try {
-      shardedSorted(merged.select("key", "value"))
-        .write
-        .option("compression", "zstd")
-        .options(spec.persistenceOptions)
-        .partitionBy("shard")
-        .parquet(versions.versionPath(newVersion).toString)
-      copyForward(oldVersion, newVersion, (0 until n).filterNot(affected))
-      versions.succeedVersion(newVersion)
-    } catch {
-      case e: Throwable =>
-        versions.failVersion(newVersion)
-        throw e
-    }
+      // Affected-shard set: at most n ints on the driver.
+      val affected =
+        incoming.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      val old = readVersion(spark, oldVersion)
+      val oldAffected = old.where(col("shard").isin(affected.toSeq: _*))
+      val merged = incoming.unionByName(
+        oldAffected.join(incoming.select("key"), Seq("key"), "left_anti"))
+
+      versions.createVersion(newVersion)
+      try {
+        shardedSorted(merged.select("key", "value"))
+          .write
+          .option("compression", "zstd")
+          .options(spec.persistenceOptions)
+          .partitionBy("shard")
+          .parquet(versions.versionPath(newVersion).toString)
+        copyForward(oldVersion, newVersion, (0 until n).filterNot(affected))
+        versions.succeedVersion(newVersion)
+      } catch {
+        case e: Throwable =>
+          versions.failVersion(newVersion)
+          throw e
+      }
+    } finally incoming.unpersist()
   }
 
   /** Raw FS copy of untouched `shard=<i>` dirs from one version into a

@@ -66,6 +66,38 @@ object StreamingEvents {
       .queryName(queryName)
       .start()
 
+  /** documents table schema (the dedup-on-ingest stream source). */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /**
+   * Dedup-on-ingest: the *same* declarative [[graft.operators.Dedup.exact]]
+   * operator run over a document file stream — Spark keeps the
+   * (normalized-text -> min id, count) groups as streaming state, so as
+   * files arrive the table always holds the exact-dedup result of
+   * everything seen so far. After the stream drains it equals the batch
+   * result (pinned in StreamingSpec).
+   */
+  def exactDedupToMemory(
+      spark: SparkSession,
+      dir: String,
+      queryName: String): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(DocumentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** HALF_UP cents — matches Spark's round() on doubles exactly. */
   private def cents(v: Double): Long =
     new java.math.BigDecimal(v * 100)

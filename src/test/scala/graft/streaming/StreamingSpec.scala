@@ -35,6 +35,29 @@ class StreamingSpec extends SparkSuite {
   private def normalize(r: Row): (java.sql.Timestamp, String, Long, Long) =
     (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
 
+  test("streaming exact dedup == batch Dedup.exact (dedup-on-ingest)") {
+    val src = sf("sf0.001/documents.parquet")
+    val dir = scratch("stream-docs")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(src),
+      fs, new org.apache.hadoop.fs.Path(s"$dir/docs-0.parquet"), false, conf)
+
+    val batch = graft.operators.Dedup.exact(spark.read.parquet(src), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val q = StreamingEvents.exactDedupToMemory(spark, dir, "dedup_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionStats") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-sessions")
