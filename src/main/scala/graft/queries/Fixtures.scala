@@ -129,7 +129,9 @@ object Fixtures {
         utf8_bytes(col("l_suppkey").cast("string")).as("value"))
 
   def lineitemDomain(spark: SparkSession, sfDir: String): DomainStore =
-    domain(spark, sfDir, "lineitem-16", DomainSpec(numShards = 16)) { (store, s) =>
+    // 32 shards = the bench box's core count, so the flagship build's
+    // one-task-per-shard write keeps every core busy.
+    domain(spark, sfDir, "lineitem-32", DomainSpec(numShards = 32)) { (store, s) =>
       store.write(lineitemKv(s, sfDir), version = 1L)
     }
 }
