@@ -92,6 +92,16 @@ class DomainStoreSpec extends SparkSuite {
     assert(readPairs(store) === Set("a" -> "4", "b" -> "4", "c" -> "3", "d" -> "5"))
   }
 
+  test("empty-delta upsert = pure copy-forward version bump") {
+    val store = DomainStore.create(scratch("empty-delta"), DomainSpec(4), conf)
+    val pairs = Seq("a" -> "1", "b" -> "2", "c" -> "3")
+    store.write(kv(pairs: _*), 1L)
+    store.upsert(spark, kv(), 2L)
+    assert(store.latestVersion === 2L)
+    assert(readPairs(store) === pairs.toSet)
+    assert(store.count(spark) === 3L)
+  }
+
   test("version store: unsucceeded versions invisible, cleanup keeps newest k") {
     val vs = new VersionedStore(scratch("vs"), conf)
     Seq(1L, 2L, 3L).foreach { v => vs.createVersion(v); vs.succeedVersion(v) }
