@@ -36,8 +36,9 @@ case class DomainSpec(
 object DomainSpec {
   val HashMod = "hash-mod"
   val ParquetSorted = "parquet-sorted"
+  val OrcSorted = "orc-sorted"
   val KnownSchemes: Set[String] = Set(HashMod)
-  val KnownFormats: Set[String] = Set(ParquetSorted)
+  val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted)
 
   val FileName = "domain-spec.json"
 

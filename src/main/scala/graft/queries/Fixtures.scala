@@ -120,6 +120,15 @@ object Fixtures {
       })
   }
 
+  /** customer domain on the orc-sorted persistence format (the second
+    * storage engine of the Coordinator SPI, reference S7–S9). */
+  def customerOrcDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "customer-orc",
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.OrcSorted)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+    }
+
   /** lineitem as KV: key = 12-byte (orderkey BE ++ linenumber BE),
     * value = utf8 l_suppkey — the heavy KV fixture for bench. */
   def lineitemKv(spark: SparkSession, sfDir: String): DataFrame =

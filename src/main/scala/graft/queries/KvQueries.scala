@@ -22,6 +22,14 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // S7-S9: same round-trip through the second storage engine
+    // (orc-sorted) of the persistenceFormat SPI.
+    "kv_orc_roundtrip" -> { (s, dir) =>
+      Fixtures.customerOrcDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
     // Q1/Q2: batched point lookup; absent keys yield null values, not errors.
     "kv_multiget" -> { (s, dir) =>
       val customer = Fixtures.table(s, dir, "customer")
@@ -104,6 +112,8 @@ object KvQueries {
     val p64 = java.math.BigInteger.ONE.shiftLeft(64).mod(java.math.BigInteger.valueOf(n.toLong)).longValue()
     Map(
       "kv_build_roundtrip" ->
+        "SELECT c_custkey, c_name FROM customer",
+      "kv_orc_roundtrip" ->
         "SELECT c_custkey, c_name FROM customer",
       "kv_multiget" ->
         """WITH ks AS (

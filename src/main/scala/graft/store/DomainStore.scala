@@ -44,6 +44,17 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * only visible to readers after the token is written (all-or-nothing
    * publish, reference ElephantDBTap.java:166-188).
    */
+  /** DataSource name for the domain's persistence format — the engine's
+    * storage-engine plug point (reference Coordinator SPI, S7: BDB vs
+    * LevelDB chosen per domain spec). Both formats give the same
+    * capability class: sorted, compressed, random-access via pushdown. */
+  private val format: String = spec.persistenceFormat match {
+    case DomainSpec.ParquetSorted => "parquet"
+    case DomainSpec.OrcSorted => "orc"
+    case f => throw new IllegalArgumentException(s"unsupported persistenceFormat '$f'")
+  }
+  private val fileSuffix: String = if (format == "orc") ".orc" else ".parquet"
+
   def write(df: DataFrame, version: Long, dedupKeys: Boolean = false): Unit = {
     versions.createVersion(version)
     val kv0 = df.select(col("key"), col("value"))
@@ -51,10 +62,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     try {
       shardedSorted(kv)
         .write
+        .format(format)
         .option("compression", "zstd")
         .options(spec.persistenceOptions) // engine tuning passthrough (reference persistenceOptions)
         .partitionBy("shard")
-        .parquet(versions.versionPath(version).toString)
+        .save(versions.versionPath(version).toString)
       versions.succeedVersion(version)
     } catch {
       case e: Throwable =>
@@ -84,8 +96,9 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     require(versions.getAllVersions.contains(version), s"version $version not published under $root")
     spark.read
+      .format(format)
       .option("basePath", versions.versionPath(version).toString)
-      .parquet(versions.versionPath(version).toString)
+      .load(versions.versionPath(version).toString)
       .withColumn("shard", col("shard").cast("int"))
   }
 
@@ -154,12 +167,18 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val it = fs.listFiles(vp, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) files += f.getPath
+      if (f.getPath.getName.endsWith(fileSuffix)) files += f.getPath
     }
     files.par.map { p =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      try r.getRecordCount finally r.close()
+      if (format == "orc") {
+        val r = org.apache.orc.OrcFile.createReader(
+          p, org.apache.orc.OrcFile.readerOptions(conf))
+        try r.getNumberOfRows finally r.close()
+      } else {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getRecordCount finally r.close()
+      }
     }.sum
   }
 
@@ -195,10 +214,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       try {
         shardedSorted(merged.select("key", "value"))
           .write
+          .format(format)
           .option("compression", "zstd")
           .options(spec.persistenceOptions)
           .partitionBy("shard")
-          .parquet(versions.versionPath(newVersion).toString)
+          .save(versions.versionPath(newVersion).toString)
         copyForward(oldVersion, newVersion, (0 until n).filterNot(affected))
         versions.succeedVersion(newVersion)
       } catch {

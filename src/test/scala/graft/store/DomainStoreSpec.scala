@@ -92,6 +92,20 @@ class DomainStoreSpec extends SparkSuite {
     assert(readPairs(store) === Set("a" -> "4", "b" -> "4", "c" -> "3", "d" -> "5"))
   }
 
+  test("orc-sorted persistence format: round-trip, upsert, footer count") {
+    val store = DomainStore.create(
+      scratch("orc"),
+      DomainSpec(4, persistenceFormat = DomainSpec.OrcSorted), conf)
+    val pairs = Seq("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4", "e" -> "5")
+    store.write(kv(pairs: _*), 1L)
+    assert(readPairs(store) === pairs.toSet)
+    assert(store.count(spark) === 5L)
+    store.upsert(spark, kv("a" -> "9", "z" -> "26"), 2L)
+    assert(readPairs(store) ===
+      (pairs.toMap ++ Map("a" -> "9", "z" -> "26")).toSeq.toSet)
+    assert(store.count(spark) === 6L)
+  }
+
   test("empty-delta upsert = pure copy-forward version bump") {
     val store = DomainStore.create(scratch("empty-delta"), DomainSpec(4), conf)
     val pairs = Seq("a" -> "1", "b" -> "2", "c" -> "3")
