@@ -4,8 +4,9 @@ import java.math.BigInteger
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.graft.interop
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
 
 /**
  * Key -> shard routing, byte-compatible with the reference scheme
@@ -40,10 +41,12 @@ object ShardIndex {
  * UDF/serialization overhead on the write path where it runs per row).
  */
 case class ShardIndexExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
-  // Inputs must be (BinaryType, IntegerType); the expression is only
-  // constructed through graft.functions.shard_index, which guarantees it.
+  // Declared input types make a mistyped key column (un-encoded long,
+  // string, ...) a clear plan-time AnalysisException instead of a
+  // ClassCastException mid-execution.
+  override def inputTypes: Seq[interop.AbstractType] = Seq(BinaryType, IntegerType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "shard_index"
 

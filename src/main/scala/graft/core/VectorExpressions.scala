@@ -26,9 +26,14 @@ case class DoubleArrayDot(left: Expression, right: Expression) extends BinaryExp
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    // UnsafeArrayData.getDouble has no bounds check — a shorter right array
+    // would silently read adjacent row memory. Fail loudly instead.
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"double_array_dot: length mismatch ${n} vs ${y.numElements()}")
     var sum = 0.0
     var i = 0
-    val n = x.numElements()
     while (i < n) {
       sum += x.getDouble(i) * y.getDouble(i)
       i += 1
@@ -43,6 +48,10 @@ case class DoubleArrayDot(left: Expression, right: Expression) extends BinaryExp
       s"""
          |double ${ev.value}_sum = 0.0;
          |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "double_array_dot: length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}_sum += $a.getDouble($i) * $b.getDouble($i);
          |}

@@ -38,16 +38,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
   // ----------------------------------------------------------------- write
 
-  /**
-   * Bulk build: shardize -> one shuffle -> per-partition sort -> parquet.
-   * `df` must have columns `key: binary`, `value: binary`. The version is
-   * only visible to readers after the token is written (all-or-nothing
-   * publish, reference ElephantDBTap.java:166-188).
-   */
   /** DataSource name for the domain's persistence format — the engine's
     * storage-engine plug point (reference Coordinator SPI, S7: BDB vs
-    * LevelDB chosen per domain spec). Both formats give the same
-    * capability class: sorted, compressed, random-access via pushdown. */
+    * LevelDB chosen per domain spec). Both formats are sorted and
+    * compressed; point-lookup row-group skipping on binary keys is a
+    * parquet capability only (ORC search arguments carry no BINARY
+    * predicate type), so `parquet-sorted` is the point-lookup engine and
+    * `orc-sorted` the scan-oriented alternative — shard-level partition
+    * pruning still applies to both. */
   private val format: String = spec.persistenceFormat match {
     case DomainSpec.ParquetSorted => "parquet"
     case DomainSpec.OrcSorted => "orc"
@@ -55,6 +53,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   }
   private val fileSuffix: String = if (format == "orc") ".orc" else ".parquet"
 
+  /**
+   * Bulk build: shardize -> one shuffle -> per-partition sort -> parquet.
+   * `df` must have columns `key: binary`, `value: binary`. The version is
+   * only visible to readers after the token is written (all-or-nothing
+   * publish, reference ElephantDBTap.java:166-188).
+   */
   def write(df: DataFrame, version: Long, dedupKeys: Boolean = false): Unit = {
     versions.createVersion(version)
     val kv0 = df.select(col("key"), col("value"))
@@ -94,9 +98,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     readVersion(spark, latestVersion)
 
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
-    require(versions.getAllVersions.contains(version), s"version $version not published under $root")
+    // One token-existence probe, not a directory listing (reads are hot).
+    require(versions.isPublished(version), s"version $version not published under $root")
     spark.read
       .format(format)
+      // Explicit schema: no inference job, and a published-but-empty
+      // version (legal: an empty initial build) reads as an empty
+      // DataFrame instead of failing schema inference.
+      .schema(DomainStore.DomainSchema)
       .option("basePath", versions.versionPath(version).toString)
       .load(versions.versionPath(version).toString)
       .withColumn("shard", col("shard").cast("int"))
@@ -131,14 +140,21 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     }
     val routed = keySet.withColumn("shard", shard_index(col("key"), n))
     // Driver-side shard routing: at most n small ints, never key data.
-    val shards = routed.select("shard").distinct().collect().map(_.getInt(0))
+    val shardRows = routed.select("shard").distinct().collect()
+    require(!shardRows.exists(_.isNullAt(0)), "multiGet: key set contains a null key")
+    val shards = shardRows.map(_.getInt(0))
     val pruned = read(spark).where(col("shard").isin(shards.toIndexedSeq: _*))
+    // Materialize hits once (bounded by the key set, small by contract):
+    // the misses branch anti-joins against the SAME result instead of
+    // re-running the pruned scan + join a second time.
     val hits = pruned.join(broadcast(routed.select("key")), Seq("key"), "inner")
+      .select(col("key"), col("value"))
+      .persist()
     val misses = routed
       .select("key")
       .join(broadcast(hits.select("key")), Seq("key"), "left_anti")
       .withColumn("value", lit(null).cast("binary"))
-    hits.select(col("key"), col("value")).unionByName(misses)
+    hits.unionByName(misses)
   }
 
   /** Single-key lookup: partition-pruned, row-group-skipping scan. */
@@ -191,20 +207,40 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * DomainStore.java:156-180): shards that receive no new keys are published
    * into the new version as raw file copies — no decode, no shuffle. Only
    * shards with new data are re-merged and rewritten.
+   *
+   * A delta that repeats a key is rejected (SURVEY §7.4: there is no
+   * deterministic "last" among Spark rows within one batch) unless
+   * `dedupKeys = true`, which keeps one arbitrary-but-deterministic row
+   * per key — mirroring `write`'s dedup mode.
    */
-  def upsert(spark: SparkSession, newDf: DataFrame, newVersion: Long): Unit = {
+  def upsert(
+      spark: SparkSession,
+      newDf: DataFrame,
+      newVersion: Long,
+      dedupKeys: Boolean = false): Unit = {
     val oldVersion = latestVersion
     val n = numShards
+    val kv0 = newDf.select(col("key"), col("value"))
+    val kv = if (dedupKeys) kv0.dropDuplicates("key") else kv0
     // The delta feeds three consumers (affected-shard scan, the union, and
     // the anti-join); it is small by contract, so materialize it once.
-    val incoming = newDf
-      .select(col("key"), col("value"))
+    val incoming = kv
       .withColumn("shard", shard_index(col("key"), n))
       .persist()
     try {
+      if (!dedupKeys) {
+        val Array(total, distinct) = incoming
+          .agg(org.apache.spark.sql.functions.count(lit(1)), count_distinct(col("key")))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
+        require(
+          total == distinct,
+          s"upsert delta repeats keys ($total rows, $distinct distinct) — " +
+            "pass dedupKeys = true or pre-aggregate the delta")
+      }
       // Affected-shard set: at most n ints on the driver.
-      val affected =
-        incoming.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      val shardRows = incoming.select("shard").distinct().collect()
+      require(!shardRows.exists(_.isNullAt(0)), "upsert: delta contains a null key")
+      val affected = shardRows.map(_.getInt(0)).toSet
       val old = readVersion(spark, oldVersion)
       val oldAffected = old.where(col("shard").isin(affected.toSeq: _*))
       val merged = incoming.unionByName(
@@ -244,6 +280,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 }
 
 object DomainStore {
+
+  /** The fixed on-disk schema of every domain version: opaque binary pair
+    * + the shard partition column (SURVEY §1.1 — schema is fixed and
+    * opaque, serde belongs to callers). */
+  val DomainSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.IntegerType)))
 
   /** Open-or-create: writes `domain-spec.json` for a new domain; for an
     * existing one the stored spec must equal the supplied spec (reference

@@ -57,7 +57,13 @@ class VersionedStore(val root: Path, conf: Configuration) {
     f.delete(tokenPath(version), false)
   }
 
-  /** Published versions, newest first (VersionedStore.java:64-76). */
+  /** Cheap publish check: one token-existence probe, no directory listing
+    * (the hot-path guard for every read). */
+  def isPublished(version: Long): Boolean = fs.exists(tokenPath(version))
+
+  /** Published versions, newest first (VersionedStore.java:64-76). Foreign
+    * `*.version` files (editor backups, ops tooling) are ignored rather
+    * than bricking every read, matching cleanup's tolerance. */
   def getAllVersions: Seq[Long] = {
     val f = fs
     if (!f.exists(root)) Seq.empty
@@ -66,7 +72,7 @@ class VersionedStore(val root: Path, conf: Configuration) {
         .iterator
         .map(_.getPath.getName)
         .filter(_.endsWith(".version"))
-        .map(_.stripSuffix(".version").toLong)
+        .flatMap(_.stripSuffix(".version").toLongOption)
         .toSeq
         .sorted(Ordering[Long].reverse)
   }

@@ -18,4 +18,9 @@ object interop {
 
   /** Extract the Catalyst Expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-export of the `private[sql]` AbstractDataType so graft expressions
+    * can declare `ExpectsInputTypes.inputTypes` (plan-time type errors
+    * instead of runtime ClassCastExceptions). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

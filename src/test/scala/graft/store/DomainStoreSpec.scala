@@ -116,6 +116,45 @@ class DomainStoreSpec extends SparkSuite {
     assert(store.count(spark) === 3L)
   }
 
+  test("empty initial build publishes a readable empty version") {
+    val store = DomainStore.create(scratch("empty-build"), DomainSpec(4), conf)
+    store.write(kv(), 1L)
+    assert(store.latestVersion === 1L)
+    assert(store.read(spark).count() === 0L)
+    assert(store.count(spark) === 0L)
+    assert(store.get(spark, "nope".getBytes("UTF-8")) === None)
+  }
+
+  test("upsert rejects a delta that repeats keys unless dedupKeys is set") {
+    val store = DomainStore.create(scratch("dupdelta"), DomainSpec(2), conf)
+    store.write(kv("a" -> "1"), 1L)
+    val dup = kv("b" -> "2", "b" -> "3")
+    val e = intercept[IllegalArgumentException](store.upsert(spark, dup, 2L))
+    assert(e.getMessage.contains("repeats keys"))
+    assert(store.latestVersion === 1L) // failed upsert left no published version
+    store.upsert(spark, dup, 3L, dedupKeys = true)
+    assert(store.latestVersion === 3L)
+    assert(readPairs(store).map(_._1) === Set("a", "b"))
+  }
+
+  test("stray non-numeric .version files are ignored, not fatal") {
+    val store = DomainStore.create(scratch("stray"), DomainSpec(2), conf)
+    store.write(kv("a" -> "1"), 1L)
+    val fs = store.root.getFileSystem(conf)
+    fs.create(new org.apache.hadoop.fs.Path(store.root, "backup.version"), true).close()
+    assert(store.versions.getAllVersions === Seq(1L))
+    assert(readPairs(store) === Set("a" -> "1"))
+  }
+
+  test("shard_index on a mistyped key column fails at analysis, not mid-run") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.shard_index(col("k"), 8)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+
   test("version store: unsucceeded versions invisible, cleanup keeps newest k") {
     val vs = new VersionedStore(scratch("vs"), conf)
     Seq(1L, 2L, 3L).foreach { v => vs.createVersion(v); vs.succeedVersion(v) }
