@@ -84,7 +84,8 @@ object Smoke {
       val q = graft.streaming.StreamingEvents.sessionStatsToMemory(spark, dir, 30, "smoke_sessions")
       try {
         q.processAllAvailable()
-        spark.table("smoke_sessions").collect().map(_.toString).toSet == batch && batch.nonEmpty
+        graft.streaming.StreamingEvents.latestSessionStats(spark, "smoke_sessions")
+          .collect().map(_.toString).toSet == batch && batch.nonEmpty
       } finally q.stop()
     }
 

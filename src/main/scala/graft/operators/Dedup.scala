@@ -107,11 +107,16 @@ object Dedup {
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     val szW = Window.partitionBy(col("id"))
+    // ceil with an epsilon: when t*n is mathematically integral the double
+    // product can land at n.000...001 and ceil one too high, shortening the
+    // prefix below what the AllPairs bound requires (missed exact-threshold
+    // pairs). The prefix table feeds both self-join sides — persist it.
     val prefix = sh.join(df, "shingle")
       .withColumn("rn", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(szW))
-      .where(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .where(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"))
+      .persist()
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -210,11 +215,15 @@ object Dedup {
     exactJaccardOfCandidates(sh, cand, threshold)
   }
 
-  /** Exact Jaccard verification restricted to a candidate pair set. */
+  /** Exact Jaccard verification restricted to a candidate pair set. No
+    * broadcast hint: the candidate set is unbounded (quadratic inside dup
+    * clusters), so the join strategy is left to the planner/AQE — small
+    * candidate sets still broadcast automatically, huge ones shuffle
+    * instead of blowing the broadcast limit. */
   def exactJaccardOfCandidates(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("sa")
-      .join(broadcast(cand), col("sa.id") === col("id_a"))
+      .join(cand, col("sa.id") === col("id_a"))
       .join(sh.as("sb"),
         col("sb.id") === col("id_b") && col("sb.shingle") === col("sa.shingle"))
       .groupBy(col("id_a"), col("id_b"))

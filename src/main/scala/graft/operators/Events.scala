@@ -25,8 +25,11 @@ object Events {
     * sums per (window, event_type). */
   def windowAgg(df: DataFrame, minutes: Int): DataFrame = {
     val bucketNs = minutes * 60L * NanosPerSecond
+    // Floor division, not `div` (which truncates toward zero): pre-epoch
+    // timestamps must land in their own window, matching the oracle's `//`.
+    val bucket = (col("ts") - pmod(col("ts"), lit(bucketNs))) / lit(bucketNs)
     df.groupBy(
-        timestamp_seconds(expr(s"ts div $bucketNs") * (minutes * 60L)).as("w_start"),
+        timestamp_seconds(bucket.cast("long") * (minutes * 60L)).as("w_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -33,10 +33,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** (id, vec, norm) with vectors cast to array<double> and norms
-    * precomputed once — shared prep for all the joins below. */
+    * precomputed once — shared prep for all the joins below. Zero-norm
+    * vectors (padding rows, failed encoders) are dropped: their cosine is
+    * 0/0 = NaN, and Spark's NaN-sorts-greatest semantics would otherwise
+    * rank them above every real neighbor and pass every >= threshold. */
   def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .withColumn("norm", norm(col("vec")))
+      .where(col("norm") > 0)
 
   /** All pairs with cosine >= threshold (embedding near-dup dedup).
     * Exact O(N^2/2); sample or switch to [[annTopK]] buckets at scale. */
@@ -243,9 +247,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       tables: Int = 8,
-      planes: Int = 4,
-      dim: Int = 64): DataFrame = {
-    val cb = lshBuckets(prepared(corpus, idCol, vecCol), tables, planes, dim)
+      planes: Int = 4): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    // Plane dimensionality must match the data; deriving it from the
+    // corpus (one cheap head()) prevents silent truncation or OOB reads.
+    val dim = c.select(size(col("vec"))).head().getInt(0)
+    val cb = lshBuckets(c, tables, planes, dim)
     val qb = lshBuckets(prepared(queries, idCol, vecCol), tables, planes, dim)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
         col("table"), col("bucket"))

@@ -6,9 +6,13 @@ import org.apache.spark.sql.functions._
 /**
  * Text-analysis operators for large-scale training-data pipelines: token
  * counting, quality scoring, language identification, and document
- * fingerprinting. Everything is built from codegen'd Spark SQL functions
- * (no UDFs), so the operators run inside whole-stage codegen and scale
- * embarrassingly (per-row, no shuffle).
+ * fingerprinting. Everything is per-row with no shuffle (embarrassingly
+ * parallel), built from Spark SQL functions — no Scala/Python UDFs.
+ * Most functions stay inside whole-stage codegen; the two built on
+ * higher-order functions ([[stopwordCount]]'s `filter` and
+ * [[fingerprint]]'s `aggregate`) evaluate their lambdas interpreted
+ * per element — acceptable at per-token cost, and kept because they're
+ * exactly reproducible in the oracle SQL.
  *
  * The heuristics are deliberately simple *and exactly reproducible in
  * ANSI SQL*, so every operator has a DuckDB oracle.

@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -20,7 +18,10 @@ object Fixtures {
 
   val ScratchRoot = "/root/repo/target/graft-scratch"
 
-  private val built = TrieMap[String, DomainStore]()
+  // ConcurrentHashMap.computeIfAbsent runs the builder at most once per
+  // key — TrieMap.getOrElseUpdate may run it concurrently in two threads,
+  // and the builder's delete-then-write would corrupt the other's output.
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, DomainStore]()
 
   /** Forget all built fixtures so the next query rebuilds them — used by
     * Bench between passes so domain-build queries time the build in every
@@ -53,8 +54,9 @@ object Fixtures {
   /** Build (or reuse) a domain fixture. The builder gets a fresh root. */
   def domain(spark: SparkSession, sfDir: String, name: String, spec: DomainSpec)(
       build: (DomainStore, SparkSession) => Unit): DomainStore =
-    built.getOrElseUpdate(
-      s"${sanitize(sfDir)}/$name", {
+    built.computeIfAbsent(
+      s"${sanitize(sfDir)}/$name",
+      _ => {
         val root = scratch(sfDir, name)
         val fs = new Path(root).getFileSystem(conf)
         fs.delete(new Path(root), true) // stale output of a previous JVM
@@ -105,8 +107,9 @@ object Fixtures {
     domain(spark, sfDir, "customer-3", DomainSpec(numShards = 3)) { (store, s) =>
       store.write(customerKv(s, sfDir), version = 1L)
     }
-    built.getOrElseUpdate(
-      s"${sanitize(sfDir)}/customer-5-resharded", {
+    built.computeIfAbsent(
+      s"${sanitize(sfDir)}/customer-5-resharded",
+      _ => {
         val dst = scratch(sfDir, "customer-5-resharded")
         val fs = new Path(dst).getFileSystem(conf)
         fs.delete(new Path(dst), true)

@@ -110,9 +110,12 @@ object StreamingEvents {
    * batch; cross-batch ordering relies on the file stream delivering files
    * in event-time order (true for time-partitioned ingest dirs — for fully
    * unordered sources, buffer by watermark before this operator).
-   * Emits the running per-user totals each batch (update mode); after the
-   * stream drains, the memory table equals the batch
-   * [[graft.operators.Events.sessionStats]].
+   * Emits the running per-user totals each batch (update mode). The
+   * memory sink APPENDS each batch's updates, so a user touched by
+   * several batches has several rows — read the final state through
+   * [[latestSessionStats]], which keeps the newest row per user (rows are
+   * monotone in n_events); that result equals the batch
+   * [[graft.operators.Events.sessionStats]] once the stream drains.
    */
   def sessionStatsToMemory(
       spark: SparkSession,
@@ -142,5 +145,19 @@ object StreamingEvents {
       .format("memory")
       .queryName(queryName)
       .start()
+  }
+
+  /** Final per-user state from an update-mode memory table: the sink
+    * appends every batch's emissions, so keep only each user's newest row.
+    * n_events strictly increases across a user's emitted rows, so
+    * max-by-n_events IS the latest. */
+  def latestSessionStats(spark: SparkSession, queryName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table(queryName)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
   }
 }

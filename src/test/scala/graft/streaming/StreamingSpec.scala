@@ -58,15 +58,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("stateful streaming sessionization == batch sessionStats") {
+  test("stateful streaming sessionization == batch sessionStats (multi-batch)") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-sessions")
     val conf = new org.apache.hadoop.conf.Configuration()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    org.apache.hadoop.fs.FileUtil.copy(
-      fs, new org.apache.hadoop.fs.Path(src),
-      fs, new org.apache.hadoop.fs.Path(s"$dir/events-0.parquet"), false, conf)
+    // Split into TWO files in event-time order so users span micro-batches:
+    // exercises cross-batch state carry and the update-mode sink's
+    // append-per-batch behavior (latestSessionStats must dedupe).
+    val all = spark.read.parquet(src).orderBy("ts", "event_id")
+    val n = all.count()
+    val firstHalf = all.limit((n / 2).toInt)
+    val secondHalf = all.exceptAll(firstHalf)
+    val tmp = scratch("stream-sessions-staging")
+    firstHalf.coalesce(1).write.parquet(s"$tmp/b0")
+    secondHalf.coalesce(1).write.parquet(s"$tmp/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$tmp/b0", s"$dir/events-0.parquet")
+    stage(s"$tmp/b1", s"$dir/events-1.parquet")
 
     val batch = Events.sessionStats(spark.read.parquet(src), 30)
       .collect()
@@ -76,7 +90,8 @@ class StreamingSpec extends SparkSuite {
     val q = StreamingEvents.sessionStatsToMemory(spark, dir, 30, "sess_stream_test")
     try {
       q.processAllAvailable()
-      val streamed = spark.table("sess_stream_test").collect()
+      val streamed = StreamingEvents.latestSessionStats(spark, "sess_stream_test")
+        .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .toSet
       assert(streamed === batch)
