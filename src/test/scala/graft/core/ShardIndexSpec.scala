@@ -19,6 +19,27 @@ class ShardIndexSpec extends SparkSuite {
     new BigInteger(MessageDigest.getInstance("MD5").digest(key))
       .mod(BigInteger.valueOf(n.toLong)).intValue()
 
+  test("key codecs: long_be/int_be/be_long round-trip, order- and width-correct") {
+    import spark.implicits._
+    import graft.functions._
+    val rnd = new Random(11)
+    val values = (Seq(0L, 1L, 255L, 256L, Int.MaxValue.toLong, Long.MaxValue) ++
+      Seq.fill(200)(rnd.nextLong() & Long.MaxValue)).distinct
+    val df = values.toDF("v")
+    // round-trip
+    val back = df.select(be_long(long_be(col("v"))).as("r"), col("v"))
+      .where(col("r") =!= col("v")).count()
+    assert(back === 0L)
+    // width: always 8 bytes (4 for int_be), so composite keys parse by offset
+    val widths = df.select(octet_length(long_be(col("v"))).as("w8"),
+      octet_length(int_be(lit(7))).as("w4")).distinct().collect()
+    assert(widths.forall(r => r.getInt(0) == 8 && r.getInt(1) == 4))
+    // big-endian byte order preserves numeric order for non-negative longs
+    val sortedByBytes = df.select(col("v"), long_be(col("v")).as("k"))
+      .orderBy(col("k")).collect().map(_.getLong(0)).toSeq
+    assert(sortedByBytes === values.sorted)
+  }
+
   test("pinned vectors incl. md5 with leading 1-bit (negative BigInteger)") {
     // md5("0") = cfcd... has a leading 1-bit -> negative signed BigInteger;
     // expected values cross-checked externally (python int.from_bytes signed).
