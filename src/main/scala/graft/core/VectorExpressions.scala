@@ -64,3 +64,49 @@ case class DoubleArrayDot(left: Expression, right: Expression) extends BinaryExp
       newRight: Expression): DoubleArrayDot =
     copy(left = newLeft, right = newRight)
 }
+
+object RollingHash {
+  val Prime = 1000000007L
+
+  /** acc = (acc*31 + codeUnit) mod p over the string's UTF-16 code units —
+    * for BMP text this equals folding `ascii` over `split(s, "")`, which is
+    * what the SQL oracle reproduces. */
+  def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      acc = (acc * 31 + str.charAt(i)) % Prime
+      i += 1
+    }
+    acc
+  }
+}
+
+/**
+ * Rolling polynomial hash of a string column (the document fingerprint) as
+ * a native codegen expression. Replaces the `aggregate(filter(split(...)))`
+ * higher-order pipeline, whose lambdas Spark evaluates interpreted per
+ * character — this is a static call inside whole-stage codegen, one tight
+ * loop per document.
+ */
+case class RollingHashExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override protected def nullSafeEval(s: Any): Any =
+    RollingHash.hash(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.core.RollingHash.hash($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}

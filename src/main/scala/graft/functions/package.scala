@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.interop
 
-import graft.core.{DoubleArrayDot, ShardIndexExpr}
+import graft.core.{DoubleArrayDot, RollingHashExpr, ShardIndexExpr}
 
 /**
  * Column-level functions of the graft engine. Everything here is either a
@@ -51,4 +51,9 @@ package object functions {
     * (see [[graft.core.DoubleArrayDot]]). */
   def array_dot(a: Column, b: Column): Column =
     interop.column(DoubleArrayDot(interop.expression(a), interop.expression(b)))
+
+  /** Codegen'd rolling polynomial hash of a string column
+    * (see [[graft.core.RollingHashExpr]]). */
+  def rolling_hash(s: Column): Column =
+    interop.column(RollingHashExpr(interop.expression(s)))
 }

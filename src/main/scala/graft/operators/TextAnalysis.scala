@@ -8,11 +8,10 @@ import org.apache.spark.sql.functions._
  * counting, quality scoring, language identification, and document
  * fingerprinting. Everything is per-row with no shuffle (embarrassingly
  * parallel), built from Spark SQL functions — no Scala/Python UDFs.
- * Most functions stay inside whole-stage codegen; the two built on
- * higher-order functions ([[stopwordCount]]'s `filter` and
- * [[fingerprint]]'s `aggregate`) evaluate their lambdas interpreted
- * per element — acceptable at per-token cost, and kept because they're
- * exactly reproducible in the oracle SQL.
+ * All functions stay inside whole-stage codegen except
+ * [[stopwordCount]]'s higher-order `filter`, whose lambda evaluates
+ * interpreted per token — acceptable at per-token cost, and kept because
+ * it's exactly reproducible in the oracle SQL.
  *
  * The heuristics are deliberately simple *and exactly reproducible in
  * ANSI SQL*, so every operator has a DuckDB oracle.
@@ -72,12 +71,11 @@ object TextAnalysis {
   }
 
   /** Rolling polynomial hash of the full character stream
-    * (acc*31 + codepoint, mod 1e9+7) — the document fingerprint. */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      filter(split(text, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    * (acc*31 + code unit, mod 1e9+7) — the document fingerprint, as a
+    * codegen'd [[graft.core.RollingHashExpr]] (one tight loop per doc;
+    * equals folding `ascii` over `split(s, "")` for BMP text, which is
+    * what the SQL oracle reproduces). */
+  def fingerprint(text: Column): Column = graft.functions.rolling_hash(text)
 
   /** Canonical normalized form for exact near-dup matching: lowercase,
     * strip non-alphanumerics, collapse whitespace. */
