@@ -98,6 +98,53 @@ object StreamingEvents {
       .start()
   }
 
+  /**
+   * The production-scale streaming window twin: append mode + watermark.
+   * Complete mode re-emits every window each batch (fine for tests,
+   * unbounded state/output on an unbounded stream); this variant declares
+   * lateness via the watermark so Spark finalizes and EMITS each window
+   * exactly once and drops its state — the pattern that runs forever.
+   * Windows are epoch-aligned (`window()` semantics), matching
+   * [[graft.operators.Events.windowAgg]] for non-negative timestamps;
+   * output rows are (w_start, event_type, n_events, value_cents).
+   * Only windows the watermark has closed are in the sink; the final
+   * still-open window(s) emit on the next data arrival.
+   */
+  def windowAggAppendToFiles(
+      spark: SparkSession,
+      dir: String,
+      minutes: Int,
+      lateness: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    readEvents(spark, dir)
+      // Exact integer floor-division to seconds: a double division of
+      // ns-since-epoch loses ~190ns of precision, enough to misassign a
+      // window-boundary event. Sub-second truncation can't change
+      // minute-granularity window membership.
+      .withColumn(
+        "ts_ts",
+        timestamp_seconds(
+          ((col("ts") - pmod(col("ts"), lit(1000000000L))) / lit(1000000000L)).cast("long")))
+      .withWatermark("ts_ts", lateness)
+      .groupBy(
+        window(col("ts_ts"), s"$minutes minutes").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum((round(col("value") * 100)).cast("long")).as("value_cents"))
+      .select(
+        col("w.start").as("w_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+  }
+
   /** HALF_UP cents — matches Spark's round() on doubles exactly. */
   private def cents(v: Double): Long =
     new java.math.BigDecimal(v * 100)

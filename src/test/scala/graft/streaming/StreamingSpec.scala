@@ -35,6 +35,47 @@ class StreamingSpec extends SparkSuite {
   private def normalize(r: Row): (java.sql.Timestamp, String, Long, Long) =
     (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
 
+  test("append-mode watermarked windows: every finalized window equals batch") {
+    val src = sf("sf0.001/events.parquet")
+    val dir = scratch("stream-append-src")
+    val outDir = scratch("stream-append-out")
+    val ckpt = scratch("stream-append-ckpt")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // Two files in event-time order so the second batch's watermark
+    // finalizes (and emits) windows filled by the first.
+    val all = spark.read.parquet(src).orderBy("ts", "event_id")
+    val n = all.count()
+    val firstHalf = all.limit((n / 2).toInt)
+    val secondHalf = all.exceptAll(firstHalf)
+    val tmp = scratch("stream-append-staging")
+    firstHalf.coalesce(1).write.parquet(s"$tmp/b0")
+    secondHalf.coalesce(1).write.parquet(s"$tmp/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$tmp/b0", s"$dir/events-0.parquet")
+    stage(s"$tmp/b1", s"$dir/events-1.parquet")
+
+    val batch = Events.windowAgg(spark.read.parquet(src), 5)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val q = StreamingEvents.windowAggAppendToFiles(
+      spark, dir, 5, "0 seconds", outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val emitted = spark.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+    assert(emitted.nonEmpty, "watermark should have finalized at least one window")
+    emitted.foreach { case (k, v) =>
+      assert(batch(k) === v, s"finalized window $k diverges from batch")
+    }
+  }
+
   test("streaming exact dedup == batch Dedup.exact (dedup-on-ingest)") {
     val src = sf("sf0.001/documents.parquet")
     val dir = scratch("stream-docs")
