@@ -40,6 +40,22 @@ class ShardIndexSpec extends SparkSuite {
     assert(sortedByBytes === values.sorted)
   }
 
+  test("rolling_hash == aggregate/split/ascii formulation (incl. BMP unicode)") {
+    import spark.implicits._
+    import graft.functions.rolling_hash
+    val texts = Seq("", "a", "hello world", "The quick brown fox 123!",
+      "café naïve résumé", "こんにちは")
+    val df = texts.toDF("t")
+    val oldForm = aggregate(
+      filter(split(col("t"), ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L)
+    val rows = df.select(rolling_hash(col("t")).as("nw"), oldForm.as("old")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) === r.getLong(1), s"mismatch for '$t'")
+    }
+  }
+
   test("pinned vectors incl. md5 with leading 1-bit (negative BigInteger)") {
     // md5("0") = cfcd... has a leading 1-bit -> negative signed BigInteger;
     // expected values cross-checked externally (python int.from_bytes signed).
