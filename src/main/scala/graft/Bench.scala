@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.util.Locale
 
 import graft.core.Sessions
 
@@ -26,14 +26,16 @@ object Bench {
     spark.catalog.clearCache()
     queries.Fixtures.reset()
 
-    // Stable order for comparable per-query numbers across rounds.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    def runAll(): Map[String, Double] = names.map { name =>
-      val fn = SparkEntry.queries(name)
+    // Stable order for comparable per-query numbers across rounds; the
+    // query map is assembled once, outside anything timed.
+    val qmap = SparkEntry.queries
+    val names = qmap.keys.toSeq.sorted
+    def runAll(): Map[String, (Double, Boolean)] = names.map { name =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { qmap(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+      name -> ((System.nanoTime() - t0) / 1e9, ok)
     }.toMap
     // Best of two full passes: wall-clock noise on a shared box swings
     // single runs by ±50%. The cache is cleared between passes so each
@@ -44,11 +46,25 @@ object Bench {
     spark.catalog.clearCache()
     queries.Fixtures.reset()
     val rep2 = runAll()
-    val results = names.map(n => n -> math.min(rep1(n), rep2(n)))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Per query: min over SUCCESSFUL passes; a query with no successful
+    // pass keeps a time but is listed under "failures" so a crash can't
+    // masquerade as a speedup.
+    val results = names.map { n =>
+      val passes = Seq(rep1(n), rep2(n))
+      val good = passes.filter(_._2).map(_._1)
+      n -> (if (good.nonEmpty) good.min else passes.map(_._1).min, good.nonEmpty)
+    }
+    val failed = results.collect { case (n, (_, false)) => n }
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    val failuresField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failures":[""", ",", "]")
+    val total = results.map(_._2._1).sum
+    println(
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$failuresField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -92,7 +92,7 @@ object Smoke {
     // Catalog surface: the scratch root is a database of domains.
     check("catalog lists domains with ready status") {
       val cat = new graft.store.DomainCatalog(
-        s"${Fixtures.ScratchRoot}/_root_testdata_sf0.001", conf)
+        Fixtures.dbRoot("/root/testdata/sf0.001"), conf)
       val names = cat.listDomains
       names.contains("smoke-sparse") &&
         cat.metadata("smoke-sparse").status == "ready" &&

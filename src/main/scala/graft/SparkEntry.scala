@@ -23,15 +23,16 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ the
-    * training-data-pipeline extensions). */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    * training-data-pipeline extensions). Lazy val: assembled once, not on
+    * every per-query lookup. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     KvQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++ MmQueries.queries ++
       EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     KvQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++
       DedupQueries.oracleSql ++ SimQueries.oracleSql ++ MmQueries.oracleSql ++
       EventQueries.oracleSql

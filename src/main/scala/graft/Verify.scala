@@ -13,6 +13,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // Delete any previous run's output FIRST: a query that fails before
+      // the overwrite executes must leave a missing dir (a clear failure
+      // in the compare), not last round's stale parquet silently passing.
+      val target = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      target.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(target, true)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -18,8 +18,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  * bit-identical to any sequential implementation (e.g. the DuckDB oracle).
  * Both inputs must be non-null array<double> of equal length.
  */
-case class DoubleArrayDot(left: Expression, right: Expression) extends BinaryExpression {
+case class DoubleArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.ArrayType
+
+  // Declared input types: a non-array<double> operand (e.g. array<float>)
+  // would otherwise reinterpret packed bytes as doubles — garbage sums
+  // with no exception. acceptsType ignores nullability, so both cast and
+  // literal arrays pass.
+  override def inputTypes: Seq[interop.AbstractType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "double_array_dot"
 

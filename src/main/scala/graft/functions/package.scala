@@ -20,9 +20,6 @@ package object functions {
     interop.column(ShardIndexExpr(interop.expression(key), Literal(n)))
   }
 
-  /** Dynamic-shard-count variant (n as a column, e.g. from a spec join). */
-  def shard_index(key: Column, n: Column): Column =
-    interop.column(ShardIndexExpr(interop.expression(key), interop.expression(n)))
 
   // --- Key codecs: typed columns <-> the engine's opaque binary keys. ---
   // The reference keeps keys/values as raw bytes and pushes serde to callers
@@ -32,11 +29,23 @@ package object functions {
   /** BIGINT -> 8-byte big-endian binary (two's complement, order-preserving for non-negative values). */
   def long_be(c: Column): Column = unhex(lpad(hex(c.cast("long")), 16, "0"))
 
-  /** INT -> 4-byte big-endian binary. */
-  def int_be(c: Column): Column = unhex(lpad(hex(c.cast("int")), 8, "0"))
+  /** INT -> 4-byte big-endian binary (two's complement). `hex` widens to
+    * bigint (16 F-led chars for negatives), so mask to the low 32 bits
+    * first — a left-truncating lpad would collapse every negative int to
+    * the same 4 bytes. */
+  def int_be(c: Column): Column =
+    unhex(lpad(hex(c.cast("int").cast("long").bitwiseAND(lit(0xFFFFFFFFL))), 8, "0"))
 
-  /** 8-byte big-endian binary -> BIGINT (inverse of [[long_be]] for values that fit in a signed long). */
-  def be_long(c: Column): Column = conv(hex(c), 16, 10).cast("long")
+  /** 8-byte big-endian binary -> BIGINT, the exact inverse of [[long_be]]
+    * including negatives: `conv` yields the unsigned value as a string, so
+    * re-bias anything above Long.MaxValue by 2^64 in decimal before the
+    * final cast (a bare cast would overflow to null). */
+  def be_long(c: Column): Column = {
+    val u = conv(hex(c), 16, 10).cast("decimal(20,0)")
+    when(u > lit(Long.MaxValue), u - lit(new java.math.BigDecimal("18446744073709551616")))
+      .otherwise(u)
+      .cast("long")
+  }
 
   /** UTF-8 string -> binary. */
   def utf8_bytes(c: Column): Column = encode(c, "UTF-8")

@@ -51,6 +51,10 @@ object Fixtures {
   def scratch(sfDir: String, name: String): String =
     s"$ScratchRoot/${sanitize(sfDir)}/$name"
 
+  /** The per-scale-factor "database" dir holding every fixture domain —
+    * the catalog root (derive it here; don't re-implement sanitize). */
+  def dbRoot(sfDir: String): String = s"$ScratchRoot/${sanitize(sfDir)}"
+
   /** Build (or reuse) a domain fixture. The builder gets a fresh root. */
   def domain(spark: SparkSession, sfDir: String, name: String, spec: DomainSpec)(
       build: (DomainStore, SparkSession) => Unit): DomainStore =
