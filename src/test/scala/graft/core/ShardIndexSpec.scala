@@ -23,21 +23,28 @@ class ShardIndexSpec extends SparkSuite {
     import spark.implicits._
     import graft.functions._
     val rnd = new Random(11)
-    val values = (Seq(0L, 1L, 255L, 256L, Int.MaxValue.toLong, Long.MaxValue) ++
-      Seq.fill(200)(rnd.nextLong() & Long.MaxValue)).distinct
+    val values = (Seq(0L, 1L, -1L, 255L, 256L, -256L, Int.MaxValue.toLong,
+      Int.MinValue.toLong, Long.MaxValue, Long.MinValue) ++
+      Seq.fill(200)(rnd.nextLong())).distinct
     val df = values.toDF("v")
-    // round-trip
+    // round-trip, including negatives (two's complement both ways)
     val back = df.select(be_long(long_be(col("v"))).as("r"), col("v"))
       .where(col("r") =!= col("v")).count()
     assert(back === 0L)
     // width: always 8 bytes (4 for int_be), so composite keys parse by offset
     val widths = df.select(octet_length(long_be(col("v"))).as("w8"),
-      octet_length(int_be(lit(7))).as("w4")).distinct().collect()
-    assert(widths.forall(r => r.getInt(0) == 8 && r.getInt(1) == 4))
+      octet_length(int_be(lit(7))).as("w4"),
+      octet_length(int_be(lit(-7))).as("w4n")).distinct().collect()
+    assert(widths.forall(r => r.getInt(0) == 8 && r.getInt(1) == 4 && r.getInt(2) == 4))
+    // negative ints encode distinctly (two's complement low 32 bits)
+    val negs = spark.range(1).select(
+      hex(int_be(lit(-1))).as("a"), hex(int_be(lit(-2))).as("b")).head()
+    assert(negs.getString(0) === "FFFFFFFF" && negs.getString(1) === "FFFFFFFE")
     // big-endian byte order preserves numeric order for non-negative longs
-    val sortedByBytes = df.select(col("v"), long_be(col("v")).as("k"))
+    val nonNeg = values.filter(_ >= 0)
+    val sortedByBytes = nonNeg.toDF("v").select(col("v"), long_be(col("v")).as("k"))
       .orderBy(col("k")).collect().map(_.getLong(0)).toSeq
-    assert(sortedByBytes === values.sorted)
+    assert(sortedByBytes === nonNeg.sorted)
   }
 
   test("rolling_hash == aggregate/split/ascii formulation (incl. BMP unicode)") {
