@@ -265,6 +265,28 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     } finally incoming.unpersist()
   }
 
+  /**
+   * Copy a published version's shard dirs to another filesystem location
+   * (reference transfer-version!/`LocalElephantManager` shard
+   * localization, SURVEY V7/S3 — there a serving box downloads its shard
+   * subset; here an export utility for handing sorted shard files to an
+   * external system). `shards = None` localizes all of them.
+   */
+  def localize(version: Long, destDir: Path, shards: Option[Seq[Int]] = None): Seq[Int] = {
+    require(versions.isPublished(version), s"version $version not published under $root")
+    val fs = versions.fs
+    val destFs = destDir.getFileSystem(conf)
+    destFs.mkdirs(destDir)
+    val wanted = shards.getOrElse(0 until numShards)
+    wanted.filter { s =>
+      val src = new Path(versions.versionPath(version), s"shard=$s")
+      fs.exists(src) && {
+        FileUtil.copy(fs, src, destFs, new Path(destDir, s"shard=$s"), false, true, conf)
+        true
+      }
+    }.toList
+  }
+
   /** Raw FS copy of untouched `shard=<i>` dirs from one version into a
     * not-yet-published one. */
   private def copyForward(fromVersion: Long, toVersion: Long, shards: Seq[Int]): Unit = {

@@ -137,6 +137,19 @@ class DomainStoreSpec extends SparkSuite {
     assert(readPairs(store).map(_._1) === Set("a", "b"))
   }
 
+  test("localize copies a version's shard dirs byte-identically") {
+    val store = DomainStore.create(scratch("localize"), DomainSpec(4), conf)
+    val pairs = (0 until 50).map(i => s"lk$i" -> s"lv$i")
+    store.write(kv(pairs: _*), 1L)
+    val dest = new org.apache.hadoop.fs.Path(scratch("localize-out"))
+    val copied = store.localize(1L, dest)
+    assert(copied.nonEmpty)
+    val back = spark.read.schema(DomainStore.DomainSchema).parquet(dest.toString)
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back === pairs.toSet)
+  }
+
   test("stray non-numeric .version files are ignored, not fatal") {
     val store = DomainStore.create(scratch("stray"), DomainSpec(2), conf)
     store.write(kv("a" -> "1"), 1L)
