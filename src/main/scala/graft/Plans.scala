@@ -40,6 +40,14 @@ object Plans {
     dump("q3_join (expect: broadcast join on customer)") {
       queries.RelQueries.queries("q3_join")(spark, sfDir)
     }
+    dump("q5 6-table join (expect: broadcasts on supplier/nation/region, shuffle joins on facts)") {
+      queries.RelQueries.queries("q5_region_revenue")(spark, sfDir)
+    }
+    dump("minhash signatures (expect: single exchange, partial aggs, codegen despite 128 cols)") {
+      graft.operators.Dedup.minHashSignatures(
+        graft.operators.Dedup.wordShingles(
+          Fixtures.table(spark, sfDir, "documents"), "doc_id", "text"))
+    }
     dump("domain build plan (expect: one Exchange + in-partition Sort)") {
       import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
       val kvDf = Fixtures.customerKv(spark, sfDir)
