@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling and dataset splitting for training-data
+ * pipelines. Membership is a pure function of the id — no RNG, no
+ * row-position dependence — so splits are reproducible across runs,
+ * cluster sizes, and engines, and a document keeps its split assignment
+ * when the corpus is re-processed (the property leakage audits depend on).
+ *
+ * The bucket hash is the first 8 hex chars of md5 of the id's decimal
+ * string: exactly replicable in any engine with md5 (the DuckDB oracle
+ * replays it), unlike Spark-specific xxhash64/Murmur3.
+ */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from an id column. */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    pmod(
+      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+  }
+
+  /** Deterministic fraction sample: keeps ids whose bucket (out of 10000)
+    * falls below fraction * 10000 — stable under reprocessing. */
+  def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
+    df.where(hashBucket(col(idCol), 10000) < (fraction * 10000).toLong)
+  }
+
+  /**
+   * Split a dataset by per-mille weights: `splits(("train", 980),
+   * ("valid", 10), ("test", 10))` — weights must sum to 1000. Adds a
+   * `split` column; every row lands in exactly one split, assignments are
+   * disjoint and exhaustive by construction.
+   */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.map(_._2).sum == 1000, "split weights must sum to 1000 (per-mille)")
+    require(weights.forall(_._2 > 0), "every split needs positive weight")
+    val bucket = hashBucket(col(idCol), 1000)
+    val bounds = weights.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = weights.zip(bounds).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), upper), elseCol) =>
+        when(bucket < upper, lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -100,6 +100,26 @@ object TextAnalysis {
         col("n_chars").cast("double") / greatest(col("ws_tokens"), lit(1)))
   }
 
+  /** Corpus-level statistics in two aggregates (doc-grain + token-grain),
+    * joined as single-row frames: document count, token and char totals,
+    * exact vocabulary size, and length-band counts. All integer math. */
+  def corpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val docStats = df.select(
+      length(t).cast("long").as("n_chars"),
+      wsTokenCount(t).cast("long").as("ws_tokens"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("short_docs"),
+        sum(when(col("n_chars") >= 200 && col("n_chars") < 400, 1L).otherwise(0L)).as("mid_docs"),
+        sum(when(col("n_chars") >= 400, 1L).otherwise(0L)).as("long_docs"))
+    val vocab = df.select(explode(wordTokens(t)).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab_size"))
+    docStats.crossJoin(vocab)
+  }
+
   /** Language-ID report: per-language marker scores + predicted language. */
   def langIdReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

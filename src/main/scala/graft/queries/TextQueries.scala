@@ -28,6 +28,18 @@ object TextQueries {
       Fixtures.table(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+    "text_corpus_stats" -> { (s, dir) =>
+      TextAnalysis.corpusStats(Fixtures.table(s, dir, "documents"), "doc_id", "text")
+    },
+    // Deterministic md5-bucket train/valid/test split (98/1/1 per-mille
+    // 980/10/10): same id -> same split in any engine, forever.
+    "samp_split_counts" -> { (s, dir) =>
+      graft.operators.Sampling.split(
+        Fixtures.table(s, dir, "documents"), "doc_id",
+        Seq("train" -> 980, "valid" -> 10, "test" -> 10))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
     })
 
   private val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
@@ -78,5 +90,21 @@ object TextQueries {
         |    list_prepend(CAST(0 AS BIGINT),
         |      [CAST(unicode(c) AS BIGINT) FOR c IN list_filter(string_split(text, ''), x -> x != '')]),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "text_corpus_stats" ->
+      """WITH d AS (SELECT length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS ws FROM documents),
+        |doc AS (SELECT count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs,
+        |  CAST(sum(CASE WHEN n_chars >= 200 AND n_chars < 400 THEN 1 ELSE 0 END) AS BIGINT) AS mid_docs,
+        |  CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs FROM d),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+        |      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents))
+        |SELECT * FROM doc CROSS JOIN v""".stripMargin,
+    "samp_split_counts" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk FROM documents)
+        |SELECT CASE WHEN bk < 980 THEN 'train' WHEN bk < 990 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n, min(doc_id) AS min_id
+        |FROM b GROUP BY 1""".stripMargin)
 }

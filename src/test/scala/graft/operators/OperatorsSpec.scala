@@ -136,6 +136,23 @@ class OperatorsSpec extends SparkSuite {
     assert(a(one.getLong(0)).byte_sum === expected)
   }
 
+  test("sampling: splits are disjoint, exhaustive, stable; samples are nested") {
+    val s1 = Sampling.split(docs, "doc_id", Seq("a" -> 500, "b" -> 300, "c" -> 200))
+    val total = docs.count()
+    assert(s1.groupBy("split").count().collect().map(_.getLong(1)).sum === total)
+    // stability: same ids get the same split on a re-run over shuffled input
+    val s2 = Sampling.split(docs.orderBy(rand(99)), "doc_id", Seq("a" -> 500, "b" -> 300, "c" -> 200))
+    val m1 = s1.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = s2.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 === m2)
+    // nested fractions: the 10% sample is a subset of the 20% sample
+    val p10 = Sampling.sample(docs, "doc_id", 0.10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val p20 = Sampling.sample(docs, "doc_id", 0.20).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p10.subsetOf(p20))
+    assert(p10.nonEmpty && p20.size < total)
+    intercept[IllegalArgumentException](Sampling.split(docs, "doc_id", Seq("a" -> 999)))
+  }
+
   test("multimodal: resize halves payloads; frame sampling is evenly spaced and bounded") {
     import spark.implicits._
     val media = Multimodal.pack(docs, "doc_id", "text").as[MediaRecord]
