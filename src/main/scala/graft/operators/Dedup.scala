@@ -253,6 +253,46 @@ object Dedup {
           .as("simhash"))
   }
 
+  /**
+   * Connected components over a near-dup pair set: the dedup *decision*.
+   * Every id gets the component's minimum id as `rep_id`; keeping rows
+   * where `id == rep_id` retains exactly one document per near-dup
+   * cluster. Min-label propagation: each round every node takes the
+   * smallest label among itself and its neighbors, converging in at most
+   * the component-diameter rounds (near-dup clusters are shallow — dups of
+   * one document interlink — so rounds stay in the low single digits;
+   * for deep chains at extreme scale swap in large-star/small-star).
+   * Deterministic: labels are ids, min is order-free.
+   */
+  def components(ids: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col("id"), col("id").as("rep_id")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("rep_id")).as("nbr_rep"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), col("l.id") === col("n.src"), "left_outer")
+        .select(
+          col("l.id").as("id"),
+          least(col("l.rep_id"), coalesce(col("n.nbr_rep"), col("l.rep_id"))).as("rep_id"))
+        .persist()
+      changed = next.as("a")
+        .join(labels.as("b"), col("a.id") === col("b.id"))
+        .where(col("a.rep_id") =!= col("b.rep_id"))
+        .count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively
     * (O(N^2) — the audit/oracle twin of [[simHashPairsBanded]]). */
   def simHashPairs(simhashes: DataFrame, maxDist: Int): DataFrame =

@@ -40,6 +40,16 @@ object DedupQueries {
     "dedup_embedding" -> { (s, dir) =>
       Similarity.nearDupPairs(
         Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
+    },
+    // The dedup decision: one representative per near-dup cluster
+    // (components over the MinHash-LSH pair set, which equals the exact
+    // pair set — verified above).
+    "dedup_clusters" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      Dedup.components(
+        docs.select(col("doc_id").as("id")),
+        Dedup.minHashPairs(docs, "doc_id", "text", MinHashThreshold))
+        .select(col("id").as("doc_id"), col("rep_id"))
     })
 
   /** Exact-Jaccard oracle tail shared by both shingle units. */
@@ -91,5 +101,23 @@ object DedupQueries {
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineThreshold""".stripMargin)
+         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineThreshold""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+         |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),
+         |s AS (SELECT DISTINCT doc_id,
+         |  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)] AS sh FROM pos),
+         |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT ia, ib FROM inter JOIN c ca ON ca.doc_id = ia JOIN c cb ON cb.doc_id = ib
+         |  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $MinHashThreshold),
+         |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION SELECT ib, ia FROM pairs),
+         |reach AS (
+         |  WITH RECURSIVE r(id, lbl) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.id)
+         |  SELECT id, min(lbl) AS rep_id FROM r GROUP BY id)
+         |SELECT id AS doc_id, rep_id FROM reach""".stripMargin)
 }

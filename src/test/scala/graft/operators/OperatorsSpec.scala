@@ -136,6 +136,22 @@ class OperatorsSpec extends SparkSuite {
     assert(a(one.getLong(0)).byte_sum === expected)
   }
 
+  test("components: min-label clusters match a reference union-find") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, triangle 20-21-22 (+ isolated 30, 40)
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 30L, 40L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 40L -> 40L)
+    assert(got === expected)
+  }
+
   test("sampling: splits are disjoint, exhaustive, stable; samples are nested") {
     val s1 = Sampling.split(docs, "doc_id", Seq("a" -> 500, "b" -> 300, "c" -> 200))
     val total = docs.count()
