@@ -263,10 +263,47 @@ object Dedup {
    * one document interlink — so rounds stay in the low single digits;
    * for deep chains at extreme scale swap in large-star/small-star).
    * Deterministic: labels are ids, min is order-free.
+   *
+   * Near-dup pairs are a tiny fraction of any sane corpus, so when the
+   * pair set fits comfortably on the driver (`driverPairLimit`) the
+   * clustering runs as an exact union-find there — one collect, no
+   * iteration — and only the component map (smaller still) is broadcast
+   * back. Corpora whose pair set exceeds the limit fall back to the
+   * distributed propagation loop.
    */
-  def components(ids: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def components(
+      ids: DataFrame,
+      pairs: DataFrame,
+      maxIters: Int = 25,
+      driverPairLimit: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
+    val nPairs = p.count()
+    if (nPairs <= driverPairLimit) {
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      p.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          // attach the larger root under the smaller: roots are component minima
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      p.unpersist()
+      val reps = parent.keys.map(k => (k, find(k))).toSeq.toDF("id", "rep0")
+      return ids.select(col("id"))
+        .join(broadcast(reps), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("rep0"), col("id")).as("rep_id"))
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = ids.select(col("id"), col("id").as("rep_id")).persist()
     var changed = 1L

@@ -142,14 +142,19 @@ class OperatorsSpec extends SparkSuite {
     val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 22L, 30L, 40L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("id_a", "id_b")
-    val got = Dedup.components(ids, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L,
       30L -> 30L, 40L -> 40L)
-    assert(got === expected)
+    // driver union-find path (default) and distributed propagation path
+    // (forced by driverPairLimit = 0) must agree exactly
+    val viaDriver = Dedup.components(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.components(ids, pairs, driverPairLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver === expected)
+    assert(viaLoop === expected)
   }
 
   test("sampling: splits are disjoint, exhaustive, stable; samples are nested") {
