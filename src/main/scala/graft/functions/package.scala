@@ -65,4 +65,11 @@ package object functions {
     * (see [[graft.core.RollingHashExpr]]). */
   def rolling_hash(s: Column): Column =
     interop.column(RollingHashExpr(interop.expression(s)))
+
+  /** First 32 bits of md5 of a string column as a non-negative long — the
+    * engine's engine-replicable base hash (DuckDB twin:
+    * `('0x' || substr(md5(x), 1, 8))::UBIGINT`). Shared by SimHash votes
+    * and sampling buckets so the two can't drift from their oracles. */
+  def md5_prefix32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 }

@@ -239,7 +239,7 @@ object Dedup {
     val tok = df.select(
       col(idCol).as("id"),
       explode(TextAnalysis.wordTokens(col(textCol))).as("t"))
-    val h32 = conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long")
+    val h32 = graft.functions.md5_prefix32(col("t"))
     val votes = (0 until 32)
       .map(b => sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"s$b"))
     tok.select(col("id"), h32.as("h"))
@@ -276,7 +276,15 @@ object Dedup {
       pairs: DataFrame,
       maxIters: Int = 25,
       driverPairLimit: Long = 1000000L): DataFrame = {
-    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long")).persist()
+    // Pairs touching ids absent from `ids` (docs filtered out after pair
+    // generation) are ignored — otherwise the two execution paths would
+    // disagree, and a representative could point outside the corpus
+    // (dropping whole clusters under keep-where-id==rep_id).
+    val idSet = ids.select(col("id").cast("long"))
+    val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .join(idSet.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(idSet.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+      .persist()
     val nPairs = p.count()
     if (nPairs <= driverPairLimit) {
       val spark = ids.sparkSession
@@ -326,7 +334,15 @@ object Dedup {
       labels = next
       it += 1
     }
+    if (changed > 0)
+      System.err.println(
+        s"[components] label propagation did NOT converge in $maxIters rounds " +
+          s"($changed labels still moving) — results are partial; raise maxIters")
     edges.unpersist()
+    p.unpersist()
+    // The final labels stay persisted: unpersisting would force consumers
+    // to replay the whole iteration lineage. Callers in long-lived
+    // sessions clearCache() between batches (as with the dedup persists).
     labels
   }
 

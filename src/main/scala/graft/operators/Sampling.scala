@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.md5_prefix32
+
 /**
  * Deterministic sampling and dataset splitting for training-data
  * pipelines. Membership is a pure function of the id — no RNG, no
@@ -11,31 +13,32 @@ import org.apache.spark.sql.functions._
  * when the corpus is re-processed (the property leakage audits depend on).
  *
  * The bucket hash is the first 8 hex chars of md5 of the id's decimal
- * string: exactly replicable in any engine with md5 (the DuckDB oracle
- * replays it), unlike Spark-specific xxhash64/Murmur3.
+ * string ([[graft.functions.md5_prefix32]]): exactly replicable in any
+ * engine with md5 (the DuckDB oracle replays it), unlike Spark-specific
+ * xxhash64/Murmur3. Rows with a null id are dropped by both [[sample]]
+ * and [[split]] — a null can't have a stable assignment.
  */
 object Sampling {
 
   /** Stable bucket in [0, buckets) from an id column. */
   def hashBucket(id: Column, buckets: Int): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    pmod(
-      conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(buckets.toLong))
+    pmod(md5_prefix32(id.cast("string")), lit(buckets.toLong))
   }
 
   /** Deterministic fraction sample: keeps ids whose bucket (out of 10000)
-    * falls below fraction * 10000 — stable under reprocessing. */
+    * falls below round(fraction * 10000) — stable under reprocessing, and
+    * rounded so 0.29 means bucket < 2900, not a double-truncated 2899. */
   def sample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1], got $fraction")
-    df.where(hashBucket(col(idCol), 10000) < (fraction * 10000).toLong)
+    df.where(hashBucket(col(idCol), 10000) < math.round(fraction * 10000))
   }
 
   /**
-   * Split a dataset by per-mille weights: `splits(("train", 980),
-   * ("valid", 10), ("test", 10))` — weights must sum to 1000. Adds a
-   * `split` column; every row lands in exactly one split, assignments are
-   * disjoint and exhaustive by construction.
+   * Split a dataset by per-mille weights: `split(df, "id", Seq("train" ->
+   * 980, "valid" -> 10, "test" -> 10))` — weights must sum to 1000. Adds a
+   * `split` column; every surviving row lands in exactly one split,
+   * assignments are disjoint and exhaustive by construction.
    */
   def split(df: DataFrame, idCol: String, weights: Seq[(String, Int)]): DataFrame = {
     require(weights.map(_._2).sum == 1000, "split weights must sum to 1000 (per-mille)")
@@ -46,6 +49,6 @@ object Sampling {
       case (((name, _), upper), elseCol) =>
         when(bucket < upper, lit(name)).otherwise(elseCol)
     }
-    df.withColumn("split", expr)
+    df.where(col(idCol).isNotNull).withColumn("split", expr)
   }
 }

@@ -103,7 +103,7 @@ object TextAnalysis {
   /** Corpus-level statistics in two aggregates (doc-grain + token-grain),
     * joined as single-row frames: document count, token and char totals,
     * exact vocabulary size, and length-band counts. All integer math. */
-  def corpusStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def corpusStats(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     val docStats = df.select(
       length(t).cast("long").as("n_chars"),

@@ -30,7 +30,7 @@ object TextQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     },
     "text_corpus_stats" -> { (s, dir) =>
-      TextAnalysis.corpusStats(Fixtures.table(s, dir, "documents"), "doc_id", "text")
+      TextAnalysis.corpusStats(Fixtures.table(s, dir, "documents"), "text")
     },
     // Deterministic md5-bucket train/valid/test split (98/1/1 per-mille
     // 980/10/10): same id -> same split in any engine, forever.

@@ -281,7 +281,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     wanted.filter { s =>
       val src = new Path(versions.versionPath(version), s"shard=$s")
       fs.exists(src) && {
-        FileUtil.copy(fs, src, destFs, new Path(destDir, s"shard=$s"), false, true, conf)
+        val dst = new Path(destDir, s"shard=$s")
+        // FileUtil.copy into an EXISTING dir nests src under it — delete
+        // first so re-running localize replaces instead of corrupting.
+        destFs.delete(dst, true)
+        FileUtil.copy(fs, src, destFs, dst, false, true, conf)
         true
       }
     }.toList
