@@ -144,10 +144,14 @@ class DomainStoreSpec extends SparkSuite {
     val dest = new org.apache.hadoop.fs.Path(scratch("localize-out"))
     val copied = store.localize(1L, dest)
     assert(copied.nonEmpty)
+    // idempotent: a re-run replaces (FileUtil.copy would otherwise nest
+    // the shard dir inside the existing one and duplicate every row)
+    store.localize(1L, dest)
     val back = spark.read.schema(DomainStore.DomainSchema).parquet(dest.toString)
       .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(back === pairs.toSet)
+    assert(spark.read.schema(DomainStore.DomainSchema).parquet(dest.toString).count() === 50L)
   }
 
   test("stray non-numeric .version files are ignored, not fatal") {
