@@ -41,6 +41,29 @@ object Debug {
       Similarity.annTopK(embs, embs.where(col("vec_id") % 100 === 0), "vec_id", "embedding", 10)
         .write.format("noop").mode("overwrite").save()
     }
+    // dedup_clusters breakdown: where do the extra ~30 s go vs dedup_minhash?
+    spark.catalog.clearCache()
+    val docs2 = Fixtures.table(spark, sfDir, "documents")
+    val ids2 = docs2.select(col("doc_id").as("id"))
+    val pairs2 = Dedup.minHashPairs(docs2, "doc_id", "text", 0.8)
+    val idSet = ids2.select(col("id").cast("long"))
+    val p2 = time("clusters: semi-join plan + persist + count") {
+      val p = pairs2.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .join(idSet.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+        .join(idSet.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+        .persist()
+      println(s"[debug] nPairs=${p.count()}")
+      p
+    }
+    time("clusters: collect") { p2.collect() }
+    time("clusters: full components + noop write") {
+      Dedup.components(ids2, Dedup.minHashPairs(docs2, "doc_id", "text", 0.8))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("clusters: second run (cache warm)") {
+      Dedup.components(ids2, Dedup.minHashPairs(docs2, "doc_id", "text", 0.8))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -76,6 +76,100 @@ case class DoubleArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Per-row kernel for IVF cell assignment/probing against a *broadcast*
+ * centroid matrix. Called from both the interpreted and generated paths of
+ * [[NearestCellsExpr]]; one tight loop, no per-centroid expression nodes.
+ */
+object NearestCellsKernel {
+
+  /** The `nprobe` nearest cells of `vec`, ordered by (score asc, cell asc)
+    * where score = |c|^2 - 2*(v . c) — squared L2 minus the per-row
+    * constant |v|^2, which cannot change the ordering. Summation order
+    * matches [[DoubleArrayDot]] (strict left-to-right), so results are
+    * bit-identical to the literal-centroid formulation it replaces. */
+  def topCells(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Double]], Array[Double])],
+      nprobe: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (cents, norms) = bc.value
+    val k = cents.length
+    val n = math.min(nprobe, k)
+    val dim = vec.numElements()
+    if (k > 0 && cents(0).length != dim)
+      throw new IllegalArgumentException(
+        s"nearest_cells: vector dim $dim != centroid dim ${cents(0).length}")
+    val bestScore = new Array[Double](n)
+    val bestCell = new Array[Int](n)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val ctr = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += vec.getDouble(i) * ctr(i); i += 1 }
+      val score = norms(c) - 2.0 * s
+      // Insertion into the sorted top-n. Cells are visited in ascending id
+      // order and insertion is on strict <, so score ties keep the lower
+      // cell id first — same order as sorting (score, cell) structs.
+      if (filled < n || score < bestScore(filled - 1)) {
+        var pos = if (filled < n) filled else n - 1
+        while (pos > 0 && score < bestScore(pos - 1)) {
+          bestScore(pos) = bestScore(pos - 1)
+          bestCell(pos) = bestCell(pos - 1)
+          pos -= 1
+        }
+        bestScore(pos) = score
+        bestCell(pos) = c
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestCell, filled))
+  }
+}
+
+/**
+ * `nprobe` nearest IVF cells of a vector under a broadcast centroid
+ * matrix, as array<int> ordered nearest-first.
+ *
+ * Why custom: the previous formulation inlined every centroid as a
+ * `typedlit` and built one struct expression per cell — correct at
+ * nlist=16, but the expression tree (and generated code) grows linearly
+ * with nlist, capping it at a few hundred cells. A 100 TB corpus wants
+ * nlist in the tens of thousands, so the matrix rides a torrent broadcast
+ * (one copy per executor, a reference in the task binary) and the per-row
+ * work is one fused argmin loop regardless of nlist.
+ */
+case class NearestCellsExpr(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Double]], Array[Double])],
+    nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCellsKernel.topCells(v.asInstanceOf[ArrayData], bc, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj(
+      "centroidsBc", bc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.core.NearestCellsKernel.topCells($v, $bcRef, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsExpr =
+    copy(child = newChild)
+}
+
 object RollingHash {
   val Prime = 1000000007L
 

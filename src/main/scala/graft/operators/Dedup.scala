@@ -80,13 +80,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      n: Int = ShingleSize): DataFrame =
-    // Three consumers (both join sides + the size aggregate) — materialize
-    // the shingle table once instead of re-running explode + distinct.
-    // The persist is scoped to the session cache (as in minHashPairs):
-    // long-lived sessions calling this per batch should
-    // spark.catalog.clearCache() between batches.
-    jaccardPairsFromShingles(shingles(df, idCol, textCol, n).persist(), threshold)
+      n: Int = ShingleSize): DataFrame = {
+    // Three consumers (both join sides + the size aggregate) share the
+    // char-shingle table; caching it columnar is measurably faster than
+    // exchange reuse or a row-block checkpoint for the quadratic join.
+    // The cache cannot be allowed to outlive the call (ADVICE r1: leaked
+    // operator persists pile up in long sessions), so the operator runs
+    // eagerly: materialize the (tiny — this is the audit path on samples)
+    // pair set with a localCheckpoint, then drop the shingle cache before
+    // returning. Only the small result blocks remain, GC-reaped by the
+    // ContextCleaner.
+    val sh = shingles(df, idCol, textCol, n).persist()
+    try jaccardPairsFromShingles(sh, threshold).localCheckpoint(true)
+    finally sh.unpersist()
+  }
 
   /**
    * Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin): order each
@@ -103,20 +110,21 @@ object Dedup {
    * the driver's synthetic word-salad corpus).
    */
   def prefixFilteredJaccardPairs(shIn: DataFrame, threshold: Double): DataFrame = {
-    val sh = shIn.persist()
+    val sh = shIn
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
     val szW = Window.partitionBy(col("id"))
     // ceil with an epsilon: when t*n is mathematically integral the double
     // product can land at n.000...001 and ceil one too high, shortening the
     // prefix below what the AllPairs bound requires (missed exact-threshold
-    // pairs). The prefix table feeds both self-join sides — persist it.
+    // pairs). The prefix table feeds both self-join sides; its window runs
+    // behind an exchange on id, which ReuseExchange dedups across the two
+    // identical scans — no persist needed (or leaked).
     val prefix = sh.join(df, "shingle")
       .withColumn("rn", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(szW))
       .where(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"))
-      .persist()
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -208,9 +216,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    // Shingles feed three consumers (signatures, sizes, verification) —
-    // materialize once instead of recomputing the explode+distinct.
-    val sh = wordShingles(df, idCol, textCol).persist()
+    // Shingles feed three consumers (signatures, sizes, verification). The
+    // shingle table ends in its collect_set aggregate's exchange, so
+    // ReuseExchange runs that shuffle once and each consumer re-reads the
+    // shuffle files — no persist, nothing outlives the query.
+    val sh = wordShingles(df, idCol, textCol)
     val cand = lshCandidates(lshBands(minHashSignatures(sh)))
     exactJaccardOfCandidates(sh, cand, threshold)
   }
@@ -257,19 +267,27 @@ object Dedup {
    * Connected components over a near-dup pair set: the dedup *decision*.
    * Every id gets the component's minimum id as `rep_id`; keeping rows
    * where `id == rep_id` retains exactly one document per near-dup
-   * cluster. Min-label propagation: each round every node takes the
-   * smallest label among itself and its neighbors, converging in at most
-   * the component-diameter rounds (near-dup clusters are shallow — dups of
-   * one document interlink — so rounds stay in the low single digits;
-   * for deep chains at extreme scale swap in large-star/small-star).
-   * Deterministic: labels are ids, min is order-free.
+   * cluster. Deterministic: labels are ids, min is order-free.
    *
    * Near-dup pairs are a tiny fraction of any sane corpus, so when the
    * pair set fits comfortably on the driver (`driverPairLimit`) the
-   * clustering runs as an exact union-find there — one collect, no
-   * iteration — and only the component map (smaller still) is broadcast
-   * back. Corpora whose pair set exceeds the limit fall back to the
-   * distributed propagation loop.
+   * clustering runs as an exact union-find there — one bounded collect
+   * (`limit(driverPairLimit + 1)`, so an unexpectedly huge pair set cannot
+   * flood the driver), no iteration, no caching — and only the component
+   * map (smaller still) is broadcast back.
+   *
+   * Corpora whose pair set exceeds the limit run the distributed
+   * alternating large-star/small-star algorithm (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14): each round
+   * rewires every node toward its neighborhood minimum, converging in
+   * O(log^2 n) rounds even on deep chains (min-label propagation would
+   * need diameter rounds). Each round is materialized with an eager
+   * localCheckpoint, so the plan stays O(1) deep and no operator-internal
+   * persist outlives the call; at production scale point
+   * `spark.sparkContext.setCheckpointDir` at durable storage and swap
+   * `localCheckpoint()` for `checkpoint()` if executor loss during the
+   * loop must be survivable. Non-convergence within `maxIters` throws —
+   * a partial dedup decision must never pass silently.
    */
   def components(
       ids: DataFrame,
@@ -284,9 +302,12 @@ object Dedup {
     val p = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .join(idSet.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
       .join(idSet.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
-      .persist()
-    val nPairs = p.count()
-    if (nPairs <= driverPairLimit) {
+    val limit = math.min(driverPairLimit, Int.MaxValue - 1L).toInt
+    // One bounded action decides the path AND feeds the driver path: a
+    // row count above the limit proves the pair set is "too big" without
+    // ever materializing more than limit+1 rows on the driver.
+    val probe = p.limit(limit + 1).collect()
+    if (probe.length <= limit) {
       val spark = ids.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap[Long, Long]()
@@ -297,53 +318,80 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      p.collect().foreach { row =>
+      probe.foreach { row =>
         val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
         if (ra != rb) {
           // attach the larger root under the smaller: roots are component minima
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      p.unpersist()
       val reps = parent.keys.map(k => (k, find(k))).toSeq.toDF("id", "rep0")
       return ids.select(col("id"))
         .join(broadcast(reps), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("rep0"), col("id")).as("rep_id"))
     }
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    var labels = ids.select(col("id"), col("id").as("rep_id")).persist()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src"))
-        .agg(min(col("rep_id")).as("nbr_rep"))
-      val next = labels.as("l")
-        .join(nbrMin.as("n"), col("l.id") === col("n.src"), "left_outer")
-        .select(
-          col("l.id").as("id"),
-          least(col("l.rep_id"), coalesce(col("n.nbr_rep"), col("l.rep_id"))).as("rep_id"))
-        .persist()
-      changed = next.as("a")
-        .join(labels.as("b"), col("a.id") === col("b.id"))
-        .where(col("a.rep_id") =!= col("b.rep_id"))
-        .count()
-      labels.unpersist()
-      labels = next
-      it += 1
+    val stars = starContraction(p, maxIters)
+    val out = ids.select(col("id"))
+      .join(stars.withColumnRenamed("src", "id").withColumnRenamed("dst", "rep0"),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("rep0"), col("id")).as("rep_id"))
+    out
+  }
+
+  /**
+   * Alternating large-star/small-star contraction. Input: undirected edges
+   * as (id_a, id_b) longs. Output: one edge (node -> component minimum)
+   * per non-root node — a star forest. Fixed point is detected with an
+   * order-independent fingerprint (count + sum of per-edge hashes), one
+   * aggregate per round.
+   */
+  private[graft] def starContraction(p: DataFrame, maxIters: Int): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("src"), least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    // Order-independent edge-set fingerprint: count + XOR of per-edge
+    // hashes (xor, not sum: ANSI mode makes long sums overflow-checked,
+    // and the edge set is distinct so nothing self-cancels).
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    if (changed > 0)
-      System.err.println(
-        s"[components] label propagation did NOT converge in $maxIters rounds " +
-          s"($changed labels still moving) — results are partial; raise maxIters")
-    edges.unpersist()
-    p.unpersist()
-    // The final labels stay persisted: unpersisting would force consumers
-    // to replay the whole iteration lineage. Callers in long-lived
-    // sessions clearCache() between batches (as with the dedup persists).
-    labels
+    // large-star: every node u sends its *larger* neighbors to
+    // m(u) = min(neighborhood(u) + u) — long chains fold toward minima.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      canon(sym.join(m, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+    // small-star: every node u rewires its *smaller* neighbors (and
+    // itself) to their minimum — stars flatten.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = canon(e) // (bigger -> smaller)
+      val m = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      canon(dir.join(m, "src")
+        .where(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(m.select(col("src"), col("m").as("dst"))))
+    }
+    var edges = canon(p.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var it = 0
+    while (it < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      edges = next
+      it += 1
+      if (nfp == fp) return edges
+      fp = nfp
+    }
+    throw new IllegalStateException(
+      s"components: star contraction did not converge in $maxIters rounds — " +
+        "raise maxIters; returning partial labels would silently under-dedup")
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively

@@ -95,24 +95,22 @@ object Similarity {
       .select(col("id"), col("vec"), col("norm"), col("e.table").as("table"), col("e.bucket").as("bucket"))
   }
 
-  /** Centroid-distance ranking structs (score, cell) for a vector — the
-    * shared kernel of assignment (nearest 1) and probing (nearest nprobe).
-    * `score` is squared L2 minus the per-row constant `vec·vec` term
-    * (ordering is all callers use, so the constant is dropped — one dot
-    * per centroid instead of two). All dots go through the codegen'd
-    * [[graft.core.DoubleArrayDot]] loop; ties break on cell id because
-    * struct ordering compares fields left to right. */
-  private def cellDistStructs(vec: Column, centroids: Array[Array[Double]]): Seq[Column] =
-    centroids.zipWithIndex.map { case (ctr, i) =>
-      val lit_c = typedlit(ctr.toIndexedSeq)
-      struct(
-        (lit(ctr.map(x => x * x).sum) - lit(2.0) * array_dot(vec, lit_c)).as("score"),
-        lit(i).as("cell"))
-    }.toIndexedSeq
-
-  /** Index of the nearest centroid. */
-  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
-    element_at(sort_array(array(cellDistStructs(vec, centroids): _*)), 1).getField("cell")
+  /** The `nprobe` nearest centroid ids for a vector, nearest first — the
+    * shared kernel of assignment (nprobe=1) and probing. The centroid
+    * matrix rides a torrent broadcast and the per-row work is one fused
+    * argmin loop ([[graft.core.NearestCellsExpr]]), so plan size and
+    * generated code are independent of nlist — the scale path for the
+    * 16k–65k cells a 100 TB corpus needs (inlining each centroid as a
+    * literal expression would cap nlist at a few hundred). Score is
+    * squared L2 minus the per-row constant `vec·vec` term (ordering is
+    * all callers use); ties break on cell id. */
+  private def nearestCells(
+      vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[(Array[Array[Double]], Array[Double])],
+      nprobe: Int): Column = {
+    import org.apache.spark.sql.graft.interop
+    interop.column(graft.core.NearestCellsExpr(interop.expression(vec), bc, nprobe))
+  }
 
   /**
    * Deterministic k-means (Lloyd's algorithm) for the IVF coarse
@@ -216,15 +214,19 @@ object Similarity {
       maxTrainRows: Int = 65536): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
     val centroids = kmeansCentroids(c, nlist, maxTrainRows = maxTrainRows)
-    val assigned = c.withColumn("cell", nearestCell(col("vec"), centroids))
-    // Per query: squared L2 distance to every centroid (codegen'd dots),
+    // One broadcast of (matrix, |c|^2 norms): every task reads the same
+    // executor-local copy; nothing about the plan grows with nlist.
+    val bc = corpus.sparkSession.sparkContext.broadcast(
+      (centroids, centroids.map(_.map(x => x * x).sum)))
+    val assigned = c.withColumn("cell", element_at(nearestCells(col("vec"), bc, 1), 1))
+    // Per query: squared L2 distance to every centroid (one fused loop),
     // keep the nprobe nearest cells.
     val q0 = prepared(queries, idCol, vecCol)
     val probes = q0
-      .withColumn("cells", slice(sort_array(array(cellDistStructs(col("vec"), centroids): _*)), 1, nprobe))
+      .withColumn("cells", nearestCells(col("vec"), bc, nprobe))
       .select(
         col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
-        explode(col("cells").getField("cell")).as("cell"))
+        explode(col("cells")).as("cell"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .where(col("id") =!= col("query_id"))
@@ -251,7 +253,16 @@ object Similarity {
     val c = prepared(corpus, idCol, vecCol)
     // Plane dimensionality must match the data; deriving it from the
     // corpus (one cheap head()) prevents silent truncation or OOB reads.
-    val dim = c.select(size(col("vec"))).head().getInt(0)
+    // An empty corpus (or all rows dropped by the norm>0 filter) has no
+    // dimensionality and no neighbors: return the empty result frame
+    // instead of throwing on head().
+    val dimRow = c.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty) {
+      return c.select(
+        col("id").as("query_id"), col("id").as("neighbor_id"),
+        lit(1).as("rank"))
+    }
+    val dim = dimRow(0).getInt(0)
     val cb = lshBuckets(c, tables, planes, dim)
     val qb = lshBuckets(prepared(queries, idCol, vecCol), tables, planes, dim)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),

@@ -11,10 +11,18 @@ case class DomainMetadata(
     name: String,
     spec: DomainSpec,
     versions: Seq[Long],
-    latestVersion: Option[Long]) {
-  /** Reference status semantics collapse to: a domain with at least one
-    * published version is serveable ("ready"), otherwise it is "loading". */
-  def status: String = if (latestVersion.isDefined) "ready" else "loading"
+    latestVersion: Option[Long],
+    failedVersions: Seq[Long] = Nil) {
+  /** Reference status semantics (core.thrift:10-35) mapped to batch: a
+    * domain serving at least one published version is "ready" (a later
+    * failed update does not unserve it, matching the reference's
+    * keep-serving-the-old-version behavior); a domain with no published
+    * version is "failed" if an attempt left a failure marker, else
+    * "loading". ("shutdown" has no analog without a daemon.) */
+  def status: String =
+    if (latestVersion.isDefined) "ready"
+    else if (failedVersions.nonEmpty) "failed"
+    else "loading"
 }
 
 /**
@@ -48,7 +56,9 @@ class DomainCatalog(val root: Path, conf: Configuration) {
 
   def metadata(name: String): DomainMetadata = {
     val d = domain(name)
-    DomainMetadata(name, d.spec, d.versions.getAllVersions, d.versions.mostRecentVersion)
+    DomainMetadata(
+      name, d.spec, d.versions.getAllVersions, d.versions.mostRecentVersion,
+      d.versions.failedVersions)
   }
 
   def metadataAll: Seq[DomainMetadata] = listDomains.map(metadata)

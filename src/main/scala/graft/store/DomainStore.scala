@@ -123,7 +123,9 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    *  - scatter/gather: broadcast-hash inner join of the pruned scan against
    *    the (small) key set;
    *  - absent keys come back with a null value, not an error
-   *    (core.thrift:6-8): they're re-attached via a broadcast anti-join.
+   *    (core.thrift:6-8): the miss set is computed driver-side from a
+   *    key-column-only probe of the pruned shards and unioned back in as a
+   *    local relation.
    *
    * `keys` needs a `key: binary` column. Point-lookup batches are small by
    * contract (they are broadcast); for key sets too large to broadcast —
@@ -133,27 +135,35 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    */
   def multiGet(keys: DataFrame, broadcastKeys: Boolean = true): DataFrame = {
     val spark = keys.sparkSession
+    import spark.implicits._
     val n = numShards
     val keySet = keys.select(col("key")).distinct()
     if (!broadcastKeys) {
       return keySet.join(read(spark).select("key", "value"), Seq("key"), "left_outer")
     }
-    val routed = keySet.withColumn("shard", shard_index(col("key"), n))
-    // Driver-side shard routing: at most n small ints, never key data.
-    val shardRows = routed.select("shard").distinct().collect()
-    require(!shardRows.exists(_.isNullAt(0)), "multiGet: key set contains a null key")
-    val shards = shardRows.map(_.getInt(0))
+    // The key set is small by contract (it is broadcast below), so routing
+    // happens on the driver — exactly where the reference's client
+    // computed key -> shard (keyval/core.clj:118-134). Collecting it also
+    // lets the miss set be computed locally, so the operator holds no
+    // cache: nothing persists past the call (a long-lived session issuing
+    // many multiGets pins zero blocks).
+    val keyRows = keySet.withColumn("shard", shard_index(col("key"), n)).collect()
+    require(!keyRows.exists(_.isNullAt(1)), "multiGet: key set contains a null key")
+    val localKeys = keyRows.map(_.getAs[Array[Byte]](0))
+    val shards = keyRows.map(_.getInt(1)).distinct
     val pruned = read(spark).where(col("shard").isin(shards.toIndexedSeq: _*))
-    // Materialize hits once (bounded by the key set, small by contract):
-    // the misses branch anti-joins against the SAME result instead of
-    // re-running the pruned scan + join a second time.
-    val hits = pruned.join(broadcast(routed.select("key")), Seq("key"), "inner")
+    val keysDf = localKeys.toSeq.toDF("key")
+    // Found keys via a key-column-only scan of the pruned shards (column
+    // pruning keeps value pages unread); bounded by the key set.
+    val found = pruned.select("key")
+      .join(broadcast(keysDf), Seq("key"), "left_semi")
+      .collect().map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](0)))
+      .toSet
+    val misses = localKeys
+      .filter(k => !found.contains(java.nio.ByteBuffer.wrap(k)))
+      .toSeq.map(k => (k, null: Array[Byte])).toDF("key", "value")
+    val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
       .select(col("key"), col("value"))
-      .persist()
-    val misses = routed
-      .select("key")
-      .join(broadcast(hits.select("key")), Seq("key"), "left_anti")
-      .withColumn("value", lit(null).cast("binary"))
     hits.unionByName(misses)
   }
 
@@ -171,12 +181,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
   /** Total pair count (reference getCount — a full scan of every shard
     * there, `common/domain.clj:289–293`). Here it is metadata-only: the
-    * per-file row counts come from parquet footers alone, summed in
-    * parallel, without launching a Spark job or reading a single data
-    * page. `spark` is unused but kept so callers can treat every domain
-    * read op uniformly. */
-  def count(spark: SparkSession): Long = {
-    import scala.collection.parallel.CollectionConverters._
+    * per-file row counts come from parquet/orc footers alone, no data
+    * page is ever read. Small domains sum footers in a driver thread pool
+    * (no Spark job at all); above `distributeAbove` files the footer reads
+    * run as one Spark map-reduce — at 64k shards on an object store the
+    * driver-side loop would be minutes of sequential-ish metadata I/O,
+    * the distributed pass is one short stage. */
+  def count(spark: SparkSession, distributeAbove: Int = 1024): Long = {
     val vp = versions.versionPath(latestVersion)
     val fs = vp.getFileSystem(conf)
     val files = scala.collection.mutable.ArrayBuffer[Path]()
@@ -185,17 +196,27 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       val f = it.next()
       if (f.getPath.getName.endsWith(fileSuffix)) files += f.getPath
     }
-    files.par.map { p =>
-      if (format == "orc") {
-        val r = org.apache.orc.OrcFile.createReader(
-          p, org.apache.orc.OrcFile.readerOptions(conf))
-        try r.getNumberOfRows finally r.close()
-      } else {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try r.getRecordCount finally r.close()
-      }
-    }.sum
+    if (files.isEmpty) return 0L
+    if (files.length <= distributeAbove) {
+      import scala.collection.parallel.CollectionConverters._
+      files.par.map(p => DomainStore.footerRowCount(p, format, conf)).sum
+    } else {
+      import spark.implicits._
+      import scala.jdk.CollectionConverters._
+      // The closure ships the conf as plain entries (Hadoop Configuration
+      // is not serializable) and rebuilds it per partition. Dataset API
+      // end to end — rows move as UnsafeRow, no RDD serializer involved.
+      val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
+      val fmt = format
+      spark.createDataset(files.map(_.toString).toSeq)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { paths =>
+          val c = new Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          paths.map(s => DomainStore.footerRowCount(new Path(s), fmt, c))
+        }
+        .agg(sum("value")).head().getLong(0)
+    }
   }
 
   // --------------------------------------------------------------- updates
@@ -306,6 +327,20 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 }
 
 object DomainStore {
+
+  /** Row count from a single data file's footer metadata. Runs on the
+    * driver pool for small domains and inside executor tasks for large
+    * ones — keep it dependency-free of the enclosing instance. */
+  private[store] def footerRowCount(p: Path, format: String, conf: Configuration): Long =
+    if (format == "orc") {
+      val r = org.apache.orc.OrcFile.createReader(
+        p, org.apache.orc.OrcFile.readerOptions(conf))
+      try r.getNumberOfRows finally r.close()
+    } else {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }
 
   /** The fixed on-disk schema of every domain version: opaque binary pair
     * + the shard partition column (SURVEY §1.1 — schema is fixed and

@@ -29,14 +29,18 @@ class VersionedStore(val root: Path, conf: Configuration) {
 
   def versionPath(version: Long): Path = new Path(root, version.toString)
   private def tokenPath(version: Long): Path = new Path(root, s"$version.version")
+  private def failedPath(version: Long): Path = new Path(root, s"$version.failed")
 
   /** Allocate a new (unpublished) version dir; rejects an already-published
-    * id and clears any leftover partial dir (VersionedStore.java:78-91). */
+    * id and clears any leftover partial dir (VersionedStore.java:78-91).
+    * A stale failure marker for the id is cleared — a new attempt means
+    * the version is loading again, not failed. */
   def createVersion(version: Long): Path = {
     val f = fs
     require(!f.exists(tokenPath(version)), s"version $version already exists at $root")
     val p = versionPath(version)
     if (f.exists(p)) f.delete(p, true)
+    f.delete(failedPath(version), false)
     f.mkdirs(root)
     p
   }
@@ -45,11 +49,34 @@ class VersionedStore(val root: Path, conf: Configuration) {
   def succeedVersion(version: Long): Unit = {
     val f = fs
     f.mkdirs(versionPath(version))
+    f.delete(failedPath(version), false)
     f.create(tokenPath(version), true).close()
   }
 
-  /** Abort/unpublish: delete data dir and token (VersionedStore.java:93-100). */
-  def failVersion(version: Long): Unit = deleteVersion(version)
+  /** Abort/unpublish: delete data dir and token (VersionedStore.java:93-100)
+    * and leave a `<version>.failed` marker so the failure stays visible in
+    * the catalog — the batch analog of the reference's `failed` domain
+    * status (common/status.clj:17-35, core.thrift:10-35), which otherwise
+    * has no trace once the partial dir is reaped. */
+  def failVersion(version: Long): Unit = {
+    deleteVersion(version)
+    fs.create(failedPath(version), true).close()
+  }
+
+  /** Versions whose build failed (marker present, never re-attempted or
+    * succeeded since), newest first. */
+  def failedVersions: Seq[Long] = {
+    val f = fs
+    if (!f.exists(root)) Seq.empty
+    else
+      f.listStatus(root)
+        .iterator
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".failed"))
+        .flatMap(_.stripSuffix(".failed").toLongOption)
+        .toSeq
+        .sorted(Ordering[Long].reverse)
+  }
 
   def deleteVersion(version: Long): Unit = {
     val f = fs

@@ -114,6 +114,21 @@ class OperatorsSpec extends SparkSuite {
     assert(full === exact, "nprobe = nlist must equal the exact result")
   }
 
+  test("ivf scales to nlist >= 256: recall holds and nprobe = nlist is exact") {
+    // With broadcast centroids the plan must not grow with nlist — this
+    // runs a cell count the literal-centroid formulation could not codegen.
+    val q = embs.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embs, q, "vec_id", "embedding", 10, nlist = 256, nprobe = 64)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf(nlist=256) recall@10 = $recall")
+    val full = Similarity.ivfTopK(embs, q, "vec_id", "embedding", 10, nlist = 256, nprobe = 256)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nprobe = nlist must equal the exact result at nlist = 256")
+  }
+
   test("cosine: self-similarity is 1.0") {
     val p = Similarity.prepared(embs.limit(10), "vec_id", "embedding")
     val selfs = p.select(Similarity.dot(col("vec"), col("vec")) / (col("norm") * col("norm")))
@@ -155,6 +170,22 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaDriver === expected)
     assert(viaLoop === expected)
+  }
+
+  test("components: star contraction resolves a deep chain in O(log n) rounds") {
+    import spark.implicits._
+    // A 256-node path graph: min-label propagation would need ~256 rounds
+    // (diameter-bound); alternating large-star/small-star must finish in
+    // logarithmic rounds, so maxIters = 12 both proves the speed and
+    // fails loudly (components throws on non-convergence) if the
+    // implementation regresses to diameter-bound behavior.
+    val n = 256
+    val ids = (1L to n.toLong).toDF("id")
+    val pairs = (1L until n.toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.components(ids, pairs, maxIters = 12, driverPairLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === n)
+    assert(out.values.toSet === Set(1L))
   }
 
   test("sampling: splits are disjoint, exhaustive, stable; samples are nested") {

@@ -42,4 +42,40 @@ class DomainCatalogSpec extends SparkSuite {
     assert(cat.purgeUnused(Set("alpha")) === Seq("beta"))
     assert(cat.listDomains === Seq("alpha"))
   }
+
+  test("failed builds surface in the catalog (reference failed status)") {
+    val root = scratch("catalog-failed")
+    val g = DomainStore.create(s"$root/gamma", DomainSpec(2), conf)
+    val cat = new DomainCatalog(root, conf)
+
+    // build attempt dies -> failVersion leaves a marker; no published
+    // version, so the domain reports failed (not a silent "loading")
+    g.versions.createVersion(1L)
+    g.versions.failVersion(1L)
+    assert(cat.metadata("gamma").status === "failed")
+    assert(cat.metadata("gamma").failedVersions === Seq(1L))
+
+    // a retry of the same version id means loading again...
+    g.versions.createVersion(1L)
+    assert(cat.metadata("gamma").status === "loading")
+    // ...and success clears the failure trace entirely
+    g.versions.succeedVersion(1L)
+    assert(cat.metadata("gamma").status === "ready")
+    assert(cat.metadata("gamma").failedVersions === Nil)
+
+    // a failed UPDATE of a serving domain does not unserve it
+    g.versions.createVersion(2L)
+    g.versions.failVersion(2L)
+    assert(cat.metadata("gamma").status === "ready")
+    assert(cat.metadata("gamma").failedVersions === Seq(2L))
+
+    // end-to-end: a write whose job crashes publishes nothing but records
+    // the failure (DomainStore.write routes errors through failVersion)
+    import org.apache.spark.sql.functions.{col, udf}
+    val boom = udf((_: String) => sys.error("boom"): String)
+    val bad = kv("a" -> "1").withColumn("value", utf8_bytes(boom(bytes_utf8(col("value")))))
+    intercept[Exception](g.write(bad, 3L))
+    assert(cat.metadata("gamma").failedVersions.contains(3L))
+    assert(cat.metadata("gamma").status === "ready")
+  }
 }

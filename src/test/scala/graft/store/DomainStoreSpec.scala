@@ -210,6 +210,27 @@ class DomainStoreSpec extends SparkSuite {
     assert(bulk === got)
   }
 
+  test("multiGet pins no cache: no persistent RDDs survive a round-trip") {
+    val store = DomainStore.create(scratch("mg-nocache"), DomainSpec(4), conf)
+    store.write(kv("a" -> "1", "b" -> "2", "c" -> "3"), 1L)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val keys = kv("a" -> "", "b" -> "", "nope" -> "").select(col("key"))
+    val got = store.multiGet(keys).collect()
+    assert(got.length === 3)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"multiGet leaked persisted RDDs: ${(after -- before).mkString(", ")}")
+  }
+
+  test("count: distributed footer summation agrees with the driver pool") {
+    val store = DomainStore.create(scratch("count-dist"), DomainSpec(8), conf)
+    val pairs = (0 until 300).map(i => s"ck$i" -> s"cv$i")
+    store.write(kv(pairs: _*), 1L)
+    assert(store.count(spark) === 300L)
+    // distributeAbove = 0 forces the Spark map-reduce branch
+    assert(store.count(spark, distributeAbove = 0) === 300L)
+  }
+
   test("write rejects duplicate keys only in dedup mode semantics") {
     val store = DomainStore.create(scratch("dup"), DomainSpec(2), conf)
     store.write(kv("a" -> "1", "a" -> "2"), 1L, dedupKeys = true)
