@@ -37,8 +37,13 @@ object DomainSpec {
   val HashMod = "hash-mod"
   val ParquetSorted = "parquet-sorted"
   val OrcSorted = "orc-sorted"
+
+  /** In-memory test persistence (reference MemoryPersistence, S11):
+    * parquet layout on the JVM-local `ramfs://` filesystem — the whole
+    * pipeline runs, nothing touches disk. Requires a ramfs:// root. */
+  val Memory = "memory"
   val KnownSchemes: Set[String] = Set(HashMod)
-  val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted)
+  val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory)
 
   val FileName = "domain-spec.json"
 

@@ -94,6 +94,17 @@ object KvQueries {
           be_long(expr("substring(key, 9, 4)")).as("l_linenumber"),
           bytes_utf8(col("value")).as("suppkey"))
     },
+    // Bulk enrichment with a salted join (README "AQE-friendly" skew
+    // hatch, pinned by DomainStoreSpec): probe keys o_custkey % 50
+    // concentrate on ~50 hot keys; salt = 8 spreads each over 8 tasks.
+    // Salt is a query-time rewrite only, so results must equal a plain
+    // left join — which is exactly what the oracle checks.
+    "kv_lookup_join_salted" -> { (s, dir) =>
+      val probe = Fixtures.table(s, dir, "orders")
+        .select(col("o_orderkey"), long_be(col("o_custkey") % 50).as("key"))
+      Fixtures.customerDomain(s, dir).lookupJoin(probe, salt = 8)
+        .select(col("o_orderkey"), bytes_utf8(col("value")).as("c_name"))
+    },
     // Q4+Q6: per-shard fanout of the routing function (the write-side
     // histogram a domain build produces for these keys).
     "kv_shard_distribution" -> { (s, dir) =>
@@ -123,6 +134,9 @@ object KvQueries {
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
       "kv_count" ->
         "SELECT count(*) AS cnt FROM customer",
+      "kv_lookup_join_salted" ->
+        """SELECT o.o_orderkey, c.c_name
+          |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey % 50""".stripMargin,
       "kv_lineitem_lookup" ->
         """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
           |  CAST(l_suppkey AS VARCHAR) AS suppkey

@@ -31,6 +31,13 @@ import graft.functions.shard_index
  */
 class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   spec.validate()
+  // ramfs:// is self-registering so memory-format domains (and any domain
+  // hosted on the test filesystem) resolve without caller conf fiddling.
+  RamFileSystem.register(conf)
+  if (spec.persistenceFormat == DomainSpec.Memory)
+    require(
+      root.toUri.getScheme == RamFileSystem.SchemeName,
+      s"memory persistence requires a ${RamFileSystem.SchemeName}:// root, got $root")
 
   val versions = new VersionedStore(root, conf)
 
@@ -49,9 +56,17 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   private val format: String = spec.persistenceFormat match {
     case DomainSpec.ParquetSorted => "parquet"
     case DomainSpec.OrcSorted => "orc"
+    case DomainSpec.Memory => "parquet" // parquet layout on ramfs://
     case f => throw new IllegalArgumentException(s"unsupported persistenceFormat '$f'")
   }
   private val fileSuffix: String = if (format == "orc") ".orc" else ".parquet"
+
+  /** Datasource options every Spark read/write of this domain needs:
+    * Spark folds them into the per-query Hadoop conf, which is how the
+    * executors learn to resolve ramfs:// paths. */
+  private val fsOptions: Map[String, String] =
+    if (root.toUri.getScheme == RamFileSystem.SchemeName) RamFileSystem.ConfEntries
+    else Map.empty
 
   /**
    * Bulk build: shardize -> one shuffle -> per-partition sort -> parquet.
@@ -69,6 +84,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         .format(format)
         .option("compression", "zstd")
         .options(spec.persistenceOptions) // engine tuning passthrough (reference persistenceOptions)
+        .options(fsOptions)
         .partitionBy("shard")
         .save(versions.versionPath(version).toString)
       versions.succeedVersion(version)
@@ -107,6 +123,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       // DataFrame instead of failing schema inference.
       .schema(DomainStore.DomainSchema)
       .option("basePath", versions.versionPath(version).toString)
+      .options(fsOptions)
       .load(versions.versionPath(version).toString)
       .withColumn("shard", col("shard").cast("int"))
   }
@@ -165,6 +182,36 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
       .select(col("key"), col("value"))
     hits.unionByName(misses)
+  }
+
+  /**
+   * Bulk enrichment join: attach each probe row's domain value (null when
+   * absent) — the "huge key set" cousin of [[multiGet]], for probe sets
+   * that repeat keys (so `multiGet(broadcastKeys = false)`'s distinct
+   * would be wrong as an enrichment).
+   *
+   * `salt > 1` is the skew escape hatch: a hot probe key otherwise lands
+   * every one of its rows in a single shuffle task (the classic
+   * straggler). Each domain row is replicated once per salt value and
+   * each probe row draws a uniform salt, so the join key becomes
+   * (key, salt) and a hot key spreads over `salt` tasks. Domain-side cost
+   * is a deliberate salt× replication of the (small relative to probes)
+   * domain rows; routing/layout are untouched — this is a query-time
+   * rewrite only. Correct for any salt: every probe row still matches
+   * exactly one replica of its key, misses still null out (left outer on
+   * both key and salt).
+   */
+  def lookupJoin(rows: DataFrame, salt: Int = 1): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val spark = rows.sparkSession
+    val dom = read(spark).select(col("key"), col("value"))
+    if (salt == 1) rows.join(dom, Seq("key"), "left_outer")
+    else {
+      val replicated = dom.withColumn(
+        "_salt", explode(typedlit((0 until salt).toIndexedSeq)))
+      val salted = rows.withColumn("_salt", (rand(42) * salt).cast("int"))
+      salted.join(replicated, Seq("key", "_salt"), "left_outer").drop("_salt")
+    }
   }
 
   /** Single-key lookup: partition-pruned, row-group-skipping scan. */
@@ -274,6 +321,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           .format(format)
           .option("compression", "zstd")
           .options(spec.persistenceOptions)
+          .options(fsOptions)
           .partitionBy("shard")
           .save(versions.versionPath(newVersion).toString)
         copyForward(oldVersion, newVersion, (0 until n).filterNot(affected))

@@ -210,6 +210,37 @@ class DomainStoreSpec extends SparkSuite {
     assert(bulk === got)
   }
 
+  test("memory persistence format (S11): full battery on ramfs, no disk") {
+    RamFileSystem.clear()
+    val spec = DomainSpec(4, persistenceFormat = DomainSpec.Memory)
+    val store = DomainStore.create("ramfs://mem/t-battery", spec, conf)
+    val pairs = (0 until 100).map(i => s"mk$i" -> s"mv$i")
+    store.write(kv(pairs: _*), 1L)
+    assert(readPairs(store) === pairs.toSet)
+    assert(store.count(spark) === 100L)
+    // footer counts through the distributed branch also resolve ramfs
+    assert(store.count(spark, distributeAbove = 0) === 100L)
+    // upsert = merge + copy-forward, all inside the ram namespace
+    store.upsert(spark, kv("mk0" -> "new", "extra" -> "x"), 2L)
+    assert(store.latestVersion === 2L)
+    val got = readPairs(store)
+    assert(got.contains("mk0" -> "new") && got.contains("extra" -> "x"))
+    assert(got.size === 101)
+    // point reads
+    assert(store.get(spark, "mk5".getBytes("UTF-8")).map(new String(_, "UTF-8")) === Some("mv5"))
+    val mg = store.multiGet(kv("mk1" -> "", "nope" -> "").select(col("key")))
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(mg === Map("mk1" -> Some("mv1"), "nope" -> None))
+    // reopen from the process-global namespace with a fresh conf
+    val re = DomainStore.open("ramfs://mem/t-battery", new Configuration())
+    assert(re.spec === spec)
+    assert(re.latestVersion === 2L)
+    // memory format on a disk root is rejected loudly
+    intercept[IllegalArgumentException](
+      DomainStore.create(scratch("mem-on-disk"), spec, conf))
+  }
+
   test("multiGet pins no cache: no persistent RDDs survive a round-trip") {
     val store = DomainStore.create(scratch("mg-nocache"), DomainSpec(4), conf)
     store.write(kv("a" -> "1", "b" -> "2", "c" -> "3"), 1L)
@@ -229,6 +260,42 @@ class DomainStoreSpec extends SparkSuite {
     assert(store.count(spark) === 300L)
     // distributeAbove = 0 forces the Spark map-reduce branch
     assert(store.count(spark, distributeAbove = 0) === 300L)
+  }
+
+  test("salted lookupJoin: equals the plain join AND spreads the hot key") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val store = DomainStore.create(scratch("salty"), DomainSpec(4), conf)
+    store.write(kv((0 until 50).map(i => s"k$i" -> s"v$i"): _*), 1L)
+    // 2000 probe rows, 90% on one hot key — the classic enrichment skew
+    import spark.implicits._
+    val probe = (0 until 2000)
+      .map(i => (i.toLong, if (i % 10 != 0) "k7" else s"k${i % 50}"))
+      .toDF("row_id", "k")
+      .select(col("row_id"), utf8_bytes(col("k")).as("key"))
+    // Force the shuffle-join path (a broadcastable dim never skews) and
+    // keep AQE from coalescing the tiny test partitions back together.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      def materialize(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("row_id"), bytes_utf8(col("value")).as("v"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sorted
+      val plain = materialize(store.lookupJoin(probe))
+      val salted = materialize(store.lookupJoin(probe, salt = 8))
+      assert(salted === plain)
+      assert(plain.count(_._2.isEmpty) === 0)
+      // straggler check: the hot key's rows must land in > 1 join task
+      val hotParts = store.lookupJoin(probe, salt = 8)
+        .where(bytes_utf8(col("key")) === "k7")
+        .select(spark_partition_id().as("p"))
+        .distinct().count()
+      assert(hotParts > 1, s"hot key stayed in $hotParts partition(s)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
   }
 
   test("write rejects duplicate keys only in dedup mode semantics") {
