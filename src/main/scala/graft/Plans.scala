@@ -48,6 +48,24 @@ object Plans {
         graft.operators.Dedup.wordShingles(
           Fixtures.table(spark, sfDir, "documents"), "doc_id", "text"))
     }
+    dump("salted lookupJoin (expect: join keys (key, _salt) — hot key spread over salt tasks)") {
+      val probe = Fixtures.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), long_be(col("o_custkey") % 50).as("key"))
+      domain.lookupJoin(probe, salt = 8)
+    }
+    // IVF plan must not grow with nlist: centroids ride one broadcast, the
+    // per-row argmin is a single NearestCellsExpr call either way.
+    locally {
+      val embs = Fixtures.table(spark, sfDir, "embeddings")
+      val q = embs.where(col("vec_id") % 100 === 0)
+      def planLen(nlist: Int): Int = graft.operators.Similarity
+        .ivfTopK(embs, q, "vec_id", "embedding", 10, nlist = nlist, nprobe = 4)
+        .queryExecution.executedPlan.toString.length
+      val (p16, p256) = (planLen(16), planLen(256))
+      println(s"\n========== ivf plan size vs nlist ==========")
+      println(s"nlist=16: $p16 chars; nlist=256: $p256 chars (must be ~equal; " +
+        "literal-centroid formulations grow linearly)")
+    }
     dump("domain build plan (expect: one Exchange + in-partition Sort)") {
       import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
       val kvDf = Fixtures.customerKv(spark, sfDir)
