@@ -43,7 +43,8 @@ object Similarity {
       .where(col("norm") > 0)
 
   /** All pairs with cosine >= threshold (embedding near-dup dedup).
-    * Exact O(N^2/2); sample or switch to [[annTopK]] buckets at scale. */
+    * Exact O(N^2/2) — the audit/oracle twin of [[nearDupPairsBucketed]];
+    * use on samples. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val p = prepared(df, idCol, vecCol)
     p.as("a")
@@ -51,6 +52,43 @@ object Similarity {
       .withColumn("cos", dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /**
+   * Corpus-scale embedding near-dup: candidates = pairs sharing a
+   * hyperplane-LSH bucket in any table, then exact cosine verification —
+   * same bucketed-join shape as MinHash-LSH banding, so cost is ~linear
+   * in corpus size + candidates instead of N^2/2. Precision is exact
+   * (every emitted pair passed the cosine check); recall is the LSH
+   * collision probability (raise `tables` to push it toward 1 — at
+   * threshold t, recall = 1 - (1 - p^planes)^tables with
+   * p = 1 - arccos(t)/pi), pinned in OperatorsSpec rather than a SQL
+   * oracle. Output schema matches [[nearDupPairs]].
+   */
+  def nearDupPairsBucketed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      planes: Int = 4): DataFrame = {
+    val c = prepared(df, idCol, vecCol)
+    val dimRow = c.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty) {
+      return c.select(col("id").as("id_a"), col("id").as("id_b"))
+    }
+    val b = lshBuckets(c, tables, planes, dimRow(0).getInt(0))
+    b.as("x")
+      .join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("x.vec").as("vec_a"), col("x.norm").as("norm_a"),
+        col("y.id").as("id_b"), col("y.vec").as("vec_b"), col("y.norm").as("norm_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Exact top-k neighbors for each query vector (queries broadcast). */

@@ -41,6 +41,14 @@ object DedupQueries {
       Similarity.nearDupPairs(
         Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
     },
+    // The scale path for the same decision: LSH-bucketed candidates +
+    // exact cosine verify. Approximate recall by design (no SQL oracle;
+    // precision==exact and recall pinned in OperatorsSpec, like the ANN
+    // queries).
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      Similarity.nearDupPairsBucketed(
+        Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
+    },
     // The dedup decision: one representative per near-dup cluster
     // (components over the MinHash-LSH pair set, which equals the exact
     // pair set — verified above).

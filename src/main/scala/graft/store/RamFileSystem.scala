@@ -214,6 +214,14 @@ object RamFileSystem {
 
   /** Wipe the whole in-memory namespace (test isolation). */
   def clear(): Unit = Lock.synchronized { files.clear(); dirs.clear() }
+
+  /** Wipe one authority's namespace only — suites running in parallel in
+    * one JVM each clear their own authority instead of each other's. */
+  def clear(authority: String): Unit = Lock.synchronized {
+    val prefix = authority + "/"
+    files.keySet.removeIf(k => k.startsWith(prefix))
+    dirs.removeIf(k => k.startsWith(prefix))
+  }
 }
 
 /** Seekable, positioned-readable view over an immutable byte array. */

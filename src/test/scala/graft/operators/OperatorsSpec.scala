@@ -129,6 +129,41 @@ class OperatorsSpec extends SparkSuite {
     assert(full === exact, "nprobe = nlist must equal the exact result at nlist = 256")
   }
 
+  test("bucketed embedding near-dup: exact precision, pinned recall vs exhaustive") {
+    val threshold = 0.44
+    val exact = Similarity.nearDupPairs(embs, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Similarity.nearDupPairsBucketed(embs, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction: every candidate passed the
+    // cosine check, so no pair outside the exhaustive result can appear
+    assert(bucketed.subsetOf(exact))
+    assert(exact.nonEmpty)
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.5, s"bucketed near-dup recall = $recall")
+    // determinism: seeded hyperplanes, same result on a re-run
+    val again = Similarity.nearDupPairsBucketed(embs, "vec_id", "embedding", threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === bucketed)
+  }
+
+  test("lazy dedup/similarity operators pin no cache blocks") {
+    // ngramJaccardPairs is exempt by design (it eagerly materializes its
+    // small audit result and releases its internals before returning);
+    // every LAZY operator must leave the block manager untouched.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    run(Dedup.minHashPairs(docs, "doc_id", "text", 0.8))
+    run(Dedup.simHashPairsBanded(Dedup.simHash(docs, "doc_id", "text"), 3))
+    run(Dedup.components(
+      docs.select(col("doc_id").as("id")),
+      Dedup.minHashPairs(docs, "doc_id", "text", 0.8)))
+    run(Similarity.nearDupPairsBucketed(embs, "vec_id", "embedding", 0.44))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"operators leaked persisted RDDs: ${leaked.mkString(", ")}")
+  }
+
   test("cosine: self-similarity is 1.0") {
     val p = Similarity.prepared(embs.limit(10), "vec_id", "embedding")
     val selfs = p.select(Similarity.dot(col("vec"), col("vec")) / (col("norm") * col("norm")))

@@ -211,7 +211,7 @@ class DomainStoreSpec extends SparkSuite {
   }
 
   test("memory persistence format (S11): full battery on ramfs, no disk") {
-    RamFileSystem.clear()
+    RamFileSystem.clear("mem")
     val spec = DomainSpec(4, persistenceFormat = DomainSpec.Memory)
     val store = DomainStore.create("ramfs://mem/t-battery", spec, conf)
     val pairs = (0 until 100).map(i => s"mk$i" -> s"mv$i")
