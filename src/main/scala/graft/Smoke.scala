@@ -75,6 +75,38 @@ object Smoke {
       store.versions.failVersion(3L)
       latest == 2L
     }
+    // ...and the failure it left is catalog-visible (reference failed
+    // status) without unserving the domain.
+    check("failed version leaves a visible marker, domain stays ready") {
+      store.versions.failedVersions.contains(3L) && {
+        val cat = new graft.store.DomainCatalog(
+          Fixtures.dbRoot("/root/testdata/sf0.001"), conf)
+        cat.metadata("smoke-sparse").status == "ready" &&
+          cat.metadata("smoke-sparse").failedVersions.contains(3L)
+      }
+    }
+
+    // In-memory persistence (S11): whole pipeline, zero disk.
+    check("memory-format domain round-trips on ramfs") {
+      graft.store.RamFileSystem.clear("smoke")
+      val mem = DomainStore.create(
+        "ramfs://smoke/dom",
+        DomainSpec(numShards = 4, persistenceFormat = DomainSpec.Memory),
+        Fixtures.conf)
+      mem.write(Fixtures.customerKv(spark, "/root/testdata/sf0.001"), version = 1L)
+      mem.count(spark) ==
+        Fixtures.table(spark, "/root/testdata/sf0.001", "customer").count()
+    }
+
+    // Salt is a query-time rewrite only: same result as the plain join.
+    check("salted lookupJoin == plain lookupJoin") {
+      val probe = Fixtures.table(spark, "/root/testdata/sf0.001", "orders")
+        .select(col("o_orderkey"), long_be(col("o_custkey") % 50).as("key"))
+      def m(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("o_orderkey"), bytes_utf8(col("value")))
+        .collect().map(_.toString).sorted.toSeq
+      m(store.lookupJoin(probe, salt = 4)) == m(store.lookupJoin(probe))
+    }
     // Stateful streaming sessionization drains to the batch result.
     check("stateful streaming sessions == batch") {
       val dir = "/root/repo/target/graft-scratch/smoke-stream" // staged above

@@ -404,6 +404,7 @@ object DomainStore {
     * DomainStore.java:36-54). */
   def create(root: String, spec: DomainSpec, conf: Configuration): DomainStore = {
     spec.validate()
+    RamFileSystem.register(conf) // before the first getFileSystem on this conf
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
     val specPath = new Path(rootPath, DomainSpec.FileName)
@@ -423,11 +424,13 @@ object DomainStore {
 
   /** Open an existing domain, reading its spec from disk. */
   def open(root: String, conf: Configuration): DomainStore = {
+    RamFileSystem.register(conf)
     val rootPath = new Path(root)
     new DomainStore(rootPath, readSpec(rootPath, conf), conf)
   }
 
   def exists(root: String, conf: Configuration): Boolean = {
+    RamFileSystem.register(conf)
     val rootPath = new Path(root)
     rootPath.getFileSystem(conf).exists(new Path(rootPath, DomainSpec.FileName))
   }
