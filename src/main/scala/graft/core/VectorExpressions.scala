@@ -130,6 +130,82 @@ object NearestCellsKernel {
   }
 }
 
+/** Per-row kernel for hyperplane-LSH bucket assignment against a
+  * broadcast plane tensor (tables x planes x dim). */
+object HyperplaneBucketsKernel {
+
+  /** One sign-bucket id per table: bit b of table t's bucket is set iff
+    * vec . plane(t)(b) > 0 (strict, matching the `when(dot > 0, ...)`
+    * formulation it replaces; dots sum left-to-right like
+    * [[DoubleArrayDot]]). Returns array<long> of length tables. */
+  def buckets(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val planes = bc.value
+    val dim = vec.numElements()
+    val out = new Array[Long](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var bucket = 0L
+      var b = 0
+      while (b < table.length) {
+        val plane = table(b)
+        if (plane.length != dim)
+          throw new IllegalArgumentException(
+            s"lsh_buckets: vector dim $dim != plane dim ${plane.length}")
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += vec.getDouble(i) * plane(i); i += 1 }
+        if (s > 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/**
+ * Hyperplane-LSH bucket ids of a vector (one long per table) under a
+ * broadcast plane tensor.
+ *
+ * Why custom: the previous formulation built tables x planes literal-dot
+ * expressions (`when(array_dot(vec, typedlit(plane)) > 0, 1<<b)...`) —
+ * fine at 8x4, but recall tuning at corpus scale wants e.g. 64 tables x
+ * 16 planes = 1024 inlined plane literals, the same plan-size ceiling the
+ * IVF centroids had. The tensor rides one torrent broadcast and the
+ * per-row work is one fused loop regardless of tables/planes.
+ */
+case class HyperplaneBucketsExpr(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HyperplaneBucketsKernel.buckets(v.asInstanceOf[ArrayData], bc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj(
+      "planesBc", bc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.core.HyperplaneBucketsKernel.buckets($v, $bcRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+    copy(child = newChild)
+}
+
 /**
  * `nprobe` nearest IVF cells of a vector under a broadcast centroid
  * matrix, as array<int> ordered nearest-first.

@@ -116,21 +116,18 @@ object Similarity {
     Array.fill(tables, planes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bucket id of a vector under one table's planes (dot against a
-    * literal plane array — same codegen'd loop kernel). */
-  private def bucketId(vec: Column, tablePlanes: Array[Array[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (plane, b) =>
-      when(array_dot(vec, typedlit(plane.toIndexedSeq)) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (id, table, bucket) assignment — the ANN "index build". */
+  /** (id, table, bucket) assignment — the ANN "index build". The plane
+    * tensor rides one broadcast and every row pays a single fused loop
+    * ([[graft.core.HyperplaneBucketsExpr]]), so plan size is independent
+    * of tables x planes — recall tuning at corpus scale (say 64x16) no
+    * longer inlines a thousand plane literals. */
   def lshBuckets(p: DataFrame, tables: Int, planes: Int, dim: Int): DataFrame = {
-    val hp = hyperplanes(tables, planes, dim)
-    val entries = (0 until tables).map { t =>
-      struct(lit(t).as("table"), bucketId(col("vec"), hp(t)).as("bucket"))
-    }
-    p.select(col("id"), col("vec"), col("norm"), explode(array(entries: _*)).as("e"))
-      .select(col("id"), col("vec"), col("norm"), col("e.table").as("table"), col("e.bucket").as("bucket"))
+    import org.apache.spark.sql.graft.interop
+    val bc = p.sparkSession.sparkContext.broadcast(hyperplanes(tables, planes, dim))
+    val bucketsCol =
+      interop.column(graft.core.HyperplaneBucketsExpr(interop.expression(col("vec")), bc))
+    p.select(col("id"), col("vec"), col("norm"), posexplode(bucketsCol).as(Seq("table", "bucket")))
+      .select(col("id"), col("vec"), col("norm"), col("table"), col("bucket"))
   }
 
   /** The `nprobe` nearest centroid ids for a vector, nearest first — the
