@@ -67,8 +67,12 @@ object Bench {
     // pass are excluded (their timing measures a crash, not the work).
     val total = results.collect { case (n, (v, true)) => v }.sum
     def passTotal(rep: Map[String, (Double, Boolean)]): Double = rep.values.map(_._1).sum
+    // n_ok/n_failed ride at top level so a round-over-round comparison of
+    // "value" can't mistake a crashed (and therefore excluded) query for
+    // a speedup without noticing the query count dropped.
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","method":"sum_of_best_of_2"""" +
+        s""","n_ok":${results.size - failed.size},"n_failed":${failed.size}""" +
         s""","per_pass_total":[${num(passTotal(rep1))},${num(passTotal(rep2))}]""" +
         s""","queries":$qs$failuresField,"sf":"$sfDir"}"""
     println(line)

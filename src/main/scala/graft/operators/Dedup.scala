@@ -418,7 +418,11 @@ object Dedup {
     require(32 % chunks == 0, "chunks must divide 32")
     val width = 32 / chunks
     val mask = (1L << width) - 1L
-    val sh = simhashes.persist() // both join sides + the verify lookups
+    // No persist: both self-join sides are the identical banded subplan,
+    // whose sketch aggregate ends in an exchange ReuseExchange dedups —
+    // the sketch computes once, and nothing outlives the query (the leak
+    // class ADVICE r1 flagged; pinned by the pin-no-cache spec).
+    val sh = simhashes
     val banded = sh.select(
       col("id"), col("simhash"),
       explode(array((0 until chunks).map { c =>

@@ -121,9 +121,19 @@ object Similarity {
     * ([[graft.core.HyperplaneBucketsExpr]]), so plan size is independent
     * of tables x planes — recall tuning at corpus scale (say 64x16) no
     * longer inlines a thousand plane literals. */
-  def lshBuckets(p: DataFrame, tables: Int, planes: Int, dim: Int): DataFrame = {
+  def lshBuckets(p: DataFrame, tables: Int, planes: Int, dim: Int): DataFrame =
+    lshBucketsWith(p,
+      p.sparkSession.sparkContext.broadcast(hyperplanes(tables, planes, dim)))
+
+  /** Bucket assignment against an already-broadcast plane tensor. Callers
+    * bucketing two sides of a join (corpus + queries) MUST share one
+    * broadcast: it halves the traffic, and it makes the corpus/query
+    * bucket agreement structural instead of relying on the seeded
+    * [[hyperplanes]] generator returning bit-identical planes twice. */
+  private def lshBucketsWith(
+      p: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): DataFrame = {
     import org.apache.spark.sql.graft.interop
-    val bc = p.sparkSession.sparkContext.broadcast(hyperplanes(tables, planes, dim))
     val bucketsCol =
       interop.column(graft.core.HyperplaneBucketsExpr(interop.expression(col("vec")), bc))
     p.select(col("id"), col("vec"), col("norm"), posexplode(bucketsCol).as(Seq("table", "bucket")))
@@ -298,8 +308,9 @@ object Similarity {
         lit(1).as("rank"))
     }
     val dim = dimRow(0).getInt(0)
-    val cb = lshBuckets(c, tables, planes, dim)
-    val qb = lshBuckets(prepared(queries, idCol, vecCol), tables, planes, dim)
+    val bc = corpus.sparkSession.sparkContext.broadcast(hyperplanes(tables, planes, dim))
+    val cb = lshBucketsWith(c, bc)
+    val qb = lshBucketsWith(prepared(queries, idCol, vecCol), bc)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
         col("table"), col("bucket"))
     val cand = cb.join(broadcast(qb), Seq("table", "bucket"))

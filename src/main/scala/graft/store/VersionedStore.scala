@@ -78,10 +78,13 @@ class VersionedStore(val root: Path, conf: Configuration) {
         .sorted(Ordering[Long].reverse)
   }
 
+  /** Remove every trace of a version: data, token, and failure marker
+    * (an explicit delete means "forget this id", including its failure). */
   def deleteVersion(version: Long): Unit = {
     val f = fs
     f.delete(versionPath(version), true)
     f.delete(tokenPath(version), false)
+    f.delete(failedPath(version), false)
   }
 
   /** Cheap publish check: one token-existence probe, no directory listing
@@ -111,17 +114,29 @@ class VersionedStore(val root: Path, conf: Configuration) {
     getAllVersions.find(_ <= maxVersion)
 
   /** Keep the newest `versionsToKeep` published versions; delete the rest
-    * and reap never-published partial dirs (VersionedStore.java:110-127). */
+    * and reap never-published partial dirs (VersionedStore.java:110-127).
+    * Failure markers age out with the same retention window: a marker
+    * older than the oldest kept published version is stale history and is
+    * reaped; newer markers (including ones newer than the latest publish)
+    * stay visible — they are the catalog's evidence of recent failures. */
   def cleanup(versionsToKeep: Int): Unit = {
-    val keep = getAllVersions.take(versionsToKeep).toSet
+    val keepSeq = getAllVersions.take(versionsToKeep)
+    val keep = keepSeq.toSet
+    val oldestKept = keepSeq.lastOption
     val f = fs
     if (f.exists(root)) {
       f.listStatus(root).foreach { st =>
         val name = st.getPath.getName
-        val version =
-          if (name.endsWith(".version")) name.stripSuffix(".version").toLongOption
-          else name.toLongOption
-        version.foreach { v => if (!keep.contains(v)) deleteVersion(v) }
+        if (name.endsWith(".failed")) {
+          name.stripSuffix(".failed").toLongOption.foreach { v =>
+            if (oldestKept.exists(v < _)) f.delete(failedPath(v), false)
+          }
+        } else {
+          val version =
+            if (name.endsWith(".version")) name.stripSuffix(".version").toLongOption
+            else name.toLongOption
+          version.foreach { v => if (!keep.contains(v)) deleteVersion(v) }
+        }
       }
     }
   }

@@ -38,9 +38,17 @@ object StreamingDomain {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val version = baseVersion + batchId + 1
-        // A replayed batch (restart after a publish) is a no-op: the
-        // version token already exists, so re-upserting would throw —
-        // skip instead, matching exactly-once version publication.
+        // A replayed batch (restart after the publish but before the
+        // checkpoint commit) is a no-op — but Spark only ever replays the
+        // LAST batch, so an already-published version that is not the
+        // newest one means the stream is pointed at the wrong domain,
+        // baseVersion, or checkpointDir: fail loudly instead of silently
+        // dropping the batch's data.
+        if (store.versions.isPublished(version) && version != store.latestVersion)
+          throw new IllegalStateException(
+            s"stream batch $batchId maps to version $version, which is already " +
+              s"published but is not the domain's latest (${store.latestVersion}) — " +
+              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
         if (!store.versions.isPublished(version)) {
           // First-ever batch bootstraps the domain (upsert needs a
           // published version to merge against).

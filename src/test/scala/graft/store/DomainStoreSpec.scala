@@ -182,6 +182,16 @@ class DomainStoreSpec extends SparkSuite {
     vs.cleanup(2)
     assert(vs.getAllVersions === Seq(3L, 2L))
     assert(!vs.fs.exists(vs.versionPath(10L)), "cleanup reaps unsucceeded partial dirs")
+
+    // failure markers: explicit delete forgets them; cleanup ages out
+    // markers older than the retention window but keeps recent ones
+    vs.createVersion(0L); vs.failVersion(0L) // older than oldest kept (2)
+    vs.createVersion(11L); vs.failVersion(11L) // newer than latest publish
+    assert(vs.failedVersions === Seq(11L, 0L))
+    vs.cleanup(2)
+    assert(vs.failedVersions === Seq(11L), "stale marker aged out, recent one kept")
+    vs.deleteVersion(11L)
+    assert(vs.failedVersions === Nil)
   }
 
   test("spec: json round-trip, validation, on-disk mismatch rejected") {
