@@ -207,6 +207,27 @@ class OperatorsSpec extends SparkSuite {
     assert(viaLoop === expected)
   }
 
+  test("components: star contraction == union-find on random graphs") {
+    import spark.implicits._
+    // Seeded random graphs with mixed shapes (isolated nodes, small
+    // clusters, occasional big components): the distributed star
+    // contraction must agree exactly with the driver union-find.
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val n = 50 + rnd.nextInt(30)
+      val ids = (1L to n.toLong).toDF("id")
+      val m = 20 + rnd.nextInt(60)
+      val pairs = Seq.fill(m)((1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
+        .filter(p => p._1 != p._2)
+        .toDF("id_a", "id_b")
+      val viaDriver = Dedup.components(ids, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = Dedup.components(ids, pairs, driverPairLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars === viaDriver, s"trial $trial (n=$n, m=$m)")
+    }
+  }
+
   test("components: star contraction resolves a deep chain in O(log n) rounds") {
     import spark.implicits._
     // A 256-node path graph: min-label propagation would need ~256 rounds
