@@ -394,6 +394,51 @@ object Dedup {
         "raise maxIters; returning partial labels would silently under-dedup")
   }
 
+  /**
+   * Partial-overlap pairs: documents sharing at least one exact run of
+   * `minLen` characters — the contamination/boilerplate-reuse detector
+   * that *set*-based dedup (Jaccard/MinHash/SimHash) structurally misses
+   * (a 200-char verbatim quote inside two otherwise-unrelated documents
+   * moves their shingle-set Jaccard barely above 0).
+   *
+   * Winnowing-style content-defined anchoring (the MOSS lineage): a
+   * position is an anchor iff the 32-bit md5 prefix of its `window`-char
+   * context falls in 1/`modulus` of hash space. Anchors depend only on
+   * local CONTENT, so a run shared by two documents produces the same
+   * anchors in both regardless of where it sits — the `minLen`-char
+   * substring at each anchor is the fingerprint, and one equi-join on
+   * fingerprint hashes pairs the documents. Cost is one explode + one
+   * shuffle (~linear); no O(N^2) anywhere.
+   *
+   * Detection is probabilistic in run length r: a shared run is found iff
+   * an anchor lands in its first r - minLen positions, p ~ 1 -
+   * (1 - 1/modulus)^(r - minLen) (~97% at r = 2*minLen with the
+   * defaults); emitted pairs are never false positives at the fingerprint
+   * level (both sides hashed the same minLen chars). Everything is plain
+   * md5 arithmetic, so the DuckDB oracle replays it exactly.
+   */
+  def sharedSubstringPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    require(window <= minLen, s"anchor window $window must fit in minLen $minLen")
+    val fp = df
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .where(length(col("t")) >= minLen)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - (minLen - 1))).as("pos"))
+      .where(pmod(graft.functions.md5_prefix32(expr(s"substring(t, pos, $window)")), lit(modulus)) === 0)
+      .select(col("id"), md5(expr(s"substring(t, pos, $minLen)")).as("fp"))
+      .dropDuplicates("id", "fp")
+    fp.as("a")
+      .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively
     * (O(N^2) — the audit/oracle twin of [[simHashPairsBanded]]). */
   def simHashPairs(simhashes: DataFrame, maxDist: Int): DataFrame =

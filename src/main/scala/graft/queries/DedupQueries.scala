@@ -49,6 +49,12 @@ object DedupQueries {
       Similarity.nearDupPairsBucketed(
         Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
     },
+    // Partial overlap: docs sharing an exact >= 64-char run via
+    // content-defined anchored fingerprints (winnowing). The oracle
+    // replays the identical md5 arithmetic, so the check is exact.
+    "dedup_shared_substring" -> { (s, dir) =>
+      Dedup.sharedSubstringPairs(Fixtures.table(s, dir, "documents"), "doc_id", "text")
+    },
     // The dedup decision: one representative per near-dup cluster
     // (components over the MinHash-LSH pair set, which equals the exact
     // pair set — verified above).
@@ -110,6 +116,17 @@ object DedupQueries {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineThreshold""".stripMargin,
+    "dedup_shared_substring" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 63, 0) + 1)) AS i
+        |  FROM documents WHERE length(text) >= 64),
+        |anch AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i AS INT), 64)) AS fp
+        |  FROM pos
+        |  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))::UBIGINT::BIGINT % 16 = 0),
+        |f AS (SELECT DISTINCT doc_id, fp FROM anch)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
          |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),

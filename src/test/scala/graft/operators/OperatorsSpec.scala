@@ -207,6 +207,30 @@ class OperatorsSpec extends SparkSuite {
     assert(viaLoop === expected)
   }
 
+  test("shared-substring pairs: embedded verbatim run found, disjoint docs not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // a 200-char verbatim run embedded in two otherwise-unrelated docs:
+    // set-based Jaccard barely notices it, the anchored fingerprints must
+    val run = randText(200)
+    val docs = Seq(
+      (1L, randText(400) + run + randText(400)),
+      (2L, randText(150) + run + randText(650)),
+      (3L, randText(1000)),
+      (4L, randText(1000))).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSubstringPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // and the set-based audit path indeed scores the pair far below any
+    // useful dedup threshold — the two detectors are complementary
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      .where(col("id_a") === 1L && col("id_b") === 2L)
+      .select("jaccard").collect().headOption.map(_.getDouble(0)).getOrElse(0.0)
+    assert(j < 0.3, s"planted run should not dominate set similarity (j = $j)")
+  }
+
   test("components: star contraction == union-find on random graphs") {
     import spark.implicits._
     // Seeded random graphs with mixed shapes (isolated nodes, small
