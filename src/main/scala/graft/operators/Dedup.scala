@@ -407,8 +407,9 @@ object Dedup {
    * local CONTENT, so a run shared by two documents produces the same
    * anchors in both regardless of where it sits — the `minLen`-char
    * substring at each anchor is the fingerprint, and one equi-join on
-   * fingerprint hashes pairs the documents. Cost is one explode + one
-   * shuffle (~linear); no O(N^2) anywhere.
+   * fingerprint hashes pairs the documents. Three shuffles, all of
+   * anchor-sized data (the (id, fp) distinct, the join on fp, the final
+   * pair distinct); no O(N^2) anywhere.
    *
    * Detection is probabilistic in run length r: a shared run is found iff
    * an anchor lands in its first r - minLen positions, p ~ 1 -
@@ -416,6 +417,16 @@ object Dedup {
    * defaults); emitted pairs are never false positives at the fingerprint
    * level (both sides hashed the same minLen chars). Everything is plain
    * md5 arithmetic, so the DuckDB oracle replays it exactly.
+   *
+   * Cost model: one window-md5 per character, then one fingerprint-md5
+   * per anchor (1/modulus of positions); only anchors reach a shuffle.
+   * Note `sequence()` materializes the O(len) position array per document
+   * row inside Generate before the filter fuses — per-row transient
+   * memory is proportional to document length, so split pathological
+   * multi-MB documents upstream. At 100 TB the per-character hash is the
+   * bill; raise `modulus` (sparser anchors, lower short-run recall) or
+   * swap the anchor hash for a cheap rolling hash in a custom expression
+   * if that budget matters — the fingerprint join shape is unchanged.
    */
   def sharedSubstringPairs(
       df: DataFrame,
@@ -424,7 +435,9 @@ object Dedup {
       minLen: Int = 64,
       window: Int = 8,
       modulus: Int = 16): DataFrame = {
-    require(window <= minLen, s"anchor window $window must fit in minLen $minLen")
+    require(window >= 1 && window <= minLen,
+      s"anchor window $window must be in [1, minLen=$minLen]")
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
     val fp = df
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .where(length(col("t")) >= minLen)

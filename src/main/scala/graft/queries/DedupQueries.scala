@@ -19,6 +19,11 @@ object DedupQueries {
   val MinHashThreshold = 0.8
   val SimHashMaxDist = 3
   val CosineThreshold = 0.44
+  // Shared-substring parameters: interpolated into BOTH the operator call
+  // and the oracle SQL so they cannot drift apart.
+  val SubstringMinLen = 64
+  val SubstringWindow = 8
+  val SubstringModulus = 16
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
@@ -53,7 +58,9 @@ object DedupQueries {
     // content-defined anchored fingerprints (winnowing). The oracle
     // replays the identical md5 arithmetic, so the check is exact.
     "dedup_shared_substring" -> { (s, dir) =>
-      Dedup.sharedSubstringPairs(Fixtures.table(s, dir, "documents"), "doc_id", "text")
+      Dedup.sharedSubstringPairs(
+        Fixtures.table(s, dir, "documents"), "doc_id", "text",
+        minLen = SubstringMinLen, window = SubstringWindow, modulus = SubstringModulus)
     },
     // The dedup decision: one representative per near-dup cluster
     // (components over the MinHash-LSH pair set, which equals the exact
@@ -117,13 +124,14 @@ object DedupQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineThreshold""".stripMargin,
     "dedup_shared_substring" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 63, 0) + 1)) AS i
-        |  FROM documents WHERE length(text) >= 64),
+      s"""WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - ${SubstringMinLen - 1}, 0) + 1)) AS i
+        |  FROM documents WHERE length(text) >= $SubstringMinLen),
         |anch AS (
-        |  SELECT doc_id, md5(substr(text, CAST(i AS INT), 64)) AS fp
+        |  SELECT doc_id, md5(substr(text, CAST(i AS INT), $SubstringMinLen)) AS fp
         |  FROM pos
-        |  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8))::UBIGINT::BIGINT % 16 = 0),
+        |  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstringWindow)), 1, 8))::UBIGINT::BIGINT % $SubstringModulus = 0),
         |f AS (SELECT DISTINCT doc_id, fp FROM anch)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
