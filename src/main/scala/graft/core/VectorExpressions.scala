@@ -246,6 +246,127 @@ case class NearestCellsExpr(
     copy(child = newChild)
 }
 
+/** Per-row kernels for product quantization: encode a vector into one
+  * code per subspace, and score a code array against a query's
+  * precomputed distance lookup table (asymmetric distance computation). */
+object PqKernels {
+
+  /** codes(s) = argmin over codebook s of squared L2 between the
+    * vector's s-th slice and the centroid (ties -> lower code, matching
+    * every other argmin in this file). */
+  def encode(
+      vec: org.apache.spark.sql.catalyst.util.ArrayData,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val books = bc.value
+    val m = books.length
+    val dsub = books(0)(0).length
+    if (vec.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${vec.numElements()} != m*dsub = ${m * dsub}")
+    val codes = new Array[Short](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val base = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val ctr = book(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = vec.getDouble(base + i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best.toShort
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** ADC score: sum over subspaces of the query's precomputed
+    * ||q_sub - centroid(code)||^2 (lut is flattened m x ksub). */
+  def adc(
+      queryId: Long,
+      codes: org.apache.spark.sql.catalyst.util.ArrayData,
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+      ksub: Int): Double = {
+    val lut = bc.value.getOrElse(
+      queryId,
+      throw new IllegalArgumentException(s"pq_adc: no LUT for query id $queryId"))
+    var s = 0.0
+    var i = 0
+    val m = codes.numElements()
+    while (i < m) { s += lut(i * ksub + codes.getShort(i)); i += 1 }
+    s
+  }
+}
+
+/** PQ encoding of a vector: one code per subspace against broadcast
+  * codebooks — array<short> of length m. The storage/shuffle win of the
+  * IVF-PQ layout: candidates travel as m shorts instead of dim doubles. */
+case class PqEncodeExpr(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, ShortType}
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqKernels.encode(v.asInstanceOf[ArrayData], bc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj(
+      "pqBooksBc", bc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.core.PqKernels.encode($v, $bcRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** ADC score of a PQ code array under the query's broadcast lookup table
+  * (requires long query ids — the LUT map is keyed by them). */
+case class PqAdcExpr(
+    left: Expression,
+    right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Map[Long, Array[Double]]],
+    ksub: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, LongType, ShortType}
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(LongType, ArrayType(ShortType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(qid: Any, codes: Any): Any =
+    PqKernels.adc(qid.asInstanceOf[Long], codes.asInstanceOf[ArrayData], bc, ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj(
+      "pqLutBc", bc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) =>
+      s"${ev.value} = graft.core.PqKernels.adc($q, $c, $bcRef, $ksub);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object RollingHash {
   val Prime = 1000000007L
 

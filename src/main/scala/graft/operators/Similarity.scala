@@ -183,13 +183,27 @@ object Similarity {
       p: DataFrame,
       nlist: Int,
       iters: Int = 10,
-      maxTrainRows: Int = 65536): Array[Array[Double]] = {
+      maxTrainRows: Int = 65536): Array[Array[Double]] =
+    lloyd(collectTrainSample(p, maxTrainRows), nlist, iters)
+
+  /** Bounded deterministic training sample (TakeOrdered by xxhash64(id) —
+    * a pseudo-random order with an id tie-break, never a full sort). */
+  private def collectTrainSample(p: DataFrame, maxTrainRows: Int): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = p
       .orderBy(xxhash64(col("id")), col("id"))
       .limit(maxTrainRows)
       .select(col("vec")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "ivf: empty training set")
+    sample
+  }
+
+  /** Deterministic Lloyd core over an in-memory sample (shared by the IVF
+    * coarse quantizer and the per-subspace PQ codebooks). */
+  private def lloyd(
+      sample: Array[Array[Double]],
+      nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     val dim = sample(0).length
     // Deterministic farthest-point (k-center) seeding: start from the
     // first sample vector, then repeatedly take the point farthest from
@@ -275,6 +289,115 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .where(col("id") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Per-subspace PQ codebooks (m codebooks over dim/m-wide slices),
+    * trained with the same bounded driver-side sample + Lloyd core as the
+    * IVF coarse quantizer. */
+  private[graft] def pqCodebooks(
+      p: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int = 10,
+      maxTrainRows: Int = 65536): Array[Array[Array[Double]]] = {
+    val sample = collectTrainSample(p, maxTrainRows)
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m = $m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)), ksub, iters)
+    }
+  }
+
+  /**
+   * IVF-PQ approximate top-k — the billion-scale memory layout on top of
+   * [[ivfTopK]]'s cell structure: corpus vectors are product-quantized
+   * into m subspace codes (array<short>, via broadcast codebooks), so the
+   * candidate table that flows through the cell join carries m shorts per
+   * vector instead of dim doubles (~32x smaller at dim=64, m=8 — the
+   * difference between candidates fitting in memory/shuffle at 100 TB or
+   * not). Queries score candidates with asymmetric distance computation:
+   * each (small-by-contract, collected) query precomputes a m x ksub
+   * lookup table of partial squared distances, broadcast once, and each
+   * candidate costs m table lookups. The ADC shortlist (k * rerank per
+   * query) is then re-ranked exactly against the original vectors, so PQ
+   * error only affects which candidates reach the exact re-rank, never
+   * the final ordering. With nprobe = nlist and k * rerank >= corpus
+   * size the result equals [[bruteForceTopK]] (pinned in OperatorsSpec).
+   * Query ids must be longs (the LUT map is keyed by them).
+   */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 256,
+      rerank: Int = 4,
+      maxTrainRows: Int = 65536): DataFrame = {
+    val sc = corpus.sparkSession.sparkContext
+    val c = prepared(corpus, idCol, vecCol)
+    val centroids = kmeansCentroids(c, nlist, maxTrainRows = maxTrainRows)
+    val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
+    val books = pqCodebooks(c, m, ksub, maxTrainRows = maxTrainRows)
+    val ksubEff = books(0).length // lloyd caps k at the sample size
+    val bcBooks = sc.broadcast(books)
+    import org.apache.spark.sql.graft.interop
+    // Candidates: (id, cell, codes) only — no raw vectors.
+    val encoded = c.select(
+      col("id"),
+      element_at(nearestCells(col("vec"), bcCells, 1), 1).as("cell"),
+      interop.column(graft.core.PqEncodeExpr(interop.expression(col("vec")), bcBooks)).as("codes"))
+    val q0 = prepared(queries, idCol, vecCol)
+    // Queries are small by contract (they are broadcast below): collect
+    // once to build each query's ADC lookup table.
+    val dsub = books(0)(0).length
+    val luts: Map[Long, Array[Double]] = q0.select(col("id"), col("vec")).collect().map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val lut = new Array[Double](m * ksubEff)
+      var s = 0
+      while (s < m) {
+        val book = books(s)
+        var code = 0
+        while (code < book.length) {
+          val ctr = book(code)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { val t = qv(s * dsub + i) - ctr(i); d += t * t; i += 1 }
+          lut(s * ksubEff + code) = d
+          code += 1
+        }
+        s += 1
+      }
+      r.getLong(0) -> lut
+    }.toMap
+    val bcLut = sc.broadcast(luts)
+    val probes = q0
+      .withColumn("cells", nearestCells(col("vec"), bcCells, nprobe))
+      .select(
+        col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
+        explode(col("cells")).as("cell"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("id"))
+    val shortlist = encoded.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("adc",
+        interop.column(graft.core.PqAdcExpr(
+          interop.expression(col("query_id")), interop.expression(col("codes")), bcLut, ksubEff)))
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= k * rerank)
+      .select(col("query_id"), col("id"), col("qvec"), col("qnorm"))
+    // Exact re-rank: fetch originals for the shortlist only (broadcast —
+    // it is bounded by queries x k x rerank).
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    c.select(col("id"), col("vec"), col("norm"))
+      .join(broadcast(shortlist), Seq("id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -40,6 +40,17 @@ object SimQueries {
         emb.where(col("vec_id") % QueryMod === 0),
         "vec_id", "embedding", TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
+    // IVF-PQ: candidates travel as m shorts per vector (not dim doubles),
+    // ADC preselect + exact re-rank. Approximate by design (no SQL
+    // oracle); recall + the exhaustive-probe identity pinned in ScalaTest.
+    "sim_ann_ivfpq" -> { (s, dir) =>
+      val emb = Fixtures.table(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        emb,
+        emb.where(col("vec_id") % QueryMod === 0),
+        "vec_id", "embedding", TopK)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     })
 
   def oracleSql: Map[String, String] = Map(

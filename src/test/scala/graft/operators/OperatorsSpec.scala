@@ -114,6 +114,22 @@ class OperatorsSpec extends SparkSuite {
     assert(full === exact, "nprobe = nlist must equal the exact result")
   }
 
+  test("ivf-pq: recall holds on codes-only candidates; exhaustive probe + wide rerank == exact") {
+    val q = embs.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ivf-pq recall@10 = $recall")
+    // probing every cell with a rerank window covering the whole corpus
+    // makes the ADC preselect lossless -> must equal brute force exactly
+    val full = Similarity.ivfPqTopK(embs, q, "vec_id", "embedding", 10,
+      nlist = 8, nprobe = 8, rerank = 100)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nprobe = nlist with corpus-wide rerank must equal exact")
+  }
+
   test("ivf scales to nlist >= 256: recall holds and nprobe = nlist is exact") {
     // With broadcast centroids the plan must not grow with nlist — this
     // runs a cell count the literal-centroid formulation could not codegen.
