@@ -58,4 +58,63 @@ object Events {
         max(col("session_idx")).as("n_sessions"),
         count(lit(1)).as("n_events"),
         sum(cents(col("value"))).as("value_cents"))
+
+  /**
+   * As-of join: each probe row picks up the latest reference row with the
+   * same key and `ref.ts <= probe.ts` (left semantics — unmatched probes
+   * keep null payload). Optional `toleranceNs` voids matches older than
+   * `probe.ts - toleranceNs`.
+   *
+   * Implemented with the union + running-last window pattern: tag both
+   * inputs, union them, and carry the last reference payload forward in
+   * one ordered window pass per key. Cost is a single shuffle on the key
+   * over |probe| + |ref| rows — never the range-expansion join
+   * (`probe JOIN ref ON key AND ref.ts <= probe.ts` then max-per-probe),
+   * which materializes O(|probe| x |ref per key|) intermediates and dies
+   * on exactly the hot keys a 100 TB event log has. Reference rows sort
+   * before probe rows at equal ts, giving `<=` (not `<`) semantics.
+   *
+   * `payload` columns must not collide with probe columns (select/rename
+   * the reference first); if several reference rows share a (key, ts) the
+   * winner follows the sort's tie order — deduplicate per (key, ts)
+   * upstream when the payload must be deterministic.
+   */
+  def asOfJoin(
+      probe: DataFrame,
+      ref: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payload: Seq[String],
+      toleranceNs: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asOfJoin: at least one key column")
+    require(payload.nonEmpty, "asOfJoin: at least one payload column")
+    val probeCols = probe.columns.toSeq
+    require(
+      payload.forall(p => !probeCols.contains(p) && p != "asof_ts"),
+      s"asOfJoin: payload columns ${payload.mkString(",")} must not collide with probe columns")
+    val refTagged = ref.select(
+      (keys :+ tsCol).map(col) :+
+        lit(1).as("_is_ref") :+
+        struct(col(tsCol).as("asof_ts") +: payload.map(col): _*).as("_asof"): _*)
+    val probeTagged = probe.withColumn("_is_ref", lit(0))
+    // unionByName fills the side-specific columns (probe payload on ref
+    // rows, _asof on probe rows) with nulls.
+    val unioned = probeTagged.unionByName(refTagged, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("_is_ref").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned
+      .withColumn("_m", last(col("_asof"), ignoreNulls = true).over(w))
+      .where(col("_is_ref") === 0)
+    val inRange = toleranceNs match {
+      case Some(tol) =>
+        carried.withColumn(
+          "_m", when(col(tsCol) - col("_m.asof_ts") <= tol, col("_m")))
+      case None => carried
+    }
+    inRange.select(
+      probeCols.map(col) :+ col("_m.asof_ts").as("asof_ts") :++
+        payload.map(p => col(s"_m.$p").as(p)): _*)
+  }
 }

@@ -120,6 +120,88 @@ object TextAnalysis {
     docStats.crossJoin(vocab)
   }
 
+  /** Space-joined word n-grams of the text (empty array when the doc has
+    * fewer than n tokens — NOT a descending `sequence`, which is what the
+    * unguarded `sequence(0, size-n)` degenerates to on short docs). */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val toks = wordTokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Test-set decontamination (the GPT-3/PaLM pipeline step): flag corpus
+   * documents that contain any word n-gram occurring in the benchmark
+   * set. Returns one row per corpus document — `n_hits` distinct
+   * contaminated n-grams and a 0/1 `contaminated` flag — so the caller
+   * can either drop flagged docs or audit the hit counts.
+   *
+   * Scale shape: the benchmark gram set is small by definition (eval sets
+   * are millions of n-grams at most), so it is `broadcast` and the corpus
+   * side never shuffles its exploded grams — the only shuffles are the
+   * per-doc hit count (map-side partial agg on doc id) and the left join
+   * back to the corpus id list. Corpus text is touched exactly once.
+   */
+  def decontaminate(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"decontaminate: n must be >= 1, got $n")
+    val benchGrams = bench
+      .select(explode(wordNGrams(col(textCol), n)).as("gram"))
+      .distinct()
+    val corpusGrams = corpus.select(
+      col(idCol),
+      explode(array_distinct(wordNGrams(col(textCol), n))).as("gram"))
+    val hits = corpusGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_hits"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
+  }
+
+  /**
+   * Intra-document repetition signals (Gopher-style quality filters):
+   * duplicate-token and duplicate-trigram instance counts, and the
+   * instance count of the most frequent word bigram. All per-row array
+   * math — no shuffle, cost linear in documents (the per-doc
+   * most-frequent scan is quadratic in the doc's *distinct bigrams*,
+   * bounded by document length, not corpus size). Ratios divide the same
+   * integers in both engines, so they compare bit-for-bit.
+   */
+  def repetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = wordTokens(t)
+    val bi = wordNGrams(t, 2)
+    val tri = wordNGrams(t, 3)
+    val topBigram = coalesce(
+      array_max(transform(array_distinct(bi), g => size(filter(bi, x => x === g)))),
+      lit(0)).cast("long")
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(array_distinct(toks))).cast("long").as("dup_token_cnt"),
+      (size(tri) - size(array_distinct(tri))).cast("long").as("dup_trigram_cnt"),
+      topBigram.as("top_bigram_cnt"),
+      size(bi).cast("long").as("n_bigrams"))
+      .withColumn(
+        "dup_token_frac",
+        col("dup_token_cnt").cast("double") / greatest(col("n_tokens"), lit(1)))
+      .withColumn(
+        "top_bigram_frac",
+        col("top_bigram_cnt").cast("double") / greatest(col("n_bigrams"), lit(1)))
+  }
+
   /** Language-ID report: per-language marker scores + predicted language. */
   def langIdReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

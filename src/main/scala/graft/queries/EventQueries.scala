@@ -13,12 +13,47 @@ object EventQueries {
   val WindowMinutes = 5
   val SessionGapMinutes = 30
 
+  /** Events with ts truncated to whole microseconds (still ns units).
+    * DuckDB coerces the parquet TIMESTAMP(NANOS) column to a microsecond
+    * TIMESTAMP, so sub-µs nanos exist only on the Spark side; an event
+    * within 999 ns of a window/gap boundary would bucket differently in
+    * the two engines. Truncating here makes both engines see identical
+    * instants — the operators themselves stay ns-native. */
+  private def usEvents(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "events")
+      .withColumn("ts", expr("(ts div 1000) * 1000"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> { (s, dir) =>
-      Events.windowAgg(Fixtures.table(s, dir, "events"), WindowMinutes)
+      Events.windowAgg(usEvents(s, dir), WindowMinutes)
     },
     "ev_sessions" -> { (s, dir) =>
-      Events.sessionStats(Fixtures.table(s, dir, "events"), SessionGapMinutes)
+      Events.sessionStats(usEvents(s, dir), SessionGapMinutes)
+    },
+    // As-of attribution: each purchase picks up the latest prior click of
+    // the same user (left semantics; clicks deduped per (user, ts) keeping
+    // the max event_id so the payload is deterministic). The oracle is
+    // DuckDB's native ASOF LEFT JOIN. This contract query runs on
+    // MICROSECOND timestamps (`ts div 1000` — truncation == DuckDB's,
+    // both positive): DuckDB coerces the parquet TIMESTAMP(NANOS) column
+    // to a microsecond TIMESTAMP, so a ns-basis gap could never hash-match.
+    // The operator itself is ns-native (OperatorsSpec pins ns semantics).
+    "ev_asof_join" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Fixtures.table(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val wTs = Window.partitionBy(col("user_id"), col("ts_us"))
+        .orderBy(col("click_id").desc)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+        .withColumn("rn", row_number().over(wTs))
+        .where(col("rn") === 1).drop("rn")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      Events.asOfJoin(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
+        .select(
+          col("event_id"), col("user_id"), col("click_id"),
+          (col("ts_us") - col("asof_ts")).as("gap_us"))
     })
 
   private val WindowNs = WindowMinutes * 60L * 1000000000L
@@ -44,5 +79,17 @@ object EventQueries {
          |  CAST(sum(ns) AS BIGINT) AS n_sessions,
          |  count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-         |FROM s GROUP BY user_id""".stripMargin)
+         |FROM s GROUP BY user_id""".stripMargin,
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // implementation; clicks deduped per (user, ts) on both sides so the
+    // matched payload is deterministic. Microsecond basis — see the query.
+    "ev_asof_join" ->
+      """WITH c0 AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT user_id, tus, event_id AS click_id FROM c0 WHERE rn = 1),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, c.click_id, p.tus - c.tus AS gap_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.tus""".stripMargin)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Packing, TextAnalysis}
 
 /** Driver-contract queries for the text-analysis operators; every heuristic
   * is replicated exactly in the DuckDB oracle (integer/string math only,
@@ -32,6 +32,28 @@ object TextQueries {
     "text_corpus_stats" -> { (s, dir) =>
       TextAnalysis.corpusStats(Fixtures.table(s, dir, "documents"), "text")
     },
+    // Test-set decontamination: the deterministic doc_id % 23 == 0 slice
+    // stands in for a benchmark; every other doc is checked for word
+    // 3-gram containment against it.
+    "text_decontam" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      TextAnalysis.decontaminate(
+        docs.where(col("doc_id") % BenchMod =!= 0),
+        docs.where(col("doc_id") % BenchMod === 0),
+        "doc_id", "text", DecontamN)
+    },
+    // Concat-and-chunk sequence packing: per-doc chunk spans under a
+    // fixed token budget via the distributed two-phase prefix sum.
+    "text_packing" -> { (s, dir) =>
+      Packing.chunkSpans(
+        Fixtures.table(s, dir, "documents"),
+        "doc_id", TextAnalysis.wsTokenCount(col("text")), PackBudget)
+    },
+    // Gopher-style intra-document repetition signals.
+    "text_repetition" -> { (s, dir) =>
+      TextAnalysis.repetitionReport(
+        Fixtures.table(s, dir, "documents"), "doc_id", "text")
+    },
     // Deterministic md5-bucket train/valid/test split (98/1/1 per-mille
     // 980/10/10): same id -> same split in any engine, forever.
     "samp_split_counts" -> { (s, dir) =>
@@ -41,6 +63,10 @@ object TextQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
     })
+
+  val BenchMod = 23
+  val DecontamN = 3
+  val PackBudget = 128L
 
   private val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -101,6 +127,48 @@ object TextQueries {
         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
         |      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents))
         |SELECT * FROM doc CROSS JOIN v""".stripMargin,
+    // Word 3-gram containment against the doc_id % 23 == 0 "benchmark".
+    "text_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+${DecontamN - 1}], ' ') FOR i IN range(1, len(t) - ${DecontamN - 2})]) AS g
+         |  FROM toks WHERE len(t) >= $DecontamN),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % $BenchMod = 0),
+         |cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % $BenchMod != 0),
+         |hits AS (SELECT cg.doc_id, count(*) AS n_hits FROM cg JOIN bench USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(h.n_hits, 0) AS n_hits,
+         |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $BenchMod != 0) d
+         |LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    // Global running token total ordered by doc_id; // is DuckDB's
+    // integer floor division, twin of Spark's `div`.
+    "text_packing" ->
+      s"""WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS first_chunk,
+         |  CAST((cum - 1) // $PackBudget AS BIGINT) AS last_chunk
+         |FROM p""".stripMargin,
+    "text_repetition" ->
+      """WITH b AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+        |g AS (SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 2 THEN [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] ELSE [] END AS bi,
+        |    CASE WHEN len(t) >= 3 THEN [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] ELSE [] END AS tri
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t) - len(list_distinct(t)) AS BIGINT) AS dup_token_cnt,
+        |  CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS dup_trigram_cnt,
+        |  CAST(coalesce(list_max([len(list_filter(bi, x -> x = gd)) FOR gd IN list_distinct(bi)]), 0) AS BIGINT) AS top_bigram_cnt,
+        |  CAST(len(bi) AS BIGINT) AS n_bigrams,
+        |  CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1) AS dup_token_frac,
+        |  CAST(coalesce(list_max([len(list_filter(bi, x -> x = gd)) FOR gd IN list_distinct(bi)]), 0) AS DOUBLE)
+        |    / greatest(len(bi), 1) AS top_bigram_frac
+        |FROM g""".stripMargin,
     "samp_split_counts" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk FROM documents)

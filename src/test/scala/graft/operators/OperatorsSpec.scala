@@ -91,6 +91,96 @@ class OperatorsSpec extends SparkSuite {
     assert(exhaustive.nonEmpty)
   }
 
+  test("decontaminate: planted benchmark n-grams found, clean docs 0, n-gram edge cases") {
+    import spark.implicits._
+    val bench = Seq((100L, "the secret benchmark answer sequence here")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally unrelated words about weather patterns"),
+      // shares "the secret benchmark" + "secret benchmark answer"
+      (2L, "contains the secret benchmark answer verbatim inside"),
+      (3L, "short doc"), // fewer than 3 tokens -> no grams, still a row
+      (4L, "benchmark answer sequence appears once more") // 1 shared 3-gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((0L, 0L)), 2L -> ((2L, 1L)), 3L -> ((0L, 0L)), 4L -> ((1L, 1L))))
+  }
+
+  test("chunkSpans: spans tile the token stream; distributed == single global window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 500).map(i => (i.toLong, rnd.nextInt(40).toLong))
+      .toDF("doc_id", "toks")
+    val budget = 64L
+    val spans = Packing.chunkSpans(docs, "doc_id", col("toks"), budget)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // oracle: plain in-memory prefix sum over doc_id order
+    val expected = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, t)) => (id, t, cum + t) }.drop(1)
+      .map { case (id, t, cum) => (id, t, (cum - t) / budget, (cum - 1) / budget) }
+    assert(spans.toSeq === expected.toSeq)
+    // tiling: each doc starts in the chunk where the previous one ended
+    // or in the directly following one — no gaps, no overlaps backwards
+    spans.sliding(2).foreach { w =>
+      if (w.length == 2) {
+        val lastA = w(0)._4
+        val firstB = w(1)._3
+        assert(firstB === lastA || firstB === lastA + 1,
+          s"gap between ${w(0)} and ${w(1)}")
+      }
+    }
+  }
+
+  test("repetition: constructed repeats measured exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam"),       // one token repeated
+      (2L, "all tokens here differ"),    // no repetition
+      (3L, "")                            // empty
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionReport(docs, "doc_id", "text")
+      .select("doc_id", "n_tokens", "dup_token_cnt", "dup_trigram_cnt", "top_bigram_cnt")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // "spam spam spam spam": 4 tokens, 3 dup instances; trigrams
+    // ["spam spam spam" x2] -> 1 dup; bigrams ["spam spam" x3] -> top 3
+    assert(got(1L) === ((4L, 3L, 1L, 3L)))
+    assert(got(2L) === ((4L, 0L, 0L, 1L)))
+    assert(got(3L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("as-of join: <= at equal ts, left nulls, tolerance voiding, multi-ref ordering") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, 100L, 10L), // user 1: refs at ts 100, 200
+      (1L, 200L, 11L),
+      (2L, 500L, 20L)  // user 2: one ref at 500
+    ).toDF("user_id", "ts", "ref_id")
+    val probe = Seq(
+      (101L, 1L, 150L), // between refs -> 10
+      (102L, 1L, 200L), // equal ts -> <= semantics must match 11
+      (103L, 1L, 999L), // far after -> 11
+      (104L, 2L, 400L), // before user 2's only ref -> null
+      (105L, 3L, 100L)  // user with no refs at all -> null
+    ).toDF("event_id", "user_id", "ts")
+    val got = Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id"))
+      .select("event_id", "ref_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(
+      101L -> Some(10L), 102L -> Some(11L), 103L -> Some(11L),
+      104L -> None, 105L -> None))
+    // tolerance: match older than toleranceNs is voided, in-range kept
+    val tol = Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id"),
+      toleranceNs = Some(100L))
+      .select("event_id", "ref_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(tol(101L) === Some(10L)) // gap 50 <= 100
+    assert(tol(102L) === Some(11L)) // gap 0
+    assert(tol(103L) === None)      // gap 799 > 100 -> voided
+  }
+
   test("ann recall@10 >= 0.5 vs brute force (random vectors are LSH-adversarial)") {
     val q = embs.where(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
