@@ -66,6 +66,15 @@ object Plans {
       println(s"nlist=16: $p16 chars; nlist=256: $p256 chars (must be ~equal; " +
         "literal-centroid formulations grow linearly)")
     }
+    dump("text_decontam (expect: bench grams BroadcastExchange, corpus grams never shuffled raw)") {
+      queries.TextQueries.queries("text_decontam")(spark, sfDir)
+    }
+    dump("text_packing (expect: RangePartitioning + Sort + MapPartitions — no global Window, no _pid re-shuffle)") {
+      queries.TextQueries.queries("text_packing")(spark, sfDir)
+    }
+    dump("ev_asof_join (expect: one shuffle on user_id; running-last window, no range-expansion join)") {
+      queries.EventQueries.queries("ev_asof_join")(spark, sfDir)
+    }
     dump("domain build plan (expect: one Exchange + in-partition Sort)") {
       import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
       val kvDf = Fixtures.customerKv(spark, sfDir)

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
  * Sequence packing for LLM training: concatenate the corpus in a
@@ -14,23 +14,33 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: the global running token total is computed with a
  * two-phase distributed prefix sum — range-partition by the order key,
- * cumulative-sum *within* each partition under a per-partition window,
- * then add the (tiny, collected and broadcast-joined) per-partition
- * offsets. No single-partition global window anywhere: the classic
- * `sum() over (order by id)` formulation funnels the whole corpus
- * through ONE task, which is exactly the plan that cannot survive 100 TB.
- * Cost: one range shuffle + one row-count-per-partition collect.
+ * take per-partition token totals (one row per partition — safe to
+ * collect at any scale), then a single in-partition running-sum pass
+ * seeded with each partition's cumulative offset. No single-partition
+ * global window anywhere: the classic `sum() over (order by id)`
+ * formulation funnels the whole corpus through ONE task, which is
+ * exactly the plan that cannot survive 100 TB. The running-sum pass is
+ * `mapPartitions` (genuine per-partition imperative logic — a prefix
+ * sum), not a `Window partitionBy(partition_id)`, which would re-shuffle
+ * and re-sort data that is already ordered because Catalyst cannot see
+ * that range partitions cluster the partition id.
+ *
+ * Both phases evaluate the same range-shuffled plan, so the input's
+ * partitioning must be deterministic across jobs (true for file scans
+ * and deterministic transforms; Spark's round-robin repartition sorts
+ * for exactly this reason).
  */
 object Packing {
 
   /**
    * Per-document chunk spans under `budget`-token chunks, ordered by
-   * `idCol`. `tokensCol` is evaluated per row (e.g.
+   * `idCol` (must be long-typed). `tokensCol` is evaluated per row (e.g.
    * [[TextAnalysis.wsTokenCount]]); zero-token documents are excluded —
    * they occupy no tokens, so "the chunk they fall in" is ill-defined.
    *
    * Output: idCol, n_tokens, first_chunk, last_chunk (all long;
-   * inclusive chunk ids; integer math throughout so any engine agrees).
+   * inclusive chunk ids; pure long math throughout — a double round-trip
+   * would lose exactness past 2^53 total tokens, a realistic corpus).
    */
   def chunkSpans(
       df: DataFrame,
@@ -39,41 +49,57 @@ object Packing {
       budget: Long): DataFrame = {
     require(budget >= 1, s"chunkSpans: budget must be >= 1, got $budget")
     val spark = df.sparkSession
-    val base = df
-      .select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+    val ordered = df
+      .select(col(idCol).cast("long").as(idCol), tokensCol.cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
       .repartitionByRange(spark.sparkContext.defaultParallelism, col(idCol))
       .sortWithinPartitions(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    // Phase 1: per-partition totals — one row per partition, safe to
-    // collect at any scale (bounded by the partition count, not the data).
-    val totals = base.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("_ptotal"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = totals.keys.toSeq.sorted
-    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
-    val offsetDf = spark.createDataFrame(
-      offsets.toSeq.map { case (p, o) => (p, o) }).toDF("_pid", "_offset")
-    // Phase 2: in-partition running sum + broadcast offset = global prefix.
-    val w = Window.partitionBy(col("_pid")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base
-      .withColumn("_local_cum", sum(col("n_tokens")).over(w))
-      .join(broadcast(offsetDf), "_pid")
-      .withColumn("_cum", col("_local_cum") + col("_offset"))
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        // integral `div`, not `/` + floor (which round-trips through
-        // double and loses exactness past 2^53 tokens — a realistic
-        // corpus size): the chunk holding the doc's first / last token.
-        expr(s"(_cum - n_tokens) div ${budget}L").as("first_chunk"),
-        expr(s"(_cum - 1L) div ${budget}L").as("last_chunk"))
+    // Phase 1: per-partition (first id, token total). Offsets are keyed
+    // by each range partition's FIRST DOCUMENT ID, never by a
+    // partition-id notion: a downstream narrow coalesce (e.g. a caller's
+    // `.coalesce(1).write`) merges several data partitions into one TASK,
+    // so `TaskContext.getPartitionId()` in phase 2 would not name the
+    // data partition being computed — the classic seeded-prefix-sum trap.
+    // The per-parent-partition `mapPartitions` invocation survives a
+    // coalesce (CoalescedRDD concatenates parent iterators), and its
+    // first row's id identifies the partition in any task layout.
+    val parts = ordered
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(min(col(idCol)).as("_minId"), sum(col("n_tokens")).as("_ptotal"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val offsets: Map[Long, Long] =
+      parts.map(_._1).zip(parts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    // Phase 2: seeded running sum, one narrow pass, no extra shuffle.
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("first_chunk", LongType, nullable = false),
+      StructField("last_chunk", LongType, nullable = false)))
+    ordered.mapPartitions { it0 =>
+      val it = it0.buffered
+      if (!it.hasNext) Iterator.empty
+      else {
+        val firstId = it.head.getLong(0)
+        // loud failure beats silently mis-seeded chunk ids if the two
+        // phases ever see different partitionings
+        var cum = offsets.getOrElse(firstId,
+          throw new IllegalStateException(
+            s"chunkSpans: no offset for partition starting at id $firstId — " +
+              "phase 1 and phase 2 saw different range partitionings"))
+        it.map { r =>
+          val t = r.getLong(1)
+          cum += t
+          // operands non-negative, so Long division == floor division
+          Row(r.getLong(0), t, (cum - t) / budget, (cum - 1) / budget)
+        }
+      }
+    }(Encoders.row(schema))
   }
 
   /** Corpus-level packing summary on top of [[chunkSpans]]: total chunk
-    * count, how many documents straddle a chunk boundary, and mean docs
-    * per chunk — the packing-efficiency dashboard numbers. */
-  def packingStats(spans: DataFrame, budget: Long): DataFrame =
+    * count, how many documents straddle a chunk boundary — the
+    * packing-efficiency dashboard numbers. */
+  def packingStats(spans: DataFrame): DataFrame =
     spans.agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("total_tokens"),

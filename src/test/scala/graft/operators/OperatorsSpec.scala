@@ -122,6 +122,13 @@ class OperatorsSpec extends SparkSuite {
       .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (id, t)) => (id, t, cum + t) }.drop(1)
       .map { case (id, t, cum) => (id, t, (cum - t) / budget, (cum - 1) / budget) }
     assert(spans.toSeq === expected.toSeq)
+    // coalesce(1) merges every range partition into ONE task (exactly
+    // what Verify's .coalesce(1).write does): per-partition offsets must
+    // still seed correctly because they key on first-id, not task id
+    val coalesced = Packing.chunkSpans(docs, "doc_id", col("toks"), budget)
+      .coalesce(1).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(coalesced.toSeq === expected.toSeq)
     // tiling: each doc starts in the chunk where the previous one ended
     // or in the directly following one — no gaps, no overlaps backwards
     spans.sliding(2).foreach { w =>
