@@ -367,6 +367,53 @@ case class PqAdcExpr(
     copy(left = newLeft, right = newRight)
 }
 
+object TopFreq {
+  /** Count of the most frequent element in a string array (0 when empty):
+    * one hash-map pass per row. */
+  def topCount(arr: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val c = counts.merge(s, 1, (a: Integer, b: Integer) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+}
+
+/**
+ * Count of the most frequent element of an array<string> column as a
+ * native codegen expression — one hash-map pass per row. Replaces the
+ * `array_max(transform(array_distinct(a), g -> size(filter(a, _ == g))))`
+ * higher-order formulation, whose lambdas evaluate interpreted and cost
+ * O(elements x distinct) per row (the text_repetition bench outlier).
+ */
+case class TopFreqExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_freq"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TopFreq.topCount(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.TopFreq.topCount($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopFreqExpr =
+    copy(child = newChild)
+}
+
 object RollingHash {
   val Prime = 1000000007L
 

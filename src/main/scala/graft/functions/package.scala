@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.interop
 
-import graft.core.{DoubleArrayDot, RollingHashExpr, ShardIndexExpr}
+import graft.core.{DoubleArrayDot, RollingHashExpr, ShardIndexExpr, TopFreqExpr}
 
 /**
  * Column-level functions of the graft engine. Everything here is either a
@@ -65,6 +65,11 @@ package object functions {
     * (see [[graft.core.RollingHashExpr]]). */
   def rolling_hash(s: Column): Column =
     interop.column(RollingHashExpr(interop.expression(s)))
+
+  /** Codegen'd count of the most frequent element of an array<string>
+    * column (see [[graft.core.TopFreqExpr]]). */
+  def top_freq(a: Column): Column =
+    interop.column(TopFreqExpr(interop.expression(a)))
 
   /** First 32 bits of md5 of a string column as a non-negative long — the
     * engine's engine-replicable base hash (DuckDB twin:

@@ -174,19 +174,20 @@ object TextAnalysis {
    * Intra-document repetition signals (Gopher-style quality filters):
    * duplicate-token and duplicate-trigram instance counts, and the
    * instance count of the most frequent word bigram. All per-row array
-   * math — no shuffle, cost linear in documents (the per-doc
-   * most-frequent scan is quadratic in the doc's *distinct bigrams*,
-   * bounded by document length, not corpus size). Ratios divide the same
-   * integers in both engines, so they compare bit-for-bit.
+   * math — no shuffle, cost linear in corpus size and document length
+   * (the most-frequent count is a codegen'd single hash-map pass,
+   * [[graft.core.TopFreqExpr]] — the equivalent
+   * `array_max(transform(array_distinct, …filter…))` formulation
+   * evaluates its lambdas interpreted at O(len x distinct) per doc and
+   * was a 14 s bench outlier). Ratios divide the same integers in both
+   * engines, so they compare bit-for-bit.
    */
   def repetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = wordTokens(t)
     val bi = wordNGrams(t, 2)
     val tri = wordNGrams(t, 3)
-    val topBigram = coalesce(
-      array_max(transform(array_distinct(bi), g => size(filter(bi, x => x === g)))),
-      lit(0)).cast("long")
+    val topBigram = graft.functions.top_freq(bi).cast("long")
     df.select(
       col(idCol),
       size(toks).cast("long").as("n_tokens"),
