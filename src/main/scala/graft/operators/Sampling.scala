@@ -51,4 +51,30 @@ object Sampling {
     }
     df.where(col(idCol).isNotNull).withColumn("split", expr)
   }
+
+  /**
+   * Stratified deterministic sampling: keep each row with a per-stratum
+   * per-mille rate (`rates`, with `defaultRate` for unlisted strata) —
+   * how a training mix is rebalanced (e.g. downsample boilerplate-heavy
+   * strata, keep all of a rare language). Same md5 bucket as [[sample]],
+   * so membership stays a pure function of the id: re-stratifying does
+   * not reshuffle which ids survive within an unchanged stratum, and a
+   * stratum's kept set at rate r is a SUBSET of its kept set at rate
+   * r' > r (nested samples — rate changes only add/remove the margin).
+   * Per-row filter, no shuffle.
+   */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: Column,
+      rates: Seq[(String, Int)],
+      defaultRate: Int): DataFrame = {
+    require(rates.forall { case (_, r) => r >= 0 && r <= 1000 },
+      "per-stratum rates are per-mille: 0..1000")
+    require(defaultRate >= 0 && defaultRate <= 1000, "defaultRate is per-mille: 0..1000")
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((name, r), elseCol) => when(stratumCol === name, lit(r)).otherwise(elseCol)
+    }
+    df.where(col(idCol).isNotNull && hashBucket(col(idCol), 1000) < rate)
+  }
 }

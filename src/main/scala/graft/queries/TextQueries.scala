@@ -54,6 +54,19 @@ object TextQueries {
       TextAnalysis.repetitionReport(
         Fixtures.table(s, dir, "documents"), "doc_id", "text")
     },
+    // Stratified rebalancing: keep all short docs, half the mid band,
+    // a quarter of the long band — deterministic md5-bucket membership.
+    "samp_stratified" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val band = when(length(col("text")) < 200, "short")
+        .when(length(col("text")) < 400, "mid")
+        .otherwise("long")
+      graft.operators.Sampling.stratifiedSample(
+        docs.withColumn("band", band), "doc_id", col("band"),
+        Seq("short" -> 1000, "mid" -> 500, "long" -> 250), defaultRate = 0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    },
     // Deterministic md5-bucket train/valid/test split (98/1/1 per-mille
     // 980/10/10): same id -> same split in any engine, forever.
     "samp_split_counts" -> { (s, dir) =>
@@ -70,10 +83,10 @@ object TextQueries {
 
   private val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
-  private def occSql(m: String): String =
+  private[queries] def occSql(m: String): String =
     s"CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $m ', ''))) / ${m.length + 2} AS BIGINT)"
 
-  private def scoreSql(lang: String): String =
+  private[queries] def scoreSql(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(occSql).mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
@@ -169,6 +182,16 @@ object TextQueries {
         |  CAST(coalesce(list_max([len(list_filter(bi, x -> x = gd)) FOR gd IN list_distinct(bi)]), 0) AS DOUBLE)
         |    / greatest(len(bi), 1) AS top_bigram_frac
         |FROM g""".stripMargin,
+    "samp_stratified" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN length(text) < 200 THEN 'short'
+        |       WHEN length(text) < 400 THEN 'mid' ELSE 'long' END AS band,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk
+        |FROM documents)
+        |SELECT band, count(*) AS n, min(doc_id) AS min_id
+        |FROM s
+        |WHERE bk < CASE band WHEN 'short' THEN 1000 WHEN 'mid' THEN 500 ELSE 250 END
+        |GROUP BY band""".stripMargin,
     "samp_split_counts" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk FROM documents)

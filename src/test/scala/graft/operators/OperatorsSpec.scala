@@ -158,6 +158,23 @@ class OperatorsSpec extends SparkSuite {
     assert(got(3L) === ((0L, 0L, 0L, 0L)))
   }
 
+  test("stratified sampling: nested at increasing rates, default rate for unlisted strata") {
+    val band = when(length(col("text")) < 300, "a").otherwise("b")
+    val banded = docs.withColumn("band", band)
+    def kept(rates: Seq[(String, Int)], dflt: Int): Set[Long] =
+      Sampling.stratifiedSample(banded, "doc_id", col("band"), rates, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r250 = kept(Seq("a" -> 250), 0)
+    val r500 = kept(Seq("a" -> 250, "b" -> 500), 0)
+    val all = kept(Seq.empty, 1000)
+    // unlisted stratum at default 0 contributes nothing
+    assert(r250.nonEmpty && r250.subsetOf(r500))
+    // nesting: raising a's rate only adds ids, never swaps them
+    val a500 = kept(Seq("a" -> 500), 0)
+    assert(r250.subsetOf(a500))
+    assert(all.size === docs.count())
+  }
+
   test("as-of join: <= at equal ts, left nulls, tolerance voiding, multi-ref ordering") {
     import spark.implicits._
     val ref = Seq(
