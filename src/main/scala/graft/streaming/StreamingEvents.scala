@@ -14,6 +14,12 @@ case class StreamEvent(
 /** Per-user session accumulator carried across micro-batches. */
 case class SessionState(n_sessions: Long, last_ts: Long, n_events: Long, value_cents: Long)
 
+/** Latest reference event seen for a user (the as-of state). */
+case class RefState(ts: Long, ref_id: Long)
+
+/** One emitted as-of enrichment (ref fields None when no prior ref). */
+case class AsofMatch(event_id: Long, user_id: Long, ref_id: Option[Long], gap_ns: Option[Long])
+
 /** Running per-user session stats (the streaming output row). */
 case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long, value_cents: Long)
 
@@ -189,6 +195,56 @@ object StreamingEvents {
       }
       .writeStream
       .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
+  /**
+   * Streaming twin of [[graft.operators.Events.asOfJoin]]: enrich each
+   * `probeType` event with the latest prior `refType` event of the same
+   * user, across micro-batches. State per user is ONE row (the newest
+   * reference) — constant-size state per key, the layout that runs
+   * forever; each probe emits exactly once (append mode). Within a batch
+   * events are ordered by (ts, ref-before-probe, event_id), giving the
+   * batch operator's `<=` semantics at equal ts and its max-event_id
+   * tie-break among same-ts references. Cross-batch ordering relies on
+   * the file stream delivering files in event-time order, exactly like
+   * [[sessionStatsToMemory]] — for fully unordered sources, buffer by
+   * watermark upstream.
+   */
+  def asOfEnrichToMemory(
+      spark: SparkSession,
+      dir: String,
+      probeType: String,
+      refType: String,
+      queryName: String): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    readEvents(spark, dir).as[StreamEvent]
+      .filter(e => e.event_type == probeType || e.event_type == refType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[StreamEvent], state: GroupState[RefState]) =>
+          var st = state.getOption
+          val out = Seq.newBuilder[AsofMatch]
+          events.toSeq
+            .sortBy(e => (e.ts, if (e.event_type == refType) 0 else 1, e.event_id))
+            .foreach { e =>
+              if (e.event_type == refType) {
+                if (st.forall(s =>
+                    e.ts > s.ts || (e.ts == s.ts && e.event_id > s.ref_id)))
+                  st = Some(RefState(e.ts, e.event_id))
+              } else {
+                out += AsofMatch(
+                  e.event_id, uid, st.map(_.ref_id), st.map(s => e.ts - s.ts))
+              }
+            }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .start()

@@ -188,4 +188,54 @@ class StreamingSpec extends SparkSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment == batch asOfJoin (multi-batch, cross-batch state)") {
+    import org.apache.spark.sql.functions._
+    val src = sf("sf0.001/events.parquet")
+    val dir = scratch("stream-asof")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // Two files in event-time order: purchases in batch 2 must match
+    // clicks carried as state from batch 1.
+    val all = spark.read.parquet(src).orderBy("ts", "event_id")
+    val n = all.count()
+    val firstHalf = all.limit((n / 2).toInt)
+    val secondHalf = all.exceptAll(firstHalf)
+    val tmp = scratch("stream-asof-staging")
+    firstHalf.coalesce(1).write.parquet(s"$tmp/b0")
+    secondHalf.coalesce(1).write.parquet(s"$tmp/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$tmp/b0", s"$dir/events-0.parquet")
+    stage(s"$tmp/b1", s"$dir/events-1.parquet")
+
+    val ev = spark.read.parquet(src)
+    val wTs = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("ts")).orderBy(col("click_id").desc)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .withColumn("rn", row_number().over(wTs))
+      .where(col("rn") === 1).drop("rn")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val batch = Events.asOfJoin(purchases, clicks, Seq("user_id"), "ts", Seq("click_id"))
+      .select("event_id", "click_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val q = StreamingEvents.asOfEnrichToMemory(
+      spark, dir, "purchase", "click", "asof_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_test")
+        .select("event_id", "ref_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+      assert(streamed.valuesIterator.exists(_ >= 0L))
+    } finally q.stop()
+  }
 }
