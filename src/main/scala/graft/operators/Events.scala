@@ -92,6 +92,10 @@ object Events {
     require(
       payload.forall(p => !probeCols.contains(p) && p != "asof_ts"),
       s"asOfJoin: payload columns ${payload.mkString(",")} must not collide with probe columns")
+    val reserved = Seq("_is_ref", "_asof", "_m", "asof_ts")
+    require(
+      probeCols.forall(c => !reserved.contains(c)),
+      s"asOfJoin: probe columns must not use the reserved names ${reserved.mkString(",")}")
     val refTagged = ref.select(
       (keys :+ tsCol).map(col) :+
         lit(1).as("_is_ref") :+

@@ -49,11 +49,23 @@ object Packing {
       budget: Long): DataFrame = {
     require(budget >= 1, s"chunkSpans: budget must be >= 1, got $budget")
     val spark = df.sparkSession
+    // Eagerly materialize the range-shuffled layout ONCE and run both
+    // phases against it. Without this, phase 1 and phase 2 are separate
+    // jobs that each re-sample range boundaries, and RangePartitioner's
+    // reservoir sampling is seeded per job — identical only while every
+    // partition fits the reservoir (~300 rows); at real scale the two
+    // jobs pick different boundaries and the offsets seeding breaks.
+    // The checkpoint holds (id, n_tokens) = 16 bytes/row, not the text —
+    // ~160 GB cluster-wide for 10^10 docs, a fair price for a correct
+    // global order. No cache leak: unpersisting is the caller-visible
+    // result's problem only until this method returns (the returned plan
+    // reads the checkpoint blocks; they are freed with the DataFrame).
     val ordered = df
       .select(col(idCol).cast("long").as(idCol), tokensCol.cast("long").as("n_tokens"))
       .where(col("n_tokens") > 0)
       .repartitionByRange(spark.sparkContext.defaultParallelism, col(idCol))
       .sortWithinPartitions(col(idCol))
+      .localCheckpoint(true)
     // Phase 1: per-partition (first id, token total). Offsets are keyed
     // by each range partition's FIRST DOCUMENT ID, never by a
     // partition-id notion: a downstream narrow coalesce (e.g. a caller's

@@ -303,8 +303,17 @@ object Similarity {
       m: Int,
       ksub: Int,
       iters: Int = 10,
-      maxTrainRows: Int = 65536): Array[Array[Array[Double]]] = {
-    val sample = collectTrainSample(p, maxTrainRows)
+      maxTrainRows: Int = 65536): Array[Array[Array[Double]]] =
+    pqCodebooksFromSample(collectTrainSample(p, maxTrainRows), m, ksub, iters)
+
+  private def pqCodebooksFromSample(
+      sample: Array[Array[Double]],
+      m: Int,
+      ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    // codes are stored as Short: a codebook past 32768 entries would
+    // silently wrap to negative codes and index the ADC LUT out of bounds
+    require(ksub >= 1 && ksub <= 32768, s"pq: ksub must be in [1, 32768], got $ksub")
     val dim = sample(0).length
     require(dim % m == 0, s"pq: dim $dim not divisible by m = $m")
     val dsub = dim / m
@@ -344,9 +353,13 @@ object Similarity {
       maxTrainRows: Int = 65536): DataFrame = {
     val sc = corpus.sparkSession.sparkContext
     val c = prepared(corpus, idCol, vecCol)
-    val centroids = kmeansCentroids(c, nlist, maxTrainRows = maxTrainRows)
+    // ONE bounded sample collect feeds both quantizers — the coarse
+    // cells and the per-subspace codebooks (two collectTrainSample calls
+    // would each pay a full-corpus TakeOrdered job).
+    val sample = collectTrainSample(c, maxTrainRows)
+    val centroids = lloyd(sample, nlist, 10)
     val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
-    val books = pqCodebooks(c, m, ksub, maxTrainRows = maxTrainRows)
+    val books = pqCodebooksFromSample(sample, m, ksub, 10)
     val ksubEff = books(0).length // lloyd caps k at the sample size
     val bcBooks = sc.broadcast(books)
     import org.apache.spark.sql.graft.interop
@@ -379,11 +392,13 @@ object Similarity {
       r.getLong(0) -> lut
     }.toMap
     val bcLut = sc.broadcast(luts)
+    // Probes carry NO raw query vectors into the candidate join: the ADC
+    // ranking shuffle must move (query_id, id, codes) only — attaching
+    // qvec here would widen every candidate row back to dim doubles and
+    // forfeit the entire PQ shuffle saving.
     val probes = q0
       .withColumn("cells", nearestCells(col("vec"), bcCells, nprobe))
-      .select(
-        col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
-        explode(col("cells")).as("cell"))
+      .select(col("id").as("query_id"), explode(col("cells")).as("cell"))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("id"))
     val shortlist = encoded.join(broadcast(probes), Seq("cell"))
       .where(col("id") =!= col("query_id"))
@@ -392,12 +407,16 @@ object Similarity {
           interop.expression(col("query_id")), interop.expression(col("codes")), bcLut, ksubEff)))
       .withColumn("arank", row_number().over(wAdc))
       .where(col("arank") <= k * rerank)
-      .select(col("query_id"), col("id"), col("qvec"), col("qnorm"))
+      .select(col("query_id"), col("id"))
     // Exact re-rank: fetch originals for the shortlist only (broadcast —
-    // it is bounded by queries x k x rerank).
+    // it is bounded by queries x k x rerank); query vectors re-attach
+    // HERE, after the shortlist filter, via a second small broadcast.
+    val qSide = q0.select(
+      col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
     c.select(col("id"), col("vec"), col("norm"))
       .join(broadcast(shortlist), Seq("id"))
+      .join(broadcast(qSide), Seq("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

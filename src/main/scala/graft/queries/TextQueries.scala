@@ -49,6 +49,12 @@ object TextQueries {
         Fixtures.table(s, dir, "documents"),
         "doc_id", TextAnalysis.wsTokenCount(col("text")), PackBudget)
     },
+    // Packing-efficiency dashboard numbers over the same spans.
+    "text_packing_stats" -> { (s, dir) =>
+      Packing.packingStats(Packing.chunkSpans(
+        Fixtures.table(s, dir, "documents"),
+        "doc_id", TextAnalysis.wsTokenCount(col("text")), PackBudget))
+    },
     // Gopher-style intra-document repetition signals.
     "text_repetition" -> { (s, dir) =>
       TextAnalysis.repetitionReport(
@@ -165,6 +171,20 @@ object TextQueries {
          |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS first_chunk,
          |  CAST((cum - 1) // $PackBudget AS BIGINT) AS last_chunk
          |FROM p""".stripMargin,
+    "text_packing_stats" ->
+      s"""WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t WHERE n_tokens > 0),
+         |spans AS (SELECT doc_id, n_tokens,
+         |    (cum - n_tokens) // $PackBudget AS first_chunk,
+         |    (cum - 1) // $PackBudget AS last_chunk
+         |  FROM p)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(max(last_chunk) + 1 AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END) AS BIGINT) AS straddling_docs
+         |FROM spans""".stripMargin,
     "text_repetition" ->
       """WITH b AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),

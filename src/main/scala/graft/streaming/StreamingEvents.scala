@@ -236,8 +236,13 @@ object StreamingEvents {
                     e.ts > s.ts || (e.ts == s.ts && e.event_id > s.ref_id)))
                   st = Some(RefState(e.ts, e.event_id))
               } else {
+                // guard against out-of-event-time file delivery: a stored
+                // reference NEWER than the probe must not match (the batch
+                // operator would return an older ref or null, never a
+                // negative gap)
+                val eligible = st.filter(_.ts <= e.ts)
                 out += AsofMatch(
-                  e.event_id, uid, st.map(_.ref_id), st.map(s => e.ts - s.ts))
+                  e.event_id, uid, eligible.map(_.ref_id), eligible.map(s => e.ts - s.ts))
               }
             }
           st.foreach(state.update)
