@@ -144,20 +144,28 @@ object TextAnalysis {
    * side never shuffles its exploded grams — the only shuffles are the
    * per-doc hit count (map-side partial agg on doc id) and the left join
    * back to the corpus id list. Corpus text is touched exactly once.
+   * `hashGrams = true` joins on xxhash64 of the gram instead of the
+   * string — ~10x smaller broadcast and cheaper probes at corpus scale,
+   * at a ~|corpus grams| x |bench grams| / 2^64 false-positive-flag risk
+   * (standard practice; the exact variant stays the contract/oracle
+   * path, and the two are pinned equal on real data in OperatorsSpec).
    */
   def decontaminate(
       corpus: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"decontaminate: n must be >= 1, got $n")
+    def gramKey(g: Column): Column = if (hashGrams) xxhash64(g) else g
     val benchGrams = bench
-      .select(explode(wordNGrams(col(textCol), n)).as("gram"))
+      .select(explode(wordNGrams(col(textCol), n)).as("g"))
+      .select(gramKey(col("g")).as("gram"))
       .distinct()
-    val corpusGrams = corpus.select(
-      col(idCol),
-      explode(array_distinct(wordNGrams(col(textCol), n))).as("gram"))
+    val corpusGrams = corpus
+      .select(col(idCol), explode(array_distinct(wordNGrams(col(textCol), n))).as("g"))
+      .select(col(idCol), gramKey(col("g")).as("gram"))
     val hits = corpusGrams
       .join(broadcast(benchGrams), "gram")
       .groupBy(col(idCol))

@@ -107,6 +107,17 @@ class OperatorsSpec extends SparkSuite {
       1L -> ((0L, 0L)), 2L -> ((2L, 1L)), 3L -> ((0L, 0L)), 4L -> ((1L, 1L))))
   }
 
+  test("decontaminate: hashed-gram scale path == exact string path on real docs") {
+    val bench = docs.where(col("doc_id") % 23 === 0)
+    val corpus = docs.where(col("doc_id") % 23 =!= 0)
+    def result(hashed: Boolean) =
+      TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", 3, hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = result(false)
+    assert(result(true) === exact)
+    assert(exact.exists(_._3 == 1L)) // some contamination actually present
+  }
+
   test("chunkSpans: spans tile the token stream; distributed == single global window") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
@@ -203,6 +214,32 @@ class OperatorsSpec extends SparkSuite {
     assert(tol(101L) === Some(10L)) // gap 50 <= 100
     assert(tol(102L) === Some(11L)) // gap 0
     assert(tol(103L) === None)      // gap 799 > 100 -> voided
+  }
+
+  test("as-of join == brute-force scan on random data (with and without tolerance)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val refsRaw = (0 until 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, 10000L + i)) // user, ts, ref_id
+    // dedup per (user, ts) keeping max ref_id — the operator's documented
+    // determinism precondition
+    val refs = refsRaw.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val probes = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1200).toLong)) // event_id, user, ts
+    def brute(tol: Option[Long]): Map[Long, Option[Long]] =
+      probes.map { case (eid, u, ts) =>
+        val cand = refs.filter(r => r._1 == u && r._2 <= ts && tol.forall(t => ts - r._2 <= t))
+        eid -> (if (cand.isEmpty) None else Some(cand.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+    val refDf = refs.toDF("user_id", "ts", "ref_id")
+    val probeDf = probes.toDF("event_id", "user_id", "ts")
+    def run(tol: Option[Long]): Map[Long, Option[Long]] =
+      Events.asOfJoin(probeDf, refDf, Seq("user_id"), "ts", Seq("ref_id"), tol)
+        .select("event_id", "ref_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(run(None) === brute(None))
+    assert(run(Some(100L)) === brute(Some(100L)))
+    assert(brute(None).valuesIterator.count(_.isDefined) > 100) // non-trivial corpus
   }
 
   test("ann recall@10 >= 0.5 vs brute force (random vectors are LSH-adversarial)") {
