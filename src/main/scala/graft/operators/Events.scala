@@ -121,4 +121,85 @@ object Events {
       probeCols.map(col) :+ col("_m.asof_ts").as("asof_ts") :++
         payload.map(p => col(s"_m.$p").as(p)): _*)
   }
+
+  /**
+   * Skew-proof [[asOfJoin]]: same semantics, but the big window
+   * partitions by (key, time bucket) instead of key alone. The plain
+   * formulation funnels a key's ENTIRE history through one task — fine
+   * for organic keys, a straggler ceiling for the hot keys a 100 TB
+   * event log always has (bots, load tests, default ids). Here per-task
+   * work is bounded by one bucket of one key, and the cross-bucket state
+   * handoff rides a small summary frame (one row per key x bucket):
+   *   1. in-bucket running-last window over (key, bucket);
+   *   2. per-bucket last reference via max_by, then a running-last window
+   *      over the PRECEDING buckets' summaries (rows per key = bucket
+   *      count, not event count);
+   *   3. each probe takes its in-bucket carry, falling back to the
+   *      previous buckets' carry.
+   * Same preconditions as [[asOfJoin]]; `bucketNs` trades shuffle width
+   * (two big-side shuffles instead of one) for the bounded task size.
+   */
+  def asOfJoinBucketed(
+      probe: DataFrame,
+      ref: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      payload: Seq[String],
+      bucketNs: Long,
+      toleranceNs: Option[Long] = None): DataFrame = {
+    require(bucketNs >= 1, s"asOfJoinBucketed: bucketNs must be >= 1, got $bucketNs")
+    require(keys.nonEmpty, "asOfJoinBucketed: at least one key column")
+    require(payload.nonEmpty, "asOfJoinBucketed: at least one payload column")
+    val probeCols = probe.columns.toSeq
+    val reserved = Seq("_is_ref", "_asof", "_m", "_bucket", "_prev", "asof_ts")
+    require(
+      payload.forall(p => !probeCols.contains(p) && p != "asof_ts"),
+      s"asOfJoinBucketed: payload columns ${payload.mkString(",")} must not collide with probe columns")
+    require(
+      probeCols.forall(c => !reserved.contains(c)),
+      s"asOfJoinBucketed: probe columns must not use the reserved names ${reserved.mkString(",")}")
+    val refTagged = ref.select(
+      (keys :+ tsCol).map(col) :+
+        lit(1).as("_is_ref") :+
+        struct(col(tsCol).as("asof_ts") +: payload.map(col): _*).as("_asof"): _*)
+    val probeTagged = probe.withColumn("_is_ref", lit(0))
+    // floor division valid for negative ts too (pmod, not %)
+    val bucketOf = ((col(tsCol) - pmod(col(tsCol), lit(bucketNs))) / lit(bucketNs)).cast("long")
+    val unioned = probeTagged.unionByName(refTagged, allowMissingColumns = true)
+      .withColumn("_bucket", bucketOf)
+    val keyCols = keys.map(col)
+    // 1. in-bucket running last
+    val wInBucket = Window
+      .partitionBy(keyCols :+ col("_bucket"): _*)
+      .orderBy(col(tsCol).asc, col("_is_ref").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = unioned.withColumn(
+      "_m", last(col("_asof"), ignoreNulls = true).over(wInBucket))
+    // 2. per-bucket last reference, then running last over PRIOR buckets
+    val summaries = unioned
+      .groupBy(keyCols :+ col("_bucket"): _*)
+      .agg(max_by(col("_asof"), when(col("_is_ref") === 1, col(tsCol))).as("_blast"))
+    val wAcross = Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summaries
+      .withColumn("_prev", last(col("_blast"), ignoreNulls = true).over(wAcross))
+      .select(keyCols :+ col("_bucket") :+ col("_prev"): _*)
+    // 3. combine; the join key (keys, _bucket) matches step 1's window
+    // partitioning, so the big side is not re-shuffled a third time
+    val carried = withLocal
+      .join(carries, keys :+ "_bucket")
+      .withColumn("_m", coalesce(col("_m"), col("_prev")))
+      .where(col("_is_ref") === 0)
+    val inRange = toleranceNs match {
+      case Some(tol) =>
+        carried.withColumn(
+          "_m", when(col(tsCol) - col("_m.asof_ts") <= tol, col("_m")))
+      case None => carried
+    }
+    inRange.select(
+      probeCols.map(col) :+ col("_m.asof_ts").as("asof_ts") :++
+        payload.map(p => col(s"_m.$p").as(p)): _*)
+  }
 }

@@ -39,22 +39,39 @@ object EventQueries {
     // to a microsecond TIMESTAMP, so a ns-basis gap could never hash-match.
     // The operator itself is ns-native (OperatorsSpec pins ns semantics).
     "ev_asof_join" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val ev = Fixtures.table(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
-      val wTs = Window.partitionBy(col("user_id"), col("ts_us"))
-        .orderBy(col("click_id").desc)
-      val clicks = ev.where(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
-        .withColumn("rn", row_number().over(wTs))
-        .where(col("rn") === 1).drop("rn")
-      val purchases = ev.where(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val (purchases, clicks) = asofInputs(s, dir)
       Events.asOfJoin(purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"))
         .select(
           col("event_id"), col("user_id"), col("click_id"),
           (col("ts_us") - col("asof_ts")).as("gap_us"))
+    },
+    // The skew-proof bucketed formulation, same oracle: per-task work is
+    // bounded by (user, day-bucket), not a hot user's whole history.
+    "ev_asof_join_bucketed" -> { (s, dir) =>
+      val (purchases, clicks) = asofInputs(s, dir)
+      Events.asOfJoinBucketed(
+        purchases, clicks, Seq("user_id"), "ts_us", Seq("click_id"),
+        bucketNs = 24L * 3600 * 1000000) // 1 day in us
+        .select(
+          col("event_id"), col("user_id"), col("click_id"),
+          (col("ts_us") - col("asof_ts")).as("gap_us"))
     })
+
+  /** (purchases, clicks-deduped-per-(user, ts)) on the shared us basis. */
+  private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Fixtures.table(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val wTs = Window.partitionBy(col("user_id"), col("ts_us"))
+      .orderBy(col("click_id").desc)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
+      .withColumn("rn", row_number().over(wTs))
+      .where(col("rn") === 1).drop("rn")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    (purchases, clicks)
+  }
 
   private val WindowNs = WindowMinutes * 60L * 1000000000L
   private val GapNs = SessionGapMinutes * 60L * 1000000000L
@@ -83,7 +100,12 @@ object EventQueries {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // implementation; clicks deduped per (user, ts) on both sides so the
     // matched payload is deterministic. Microsecond basis — see the query.
-    "ev_asof_join" ->
+    "ev_asof_join_bucketed" -> AsofOracle,
+    "ev_asof_join" -> AsofOracle)
+
+  // Shared by the plain and bucketed formulations — identical semantics,
+  // different physical plan.
+  private val AsofOracle =
       """WITH c0 AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
         |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
         |  FROM events WHERE event_type = 'click'),
@@ -91,5 +113,5 @@ object EventQueries {
         |p AS (SELECT event_id, user_id, epoch_us(ts) AS tus
         |  FROM events WHERE event_type = 'purchase')
         |SELECT p.event_id, p.user_id, c.click_id, p.tus - c.tus AS gap_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.tus""".stripMargin)
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.tus >= c.tus""".stripMargin
 }

@@ -240,6 +240,16 @@ class OperatorsSpec extends SparkSuite {
     assert(run(None) === brute(None))
     assert(run(Some(100L)) === brute(Some(100L)))
     assert(brute(None).valuesIterator.count(_.isDefined) > 100) // non-trivial corpus
+    // skew-proof bucketed variant: identical result at every bucket
+    // granularity (bucket == 1 maximizes cross-bucket handoffs; huge
+    // bucket degenerates to the plain single-window case)
+    for (bucketNs <- Seq(1L, 7L, 64L, 1000000L); tol <- Seq(None, Some(100L))) {
+      val bucketed = Events.asOfJoinBucketed(
+        probeDf, refDf, Seq("user_id"), "ts", Seq("ref_id"), bucketNs, tol)
+        .select("event_id", "ref_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(bucketed === brute(tol), s"bucketNs=$bucketNs tol=$tol")
+    }
   }
 
   test("ann recall@10 >= 0.5 vs brute force (random vectors are LSH-adversarial)") {
