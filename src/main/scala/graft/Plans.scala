@@ -75,6 +75,9 @@ object Plans {
     dump("ev_asof_join (expect: one shuffle on user_id; running-last window, no range-expansion join)") {
       queries.EventQueries.queries("ev_asof_join")(spark, sfDir)
     }
+    dump("ev_asof_join_bucketed (expect: big side shuffled once on (user,bucket); only the small summary re-shuffles for the carry join)") {
+      queries.EventQueries.queries("ev_asof_join_bucketed")(spark, sfDir)
+    }
     dump("domain build plan (expect: one Exchange + in-partition Sort)") {
       import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
       val kvDf = Fixtures.customerKv(spark, sfDir)

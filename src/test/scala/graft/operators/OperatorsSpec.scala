@@ -152,6 +152,27 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("chunkSpans: correct when partitions exceed the range-sampler reservoir (50k rows)") {
+    import spark.implicits._
+    // > ~300 rows/partition puts RangePartitioner's reservoir sampling in
+    // play — the regime where un-materialized two-phase prefix sums see
+    // different boundaries per job. Totals are the strong invariant here:
+    // any mis-seeded offset shifts every later chunk id.
+    val rnd = new scala.util.Random(17)
+    val docs = (0 until 50000).map(i => (i.toLong, (1 + rnd.nextInt(50)).toLong))
+      .toDF("doc_id", "toks")
+    val budget = 512L
+    val spans = Packing.chunkSpans(docs, "doc_id", col("toks"), budget)
+    val totalTokens = docs.agg(sum("toks")).collect()(0).getLong(0)
+    val stats = Packing.packingStats(spans).collect()(0)
+    assert(stats.getAs[Long]("n_docs") === 50000L)
+    assert(stats.getAs[Long]("total_tokens") === totalTokens)
+    assert(stats.getAs[Long]("n_chunks") === (totalTokens + budget - 1) / budget)
+    // last doc must end exactly at the global token total
+    val lastSpan = spans.orderBy(col("doc_id").desc).limit(1).collect()(0)
+    assert(lastSpan.getLong(3) === (totalTokens - 1) / budget)
+  }
+
   test("repetition: constructed repeats measured exactly") {
     import spark.implicits._
     val docs = Seq(
