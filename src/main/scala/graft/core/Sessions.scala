@@ -11,6 +11,10 @@ object Sessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // plain `key = X` filters over domain scans imply their shard —
+      // inject the routing conjunct so partition pruning fires (see
+      // graft.plans.ShardPruningRule)
+      .withExtensions(_.injectOptimizerRule(_ => graft.plans.ShardPruningRule))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // sketch aggregates are 128+ columns wide; keep them in codegen
       // (spark.sql.codegen.maxFields defaults to 100)

@@ -116,12 +116,25 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     // One token-existence probe, not a directory listing (reads are hot).
     require(versions.isPublished(version), s"version $version not published under $root")
+    // numShards rides the key column as SCHEMA metadata, so the scan's
+    // own attribute carries it — an alias above the scan would lose it
+    // the moment filter pushdown rewrites conditions against the scan
+    // output. ShardPruningRule reads the tag to derive
+    // `shard = shard_index(X)` from plain `key = X` filters.
+    val keyMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(graft.plans.ShardPruningRule.NumShardsKey, numShards.toLong)
+      .build()
+    val schema = org.apache.spark.sql.types.StructType(
+      DomainStore.DomainSchema.map {
+        case f if f.name == "key" => f.copy(metadata = keyMeta)
+        case f => f
+      })
     spark.read
       .format(format)
       // Explicit schema: no inference job, and a published-but-empty
       // version (legal: an empty initial build) reads as an empty
       // DataFrame instead of failing schema inference.
-      .schema(DomainStore.DomainSchema)
+      .schema(schema)
       .option("basePath", versions.versionPath(version).toString)
       .options(fsOptions)
       .load(versions.versionPath(version).toString)

@@ -205,6 +205,38 @@ class DomainStoreSpec extends SparkSuite {
     assert(DomainStore.open(root, conf).spec === DomainSpec(4))
   }
 
+  test("ShardPruningRule: plain key filters prune partitions without manual routing") {
+    val store = DomainStore.create(scratch("autoprune"), DomainSpec(8), conf)
+    val pairs = (0 until 64).map(i => s"k$i" -> s"v$i")
+    store.write(kv(pairs: _*), 1L)
+    def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+    // equality filter — NO shard column mentioned anywhere
+    val one = store.read(spark).where(col("key") === lit(utf8("k7")))
+    val onePlan = one.queryExecution.executedPlan.toString
+    val expectShard = ShardIndex.shardIndex(utf8("k7"), 8)
+    assert(onePlan.contains(s"PartitionFilters: [isnotnull(shard"),
+      s"no partition filter in:\n$onePlan")
+    assert(onePlan.contains(s"(shard#") && onePlan.contains(s"= $expectShard)"),
+      s"expected shard = $expectShard pruning in:\n$onePlan")
+    assert(one.select(bytes_utf8(col("value"))).collect().map(_.getString(0)).toSeq === Seq("v7"))
+    // IN filter prunes to the union of routed shards
+    val keys = Seq("k1", "k2", "k3")
+    val in = store.read(spark).where(col("key").isin(keys.map(utf8): _*))
+    val got = in.select(bytes_utf8(col("value"))).collect().map(_.getString(0)).toSet
+    assert(got === Set("v1", "v2", "v3"))
+    val inPlan = in.queryExecution.executedPlan.toString
+    assert(inPlan.contains("PartitionFilters: [isnotnull(shard") ||
+      inPlan.contains("PartitionFilters: [shard"),
+      s"no partition filter on IN in:\n$inPlan")
+    // a projection between scan and filter must not break the rule (the
+    // metadata travels with the attribute)
+    val projected = store.read(spark).select(col("key"), col("value"), col("shard"))
+      .where(col("key") === lit(utf8("k9")))
+    assert(projected.select(bytes_utf8(col("value"))).collect()
+      .map(_.getString(0)).toSeq === Seq("v9"))
+    assert(projected.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(shard"))
+  }
+
   test("multiGet: hits resolve, absent keys yield null value (not error)") {
     val store = DomainStore.create(scratch("mg"), DomainSpec(4), conf)
     store.write(kv("a" -> "1", "b" -> "2"), 1L)
