@@ -101,4 +101,23 @@ class ShardIndexSpec extends SparkSuite {
     assert(counts.size === 16)
     counts.values.foreach(c => assert(c > 400 && c < 850, s"skewed distribution: $counts"))
   }
+
+  test("SQL-registered kernels equal the Scala DSL expressions") {
+    // same Expression classes behind both surfaces; this pins the SQL
+    // registration wiring (names, arity, analysis)
+    val row = spark.sql(
+      """SELECT
+        |  shard_index(encode('hot', 'UTF-8'), 8) AS s,
+        |  rolling_hash('the quick brown fox') AS rh,
+        |  top_freq(array('a', 'b', 'a', 'c', 'a')) AS tf,
+        |  array_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d
+        |""".stripMargin).collect()(0)
+    assert(row.getInt(0) === reference("hot".getBytes("UTF-8"), 8))
+    assert(row.getLong(1) === RollingHash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox")))
+    assert(row.getInt(2) === 3)
+    assert(row.getDouble(3) === (1.0 * 4 + 2.0 * 5 + 3.0 * 6))
+    // arity is validated at analysis, not mid-run
+    intercept[Exception](spark.sql("SELECT rolling_hash('a', 'b')").collect())
+  }
 }
