@@ -28,6 +28,10 @@ object Plans {
       val shard = graft.core.ShardIndex.shardIndex(k, domain.numShards)
       domain.read(spark).where(col("shard") === shard && col("key") === lit(k)).select("value")
     }
+    dump("plain key= filter, NO shard mentioned (expect: ShardPruningRule injects PartitionFilters shard=)") {
+      val k = java.nio.ByteBuffer.allocate(8).putLong(42L).array()
+      domain.read(spark).where(col("key") === lit(k)).select("value")
+    }
     dump("multiGet (expect: pruned scan + broadcast hash join)") {
       val keys = Fixtures.table(spark, sfDir, "customer")
         .where(col("c_custkey") % 7 === 0)

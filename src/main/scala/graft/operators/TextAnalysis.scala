@@ -102,8 +102,19 @@ object TextAnalysis {
 
   /** Corpus-level statistics in two aggregates (doc-grain + token-grain),
     * joined as single-row frames: document count, token and char totals,
-    * exact vocabulary size, and length-band counts. All integer math. */
-  def corpusStats(df: DataFrame, textCol: String): DataFrame = {
+    * vocabulary size, and length-band counts. All integer math.
+    *
+    * `exactVocab = false` is the 100 TB path: exact `count_distinct` over
+    * an exploded token stream shuffles every distinct token (a billions-
+    * row exchange on a web corpus); the HyperLogLog++ sketch
+    * (`approx_count_distinct`, here at 1% relative SD) aggregates
+    * map-side into a fixed-size buffer and shuffles only sketch bytes.
+    * The exact form stays the contract/oracle default; the two are
+    * pinned within tolerance in OperatorsSpec. */
+  def corpusStats(
+      df: DataFrame,
+      textCol: String,
+      exactVocab: Boolean = true): DataFrame = {
     val t = col(textCol)
     val docStats = df.select(
       length(t).cast("long").as("n_chars"),
@@ -115,8 +126,10 @@ object TextAnalysis {
         sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("short_docs"),
         sum(when(col("n_chars") >= 200 && col("n_chars") < 400, 1L).otherwise(0L)).as("mid_docs"),
         sum(when(col("n_chars") >= 400, 1L).otherwise(0L)).as("long_docs"))
-    val vocab = df.select(explode(wordTokens(t)).as("tok"))
-      .agg(count_distinct(col("tok")).as("vocab_size"))
+    val tokens = df.select(explode(wordTokens(t)).as("tok"))
+    val vocab =
+      if (exactVocab) tokens.agg(count_distinct(col("tok")).as("vocab_size"))
+      else tokens.agg(approx_count_distinct(col("tok"), rsd = 0.01).as("vocab_size"))
     docStats.crossJoin(vocab)
   }
 

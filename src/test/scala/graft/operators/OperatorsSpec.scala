@@ -173,6 +173,15 @@ class OperatorsSpec extends SparkSuite {
     assert(lastSpan.getLong(3) === (totalTokens - 1) / budget)
   }
 
+  test("approx vocab (HLL scale path) within 5% of exact count_distinct") {
+    def vocab(exact: Boolean): Long =
+      TextAnalysis.corpusStats(docs, "text", exactVocab = exact)
+        .select("vocab_size").collect()(0).getLong(0)
+    val (e, a) = (vocab(true), vocab(false))
+    assert(e > 0)
+    assert(math.abs(a - e).toDouble / e <= 0.05, s"exact=$e approx=$a")
+  }
+
   test("repetition: constructed repeats measured exactly") {
     import spark.implicits._
     val docs = Seq(
