@@ -114,8 +114,10 @@ object Packing {
   def packingStats(spans: DataFrame): DataFrame =
     spans.agg(
       count(lit(1)).as("n_docs"),
-      sum(col("n_tokens")).as("total_tokens"),
-      (max(col("last_chunk")) + 1L).as("n_chunks"),
-      sum(when(col("last_chunk") > col("first_chunk"), 1L).otherwise(0L))
-        .as("straddling_docs"))
+      // coalesce: an empty corpus reports zeros, not a row of nulls
+      coalesce(sum(col("n_tokens")), lit(0L)).as("total_tokens"),
+      coalesce(max(col("last_chunk")) + 1L, lit(0L)).as("n_chunks"),
+      coalesce(
+        sum(when(col("last_chunk") > col("first_chunk"), 1L).otherwise(0L)),
+        lit(0L)).as("straddling_docs"))
 }

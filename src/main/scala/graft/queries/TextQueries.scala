@@ -181,9 +181,9 @@ object TextQueries {
          |    (cum - 1) // $PackBudget AS last_chunk
          |  FROM p)
          |SELECT count(*) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-         |  CAST(max(last_chunk) + 1 AS BIGINT) AS n_chunks,
-         |  CAST(sum(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END) AS BIGINT) AS straddling_docs
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS total_tokens,
+         |  CAST(coalesce(max(last_chunk) + 1, 0) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(sum(CASE WHEN last_chunk > first_chunk THEN 1 ELSE 0 END), 0) AS BIGINT) AS straddling_docs
          |FROM spans""".stripMargin,
     "text_repetition" ->
       """WITH b AS (SELECT doc_id,

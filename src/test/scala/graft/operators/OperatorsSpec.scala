@@ -182,6 +182,19 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(a - e).toDouble / e <= 0.05, s"exact=$e approx=$a")
   }
 
+  test("chunkSpans + packingStats: empty corpus yields zero rows / zero stats") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "toks")
+    val spans = Packing.chunkSpans(empty, "doc_id", col("toks"), 64L)
+    assert(spans.count() === 0L)
+    val stats = Packing.packingStats(spans).collect()(0)
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+      === ((0L, 0L, 0L, 0L)))
+    // all-zero-token corpus behaves like empty (zero-token docs excluded)
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "toks")
+    assert(Packing.chunkSpans(zeros, "doc_id", col("toks"), 64L).count() === 0L)
+  }
+
   test("repetition: constructed repeats measured exactly") {
     import spark.implicits._
     val docs = Seq(
