@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * Physical-plan regression pins: the shapes that make the operators
+ * scale are asserted here, so a refactor that silently re-introduces a
+ * shuffle, drops a broadcast, or falls out of the intended pattern
+ * fails a test instead of only moving a bench number on a noisy box.
+ * Inputs are built in-memory (no fixture Repartition noise) so the
+ * exchange counts are exactly the operators' own.
+ */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def countOccurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  private lazy val events = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    (0 until 2000).map(i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(100000).toLong,
+        if (i % 3 == 0) "ref" else "probe")).toDF("event_id", "user_id", "ts", "kind")
+  }
+
+  test("asOfJoin: exactly one exchange (the key shuffle), no join operator at all") {
+    val probe = events.where(col("kind") === "probe")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ref = events.where(col("kind") === "ref")
+      .select(col("user_id"), col("ts"), col("event_id").as("ref_id"))
+    val p = plan(Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id")))
+    assert(countOccurrences(p, "Exchange") === 1, s"expected 1 exchange:\n$p")
+    assert(!p.contains("Join"), s"as-of must not be a join:\n$p")
+  }
+
+  test("asOfJoinBucketed: big side never re-shuffled for the carry join (broadcast)") {
+    val probe = events.where(col("kind") === "probe")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ref = events.where(col("kind") === "ref")
+      .select(col("user_id"), col("ts"), col("event_id").as("ref_id"))
+    val p = plan(Events.asOfJoinBucketed(
+      probe, ref, Seq("user_id"), "ts", Seq("ref_id"), bucketNs = 1000L))
+    assert(p.contains("BroadcastHashJoin"), s"carry join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge of the big side:\n$p")
+  }
+
+  test("chunkSpans: a MapPartitions pass, never a Window") {
+    import spark.implicits._
+    val docs = (0 until 1000).map(i => (i.toLong, (i % 37 + 1).toLong)).toDF("doc_id", "toks")
+    val p = plan(Packing.chunkSpans(docs, "doc_id", col("toks"), 64L))
+    assert(p.contains("MapPartitions"), s"expected mapPartitions pass:\n$p")
+    assert(!p.contains("Window"), s"global/partition-id Window re-appeared:\n$p")
+  }
+
+  test("decontaminate: benchmark grams broadcast; corpus grams never hash-join-shuffled") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i => (i.toLong, s"alpha beta gamma delta token$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9999L, "alpha beta gamma")).toDF("doc_id", "text")
+    val p = plan(TextAnalysis.decontaminate(corpus, bench, "doc_id", "text", 3))
+    assert(p.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$p")
+  }
+
+  test("minhash signatures: exactly one exchange (the partial-agg shuffle)") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"w$i x${i % 7} y${i % 3} z common words here"))
+      .toDF("doc_id", "text")
+    val p = plan(Dedup.minHashSignatures(Dedup.wordShingles(docs, "doc_id", "text")))
+    assert(countOccurrences(p, "Exchange") === 1, s"expected 1 exchange:\n$p")
+  }
+
+  test("text analysis reports are shuffle-free whole-stage codegen") {
+    // a real file scan — a local relation constant-folds the whole plan
+    // into LocalTableScan and proves nothing
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    for (df <- Seq(
+        TextAnalysis.qualityReport(docs, "doc_id", "text"),
+        TextAnalysis.repetitionReport(docs, "doc_id", "text"),
+        TextAnalysis.langIdReport(docs, "doc_id", "text"))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"per-row report must not shuffle:\n$p")
+      // codegen stages print as `*(n)`; the documented higher-order-fn
+      // islands (stopword filter, n-gram transform) are allowed to sit
+      // between them, but the plan must not be entirely interpreted
+      assert(p.contains("*("), s"no codegen stage at all:\n$p")
+    }
+  }
+}
