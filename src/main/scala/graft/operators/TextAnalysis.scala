@@ -224,6 +224,30 @@ object TextAnalysis {
         col("top_bigram_cnt").cast("double") / greatest(col("n_bigrams"), lit(1)))
   }
 
+  /** Conservative PII-ish patterns shared by Java regex and RE2 (DuckDB):
+    * the character classes avoid dialect-divergent constructs (`[^ ]`,
+    * not `\S`, since the two engines' whitespace classes differ on
+    * unicode). Scrubbing is a per-row regexp_replace — shuffle-free. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+
+  /** Text with emails/URLs replaced by placeholder tokens. */
+  def scrubbed(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
+
+  /** Redaction report: per-doc match counts plus the rolling-hash
+    * fingerprint of the scrubbed text — the fingerprint proves the
+    * replacement itself (not just the counts) is identical across
+    * engines. The training-pipeline contact-info scrub step. */
+  def scrubReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      fingerprint(scrubbed(t)).as("scrub_fp"))
+  }
+
   /** Language-ID report: per-language marker scores + predicted language. */
   def langIdReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -60,6 +60,19 @@ object TextQueries {
       TextAnalysis.repetitionReport(
         Fixtures.table(s, dir, "documents"), "doc_id", "text")
     },
+    // Contact-info scrubbing: the fixture corpus has no PII, so both
+    // sides plant deterministic contacts on doc_id % 7 == 0 and the
+    // report must count and redact them identically (the scrub_fp
+    // fingerprint pins the redacted TEXT, not just the counts).
+    "text_scrub" -> { (s, dir) =>
+      val planted = Fixtures.table(s, dir, "documents").withColumn(
+        "text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact team+ops@example-corp.io or https://data.example.org/set?id="),
+            col("doc_id").cast("string")))
+          .otherwise(col("text")))
+      TextAnalysis.scrubReport(planted, "doc_id", "text")
+    },
     // Stratified rebalancing: keep all short docs, half the mid band,
     // a quarter of the long band — deterministic md5-bucket membership.
     "samp_stratified" -> { (s, dir) =>
@@ -202,6 +215,26 @@ object TextQueries {
         |  CAST(coalesce(list_max([len(list_filter(bi, x -> x = gd)) FOR gd IN list_distinct(bi)]), 0) AS DOUBLE)
         |    / greatest(len(bi), 1) AS top_bigram_frac
         |FROM g""".stripMargin,
+    "text_scrub" -> {
+      val email = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+      val url = "https?://[^ ]+"
+      s"""WITH planted AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN text || ' contact team+ops@example-corp.io or https://data.example.org/set?id=' || CAST(doc_id AS VARCHAR)
+         |      ELSE text END AS text
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '$email')) AS n_emails,
+         |    len(regexp_extract_all(text, '$url')) AS n_urls,
+         |    regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g') AS scrubbed
+         |  FROM planted)
+         |SELECT doc_id, n_emails, n_urls,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(c) AS BIGINT) FOR c IN list_filter(string_split(scrubbed, ''), x -> x != '')]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS scrub_fp
+         |FROM s""".stripMargin
+    },
     "samp_stratified" ->
       """WITH s AS (SELECT doc_id,
         |  CASE WHEN length(text) < 200 THEN 'short'

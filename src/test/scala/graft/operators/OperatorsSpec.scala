@@ -195,6 +195,23 @@ class OperatorsSpec extends SparkSuite {
     assert(Packing.chunkSpans(zeros, "doc_id", col("toks"), 64L).count() === 0L)
   }
 
+  test("scrub: planted emails/urls counted and redacted; clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at bob.smith+1@ex-ample.co.uk or https://foo.bar/baz?q=1 x"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.io c@d.org and http://x.y")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(1L -> ((1L, 1L)), 2L -> ((0L, 0L)), 3L -> ((2L, 1L))))
+    val scrubbedTexts = docs.select(col("doc_id"), TextAnalysis.scrubbed(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbedTexts(1L) === "reach me at <EMAIL> or <URL> x")
+    assert(scrubbedTexts(2L) === "no pii here")
+    assert(scrubbedTexts(3L) === "two mails <EMAIL> <EMAIL> and <URL>")
+  }
+
   test("repetition: constructed repeats measured exactly") {
     import spark.implicits._
     val docs = Seq(
