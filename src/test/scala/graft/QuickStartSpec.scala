@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.core.DomainSpec
+import graft.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.store.DomainStore
+
+/** The README "Quick start" section, verbatim — if this compiles and
+  * passes, the documented first-contact experience works. Keep the two
+  * in sync. */
+class QuickStartSpec extends SparkSuite {
+
+  test("README quick start: build a domain, look up keys, dedupe a corpus") {
+    import spark.implicits._
+
+    // --- build a versioned, sharded KV domain and point-look-up from it
+    val users = Seq(1L -> "ada", 2L -> "grace", 3L -> "edsger")
+      .toDF("id", "name")
+      .select(long_be(col("id")).as("key"), utf8_bytes(col("name")).as("value"))
+    val store = DomainStore.create(
+      scratch("quickstart-domain"), DomainSpec(numShards = 4), new Configuration())
+    store.write(users, version = 1L)
+
+    val name = store.get(spark, longBe(2L)).map(new String(_, "UTF-8"))
+    assert(name === Some("grace"))
+
+    // plain `key = X` filters prune to the routed shard automatically
+    // (ShardPruningRule) — no shard arithmetic in user code
+    val viaSql = store.read(spark)
+      .where(col("key") === lit(longBe(3L)))
+      .select(bytes_utf8(col("value")))
+      .collect().map(_.getString(0))
+    assert(viaSql.toSeq === Seq("edsger"))
+
+    // --- dedupe a document corpus: MinHash-LSH candidates, exact verify,
+    // connected-components representative per near-dup cluster
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",   // exact dup
+      3L -> "an entirely different document about spark").toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(corpus, "doc_id", "text", threshold = 0.8)
+    val reps = Dedup.components(corpus.select(col("doc_id").as("id")), pairs)
+      .where(col("id") === col("rep_id")).select(col("id"))
+    assert(reps.collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+
+    // --- score text quality and search embeddings
+    val quality = TextAnalysis.qualityReport(corpus, "doc_id", "text")
+    assert(quality.where(col("ws_tokens") >= 5).count() === 3)
+
+    val vectors = Seq(
+      1L -> Array(1.0, 0.0), 2L -> Array(0.9, 0.1), 3L -> Array(0.0, 1.0))
+      .toDF("vec_id", "embedding")
+    val nn = Similarity.bruteForceTopK(
+      vectors, vectors.where(col("vec_id") === 1L), "vec_id", "embedding", k = 1)
+    assert(nn.select("neighbor_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  private def longBe(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+}
