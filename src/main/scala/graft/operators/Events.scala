@@ -123,6 +123,52 @@ object Events {
   }
 
   /**
+   * Interval (range) join: each point row matches every interval row of
+   * the same key with `start <= ts < end`. Spark has no native range
+   * join — the naive `points JOIN intervals ON key AND ts BETWEEN …`
+   * plans as a broadcast-nested-loop or a key-only shuffle join whose
+   * post-filter explodes on hot keys. This formulation bucketizes time:
+   * each interval replicates to the `ceil(len / bucketNs)` buckets it
+   * overlaps, each point maps to exactly ONE bucket, and the join is a
+   * plain equi-join on (key, bucket) + a residual range filter. Because
+   * a point has one bucket, every qualifying (point, interval) pair
+   * appears exactly once — no dedup pass. Pick `bucketNs` near the
+   * typical interval length: replication stays ~2x and per-task work is
+   * bounded by a (key, bucket) cell, not a key's whole history.
+   *
+   * `intervals` columns (besides the keys) must not collide with point
+   * columns; both frames keep all their columns in the output.
+   */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketNs: Long): DataFrame = {
+    require(bucketNs >= 1, s"intervalJoin: bucketNs must be >= 1, got $bucketNs")
+    require(keys.nonEmpty, "intervalJoin: at least one key column")
+    val reserved = Seq("_bucket")
+    require(
+      (points.columns ++ intervals.columns).forall(c => !reserved.contains(c)),
+      "intervalJoin: _bucket is reserved")
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketNs))) / lit(bucketNs)).cast("long")
+    // empty/invalid intervals (end <= start) match nothing, and sequence()
+    // would reverse direction on them — drop them up front
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn(
+        "_bucket",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
+    val pt = points.withColumn("_bucket", bucketOf(col(tsCol)))
+    pt.join(iv, keys :+ "_bucket")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bucket")
+  }
+
+  /**
    * Skew-proof [[asOfJoin]]: same semantics, but the big window
    * partitions by (key, time bucket) instead of key alone. The plain
    * formulation funnels a key's ENTIRE history through one task — fine

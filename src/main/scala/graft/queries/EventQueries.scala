@@ -45,6 +45,7 @@ object EventQueries {
           col("event_id"), col("user_id"), col("click_id"),
           (col("ts_us") - col("asof_ts")).as("gap_us"))
     },
+    "ev_interval_join" -> intervalJoinQuery _,
     // The skew-proof bucketed formulation, same oracle: per-task work is
     // bounded by (user, day-bucket), not a hot user's whole history.
     "ev_asof_join_bucketed" -> { (s, dir) =>
@@ -56,6 +57,26 @@ object EventQueries {
           col("event_id"), col("user_id"), col("click_id"),
           (col("ts_us") - col("asof_ts")).as("gap_us"))
     })
+
+  val ErrorWindowUs: Long = 30L * 60 * 1000000 // 30 min in us
+
+  /** Interval join: clicks landing inside the 30-minute window opened by
+    * each error event of the same user (bucketized equi-join — see
+    * Events.intervalJoin; the oracle is the plain non-equi SQL join). */
+  def intervalJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = Fixtures.table(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(
+        col("event_id").as("error_id"), col("user_id"),
+        col("ts_us").as("w_start"), (col("ts_us") + ErrorWindowUs).as("w_end"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    Events.intervalJoin(
+      clicks, errors, Seq("user_id"), "ts_us", "w_start", "w_end",
+      bucketNs = ErrorWindowUs)
+      .select(col("error_id"), col("click_id"), (col("ts_us") - col("w_start")).as("offset_us"))
+  }
 
   /** (purchases, clicks-deduped-per-(user, ts)) on the shared us basis. */
   private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -101,7 +122,17 @@ object EventQueries {
     // implementation; clicks deduped per (user, ts) on both sides so the
     // matched payload is deterministic. Microsecond basis — see the query.
     "ev_asof_join_bucketed" -> AsofOracle,
-    "ev_asof_join" -> AsofOracle)
+    "ev_asof_join" -> AsofOracle,
+    // the bucketized equi-join must equal the plain non-equi join
+    "ev_interval_join" ->
+      s"""WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS w_start,
+         |    epoch_us(ts) + $ErrorWindowUs AS w_end
+         |  FROM events WHERE event_type = 'error'),
+         |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS tus
+         |  FROM events WHERE event_type = 'click')
+         |SELECT e.error_id, c.click_id, c.tus - e.w_start AS offset_us
+         |FROM c JOIN e ON c.user_id = e.user_id
+         |  AND c.tus >= e.w_start AND c.tus < e.w_end""".stripMargin)
 
   // Shared by the plain and bucketed formulations — identical semantics,
   // different physical plan.

@@ -312,6 +312,30 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("interval join == naive non-equi join at every bucket size; empty intervals dropped") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val points = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong)).toDF("pid", "user_id", "ts")
+    val intervals = (0 until 150).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      // includes zero-length (s == e) and boundary-heavy intervals
+      (1000L + i, rnd.nextInt(10).toLong, s, s + rnd.nextInt(120).toLong)
+    }.toDF("iid", "user_id", "s", "e")
+    val naive = points.as("p").join(intervals.as("i"),
+        col("p.user_id") === col("i.user_id") &&
+          col("ts") >= col("s") && col("ts") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.size > 100, "fixture too sparse to prove anything")
+    for (bucket <- Seq(1L, 7L, 100L, 1000000L)) {
+      val bucketed = Events.intervalJoin(
+        points, intervals, Seq("user_id"), "ts", "s", "e", bucket)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(bucketed.length === bucketed.distinct.length, s"duplicate pairs at bucket=$bucket")
+      assert(bucketed.toSet === naive, s"bucket=$bucket")
+    }
+  }
+
   test("ann recall@10 >= 0.5 vs brute force (random vectors are LSH-adversarial)") {
     val q = embs.where(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
