@@ -21,15 +21,21 @@ object Events {
 
   private val NanosPerSecond = 1000000000L
 
+  /** Epoch-aligned time bucket of `c` under `bucketNs`-wide buckets.
+    * Floor division, not `div` (which truncates toward zero): pre-epoch
+    * timestamps must land in their own bucket, matching SQL's `//`. The
+    * one shared definition for windows, the bucketized as-of join, and
+    * the interval join — these must never drift apart. */
+  private def floorBucket(c: Column, bucketNs: Long): Column =
+    ((c - pmod(c, lit(bucketNs))) / lit(bucketNs)).cast("long")
+
   /** Tumbling-window aggregation: epoch-aligned windows, counts + exact
     * sums per (window, event_type). */
   def windowAgg(df: DataFrame, minutes: Int): DataFrame = {
     val bucketNs = minutes * 60L * NanosPerSecond
-    // Floor division, not `div` (which truncates toward zero): pre-epoch
-    // timestamps must land in their own window, matching the oracle's `//`.
-    val bucket = (col("ts") - pmod(col("ts"), lit(bucketNs))) / lit(bucketNs)
+    val bucket = floorBucket(col("ts"), bucketNs)
     df.groupBy(
-        timestamp_seconds(bucket.cast("long") * (minutes * 60L)).as("w_start"),
+        timestamp_seconds(bucket * (minutes * 60L)).as("w_start"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -78,6 +84,10 @@ object Events {
    * the reference first); if several reference rows share a (key, ts) the
    * winner follows the sort's tie order — deduplicate per (key, ts)
    * upstream when the payload must be deterministic.
+   *
+   * Null handling mirrors SQL join equality: reference rows with a null
+   * key or null ts are dropped (they could never match), probe rows with
+   * nulls are KEPT with a null payload (left semantics).
    */
   def asOfJoin(
       probe: DataFrame,
@@ -96,17 +106,22 @@ object Events {
     require(
       probeCols.forall(c => !reserved.contains(c)),
       s"asOfJoin: probe columns must not use the reserved names ${reserved.mkString(",")}")
-    val refTagged = ref.select(
-      (keys :+ tsCol).map(col) :+
-        lit(1).as("_is_ref") :+
-        struct(col(tsCol).as("asof_ts") +: payload.map(col): _*).as("_asof"): _*)
+    val refTagged = ref
+      // a null-keyed/null-ts reference can never match under SQL equality
+      // semantics; without this filter the window's null GROUPING would
+      // hand null-keyed probes a bogus match
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .select(
+        (keys :+ tsCol).map(col) :+
+          lit(1).as("_is_ref") :+
+          struct(col(tsCol).as("asof_ts") +: payload.map(col): _*).as("_asof"): _*)
     val probeTagged = probe.withColumn("_is_ref", lit(0))
     // unionByName fills the side-specific columns (probe payload on ref
     // rows, _asof on probe rows) with nulls.
     val unioned = probeTagged.unionByName(refTagged, allowMissingColumns = true)
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_is_ref").desc)
+      .orderBy(col(tsCol).asc_nulls_first, col("_is_ref").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("_m", last(col("_asof"), ignoreNulls = true).over(w))
@@ -137,7 +152,12 @@ object Events {
    * bounded by a (key, bucket) cell, not a key's whole history.
    *
    * `intervals` columns (besides the keys) must not collide with point
-   * columns; both frames keep all their columns in the output.
+   * columns; both frames keep all their columns in the output. An
+   * interval spanning more than `maxBucketsPerInterval` buckets fails
+   * LOUD (assert inside the plan): an open-ended sentinel like
+   * `end = Long.MaxValue` would otherwise explode to billions of
+   * replicas and OOM the job — clamp sentinels (or raise `bucketNs`)
+   * upstream, where their intended semantics is known.
    */
   def intervalJoin(
       points: DataFrame,
@@ -146,23 +166,28 @@ object Events {
       tsCol: String,
       startCol: String,
       endCol: String,
-      bucketNs: Long): DataFrame = {
+      bucketNs: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketNs >= 1, s"intervalJoin: bucketNs must be >= 1, got $bucketNs")
     require(keys.nonEmpty, "intervalJoin: at least one key column")
+    require(maxBucketsPerInterval >= 1, "intervalJoin: maxBucketsPerInterval must be >= 1")
     val reserved = Seq("_bucket")
     require(
       (points.columns ++ intervals.columns).forall(c => !reserved.contains(c)),
       "intervalJoin: _bucket is reserved")
-    def bucketOf(c: Column): Column =
-      ((c - pmod(c, lit(bucketNs))) / lit(bucketNs)).cast("long")
+    val b0 = floorBucket(col(startCol), bucketNs)
+    val b1 = floorBucket(col(endCol) - 1, bucketNs)
+    val spanOk = assert_true(
+      b1 - b0 < lit(maxBucketsPerInterval.toLong),
+      concat(lit(s"intervalJoin: an interval spans > $maxBucketsPerInterval buckets of $bucketNs ns " +
+        "— clamp open-ended sentinels or raise bucketNs; offending start="),
+        col(startCol).cast("string"), lit(" end="), col(endCol).cast("string")))
     // empty/invalid intervals (end <= start) match nothing, and sequence()
     // would reverse direction on them — drop them up front
     val iv = intervals
       .where(col(endCol) > col(startCol))
-      .withColumn(
-        "_bucket",
-        explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
-    val pt = points.withColumn("_bucket", bucketOf(col(tsCol)))
+      .withColumn("_bucket", explode(sequence(b0, when(spanOk.isNull, b1))))
+    val pt = points.withColumn("_bucket", floorBucket(col(tsCol), bucketNs))
     pt.join(iv, keys :+ "_bucket")
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bucket")
@@ -204,15 +229,16 @@ object Events {
     require(
       probeCols.forall(c => !reserved.contains(c)),
       s"asOfJoinBucketed: probe columns must not use the reserved names ${reserved.mkString(",")}")
-    val refTagged = ref.select(
-      (keys :+ tsCol).map(col) :+
-        lit(1).as("_is_ref") :+
-        struct(col(tsCol).as("asof_ts") +: payload.map(col): _*).as("_asof"): _*)
+    val refTagged = ref
+      // same null rule as asOfJoin: null-keyed/null-ts refs never match
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .select(
+        (keys :+ tsCol).map(col) :+
+          lit(1).as("_is_ref") :+
+          struct(col(tsCol).as("asof_ts") +: payload.map(col): _*).as("_asof"): _*)
     val probeTagged = probe.withColumn("_is_ref", lit(0))
-    // floor division valid for negative ts too (pmod, not %)
-    val bucketOf = ((col(tsCol) - pmod(col(tsCol), lit(bucketNs))) / lit(bucketNs)).cast("long")
     val unioned = probeTagged.unionByName(refTagged, allowMissingColumns = true)
-      .withColumn("_bucket", bucketOf)
+      .withColumn("_bucket", floorBucket(col(tsCol), bucketNs))
     val keyCols = keys.map(col)
     // 1. in-bucket running last
     val wInBucket = Window
@@ -233,11 +259,16 @@ object Events {
       .withColumn("_prev", last(col("_blast"), ignoreNulls = true).over(wAcross))
       .select(keyCols :+ col("_bucket") :+ col("_prev"): _*)
     // 3. combine; the join key (keys, _bucket) matches step 1's window
-    // partitioning, so the big side is not re-shuffled a third time
+    // partitioning, so the big side is not re-shuffled a third time.
+    // LEFT join: a probe with a null key or null ts has no carries match
+    // (null != null) but must survive with a null payload, exactly like
+    // the plain operator's left semantics — an inner join would silently
+    // drop those probe rows.
     val carried = withLocal
-      .join(carries, keys :+ "_bucket")
+      .join(carries, keys :+ "_bucket", "left")
       .withColumn("_m", coalesce(col("_m"), col("_prev")))
       .where(col("_is_ref") === 0)
+      .drop("_prev", "_bucket")
     val inRange = toleranceNs match {
       case Some(tol) =>
         carried.withColumn(

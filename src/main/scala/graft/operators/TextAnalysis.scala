@@ -225,11 +225,13 @@ object TextAnalysis {
   }
 
   /** Conservative PII-ish patterns shared by Java regex and RE2 (DuckDB):
-    * the character classes avoid dialect-divergent constructs (`[^ ]`,
-    * not `\S`, since the two engines' whitespace classes differ on
-    * unicode). Scrubbing is a per-row regexp_replace — shuffle-free. */
+    * the character classes avoid dialect-divergent constructs (explicit
+    * ` \t\n\r`, not `\S`, since the two engines' whitespace classes
+    * differ on unicode — and a space-only negation would let a URL match
+    * run through a newline and eat the next line's text). Scrubbing is a
+    * per-row regexp_replace — shuffle-free. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlRe = "https?://[^ ]+"
+  val UrlRe = "https?://[^ \\t\\n\\r]+"
 
   /** Text with emails/URLs replaced by placeholder tokens. */
   def scrubbed(text: Column): Column =

@@ -102,6 +102,15 @@ object TextQueries {
 
   private val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The rolling-hash fingerprint of `expr` in DuckDB SQL — the one
+    * definition shared by text_fingerprint and text_scrub (a drifted
+    * copy would only fail when the fixture happens to exercise it). */
+  private def fpSql(expr: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(unicode(c) AS BIGINT) FOR c IN list_filter(string_split($expr, ''), x -> x != '')]),
+       |    (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   private[queries] def occSql(m: String): String =
     s"CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $m ', ''))) / ${m.length + 2} AS BIGINT)"
 
@@ -143,12 +152,8 @@ object TextQueries {
          |FROM s""".stripMargin
     },
     "text_fingerprint" ->
-      """SELECT doc_id,
-        |  list_reduce(
-        |    list_prepend(CAST(0 AS BIGINT),
-        |      [CAST(unicode(c) AS BIGINT) FOR c IN list_filter(string_split(text, ''), x -> x != '')]),
-        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, ${fpSql("text")} AS fp
+         |FROM documents""".stripMargin,
     "text_corpus_stats" ->
       """WITH d AS (SELECT length(text) AS n_chars, len(regexp_extract_all(text, '\S+')) AS ws FROM documents),
         |doc AS (SELECT count(*) AS n_docs, CAST(sum(ws) AS BIGINT) AS total_tokens,
@@ -216,8 +221,9 @@ object TextQueries {
         |    / greatest(len(bi), 1) AS top_bigram_frac
         |FROM g""".stripMargin,
     "text_scrub" -> {
-      val email = raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-      val url = "https?://[^ ]+"
+      // the operator's OWN patterns, interpolated — never re-declared
+      val email = TextAnalysis.EmailRe
+      val url = TextAnalysis.UrlRe
       s"""WITH planted AS (SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 0
          |      THEN text || ' contact team+ops@example-corp.io or https://data.example.org/set?id=' || CAST(doc_id AS VARCHAR)
@@ -229,10 +235,7 @@ object TextQueries {
          |    regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g') AS scrubbed
          |  FROM planted)
          |SELECT doc_id, n_emails, n_urls,
-         |  list_reduce(
-         |    list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(unicode(c) AS BIGINT) FOR c IN list_filter(string_split(scrubbed, ''), x -> x != '')]),
-         |    (a, b) -> (a * 31 + b) % 1000000007) AS scrub_fp
+         |  ${fpSql("scrubbed")} AS scrub_fp
          |FROM s""".stripMargin
     },
     "samp_stratified" ->

@@ -116,10 +116,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     // One token-existence probe, not a directory listing (reads are hot).
     require(versions.isPublished(version), s"version $version not published under $root")
-    // numShards rides the key column as SCHEMA metadata, so the scan's
+    // numShards rides the KEY column as SCHEMA metadata, so the scan's
     // own attribute carries it — an alias above the scan would lose it
     // the moment filter pushdown rewrites conditions against the scan
-    // output. ShardPruningRule reads the tag to derive
+    // output, and the shard PARTITION column cannot carry metadata at
+    // all (Spark rebuilds partition attributes without user-field
+    // metadata). ShardPruningRule locates the key's leaf relation and
+    // pairs it with that same leaf's `shard` attribute to derive
     // `shard = shard_index(X)` from plain `key = X` filters.
     val keyMeta = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(graft.plans.ShardPruningRule.NumShardsKey, numShards.toLong)
@@ -137,8 +140,9 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .schema(schema)
       .option("basePath", versions.versionPath(version).toString)
       .options(fsOptions)
+      // no cast on shard: the explicit schema already types the partition
+      // column int, and a cast's Alias would strip the provenance tag
       .load(versions.versionPath(version).toString)
-      .withColumn("shard", col("shard").cast("int"))
   }
 
   def latestVersion: Long =

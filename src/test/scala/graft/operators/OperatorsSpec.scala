@@ -210,6 +210,11 @@ class OperatorsSpec extends SparkSuite {
     assert(scrubbedTexts(1L) === "reach me at <EMAIL> or <URL> x")
     assert(scrubbedTexts(2L) === "no pii here")
     assert(scrubbedTexts(3L) === "two mails <EMAIL> <EMAIL> and <URL>")
+    // a URL at end-of-line must not eat the next line's text
+    import spark.implicits._
+    val multiline = Seq((4L, "link https://a.b/c\nNext line.")).toDF("doc_id", "text")
+    val m = multiline.select(TextAnalysis.scrubbed(col("text"))).collect()(0).getString(0)
+    assert(m === "link <URL>\nNext line.", m)
   }
 
   test("repetition: constructed repeats measured exactly") {
@@ -310,6 +315,39 @@ class OperatorsSpec extends SparkSuite {
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
       assert(bucketed === brute(tol), s"bucketNs=$bucketNs tol=$tol")
     }
+  }
+
+  test("as-of null semantics: null refs never match, null probes kept — both variants") {
+    import spark.implicits._
+    val ref = Seq(
+      (Option(1L), Option(100L), 10L),
+      (Option.empty[Long], Option(50L), 11L), // null key ref: must never match
+      (Option(1L), Option.empty[Long], 12L)   // null ts ref: must never match
+    ).toDF("user_id", "ts", "ref_id")
+    val probe = Seq(
+      (101L, Option(1L), Option(150L)), // matches ref 10
+      (102L, Option.empty[Long], Option(60L)), // null key probe: kept, unmatched
+      (103L, Option(1L), Option.empty[Long])   // null ts probe: kept, unmatched
+    ).toDF("event_id", "user_id", "ts")
+    val expected = Map(101L -> Some(10L), 102L -> None, 103L -> None)
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select("event_id", "ref_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id"))) === expected)
+    assert(got(Events.asOfJoinBucketed(
+      probe, ref, Seq("user_id"), "ts", Seq("ref_id"), bucketNs = 64L)) === expected)
+  }
+
+  test("interval join: open-ended sentinel interval fails loud, not OOM") {
+    import spark.implicits._
+    val points = Seq((1L, 1L, 500L)).toDF("pid", "user_id", "ts")
+    val intervals = Seq((10L, 1L, 0L, Long.MaxValue)).toDF("iid", "user_id", "s", "e")
+    val ex = intercept[Exception] {
+      Events.intervalJoin(points, intervals, Seq("user_id"), "ts", "s", "e", 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("clamp open-ended sentinels")), msgs(ex).mkString(" | "))
   }
 
   test("interval join == naive non-equi join at every bucket size; empty intervals dropped") {

@@ -237,6 +237,24 @@ class DomainStoreSpec extends SparkSuite {
     assert(projected.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(shard"))
   }
 
+  test("ShardPruningRule: a foreign column NAMED shard is never hijacked") {
+    import spark.implicits._
+    val store = DomainStore.create(scratch("autoprune-foreign"), DomainSpec(8), conf)
+    store.write(kv((0 until 32).map(i => s"k$i" -> s"v$i"): _*), 1L)
+    def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+    // a metrics table with its own int column named `shard`, values chosen
+    // to DIFFER from every routed shard id — if the rule pairs the domain
+    // key with THIS column, matching rows silently vanish
+    val metrics = (0 until 32).map(i => (utf8(s"k$i"), 999))
+      .toDF("key", "shard_metric").withColumnRenamed("shard_metric", "m")
+      .withColumn("shard", lit(999))
+      .select(col("key"), col("shard"))
+    val joined = metrics.join(
+      store.read(spark).select(col("key"), col("value")), Seq("key"))
+      .where(col("key") === lit(utf8("k3")))
+    assert(joined.count() === 1L, joined.queryExecution.executedPlan.toString)
+  }
+
   test("multiGet: hits resolve, absent keys yield null value (not error)") {
     val store = DomainStore.create(scratch("mg"), DomainSpec(4), conf)
     store.write(kv("a" -> "1", "b" -> "2"), 1L)
