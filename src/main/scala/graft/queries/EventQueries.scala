@@ -19,6 +19,11 @@ object EventQueries {
     * within 999 ns of a window/gap boundary would bucket differently in
     * the two engines. Truncating here makes both engines see identical
     * instants — the operators themselves stay ns-native. */
+  /** Events with an added integer-microsecond `ts_us` column (the basis
+    * the asof/interval contract queries share with their oracles). */
+  private def usTsEvents(s: SparkSession, dir: String): DataFrame =
+    Fixtures.table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
   private def usEvents(s: SparkSession, dir: String): DataFrame =
     Fixtures.table(s, dir, "events")
       .withColumn("ts", expr("(ts div 1000) * 1000"))
@@ -64,8 +69,7 @@ object EventQueries {
     * each error event of the same user (bucketized equi-join — see
     * Events.intervalJoin; the oracle is the plain non-equi SQL join). */
   def intervalJoinQuery(s: SparkSession, dir: String): DataFrame = {
-    val ev = Fixtures.table(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = usTsEvents(s, dir)
     val errors = ev.where(col("event_type") === "error")
       .select(
         col("event_id").as("error_id"), col("user_id"),
@@ -81,8 +85,7 @@ object EventQueries {
   /** (purchases, clicks-deduped-per-(user, ts)) on the shared us basis. */
   private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val ev = Fixtures.table(s, dir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = usTsEvents(s, dir)
     val wTs = Window.partitionBy(col("user_id"), col("ts_us"))
       .orderBy(col("click_id").desc)
     val clicks = ev.where(col("event_type") === "click")

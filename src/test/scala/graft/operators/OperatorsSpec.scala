@@ -251,6 +251,12 @@ class OperatorsSpec extends SparkSuite {
     assert(all.size === docs.count())
   }
 
+  /** Collect a two-column frame as id -> Option[second col] (null-safe). */
+  private def idToOptRef(
+      df: org.apache.spark.sql.DataFrame, cols: (String, String)): Map[Long, Option[Long]] =
+    df.select(cols._1, cols._2).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
   test("as-of join: <= at equal ts, left nulls, tolerance voiding, multi-ref ordering") {
     import spark.implicits._
     val ref = Seq(
@@ -265,17 +271,17 @@ class OperatorsSpec extends SparkSuite {
       (104L, 2L, 400L), // before user 2's only ref -> null
       (105L, 3L, 100L)  // user with no refs at all -> null
     ).toDF("event_id", "user_id", "ts")
-    val got = Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id"))
-      .select("event_id", "ref_id").collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val got = idToOptRef(
+      Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id")),
+      ("event_id", "ref_id"))
     assert(got === Map(
       101L -> Some(10L), 102L -> Some(11L), 103L -> Some(11L),
       104L -> None, 105L -> None))
     // tolerance: match older than toleranceNs is voided, in-range kept
-    val tol = Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id"),
-      toleranceNs = Some(100L))
-      .select("event_id", "ref_id").collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val tol = idToOptRef(
+      Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id"),
+        toleranceNs = Some(100L)),
+      ("event_id", "ref_id"))
     assert(tol(101L) === Some(10L)) // gap 50 <= 100
     assert(tol(102L) === Some(11L)) // gap 0
     assert(tol(103L) === None)      // gap 799 > 100 -> voided
@@ -299,9 +305,9 @@ class OperatorsSpec extends SparkSuite {
     val refDf = refs.toDF("user_id", "ts", "ref_id")
     val probeDf = probes.toDF("event_id", "user_id", "ts")
     def run(tol: Option[Long]): Map[Long, Option[Long]] =
-      Events.asOfJoin(probeDf, refDf, Seq("user_id"), "ts", Seq("ref_id"), tol)
-        .select("event_id", "ref_id").collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      idToOptRef(
+        Events.asOfJoin(probeDf, refDf, Seq("user_id"), "ts", Seq("ref_id"), tol),
+        ("event_id", "ref_id"))
     assert(run(None) === brute(None))
     assert(run(Some(100L)) === brute(Some(100L)))
     assert(brute(None).valuesIterator.count(_.isDefined) > 100) // non-trivial corpus
@@ -309,10 +315,9 @@ class OperatorsSpec extends SparkSuite {
     // granularity (bucket == 1 maximizes cross-bucket handoffs; huge
     // bucket degenerates to the plain single-window case)
     for (bucketNs <- Seq(1L, 7L, 64L, 1000000L); tol <- Seq(None, Some(100L))) {
-      val bucketed = Events.asOfJoinBucketed(
-        probeDf, refDf, Seq("user_id"), "ts", Seq("ref_id"), bucketNs, tol)
-        .select("event_id", "ref_id").collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val bucketed = idToOptRef(
+        Events.asOfJoinBucketed(probeDf, refDf, Seq("user_id"), "ts", Seq("ref_id"), bucketNs, tol),
+        ("event_id", "ref_id"))
       assert(bucketed === brute(tol), s"bucketNs=$bucketNs tol=$tol")
     }
   }
@@ -330,12 +335,12 @@ class OperatorsSpec extends SparkSuite {
       (103L, Option(1L), Option.empty[Long])   // null ts probe: kept, unmatched
     ).toDF("event_id", "user_id", "ts")
     val expected = Map(101L -> Some(10L), 102L -> None, 103L -> None)
-    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
-      df.select("event_id", "ref_id").collect()
-        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
-    assert(got(Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id"))) === expected)
-    assert(got(Events.asOfJoinBucketed(
-      probe, ref, Seq("user_id"), "ts", Seq("ref_id"), bucketNs = 64L)) === expected)
+    assert(idToOptRef(
+      Events.asOfJoin(probe, ref, Seq("user_id"), "ts", Seq("ref_id")),
+      ("event_id", "ref_id")) === expected)
+    assert(idToOptRef(
+      Events.asOfJoinBucketed(probe, ref, Seq("user_id"), "ts", Seq("ref_id"), bucketNs = 64L),
+      ("event_id", "ref_id")) === expected)
   }
 
   test("interval join: open-ended sentinel interval fails loud, not OOM") {

@@ -15,6 +15,8 @@ class DomainStoreSpec extends SparkSuite {
 
   private val conf = new Configuration()
 
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
   private def kv(pairs: (String, String)*): DataFrame = {
     import spark.implicits._
     pairs.toDF("k", "v")
@@ -209,7 +211,6 @@ class DomainStoreSpec extends SparkSuite {
     val store = DomainStore.create(scratch("autoprune"), DomainSpec(8), conf)
     val pairs = (0 until 64).map(i => s"k$i" -> s"v$i")
     store.write(kv(pairs: _*), 1L)
-    def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
     // equality filter — NO shard column mentioned anywhere
     val one = store.read(spark).where(col("key") === lit(utf8("k7")))
     val onePlan = one.queryExecution.executedPlan.toString
@@ -241,14 +242,10 @@ class DomainStoreSpec extends SparkSuite {
     import spark.implicits._
     val store = DomainStore.create(scratch("autoprune-foreign"), DomainSpec(8), conf)
     store.write(kv((0 until 32).map(i => s"k$i" -> s"v$i"): _*), 1L)
-    def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
     // a metrics table with its own int column named `shard`, values chosen
     // to DIFFER from every routed shard id — if the rule pairs the domain
     // key with THIS column, matching rows silently vanish
-    val metrics = (0 until 32).map(i => (utf8(s"k$i"), 999))
-      .toDF("key", "shard_metric").withColumnRenamed("shard_metric", "m")
-      .withColumn("shard", lit(999))
-      .select(col("key"), col("shard"))
+    val metrics = (0 until 32).map(i => (utf8(s"k$i"), 999)).toDF("key", "shard")
     val joined = metrics.join(
       store.read(spark).select(col("key"), col("value")), Seq("key"))
       .where(col("key") === lit(utf8("k3")))

@@ -32,6 +32,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  /** Split the events fixture into TWO parquet files in event-time order
+    * under `dir` (via `staging`), so users/windows span micro-batches —
+    * the shared multi-batch streaming fixture. */
+  private def stageTwoBatches(src: String, dir: String, staging: String): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val all = spark.read.parquet(src).orderBy("ts", "event_id")
+    val firstHalf = all.limit((all.count() / 2).toInt)
+    val secondHalf = all.exceptAll(firstHalf)
+    firstHalf.coalesce(1).write.parquet(s"$staging/b0")
+    secondHalf.coalesce(1).write.parquet(s"$staging/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$staging/b0", s"$dir/events-0.parquet")
+    stage(s"$staging/b1", s"$dir/events-1.parquet")
+  }
+
   private def normalize(r: Row): (java.sql.Timestamp, String, Long, Long) =
     (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))
 
@@ -89,25 +110,9 @@ class StreamingSpec extends SparkSuite {
     val dir = scratch("stream-append-src")
     val outDir = scratch("stream-append-out")
     val ckpt = scratch("stream-append-ckpt")
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     // Two files in event-time order so the second batch's watermark
     // finalizes (and emits) windows filled by the first.
-    val all = spark.read.parquet(src).orderBy("ts", "event_id")
-    val n = all.count()
-    val firstHalf = all.limit((n / 2).toInt)
-    val secondHalf = all.exceptAll(firstHalf)
-    val tmp = scratch("stream-append-staging")
-    firstHalf.coalesce(1).write.parquet(s"$tmp/b0")
-    secondHalf.coalesce(1).write.parquet(s"$tmp/b1")
-    def stage(from: String, to: String): Unit = {
-      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
-    }
-    stage(s"$tmp/b0", s"$dir/events-0.parquet")
-    stage(s"$tmp/b1", s"$dir/events-1.parquet")
+    stageTwoBatches(src, dir, scratch("stream-append-staging"))
 
     val batch = Events.windowAgg(spark.read.parquet(src), 5)
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
@@ -151,26 +156,10 @@ class StreamingSpec extends SparkSuite {
   test("stateful streaming sessionization == batch sessionStats (multi-batch)") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-sessions")
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     // Split into TWO files in event-time order so users span micro-batches:
     // exercises cross-batch state carry and the update-mode sink's
     // append-per-batch behavior (latestSessionStats must dedupe).
-    val all = spark.read.parquet(src).orderBy("ts", "event_id")
-    val n = all.count()
-    val firstHalf = all.limit((n / 2).toInt)
-    val secondHalf = all.exceptAll(firstHalf)
-    val tmp = scratch("stream-sessions-staging")
-    firstHalf.coalesce(1).write.parquet(s"$tmp/b0")
-    secondHalf.coalesce(1).write.parquet(s"$tmp/b1")
-    def stage(from: String, to: String): Unit = {
-      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
-    }
-    stage(s"$tmp/b0", s"$dir/events-0.parquet")
-    stage(s"$tmp/b1", s"$dir/events-1.parquet")
+    stageTwoBatches(src, dir, scratch("stream-sessions-staging"))
 
     val batch = Events.sessionStats(spark.read.parquet(src), 30)
       .collect()
@@ -193,25 +182,9 @@ class StreamingSpec extends SparkSuite {
     import org.apache.spark.sql.functions._
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-asof")
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     // Two files in event-time order: purchases in batch 2 must match
     // clicks carried as state from batch 1.
-    val all = spark.read.parquet(src).orderBy("ts", "event_id")
-    val n = all.count()
-    val firstHalf = all.limit((n / 2).toInt)
-    val secondHalf = all.exceptAll(firstHalf)
-    val tmp = scratch("stream-asof-staging")
-    firstHalf.coalesce(1).write.parquet(s"$tmp/b0")
-    secondHalf.coalesce(1).write.parquet(s"$tmp/b1")
-    def stage(from: String, to: String): Unit = {
-      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
-    }
-    stage(s"$tmp/b0", s"$dir/events-0.parquet")
-    stage(s"$tmp/b1", s"$dir/events-1.parquet")
+    stageTwoBatches(src, dir, scratch("stream-asof-staging"))
 
     val ev = spark.read.parquet(src)
     val wTs = org.apache.spark.sql.expressions.Window
