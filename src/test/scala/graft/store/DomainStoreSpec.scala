@@ -315,8 +315,58 @@ class DomainStoreSpec extends SparkSuite {
     val pairs = (0 until 300).map(i => s"ck$i" -> s"cv$i")
     store.write(kv(pairs: _*), 1L)
     assert(store.count(spark) === 300L)
-    // distributeAbove = 0 forces the Spark map-reduce branch
+    // distributeAbove = 0: numShards > threshold, so the LISTING runs
+    // inside the Spark job too (the 64k-shard path — no driver recursion)
     assert(store.count(spark, distributeAbove = 0) === 300L)
+    // threshold between branches: 8 shards > 3 still distributes
+    assert(store.count(spark, distributeAbove = 3) === 300L)
+  }
+
+  test("upsert via distributed copy-forward: untouched shards byte-identical") {
+    val store = DomainStore.create(scratch("dist-cf"), DomainSpec(8), conf)
+    val pairs = (0 until 200).map(i => s"dk$i" -> s"dv$i")
+    store.write(kv(pairs: _*), 1L)
+    // delta touches one shard; the rest copy forward through the Spark job
+    store.upsert(spark, kv("dk0" -> "new"), 2L, distributeAbove = 0)
+    assert(store.latestVersion === 2L)
+    assert(readPairs(store) === (pairs.toMap + ("dk0" -> "new")).toSeq.toSet)
+    val fs = store.root.getFileSystem(conf)
+    def shardFiles(v: Long, s: Int): Seq[org.apache.hadoop.fs.Path] = {
+      val d = new org.apache.hadoop.fs.Path(store.root, s"$v/shard=$s")
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName).toSeq
+    }
+    def bytes(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try { in.readFully(0, buf); buf } finally in.close()
+    }
+    val touched = ShardIndex.shardIndex(utf8("dk0"), 8)
+    (0 until 8).filterNot(_ == touched).foreach { s =>
+      val (f1, f2) = (shardFiles(1L, s), shardFiles(2L, s))
+      assert(f1.map(_.getName) === f2.map(_.getName), s"shard=$s file set differs")
+      f1.zip(f2).foreach { case (a, b) =>
+        assert(java.util.Arrays.equals(bytes(a), bytes(b)), s"shard=$s not byte-identical")
+      }
+    }
+  }
+
+  test("localize: distributed branch copies the same bytes as the driver pool") {
+    val store = DomainStore.create(scratch("localize-dist"), DomainSpec(8), conf)
+    val pairs = (0 until 100).map(i => s"zk$i" -> s"zv$i")
+    store.write(kv(pairs: _*), 1L)
+    val destA = new org.apache.hadoop.fs.Path(scratch("localize-dist-a"))
+    val destB = new org.apache.hadoop.fs.Path(scratch("localize-dist-b"))
+    val viaDriver = store.localize(1L, destA)
+    val viaJob = store.localize(1L, destB, distributeAbove = 0)
+    assert(viaJob === viaDriver)
+    def back(d: org.apache.hadoop.fs.Path): Set[(String, String)] =
+      spark.read.schema(DomainStore.DomainSchema).parquet(d.toString)
+        .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back(destB) === back(destA))
+    assert(back(destB) === pairs.toSet)
   }
 
   test("salted lookupJoin: equals the plain join AND spreads the hot key") {
