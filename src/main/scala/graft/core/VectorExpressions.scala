@@ -414,6 +414,80 @@ case class TopFreqExpr(child: Expression)
     copy(child = newChild)
 }
 
+object Anchors {
+  val Prime = 1000000007L
+  val Base = 31L
+
+  /**
+   * Content-defined anchor positions (1-based) for winnowing-style
+   * fingerprinting: position i anchors iff the Rabin-Karp hash of the
+   * `window`-char context starting there is ≡ 0 mod `modulus`. ONE O(len)
+   * rolling pass per document — each step is a constant-time update
+   * (subtract the outgoing char's `Base^(w-1)` term, shift, add the
+   * incoming char), replacing the md5-per-character probe whose hashing
+   * dominated the operator's 100 TB bill. The per-position value equals
+   * the left-to-right fold `acc = (acc*Base + codeUnit) mod Prime` over
+   * the window, which a SQL oracle replays with a per-window list fold.
+   */
+  def anchorPositions(s: org.apache.spark.unsafe.types.UTF8String, window: Int, modulus: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    if (n >= window) {
+      var pow = 1L // Base^(window-1) mod Prime
+      var i = 0
+      while (i < window - 1) { pow = pow * Base % Prime; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < window) { h = (h * Base + str.charAt(i)) % Prime; i += 1 }
+      var pos = 0 // 0-based window start
+      var done = false
+      while (!done) {
+        if (h % modulus == 0) out += pos + 1
+        if (pos + window >= n) done = true
+        else {
+          h = ((h - str.charAt(pos) * pow % Prime + Prime) % Prime * Base +
+            str.charAt(pos + window)) % Prime
+          pos += 1
+        }
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+}
+
+/**
+ * Anchor positions of a string under a rolling content-defined chunking
+ * rule, as a native codegen expression (array<int>, 1-based) — the anchor
+ * kernel of [[graft.operators.Dedup.sharedSubstringPairs]]. Exploding this
+ * bounded array (≈ len/modulus entries) also removes the O(len)
+ * per-position row explosion the sequence+filter formulation paid.
+ */
+case class AnchorPositionsExpr(child: Expression, window: Int, modulus: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+  require(window >= 1, s"window must be >= 1, got $window")
+  require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "anchor_positions"
+
+  override protected def nullSafeEval(s: Any): Any =
+    Anchors.anchorPositions(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.core.Anchors.anchorPositions($s, $window, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorPositionsExpr =
+    copy(child = newChild)
+}
+
 object RollingHash {
   val Prime = 1000000007L
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.interop
 
-import graft.core.{DoubleArrayDot, RollingHashExpr, ShardIndexExpr, TopFreqExpr}
+import graft.core.{AnchorPositionsExpr, DoubleArrayDot, RollingHashExpr, ShardIndexExpr, TopFreqExpr}
 
 /**
  * Column-level functions of the graft engine. Everything here is either a
@@ -65,6 +65,12 @@ package object functions {
     * (see [[graft.core.RollingHashExpr]]). */
   def rolling_hash(s: Column): Column =
     interop.column(RollingHashExpr(interop.expression(s)))
+
+  /** Codegen'd content-defined anchor positions (1-based array<int>) of a
+    * string column under a Rabin-Karp window hash
+    * (see [[graft.core.AnchorPositionsExpr]]). */
+  def anchor_positions(s: Column, window: Int, modulus: Int): Column =
+    interop.column(AnchorPositionsExpr(interop.expression(s), window, modulus))
 
   /** Codegen'd count of the most frequent element of an array<string>
     * column (see [[graft.core.TopFreqExpr]]). */

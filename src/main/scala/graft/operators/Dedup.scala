@@ -402,31 +402,31 @@ object Dedup {
    * moves their shingle-set Jaccard barely above 0).
    *
    * Winnowing-style content-defined anchoring (the MOSS lineage): a
-   * position is an anchor iff the 32-bit md5 prefix of its `window`-char
-   * context falls in 1/`modulus` of hash space. Anchors depend only on
-   * local CONTENT, so a run shared by two documents produces the same
-   * anchors in both regardless of where it sits — the `minLen`-char
-   * substring at each anchor is the fingerprint, and one equi-join on
-   * fingerprint hashes pairs the documents. Three shuffles, all of
-   * anchor-sized data (the (id, fp) distinct, the join on fp, the final
-   * pair distinct); no O(N^2) anywhere.
+   * position is an anchor iff the Rabin-Karp rolling hash of its
+   * `window`-char context falls in 1/`modulus` of hash space
+   * ([[graft.core.Anchors]]). Anchors depend only on local CONTENT, so a
+   * run shared by two documents produces the same anchors in both
+   * regardless of where it sits (position-shift invariance pinned in
+   * OperatorsSpec) — the `minLen`-char substring at each anchor is the
+   * fingerprint (md5, anchors only), and one equi-join on fingerprint
+   * hashes pairs the documents. Three shuffles, all of anchor-sized data
+   * (the (id, fp) distinct, the join on fp, the final pair distinct); no
+   * O(N^2) anywhere.
    *
    * Detection is probabilistic in run length r: a shared run is found iff
    * an anchor lands in its first r - minLen positions, p ~ 1 -
    * (1 - 1/modulus)^(r - minLen) (~97% at r = 2*minLen with the
    * defaults); emitted pairs are never false positives at the fingerprint
-   * level (both sides hashed the same minLen chars). Everything is plain
-   * md5 arithmetic, so the DuckDB oracle replays it exactly.
+   * level (both sides hashed the same minLen chars). The anchor rule is a
+   * plain mod-p polynomial fold per window, so the DuckDB oracle replays
+   * it exactly with a per-window list fold.
    *
-   * Cost model: one window-md5 per character, then one fingerprint-md5
-   * per anchor (1/modulus of positions); only anchors reach a shuffle.
-   * Note `sequence()` materializes the O(len) position array per document
-   * row inside Generate before the filter fuses — per-row transient
-   * memory is proportional to document length, so split pathological
-   * multi-MB documents upstream. At 100 TB the per-character hash is the
-   * bill; raise `modulus` (sparser anchors, lower short-run recall) or
-   * swap the anchor hash for a cheap rolling hash in a custom expression
-   * if that budget matters — the fingerprint join shape is unchanged.
+   * Cost model: ONE O(len) rolling pass per document inside whole-stage
+   * codegen ([[graft.core.AnchorPositionsExpr]] — constant work per
+   * character, no per-position md5), then one fingerprint-md5 per anchor
+   * (1/modulus of positions); only anchors ever become rows (the explode
+   * is over the ~len/modulus anchor array, never an O(len) position
+   * range), and only anchors reach a shuffle.
    */
   def sharedSubstringPairs(
       df: DataFrame,
@@ -442,8 +442,10 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .where(length(col("t")) >= minLen)
       .select(col("id"), col("t"),
-        explode(sequence(lit(1), length(col("t")) - (minLen - 1))).as("pos"))
-      .where(pmod(graft.functions.md5_prefix32(expr(s"substring(t, pos, $window)")), lit(modulus)) === 0)
+        explode(graft.functions.anchor_positions(col("t"), window, modulus)).as("pos"))
+      // the anchor kernel emits every window position; fingerprints need
+      // minLen chars of runway
+      .where(col("pos") <= length(col("t")) - (minLen - 1))
       .select(col("id"), md5(expr(s"substring(t, pos, $minLen)")).as("fp"))
       .dropDuplicates("id", "fp")
     fp.as("a")

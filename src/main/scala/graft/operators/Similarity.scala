@@ -78,14 +78,24 @@ object Similarity {
       return c.select(col("id").as("id_a"), col("id").as("id_b"))
     }
     val b = lshBuckets(c, tables, planes, dimRow(0).getInt(0))
-    b.as("x")
+    // Candidate generation and dedup move IDS ONLY: a pair colliding in
+    // several tables would otherwise drag 2 x dim doubles per duplicate
+    // through the dedup exchange (~12 KB/candidate at dim=768 where 16
+    // bytes suffice — the widest unnecessary shuffle VERDICT r2 flagged).
+    // Column pruning drops vec/norm from the bucket self-join too.
+    val cand = b.as("x")
       .join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
-      .select(
-        col("x.id").as("id_a"), col("x.vec").as("vec_a"), col("x.norm").as("norm_a"),
-        col("y.id").as("id_b"), col("y.vec").as("vec_b"), col("y.norm").as("norm_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Vectors re-attach AFTER the dedup, one linear pass per side; no
+    // broadcast hint — candidates are unbounded inside dup clusters, so
+    // the planner/AQE picks the strategy (small sets still broadcast).
+    val v = c.select(col("id"), col("vec"), col("norm"))
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("norm").as("norm_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("norm").as("norm_b")), "id_b")
       .withColumn("cos", dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
@@ -105,13 +115,21 @@ object Similarity {
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
     scored
+      // project before the window: the rank exchange moves (query_id, id,
+      // cos), not the corpus+query vectors the join attached
+      .select(col("query_id"), col("id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
-  /** Seeded random hyperplanes: `tables` tables x `planes` planes x dim. */
-  private def hyperplanes(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] = {
+  /** Seeded random hyperplanes: `tables` tables x `planes` planes x dim.
+    * `private[graft]` so the contract queries can interpolate the SAME
+    * tensor into their DuckDB oracle SQL as literals — the oracle replays
+    * bucket assignment, candidate generation, and exact verification
+    * bit-for-bit (sign of a left-to-right dot), which is what makes the
+    * LSH queries hash-checkable despite being approximate. */
+  private[graft] def hyperplanes(tables: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] = {
     val rnd = new Random(42)
     Array.fill(tables, planes, dim)(rnd.nextGaussian())
   }
@@ -290,6 +308,8 @@ object Similarity {
     assigned.join(broadcast(probes), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      // rank exchange moves (query_id, id, cos) only — not vec + qvec
+      .select(col("query_id"), col("id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
@@ -405,6 +425,7 @@ object Similarity {
       .withColumn("adc",
         interop.column(graft.core.PqAdcExpr(
           interop.expression(col("query_id")), interop.expression(col("codes")), bcLut, ksubEff)))
+      .select(col("query_id"), col("id"), col("adc")) // codes stay out of the rank exchange
       .withColumn("arank", row_number().over(wAdc))
       .where(col("arank") <= k * rerank)
       .select(col("query_id"), col("id"))
@@ -418,6 +439,7 @@ object Similarity {
       .join(broadcast(shortlist), Seq("id"))
       .join(broadcast(qSide), Seq("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .select(col("query_id"), col("id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
@@ -452,16 +474,26 @@ object Similarity {
     val dim = dimRow(0).getInt(0)
     val bc = corpus.sparkSession.sparkContext.broadcast(hyperplanes(tables, planes, dim))
     val cb = lshBucketsWith(c, bc)
-    val qb = lshBucketsWith(prepared(queries, idCol, vecCol), bc)
-      .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
-        col("table"), col("bucket"))
-    val cand = cb.join(broadcast(qb), Seq("table", "bucket"))
+    val q = prepared(queries, idCol, vecCol)
+    val qb = lshBucketsWith(q, bc)
+      .select(col("id").as("query_id"), col("table"), col("bucket"))
+    // (query_id, id) pairs only through candidate generation + dedup: a
+    // corpus row colliding with a query in several tables would otherwise
+    // push vec AND qvec (2 x dim doubles) per duplicate through the dedup
+    // exchange. Corpus vectors re-attach by join, query vectors by a
+    // second small broadcast — both AFTER the dedup.
+    val cand = cb.select(col("id"), col("table"), col("bucket"))
+      .join(broadcast(qb), Seq("table", "bucket"))
       .where(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"), col("vec"), col("norm"), col("qvec"), col("qnorm"))
+      .select(col("query_id"), col("id"))
       .dropDuplicates("query_id", "id")
+    val qSide = q.select(
+      col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
-    cand
+    c.join(cand, Seq("id"))
+      .join(broadcast(qSide), Seq("query_id"))
       .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .select(col("query_id"), col("id"), col("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))

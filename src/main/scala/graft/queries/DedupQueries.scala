@@ -47,9 +47,9 @@ object DedupQueries {
         Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
     },
     // The scale path for the same decision: LSH-bucketed candidates +
-    // exact cosine verify. Approximate recall by design (no SQL oracle;
-    // precision==exact and recall pinned in OperatorsSpec, like the ANN
-    // queries).
+    // exact cosine verify. Approximate over the corpus but deterministic
+    // given the seeded plane tensor, so the oracle replays the whole
+    // pipeline with the planes as SQL literals (SimQueries.lshBucketsCtes).
     "dedup_embedding_lsh" -> { (s, dir) =>
       Similarity.nearDupPairsBucketed(
         Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding", CosineThreshold)
@@ -123,6 +123,22 @@ object DedupQueries {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineThreshold""".stripMargin,
+    // Full LSH replay (planes interpolated as literals): candidates =
+    // pairs sharing any (table, bucket), then the exact cosine verify —
+    // nearDupPairsBucketed step for step, hash-checkable at any recall.
+    "dedup_embedding_lsh" ->
+      s"""WITH ${SimQueries.lshBucketsCtes},
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |SELECT cand.id_a, cand.id_b
+         |FROM cand JOIN ef ea ON ea.vec_id = cand.id_a
+         |          JOIN ef eb ON eb.vec_id = cand.id_b
+         |WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold""".stripMargin,
+    // anchor rule = Rabin-Karp window hash ≡ 0 mod modulus; the oracle
+    // replays the same mod-p polynomial as a per-window fold over unicode
+    // codepoints (== UTF-16 code units on this all-BMP fixture, matching
+    // the Spark kernel's charAt)
     "dedup_shared_substring" ->
       s"""WITH pos AS (
         |  SELECT doc_id, text,
@@ -131,7 +147,10 @@ object DedupQueries {
         |anch AS (
         |  SELECT doc_id, md5(substr(text, CAST(i AS INT), $SubstringMinLen)) AS fp
         |  FROM pos
-        |  WHERE ('0x' || substr(md5(substr(text, CAST(i AS INT), $SubstringWindow)), 1, 8))::UBIGINT::BIGINT % $SubstringModulus = 0),
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) FOR c IN
+        |        list_filter(string_split(substr(text, CAST(i AS INT), $SubstringWindow), ''), x -> x != '')]),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % $SubstringModulus = 0),
         |f AS (SELECT DISTINCT doc_id, fp FROM anch)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,

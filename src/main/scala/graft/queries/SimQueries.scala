@@ -7,14 +7,56 @@ import graft.operators.Similarity
 
 /**
  * Driver-contract queries for similarity search. The exact brute-force
- * top-k has a full DuckDB oracle; the LSH ANN variant is approximate by
- * design (no SQL oracle — its recall against the exact result is pinned in
- * ScalaTest instead).
+ * top-k has a full DuckDB oracle. The hyperplane-LSH variant is
+ * approximate over the corpus but DETERMINISTIC given its seeded plane
+ * tensor — so its oracle interpolates the very same planes as SQL
+ * literals and replays bucket assignment (sign of a left-to-right dot),
+ * candidate generation, and the exact re-rank in DuckDB, making even the
+ * approximate query hash-checkable. The IVF variants stay oracle-less:
+ * their quantizer is trained from the DATA at query time (Lloyd over a
+ * sampled corpus), which a static SQL string cannot replay; their
+ * exhaustive-probe ≡ exact identities are pinned in ScalaTest instead.
  */
 object SimQueries {
 
   val TopK = 10
   val QueryMod = 100
+
+  /** The embeddings fixture's dimensionality (TESTDATA.md). The oracle
+    * plane literals are generated at this dim; the operators themselves
+    * derive dim from the data. */
+  val EmbeddingDim = 64
+  val LshTables = 8
+  val LshPlanes = 4
+
+  /** `(tbl, bit, plane)` VALUES rows of the seeded LSH plane tensor —
+    * shared verbatim by this oracle and the dedup_embedding_lsh oracle so
+    * the SQL buckets cannot drift from [[Similarity.lshBuckets]]. */
+  private[queries] def lshPlanesValues: String = {
+    val pl = Similarity.hyperplanes(LshTables, LshPlanes, EmbeddingDim)
+    (for (t <- 0 until LshTables; b <- 0 until LshPlanes) yield {
+      // Double.toString is shortest-round-trip: DuckDB parses each literal
+      // back to the exact same IEEE double the Spark kernel multiplies by
+      val arr = pl(t)(b).map(_.toString).mkString("[", ", ", "]")
+      s"($t, $b, CAST($arr AS DOUBLE[]))"
+    }).mkString(",\n")
+  }
+
+  /** CTEs `ef` (norm-filtered corpus as double vectors) and `b` (one
+    * sign-bucket per (vector, table)) — the SQL twin of
+    * [[Similarity.prepared]] + [[Similarity.lshBuckets]]. */
+  private[queries] def lshBucketsCtes: String =
+    s"""pl(tbl, bit, p) AS (VALUES
+       |$lshPlanesValues),
+       |ef AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+       |b AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN list_inner_product(ef.v, pl.p) > 0
+       |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS bucket
+       |  FROM ef, pl GROUP BY 1, 2)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_exact" -> { (s, dir) =>
@@ -62,7 +104,27 @@ object SimQueries {
          |ranked AS (SELECT query_id, neighbor_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
-         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $TopK""".stripMargin)
-  // sim_ann_lsh / sim_ann_ivf: intentionally no oracle (approximate
-  // operators; recall pinned against the exact result in OperatorsSpec).
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // Full LSH replay: buckets from the interpolated plane tensor,
+    // candidates = corpus rows sharing any (table, bucket) with a query,
+    // exact cosine re-rank of candidates only — annTopK, step for step.
+    "sim_ann_lsh" ->
+      s"""WITH $lshBucketsCtes,
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
+         |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE q.vec_id % $QueryMod = 0 AND c.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.id,
+         |    list_cosine_similarity(ce.v, qe.v) AS cos
+         |  FROM cand JOIN ef ce ON ce.vec_id = cand.id
+         |            JOIN ef qe ON qe.vec_id = cand.query_id),
+         |ranked AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+         |  FROM scored)
+         |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin)
+  // sim_ann_ivf / sim_ann_ivfpq: intentionally no oracle (quantizer is
+  // trained from the data at query time; exhaustive-probe ≡ exact and
+  // recall pinned in OperatorsSpec instead).
 }

@@ -535,6 +535,29 @@ class OperatorsSpec extends SparkSuite {
     assert(j < 0.3, s"planted run should not dominate set similarity (j = $j)")
   }
 
+  test("anchor positions are position-shift invariant (content-defined)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val s = randText(300)
+    val prefixes = Seq("X", "0123456789", randText(57))
+    val (window, modulus) = (8, 4)
+    def anchors(text: String): Seq[Int] =
+      Seq(text).toDF("t")
+        .select(graft.functions.anchor_positions(col("t"), window, modulus).as("a"))
+        .head().getSeq[Int](0)
+    val base = anchors(s)
+    assert(base.nonEmpty, "degenerate fixture: no anchors at all")
+    prefixes.foreach { p =>
+      // every window fully inside s anchors identically after any shift;
+      // positions <= |p| (windows over the prefix or straddling the seam)
+      // are the only ones allowed to differ
+      val shifted = anchors(p + s).filter(_ > p.length).map(_ - p.length)
+      assert(shifted === base, s"prefix of length ${p.length} changed anchors")
+    }
+  }
+
   test("components: star contraction == union-find on random graphs") {
     import spark.implicits._
     // Seeded random graphs with mixed shapes (isolated nodes, small

@@ -75,6 +75,48 @@ class PlanShapeSpec extends SparkSuite {
     assert(countOccurrences(p, "Exchange") === 1, s"expected 1 exchange:\n$p")
   }
 
+  test("LSH candidate dedup exchanges carry ids only, never raw vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val embs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val queries = (0 until 5).map(i =>
+      (1000L + i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    def dedupExchangesHaveNoArrays(df: DataFrame, idCols: Set[String]): Unit = {
+      // collect() on the AQE wrapper sees only the wrapper node — descend
+      // into its current plan to reach the exchanges
+      val root = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val exchanges = root.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // the dedup exchange partitions by exactly the id pair; its rows
+      // must be the ids alone (a vec smuggled through re-widens it)
+      val dedupEx = exchanges.filter { e =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            val names = h.expressions.collect {
+              case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+            }.toSet
+            names == idCols
+          case _ => false
+        }
+      }
+      assert(dedupEx.nonEmpty, s"no dedup exchange found in:\n${df.queryExecution.executedPlan}")
+      dedupEx.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"dedup exchange carries arrays ${arrays.map(_.name).mkString(",")}:\n$e")
+      }
+    }
+    dedupExchangesHaveNoArrays(
+      Similarity.nearDupPairsBucketed(embs, "id", "vec", 0.8), Set("id_a", "id_b"))
+    dedupExchangesHaveNoArrays(
+      Similarity.annTopK(embs, queries, "id", "vec", 5), Set("query_id", "id"))
+  }
+
   test("text analysis reports are shuffle-free whole-stage codegen") {
     // a real file scan — a local relation constant-folds the whole plan
     // into LocalTableScan and proves nothing
