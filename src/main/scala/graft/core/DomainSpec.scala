@@ -18,7 +18,12 @@ case class DomainSpec(
     numShards: Int,
     shardScheme: String = DomainSpec.HashMod,
     persistenceFormat: String = DomainSpec.ParquetSorted,
-    persistenceOptions: Map[String, String] = Map.empty) {
+    persistenceOptions: Map[String, String] = Map.empty,
+    // Write-time index hook (reference Indexer SPI, W5): class name of a
+    // graft.store.Indexer, or "none". Class-name indirection like the
+    // reference's SPIs; resolution is checked where the store loads it
+    // (keeps core free of a store-package dependency).
+    indexer: String = DomainSpec.NoIndexer) {
 
   def validate(): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
@@ -28,7 +33,14 @@ case class DomainSpec(
     require(
       DomainSpec.KnownFormats.contains(persistenceFormat),
       s"unknown persistenceFormat '$persistenceFormat' (known: ${DomainSpec.KnownFormats.mkString(", ")})")
+    require(
+      indexer != null && indexer.trim.nonEmpty,
+      "indexer must be a class name or \"" + DomainSpec.NoIndexer + "\" (got blank)")
   }
+
+  /** The indexer class name, if any. */
+  def indexerClass: Option[String] =
+    Some(indexer.trim).filter(_ != DomainSpec.NoIndexer)
 
   def toJson: String = DomainSpec.mapper.writeValueAsString(this)
 }
@@ -45,6 +57,11 @@ object DomainSpec {
   val KnownSchemes: Set[String] = Set(HashMod)
   val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory)
 
+  /** Sentinel for "no write-time index" — a string (not Option) so the
+    * persisted JSON stays flat and a spec written before this field
+    * existed normalizes cleanly on read. */
+  val NoIndexer = "none"
+
   val FileName = "domain-spec.json"
 
   private[core] val mapper: ObjectMapper = {
@@ -55,7 +72,11 @@ object DomainSpec {
   }
 
   def fromJson(json: String): DomainSpec = {
-    val spec = mapper.readValue(json, classOf[DomainSpec])
+    val raw = mapper.readValue(json, classOf[DomainSpec])
+    // A domain-spec.json written before the indexer field existed
+    // deserializes with a null (Jackson skips Scala default args for
+    // missing properties) — normalize so spec equality keeps working.
+    val spec = if (raw.indexer == null) raw.copy(indexer = NoIndexer) else raw
     spec.validate()
     spec
   }

@@ -127,6 +127,16 @@ object Fixtures {
       })
   }
 
+  /** Bloom-indexed customer domain (W5 Indexer SPI): same pairs as
+    * [[customerDomain]], plus a per-shard key-bloom sidecar built at
+    * publish time, so lookups of absent keys skip the scan entirely. */
+  def customerIndexedDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "customer-indexed",
+      DomainSpec(numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName)) {
+      (store, s) => store.write(customerKv(s, sfDir), version = 1L)
+    }
+
   /** customer domain on the orc-sorted persistence format (the second
     * storage engine of the Coordinator SPI, reference S7–S9). */
   def customerOrcDomain(spark: SparkSession, sfDir: String): DomainStore =

@@ -45,6 +45,25 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // W5 (Indexer SPI): multiGet against the bloom-indexed domain. Most of
+    // this key set is absent (c_custkey + 2000000), so the sidecar probe
+    // resolves the bulk of it driver-side with zero data I/O; results must
+    // be indistinguishable from an unindexed lookup, which is exactly what
+    // the oracle checks.
+    "kv_indexed_lookup" -> { (s, dir) =>
+      val customer = Fixtures.table(s, dir, "customer")
+      val keys = customer
+        .where(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"))
+        .unionByName(customer
+          .where(col("c_custkey") % 5 === 0)
+          .select((col("c_custkey") + 2000000).as("c_custkey")))
+        .select(long_be(col("c_custkey")).as("key"))
+      Fixtures.customerIndexedDomain(s, dir).multiGet(keys)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
     // Q6: getCount — through the metadata-only footer path, surfaced as a
     // one-row DataFrame so the oracle verifies the footer sum itself.
     "kv_count" -> { (s, dir) =>
@@ -131,6 +150,12 @@ object KvQueries {
           |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0
           |  UNION ALL
           |  SELECT c_custkey + 1000000 FROM customer WHERE c_custkey % 50 = 0)
+          |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
+      "kv_indexed_lookup" ->
+        """WITH ks AS (
+          |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 11 = 0
+          |  UNION ALL
+          |  SELECT c_custkey + 2000000 FROM customer WHERE c_custkey % 5 = 0)
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
       "kv_count" ->
         "SELECT count(*) AS cnt FROM customer",

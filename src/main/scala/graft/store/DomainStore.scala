@@ -43,6 +43,17 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
   def numShards: Int = spec.numShards
 
+  /** Write-time index hook (reference Indexer SPI, W5), class-name-loaded
+    * from the spec. Resolved eagerly so a typo'd class name fails at open
+    * time, not mid-publish. */
+  private val indexerOpt: Option[Indexer] = spec.indexerClass.map { cn =>
+    try Indexer.forName(cn)
+    catch {
+      case e: ClassNotFoundException =>
+        throw new IllegalArgumentException(s"domain spec names unknown indexer class '$cn'", e)
+    }
+  }
+
   // ----------------------------------------------------------------- write
 
   /** DataSource name for the domain's persistence format — the engine's
@@ -87,6 +98,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         .options(fsOptions)
         .partitionBy("shard")
         .save(versions.versionPath(version).toString)
+      buildIndex(df.sparkSession, version, onlyShards = None)
       versions.succeedVersion(version)
     } catch {
       case e: Throwable =>
@@ -104,6 +116,51 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .sortWithinPartitions("shard", "key")
       .drop("_pid")
 
+  /**
+   * Build per-shard index sidecars for a (not yet published) version — the
+   * write half of the Indexer SPI (W5). Two distributed passes, both cheap
+   * relative to the write they follow:
+   *  1. exact per-shard key counts via `groupBy(shard).count()` — the scan
+   *     projects no data column, so parquet answers it from footer row
+   *     counts (near-metadata-only);
+   *  2. a column-pruned key scan grouped by shard; the task that owns a
+   *     shard streams its keys through [[Indexer.build]] (single-pass,
+   *     bounded memory) and writes `shard=<i>/_index.bin` straight from the
+   *     executor — artifacts never funnel through the driver, so 64k shards
+   *     of ~MB sidecars stay off the driver heap.
+   * No-op when the spec names no indexer. `onlyShards` limits the pass to
+   * rewritten shards on an upsert (untouched shards carry their sidecars
+   * through copy-forward, inside the shard dir).
+   */
+  private def buildIndex(
+      spark: SparkSession,
+      version: Long,
+      onlyShards: Option[Set[Int]]): Unit = indexerOpt.foreach { ix =>
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val scan0 = scanVersion(spark, version).select(col("shard"), col("key"))
+    val scan = onlyShards match {
+      case Some(s) => scan0.where(col("shard").isin(s.toSeq: _*))
+      case None => scan0
+    }
+    val counts: Map[Int, Long] = scan.groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap // bounded: one entry per shard
+    val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
+    val base = versions.versionPath(version).toString
+    scan.as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val artifact = ix.build(counts.getOrElse(shard, 0L), rows.map(_._2))
+        val c = new Configuration(false)
+        confEntries.foreach { case (k, v) => c.set(k, v) }
+        val p = new Path(new Path(base, s"shard=$shard"), Indexer.SidecarName)
+        val out = p.getFileSystem(c).create(p, true)
+        try out.write(artifact) finally out.close()
+        shard
+      }
+      .count() // the action; the returned ids are not needed
+  }
+
   // ------------------------------------------------------------------ read
 
   /** Snapshot read of the newest published version (key, value, shard).
@@ -116,6 +173,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
     // One token-existence probe, not a directory listing (reads are hot).
     require(versions.isPublished(version), s"version $version not published under $root")
+    scanVersion(spark, version)
+  }
+
+  /** The scan itself, without the publish check — `buildIndex` runs it on a
+    * version whose token is not written yet. */
+  private def scanVersion(spark: SparkSession, version: Long): DataFrame = {
     // numShards rides the KEY column as SCHEMA metadata, so the scan's
     // own attribute carries it — an alias above the scan would lose it
     // the moment filter pushdown rewrites conditions against the scan
@@ -148,6 +211,42 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   def latestVersion: Long =
     versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
+
+  // --------------------------------------------------- index read side (W5)
+
+  /** Deserialized sidecar probes, LRU-cached per (version, shard): versions
+    * are immutable once published, so entries never invalidate — they only
+    * age out. `None` caches "shard has no sidecar" (an empty shard wrote no
+    * dir, or the spec names no indexer for an older version) = always
+    * maybe. Capacity bounds driver memory when lookups sweep a 64k-shard
+    * domain; access-order eviction keeps a hot working set resident. */
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Long, Int), Option[Array[Byte] => Boolean]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Int), Option[Array[Byte] => Boolean]]): Boolean =
+        size() > DomainStore.ProbeCacheEntries
+    })
+
+  /** May shard `shard` of `version` contain `key`? `false` is definitive
+    * (the data need not be read); `true` is "maybe" — also the answer
+    * whenever no index exists, so every caller degrades to a plain scan. */
+  private def mightContain(version: Long, shard: Int, key: Array[Byte]): Boolean =
+    indexerOpt match {
+      case None => true
+      case Some(ix) =>
+        probeCache.computeIfAbsent((version, shard), { vs =>
+          val p = new Path(new Path(versions.versionPath(vs._1), s"shard=${vs._2}"), Indexer.SidecarName)
+          val fs = p.getFileSystem(conf)
+          if (!fs.exists(p)) None
+          else {
+            val len = fs.getFileStatus(p).getLen.toInt
+            val buf = new Array[Byte](len)
+            val in = fs.open(p)
+            try in.readFully(0L, buf) finally in.close()
+            Some(ix.probe(buf))
+          }
+        }).forall(_.apply(key))
+    }
 
   /**
    * Batched point lookup — the reference's flagship `multiGet` RPC
@@ -183,9 +282,20 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     // many multiGets pins zero blocks).
     val keyRows = keySet.withColumn("shard", shard_index(col("key"), n)).collect()
     require(!keyRows.exists(_.isNullAt(1)), "multiGet: key set contains a null key")
-    val localKeys = keyRows.map(_.getAs[Array[Byte]](0))
-    val shards = keyRows.map(_.getInt(1)).distinct
-    val pruned = read(spark).where(col("shard").isin(shards.toIndexedSeq: _*))
+    // Index pre-filter (W5): keys whose shard sidecar answers "definitely
+    // absent" become misses with zero data I/O, and shards left with no
+    // maybe-key drop out of the scan entirely. On an unindexed domain
+    // mightContain is constantly true and this is the identity.
+    val version = latestVersion
+    val (maybeRows, indexMisses) = keyRows.partition { r =>
+      mightContain(version, r.getInt(1), r.getAs[Array[Byte]](0))
+    }
+    val knownMisses = indexMisses.toSeq
+      .map(r => (r.getAs[Array[Byte]](0), null: Array[Byte])).toDF("key", "value")
+    if (maybeRows.isEmpty) return knownMisses
+    val localKeys = maybeRows.map(_.getAs[Array[Byte]](0))
+    val shards = maybeRows.map(_.getInt(1)).distinct
+    val pruned = readVersion(spark, version).where(col("shard").isin(shards.toIndexedSeq: _*))
     val keysDf = localKeys.toSeq.toDF("key")
     // Found keys via a key-column-only scan of the pruned shards (column
     // pruning keeps value pages unread); bounded by the key set.
@@ -198,7 +308,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .toSeq.map(k => (k, null: Array[Byte])).toDF("key", "value")
     val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
       .select(col("key"), col("value"))
-    hits.unionByName(misses)
+    hits.unionByName(misses).unionByName(knownMisses)
   }
 
   /**
@@ -231,10 +341,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     }
   }
 
-  /** Single-key lookup: partition-pruned, row-group-skipping scan. */
+  /** Single-key lookup: partition-pruned, row-group-skipping scan — or, on
+    * an indexed domain whose sidecar rules the key out, no scan at all. */
   def get(spark: SparkSession, key: Array[Byte]): Option[Array[Byte]] = {
     val shard = ShardIndex.shardIndex(key, numShards)
-    read(spark)
+    val version = latestVersion
+    if (!mightContain(version, shard, key)) None
+    else readVersion(spark, version)
       .where(col("shard") === shard && col("key") === lit(key))
       .select("value")
       .limit(1)
@@ -368,6 +481,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           .partitionBy("shard")
           .save(versions.versionPath(newVersion).toString)
         copyForward(oldVersion, newVersion, (0 until n).filterNot(affected), distributeAbove)
+        // Untouched shards carried their sidecars inside the copied dirs;
+        // rewritten shards need fresh ones (a stale bloom would rule out
+        // the very keys this upsert added).
+        buildIndex(spark, newVersion, onlyShards = Some(affected))
         versions.succeedVersion(newVersion)
       } catch {
         case e: Throwable =>
@@ -458,6 +575,11 @@ object DomainStore {
   /** Shard-count / file-count threshold above which per-shard metadata
     * and copy work runs as a Spark job instead of on the driver. */
   val DefaultDistributeAbove: Int = 1024
+
+  /** Deserialized index-sidecar probes kept per store (LRU). Sized so a
+    * lookup-heavy session over a few domains keeps every hot shard's probe
+    * resident; at ~1.2 MB per million keys a full cache is tens of MB. */
+  val ProbeCacheEntries: Int = 4096
 
   /** Copy one `shard=<i>` dir between (possibly different) filesystems.
     * Runs on the driver pool for small shard sets and inside executor

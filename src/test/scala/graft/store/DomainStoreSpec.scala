@@ -410,4 +410,99 @@ class DomainStoreSpec extends SparkSuite {
     store.write(kv("a" -> "1", "a" -> "2"), 1L, dedupKeys = true)
     assert(store.count(spark) === 1L)
   }
+
+  // ------------------------------------------------------ Indexer SPI (W5)
+
+  private val bloomSpecName = classOf[BloomKeyIndexer].getName
+
+  private def readSidecars(store: DomainStore, version: Long): Map[Int, Seq[Byte]] = {
+    val fs = store.root.getFileSystem(conf)
+    val vp = new org.apache.hadoop.fs.Path(store.root, version.toString)
+    fs.listStatus(vp).filter(_.getPath.getName.startsWith("shard=")).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d.getPath, Indexer.SidecarName)
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0L, buf) finally in.close()
+        Some(d.getPath.getName.stripPrefix("shard=").toInt -> buf.toSeq)
+      }
+    }.toMap
+  }
+
+  test("bloom indexer: sidecar per shard, lookups agree, definite misses scan nothing") {
+    import spark.implicits._
+    val store = DomainStore.create(
+      scratch("bloom"), DomainSpec(4, indexer = bloomSpecName), conf)
+    val pairs = (0 until 200).map(i => s"bk$i" -> s"bv$i")
+    store.write(kv(pairs: _*), 1L)
+    val sidecars = readSidecars(store, 1L)
+    assert(sidecars.keySet === (0 until 4).toSet, "every shard dir carries a sidecar")
+
+    // multiGet over hits + misses is indistinguishable from an unindexed
+    // domain (absent keys -> null value, never an error)
+    val probeKeys = (0 until 40).map(i => s"bk${i * 5}") ++ (0 until 40).map(i => s"zz$i")
+    val got = store.multiGet(probeKeys.toDF("k").select(utf8_bytes(col("k")).as("key")))
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val expected = probeKeys.map { k =>
+      k -> (if (k.startsWith("bk")) Some("bv" + k.drop(2)) else None)
+    }.toMap
+    assert(got === expected)
+    assert(store.get(spark, utf8("bk7")).map(new String(_, "UTF-8")) === Some("bv7"))
+
+    // The scale claim itself: a key the (deterministic) bloom rejects is
+    // answered without touching data. Prove it by deleting every data file
+    // and asking again — only the sidecar is left to answer from.
+    val ix = new BloomKeyIndexer
+    val probes = sidecars.map { case (s, bytes) => s -> ix.probe(bytes.toArray) }
+    val rejected = (0 until 200).map(i => s"nope$i").filter { k =>
+      !probes(ShardIndex.shardIndex(utf8(k), 4))(utf8(k))
+    }
+    assert(rejected.size > 150, s"bloom rejected only ${rejected.size}/200 absent keys")
+    val fs = store.root.getFileSystem(conf)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.root, "1"), true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) fs.delete(f.getPath, false)
+    }
+    rejected.take(5).foreach(k => assert(store.get(spark, utf8(k)) === None))
+    val misses = store.multiGet(rejected.toDF("k").select(utf8_bytes(col("k")).as("key")))
+      .select(bytes_utf8(col("key")), col("value")).collect()
+    assert(misses.length === rejected.size)
+    assert(misses.forall(_.isNullAt(1)))
+  }
+
+  test("indexed upsert: rewritten shards get fresh sidecars, untouched ones copy forward") {
+    val store = DomainStore.create(
+      scratch("bloom-up"), DomainSpec(8, indexer = bloomSpecName), conf)
+    store.write(kv((0 until 100).map(i => s"uk$i" -> s"uv$i"): _*), 1L)
+    val v1 = readSidecars(store, 1L)
+    val newKey = "brand-new-key"
+    store.upsert(spark, kv(newKey -> "fresh"), 2L)
+    val v2 = readSidecars(store, 2L)
+    val affected = ShardIndex.shardIndex(utf8(newKey), 8)
+    // A stale (copied) bloom would reject the key this upsert just added
+    // and get would wrongly answer None — so this pins sidecar freshness.
+    assert(store.get(spark, utf8(newKey)).map(new String(_, "UTF-8")) === Some("fresh"))
+    assert(v2(affected) !== v1(affected), "rewritten shard kept its old sidecar")
+    (v1.keySet - affected).foreach { s =>
+      assert(v2(s) === v1(s), s"untouched shard $s sidecar changed across copy-forward")
+    }
+  }
+
+  test("indexer spec field: json compat, unknown class rejected at open") {
+    // round-trip with the field; old json without it normalizes to "none"
+    val spec = DomainSpec(4, indexer = bloomSpecName)
+    assert(DomainSpec.fromJson(spec.toJson) === spec)
+    val legacy = DomainSpec.fromJson("""{"numShards":4,"shardScheme":"hash-mod",
+      |"persistenceFormat":"parquet-sorted","persistenceOptions":{}}""".stripMargin)
+    assert(legacy === DomainSpec(4))
+    assert(legacy.indexerClass === None)
+    val err = intercept[IllegalArgumentException] {
+      DomainStore.create(scratch("bad-ix"), DomainSpec(2, indexer = "no.such.Class"), conf)
+    }
+    assert(err.getMessage.contains("no.such.Class"))
+  }
 }
