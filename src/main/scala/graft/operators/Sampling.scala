@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.functions.md5_prefix32
 
@@ -76,5 +77,121 @@ object Sampling {
       case ((name, r), elseCol) => when(stratumCol === name, lit(r)).otherwise(elseCol)
     }
     df.where(col(idCol).isNotNull && hashBucket(col(idCol), 1000) < rate)
+  }
+
+  /**
+   * Per-source keep rates (per-mille) that hit a token-budget mix: given
+   * target per-mille `weights` over sources and a total `budgetTokens`,
+   * each source's rate is chosen so its expected kept tokens ≈ its share
+   * of the budget, capped at "keep everything" when the source has fewer
+   * tokens than its target (the under-resourced-language case — you can't
+   * sample what isn't there; the mix then under-fills rather than
+   * over-sampling other sources, which would silently change the recipe).
+   *
+   * All arithmetic is Long floor division so the DuckDB oracle replays it
+   * bit-for-bit. One partial-agg shuffle of (#sources) rows — scale-free.
+   */
+  def tokenBudgetRates(
+      df: DataFrame,
+      sourceCol: String,
+      tokensCol: Column,
+      weights: Seq[(String, Int)],
+      budgetTokens: Long): Seq[(String, Int)] = {
+    require(weights.map(_._2).sum == 1000, "mix weights must sum to 1000 (per-mille)")
+    require(weights.forall(_._2 > 0), "every source in the mix needs positive weight")
+    require(budgetTokens > 0 && budgetTokens < Long.MaxValue / 1000,
+      s"budgetTokens out of range: $budgetTokens")
+    val wanted = weights.map(_._1)
+    val avail: Map[String, Long] = df
+      .where(col(sourceCol).isin(wanted: _*))
+      .groupBy(col(sourceCol))
+      .agg(sum(tokensCol.cast("long")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.map { case (src, w) =>
+      val target = w.toLong * budgetTokens / 1000L
+      val a = avail.getOrElse(src, 0L)
+      val rate = if (a <= 0L) 0L else math.min(1000L, 1000L * target / a)
+      src -> rate.toInt
+    }
+  }
+
+  /** Deterministic corpus mixing to a token budget: sources sampled at
+    * [[tokenBudgetRates]], everything else dropped (defaultRate 0) — the
+    * "data recipe" step of a pretraining pipeline (sample each corpus to
+    * its target token share). Same md5 buckets as [[sample]], so a doc's
+    * membership survives reprocessing and a budget increase only ADDS
+    * documents (rates are monotone in the budget, kept sets nest). */
+  def tokenBudgetMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      tokensCol: Column,
+      weights: Seq[(String, Int)],
+      budgetTokens: Long): DataFrame =
+    stratifiedSample(
+      df, idCol, col(sourceCol),
+      tokenBudgetRates(df, sourceCol, tokensCol, weights, budgetTokens),
+      defaultRate = 0)
+
+  /**
+   * Deterministic global shuffle — the epoch-reshuffle step of a training
+   * pipeline: every row gets an exact position in a seed-keyed permutation
+   * of the whole corpus (same seed ⇒ same order on any cluster size; new
+   * epoch = new seed). Order is by `md5(seed:id)` with the id as
+   * tiebreak — at corpus scale the 32-bit hash WILL collide (birthday at
+   * ~2^16 rows), so the tiebreak is correctness, not pedantry.
+   *
+   * The position is a global row_number, computed with the same two-phase
+   * distributed prefix sum as [[Packing.chunkSpans]] (range-shuffle on the
+   * hash, per-partition counts, offsets broadcast, seeded in-partition
+   * pass) — never the single-partition `row_number() over (order by …)`
+   * window that funnels 100 TB through one task. Offsets are keyed by each
+   * partition's first (hash, id) row, not a task id, for the same
+   * narrow-coalesce reason documented there.
+   *
+   * Output: idCol (long), pos (long, dense 0..n-1). Null ids are dropped
+   * (no stable position). ~16 bytes/row through the one range shuffle.
+   */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = df
+      .select(col(idCol).cast("long").as(idCol))
+      .where(col(idCol).isNotNull)
+      .withColumn("_sk",
+        md5_prefix32(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("_sk"), col(idCol))
+      .sortWithinPartitions(col("_sk"), col(idCol))
+      // One materialized layout for both phases: RangePartitioner samples
+      // boundaries per JOB once partitions outgrow its reservoir, so two
+      // jobs over the same plan may disagree (the repartitionByRange trap).
+      .localCheckpoint(true)
+    val parts = ordered
+      .groupBy(spark_partition_id().as("_pid"))
+      .agg(min(struct(col("_sk"), col(idCol))).as("_first"), count(lit(1)).as("_cnt"))
+      .collect()
+      .map { r => val f = r.getStruct(1); ((f.getLong(0), f.getLong(1)), r.getLong(2)) }
+      .sortBy(_._1)
+    val offsets: Map[(Long, Long), Long] =
+      parts.map(_._1).zip(parts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("pos", LongType, nullable = false)))
+    ordered.mapPartitions { it0 =>
+      val it = it0.buffered
+      if (!it.hasNext) Iterator.empty
+      else {
+        val h = it.head // columns: [id, _sk]
+        var pos = offsets.getOrElse((h.getLong(1), h.getLong(0)),
+          throw new IllegalStateException(
+            "globalShuffle: no offset for partition starting at " +
+              s"(hash ${h.getLong(1)}, id ${h.getLong(0)}) — " +
+              "the two phases saw different range partitionings"))
+        it.map { r =>
+          val out = Row(r.getLong(0), pos)
+          pos += 1
+          out
+        }
+      }
+    }(Encoders.row(schema))
   }
 }

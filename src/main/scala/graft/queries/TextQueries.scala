@@ -94,11 +94,34 @@ object TextQueries {
         Seq("train" -> 980, "valid" -> 10, "test" -> 10))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+    },
+    // Token-budget corpus mixing (the pretraining "data recipe"): sample
+    // each source so its kept tokens hit its per-mille share of the
+    // budget; a source with fewer tokens than its target keeps everything
+    // (src0's 400-per-mille share of 25k chars exceeds its sf0.01
+    // availability -> rate caps at 1000). Long math end to end, so the
+    // oracle replays rates exactly.
+    "samp_token_mix" -> { (s, dir) =>
+      graft.operators.Sampling.tokenBudgetMix(
+        Fixtures.table(s, dir, "documents"),
+        "doc_id", "source", col("n_chars"), MixWeights, MixBudget)
+        .select(col("doc_id"), col("source"))
+    },
+    // Seed-keyed exact global permutation (epoch reshuffle): every doc's
+    // position under order-by md5(seed:id), id tiebreak — computed with
+    // the distributed two-phase prefix sum, verified against DuckDB's
+    // row_number() over the same ordering.
+    "samp_epoch_shuffle" -> { (s, dir) =>
+      graft.operators.Sampling.globalShuffle(
+        Fixtures.table(s, dir, "documents"), "doc_id", ShuffleSeed)
     })
 
   val BenchMod = 23
   val DecontamN = 3
   val PackBudget = 128L
+  val MixWeights = Seq("src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100)
+  val MixBudget = 25000L
+  val ShuffleSeed = 7L
 
   private val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -253,5 +276,22 @@ object TextQueries {
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk FROM documents)
         |SELECT CASE WHEN bk < 980 THEN 'train' WHEN bk < 990 THEN 'valid' ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
-        |FROM b GROUP BY 1""".stripMargin)
+        |FROM b GROUP BY 1""".stripMargin,
+    "samp_token_mix" -> {
+      val w = MixWeights.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH avail AS (SELECT source, sum(n_chars) AS a FROM documents GROUP BY source),
+         |w(source, wgt) AS (VALUES $w),
+         |r AS (SELECT w.source,
+         |  least(1000, (1000 * ((wgt::BIGINT * $MixBudget) // 1000)) // a) AS rate
+         |  FROM w JOIN avail USING (source)),
+         |b AS (SELECT doc_id, source,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk
+         |  FROM documents)
+         |SELECT b.doc_id, b.source FROM b JOIN r USING (source) WHERE b.bk < r.rate""".stripMargin
+    },
+    "samp_epoch_shuffle" ->
+      s"""SELECT doc_id, row_number() OVER (
+         |    ORDER BY ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+         |             doc_id) - 1 AS pos
+         |FROM documents""".stripMargin)
 }

@@ -612,6 +612,54 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.split(docs, "doc_id", Seq("a" -> 999)))
   }
 
+  test("token-budget mix: rates hit targets, cap at availability, nest with budget") {
+    import spark.implicits._
+    // A has 10k tokens, B only 500 — B's half of a 4000-token budget
+    // (2000) exceeds its availability, so B keeps everything (rate 1000)
+    val rows = (0 until 100).map(i => (i.toLong, "A", 100L)) ++
+      (100 until 110).map(i => (i.toLong, "B", 50L))
+    val df = rows.toDF("id", "src", "toks")
+    val weights = Seq("A" -> 500, "B" -> 500)
+    val rates = Sampling.tokenBudgetRates(df, "src", col("toks"), weights, 4000L).toMap
+    assert(rates("B") === 1000)
+    assert(rates("A") === 200) // 1000 * 2000 / 10000
+    val kept = Sampling.tokenBudgetMix(df, "id", "src", col("toks"), weights, 4000L)
+    assert(kept.where(col("src") === "B").count() === 10L)
+    // a bigger budget only ADDS documents (rates monotone, buckets fixed)
+    val k1 = kept.select("id").collect().map(_.getLong(0)).toSet
+    val k2 = Sampling.tokenBudgetMix(df, "id", "src", col("toks"), weights, 8000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(k1.subsetOf(k2) && k1.size < k2.size)
+    // a source outside the recipe contributes nothing
+    val withC = df.union(Seq((500L, "C", 100L)).toDF("id", "src", "toks"))
+    assert(Sampling.tokenBudgetMix(withC, "id", "src", col("toks"), weights, 4000L)
+      .where(col("src") === "C").count() === 0L)
+  }
+
+  test("global shuffle: exact seed-keyed permutation, deterministic, seed-sensitive") {
+    val n = docs.count()
+    val out = Sampling.globalShuffle(docs, "doc_id", seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === n)
+    assert(out.map(_._2).sorted.toSeq === (0L until n).toSeq, "positions are dense 0..n-1")
+    // matches the brute-force ordering: md5(seed:id) with id tiebreak
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(seed: Long, id: Long): Long = {
+      val hex = md.digest(s"$seed:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val expected = out.map(_._1).sortBy(id => (h(7L, id), id)).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    assert(out.toMap === expected)
+    // same seed on shuffled input -> identical permutation; new seed -> new one
+    val again = Sampling.globalShuffle(docs.orderBy(rand(3)), "doc_id", 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === out.toMap)
+    val other = Sampling.globalShuffle(docs, "doc_id", 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other !== out.toMap)
+  }
+
   test("multimodal: resize halves payloads; frame sampling is evenly spaced and bounded") {
     import spark.implicits._
     val media = Multimodal.pack(docs, "doc_id", "text").as[MediaRecord]
