@@ -114,6 +114,25 @@ object TextQueries {
     "samp_epoch_shuffle" -> { (s, dir) =>
       graft.operators.Sampling.globalShuffle(
         Fixtures.table(s, dir, "documents"), "doc_id", ShuffleSeed)
+    },
+    // C4-style boilerplate-line removal. The fixture corpus is single-line
+    // and line-unique, so the query PLANTS the boilerplate it removes (the
+    // text_scrub pattern): a cookie banner on doc_id % 3, a footer on
+    // doc_id % 4, and a doc-unique "rare line" on doc_id % 5 that must
+    // survive. BoilerMinDocs = 20: banners/footers cross it, rare lines
+    // never do; the oracle replants identically and replays the filter.
+    "text_boilerplate" -> { (s, dir) =>
+      val planted = Fixtures.table(s, dir, "documents").withColumn("text",
+        concat(
+          when(col("doc_id") % 3 === 0, lit("accept all cookies to continue\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 4 === 0, lit("\ncopyright example site all rights reserved"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("\nrare line "), col("doc_id").cast("string")))
+            .otherwise(lit(""))))
+      TextAnalysis.boilerplateRemoval(planted, "doc_id", "text", BoilerMinDocs)
     })
 
   val BenchMod = 23
@@ -122,6 +141,7 @@ object TextQueries {
   val MixWeights = Seq("src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100)
   val MixBudget = 25000L
   val ShuffleSeed = 7L
+  val BoilerMinDocs = 20
 
   private val stopSet = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
@@ -293,5 +313,26 @@ object TextQueries {
       s"""SELECT doc_id, row_number() OVER (
          |    ORDER BY ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
          |             doc_id) - 1 AS pos
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH planted AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'accept all cookies to continue' || chr(10) ELSE '' END)
+         |    || text
+         |    || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'copyright example site all rights reserved' ELSE '' END)
+         |    || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'rare line ' || CAST(doc_id AS VARCHAR) ELSE '' END)
+         |    AS text
+         |  FROM documents),
+         |bp AS (SELECT trim(line) AS k
+         |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM planted)
+         |  WHERE trim(line) <> ''
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $BoilerMinDocs),
+         |bps AS (SELECT coalesce(list(k), CAST([] AS VARCHAR[])) AS l FROM bp),
+         |f AS (SELECT doc_id,
+         |    list_filter(string_split(text, chr(10)),
+         |      x -> trim(x) = '' OR NOT list_contains(bps.l, trim(x))) AS keptl,
+         |    len(string_split(text, chr(10))) AS total
+         |  FROM planted CROSS JOIN bps)
+         |SELECT doc_id, array_to_string(keptl, chr(10)) AS clean_text,
+         |  CAST(total - len(keptl) AS BIGINT) AS n_dropped
+         |FROM f""".stripMargin)
 }

@@ -612,6 +612,25 @@ class OperatorsSpec extends SparkSuite {
     intercept[IllegalArgumentException](Sampling.split(docs, "doc_id", Seq("a" -> 999)))
   }
 
+  test("boilerplate removal: repeated lines dropped, order/blanks kept, emptied doc survives") {
+    import spark.implicits._
+    val banner = "accept cookies"
+    val corpus = (1L to 30L).map(i => (i, s"$banner\nunique body $i\n\ntail $i")) ++
+      Seq((31L, banner), (32L, s"one\n$banner\ntwo"))
+    val out = TextAnalysis.boilerplateRemoval(corpus.toDF("id", "text"), "id", "text", 20)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out.size === 32)
+    // banner dropped; blank line and order preserved
+    assert(out(1L) === (("unique body 1\n\ntail 1", 1L)))
+    // a doc that was ALL boilerplate stays in the corpus, empty
+    assert(out(31L) === (("", 1L)))
+    assert(out(32L) === (("one\ntwo", 1L)))
+    // within-doc repetition is not boilerplate (threshold counts DISTINCT docs)
+    val rep = TextAnalysis.boilerplateRemoval(
+      Seq((1L, "same\nsame\nsame")).toDF("id", "text"), "id", "text", 2).collect().head
+    assert(rep.getString(1) === "same\nsame\nsame" && rep.getLong(2) === 0L)
+  }
+
   test("token-budget mix: rates hit targets, cap at availability, nest with budget") {
     import spark.implicits._
     // A has 10k tokens, B only 500 — B's half of a 4000-token budget
