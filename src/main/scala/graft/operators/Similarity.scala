@@ -446,6 +446,113 @@ object Similarity {
   }
 
   /**
+   * k-nearest-neighbor JOIN between two corpora where BOTH sides are
+   * large — the shape [[bruteForceTopK]]/[[annTopK]] cannot take, because
+   * they collect-and-broadcast the query side (right when queries are a
+   * bounded probe set; wrong when "queries" are a full table: enrich
+   * every document of corpus A with its k nearest in corpus B for
+   * retrieval pairing, cross-corpus contamination audit, label transfer).
+   * Here neither side is collected or broadcast — only the seeded plane
+   * tensor is, shared by both sides so bucket agreement is structural.
+   *
+   * Shape: bucket both sides ([[lshBuckets]] semantics), shuffle-join on
+   * (table, bucket), dedup candidates as ID PAIRS ONLY, re-attach
+   * vectors by two linear joins, rank with one per-query window. Every
+   * exchange is linear in rows + candidates; no O(|A| x |B|) stage
+   * exists, and AQE's skew split handles hot buckets (`planes` tunes
+   * bucket granularity, `tables` buys recall back).
+   *
+   * Left ids land in `query_id`, right ids in `neighbor_id`; the id
+   * namespaces are independent and no self-pair exclusion is applied
+   * (pass disjoint id predicates over one table for that). Sparse
+   * buckets may yield < k rows per query. Recall follows the LSH
+   * collision bound (pinned in spec); precision is exact — every emitted
+   * neighbor is truly among the candidates' top cosines.
+   */
+  def knnJoin(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 8,
+      planes: Int = 4): DataFrame = {
+    val q = prepared(left, idCol, vecCol)
+    val c = prepared(right, idCol, vecCol)
+    // Dim comes from the right (corpus) side; empty right ⇒ no neighbors.
+    val dimRow = c.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty) {
+      return q.select(col("id").as("query_id"), col("id").as("neighbor_id"), lit(1).as("rank"))
+        .where(lit(false))
+    }
+    val bc = right.sparkSession.sparkContext.broadcast(
+      hyperplanes(tables, planes, dimRow(0).getInt(0)))
+    val cb = lshBucketsWith(c, bc).select(col("id"), col("table"), col("bucket"))
+    val qb = lshBucketsWith(q, bc)
+      .select(col("id").as("query_id"), col("table"), col("bucket"))
+    // No broadcast hints anywhere below: both sides are large by
+    // contract, so the planner (and AQE at runtime) picks strategies.
+    val cand = cb.join(qb, Seq("table", "bucket"))
+      .select(col("query_id"), col("id"))
+      .dropDuplicates("query_id", "id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    cand
+      .join(c.select(col("id"), col("vec"), col("norm")), Seq("id"))
+      .join(q.select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm")),
+        Seq("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .select(col("query_id"), col("id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): partition the embedding space into cells, compute
+   * pairwise cosines WITHIN each cell only, and drop every vector that
+   * is >= `threshold`-similar to a lower-id vector in its cell. Returns
+   * the KEEP decision — surviving (id, cell) rows — not pairs: this is
+   * the "keep one of each semantic-duplicate set" step of the pipeline,
+   * where [[nearDupPairsBucketed]] merely reports pairs.
+   *
+   * The paper clusters with k-means; cells here are ONE table of
+   * `planes` seeded hyperplanes (2^planes cells), so the entire decision
+   * — cell assignment, in-cell pairs, the dominated-by-smaller-id rule —
+   * is deterministic and SQL-replayable (the DuckDB oracle interpolates
+   * the planes; a data-trained quantizer cannot be replayed from a
+   * static SQL string, which is why the IVF queries are the un-oracled
+   * ones). The drop rule is the paper's: a doc is a duplicate iff its
+   * max cosine to any lower-index doc in its cluster passes the
+   * threshold — deliberately NOT transitive closure across cells
+   * (compose [[graft.operators.Dedup.components]] over pair output for
+   * that semantic).
+   *
+   * Scale: one shuffle assigns cells; in-cell pairwise is the SemDeDup
+   * cost model — sum of cell_size^2, bounded by raising `planes`
+   * (= log2 cells, the paper's k); the dominator check never leaves the
+   * cell join, and the drop-set dedup + anti-join move ids only.
+   */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 8): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val dimRow = p.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty) return p.select(col("id"), lit(0L).as("cell"))
+    val b = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
+      .select(col("id"), col("vec"), col("norm"), col("bucket").as("cell"))
+    val dropped = b.as("x")
+      .join(b.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+          dot(col("x.vec"), col("y.vec")) / (col("x.norm") * col("y.norm")) >= threshold)
+      .select(col("y.id").as("id")).distinct()
+    b.select(col("id"), col("cell")).join(dropped, Seq("id"), "left_anti")
+  }
+
+  /**
    * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
    * with the query in any table; exact cosine re-rank of candidates only.
    * Output schema matches [[bruteForceTopK]] (rank may hold < k rows when

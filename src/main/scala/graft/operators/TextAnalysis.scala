@@ -309,6 +309,73 @@ object TextAnalysis {
         (col("_total") - coalesce(col("_kept"), lit(0L))).as("n_dropped"))
   }
 
+  /**
+   * N-gram language-model quality score — the CCNet/KenLM pipeline step
+   * (Wenzek et al. 2020): score each document by the average smoothed
+   * bigram probability under a model trained on a reference corpus
+   * (CCNet uses Wikipedia; pass any trusted split). High score = looks
+   * like the reference distribution; filter or band by it (CCNet's
+   * head/middle/tail buckets).
+   *
+   * All arithmetic is FIXED-POINT INTEGER so scores are bit-exact across
+   * engines (the DuckDB oracle replays them): the Laplace-smoothed
+   * probability of bigram g with prefix word w is
+   * `p_fp = (c2(g) + 1) * scale div (c1(w) + vocab)` and the doc score
+   * is `sum(p_fp) div n_bigrams` — no floating point anywhere. A true
+   * log-space perplexity needs transcendental math whose last ULP
+   * differs across engines; the average-probability formulation bands
+   * documents the same way for filtering and stays hash-checkable.
+   * BIGINT-safe while (c2+1) * scale < 2^63 — at the default scale=1e6 a
+   * single bigram may occur 9.2e12 times before overflow (tighten scale
+   * for bigger corpora).
+   *
+   * Scale shape: the model is two count tables capped at `maxGrams` rows
+   * each by a distributed TakeOrdered (top by count, gram tie-break — a
+   * deterministic eviction rule both engines replay; never a
+   * single-task global window), broadcast to the probe side; evicted or
+   * unseen grams fall to the smoothed floor, exactly like an OOV token.
+   * Training pays one groupBy shuffle over the train grams (train on a
+   * sample at 100 TB — the model saturates long before the corpus does);
+   * scoring touches corpus text once and shuffles only (id, int) pairs
+   * into the per-doc aggregation.
+   *
+   * Output: (idCol, n_bigrams, lm_score_fp); docs with < 2 tokens score
+   * 0 with n_bigrams = 0 (kept, not dropped — vanishing rows would
+   * corrupt downstream joins).
+   */
+  def lmScore(
+      corpus: DataFrame,
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxGrams: Int = 1 << 20,
+      vocab: Long = 1L << 16,
+      scale: Long = 1000000L): DataFrame = {
+    require(maxGrams >= 1, s"lmScore: maxGrams must be >= 1, got $maxGrams")
+    require(vocab >= 1 && scale >= 1, s"lmScore: vocab/scale must be >= 1")
+    val trainBigrams = train.select(explode(wordNGrams(col(textCol), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("g")).limit(maxGrams)
+    val trainPrefixes = train.select(explode(wordTokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w")).limit(maxGrams)
+    val scored = corpus.select(col(idCol), explode(wordNGrams(col(textCol), 2)).as("g"))
+      .withColumn("w", substring_index(col("g"), " ", 1))
+      .join(broadcast(trainBigrams), Seq("g"), "left")
+      .join(broadcast(trainPrefixes), Seq("w"), "left")
+      .withColumn("c2n", coalesce(col("c2"), lit(0L)) + lit(1L))
+      .withColumn("c1d", coalesce(col("c1"), lit(0L)) + lit(vocab))
+      .select(col(idCol), expr(s"(c2n * ${scale}L) div c1d").as("p_fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("p_sum"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("p_sum div n_bigrams"), lit(0L)).as("lm_score_fp"))
+  }
+
   /** Language-ID report: per-language marker scores + predicted language. */
   def langIdReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -24,6 +24,9 @@ object DedupQueries {
   val SubstringMinLen = 64
   val SubstringWindow = 8
   val SubstringModulus = 16
+  // SemDeDup cell count = 2^SemPlanes; 16 cells keeps in-cell pair work
+  // visible at sf0.01 while the oracle replays the same seeded planes.
+  val SemPlanes = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
@@ -61,6 +64,15 @@ object DedupQueries {
       Dedup.sharedSubstringPairs(
         Fixtures.table(s, dir, "documents"), "doc_id", "text",
         minLen = SubstringMinLen, window = SubstringWindow, modulus = SubstringModulus)
+    },
+    // SemDeDup (Abbas et al. 2023): the semantic KEEP decision — cells
+    // from one seeded hyperplane table, and any row >= t-similar to a
+    // smaller id in its cell is dropped. Deterministic planes make even
+    // this clustered decision fully oracled.
+    "dedup_semantic" -> { (s, dir) =>
+      Similarity.semanticDedup(
+        Fixtures.table(s, dir, "embeddings"), "vec_id", "embedding",
+        CosineThreshold, SemPlanes)
     },
     // The dedup decision: one representative per near-dup cluster
     // (components over the MinHash-LSH pair set, which equals the exact
@@ -154,6 +166,29 @@ object DedupQueries {
         |f AS (SELECT DISTINCT doc_id, fp FROM anch)
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+    // SemDeDup replay: the single-table cell assignment from the same
+    // interpolated planes, in-cell dominated-by-smaller-id drops, then
+    // the anti-join — semanticDedup step for step.
+    "dedup_semantic" ->
+      s"""WITH pl(tbl, bit, p) AS (VALUES
+         |${SimQueries.planesValues(1, SemPlanes)}),
+         |ef AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |cells AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_inner_product(ef.v, pl.p) > 0
+         |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
+         |  FROM ef, pl GROUP BY 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id AS id
+         |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN ef ex ON ex.vec_id = x.vec_id
+         |  JOIN ef ey ON ey.vec_id = y.vec_id
+         |  WHERE list_cosine_similarity(ex.v, ey.v) >= $CosineThreshold)
+         |SELECT c.vec_id AS id, c.cell FROM cells c
+         |LEFT JOIN dropped d ON c.vec_id = d.id WHERE d.id IS NULL""".stripMargin,
     "dedup_clusters" ->
       s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
          |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),

@@ -21,6 +21,7 @@ object SimQueries {
 
   val TopK = 10
   val QueryMod = 100
+  val KnnJoinK = 5
 
   /** The embeddings fixture's dimensionality (TESTDATA.md). The oracle
     * plane literals are generated at this dim; the operators themselves
@@ -29,18 +30,22 @@ object SimQueries {
   val LshTables = 8
   val LshPlanes = 4
 
-  /** `(tbl, bit, plane)` VALUES rows of the seeded LSH plane tensor —
-    * shared verbatim by this oracle and the dedup_embedding_lsh oracle so
-    * the SQL buckets cannot drift from [[Similarity.lshBuckets]]. */
-  private[queries] def lshPlanesValues: String = {
-    val pl = Similarity.hyperplanes(LshTables, LshPlanes, EmbeddingDim)
-    (for (t <- 0 until LshTables; b <- 0 until LshPlanes) yield {
+  /** `(tbl, bit, plane)` VALUES rows of a seeded LSH plane tensor at the
+    * given shape — the SQL literal twin of [[Similarity.hyperplanes]]. */
+  private[queries] def planesValues(tables: Int, planes: Int): String = {
+    val pl = Similarity.hyperplanes(tables, planes, EmbeddingDim)
+    (for (t <- 0 until tables; b <- 0 until planes) yield {
       // Double.toString is shortest-round-trip: DuckDB parses each literal
       // back to the exact same IEEE double the Spark kernel multiplies by
       val arr = pl(t)(b).map(_.toString).mkString("[", ", ", "]")
       s"($t, $b, CAST($arr AS DOUBLE[]))"
     }).mkString(",\n")
   }
+
+  /** The default-shape tensor — shared verbatim by this oracle and the
+    * dedup_embedding_lsh oracle so the SQL buckets cannot drift from
+    * [[Similarity.lshBuckets]]. */
+  private[queries] def lshPlanesValues: String = planesValues(LshTables, LshPlanes)
 
   /** CTEs `ef` (norm-filtered corpus as double vectors) and `b` (one
     * sign-bucket per (vector, table)) — the SQL twin of
@@ -83,6 +88,18 @@ object SimQueries {
         "vec_id", "embedding", TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
+    // Cross-corpus kNN JOIN: both sides are full tables (even ids seek
+    // neighbors among odd ids) — neither side broadcast, the 100 TB shape
+    // the probe-set ANN paths can't take. Deterministic given the seeded
+    // planes, so the oracle replays it like sim_ann_lsh.
+    "sim_knn_join" -> { (s, dir) =>
+      val emb = Fixtures.table(s, dir, "embeddings")
+      Similarity.knnJoin(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", KnnJoinK)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
     // IVF-PQ: candidates travel as m shorts per vector (not dim doubles),
     // ADC preselect + exact re-rank. Approximate by design (no SQL
     // oracle); recall + the exhaustive-probe identity pinned in ScalaTest.
@@ -123,7 +140,26 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
          |  FROM scored)
          |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
-         |FROM ranked WHERE rank <= $TopK""".stripMargin)
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // knnJoin replay: identical bucket/candidate/re-rank pipeline, but
+    // queries = even ids and corpus = odd ids (no self-exclusion needed —
+    // the id sets are disjoint), rank cut at KnnJoinK.
+    "sim_knn_join" ->
+      s"""WITH $lshBucketsCtes,
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
+         |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+         |scored AS (
+         |  SELECT cand.query_id, cand.id,
+         |    list_cosine_similarity(ce.v, qe.v) AS cos
+         |  FROM cand JOIN ef ce ON ce.vec_id = cand.id
+         |            JOIN ef qe ON qe.vec_id = cand.query_id),
+         |ranked AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+         |  FROM scored)
+         |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $KnnJoinK""".stripMargin)
   // sim_ann_ivf / sim_ann_ivfpq: intentionally no oracle (quantizer is
   // trained from the data at query time; exhaustive-probe ≡ exact and
   // recall pinned in OperatorsSpec instead).

@@ -32,6 +32,15 @@ object TextQueries {
     "text_corpus_stats" -> { (s, dir) =>
       TextAnalysis.corpusStats(Fixtures.table(s, dir, "documents"), "text")
     },
+    // CCNet-style LM quality score: fixed-point average smoothed bigram
+    // probability under a model trained on the % LmTrainMod != 0 slice;
+    // integer math end to end so the oracle replays it bit-for-bit.
+    "text_lm_score" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      TextAnalysis.lmScore(
+        docs, docs.where(col("doc_id") % LmTrainMod =!= 0),
+        "doc_id", "text", LmMaxGrams, LmVocab, LmScale)
+    },
     // Test-set decontamination: the deterministic doc_id % 23 == 0 slice
     // stands in for a benchmark; every other doc is checked for word
     // 3-gram containment against it.
@@ -137,6 +146,13 @@ object TextQueries {
 
   val BenchMod = 23
   val DecontamN = 3
+  // LM quality score: train on the doc_id % LmTrainMod != 0 slice (the
+  // "reference corpus"), score everything. MaxGrams binds at sf0.01 so
+  // the deterministic-eviction path is exercised, not just declared.
+  val LmTrainMod = 5
+  val LmMaxGrams = 4096
+  val LmVocab = 65536L
+  val LmScale = 1000000L
   val PackBudget = 128L
   val MixWeights = Seq("src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100)
   val MixBudget = 25000L
@@ -208,6 +224,36 @@ object TextQueries {
         |      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents))
         |SELECT * FROM doc CROSS JOIN v""".stripMargin,
     // Word 3-gram containment against the doc_id % 23 == 0 "benchmark".
+    // LM-score replay: bigram/prefix counts from the train slice, capped
+    // by the same (count DESC, gram) rule, Laplace fixed-point integer
+    // division (DuckDB // == Spark div on non-negative BIGINTs), per-doc
+    // average. sum() must cast back to BIGINT (DuckDB widens to HUGEINT).
+    "text_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |tg AS (SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+         |  FROM toks WHERE len(t) >= 2),
+         |c2 AS (SELECT g, count(*) AS c2 FROM tg WHERE doc_id % $LmTrainMod != 0 GROUP BY 1),
+         |c2cap AS (SELECT g, c2 FROM
+         |  (SELECT g, c2, row_number() OVER (ORDER BY c2 DESC, g) AS rn FROM c2)
+         |  WHERE rn <= $LmMaxGrams),
+         |c1 AS (SELECT w, count(*) AS c1 FROM
+         |    (SELECT unnest(t) AS w FROM toks WHERE doc_id % $LmTrainMod != 0)
+         |  GROUP BY 1),
+         |c1cap AS (SELECT w, c1 FROM
+         |  (SELECT w, c1, row_number() OVER (ORDER BY c1 DESC, w) AS rn FROM c1)
+         |  WHERE rn <= $LmMaxGrams),
+         |probe AS (SELECT tg.doc_id,
+         |    ((coalesce(c2cap.c2, 0) + 1) * $LmScale) // (coalesce(c1cap.c1, 0) + $LmVocab) AS p_fp
+         |  FROM tg
+         |  LEFT JOIN c2cap ON c2cap.g = tg.g
+         |  LEFT JOIN c1cap ON c1cap.w = split_part(tg.g, ' ', 1)),
+         |agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_fp) AS BIGINT) AS p_sum
+         |  FROM probe GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+         |  CAST(coalesce(a.p_sum // a.n_bigrams, 0) AS BIGINT) AS lm_score_fp
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "text_decontam" ->
       s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          |grams AS (SELECT doc_id,

@@ -701,4 +701,69 @@ class OperatorsSpec extends SparkSuite {
     }
     assert(frames.nonEmpty)
   }
+
+  test("knnJoin == annTopK on disjoint id sets (no-broadcast path changes nothing)") {
+    // Same plane seed, same candidate semantics: with left/right ids
+    // disjoint, annTopK's self-exclusion is vacuous, so the big-both-sides
+    // join must produce the identical frame the broadcast path does.
+    val left = embs.where(col("vec_id") % 2 === 0)
+    val right = embs.where(col("vec_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val joined = rows(Similarity.knnJoin(left, right, "vec_id", "embedding", k = 5))
+    val bcast = rows(Similarity.annTopK(right, left, "vec_id", "embedding", k = 5))
+    assert(joined === bcast)
+    assert(joined.nonEmpty)
+  }
+
+  test("semanticDedup == naive in-cell dominated-by-smaller-id replay") {
+    val planes = 4
+    val threshold = 0.4
+    val kept = Similarity.semanticDedup(embs, "vec_id", "embedding", threshold, planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Naive replay in plain Scala: same seeded planes, same bit
+    // convention (bit b set iff dot > 0), same left-to-right dot order.
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1)
+    val pl = Similarity.hyperplanes(1, planes, vecs.head._2.length)(0)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val withNorm = vecs.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+      .filter(_._3 > 0)
+    val cell = withNorm.map { case (id, v, _) =>
+      id -> (0 until planes).map(b => if (dot(v, pl(b)) > 0) 1L << b else 0L).sum
+    }.toMap
+    val dropped = (for {
+      (ib, vb, nb) <- withNorm
+      (ia, va, na) <- withNorm
+      if ia < ib && cell(ia) == cell(ib) && dot(va, vb) / (na * nb) >= threshold
+    } yield ib).toSet
+    val expect = withNorm.map(_._1).filterNot(dropped).map(id => id -> cell(id)).toMap
+    assert(kept === expect)
+    assert(dropped.nonEmpty, "fixture produced no in-cell drops — threshold/planes need retuning")
+    assert(kept.nonEmpty)
+  }
+
+  test("lmScore: hand-computed fixed point, OOV floor, eviction cap, short docs score 0") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "z z"), (3L, "a")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    def run(maxGrams: Int) =
+      TextAnalysis.lmScore(corpus, train, "doc_id", "text",
+          maxGrams = maxGrams, vocab = 16L, scale = 1000L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Uncapped model: c2 = {"a b" -> 2, "b a" -> 1}, c1 = {a -> 2, b -> 2}.
+    // doc1 grams: "a b" -> (2+1)*1000/(2+16) = 166, "b a" -> 2000/18 = 111,
+    // "a b" -> 166; sum 443, n 3 -> 147. doc2: "z z" OOV -> 1000/16 = 62.
+    // doc3: one token -> n = 0, score 0.
+    assert(run(Int.MaxValue) === Map(1L -> ((3L, 147L)), 2L -> ((1L, 62L)), 3L -> ((0L, 0L))))
+    // maxGrams = 1 keeps only ("a b", 2) and unigram ("a", 2) — the
+    // (count DESC, gram ASC) tie-break picks "a" over "b". "b a" falls to
+    // the floor on both counts: (0+1)*1000/(0+16) = 62.
+    // doc1: 166 + 62 + 166 = 394, n 3 -> 131. doc2 unchanged.
+    assert(run(1) === Map(1L -> ((3L, 131L)), 2L -> ((1L, 62L)), 3L -> ((0L, 0L))))
+  }
 }
