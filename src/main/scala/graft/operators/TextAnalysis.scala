@@ -359,20 +359,27 @@ object TextAnalysis {
     val trainPrefixes = train.select(explode(wordTokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
       .orderBy(col("c1").desc, col("w")).limit(maxGrams)
-    val scored = corpus.select(col(idCol), explode(wordNGrams(col(textCol), 2)).as("g"))
+    // A null SENTINEL gram is prepended per doc so every document reaches
+    // the aggregation — count(p_fp) skips the sentinel's null score, and
+    // short docs land at n_bigrams = 0 without a join back to the corpus
+    // id list (one fewer shuffle than the aggregate-then-rejoin shape,
+    // and the reason this exact operator also runs under Structured
+    // Streaming: stream-static joins + one stateful agg, no
+    // stream-to-its-own-aggregate self-join, which streaming forbids).
+    corpus.select(col(idCol),
+        explode(concat(array(lit(null).cast("string")), wordNGrams(col(textCol), 2))).as("g"))
       .withColumn("w", substring_index(col("g"), " ", 1))
       .join(broadcast(trainBigrams), Seq("g"), "left")
       .join(broadcast(trainPrefixes), Seq("w"), "left")
       .withColumn("c2n", coalesce(col("c2"), lit(0L)) + lit(1L))
       .withColumn("c1d", coalesce(col("c1"), lit(0L)) + lit(vocab))
-      .select(col(idCol), expr(s"(c2n * ${scale}L) div c1d").as("p_fp"))
+      .select(col(idCol),
+        when(col("g").isNotNull, expr(s"(c2n * ${scale}L) div c1d")).as("p_fp"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("p_sum"))
-    corpus.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
+      .agg(count(col("p_fp")).as("n_bigrams"), sum(col("p_fp")).as("p_sum"))
       .select(
         col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("n_bigrams"),
         coalesce(expr("p_sum div n_bigrams"), lit(0L)).as("lm_score_fp"))
   }
 

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.TextAnalysis
+
+/**
+ * Streaming twins of the text-pipeline operators: the corpus arrives as a
+ * document file stream, the model/reference side stays static — the shape
+ * of a live ingestion pipeline scoring documents as they land (CCNet
+ * scores each CommonCrawl dump against a fixed Wikipedia model the same
+ * way).
+ */
+object StreamingText {
+
+  /**
+   * Score a document stream with [[TextAnalysis.lmScore]] against a model
+   * trained on a STATIC reference corpus — the very same operator code
+   * path as batch: the sentinel-gram formulation needs only stream-static
+   * broadcast joins (stateless) plus one per-doc stateful aggregation, so
+   * it is streaming-legal as written (an aggregate-then-rejoin shape
+   * would be a stream-to-its-own-aggregate self-join, which streaming
+   * forbids). Complete mode re-emits the running score table per batch —
+   * the test-scope sink (a production run would use update mode with a
+   * doc-id watermark; each doc's grams arrive in one batch, so no
+   * cross-batch gram state is ever needed).
+   *
+   * After the stream drains, `spark.table(queryName)` equals the batch
+   * [[TextAnalysis.lmScore]] over the same files (pinned in
+   * StreamingSpec).
+   */
+  def lmScoreToMemory(
+      spark: SparkSession,
+      dir: String,
+      train: DataFrame,
+      queryName: String,
+      maxGrams: Int = 1 << 20,
+      vocab: Long = 1L << 16,
+      scale: Long = 1000000L): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(StreamingEvents.DocumentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    TextAnalysis.lmScore(docs, train, "doc_id", "text", maxGrams, vocab, scale)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+}

@@ -153,6 +153,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming lmScore over a doc stream == batch (static model, multi-batch)") {
+    import org.apache.spark.sql.functions._
+    val src = sf("sf0.001/documents.parquet")
+    val dir = scratch("stream-lmscore")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    // Two micro-batches (split by doc id parity) so scored docs span
+    // batches while the static model side stays fixed.
+    val staging = scratch("stream-lmscore-staging")
+    val all = spark.read.parquet(src)
+    all.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$staging/b0")
+    all.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$staging/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$staging/b0", s"$dir/docs-0.parquet")
+    stage(s"$staging/b1", s"$dir/docs-1.parquet")
+
+    val train = all.where(col("doc_id") % 5 =!= 0)
+    def normalize(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val batch = graft.operators.TextAnalysis
+      .lmScore(all, train, "doc_id", "text", maxGrams = 1024)
+      .collect().map(normalize).toSet
+
+    val q = StreamingText.lmScoreToMemory(spark, dir, train, "lm_stream_test", maxGrams = 1024)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lm_stream_test").collect().map(normalize).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch sessionStats (multi-batch)") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-sessions")
