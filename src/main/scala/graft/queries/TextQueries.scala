@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Packing, TextAnalysis}
+import graft.operators.{Packing, Ranking, TextAnalysis}
 
 /** Driver-contract queries for the text-analysis operators; every heuristic
   * is replicated exactly in the DuckDB oracle (integer/string math only,
@@ -40,6 +40,16 @@ object TextQueries {
       TextAnalysis.lmScore(
         docs, docs.where(col("doc_id") % LmTrainMod =!= 0),
         "doc_id", "text", LmMaxGrams, LmVocab, LmScale)
+    },
+    // CCNet head/middle/tail: exact 3-quantile banding of the LM scores
+    // via the distributed global rank (never a one-task global window).
+    "text_lm_bands" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      Ranking.bands(
+        TextAnalysis.lmScore(
+          docs, docs.where(col("doc_id") % LmTrainMod =!= 0),
+          "doc_id", "text", LmMaxGrams, LmVocab, LmScale),
+        Seq("lm_score_fp", "doc_id"), LmBands)
     },
     // Test-set decontamination: the deterministic doc_id % 23 == 0 slice
     // stands in for a benchmark; every other doc is checked for word
@@ -153,6 +163,7 @@ object TextQueries {
   val LmMaxGrams = 4096
   val LmVocab = 65536L
   val LmScale = 1000000L
+  val LmBands = 3
   val PackBudget = 128L
   val MixWeights = Seq("src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100)
   val MixBudget = 25000L
@@ -175,6 +186,37 @@ object TextQueries {
 
   private[queries] def scoreSql(lang: String): String =
     TextAnalysis.LangMarkers.toMap.apply(lang).map(occSql).mkString(" + ")
+
+  /** CTE chain replaying [[graft.operators.TextAnalysis.lmScore]] — the
+    * final `scores` CTE is (doc_id, n_bigrams, lm_score_fp); shared by the
+    * score and banding oracles so their score math cannot drift. sum()
+    * must cast back to BIGINT (DuckDB widens to HUGEINT). */
+  private def lmScoreCtes: String =
+    s"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |tg AS (SELECT doc_id,
+       |    unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+       |  FROM toks WHERE len(t) >= 2),
+       |c2 AS (SELECT g, count(*) AS c2 FROM tg WHERE doc_id % $LmTrainMod != 0 GROUP BY 1),
+       |c2cap AS (SELECT g, c2 FROM
+       |  (SELECT g, c2, row_number() OVER (ORDER BY c2 DESC, g) AS rn FROM c2)
+       |  WHERE rn <= $LmMaxGrams),
+       |c1 AS (SELECT w, count(*) AS c1 FROM
+       |    (SELECT unnest(t) AS w FROM toks WHERE doc_id % $LmTrainMod != 0)
+       |  GROUP BY 1),
+       |c1cap AS (SELECT w, c1 FROM
+       |  (SELECT w, c1, row_number() OVER (ORDER BY c1 DESC, w) AS rn FROM c1)
+       |  WHERE rn <= $LmMaxGrams),
+       |probe AS (SELECT tg.doc_id,
+       |    ((coalesce(c2cap.c2, 0) + 1) * $LmScale) // (coalesce(c1cap.c1, 0) + $LmVocab) AS p_fp
+       |  FROM tg
+       |  LEFT JOIN c2cap ON c2cap.g = tg.g
+       |  LEFT JOIN c1cap ON c1cap.w = split_part(tg.g, ' ', 1)),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_fp) AS BIGINT) AS p_sum
+       |  FROM probe GROUP BY 1),
+       |scores AS (SELECT d.doc_id,
+       |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  CAST(coalesce(a.p_sum // a.n_bigrams, 0) AS BIGINT) AS lm_score_fp
+       |FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "text_tokens" ->
@@ -223,37 +265,27 @@ object TextQueries {
         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
         |      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents))
         |SELECT * FROM doc CROSS JOIN v""".stripMargin,
-    // Word 3-gram containment against the doc_id % 23 == 0 "benchmark".
     // LM-score replay: bigram/prefix counts from the train slice, capped
     // by the same (count DESC, gram) rule, Laplace fixed-point integer
     // division (DuckDB // == Spark div on non-negative BIGINTs), per-doc
-    // average. sum() must cast back to BIGINT (DuckDB widens to HUGEINT).
+    // average.
     "text_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
-         |tg AS (SELECT doc_id,
-         |    unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
-         |  FROM toks WHERE len(t) >= 2),
-         |c2 AS (SELECT g, count(*) AS c2 FROM tg WHERE doc_id % $LmTrainMod != 0 GROUP BY 1),
-         |c2cap AS (SELECT g, c2 FROM
-         |  (SELECT g, c2, row_number() OVER (ORDER BY c2 DESC, g) AS rn FROM c2)
-         |  WHERE rn <= $LmMaxGrams),
-         |c1 AS (SELECT w, count(*) AS c1 FROM
-         |    (SELECT unnest(t) AS w FROM toks WHERE doc_id % $LmTrainMod != 0)
-         |  GROUP BY 1),
-         |c1cap AS (SELECT w, c1 FROM
-         |  (SELECT w, c1, row_number() OVER (ORDER BY c1 DESC, w) AS rn FROM c1)
-         |  WHERE rn <= $LmMaxGrams),
-         |probe AS (SELECT tg.doc_id,
-         |    ((coalesce(c2cap.c2, 0) + 1) * $LmScale) // (coalesce(c1cap.c1, 0) + $LmVocab) AS p_fp
-         |  FROM tg
-         |  LEFT JOIN c2cap ON c2cap.g = tg.g
-         |  LEFT JOIN c1cap ON c1cap.w = split_part(tg.g, ' ', 1)),
-         |agg AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(p_fp) AS BIGINT) AS p_sum
-         |  FROM probe GROUP BY 1)
-         |SELECT d.doc_id,
-         |  coalesce(a.n_bigrams, 0) AS n_bigrams,
-         |  CAST(coalesce(a.p_sum // a.n_bigrams, 0) AS BIGINT) AS lm_score_fp
-         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, n_bigrams, lm_score_fp FROM scores""".stripMargin,
+    // Bands on top of the same score CTEs: rank = row_number - 1 over the
+    // identical (score, id) total order; band = (rank * n) // N + 1 — the
+    // even-remainder split Ranking.bands computes distributed.
+    "text_lm_bands" ->
+      s"""WITH $lmScoreCtes,
+         |r AS (SELECT doc_id, n_bigrams, lm_score_fp,
+         |    row_number() OVER (ORDER BY lm_score_fp, doc_id) - 1 AS rnk,
+         |    count(*) OVER () AS n
+         |  FROM scores)
+         |SELECT doc_id, n_bigrams, lm_score_fp,
+         |  CAST(rnk AS BIGINT) AS rank,
+         |  CAST((rnk * $LmBands) // n + 1 AS BIGINT) AS band
+         |FROM r""".stripMargin,
+    // Word 3-gram containment against the doc_id % 23 == 0 "benchmark".
     "text_decontam" ->
       s"""WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
          |grams AS (SELECT doc_id,

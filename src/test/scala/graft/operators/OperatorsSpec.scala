@@ -747,6 +747,43 @@ class OperatorsSpec extends SparkSuite {
     assert(kept.nonEmpty)
   }
 
+  test("globalRank == local sort position; bands are even and ordered") {
+    // Non-unique leading key (n_chars repeats), unique doc_id tiebreak —
+    // the documented total-order contract.
+    val ranked = Ranking.globalRank(docs, Seq("n_chars", "doc_id"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"), r.getAs[Long]("rank")))
+    val expected = ranked.sortBy(t => (t._2, t._1)).zipWithIndex
+      .map { case ((id, _, _), i) => id -> i.toLong }.toMap
+    assert(ranked.map(t => t._1 -> t._3).toMap === expected)
+    assert(ranked.map(_._3).sorted.toSeq === (0L until ranked.length.toLong))
+
+    val n = 3
+    val banded = Ranking.bands(docs, Seq("n_chars", "doc_id"), n)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("band")))
+    val sizes = banded.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (1 to n).map(_.toLong).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // bands partition the rank order: every rank in band b precedes band b+1
+    val maxByBand = banded.groupBy(_._2).view.mapValues(_.map(_._1).max).toMap
+    val minByBand = banded.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    for (b <- 1 until n) assert(maxByBand(b.toLong) < minByBand(b.toLong + 1))
+  }
+
+  test("globalRank correct past the range-sampler reservoir (50k rows)") {
+    import spark.implicits._
+    // Keys arrive in descending order so rank must genuinely reorder; the
+    // 50k size pushes repartitionByRange past its ~300-row reservoir per
+    // partition, exercising the pinned-layout (localCheckpoint) path.
+    val n = 50000
+    val df = (0 until n).map(i => (i.toLong, (n - i).toLong)).toDF("id", "key")
+      .repartition(32)
+    val ranked = Ranking.globalRank(df, Seq("key", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // key = n - id, so ascending key order is descending id order
+    ranked.foreach { case (id, rank) => assert(rank === (n - 1 - id)) }
+    assert(ranked.length === n)
+  }
+
   test("lmScore: hand-computed fixed point, OOV floor, eviction cap, short docs score 0") {
     import spark.implicits._
     val corpus = Seq((1L, "a b a b"), (2L, "z z"), (3L, "a")).toDF("doc_id", "text")

@@ -115,6 +115,8 @@ class PlanShapeSpec extends SparkSuite {
       Similarity.nearDupPairsBucketed(embs, "id", "vec", 0.8), Set("id_a", "id_b"))
     dedupExchangesHaveNoArrays(
       Similarity.annTopK(embs, queries, "id", "vec", 5), Set("query_id", "id"))
+    dedupExchangesHaveNoArrays(
+      Similarity.knnJoin(queries, embs, "id", "vec", 5), Set("query_id", "id"))
   }
 
   test("text analysis reports are shuffle-free whole-stage codegen") {
