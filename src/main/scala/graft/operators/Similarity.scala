@@ -508,6 +508,38 @@ object Similarity {
   }
 
   /**
+   * kNN label transfer (the classification use of [[knnJoin]]): predict a
+   * label for every left row as the majority label of its k nearest right
+   * rows — bootstrap a corpus-wide quality/topic/domain label from a
+   * labeled seed set, embedding-space style. Ties break deterministically
+   * on (votes DESC, label ASC). Output: (query_id, label_pred, n_votes);
+   * left rows whose buckets produced no candidates are absent (no
+   * neighbors = no evidence), like [[knnJoin]] itself.
+   *
+   * Scale shape: [[knnJoin]]'s candidate pipeline plus one linear label
+   * join and a (query_id, label) partial-agg vote — nothing new shuffles
+   * more than the neighbor list.
+   */
+  def labelTransfer(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      tables: Int = 8,
+      planes: Int = 4): DataFrame = {
+    val nn = knnJoin(left, right, idCol, vecCol, k, tables, planes)
+    val labels = right.select(col(idCol).as("neighbor_id"), col(labelCol).as("_lbl"))
+    val votes = nn.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("_lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("n_votes").desc, col("_lbl"))
+    votes.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+      .select(col("query_id"), col("_lbl").as("label_pred"), col("n_votes"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023,
    * arXiv:2303.09540): partition the embedding space into cells, compute
    * pairwise cosines WITHIN each cell only, and drop every vector that

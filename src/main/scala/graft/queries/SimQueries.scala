@@ -47,6 +47,27 @@ object SimQueries {
     * [[Similarity.lshBuckets]]. */
   private[queries] def lshPlanesValues: String = planesValues(LshTables, LshPlanes)
 
+  /** CTE chain replaying [[Similarity.knnJoin]] over the even/odd parity
+    * split — ends in `knn` (query_id, id, rank <= KnnJoinK); shared by the
+    * knn-join and label-transfer oracles so the neighbor sets cannot
+    * drift. */
+  private def knnJoinCtes: String =
+    s"""$lshBucketsCtes,
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
+       |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
+       |scored AS (
+       |  SELECT cand.query_id, cand.id,
+       |    list_cosine_similarity(ce.v, qe.v) AS cos
+       |  FROM cand JOIN ef ce ON ce.vec_id = cand.id
+       |            JOIN ef qe ON qe.vec_id = cand.query_id),
+       |knn AS (SELECT query_id, id, rank FROM (
+       |    SELECT query_id, id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $KnnJoinK)""".stripMargin
+
   /** CTEs `ef` (norm-filtered corpus as double vectors) and `b` (one
     * sign-bucket per (vector, table)) — the SQL twin of
     * [[Similarity.prepared]] + [[Similarity.lshBuckets]]. */
@@ -100,6 +121,16 @@ object SimQueries {
         "vec_id", "embedding", KnnJoinK)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
+    // kNN classification: majority label of the k nearest odd-id vectors
+    // predicts a label for every even-id vector.
+    "sim_label_transfer" -> { (s, dir) =>
+      val emb = Fixtures.table(s, dir, "embeddings")
+      Similarity.labelTransfer(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label", KnnJoinK)
+        .select(col("query_id"), col("label_pred").cast("long").as("label_pred"), col("n_votes"))
+    },
     // IVF-PQ: candidates travel as m shorts per vector (not dim doubles),
     // ADC preselect + exact re-rank. Approximate by design (no SQL
     // oracle); recall + the exhaustive-probe identity pinned in ScalaTest.
@@ -145,21 +176,22 @@ object SimQueries {
     // queries = even ids and corpus = odd ids (no self-exclusion needed —
     // the id sets are disjoint), rank cut at KnnJoinK.
     "sim_knn_join" ->
-      s"""WITH $lshBucketsCtes,
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
-         |  FROM b c JOIN b q ON c.tbl = q.tbl AND c.bucket = q.bucket
-         |  WHERE q.vec_id % 2 = 0 AND c.vec_id % 2 = 1),
-         |scored AS (
-         |  SELECT cand.query_id, cand.id,
-         |    list_cosine_similarity(ce.v, qe.v) AS cos
-         |  FROM cand JOIN ef ce ON ce.vec_id = cand.id
-         |            JOIN ef qe ON qe.vec_id = cand.query_id),
-         |ranked AS (SELECT query_id, id,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
-         |  FROM scored)
+      s"""WITH $knnJoinCtes
          |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
-         |FROM ranked WHERE rank <= $KnnJoinK""".stripMargin)
+         |FROM knn""".stripMargin,
+    // Label transfer on top of the same neighbor CTEs: majority label of
+    // the k nearest, ties on (votes DESC, label ASC) — labelTransfer
+    // step for step.
+    "sim_label_transfer" ->
+      s"""WITH $knnJoinCtes,
+         |votes AS (SELECT k.query_id, CAST(e.label AS BIGINT) AS label_pred,
+         |    count(*) AS n_votes
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.id GROUP BY 1, 2),
+         |best AS (SELECT query_id, label_pred, n_votes,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label_pred) AS rn
+         |  FROM votes)
+         |SELECT query_id, label_pred, CAST(n_votes AS BIGINT) AS n_votes
+         |FROM best WHERE rn = 1""".stripMargin)
   // sim_ann_ivf / sim_ann_ivfpq: intentionally no oracle (quantizer is
   // trained from the data at query time; exhaustive-probe ≡ exact and
   // recall pinned in OperatorsSpec instead).

@@ -716,6 +716,24 @@ class OperatorsSpec extends SparkSuite {
     assert(joined.nonEmpty)
   }
 
+  test("labelTransfer == majority vote over knnJoin neighbors (deterministic ties)") {
+    val left = embs.where(col("vec_id") % 2 === 0)
+    val right = embs.where(col("vec_id") % 2 === 1)
+    val preds = Similarity.labelTransfer(left, right, "vec_id", "embedding", "label", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val labels = embs.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nn = Similarity.knnJoin(left, right, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = nn.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity).view.mapValues(_.size)
+      val (lbl, n) = votes.toSeq.minBy { case (l, c) => (-c, l) }
+      q -> ((lbl, n.toLong))
+    }
+    assert(preds === expect)
+    assert(preds.nonEmpty)
+  }
+
   test("semanticDedup == naive in-cell dominated-by-smaller-id replay") {
     val planes = 4
     val threshold = 0.4
