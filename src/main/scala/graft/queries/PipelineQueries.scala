@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 
 /**
  * The end-to-end composition check: a realistic training-corpus
@@ -16,7 +16,7 @@ import graft.operators.{Dedup, TextAnalysis}
  */
 object PipelineQueries {
 
-  import TextQueries.{BenchMod, DecontamN}
+  import TextQueries.{BenchMod, DecontamN, MixBudget, MixWeights, PackBudget, ShuffleSeed}
 
   val MinTokens = 20
 
@@ -42,6 +42,24 @@ object PipelineQueries {
         .select(
           col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    },
+    // The back half of the recipe: token-budget source mixing → seed-keyed
+    // epoch shuffle of the kept docs → sequence packing in SHUFFLED order
+    // (the order a training run actually consumes — packing by raw doc_id
+    // would co-locate each source's contiguous id ranges in the same
+    // chunks). Pins that mix/shuffle/pack compose: the shuffle position
+    // becomes packing's ordering key.
+    "pipeline_train_mix" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val kept = Sampling.tokenBudgetMix(
+        docs, "doc_id", "source", col("n_chars"), MixWeights, MixBudget)
+      val pos = Sampling.globalShuffle(kept.select(col("doc_id")), "doc_id", ShuffleSeed)
+      val ordered = kept.select(col("doc_id"), col("text")).join(pos, "doc_id")
+      Packing.chunkSpans(
+        ordered, "pos", TextAnalysis.wsTokenCount(col("text")), PackBudget)
+        .join(pos, "pos")
+        .select(col("doc_id"), col("pos"), col("n_tokens"),
+          col("first_chunk"), col("last_chunk"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -69,5 +87,35 @@ object PipelineQueries {
          |reps AS (SELECT min(doc_id) AS doc_id FROM norms GROUP BY norm)
          |SELECT n.doc_id, len(regexp_extract_all(n.text, '\\S+')) AS n_tokens
          |FROM norms n JOIN reps USING (doc_id)""".stripMargin
+    },
+    // Mix rates, md5-bucket keeps, shuffle positions, and the running
+    // token total replayed stage for stage (same fragments as the
+    // samp_token_mix / samp_epoch_shuffle / text_packing oracles).
+    "pipeline_train_mix" -> {
+      val w = MixWeights.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH avail AS (SELECT source, sum(n_chars) AS a FROM documents GROUP BY source),
+         |w(source, wgt) AS (VALUES $w),
+         |r AS (SELECT w.source,
+         |  least(1000, (1000 * ((wgt::BIGINT * $MixBudget) // 1000)) // a) AS rate
+         |  FROM w JOIN avail USING (source)),
+         |b AS (SELECT doc_id, source,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk
+         |  FROM documents),
+         |kept AS (SELECT d.doc_id, d.text FROM b JOIN r USING (source)
+         |  JOIN documents d USING (doc_id) WHERE b.bk < r.rate),
+         |pos AS (SELECT doc_id, row_number() OVER (
+         |    ORDER BY ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT,
+         |             doc_id) - 1 AS pos
+         |  FROM kept),
+         |t AS (SELECT k.doc_id, p.pos,
+         |    len(regexp_extract_all(k.text, '\\S+')) AS n_tokens
+         |  FROM kept k JOIN pos p USING (doc_id)),
+         |pk AS (SELECT doc_id, pos, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t WHERE n_tokens > 0)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS first_chunk,
+         |  CAST((cum - 1) // $PackBudget AS BIGINT) AS last_chunk
+         |FROM pk""".stripMargin
     })
 }
