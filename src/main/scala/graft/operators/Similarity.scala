@@ -530,7 +530,10 @@ object Similarity {
       tables: Int = 8,
       planes: Int = 4): DataFrame = {
     val nn = knnJoin(left, right, idCol, vecCol, k, tables, planes)
+    // Unlabeled neighbors carry no evidence — and Spark sorts nulls
+    // FIRST ascending, so an unfiltered null label would win every tie.
     val labels = right.select(col(idCol).as("neighbor_id"), col(labelCol).as("_lbl"))
+      .where(col("_lbl").isNotNull)
     val votes = nn.join(labels, "neighbor_id")
       .groupBy(col("query_id"), col("_lbl"))
       .agg(count(lit(1)).as("n_votes"))

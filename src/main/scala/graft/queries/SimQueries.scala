@@ -186,7 +186,8 @@ object SimQueries {
       s"""WITH $knnJoinCtes,
          |votes AS (SELECT k.query_id, CAST(e.label AS BIGINT) AS label_pred,
          |    count(*) AS n_votes
-         |  FROM knn k JOIN embeddings e ON e.vec_id = k.id GROUP BY 1, 2),
+         |  FROM knn k JOIN embeddings e ON e.vec_id = k.id
+         |  WHERE e.label IS NOT NULL GROUP BY 1, 2),
          |best AS (SELECT query_id, label_pred, n_votes,
          |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label_pred) AS rn
          |  FROM votes)
