@@ -426,12 +426,19 @@ object Anchors {
    * (subtract the outgoing char's `Base^(w-1)` term, shift, add the
    * incoming char), replacing the md5-per-character probe whose hashing
    * dominated the operator's 100 TB bill. The per-position value equals
-   * the left-to-right fold `acc = (acc*Base + codeUnit) mod Prime` over
+   * the left-to-right fold `acc = (acc*Base + codepoint) mod Prime` over
    * the window, which a SQL oracle replays with a per-window list fold.
+   *
+   * Positions and window characters are UNICODE CODEPOINTS, not UTF-16
+   * code units: the emitted positions index into Spark's `substring`,
+   * and the oracle folds DuckDB's `unicode()` per character — both
+   * codepoint-based. A charAt loop would silently shift every position
+   * after the first non-BMP character and fingerprint different text on
+   * the two sides.
    */
   def anchorPositions(s: org.apache.spark.unsafe.types.UTF8String, window: Int, modulus: Int): ArrayData = {
-    val str = s.toString
-    val n = str.length
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     val out = scala.collection.mutable.ArrayBuffer[Int]()
     if (n >= window) {
       var pow = 1L // Base^(window-1) mod Prime
@@ -439,15 +446,15 @@ object Anchors {
       while (i < window - 1) { pow = pow * Base % Prime; i += 1 }
       var h = 0L
       i = 0
-      while (i < window) { h = (h * Base + str.charAt(i)) % Prime; i += 1 }
+      while (i < window) { h = (h * Base + cps(i)) % Prime; i += 1 }
       var pos = 0 // 0-based window start
       var done = false
       while (!done) {
         if (h % modulus == 0) out += pos + 1
         if (pos + window >= n) done = true
         else {
-          h = ((h - str.charAt(pos) * pow % Prime + Prime) % Prime * Base +
-            str.charAt(pos + window)) % Prime
+          h = ((h - cps(pos) * pow % Prime + Prime) % Prime * Base +
+            cps(pos + window)) % Prime
           pos += 1
         }
       }
@@ -491,16 +498,15 @@ case class AnchorPositionsExpr(child: Expression, window: Int, modulus: Int)
 object RollingHash {
   val Prime = 1000000007L
 
-  /** acc = (acc*31 + codeUnit) mod p over the string's UTF-16 code units —
-    * for BMP text this equals folding `ascii` over `split(s, "")`, which is
-    * what the SQL oracle reproduces. */
+  /** acc = (acc*31 + codepoint) mod p over the string's UNICODE
+    * CODEPOINTS — matching the SQL oracle's fold of `unicode(c)` over
+    * per-character splits on any text, not just BMP (a charAt fold would
+    * diverge from the oracle at the first astral character). */
   def hash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString
     var acc = 0L
-    var i = 0
-    while (i < str.length) {
-      acc = (acc * 31 + str.charAt(i)) % Prime
-      i += 1
+    val it = s.toString.codePoints().iterator()
+    while (it.hasNext) {
+      acc = (acc * 31 + it.nextInt()) % Prime
     }
     acc
   }

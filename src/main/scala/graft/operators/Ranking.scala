@@ -28,6 +28,20 @@ object Ranking {
     * the per-partition counts — the shared skeleton of rank and bands. */
   private def rankedWithTotal(df: DataFrame, orderCols: Seq[String]): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "globalRank: orderCols must be non-empty")
+    // Offsets key on driver-side VALUE equality of the order tuple;
+    // binary and nested types compare by reference there (an Array[Byte]
+    // key would make every offset lookup miss with a misleading
+    // "different range partitionings" error) — reject them up front.
+    orderCols.foreach { c =>
+      val t = df.schema(c).dataType
+      val ok = !(t.isInstanceOf[org.apache.spark.sql.types.BinaryType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.StructType])
+      require(ok, s"globalRank: order column '$c' has type ${t.simpleString}, " +
+        "whose values do not compare by equality on the driver — use a " +
+        "scalar key (hash binary keys to a long first)")
+    }
     val spark = df.sparkSession
     val keys = orderCols.map(col)
     val ordered = df

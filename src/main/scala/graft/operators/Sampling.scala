@@ -106,7 +106,10 @@ object Sampling {
       .where(col(sourceCol).isin(wanted: _*))
       .groupBy(col(sourceCol))
       .agg(sum(tokensCol.cast("long")).as("a"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      // an all-null token column sums to a NULL aggregate: that source
+      // has 0 known tokens (rate 0), not a driver NPE
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
     weights.map { case (src, w) =>
       val target = w.toLong * budgetTokens / 1000L
       val a = avail.getOrElse(src, 0L)
@@ -154,6 +157,16 @@ object Sampling {
    */
   def globalShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
     val spark = df.sparkSession
+    // The id must already be integral: a silent cast("long") on, say,
+    // string ids would null every row and return an EMPTY permutation —
+    // total silent data loss in a training pipeline. Fail loud instead.
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"globalShuffle: id column '$idCol' must be an integral type, got " +
+          s"${other.simpleString} — hash your native id into a long first")
+    }
     val ordered = df
       .select(col(idCol).cast("long").as(idCol))
       .where(col(idCol).isNotNull)

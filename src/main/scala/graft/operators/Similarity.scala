@@ -567,6 +567,11 @@ object Similarity {
    * cost model — sum of cell_size^2, bounded by raising `planes`
    * (= log2 cells, the paper's k); the dominator check never leaves the
    * cell join, and the drop-set dedup + anti-join move ids only.
+   *
+   * Zero-norm / null vectors (failed encoders, padding) have no cosine
+   * to anything, so they are never duplicates — a KEEP decision must
+   * keep them, not let a NaN guard silently delete documents. They
+   * surface with the sentinel cell -1 ("unclustered").
    */
   def semanticDedup(
       df: DataFrame,
@@ -576,7 +581,7 @@ object Similarity {
       planes: Int = 8): DataFrame = {
     val p = prepared(df, idCol, vecCol)
     val dimRow = p.select(size(col("vec"))).head(1)
-    if (dimRow.isEmpty) return p.select(col("id"), lit(0L).as("cell"))
+    if (dimRow.isEmpty) return df.select(col(idCol).as("id"), lit(-1L).as("cell"))
     val b = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
       .select(col("id"), col("vec"), col("norm"), col("bucket").as("cell"))
     val dropped = b.as("x")
@@ -584,7 +589,12 @@ object Similarity {
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
           dot(col("x.vec"), col("y.vec")) / (col("x.norm") * col("y.norm")) >= threshold)
       .select(col("y.id").as("id")).distinct()
-    b.select(col("id"), col("cell")).join(dropped, Seq("id"), "left_anti")
+    val unclustered = df.select(col(idCol).as("id"))
+      .join(p.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("cell", lit(-1L))
+    b.select(col("id"), col("cell"))
+      .join(dropped, Seq("id"), "left_anti")
+      .unionByName(unclustered)
   }
 
   /**

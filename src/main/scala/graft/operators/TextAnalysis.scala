@@ -301,7 +301,11 @@ object TextAnalysis {
     // boilerplate has no kept rows but must still appear (empty, dropped
     // count = its line count) — silently vanishing docs would corrupt any
     // downstream join on the corpus.
-    df.select(col(idCol), size(split(col(textCol), "\n")).cast("long").as("_total"))
+    // size(split(null)) is -1 under Spark's legacy sizeOfNull: a null
+    // text has zero lines, not minus one dropped.
+    df.select(col(idCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(split(col(textCol), "\n")).cast("long")).as("_total"))
       .join(assembled, Seq(idCol), "left")
       .select(
         col(idCol),

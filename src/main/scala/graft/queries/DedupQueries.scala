@@ -188,7 +188,10 @@ object DedupQueries {
          |  JOIN ef ey ON ey.vec_id = y.vec_id
          |  WHERE list_cosine_similarity(ex.v, ey.v) >= $CosineThreshold)
          |SELECT c.vec_id AS id, c.cell FROM cells c
-         |LEFT JOIN dropped d ON c.vec_id = d.id WHERE d.id IS NULL""".stripMargin,
+         |LEFT JOIN dropped d ON c.vec_id = d.id WHERE d.id IS NULL
+         |UNION ALL
+         |SELECT vec_id AS id, CAST(-1 AS BIGINT) AS cell FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM ef)""".stripMargin,
     "dedup_clusters" ->
       s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
          |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),

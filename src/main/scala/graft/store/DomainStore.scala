@@ -145,17 +145,31 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     }
     val counts: Map[Int, Long] = scan.groupBy("shard").count()
       .as[(Int, Long)].collect().toMap // bounded: one entry per shard
-    val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
+    val confEntries = DomainStore.serializableConf(conf)
     val base = versions.versionPath(version).toString
     scan.as[(Int, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
         val artifact = ix.build(counts.getOrElse(shard, 0L), rows.map(_._2))
-        val c = new Configuration(false)
-        confEntries.foreach { case (k, v) => c.set(k, v) }
-        val p = new Path(new Path(base, s"shard=$shard"), Indexer.SidecarName)
-        val out = p.getFileSystem(c).create(p, true)
+        val c = DomainStore.rebuildConf(confEntries)
+        val dst = new Path(new Path(base, s"shard=$shard"), Indexer.SidecarName)
+        // Attempt-scoped temp + rename: two attempts of this group
+        // (speculation, a zombie executor) writing the final path
+        // directly could interleave into a truncated sidecar that
+        // survives publish. The artifact is deterministic for a shard,
+        // so whichever attempt renames first wins and the loser just
+        // discards its temp.
+        val tmp = new Path(new Path(base, s"shard=$shard"),
+          s"${Indexer.SidecarName}.${java.util.UUID.randomUUID()}.tmp")
+        val fs = dst.getFileSystem(c)
+        val out = fs.create(tmp, false)
         try out.write(artifact) finally out.close()
+        if (!fs.rename(tmp, dst)) {
+          val lost = fs.exists(dst) // another attempt already committed
+          fs.delete(tmp, false)
+          if (!lost) throw new java.io.IOException(
+            s"buildIndex: could not commit sidecar $dst")
+        }
         shard
       }
       .count() // the action; the returned ids are not needed
@@ -373,13 +387,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     if (numShards > distributeAbove) {
       import spark.implicits._
       import scala.jdk.CollectionConverters._
-      val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
+      val confEntries = DomainStore.serializableConf(conf)
       val (base, fmt, suffix) = (vp.toString, format, fileSuffix)
       return spark.createDataset(0 until numShards)
         .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
         .mapPartitions { it =>
-          val c = new Configuration(false)
-          confEntries.foreach { case (k, v) => c.set(k, v) }
+          val c = DomainStore.rebuildConf(confEntries)
           it.map { s =>
             val d = new Path(base, s"shard=$s")
             val fs = d.getFileSystem(c)
@@ -408,13 +421,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       // The closure ships the conf as plain entries (Hadoop Configuration
       // is not serializable) and rebuilds it per partition. Dataset API
       // end to end — rows move as UnsafeRow, no RDD serializer involved.
-      val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
+      val confEntries = DomainStore.serializableConf(conf)
       val fmt = format
       spark.createDataset(files.map(_.toString).toSeq)
         .repartition(spark.sparkContext.defaultParallelism)
         .mapPartitions { paths =>
-          val c = new Configuration(false)
-          confEntries.foreach { case (k, v) => c.set(k, v) }
+          val c = DomainStore.rebuildConf(confEntries)
           paths.map(s => DomainStore.footerRowCount(new Path(s), fmt, c))
         }
         .agg(sum("value")).head().getLong(0)
@@ -556,13 +568,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       val spark = SparkSession.active
       import spark.implicits._
       import scala.jdk.CollectionConverters._
-      val confEntries = conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
+      val confEntries = DomainStore.serializableConf(conf)
       val rep = replace
       spark.createDataset(shards)
         .repartition(math.min(shards.length, spark.sparkContext.defaultParallelism))
         .mapPartitions { it =>
-          val c = new Configuration(false)
-          confEntries.foreach { case (k, v) => c.set(k, v) }
+          val c = DomainStore.rebuildConf(confEntries)
           it.filter(s => DomainStore.copyShardDir(src, dst, s, rep, c))
         }
         .collect().toList.sorted
@@ -575,6 +586,21 @@ object DomainStore {
   /** Shard-count / file-count threshold above which per-shard metadata
     * and copy work runs as a Spark job instead of on the driver. */
   val DefaultDistributeAbove: Int = 1024
+
+  /** Hadoop `Configuration` is not serializable: distributed closures ship
+    * it as plain entries and rebuild per partition — ONE definition for
+    * every distributed tier (index build, count, transfer), so a future
+    * fix (credential filtering, final/overlay properties) lands once. */
+  private[store] def serializableConf(conf: Configuration): List[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
+  }
+
+  private[store] def rebuildConf(entries: Seq[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   /** Deserialized index-sidecar probes kept per store (LRU). Sized so a
     * lookup-heavy session over a few domains keeps every hot shard's probe

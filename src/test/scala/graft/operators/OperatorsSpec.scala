@@ -535,6 +535,20 @@ class OperatorsSpec extends SparkSuite {
     assert(j < 0.3, s"planted run should not dominate set similarity (j = $j)")
   }
 
+  test("shared-substring finds runs past non-BMP chars (codepoint-consistent anchors)") {
+    import spark.implicits._
+    // The emoji is one codepoint but two UTF-16 units: a code-unit anchor
+    // kernel would shift every downstream position by one and fingerprint
+    // different text in the two docs, silently missing the shared run.
+    val run = "the quick brown fox jumps over the lazy dog and keeps running through the meadow " * 2
+    val docs = Seq(
+      (1L, "😀 " + run),
+      (2L, "x " + run)).toDF("doc_id", "text")
+    val pairs = Dedup.sharedSubstringPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("anchor positions are position-shift invariant (content-defined)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
@@ -734,11 +748,18 @@ class OperatorsSpec extends SparkSuite {
     assert(preds.nonEmpty)
   }
 
-  test("semanticDedup == naive in-cell dominated-by-smaller-id replay") {
+  test("semanticDedup == naive in-cell dominated-by-smaller-id replay; zero vecs kept") {
+    import spark.implicits._
     val planes = 4
     val threshold = 0.4
-    val kept = Similarity.semanticDedup(embs, "vec_id", "embedding", threshold, planes)
+    // A zero-norm vector (failed encoder) has no cosine to anything: a
+    // KEEP decision must keep it, surfaced as the unclustered cell -1.
+    val zeroId = 999999L
+    val corpus = embs.unionByName(
+      Seq((zeroId, Array.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val kept = Similarity.semanticDedup(corpus, "vec_id", "embedding", threshold, planes)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept(zeroId) === -1L)
     // Naive replay in plain Scala: same seeded planes, same bit
     // convention (bit b set iff dot > 0), same left-to-right dot order.
     val vecs = embs.collect()
@@ -759,7 +780,8 @@ class OperatorsSpec extends SparkSuite {
       (ia, va, na) <- withNorm
       if ia < ib && cell(ia) == cell(ib) && dot(va, vb) / (na * nb) >= threshold
     } yield ib).toSet
-    val expect = withNorm.map(_._1).filterNot(dropped).map(id => id -> cell(id)).toMap
+    val expect = withNorm.map(_._1).filterNot(dropped).map(id => id -> cell(id)).toMap +
+      (zeroId -> -1L)
     assert(kept === expect)
     assert(dropped.nonEmpty, "fixture produced no in-cell drops — threshold/planes need retuning")
     assert(kept.nonEmpty)
