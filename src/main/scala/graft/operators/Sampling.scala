@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.LongType
 
 import graft.functions.md5_prefix32
 
@@ -144,19 +144,15 @@ object Sampling {
    * tiebreak — at corpus scale the 32-bit hash WILL collide (birthday at
    * ~2^16 rows), so the tiebreak is correctness, not pedantry.
    *
-   * The position is a global row_number, computed with the same two-phase
-   * distributed prefix sum as [[Packing.chunkSpans]] (range-shuffle on the
-   * hash, per-partition counts, offsets broadcast, seeded in-partition
-   * pass) — never the single-partition `row_number() over (order by …)`
-   * window that funnels 100 TB through one task. Offsets are keyed by each
-   * partition's first (hash, id) row, not a task id, for the same
-   * narrow-coalesce reason documented there.
+   * The position is simply the global rank under (hash, id) —
+   * [[Ranking.globalRank]]'s two-phase distributed prefix sum, never the
+   * single-partition `row_number() over (order by …)` window that funnels
+   * 100 TB through one task.
    *
    * Output: idCol (long), pos (long, dense 0..n-1). Null ids are dropped
    * (no stable position). ~16 bytes/row through the one range shuffle.
    */
   def globalShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
-    val spark = df.sparkSession
     // The id must already be integral: a silent cast("long") on, say,
     // string ids would null every row and return an EMPTY permutation —
     // total silent data loss in a training pipeline. Fail loud instead.
@@ -167,44 +163,17 @@ object Sampling {
         s"globalShuffle: id column '$idCol' must be an integral type, got " +
           s"${other.simpleString} — hash your native id into a long first")
     }
-    val ordered = df
+    // The permutation position IS a global rank under (seed-hash, id):
+    // one shared prefix-sum skeleton (Ranking) instead of a third copy.
+    // Ranking's totality guard also upgrades a silent hazard: duplicate
+    // ids straddling a range boundary used to collide in the offsets map
+    // and mis-position rows; now they fail loud.
+    val keyed = df
       .select(col(idCol).cast("long").as(idCol))
       .where(col(idCol).isNotNull)
       .withColumn("_sk",
         md5_prefix32(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))))
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col("_sk"), col(idCol))
-      .sortWithinPartitions(col("_sk"), col(idCol))
-      // One materialized layout for both phases: RangePartitioner samples
-      // boundaries per JOB once partitions outgrow its reservoir, so two
-      // jobs over the same plan may disagree (the repartitionByRange trap).
-      .localCheckpoint(true)
-    val parts = ordered
-      .groupBy(spark_partition_id().as("_pid"))
-      .agg(min(struct(col("_sk"), col(idCol))).as("_first"), count(lit(1)).as("_cnt"))
-      .collect()
-      .map { r => val f = r.getStruct(1); ((f.getLong(0), f.getLong(1)), r.getLong(2)) }
-      .sortBy(_._1)
-    val offsets: Map[(Long, Long), Long] =
-      parts.map(_._1).zip(parts.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    val schema = StructType(Seq(
-      StructField(idCol, LongType, nullable = false),
-      StructField("pos", LongType, nullable = false)))
-    ordered.mapPartitions { it0 =>
-      val it = it0.buffered
-      if (!it.hasNext) Iterator.empty
-      else {
-        val h = it.head // columns: [id, _sk]
-        var pos = offsets.getOrElse((h.getLong(1), h.getLong(0)),
-          throw new IllegalStateException(
-            "globalShuffle: no offset for partition starting at " +
-              s"(hash ${h.getLong(1)}, id ${h.getLong(0)}) — " +
-              "the two phases saw different range partitionings"))
-        it.map { r =>
-          val out = Row(r.getLong(0), pos)
-          pos += 1
-          out
-        }
-      }
-    }(Encoders.row(schema))
+    Ranking.globalRank(keyed, Seq("_sk", idCol))
+      .select(col(idCol), col("rank").as("pos"))
   }
 }
