@@ -67,6 +67,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$p")
   }
 
+  test("lmScore: model tables broadcast to the probe side, corpus grams never sort-merged") {
+    import spark.implicits._
+    val corpus = (0 until 500).map(i => (i.toLong, s"alpha beta gamma delta token$i more words"))
+      .toDF("doc_id", "text")
+    val p = plan(TextAnalysis.lmScore(corpus, corpus, "doc_id", "text", maxGrams = 1024))
+    assert(countOccurrences(p, "BroadcastHashJoin") >= 2,
+      s"both capped count tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus grams must not sort-merge:\n$p")
+  }
+
   test("minhash signatures: exactly one exchange (the partial-agg shuffle)") {
     import spark.implicits._
     val docs = (0 until 200).map(i => (i.toLong, s"w$i x${i % 7} y${i % 3} z common words here"))
