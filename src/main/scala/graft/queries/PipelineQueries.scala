@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.DomainSpec
+import graft.functions.{bytes_utf8, composite_key, int_be, long_be, utf8_bytes}
 import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 
 /**
@@ -19,6 +21,7 @@ object PipelineQueries {
   import TextQueries.{BenchMod, DecontamN, MixBudget, MixWeights, PackBudget, ShuffleSeed}
 
   val MinTokens = 20
+  val DeltaMod = 10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus_filter" -> { (s, dir) =>
@@ -60,6 +63,50 @@ object PipelineQueries {
         .join(pos, "pos")
         .select(col("doc_id"), col("pos"), col("n_tokens"),
           col("first_chunk"), col("last_chunk"))
+    },
+    // The two halves of the engine composed: the corpus's MinHash-LSH band
+    // buckets are PUBLISHED AS A KV DOMAIN (key = (band, band_hash), value
+    // = member doc ids), and an incoming delta dedups against it by point
+    // lookup — candidate generation touches only the delta's band keys
+    // (pruned lookupJoin), never the corpus bands, then candidates get the
+    // exact Jaccard verify. The reference's whole purpose (batch-built
+    // domains, point-queried) applied to the pipeline's dedup index; at
+    // 100 TB the published index is how a daily delta avoids re-banding
+    // the full corpus. Banding recall at the threshold is ~1 - 6e-8
+    // (DedupQueries), so the oracle is the exact delta x corpus Jaccard.
+    "pipeline_dedup_index" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val delta = docs.where(col("doc_id") % DeltaMod === 0)
+      val store = Fixtures.domain(s, dir, "dedup-band-index", DomainSpec(numShards = 8)) {
+        (st, sp) =>
+          val corpus = Fixtures.table(sp, dir, "documents")
+            .where(col("doc_id") % DeltaMod =!= 0)
+          val bands = Dedup.lshBands(
+            Dedup.minHashSignatures(Dedup.wordShingles(corpus, "doc_id", "text")))
+          st.write(
+            bands
+              .groupBy(col("band"), col("band_hash"))
+              .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
+              .select(
+                composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"),
+                utf8_bytes(col("ids")).as("value")),
+            version = 1L)
+      }
+      val deltaBands = Dedup.lshBands(
+        Dedup.minHashSignatures(Dedup.wordShingles(delta, "doc_id", "text")))
+      val cand = store.lookupJoin(
+          deltaBands.select(
+            col("id").as("id_a"),
+            composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key")))
+        .where(col("value").isNotNull)
+        .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
+        .select(col("id_a"), col("cid").cast("long").as("id_b"))
+        .distinct()
+      // Exact verify over the union shingle table (id spaces are disjoint
+      // by the parity split, so orientation is unambiguous).
+      Dedup.exactJaccardOfCandidates(
+          Dedup.wordShingles(docs, "doc_id", "text"), cand, DedupQueries.MinHashThreshold)
+        .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
     })
 
   def oracleSql: Map[String, String] = Map(
@@ -117,5 +164,20 @@ object PipelineQueries {
          |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS first_chunk,
          |  CAST((cum - 1) // $PackBudget AS BIGINT) AS last_chunk
          |FROM pk""".stripMargin
-    })
+    },
+    // Delta-vs-corpus exact word-3gram Jaccard — what the banded index
+    // lookup + verify must equal at ~1 recall.
+    "pipeline_dedup_index" ->
+      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+         |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),
+         |s AS (SELECT DISTINCT doc_id,
+         |  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)] AS sh FROM pos),
+         |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+         |inter AS (SELECT d.doc_id AS delta_id, x.doc_id AS corpus_id, count(*) AS i
+         |          FROM s d JOIN s x ON d.sh = x.sh
+         |          WHERE d.doc_id % $DeltaMod = 0 AND x.doc_id % $DeltaMod != 0 GROUP BY 1, 2)
+         |SELECT delta_id, corpus_id,
+         |  CAST(i AS DOUBLE) / (cd.n + cx.n - i) AS jaccard
+         |FROM inter JOIN c cd ON cd.doc_id = delta_id JOIN c cx ON cx.doc_id = corpus_id
+         |WHERE CAST(i AS DOUBLE) / (cd.n + cx.n - i) >= ${DedupQueries.MinHashThreshold}""".stripMargin)
 }
