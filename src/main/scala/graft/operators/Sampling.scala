@@ -164,10 +164,10 @@ object Sampling {
           s"${other.simpleString} — hash your native id into a long first")
     }
     // The permutation position IS a global rank under (seed-hash, id):
-    // one shared prefix-sum skeleton (Ranking) instead of a third copy.
-    // Ranking's totality guard also upgrades a silent hazard: duplicate
-    // ids straddling a range boundary used to collide in the offsets map
-    // and mis-position rows; now they fail loud.
+    // one shared prefix-sum skeleton (Ranking) instead of a second copy.
+    // (Duplicate ids get arbitrary relative order — range partitioning
+    // routes equal keys to one partition, so they can't corrupt offsets,
+    // but an epoch shuffle over non-unique ids is a caller bug.)
     val keyed = df
       .select(col(idCol).cast("long").as(idCol))
       .where(col(idCol).isNotNull)

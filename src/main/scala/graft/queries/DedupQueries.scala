@@ -102,12 +102,19 @@ object DedupQueries {
        |s AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS sh FROM pos),
        |${jaccardTail(threshold)}""".stripMargin
 
-  /** Word 3-gram shingles (the MinHash unit) + exact Jaccard pairs. */
-  private def wordJaccardOracle(threshold: Double): String =
-    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+  /** `tok`/`pos`/`s` CTE chain: each doc's DISTINCT word 3-gram shingles
+    * (the MinHash unit) — ONE definition shared by every oracle that
+    * replays shingling (here and PipelineQueries' dedup-index oracle); a
+    * drifted copy would only fail when the fixture exercises it. */
+  private[queries] def wordShingleCtes: String =
+    s"""tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
        |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),
        |s AS (SELECT DISTINCT doc_id,
-       |  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)] AS sh FROM pos),
+       |  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)] AS sh FROM pos)""".stripMargin
+
+  /** Word 3-gram shingles + exact Jaccard pairs. */
+  private def wordJaccardOracle(threshold: Double): String =
+    s"""WITH $wordShingleCtes,
        |${jaccardTail(threshold)}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -193,10 +200,7 @@ object DedupQueries {
          |SELECT vec_id AS id, CAST(-1 AS BIGINT) AS cell FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM ef)""".stripMargin,
     "dedup_clusters" ->
-      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
-         |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),
-         |s AS (SELECT DISTINCT doc_id,
-         |  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)] AS sh FROM pos),
+      s"""WITH $wordShingleCtes,
          |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
          |          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),

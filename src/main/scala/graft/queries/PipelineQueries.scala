@@ -66,17 +66,20 @@ object PipelineQueries {
     },
     // The two halves of the engine composed: the corpus's MinHash-LSH band
     // buckets are PUBLISHED AS A KV DOMAIN (key = (band, band_hash), value
-    // = member doc ids), and an incoming delta dedups against it by point
-    // lookup — candidate generation touches only the delta's band keys
-    // (pruned lookupJoin), never the corpus bands, then candidates get the
-    // exact Jaccard verify. The reference's whole purpose (batch-built
-    // domains, point-queried) applied to the pipeline's dedup index; at
-    // 100 TB the published index is how a daily delta avoids re-banding
-    // the full corpus. Banding recall at the threshold is ~1 - 6e-8
-    // (DedupQueries), so the oracle is the exact delta x corpus Jaccard.
+    // = member doc ids), and an incoming delta dedups against it by POINT
+    // LOOKUP — the delta's band keys are a bounded probe set (delta ≪
+    // corpus is the incremental contract), so multiGet prunes the index
+    // scan to the probed shards and bloom sidecars answer definite misses
+    // with zero I/O; candidates then get the exact Jaccard verify. (A
+    // jumbo delta would switch to multiGet(broadcastKeys = false) — one
+    // linear co-shuffled join — rather than pretending to point-look-up.)
+    // The reference's whole purpose (batch-built domains, point-queried)
+    // applied to the pipeline's dedup index; at 100 TB the published index
+    // is how a daily delta avoids re-banding the full corpus. Banding
+    // recall at the threshold is ~1 - 6e-8 (DedupQueries), so the oracle
+    // is the exact delta x corpus Jaccard.
     "pipeline_dedup_index" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
-      val delta = docs.where(col("doc_id") % DeltaMod === 0)
       val store = Fixtures.domain(s, dir, "dedup-band-index", DomainSpec(numShards = 8)) {
         (st, sp) =>
           val corpus = Fixtures.table(sp, dir, "documents")
@@ -92,20 +95,25 @@ object PipelineQueries {
                 utf8_bytes(col("ids")).as("value")),
             version = 1L)
       }
+      // ONE shingle table feeds both the delta's signatures and the exact
+      // verify (the minHashPairs pattern): its collect_set aggregate ends
+      // in an exchange ReuseExchange shares, so delta text is tokenized
+      // once, not once per consumer.
+      val sh = Dedup.wordShingles(docs, "doc_id", "text")
       val deltaBands = Dedup.lshBands(
-        Dedup.minHashSignatures(Dedup.wordShingles(delta, "doc_id", "text")))
-      val cand = store.lookupJoin(
-          deltaBands.select(
-            col("id").as("id_a"),
-            composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key")))
+        Dedup.minHashSignatures(sh.where(col("id") % DeltaMod === 0)))
+      val probes = deltaBands.select(
+        col("id").as("id_a"),
+        composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
+      val hits = store.multiGet(probes.select(col("key")))
         .where(col("value").isNotNull)
+      val cand = probes.join(hits, "key")
         .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
         .select(col("id_a"), col("cid").cast("long").as("id_b"))
         .distinct()
-      // Exact verify over the union shingle table (id spaces are disjoint
+      // Exact verify over the shared shingle table (id spaces are disjoint
       // by the parity split, so orientation is unambiguous).
-      Dedup.exactJaccardOfCandidates(
-          Dedup.wordShingles(docs, "doc_id", "text"), cand, DedupQueries.MinHashThreshold)
+      Dedup.exactJaccardOfCandidates(sh, cand, DedupQueries.MinHashThreshold)
         .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
     })
 
@@ -168,10 +176,7 @@ object PipelineQueries {
     // Delta-vs-corpus exact word-3gram Jaccard — what the banded index
     // lookup + verify must equal at ~1 recall.
     "pipeline_dedup_index" ->
-      s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
-         |pos AS (SELECT doc_id, ts, unnest(range(1, greatest(len(ts)-2, 0)+1)) AS i FROM tok),
-         |s AS (SELECT DISTINCT doc_id,
-         |  ts[CAST(i AS INT)] || ' ' || ts[CAST(i+1 AS INT)] || ' ' || ts[CAST(i+2 AS INT)] AS sh FROM pos),
+      s"""WITH ${DedupQueries.wordShingleCtes},
          |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
          |inter AS (SELECT d.doc_id AS delta_id, x.doc_id AS corpus_id, count(*) AS i
          |          FROM s d JOIN s x ON d.sh = x.sh
