@@ -105,8 +105,9 @@ object PipelineQueries {
       val probes = deltaBands.select(
         col("id").as("id_a"),
         composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
-      val hits = store.multiGet(probes.select(col("key")))
-        .where(col("value").isNotNull)
+      // hits-only: a missed band key just means "no candidates there", so
+      // the miss-materialization scan multiGet normally pays is skipped
+      val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
       val cand = probes.join(hits, "key")
         .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
         .select(col("id_a"), col("cid").cast("long").as("id_b"))

@@ -279,14 +279,24 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * a bulk enrichment rather than a lookup — pass `broadcastKeys = false`
    * to get a co-shuffled sort-merge join instead (no pruning: a huge key
    * set touches every shard anyway).
+   *
+   * `includeMisses = false` returns HITS ONLY and skips the miss
+   * machinery — the key-only probe scan and its collect exist solely to
+   * materialize null rows, which is wasted work for callers that would
+   * filter them out (candidate generation against an index domain: a
+   * miss just means "no candidates").
    */
-  def multiGet(keys: DataFrame, broadcastKeys: Boolean = true): DataFrame = {
+  def multiGet(
+      keys: DataFrame,
+      broadcastKeys: Boolean = true,
+      includeMisses: Boolean = true): DataFrame = {
     val spark = keys.sparkSession
     import spark.implicits._
     val n = numShards
     val keySet = keys.select(col("key")).distinct()
     if (!broadcastKeys) {
-      return keySet.join(read(spark).select("key", "value"), Seq("key"), "left_outer")
+      val joinType = if (includeMisses) "left_outer" else "inner"
+      return keySet.join(read(spark).select("key", "value"), Seq("key"), joinType)
     }
     // The key set is small by contract (it is broadcast below), so routing
     // happens on the driver — exactly where the reference's client
@@ -306,11 +316,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     }
     val knownMisses = indexMisses.toSeq
       .map(r => (r.getAs[Array[Byte]](0), null: Array[Byte])).toDF("key", "value")
-    if (maybeRows.isEmpty) return knownMisses
+    if (maybeRows.isEmpty) return if (includeMisses) knownMisses else knownMisses.limit(0)
     val localKeys = maybeRows.map(_.getAs[Array[Byte]](0))
     val shards = maybeRows.map(_.getInt(1)).distinct
     val pruned = readVersion(spark, version).where(col("shard").isin(shards.toIndexedSeq: _*))
     val keysDf = localKeys.toSeq.toDF("key")
+    val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
+      .select(col("key"), col("value"))
+    if (!includeMisses) return hits
     // Found keys via a key-column-only scan of the pruned shards (column
     // pruning keeps value pages unread); bounded by the key set.
     val found = pruned.select("key")
@@ -320,8 +333,6 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val misses = localKeys
       .filter(k => !found.contains(java.nio.ByteBuffer.wrap(k)))
       .toSeq.map(k => (k, null: Array[Byte])).toDF("key", "value")
-    val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
-      .select(col("key"), col("value"))
     hits.unionByName(misses).unionByName(knownMisses)
   }
 

@@ -265,6 +265,13 @@ class DomainStoreSpec extends SparkSuite {
       .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
     assert(bulk === got)
+    // hits-only mode == the full result minus its null rows, on both paths
+    for (bc <- Seq(true, false)) {
+      val hitsOnly = store.multiGet(keys, broadcastKeys = bc, includeMisses = false)
+        .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+      assert(hitsOnly === got.filter(_._2.nonEmpty), s"broadcastKeys=$bc")
+    }
   }
 
   test("memory persistence format (S11): full battery on ramfs, no disk") {
