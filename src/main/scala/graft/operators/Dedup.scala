@@ -498,4 +498,63 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /**
+   * A corpus's MinHash-LSH band buckets as publishable KV rows — key =
+   * (band:int_be, band_hash:long_be), value = comma-joined member doc
+   * ids. Publish with `DomainStore.write` to get a versioned, sharded
+   * dedup INDEX that later deltas probe by point lookup
+   * ([[dedupAgainstIndex]]) — at 100 TB this is how a daily delta avoids
+   * re-banding the full corpus (the engine's KV half applied to its
+   * pipeline half). Ids are sorted for deterministic bytes; bucket
+   * membership, not order, carries the semantics.
+   */
+  def bandIndexKv(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
+    lshBands(minHashSignatures(wordShingles(corpus, idCol, textCol)))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
+      .select(
+        composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"),
+        utf8_bytes(col("ids")).as("value"))
+  }
+
+  /**
+   * Dedup `incoming` docs against a PUBLISHED [[bandIndexKv]] domain:
+   * band the incoming docs, probe the index with hits-only point lookups
+   * (`multiGet(includeMisses = false)` — the incoming band keys are a
+   * bounded probe set by the incremental contract, so the index scan
+   * prunes to their shards and bloom sidecars kill definite misses; a
+   * miss just means "no candidates"), then exact-verify candidates with
+   * the true Jaccard against `corpus`. Incoming and corpus id spaces
+   * must be disjoint (pairs are oriented incoming -> corpus).
+   *
+   * Output: (delta_id, corpus_id, jaccard), one row per verified pair —
+   * banding recall at the threshold is ~1 - 6e-8 (see [[minHashPairs]]),
+   * so this equals the exhaustive incoming x corpus Jaccard.
+   */
+  def dedupAgainstIndex(
+      store: graft.store.DomainStore,
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.{bytes_utf8, composite_key, int_be, long_be}
+    // ONE incoming shingle table feeds both the signatures and the verify
+    // union (its collect_set aggregate ends in an exchange ReuseExchange
+    // shares), so incoming text is tokenized once.
+    val shIn = wordShingles(incoming, idCol, textCol)
+    val sh = wordShingles(corpus, idCol, textCol).unionByName(shIn)
+    val probes = lshBands(minHashSignatures(shIn)).select(
+      col("id").as("id_a"),
+      composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
+    val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+    val cand = probes.join(hits, "key")
+      .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
+      .select(col("id_a"), col("cid").cast("long").as("id_b"))
+      .distinct()
+    exactJaccardOfCandidates(sh, cand, threshold)
+      .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
+  }
 }

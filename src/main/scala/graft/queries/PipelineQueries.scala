@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.DomainSpec
-import graft.functions.{bytes_utf8, composite_key, int_be, long_be, utf8_bytes}
 import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
 
 /**
@@ -82,40 +81,17 @@ object PipelineQueries {
       val docs = Fixtures.table(s, dir, "documents")
       val store = Fixtures.domain(s, dir, "dedup-band-index", DomainSpec(numShards = 8)) {
         (st, sp) =>
-          val corpus = Fixtures.table(sp, dir, "documents")
-            .where(col("doc_id") % DeltaMod =!= 0)
-          val bands = Dedup.lshBands(
-            Dedup.minHashSignatures(Dedup.wordShingles(corpus, "doc_id", "text")))
           st.write(
-            bands
-              .groupBy(col("band"), col("band_hash"))
-              .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
-              .select(
-                composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"),
-                utf8_bytes(col("ids")).as("value")),
+            Dedup.bandIndexKv(
+              Fixtures.table(sp, dir, "documents").where(col("doc_id") % DeltaMod =!= 0),
+              "doc_id", "text"),
             version = 1L)
       }
-      // ONE shingle table feeds both the delta's signatures and the exact
-      // verify (the minHashPairs pattern): its collect_set aggregate ends
-      // in an exchange ReuseExchange shares, so delta text is tokenized
-      // once, not once per consumer.
-      val sh = Dedup.wordShingles(docs, "doc_id", "text")
-      val deltaBands = Dedup.lshBands(
-        Dedup.minHashSignatures(sh.where(col("id") % DeltaMod === 0)))
-      val probes = deltaBands.select(
-        col("id").as("id_a"),
-        composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
-      // hits-only: a missed band key just means "no candidates there", so
-      // the miss-materialization scan multiGet normally pays is skipped
-      val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
-      val cand = probes.join(hits, "key")
-        .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
-        .select(col("id_a"), col("cid").cast("long").as("id_b"))
-        .distinct()
-      // Exact verify over the shared shingle table (id spaces are disjoint
-      // by the parity split, so orientation is unambiguous).
-      Dedup.exactJaccardOfCandidates(sh, cand, DedupQueries.MinHashThreshold)
-        .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
+      Dedup.dedupAgainstIndex(
+        store,
+        docs.where(col("doc_id") % DeltaMod === 0),
+        docs.where(col("doc_id") % DeltaMod =!= 0),
+        "doc_id", "text", DedupQueries.MinHashThreshold)
     })
 
   def oracleSql: Map[String, String] = Map(

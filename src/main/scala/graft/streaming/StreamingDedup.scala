@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+import graft.store.DomainStore
+
+/**
+ * Streaming dedup-on-ingest against a PUBLISHED band-index domain — the
+ * incremental-dedup loop of a live pipeline: a corpus's MinHash-LSH band
+ * index is published once ([[Dedup.bandIndexKv]] + `DomainStore.write`),
+ * and every arriving micro-batch of documents probes it by point lookup
+ * and appends its verified duplicate pairs. The reference's updater-cycle
+ * shape (`foreachBatch`) is REQUIRED here, not just convenient:
+ * [[Dedup.dedupAgainstIndex]]'s probe routes keys driver-side (multiGet),
+ * which is a batch operation — foreachBatch hands each micro-batch over
+ * as a plain DataFrame, exactly like [[StreamingDomain.upsertStream]]
+ * publishes versions.
+ *
+ * Per-batch work is O(batch + its candidates): banding and verification
+ * touch only the arriving docs (plus the corpus rows named by their
+ * candidate pairs), never re-banding the indexed corpus. Batch/stream
+ * equivalence is pinned in StreamingSpec: because pairs are per-incoming-
+ * doc independent, the union of per-batch outputs equals the one-shot
+ * batch probe of the whole delta.
+ */
+object StreamingDedup {
+
+  def dedupAgainstIndexToFiles(
+      store: DomainStore,
+      docStream: DataFrame,
+      corpus: DataFrame,
+      threshold: Double,
+      outDir: String,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    docStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.dedupAgainstIndex(store, batch, corpus, "doc_id", "text", threshold)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+}

@@ -189,6 +189,63 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup against a published band index == batch probe (multi-batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.core.DomainSpec
+    import graft.operators.Dedup
+    import graft.store.DomainStore
+    // Seeded synthetic corpus with planted cross-parity duplicates: the
+    // index is built from odd-ids, the delta (even ids) contains copies of
+    // 8 corpus docs (guaranteed pairs) and 5 fresh docs (guaranteed none).
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = Seq.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpusRows = (0 until 40).map(i => (i * 10L + 1, doc()))
+    val deltaRows = corpusRows.take(8).zipWithIndex.map { case ((_, t), i) => (1000L + i * 10, t) } ++
+      (0 until 5).map(i => (2000L + i * 10, doc()))
+    val corpusDf = corpusRows.toDF("doc_id", "text")
+
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val store = DomainStore.create(scratch("sdi-index"), DomainSpec(4), conf)
+    store.write(Dedup.bandIndexKv(corpusDf, "doc_id", "text"), 1L)
+
+    // Two micro-batches of delta docs (split by id parity of /10).
+    val dir = scratch("sdi-stream")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val (b0, b1) = deltaRows.partition(_._1 / 10 % 2 == 0)
+    val (d0, d1) = (scratch("sdi-b0"), scratch("sdi-b1")) // scratch() deletes: call once
+    b0.toDF("doc_id", "text").coalesce(1).write.parquet(d0)
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(d1)
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(d0, s"$dir/docs-0.parquet")
+    stage(d1, s"$dir/docs-1.parquet")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+    val outDir = scratch("sdi-out")
+    val q = StreamingDedup.dedupAgainstIndexToFiles(
+      store, stream, corpusDf, 0.8, outDir, scratch("sdi-ckpt"), "sdi_stream_test")
+    try q.awaitTermination() finally q.stop()
+
+    def normalize(r: Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val streamed = spark.read.parquet(outDir).collect().map(normalize).toSet
+    val batch = Dedup.dedupAgainstIndex(
+        store, deltaRows.toDF("doc_id", "text"), corpusDf, "doc_id", "text", 0.8)
+      .collect().map(normalize).toSet
+    assert(streamed === batch)
+    // the 8 planted copies must all be found (jaccard 1 pairs)
+    assert(batch.count(_._3 == 1.0) >= 8)
+  }
+
   test("stateful streaming sessionization == batch sessionStats (multi-batch)") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-sessions")
