@@ -527,7 +527,23 @@ object Dedup {
    * prunes to their shards and bloom sidecars kill definite misses; a
    * miss just means "no candidates"), then exact-verify candidates with
    * the true Jaccard against `corpus`. Incoming and corpus id spaces
-   * must be disjoint (pairs are oriented incoming -> corpus).
+   * must be disjoint (pairs are oriented incoming -> corpus), and ids
+   * must be INTEGRAL (they round-trip through the index values as
+   * decimal strings — fail loud here, not as an ANSI cast error later).
+   *
+   * Per-call cost is O(incoming + candidates), NOT O(corpus): the verify
+   * shingles only the corpus rows named by candidate pairs (semi-join
+   * first), the incoming shingle table is persisted for the call's two
+   * actions (the probe's driver-side key routing, then the verify) and
+   * dropped before returning, and the candidate set is checkpointed so
+   * the band pipeline never re-runs. Only the small result/candidate
+   * blocks outlive the call (ContextCleaner-reaped — the
+   * ngramJaccardPairs pattern).
+   *
+   * `broadcastKeys = false` is the jumbo-batch escape hatch: a backlog
+   * batch whose band keys are too many to collect/broadcast switches the
+   * probe to the co-shuffled join (no pruning — such a batch touches
+   * every shard anyway).
    *
    * Output: (delta_id, corpus_id, jaccard), one row per verified pair —
    * banding recall at the threshold is ~1 - 6e-8 (see [[minHashPairs]]),
@@ -539,22 +555,35 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      broadcastKeys: Boolean = true): DataFrame = {
     import graft.functions.{bytes_utf8, composite_key, int_be, long_be}
-    // ONE incoming shingle table feeds both the signatures and the verify
-    // union (its collect_set aggregate ends in an exchange ReuseExchange
-    // shares), so incoming text is tokenized once.
-    val shIn = wordShingles(incoming, idCol, textCol)
-    val sh = wordShingles(corpus, idCol, textCol).unionByName(shIn)
-    val probes = lshBands(minHashSignatures(shIn)).select(
-      col("id").as("id_a"),
-      composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
-    val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
-    val cand = probes.join(hits, "key")
-      .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
-      .select(col("id_a"), col("cid").cast("long").as("id_b"))
-      .distinct()
-    exactJaccardOfCandidates(sh, cand, threshold)
-      .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq("incoming" -> incoming, "corpus" -> corpus).foreach { case (side, df) =>
+      df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"dedupAgainstIndex: $side id column '$idCol' must be integral " +
+            s"(ids travel through index values as decimal strings), got ${other.simpleString}")
+      }
+    }
+    val shIn = wordShingles(incoming, idCol, textCol).persist()
+    try {
+      val probes = lshBands(minHashSignatures(shIn)).select(
+        col("id").as("id_a"),
+        composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
+      val hits = store.multiGet(probes.select(col("key")), broadcastKeys, includeMisses = false)
+      val cand = probes.join(hits, "key")
+        .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
+        .select(col("id_a"), col("cid").cast("long").as("id_b"))
+        .distinct()
+        .localCheckpoint(true)
+      val corpusNeeded = corpus.join(
+        cand.select(col("id_b")).distinct(), col(idCol) === col("id_b"), "left_semi")
+      val sh = wordShingles(corpusNeeded, idCol, textCol).unionByName(shIn)
+      exactJaccardOfCandidates(sh, cand, threshold)
+        .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally shIn.unpersist()
   }
 }

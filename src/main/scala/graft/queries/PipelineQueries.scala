@@ -79,7 +79,12 @@ object PipelineQueries {
     // is the exact delta x corpus Jaccard.
     "pipeline_dedup_index" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
-      val store = Fixtures.domain(s, dir, "dedup-band-index", DomainSpec(numShards = 8)) {
+      // Bloom sidecars are what make index probes cheap (band keys are
+      // overwhelmingly misses): without the indexer, mightContain is
+      // constantly true and the advertised zero-I/O miss path never runs.
+      val spec = DomainSpec(
+        numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName)
+      val store = Fixtures.domain(s, dir, "dedup-band-index", spec) {
         (st, sp) =>
           st.write(
             Dedup.bandIndexKv(

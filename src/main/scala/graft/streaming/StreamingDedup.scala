@@ -27,6 +27,17 @@ import graft.store.DomainStore
  */
 object StreamingDedup {
 
+  /**
+   * Callers bound catch-up batches at the SOURCE (`maxFilesPerTrigger` /
+   * `maxBytesPerTrigger`) — AvailableNow otherwise processes a whole
+   * backlog as one batch; `broadcastKeys = false` is the matching probe
+   * escape hatch for a batch whose band keys are too many to broadcast.
+   * Output lands in one `batch=<id>` directory per micro-batch,
+   * OVERWRITTEN on replay: foreachBatch is at-least-once, and an
+   * append-mode sink would duplicate every pair of a batch replayed
+   * after a crash-between-commit-and-checkpoint (readers see the extra
+   * `batch` partition column; `spark.read.parquet(outDir)` handles it).
+   */
   def dedupAgainstIndexToFiles(
       store: DomainStore,
       docStream: DataFrame,
@@ -34,14 +45,15 @@ object StreamingDedup {
       threshold: Double,
       outDir: String,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      broadcastKeys: Boolean = true): StreamingQuery =
     docStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Dedup.dedupAgainstIndex(store, batch, corpus, "doc_id", "text", threshold)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Dedup.dedupAgainstIndex(store, batch, corpus, "doc_id", "text", threshold, broadcastKeys)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
 }

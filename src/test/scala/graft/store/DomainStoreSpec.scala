@@ -272,6 +272,19 @@ class DomainStoreSpec extends SparkSuite {
         .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
       assert(hitsOnly === got.filter(_._2.nonEmpty), s"broadcastKeys=$bc")
     }
+    // ...and on an INDEXED domain, where sidecar-known misses take the
+    // separate knownMisses branches (incl. the all-miss probe that used
+    // to return early with the miss rows)
+    val ixStore = DomainStore.create(scratch("mg-ix"),
+      DomainSpec(4, indexer = classOf[BloomKeyIndexer].getName), conf)
+    ixStore.write(kv("a" -> "1", "b" -> "2"), 1L)
+    val ixHits = ixStore.multiGet(keys, includeMisses = false)
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(ixHits === Map("a" -> Some("1")))
+    val allMiss = ixStore.multiGet(kv("zz" -> "").select(col("key")), includeMisses = false)
+    assert(allMiss.collect().isEmpty)
+    assert(allMiss.columns.toSeq === Seq("key", "value"))
   }
 
   test("memory persistence format (S11): full battery on ramfs, no disk") {

@@ -208,7 +208,8 @@ class StreamingSpec extends SparkSuite {
     val corpusDf = corpusRows.toDF("doc_id", "text")
 
     val conf = new org.apache.hadoop.conf.Configuration()
-    val store = DomainStore.create(scratch("sdi-index"), DomainSpec(4), conf)
+    val store = DomainStore.create(scratch("sdi-index"),
+      DomainSpec(4, indexer = classOf[graft.store.BloomKeyIndexer].getName), conf)
     store.write(Dedup.bandIndexKv(corpusDf, "doc_id", "text"), 1L)
 
     // Two micro-batches of delta docs (split by id parity of /10).
