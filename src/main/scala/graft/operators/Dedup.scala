@@ -533,12 +533,12 @@ object Dedup {
    *
    * Per-call cost is O(incoming + candidates), NOT O(corpus): the verify
    * shingles only the corpus rows named by candidate pairs (semi-join
-   * first), the incoming shingle table is persisted for the call's two
-   * actions (the probe's driver-side key routing, then the verify) and
-   * dropped before returning, and the candidate set is checkpointed so
-   * the band pipeline never re-runs. Only the small result/candidate
-   * blocks outlive the call (ContextCleaner-reaped — the
-   * ngramJaccardPairs pattern).
+   * first), the incoming shingle table is persisted across every action
+   * issued before the finally-unpersist (the probe's driver-side key
+   * routing, the candidate checkpoint, the result checkpoint), and the
+   * candidate set is checkpointed so the band pipeline never re-runs.
+   * Only the small result/candidate blocks outlive the call
+   * (ContextCleaner-reaped — the ngramJaccardPairs pattern).
    *
    * `broadcastKeys = false` is the jumbo-batch escape hatch: a backlog
    * batch whose band keys are too many to collect/broadcast switches the
@@ -578,8 +578,12 @@ object Dedup {
         .select(col("id_a"), col("cid").cast("long").as("id_b"))
         .distinct()
         .localCheckpoint(true)
-      val corpusNeeded = corpus.join(
-        cand.select(col("id_b")).distinct(), col(idCol) === col("id_b"), "left_semi")
+      // project corpus to its two named columns and probe under a
+      // reserved name: a wide corpus carrying its own `id_b` column would
+      // otherwise make the join condition ambiguous (left_semi already
+      // deduplicates, so no distinct pass on the candidate ids)
+      val corpusNeeded = corpus.select(col(idCol), col(textCol)).join(
+        cand.select(col("id_b").as("_cand_id")), col(idCol) === col("_cand_id"), "left_semi")
       val sh = wordShingles(corpusNeeded, idCol, textCol).unionByName(shIn)
       exactJaccardOfCandidates(sh, cand, threshold)
         .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
