@@ -74,13 +74,18 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs >= threshold via the shingle inverted
     * index. Quadratic blowup on common shingles — use on samples; the
-    * corpus-scale path is [[minHashPairs]]. */
+    * corpus-scale path is [[minHashPairs]]. The audit contract is
+    * ENFORCED, not advisory: more than `maxRows` input documents throws
+    * (bounded limit+1 probe) instead of launching an O(sum df^2) join
+    * over a full corpus. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      n: Int = ShingleSize): DataFrame = {
+      n: Int = ShingleSize,
+      maxRows: Long = AuditBound.MaxAuditRows): DataFrame = {
+    AuditBound.check(df, maxRows, "ngramJaccardPairs", "minHashPairs (or prefixFilteredJaccardPairs)")
     // Three consumers (both join sides + the size aggregate) share the
     // char-shingle table; caching it columnar is measurably faster than
     // exchange reuse or a row-block checkpoint for the quadratic join.
@@ -455,13 +460,19 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively
-    * (O(N^2) — the audit/oracle twin of [[simHashPairsBanded]]). */
-  def simHashPairs(simhashes: DataFrame, maxDist: Int): DataFrame =
+    * (O(N^2) — the audit/oracle twin of [[simHashPairsBanded]]). Enforced
+    * audit bound: > `maxRows` sketches throws (see [[AuditBound]]). */
+  def simHashPairs(
+      simhashes: DataFrame,
+      maxDist: Int,
+      maxRows: Long = AuditBound.MaxAuditRows): DataFrame = {
+    AuditBound.check(simhashes, maxRows, "simHashPairs", "simHashPairsBanded")
     simhashes.as("a")
       .join(simhashes.as("b"), col("a.id") < col("b.id"))
       .withColumn("dist", expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
       .where(col("dist") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+  }
 
   /**
    * Corpus-scale SimHash pairing: band the 32-bit sketch into `chunks`
@@ -540,10 +551,11 @@ object Dedup {
    * Only the small result/candidate blocks outlive the call
    * (ContextCleaner-reaped — the ngramJaccardPairs pattern).
    *
-   * `broadcastKeys = false` is the jumbo-batch escape hatch: a backlog
-   * batch whose band keys are too many to collect/broadcast switches the
-   * probe to the co-shuffled join (no pruning — such a batch touches
-   * every shard anyway).
+   * Jumbo batches need no escape hatch: multiGet's bounded decision
+   * probe switches to the co-shuffled join on its own when a backlog
+   * delta's band keys exceed [[graft.store.DomainStore.MaxDriverKeys]]
+   * (no pruning — such a batch touches every shard anyway), so no flag
+   * the caller could forget can driver-OOM this path.
    *
    * Output: (delta_id, corpus_id, jaccard), one row per verified pair —
    * banding recall at the threshold is ~1 - 6e-8 (see [[minHashPairs]]),
@@ -555,8 +567,7 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double,
-      broadcastKeys: Boolean = true): DataFrame = {
+      threshold: Double): DataFrame = {
     import graft.functions.{bytes_utf8, composite_key, int_be, long_be}
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     Seq("incoming" -> incoming, "corpus" -> corpus).foreach { case (side, df) =>
@@ -572,12 +583,22 @@ object Dedup {
       val probes = lshBands(minHashSignatures(shIn)).select(
         col("id").as("id_a"),
         composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
-      val hits = store.multiGet(probes.select(col("key")), broadcastKeys, includeMisses = false)
+      val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
       val cand = probes.join(hits, "key")
         .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
         .select(col("id_a"), col("cid").cast("long").as("id_b"))
         .distinct()
         .localCheckpoint(true)
+      // The incoming/corpus id spaces must be DISJOINT (pairs are oriented
+      // incoming -> corpus; an overlapping id would silently merge both
+      // documents' shingle sets in the verify union below). A candidate
+      // pairing an id with itself is proof of overlap — fail loud, like
+      // the integral-id contract above (one cheap probe on the tiny
+      // checkpointed candidate set).
+      val clash = cand.where(col("id_a").cast("long") === col("id_b")).limit(1).collect()
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"dedupAgainstIndex: id ${clash(0).get(1)} appears on both the incoming and corpus " +
+          "sides — id spaces must be disjoint (pairs are oriented incoming -> corpus)")
       // project corpus to its two named columns and probe under a
       // reserved name: a wide corpus carrying its own `id_b` column would
       // otherwise make the join condition ambiguous (left_semi already

@@ -44,8 +44,16 @@ object Similarity {
 
   /** All pairs with cosine >= threshold (embedding near-dup dedup).
     * Exact O(N^2/2) — the audit/oracle twin of [[nearDupPairsBucketed]];
-    * use on samples. */
-  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    * use on samples. Enforced audit bound: > `maxRows` input rows throws
+    * (bounded limit+1 probe — see [[Dedup]]'s AuditBound) instead of
+    * launching the cross join over a full corpus. */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxRows: Long = AuditBound.MaxAuditRows): DataFrame = {
+    AuditBound.check(df, maxRows, "nearDupPairs", "nearDupPairsBucketed")
     val p = prepared(df, idCol, vecCol)
     p.as("a")
       .join(p.as("b"), col("a.id") < col("b.id"))
@@ -101,13 +109,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Exact top-k neighbors for each query vector (queries broadcast). */
+  /** Exact top-k neighbors for each query vector (queries broadcast).
+    * The exact O(Q x N) baseline of [[annTopK]]/[[ivfTopK]]; the corpus
+    * side carries an enforced bound (> `maxCorpusRows` throws via a
+    * limit+1 probe) so the brute-force path cannot be pointed at a full
+    * 100 TB corpus by accident. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      maxCorpusRows: Long = AuditBound.MaxBruteForceCorpusRows): DataFrame = {
+    AuditBound.check(corpus, maxCorpusRows, "bruteForceTopK", "annTopK (or ivfTopK)")
     val c = prepared(corpus, idCol, vecCol)
     val q = prepared(queries, idCol, vecCol)
       .select(col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
@@ -513,8 +527,10 @@ object Similarity {
    * rows — bootstrap a corpus-wide quality/topic/domain label from a
    * labeled seed set, embedding-space style. Ties break deterministically
    * on (votes DESC, label ASC). Output: (query_id, label_pred, n_votes);
-   * left rows whose buckets produced no candidates are absent (no
-   * neighbors = no evidence), like [[knnJoin]] itself.
+   * a left row is absent when its buckets produced no candidates (like
+   * [[knnJoin]] itself) AND when every one of its k neighbors has a null
+   * label — either way there is no voting evidence, and the oracle's
+   * `label IS NOT NULL` filter replays exactly that.
    *
    * Scale shape: [[knnJoin]]'s candidate pipeline plus one linear label
    * join and a (query_id, label) partial-agg vote — nothing new shuffles

@@ -70,8 +70,8 @@ object PipelineQueries {
     // corpus is the incremental contract), so multiGet prunes the index
     // scan to the probed shards and bloom sidecars answer definite misses
     // with zero I/O; candidates then get the exact Jaccard verify. (A
-    // jumbo delta would switch to multiGet(broadcastKeys = false) — one
-    // linear co-shuffled join — rather than pretending to point-look-up.)
+    // jumbo delta auto-switches — multiGet's bounded decision probe — to
+    // one linear co-shuffled join rather than pretending to point-look-up.)
     // The reference's whole purpose (batch-built domains, point-queried)
     // applied to the pipeline's dedup index; at 100 TB the published index
     // is how a daily delta avoids re-banding the full corpus. Banding

@@ -157,15 +157,22 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         // (speculation, a zombie executor) writing the final path
         // directly could interleave into a truncated sidecar that
         // survives publish. The artifact is deterministic for a shard,
-        // so whichever attempt renames first wins and the loser just
-        // discards its temp.
+        // so every interleaving of delete/rename across attempts lands
+        // the same bytes. The pre-rename delete also makes a REBUILD
+        // over a pre-existing sidecar (retry after a partial failure, an
+        // indexer/fpp config change on an unpublished version) replace
+        // the stale artifact on filesystems where rename-to-existing
+        // fails (HDFS) instead of silently keeping it. Worst case — an
+        // attempt deletes and dies before renaming — leaves no sidecar,
+        // which reads as "always maybe": slower, never wrong.
         val tmp = new Path(new Path(base, s"shard=$shard"),
           s"${Indexer.SidecarName}.${java.util.UUID.randomUUID()}.tmp")
         val fs = dst.getFileSystem(c)
         val out = fs.create(tmp, false)
         try out.write(artifact) finally out.close()
+        fs.delete(dst, false)
         if (!fs.rename(tmp, dst)) {
-          val lost = fs.exists(dst) // another attempt already committed
+          val lost = fs.exists(dst) // another attempt re-committed in between
           fs.delete(tmp, false)
           if (!lost) throw new java.io.IOException(
             s"buildIndex: could not commit sidecar $dst")
@@ -274,11 +281,16 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    *    key-column-only probe of the pruned shards and unioned back in as a
    *    local relation.
    *
-   * `keys` needs a `key: binary` column. Point-lookup batches are small by
-   * contract (they are broadcast); for key sets too large to broadcast —
-   * a bulk enrichment rather than a lookup — pass `broadcastKeys = false`
-   * to get a co-shuffled sort-merge join instead (no pruning: a huge key
-   * set touches every shard anyway).
+   * `keys` needs a `key: binary` column. The probe strategy is chosen by
+   * a BOUNDED decision probe, never a flag: the distinct key set is
+   * collected through `limit(maxDriverKeys + 1)`, so at most
+   * maxDriverKeys + 1 rows ever reach the driver. At or under the
+   * threshold the collected set IS the lookup batch (the point-lookup
+   * path: driver routing + pruned scan + broadcast join). Over it, the
+   * call is a bulk enrichment, not a lookup, and switches to a
+   * co-shuffled join of the distributed key set against the full scan —
+   * no pruning (a huge key set touches every shard anyway) and no
+   * driver materialization, so a jumbo batch can never driver-OOM.
    *
    * `includeMisses = false` returns HITS ONLY and skips the miss
    * machinery — the key-only probe scan and its collect exist solely to
@@ -288,37 +300,47 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    */
   def multiGet(
       keys: DataFrame,
-      broadcastKeys: Boolean = true,
-      includeMisses: Boolean = true): DataFrame = {
+      includeMisses: Boolean = true,
+      maxDriverKeys: Int = DomainStore.MaxDriverKeys): DataFrame = {
+    require(maxDriverKeys >= 0, s"maxDriverKeys must be >= 0, got $maxDriverKeys")
     val spark = keys.sparkSession
     import spark.implicits._
     val n = numShards
     val keySet = keys.select(col("key")).distinct()
-    if (!broadcastKeys) {
+    // One bounded action decides the path AND feeds the point-lookup
+    // path (the components-style limit+1 probe): a row count above the
+    // threshold proves the key set is "too big" without materializing
+    // more than maxDriverKeys + 1 rows.
+    val threshold = math.min(maxDriverKeys, Int.MaxValue - 1)
+    val probe = keySet.limit(threshold + 1).collect()
+    if (probe.length > threshold) {
       val joinType = if (includeMisses) "left_outer" else "inner"
       return keySet.join(read(spark).select("key", "value"), Seq("key"), joinType)
     }
-    // The key set is small by contract (it is broadcast below), so routing
-    // happens on the driver — exactly where the reference's client
-    // computed key -> shard (keyval/core.clj:118-134). Collecting it also
+    // The key set is small (proven by the probe), so routing happens on
+    // the driver — exactly where the reference's client computed
+    // key -> shard (keyval/core.clj:118-134). Holding it locally also
     // lets the miss set be computed locally, so the operator holds no
     // cache: nothing persists past the call (a long-lived session issuing
     // many multiGets pins zero blocks).
-    val keyRows = keySet.withColumn("shard", shard_index(col("key"), n)).collect()
-    require(!keyRows.exists(_.isNullAt(1)), "multiGet: key set contains a null key")
+    require(!probe.exists(_.isNullAt(0)), "multiGet: key set contains a null key")
+    val keyRows = probe.map { r =>
+      val k = r.getAs[Array[Byte]](0)
+      (k, ShardIndex.shardIndex(k, n))
+    }
     // Index pre-filter (W5): keys whose shard sidecar answers "definitely
     // absent" become misses with zero data I/O, and shards left with no
     // maybe-key drop out of the scan entirely. On an unindexed domain
     // mightContain is constantly true and this is the identity.
     val version = latestVersion
-    val (maybeRows, indexMisses) = keyRows.partition { r =>
-      mightContain(version, r.getInt(1), r.getAs[Array[Byte]](0))
+    val (maybeRows, indexMisses) = keyRows.partition { case (k, shard) =>
+      mightContain(version, shard, k)
     }
     val knownMisses = indexMisses.toSeq
-      .map(r => (r.getAs[Array[Byte]](0), null: Array[Byte])).toDF("key", "value")
+      .map { case (k, _) => (k, null: Array[Byte]) }.toDF("key", "value")
     if (maybeRows.isEmpty) return if (includeMisses) knownMisses else knownMisses.limit(0)
-    val localKeys = maybeRows.map(_.getAs[Array[Byte]](0))
-    val shards = maybeRows.map(_.getInt(1)).distinct
+    val localKeys = maybeRows.map(_._1)
+    val shards = maybeRows.map(_._2).distinct
     val pruned = readVersion(spark, version).where(col("shard").isin(shards.toIndexedSeq: _*))
     val keysDf = localKeys.toSeq.toDF("key")
     val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
@@ -339,8 +361,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   /**
    * Bulk enrichment join: attach each probe row's domain value (null when
    * absent) — the "huge key set" cousin of [[multiGet]], for probe sets
-   * that repeat keys (so `multiGet(broadcastKeys = false)`'s distinct
-   * would be wrong as an enrichment).
+   * that repeat keys (multiGet's distinct-then-join would be wrong as an
+   * enrichment).
    *
    * `salt > 1` is the skew escape hatch: a hot probe key otherwise lands
    * every one of its rows in a single shuffle task (the classic
@@ -597,6 +619,13 @@ object DomainStore {
   /** Shard-count / file-count threshold above which per-shard metadata
     * and copy work runs as a Spark job instead of on the driver. */
   val DefaultDistributeAbove: Int = 1024
+
+  /** Distinct-key threshold above which [[DomainStore.multiGet]] switches
+    * from the driver-routed point-lookup plan to the co-shuffled join.
+    * 256k keys x (key bytes + row overhead) is tens of MB on the driver —
+    * comfortably bounded — while every sane point-lookup batch (and the
+    * banded probe sets of an incremental dedup delta) sits far below it. */
+  val MaxDriverKeys: Int = 262144
 
   /** Hadoop `Configuration` is not serializable: distributed closures ship
     * it as plain entries and rebuild per partition — ONE definition for

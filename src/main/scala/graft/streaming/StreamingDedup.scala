@@ -30,8 +30,9 @@ object StreamingDedup {
   /**
    * Callers bound catch-up batches at the SOURCE (`maxFilesPerTrigger` /
    * `maxBytesPerTrigger`) — AvailableNow otherwise processes a whole
-   * backlog as one batch; `broadcastKeys = false` is the matching probe
-   * escape hatch for a batch whose band keys are too many to broadcast.
+   * backlog as one batch; a backlog batch whose band keys exceed
+   * multiGet's driver threshold switches to the co-shuffled probe on its
+   * own (the bounded decision probe in `DomainStore.multiGet`).
    * Output lands in one `batch=<id>` directory per micro-batch,
    * OVERWRITTEN on replay: foreachBatch is at-least-once, and an
    * append-mode sink would duplicate every pair of a batch replayed
@@ -45,14 +46,13 @@ object StreamingDedup {
       threshold: Double,
       outDir: String,
       checkpointDir: String,
-      queryName: String,
-      broadcastKeys: Boolean = true): StreamingQuery =
+      queryName: String): StreamingQuery =
     docStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Dedup.dedupAgainstIndex(store, batch, corpus, "doc_id", "text", threshold, broadcastKeys)
+        Dedup.dedupAgainstIndex(store, batch, corpus, "doc_id", "text", threshold)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()

@@ -468,6 +468,26 @@ class OperatorsSpec extends SparkSuite {
     assert(leaked.isEmpty, s"operators leaked persisted RDDs: ${leaked.mkString(", ")}")
   }
 
+  test("audit twins enforce their bound: oversized input throws, naming the scale twin") {
+    import spark.implicits._
+    val five = (0 until 5).map(i => (i.toLong, s"document number $i some words")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(five, "doc_id", "text", 0.5, maxRows = 4))
+    assert(e1.getMessage.contains("minHashPairs"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.simHashPairs(Dedup.simHash(five, "doc_id", "text"), 3, maxRows = 4))
+    assert(e2.getMessage.contains("simHashPairsBanded"))
+    val vecs = (0 until 5).map(i => (i.toLong, Array.fill(4)(i + 1.0f))).toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.9, maxRows = 4))
+    assert(e3.getMessage.contains("nearDupPairsBucketed"))
+    val e4 = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(vecs, vecs.limit(1), "vec_id", "embedding", 2, maxCorpusRows = 4))
+    assert(e4.getMessage.contains("annTopK"))
+    // at the cap exactly, the audit path runs (the bound is > max, not >=)
+    assert(Dedup.ngramJaccardPairs(five, "doc_id", "text", 0.0, maxRows = 5).count() >= 0)
+  }
+
   test("cosine: self-similarity is 1.0") {
     val p = Similarity.prepared(embs.limit(10), "vec_id", "embedding")
     val selfs = p.select(Similarity.dot(col("vec"), col("vec")) / (col("norm") * col("norm")))

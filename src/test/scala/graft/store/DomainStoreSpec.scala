@@ -260,17 +260,18 @@ class DomainStoreSpec extends SparkSuite {
       .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
     assert(got === Map("a" -> Some("1"), "zz" -> None))
-    // bulk (shuffle-join) path: same semantics, no broadcast
-    val bulk = store.multiGet(keys, broadcastKeys = false)
+    // bulk (shuffle-join) path, auto-selected when the key set exceeds
+    // the driver threshold: same semantics, no driver materialization
+    val bulk = store.multiGet(keys, maxDriverKeys = 1)
       .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
     assert(bulk === got)
     // hits-only mode == the full result minus its null rows, on both paths
-    for (bc <- Seq(true, false)) {
-      val hitsOnly = store.multiGet(keys, broadcastKeys = bc, includeMisses = false)
+    for (mdk <- Seq(DomainStore.MaxDriverKeys, 1)) {
+      val hitsOnly = store.multiGet(keys, includeMisses = false, maxDriverKeys = mdk)
         .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
         .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
-      assert(hitsOnly === got.filter(_._2.nonEmpty), s"broadcastKeys=$bc")
+      assert(hitsOnly === got.filter(_._2.nonEmpty), s"maxDriverKeys=$mdk")
     }
     // ...and on an INDEXED domain, where sidecar-known misses take the
     // separate knownMisses branches (incl. the all-miss probe that used
@@ -316,6 +317,30 @@ class DomainStoreSpec extends SparkSuite {
     // memory format on a disk root is rejected loudly
     intercept[IllegalArgumentException](
       DomainStore.create(scratch("mem-on-disk"), spec, conf))
+  }
+
+  test("multiGet auto-selects: jumbo key set takes the co-shuffled plan, never the driver") {
+    val store = DomainStore.create(scratch("mg-auto"), DomainSpec(4), conf)
+    store.write(kv((0 until 50).map(i => s"k$i" -> s"v$i"): _*), 1L)
+    // keys as a DISTRIBUTED relation (range scan, not a local relation),
+    // so any LocalTableScan in the plan can only be a driver-collected
+    // key set
+    val keys = spark.range(0, 60)
+      .select(utf8_bytes(concat(lit("k"), col("id").cast("string"))).as("key"))
+    val small = store.multiGet(keys)
+    assert(small.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "point-lookup path should route keys driver-side")
+    val jumbo = store.multiGet(keys, maxDriverKeys = 10)
+    assert(!jumbo.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "co-shuffled path must not materialize the key set on the driver:\n" +
+        jumbo.queryExecution.executedPlan.toString)
+    // identical results on both paths (50 hits + 10 misses)
+    def mat(df: DataFrame) = df
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    val (s, j) = (mat(small), mat(jumbo))
+    assert(j === s)
+    assert(s.size === 60 && s.count(_._2.isEmpty) === 10)
   }
 
   test("multiGet pins no cache: no persistent RDDs survive a round-trip") {
