@@ -57,6 +57,11 @@ object Plans {
         .select(col("o_orderkey"), long_be(col("o_custkey") % 50).as("key"))
       domain.lookupJoin(probe, salt = 8)
     }
+    dump("lookupJoin, small non-literal probe (expect: PartitionFilters shard IN — derived from the probe relation at plan time)") {
+      val probe = Fixtures.table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), long_be(col("o_custkey") % 3).as("key"))
+      domain.lookupJoin(probe)
+    }
     // IVF plan must not grow with nlist: centroids ride one broadcast, the
     // per-row argmin is a single NearestCellsExpr call either way.
     locally {

@@ -64,11 +64,63 @@ object DomainSpec {
 
   val FileName = "domain-spec.json"
 
+  /** The reference's spec file (DomainSpec.java:20) — read-compat only;
+    * this engine always writes [[FileName]]. */
+  val YamlFileName = "domain-spec.yaml"
+
   private[core] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
     m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
     m
+  }
+
+  /**
+   * Read-side shim for the reference's on-disk spec format, so
+   * `DomainStore.open` accepts a reference-layout domain directory
+   * (migration path). The reference persists the spec as YAML with keys
+   * `coordinator` / `shard_scheme` / `shard_count` / `persistence_opts`
+   * (DomainSpec.java:22-25, parseFromMap at DomainSpec.java:137-146); the
+   * server example uses the older `num_shards` / `local_persistence`
+   * spelling (elephantdb-server/example/domain-spec.yaml:1-2) — both are
+   * accepted. Storage engines map to their capability class per SURVEY
+   * §2.1: LevelDB -> orc-sorted, JavaBerkDB (and any other coordinator) ->
+   * parquet-sorted, the sorted point-lookup default. Only the hash-mod
+   * sharding scheme exists on either side (HashModScheme.java:7-11) — a
+   * foreign scheme fails loud, since silently re-routing keys would read
+   * the wrong shards.
+   */
+  def fromYaml(yaml: String): DomainSpec = {
+    import scala.jdk.CollectionConverters._
+    val loaded = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml)
+    require(loaded != null, "domain-spec.yaml is empty")
+    val m = loaded.asScala
+    def str(k: String): Option[String] =
+      m.get(k).collect { case s: String => s.trim }.filter(_.nonEmpty)
+    val numShards = m.get("shard_count").orElse(m.get("num_shards")) match {
+      case Some(n: Number) => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"domain-spec.yaml: shard_count/num_shards missing or non-numeric (got $other)")
+    }
+    str("shard_scheme").foreach { s =>
+      require(
+        s.endsWith(".HashModScheme"),
+        s"domain-spec.yaml names shard scheme '$s'; only hash-mod routing exists " +
+          "(reference HashModScheme) — opening under a different scheme would probe wrong shards")
+    }
+    val format = str("coordinator").orElse(str("local_persistence")) match {
+      case Some(c) if c.endsWith(".LevelDB") => OrcSorted
+      case _ => ParquetSorted
+    }
+    val opts = m.get("persistence_opts") match {
+      case Some(mm: java.util.Map[_, _]) =>
+        mm.asScala.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val spec = DomainSpec(numShards, HashMod, format, opts)
+    spec.validate()
+    spec
   }
 
   def fromJson(json: String): DomainSpec = {

@@ -374,11 +374,34 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * rewrite only. Correct for any salt: every probe row still matches
    * exactly one replica of its key, misses still null out (left outer on
    * both key and salt).
+   *
+   * `pruneShards` (default on) derives the probe's shard set at plan
+   * time — the runtime analog of ShardPruningRule for a
+   * small-but-not-literal probe relation (SURVEY §2.3 Q2) — so the
+   * domain scan reads bytes proportional to the probed shards, not the
+   * whole domain. The derivation is one partial-aggregated distinct of
+   * `shard_index(key)` over the probe: at most numShards ints ever reach
+   * the driver REGARDLESS of probe size, so unlike multiGet's key
+   * routing this needs no size threshold. A probe spanning every shard
+   * skips the filter (nothing to prune — and the extra probe pass is the
+   * only cost, one cheap scan). Pruning the right side of a left-outer
+   * join is semantics-free: a domain row outside the probed shards can
+   * match no probe key.
    */
-  def lookupJoin(rows: DataFrame, salt: Int = 1): DataFrame = {
+  def lookupJoin(rows: DataFrame, salt: Int = 1, pruneShards: Boolean = true): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val spark = rows.sparkSession
-    val dom = read(spark).select(col("key"), col("value"))
+    val scan =
+      if (!pruneShards) read(spark)
+      else {
+        val shardRows = rows
+          .select(shard_index(col("key"), numShards).as("s")).distinct().collect()
+        // null keys route nowhere (and match nothing in the join)
+        val shards = shardRows.collect { case r if !r.isNullAt(0) => r.getInt(0) }
+        if (shards.length >= numShards) read(spark)
+        else read(spark).where(col("shard").isin(shards.toIndexedSeq: _*))
+      }
+    val dom = scan.select(col("key"), col("value"))
     if (salt == 1) rows.join(dom, Seq("key"), "left_outer")
     else {
       val replicated = dom.withColumn(
@@ -727,19 +750,33 @@ object DomainStore {
   def exists(root: String, conf: Configuration): Boolean = {
     RamFileSystem.register(conf)
     val rootPath = new Path(root)
-    rootPath.getFileSystem(conf).exists(new Path(rootPath, DomainSpec.FileName))
+    val fs = rootPath.getFileSystem(conf)
+    fs.exists(new Path(rootPath, DomainSpec.FileName)) ||
+      fs.exists(new Path(rootPath, DomainSpec.YamlFileName))
   }
 
+  /** The engine's spec (`domain-spec.json`), falling back to the
+    * reference's `domain-spec.yaml` (DomainSpec.java:115-127) so a
+    * reference-layout domain dir opens unmodified — the version-token
+    * layout already matches, only the spec file needed a shim. */
   private def readSpec(root: Path, conf: Configuration): DomainSpec = {
     val fs = root.getFileSystem(conf)
-    val specPath = new Path(root, DomainSpec.FileName)
-    require(fs.exists(specPath), s"no ${DomainSpec.FileName} under $root")
-    val len = fs.getFileStatus(specPath).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(specPath)
-    try in.readFully(0L, buf)
-    finally in.close()
-    DomainSpec.fromJson(new String(buf, "UTF-8"))
+    def slurp(p: Path): String = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0L, buf)
+      finally in.close()
+      new String(buf, "UTF-8")
+    }
+    val jsonPath = new Path(root, DomainSpec.FileName)
+    val yamlPath = new Path(root, DomainSpec.YamlFileName)
+    if (fs.exists(jsonPath)) DomainSpec.fromJson(slurp(jsonPath))
+    else {
+      require(fs.exists(yamlPath),
+        s"no ${DomainSpec.FileName} or ${DomainSpec.YamlFileName} under $root")
+      DomainSpec.fromYaml(slurp(yamlPath))
+    }
   }
 
   /**

@@ -207,6 +207,40 @@ class DomainStoreSpec extends SparkSuite {
     assert(DomainStore.open(root, conf).spec === DomainSpec(4))
   }
 
+  test("reference-layout compat: domain-spec.yaml + version tokens open and read back") {
+    val root = scratch("yaml-compat")
+    val store = DomainStore.create(root, DomainSpec(4), conf)
+    val pairs = Seq("ya" -> "1", "yb" -> "2", "yc" -> "3")
+    store.write(kv(pairs: _*), 1L)
+    val fs = store.root.getFileSystem(conf)
+    // swap the engine spec for the reference's YAML (DomainSpec.java:22-25)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "domain-spec.json"), false)
+    val yaml =
+      """shard_count: 4
+        |shard_scheme: elephantdb.partition.HashModScheme
+        |coordinator: elephantdb.persistence.JavaBerkDB
+        |persistence_opts: {}
+        |""".stripMargin
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "domain-spec.yaml"), true)
+    out.write(yaml.getBytes("UTF-8")); out.close()
+    assert(DomainStore.exists(root, conf))
+    val re = DomainStore.open(root, conf)
+    assert(re.spec === DomainSpec(4))
+    assert(re.latestVersion === 1L)
+    assert(readPairs(re) === pairs.toSet)
+    assert(re.get(spark, utf8("yb")).map(new String(_, "UTF-8")) === Some("2"))
+    // the server example's legacy spelling (example/domain-spec.yaml:1-2)
+    assert(DomainSpec.fromYaml(
+      "num_shards: 64\nlocal_persistence: elephantdb.persistence.JavaBerkDB") === DomainSpec(64))
+    // LevelDB maps to the orc-sorted capability twin (SURVEY §2.1)
+    assert(DomainSpec.fromYaml(
+      "shard_count: 8\ncoordinator: elephantdb.persistence.LevelDB").persistenceFormat
+      === DomainSpec.OrcSorted)
+    // a foreign sharding scheme is rejected loudly (wrong-shard probes)
+    intercept[IllegalArgumentException](DomainSpec.fromYaml(
+      "shard_count: 4\nshard_scheme: com.example.RangeScheme"))
+  }
+
   test("ShardPruningRule: plain key filters prune partitions without manual routing") {
     val store = DomainStore.create(scratch("autoprune"), DomainSpec(8), conf)
     val pairs = (0 until 64).map(i => s"k$i" -> s"v$i")
@@ -412,6 +446,38 @@ class DomainStoreSpec extends SparkSuite {
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(back(destB) === back(destA))
     assert(back(destB) === pairs.toSet)
+  }
+
+  test("lookupJoin prunes the domain scan to a small non-literal probe's shards") {
+    val store = DomainStore.create(scratch("lj-prune"), DomainSpec(8), conf)
+    store.write(kv((0 until 64).map(i => s"k$i" -> s"v$i"): _*), 1L)
+    // probe = distributed relation (range), keys concentrated on 3 values —
+    // nothing literal anywhere, the pruning must be derived at plan time
+    val probe = spark.range(0, 20).select(
+      col("id").as("row_id"),
+      utf8_bytes(concat(lit("k"), (col("id") % 3).cast("string"))).as("key"))
+    val pruned = store.lookupJoin(probe)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [shard"), s"no partition filter in:\n$plan")
+    def mat(df: DataFrame) = df
+      .select(col("row_id"), bytes_utf8(col("value")))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(mat(pruned) === mat(store.lookupJoin(probe, pruneShards = false)))
+    assert(mat(pruned).forall(_._2.nonEmpty))
+    // misses survive pruning (absent key -> null value, never a lost row)
+    val withMiss = probe.unionByName(
+      spark.range(100, 103).select(
+        col("id").as("row_id"), utf8_bytes(lit("absent")).as("key")))
+    val got = mat(store.lookupJoin(withMiss))
+    assert(got === mat(store.lookupJoin(withMiss, pruneShards = false)))
+    assert(got.count(_._2.isEmpty) === 3)
+    // a probe spanning every shard skips the (useless) filter
+    val wide = spark.range(0, 64).select(
+      col("id").as("row_id"),
+      utf8_bytes(concat(lit("k"), col("id").cast("string"))).as("key"))
+    val widePlan = store.lookupJoin(wide).queryExecution.executedPlan.toString
+    assert(!widePlan.contains("PartitionFilters: [shard"),
+      s"full-coverage probe should not carry a pruning filter:\n$widePlan")
   }
 
   test("salted lookupJoin: equals the plain join AND spreads the hot key") {
