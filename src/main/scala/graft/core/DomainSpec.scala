@@ -54,8 +54,15 @@ object DomainSpec {
     * parquet layout on the JVM-local `ramfs://` filesystem — the whole
     * pipeline runs, nothing touches disk. Requires a ramfs:// root. */
   val Memory = "memory"
+
+  /** Servable local-KV format ([[graft.store.KvFile]]): per-shard sorted
+    * key/value run + offset index a non-Spark reader binary-searches —
+    * the reference's actual serving deliverable (JavaBerkDB.java:60-67,
+    * LevelDB.java:46-53 capability class). Spark reads it through the
+    * store's parse scan; point gets bypass Spark entirely. */
+  val KvSorted = "kv-sorted"
   val KnownSchemes: Set[String] = Set(HashMod)
-  val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory)
+  val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory, KvSorted)
 
   /** Sentinel for "no write-time index" — a string (not Option) so the
     * persisted JSON stays flat and a spec written before this field

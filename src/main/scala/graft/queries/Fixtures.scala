@@ -146,6 +146,16 @@ object Fixtures {
       store.write(customerKv(s, sfDir), version = 1L)
     }
 
+  /** customer domain on the servable kv-sorted local-KV format — per-shard
+    * sorted runs + offset index a non-Spark reader binary-searches (the
+    * reference's serving deliverable; third storage engine of the SPI). */
+  def customerKvFileDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "customer-kvfile",
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+    }
+
   /** lineitem as KV: key = 12-byte (orderkey BE ++ linenumber BE),
     * value = utf8 l_suppkey — the heavy KV fixture for bench. */
   def lineitemKv(spark: SparkSession, sfDir: String): DataFrame =

@@ -64,6 +64,15 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // S7 third engine: the servable kv-sorted local-KV format (per-shard
+    // sorted run + offset index, binary-searchable without Spark) must
+    // round-trip the exact pair set like any other engine.
+    "kv_kvfile_roundtrip" -> { (s, dir) =>
+      Fixtures.customerKvFileDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
     // Q6: getCount — through the metadata-only footer path, surfaced as a
     // one-row DataFrame so the oracle verifies the footer sum itself.
     "kv_count" -> { (s, dir) =>
@@ -144,6 +153,8 @@ object KvQueries {
       "kv_build_roundtrip" ->
         "SELECT c_custkey, c_name FROM customer",
       "kv_orc_roundtrip" ->
+        "SELECT c_custkey, c_name FROM customer",
+      "kv_kvfile_roundtrip" ->
         "SELECT c_custkey, c_name FROM customer",
       "kv_multiget" ->
         """WITH ks AS (

@@ -56,21 +56,26 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
   // ----------------------------------------------------------------- write
 
-  /** DataSource name for the domain's persistence format — the engine's
-    * storage-engine plug point (reference Coordinator SPI, S7: BDB vs
-    * LevelDB chosen per domain spec). Both formats are sorted and
-    * compressed; point-lookup row-group skipping on binary keys is a
-    * parquet capability only (ORC search arguments carry no BINARY
-    * predicate type), so `parquet-sorted` is the point-lookup engine and
-    * `orc-sorted` the scan-oriented alternative — shard-level partition
-    * pruning still applies to both. */
+  /** Storage-engine selector — the engine's Coordinator SPI plug point
+    * (reference S7: BDB vs LevelDB chosen per domain spec). `parquet` /
+    * `orc` are Spark datasources, both sorted and compressed; point-lookup
+    * row-group skipping on binary keys is a parquet capability only (ORC
+    * search arguments carry no BINARY predicate type), so `parquet-sorted`
+    * is the point-lookup engine and `orc-sorted` the scan-oriented
+    * alternative — shard-level partition pruning applies to both. `kv` is
+    * NOT a datasource: the servable [[KvFile]] format, written/parsed by
+    * this store directly (Spark scans decode it per shard; point gets
+    * binary-search it with no Spark job at all). */
   private val format: String = spec.persistenceFormat match {
     case DomainSpec.ParquetSorted => "parquet"
     case DomainSpec.OrcSorted => "orc"
     case DomainSpec.Memory => "parquet" // parquet layout on ramfs://
+    case DomainSpec.KvSorted => "kv"
     case f => throw new IllegalArgumentException(s"unsupported persistenceFormat '$f'")
   }
-  private val fileSuffix: String = if (format == "orc") ".orc" else ".parquet"
+  private val isKv: Boolean = format == "kv"
+  private val fileSuffix: String =
+    if (format == "orc") ".orc" else if (isKv) ".kv" else ".parquet"
 
   /** Datasource options every Spark read/write of this domain needs:
     * Spark folds them into the per-query Hadoop conf, which is how the
@@ -90,14 +95,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val kv0 = df.select(col("key"), col("value"))
     val kv = if (dedupKeys) kv0.dropDuplicates("key") else kv0
     try {
-      shardedSorted(kv)
-        .write
-        .format(format)
-        .option("compression", "zstd")
-        .options(spec.persistenceOptions) // engine tuning passthrough (reference persistenceOptions)
-        .options(fsOptions)
-        .partitionBy("shard")
-        .save(versions.versionPath(version).toString)
+      writeShards(kv, version)
       buildIndex(df.sparkSession, version, onlyShards = None)
       versions.succeedVersion(version)
     } catch {
@@ -105,6 +103,64 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         versions.failVersion(version)
         throw e
     }
+  }
+
+  /** Materialize the canonical sharded+sorted layout of a version — the
+    * shared write engine of [[write]] and [[upsert]]. Datasource formats
+    * go through Spark's writer; the kv format streams each shard's sorted
+    * run through [[KvFile.write]] inside the shard's own task. */
+  private def writeShards(kv: DataFrame, version: Long): Unit =
+    if (isKv) writeKvShards(kv, version)
+    else shardedSorted(kv)
+      .write
+      .format(format)
+      .option("compression", "zstd")
+      .options(spec.persistenceOptions) // engine tuning passthrough (reference persistenceOptions)
+      .options(fsOptions)
+      .partitionBy("shard")
+      .save(versions.versionPath(version).toString)
+
+  /** kv-sorted write: the same one-shuffle plan as the datasource path
+    * (shard routed to its own task, sorted by (shard, key) — already the
+    * order [[KvFile.write]] requires), but the terminal operator streams
+    * each shard's rows into `shard=<i>/part-0.kv` from the executor.
+    * Commit is attempt-scoped tmp + delete + rename, same protocol (and
+    * same determinism argument) as the index sidecars. Rows are keyed by
+    * their shard VALUE, never the task/partition id (the narrow-coalesce
+    * trap: one task can see several upstream partitions). */
+  private def writeKvShards(kv: DataFrame, version: Long): Unit = {
+    val spark = kv.sparkSession
+    import spark.implicits._
+    val confEntries = DomainStore.serializableConf(conf)
+    val base = versions.versionPath(version).toString
+    // mkdirs so an all-empty build still publishes a readable version dir
+    versions.versionPath(version).getFileSystem(conf).mkdirs(versions.versionPath(version))
+    shardedSorted(kv)
+      .select(col("shard"), col("key"), col("value"))
+      .as[(Int, Array[Byte], Array[Byte])]
+      .mapPartitions { it =>
+        val c = DomainStore.rebuildConf(confEntries)
+        // consecutive-shard grouping: rows arrive sorted by (shard, key)
+        new Iterator[Int] {
+          private var row: (Int, Array[Byte], Array[Byte]) =
+            if (it.hasNext) it.next() else null
+          def hasNext: Boolean = row != null
+          def next(): Int = {
+            val shard = row._1
+            val rows = new Iterator[(Array[Byte], Array[Byte])] {
+              def hasNext: Boolean = row != null && row._1 == shard
+              def next(): (Array[Byte], Array[Byte]) = {
+                val r = row
+                row = if (it.hasNext) it.next() else null
+                (r._2, r._3)
+              }
+            }
+            DomainStore.writeKvShardFile(base, shard, rows, c)
+            shard
+          }
+        }
+      }
+      .count() // the action; per-shard counts are not needed
   }
 
   /** The canonical write plan: add shard column, route each shard to exactly
@@ -138,11 +194,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       onlyShards: Option[Set[Int]]): Unit = indexerOpt.foreach { ix =>
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val scan0 = scanVersion(spark, version).select(col("shard"), col("key"))
-    val scan = onlyShards match {
-      case Some(s) => scan0.where(col("shard").isin(s.toSeq: _*))
-      case None => scan0
-    }
+    val scan = prunedScan(spark, version, onlyShards.map(_.toSeq))
+      .select(col("shard"), col("key"))
     val counts: Map[Int, Long] = scan.groupBy("shard").count()
       .as[(Int, Long)].collect().toMap // bounded: one entry per shard
     val confEntries = DomainStore.serializableConf(conf)
@@ -200,6 +253,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   /** The scan itself, without the publish check — `buildIndex` runs it on a
     * version whose token is not written yet. */
   private def scanVersion(spark: SparkSession, version: Long): DataFrame = {
+    if (isKv) return kvScan(spark, version, None)
     // numShards rides the KEY column as SCHEMA metadata, so the scan's
     // own attribute carries it — an alias above the scan would lose it
     // the moment filter pushdown rewrites conditions against the scan
@@ -232,6 +286,55 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   def latestVersion: Long =
     versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
+
+  /** Shard-restricted scan — the internal pruning seam [[multiGet]] and
+    * [[upsert]] read through. Datasource formats prune via the partition
+    * column (the filter reaches the file index); the kv format prunes by
+    * construction (only the named shard dirs are ever opened). */
+  private def prunedScan(spark: SparkSession, version: Long, shards: Option[Seq[Int]]): DataFrame =
+    if (isKv) kvScan(spark, version, shards)
+    else shards match {
+      case Some(s) => scanVersion(spark, version).where(col("shard").isin(s.toIndexedSeq: _*))
+      case None => scanVersion(spark, version)
+    }
+
+  /** Distributed parse of kv-sorted shard files into the domain schema.
+    * One task element per shard; each task streams its shard's records
+    * through [[KvFile.Reader.iterator]] — Dataset end to end (UnsafeRow
+    * serde, no RDD serializer), same closure-conf pattern as the other
+    * distributed tiers. `shards = None` scans all of them. */
+  private def kvScan(spark: SparkSession, version: Long, shards: Option[Seq[Int]]): DataFrame = {
+    import spark.implicits._
+    val confEntries = DomainStore.serializableConf(conf)
+    val base = versions.versionPath(version).toString
+    val wanted = shards.getOrElse(0 until numShards)
+    val suffix = fileSuffix
+    if (wanted.isEmpty)
+      return spark.emptyDataset[(Array[Byte], Array[Byte], Int)].toDF("key", "value", "shard")
+    spark.createDataset(wanted.toSeq)
+      .repartition(math.min(wanted.size, spark.sparkContext.defaultParallelism))
+      .flatMap { s =>
+        val c = DomainStore.rebuildConf(confEntries)
+        val d = new Path(base, s"shard=$s")
+        val fs = d.getFileSystem(c)
+        if (!fs.exists(d)) Iterator.empty
+        else fs.listStatus(d).iterator
+          .filter(_.getPath.getName.endsWith(suffix))
+          .flatMap { st =>
+            val r = KvFile.open(fs, st.getPath)
+            // the reader closes when its iterator drains; an abandoned
+            // task's stream is reclaimed with the task
+            new Iterator[(Array[Byte], Array[Byte], Int)] {
+              private val it = r.iterator
+              def hasNext: Boolean = { val h = it.hasNext; if (!h) r.close(); h }
+              def next(): (Array[Byte], Array[Byte], Int) = {
+                val (k, v) = it.next(); (k, v, s)
+              }
+            }
+          }
+      }
+      .toDF("key", "value", "shard")
+  }
 
   // --------------------------------------------------- index read side (W5)
 
@@ -341,7 +444,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     if (maybeRows.isEmpty) return if (includeMisses) knownMisses else knownMisses.limit(0)
     val localKeys = maybeRows.map(_._1)
     val shards = maybeRows.map(_._2).distinct
-    val pruned = readVersion(spark, version).where(col("shard").isin(shards.toIndexedSeq: _*))
+    val pruned = prunedScan(spark, version, Some(shards.toIndexedSeq))
     val keysDf = localKeys.toSeq.toDF("key")
     val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
       .select(col("key"), col("value"))
@@ -412,11 +515,27 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   }
 
   /** Single-key lookup: partition-pruned, row-group-skipping scan — or, on
-    * an indexed domain whose sidecar rules the key out, no scan at all. */
+    * an indexed domain whose sidecar rules the key out, no scan at all.
+    * On a kv-sorted domain this is the SERVING path: a direct binary
+    * search of the shard's [[KvFile]] on the calling thread — no Spark
+    * job, no scan, O(log n) positioned reads — exactly what the
+    * reference's daemon did against its local B-tree/LSM shard. */
   def get(spark: SparkSession, key: Array[Byte]): Option[Array[Byte]] = {
     val shard = ShardIndex.shardIndex(key, numShards)
     val version = latestVersion
     if (!mightContain(version, shard, key)) None
+    else if (isKv) {
+      val d = new Path(versions.versionPath(version), s"shard=$shard")
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) None
+      else fs.listStatus(d).iterator
+        .filter(_.getPath.getName.endsWith(fileSuffix))
+        .map { st =>
+          val r = KvFile.open(fs, st.getPath)
+          try r.lookup(key) finally r.close()
+        }
+        .collectFirst { case Some(v) => v }
+    }
     else readVersion(spark, version)
       .where(col("shard") === shard && col("key") === lit(key))
       .select("value")
@@ -533,21 +652,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       val shardRows = incoming.select("shard").distinct().collect()
       require(!shardRows.exists(_.isNullAt(0)), "upsert: delta contains a null key")
       val affected = shardRows.map(_.getInt(0)).toSet
-      val old = readVersion(spark, oldVersion)
-      val oldAffected = old.where(col("shard").isin(affected.toSeq: _*))
+      val oldAffected = prunedScan(spark, oldVersion, Some(affected.toSeq))
       val merged = incoming.unionByName(
         oldAffected.join(incoming.select("key"), Seq("key"), "left_anti"))
 
       versions.createVersion(newVersion)
       try {
-        shardedSorted(merged.select("key", "value"))
-          .write
-          .format(format)
-          .option("compression", "zstd")
-          .options(spec.persistenceOptions)
-          .options(fsOptions)
-          .partitionBy("shard")
-          .save(versions.versionPath(newVersion).toString)
+        writeShards(merged.select("key", "value"), newVersion)
         copyForward(oldVersion, newVersion, (0 until n).filterNot(affected), distributeAbove)
         // Untouched shards carried their sidecars inside the copied dirs;
         // rewritten shards need fresh ones (a stale bloom would rule out
@@ -694,11 +805,41 @@ object DomainStore {
     }
   }
 
+  /** Stream one shard's sorted rows into `shard=<i>/part-0.kv` — runs
+    * inside the shard's executor task (static: the closure must not drag
+    * the store's non-serializable Configuration along). Commit protocol
+    * mirrors the index sidecars: attempt-scoped tmp, delete any previous
+    * artifact, rename; the file is deterministic for a shard's row set,
+    * so attempt races land identical bytes. */
+  private[store] def writeKvShardFile(
+      base: String,
+      shard: Int,
+      rows: Iterator[(Array[Byte], Array[Byte])],
+      conf: Configuration): Long = {
+    val dir = new Path(base, s"shard=$shard")
+    val dst = new Path(dir, KvFile.DataFileName)
+    val tmp = new Path(dir, s"${KvFile.DataFileName}.${java.util.UUID.randomUUID()}.tmp")
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(tmp, false), 1 << 16))
+    val n = try KvFile.write(out, rows) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      val lost = fs.exists(dst) // another attempt re-committed in between
+      fs.delete(tmp, false)
+      if (!lost) throw new java.io.IOException(s"writeKvShardFile: could not commit $dst")
+    }
+    n
+  }
+
   /** Row count from a single data file's footer metadata. Runs on the
     * driver pool for small domains and inside executor tasks for large
     * ones — keep it dependency-free of the enclosing instance. */
   private[store] def footerRowCount(p: Path, format: String, conf: Configuration): Long =
-    if (format == "orc") {
+    if (format == "kv") {
+      KvFile.count(p.getFileSystem(conf), p) // one positioned trailer read
+    } else if (format == "orc") {
       val r = org.apache.orc.OrcFile.createReader(
         p, org.apache.orc.OrcFile.readerOptions(conf))
       try r.getNumberOfRows finally r.close()

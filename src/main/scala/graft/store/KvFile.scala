@@ -1,0 +1,171 @@
+package graft.store
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
+
+/**
+ * The `kv-sorted` shard file: a per-shard sorted key/value run with a
+ * fixed-width offset index, binary-searchable by ANY reader that can seek
+ * — the engine's counterpart of the reference's servable local
+ * persistence (a serving daemon mmaps/probes per-shard B-tree or LSM
+ * files: `elephantdb-bdb/.../JavaBerkDB.java:60-67`,
+ * `elephantdb-leveldb/.../LevelDB.java:46-53`). Parquet/ORC cover the
+ * capability class for SPARK readers (sorted + pushdown); this format is
+ * the deliverable a NON-Spark process can serve point lookups from with
+ * two seeks per binary-search step and no framework on the classpath —
+ * everything here is plain Hadoop streams and byte math.
+ *
+ * Layout (all integers big-endian):
+ * {{{
+ *   header : magic "GKV1"                                    (4 bytes)
+ *   records: [keyLen:int][valLen:int][key][value]  x count   (sorted by key)
+ *   index  : [recordOffset:long] x count                     (fixed 8-byte entries)
+ *   trailer: [indexOffset:long][count:long][magic "GKV1"]    (20 bytes)
+ * }}}
+ *
+ * Key order is unsigned-lexicographic (`Arrays.compareUnsigned`) — the
+ * same total order Spark gives BinaryType, so the write path's
+ * sort-within-shard produces valid files with no extra sort. `valLen = -1`
+ * encodes a null value (a key can be present with no payload). Duplicate
+ * keys are legal (a non-dedup'd build can contain them); `lookup` returns
+ * one of the duplicates' values, unspecified which — exactly the contract
+ * scans give such a domain.
+ *
+ * Lookup cost: the trailer is one positioned read, each binary-search
+ * step is two (index entry, record header+key) — O(log n) positioned
+ * reads per probe and zero heap proportional to the file. Writers buffer
+ * only the offset index (8 bytes/record): a 10M-key shard costs the
+ * writing task ~80 MB transient heap, far under executor budgets at the
+ * shard sizes the layout targets.
+ */
+object KvFile {
+
+  val Magic: Array[Byte] = "GKV1".getBytes(StandardCharsets.US_ASCII)
+  val TrailerLen = 20
+
+  /** Canonical data file name inside a `shard=<i>` dir (one sorted run
+    * per shard: the build routes each shard to exactly one task). */
+  val DataFileName = "part-0.kv"
+
+  /** Stream `rows` (sorted by key, unsigned-lexicographic) into `out` as
+    * one kv file. Returns the record count. Single pass; only the offset
+    * index is buffered. */
+  def write(
+      out: java.io.DataOutputStream,
+      rows: Iterator[(Array[Byte], Array[Byte])]): Long = {
+    out.write(Magic)
+    var pos = 4L
+    val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    var prev: Array[Byte] = null
+    while (rows.hasNext) {
+      val (k, v) = rows.next()
+      require(k != null, "kv-sorted: null key")
+      require(
+        prev == null || java.util.Arrays.compareUnsigned(prev, k) <= 0,
+        "kv-sorted: input rows not sorted by key")
+      offsets += pos
+      out.writeInt(k.length)
+      out.writeInt(if (v == null) -1 else v.length)
+      out.write(k)
+      if (v != null) out.write(v)
+      pos += 8L + k.length + (if (v == null) 0 else v.length)
+      prev = k
+    }
+    val indexOffset = pos
+    offsets.foreach(out.writeLong)
+    out.writeLong(indexOffset)
+    out.writeLong(offsets.length.toLong)
+    out.write(Magic)
+    offsets.length.toLong
+  }
+
+  def open(fs: FileSystem, path: Path): Reader =
+    new Reader(fs.open(path), fs.getFileStatus(path).getLen)
+
+  /** Record count from the trailer alone — the format's "footer count"
+    * (one positioned read, no data page touched). */
+  def count(fs: FileSystem, path: Path): Long = {
+    val r = open(fs, path)
+    try r.count finally r.close()
+  }
+
+  /** One open kv file. All reads are positioned (`readFully(pos, buf)`),
+    * so a reader can interleave lookups and iteration on one handle. */
+  final class Reader(in: FSDataInputStream, fileLen: Long) extends AutoCloseable {
+    require(fileLen >= 4L + TrailerLen, s"kv file too short ($fileLen bytes)")
+    private val (indexOffset, n) = {
+      val t = new Array[Byte](TrailerLen)
+      in.readFully(fileLen - TrailerLen, t)
+      val bb = ByteBuffer.wrap(t)
+      val io = bb.getLong
+      val cnt = bb.getLong
+      val magic = new Array[Byte](4)
+      bb.get(magic)
+      require(java.util.Arrays.equals(magic, Magic), "not a GKV1 file (bad trailer magic)")
+      require(cnt >= 0 && io >= 4 && io + 8L * cnt + TrailerLen == fileLen,
+        s"corrupt GKV1 trailer (indexOffset=$io count=$cnt len=$fileLen)")
+      (io, cnt)
+    }
+
+    def count: Long = n
+
+    private def recordOffset(i: Long): Long = {
+      val b = new Array[Byte](8)
+      in.readFully(indexOffset + 8L * i, b)
+      ByteBuffer.wrap(b).getLong
+    }
+
+    /** (key, valLen, valuePos) of the record at a data offset. */
+    private def readHeader(off: Long): (Array[Byte], Int, Long) = {
+      val hdr = new Array[Byte](8)
+      in.readFully(off, hdr)
+      val bb = ByteBuffer.wrap(hdr)
+      val keyLen = bb.getInt
+      val valLen = bb.getInt
+      val key = new Array[Byte](keyLen)
+      in.readFully(off + 8L, key)
+      (key, valLen, off + 8L + keyLen)
+    }
+
+    private def readValue(valLen: Int, valuePos: Long): Array[Byte] =
+      if (valLen < 0) null
+      else {
+        val v = new Array[Byte](valLen)
+        in.readFully(valuePos, v)
+        v
+      }
+
+    /** Binary search. `None` = key absent; `Some(null)` = present with a
+      * null value — the distinction multiGet's miss semantics rest on is
+      * observable here too (wrap in your own Option-of-Option if needed). */
+    def lookup(key: Array[Byte]): Option[Array[Byte]] = {
+      var lo = 0L
+      var hi = n - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val (k, valLen, valuePos) = readHeader(recordOffset(mid))
+        val cmp = java.util.Arrays.compareUnsigned(k, key)
+        if (cmp == 0) return Some(readValue(valLen, valuePos))
+        else if (cmp < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      None
+    }
+
+    /** Sequential scan of every record, in key order. */
+    def iterator: Iterator[(Array[Byte], Array[Byte])] = new Iterator[(Array[Byte], Array[Byte])] {
+      private var pos = 4L
+      def hasNext: Boolean = pos < indexOffset
+      def next(): (Array[Byte], Array[Byte]) = {
+        val (k, valLen, valuePos) = readHeader(pos)
+        val v = readValue(valLen, valuePos)
+        pos = valuePos + (if (valLen < 0) 0 else valLen)
+        (k, v)
+      }
+    }
+
+    def close(): Unit = in.close()
+  }
+}
