@@ -46,6 +46,30 @@ object Bench {
     spark.catalog.clearCache()
     queries.Fixtures.reset()
     val rep2 = runAll()
+    // Sub-metrics: pipeline_dedup_index deliberately times the full index
+    // lifecycle; attribute its two halves so a regression points at the
+    // right one (build = band + publish the KV index domain; probe =
+    // delta banding + point lookups + exact verify). One extra timed pass
+    // with fresh fixtures; failures skip the field rather than kill the
+    // bench line.
+    val subMetrics: Seq[(String, Double)] =
+      try {
+        spark.catalog.clearCache()
+        queries.Fixtures.reset()
+        val b0 = System.nanoTime()
+        queries.PipelineQueries.dedupIndexStore(spark, sfDir)
+        val buildSec = (System.nanoTime() - b0) / 1e9
+        val p0 = System.nanoTime()
+        queries.PipelineQueries.dedupIndexProbe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val probeSec = (System.nanoTime() - p0) / 1e9
+        Seq("pipeline_dedup_index_build" -> buildSec,
+          "pipeline_dedup_index_probe" -> probeSec)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] submetrics failed: $e")
+          Nil
+      }
     // Per query: min over SUCCESSFUL passes; a query with no successful
     // pass keeps a time but is listed under "failures" so a crash can't
     // masquerade as a speedup.
@@ -70,11 +94,15 @@ object Bench {
     // n_ok/n_failed ride at top level so a round-over-round comparison of
     // "value" can't mistake a crashed (and therefore excluded) query for
     // a speedup without noticing the query count dropped.
+    val subField =
+      if (subMetrics.isEmpty) ""
+      else subMetrics.map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString(""","submetrics":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","method":"sum_of_best_of_2"""" +
         s""","n_ok":${results.size - failed.size},"n_failed":${failed.size}""" +
         s""","per_pass_total":[${num(passTotal(rep1))},${num(passTotal(rep2))}]""" +
-        s""","queries":$qs$failuresField,"sf":"$sfDir"}"""
+        s""","queries":$qs$failuresField$subField,"sf":"$sfDir"}"""
     println(line)
     // The driver parses this JSON from process output, where sbt log noise
     // can swallow it — also land it in a known file.

@@ -13,6 +13,33 @@ import org.apache.spark.sql.DataFrame
  * throws past the cap, naming the scale twin. The cap is a parameter:
  * raising it is a deliberate act at the call site, not a silent default.
  */
+private[graft] object LshBuckets {
+
+  /** Default per-bucket member cap for LSH band/bucket self-joins. A
+    * bucket with b members contributes b^2/2 candidate pairs INSIDE ONE
+    * JOIN TASK (same key = same task): on boilerplate-heavy corpora a
+    * degenerate bucket with 100k near-identical docs is a 5-billion-pair
+    * straggler that no amount of cluster buys back. 4096 bounds any
+    * single bucket to ~8M pairs — heavy but finite — while sitting far
+    * above the bucket sizes any honest near-dup cluster produces at the
+    * fixture scales the oracles verify. */
+  val MaxBucket: Int = 4096
+
+  /** Rows whose bucket (the `keys` tuple) holds at most `maxBucket`
+    * members; oversized buckets are DROPPED whole. One window count over
+    * the bucket key — the same hash partitioning the downstream self-join
+    * shuffles on, so the exchange is shared, not added. */
+  def bounded(df: org.apache.spark.sql.DataFrame, keys: Seq[String], maxBucket: Int): org.apache.spark.sql.DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_bsz", count(lit(1)).over(w))
+      .where(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+  }
+}
+
 private[operators] object AuditBound {
 
   /** Default cap for the O(N^2)-pair audit operators. */

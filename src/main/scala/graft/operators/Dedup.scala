@@ -199,22 +199,47 @@ object Dedup {
       .select(col("id"), col("b.band").as("band"), col("b.band_hash").as("band_hash"))
   }
 
-  /** Candidate pairs from shared LSH buckets (distinct, a < b). */
-  def lshCandidates(bands: DataFrame): DataFrame =
-    bands.as("x")
-      .join(bands.as("y"),
+  /** Candidate pairs from shared LSH buckets (distinct, a < b).
+    *
+    * Hot-bucket cap: a band bucket above `maxBucket` members (a
+    * boilerplate cluster hashing thousands of near-identical docs into
+    * one (band, band_hash)) is DROPPED whole — its self-join would run
+    * bucket² pairs inside a single task. The recall trade is explicit
+    * and auditable: pairs living ONLY in oversized buckets are missed
+    * (docs that similar are near-always caught by [[exact]] dedup first,
+    * and any pair also sharing a sub-cap bucket still surfaces);
+    * [[oversizedLshBuckets]] reports exactly what was dropped so a
+    * pipeline can alert instead of silently stalling. The window count
+    * shares the self-join's hash partitioning — no extra exchange. */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
+    val b = LshBuckets.bounded(bands, Seq("band", "band_hash"), maxBucket)
+    b.as("x")
+      .join(b.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+  }
+
+  /** Recall accounting for the hot-bucket cap: the (band, band_hash,
+    * n_members) of every bucket [[lshCandidates]]/[[bandIndexKv]] would
+    * drop at this cap. */
+  def oversizedLshBuckets(bands: DataFrame, maxBucket: Int = LshBuckets.MaxBucket): DataFrame =
+    bands.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
 
   /**
    * Corpus-scale near-dup detection: MinHash -> LSH buckets -> exact
    * Jaccard verification of candidates only. With 32x4 banding, recall at
    * threshold 0.8 is 1 - (1-0.8^4)^32 ~ 0.9999999, and false positives are
    * removed by the exact verify — so output equals the exact all-pairs
-   * result while touching ~linear data.
+   * result while touching ~linear data. The one qualification is the
+   * hot-bucket cap (see [[lshCandidates]]): pairs confined to band
+   * buckets above the cap — degenerate clusters of thousands of
+   * near-identical docs — are dropped by design, with
+   * [[oversizedLshBuckets]] as the audit.
    */
   def minHashPairs(
       df: DataFrame,
@@ -519,10 +544,23 @@ object Dedup {
    * re-banding the full corpus (the engine's KV half applied to its
    * pipeline half). Ids are sorted for deterministic bytes; bucket
    * membership, not order, carries the semantics.
+   *
+   * Hot-bucket cap (same rule and rationale as [[lshCandidates]]): a
+   * bucket above `maxBucket` members is dropped BEFORE the collect_list,
+   * which both bounds the value cell (≤ maxBucket ids, ~80 KB at the
+   * default — never the multi-MB blob a boilerplate cluster would pack)
+   * and bounds the probe-side explode. Probes of a dropped bucket simply
+   * miss; [[oversizedLshBuckets]] over the same bands is the audit.
    */
-  def bandIndexKv(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bandIndexKv(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
-    lshBands(minHashSignatures(wordShingles(corpus, idCol, textCol)))
+    LshBuckets.bounded(
+        lshBands(minHashSignatures(wordShingles(corpus, idCol, textCol))),
+        Seq("band", "band_hash"), maxBucket)
       .groupBy(col("band"), col("band_hash"))
       .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
       .select(

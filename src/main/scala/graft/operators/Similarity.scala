@@ -72,6 +72,15 @@ object Similarity {
    * threshold t, recall = 1 - (1 - p^planes)^tables with
    * p = 1 - arccos(t)/pi), pinned in OperatorsSpec rather than a SQL
    * oracle. Output schema matches [[nearDupPairs]].
+   *
+   * Hot-bucket cap: a (table, bucket) cell above `maxBucket` members is
+   * dropped whole before the self-join — one degenerate cell (near-
+   * identical embeddings, or a low-entropy region all 2^planes buckets
+   * can't separate) would otherwise run cell² pairs in a single task.
+   * Pairs inside dropped cells are missed unless they also share a
+   * sub-cap cell in another table (the usual rescue — `tables`
+   * independent chances); the oracle replays the identical cap, so the
+   * contract query stays hash-checkable at any corpus size.
    */
   def nearDupPairsBucketed(
       df: DataFrame,
@@ -79,18 +88,22 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       tables: Int = 8,
-      planes: Int = 4): DataFrame = {
+      planes: Int = 4,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     val c = prepared(df, idCol, vecCol)
     val dimRow = c.select(size(col("vec"))).head(1)
     if (dimRow.isEmpty) {
       return c.select(col("id").as("id_a"), col("id").as("id_b"))
     }
-    val b = lshBuckets(c, tables, planes, dimRow(0).getInt(0))
+    val b = LshBuckets.bounded(
+      lshBuckets(c, tables, planes, dimRow(0).getInt(0)).select(col("id"), col("table"), col("bucket")),
+      Seq("table", "bucket"), maxBucket)
     // Candidate generation and dedup move IDS ONLY: a pair colliding in
     // several tables would otherwise drag 2 x dim doubles per duplicate
     // through the dedup exchange (~12 KB/candidate at dim=768 where 16
     // bytes suffice — the widest unnecessary shuffle VERDICT r2 flagged).
-    // Column pruning drops vec/norm from the bucket self-join too.
+    // Column pruning drops vec/norm from the bucket self-join too (the
+    // bounded-bucket projection above makes that structural).
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
@@ -305,14 +318,53 @@ object Similarity {
       maxTrainRows: Int = 65536): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
     val centroids = kmeansCentroids(c, nlist, maxTrainRows = maxTrainRows)
+    ivfSearch(c, prepared(queries, idCol, vecCol), centroids, k, nprobe)
+  }
+
+  /** Seeded data-independent centroids for the ORACLED IVF contract query
+    * — the same role the seeded [[hyperplanes]] play for the LSH oracles:
+    * a quantizer trained from the data at query time cannot be replayed
+    * by a static SQL string, but a fixed centroid matrix interpolates
+    * into the oracle as literals, making the whole cell-assignment →
+    * nprobe-probe → exact-re-rank pipeline hash-checkable.
+    * `private[graft]` so the contract query and its oracle share the ONE
+    * tensor. */
+  private[graft] def fixedCentroids(nlist: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new Random(4242)
+    Array.fill(nlist, dim)(rnd.nextGaussian())
+  }
+
+  /** [[ivfTopK]] against a caller-supplied (fixed) centroid matrix —
+    * identical search pipeline, no training step. */
+  def ivfTopKFixed(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame =
+    ivfSearch(
+      prepared(corpus, idCol, vecCol), prepared(queries, idCol, vecCol),
+      centroids, k, nprobe)
+
+  /** The IVF search pipeline shared by the trained and fixed-centroid
+    * entry points: broadcast the matrix once, assign corpus cells
+    * (nprobe=1), probe each query's nprobe nearest cells, exact cosine
+    * re-rank of the met candidates only. */
+  private def ivfSearch(
+      c: DataFrame,
+      q0: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nprobe: Int): DataFrame = {
     // One broadcast of (matrix, |c|^2 norms): every task reads the same
     // executor-local copy; nothing about the plan grows with nlist.
-    val bc = corpus.sparkSession.sparkContext.broadcast(
+    val bc = c.sparkSession.sparkContext.broadcast(
       (centroids, centroids.map(_.map(x => x * x).sum)))
     val assigned = c.withColumn("cell", element_at(nearestCells(col("vec"), bc, 1), 1))
     // Per query: squared L2 distance to every centroid (one fused loop),
     // keep the nprobe nearest cells.
-    val q0 = prepared(queries, idCol, vecCol)
     val probes = q0
       .withColumn("cells", nearestCells(col("vec"), bc, nprobe))
       .select(

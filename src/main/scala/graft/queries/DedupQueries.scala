@@ -143,13 +143,18 @@ object DedupQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= $CosineThreshold""".stripMargin,
     // Full LSH replay (planes interpolated as literals): candidates =
-    // pairs sharing any (table, bucket), then the exact cosine verify —
-    // nearDupPairsBucketed step for step, hash-checkable at any recall.
+    // pairs sharing any sub-cap (table, bucket) — the hot-bucket cap is
+    // replayed too (HAVING count <= cap), so the query stays
+    // hash-checkable at ANY corpus size — then the exact cosine verify:
+    // nearDupPairsBucketed step for step.
     "dedup_embedding_lsh" ->
       s"""WITH ${SimQueries.lshBucketsCtes},
+         |bok AS (SELECT tbl, bucket FROM b GROUP BY tbl, bucket
+         |        HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
+         |bb AS (SELECT b.* FROM b JOIN bok USING (tbl, bucket)),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
-         |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |  FROM bb a JOIN bb c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |SELECT cand.id_a, cand.id_b
          |FROM cand JOIN ef ea ON ea.vec_id = cand.id_a
          |          JOIN ef eb ON eb.vec_id = cand.id_b

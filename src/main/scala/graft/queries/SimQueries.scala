@@ -22,6 +22,8 @@ object SimQueries {
   val TopK = 10
   val QueryMod = 100
   val KnnJoinK = 5
+  val IvfNlist = 16
+  val IvfNprobe = 4
 
   /** The embeddings fixture's dimensionality (TESTDATA.md). The oracle
     * plane literals are generated at this dim; the operators themselves
@@ -109,6 +111,22 @@ object SimQueries {
         "vec_id", "embedding", TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
+    // IVF with a FIXED seeded centroid matrix: the same cell-assignment →
+    // nprobe-probe → exact-re-rank pipeline as sim_ann_ivf, but fully
+    // ORACLED — the centroids interpolate into the SQL as literals (like
+    // the LSH planes), so the oracle replays assignment, probing, and
+    // re-rank bit-for-bit. sim_ann_ivf/_ivfpq stay as the trained twins
+    // (recall + exhaustive-probe identity pinned in ScalaTest).
+    "sim_ann_ivf_fixed" -> { (s, dir) =>
+      val emb = Fixtures.table(s, dir, "embeddings")
+      Similarity.ivfTopKFixed(
+        emb,
+        emb.where(col("vec_id") % QueryMod === 0),
+        "vec_id", "embedding", TopK,
+        Similarity.fixedCentroids(IvfNlist, EmbeddingDim),
+        nprobe = IvfNprobe)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
     // Cross-corpus kNN JOIN: both sides are full tables (even ids seek
     // neighbors among odd ids) — neither side broadcast, the 100 TB shape
     // the probe-set ANN paths can't take. Deterministic given the seeded
@@ -143,6 +161,21 @@ object SimQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     })
 
+  /** `(cell, centroid, |centroid|^2)` VALUES rows of the fixed IVF
+    * quantizer. The squared norm is precomputed in Scala with the same
+    * left-to-right fold the kernel broadcasts, then interpolated as a
+    * literal — the oracle never re-derives it, so the score expression
+    * `nsq - 2 * (v . c)` is bit-identical to NearestCellsKernel's
+    * `norms(c) - 2.0 * s`. */
+  private def centroidValues(nlist: Int): String = {
+    val ct = Similarity.fixedCentroids(nlist, EmbeddingDim)
+    ct.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]")
+      val nsq = c.map(x => x * x).sum
+      s"($i, CAST($arr AS DOUBLE[]), CAST($nsq AS DOUBLE))"
+    }.mkString(",\n")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "sim_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id % $QueryMod = 0),
@@ -170,6 +203,43 @@ object SimQueries {
          |ranked AS (SELECT query_id, id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
          |  FROM scored)
+         |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // Full IVF replay with the interpolated fixed quantizer: every vector
+    // scores `nsq - 2*(v.c)` against every centroid (ordering == squared
+    // L2; the |v|^2 term is constant per row), corpus rows take their
+    // rank-1 cell, queries probe their nprobe nearest (ties on cell id,
+    // like the kernel's stable insertion), candidates = corpus rows
+    // assigned to a probed cell, exact cosine re-rank — ivfTopKFixed
+    // step for step.
+    "sim_ann_ivf_fixed" ->
+      s"""WITH ct(cell, p, nsq) AS (VALUES
+         |${centroidValues(IvfNlist)}),
+         |ef AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |scored AS (
+         |  SELECT e.vec_id, ct.cell, ct.nsq - 2 * list_inner_product(e.v, ct.p) AS d
+         |  FROM ef e CROSS JOIN ct),
+         |rnk AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS query_id, cell FROM rnk
+         |  WHERE rn <= $IvfNprobe AND vec_id % $QueryMod = 0),
+         |cand AS (
+         |  SELECT q.query_id, a.vec_id AS id
+         |  FROM qprobe q JOIN assigned a USING (cell)
+         |  WHERE a.vec_id != q.query_id),
+         |sc AS (
+         |  SELECT cand.query_id, cand.id, list_cosine_similarity(ce.v, qe.v) AS cos
+         |  FROM cand JOIN ef ce ON ce.vec_id = cand.id
+         |            JOIN ef qe ON qe.vec_id = cand.query_id),
+         |ranked AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+         |  FROM sc)
          |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // knnJoin replay: identical bucket/candidate/re-rank pipeline, but

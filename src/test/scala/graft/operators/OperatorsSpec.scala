@@ -468,6 +468,41 @@ class OperatorsSpec extends SparkSuite {
     assert(leaked.isEmpty, s"operators leaked persisted RDDs: ${leaked.mkString(", ")}")
   }
 
+  test("hot-bucket cap: oversized LSH buckets drop whole, small buckets survive") {
+    import spark.implicits._
+    // 60 near-identical boilerplate docs collapse into ONE bucket per band
+    // — the degenerate cluster that would run 60^2/2 pairs in one task —
+    // plus one honest planted pair that must survive the cap
+    val boiler = (0 until 60).map(i =>
+      (i.toLong, "the same boilerplate footer text repeated on every page of this corpus"))
+    val pairDocs = Seq(
+      (1000L, "a genuinely unique article about alpine marmot hibernation cycles in winter"),
+      (1001L, "a genuinely unique article about alpine marmot hibernation cycles in winter"))
+    val corpus = (boiler ++ pairDocs).toDF("doc_id", "text")
+    val bands = Dedup.lshBands(
+      Dedup.minHashSignatures(Dedup.wordShingles(corpus, "doc_id", "text")))
+    val capped = Dedup.lshCandidates(bands, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1000L, 1001L)))
+    assert(Dedup.lshCandidates(bands).count() === (60 * 59 / 2 + 1).toLong)
+    // recall accounting: every band reports its one monster bucket
+    val over = Dedup.oversizedLshBuckets(bands, 16).collect().map(_.getLong(2))
+    assert(over.length === Dedup.numBands && over.forall(_ === 60L))
+    // the published index applies the same cap: dropped buckets never
+    // become KV rows, so no value cell packs more than maxBucket ids
+    val idx = Dedup.bandIndexKv(corpus, "doc_id", "text", maxBucket = 16)
+      .select(graft.functions.bytes_utf8(col("value")).as("ids")).collect()
+    assert(idx.nonEmpty)
+    assert(idx.forall(_.getString(0).split(",").length <= 16))
+    // embeddings: one degenerate cell of identical vectors -> zero pairs
+    // under the cap, the full clique without it
+    val vecs = (0 until 50).map(i => (i.toLong, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.nearDupPairsBucketed(vecs, "vec_id", "embedding", 0.9, maxBucket = 8)
+      .count() === 0L)
+    assert(Similarity.nearDupPairsBucketed(vecs, "vec_id", "embedding", 0.9)
+      .count() === (50 * 49 / 2).toLong)
+  }
+
   test("audit twins enforce their bound: oversized input throws, naming the scale twin") {
     import spark.implicits._
     val five = (0 until 5).map(i => (i.toLong, s"document number $i some words")).toDF("doc_id", "text")
