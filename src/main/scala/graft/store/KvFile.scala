@@ -154,15 +154,33 @@ object KvFile {
       None
     }
 
-    /** Sequential scan of every record, in key order. */
-    def iterator: Iterator[(Array[Byte], Array[Byte])] = new Iterator[(Array[Byte], Array[Byte])] {
-      private var pos = 4L
-      def hasNext: Boolean = pos < indexOffset
-      def next(): (Array[Byte], Array[Byte]) = {
-        val (k, valLen, valuePos) = readHeader(pos)
-        val v = readValue(valLen, valuePos)
-        pos = valuePos + (if (valLen < 0) 0 else valLen)
-        (k, v)
+    /** Sequential scan of every record, in key order. Streams through the
+      * handle's buffered sequential channel — positioned reads per record
+      * would pay a pread (and, on checksummed filesystems, a checksum
+      * chunk re-read) three times per row. At most ONE iterator per
+      * Reader lifetime (it owns the seek pointer); interleaved [[lookup]]
+      * calls stay safe — they use positioned reads, which do not move
+      * the pointer. */
+    def iterator: Iterator[(Array[Byte], Array[Byte])] = {
+      in.seek(4L)
+      // the wrapper is never closed (closing it would close the handle);
+      // buffering may read past indexOffset into index bytes, which is
+      // harmless — iteration stops after exactly `count` records
+      val data = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
+      new Iterator[(Array[Byte], Array[Byte])] {
+        private var i = 0L
+        def hasNext: Boolean = i < n
+        def next(): (Array[Byte], Array[Byte]) = {
+          val keyLen = data.readInt()
+          val valLen = data.readInt()
+          val k = new Array[Byte](keyLen)
+          data.readFully(k)
+          val v =
+            if (valLen < 0) null
+            else { val b = new Array[Byte](valLen); data.readFully(b); b }
+          i += 1
+          (k, v)
+        }
       }
     }
 
