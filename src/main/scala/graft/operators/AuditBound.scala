@@ -52,10 +52,14 @@ private[operators] object AuditBound {
 
   /** Throws unless `df` has at most `maxRows` rows. One bounded action:
     * `limit(maxRows + 1).count()` short-circuits the scan and proves
-    * "too big" without counting the full input. */
+    * "too big" without counting the full input. The probe rides `limit`,
+    * which takes an Int — a larger cap would be silently tightened, so
+    * it is rejected loudly instead (an audit sample past 2 billion rows
+    * is not an audit). */
   def check(df: DataFrame, maxRows: Long, op: String, scaleTwin: String): Unit = {
-    require(maxRows >= 0, s"$op: maxRows must be >= 0, got $maxRows")
-    val lim = math.min(maxRows, Int.MaxValue - 1L).toInt
+    require(maxRows >= 0 && maxRows < Int.MaxValue,
+      s"$op: maxRows must be in [0, ${Int.MaxValue - 1}], got $maxRows")
+    val lim = maxRows.toInt
     val n = df.limit(lim + 1).count()
     if (n > lim) throw new IllegalArgumentException(
       s"$op is the exact audit formulation and was handed > $lim input rows; " +

@@ -508,8 +508,18 @@ object Dedup {
    * identical to [[simHashPairs]] while the join touches only same-bucket
    * pairs (~linear for non-degenerate corpora, same shape as MinHash-LSH
    * banding).
+   *
+   * Hot-bucket cap (same rule and rationale as [[lshCandidates]]): a
+   * (chunk, cv) bucket above `maxBucket` members — identical sketches
+   * from a boilerplate cluster land the same cv in EVERY chunk — is
+   * dropped whole; the contract oracle replays the identical banding +
+   * cap, so the query stays hash-checkable at any corpus size.
    */
-  def simHashPairsBanded(simhashes: DataFrame, maxDist: Int, chunks: Int = 4): DataFrame = {
+  def simHashPairsBanded(
+      simhashes: DataFrame,
+      maxDist: Int,
+      chunks: Int = 4,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     require(maxDist < chunks, s"pigeonhole needs maxDist < chunks (got $maxDist >= $chunks)")
     require(32 % chunks == 0, "chunks must divide 32")
     val width = 32 / chunks
@@ -519,12 +529,14 @@ object Dedup {
     // the sketch computes once, and nothing outlives the query (the leak
     // class ADVICE r1 flagged; pinned by the pin-no-cache spec).
     val sh = simhashes
-    val banded = sh.select(
-      col("id"), col("simhash"),
-      explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("chunk"), expr(s"(simhash >> ${c * width}) & $mask").as("cv"))
-      }: _*)).as("b"))
-      .select(col("id"), col("simhash"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))
+    val banded = LshBuckets.bounded(
+      sh.select(
+          col("id"), col("simhash"),
+          explode(array((0 until chunks).map { c =>
+            struct(lit(c).as("chunk"), expr(s"(simhash >> ${c * width}) & $mask").as("cv"))
+          }: _*)).as("b"))
+        .select(col("id"), col("simhash"), col("b.chunk").as("chunk"), col("b.cv").as("cv")),
+      Seq("chunk", "cv"), maxBucket)
     banded.as("x")
       .join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
@@ -629,11 +641,16 @@ object Dedup {
         .localCheckpoint(true)
       // The incoming/corpus id spaces must be DISJOINT (pairs are oriented
       // incoming -> corpus; an overlapping id would silently merge both
-      // documents' shingle sets in the verify union below). A candidate
-      // pairing an id with itself is proof of overlap — fail loud, like
-      // the integral-id contract above (one cheap probe on the tiny
-      // checkpointed candidate set).
-      val clash = cand.where(col("id_a").cast("long") === col("id_b")).limit(1).collect()
+      // documents' shingle sets in the verify union below). The harmful
+      // set is exactly the candidate CORPUS ids that also occur among the
+      // incoming ids — only those corpus rows enter the shingle union —
+      // so probe that intersection (bounded: candidates are checkpointed,
+      // the incoming id column is the delta), not merely id_a == id_b
+      // pairs (which would only fire when the two same-id TEXTS happen to
+      // co-band). Fail loud, like the integral-id contract above.
+      val inIds = incoming.select(col(idCol).cast("long").as("_in_id"))
+      val clash = cand.join(inIds, col("id_b") === col("_in_id"), "left_semi")
+        .limit(1).collect()
       if (clash.nonEmpty) throw new IllegalArgumentException(
         s"dedupAgainstIndex: id ${clash(0).get(1)} appears on both the incoming and corpus " +
           "sides — id spaces must be disjoint (pairs are oriented incoming -> corpus)")

@@ -127,6 +127,11 @@ object DedupQueries {
       jaccardOracle(s"WHERE doc_id % $JaccardSampleMod = 0", JaccardSampleThreshold),
     "dedup_minhash" ->
       wordJaccardOracle(MinHashThreshold),
+    // Banded replay (not the exhaustive cross join): pigeonhole chunks +
+    // the hot-bucket cap (HAVING count <= cap) + exact Hamming verify —
+    // simHashPairsBanded step for step, hash-checkable at any corpus
+    // size. For sub-cap corpora this equals the exhaustive all-pairs
+    // result (pigeonhole exactness, pinned in OperatorsSpec).
     "dedup_simhash" ->
       s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents),
          |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT::BIGINT AS h32 FROM tok),
@@ -134,9 +139,15 @@ object DedupQueries {
          |v AS (SELECT doc_id, b, sum(CASE WHEN (h32 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
          |      FROM bits GROUP BY 1, 2),
          |sh AS (SELECT doc_id, sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS v
-         |       FROM v GROUP BY 1)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS dist
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |       FROM v GROUP BY 1),
+         |bands AS (SELECT doc_id, v, c.chunk, (v >> CAST(c.chunk * 8 AS INT)) & 255 AS cv
+         |          FROM sh, range(0, 4) c(chunk)),
+         |bok AS (SELECT chunk, cv FROM bands GROUP BY chunk, cv
+         |        HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
+         |bb AS (SELECT bands.* FROM bands JOIN bok USING (chunk, cv))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS dist
+         |FROM bb a JOIN bb b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.v, b.v)) <= $SimHashMaxDist""".stripMargin,
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -322,8 +322,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           .filter(_.getPath.getName.endsWith(suffix))
           .flatMap { st =>
             val r = KvFile.open(fs, st.getPath)
-            // the reader closes when its iterator drains; an abandoned
-            // task's stream is reclaimed with the task
+            // close on drain AND on task completion: an early-terminating
+            // consumer (limit, short-circuited join) ends the task without
+            // ever draining, and Spark knows nothing about this stream —
+            // without the listener the handle leaks until GC
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
             new Iterator[(Array[Byte], Array[Byte], Int)] {
               private val it = r.iterator
               def hasNext: Boolean = { val h = it.hasNext; if (!h) r.close(); h }
@@ -482,14 +486,22 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * time — the runtime analog of ShardPruningRule for a
    * small-but-not-literal probe relation (SURVEY §2.3 Q2) — so the
    * domain scan reads bytes proportional to the probed shards, not the
-   * whole domain. The derivation is one partial-aggregated distinct of
-   * `shard_index(key)` over the probe: at most numShards ints ever reach
-   * the driver REGARDLESS of probe size, so unlike multiGet's key
-   * routing this needs no size threshold. A probe spanning every shard
-   * skips the filter (nothing to prune — and the extra probe pass is the
-   * only cost, one cheap scan). Pruning the right side of a left-outer
-   * join is semantics-free: a domain row outside the probed shards can
-   * match no probe key.
+   * whole domain (on every engine: datasource formats prune partitions,
+   * the kv format opens only the probed shard dirs). The derivation is
+   * one partial-aggregated distinct of `shard_index(key)` over the
+   * probe: at most numShards ints ever reach the driver REGARDLESS of
+   * probe size, so unlike multiGet's key routing this needs no size
+   * threshold. A probe spanning every shard skips the filter (nothing to
+   * prune — and the extra probe pass is the only cost, one cheap scan).
+   * Pruning the right side of a left-outer join is semantics-free: a
+   * domain row outside the probed shards can match no probe key.
+   *
+   * The probe plan is evaluated TWICE (shard derivation, then the join):
+   * it must be deterministic across jobs, or a key produced only at join
+   * time could hash to a pruned-out shard and null a real match. A probe
+   * built on `rand()`/`sample()` (or the repartitionByRange re-sampling
+   * class) must be materialized first (`localCheckpoint(true)`) or run
+   * with `pruneShards = false`.
    */
   def lookupJoin(rows: DataFrame, salt: Int = 1, pruneShards: Boolean = true): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
@@ -502,7 +514,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         // null keys route nowhere (and match nothing in the join)
         val shards = shardRows.collect { case r if !r.isNullAt(0) => r.getInt(0) }
         if (shards.length >= numShards) read(spark)
-        else read(spark).where(col("shard").isin(shards.toIndexedSeq: _*))
+        else {
+          val version = latestVersion
+          require(versions.isPublished(version), s"version $version not published under $root")
+          prunedScan(spark, version, Some(shards.toIndexedSeq))
+        }
       }
     val dom = scan.select(col("key"), col("value"))
     if (salt == 1) rows.join(dom, Seq("key"), "left_outer")
@@ -807,10 +823,16 @@ object DomainStore {
 
   /** Stream one shard's sorted rows into `shard=<i>/part-0.kv` — runs
     * inside the shard's executor task (static: the closure must not drag
-    * the store's non-serializable Configuration along). Commit protocol
-    * mirrors the index sidecars: attempt-scoped tmp, delete any previous
-    * artifact, rename; the file is deterministic for a shard's row set,
-    * so attempt races land identical bytes. */
+    * the store's non-serializable Configuration along). Commit is
+    * attempt-scoped tmp + rename, and — UNLIKE the index sidecars — a
+    * pre-existing destination is NEVER deleted: a lost sidecar merely
+    * reads as "always maybe", but a lost DATA file reads as an empty
+    * shard (silent misses), so the only safe race semantics for data is
+    * first-commit-wins. That is sound because the file is deterministic
+    * for a shard's row set (sorted input, content-only layout): whichever
+    * attempt committed, the bytes are the ones every attempt would have
+    * written. Rebuild-over-existing never happens for data files — a
+    * version dir is fresh by the createVersion/failVersion lifecycle. */
   private[store] def writeKvShardFile(
       base: String,
       shard: Int,
@@ -824,9 +846,8 @@ object DomainStore {
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(fs.create(tmp, false), 1 << 16))
     val n = try KvFile.write(out, rows) finally out.close()
-    fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) {
-      val lost = fs.exists(dst) // another attempt re-committed in between
+      val lost = fs.exists(dst) // another attempt already committed — it wins
       fs.delete(tmp, false)
       if (!lost) throw new java.io.IOException(s"writeKvShardFile: could not commit $dst")
     }

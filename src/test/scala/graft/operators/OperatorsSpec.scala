@@ -501,6 +501,36 @@ class OperatorsSpec extends SparkSuite {
       .count() === 0L)
     assert(Similarity.nearDupPairsBucketed(vecs, "vec_id", "embedding", 0.9)
       .count() === (50 * 49 / 2).toLong)
+    // simhash banding: identical sketches land the same cv in EVERY chunk
+    // — the capped join must drop the monster but keep the planted pair
+    val sims = Dedup.simHashPairsBanded(
+        Dedup.simHash(corpus, "doc_id", "text"), 3, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sims.contains((1000L, 1001L)))
+    assert(!sims.exists(p => p._1 < 60 && p._2 < 60))
+  }
+
+  test("dedupAgainstIndex rejects overlapping id spaces even when the texts differ") {
+    import spark.implicits._
+    val corpus = Seq(
+      (42L, "completely different corpus text about volcanic rock formations today"),
+      (8L, "an unrelated corpus article describing the migration of arctic terns")
+    ).toDF("doc_id", "text")
+    val store = graft.store.DomainStore.create(
+      scratch("overlap-ix"), graft.core.DomainSpec(2),
+      new org.apache.hadoop.conf.Configuration())
+    store.write(Dedup.bandIndexKv(corpus, "doc_id", "text"), 1L)
+    // incoming 7 near-dups corpus 42 (bands collide), and incoming ALSO
+    // carries id 42 with a totally different text — the silent shingle
+    // merge case the guard exists for (an id_a == id_b check would miss
+    // it: the two 42s never co-band)
+    val incoming = Seq(
+      (7L, "completely different corpus text about volcanic rock formations today"),
+      (42L, "a fresh incoming document about medieval falconry training methods")
+    ).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupAgainstIndex(store, incoming, corpus, "doc_id", "text", 0.5).collect())
+    assert(e.getMessage.contains("disjoint"))
   }
 
   test("audit twins enforce their bound: oversized input throws, naming the scale twin") {
