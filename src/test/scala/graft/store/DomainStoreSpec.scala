@@ -143,6 +143,36 @@ class DomainStoreSpec extends SparkSuite {
     assert(empty.get(spark, utf8("nope")) === None)
   }
 
+  test("kv-sorted composes: reshard keeps pairs, bloom sidecars kill misses") {
+    // reshard kv -> kv (spec copied, new shard count)
+    val (src, dst) = (scratch("kvf-rs-src"), scratch("kvf-rs-dst"))
+    val s3 = DomainStore.create(
+      src, DomainSpec(3, persistenceFormat = DomainSpec.KvSorted), conf)
+    val pairs = (0 until 120).map(i => s"rk$i" -> s"rv$i")
+    s3.write(kv(pairs: _*), 1L)
+    val s5 = DomainStore.reshard(spark, src, dst, 5, 1L, conf)
+    assert(s5.spec.persistenceFormat === DomainSpec.KvSorted)
+    assert(readPairs(s5) === pairs.toSet)
+    assert(s5.get(spark, utf8("rk7")).map(new String(_, "UTF-8")) === Some("rv7"))
+    // indexer SPI on the kv engine: sidecars built from the kv scan,
+    // definite misses short-circuit before the binary search
+    val ix = DomainStore.create(
+      scratch("kvf-ix"),
+      DomainSpec(4, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    ix.write(kv(pairs: _*), 1L)
+    val fs = ix.root.getFileSystem(conf)
+    (0 until 4).foreach { s =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(ix.root, s"1/shard=$s/${Indexer.SidecarName}")))
+    }
+    assert(ix.get(spark, utf8("rk7")).map(new String(_, "UTF-8")) === Some("rv7"))
+    assert(ix.get(spark, utf8("definitely-absent")) === None)
+    val mg = ix.multiGet(kv("rk1" -> "", "nope" -> "").select(col("key")))
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(mg === Map("rk1" -> Some("rv1"), "nope" -> None))
+  }
+
   test("kv-sorted shard files binary-search WITHOUT Spark (the serving deliverable)") {
     val n = 4
     val store = DomainStore.create(
