@@ -1,0 +1,145 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.core.{DomainSpec, ShardIndex}
+
+/**
+ * Spark-free point-lookup reader for a `kv-sorted` domain — the embeddable
+ * core of the reference's serving daemon (it opened local per-shard
+ * persistences and answered `get` by probing them:
+ * `elephantdb-server/src/clj/elephantdb/keyval/core.clj:118-134` routes,
+ * `JavaBerkDB.java:69-78` probes). Nothing here touches Spark: spec
+ * parsing, version-token resolution, md5-mod routing, bloom sidecar
+ * probes, and the binary search are all plain JVM + Hadoop streams, so a
+ * serving process can depend on this class alone.
+ *
+ * Two layouts:
+ *  - [[KvDomainReader.open]]: a full domain root (`domain-spec.json` or
+ *    the reference's `domain-spec.yaml`, version dirs + tokens) — reads
+ *    the newest PUBLISHED version, snapshot-stable for the reader's
+ *    lifetime (reopen to pick up a newer publish, exactly the reference's
+ *    updater swap).
+ *  - [[KvDomainReader.localized]]: a bare directory of `shard=<i>` dirs —
+ *    the output of `DomainStore.localize`, i.e. the shard subset a
+ *    serving box pulled for itself.
+ *
+ * `get` cost: one cached sidecar probe (definite misses never touch
+ * data), then O(log n) positioned reads in the shard's [[KvFile]]. A
+ * missing shard dir/file reads as "no keys on this shard" (an empty
+ * shard writes no dir; a shard this box did not localize is
+ * indistinguishable — route requests to hosted shards, like the
+ * reference's ring did).
+ *
+ * Thread-safety: safe for concurrent `get`s — [[KvFile.Reader.lookup]]
+ * uses positioned reads only, and the per-shard reader/probe caches are
+ * concurrent maps (a benign double-open closes neither correctness nor
+ * handles: `computeIfAbsent` wins once).
+ */
+final class KvDomainReader private (
+    versionDir: Path,
+    val spec: DomainSpec,
+    conf: Configuration) extends AutoCloseable {
+
+  require(
+    spec.persistenceFormat == DomainSpec.KvSorted,
+    s"KvDomainReader serves kv-sorted domains; got '${spec.persistenceFormat}' " +
+      "(parquet/orc domains are Spark-scan engines — export with persistenceFormat = kv-sorted to serve)")
+
+  def numShards: Int = spec.numShards
+
+  private val fs: FileSystem = versionDir.getFileSystem(conf)
+
+  private val indexerOpt: Option[Indexer] = spec.indexerClass.map(Indexer.forName)
+
+  // None = shard has no data file (empty or not localized) / no sidecar
+  private val readers =
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[KvFile.Reader]]()
+  private val probes =
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[Array[Byte] => Boolean]]()
+
+  private def shardDir(shard: Int): Path = new Path(versionDir, s"shard=$shard")
+
+  private def reader(shard: Int): Option[KvFile.Reader] =
+    readers.computeIfAbsent(shard, { s =>
+      val p = new Path(shardDir(s), KvFile.DataFileName)
+      if (fs.exists(p)) Some(KvFile.open(fs, p)) else None
+    })
+
+  private def mightContain(shard: Int, key: Array[Byte]): Boolean =
+    indexerOpt match {
+      case None => true
+      case Some(ix) =>
+        probes.computeIfAbsent(shard, { s =>
+          val p = new Path(shardDir(s), Indexer.SidecarName)
+          if (!fs.exists(p)) None
+          else {
+            val len = fs.getFileStatus(p).getLen.toInt
+            val buf = new Array[Byte](len)
+            val in = fs.open(p)
+            try in.readFully(0L, buf) finally in.close()
+            Some(ix.probe(buf))
+          }
+        }).forall(_.apply(key))
+    }
+
+  /** Point lookup: route, sidecar-probe, binary-search. `None` = absent
+    * (or present with a null value — the domain schema allows it; use
+    * [[getRecord]] to distinguish). */
+  def get(key: Array[Byte]): Option[Array[Byte]] = getRecord(key).flatten
+
+  /** `None` = key absent; `Some(None)` = key present with a null value;
+    * `Some(Some(v))` = present with value `v`. */
+  def getRecord(key: Array[Byte]): Option[Option[Array[Byte]]] = {
+    val shard = ShardIndex.shardIndex(key, numShards)
+    if (!mightContain(shard, key)) None
+    else reader(shard).flatMap(_.lookup(key)).map(Option(_))
+  }
+
+  /** Total pairs across the hosted shards — trailer reads only. */
+  def count(): Long =
+    (0 until numShards).iterator.map(s => reader(s).map(_.count).getOrElse(0L)).sum
+
+  def close(): Unit = {
+    readers.values().forEach(_.foreach(_.close()))
+    readers.clear()
+    probes.clear()
+  }
+}
+
+object KvDomainReader {
+
+  /** Open the newest PUBLISHED version of a full domain root (engine
+    * `domain-spec.json` or reference `domain-spec.yaml` accepted). */
+  def open(root: String, conf: Configuration): KvDomainReader = {
+    RamFileSystem.register(conf)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    def slurp(p: Path): String = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      new String(buf, "UTF-8")
+    }
+    val jsonPath = new Path(rootPath, DomainSpec.FileName)
+    val yamlPath = new Path(rootPath, DomainSpec.YamlFileName)
+    val spec =
+      if (fs.exists(jsonPath)) DomainSpec.fromJson(slurp(jsonPath))
+      else if (fs.exists(yamlPath)) DomainSpec.fromYaml(slurp(yamlPath))
+      else throw new IllegalArgumentException(
+        s"no ${DomainSpec.FileName} or ${DomainSpec.YamlFileName} under $root")
+    val versions = new VersionedStore(rootPath, conf)
+    val version = versions.mostRecentVersion.getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    new KvDomainReader(versions.versionPath(version), spec, conf)
+  }
+
+  /** Serve a `DomainStore.localize` output dir (bare `shard=<i>` subset).
+    * The spec travels out-of-band — localize ships shard dirs only. */
+  def localized(dir: String, spec: DomainSpec, conf: Configuration): KvDomainReader = {
+    RamFileSystem.register(conf)
+    new KvDomainReader(new Path(dir), spec, conf)
+  }
+}

@@ -173,6 +173,45 @@ class DomainStoreSpec extends SparkSuite {
     assert(mg === Map("rk1" -> Some("rv1"), "nope" -> None))
   }
 
+  test("KvDomainReader: Spark-free serving of a published kv domain + localized subset") {
+    val root = scratch("kvserve")
+    val store = DomainStore.create(
+      root,
+      DomainSpec(4, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    val pairs = (0 until 300).map(i => s"pk$i" -> s"pv$i")
+    store.write(kv(pairs: _*), 1L)
+    store.upsert(spark, kv("pk0" -> "new"), 2L) // the reader must resolve v2
+    val expected = (pairs.toMap + ("pk0" -> "new"))
+    // everything below is the serving daemon's side: no SparkSession call
+    val r = KvDomainReader.open(root, conf)
+    try {
+      assert(r.numShards === 4)
+      assert(r.get(utf8("pk0")).map(new String(_, "UTF-8")) === Some("new"))
+      assert(r.get(utf8("pk7")).map(new String(_, "UTF-8")) === Some("pv7"))
+      assert(r.get(utf8("definitely-missing")) === None)
+      assert(r.count() === 300L)
+    } finally r.close()
+    // a serving box's shard subset: localize two shards, serve only them
+    val dest = new org.apache.hadoop.fs.Path(scratch("kvserve-local"))
+    val copied = store.localize(2L, dest, shards = Some(Seq(0, 1))).toSet
+    assert(copied.nonEmpty)
+    val lr = KvDomainReader.localized(dest.toString, store.spec, conf)
+    try {
+      expected.foreach { case (k, v) =>
+        val hosted = copied.contains(ShardIndex.shardIndex(utf8(k), 4))
+        val got = lr.get(utf8(k)).map(new String(_, "UTF-8"))
+        assert(got === (if (hosted) Some(v) else None), s"key $k hosted=$hosted")
+      }
+    } finally lr.close()
+    // a parquet/orc domain refuses loudly: those are the Spark-scan engines
+    val pq = DomainStore.create(scratch("kvserve-pq"), DomainSpec(2), conf)
+    pq.write(kv("a" -> "1"), 1L)
+    val e = intercept[IllegalArgumentException](
+      KvDomainReader.open(pq.root.toString, conf))
+    assert(e.getMessage.contains("kv-sorted"))
+  }
+
   test("kv-sorted shard files binary-search WITHOUT Spark (the serving deliverable)") {
     val n = 4
     val store = DomainStore.create(
