@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.DomainSpec
 import graft.functions._
 import graft.operators.{Dedup, Similarity, TextAnalysis}
-import graft.store.DomainStore
+import graft.store.{DomainStore, KvDomainReader}
 
 /** The README "Quick start" section, verbatim — if this compiles and
   * passes, the documented first-contact experience works. Keep the two
@@ -56,6 +56,18 @@ class QuickStartSpec extends SparkSuite {
     val nn = Similarity.bruteForceTopK(
       vectors, vectors.where(col("vec_id") === 1L), "vec_id", "embedding", k = 1)
     assert(nn.select("neighbor_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+
+    // --- export for SERVING: kv-sorted shard files a non-Spark process
+    // binary-searches (route -> bloom probe -> O(log n) seeks)
+    val servedRoot = scratch("quickstart-served")
+    val served = DomainStore.create(
+      servedRoot,
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    served.write(users, version = 1L)
+    val reader = KvDomainReader.open(servedRoot, new Configuration()) // zero Spark
+    try assert(reader.get(longBe(2L)).map(new String(_, "UTF-8")) === Some("grace"))
+    finally reader.close()
   }
 
   private def longBe(v: Long): Array[Byte] =
