@@ -363,16 +363,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       case None => true
       case Some(ix) =>
         probeCache.computeIfAbsent((version, shard), { vs =>
-          val p = new Path(new Path(versions.versionPath(vs._1), s"shard=${vs._2}"), Indexer.SidecarName)
-          val fs = p.getFileSystem(conf)
-          if (!fs.exists(p)) None
-          else {
-            val len = fs.getFileStatus(p).getLen.toInt
-            val buf = new Array[Byte](len)
-            val in = fs.open(p)
-            try in.readFully(0L, buf) finally in.close()
-            Some(ix.probe(buf))
-          }
+          val d = new Path(versions.versionPath(vs._1), s"shard=${vs._2}")
+          Indexer.loadProbe(d.getFileSystem(conf), d, ix)
         }).forall(_.apply(key))
     }
 
@@ -513,12 +505,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           .select(shard_index(col("key"), numShards).as("s")).distinct().collect()
         // null keys route nowhere (and match nothing in the join)
         val shards = shardRows.collect { case r if !r.isNullAt(0) => r.getInt(0) }
+        // latestVersion resolves from publish tokens only — no extra
+        // isPublished probe needed (it would be one FS HEAD per call)
         if (shards.length >= numShards) read(spark)
-        else {
-          val version = latestVersion
-          require(versions.isPublished(version), s"version $version not published under $root")
-          prunedScan(spark, version, Some(shards.toIndexedSeq))
-        }
+        else prunedScan(spark, latestVersion, Some(shards.toIndexedSeq))
       }
     val dom = scan.select(col("key"), col("value"))
     if (salt == 1) rows.join(dom, Seq("key"), "left_outer")
@@ -921,7 +911,7 @@ object DomainStore {
     * reference's `domain-spec.yaml` (DomainSpec.java:115-127) so a
     * reference-layout domain dir opens unmodified — the version-token
     * layout already matches, only the spec file needed a shim. */
-  private def readSpec(root: Path, conf: Configuration): DomainSpec = {
+  private[store] def readSpec(root: Path, conf: Configuration): DomainSpec = {
     val fs = root.getFileSystem(conf)
     def slurp(p: Path): String = {
       val len = fs.getFileStatus(p).getLen.toInt

@@ -57,6 +57,25 @@ object Indexer {
       case other => throw new IllegalArgumentException(
         s"indexer class ${other.getClass.getName} does not implement graft.store.Indexer")
     }
+
+  /** Read a shard dir's sidecar and deserialize it into a probe; `None`
+    * when the shard carries no sidecar (= always maybe). ONE definition
+    * for every reader of sidecars (store lookups, the serving reader) so
+    * the artifact I/O cannot drift between them. */
+  def loadProbe(
+      fs: org.apache.hadoop.fs.FileSystem,
+      shardDir: org.apache.hadoop.fs.Path,
+      ix: Indexer): Option[Array[Byte] => Boolean] = {
+    val p = new org.apache.hadoop.fs.Path(shardDir, SidecarName)
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0L, buf) finally in.close()
+      Some(ix.probe(buf))
+    }
+  }
 }
 
 /**

@@ -53,6 +53,16 @@ final class KvDomainReader private (
 
   private val indexerOpt: Option[Indexer] = spec.indexerClass.map(Indexer.forName)
 
+  // A closed reader must FAIL, not limp: after close() the version dir may
+  // be reaped (VersionedStore.cleanup in the updater-swap pattern this
+  // class documents), and a racing get() would otherwise repopulate the
+  // cleared caches — leaking the handle and, on a reaped dir, answering
+  // "key absent" for keys the domain holds.
+  @volatile private var closed = false
+  private def checkOpen(): Unit =
+    if (closed) throw new IllegalStateException(
+      s"KvDomainReader for $versionDir is closed — reopen to serve a newer publish")
+
   // None = shard has no data file (empty or not localized) / no sidecar
   private val readers =
     new java.util.concurrent.ConcurrentHashMap[Int, Option[KvFile.Reader]]()
@@ -71,17 +81,8 @@ final class KvDomainReader private (
     indexerOpt match {
       case None => true
       case Some(ix) =>
-        probes.computeIfAbsent(shard, { s =>
-          val p = new Path(shardDir(s), Indexer.SidecarName)
-          if (!fs.exists(p)) None
-          else {
-            val len = fs.getFileStatus(p).getLen.toInt
-            val buf = new Array[Byte](len)
-            val in = fs.open(p)
-            try in.readFully(0L, buf) finally in.close()
-            Some(ix.probe(buf))
-          }
-        }).forall(_.apply(key))
+        probes.computeIfAbsent(shard, s => Indexer.loadProbe(fs, shardDir(s), ix))
+          .forall(_.apply(key))
     }
 
   /** Point lookup: route, sidecar-probe, binary-search. `None` = absent
@@ -92,16 +93,26 @@ final class KvDomainReader private (
   /** `None` = key absent; `Some(None)` = key present with a null value;
     * `Some(Some(v))` = present with value `v`. */
   def getRecord(key: Array[Byte]): Option[Option[Array[Byte]]] = {
+    checkOpen()
     val shard = ShardIndex.shardIndex(key, numShards)
     if (!mightContain(shard, key)) None
     else reader(shard).flatMap(_.lookup(key)).map(Option(_))
   }
 
-  /** Total pairs across the hosted shards — trailer reads only. */
-  def count(): Long =
-    (0 until numShards).iterator.map(s => reader(s).map(_.count).getOrElse(0L)).sum
+  /** Total pairs across the hosted shards — one trailer read per shard
+    * file, opened and closed per probe: counting must NOT pin numShards
+    * handles in the lookup cache (at 64k shards that is fd exhaustion for
+    * a call that only wants 20 bytes per file). */
+  def count(): Long = {
+    checkOpen()
+    (0 until numShards).iterator.map { s =>
+      val p = new Path(shardDir(s), KvFile.DataFileName)
+      if (fs.exists(p)) KvFile.count(fs, p) else 0L
+    }.sum
+  }
 
   def close(): Unit = {
+    closed = true
     readers.values().forEach(_.foreach(_.close()))
     readers.clear()
     probes.clear()
@@ -111,25 +122,13 @@ final class KvDomainReader private (
 object KvDomainReader {
 
   /** Open the newest PUBLISHED version of a full domain root (engine
-    * `domain-spec.json` or reference `domain-spec.yaml` accepted). */
+    * `domain-spec.json` or reference `domain-spec.yaml` accepted — the
+    * resolution is [[DomainStore.readSpec]], shared so the serving reader
+    * can never accept/reject a spec the store half wouldn't). */
   def open(root: String, conf: Configuration): KvDomainReader = {
     RamFileSystem.register(conf)
     val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(conf)
-    def slurp(p: Path): String = {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0L, buf) finally in.close()
-      new String(buf, "UTF-8")
-    }
-    val jsonPath = new Path(rootPath, DomainSpec.FileName)
-    val yamlPath = new Path(rootPath, DomainSpec.YamlFileName)
-    val spec =
-      if (fs.exists(jsonPath)) DomainSpec.fromJson(slurp(jsonPath))
-      else if (fs.exists(yamlPath)) DomainSpec.fromYaml(slurp(yamlPath))
-      else throw new IllegalArgumentException(
-        s"no ${DomainSpec.FileName} or ${DomainSpec.YamlFileName} under $root")
+    val spec = DomainStore.readSpec(rootPath, conf)
     val versions = new VersionedStore(rootPath, conf)
     val version = versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under $root"))

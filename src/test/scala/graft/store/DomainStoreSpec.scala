@@ -210,6 +210,12 @@ class DomainStoreSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       KvDomainReader.open(pq.root.toString, conf))
     assert(e.getMessage.contains("kv-sorted"))
+    // a closed reader fails loud (the version dir may be reaped by
+    // cleanup in the reopen-on-publish pattern) — never answers "absent"
+    val dead = KvDomainReader.open(root, conf)
+    dead.close()
+    intercept[IllegalStateException](dead.get(utf8("pk7")))
+    intercept[IllegalStateException](dead.count())
   }
 
   test("kv-sorted shard files binary-search WITHOUT Spark (the serving deliverable)") {
