@@ -59,7 +59,10 @@ object DomainSpec {
     * key/value run + offset index a non-Spark reader binary-searches —
     * the reference's actual serving deliverable (JavaBerkDB.java:60-67,
     * LevelDB.java:46-53 capability class). Spark reads it through the
-    * store's parse scan; point gets bypass Spark entirely. */
+    * store's parse scan (parallelism = numShards, one sorted run per
+    * shard); point gets bypass Spark entirely. This is the SERVING
+    * engine — keep parquet-sorted for scan-heavy analytics, where
+    * row-group splitting, column pruning, and filter pushdown apply. */
   val KvSorted = "kv-sorted"
   val KnownSchemes: Set[String] = Set(HashMod)
   val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory, KvSorted)
