@@ -73,6 +73,24 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // Q2 on the serving engine: multiGet against a kv-sorted domain takes
+    // the indexed path — one task per probed shard binary-searching its
+    // sorted run (no scan, no join) — and must be indistinguishable from
+    // the scan-join engines: hits resolve, absent keys yield null.
+    "kv_kvfile_multiget" -> { (s, dir) =>
+      val customer = Fixtures.table(s, dir, "customer")
+      val keys = customer
+        .where(col("c_custkey") % 9 === 0)
+        .select(col("c_custkey"))
+        .unionByName(customer
+          .where(col("c_custkey") % 40 === 0)
+          .select((col("c_custkey") + 3000000).as("c_custkey")))
+        .select(long_be(col("c_custkey")).as("key"))
+      Fixtures.customerKvFileDomain(s, dir).multiGet(keys)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
     // Q6: getCount — through the metadata-only footer path, surfaced as a
     // one-row DataFrame so the oracle verifies the footer sum itself.
     "kv_count" -> { (s, dir) =>
@@ -156,6 +174,12 @@ object KvQueries {
         "SELECT c_custkey, c_name FROM customer",
       "kv_kvfile_roundtrip" ->
         "SELECT c_custkey, c_name FROM customer",
+      "kv_kvfile_multiget" ->
+        """WITH ks AS (
+          |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 9 = 0
+          |  UNION ALL
+          |  SELECT c_custkey + 3000000 FROM customer WHERE c_custkey % 40 = 0)
+          |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
       "kv_multiget" ->
         """WITH ks AS (
           |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0

@@ -298,6 +298,47 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       case None => scanVersion(spark, version)
     }
 
+  /** Distributed indexed point lookups against a kv-sorted version: the
+    * routed key batch, grouped by shard, one task element per probed
+    * shard; each task binary-searches its shard's [[KvFile]] per key.
+    * Returns (key, value, _found) — `_found` distinguishes a stored null
+    * value from an absent key. Values stream through the Dataset (never
+    * the driver); the reader closes on drain and on task completion. */
+  private def kvLookup(
+      spark: SparkSession,
+      version: Long,
+      keyRows: Array[(Array[Byte], Int)]): DataFrame = {
+    import spark.implicits._
+    val confEntries = DomainStore.serializableConf(conf)
+    val base = versions.versionPath(version).toString
+    val byShard: Seq[(Int, Array[Array[Byte]])] =
+      keyRows.groupBy(_._2).view.map { case (s, rs) => (s, rs.map(_._1)) }.toSeq
+    spark.createDataset(byShard)
+      .repartition(math.min(byShard.size, spark.sparkContext.defaultParallelism))
+      .flatMap { case (s, ks) =>
+        val c = DomainStore.rebuildConf(confEntries)
+        val file = new Path(new Path(base, s"shard=$s"), KvFile.DataFileName)
+        val fs = file.getFileSystem(c)
+        if (!fs.exists(file)) ks.iterator.map(k => (k, null: Array[Byte], false))
+        else {
+          val r = KvFile.open(fs, file)
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
+          val it = ks.iterator.map { k =>
+            r.lookup(k) match {
+              case Some(v) => (k, v, true)
+              case None => (k, null: Array[Byte], false)
+            }
+          }
+          new Iterator[(Array[Byte], Array[Byte], Boolean)] {
+            def hasNext: Boolean = { val h = it.hasNext; if (!h) r.close(); h }
+            def next(): (Array[Byte], Array[Byte], Boolean) = it.next()
+          }
+        }
+      }
+      .toDF("key", "value", "_found")
+  }
+
   /** Distributed parse of kv-sorted shard files into the domain schema.
     * One task element per shard; each task streams its shard's records
     * through [[KvFile.Reader.iterator]] — Dataset end to end (UnsafeRow
@@ -438,6 +479,21 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val knownMisses = indexMisses.toSeq
       .map { case (k, _) => (k, null: Array[Byte]) }.toDF("key", "value")
     if (maybeRows.isEmpty) return if (includeMisses) knownMisses else knownMisses.limit(0)
+    if (isKv) {
+      // kv-sorted point lookups never scan: one task per probed shard
+      // binary-searches its sorted run through the offset index — the
+      // reference daemon's multiGet shape (route, then probe the local
+      // persistence per shard), I/O = O(keys x log n) seeks instead of a
+      // full parse of every probed shard. Lookups also tell hit from
+      // miss directly, so no key-only probe scan is needed.
+      val looked = kvLookup(spark, version, maybeRows)
+      val hits = looked.where(col("_found")).select(col("key"), col("value"))
+      return if (!includeMisses) hits
+      else hits.unionByName(
+        looked.where(!col("_found"))
+          .select(col("key"), lit(null).cast("binary").as("value")))
+        .unionByName(knownMisses)
+    }
     val localKeys = maybeRows.map(_._1)
     val shards = maybeRows.map(_._2).distinct
     val pruned = prunedScan(spark, version, Some(shards.toIndexedSeq))
