@@ -127,6 +127,16 @@ class DomainStoreSpec extends SparkSuite {
       .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
       .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
     assert(mg === Map("sk1" -> Some("sv1"), "zz" -> None))
+    // SPARSE lookup branch (keys * LookupScanRatio < records): per-key
+    // binary search instead of the dense merge scan — 2 keys vs a
+    // 1000-record single-shard run
+    val big = DomainStore.create(
+      scratch("kvf-sparse"), DomainSpec(1, persistenceFormat = DomainSpec.KvSorted), conf)
+    big.write(kv((0 until 1000).map(i => f"sp$i%04d" -> s"spv$i"): _*), 1L)
+    val sparse = big.multiGet(kv("sp0007" -> "", "nope" -> "").select(col("key")))
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(sparse === Map("sp0007" -> Some("spv7"), "nope" -> None))
     // upsert: merge + copy-forward through the kv writer
     store.upsert(spark, kv("sk0" -> "new", "extra" -> "x"), 2L)
     assert(store.latestVersion === 2L)
