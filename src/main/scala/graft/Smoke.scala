@@ -98,6 +98,23 @@ object Smoke {
         Fixtures.table(spark, "/root/testdata/sf0.001", "customer").count()
     }
 
+    // Serving engine: kv-sorted build -> Spark-free binary-search get.
+    check("kv-sorted domain serves gets without Spark") {
+      val kvRoot = Fixtures.scratch("/root/testdata/sf0.001", "smoke-kvserve")
+      new Path(kvRoot).getFileSystem(conf).delete(new Path(kvRoot), true)
+      val served = DomainStore.create(
+        kvRoot, DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted), conf)
+      served.write(Fixtures.customerKv(spark, "/root/testdata/sf0.001"), version = 1L)
+      val reader = graft.store.KvDomainReader.open(kvRoot, conf)
+      try {
+        val hit = reader.get(java.nio.ByteBuffer.allocate(8).putLong(1L).array())
+        hit.exists(_.nonEmpty) &&
+          reader.get("no-such-key".getBytes("UTF-8")).isEmpty &&
+          reader.count() ==
+            Fixtures.table(spark, "/root/testdata/sf0.001", "customer").count()
+      } finally reader.close()
+    }
+
     // Salt is a query-time rewrite only: same result as the plain join.
     check("salted lookupJoin == plain lookupJoin") {
       val probe = Fixtures.table(spark, "/root/testdata/sf0.001", "orders")
