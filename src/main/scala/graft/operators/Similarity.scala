@@ -437,15 +437,54 @@ object Similarity {
       ksub: Int = 256,
       rerank: Int = 4,
       maxTrainRows: Int = 65536): DataFrame = {
-    val sc = corpus.sparkSession.sparkContext
     val c = prepared(corpus, idCol, vecCol)
     // ONE bounded sample collect feeds both quantizers — the coarse
     // cells and the per-subspace codebooks (two collectTrainSample calls
     // would each pay a full-corpus TakeOrdered job).
     val sample = collectTrainSample(c, maxTrainRows)
-    val centroids = lloyd(sample, nlist, 10)
+    ivfPqSearch(
+      c, prepared(queries, idCol, vecCol),
+      lloyd(sample, nlist, 10), pqCodebooksFromSample(sample, m, ksub, 10),
+      k, nprobe, rerank)
+  }
+
+  /** Seeded data-independent PQ codebooks for the ORACLED IVF-PQ contract
+    * query — same role as [[fixedCentroids]]: literals the SQL oracle can
+    * interpolate, so encode/ADC/re-rank replay bit-for-bit. */
+  private[graft] def fixedPqCodebooks(m: Int, ksub: Int, dsub: Int): Array[Array[Array[Double]]] = {
+    val rnd = new Random(777)
+    Array.fill(m, ksub, dsub)(rnd.nextGaussian())
+  }
+
+  /** [[ivfPqTopK]] against caller-supplied (fixed) coarse centroids and
+    * PQ codebooks — identical search pipeline, no training step. */
+  def ivfPqTopKFixed(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int = 4,
+      rerank: Int = 4): DataFrame =
+    ivfPqSearch(
+      prepared(corpus, idCol, vecCol), prepared(queries, idCol, vecCol),
+      centroids, books, k, nprobe, rerank)
+
+  /** The IVF-PQ search pipeline shared by the trained and fixed entry
+    * points (see [[ivfPqTopK]] for the cost model). */
+  private def ivfPqSearch(
+      c: DataFrame,
+      q0: DataFrame,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      k: Int,
+      nprobe: Int,
+      rerank: Int): DataFrame = {
+    val sc = c.sparkSession.sparkContext
+    val m = books.length
     val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
-    val books = pqCodebooksFromSample(sample, m, ksub, 10)
     val ksubEff = books(0).length // lloyd caps k at the sample size
     val bcBooks = sc.broadcast(books)
     import org.apache.spark.sql.graft.interop
@@ -454,7 +493,6 @@ object Similarity {
       col("id"),
       element_at(nearestCells(col("vec"), bcCells, 1), 1).as("cell"),
       interop.column(graft.core.PqEncodeExpr(interop.expression(col("vec")), bcBooks)).as("codes"))
-    val q0 = prepared(queries, idCol, vecCol)
     // Queries are small by contract (they are broadcast below): collect
     // once to build each query's ADC lookup table.
     val dsub = books(0)(0).length

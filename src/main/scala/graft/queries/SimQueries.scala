@@ -31,6 +31,12 @@ object SimQueries {
   val EmbeddingDim = 64
   val LshTables = 8
   val LshPlanes = 4
+  // After EmbeddingDim: object vals initialize in declaration order, and
+  // PqDsub reads it (a forward reference would silently read 0).
+  val PqM = 8
+  val PqKsub = 16
+  val PqDsub: Int = EmbeddingDim / PqM
+  val PqRerank = 4
 
   /** `(tbl, bit, plane)` VALUES rows of a seeded LSH plane tensor at the
     * given shape — the SQL literal twin of [[Similarity.hyperplanes]]. */
@@ -159,6 +165,23 @@ object SimQueries {
         emb.where(col("vec_id") % QueryMod === 0),
         "vec_id", "embedding", TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    },
+    // IVF-PQ with FIXED seeded quantizers (coarse cells + per-subspace
+    // codebooks): the full pipeline — cell assignment, PQ encode (per-
+    // subspace argmin), ADC preselect from the per-query distance table,
+    // exact re-rank of the k*rerank shortlist — fully ORACLED, with both
+    // tensors interpolated into the SQL as literals. The trained variant
+    // above stays as the ScalaTest-pinned twin.
+    "sim_ann_ivfpq_fixed" -> { (s, dir) =>
+      val emb = Fixtures.table(s, dir, "embeddings")
+      Similarity.ivfPqTopKFixed(
+        emb,
+        emb.where(col("vec_id") % QueryMod === 0),
+        "vec_id", "embedding", TopK,
+        Similarity.fixedCentroids(IvfNlist, EmbeddingDim),
+        Similarity.fixedPqCodebooks(PqM, PqKsub, PqDsub),
+        nprobe = IvfNprobe, rerank = PqRerank)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     })
 
   /** `(cell, centroid, |centroid|^2)` VALUES rows of the fixed IVF
@@ -174,6 +197,15 @@ object SimQueries {
       val nsq = c.map(x => x * x).sum
       s"($i, CAST($arr AS DOUBLE[]), CAST($nsq AS DOUBLE))"
     }.mkString(",\n")
+  }
+
+  /** `(sub, code, centroid)` VALUES rows of the fixed PQ codebooks. */
+  private def pqCodebookValues(m: Int, ksub: Int): String = {
+    val books = Similarity.fixedPqCodebooks(m, ksub, PqDsub)
+    (for (s <- 0 until m; c0 <- 0 until ksub) yield {
+      val arr = books(s)(c0).map(_.toString).mkString("[", ", ", "]")
+      s"($s, $c0, CAST($arr AS DOUBLE[]))"
+    }).mkString(",\n")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -240,6 +272,71 @@ object SimQueries {
          |ranked AS (SELECT query_id, id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
          |  FROM sc)
+         |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // Full IVF-PQ replay with both fixed quantizers interpolated: coarse
+    // cells as in sim_ann_ivf_fixed; PQ encode = per-(vector, subspace)
+    // argmin over the codebook (left-to-right squared-diff fold, ties on
+    // code — the kernel's order); the query-side subspace distances (the
+    // broadcast LUT) come from the SAME subd relation; ADC = the per-sub
+    // distances summed in subspace order (list ORDER BY sub + reduce =
+    // the kernel's sequential loop); k*rerank shortlist on (adc, id);
+    // exact cosine re-rank. ivfPqTopKFixed step for step.
+    "sim_ann_ivfpq_fixed" ->
+      s"""WITH ct(cell, p, nsq) AS (VALUES
+         |${centroidValues(IvfNlist)}),
+         |cb(sub, code, p) AS (VALUES
+         |${pqCodebookValues(PqM, PqKsub)}),
+         |ef AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |scored AS (
+         |  SELECT e.vec_id, ct.cell, ct.nsq - 2 * list_inner_product(e.v, ct.p) AS d
+         |  FROM ef e CROSS JOIN ct),
+         |rnk AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+         |qprobe AS (SELECT vec_id AS query_id, cell FROM rnk
+         |  WHERE rn <= $IvfNprobe AND vec_id % $QueryMod = 0),
+         |subd AS (
+         |  SELECT e.vec_id, cb.sub, cb.code,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      [ (e.v[CAST(cb.sub * $PqDsub + i AS INT)] - cb.p[CAST(i AS INT)])
+         |        * (e.v[CAST(cb.sub * $PqDsub + i AS INT)] - cb.p[CAST(i AS INT)])
+         |        FOR i IN range(1, ${PqDsub + 1}) ]),
+         |      (x, y) -> x + y) AS d
+         |  FROM ef e CROSS JOIN cb),
+         |encd AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code,
+         |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+         |    FROM subd)
+         |  WHERE rn = 1),
+         |cand AS (
+         |  SELECT q.query_id, a.vec_id AS id
+         |  FROM qprobe q JOIN assigned a USING (cell)
+         |  WHERE a.vec_id != q.query_id),
+         |persub AS (
+         |  SELECT c.query_id, c.id, e.sub, qd.d
+         |  FROM cand c
+         |  JOIN encd e ON e.vec_id = c.id
+         |  JOIN subd qd ON qd.vec_id = c.query_id AND qd.sub = e.sub AND qd.code = e.code),
+         |adc AS (SELECT query_id, id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY sub)), (x, y) -> x + y) AS a
+         |  FROM persub GROUP BY query_id, id),
+         |short AS (SELECT query_id, id FROM (
+         |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY a, id) AS rn
+         |    FROM adc)
+         |  WHERE rn <= ${TopK * PqRerank}),
+         |sc2 AS (
+         |  SELECT s.query_id, s.id, list_cosine_similarity(ce.v, qe.v) AS cos
+         |  FROM short s JOIN ef ce ON ce.vec_id = s.id
+         |               JOIN ef qe ON qe.vec_id = s.query_id),
+         |ranked AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+         |  FROM sc2)
          |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // knnJoin replay: identical bucket/candidate/re-rank pipeline, but
