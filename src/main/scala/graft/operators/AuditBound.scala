@@ -28,9 +28,17 @@ private[graft] object LshBuckets {
   /** Rows whose bucket (the `keys` tuple) holds at most `maxBucket`
     * members; oversized buckets are DROPPED whole. One window count over
     * the bucket key — the same hash partitioning the downstream self-join
-    * shuffles on, so the exchange is shared, not added. */
+    * shuffles on, so the exchange is shared, not added. `_bsz` is a
+    * reserved name: the window count rides it internally, and silently
+    * replacing-then-dropping a caller's own `_bsz` column on the public
+    * entry points (lshCandidates, simHashPairsBanded, bandIndexKv) would
+    * lose user data — so its presence fails loud, same convention as
+    * dedupAgainstIndex's reserved-column guard. */
   def bounded(df: org.apache.spark.sql.DataFrame, keys: Seq[String], maxBucket: Int): org.apache.spark.sql.DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    require(!df.columns.contains("_bsz"),
+      "input carries the reserved column name `_bsz` (used internally for " +
+        "the bucket-size window count) — rename or drop it before calling")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, count, lit}
     val w = Window.partitionBy(keys.map(col): _*)

@@ -194,8 +194,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       onlyShards: Option[Set[Int]]): Unit = indexerOpt.foreach { ix =>
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val scan = prunedScan(spark, version, onlyShards.map(_.toSeq))
-      .select(col("shard"), col("key"))
+    // kv domains take the dedicated keys-only pass (value bytes skipped,
+    // not parsed); datasource formats rely on column pruning instead.
+    val scan =
+      if (isKv) kvKeysScan(spark, version, onlyShards.map(_.toSeq))
+      else prunedScan(spark, version, onlyShards.map(_.toSeq))
+        .select(col("shard"), col("key"))
     val counts: Map[Int, Long] = scan.groupBy("shard").count()
       .as[(Int, Long)].collect().toMap // bounded: one entry per shard
     val confEntries = DomainStore.serializableConf(conf)
@@ -406,6 +410,43 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .toDF("key", "value", "shard")
   }
 
+  /** Keys-only kv scan (shard, key): rides [[KvFile.Reader.keysIterator]],
+    * so value bytes are skipped via the record headers instead of parsed —
+    * an index build over a kv domain does key-sized I/O instead of
+    * reading the whole shard twice. (Parquet/ORC get this for free from
+    * column pruning; the kv format needs the dedicated pass because its
+    * scan is a flatMap, invisible to Catalyst's pruning.) */
+  private def kvKeysScan(spark: SparkSession, version: Long, shards: Option[Seq[Int]]): DataFrame = {
+    import spark.implicits._
+    val confEntries = DomainStore.serializableConf(conf)
+    val base = versions.versionPath(version).toString
+    val wanted = shards.getOrElse(0 until numShards)
+    val suffix = fileSuffix
+    if (wanted.isEmpty)
+      return spark.emptyDataset[(Int, Array[Byte])].toDF("shard", "key")
+    spark.createDataset(wanted.toSeq)
+      .repartition(math.min(wanted.size, spark.sparkContext.defaultParallelism))
+      .flatMap { s =>
+        val c = DomainStore.rebuildConf(confEntries)
+        val d = new Path(base, s"shard=$s")
+        val fs = d.getFileSystem(c)
+        if (!fs.exists(d)) Iterator.empty
+        else fs.listStatus(d).iterator
+          .filter(_.getPath.getName.endsWith(suffix))
+          .flatMap { st =>
+            val r = KvFile.open(fs, st.getPath)
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
+            new Iterator[(Int, Array[Byte])] {
+              private val it = r.keysIterator
+              def hasNext: Boolean = { val h = it.hasNext; if (!h) r.close(); h }
+              def next(): (Int, Array[Byte]) = (s, it.next())
+            }
+          }
+      }
+      .toDF("shard", "key")
+  }
+
   // --------------------------------------------------- index read side (W5)
 
   /** Deserialized sidecar probes, LRU-cached per (version, shard): versions
@@ -442,9 +483,9 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    *  - scatter/gather: broadcast-hash inner join of the pruned scan against
    *    the (small) key set;
    *  - absent keys come back with a null value, not an error
-   *    (core.thrift:6-8): the miss set is computed driver-side from a
-   *    key-column-only probe of the pruned shards and unioned back in as a
-   *    local relation.
+   *    (core.thrift:6-8): misses null-fill inside the same plan — the
+   *    hit rows broadcast back against the local key relation through a
+   *    left-outer join, so the pruned shards are scanned exactly once.
    *
    * `keys` needs a `key: binary` column. The probe strategy is chosen by
    * a BOUNDED decision probe, never a flag: the distinct key set is
@@ -458,10 +499,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * driver materialization, so a jumbo batch can never driver-OOM.
    *
    * `includeMisses = false` returns HITS ONLY and skips the miss
-   * machinery — the key-only probe scan and its collect exist solely to
-   * materialize null rows, which is wasted work for callers that would
-   * filter them out (candidate generation against an index domain: a
-   * miss just means "no candidates").
+   * machinery — the hit-row broadcast and left-outer null-fill exist
+   * solely to materialize null rows, which is wasted work for callers
+   * that would filter them out (candidate generation against an index
+   * domain: a miss just means "no candidates").
    */
   def multiGet(
       keys: DataFrame,
@@ -479,8 +520,17 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val threshold = math.min(maxDriverKeys, Int.MaxValue - 1)
     val probe = keySet.limit(threshold + 1).collect()
     if (probe.length > threshold) {
+      // Null keys fail on this path too (same input, same outcome,
+      // regardless of batch size) — but here the key set is by
+      // definition too big to check on the driver, so the check rides
+      // the plan: a null key raises at evaluation time instead of
+      // flowing through the join as a counterfeit miss row.
+      val checked = keySet.select(
+        when(col("key").isNotNull, col("key"))
+          .otherwise(raise_error(lit("multiGet: key set contains a null key")))
+          .as("key"))
       val joinType = if (includeMisses) "left_outer" else "inner"
-      return keySet.join(read(spark).select("key", "value"), Seq("key"), joinType)
+      return checked.join(read(spark).select("key", "value"), Seq("key"), joinType)
     }
     // The key set is small (proven by the probe), so routing happens on
     // the driver — exactly where the reference's client computed
@@ -526,16 +576,16 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val hits = pruned.join(broadcast(keysDf), Seq("key"), "inner")
       .select(col("key"), col("value"))
     if (!includeMisses) return hits
-    // Found keys via a key-column-only scan of the pruned shards (column
-    // pruning keeps value pages unread); bounded by the key set.
-    val found = pruned.select("key")
-      .join(broadcast(keysDf), Seq("key"), "left_semi")
-      .collect().map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](0)))
-      .toSet
-    val misses = localKeys
-      .filter(k => !found.contains(java.nio.ByteBuffer.wrap(k)))
-      .toSeq.map(k => (k, null: Array[Byte])).toDF("key", "value")
-    hits.unionByName(misses).unionByName(knownMisses)
+    // Misses fold into the SAME lazy plan — the pruned shards are
+    // scanned exactly once, with no eager key-only probe scan and no
+    // driver-side found-set: the hit rows (bounded by the probe's own
+    // keys) broadcast back against the local key relation and unmatched
+    // keys null-fill through the left-outer join. The broadcast carries
+    // the batch's result rows — the same memory class as the caller
+    // collecting the batch — and `includeMisses = false` skips it.
+    keysDf.join(broadcast(hits), Seq("key"), "left_outer")
+      .select(col("key"), col("value"))
+      .unionByName(knownMisses)
   }
 
   /**
@@ -571,16 +621,32 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    *
    * The probe plan is evaluated TWICE (shard derivation, then the join):
    * it must be deterministic across jobs, or a key produced only at join
-   * time could hash to a pruned-out shard and null a real match. A probe
-   * built on `rand()`/`sample()` (or the repartitionByRange re-sampling
-   * class) must be materialized first (`localCheckpoint(true)`) or run
-   * with `pruneShards = false`.
+   * time could hash to a pruned-out shard and silently null a real
+   * match. This contract is ENFORCED, not documented: the probe's
+   * analyzed plan is walked for nondeterministic expressions
+   * (`rand()`/`shuffle()`/…) and `Sample` nodes, and on a hit the call
+   * falls back to the unpruned scan with a warning — the probe is then
+   * evaluated exactly once (inside the join), so the answer is correct
+   * and the only cost is the missed pruning. Callers that want pruning
+   * back materialize the probe themselves (`localCheckpoint(true)`) —
+   * the engine does not auto-checkpoint because the checkpointed blocks
+   * would outlive the call (the no-cache-leak invariant).
    */
   def lookupJoin(rows: DataFrame, salt: Int = 1, pruneShards: Boolean = true): DataFrame = {
     require(salt >= 1, s"salt must be >= 1, got $salt")
     val spark = rows.sparkSession
+    val prune = pruneShards && {
+      val nondet = DomainStore.nondeterministicPlan(rows)
+      if (nondet) DomainStore.log.warn(
+        "lookupJoin: probe plan contains nondeterministic expressions; " +
+          "shard pruning disabled for this call (the probe would be " +
+          "evaluated twice and could route join-time keys to pruned-out " +
+          "shards). Materialize the probe (localCheckpoint(true)) to " +
+          "re-enable pruning.")
+      !nondet
+    }
     val scan =
-      if (!pruneShards) read(spark)
+      if (!prune) read(spark)
       else {
         val shardRows = rows
           .select(shard_index(col("key"), numShards).as("s")).distinct().collect()
@@ -837,6 +903,23 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
 object DomainStore {
 
+  private[store] val log = org.slf4j.LoggerFactory.getLogger(classOf[DomainStore])
+
+  /** True when re-evaluating `df`'s plan could yield different rows —
+    * nondeterministic expressions (`rand()`, `shuffle()`, `uuid()`, a
+    * nondeterministic UDF) anywhere in the analyzed tree, or a `Sample`
+    * node (seeded, but row selection shifts with upstream partition
+    * layout, the `repartitionByRange` re-sampling class CLAUDE.md
+    * documents). Used to enforce the pruned-lookupJoin contract: a plan
+    * the engine would evaluate twice must be provably stable. */
+  private[store] def nondeterministicPlan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
+    df.queryExecution.analyzed.exists {
+      case _: Sample => true
+      case p => p.expressions.exists(e => !e.deterministic)
+    }
+  }
+
   /** Shard-count / file-count threshold above which per-shard metadata
     * and copy work runs as a Spark job instead of on the driver. */
   val DefaultDistributeAbove: Int = 1024
@@ -987,7 +1070,53 @@ object DomainStore {
   def open(root: String, conf: Configuration): DomainStore = {
     RamFileSystem.register(conf)
     val rootPath = new Path(root)
-    new DomainStore(rootPath, readSpec(rootPath, conf), conf)
+    val spec = readSpec(rootPath, conf)
+    // A yaml-specced root is the migration surface: verify the data half
+    // is engine-readable before any scan can die inside a parquet footer.
+    if (!rootPath.getFileSystem(conf).exists(new Path(rootPath, DomainSpec.FileName)))
+      requireEngineReadableData(rootPath, conf)
+    new DomainStore(rootPath, spec, conf)
+  }
+
+  /** A reference `domain-spec.yaml` proves SPEC + VERSION-LAYOUT compat,
+    * not data compat: a real reference domain's shards are BDB JE /
+    * LevelDB binary files under plain-int dirs
+    * (ShardSetImpl.java:60–63, JavaBerkDB.java:60–67) that no engine
+    * scan can parse — reading them would need the BDB/LevelDB libraries
+    * themselves. Opening one must fail HERE, with the persistence named
+    * and the migration path spelled out, not levels deep in a parquet
+    * footer read. One shallow listing of the newest published version
+    * dir, yaml-specced roots only — engine-written domains (json spec)
+    * never pay it. */
+  private def requireEngineReadableData(root: Path, conf: Configuration): Unit = {
+    val fs = root.getFileSystem(conf)
+    val versions = new VersionedStore(root, conf)
+    versions.mostRecentVersion.foreach { v =>
+      val vp = versions.versionPath(v)
+      if (fs.exists(vp)) {
+        val foreign = fs.listStatus(vp).filter(st =>
+          st.isDirectory && st.getPath.getName.nonEmpty &&
+            st.getPath.getName.forall(_.isDigit))
+        if (foreign.nonEmpty) {
+          val sample = fs.listStatus(foreign.head.getPath)
+            .take(3).map(_.getPath.getName).toSeq
+          val engine = sample.collectFirst {
+            case n if n.endsWith(".jdb") => "BerkeleyDB JE"
+            case n if n.endsWith(".sst") || n.endsWith(".ldb") ||
+              n == "CURRENT" || n == "LOCK" => "LevelDB"
+          }.getOrElse("a reference-native")
+          throw new IllegalArgumentException(
+            s"unsupported persistence under $root: version $v holds the reference's " +
+              s"native shard layout (plain-int dirs ${foreign.take(3).map(_.getPath.getName)
+                .mkString("'", "', '", "'")}" +
+              (if (sample.nonEmpty) s", e.g. ${sample.mkString(", ")}" else "") +
+              s") — $engine shard files cannot be read by this engine's scans. " +
+              "Migrate: iterate the pairs out with the reference and rebuild via " +
+              "DomainStore.create(..., persistenceFormat = kv-sorted); the kv-sorted " +
+              "engine is directly servable by KvDomainReader.")
+        }
+      }
+    }
   }
 
   def exists(root: String, conf: Configuration): Boolean = {

@@ -33,9 +33,16 @@ import graft.core.{DomainSpec, ShardIndex}
  * reference's ring did).
  *
  * Thread-safety: safe for concurrent `get`s — [[KvFile.Reader.lookup]]
- * uses positioned reads only, and the per-shard reader/probe caches are
- * concurrent maps (a benign double-open closes neither correctness nor
- * handles: `computeIfAbsent` wins once).
+ * uses positioned reads only, and cached readers resolve lock-free from
+ * a concurrent map. Cache POPULATION serializes with [[close]] on one
+ * lock: without it, a `get` that passed the open check could open a
+ * shard file while `close()` is clearing the cache, and the map insert
+ * (which happens after the mapping function returns) would land in the
+ * already-cleared map — a leaked handle probing a possibly-reaped
+ * version dir. A `get` that raced past the check instead fails loudly
+ * inside the lock. The only residual race is benign and inherent: a
+ * lookup already holding a cached reader when `close()` closes it gets
+ * an IOException, never a wrong answer.
  */
 final class KvDomainReader private (
     versionDir: Path,
@@ -68,21 +75,35 @@ final class KvDomainReader private (
     new java.util.concurrent.ConcurrentHashMap[Int, Option[KvFile.Reader]]()
   private val probes =
     new java.util.concurrent.ConcurrentHashMap[Int, Option[Array[Byte] => Boolean]]()
+  // Serializes cache population with close() — see the class doc.
+  private val lifecycle = new Object
 
   private def shardDir(shard: Int): Path = new Path(versionDir, s"shard=$shard")
 
-  private def reader(shard: Int): Option[KvFile.Reader] =
-    readers.computeIfAbsent(shard, { s =>
-      val p = new Path(shardDir(s), KvFile.DataFileName)
-      if (fs.exists(p)) Some(KvFile.open(fs, p)) else None
-    })
+  private def reader(shard: Int): Option[KvFile.Reader] = {
+    val cached = readers.get(shard)
+    if (cached != null) cached
+    else lifecycle.synchronized {
+      checkOpen() // re-check under the lock: close() cannot interleave now
+      readers.computeIfAbsent(shard, { s =>
+        val p = new Path(shardDir(s), KvFile.DataFileName)
+        if (fs.exists(p)) Some(KvFile.open(fs, p)) else None
+      })
+    }
+  }
 
   private def mightContain(shard: Int, key: Array[Byte]): Boolean =
     indexerOpt match {
       case None => true
       case Some(ix) =>
-        probes.computeIfAbsent(shard, s => Indexer.loadProbe(fs, shardDir(s), ix))
-          .forall(_.apply(key))
+        val cached = probes.get(shard)
+        val probe =
+          if (cached != null) cached
+          else lifecycle.synchronized {
+            checkOpen()
+            probes.computeIfAbsent(shard, s => Indexer.loadProbe(fs, shardDir(s), ix))
+          }
+        probe.forall(_.apply(key))
     }
 
   /** Point lookup: route, sidecar-probe, binary-search. `None` = absent
@@ -111,7 +132,7 @@ final class KvDomainReader private (
     }.sum
   }
 
-  def close(): Unit = {
+  def close(): Unit = lifecycle.synchronized {
     closed = true
     readers.values().forEach(_.foreach(_.close()))
     readers.clear()

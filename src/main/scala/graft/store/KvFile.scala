@@ -45,6 +45,19 @@ object KvFile {
   val Magic: Array[Byte] = "GKV1".getBytes(StandardCharsets.US_ASCII)
   val TrailerLen = 20
 
+  /** Average-record-length crossover for [[Reader.keysIterator]]: at or
+    * under this, a sequential pass (which reads value bytes as part of
+    * its read-ahead chunks regardless) beats per-record preads; above
+    * it, one positioned header+key read per record skips value I/O
+    * entirely. ~the checksum-chunk/read-ahead granularity where a pread
+    * stops costing more than the bytes it avoids. */
+  val KeysSeqRecordLen: Long = 4096L
+
+  /** Key bytes probed together with the header in one positioned read on
+    * the large-record branch — covers realistic keys; a longer one costs
+    * one extra pread. */
+  val KeysProbeKeyLen: Int = 504
+
   /** Canonical data file name inside a `shard=<i>` dir (one sorted run
     * per shard: the build routes each shard to exactly one task). */
   val DataFileName = "part-0.kv"
@@ -180,6 +193,70 @@ object KvFile {
             else { val b = new Array[Byte](valLen); data.readFully(b); b }
           i += 1
           (k, v)
+        }
+      }
+    }
+
+    /** Keys-only scan, in key order: value bytes are SKIPPED using the
+      * `valLen` already in each record header — never allocated and, on
+      * the large-record branch, never read. Density-adaptive like the
+      * batch-lookup crossover (`DomainStore.LookupScanRatio`):
+      *  - avg record ≤ [[KeysSeqRecordLen]]: values sit inside the
+      *    read-ahead buffer anyway, so the pass streams sequentially and
+      *    skips in-buffer (same I/O as the full scan, zero value
+      *    allocation);
+      *  - larger records: ONE positioned read per record (header + key
+      *    probed together; a rare over-long key costs a second). The
+      *    next record's offset is computed from this record's header —
+      *    the offset index is never touched — so a large-value shard's
+      *    key pass does key-sized I/O, not shard-sized.
+      * Sequential-branch lifetime contract matches [[iterator]] (owns
+      * the seek pointer, positioned [[lookup]]s can interleave); the
+      * positioned branch uses preads only. */
+    def keysIterator: Iterator[Array[Byte]] = {
+      val avgRecordLen = if (n == 0) 0L else (indexOffset - 4L) / n
+      if (avgRecordLen <= KeysSeqRecordLen) {
+        in.seek(4L)
+        val data = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
+        new Iterator[Array[Byte]] {
+          private var i = 0L
+          def hasNext: Boolean = i < n
+          def next(): Array[Byte] = {
+            val keyLen = data.readInt()
+            val valLen = data.readInt()
+            val k = new Array[Byte](keyLen)
+            data.readFully(k)
+            if (valLen > 0) {
+              var left = valLen.toLong
+              while (left > 0) {
+                val s = data.skip(left)
+                // skip() may stall at a buffer boundary; forcing one real
+                // byte read un-sticks it without an unbounded spin
+                if (s > 0) left -= s
+                else { data.readByte(); left -= 1 }
+              }
+            }
+            i += 1
+            k
+          }
+        }
+      } else new Iterator[Array[Byte]] {
+        private var i = 0L
+        private var off = 4L
+        private val probe = new Array[Byte](8 + KeysProbeKeyLen)
+        def hasNext: Boolean = i < n
+        def next(): Array[Byte] = {
+          val got = math.min(probe.length.toLong, indexOffset - off).toInt
+          in.readFully(off, probe, 0, got)
+          val bb = ByteBuffer.wrap(probe)
+          val keyLen = bb.getInt
+          val valLen = bb.getInt
+          val k = new Array[Byte](keyLen)
+          if (keyLen <= got - 8) System.arraycopy(probe, 8, k, 0, keyLen)
+          else in.readFully(off + 8L, k)
+          off += 8L + keyLen + math.max(valLen, 0)
+          i += 1
+          k
         }
       }
     }

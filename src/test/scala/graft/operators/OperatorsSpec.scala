@@ -468,6 +468,13 @@ class OperatorsSpec extends SparkSuite {
     assert(leaked.isEmpty, s"operators leaked persisted RDDs: ${leaked.mkString(", ")}")
   }
 
+  test("bucket-cap entry points reject a caller-supplied reserved _bsz column") {
+    import spark.implicits._
+    val bands = Seq((1L, 0, 7L, 99L)).toDF("id", "band", "band_hash", "_bsz")
+    val e = intercept[IllegalArgumentException](Dedup.lshCandidates(bands).collect())
+    assert(e.getMessage.contains("_bsz"))
+  }
+
   test("hot-bucket cap: oversized LSH buckets drop whole, small buckets survive") {
     import spark.implicits._
     // 60 near-identical boilerplate docs collapse into ONE bucket per band

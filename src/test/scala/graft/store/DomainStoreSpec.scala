@@ -228,6 +228,75 @@ class DomainStoreSpec extends SparkSuite {
     intercept[IllegalStateException](dead.count())
   }
 
+  test("KvDomainReader: concurrent get hammer; close() cannot leak a racing open") {
+    val root = scratch("kv-hammer")
+    val store = DomainStore.create(
+      root, DomainSpec(8, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    val pairs = (0 until 400).map(i => s"hk$i" -> s"hv$i")
+    store.write(kv(pairs: _*), 1L)
+    import java.util.concurrent.{Callable, CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(16)
+    try {
+      // phase 1: correctness under concurrency — 16 threads x 300 mixed
+      // hit/miss lookups against ONE shared reader; every answer exact
+      // (pread-based lookups share FSDataInputStreams across threads)
+      val r = KvDomainReader.open(root, conf)
+      try {
+        val tasks = (0 until 16).map { t =>
+          pool.submit(new Callable[Int] {
+            def call(): Int = {
+              var wrong = 0
+              (0 until 300).foreach { i =>
+                val k = (t * 131 + i * 7) % 600 // keys 400..599 are misses
+                val got = r.get(utf8(s"hk$k")).map(new String(_, "UTF-8"))
+                val want = if (k < 400) Some(s"hv$k") else None
+                if (got != want) wrong += 1
+              }
+              wrong
+            }
+          })
+        }
+        assert(tasks.map(_.get(120, TimeUnit.SECONDS)).sum === 0)
+      } finally r.close()
+      // phase 2: close() racing cache population — threads fault shard
+      // readers in while close() clears the cache. Allowed outcomes per
+      // lookup: a correct answer, or a LOUD failure (closed-reader
+      // IllegalStateException / stream-closed IOException). Afterwards the
+      // cache must be empty: an entry inserted after clear() is exactly
+      // the leaked-handle race the lifecycle lock exists to prevent.
+      val readersField = classOf[KvDomainReader].getDeclaredFields
+        .find(_.getName.endsWith("readers")).get
+      readersField.setAccessible(true)
+      (0 until 40).foreach { round =>
+        val rr = KvDomainReader.open(root, conf)
+        val latch = new CountDownLatch(1)
+        val tasks = (0 until 8).map { t =>
+          pool.submit(new Callable[Unit] {
+            def call(): Unit = {
+              latch.await()
+              (0 until 50).foreach { i =>
+                try rr.get(utf8(s"hk${(t * 53 + i) % 400}"))
+                catch {
+                  case _: IllegalStateException => () // closed: loud is correct
+                  case _: java.io.IOException => ()   // stream closed mid-lookup
+                }
+              }
+            }
+          })
+        }
+        latch.countDown()
+        if (round % 2 == 0) Thread.`yield`()
+        rr.close()
+        tasks.foreach(_.get(120, TimeUnit.SECONDS))
+        val cache = readersField.get(rr)
+          .asInstanceOf[java.util.concurrent.ConcurrentHashMap[_, _]]
+        assert(cache.isEmpty,
+          s"round $round: close() left ${cache.size} cached reader(s) — leaked handle(s)")
+      }
+    } finally pool.shutdown()
+  }
+
   test("kv-sorted shard files binary-search WITHOUT Spark (the serving deliverable)") {
     val n = 4
     val store = DomainStore.create(
@@ -393,6 +462,40 @@ class DomainStoreSpec extends SparkSuite {
       "shard_count: 4\nshard_scheme: com.example.RangeScheme"))
   }
 
+  test("reference NATIVE data layout fails loud at open, naming the persistence + migration path") {
+    val root = scratch("yaml-native")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def put(rel: String, bytes: Array[Byte] = Array[Byte](0, 1, 2, 3)): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, rel), true)
+      out.write(bytes); out.close()
+    }
+    put("domain-spec.yaml",
+      "shard_count: 2\ncoordinator: elephantdb.persistence.JavaBerkDB\n".getBytes("UTF-8"))
+    // the reference's on-disk shape: <version>/<shard-int>/<bdb je files>
+    // (ShardSetImpl.java:60-63, JavaBerkDB.java:60-67) + the version token
+    put("1234/0/00000000.jdb")
+    put("1234/1/00000000.jdb")
+    put("1234.version", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](DomainStore.open(root, conf))
+    assert(e.getMessage.contains("unsupported persistence"), e.getMessage)
+    assert(e.getMessage.contains("BerkeleyDB"), e.getMessage)
+    assert(e.getMessage.contains("kv-sorted"), e.getMessage)
+    assert(e.getMessage.contains("KvDomainReader"), e.getMessage)
+    // LevelDB files are named as such too
+    val root2 = scratch("yaml-native-ldb")
+    val fs2 = new org.apache.hadoop.fs.Path(root2).getFileSystem(conf)
+    def put2(rel: String, bytes: Array[Byte] = Array[Byte](9)): Unit = {
+      val out = fs2.create(new org.apache.hadoop.fs.Path(root2, rel), true)
+      out.write(bytes); out.close()
+    }
+    put2("domain-spec.yaml",
+      "shard_count: 1\ncoordinator: elephantdb.persistence.LevelDB\n".getBytes("UTF-8"))
+    put2("7/0/000005.sst")
+    put2("7.version", Array.emptyByteArray)
+    val e2 = intercept[IllegalArgumentException](DomainStore.open(root2, conf))
+    assert(e2.getMessage.contains("LevelDB"), e2.getMessage)
+  }
+
   test("ShardPruningRule: plain key filters prune partitions without manual routing") {
     val store = DomainStore.create(scratch("autoprune"), DomainSpec(8), conf)
     val pairs = (0 until 64).map(i => s"k$i" -> s"v$i")
@@ -529,6 +632,38 @@ class DomainStoreSpec extends SparkSuite {
     assert(s.size === 60 && s.count(_._2.isEmpty) === 10)
   }
 
+  test("multiGet point path scans the pruned shards exactly once (misses fold into the plan)") {
+    val store = DomainStore.create(scratch("mg-onescan"), DomainSpec(4), conf)
+    store.write(kv((0 until 40).map(i => s"ok$i" -> s"ov$i"): _*), 1L)
+    val keys = kv("ok1" -> "", "ok2" -> "", "gone" -> "").select(col("key"))
+    val withMisses = store.multiGet(keys)
+    val plan = withMisses.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected exactly 1 domain scan, got $scans:\n$plan")
+    val got = withMisses
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(got === Map("ok1" -> Some("ov1"), "ok2" -> Some("ov2"), "gone" -> None))
+  }
+
+  test("multiGet rejects null keys identically on the point and bulk paths") {
+    val store = DomainStore.create(scratch("mg-nulls"), DomainSpec(4), conf)
+    store.write(kv("a" -> "1", "b" -> "2"), 1L)
+    import spark.implicits._
+    val withNull = Seq(Option(utf8("a")), None, Option(utf8("b")))
+      .toDF("key")
+    // point path: driver routing sees every key, fails fast
+    val e1 = intercept[IllegalArgumentException](store.multiGet(withNull))
+    assert(e1.getMessage.contains("null key"))
+    // bulk path: too big to check on the driver, so the check rides the
+    // plan — same input, same verdict, raised at evaluation time
+    val e2 = intercept[Exception](store.multiGet(withNull, maxDriverKeys = 1).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("null key")),
+      s"bulk path must name the null key: ${messages(e2).mkString(" | ")}")
+  }
+
   test("multiGet pins no cache: no persistent RDDs survive a round-trip") {
     val store = DomainStore.create(scratch("mg-nocache"), DomainSpec(4), conf)
     store.write(kv("a" -> "1", "b" -> "2", "c" -> "3"), 1L)
@@ -630,6 +765,42 @@ class DomainStoreSpec extends SparkSuite {
     val widePlan = store.lookupJoin(wide).queryExecution.executedPlan.toString
     assert(!widePlan.contains("PartitionFilters: [shard"),
       s"full-coverage probe should not carry a pruning filter:\n$widePlan")
+  }
+
+  test("lookupJoin refuses to prune a nondeterministic probe (and a checkpointed one prunes again)") {
+    import org.apache.spark.sql.functions.rand
+    val store = DomainStore.create(scratch("lj-nondet"), DomainSpec(8), conf)
+    store.write(kv((0 until 8).map(i => s"k$i" -> s"v$i"): _*), 1L)
+    // keys chosen BY rand(): every candidate key exists in the domain, so
+    // a correct (single-evaluation) join can never produce a null value —
+    // but the old double-evaluation pruning could re-draw the key into a
+    // pruned-out shard and null a real match.
+    def randProbe = spark.range(0, 200).select(
+      col("id").as("row_id"),
+      utf8_bytes(concat(lit("k"), (rand(7) * 8).cast("int").cast("string"))).as("key"))
+    assert(DomainStore.nondeterministicPlan(randProbe))
+    val joined = store.lookupJoin(randProbe)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("PartitionFilters: [shard"),
+      s"nondeterministic probe must not be shard-pruned:\n$plan")
+    val vals = joined.select(bytes_utf8(col("value"))).collect().map(_.getString(0))
+    assert(vals.length === 200)
+    assert(vals.forall(_ != null), "unpruned fallback must never null a real match")
+    // sample() is the other re-evaluation hazard class — also detected
+    val sampled = spark.range(0, 64)
+      .select(utf8_bytes(concat(lit("k"), col("id").cast("string"))).as("key"))
+      .sample(0.5, seed = 3)
+    assert(DomainStore.nondeterministicPlan(sampled))
+    assert(!store.lookupJoin(sampled).queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [shard"))
+    // materializing pins the rows: pruning comes back
+    val pinned = randProbe.filter(col("row_id") < 5).localCheckpoint(true)
+    try {
+      assert(!DomainStore.nondeterministicPlan(pinned))
+      val prunedPlan = store.lookupJoin(pinned).queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("PartitionFilters: [shard"),
+        s"checkpointed probe should prune:\n$prunedPlan")
+    } finally pinned.unpersist(blocking = true)
   }
 
   test("salted lookupJoin: equals the plain join AND spreads the hot key") {

@@ -70,6 +70,95 @@ class KvFileSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("keysIterator: exact keys in order, value bytes SKIPPED not read") {
+    val rnd = new scala.util.Random(99)
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    // 64 records x 256 KiB values: values dominate the file, so a keys
+    // pass that actually reads them is shard-sized I/O and fails the
+    // byte-count assertion below
+    val rows = byUnsigned((0 until 64).map(_ => bytes(8 + rnd.nextInt(24)) -> bytes(256 * 1024)))
+    val p = scratchFile("keysonly.kv")
+    writeFile(p, rows)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+
+    // counting wrapper: every byte entering the reader is tallied, and a
+    // skip() is a forward SEEK (reading to skip would be counted)
+    class Counting(in: org.apache.hadoop.fs.FSDataInputStream)
+        extends java.io.InputStream
+        with org.apache.hadoop.fs.Seekable
+        with org.apache.hadoop.fs.PositionedReadable {
+      var readBytes = 0L
+      override def read(): Int = { val r = in.read(); if (r >= 0) readBytes += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) readBytes += r; r
+      }
+      override def skip(n: Long): Long = {
+        // called by BufferedInputStream only when its buffer is drained,
+        // so the underlying position IS the logical position
+        val target = math.min(in.getPos + n, fileLen)
+        val s = target - in.getPos
+        in.seek(target); s
+      }
+      def seek(pos: Long): Unit = in.seek(pos)
+      def getPos: Long = in.getPos
+      def seekToNewSource(targetPos: Long): Boolean = in.seekToNewSource(targetPos)
+      def read(position: Long, buffer: Array[Byte], offset: Int, length: Int): Int = {
+        val r = in.read(position, buffer, offset, length); if (r > 0) readBytes += r; r
+      }
+      def readFully(position: Long, buffer: Array[Byte], offset: Int, length: Int): Unit = {
+        in.readFully(position, buffer, offset, length); readBytes += length
+      }
+      def readFully(position: Long, buffer: Array[Byte]): Unit = {
+        in.readFully(position, buffer); readBytes += buffer.length
+      }
+      override def close(): Unit = in.close()
+    }
+
+    val counting = new Counting(fs.open(p))
+    val r = new KvFile.Reader(
+      new org.apache.hadoop.fs.FSDataInputStream(counting), fileLen)
+    try {
+      val keys = r.keysIterator.toVector
+      assert(keys.size === rows.size)
+      keys.zip(rows).foreach { case (gk, (k, _)) =>
+        assert(java.util.Arrays.equals(gk, k))
+      }
+      // total value bytes ~16 MiB; keys + headers + trailer + read-ahead
+      // slop is a rounding error next to that
+      assert(counting.readBytes < fileLen / 10,
+        s"keys pass read ${counting.readBytes} of $fileLen bytes — values were READ, not skipped")
+    } finally r.close()
+    // null values (valLen = -1) take the no-skip branch (sequential:
+    // tiny records sit under the density crossover)
+    val withNulls = byUnsigned(Seq(
+      bytes(4) -> null, bytes(5) -> bytes(16), bytes(6) -> null))
+    val p2 = scratchFile("keysonly-nulls.kv")
+    writeFile(p2, withNulls)
+    val r2 = KvFile.open(fs, p2)
+    try {
+      val ks = r2.keysIterator.toVector
+      assert(ks.size === 3)
+      ks.zip(withNulls).foreach { case (gk, (k, _)) =>
+        assert(java.util.Arrays.equals(gk, k))
+      }
+    } finally r2.close()
+    // keys longer than the one-pread probe window on the positioned
+    // branch (big values) still round-trip via the second pread
+    val longKeys = byUnsigned((0 until 8).map(_ =>
+      bytes(KvFile.KeysProbeKeyLen + 100) -> bytes(64 * 1024)))
+    val p3 = scratchFile("keysonly-longkeys.kv")
+    writeFile(p3, longKeys)
+    val r3 = KvFile.open(fs, p3)
+    try {
+      val ks = r3.keysIterator.toVector
+      assert(ks.size === 8)
+      ks.zip(longKeys).foreach { case (gk, (k, _)) =>
+        assert(java.util.Arrays.equals(gk, k))
+      }
+    } finally r3.close()
+  }
+
   test("unsorted input is rejected at write time") {
     val p = scratchFile("unsorted.kv")
     val rows = Seq(
