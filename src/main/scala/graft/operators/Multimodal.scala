@@ -12,9 +12,9 @@ case class MediaRecord(
     format: String,
     n_bytes: Long)
 
-/** Deterministic stand-in for decoded media features (real decoders are
-  * not available in this environment; the Spark-side plumbing — schema,
-  * batching, partitioning — is real). */
+/** Decoded media features. Produced by BOTH kernels: the REAL image path
+  * ([[Multimodal.decodeImages]], JDK imageio) and the deterministic stub
+  * twin ([[Multimodal.extractFeatures]]) for opaque non-image payloads. */
 case class MediaFeatures(
     media_id: Long,
     width: Int,
@@ -111,6 +111,134 @@ object Multimodal {
         content = out,
         format = s"${r.format};resize=1/$factor",
         n_bytes = out.length.toLong)
+    }
+
+  // ------------------------------------------------------- real image path
+
+  /** REAL image kernels — JDK `javax.imageio`, zero new dependencies. The
+    * stub kernels above stay as the shape twins for opaque payloads; these
+    * decode actual PNG/JPEG/GIF/BMP bytes (ImageIO sniffs the container).
+    * Grayscale PNG is lossless BOTH directions, so for
+    * [[synthImageMedia]]-generated payloads the entire chain —
+    * synthesize → PNG encode → decode → nearest-neighbor resize →
+    * re-encode → decode — is deterministic integer math, checkable in
+    * closed form by a SQL oracle (no fixture manifest to drift). */
+
+  /** The synthetic pixel: gray value at (x, y) of the image seeded by
+    * `seed`. ONE definition, shared by the generator and (replayed as SQL
+    * integer arithmetic) the oracles. */
+  def pixelValue(seed: Long, x: Int, y: Int): Int =
+    (((seed * 31 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+
+  def synthWidth(seed: Long): Int = 1 + math.floorMod(seed, 31).toInt
+  def synthHeight(seed: Long): Int = 1 + math.floorMod(seed, 17).toInt
+
+  /** One deterministic grayscale PNG (8-bit, no palette/profile). */
+  def synthPng(seed: Long): Array[Byte] = {
+    val w = synthWidth(seed)
+    val h = synthHeight(seed)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixelValue(seed, x, y)); x += 1 }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  // ImageIO spools every read/write through a TEMP FILE by default; for
+  // per-record in-memory payloads that is one disk round-trip per image.
+  // Process-wide flag, set once per JVM (executors included — the object
+  // initializes wherever a kernel first runs).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      "no PNG writer registered (JDK imageio missing?)")
+    bos.toByteArray
+  }
+
+  private def decodeImage(r: MediaRecord): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+    require(img != null,
+      s"media_id ${r.media_id}: payload is not a decodable image (format '${r.format}')")
+    img
+  }
+
+  /** Media records whose payloads are REAL PNG bytes, seeded by the first
+    * column of `ids` (generated in the executors — a 100 TB corpus of
+    * synthetic fixtures never funnels through the driver). */
+  def synthImageMedia(spark: SparkSession, ids: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val png = synthPng(id)
+        MediaRecord(id, png, "image/png", png.length.toLong)
+      }
+    }
+  }
+
+  /** Batched REAL decode + feature extraction: actual dimensions and the
+    * sum of band-0 samples (= the gray value for grayscale payloads).
+    * Same batching contract as [[extractFeatures]]. */
+  def decodeImages(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(decodeImageBatch))
+  }
+
+  private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val img = decodeImage(r)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaFeatures(r.media_id, img.getWidth, img.getHeight, 1, sum)
+    }
+
+  /** Batched REAL resize: decode, nearest-neighbor subsample
+    * (`out(x, y) = in(x*factor, y*factor)`, output `ceil(dim/factor)` —
+    * exact pixel picks, so lossless inputs stay oracle-checkable), PNG
+    * re-encode. Binary in, binary out, constant memory per batch; the
+    * output is a first-class media Dataset downstream operators consume
+    * unchanged. */
+  def resizeImages(
+      spark: SparkSession,
+      media: Dataset[MediaRecord],
+      factor: Int = 2): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(factor >= 1, "resize factor must be >= 1")
+    media.mapPartitions(_.grouped(BatchSize).flatMap(b => resizeImageBatch(b, factor)))
+  }
+
+  private def resizeImageBatch(batch: Seq[MediaRecord], factor: Int): Seq[MediaRecord] =
+    batch.map { r =>
+      val img = decodeImage(r)
+      val ow = (img.getWidth + factor - 1) / factor
+      val oh = (img.getHeight + factor - 1) / factor
+      val out = new java.awt.image.BufferedImage(
+        ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val src = img.getRaster
+      val dst = out.getRaster
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+          x += 1
+        }
+        y += 1
+      }
+      val png = encodePng(out)
+      MediaRecord(r.media_id, png, "image/png", png.length.toLong)
     }
 
   /**

@@ -300,6 +300,185 @@ object Similarity {
     centroids
   }
 
+  /** Quantization scale for the EXACT trained quantizer: a power of two,
+    * so `v * Q` is an exponent shift (no rounding) and
+    * `floor(v * Q + 0.5)` is bit-identical in any IEEE-double engine —
+    * the property the SQL-replayable training rests on. */
+  private[graft] val ExactQuantScale: Double = 1048576.0 // 2^20
+
+  /**
+   * EXACT-arithmetic trained coarse quantizer — k-means whose every step
+   * is integer math, so a SQL oracle can replay the TRAINING, not just
+   * the search ([[fixedCentroids]] exists because the double-math
+   * [[kmeansCentroids]] cannot be replayed by a static SQL string; this
+   * variant removes that limitation for corpora small enough to train on
+   * whole):
+   *  - training set = ALL prepared corpus rows ordered by id (bounded by
+   *    a limit+1 probe; past `maxTrainRows` this throws, naming the
+   *    hash-sampled [[kmeansCentroids]] as the scale twin);
+   *  - vectors quantize to `floor(v * 2^20 + 0.5)` longs (exact);
+   *  - seeding = farthest-point from the min-id row, integer squared
+   *    distances, first-index tie-breaks;
+   *  - Lloyd keeps centroids as RATIONALS (dim integer sums, count):
+   *    integer sums are addition-order-free, and cell comparisons
+   *    cross-multiply (`a/n² < a'/n'²` as `a·n'² < a'·n²` in BigInt), so
+   *    no floating-point op exists anywhere in training;
+   *  - the final centroid doubles are one exact-input division each,
+   *    `s / (n * 2^20)` — deterministic IEEE, replayed verbatim in SQL.
+   */
+  private[graft] def trainedCentroidsExact(
+      p: DataFrame,
+      nlist: Int,
+      iters: Int,
+      maxTrainRows: Int = 65536): Array[Array[Double]] =
+    exactLloyd(collectQuantizedSample(p, maxTrainRows), nlist, iters)
+
+  /** Whole-corpus (id-ordered, bounded) training set, quantized to exact
+    * longs — shared by the exact IVF quantizer and the exact PQ
+    * codebooks so the two train from the identical sample. */
+  private def collectQuantizedSample(p: DataFrame, maxTrainRows: Int): Array[Array[Long]] = {
+    val rows = p.orderBy(col("id")).limit(maxTrainRows + 1).select(col("vec")).collect()
+    require(rows.length <= maxTrainRows,
+      s"ivf exact training: corpus exceeds $maxTrainRows rows — use the " +
+        "hash-sampled trained path (ivfTopK/kmeansCentroids) at corpus scale")
+    require(rows.nonEmpty, "ivf: empty training set")
+    rows.map(_.getSeq[Double](0).toArray.map(v => math.floor(v * ExactQuantScale + 0.5).toLong))
+  }
+
+  /** The exact-integer Lloyd core (seeding + iterations) — see
+    * [[trainedCentroidsExact]] for the arithmetic contract. */
+  private def exactLloyd(
+      sample: Array[Array[Long]],
+      nlist: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.length >= nlist,
+      s"ivf exact training: need >= $nlist rows, got ${sample.length}")
+    val dim = sample(0).length
+    // farthest-point seeding, integer distances (terms bounded well under
+    // 2^63 for unit-scale embeddings at 2^20 quantization)
+    val seeds = Array.ofDim[Array[Long]](nlist)
+    seeds(0) = sample(0).clone()
+    val minD = Array.fill(sample.length)(Long.MaxValue)
+    var s = 1
+    while (s < nlist) {
+      var farIdx = 0
+      var farD = -1L
+      var i = 0
+      while (i < sample.length) {
+        var d = 0L
+        var j = 0
+        val last = seeds(s - 1)
+        while (j < dim) { val t = sample(i)(j) - last(j); d += t * t; j += 1 }
+        if (d < minD(i)) minD(i) = d
+        if (minD(i) > farD) { farD = minD(i); farIdx = i }
+        i += 1
+      }
+      seeds(s) = sample(farIdx).clone()
+      s += 1
+    }
+    // Lloyd on rationals: centroid c = sums(c) / counts(c) in q-space
+    var cents: Array[(Array[Long], Long)] = seeds.map(q => (q, 1L))
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.ofDim[Long](nlist, dim)
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        var best = 0
+        var bestA: BigInt = null
+        var bestN = 0L
+        var c = 0
+        while (c < nlist) {
+          val (cs, cn) = cents(c)
+          var a = BigInt(0)
+          var i = 0
+          while (i < dim) {
+            val t = cn * v(i) - cs(i) // fits a Long; t*t may not -> BigInt
+            a += BigInt(t) * t
+            i += 1
+          }
+          // a/cn² < bestA/bestN²  ⇔  a·bestN² < bestA·cn²  (strict: the
+          // first/lowest cell wins ties, like the double kernel's `d < bestD`)
+          if (bestA == null || a * (BigInt(bestN) * bestN) < bestA * (BigInt(cn) * cn)) {
+            best = c; bestA = a; bestN = cn
+          }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) cents(c) else (sums(c), counts(c)))
+      iter += 1
+    }
+    cents.map { case (cs, cn) =>
+      cs.map(si => si.toDouble / (cn.toDouble * ExactQuantScale))
+    }
+  }
+
+  /** [[ivfTopK]] with the EXACT replayable trained quantizer — the
+    * fully-oracled trained-ANN contract entry point. Identical search
+    * pipeline ([[ivfSearch]]); only the training arithmetic differs. */
+  def ivfTopKExact(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 5,
+      maxTrainRows: Int = 65536): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val centroids = trainedCentroidsExact(c, nlist, iters, maxTrainRows)
+    ivfSearch(c, prepared(queries, idCol, vecCol), centroids, k, nprobe)
+  }
+
+  /** Per-subspace PQ codebooks via the same EXACT-integer Lloyd as
+    * [[trainedCentroidsExact]]: the subspace slices of the quantized
+    * sample train independently, so a SQL oracle replays every codebook
+    * the same way it replays the coarse quantizer. */
+  private[graft] def pqCodebooksExact(
+      p: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      maxTrainRows: Int = 65536): Array[Array[Array[Double]]] = {
+    require(ksub >= 1 && ksub <= 32768, s"pq: ksub must be in [1, 32768], got $ksub")
+    val sample = collectQuantizedSample(p, maxTrainRows)
+    val dim = sample(0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m = $m")
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      exactLloyd(
+        sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+        ksub, iters)
+    }
+  }
+
+  /** [[ivfPqTopK]] with BOTH quantizers (coarse cells and PQ codebooks)
+    * trained by the EXACT replayable path — the fully-oracled trained
+    * IVF-PQ contract entry point. Identical search pipeline
+    * ([[ivfPqSearch]]); only the training arithmetic differs. */
+  def ivfPqTopKExact(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      nprobe: Int = 4,
+      rerank: Int = 4,
+      iters: Int = 5,
+      maxTrainRows: Int = 65536): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val centroids = trainedCentroidsExact(c, nlist, iters, maxTrainRows)
+    val books = pqCodebooksExact(c, m, ksub, iters, maxTrainRows)
+    ivfPqSearch(c, prepared(queries, idCol, vecCol), centroids, books, k, nprobe, rerank)
+  }
+
   /**
    * IVF (inverted-file) approximate top-k: a deterministic k-means coarse
    * quantizer assigns every corpus vector to one of `nlist` cells; each

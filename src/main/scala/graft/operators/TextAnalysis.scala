@@ -237,6 +237,36 @@ object TextAnalysis {
   def scrubbed(text: Column): Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), UrlRe, "<URL>")
 
+  /** Phone numbers: international `+CC` prefix optional, then either a
+    * parenthesized area code or 3 digits, with `-`/`.`/space separators
+    * REQUIRED between the trailing 3+4 groups — the separators are what
+    * keep dates (2024-01-02: 4-2-2 digit shape) and bare integers out.
+    * No `\b` anchors here: the leading paren alternative would sit at a
+    * non-word boundary, and RE2 (the DuckDB oracle engine) has no
+    * lookaround to express "not preceded by a digit" — both engines see
+    * the identical pattern, which is the contract. */
+  val PhoneRe =
+    "(\\+[0-9]{1,3}[-. ])?(\\([0-9]{3}\\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}"
+
+  /** Dotted-quad IPv4. `\b` is safe here (digit/non-word edges only) and
+    * keeps the match out of longer digit runs; octets are not
+    * range-checked (RE2-safe simplicity — 999.0.0.1 redacts too, which
+    * errs toward privacy). */
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Full PII pass: email, URL, phone, IPv4 → placeholder tokens.
+    * Replacement ORDER is part of the contract: URLs go before phone/IP
+    * so a dotted host or numeric path is redacted as the URL it is, not
+    * re-matched piecemeal by the narrower patterns. */
+  def scrubbedPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** Redaction report: per-doc match counts plus the rolling-hash
     * fingerprint of the scrubbed text — the fingerprint proves the
     * replacement itself (not just the counts) is identical across
@@ -248,6 +278,23 @@ object TextAnalysis {
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
       fingerprint(scrubbed(t)).as("scrub_fp"))
+  }
+
+  /** [[scrubReport]] widened to the full PII class set (email, URL,
+    * phone, IPv4). Counts are per-pattern over the RAW text (a dotted
+    * host inside a URL counts as both — occurrence reporting); the
+    * fingerprint pins the ORDERED redaction of [[scrubbedPii]], so the
+    * replacement text itself (not just the counts) is checked across
+    * engines. Per-row regexp work only — shuffle-free. */
+  def scrubPiiReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      fingerprint(scrubbedPii(t)).as("scrub_fp"))
   }
 
   /**

@@ -55,6 +55,33 @@ object MmQueries {
     "mm_frame_sample" -> { (s, dir) =>
       Multimodal.frameSample(
         Multimodal.pack(asciiDocs(s, dir), "doc_id", "text"))
+    },
+    // REAL codec path (JDK imageio): synthetic grayscale PNGs seeded by
+    // doc_id, decoded for actual dimensions + pixel sums. Lossless both
+    // directions, so the oracle replays the pixel formula in closed form.
+    "mm_image_features" -> { (s, dir) =>
+      val media = Multimodal.synthImageMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.decodeImages(s, media).toDF()
+        .select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("byte_sum"))
+    },
+    // encode -> decode -> nearest-neighbor 1/2 resize -> re-encode ->
+    // decode: the resized image's pixels are exact picks from the
+    // original grid, so the oracle sums formula(2x, 2y) over the
+    // half-size grid.
+    "mm_image_resize" -> { (s, dir) =>
+      val media = Multimodal.synthImageMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.decodeImages(s, Multimodal.resizeImages(s, media, 2)).toDF()
+        .select(
+          col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("byte_sum"))
     })
 
   /** SQL twin of [[asciiDocs]]'s filter. */
@@ -89,5 +116,27 @@ object MmQueries {
         |    FROM documents WHERE $AsciiFilter),
         |s AS (SELECT media_id, n_frames, unnest(range(0, 4)) AS i FROM f)
         |SELECT DISTINCT media_id, n_frames,
-        |  CAST(floor(i * n_frames / 4) AS BIGINT) AS frame_no FROM s""".stripMargin)
+        |  CAST(floor(i * n_frames / 4) AS BIGINT) AS frame_no FROM s""".stripMargin,
+    // The real-codec queries replay Multimodal.pixelValue/synthWidth/
+    // synthHeight as integer SQL: dims 1 + doc_id % {31,17}, pixel
+    // (doc_id*31 + x*7 + y*13) % 256 — PNG is lossless, so the decoded
+    // sums must equal the formula's exactly.
+    "mm_image_features" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS byte_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // Nearest-neighbor 1/2 resize: out dims ceil(dim/2), out(x,y) =
+    // in(2x, 2y) — the sum ranges over the half grid with doubled
+    // coordinates inside the same pixel formula.
+    "mm_image_resize" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h FROM documents),
+        |o AS (SELECT doc_id, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM d),
+        |xs AS (SELECT doc_id, ow, oh, unnest(range(0, ow)) AS x FROM o),
+        |px AS (SELECT doc_id, ow, oh, x, unnest(range(0, oh)) AS y FROM xs)
+        |SELECT doc_id AS media_id, CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
+        |  CAST(sum((doc_id*31 + (2*x)*7 + (2*y)*13) % 256) AS BIGINT) AS byte_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin)
 }

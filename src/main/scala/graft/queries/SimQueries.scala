@@ -12,10 +12,14 @@ import graft.operators.Similarity
  * tensor — so its oracle interpolates the very same planes as SQL
  * literals and replays bucket assignment (sign of a left-to-right dot),
  * candidate generation, and the exact re-rank in DuckDB, making even the
- * approximate query hash-checkable. The IVF variants stay oracle-less:
- * their quantizer is trained from the DATA at query time (Lloyd over a
- * sampled corpus), which a static SQL string cannot replay; their
- * exhaustive-probe ≡ exact identities are pinned in ScalaTest instead.
+ * approximate query hash-checkable. The trained IVF variants are oracled
+ * TOO: their contract queries train through the EXACT-integer Lloyd
+ * (quantized vectors, rational centroids, cross-multiplied comparisons —
+ * no float op anywhere in training), which the generated oracles replay
+ * as unrolled CTE stages; the `_fixed` variants pin the search pipeline
+ * against seeded literal tensors, and the hash-sampled double-math
+ * trained paths (ivfTopK/ivfPqTopK) remain the 100 TB scale twins with
+ * their exhaustive-probe ≡ exact identities pinned in ScalaTest.
  */
 object SimQueries {
 
@@ -24,6 +28,11 @@ object SimQueries {
   val KnnJoinK = 5
   val IvfNlist = 16
   val IvfNprobe = 4
+
+  /** Lloyd iterations for the EXACT trained quantizer (sim_ann_ivf):
+    * each iteration unrolls into oracle CTE stages, so the count is a
+    * contract constant shared by the query and its generated SQL. */
+  val IvfExactIters = 5
 
   /** The embeddings fixture's dimensionality (TESTDATA.md). The oracle
     * plane literals are generated at this dim; the operators themselves
@@ -109,12 +118,19 @@ object SimQueries {
         "vec_id", "embedding", TopK)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
+    // TRAINED quantizer, fully oracled: k-means whose every training step
+    // is exact integer math (quantized vectors, rational centroids,
+    // cross-multiplied comparisons), so the generated oracle replays the
+    // TRAINING itself as unrolled CTE stages — not just the search. The
+    // hash-sampled double-math ivfTopK remains the 100 TB scale twin
+    // (property-pinned in ScalaTest: nprobe = nlist ≡ exact).
     "sim_ann_ivf" -> { (s, dir) =>
       val emb = Fixtures.table(s, dir, "embeddings")
-      Similarity.ivfTopK(
+      Similarity.ivfTopKExact(
         emb,
         emb.where(col("vec_id") % QueryMod === 0),
-        "vec_id", "embedding", TopK)
+        "vec_id", "embedding", TopK,
+        nlist = IvfNlist, nprobe = IvfNprobe, iters = IvfExactIters)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
     // IVF with a FIXED seeded centroid matrix: the same cell-assignment →
@@ -158,12 +174,19 @@ object SimQueries {
     // IVF-PQ: candidates travel as m shorts per vector (not dim doubles),
     // ADC preselect + exact re-rank. Approximate by design (no SQL
     // oracle); recall + the exhaustive-probe identity pinned in ScalaTest.
+    // TRAINED IVF-PQ, fully oracled: BOTH quantizers (coarse cells and
+    // the per-subspace PQ codebooks) train at query time through the
+    // exact-integer Lloyd, so the generated oracle replays coarse
+    // training, all m codebook trainings, encode, ADC, shortlist and
+    // re-rank. The hash-sampled ivfPqTopK stays the scale twin.
     "sim_ann_ivfpq" -> { (s, dir) =>
       val emb = Fixtures.table(s, dir, "embeddings")
-      Similarity.ivfPqTopK(
+      Similarity.ivfPqTopKExact(
         emb,
         emb.where(col("vec_id") % QueryMod === 0),
-        "vec_id", "embedding", TopK)
+        "vec_id", "embedding", TopK,
+        nlist = IvfNlist, m = PqM, ksub = PqKsub,
+        nprobe = IvfNprobe, rerank = PqRerank, iters = IvfExactIters)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     },
     // IVF-PQ with FIXED seeded quantizers (coarse cells + per-subspace
@@ -197,6 +220,121 @@ object SimQueries {
       val nsq = c.map(x => x * x).sum
       s"($i, CAST($arr AS DOUBLE[]), CAST($nsq AS DOUBLE))"
     }.mkString(",\n")
+  }
+
+  /**
+   * Generated CTE chain replaying [[Similarity.trainedCentroidsExact]]'s
+   * TRAINING in DuckDB — farthest-point seeding and every Lloyd
+   * iteration unrolled into stages, all in integer arithmetic:
+   *  - `tr`: corpus quantized to `floor(v * 2^20 + 0.5)` BIGINT lists
+   *    (2^20 multiply is an exponent shift — exact in any IEEE engine),
+   *    ranked by id = the Scala trainer's sample order;
+   *  - `p{s}`/`sd{s}`: seeding stage s — running min-distance-to-seeds
+   *    (integer), argmax by `(mind DESC, rn)` = the trainer's strict-`>`
+   *    first-index tie-break;
+   *  - `sc{t}`/`bs{t}`: assignment — centroids are RATIONALS `(s, n)`,
+   *    so the squared distance numerator `Σ(n·q_i − s_i)²` is HUGEINT
+   *    and cells compare by cross-multiplication `a·n'² < a'·n²`, a
+   *    left-to-right `list_reduce` fold over cells ascending = the
+   *    trainer's strict-`<` lowest-cell tie-break;
+   *  - `nd/nsum/ncnt{t}` → `c{t+1}`: per-cell integer sums (order-free —
+   *    the reason training is exact) and counts; empty cells coalesce to
+   *    their previous rational;
+   *  - `ct`: final centroid doubles `s / (n · 2^20)` — one
+   *    exact-input IEEE division per value, identical to the trainer's.
+   * Every stage is `MATERIALIZED`: the seeding chain references each
+   * stage twice, and default CTE inlining would blow up 2^nlist.
+   */
+  private val ExactQ = "1048576.0"
+
+  /** One seeding + Lloyd chain on the `(rn, q)` relation `input`,
+    * CTE names prefixed with `pfx`, ending in `${pfx}ct(cell, p)` —
+    * shared by the coarse quantizer (whole vectors) and each PQ
+    * subspace (sliced vectors). */
+  private def exactKmeansChain(
+      pfx: String, input: String, k: Int, iters: Int, dim: Int): Seq[String] = {
+    def idist(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST($a[i] - $b[i] AS BIGINT) * ($a[i] - $b[i]) FOR i IN range(1, ${dim + 1})]),
+         |      (x, y) -> x + y)""".stripMargin
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s"${pfx}sd0 AS MATERIALIZED (SELECT q FROM $input ORDER BY rn LIMIT 1)"
+    parts += s"${pfx}p0 AS MATERIALIZED (SELECT rn, q, CAST(9223372036854775807 AS BIGINT) AS mind FROM $input)"
+    for (s <- 1 until k) {
+      parts += s"""${pfx}p$s AS MATERIALIZED (SELECT p.rn, p.q, least(p.mind, ${idist("p.q", "sd.q")}) AS mind
+         |  FROM ${pfx}p${s - 1} p CROSS JOIN ${pfx}sd${s - 1} sd)""".stripMargin
+      parts += s"${pfx}sd$s AS MATERIALIZED (SELECT q FROM ${pfx}p$s ORDER BY mind DESC, rn LIMIT 1)"
+    }
+    parts += (0 until k)
+      .map(c => s"SELECT $c AS cell, q AS s, CAST(1 AS BIGINT) AS n FROM ${pfx}sd$c")
+      .mkString(s"${pfx}c0 AS MATERIALIZED (", " UNION ALL ", ")")
+    for (t <- 0 until iters) {
+      parts += s"""${pfx}sc$t AS MATERIALIZED (
+         |  SELECT p.rn, c.cell, c.n,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      [CAST(c.n * p.q[i] - c.s[i] AS HUGEINT) * CAST(c.n * p.q[i] - c.s[i] AS HUGEINT) FOR i IN range(1, ${dim + 1})]),
+         |      (x, y) -> x + y) AS a
+         |  FROM $input p CROSS JOIN ${pfx}c$t c)""".stripMargin
+      parts += s"""${pfx}bs$t AS MATERIALIZED (
+         |  SELECT rn, (list_reduce(
+         |      list(struct_pack(cell := cell, a := a, n := CAST(n AS HUGEINT)) ORDER BY cell),
+         |      (b, x) -> CASE WHEN x.a * b.n * b.n < b.a * x.n * x.n THEN x ELSE b END)).cell AS cell
+         |  FROM ${pfx}sc$t GROUP BY rn)""".stripMargin
+      parts += s"""${pfx}nd$t AS MATERIALIZED (
+         |  SELECT b.cell, d.i, CAST(sum(t.q[CAST(d.i AS INT)]) AS BIGINT) AS si
+         |  FROM ${pfx}bs$t b JOIN $input t USING (rn)
+         |  CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) d
+         |  GROUP BY b.cell, d.i)""".stripMargin
+      parts += s"${pfx}nsum$t AS (SELECT cell, list(si ORDER BY i) AS s FROM ${pfx}nd$t GROUP BY cell)"
+      parts += s"${pfx}ncnt$t AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM ${pfx}bs$t GROUP BY cell)"
+      parts += s"""${pfx}c${t + 1} AS MATERIALIZED (
+         |  SELECT c.cell, coalesce(ns.s, c.s) AS s, coalesce(nn.n, c.n) AS n
+         |  FROM ${pfx}c$t c LEFT JOIN ${pfx}nsum$t ns USING (cell) LEFT JOIN ${pfx}ncnt$t nn USING (cell))""".stripMargin
+    }
+    parts += s"""${pfx}ct AS MATERIALIZED (SELECT cell,
+       |  list_transform(s, x -> CAST(x AS DOUBLE) / (CAST(n AS DOUBLE) * $ExactQ)) AS p
+       |  FROM ${pfx}c$iters)""".stripMargin
+    parts.toSeq
+  }
+
+  /** The prepared + quantized training relations (`ef`, `tr`) shared by
+    * every exact-trained chain. */
+  private def exactBaseCtes: Seq[String] = Seq(
+    s"""ef AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0)""".stripMargin,
+    s"""tr AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS rn,
+       |    list_transform(v, x -> CAST(floor(x * $ExactQ + 0.5) AS BIGINT)) AS q
+       |  FROM ef)""".stripMargin)
+
+  private def trainedIvfCtes(nlist: Int, iters: Int): String = {
+    val parts = exactBaseCtes ++ exactKmeansChain("", "tr", nlist, iters, EmbeddingDim) :+
+      // nsq re-derived as the kernel's left-to-right sum of squares (the
+      // fixed-quantizer oracle interpolates this as a literal; here the
+      // centroids only exist inside SQL)
+      s"""ctn AS MATERIALIZED (SELECT cell, p,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    [p[i] * p[i] FOR i IN range(1, ${EmbeddingDim + 1})]), (a, b) -> a + b) AS nsq
+         |  FROM ct)""".stripMargin
+    parts.mkString(",\n")
+  }
+
+  /** [[trainedIvfCtes]] plus one exact-trained codebook chain per PQ
+    * subspace (the quantized sample sliced per subspace — DuckDB list
+    * slices are 1-based and end-inclusive), union'd into the same
+    * `cb(sub, code, p)` shape the fixed oracle interpolates. */
+  private def trainedIvfPqCtes(nlist: Int, iters: Int, m: Int, ksub: Int): String = {
+    val dsub = EmbeddingDim / m
+    val subChains = (0 until m).flatMap { s =>
+      s"""tr$s AS MATERIALIZED (SELECT rn, q[${s * dsub + 1}:${(s + 1) * dsub}] AS q FROM tr)""" +:
+        exactKmeansChain(s"s${s}_", s"tr$s", ksub, iters, dsub)
+    }
+    val cb = (0 until m)
+      .map(s => s"SELECT $s AS sub, cell AS code, p FROM s${s}_ct")
+      .mkString("cb AS MATERIALIZED (", " UNION ALL ", ")")
+    (Seq(trainedIvfCtes(nlist, iters)) ++ subChains :+ cb).mkString(",\n")
   }
 
   /** `(sub, code, centroid)` VALUES rows of the fixed PQ codebooks. */
@@ -244,6 +382,8 @@ object SimQueries {
     // like the kernel's stable insertion), candidates = corpus rows
     // assigned to a probed cell, exact cosine re-rank — ivfTopKFixed
     // step for step.
+    "sim_ann_ivf" -> trainedIvfOracle,
+    "sim_ann_ivfpq" -> trainedIvfPqOracle,
     "sim_ann_ivf_fixed" ->
       s"""WITH ct(cell, p, nsq) AS (VALUES
          |${centroidValues(IvfNlist)}),
@@ -360,7 +500,93 @@ object SimQueries {
          |  FROM votes)
          |SELECT query_id, label_pred, CAST(n_votes AS BIGINT) AS n_votes
          |FROM best WHERE rn = 1""".stripMargin)
-  // sim_ann_ivf / sim_ann_ivfpq: intentionally no oracle (quantizer is
-  // trained from the data at query time; exhaustive-probe ≡ exact and
-  // recall pinned in OperatorsSpec instead).
+  // Both trained ANN queries are now fully oracled: the generated CTE
+  // chains below replay the TRAINING (exact-integer Lloyd), then the
+  // search tails the fixed-quantizer oracles proved bit-compatible with
+  // the kernels. The hash-sampled double-math ivfTopK/ivfPqTopK remain
+  // the 100 TB scale twins, property-pinned in OperatorsSpec.
+
+  /** The full trained-IVF oracle: training replayed by
+    * [[trainedIvfCtes]], then the same search SQL the fixed-quantizer
+    * oracle proved bit-compatible with the kernel (assignment score
+    * `nsq - 2·(v·p)`, ties on cell; cosine re-rank, ties on id). */
+  private def trainedIvfOracle: String =
+    s"""WITH ${trainedIvfCtes(IvfNlist, IvfExactIters)},
+       |scored AS (
+       |  SELECT e.vec_id, ctn.cell, ctn.nsq - 2 * list_inner_product(e.v, ctn.p) AS d
+       |  FROM ef e CROSS JOIN ctn),
+       |rnk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM scored),
+       |assigned AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, cell FROM rnk
+       |  WHERE rn <= $IvfNprobe AND vec_id % $QueryMod = 0),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id AS id
+       |  FROM qprobe q JOIN assigned a USING (cell)
+       |  WHERE a.vec_id != q.query_id),
+       |sc AS (
+       |  SELECT cand.query_id, cand.id, list_cosine_similarity(ce.v, qe.v) AS cos
+       |  FROM cand JOIN ef ce ON ce.vec_id = cand.id
+       |            JOIN ef qe ON qe.vec_id = cand.query_id),
+       |ranked AS (SELECT query_id, id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+       |  FROM sc)
+       |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
+
+  /** The full trained-IVF-PQ oracle: [[trainedIvfPqCtes]] (coarse + m
+    * codebook trainings) + the encode/ADC/shortlist/re-rank SQL the
+    * fixed-quantizer oracle proved against the kernels. */
+  private def trainedIvfPqOracle: String =
+    s"""WITH ${trainedIvfPqCtes(IvfNlist, IvfExactIters, PqM, PqKsub)},
+       |scored AS (
+       |  SELECT e.vec_id, ctn.cell, ctn.nsq - 2 * list_inner_product(e.v, ctn.p) AS d
+       |  FROM ef e CROSS JOIN ctn),
+       |rnk AS (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+       |  FROM scored),
+       |assigned AS (SELECT vec_id, cell FROM rnk WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, cell FROM rnk
+       |  WHERE rn <= $IvfNprobe AND vec_id % $QueryMod = 0),
+       |subd AS (
+       |  SELECT e.vec_id, cb.sub, cb.code,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      [ (e.v[CAST(cb.sub * $PqDsub + i AS INT)] - cb.p[CAST(i AS INT)])
+       |        * (e.v[CAST(cb.sub * $PqDsub + i AS INT)] - cb.p[CAST(i AS INT)])
+       |        FOR i IN range(1, ${PqDsub + 1}) ]),
+       |      (x, y) -> x + y) AS d
+       |  FROM ef e CROSS JOIN cb),
+       |encd AS (SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code,
+       |      row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+       |    FROM subd)
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id AS id
+       |  FROM qprobe q JOIN assigned a USING (cell)
+       |  WHERE a.vec_id != q.query_id),
+       |persub AS (
+       |  SELECT c.query_id, c.id, e.sub, qd.d
+       |  FROM cand c
+       |  JOIN encd e ON e.vec_id = c.id
+       |  JOIN subd qd ON qd.vec_id = c.query_id AND qd.sub = e.sub AND qd.code = e.code),
+       |adc AS (SELECT query_id, id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY sub)), (x, y) -> x + y) AS a
+       |  FROM persub GROUP BY query_id, id),
+       |short AS (SELECT query_id, id FROM (
+       |    SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY a, id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= ${TopK * PqRerank}),
+       |rrk AS (
+       |  SELECT s.query_id, s.id, list_cosine_similarity(ce.v, qe.v) AS cos
+       |  FROM short s JOIN ef ce ON ce.vec_id = s.id
+       |               JOIN ef qe ON qe.vec_id = s.query_id),
+       |ranked AS (SELECT query_id, id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+       |  FROM rrk)
+       |SELECT query_id, id AS neighbor_id, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
 }

@@ -92,6 +92,28 @@ object TextQueries {
           .otherwise(col("text")))
       TextAnalysis.scrubReport(planted, "doc_id", "text")
     },
+    // Full PII class set (email, URL, phone in two dialects, IPv4):
+    // deterministic plants per id residue, counts + the ordered-redaction
+    // fingerprint checked across engines.
+    "text_scrub_pii" -> { (s, dir) =>
+      val d = col("doc_id")
+      val planted = Fixtures.table(s, dir, "documents").withColumn(
+        "text",
+        concat(
+          col("text"),
+          when(d % 7 === 0,
+            concat(lit(" contact team+ops@example-corp.io or https://data.example.org/set?id="),
+              d.cast("string"))).otherwise(lit("")),
+          when(d % 10 === 0,
+            concat(lit(" dial +1-202-555-"), lpad((d % 10000).cast("string"), 4, "0")))
+            .when(d % 5 === 0,
+              concat(lit(" call (650) 555."), lpad((d % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(d % 11 === 0,
+            concat(lit(" from 10.0."), (d % 256).cast("string"), lit(".77")))
+            .otherwise(lit(""))))
+      TextAnalysis.scrubPiiReport(planted, "doc_id", "text")
+    },
     // Stratified rebalancing: keep all short docs, half the mid band,
     // a quarter of the long band — deterministic md5-bucket membership.
     "samp_stratified" -> { (s, dir) =>
@@ -356,6 +378,38 @@ object TextQueries {
          |    regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g') AS scrubbed
          |  FROM planted)
          |SELECT doc_id, n_emails, n_urls,
+         |  ${fpSql("scrubbed")} AS scrub_fp
+         |FROM s""".stripMargin
+    },
+    "text_scrub_pii" -> {
+      val email = TextAnalysis.EmailRe
+      val url = TextAnalysis.UrlRe
+      val phone = TextAnalysis.PhoneRe
+      val ip = TextAnalysis.Ipv4Re
+      s"""WITH planted AS (SELECT doc_id,
+         |    text
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN ' contact team+ops@example-corp.io or https://data.example.org/set?id=' || CAST(doc_id AS VARCHAR)
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 10 = 0
+         |         THEN ' dial +1-202-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         WHEN doc_id % 5 = 0
+         |         THEN ' call (650) 555.' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0
+         |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    len(regexp_extract_all(text, '$email')) AS n_emails,
+         |    len(regexp_extract_all(text, '$url')) AS n_urls,
+         |    len(regexp_extract_all(text, '$phone')) AS n_phones,
+         |    len(regexp_extract_all(text, '$ip')) AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g'),
+         |      '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed
+         |  FROM planted)
+         |SELECT doc_id, n_emails, n_urls, n_phones, n_ips,
          |  ${fpSql("scrubbed")} AS scrub_fp
          |FROM s""".stripMargin
     },

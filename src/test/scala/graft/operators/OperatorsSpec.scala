@@ -195,6 +195,30 @@ class OperatorsSpec extends SparkSuite {
     assert(Packing.chunkSpans(zeros, "doc_id", col("toks"), 64L).count() === 0L)
   }
 
+  test("PII scrub: phone/IP dialects redact; dates, versions and decimals are spared") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "call (650) 555-0199 or +44-207-555-0011 now"),
+      (2L, "released 2024-01-02 at 12:30:45, version 1.2.3, pi 3.14159"),
+      (3L, "host 192.168.0.1 and mail a@b.co via https://x.io/p?q=1"),
+      (4L, "paren-less 650.555.0199 and bare 6505550199 stays")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPiiReport(rows, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((0L, 0L, 2L, 0L)))
+    assert(got(2L) === ((0L, 0L, 0L, 0L)), "dates/versions/decimals must not count as PII")
+    assert(got(3L) === ((1L, 1L, 0L, 1L)))
+    assert(got(4L) === ((0L, 0L, 1L, 0L)), "separated phone matches, a bare digit run does not")
+    val s = rows.select(col("doc_id"), TextAnalysis.scrubbedPii(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s(1L) === "call <PHONE> or <PHONE> now")
+    assert(s(2L) === "released 2024-01-02 at 12:30:45, version 1.2.3, pi 3.14159")
+    assert(s(3L) === "host <IP> and mail <EMAIL> via <URL>")
+    assert(s(4L) === "paren-less <PHONE> and bare 6505550199 stays")
+  }
+
   test("scrub: planted emails/urls counted and redacted; clean text untouched") {
     import spark.implicits._
     val docs = Seq(
@@ -402,6 +426,47 @@ class OperatorsSpec extends SparkSuite {
     assert(full === exact, "nprobe = nlist must equal the exact result")
   }
 
+  test("exact-trained ivf: recall holds, exhaustive probe == exact, corpus bound enforced") {
+    val q = embs.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKExact(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"exact-trained ivf recall@10 = $recall")
+    val full = Similarity.ivfTopKExact(embs, q, "vec_id", "embedding", 10, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nprobe = nlist must equal the exact result")
+    // determinism: two runs produce identical rows (the property the SQL
+    // replay rests on — no RNG, no float accumulation order anywhere)
+    val again = Similarity.ivfTopKExact(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === ivf)
+    // whole-corpus training is bounded: past the cap it throws, naming
+    // the hash-sampled scale twin
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfTopKExact(embs, q, "vec_id", "embedding", 10, maxTrainRows = 10))
+    assert(e.getMessage.contains("ivfTopK"), e.getMessage)
+  }
+
+  test("exact-trained ivf-pq: recall holds; exhaustive probe + wide rerank == exact; deterministic") {
+    val q = embs.where(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopKExact(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"exact-trained ivf-pq recall@10 = $recall")
+    val n = embs.count().toInt
+    val full = Similarity.ivfPqTopKExact(embs, q, "vec_id", "embedding", 10,
+      nlist = 4, nprobe = 4, rerank = n)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact, "nprobe = nlist + corpus-wide rerank must equal exact")
+    val again = Similarity.ivfPqTopKExact(embs, q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === pq)
+  }
+
   test("ivf-pq: recall holds on codes-only candidates; exhaustive probe + wide rerank == exact") {
     val q = embs.where(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
@@ -580,6 +645,63 @@ class OperatorsSpec extends SparkSuite {
     val one = docs.orderBy("doc_id").limit(1).collect()(0)
     val expected = one.getString(1).getBytes("UTF-8").map(_.toLong & 0xff).sum
     assert(a(one.getLong(0)).byte_sum === expected)
+  }
+
+  test("multimodal REAL codecs: PNG round-trips exactly, JPEG decodes, resize picks exact pixels") {
+    import spark.implicits._
+    // PNG: encode -> decode returns the formula's pixels bit-for-bit
+    (Seq(0L, 1L, 7L, 123L, 499L)).foreach { seed =>
+      val png = Multimodal.synthPng(seed)
+      assert(png.take(8).toSeq === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), "payload is not a PNG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth === Multimodal.synthWidth(seed))
+      assert(img.getHeight === Multimodal.synthHeight(seed))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert(img.getRaster.getSample(x, y, 0) === Multimodal.pixelValue(seed, x, y))
+    }
+    // distributed: decode features and the 1/2 resize agree with the
+    // closed-form expectation (the same math the SQL oracle replays)
+    val ids = spark.range(0, 40).toDF("media_id")
+    val media = Multimodal.synthImageMedia(spark, ids)
+    val feats = Multimodal.decodeImages(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size === 40)
+    feats.foreach { case (id, f) =>
+      val (w, h) = (Multimodal.synthWidth(id), Multimodal.synthHeight(id))
+      assert((f.width, f.height) === (w, h))
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.pixelValue(id, x, y).toLong).sum
+      assert(f.byte_sum === want, s"seed $id")
+    }
+    val resized = Multimodal.decodeImages(
+      spark, Multimodal.resizeImages(spark, media, 2))
+      .collect().map(f => f.media_id -> f).toMap
+    resized.foreach { case (id, f) =>
+      val (w, h) = (Multimodal.synthWidth(id), Multimodal.synthHeight(id))
+      val (ow, oh) = ((w + 1) / 2, (h + 1) / 2)
+      assert((f.width, f.height) === (ow, oh))
+      val want = (for (y <- 0 until oh; x <- 0 until ow)
+        yield Multimodal.pixelValue(id, 2 * x, 2 * y).toLong).sum
+      assert(f.byte_sum === want, s"seed $id")
+    }
+    // JPEG: lossy, so only container sniffing + dimensions are contractual
+    val gray = new java.awt.image.BufferedImage(
+      12, 9, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(gray, "jpg", bos), "no JPEG writer")
+    val jpegRec = MediaRecord(7L, bos.toByteArray, "image/jpeg", bos.size().toLong)
+    val jf = Multimodal.decodeImages(
+      spark, spark.createDataset(Seq(jpegRec))).collect()
+    assert(jf.length === 1 && jf(0).width === 12 && jf(0).height === 9)
+    // a non-image payload fails loud, naming the media id
+    val junk = MediaRecord(99L, Array[Byte](1, 2, 3), "fake/raw", 3L)
+    val e = intercept[Exception] {
+      Multimodal.decodeImages(spark, spark.createDataset(Seq(junk))).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("99"), msgs(e))
   }
 
   test("components: min-label clusters match a reference union-find") {
