@@ -924,15 +924,12 @@ object DomainStore {
     * and copy work runs as a Spark job instead of on the driver. */
   val DefaultDistributeAbove: Int = 1024
 
-  /** Batch-density crossover for kv-sorted point lookups: the per-shard
-    * task binary-searches only when `keys * ratio < records` — below
-    * that, k·log2(n) random positioned reads (each a checksum-chunk
-    * re-read on checksummed filesystems) cost more than ONE buffered
-    * sequential pass over the shard's sorted run. 256 ≈ log2(n) · (preads
-    * per search step) · (sequential-records-per-pread-equivalent) at
-    * realistic shard sizes; at the 100 TB target (k in the hundreds vs
-    * n in the millions per shard) the sparse branch always wins. */
-  val LookupScanRatio: Int = 256
+  /** Batch-density crossover for kv-sorted point lookups — the ONE
+    * definition lives in [[KvFile.LookupScanRatio]] (Spark-free, so the
+    * serving reader shares it); this alias keeps the documented API. At
+    * the 100 TB target (k in the hundreds vs n in the millions per
+    * shard) the sparse branch always wins. */
+  val LookupScanRatio: Int = KvFile.LookupScanRatio
 
   /** Distinct-key threshold above which [[DomainStore.multiGet]] switches
     * from the driver-routed point-lookup plan to the co-shuffled join.

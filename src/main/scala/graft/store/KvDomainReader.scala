@@ -120,6 +120,60 @@ final class KvDomainReader private (
     else reader(shard).flatMap(_.lookup(key)).map(Option(_))
   }
 
+  /** Batched point lookup — the reference daemon's primary RPC
+    * (`multiGet` in core.thrift): route each key, bloom-probe, then per
+    * shard pick the access pattern by batch DENSITY, exactly like the
+    * engine's distributed kv lookup:
+    *  - sparse (`keys × [[KvFile.LookupScanRatio]] < records`): binary
+    *    searches on the CACHED reader — positioned reads, safe under
+    *    concurrent calls;
+    *  - dense: ONE merge pass over the shard's sorted run against the
+    *    batch's sorted keys — on a FRESH handle opened and closed inside
+    *    the call, because a sequential scan owns its seek pointer and
+    *    the cached reader must stay pread-only for concurrency.
+    * Results align with the input: `None` = absent, `Some(null)` = key
+    * present with a null value (same contract as [[getRecord]] flattened
+    * one level). Duplicate input keys are fine (each resolves
+    * independently). */
+  def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
+    checkOpen()
+    require(keys.forall(_ != null), "multiGet: null key")
+    val out = new Array[Option[Array[Byte]]](keys.length)
+    keys.zipWithIndex
+      .groupBy { case (k, _) => ShardIndex.shardIndex(k, numShards) }
+      .foreach { case (shard, withIdx) =>
+        // sidecar-known misses never touch data (and drop out of the
+        // density decision: they cost nothing either way)
+        val (maybe, misses) = withIdx.partition { case (k, _) => mightContain(shard, k) }
+        misses.foreach { case (_, i) => out(i) = None }
+        if (maybe.nonEmpty) reader(shard) match {
+          case None => maybe.foreach { case (_, i) => out(i) = None }
+          case Some(r) =>
+            if (maybe.length.toLong * KvFile.LookupScanRatio < r.count) {
+              maybe.foreach { case (k, i) => out(i) = r.lookup(k) }
+            } else {
+              val sorted = maybe.sortWith((a, b) =>
+                java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+              val p = new Path(shardDir(shard), KvFile.DataFileName)
+              val fresh = KvFile.open(fs, p)
+              try {
+                val it = fresh.iterator
+                var cur: (Array[Byte], Array[Byte]) = null
+                sorted.foreach { case (k, i) =>
+                  while ((cur == null || java.util.Arrays.compareUnsigned(cur._1, k) < 0)
+                      && it.hasNext) cur = it.next()
+                  out(i) =
+                    if (cur != null && java.util.Arrays.compareUnsigned(cur._1, k) == 0)
+                      Some(cur._2)
+                    else None
+                }
+              } finally fresh.close()
+            }
+        }
+      }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
   /** Total pairs across the hosted shards — one trailer read per shard
     * file, opened and closed per probe: counting must NOT pin numShards
     * handles in the lookup cache (at 64k shards that is fd exhaustion for

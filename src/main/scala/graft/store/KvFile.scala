@@ -45,6 +45,16 @@ object KvFile {
   val Magic: Array[Byte] = "GKV1".getBytes(StandardCharsets.US_ASCII)
   val TrailerLen = 20
 
+  /** Batch-density crossover for kv point lookups: a batch
+    * binary-searches only when `keys * ratio < records` — below that,
+    * k·log2(n) random positioned reads (each a checksum-chunk re-read on
+    * checksummed filesystems) cost more than ONE buffered sequential
+    * pass over the sorted run. 256 ≈ log2(n) · (preads per search step)
+    * · (sequential-records-per-pread-equivalent) at realistic shard
+    * sizes. Lives here (not in DomainStore) so the Spark-free serving
+    * reader shares the one definition without loading Spark classes. */
+  val LookupScanRatio: Int = 256
+
   /** Average-record-length crossover for [[Reader.keysIterator]]: at or
     * under this, a sequential pass (which reads value bytes as part of
     * its read-ahead chunks regardless) beats per-record preads; above

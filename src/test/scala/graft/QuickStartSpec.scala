@@ -66,8 +66,13 @@ class QuickStartSpec extends SparkSuite {
       new Configuration())
     served.write(users, version = 1L)
     val reader = KvDomainReader.open(servedRoot, new Configuration()) // zero Spark
-    try assert(reader.get(longBe(2L)).map(new String(_, "UTF-8")) === Some("grace"))
-    finally reader.close()
+    try {
+      assert(reader.get(longBe(2L)).map(new String(_, "UTF-8")) === Some("grace"))
+      // the daemon's batch RPC: density-adaptive per shard
+      assert(reader.multiGet(Seq(longBe(1L), longBe(9L), longBe(3L)))
+        .map(_.map(new String(_, "UTF-8")))
+        === IndexedSeq(Some("ada"), None, Some("edsger")))
+    } finally reader.close()
   }
 
   private def longBe(v: Long): Array[Byte] =

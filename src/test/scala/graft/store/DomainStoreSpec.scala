@@ -228,6 +228,40 @@ class DomainStoreSpec extends SparkSuite {
     intercept[IllegalStateException](dead.count())
   }
 
+  test("KvDomainReader.multiGet: density-adaptive batch lookup, input-aligned, Spark-free") {
+    val root = scratch("kv-mget")
+    val store = DomainStore.create(
+      root, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    val pairs = (0 until 600).map(i => s"mg$i" -> s"mv$i")
+    store.write(kv(pairs: _*), 1L)
+    val r = KvDomainReader.open(root, conf)
+    try {
+      // SPARSE batch (4 keys vs 600 records): cached-reader binary search
+      val sparseKeys = Seq("mg7", "absent-a", "mg599", "absent-b").map(utf8)
+      val sparse = r.multiGet(sparseKeys).map(_.map(new String(_, "UTF-8")))
+      assert(sparse === IndexedSeq(Some("mv7"), None, Some("mv599"), None))
+      // DENSE batch (every key + misses + a duplicate): merge-scan branch,
+      // answers identical to per-key gets and aligned with the input
+      val denseKeys = (0 until 600).map(i => s"mg$i") ++ Seq("zzz", "mg0")
+      val dense = r.multiGet(denseKeys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+      assert(dense.length === 602)
+      (0 until 600).foreach(i => assert(dense(i) === Some(s"mv$i"), s"key mg$i"))
+      assert(dense(600) === None)
+      assert(dense(601) === Some("mv0"), "duplicate input key resolves independently")
+      // equals the single-get surface on every key
+      denseKeys.zip(dense).foreach { case (k, got) =>
+        assert(got === r.get(utf8(k)).map(new String(_, "UTF-8")), s"key $k")
+      }
+      // null keys rejected loud
+      intercept[IllegalArgumentException](r.multiGet(Seq(null)))
+    } finally r.close()
+    intercept[IllegalStateException] {
+      val dead = KvDomainReader.open(root, conf); dead.close()
+      dead.multiGet(Seq(utf8("mg1")))
+    }
+  }
+
   test("KvDomainReader: concurrent get hammer; close() cannot leak a racing open") {
     val root = scratch("kv-hammer")
     val store = DomainStore.create(
