@@ -361,6 +361,61 @@ object TextAnalysis {
   }
 
   /**
+   * Paragraph-level exact dedup, keep-FIRST-occurrence — the
+   * RefinedWeb/CCNet paragraph dedup step, and the complement of
+   * [[boilerplateRemoval]]: boilerplate drops a line EVERYWHERE once it
+   * repeats across `minDocs` documents; this keeps each distinct
+   * paragraph's globally first occurrence (lowest `(doc, position)`) and
+   * drops every later repeat, including repeats inside one document.
+   *
+   * Paragraphs are `\n{2,}`-separated segments, space-trimmed, empties
+   * ignored; output text re-joins the kept paragraphs with a normalized
+   * `"\n\n"` in original order.
+   *
+   * Scale shape: first-occurrence resolution is a `groupBy(paragraph)`
+   * `min(struct(doc, pos))` — partial-aggregated map-side, so a
+   * paragraph duplicated across 100M documents combines per partition
+   * and never funnels one task (the window formulation would); one
+   * equi-join back on the paragraph and one per-doc reassembly groupBy.
+   * Nothing data-sized reaches the driver.
+   *
+   * Output: idCol, clean_text, n_dropped (long).
+   */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), "\\n{2,}")))
+      .withColumn("para", trim(col("col")))
+      .where(col("para") =!= "")
+      .select(col(idCol), col("pos"), col("para"))
+    val firsts = paras
+      .groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    val kept = paras.join(firsts, Seq("para"))
+      .where(col("_first")(idCol) === col(idCol) && col("_first")("pos") === col("pos"))
+    val assembled = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para")),
+          "\n\n").as("clean_text"),
+        count(lit(1)).as("_kept"))
+    val totals = paras.groupBy(col(idCol)).agg(count(lit(1)).as("_total"))
+    // Left join from the original ids: a doc whose every paragraph lost
+    // its first-occurrence race still appears (empty text, full drop
+    // count), and a doc with no paragraphs at all appears untouched.
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(assembled, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("_total"), lit(0L)) - coalesce(col("_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /**
    * N-gram language-model quality score — the CCNet/KenLM pipeline step
    * (Wenzek et al. 2020): score each document by the average smoothed
    * bigram probability under a model trained on a reference corpus

@@ -114,6 +114,22 @@ object TextQueries {
             .otherwise(lit(""))))
       TextAnalysis.scrubPiiReport(planted, "doc_id", "text")
     },
+    // Paragraph-level keep-first dedup (RefinedWeb/CCNet step): shared
+    // paragraphs planted per id residue — %12 docs carry an IN-DOC
+    // repeat too, exercising the within-document drop.
+    "text_para_dedup" -> { (s, dir) =>
+      val d = col("doc_id")
+      val alpha = "shared paragraph alpha about corpus hygiene and dedup pipelines"
+      val beta = "shared paragraph beta with licensing boilerplate and notices"
+      val planted = Fixtures.table(s, dir, "documents").withColumn(
+        "text",
+        concat_ws("\n\n",
+          col("text"),
+          when(d % 3 === 0, lit(alpha)),
+          when(d % 4 === 0, lit(beta)),
+          when(d % 12 === 0, lit(alpha))))
+      TextAnalysis.paragraphDedup(planted, "doc_id", "text")
+    },
     // Stratified rebalancing: keep all short docs, half the mid band,
     // a quarter of the long band — deterministic md5-bucket membership.
     "samp_stratified" -> { (s, dir) =>
@@ -412,6 +428,35 @@ object TextQueries {
          |SELECT doc_id, n_emails, n_urls, n_phones, n_ips,
          |  ${fpSql("scrubbed")} AS scrub_fp
          |FROM s""".stripMargin
+    },
+    "text_para_dedup" -> {
+      val alpha = "shared paragraph alpha about corpus hygiene and dedup pipelines"
+      val beta = "shared paragraph beta with licensing boilerplate and notices"
+      s"""WITH planted AS (SELECT doc_id,
+         |    concat_ws(chr(10)||chr(10), text,
+         |      CASE WHEN doc_id % 3 = 0 THEN '$alpha' END,
+         |      CASE WHEN doc_id % 4 = 0 THEN '$beta' END,
+         |      CASE WHEN doc_id % 12 = 0 THEN '$alpha' END) AS text
+         |  FROM documents),
+         |p0 AS (SELECT doc_id,
+         |    list_transform(regexp_split_to_array(text, '\\n{2,}'),
+         |      (x, i) -> struct_pack(pos := i, para := trim(x))) AS ps
+         |  FROM planted),
+         |p1 AS (SELECT doc_id, unnest(ps) AS s FROM p0),
+         |paras AS (SELECT doc_id, s.pos AS pos, s.para AS para FROM p1 WHERE s.para != ''),
+         |r AS (SELECT doc_id, pos, para,
+         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+         |  FROM paras),
+         |kept AS (SELECT doc_id, pos, para FROM r WHERE rn = 1),
+         |asm AS (SELECT doc_id,
+         |    string_agg(para, chr(10)||chr(10) ORDER BY pos) AS clean_text,
+         |    count(*) AS kept_n
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS total_n FROM paras GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         |  CAST(coalesce(t.total_n, 0) - coalesce(a.kept_n, 0) AS BIGINT) AS n_dropped
+         |FROM documents d
+         |LEFT JOIN tot t USING (doc_id) LEFT JOIN asm a USING (doc_id)""".stripMargin
     },
     "samp_stratified" ->
       """WITH s AS (SELECT doc_id,

@@ -195,6 +195,24 @@ class OperatorsSpec extends SparkSuite {
     assert(Packing.chunkSpans(zeros, "doc_id", col("toks"), 64L).count() === 0L)
   }
 
+  test("paragraph dedup: keep first occurrence globally, drop later repeats incl. in-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique one\n\nSHARED A\n\nunique two"),
+      (2L, "SHARED A\n\nunique three\n\nSHARED A"), // both lose to doc 1 pos 1
+      (3L, "  SHARED A  \n\n\n\nunique four"),      // trim + newline-run split
+      (4L, ""),                                     // no paragraphs at all
+      (5L, "unique one")                            // whole text repeats doc 1's first para
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) === (("unique one\n\nSHARED A\n\nunique two", 0L)))
+    assert(got(2L) === (("unique three", 2L)))
+    assert(got(3L) === (("unique four", 1L)))
+    assert(got(4L) === (("", 0L)))
+    assert(got(5L) === (("", 1L)))
+  }
+
   test("PII scrub: phone/IP dialects redact; dates, versions and decimals are spared") {
     import spark.implicits._
     val rows = Seq(
