@@ -44,5 +44,14 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) -> read as BIGINT nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // storage-partitioned join over kv-sorted domains (KvDomainV2):
+      // honor DSv2-reported KeyGroupedPartitioning so same-sharded domain
+      // joins skip the exchange, honor reported per-shard key order so
+      // they skip the sort, and accept join keys that SUPERSET the
+      // partition key (joins condition on (shard, key); shard alone
+      // co-partitions because it is a function of key)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 }

@@ -156,6 +156,25 @@ object Fixtures {
       store.write(customerKv(s, sfDir), version = 1L)
     }
 
+  /** Per-customer order counts on the servable kv-sorted format, sharded
+    * IDENTICALLY to [[customerKvFileDomain]] (same key encoding, same
+    * shard count): the second half of the storage-partitioned join pair —
+    * joining it with the customer domain through `readPartitioned` needs
+    * no shuffle and no sort on either side. */
+  def ordersCountKvDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "orders-count-kvfile",
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted)) { (store, s) =>
+      store.write(
+        table(s, sfDir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            long_be(col("o_custkey")).as("key"),
+            utf8_bytes(col("n").cast("string")).as("value")),
+        version = 1L)
+    }
+
   /** lineitem as KV: key = 12-byte (orderkey BE ++ linenumber BE),
     * value = utf8 l_suppkey — the heavy KV fixture for bench. */
   def lineitemKv(spark: SparkSession, sfDir: String): DataFrame =

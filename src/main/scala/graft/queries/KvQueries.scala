@@ -91,6 +91,23 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // Storage-partitioned domain-to-domain join: two kv-sorted domains
+    // sharded by the same scheme (customer names, per-customer order
+    // counts) joined on (shard, key) through the layout-reporting DSv2
+    // scans — Catalyst plans a merge join with NO exchange and NO sort on
+    // either side (pinned in KvDomainV2Spec), because the source reports
+    // the on-disk hash-partitioning and per-shard key order. At 100 TB
+    // this is the join shape for domain vs domain (index vs corpus
+    // stats, base vs delta): neither side moves.
+    "kv_copartition_join" -> { (s, dir) =>
+      val names = Fixtures.customerKvFileDomain(s, dir).readPartitioned(s)
+      val counts = Fixtures.ordersCountKvDomain(s, dir).readPartitioned(s)
+      names.as("a").join(counts.as("b"), Seq("shard", "key"))
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("a.value")).as("c_name"),
+          bytes_utf8(col("b.value")).cast("long").as("n_orders"))
+    },
     // Q6: getCount — through the metadata-only footer path, surfaced as a
     // one-row DataFrame so the oracle verifies the footer sum itself.
     "kv_count" -> { (s, dir) =>
@@ -194,6 +211,11 @@ object KvQueries {
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
       "kv_count" ->
         "SELECT count(*) AS cnt FROM customer",
+      "kv_copartition_join" ->
+        """SELECT c.c_custkey, c.c_name, CAST(o.n AS BIGINT) AS n_orders
+          |FROM customer c
+          |JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+          |  ON o.o_custkey = c.c_custkey""".stripMargin,
       "kv_lookup_join_salted" ->
         """SELECT o.o_orderkey, c.c_name
           |FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey % 50""".stripMargin,

@@ -254,6 +254,36 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     scanVersion(spark, version)
   }
 
+  /** Layout-reporting scan of a kv-sorted version (newest by default):
+    * same (key, value, shard) output as [[read]], but through the
+    * [[graft.sources.KvDomainV2]] DataSourceV2 source, which reports the
+    * domain's hash-partitioning and per-shard key order to Catalyst. Two
+    * same-sharded domains joined on `(shard, key)` through this scan plan
+    * a storage-partitioned merge join: ZERO exchange and ZERO sort on
+    * either side — the join streams straight off the shard files. Equal
+    * keys imply equal shards (`shard = md5(key) mod n`), so the extra
+    * `shard` conjunct loses nothing. Only the kv format qualifies: its
+    * per-shard sorted runs are readable outside Catalyst's file sources,
+    * where partitioning can be reported (the parquet/orc paths go through
+    * `FileSourceScanExec`, which reports none). */
+  def readPartitioned(spark: SparkSession): DataFrame =
+    readPartitioned(spark, latestVersion)
+
+  def readPartitioned(spark: SparkSession, version: Long): DataFrame = {
+    require(isKv,
+      s"readPartitioned requires the kv-sorted persistence format; this domain is '$format'. " +
+        "Re-export via DomainStore.create(..., persistenceFormat = kv-sorted) to serve " +
+        "co-partitioned joins.")
+    require(versions.isPublished(version), s"version $version not published under $root")
+    val vp = versions.versionPath(version).toString
+    graft.sources.KvDomainV2.registerConf(vp, DomainStore.serializableConf(conf))
+    spark.read
+      .format(classOf[graft.sources.KvDomainTableProvider].getName)
+      .option("path", vp)
+      .option("shards", numShards.toString)
+      .load()
+  }
+
   /** The scan itself, without the publish check — `buildIndex` runs it on a
     * version whose token is not written yet. */
   private def scanVersion(spark: SparkSession, version: Long): DataFrame = {
