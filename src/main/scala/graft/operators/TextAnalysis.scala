@@ -416,6 +416,84 @@ object TextAnalysis {
   }
 
   /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score each document of
+   * a raw corpus by how much more likely its hashed n-gram features are
+   * under a TARGET distribution (the data you want more of — a trusted
+   * reference split) than under the RAW distribution (the corpus
+   * itself); select the top-weighted slice as training data. This is the
+   * data-recipe step BETWEEN quality filtering (absolute signals) and
+   * token-budget mixing (source shares): distribution matching.
+   *
+   * Features are the paper's: word unigrams + bigrams hashed into
+   * `buckets` cells — here by the engine's md5-mod routing
+   * ([[graft.core.ShardIndex]]), which is already byte-replayable in SQL,
+   * so the WHOLE pipeline oracles. Both cell models are
+   * Laplace-smoothed: `p_fp(b) = (t(b)+1)*scale div (tN+buckets)` over
+   * target grams, `q_fp(b)` likewise over the corpus's own grams.
+   *
+   * Engine-replayability deviation (the [[lmScore]] precedent): the
+   * paper accumulates `log(p/q)`; logs are transcendental and differ in
+   * the last ULP across engines, so the weight here is the fixed-point
+   * probability difference `sum_g (p_fp(b_g) - q_fp(b_g))` — same sign
+   * structure (grams over-represented in the target push a document up,
+   * corpus-generic grams push it down), all integer, addition-order-free,
+   * bit-identical anywhere. Resampling follows as a deterministic top-k
+   * by (weight, id) instead of the paper's Gumbel draw — the smoothed
+   * sampling is one seeded md5 column away if ever needed.
+   *
+   * Scale shape: each model is at most `buckets` rows (broadcast); gram
+   * totals ride 1-row crossJoins (never a driver collect); corpus text
+   * is tokenized once per distribution pass; scoring shuffles only
+   * (id, long) pairs into one groupBy(id). At 100 TB, fit both models on
+   * samples — hashed-cell distributions saturate long before the corpus.
+   *
+   * Output: (idCol, n_grams, dsir_weight_fp); docs with no tokens weigh
+   * 0 with n_grams = 0 (kept — vanishing rows would corrupt downstream
+   * joins).
+   */
+  def dsirWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096,
+      scale: Long = 1L << 20): DataFrame = {
+    require(buckets >= 1 && scale >= 1, "dsirWeights: buckets/scale must be >= 1")
+    def grams(df: DataFrame): DataFrame =
+      df.select(explode(concat(wordTokens(col(textCol)), wordNGrams(col(textCol), 2))).as("g"))
+        .select(graft.functions.shard_index(encode(col("g"), "UTF-8"), buckets).as("b"))
+    val targetCells = grams(target).groupBy("b").agg(count(lit(1)).as("tc"))
+    val rawCells = grams(corpus).groupBy("b").agg(count(lit(1)).as("rc"))
+    // full outer: a cell seen only in one distribution still needs both
+    // smoothed probabilities; totals are 1-row crossJoins (corpus_stats
+    // pattern), so nothing distribution-sized touches the driver.
+    val model = targetCells.join(rawCells, Seq("b"), "full")
+      .crossJoin(grams(target).agg(count(lit(1)).as("tn")))
+      .crossJoin(grams(corpus).agg(count(lit(1)).as("rn")))
+      .select(
+        col("b"),
+        expr(s"(coalesce(tc, 0L) + 1L) * ${scale}L div (tn + ${buckets}L)").as("p_fp"),
+        expr(s"(coalesce(rc, 0L) + 1L) * ${scale}L div (rn + ${buckets}L)").as("q_fp"))
+    // Null-sentinel gram per doc (the lmScore shape): every document
+    // reaches the aggregation, so empty docs score 0 instead of vanishing.
+    corpus.select(col(idCol),
+        explode(concat(
+          array(lit(null).cast("string")),
+          wordTokens(col(textCol)),
+          wordNGrams(col(textCol), 2))).as("g"))
+      .withColumn("b",
+        when(col("g").isNotNull,
+          graft.functions.shard_index(encode(col("g"), "UTF-8"), buckets)))
+      .join(broadcast(model), Seq("b"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("g")).as("n_grams"),
+        coalesce(sum(when(col("g").isNotNull, col("p_fp") - col("q_fp"))), lit(0L))
+          .as("dsir_weight_fp"))
+  }
+
+  /**
    * N-gram language-model quality score — the CCNet/KenLM pipeline step
    * (Wenzek et al. 2020): score each document by the average smoothed
    * bigram probability under a model trained on a reference corpus

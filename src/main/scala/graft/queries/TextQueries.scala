@@ -130,6 +130,24 @@ object TextQueries {
           when(d % 12 === 0, lit(alpha))))
       TextAnalysis.paragraphDedup(planted, "doc_id", "text")
     },
+    // DSIR importance weighting + deterministic top-k selection: the
+    // doc_id % 9 == 0 slice stands in for the target (reference) set,
+    // everything else is the raw corpus being selected from.
+    "text_dsir" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val weights = TextAnalysis.dsirWeights(
+        docs.where(col("doc_id") % DsirTargetMod =!= 0),
+        docs.where(col("doc_id") % DsirTargetMod === 0),
+        "doc_id", "text", DsirBuckets, DsirScale)
+      val top = weights
+        .orderBy(col("dsir_weight_fp").desc, col("doc_id"))
+        .limit(DsirTopK)
+        .select(col("doc_id"), lit(1).as("selected"))
+      weights.join(top, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("n_grams"), col("dsir_weight_fp"),
+          coalesce(col("selected"), lit(0)).as("selected"))
+    },
     // Stratified rebalancing: keep all short docs, half the mid band,
     // a quarter of the long band — deterministic md5-bucket membership.
     "samp_stratified" -> { (s, dir) =>
@@ -198,6 +216,13 @@ object TextQueries {
   // "reference corpus"), score everything. MaxGrams binds at sf0.01 so
   // the deterministic-eviction path is exercised, not just declared.
   val LmTrainMod = 5
+  // DSIR: target = doc_id % 9 == 0 slice; 4096 hashed cells (a power of
+  // two, so the md5-mod bucket replays as low-bits in SQL); 2^20
+  // fixed-point scale; select the top 100 by weight.
+  val DsirTargetMod = 9
+  val DsirBuckets = 4096
+  val DsirScale = 1L << 20
+  val DsirTopK = 100
   val LmMaxGrams = 4096
   val LmVocab = 65536L
   val LmScale = 1000000L
@@ -457,6 +482,52 @@ object TextQueries {
          |  CAST(coalesce(t.total_n, 0) - coalesce(a.kept_n, 0) AS BIGINT) AS n_dropped
          |FROM documents d
          |LEFT JOIN tot t USING (doc_id) LEFT JOIN asm a USING (doc_id)""".stripMargin
+    },
+    // DSIR replay: same unigram+bigram extraction as decontam/lm_score,
+    // buckets via the engine's md5-mod routing — 4096 divides 2^64, so
+    // BigInteger(md5).mod(4096) is just the low 64 bits mod 4096 (the
+    // signed-high-half correction multiplies by 2^64 mod 4096 = 0).
+    // Laplace fixed-point integer division on both cell models, weight =
+    // sum of probability differences, top-k by (weight DESC, id).
+    // Multi-referenced CTEs are MATERIALIZED (inlining doubles the
+    // expansion per reference — the Too-many-open-files trap).
+    "text_dsir" -> {
+      val b = DsirBuckets
+      val s = DsirScale
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents WHERE doc_id % $DsirTargetMod != 0),
+         |targ AS MATERIALIZED (
+         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents WHERE doc_id % $DsirTargetMod = 0),
+         |tb AS MATERIALIZED (SELECT CAST(('0x' || substr(md5(g), 17, 16))::UBIGINT % $b AS INT) AS cell FROM (
+         |  SELECT unnest(t) AS g FROM targ
+         |  UNION ALL
+         |  SELECT unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+         |  FROM targ WHERE len(t) >= 2)),
+         |cb AS MATERIALIZED (SELECT doc_id, CAST(('0x' || substr(md5(g), 17, 16))::UBIGINT % $b AS INT) AS cell FROM (
+         |  SELECT doc_id, unnest(t) AS g FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+         |  FROM corpus WHERE len(t) >= 2)),
+         |model AS (
+         |  SELECT cell,
+         |    (coalesce(tc, 0) + 1) * ${s} // (tn + $b) AS p_fp,
+         |    (coalesce(rc, 0) + 1) * ${s} // (rn + $b) AS q_fp
+         |  FROM (SELECT cell, count(*) AS tc FROM tb GROUP BY cell) t
+         |  FULL JOIN (SELECT cell, count(*) AS rc FROM cb GROUP BY cell) r USING (cell)
+         |  CROSS JOIN (SELECT count(*) AS tn FROM tb)
+         |  CROSS JOIN (SELECT count(*) AS rn FROM cb)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_grams, CAST(sum(p_fp - q_fp) AS BIGINT) AS w
+         |  FROM cb JOIN model USING (cell) GROUP BY doc_id),
+         |final AS (
+         |  SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, coalesce(a.w, 0) AS dsir_weight_fp
+         |  FROM (SELECT doc_id FROM corpus) d LEFT JOIN agg a USING (doc_id)),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY dsir_weight_fp DESC, doc_id) AS rn FROM final)
+         |SELECT doc_id, n_grams, dsir_weight_fp,
+         |  CAST(CASE WHEN rn <= $DsirTopK THEN 1 ELSE 0 END AS INT) AS selected
+         |FROM rk""".stripMargin
     },
     "samp_stratified" ->
       """WITH s AS (SELECT doc_id,

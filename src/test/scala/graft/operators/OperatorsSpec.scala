@@ -213,6 +213,25 @@ class OperatorsSpec extends SparkSuite {
     assert(got(5L) === (("", 1L)))
   }
 
+  test("DSIR weights: target-like docs rank above corpus-generic docs; empty docs survive at 0") {
+    import spark.implicits._
+    val target = Seq(
+      (100L, "quantum physics entangled states decohere rapidly"),
+      (101L, "quantum field theory predicts entangled states")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "quantum physics entangled states"), // target-like
+      (2L, "cheap pills buy now cheap pills buy now"), // corpus-generic spam
+      (3L, "cheap pills buy now cheap pills buy now"), // same spam (raises q, lowers w)
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(4L) === ((0L, 0L)))
+    // the target-like doc outranks the spam twins
+    assert(got(1L)._2 > got(2L)._2)
+    assert(got(2L) === got(3L)) // identical text, identical weight
+  }
+
   test("PII scrub: phone/IP dialects redact; dates, versions and decimals are spared") {
     import spark.implicits._
     val rows = Seq(
