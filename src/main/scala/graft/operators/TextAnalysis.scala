@@ -136,14 +136,17 @@ object TextAnalysis {
   /** Space-joined word n-grams of the text (empty array when the doc has
     * fewer than n tokens — NOT a descending `sequence`, which is what the
     * unguarded `sequence(0, size-n)` degenerates to on short docs). */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val toks = wordTokens(text)
+  def wordNGrams(text: Column, n: Int): Column =
+    tokenNGrams(wordTokens(text), n)
+
+  /** N-grams over an already-tokenized array — callers that need both
+    * tokens and n-grams of one text compute the token array once. */
+  def tokenNGrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /**
    * Test-set decontamination (the GPT-3/PaLM pipeline step): flag corpus
@@ -460,28 +463,34 @@ object TextAnalysis {
       buckets: Int = 4096,
       scale: Long = 1L << 20): DataFrame = {
     require(buckets >= 1 && scale >= 1, "dsirWeights: buckets/scale must be >= 1")
+    // One tokenization pass per distribution: tokens computed once, then
+    // unigrams ++ bigrams from the same array.
     def grams(df: DataFrame): DataFrame =
-      df.select(explode(concat(wordTokens(col(textCol)), wordNGrams(col(textCol), 2))).as("g"))
+      df.select(wordTokens(col(textCol)).as("t"))
+        .select(explode(concat(col("t"), tokenNGrams(col("t"), 2))).as("g"))
         .select(graft.functions.shard_index(encode(col("g"), "UTF-8"), buckets).as("b"))
     val targetCells = grams(target).groupBy("b").agg(count(lit(1)).as("tc"))
     val rawCells = grams(corpus).groupBy("b").agg(count(lit(1)).as("rc"))
     // full outer: a cell seen only in one distribution still needs both
-    // smoothed probabilities; totals are 1-row crossJoins (corpus_stats
-    // pattern), so nothing distribution-sized touches the driver.
+    // smoothed probabilities. Totals are the SUMS OF THE CELL TABLES
+    // (1-row crossJoins, corpus_stats pattern) — not a second pass over
+    // the text: the cell aggregation's exchange is identical on both
+    // references, so ReuseExchange tokenizes each distribution once.
     val model = targetCells.join(rawCells, Seq("b"), "full")
-      .crossJoin(grams(target).agg(count(lit(1)).as("tn")))
-      .crossJoin(grams(corpus).agg(count(lit(1)).as("rn")))
+      .crossJoin(targetCells.agg(coalesce(sum(col("tc")), lit(0L)).as("tn")))
+      .crossJoin(rawCells.agg(coalesce(sum(col("rc")), lit(0L)).as("rn")))
       .select(
         col("b"),
         expr(s"(coalesce(tc, 0L) + 1L) * ${scale}L div (tn + ${buckets}L)").as("p_fp"),
         expr(s"(coalesce(rc, 0L) + 1L) * ${scale}L div (rn + ${buckets}L)").as("q_fp"))
     // Null-sentinel gram per doc (the lmScore shape): every document
     // reaches the aggregation, so empty docs score 0 instead of vanishing.
-    corpus.select(col(idCol),
+    corpus.select(col(idCol), wordTokens(col(textCol)).as("t"))
+      .select(col(idCol),
         explode(concat(
           array(lit(null).cast("string")),
-          wordTokens(col(textCol)),
-          wordNGrams(col(textCol), 2))).as("g"))
+          col("t"),
+          tokenNGrams(col("t"), 2))).as("g"))
       .withColumn("b",
         when(col("g").isNotNull,
           graft.functions.shard_index(encode(col("g"), "UTF-8"), buckets)))
