@@ -52,6 +52,10 @@ object Sessions {
       // co-partitions because it is a function of key)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
+      // ...and let a PLAIN DataFrame (a probe/delta) join a domain by
+      // shuffling only itself into the domain's reported partitioning —
+      // the domain side never moves
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 }

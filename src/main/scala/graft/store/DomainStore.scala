@@ -560,6 +560,18 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           .otherwise(raise_error(lit("multiGet: key set contains a null key")))
           .as("key"))
       val joinType = if (includeMisses) "left_outer" else "inner"
+      // kv domains take the storage-partitioned join: the scan REPORTS
+      // the on-disk (shard, key) layout, so only the key set shuffles —
+      // routed into the domain's own partitioning — while the
+      // corpus-sized side moves nothing and needs no sort (KvDomainV2).
+      // Datasource formats go through FileSourceScanExec, which reports
+      // no partitioning, so they keep the plain co-shuffled join.
+      if (isKv) {
+        val routed = checked.withColumn("shard", shard_index(col("key"), numShards))
+        return routed
+          .join(readPartitioned(spark, latestVersion), Seq("shard", "key"), joinType)
+          .select(col("key"), col("value"))
+      }
       return checked.join(read(spark).select("key", "value"), Seq("key"), joinType)
     }
     // The key set is small (proven by the probe), so routing happens on

@@ -2,8 +2,6 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SortExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
@@ -24,31 +22,80 @@ class KvDomainV2Spec extends SparkSuite {
     store
   }
 
-  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] = {
-    df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+  // AQE hides exchanges inside QueryStageExec nodes, which collect() does
+  // not descend into — inspect the FINAL adaptive plan's rendering (the
+  // part before "== Initial Plan =="), where every stage's subtree shows.
+  private def finalPlan(df: DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
   }
-  private def sorts(df: DataFrame): Seq[SortExec] =
-    df.queryExecution.executedPlan.collect { case s: SortExec => s }
+  private def shuffleCount(df: DataFrame): Int =
+    "Exchange ".r.findAllIn(finalPlan(df)).length
+  private def sortCount(df: DataFrame): Int =
+    "Sort \\[".r.findAllIn(finalPlan(df)).length
+
+  /** Test domains are tiny, so the scan statistics (working as intended)
+    * make the planner broadcast them; disable broadcast to face it with
+    * the choice a corpus-scale domain poses. */
+  private def withNoBroadcast[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "-1"))
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 
   test("storage-partitioned join of two same-sharded kv domains: no shuffle, no sort") {
     val a = buildDomain("spj-a", 4, (0L until 1000L).filter(_ % 2 == 0).map(i => i -> s"a$i"))
     val b = buildDomain("spj-b", 4, (0L until 1000L).filter(_ % 3 == 0).map(i => i -> s"b$i"))
 
-    val joined = a.readPartitioned(spark).as("a")
-      .join(b.readPartitioned(spark).as("b"), Seq("shard", "key"))
-      .select(
-        graft.functions.be_long(col("key")).as("k"),
-        graft.functions.bytes_utf8(col("a.value")).as("av"),
-        graft.functions.bytes_utf8(col("b.value")).as("bv"))
+    withNoBroadcast {
+      val joined = a.readPartitioned(spark).as("a")
+        .join(b.readPartitioned(spark).as("b"), Seq("shard", "key"))
+        .select(
+          graft.functions.be_long(col("key")).as("k"),
+          graft.functions.bytes_utf8(col("a.value")).as("av"),
+          graft.functions.bytes_utf8(col("b.value")).as("bv"))
 
-    val got = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
-    val want = (0L until 1000L).filter(i => i % 6 == 0).map(i => (i, s"a$i", s"b$i"))
-    assert(got.toSeq === want)
+      val got = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      val want = (0L until 1000L).filter(i => i % 6 == 0).map(i => (i, s"a$i", s"b$i"))
+      assert(got.toSeq === want)
 
-    // The SPJ contract itself: co-partitioned merge join straight off the
-    // shard files — no exchange, no sort, on either side.
-    assert(shuffles(joined).isEmpty, joined.queryExecution.executedPlan.toString)
-    assert(sorts(joined).isEmpty, joined.queryExecution.executedPlan.toString)
+      // The SPJ contract itself: co-partitioned merge join straight off
+      // the shard files — no exchange, no sort, on either side.
+      assert(shuffleCount(joined) === 0, finalPlan(joined))
+      assert(sortCount(joined) === 0, finalPlan(joined))
+    }
+  }
+
+  test("probe-vs-domain join shuffles and sorts ONLY the probe side") {
+    import spark.implicits._
+    val dom = buildDomain("oneside", 4, (0L until 1000L).map(i => i -> s"v$i"))
+    val probe = (0L until 1000L by 7).toDF("k")
+      .select(graft.functions.long_be(col("k")).as("key"))
+      .withColumn("shard", graft.functions.shard_index(col("key"), 4))
+    // a REAL jumbo probe exceeds the broadcast threshold; disabling
+    // broadcast poses the genuine choice (shuffle both vs just the probe)
+    withNoBroadcast {
+      val joined = dom.readPartitioned(spark).join(probe, Seq("shard", "key"))
+        .select(graft.functions.be_long(col("key")).as("k"),
+          graft.functions.bytes_utf8(col("value")).as("v"))
+      val got = joined.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.toSeq === (0L until 1000L by 7).map(i => (i, s"v$i")))
+      // one exchange (the probe shuffled into the domain's reported
+      // partitioning), at most one sort (the probe side); the domain
+      // side never re-partitions
+      assert(shuffleCount(joined) === 1, finalPlan(joined))
+      assert(finalPlan(joined).contains("Exchange keygroupedpartitioning"), finalPlan(joined))
+      assert(sortCount(joined) <= 1, finalPlan(joined))
+    }
   }
 
   test("plain scan through the v2 source equals the flatMap scan") {

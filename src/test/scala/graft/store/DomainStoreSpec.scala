@@ -680,6 +680,40 @@ class DomainStoreSpec extends SparkSuite {
     assert(got === Map("ok1" -> Some("ov1"), "ok2" -> Some("ov2"), "gone" -> None))
   }
 
+  test("multiGet jumbo on a kv domain takes the storage-partitioned join (domain side never moves)") {
+    val store = DomainStore.create(
+      scratch("mg-spj"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kv((0 until 50).map(i => s"k$i" -> s"v$i"): _*), 1L)
+    val keys = spark.range(0, 60)
+      .select(utf8_bytes(concat(lit("k"), col("id").cast("string"))).as("key"))
+    def mat(df: DataFrame) = df
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    val j = mat(store.multiGet(keys, maxDriverKeys = 10))
+    assert(j === mat(store.multiGet(keys)))
+    assert(j.size === 60 && j.count(_._2.isEmpty) === 10)
+    // plan pin with broadcast off (the test domain is tiny, so statistics
+    // — working as intended — would broadcast it; a corpus-scale domain
+    // cannot be): the KEY side shuffles into the domain's reported
+    // partitioning, the domain subtree itself never re-partitions
+    val keys2 = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys2.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys2.foreach(spark.conf.set(_, "-1"))
+      val jumbo = store.multiGet(keys, maxDriverKeys = 10)
+      assert(mat(jumbo) === j)
+      val plan = jumbo.queryExecution.executedPlan.toString
+      assert(plan.contains("BatchScan kvdomain"), plan)
+      assert(plan.contains("Exchange keygroupedpartitioning"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(shard"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("multiGet rejects null keys identically on the point and bulk paths") {
     val store = DomainStore.create(scratch("mg-nulls"), DomainSpec(4), conf)
     store.write(kv("a" -> "1", "b" -> "2"), 1L)
