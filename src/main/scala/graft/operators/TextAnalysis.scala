@@ -419,6 +419,53 @@ object TextAnalysis {
   }
 
   /**
+   * URL/domain blocklist filtering — the UT1-blocklist / C4 provenance
+   * gate of a web corpus: drop documents whose source URL's host falls
+   * under a blocked domain (exact host or any parent-domain suffix, the
+   * way blocklists are written: blocking `tracker-example.com` must
+   * catch `ads.www.tracker-example.com`).
+   *
+   * Mechanics: lower-cased host extracted from the URL (scheme, userinfo,
+   * port, path stripped by one anchored regex), then the host's parent
+   * suffix chain (`a.b.c` -> `a.b.c`, `b.c`, `c`) joined against the
+   * blocklist. The blocklist rides a BROADCAST (real blocklists are
+   * ~MBs for millions of entries) and the corpus explodes to at most
+   * label-count rows per doc — never a regex per blocklist entry, which
+   * is the naive formulation that dies at a few thousand rules.
+   * `matched_rule` is the lexicographically-smallest matched entry
+   * (deterministic under multiple hits; both engines replay the min).
+   *
+   * Output: (idCol, host, blocked int, matched_rule string-or-null).
+   */
+  def urlBlocklistFilter(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      blockedDomains: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hostRe = "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+).*$"
+    val hosts = df.select(
+      col(idCol),
+      lower(regexp_extract(col(urlCol), hostRe, 1)).as("host"))
+    val rules = blockedDomains.toDF("rule").select(lower(col("rule")).as("rule"))
+    val suffixes = hosts.select(
+      col(idCol), col("host"),
+      explode(expr(
+        "transform(sequence(1, size(split(host, '\\\\.'))), " +
+          "i -> array_join(slice(split(host, '\\\\.'), i, size(split(host, '\\\\.'))), '.'))"))
+        .as("rule"))
+    val matched = suffixes.join(broadcast(rules), Seq("rule"))
+      .groupBy(col(idCol))
+      .agg(min(col("rule")).as("matched_rule"))
+    hosts.join(matched, Seq(idCol), "left")
+      .select(
+        col(idCol), col("host"),
+        when(col("matched_rule").isNotNull, lit(1)).otherwise(lit(0)).as("blocked"),
+        col("matched_rule"))
+  }
+
+  /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): score each document of
    * a raw corpus by how much more likely its hashed n-gram features are

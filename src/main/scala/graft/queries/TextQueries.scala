@@ -130,6 +130,23 @@ object TextQueries {
           when(d % 12 === 0, lit(alpha))))
       TextAnalysis.paragraphDedup(planted, "doc_id", "text")
     },
+    // URL/domain blocklist gate (UT1/C4 provenance filtering): the
+    // fixture corpus has no URL column, so the query PLANTS one (the
+    // text_scrub pattern) with userinfo, port and query noise the host
+    // extraction must strip, mixed case the normalization must fold, and
+    // subdomain nesting only suffix-chain matching catches.
+    "text_url_filter" -> { (s, dir) =>
+      val d = col("doc_id")
+      val host = when(d % 6 === 0, lit("ads.Tracker-Example.com"))
+        .when(d % 7 === 0, lit("malware.bad-example.net"))
+        .when(d % 5 === 0, lit("www.docs.example.org"))
+        .otherwise(lit("docs.example.org"))
+      val planted = Fixtures.table(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://user:pw@"), host, lit(":8080/page/"),
+            d.cast("string"), lit("?ref=x")))
+      TextAnalysis.urlBlocklistFilter(planted, "doc_id", "url", UrlBlocklist)
+    },
     // DSIR importance weighting + deterministic top-k selection: the
     // doc_id % 9 == 0 slice stands in for the target (reference) set,
     // everything else is the raw corpus being selected from.
@@ -219,6 +236,7 @@ object TextQueries {
   // DSIR: target = doc_id % 9 == 0 slice; 4096 hashed cells (a power of
   // two, so the md5-mod bucket replays as low-bits in SQL); 2^20
   // fixed-point scale; select the top 100 by weight.
+  val UrlBlocklist = Seq("tracker-example.com", "bad-example.net", "example.biz")
   val DsirTargetMod = 9
   val DsirBuckets = 4096
   val DsirScale = 1L << 20
@@ -482,6 +500,33 @@ object TextQueries {
          |  CAST(coalesce(t.total_n, 0) - coalesce(a.kept_n, 0) AS BIGINT) AS n_dropped
          |FROM documents d
          |LEFT JOIN tot t USING (doc_id) LEFT JOIN asm a USING (doc_id)""".stripMargin
+    },
+    // URL blocklist replay: identical plant, host regex, suffix-chain
+    // expansion and min-rule tie-break. `hosts` is referenced twice ->
+    // MATERIALIZED (the CTE-inlining doubling trap).
+    "text_url_filter" -> {
+      val rules = UrlBlocklist.map(r => s"'$r'").mkString(", ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 6 = 0 THEN 'ads.Tracker-Example.com'
+         |         WHEN doc_id % 7 = 0 THEN 'malware.bad-example.net'
+         |         WHEN doc_id % 5 = 0 THEN 'www.docs.example.org'
+         |         ELSE 'docs.example.org' END AS h
+         |  FROM documents),
+         |u AS (SELECT doc_id,
+         |    'https://user:pw@' || h || ':8080/page/' || doc_id || '?ref=x' AS url FROM p),
+         |hosts AS MATERIALIZED (SELECT doc_id,
+         |    lower(regexp_extract(url,
+         |      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+).*$$', 1)) AS host
+         |  FROM u),
+         |sfx AS (SELECT doc_id,
+         |    unnest([array_to_string(parts[i:], '.') FOR i IN range(1, len(parts) + 1)]) AS rule
+         |  FROM (SELECT doc_id, string_split(host, '.') AS parts FROM hosts)),
+         |m AS (SELECT doc_id, min(rule) AS matched_rule
+         |  FROM sfx WHERE rule IN ($rules) GROUP BY doc_id)
+         |SELECT h.doc_id, h.host,
+         |  CAST(CASE WHEN m.matched_rule IS NOT NULL THEN 1 ELSE 0 END AS INT) AS blocked,
+         |  m.matched_rule
+         |FROM hosts h LEFT JOIN m USING (doc_id)""".stripMargin
     },
     // DSIR replay: same unigram+bigram extraction as decontam/lm_score,
     // buckets via the engine's md5-mod routing — 4096 divides 2^64, so

@@ -213,6 +213,25 @@ class OperatorsSpec extends SparkSuite {
     assert(got(5L) === (("", 1L)))
   }
 
+  test("URL blocklist: suffix-chain matching, host normalization, deterministic rule pick") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://ads.WWW.Tracker.example.COM/x?q=1"), // nested subdomain, mixed case
+      (2L, "http://user@tracker.example.com:9090/path"), // userinfo + port
+      (3L, "docs.example.org/readme"),                   // scheme-less
+      (4L, "https://example.com/"),                      // parent of a blocked child: NOT blocked
+      (5L, "https://nottracker.example.com/")            // substring but not a dot-suffix
+    ).toDF("doc_id", "url")
+    val got = TextAnalysis.urlBlocklistFilter(
+      rows, "doc_id", "url", Seq("tracker.example.com", "docs.example.org"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), Option(r.getString(3))))).toMap
+    assert(got(1L) === (("ads.www.tracker.example.com", 1, Some("tracker.example.com"))))
+    assert(got(2L) === (("tracker.example.com", 1, Some("tracker.example.com"))))
+    assert(got(3L) === (("docs.example.org", 1, Some("docs.example.org"))))
+    assert(got(4L) === (("example.com", 0, None)))
+    assert(got(5L) === (("nottracker.example.com", 0, None)))
+  }
+
   test("DSIR weights: target-like docs rank above corpus-generic docs; empty docs survive at 0") {
     import spark.implicits._
     val target = Seq(
