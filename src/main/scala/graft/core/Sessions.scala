@@ -47,15 +47,14 @@ object Sessions {
       // storage-partitioned join over kv-sorted domains (KvDomainV2):
       // honor DSv2-reported KeyGroupedPartitioning so same-sharded domain
       // joins skip the exchange, honor reported per-shard key order so
-      // they skip the sort, and accept join keys that SUPERSET the
-      // partition key (joins condition on (shard, key); shard alone
-      // co-partitions because it is a function of key)
+      // they skip the sort (joins condition on (shard, key) — a SUPERSET
+      // of the partition key, which SPJ accepts under Spark's defaults;
+      // requireAllClusterKeysForCoPartition stays at its default)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.sorting.enabled", "true")
       // ...and let a PLAIN DataFrame (a probe/delta) join a domain by
       // shuffling only itself into the domain's reported partitioning —
       // the domain side never moves
       .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
 }

@@ -508,8 +508,21 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       buckets: Int = 4096,
+      scale: Long = 1L << 20): DataFrame =
+    dsirScore(corpus, dsirModel(corpus, target, textCol, buckets, scale), idCol, textCol, buckets)
+
+  /** The fit half of DSIR: the (cell, p_fp, q_fp) model table (≤ `buckets`
+    * rows) from a raw and a target distribution. Fit once — on samples at
+    * corpus scale — and hand to [[dsirScore]] (possibly many times, or to
+    * a stream: the score side is stream-static-legal). Callers must score
+    * with the SAME `buckets`. */
+  def dsirModel(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      buckets: Int = 4096,
       scale: Long = 1L << 20): DataFrame = {
-    require(buckets >= 1 && scale >= 1, "dsirWeights: buckets/scale must be >= 1")
+    require(buckets >= 1 && scale >= 1, "dsirModel: buckets/scale must be >= 1")
     // One tokenization pass per distribution: tokens computed once, then
     // unigrams ++ bigrams from the same array.
     def grams(df: DataFrame): DataFrame =
@@ -517,19 +530,30 @@ object TextAnalysis {
         .select(explode(concat(col("t"), tokenNGrams(col("t"), 2))).as("g"))
         .select(graft.functions.shard_index(encode(col("g"), "UTF-8"), buckets).as("b"))
     val targetCells = grams(target).groupBy("b").agg(count(lit(1)).as("tc"))
-    val rawCells = grams(corpus).groupBy("b").agg(count(lit(1)).as("rc"))
+    val rawCells = grams(raw).groupBy("b").agg(count(lit(1)).as("rc"))
     // full outer: a cell seen only in one distribution still needs both
     // smoothed probabilities. Totals are the SUMS OF THE CELL TABLES
     // (1-row crossJoins, corpus_stats pattern) — not a second pass over
     // the text: the cell aggregation's exchange is identical on both
     // references, so ReuseExchange tokenizes each distribution once.
-    val model = targetCells.join(rawCells, Seq("b"), "full")
+    targetCells.join(rawCells, Seq("b"), "full")
       .crossJoin(targetCells.agg(coalesce(sum(col("tc")), lit(0L)).as("tn")))
       .crossJoin(rawCells.agg(coalesce(sum(col("rc")), lit(0L)).as("rn")))
       .select(
         col("b"),
         expr(s"(coalesce(tc, 0L) + 1L) * ${scale}L div (tn + ${buckets}L)").as("p_fp"),
         expr(s"(coalesce(rc, 0L) + 1L) * ${scale}L div (rn + ${buckets}L)").as("q_fp"))
+  }
+
+  /** The apply half of DSIR: per-document weights under a fitted
+    * [[dsirModel]]. Stream-static-legal (broadcast model join + one
+    * stateful per-doc aggregation — the lmScore shape). */
+  def dsirScore(
+      corpus: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096): DataFrame = {
     // Null-sentinel gram per doc (the lmScore shape): every document
     // reaches the aggregation, so empty docs score 0 instead of vanishing.
     corpus.select(col(idCol), wordTokens(col(textCol)).as("t"))

@@ -194,11 +194,21 @@ class KvDomainScan(
 
   /** Row-count statistics from the kv trailers (one positioned read per
     * shard file, driver-side, cached for the scan's lifetime) — lets the
-    * planner see a small domain is broadcast-able. */
-  override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
-    override def numRows(): OptionalLong = OptionalLong.of(totalRows)
-  }
+    * planner see a small domain is broadcast-able. Computed ONLY for
+    * small shard counts: the listing+trailer pass is O(shards) driver
+    * I/O at plan time, and a domain big enough to carry
+    * [[KvDomainScan.StatsMaxShards]]+ shards is never broadcastable —
+    * unknown statistics make the planner assume big, which is then
+    * correct. */
+  override def estimateStatistics(): Statistics =
+    if (shards.size > KvDomainScan.StatsMaxShards) new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+    else new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(totalBytes)
+      override def numRows(): OptionalLong = OptionalLong.of(totalRows)
+    }
 
   private lazy val (totalBytes, totalRows): (Long, Long) = {
     val conf = KvDomainV2.confFor(versionDir) match {
@@ -220,6 +230,14 @@ class KvDomainScan(
     }
     (bytes, rows)
   }
+}
+
+object KvDomainScan {
+  /** Shard-count ceiling for plan-time statistics (see
+    * [[KvDomainScan.estimateStatistics]]). 256 shards x one listing +
+    * one trailer pread is comfortably sub-second on any store; beyond
+    * it the domain is past broadcast size by construction. */
+  val StatsMaxShards = 256
 }
 
 case class KvShardInputPartition(shard: Int, shardDir: String)

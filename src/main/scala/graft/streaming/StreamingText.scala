@@ -49,4 +49,31 @@ object StreamingText {
       .queryName(queryName)
       .start()
   }
+
+  /**
+   * DSIR-score a document stream against a model FITTED ON STATIC frames
+   * ([[TextAnalysis.dsirModel]]) — the paper's deployment shape (fit once
+   * on samples, apply to the whole corpus) is exactly the streaming-legal
+   * split: the apply half is a stream-static broadcast join plus one
+   * per-doc stateful aggregation, the same legality argument as
+   * [[lmScoreToMemory]]. The fit half stays batch (it aggregates the raw
+   * distribution, which a stream cannot self-reference).
+   */
+  def dsirScoreToMemory(
+      spark: SparkSession,
+      dir: String,
+      model: DataFrame,
+      queryName: String,
+      buckets: Int = 4096): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(StreamingEvents.DocumentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    TextAnalysis.dsirScore(docs, model, "doc_id", "text", buckets)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 }

@@ -189,6 +189,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming dsirScore over a doc stream == batch (static fitted model, multi-batch)") {
+    import org.apache.spark.sql.functions._
+    val src = sf("sf0.001/documents.parquet")
+    val dir = scratch("stream-dsir")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val staging = scratch("stream-dsir-staging")
+    val all = spark.read.parquet(src)
+    all.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$staging/b0")
+    all.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$staging/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$staging/b0", s"$dir/docs-0.parquet")
+    stage(s"$staging/b1", s"$dir/docs-1.parquet")
+
+    // fit once on static frames (raw = full set, target = %9 slice);
+    // materialize so the stream side joins a FIXED model, not a live plan
+    val model = graft.operators.TextAnalysis
+      .dsirModel(all.where(col("doc_id") % 9 =!= 0), all.where(col("doc_id") % 9 === 0), "text")
+      .localCheckpoint(true)
+    def normalize(r: Row) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val batch = graft.operators.TextAnalysis
+      .dsirScore(all, model, "doc_id", "text")
+      .collect().map(normalize).toSet
+
+    val q = StreamingText.dsirScoreToMemory(spark, dir, model, "dsir_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream_test").collect().map(normalize).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup against a published band index == batch probe (multi-batch)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
