@@ -47,6 +47,14 @@ package object functions {
       .cast("long")
   }
 
+  /** 4-byte big-endian binary -> INT, the exact inverse of [[int_be]]
+    * including negatives: `conv`'s unsigned value re-biases by 2^32 when
+    * above Int.MaxValue. */
+  def be_int(c: Column): Column = {
+    val u = conv(hex(c), 16, 10).cast("long")
+    when(u > lit(Int.MaxValue.toLong), u - lit(1L << 32)).otherwise(u).cast("int")
+  }
+
   /** UTF-8 string -> binary. */
   def utf8_bytes(c: Column): Column = encode(c, "UTF-8")
 

@@ -527,6 +527,86 @@ object Similarity {
       prepared(corpus, idCol, vecCol), prepared(queries, idCol, vecCol),
       centroids, k, nprobe)
 
+  /**
+   * The PUBLISH half of ANN-as-a-domain (the elephantdb pattern applied
+   * to vector search, twin of [[Dedup.bandIndexKv]]): assign every corpus
+   * vector to its nearest cell of a caller-supplied quantizer, and emit
+   * the inverted index as KV pairs — key = big-endian cell id, value =
+   * the cell's member ids, ascending, comma-joined UTF-8. Published
+   * through a `kv-sorted` [[graft.store.DomainStore]], a serving process
+   * probes nprobe cells per query by point lookup instead of touching
+   * the corpus: the IVF posting lists become the domain's shards.
+   * One aggregation shuffle over (cell, id) pairs — vectors never enter
+   * the exchange.
+   */
+  def ivfIndexKv(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val bc = c.sparkSession.sparkContext.broadcast(
+      (centroids, centroids.map(_.map(x => x * x).sum)))
+    c.withColumn("cell", element_at(nearestCells(col("vec"), bc, 1), 1))
+      .groupBy(col("cell"))
+      .agg(concat_ws(",", transform(sort_array(collect_list(col("id"))), _.cast("string")))
+        .as("members"))
+      .select(
+        graft.functions.int_be(col("cell")).as("key"),
+        graft.functions.utf8_bytes(col("members")).as("value"))
+  }
+
+  /**
+   * The PROBE half: answer top-k ANN queries from a PUBLISHED
+   * [[ivfIndexKv]] domain instead of re-assigning the corpus — each
+   * query's nprobe nearest cells become point lookups (`multiGet`
+   * hits-only; on a kv-sorted domain that is per-shard binary search,
+   * zero scans), the returned posting lists unpack to candidate ids, and
+   * only those candidates' vectors re-attach (one linear join) for the
+   * exact cosine re-rank. Must produce EXACTLY [[ivfTopKFixed]]'s result
+   * for the same quantizer — pinned by the contract oracle being the
+   * same SQL. At 100 TB the corpus is assigned once at publish time;
+   * each query batch touches nprobe posting lists and |candidates|
+   * vectors, nothing else.
+   */
+  def ivfSearchIndex(
+      index: graft.store.DomainStore,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val q0 = prepared(queries, idCol, vecCol)
+    val bc = c.sparkSession.sparkContext.broadcast(
+      (centroids, centroids.map(_.map(x => x * x).sum)))
+    val probes = q0
+      .withColumn("cells", nearestCells(col("vec"), bc, nprobe))
+      .select(
+        col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
+        explode(col("cells")).as("cell"))
+    val keys = probes.select(graft.functions.int_be(col("cell")).as("key")).distinct()
+    // generators can't nest inside other expressions (Spark restriction):
+    // explode in one projection, cast in the next
+    val candidates = index.multiGet(keys, includeMisses = false)
+      .select(
+        graft.functions.be_int(col("key")).as("cell"),
+        explode(split(graft.functions.bytes_utf8(col("value")), ",")).as("ids"))
+      .select(col("cell"), col("ids").cast("long").as("id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    candidates
+      .join(c.select(col("id"), col("vec"), col("norm")), Seq("id"))
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .select(col("query_id"), col("id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
   /** The IVF search pipeline shared by the trained and fixed-centroid
     * entry points: broadcast the matrix once, assign corpus cells
     * (nprobe=1), probe each query's nprobe nearest cells, exact cosine

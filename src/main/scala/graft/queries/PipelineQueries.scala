@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.DomainSpec
-import graft.operators.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /**
  * The end-to-end composition check: a realistic training-corpus
@@ -80,7 +80,48 @@ object PipelineQueries {
     "pipeline_dedup_index" -> { (s, dir) =>
       dedupIndexStore(s, dir)
       dedupIndexProbe(s, dir)
+    },
+    // ANN served from a PUBLISHED domain — the other flagship composition
+    // (vector-search twin of pipeline_dedup_index): the corpus's IVF
+    // posting lists published as a kv-sorted domain (key = cell, value =
+    // member ids), queries answered by nprobe point lookups + exact
+    // re-rank of only the met candidates. Must equal the direct
+    // sim_ann_ivf_fixed pipeline bit-for-bit, so the oracle IS that
+    // query's SQL — the domain publish/probe roundtrip is pinned to be
+    // semantics-free.
+    "pipeline_ann_index" -> { (s, dir) =>
+      annIndexStore(s, dir)
+      annIndexProbe(s, dir)
     })
+
+  /** The BUILD half of pipeline_ann_index: assign cells against the
+    * SHARED fixed quantizer and publish the inverted index as a
+    * kv-sorted domain (point lookups = per-shard binary search). */
+  def annIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
+    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted)
+    Fixtures.domain(s, dir, "ann-ivf-index", spec) { (st, sp) =>
+      st.write(
+        Similarity.ivfIndexKv(
+          Fixtures.table(sp, dir, "embeddings"), "vec_id", "embedding",
+          Similarity.fixedCentroids(SimQueries.IvfNlist, SimQueries.EmbeddingDim)),
+        version = 1L)
+    }
+  }
+
+  /** The PROBE half: nprobe cell lookups against the published index,
+    * candidate unpack, exact cosine re-rank — sim_ann_ivf_fixed's exact
+    * output through the serving path. */
+  def annIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Fixtures.table(s, dir, "embeddings")
+    Similarity.ivfSearchIndex(
+      annIndexStore(s, dir),
+      emb,
+      emb.where(col("vec_id") % SimQueries.QueryMod === 0),
+      "vec_id", "embedding", SimQueries.TopK,
+      Similarity.fixedCentroids(SimQueries.IvfNlist, SimQueries.EmbeddingDim),
+      nprobe = SimQueries.IvfNprobe)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
 
   /** The BUILD half of pipeline_dedup_index: band the corpus and publish
     * the index as a KV domain (memoized per sf by Fixtures, so inside one
@@ -179,5 +220,12 @@ object PipelineQueries {
          |SELECT delta_id, corpus_id,
          |  CAST(i AS DOUBLE) / (cd.n + cx.n - i) AS jaccard
          |FROM inter JOIN c cd ON cd.doc_id = delta_id JOIN c cx ON cx.doc_id = corpus_id
-         |WHERE CAST(i AS DOUBLE) / (cd.n + cx.n - i) >= ${DedupQueries.MinHashThreshold}""".stripMargin)
+         |WHERE CAST(i AS DOUBLE) / (cd.n + cx.n - i) >= ${DedupQueries.MinHashThreshold}""".stripMargin,
+    // The serving path must be invisible in the result: publishing the
+    // posting lists as a domain and probing them by point lookup has to
+    // reproduce the direct fixed-quantizer IVF search EXACTLY — so the
+    // oracle IS sim_ann_ivf_fixed's SQL. A dropped id in the pack/unpack
+    // roundtrip, a lost cell in multiGet, or a shard-routing mismatch
+    // all hash-mismatch here.
+    "pipeline_ann_index" -> SimQueries.oracleSql("sim_ann_ivf_fixed"))
 }

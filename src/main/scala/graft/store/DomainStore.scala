@@ -317,6 +317,25 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .load(versions.versionPath(version).toString)
   }
 
+  /** Data-quality audit: keys holding more than one record (legal in a
+    * non-dedup'd build — scans surface all of them, lookups pick one
+    * unspecified record, so callers that assumed uniqueness want to
+    * know). On a kv-sorted domain the per-key count aggregates WITHOUT a
+    * shuffle: the layout-reporting scan's KeyGroupedPartitioning already
+    * clusters (shard, key), so the aggregation runs within partitions —
+    * at 100 TB this audit costs one read, zero exchanges (pinned in
+    * KvDomainV2Spec). Other formats pay the one aggregation shuffle.
+    * Output: (key, shard, n_records) for keys with n_records > 1. */
+  def duplicateKeyAudit(spark: SparkSession): DataFrame = {
+    val scan =
+      if (isKv) readPartitioned(spark).select("shard", "key")
+      else read(spark).select("shard", "key")
+    scan.groupBy(col("shard"), col("key"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_records"))
+      .where(col("n_records") > 1)
+      .select(col("key"), col("shard"), col("n_records"))
+  }
+
   def latestVersion: Long =
     versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under $root"))

@@ -124,6 +124,28 @@ class KvDomainV2Spec extends SparkSuite {
     assert(keysOnly.count() === 400L)
   }
 
+  test("duplicateKeyAudit on a kv domain: finds dup keys with ZERO shuffle") {
+    import spark.implicits._
+    val store = DomainStore.create(
+      scratch("kvv2/dupaudit"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    // key 7 twice, key 13 three times, rest unique
+    val rows = ((0L until 100L) ++ Seq(7L, 13L, 13L)).map(i => (i, s"v$i"))
+    store.write(
+      rows.toDF("k", "v").select(
+        graft.functions.long_be(col("k")).as("key"),
+        graft.functions.utf8_bytes(col("v")).as("value")),
+      version = 1L)
+    val audit = store.duplicateKeyAudit(spark)
+    val got = audit.collect()
+      .map(r => java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](0)).getLong -> r.getLong(2)).toMap
+    assert(got === Map(7L -> 2L, 13L -> 3L))
+    // the layout-reporting scan already clusters (shard, key): the
+    // per-key count aggregates within partitions, no exchange anywhere
+    assert(shuffleCount(audit) === 0, finalPlan(audit))
+  }
+
   test("readPartitioned on a non-kv domain fails loud with the migration path") {
     import spark.implicits._
     val store = DomainStore.create(
