@@ -557,6 +557,47 @@ object Similarity {
   }
 
   /**
+   * Incremental maintenance of a PUBLISHED [[ivfIndexKv]] domain: assign
+   * only the DELTA's vectors, read the affected cells' current posting
+   * lists by point lookup, merge (union, ascending, duplicate ids
+   * collapse — re-ingesting a vector is idempotent), and `upsert` just
+   * those cells as a new version; untouched cells copy-forward as raw
+   * file copies. At 100 TB this is how a daily vector delta avoids
+   * re-assigning the corpus: work is O(delta + affected posting lists).
+   * The result must be BYTE-IDENTICAL to rebuilding from scratch on the
+   * union corpus (pinned in spec) — posting lists are deterministic for
+   * their member set, which is what makes the merge safe under the
+   * first-commit-wins data-file protocol.
+   */
+  def ivfIndexUpsert(
+      index: graft.store.DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      newVersion: Long): Unit = {
+    val spark = delta.sparkSession
+    val additions = ivfIndexKv(delta, idCol, vecCol, centroids)
+      .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
+    val current = index
+      .multiGet(additions.select(col("key")), includeMisses = true)
+      .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
+    val merged = additions.join(current, Seq("key"))
+      .select(
+        col("key"),
+        graft.functions.utf8_bytes(
+          concat_ws(",",
+            transform(
+              array_sort(array_distinct(concat(
+                transform(split(coalesce(col("cur"), lit("")), ","),
+                  s => when(s =!= "", s.cast("long"))),
+                transform(split(col("add"), ","), _.cast("long"))))),
+              _.cast("string"))))
+          .as("value"))
+    index.upsert(spark, merged, newVersion)
+  }
+
+  /**
    * The PROBE half: answer top-k ANN queries from a PUBLISHED
    * [[ivfIndexKv]] domain instead of re-assigning the corpus — each
    * query's nprobe nearest cells become point lookups (`multiGet`

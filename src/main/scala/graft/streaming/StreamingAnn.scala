@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+import graft.store.DomainStore
+
+/**
+ * Streaming ANN-index ingestion — the vector twin of
+ * [[StreamingDomain]]'s versioned ingest and [[StreamingDedup]]'s
+ * index probe: a published [[Similarity.ivfIndexKv]] domain absorbs
+ * each arriving micro-batch of vectors through
+ * [[Similarity.ivfIndexUpsert]], so the servable index stays current
+ * without ever re-assigning the indexed corpus. Per-batch work is
+ * O(batch + affected posting lists); untouched cells copy-forward.
+ *
+ * `foreachBatch` is required (not just convenient): the upsert reads
+ * the affected cells by driver-routed point lookup and publishes a
+ * token-gated version — batch operations. Versions are `baseVersion +
+ * batchId + 1` with [[StreamingDomain]]'s replay protocol: a replayed
+ * batch (restart between publish and checkpoint commit) whose version
+ * is already published and newest is a no-op; an already-published
+ * NON-newest version means the stream is pointed at the wrong
+ * domain/baseVersion/checkpoint and fails loudly.
+ */
+object StreamingAnn {
+
+  def ingestStream(
+      index: DomainStore,
+      vecStream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    vecStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = baseVersion + batchId + 1
+        if (index.versions.isPublished(version) && version != index.latestVersion)
+          throw new IllegalStateException(
+            s"stream batch $batchId maps to version $version, which is already " +
+              s"published but is not the domain's latest (${index.latestVersion}) — " +
+              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
+        if (!index.versions.isPublished(version))
+          Similarity.ivfIndexUpsert(
+            index, batch, idCol, vecCol, centroids, newVersion = version)
+      }
+      .start()
+}

@@ -482,6 +482,42 @@ class OperatorsSpec extends SparkSuite {
     assert(full === exact, "nprobe = nlist must equal the exact result")
   }
 
+  test("ivf index upsert == from-scratch rebuild on the union corpus (byte-identical)") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val centroids = Similarity.fixedCentroids(8, 64)
+    val base = embs.where(col("vec_id") % 3 =!= 0).limit(120)
+    // delta includes some ALREADY-INDEXED ids (re-ingest must be idempotent)
+    val delta = embs.where(col("vec_id") % 3 === 0).limit(40)
+      .unionByName(base.limit(5))
+    val union = base.unionByName(delta).dropDuplicates("vec_id")
+
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    val inc = graft.store.DomainStore.create(scratch("ivf-upsert/inc"), spec, conf)
+    inc.write(Similarity.ivfIndexKv(base, "vec_id", "embedding", centroids), 1L)
+    Similarity.ivfIndexUpsert(inc, delta, "vec_id", "embedding", centroids, newVersion = 2L)
+
+    val full = graft.store.DomainStore.create(scratch("ivf-upsert/full"), spec, conf)
+    full.write(Similarity.ivfIndexKv(union, "vec_id", "embedding", centroids), 1L)
+
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(pairs(inc) === pairs(full))
+    // and the search result through the upserted index equals the direct
+    // pipeline over the union corpus
+    val q = union.where(col("vec_id") % 20 === 0)
+    val viaIndex = Similarity.ivfSearchIndex(
+      inc, union, q, "vec_id", "embedding", 5, centroids, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Similarity.ivfTopKFixed(
+      union, q, "vec_id", "embedding", 5, centroids, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaIndex === direct)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("exact-trained ivf: recall holds, exhaustive probe == exact, corpus bound enforced") {
     val q = embs.where(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)

@@ -105,6 +105,48 @@ class StreamingSpec extends SparkSuite {
     assert(store.latestVersion === 2L)
   }
 
+  test("streaming ANN ingest: per-batch index upserts converge to the from-scratch index") {
+    import org.apache.spark.sql.functions._
+    val srcDir = scratch("stream-ann-src")
+    val ckpt = scratch("stream-ann-ckpt")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val all = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val centroids = graft.operators.Similarity.fixedCentroids(8, 64)
+    val base = all.where(col("vec_id") % 4 === 0)
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    val index = graft.store.DomainStore.create(scratch("stream-ann-dom"), spec, conf)
+    index.write(
+      graft.operators.Similarity.ivfIndexKv(base, "vec_id", "embedding", centroids), 1L)
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(all.schema).parquet(s"$srcDir/*")
+      val q = StreamingAnn.ingestStream(
+        index, stream, "vec_id", "embedding", centroids,
+        baseVersion = 1L, checkpointDir = ckpt, queryName = "ann_stream_test")
+      try q.awaitTermination() finally q.stop()
+    }
+    all.where(col("vec_id") % 4 === 1).coalesce(1).write.parquet(s"$srcDir/d0")
+    drain()
+    assert(index.latestVersion === 2L)
+    all.where(col("vec_id") % 4 === 2).coalesce(1).write.parquet(s"$srcDir/d1")
+    drain()
+    assert(index.latestVersion === 3L)
+
+    val full = graft.store.DomainStore.create(
+      scratch("stream-ann-full"), spec, conf)
+    full.write(
+      graft.operators.Similarity.ivfIndexKv(
+        all.where(col("vec_id") % 4 =!= 3), "vec_id", "embedding", centroids), 1L)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(pairs(index) === pairs(full))
+    assert(pairs(index).nonEmpty)
+  }
+
   test("append-mode watermarked windows: every finalized window equals batch") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-append-src")
