@@ -26,6 +26,11 @@ import graft.functions.array_dot
  */
 object Similarity {
 
+  /** Posting-list member ceiling for [[ivfIndexKv]]: 1M 7-digit ids ≈ an
+    * 8 MB value blob, the upper edge of a sane single KV value; a cell
+    * past it signals a degenerate quantizer (see the in-plan guard). */
+  val MaxCellMembers: Int = 1 << 20
+
   def dot(a: Column, b: Column): Column = array_dot(a, b)
 
   def norm(a: Column): Column = sqrt(array_dot(a, a))
@@ -543,14 +548,28 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
+      centroids: Array[Array[Double]],
+      maxCellMembers: Int = Similarity.MaxCellMembers): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
     val bc = c.sparkSession.sparkContext.broadcast(
       (centroids, centroids.map(_.map(x => x * x).sum)))
     c.withColumn("cell", element_at(nearestCells(col("vec"), bc, 1), 1))
       .groupBy(col("cell"))
-      .agg(concat_ws(",", transform(sort_array(collect_list(col("id"))), _.cast("string")))
-        .as("members"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // A degenerate cell (quantizer too coarse, or collapsed training)
+      // would pack millions of ids into ONE value blob and serialize the
+      // whole domain behind it — fail loud IN the plan, naming the fix,
+      // rather than publish a multi-GB posting list (AuditBound
+      // convention: load-bearing bounds throw, never truncate silently).
+      .select(
+        col("cell"),
+        when(size(col("ids")) <= maxCellMembers,
+          concat_ws(",", transform(col("ids"), _.cast("string"))))
+          .otherwise(raise_error(concat(
+            lit(s"ivfIndexKv: cell "), col("cell").cast("string"),
+            lit(s" holds more than $maxCellMembers members — re-quantize with more " +
+              "cells (bigger nlist) or raise maxCellMembers"))))
+          .as("members"))
       .select(
         graft.functions.int_be(col("cell")).as("key"),
         graft.functions.utf8_bytes(col("members")).as("value"))
@@ -585,14 +604,22 @@ object Similarity {
     val merged = additions.join(current, Seq("key"))
       .select(
         col("key"),
+        array_sort(array_distinct(concat(
+          transform(split(coalesce(col("cur"), lit("")), ","),
+            s => when(s =!= "", s.cast("long"))),
+          transform(split(col("add"), ","), _.cast("long"))))).as("ids"))
+      // the merged list crosses the same cap the publish path enforces —
+      // growth by deltas must not sneak past it
+      .select(
+        col("key"),
         graft.functions.utf8_bytes(
-          concat_ws(",",
-            transform(
-              array_sort(array_distinct(concat(
-                transform(split(coalesce(col("cur"), lit("")), ","),
-                  s => when(s =!= "", s.cast("long"))),
-                transform(split(col("add"), ","), _.cast("long"))))),
-              _.cast("string"))))
+          when(size(col("ids")) <= Similarity.MaxCellMembers,
+            concat_ws(",", transform(col("ids"), _.cast("string"))))
+            .otherwise(raise_error(concat(
+              lit("ivfIndexUpsert: merged cell "),
+              graft.functions.be_int(col("key")).cast("string"),
+              lit(s" exceeds ${Similarity.MaxCellMembers} members — re-quantize the " +
+                "index with more cells (bigger nlist)")))))
           .as("value"))
     index.upsert(spark, merged, newVersion)
   }

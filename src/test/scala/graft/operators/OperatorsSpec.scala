@@ -518,6 +518,22 @@ class OperatorsSpec extends SparkSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("ivf index publish: degenerate cell past the member cap fails loud, naming the fix") {
+    import spark.implicits._
+    // identical vectors -> every row lands in ONE cell
+    val vecs = (0 until 20).map(i => (i.toLong, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val centroids = Similarity.fixedCentroids(4, 8)
+    val e = intercept[Exception](
+      Similarity.ivfIndexKv(vecs, "vec_id", "embedding", centroids, maxCellMembers = 10)
+        .collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("re-quantize")), messages(e).mkString(" | "))
+    // under the cap the same input publishes fine
+    assert(Similarity.ivfIndexKv(vecs, "vec_id", "embedding", centroids, maxCellMembers = 20)
+      .count() === 1L)
+  }
+
   test("exact-trained ivf: recall holds, exhaustive probe == exact, corpus bound enforced") {
     val q = embs.where(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", 10)
