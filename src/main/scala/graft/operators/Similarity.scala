@@ -594,31 +594,42 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      newVersion: Long): Unit = {
+      newVersion: Long,
+      maxCellMembers: Int = Similarity.MaxCellMembers): Unit = {
     val spark = delta.sparkSession
-    val additions = ivfIndexKv(delta, idCol, vecCol, centroids)
+    // Materialize the delta's posting additions ONCE (≤ affected-cells
+    // rows): they feed both multiGet's decision probe and the merge —
+    // without the checkpoint the assignment + aggregation would run
+    // twice per call, per micro-batch under StreamingAnn (the
+    // ngramJaccardPairs pattern; only small result blocks remain).
+    val additions = ivfIndexKv(delta, idCol, vecCol, centroids, maxCellMembers)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
+      .localCheckpoint(true)
     val current = index
       .multiGet(additions.select(col("key")), includeMisses = true)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
+    // a cell absent from the index has cur = null: its id array must be
+    // EMPTY, not [null] (split("") yields [""] -> a null element that
+    // concat_ws would hide but size() would count against the cap)
+    val curIds = when(coalesce(col("cur"), lit("")) === "", array().cast("array<long>"))
+      .otherwise(transform(split(col("cur"), ","), _.cast("long")))
     val merged = additions.join(current, Seq("key"))
       .select(
         col("key"),
         array_sort(array_distinct(concat(
-          transform(split(coalesce(col("cur"), lit("")), ","),
-            s => when(s =!= "", s.cast("long"))),
+          curIds,
           transform(split(col("add"), ","), _.cast("long"))))).as("ids"))
       // the merged list crosses the same cap the publish path enforces —
       // growth by deltas must not sneak past it
       .select(
         col("key"),
         graft.functions.utf8_bytes(
-          when(size(col("ids")) <= Similarity.MaxCellMembers,
+          when(size(col("ids")) <= maxCellMembers,
             concat_ws(",", transform(col("ids"), _.cast("string"))))
             .otherwise(raise_error(concat(
               lit("ivfIndexUpsert: merged cell "),
               graft.functions.be_int(col("key")).cast("string"),
-              lit(s" exceeds ${Similarity.MaxCellMembers} members — re-quantize the " +
+              lit(s" exceeds $maxCellMembers members — re-quantize the " +
                 "index with more cells (bigger nlist)")))))
           .as("value"))
     index.upsert(spark, merged, newVersion)

@@ -449,12 +449,16 @@ object TextAnalysis {
       col(idCol),
       lower(regexp_extract(col(urlCol), hostRe, 1)).as("host"))
     val rules = blockedDomains.toDF("rule").select(lower(col("rule")).as("rule"))
-    val suffixes = hosts.select(
-      col(idCol), col("host"),
-      explode(expr(
-        "transform(sequence(1, size(split(host, '\\\\.'))), " +
-          "i -> array_join(slice(split(host, '\\\\.'), i, size(split(host, '\\\\.'))), '.'))"))
-        .as("rule"))
+    // split once per row into a column: HOF lambdas evaluate interpreted
+    // per element (CLAUDE.md), so re-splitting inside the lambda would
+    // cost O(labels) splits per suffix
+    val suffixes = hosts
+      .select(col(idCol), col("host"), split(col("host"), "\\.").as("_parts"))
+      .select(
+        col(idCol), col("host"),
+        explode(expr(
+          "transform(sequence(1, size(_parts)), i -> array_join(slice(_parts, i, size(_parts)), '.'))"))
+          .as("rule"))
     val matched = suffixes.join(broadcast(rules), Seq("rule"))
       .groupBy(col(idCol))
       .agg(min(col("rule")).as("matched_rule"))
@@ -531,18 +535,28 @@ object TextAnalysis {
         .select(graft.functions.shard_index(encode(col("g"), "UTF-8"), buckets).as("b"))
     val targetCells = grams(target).groupBy("b").agg(count(lit(1)).as("tc"))
     val rawCells = grams(raw).groupBy("b").agg(count(lit(1)).as("rc"))
-    // full outer: a cell seen only in one distribution still needs both
-    // smoothed probabilities. Totals are the SUMS OF THE CELL TABLES
-    // (1-row crossJoins, corpus_stats pattern) — not a second pass over
-    // the text: the cell aggregation's exchange is identical on both
-    // references, so ReuseExchange tokenizes each distribution once.
-    targetCells.join(rawCells, Seq("b"), "full")
+    // DENSE model — one row for EVERY bucket, not just the observed ones:
+    // a cell unseen in both distributions still has a well-defined
+    // Laplace-smoothed probability pair (the OOV floor), and the apply
+    // half scores corpora the model never saw (the fit-once deployment,
+    // streaming included) without silently zeroing novel vocabulary.
+    // Totals are the SUMS OF THE CELL TABLES (1-row crossJoins,
+    // corpus_stats pattern) — not a second pass over the text: the cell
+    // aggregation's exchange is identical on both references, so
+    // ReuseExchange tokenizes each distribution once.
+    val spark = raw.sparkSession
+    spark.range(buckets).select(col("id").cast("int").as("b"))
+      .join(targetCells, Seq("b"), "left")
+      .join(rawCells, Seq("b"), "left")
       .crossJoin(targetCells.agg(coalesce(sum(col("tc")), lit(0L)).as("tn")))
       .crossJoin(rawCells.agg(coalesce(sum(col("rc")), lit(0L)).as("rn")))
       .select(
         col("b"),
         expr(s"(coalesce(tc, 0L) + 1L) * ${scale}L div (tn + ${buckets}L)").as("p_fp"),
-        expr(s"(coalesce(rc, 0L) + 1L) * ${scale}L div (rn + ${buckets}L)").as("q_fp"))
+        expr(s"(coalesce(rc, 0L) + 1L) * ${scale}L div (rn + ${buckets}L)").as("q_fp"),
+        // the model carries its own bucket count so the apply half can
+        // verify it was handed the same hash space it was fitted in
+        lit(buckets).as("nb"))
   }
 
   /** The apply half of DSIR: per-document weights under a fitted
@@ -569,7 +583,19 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(
         count(col("g")).as("n_grams"),
-        coalesce(sum(when(col("g").isNotNull, col("p_fp") - col("q_fp"))), lit(0L))
+        // The model is DENSE over its bucket space and carries that
+        // space's size (`nb`), so a real gram in a mismatched hash space
+        // — bucket missing from the join (score buckets > fit), or nb
+        // disagreeing with the score-side constant (score buckets < fit)
+        // — would mean garbage weights; fail loud IN the plan instead.
+        // The sentinel's null bucket is exempt.
+        coalesce(sum(when(col("g").isNotNull,
+          when(col("nb").isNull || col("nb") =!= lit(buckets),
+            raise_error(concat(
+              lit(s"dsirScore: bucket count mismatch — scoring with buckets=$buckets "),
+              lit("but the model was fitted with "),
+              coalesce(col("nb").cast("string"), lit("a smaller bucket space")))))
+            .otherwise(col("p_fp") - col("q_fp")))), lit(0L))
           .as("dsir_weight_fp"))
   }
 

@@ -34,7 +34,8 @@ object StreamingAnn {
       centroids: Array[Array[Double]],
       baseVersion: Long,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      maxCellMembers: Int = Similarity.MaxCellMembers): StreamingQuery =
     vecStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
@@ -48,7 +49,8 @@ object StreamingAnn {
               "baseVersion/checkpointDir mismatch, refusing to drop the batch")
         if (!index.versions.isPublished(version))
           Similarity.ivfIndexUpsert(
-            index, batch, idCol, vecCol, centroids, newVersion = version)
+            index, batch, idCol, vecCol, centroids, newVersion = version,
+            maxCellMembers = maxCellMembers)
       }
       .start()
 }

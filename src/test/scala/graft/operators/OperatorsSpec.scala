@@ -251,6 +251,26 @@ class OperatorsSpec extends SparkSuite {
     assert(got(2L) === got(3L)) // identical text, identical weight
   }
 
+  test("DSIR fit/apply: bucket-space mismatch fails loud; unseen-corpus grams hit the OOV floor") {
+    import spark.implicits._
+    val target = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq((2L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val model = TextAnalysis.dsirModel(raw, target, "text", buckets = 64)
+    // scoring a corpus the fit never saw: novel grams score the smoothed
+    // floor difference, not silent zero — two docs of all-novel grams
+    // with equal gram counts get EQUAL nonzero-count weights
+    val novel = Seq((10L, "qqq www eee"), (11L, "rrr ttt yyy")).toDF("doc_id", "text")
+    val scored = TextAnalysis.dsirScore(novel, model, "doc_id", "text", buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scored(10L) === 5L && scored(11L) === 5L) // 3 unigrams + 2 bigrams each
+    // mismatched bucket space: fail loud, never garbage
+    val e = intercept[Exception](
+      TextAnalysis.dsirScore(novel, model, "doc_id", "text", buckets = 32).collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("bucket count mismatch")), messages(e).mkString(" | "))
+  }
+
   test("PII scrub: phone/IP dialects redact; dates, versions and decimals are spared") {
     import spark.implicits._
     val rows = Seq(
