@@ -810,6 +810,148 @@ object Similarity {
       prepared(corpus, idCol, vecCol), prepared(queries, idCol, vecCol),
       centroids, books, k, nprobe, rerank)
 
+  /**
+   * PQ-coded posting lists as KV pairs — the billion-scale serving
+   * layout of [[ivfIndexKv]]: each cell's value carries its members WITH
+   * their product-quantization codes (`id:c0.c1...` entries, ascending
+   * by id, comma-joined), so a probe ranks candidates by ADC straight
+   * off the posting list — no vector ever loads until the exact re-rank
+   * of the k·rerank shortlist. At 100 TB this is the difference between
+   * touching |candidates| × m bytes and |candidates| × dim doubles per
+   * query batch. Same member cap and fail-loud rule as [[ivfIndexKv]].
+   */
+  def ivfPqIndexKv(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      maxCellMembers: Int = Similarity.MaxCellMembers): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val sc = c.sparkSession.sparkContext
+    val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
+    val bcBooks = sc.broadcast(books)
+    import org.apache.spark.sql.graft.interop
+    c.select(
+        col("id"),
+        element_at(nearestCells(col("vec"), bcCells, 1), 1).as("cell"),
+        interop.column(graft.core.PqEncodeExpr(interop.expression(col("vec")), bcBooks))
+          .as("codes"))
+      .select(col("cell"), struct(col("id"),
+        concat_ws(":", col("id").cast("string"),
+          concat_ws(".", transform(col("codes"), _.cast("string")))).as("entry")).as("s"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .select(
+        col("cell"),
+        when(size(col("ss")) <= maxCellMembers,
+          concat_ws(",", transform(col("ss"), _.getField("entry"))))
+          .otherwise(raise_error(concat(
+            lit("ivfPqIndexKv: cell "), col("cell").cast("string"),
+            lit(s" holds more than $maxCellMembers members — re-quantize with more " +
+              "cells (bigger nlist) or raise maxCellMembers"))))
+          .as("members"))
+      .select(
+        graft.functions.int_be(col("cell")).as("key"),
+        graft.functions.utf8_bytes(col("members")).as("value"))
+  }
+
+  /**
+   * Top-k ANN from a PUBLISHED [[ivfPqIndexKv]] domain: nprobe cells per
+   * query become point lookups, posting entries unpack to (id, codes),
+   * ADC ranks the candidates from the codes alone (per-query lookup
+   * tables, broadcast), and only the k·rerank shortlist's vectors load
+   * for the exact re-rank. Must equal [[ivfPqTopKFixed]] for the same
+   * tensors — the contract oracle is that query's SQL.
+   */
+  def ivfPqSearchIndex(
+      index: graft.store.DomainStore,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      nprobe: Int = 4,
+      rerank: Int = 4): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+    val q0 = prepared(queries, idCol, vecCol)
+    val sc = c.sparkSession.sparkContext
+    val m = books.length
+    val ksubEff = books(0).length
+    val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
+    val bcLut = sc.broadcast(adcLuts(q0, books))
+    import org.apache.spark.sql.graft.interop
+    val probes = q0
+      .withColumn("cells", nearestCells(col("vec"), bcCells, nprobe))
+      .select(col("id").as("query_id"), explode(col("cells")).as("cell"))
+    val keys = probes.select(graft.functions.int_be(col("cell")).as("key")).distinct()
+    val entries = index.multiGet(keys, includeMisses = false)
+      .select(
+        graft.functions.be_int(col("key")).as("cell"),
+        explode(split(graft.functions.bytes_utf8(col("value")), ",")).as("entry"))
+      .select(
+        col("cell"),
+        split(col("entry"), ":").getItem(0).cast("long").as("id"),
+        transform(split(split(col("entry"), ":").getItem(1), "\\."), _.cast("short"))
+          .as("codes"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("id"))
+    val shortlist = entries.join(broadcast(probes), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .withColumn("adc",
+        interop.column(graft.core.PqAdcExpr(
+          interop.expression(col("query_id")), interop.expression(col("codes")),
+          bcLut, ksubEff)))
+      .select(col("query_id"), col("id"), col("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= k * rerank)
+      .select(col("query_id"), col("id"))
+    val qSide = q0.select(
+      col("id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("id"))
+    c.select(col("id"), col("vec"), col("norm"))
+      .join(broadcast(shortlist), Seq("id"))
+      .join(broadcast(qSide), Seq("query_id"))
+      .withColumn("cos", dot(col("vec"), col("qvec")) / (col("norm") * col("qnorm")))
+      .select(col("query_id"), col("id"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+  }
+
+  /** Per-query ADC lookup tables: for each query, the squared L2
+    * distance from its s-th subvector to every centroid of codebook s —
+    * one flat `m * ksub` array per query. Queries are small by contract
+    * (the tables broadcast); shared by the direct and the domain-served
+    * IVF-PQ search paths. */
+  private def adcLuts(
+      q0: DataFrame,
+      books: Array[Array[Array[Double]]]): Map[Long, Array[Double]] = {
+    val m = books.length
+    val ksubEff = books(0).length
+    val dsub = books(0)(0).length
+    q0.select(col("id"), col("vec")).collect().map { r =>
+      val qv = r.getSeq[Double](1).toArray
+      val lut = new Array[Double](m * ksubEff)
+      var s = 0
+      while (s < m) {
+        val book = books(s)
+        var code = 0
+        while (code < book.length) {
+          val ctr = book(code)
+          var d = 0.0
+          var i = 0
+          while (i < dsub) { val t = qv(s * dsub + i) - ctr(i); d += t * t; i += 1 }
+          lut(s * ksubEff + code) = d
+          code += 1
+        }
+        s += 1
+      }
+      r.getLong(0) -> lut
+    }.toMap
+  }
+
   /** The IVF-PQ search pipeline shared by the trained and fixed entry
     * points (see [[ivfPqTopK]] for the cost model). */
   private def ivfPqSearch(
@@ -831,29 +973,7 @@ object Similarity {
       col("id"),
       element_at(nearestCells(col("vec"), bcCells, 1), 1).as("cell"),
       interop.column(graft.core.PqEncodeExpr(interop.expression(col("vec")), bcBooks)).as("codes"))
-    // Queries are small by contract (they are broadcast below): collect
-    // once to build each query's ADC lookup table.
-    val dsub = books(0)(0).length
-    val luts: Map[Long, Array[Double]] = q0.select(col("id"), col("vec")).collect().map { r =>
-      val qv = r.getSeq[Double](1).toArray
-      val lut = new Array[Double](m * ksubEff)
-      var s = 0
-      while (s < m) {
-        val book = books(s)
-        var code = 0
-        while (code < book.length) {
-          val ctr = book(code)
-          var d = 0.0
-          var i = 0
-          while (i < dsub) { val t = qv(s * dsub + i) - ctr(i); d += t * t; i += 1 }
-          lut(s * ksubEff + code) = d
-          code += 1
-        }
-        s += 1
-      }
-      r.getLong(0) -> lut
-    }.toMap
-    val bcLut = sc.broadcast(luts)
+    val bcLut = sc.broadcast(adcLuts(q0, books))
     // Probes carry NO raw query vectors into the candidate join: the ADC
     // ranking shuffle must move (query_id, id, codes) only — attaching
     // qvec here would widen every candidate row back to dim doubles and

@@ -92,7 +92,45 @@ object PipelineQueries {
     "pipeline_ann_index" -> { (s, dir) =>
       annIndexStore(s, dir)
       annIndexProbe(s, dir)
+    },
+    // The PQ-coded variant: posting lists carry (id, PQ codes), so the
+    // ADC preselection ranks candidates straight off the domain — no
+    // vector loads until the exact re-rank of the k·rerank shortlist.
+    // Oracle = sim_ann_ivfpq_fixed's SQL: the serving layout must be
+    // result-invisible.
+    "pipeline_annpq_index" -> { (s, dir) =>
+      annPqIndexStore(s, dir)
+      annPqIndexProbe(s, dir)
     })
+
+  /** BUILD half of pipeline_annpq_index: PQ-coded posting lists on the
+    * servable kv format, same fixed tensors as sim_ann_ivfpq_fixed. */
+  def annPqIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
+    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted)
+    Fixtures.domain(s, dir, "ann-ivfpq-index", spec) { (st, sp) =>
+      st.write(
+        Similarity.ivfPqIndexKv(
+          Fixtures.table(sp, dir, "embeddings"), "vec_id", "embedding",
+          Similarity.fixedCentroids(SimQueries.IvfNlist, SimQueries.EmbeddingDim),
+          Similarity.fixedPqCodebooks(SimQueries.PqM, SimQueries.PqKsub, SimQueries.PqDsub)),
+        version = 1L)
+    }
+  }
+
+  /** PROBE half: ADC off the posting lists, exact re-rank of the
+    * shortlist only. */
+  def annPqIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Fixtures.table(s, dir, "embeddings")
+    Similarity.ivfPqSearchIndex(
+      annPqIndexStore(s, dir),
+      emb,
+      emb.where(col("vec_id") % SimQueries.QueryMod === 0),
+      "vec_id", "embedding", SimQueries.TopK,
+      Similarity.fixedCentroids(SimQueries.IvfNlist, SimQueries.EmbeddingDim),
+      Similarity.fixedPqCodebooks(SimQueries.PqM, SimQueries.PqKsub, SimQueries.PqDsub),
+      nprobe = SimQueries.IvfNprobe, rerank = SimQueries.PqRerank)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
 
   /** The BUILD half of pipeline_ann_index: assign cells against the
     * SHARED fixed quantizer and publish the inverted index as a
@@ -227,5 +265,10 @@ object PipelineQueries {
     // oracle IS sim_ann_ivf_fixed's SQL. A dropped id in the pack/unpack
     // roundtrip, a lost cell in multiGet, or a shard-routing mismatch
     // all hash-mismatch here.
-    "pipeline_ann_index" -> SimQueries.oracleSql("sim_ann_ivf_fixed"))
+    "pipeline_ann_index" -> SimQueries.oracleSql("sim_ann_ivf_fixed"),
+    // same contract for the PQ-coded serving layout: the encode → ADC →
+    // shortlist → re-rank math is sim_ann_ivfpq_fixed's, so its SQL is
+    // the oracle; only the posting-list roundtrip is new, and it must be
+    // invisible
+    "pipeline_annpq_index" -> SimQueries.oracleSql("sim_ann_ivfpq_fixed"))
 }
