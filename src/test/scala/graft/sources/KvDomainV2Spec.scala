@@ -146,6 +146,26 @@ class KvDomainV2Spec extends SparkSuite {
     assert(shuffleCount(audit) === 0, finalPlan(audit))
   }
 
+  test("readPartitioned on a ramfs kv domain: conf registry reaches the reader tasks") {
+    import spark.implicits._
+    graft.store.RamFileSystem.clear("kvv2spj")
+    val store = DomainStore.create(
+      "ramfs://kvv2spj/dom",
+      DomainSpec(numShards = 3, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    store.write(
+      (0L until 300L).map(i => (i, s"v$i")).toDF("k", "v").select(
+        graft.functions.long_be(col("k")).as("key"),
+        graft.functions.utf8_bytes(col("v")).as("value")),
+      version = 1L)
+    val got = store.readPartitioned(spark)
+      .select(graft.functions.be_long(col("key")).as("k"),
+        graft.functions.bytes_utf8(col("value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === (0L until 300L).map(i => (i, s"v$i")).toSet)
+    graft.store.RamFileSystem.clear("kvv2spj")
+  }
+
   test("readPartitioned on a non-kv domain fails loud with the migration path") {
     import spark.implicits._
     val store = DomainStore.create(
