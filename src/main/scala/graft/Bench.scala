@@ -63,8 +63,28 @@ object Bench {
         queries.PipelineQueries.dedupIndexProbe(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val probeSec = (System.nanoTime() - p0) / 1e9
+        // same attribution for the two ANN-serving pipelines (fixtures
+        // still fresh for their stores: reset() above cleared them)
+        val ab0 = System.nanoTime()
+        queries.PipelineQueries.annIndexStore(spark, sfDir)
+        val annBuild = (System.nanoTime() - ab0) / 1e9
+        val ap0 = System.nanoTime()
+        queries.PipelineQueries.annIndexProbe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val annProbe = (System.nanoTime() - ap0) / 1e9
+        val pb0 = System.nanoTime()
+        queries.PipelineQueries.annPqIndexStore(spark, sfDir)
+        val pqBuild = (System.nanoTime() - pb0) / 1e9
+        val pp0 = System.nanoTime()
+        queries.PipelineQueries.annPqIndexProbe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val pqProbe = (System.nanoTime() - pp0) / 1e9
         Seq("pipeline_dedup_index_build" -> buildSec,
-          "pipeline_dedup_index_probe" -> probeSec)
+          "pipeline_dedup_index_probe" -> probeSec,
+          "pipeline_ann_index_build" -> annBuild,
+          "pipeline_ann_index_probe" -> annProbe,
+          "pipeline_annpq_index_build" -> pqBuild,
+          "pipeline_annpq_index_probe" -> pqProbe)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] submetrics failed: $e")
