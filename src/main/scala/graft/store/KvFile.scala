@@ -105,7 +105,7 @@ object KvFile {
   }
 
   def open(fs: FileSystem, path: Path): Reader =
-    new Reader(fs.open(path), fs.getFileStatus(path).getLen)
+    new Reader(fs.open(path), fs.getFileStatus(path).getLen, path.toString)
 
   /** Record count from the trailer alone — the format's "footer count"
     * (one positioned read, no data page touched). */
@@ -116,8 +116,9 @@ object KvFile {
 
   /** One open kv file. All reads are positioned (`readFully(pos, buf)`),
     * so a reader can interleave lookups and iteration on one handle. */
-  final class Reader(in: FSDataInputStream, fileLen: Long) extends AutoCloseable {
-    require(fileLen >= 4L + TrailerLen, s"kv file too short ($fileLen bytes)")
+  final class Reader(in: FSDataInputStream, fileLen: Long, name: String = "<stream>")
+      extends AutoCloseable {
+    require(fileLen >= 4L + TrailerLen, s"$name: kv file too short ($fileLen bytes)")
     private val (indexOffset, n) = {
       val t = new Array[Byte](TrailerLen)
       in.readFully(fileLen - TrailerLen, t)
@@ -126,9 +127,10 @@ object KvFile {
       val cnt = bb.getLong
       val magic = new Array[Byte](4)
       bb.get(magic)
-      require(java.util.Arrays.equals(magic, Magic), "not a GKV1 file (bad trailer magic)")
+      require(java.util.Arrays.equals(magic, Magic),
+        s"$name: not a GKV1 file (bad trailer magic)")
       require(cnt >= 0 && io >= 4 && io + 8L * cnt + TrailerLen == fileLen,
-        s"corrupt GKV1 trailer (indexOffset=$io count=$cnt len=$fileLen)")
+        s"$name: corrupt GKV1 trailer (indexOffset=$io count=$cnt len=$fileLen)")
       (io, cnt)
     }
 

@@ -26,6 +26,36 @@ class KvFileSpec extends AnyFunSuite {
   private def byUnsigned(rows: Seq[(Array[Byte], Array[Byte])]): Seq[(Array[Byte], Array[Byte])] =
     rows.sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
 
+  test("corrupt files fail loud and NAME the file: truncation, foreign bytes, mangled trailer") {
+    val fs = scratchFile("x").getFileSystem(conf)
+    def expectNamed(p: Path): Unit = {
+      val e = intercept[IllegalArgumentException](KvFile.open(fs, p))
+      assert(e.getMessage.contains(p.getName), e.getMessage)
+    }
+    // a valid file truncated mid-index: trailer arithmetic no longer adds up
+    val good = scratchFile("good.kv")
+    writeFile(good, Seq("a".getBytes -> "1".getBytes, "b".getBytes -> "2".getBytes))
+    val len = fs.getFileStatus(good).getLen
+    val truncated = scratchFile("truncated.kv")
+    val in = fs.open(good)
+    val bytes = new Array[Byte]((len - 5).toInt)
+    in.readFully(0, bytes); in.close()
+    val out = fs.create(truncated, true); out.write(bytes); out.close()
+    expectNamed(truncated)
+    // a foreign file of plausible size: bad magic
+    val foreign = scratchFile("foreign.kv")
+    val fo = fs.create(foreign, true)
+    fo.write(Array.fill[Byte](64)(0x41)); fo.close()
+    expectNamed(foreign)
+    // too short to even hold a trailer
+    val tiny = scratchFile("tiny.kv")
+    val to = fs.create(tiny, true); to.write(Array[Byte](1, 2, 3)); to.close()
+    expectNamed(tiny)
+    // the intact file still opens fine afterwards
+    val r = KvFile.open(fs, good)
+    try assert(r.count === 2L) finally r.close()
+  }
+
   test("seeded fuzz: arbitrary binary keys round-trip through lookup and iterator") {
     val rnd = new scala.util.Random(1234)
     def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
