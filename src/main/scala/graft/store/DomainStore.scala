@@ -706,8 +706,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           "re-enable pruning.")
       !nondet
     }
-    val scan =
-      if (!prune) read(spark)
+    // Shard set derived once, shared by both scan strategies below.
+    // None = scan everything (pruning off, or the probe covers all shards).
+    val shardsOpt: Option[IndexedSeq[Int]] =
+      if (!prune) None
       else {
         val shardRows = rows
           .select(shard_index(col("key"), numShards).as("s")).distinct().collect()
@@ -715,9 +717,33 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         val shards = shardRows.collect { case r if !r.isNullAt(0) => r.getInt(0) }
         // latestVersion resolves from publish tokens only — no extra
         // isPublished probe needed (it would be one FS HEAD per call)
-        if (shards.length >= numShards) read(spark)
-        else prunedScan(spark, latestVersion, Some(shards.toIndexedSeq))
+        if (shards.length >= numShards) None else Some(shards.toIndexedSeq)
       }
+    if (isKv && salt == 1) {
+      // kv domains enrich through the STORAGE-PARTITIONED join: the
+      // layout-reporting scan keeps the domain side where it lies (only
+      // the probe shuffles, into the domain's own partitioning — the
+      // multiGet jumbo-branch shape), and the derived shard set prunes
+      // input partitions via filter pushdown instead of a pruned
+      // flatMap scan. Salted calls keep the plain join: the salt
+      // replicate rides ABOVE the scan and its join adds `_salt` to the
+      // keys, a shape kept deliberately simple.
+      val dom0 = readPartitioned(spark, latestVersion)
+      val dom = shardsOpt.fold(dom0)(ss => dom0.where(col("shard").isin(ss: _*)))
+      // collision-proof routing column on the probe (the reserved-name
+      // guard convention — probes may legitimately carry a "shard")
+      val tmp = s"_lj_shard_${java.util.UUID.randomUUID().toString.take(8)}"
+      val probed = rows.withColumn(tmp, shard_index(col("key"), numShards))
+      return probed
+        .join(dom,
+          probed(tmp) === dom("shard") && probed("key") === dom("key"),
+          "left_outer")
+        .drop(dom("shard")).drop(dom("key")).drop(probed(tmp))
+    }
+    val scan = shardsOpt match {
+      case None => read(spark)
+      case Some(ss) => prunedScan(spark, latestVersion, Some(ss))
+    }
     val dom = scan.select(col("key"), col("value"))
     if (salt == 1) rows.join(dom, Seq("key"), "left_outer")
     else {

@@ -146,6 +146,33 @@ class KvDomainV2Spec extends SparkSuite {
     assert(shuffleCount(audit) === 0, finalPlan(audit))
   }
 
+  test("lookupJoin on a kv domain: SPJ path equals parquet-domain results, prunes shards, domain never moves") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => i -> s"v$i")
+    val kvStore = buildDomain("lj-kv", 4, rows)
+    val pqStore = DomainStore.create(
+      scratch("kvv2/lj-pq"), DomainSpec(numShards = 4), new Configuration())
+    pqStore.write(
+      rows.toDF("k", "v").select(
+        graft.functions.long_be(col("k")).as("key"),
+        graft.functions.utf8_bytes(col("v")).as("value")),
+      version = 1L)
+    // probe with a pre-existing "shard" column (the reserved-name hazard)
+    // and keys from a narrow range so shard pruning can bite
+    val probe = (0L until 40L).toDF("k")
+      .select(col("k"), lit(99).as("shard"), graft.functions.long_be(col("k")).as("key"))
+    def mat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("shard"), graft.functions.bytes_utf8(col("value")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaKv = mat(kvStore.lookupJoin(probe))
+    val viaPq = mat(pqStore.lookupJoin(probe))
+    assert(viaKv === viaPq)
+    assert(viaKv.size === 40 && viaKv.forall(_._2 === 99)) // probe columns intact
+    val plan = kvStore.lookupJoin(probe).queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan kvdomain"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(shard"), plan)
+  }
+
   test("readPartitioned on a ramfs kv domain: conf registry reaches the reader tasks") {
     import spark.implicits._
     graft.store.RamFileSystem.clear("kvv2spj")
