@@ -63,6 +63,20 @@ class DomainCatalog(val root: Path, conf: Configuration) {
 
   def metadataAll: Seq[DomainMetadata] = listDomains.map(metadata)
 
+  /** The catalog as a DataFrame — getDomains/getStatus as a SQL surface
+    * (register as a temp view and dashboards/joins come free). Driver-side
+    * listing, one row per domain: catalogs hold domain counts, not data
+    * counts, so local-relation scale is the right scale. */
+  def toDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    metadataAll.map { m =>
+      (m.name, m.status, m.spec.numShards, m.spec.persistenceFormat,
+        m.latestVersion, m.versions.size, m.failedVersions.size)
+    }.toDF(
+      "domain", "status", "num_shards", "persistence_format",
+      "latest_version", "n_versions", "n_failed_versions")
+  }
+
   /** Reference `update`/`updateAll` semantics: readers resolve the newest
     * published version at plan time, so "refresh" is just re-resolution. */
   def refresh(name: String): Option[Long] = metadata(name).latestVersion

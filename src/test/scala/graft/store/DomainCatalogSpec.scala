@@ -43,6 +43,25 @@ class DomainCatalogSpec extends SparkSuite {
     assert(cat.listDomains === Seq("alpha"))
   }
 
+  test("catalog as a DataFrame: one row per domain, SQL-queryable status") {
+    val root = scratch("catalog-df")
+    val a = DomainStore.create(s"$root/alpha", DomainSpec(2), conf)
+    a.write(kv("a" -> "1"), 1L)
+    a.write(kv("a" -> "2"), 2L)
+    DomainStore.create(s"$root/beta", DomainSpec(4), conf)
+      .versions.createVersion(1L) // never published -> loading
+    val df = new DomainCatalog(root, conf).toDf(spark)
+    df.createOrReplaceTempView("graft_domains")
+    val got = spark.sql(
+      """SELECT domain, status, num_shards, latest_version, n_versions
+        |FROM graft_domains ORDER BY domain""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+    assert(got.toSeq === Seq(
+      ("alpha", "ready", 2, Some(2L), 2),
+      ("beta", "loading", 4, None, 0)))
+  }
+
   test("failed builds surface in the catalog (reference failed status)") {
     val root = scratch("catalog-failed")
     val g = DomainStore.create(s"$root/gamma", DomainSpec(2), conf)
