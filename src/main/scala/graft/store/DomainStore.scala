@@ -317,6 +317,70 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .load(versions.versionPath(version).toString)
   }
 
+  /** Distributed integrity audit — fsck for a domain version (newest by
+    * default): one task element per shard verifies record count, key
+    * ROUTING (`shard_index(key) == shard` — a misroute means a foreign
+    * file was dropped into the shard dir, or the spec's shard count
+    * drifted from the data), and for kv-sorted shards the unsigned key
+    * ORDER the binary-search contract rests on (datasource formats
+    * return `sorted_ok = null`: scan order is not their contract; their
+    * trailer/footer validity is already enforced at open). Keys-only
+    * I/O on kv domains. Output: (shard, n_records, n_misrouted,
+    * sorted_ok) — a clean domain has sum(n_misrouted) = 0 and no false
+    * sorted_ok. At 100 TB this is the publish-day sanity pass: one
+    * linear read, no shuffle (kv) / one count shuffle (datasource). */
+  def fsck(spark: SparkSession): DataFrame = fsck(spark, latestVersion)
+
+  def fsck(spark: SparkSession, version: Long): DataFrame = {
+    import spark.implicits._
+    require(versions.isPublished(version), s"version $version not published under $root")
+    val n = numShards
+    if (isKv) {
+      val confEntries = DomainStore.serializableConf(conf)
+      val base = versions.versionPath(version).toString
+      val suffix = fileSuffix
+      spark.createDataset(0 until n)
+        .repartition(math.min(n, spark.sparkContext.defaultParallelism))
+        .map { s =>
+          val c = DomainStore.rebuildConf(confEntries)
+          val d = new Path(base, s"shard=$s")
+          val fs = d.getFileSystem(c)
+          var records = 0L
+          var misrouted = 0L
+          var sorted = true
+          if (fs.exists(d)) fs.listStatus(d)
+            .filter(_.getPath.getName.endsWith(suffix))
+            .foreach { st =>
+              val r = KvFile.open(fs, st.getPath)
+              try {
+                var prev: Array[Byte] = null
+                val it = r.keysIterator
+                while (it.hasNext) {
+                  val k = it.next()
+                  records += 1
+                  if (graft.core.ShardIndex.shardIndex(k, n) != s) misrouted += 1
+                  if (prev != null && java.util.Arrays.compareUnsigned(prev, k) > 0)
+                    sorted = false
+                  prev = k
+                }
+              } finally r.close()
+            }
+          (s, records, misrouted, sorted)
+        }
+        .toDF("shard", "n_records", "n_misrouted", "sorted_ok")
+    } else {
+      readVersion(spark, version)
+        .groupBy(col("shard"))
+        .agg(
+          org.apache.spark.sql.functions.count(lit(1)).as("n_records"),
+          org.apache.spark.sql.functions.sum(
+            when(shard_index(col("key"), n) =!= col("shard"), 1L).otherwise(0L))
+            .as("n_misrouted"))
+        .withColumn("sorted_ok", lit(null).cast("boolean"))
+        .select(col("shard"), col("n_records"), col("n_misrouted"), col("sorted_ok"))
+    }
+  }
+
   /** Data-quality audit: keys holding more than one record (legal in a
     * non-dedup'd build — scans surface all of them, lookups pick one
     * unspecified record, so callers that assumed uniqueness want to

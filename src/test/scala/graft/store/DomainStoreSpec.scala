@@ -714,6 +714,34 @@ class DomainStoreSpec extends SparkSuite {
     }
   }
 
+  test("fsck: clean domains audit clean; a foreign shard file surfaces as misrouted keys") {
+    import org.apache.hadoop.fs.Path
+    for (fmt <- Seq(DomainSpec.ParquetSorted, DomainSpec.KvSorted)) {
+      val store = DomainStore.create(
+        scratch(s"fsck-$fmt"), DomainSpec(4, persistenceFormat = fmt), conf)
+      store.write(kv((0 until 200).map(i => s"k$i" -> s"v$i"): _*), 1L)
+      val clean = store.fsck(spark).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(clean.values.map(_._1).sum === 200L)
+      assert(clean.values.map(_._2).sum === 0L, s"$fmt: clean domain must have 0 misroutes")
+      if (fmt == DomainSpec.KvSorted) {
+        // drop shard 0's file into shard 1's dir under a new name: every
+        // key it holds routes to shard 0, so fsck must flag them all
+        val fs = store.root.getFileSystem(conf)
+        val src = new Path(store.root, s"1/shard=0/${KvFile.DataFileName}")
+        val dst = new Path(store.root, "1/shard=1/part-foreign.kv")
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        val audit = store.fsck(spark).collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+        assert(audit(1)._2 > 0L, "foreign keys must surface as misrouted")
+        assert(audit(0)._2 === 0L)
+        // order within each FILE is still valid (the foreign file is
+        // itself sorted), so sorted_ok stays true — routing is the signal
+        assert(audit.values.forall(_._3 === true))
+      }
+    }
+  }
+
   test("multiGet rejects null keys identically on the point and bulk paths") {
     val store = DomainStore.create(scratch("mg-nulls"), DomainSpec(4), conf)
     store.write(kv("a" -> "1", "b" -> "2"), 1L)
