@@ -73,6 +73,25 @@ class QuickStartSpec extends SparkSuite {
         .map(_.map(new String(_, "UTF-8")))
         === IndexedSeq(Some("ada"), None, Some("edsger")))
     } finally reader.close()
+
+    // --- two same-sharded kv domains join with ZERO shuffle and ZERO
+    // sort (storage-partitioned join: the scans report the layout), and
+    // fsck audits a version's integrity in one linear pass
+    val counts = DomainStore.create(
+      scratch("quickstart-counts"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    counts.write(
+      Seq(1L -> "12", 3L -> "7").toDF("id", "n")
+        .select(long_be(col("id")).as("key"), utf8_bytes(col("n")).as("value")),
+      version = 1L)
+    val joined = served.readPartitioned(spark).as("u")
+      .join(counts.readPartitioned(spark).as("c"), Seq("shard", "key"))
+      .select(be_long(col("key")).as("id"),
+        bytes_utf8(col("u.value")).as("name"), bytes_utf8(col("c.value")).as("n"))
+    assert(joined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      === Set((1L, "ada", "12"), (3L, "edsger", "7")))
+    assert(served.fsck(spark).select(sum(col("n_misrouted"))).head.getLong(0) === 0L)
   }
 
   private def longBe(v: Long): Array[Byte] =
