@@ -98,6 +98,24 @@ class KvDomainV2Spec extends SparkSuite {
     }
   }
 
+  test("SPJ with mostly-EMPTY shards: partition values still align, no shuffle") {
+    // 2 keys into 8 shards: most shard dirs never exist on disk, but the
+    // source still plans one partition per shard so both sides' partition
+    // values match exactly
+    val a = buildDomain("sparse-a", 8, Seq(1L -> "a1", 2L -> "a2"))
+    val b = buildDomain("sparse-b", 8, Seq(2L -> "b2", 3L -> "b3"))
+    withNoBroadcast {
+      val joined = a.readPartitioned(spark).as("a")
+        .join(b.readPartitioned(spark).as("b"), Seq("shard", "key"))
+        .select(graft.functions.be_long(col("key")).as("k"),
+          graft.functions.bytes_utf8(col("a.value")).as("av"),
+          graft.functions.bytes_utf8(col("b.value")).as("bv"))
+      val got = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      assert(got.toSeq === Seq((2L, "a2", "b2")))
+      assert(shuffleCount(joined) === 0, finalPlan(joined))
+    }
+  }
+
   test("plain scan through the v2 source equals the flatMap scan") {
     val a = buildDomain("scan-eq", 3, (0L until 500L).map(i => i -> s"v$i"))
     val v2 = a.readPartitioned(spark).select("key", "value", "shard").collect()
