@@ -878,7 +878,6 @@ object Similarity {
     val c = prepared(corpus, idCol, vecCol)
     val q0 = prepared(queries, idCol, vecCol)
     val sc = c.sparkSession.sparkContext
-    val m = books.length
     val ksubEff = books(0).length
     val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
     val bcLut = sc.broadcast(adcLuts(q0, books))
@@ -963,7 +962,6 @@ object Similarity {
       nprobe: Int,
       rerank: Int): DataFrame = {
     val sc = c.sparkSession.sparkContext
-    val m = books.length
     val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
     val ksubEff = books(0).length // lloyd caps k at the sample size
     val bcBooks = sc.broadcast(books)

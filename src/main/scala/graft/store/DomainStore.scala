@@ -325,10 +325,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * ORDER the binary-search contract rests on (datasource formats
     * return `sorted_ok = null`: scan order is not their contract; their
     * trailer/footer validity is already enforced at open). Keys-only
-    * I/O on kv domains. Output: (shard, n_records, n_misrouted,
-    * sorted_ok) — a clean domain has sum(n_misrouted) = 0 and no false
-    * sorted_ok. At 100 TB this is the publish-day sanity pass: one
-    * linear read, no shuffle (kv) / one count shuffle (datasource). */
+    * I/O on kv domains. Output: ONE ROW PER SHARD 0..n-1 on every
+    * format — a shard whose directory vanished (partial copy,
+    * accidental delete) surfaces as n_records = 0, the loss this audit
+    * exists to catch — with (shard, n_records, n_misrouted, sorted_ok);
+    * a clean domain has sum(n_misrouted) = 0 and no false sorted_ok.
+    * At 100 TB this is the publish-day sanity pass: one linear data
+    * read; the only exchanges move shard ids and per-shard counts. */
   def fsck(spark: SparkSession): DataFrame = fsck(spark, latestVersion)
 
   def fsck(spark: SparkSession, version: Long): DataFrame = {
@@ -369,15 +372,23 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         }
         .toDF("shard", "n_records", "n_misrouted", "sorted_ok")
     } else {
-      readVersion(spark, version)
+      // left-join from the full shard range: a shard whose directory is
+      // GONE must audit as a zero-record row, not silently vanish from
+      // the report (the kv branch gets this by construction)
+      val perShard = readVersion(spark, version)
         .groupBy(col("shard"))
         .agg(
           org.apache.spark.sql.functions.count(lit(1)).as("n_records"),
           org.apache.spark.sql.functions.sum(
             when(shard_index(col("key"), n) =!= col("shard"), 1L).otherwise(0L))
             .as("n_misrouted"))
-        .withColumn("sorted_ok", lit(null).cast("boolean"))
-        .select(col("shard"), col("n_records"), col("n_misrouted"), col("sorted_ok"))
+      spark.range(n).select(col("id").cast("int").as("shard"))
+        .join(perShard, Seq("shard"), "left")
+        .select(
+          col("shard"),
+          coalesce(col("n_records"), lit(0L)).as("n_records"),
+          coalesce(col("n_misrouted"), lit(0L)).as("n_misrouted"),
+          lit(null).cast("boolean").as("sorted_ok"))
     }
   }
 
@@ -798,11 +809,16 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       // guard convention — probes may legitimately carry a "shard")
       val tmp = s"_lj_shard_${java.util.UUID.randomUUID().toString.take(8)}"
       val probed = rows.withColumn(tmp, shard_index(col("key"), numShards))
+      // output column ORDER matches the datasource branch's using-column
+      // join (key first, then the probe's remaining columns, then value)
+      // so the schema cannot depend on the domain's persistence format
+      val outCols = probed("key") +:
+        rows.columns.filter(_ != "key").map(probed(_)).toIndexedSeq :+ dom("value")
       return probed
         .join(dom,
           probed(tmp) === dom("shard") && probed("key") === dom("key"),
           "left_outer")
-        .drop(dom("shard")).drop(dom("key")).drop(probed(tmp))
+        .select(outCols: _*)
     }
     val scan = shardsOpt match {
       case None => read(spark)

@@ -189,6 +189,21 @@ class KvDomainV2Spec extends SparkSuite {
     val plan = kvStore.lookupJoin(probe).queryExecution.executedPlan.toString
     assert(plan.contains("BatchScan kvdomain"), plan)
     assert(!plan.contains("Exchange hashpartitioning(shard"), plan)
+    // schema must not depend on the domain's persistence format
+    assert(kvStore.lookupJoin(probe).columns.toSeq === pqStore.lookupJoin(probe).columns.toSeq)
+
+    // misses null-fill and null probe keys survive, identically to the
+    // datasource branch (left-outer semantics through the SPJ shape)
+    val missProbe = Seq(Some(5L), Some(9999L), None).zipWithIndex
+      .toDF("k", "ord")
+      .select(col("ord"),
+        when(col("k").isNotNull, graft.functions.long_be(col("k"))).as("key"))
+    def matMiss(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ord"), graft.functions.bytes_utf8(col("value")).as("v"))
+      .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+    val kvMiss = matMiss(kvStore.lookupJoin(missProbe))
+    assert(kvMiss === matMiss(pqStore.lookupJoin(missProbe)))
+    assert(kvMiss === Set((0, Some("v5")), (1, None), (2, None)))
   }
 
   test("readPartitioned on a ramfs kv domain: conf registry reaches the reader tasks") {

@@ -738,6 +738,16 @@ class DomainStoreSpec extends SparkSuite {
         // order within each FILE is still valid (the foreign file is
         // itself sorted), so sorted_ok stays true — routing is the signal
         assert(audit.values.forall(_._3 === true))
+      } else {
+        // a VANISHED shard directory must audit as a zero-record row,
+        // not silently drop out of the report
+        val fs = store.root.getFileSystem(conf)
+        val victim = clean.collect { case (s, (n, _)) if n > 0 => s }.head
+        fs.delete(new Path(store.root, s"1/shard=$victim"), true)
+        val after = store.fsck(spark).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(after.keySet === (0 until 4).toSet, "one row per shard, always")
+        assert(after(victim) === 0L, "lost shard must surface as 0 records")
       }
     }
   }
