@@ -919,6 +919,24 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
+  /** Vectors as KV pairs — the exact-re-rank companion domain of
+    * [[ivfPqIndexKv]] for SERVING ([[graft.store.AnnReader]]): key =
+    * big-endian id, value = [[graft.store.VectorCodec]]-packed doubles.
+    * Zero-norm vectors are dropped (same rule as [[prepared]] — they can
+    * never be a cosine neighbor, and the serving re-rank must see the
+    * same population the Spark pipelines see). */
+  def vectorKv(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    prepared(corpus, idCol, vecCol)
+      .select(col("id"), col("vec"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        (graft.store.VectorCodec.longBe(id), graft.store.VectorCodec.pack(v.toArray))
+      }
+      .toDF("key", "value")
+  }
+
   /** Per-query ADC lookup tables: for each query, the squared L2
     * distance from its s-th subvector to every centroid of codebook s —
     * one flat `m * ksub` array per query. Queries are small by contract

@@ -1,0 +1,158 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * Spark-free ANN serving — the vector-search completion of
+ * [[KvDomainReader]]: top-k approximate nearest neighbors answered from
+ * two PUBLISHED kv-sorted domains with zero Spark on the classpath.
+ *
+ *  - `postings`: the PQ-coded inverted index
+ *    (`Similarity.ivfPqIndexKv` — key = big-endian cell id, value =
+ *    `id:c0.c1...` entries, ascending, comma-joined);
+ *  - `vectors`: the raw vectors for exact re-rank
+ *    (`Similarity.vectorKv` — key = big-endian id, value =
+ *    [[VectorCodec]]-packed doubles).
+ *
+ * A query costs: one in-memory argmin over the quantizer (nprobe
+ * cells), nprobe posting-list point lookups (per-shard binary search,
+ * bloom-killed misses), an ADC pass over the candidates' CODES (m
+ * float-adds each, no vector bytes touched), and k·rerank vector point
+ * lookups for the exact cosine re-rank — the reference daemon's
+ * resource profile applied to vector search: build with Spark, serve
+ * from any JVM.
+ *
+ * Every arithmetic step replicates the engine's kernels exactly —
+ * cell scores `|c|^2 - 2(v·c)` with strict left-to-right sums and
+ * lower-cell-id ties ([[graft.core]] NearestCellsKernel), ADC sums in
+ * subspace order, shortlist by (adc, id), final rank by (cos desc, id)
+ * — so the served result is BIT-IDENTICAL to
+ * `Similarity.ivfPqSearchIndex` over the same domains (pinned in
+ * AnnReaderSpec).
+ *
+ * Thread safety follows the underlying readers: concurrent `topK`
+ * calls are safe (positioned reads; the merge-scan branch opens its
+ * own handles).
+ */
+final class AnnReader(
+    val postings: KvDomainReader,
+    val vectors: KvDomainReader,
+    centroids: Array[Array[Double]],
+    books: Array[Array[Array[Double]]]) extends AutoCloseable {
+
+  require(centroids.nonEmpty && books.nonEmpty, "empty quantizer")
+  private val norms: Array[Double] = centroids.map(_.map(x => x * x).sum)
+  private val m = books.length
+  private val ksub = books(0).length
+  private val dsub = books(0)(0).length
+
+  /** The `nprobe` nearest cells by `|c|^2 - 2(v·c)` (the |v|^2 term is
+    * constant per query), ascending score, ties to the lower cell id —
+    * NearestCellsKernel's insertion order replayed. */
+  private def nearestCells(q: Array[Double], nprobe: Int): Array[Int] = {
+    val k = centroids.length
+    val n = math.min(nprobe, k)
+    val bestScore = new Array[Double](n)
+    val bestCell = new Array[Int](n)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val ctr = centroids(c)
+      require(ctr.length == q.length,
+        s"query dim ${q.length} != centroid dim ${ctr.length}")
+      var s = 0.0
+      var i = 0
+      while (i < q.length) { s += q(i) * ctr(i); i += 1 }
+      val score = norms(c) - 2.0 * s
+      var pos = filled
+      while (pos > 0 && score < bestScore(pos - 1)) pos -= 1
+      if (pos < n) {
+        val last = math.min(filled, n - 1)
+        var j = last
+        while (j > pos) { bestScore(j) = bestScore(j - 1); bestCell(j) = bestCell(j - 1); j -= 1 }
+        bestScore(pos) = score
+        bestCell(pos) = c
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    bestCell.take(filled)
+  }
+
+  /** Per-query ADC lookup table — same loops as the engine's adcLuts. */
+  private def lut(q: Array[Double]): Array[Double] = {
+    val t = new Array[Double](m * ksub)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      var code = 0
+      while (code < book.length) {
+        val ctr = book(code)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val x = q(s * dsub + i) - ctr(i); d += x * x; i += 1 }
+        t(s * ksub + code) = d
+        code += 1
+      }
+      s += 1
+    }
+    t
+  }
+
+  /**
+   * Top-k neighbors of `query`, `(neighbor_id, rank)` with rank 1..k —
+   * `Similarity.ivfPqSearchIndex`'s exact output for the same tensors
+   * and parameters. `excludeId` drops one id from the candidates (the
+   * self-exclusion the corpus-query pipelines apply).
+   */
+  def topK(
+      query: Array[Double],
+      k: Int,
+      nprobe: Int = 4,
+      rerank: Int = 4,
+      excludeId: Option[Long] = None): IndexedSeq[(Long, Int)] = {
+    val cells = nearestCells(query, nprobe)
+    val posts = postings.multiGet(cells.toIndexedSeq.map(VectorCodec.intBe))
+    val table = lut(query)
+    val scored = for {
+      blob <- posts.flatten
+      entry <- new String(blob, StandardCharsets.UTF_8).split(",")
+      if entry.nonEmpty
+      sep = entry.indexOf(':')
+      id = entry.substring(0, sep).toLong
+      if !excludeId.contains(id)
+    } yield {
+      val codes = entry.substring(sep + 1).split("\\.")
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += table(i * ksub + codes(i).toShort); i += 1 }
+      (id, s)
+    }
+    val shortlist = scored.sortBy { case (id, adc) => (adc, id) }.take(k * rerank)
+    var qn = 0.0
+    var qi = 0
+    while (qi < query.length) { qn += query(qi) * query(qi); qi += 1 }
+    val qnorm = math.sqrt(qn)
+    val reranked = shortlist.zip(vectors.multiGet(shortlist.map(e => VectorCodec.longBe(e._1))))
+      .collect { case ((id, _), Some(blob)) =>
+        val v = VectorCodec.unpack(blob)
+        var dot = 0.0
+        var nv = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i) * query(i); i += 1 }
+        i = 0
+        while (i < v.length) { nv += v(i) * v(i); i += 1 }
+        // cos = dot / (norm_v * norm_q), the engine's operand order
+        (id, dot / (math.sqrt(nv) * qnorm))
+      }
+    reranked.sortBy { case (id, cos) => (-cos, id) }
+      .take(k)
+      .zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1) }
+  }
+
+  override def close(): Unit = {
+    postings.close()
+    vectors.close()
+  }
+}
