@@ -610,9 +610,17 @@ object Similarity {
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
     // a cell absent from the index has cur = null: its id array must be
     // EMPTY, not [null] (split("") yields [""] -> a null element that
-    // concat_ws would hide but size() would count against the cap)
+    // concat_ws would hide but size() would count against the cap).
+    // An UNPARSEABLE current entry fails loud: pointing this merge at a
+    // PQ-coded index (ivfPqIndexKv's "id:codes" entries) would otherwise
+    // cast every entry to null and silently VACATE the posting list —
+    // use ivfPqIndexUpsert for those domains.
     val curIds = when(coalesce(col("cur"), lit("")) === "", array().cast("array<long>"))
-      .otherwise(transform(split(col("cur"), ","), _.cast("long")))
+      .otherwise(transform(split(col("cur"), ","),
+        s => coalesce(s.try_cast("long"), raise_error(concat(
+          lit("ivfIndexUpsert: current posting entry '"), s,
+          lit("' is not a plain id — a PQ-coded index (ivfPqIndexKv) needs " +
+            "ivfPqIndexUpsert, not this merge"))))))
     val merged = additions.join(current, Seq("key"))
       .select(
         col("key"),
@@ -854,6 +862,64 @@ object Similarity {
       .select(
         graft.functions.int_be(col("cell")).as("key"),
         graft.functions.utf8_bytes(col("members")).as("value"))
+  }
+
+  /**
+   * [[ivfIndexUpsert]]'s PQ-coded twin: merge a vector delta's
+   * `id:codes` entries into a published [[ivfPqIndexKv]] domain —
+   * affected cells only, union by FULL ENTRY (under the index's own
+   * codebooks a re-ingested unchanged vector re-encodes identically, so
+   * the duplicate collapses), re-sorted by numeric id, untouched cells
+   * copy-forward. A re-ingested id whose VECTOR changed would leave two
+   * entries with one id — that is a remove+add, not an upsert, and the
+   * merge fails loud on it rather than serving two encodings of one id.
+   * Byte-identical to a from-scratch rebuild on the union corpus
+   * (pinned in spec).
+   */
+  def ivfPqIndexUpsert(
+      index: graft.store.DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      newVersion: Long,
+      maxCellMembers: Int = Similarity.MaxCellMembers): Unit = {
+    val spark = delta.sparkSession
+    val additions = ivfPqIndexKv(delta, idCol, vecCol, centroids, books, maxCellMembers)
+      .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
+      .localCheckpoint(true)
+    val current = index
+      .multiGet(additions.select(col("key")), includeMisses = true)
+      .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
+    val curEntries = when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
+      .otherwise(split(col("cur"), ","))
+    val merged = additions.join(current, Seq("key"))
+      .select(col("key"),
+        array_sort(transform(
+          array_distinct(concat(curEntries, split(col("add"), ","))),
+          e => struct(
+            substring_index(e, ":", 1).cast("long").as("id"),
+            e.as("entry")))).as("ss"))
+      .select(col("key"),
+        when(size(col("ss")) =!= size(array_distinct(transform(col("ss"), _.getField("id")))),
+          raise_error(concat(
+            lit("ivfPqIndexUpsert: cell "),
+            graft.functions.be_int(col("key")).cast("string"),
+            lit(" would hold two encodings of one id — a re-ingested vector " +
+              "changed; remove the old version first (remove+add, not upsert)"))))
+          .otherwise(col("ss")).as("ss"))
+      .select(col("key"),
+        graft.functions.utf8_bytes(
+          when(size(col("ss")) <= maxCellMembers,
+            concat_ws(",", transform(col("ss"), _.getField("entry"))))
+            .otherwise(raise_error(concat(
+              lit("ivfPqIndexUpsert: merged cell "),
+              graft.functions.be_int(col("key")).cast("string"),
+              lit(s" exceeds $maxCellMembers members — re-quantize the index " +
+                "with more cells (bigger nlist)")))))
+          .as("value"))
+    index.upsert(spark, merged, newVersion)
   }
 
   /**

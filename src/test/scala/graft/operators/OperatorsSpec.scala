@@ -538,6 +538,43 @@ class OperatorsSpec extends SparkSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("PQ index upsert == rebuild; plain merge on a PQ index fails loud; changed vector fails loud") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val centroids = Similarity.fixedCentroids(8, 64)
+    val books = Similarity.fixedPqCodebooks(8, 16, 8)
+    val base = embs.where(col("vec_id") % 3 =!= 0).limit(100)
+    val delta = embs.where(col("vec_id") % 3 === 0).limit(30)
+      .unionByName(base.limit(4)) // idempotent re-ingest of unchanged vectors
+    val union = base.unionByName(delta).dropDuplicates("vec_id")
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+
+    val inc = graft.store.DomainStore.create(scratch("pq-upsert/inc"), spec, conf)
+    inc.write(Similarity.ivfPqIndexKv(base, "vec_id", "embedding", centroids, books), 1L)
+    Similarity.ivfPqIndexUpsert(inc, delta, "vec_id", "embedding", centroids, books, 2L)
+    val full = graft.store.DomainStore.create(scratch("pq-upsert/full"), spec, conf)
+    full.write(Similarity.ivfPqIndexKv(union, "vec_id", "embedding", centroids, books), 1L)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(pairs(inc) === pairs(full))
+
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // the plain-id merge pointed at a PQ index: loud, names the right tool
+    val e1 = intercept[Exception](
+      Similarity.ivfIndexUpsert(inc, delta, "vec_id", "embedding", centroids, 3L))
+    assert(messages(e1).exists(_.contains("ivfPqIndexUpsert")), messages(e1).mkString(" | "))
+    // a re-ingested id with a CHANGED vector: two encodings of one id
+    val someId = base.select("vec_id").as[Long].head()
+    val changed = embs.where(col("vec_id") === (someId + 1) || (col("vec_id") === someId - 1))
+      .limit(1).select(lit(someId).as("vec_id"), col("embedding"))
+    val e2 = intercept[Exception](
+      Similarity.ivfPqIndexUpsert(inc, changed, "vec_id", "embedding", centroids, books, 4L))
+    assert(messages(e2).exists(_.contains("remove+add")), messages(e2).mkString(" | "))
+  }
+
   test("ivf index publish: degenerate cell past the member cap fails loud, naming the fix") {
     import spark.implicits._
     // identical vectors -> every row lands in ONE cell
