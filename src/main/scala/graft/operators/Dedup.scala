@@ -581,6 +581,57 @@ object Dedup {
   }
 
   /**
+   * Incremental growth of a PUBLISHED [[bandIndexKv]] domain — the
+   * missing half of the updater cycle: after a delta is deduped against
+   * the index ([[dedupAgainstIndex]]), its survivors join the corpus,
+   * and THIS folds their band keys in so tomorrow's delta probes them
+   * too. Affected buckets merge by id (string-sorted — the index's own
+   * canonical form; re-adding an indexed id is idempotent), untouched
+   * buckets copy-forward. Work is O(delta + affected bucket values).
+   *
+   * The hot-bucket cap cannot be silently preserved by an upsert: a
+   * REBUILD drops a bucket whose member count crosses `maxBucket`
+   * (recall accounting via [[oversizedLshBuckets]]), but an upsert has
+   * no tombstone to drop a published key with — so a merge that would
+   * cross the cap FAILS LOUD naming the full re-band as the fix
+   * (delta-side banding runs uncapped here precisely so the crossing is
+   * seen, not silently pre-dropped). Whenever the call succeeds, the
+   * result is byte-identical to `bandIndexKv` rebuilt on the union
+   * corpus (pinned in spec).
+   */
+  def bandIndexUpsert(
+      index: graft.store.DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long,
+      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+    val spark = delta.sparkSession
+    import graft.functions.bytes_utf8
+    val additions = bandIndexKv(delta, idCol, textCol, maxBucket = Int.MaxValue)
+      .select(col("key"), bytes_utf8(col("value")).as("add"))
+      .localCheckpoint(true)
+    val current = index
+      .multiGet(additions.select(col("key")), includeMisses = true)
+      .select(col("key"), bytes_utf8(col("value")).as("cur"))
+    val curIds = when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
+      .otherwise(split(col("cur"), ","))
+    val merged = additions.join(current, Seq("key"))
+      .select(col("key"),
+        array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
+      .select(col("key"),
+        graft.functions.utf8_bytes(
+          when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
+            .otherwise(raise_error(concat(
+              lit(s"bandIndexUpsert: a merged bucket exceeds maxBucket=$maxBucket "),
+              lit("members — the rebuild path would DROP it (recall accounting via "),
+              lit("oversizedLshBuckets) and an upsert cannot: re-band the corpus " +
+                "with bandIndexKv instead")))))
+          .as("value"))
+    index.upsert(spark, merged, newVersion)
+  }
+
+  /**
    * Dedup `incoming` docs against a PUBLISHED [[bandIndexKv]] domain:
    * band the incoming docs, probe the index with hits-only point lookups
    * (`multiGet(includeMisses = false)` — the incoming band keys are a

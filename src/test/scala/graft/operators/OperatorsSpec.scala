@@ -747,6 +747,44 @@ class OperatorsSpec extends SparkSuite {
     assert(!sims.exists(p => p._1 < 60 && p._2 < 60))
   }
 
+  test("band index upsert == rebuild on the union corpus; a cap-crossing merge fails loud") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val delta = docs.where(col("doc_id") % 4 === 0)
+      .unionByName(base.limit(3)) // idempotent re-ingest of indexed docs
+    val union = base.unionByName(delta).dropDuplicates("doc_id")
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+
+    val inc = graft.store.DomainStore.create(scratch("band-upsert/inc"), spec, conf)
+    inc.write(Dedup.bandIndexKv(base, "doc_id", "text"), 1L)
+    Dedup.bandIndexUpsert(inc, delta, "doc_id", "text", newVersion = 2L)
+    val full = graft.store.DomainStore.create(scratch("band-upsert/full"), spec, conf)
+    full.write(Dedup.bandIndexKv(union, "doc_id", "text"), 1L)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(pairs(inc) === pairs(full))
+    assert(pairs(inc).nonEmpty)
+
+    // a merged bucket crossing the cap: 30 identical docs published at a
+    // permissive cap, 30 more arriving -> rebuild would DROP the bucket,
+    // upsert must refuse rather than silently keep it
+    val same = (0L until 30L).map(i => (i, "same same text for every doc here"))
+      .toDF("doc_id", "text")
+    val more = (100L until 130L).map(i => (i, "same same text for every doc here"))
+      .toDF("doc_id", "text")
+    val capped = graft.store.DomainStore.create(scratch("band-upsert/cap"), spec, conf)
+    capped.write(Dedup.bandIndexKv(same, "doc_id", "text", maxBucket = 40), 1L)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception](
+      Dedup.bandIndexUpsert(capped, more, "doc_id", "text", 2L, maxBucket = 40))
+    assert(messages(e).exists(_.contains("re-band")), messages(e).mkString(" | "))
+  }
+
   test("dedupAgainstIndex rejects overlapping id spaces even when the texts differ") {
     import spark.implicits._
     val corpus = Seq(
