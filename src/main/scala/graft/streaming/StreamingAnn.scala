@@ -53,4 +53,36 @@ object StreamingAnn {
             maxCellMembers = maxCellMembers)
       }
       .start()
+
+  /** [[ingestStream]] for a PQ-coded index ([[Similarity.ivfPqIndexKv]]):
+    * identical version/replay protocol, entry-union merge via
+    * [[Similarity.ivfPqIndexUpsert]]. */
+  def ingestStreamPq(
+      index: DomainStore,
+      vecStream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String,
+      maxCellMembers: Int = Similarity.MaxCellMembers): StreamingQuery =
+    vecStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = baseVersion + batchId + 1
+        if (index.versions.isPublished(version) && version != index.latestVersion)
+          throw new IllegalStateException(
+            s"stream batch $batchId maps to version $version, which is already " +
+              s"published but is not the domain's latest (${index.latestVersion}) — " +
+              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
+        if (!index.versions.isPublished(version))
+          Similarity.ivfPqIndexUpsert(
+            index, batch, idCol, vecCol, centroids, books, newVersion = version,
+            maxCellMembers = maxCellMembers)
+      }
+      .start()
 }

@@ -56,4 +56,34 @@ object StreamingDedup {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
+
+  /** The GROWTH side of the streaming updater cycle: each micro-batch of
+    * accepted documents folds its band keys into the published index
+    * ([[Dedup.bandIndexUpsert]] — affected buckets merged, rest
+    * copy-forward), so the next delta probes today's accepts too.
+    * Version/replay protocol as [[StreamingAnn.ingestStream]]: replayed
+    * newest version no-ops, published non-newest fails loud. Compose
+    * with [[dedupAgainstIndexToFiles]] as probe-then-grow: dedup the
+    * batch against the index, admit its survivors, grow with them. */
+  def growIndexStream(
+      index: DomainStore,
+      docStream: DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    docStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = baseVersion + batchId + 1
+        if (index.versions.isPublished(version) && version != index.latestVersion)
+          throw new IllegalStateException(
+            s"stream batch $batchId maps to version $version, which is already " +
+              s"published but is not the domain's latest (${index.latestVersion}) — " +
+              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
+        if (!index.versions.isPublished(version))
+          Dedup.bandIndexUpsert(index, batch, "doc_id", "text", newVersion = version)
+      }
+      .start()
 }

@@ -147,6 +147,54 @@ class StreamingSpec extends SparkSuite {
     assert(pairs(index).nonEmpty)
   }
 
+  test("streaming PQ-index ingest and band-index growth both converge to from-scratch builds") {
+    import org.apache.spark.sql.functions._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+
+    // PQ-coded ANN index
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val centroids = graft.operators.Similarity.fixedCentroids(8, 64)
+    val books = graft.operators.Similarity.fixedPqCodebooks(8, 16, 8)
+    val pqSrc = scratch("stream-pq-src")
+    val fs = new org.apache.hadoop.fs.Path(pqSrc).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(pqSrc))
+    val pqIndex = graft.store.DomainStore.create(scratch("stream-pq-dom"), spec, conf)
+    pqIndex.write(graft.operators.Similarity.ivfPqIndexKv(
+      emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding", centroids, books), 1L)
+    emb.where(col("vec_id") % 3 === 1).coalesce(1).write.parquet(s"$pqSrc/d0")
+    val q1 = StreamingAnn.ingestStreamPq(
+      pqIndex, spark.readStream.schema(emb.schema).parquet(s"$pqSrc/*"),
+      "vec_id", "embedding", centroids, books,
+      baseVersion = 1L, checkpointDir = scratch("stream-pq-ckpt"), queryName = "pq_ing")
+    try q1.awaitTermination() finally q1.stop()
+    val pqFull = graft.store.DomainStore.create(scratch("stream-pq-full"), spec, conf)
+    pqFull.write(graft.operators.Similarity.ivfPqIndexKv(
+      emb.where(col("vec_id") % 3 =!= 2), "vec_id", "embedding", centroids, books), 1L)
+    assert(pairs(pqIndex) === pairs(pqFull) && pairs(pqIndex).nonEmpty)
+
+    // band index growth
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val bandSrc = scratch("stream-band-src")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(bandSrc))
+    val bandIndex = graft.store.DomainStore.create(scratch("stream-band-dom"), spec, conf)
+    bandIndex.write(graft.operators.Dedup.bandIndexKv(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text"), 1L)
+    docs.where(col("doc_id") % 3 === 1).coalesce(1).write.parquet(s"$bandSrc/d0")
+    val q2 = StreamingDedup.growIndexStream(
+      bandIndex, spark.readStream.schema(docs.schema).parquet(s"$bandSrc/*"),
+      baseVersion = 1L, checkpointDir = scratch("stream-band-ckpt"), queryName = "band_grow")
+    try q2.awaitTermination() finally q2.stop()
+    val bandFull = graft.store.DomainStore.create(scratch("stream-band-full"), spec, conf)
+    bandFull.write(graft.operators.Dedup.bandIndexKv(
+      docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text"), 1L)
+    assert(pairs(bandIndex) === pairs(bandFull) && pairs(bandIndex).nonEmpty)
+  }
+
   test("append-mode watermarked windows: every finalized window equals batch") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-append-src")
