@@ -595,9 +595,14 @@ object Dedup {
    * no tombstone to drop a published key with — so a merge that would
    * cross the cap FAILS LOUD naming the full re-band as the fix
    * (delta-side banding runs uncapped here precisely so the crossing is
-   * seen, not silently pre-dropped). Whenever the call succeeds, the
-   * result is byte-identical to `bandIndexKv` rebuilt on the union
-   * corpus (pinned in spec).
+   * seen, not silently pre-dropped). One asymmetry survives: a bucket
+   * the PUBLISH dropped left no key at all, so a delta member of it
+   * reads as a brand-new bucket (a miss is indistinguishable from
+   * never-existed) and is published with only the delta's members —
+   * where a union rebuild would drop it again. Byte-identity with the
+   * rebuild therefore holds exactly when the base publish dropped
+   * nothing; a build that reported rows in [[oversizedLshBuckets]]
+   * should be re-banded, not grown.
    */
   def bandIndexUpsert(
       index: graft.store.DomainStore,

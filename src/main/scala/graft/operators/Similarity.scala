@@ -576,6 +576,26 @@ object Similarity {
   }
 
   /**
+   * Global duplicate-id audit for a published ANN index (plain or
+   * PQ-coded): every id must live in exactly ONE cell; a re-ingested
+   * vector that moved cells under an upsert (the corruption a per-cell
+   * posting merge cannot see — see [[ivfPqIndexUpsert]]) surfaces here
+   * as (id, n_cells > 1). One linear read + one count shuffle of
+   * (id, cell) pairs; run it the way [[graft.store.DomainStore.fsck]]
+   * runs after risky maintenance.
+   */
+  def ivfIndexIdAudit(
+      index: graft.store.DomainStore,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    index.read(spark)
+      .select(explode(split(graft.functions.bytes_utf8(col("value")), ",")).as("entry"))
+      .where(col("entry") =!= "")
+      .select(substring_index(col("entry"), ":", 1).cast("long").as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cells"))
+      .where(col("n_cells") > 1)
+
+  /**
    * Incremental maintenance of a PUBLISHED [[ivfIndexKv]] domain: assign
    * only the DELTA's vectors, read the affected cells' current posting
    * lists by point lookup, merge (union, ascending, duplicate ids
@@ -586,7 +606,11 @@ object Similarity {
    * The result must be BYTE-IDENTICAL to rebuilding from scratch on the
    * union corpus (pinned in spec) — posting lists are deterministic for
    * their member set, which is what makes the merge safe under the
-   * first-commit-wins data-file protocol.
+   * first-commit-wins data-file protocol. Caveat shared with
+   * [[ivfPqIndexUpsert]]: a re-ingested id whose VECTOR changed cells
+   * leaves its stale membership in an untouched cell, invisible to a
+   * per-cell merge — vector updates are remove+add; [[ivfIndexIdAudit]]
+   * detects the duplicate-id corruption globally.
    */
   def ivfIndexUpsert(
       index: graft.store.DomainStore,
@@ -870,11 +894,16 @@ object Similarity {
    * affected cells only, union by FULL ENTRY (under the index's own
    * codebooks a re-ingested unchanged vector re-encodes identically, so
    * the duplicate collapses), re-sorted by numeric id, untouched cells
-   * copy-forward. A re-ingested id whose VECTOR changed would leave two
-   * entries with one id — that is a remove+add, not an upsert, and the
-   * merge fails loud on it rather than serving two encodings of one id.
-   * Byte-identical to a from-scratch rebuild on the union corpus
-   * (pinned in spec).
+   * copy-forward. Byte-identical to a from-scratch rebuild on the union
+   * corpus (pinned in spec) for NEW ids and unchanged re-ingests.
+   *
+   * Changed vectors are remove+add, NOT an upsert, and the merge
+   * defends as far as a per-cell view can: a changed vector that stays
+   * in its cell collides with the stale entry's id and FAILS LOUD; one
+   * that moved to a DIFFERENT cell is invisible to a posting-list merge
+   * (the stale entry sits in an untouched, copy-forwarded cell) — run
+   * [[indexIdAudit]] to detect that corruption globally, and route
+   * vector updates through remove+add pipelines rather than here.
    */
   def ivfPqIndexUpsert(
       index: graft.store.DomainStore,
@@ -892,8 +921,15 @@ object Similarity {
     val current = index
       .multiGet(additions.select(col("key")), includeMisses = true)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
+    // symmetric format guard (the plain merge has its own): a current
+    // entry with no ':' means this is an ivfIndexKv domain — merging
+    // mixed formats would publish posting lists neither search can parse
     val curEntries = when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
-      .otherwise(split(col("cur"), ","))
+      .otherwise(transform(split(col("cur"), ","),
+        e => when(instr(e, ":") > 0, e).otherwise(raise_error(concat(
+          lit("ivfPqIndexUpsert: current posting entry '"), e,
+          lit("' carries no PQ codes — a plain index (ivfIndexKv) needs " +
+            "ivfIndexUpsert, not this merge"))))))
     val merged = additions.join(current, Seq("key"))
       .select(col("key"),
         array_sort(transform(

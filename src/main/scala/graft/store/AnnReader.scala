@@ -111,6 +111,13 @@ final class AnnReader(
       nprobe: Int = 4,
       rerank: Int = 4,
       excludeId: Option[Long] = None): IndexedSeq[(Long, Int)] = {
+    // zero-norm query: the Spark pipeline's prepared() drops it (its
+    // cosine is 0/0 against everything) and returns NO rows — serve the
+    // same empty answer, never Infinity-ranked garbage
+    var qn0 = 0.0
+    var q0 = 0
+    while (q0 < query.length) { qn0 += query(q0) * query(q0); q0 += 1 }
+    if (qn0 == 0.0) return IndexedSeq.empty
     val cells = nearestCells(query, nprobe)
     val posts = postings.multiGet(cells.toIndexedSeq.map(VectorCodec.intBe))
     val table = lut(query)
@@ -119,6 +126,10 @@ final class AnnReader(
       entry <- new String(blob, StandardCharsets.UTF_8).split(",")
       if entry.nonEmpty
       sep = entry.indexOf(':')
+      _ = require(sep > 0,
+        s"AnnReader: posting entry '$entry' has no ':' — the postings domain is not a " +
+          "PQ-coded index (ivfPqIndexKv). A plain ivfIndexKv domain cannot serve ADC; " +
+          "check the constructor's (postings, vectors) roots are not swapped.")
       id = entry.substring(0, sep).toLong
       if !excludeId.contains(id)
     } yield {
@@ -151,8 +162,7 @@ final class AnnReader(
       .map { case ((id, _), i) => (id, i + 1) }
   }
 
-  override def close(): Unit = {
-    postings.close()
-    vectors.close()
-  }
+  override def close(): Unit =
+    try postings.close()
+    finally vectors.close()
 }

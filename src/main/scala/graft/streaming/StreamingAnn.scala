@@ -40,18 +40,11 @@ object StreamingAnn {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = baseVersion + batchId + 1
-        if (index.versions.isPublished(version) && version != index.latestVersion)
-          throw new IllegalStateException(
-            s"stream batch $batchId maps to version $version, which is already " +
-              s"published but is not the domain's latest (${index.latestVersion}) — " +
-              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
-        if (!index.versions.isPublished(version))
-          Similarity.ivfIndexUpsert(
-            index, batch, idCol, vecCol, centroids, newVersion = version,
-            maxCellMembers = maxCellMembers)
-      }
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        Similarity.ivfIndexUpsert(
+          index, batch, idCol, vecCol, centroids, newVersion = version,
+          maxCellMembers = maxCellMembers)
+      })
       .start()
 
   /** [[ingestStream]] for a PQ-coded index ([[Similarity.ivfPqIndexKv]]):
@@ -72,17 +65,10 @@ object StreamingAnn {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = baseVersion + batchId + 1
-        if (index.versions.isPublished(version) && version != index.latestVersion)
-          throw new IllegalStateException(
-            s"stream batch $batchId maps to version $version, which is already " +
-              s"published but is not the domain's latest (${index.latestVersion}) — " +
-              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
-        if (!index.versions.isPublished(version))
-          Similarity.ivfPqIndexUpsert(
-            index, batch, idCol, vecCol, centroids, books, newVersion = version,
-            maxCellMembers = maxCellMembers)
-      }
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        Similarity.ivfPqIndexUpsert(
+          index, batch, idCol, vecCol, centroids, books, newVersion = version,
+          maxCellMembers = maxCellMembers)
+      })
       .start()
 }

@@ -75,15 +75,8 @@ object StreamingDedup {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = baseVersion + batchId + 1
-        if (index.versions.isPublished(version) && version != index.latestVersion)
-          throw new IllegalStateException(
-            s"stream batch $batchId maps to version $version, which is already " +
-              s"published but is not the domain's latest (${index.latestVersion}) — " +
-              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
-        if (!index.versions.isPublished(version))
-          Dedup.bandIndexUpsert(index, batch, "doc_id", "text", newVersion = version)
-      }
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        Dedup.bandIndexUpsert(index, batch, "doc_id", "text", newVersion = version)
+      })
       .start()
 }

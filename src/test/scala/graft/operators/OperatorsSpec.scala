@@ -566,13 +566,32 @@ class OperatorsSpec extends SparkSuite {
     val e1 = intercept[Exception](
       Similarity.ivfIndexUpsert(inc, delta, "vec_id", "embedding", centroids, 3L))
     assert(messages(e1).exists(_.contains("ivfPqIndexUpsert")), messages(e1).mkString(" | "))
-    // a re-ingested id with a CHANGED vector: two encodings of one id
-    val someId = base.select("vec_id").as[Long].head()
-    val changed = embs.where(col("vec_id") === (someId + 1) || (col("vec_id") === someId - 1))
-      .limit(1).select(lit(someId).as("vec_id"), col("embedding"))
+    // a re-ingested id with a CHANGED vector that stays in its cell: two
+    // encodings of one id -> fail loud. Pick the donor DETERMINISTICALLY
+    // from the same coarse cell (the kernel's own argmin math), so the
+    // collision is structural, not fixture luck. (A changed vector that
+    // MOVES cells is invisible to a per-cell merge — documented, and
+    // detected globally by ivfIndexIdAudit below.)
+    val norms2 = centroids.map(_.map(x => x * x).sum)
+    def cellOf(v: Array[Double]): Int =
+      centroids.indices.minBy { c =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * centroids(c)(i); i += 1 }
+        (norms2(c) - 2.0 * s, c)
+      }
+    val byCell = base.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .groupBy { case (_, v) => cellOf(v) }
+    val Seq((victimId, _), (_, donorVec)) =
+      byCell.values.find(_.length >= 2).get.take(2).toSeq
+    val changed = Seq(victimId).toDF("vec_id")
+      .crossJoin(Seq(donorVec.toSeq).toDF("embedding"))
     val e2 = intercept[Exception](
       Similarity.ivfPqIndexUpsert(inc, changed, "vec_id", "embedding", centroids, books, 4L))
     assert(messages(e2).exists(_.contains("remove+add")), messages(e2).mkString(" | "))
+
+    // the cross-cell corruption detector: a clean index audits empty
+    assert(Similarity.ivfIndexIdAudit(inc, spark).count() === 0L)
   }
 
   test("ivf index publish: degenerate cell past the member cap fails loud, naming the fix") {

@@ -52,6 +52,34 @@ class AnnReaderSpec extends SparkSuite {
         assert(served === expected.getOrElse(qid, IndexedSeq.empty),
           s"query $qid: served $served != spark ${expected.get(qid)}")
       }
+      // a zero-norm query returns the Spark pipeline's answer (no rows),
+      // never Infinity-ranked garbage
+      assert(reader.topK(Array.fill(64)(0.0), k, nprobe, rerank) === IndexedSeq.empty)
+    } finally reader.close()
+  }
+
+  test("AnnReader on a PLAIN posting domain fails loud naming the format") {
+    val conf = new Configuration()
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val centroids = Similarity.fixedCentroids(8, 64)
+    val books = Similarity.fixedPqCodebooks(8, 16, 8)
+    val plainRoot = scratch("annreader/plain")
+    val plain = DomainStore.create(
+      plainRoot, DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted), conf)
+    plain.write(Similarity.ivfIndexKv(emb, "vec_id", "embedding", centroids), 1L)
+    val vecRoot2 = scratch("annreader/plain-vectors")
+    val vs = DomainStore.create(
+      vecRoot2, DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted), conf)
+    vs.write(Similarity.vectorKv(emb, "vec_id", "embedding"), 1L)
+    val reader = new AnnReader(
+      KvDomainReader.open(plainRoot, new Configuration()),
+      KvDomainReader.open(vecRoot2, new Configuration()),
+      centroids, books)
+    try {
+      val q = emb.select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      val e = intercept[IllegalArgumentException](reader.topK(q, 3))
+      assert(e.getMessage.contains("ivfPqIndexKv"), e.getMessage)
     } finally reader.close()
   }
 }
