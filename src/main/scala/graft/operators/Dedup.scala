@@ -615,7 +615,7 @@ object Dedup {
     import graft.functions.bytes_utf8
     val additions = bandIndexKv(delta, idCol, textCol, maxBucket = Int.MaxValue)
       .select(col("key"), bytes_utf8(col("value")).as("add"))
-      .localCheckpoint(true)
+      .persist()
     val current = index
       .multiGet(additions.select(col("key")), includeMisses = true)
       .select(col("key"), bytes_utf8(col("value")).as("cur"))
@@ -633,7 +633,8 @@ object Dedup {
               lit("oversizedLshBuckets) and an upsert cannot: re-band the corpus " +
                 "with bandIndexKv instead")))))
           .as("value"))
-    index.upsert(spark, merged, newVersion)
+    try index.upsert(spark, merged, newVersion)
+    finally additions.unpersist()
   }
 
   /**

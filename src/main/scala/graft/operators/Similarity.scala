@@ -448,9 +448,15 @@ object Similarity {
       m: Int,
       ksub: Int,
       iters: Int,
-      maxTrainRows: Int = 65536): Array[Array[Array[Double]]] = {
+      maxTrainRows: Int = 65536): Array[Array[Array[Double]]] =
+    pqCodebooksFromExactSample(collectQuantizedSample(p, maxTrainRows), m, ksub, iters)
+
+  private def pqCodebooksFromExactSample(
+      sample: Array[Array[Long]],
+      m: Int,
+      ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     require(ksub >= 1 && ksub <= 32768, s"pq: ksub must be in [1, 32768], got $ksub")
-    val sample = collectQuantizedSample(p, maxTrainRows)
     val dim = sample(0).length
     require(dim % m == 0, s"pq: dim $dim not divisible by m = $m")
     val dsub = dim / m
@@ -479,8 +485,12 @@ object Similarity {
       iters: Int = 5,
       maxTrainRows: Int = 65536): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
-    val centroids = trainedCentroidsExact(c, nlist, iters, maxTrainRows)
-    val books = pqCodebooksExact(c, m, ksub, iters, maxTrainRows)
+    // ONE sample collect shared by the coarse quantizer and the PQ
+    // codebooks — they must train from the identical rows anyway, and a
+    // second TakeOrdered + driver collect would just repeat the job
+    val sample = collectQuantizedSample(c, maxTrainRows)
+    val centroids = exactLloyd(sample, nlist, iters)
+    val books = pqCodebooksFromExactSample(sample, m, ksub, iters)
     ivfPqSearch(c, prepared(queries, idCol, vecCol), centroids, books, k, nprobe, rerank)
   }
 
@@ -623,12 +633,13 @@ object Similarity {
     val spark = delta.sparkSession
     // Materialize the delta's posting additions ONCE (≤ affected-cells
     // rows): they feed both multiGet's decision probe and the merge —
-    // without the checkpoint the assignment + aggregation would run
-    // twice per call, per micro-batch under StreamingAnn (the
-    // ngramJaccardPairs pattern; only small result blocks remain).
+    // without it the assignment + aggregation would run twice per call,
+    // per micro-batch under StreamingAnn. SCOPED persist (populated by
+    // the probe action, released in the finally): nothing outlives the
+    // call — the no-cache-leak invariant.
     val additions = ivfIndexKv(delta, idCol, vecCol, centroids, maxCellMembers)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
-      .localCheckpoint(true)
+      .persist()
     val current = index
       .multiGet(additions.select(col("key")), includeMisses = true)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
@@ -664,7 +675,8 @@ object Similarity {
               lit(s" exceeds $maxCellMembers members — re-quantize the " +
                 "index with more cells (bigger nlist)")))))
           .as("value"))
-    index.upsert(spark, merged, newVersion)
+    try index.upsert(spark, merged, newVersion)
+    finally additions.unpersist()
   }
 
   /**
@@ -917,7 +929,7 @@ object Similarity {
     val spark = delta.sparkSession
     val additions = ivfPqIndexKv(delta, idCol, vecCol, centroids, books, maxCellMembers)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
-      .localCheckpoint(true)
+      .persist()
     val current = index
       .multiGet(additions.select(col("key")), includeMisses = true)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
@@ -955,7 +967,8 @@ object Similarity {
               lit(s" exceeds $maxCellMembers members — re-quantize the index " +
                 "with more cells (bigger nlist)")))))
           .as("value"))
-    index.upsert(spark, merged, newVersion)
+    try index.upsert(spark, merged, newVersion)
+    finally additions.unpersist()
   }
 
   /**

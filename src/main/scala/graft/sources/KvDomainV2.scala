@@ -78,6 +78,21 @@ object KvDomainV2 {
 
   private[sources] def confFor(versionDir: String): Seq[(String, String)] =
     Option(confs.get(versionDir)).getOrElse(Seq.empty)
+
+  /** The kv data-file suffix — ONE definition, derived from the format's
+    * canonical file name so it cannot drift from [[KvFile]]. */
+  private[sources] val Suffix: String =
+    KvFile.DataFileName.substring(KvFile.DataFileName.lastIndexOf('.'))
+
+  /** Rebuild a Hadoop conf from shipped entries (the DomainStore idiom);
+    * empty entries fall back to a default-loaded Configuration. */
+  private[sources] def rebuild(entries: Seq[(String, String)]): Configuration =
+    if (entries.isEmpty) new Configuration()
+    else {
+      val c = new Configuration(false)
+      entries.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
 }
 
 /** Entry point Spark instantiates from the format class name. */
@@ -211,18 +226,14 @@ class KvDomainScan(
     }
 
   private lazy val (totalBytes, totalRows): (Long, Long) = {
-    val conf = KvDomainV2.confFor(versionDir) match {
-      case Seq() => new Configuration()
-      case entries =>
-        val c = new Configuration(false); entries.foreach { case (k, v) => c.set(k, v) }; c
-    }
+    val conf = KvDomainV2.rebuild(KvDomainV2.confFor(versionDir))
     var bytes = 0L
     var rows = 0L
     shards.foreach { s =>
       val d = new Path(s"$versionDir/shard=$s")
       val fs = d.getFileSystem(conf)
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
-        if (st.getPath.getName.endsWith(".kv")) {
+        if (st.getPath.getName.endsWith(KvDomainV2.Suffix)) {
           bytes += st.getLen
           rows += KvFile.count(fs, st.getPath)
         }
@@ -271,13 +282,7 @@ class KvShardPartitionReader(
 
   private val needValue = fields.contains("value")
 
-  private val conf: Configuration =
-    if (confEntries.isEmpty) new Configuration()
-    else {
-      val c = new Configuration(false)
-      confEntries.foreach { case (k, v) => c.set(k, v) }
-      c
-    }
+  private val conf: Configuration = KvDomainV2.rebuild(confEntries)
 
   private var readers: Seq[KvFile.Reader] = Seq.empty
 
@@ -287,7 +292,7 @@ class KvShardPartitionReader(
     if (!fs.exists(d)) Iterator.empty
     else {
       val files = fs.listStatus(d).toSeq
-        .filter(_.getPath.getName.endsWith(".kv"))
+        .filter(_.getPath.getName.endsWith(KvDomainV2.Suffix))
         .sortBy(_.getPath.getName)
       readers = files.map(st => KvFile.open(fs, st.getPath))
       val streams: Seq[Iterator[(Array[Byte], Array[Byte])]] =

@@ -140,10 +140,7 @@ final class AnnReader(
       (id, s)
     }
     val shortlist = scored.sortBy { case (id, adc) => (adc, id) }.take(k * rerank)
-    var qn = 0.0
-    var qi = 0
-    while (qi < query.length) { qn += query(qi) * query(qi); qi += 1 }
-    val qnorm = math.sqrt(qn)
+    val qnorm = math.sqrt(qn0) // the guard's sum, already proven nonzero
     val reranked = shortlist.zip(vectors.multiGet(shortlist.map(e => VectorCodec.longBe(e._1))))
       .collect { case ((id, _), Some(blob)) =>
         val v = VectorCodec.unpack(blob)
