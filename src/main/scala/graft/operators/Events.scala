@@ -13,13 +13,29 @@ import org.apache.spark.sql.functions._
  * read via spark.sql.legacy.parquet.nanosAsLong). All window/gap math is
  * integer nanoseconds — exact, overflow-free until year 2262, and
  * bit-identical in any engine. Money sums use integer cents for the same
- * reason.
+ * reason. Sources that deliver `ts` as a TIMESTAMP/TIMESTAMP_NTZ column
+ * (µs-typed parquet — the testdata convention since r6) are normalized
+ * at operator entry by [[tsAsNanos]], so both encodings are accepted.
  */
 object Events {
 
   def cents(c: Column): Column = round(c * 100).cast("long")
 
   private val NanosPerSecond = 1000000000L
+
+  /** Normalize `c` to the engine's ns-since-epoch BIGINT convention:
+    * BIGINT passes through, TIMESTAMP / TIMESTAMP_NTZ converts via exact
+    * integer µs x 1000 (the session is pinned UTC in
+    * [[graft.core.Sessions]], so an NTZ wall-clock IS the epoch instant).
+    * Anything else fails at analysis, not mid-job. */
+  def tsAsNanos(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, unix_micros(col(c).cast("timestamp")) * lit(1000L))
+      case t => throw new IllegalArgumentException(
+        s"column '$c' must be BIGINT nanos or a timestamp type, got $t")
+    }
 
   /** Epoch-aligned time bucket of `c` under `bucketNs`-wide buckets.
     * Floor division, not `div` (which truncates toward zero): pre-epoch
@@ -31,7 +47,8 @@ object Events {
 
   /** Tumbling-window aggregation: epoch-aligned windows, counts + exact
     * sums per (window, event_type). */
-  def windowAgg(df: DataFrame, minutes: Int): DataFrame = {
+  def windowAgg(df0: DataFrame, minutes: Int): DataFrame = {
+    val df = tsAsNanos(df0)
     val bucketNs = minutes * 60L * NanosPerSecond
     val bucket = floorBucket(col("ts"), bucketNs)
     df.groupBy(
@@ -45,7 +62,8 @@ object Events {
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Ordering is by
     * exact nanosecond timestamp with event_id tie-break. */
-  def sessionize(df: DataFrame, gapMinutes: Int): DataFrame = {
+  def sessionize(df0: DataFrame, gapMinutes: Int): DataFrame = {
+    val df = tsAsNanos(df0)
     val gapNs = gapMinutes * 60L * NanosPerSecond
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     df.withColumn("prev_ts", lag(col("ts"), 1).over(w))

@@ -31,9 +31,11 @@ object Fixtures {
   def conf = new Configuration()
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark only reads as
-    // BIGINT nanos under this legacy flag (the engine's ts convention —
-    // see graft.operators.Events).
+    // events.parquet has carried TIMESTAMP(NANOS) (read as BIGINT nanos
+    // under this legacy flag) or TIMESTAMP(MICROS) depending on testdata
+    // generation; either way the engine convention is ts = BIGINT nanos
+    // (graft.operators.Events), so normalize here — the one fixture
+    // boundary every contract query reads through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The test-scale tables are single-row-group files — unsplittable, so
     // without this every pipeline runs its scan-side work on one core.
@@ -41,8 +43,10 @@ object Fixtures {
     // push through Repartition to the scan. (At production scale inputs
     // span many row groups and callers read them directly, not through
     // this fixture helper.)
-    spark.read.parquet(s"$sfDir/$name.parquet")
-      .repartition(spark.sparkContext.defaultParallelism)
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val norm =
+      if (name == "events") graft.operators.Events.tsAsNanos(raw) else raw
+    norm.repartition(spark.sparkContext.defaultParallelism)
   }
 
   private def sanitize(sfDir: String): String =

@@ -108,6 +108,20 @@ object KvQueries {
           bytes_utf8(col("a.value")).as("c_name"),
           bytes_utf8(col("b.value")).cast("long").as("n_orders"))
     },
+    // Key-range scan on the kv-sorted engine: bounds push into the DSv2
+    // source, where each shard reader binary-searches its sorted run to
+    // the range start and stops at the first key past the end — I/O
+    // proportional to the matching records, not the domain (pinned in
+    // KvDomainV2Spec). Non-negative custkeys big-endian: unsigned byte
+    // order == numeric order, so the byte range IS the numeric range.
+    "kv_range_scan" -> { (s, dir) =>
+      def be(l: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(l).array()
+      Fixtures.customerKvFileDomain(s, dir)
+        .rangeScan(s, from = Some(be(200L)), to = Some(be(700L)), toInclusive = false)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
     // Q6: getCount — through the metadata-only footer path, surfaced as a
     // one-row DataFrame so the oracle verifies the footer sum itself.
     "kv_count" -> { (s, dir) =>
@@ -209,6 +223,8 @@ object KvQueries {
           |  UNION ALL
           |  SELECT c_custkey + 2000000 FROM customer WHERE c_custkey % 5 = 0)
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
+      "kv_range_scan" ->
+        "SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 200 AND c_custkey < 700",
       "kv_count" ->
         "SELECT count(*) AS cnt FROM customer",
       "kv_copartition_join" ->

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -93,6 +93,44 @@ object KvDomainV2 {
       entries.foreach { case (k, v) => c.set(k, v) }
       c
     }
+
+  /** A pushed-down key range (unsigned-lexicographic bounds, `None` =
+    * open end). The scan hands it to [[KvFile.Reader.range]] per shard
+    * file: I/O proportional to the range, not the shard — capability the
+    * parquet path cannot offer (Spark does not push BinaryType
+    * comparisons into parquet, and binary min/max row-group stats are
+    * unused), so key-range queries are a kv-engine specialty. Bounds are
+    * I/O pruning ONLY — every filter is also returned residual, Spark
+    * still evaluates it per row. */
+  case class KeyRange(
+      from: Option[Array[Byte]] = None,
+      fromInclusive: Boolean = true,
+      to: Option[Array[Byte]] = None,
+      toInclusive: Boolean = true) {
+    def isUnbounded: Boolean = from.isEmpty && to.isEmpty
+    def withLower(b: Array[Byte], inc: Boolean): KeyRange = from match {
+      case None => copy(from = Some(b), fromInclusive = inc)
+      case Some(cur) =>
+        val cmp = java.util.Arrays.compareUnsigned(b, cur)
+        if (cmp > 0) copy(from = Some(b), fromInclusive = inc)
+        else if (cmp < 0) this
+        else copy(fromInclusive = fromInclusive && inc)
+    }
+    def withUpper(b: Array[Byte], inc: Boolean): KeyRange = to match {
+      case None => copy(to = Some(b), toInclusive = inc)
+      case Some(cur) =>
+        val cmp = java.util.Arrays.compareUnsigned(b, cur)
+        if (cmp < 0) copy(to = Some(b), toInclusive = inc)
+        else if (cmp > 0) this
+        else copy(toInclusive = toInclusive && inc)
+    }
+    override def toString: String = {
+      def hex(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      val lo = from.fold("(-inf")(b => (if (fromInclusive) "[" else "(") + hex(b))
+      val hi = to.fold("+inf)")(b => hex(b) + (if (toInclusive) "]" else ")"))
+      s"$lo..$hi"
+    }
+  }
 }
 
 /** Entry point Spark instantiates from the format class name. */
@@ -127,6 +165,7 @@ class KvDomainScanBuilder(versionDir: String, numShards: Int)
 
   private var required: StructType = KvDomainV2.Schema
   private var keepShards: Option[Set[Int]] = None
+  private var keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange()
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -135,9 +174,12 @@ class KvDomainScanBuilder(versionDir: String, numShards: Int)
     required = requiredSchema
 
   /** Shard-equality predicates prune input partitions (the DSv2 twin of
-    * the parquet path's `PartitionFilters: shard IN (...)`). Every filter
-    * is returned as residual: the engine prunes WHICH shards are opened,
-    * Spark still evaluates the predicate per row — exactly the partition-
+    * the parquet path's `PartitionFilters: shard IN (...)`), and key
+    * comparisons narrow a [[KvDomainV2.KeyRange]] each shard reader
+    * resolves by binary search + bounded sequential read — range I/O
+    * proportional to the selected keys, not the domain. Every filter is
+    * returned as residual: the engine prunes WHICH bytes are read, Spark
+    * still evaluates the predicate per row — exactly the partition-
     * pruning contract, with no semantic risk on the source. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def shardSet(f: Filter): Option[Set[Int]] = f match {
@@ -147,25 +189,40 @@ class KvDomainScanBuilder(versionDir: String, numShards: Int)
         Some(vs.map(_.asInstanceOf[Int]).toSet)
       case _ => None
     }
-    val supported = filters.flatMap(f => shardSet(f).map(f -> _))
-    supported.foreach { case (_, s) =>
+    def keyBound(f: Filter): Boolean = f match {
+      case GreaterThan("key", v: Array[Byte]) =>
+        keyRange = keyRange.withLower(v, inc = false); true
+      case GreaterThanOrEqual("key", v: Array[Byte]) =>
+        keyRange = keyRange.withLower(v, inc = true); true
+      case LessThan("key", v: Array[Byte]) =>
+        keyRange = keyRange.withUpper(v, inc = false); true
+      case LessThanOrEqual("key", v: Array[Byte]) =>
+        keyRange = keyRange.withUpper(v, inc = true); true
+      case EqualTo("key", v: Array[Byte]) =>
+        keyRange = keyRange.withLower(v, inc = true).withUpper(v, inc = true); true
+      case _ => false
+    }
+    val shardFilters = filters.flatMap(f => shardSet(f).map(f -> _))
+    shardFilters.foreach { case (_, s) =>
       keepShards = Some(keepShards.fold(s)(_ intersect s))
     }
-    pushed = supported.map(_._1)
+    val keyFilters = filters.filter(keyBound)
+    pushed = shardFilters.map(_._1) ++ keyFilters
     filters // all residual: pruning is an optimization, not an evaluation
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new KvDomainScan(versionDir, numShards, required, keepShards)
+    new KvDomainScan(versionDir, numShards, required, keepShards, keyRange)
 }
 
 class KvDomainScan(
     versionDir: String,
     numShards: Int,
     required: StructType,
-    keepShards: Option[Set[Int]])
+    keepShards: Option[Set[Int]],
+    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange())
     extends Scan
     with Batch
     with SupportsReportPartitioning
@@ -179,13 +236,14 @@ class KvDomainScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"kvdomain $versionDir shards=${shards.size}/$numShards cols=[${required.fieldNames.mkString(",")}]"
+    s"kvdomain $versionDir shards=${shards.size}/$numShards cols=[${required.fieldNames.mkString(",")}]" +
+      (if (keyRange.isUnbounded) "" else s" keyRange=$keyRange")
 
   override def planInputPartitions(): Array[InputPartition] =
     shards.map(s => KvShardInputPartition(s, s"$versionDir/shard=$s")).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KvDomainReaderFactory(KvDomainV2.confFor(versionDir), required.fieldNames.toSeq)
+    KvDomainReaderFactory(KvDomainV2.confFor(versionDir), required.fieldNames.toSeq, keyRange)
 
   /** One partition per shard, keyed by the identity transform over the
     * `shard` output column — only claimable when `shard` survives column
@@ -257,11 +315,14 @@ case class KvShardInputPartition(shard: Int, shardDir: String)
   override def partitionKey(): InternalRow = new GenericInternalRow(Array[Any](shard))
 }
 
-case class KvDomainReaderFactory(confEntries: Seq[(String, String)], fields: Seq[String])
+case class KvDomainReaderFactory(
+    confEntries: Seq[(String, String)],
+    fields: Seq[String],
+    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange())
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvShardInputPartition]
-    new KvShardPartitionReader(p.shard, p.shardDir, confEntries, fields)
+    new KvShardPartitionReader(p.shard, p.shardDir, confEntries, fields, keyRange)
   }
 }
 
@@ -277,7 +338,8 @@ class KvShardPartitionReader(
     shard: Int,
     shardDir: String,
     confEntries: Seq[(String, String)],
-    fields: Seq[String])
+    fields: Seq[String],
+    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange())
     extends PartitionReader[InternalRow] {
 
   private val needValue = fields.contains("value")
@@ -296,7 +358,14 @@ class KvShardPartitionReader(
         .sortBy(_.getPath.getName)
       readers = files.map(st => KvFile.open(fs, st.getPath))
       val streams: Seq[Iterator[(Array[Byte], Array[Byte])]] =
-        if (needValue) readers.map(_.iterator)
+        if (!keyRange.isUnbounded)
+          // pushed key range: binary-search start + bounded sequential
+          // body per file — I/O proportional to the range, not the shard
+          readers.map(_.range(
+            keyRange.from, keyRange.fromInclusive,
+            keyRange.to, keyRange.toInclusive,
+            withValues = needValue))
+        else if (needValue) readers.map(_.iterator)
         else readers.map(_.keysIterator.map(k => (k, null: Array[Byte])))
       streams match {
         case Seq() => Iterator.empty

@@ -332,6 +332,38 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * a clean domain has sum(n_misrouted) = 0 and no false sorted_ok.
     * At 100 TB this is the publish-day sanity pass: one linear data
     * read; the only exchanges move shard ids and per-shard counts. */
+  /** Key-range scan: every (key, value, shard) whose key falls inside the
+    * unsigned-lexicographic bounds (`None` = open end) — the read-path
+    * capability a SORTED store owes its callers beyond point lookups
+    * (prefix scans, time-prefixed key sweeps, ID-range extractions).
+    * Hash-sharding spreads a range over every shard, so all shards are
+    * touched — but WITHIN each shard I/O is proportional to the range,
+    * not the shard:
+    *  - kv-sorted: the scan goes through [[readPartitioned]] and the
+    *    bounds push into [[graft.sources.KvDomainV2]], where each shard
+    *    reader binary-searches the offset index to the range start and
+    *    stops at the first key past the end (`KvFile.Reader.range`) —
+    *    bytes read ≈ matching records, pinned in KvDomainV2Spec;
+    *  - parquet/orc: Spark evaluates the same predicate above the scan
+    *    (BinaryType comparisons are not pushed into parquet and binary
+    *    row-group stats are unused) — correct, but shard-proportional
+    *    I/O; prefer the kv engine for range-heavy workloads.
+    * The filter rides the plan declaratively either way, so Catalyst
+    * composes it with later projections/joins as usual. For a PREFIX
+    * scan use `from = prefix (inclusive), to = prefix+1 (exclusive)`
+    * where prefix+1 increments the last non-0xFF byte. */
+  def rangeScan(
+      spark: SparkSession,
+      from: Option[Array[Byte]] = None,
+      to: Option[Array[Byte]] = None,
+      fromInclusive: Boolean = true,
+      toInclusive: Boolean = true): DataFrame = {
+    val base = if (isKv) readPartitioned(spark) else read(spark)
+    val lo = from.map(b => if (fromInclusive) col("key") >= lit(b) else col("key") > lit(b))
+    val hi = to.map(b => if (toInclusive) col("key") <= lit(b) else col("key") < lit(b))
+    (lo ++ hi).foldLeft(base)(_ where _)
+  }
+
   def fsck(spark: SparkSession): DataFrame = fsck(spark, latestVersion)
 
   def fsck(spark: SparkSession, version: Long): DataFrame = {
@@ -1109,7 +1141,7 @@ object DomainStore {
     * it as plain entries and rebuild per partition — ONE definition for
     * every distributed tier (index build, count, transfer), so a future
     * fix (credential filtering, final/overlay properties) lands once. */
-  private[store] def serializableConf(conf: Configuration): List[(String, String)] = {
+  private[graft] def serializableConf(conf: Configuration): List[(String, String)] = {
     import scala.jdk.CollectionConverters._
     conf.iterator().asScala.map(e => (e.getKey, e.getValue)).toList
   }

@@ -174,6 +174,37 @@ final class KvDomainReader private (
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
+  /** Key-range scan over the hosted shards (unsigned-lexicographic
+    * bounds, `None` = open end) — the serving-side twin of
+    * [[DomainStore.rangeScan]]: prefix sweeps, ID-range extractions,
+    * ordered exports, all without Spark on the classpath. Hash-sharding
+    * scatters a range over every shard, but WITHIN each shard the
+    * [[KvFile.Reader.range]] cursor binary-searches to the start and
+    * stops at the first key past the end, so I/O is proportional to the
+    * matching records. Two modes:
+    *  - `globalOrder = false` (default): shards stream one at a time —
+    *    ONE open handle regardless of shard count (the 64k-shard-safe
+    *    shape; results are key-ordered within each shard only);
+    *  - `globalOrder = true`: all hosted shards open at once, k-way
+    *    merged to one globally key-ordered stream — one fd per hosted
+    *    shard, the localized-subset serving shape, not the 64k-shard
+    *    full-domain one.
+    * The cursor owns its file handles (fresh per call — the cached
+    * lookup readers stay pread-only for concurrency): exhausting it
+    * closes them; abandoning it early requires [[KvDomainReader.RangeCursor.close]]
+    * (it is AutoCloseable — use it in a try/finally or resource block). */
+  def range(
+      from: Option[Array[Byte]] = None,
+      to: Option[Array[Byte]] = None,
+      fromInclusive: Boolean = true,
+      toInclusive: Boolean = true,
+      globalOrder: Boolean = false): KvDomainReader.RangeCursor = {
+    checkOpen()
+    val files = (0 until numShards).map(s => new Path(shardDir(s), KvFile.DataFileName))
+    new KvDomainReader.RangeCursor(
+      fs, files, from, fromInclusive, to, toInclusive, globalOrder)
+  }
+
   /** Total pairs across the hosted shards — one trailer read per shard
     * file, opened and closed per probe: counting must NOT pin numShards
     * handles in the lookup cache (at 64k shards that is fd exhaustion for
@@ -195,6 +226,81 @@ final class KvDomainReader private (
 }
 
 object KvDomainReader {
+
+  /** Streaming cursor over a key range (see [[KvDomainReader.range]]).
+    * Owns its [[KvFile.Reader]] handles: each closes when its shard
+    * exhausts (sequential mode) or when the merged stream ends; [[close]]
+    * releases whatever is still open after an early abandon. Not
+    * thread-safe (one consumer), but independent cursors and concurrent
+    * `get`s coexist — the cursor never touches the reader's lookup
+    * cache. */
+  final class RangeCursor private[store] (
+      fs: FileSystem,
+      files: Seq[Path],
+      from: Option[Array[Byte]],
+      fromInclusive: Boolean,
+      to: Option[Array[Byte]],
+      toInclusive: Boolean,
+      globalOrder: Boolean)
+      extends Iterator[(Array[Byte], Array[Byte])] with AutoCloseable {
+
+    private var open = List.empty[KvFile.Reader]
+
+    private def openStream(p: Path): Option[Iterator[(Array[Byte], Array[Byte])]] =
+      if (!fs.exists(p)) None
+      else {
+        val r = KvFile.open(fs, p)
+        open ::= r
+        Some(r.range(from, fromInclusive, to, toInclusive))
+      }
+
+    private def release(r: KvFile.Reader): Unit = {
+      try r.close() catch { case _: Exception => () }
+      open = open.filterNot(_ eq r)
+    }
+
+    private val underlying: Iterator[(Array[Byte], Array[Byte])] =
+      if (globalOrder) {
+        val heads = files.flatMap(openStream).map(_.buffered)
+        new Iterator[(Array[Byte], Array[Byte])] {
+          def hasNext: Boolean = heads.exists(_.hasNext)
+          def next(): (Array[Byte], Array[Byte]) =
+            heads.filter(_.hasNext)
+              .minBy(_.head._1)((a: Array[Byte], b: Array[Byte]) =>
+                java.util.Arrays.compareUnsigned(a, b))
+              .next()
+        }
+      } else new Iterator[(Array[Byte], Array[Byte])] {
+        private var rem = files.toList
+        private var cur: Iterator[(Array[Byte], Array[Byte])] = Iterator.empty
+        private var curReader: KvFile.Reader = null
+        private def advance(): Unit = {
+          while (!cur.hasNext && rem.nonEmpty) {
+            if (curReader != null) { release(curReader); curReader = null }
+            cur = openStream(rem.head) match {
+              case Some(it) => curReader = open.head; it
+              case None => Iterator.empty
+            }
+            rem = rem.tail
+          }
+          if (!cur.hasNext && curReader != null) { release(curReader); curReader = null }
+        }
+        def hasNext: Boolean = { advance(); cur.hasNext }
+        def next(): (Array[Byte], Array[Byte]) = { advance(); cur.next() }
+      }
+
+    def hasNext: Boolean = {
+      val h = underlying.hasNext
+      if (!h) close() // exhausted: everything still open can go
+      h
+    }
+    def next(): (Array[Byte], Array[Byte]) = underlying.next()
+
+    override def close(): Unit = {
+      open.foreach(r => try r.close() catch { case _: Exception => () })
+      open = Nil
+    }
+  }
 
   /** Open the newest PUBLISHED version of a full domain root (engine
     * `domain-spec.json` or reference `domain-spec.yaml` accepted — the

@@ -273,6 +273,94 @@ object KvFile {
       }
     }
 
+    /** Index of the first record whose key is past `bound` from below:
+      * `inclusive` → first key >= bound, else first key > bound. O(log n)
+      * positioned reads over the offset index; `n` when every key is
+      * below the bound. */
+    private def lowerBound(bound: Array[Byte], inclusive: Boolean): Long = {
+      var lo = 0L
+      var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        val (k, _, _) = readHeader(recordOffset(mid))
+        val cmp = java.util.Arrays.compareUnsigned(k, bound)
+        val before = if (inclusive) cmp < 0 else cmp <= 0
+        if (before) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    /** Key-range scan, in key order: records whose key falls inside the
+      * (unsigned-lexicographic) bounds. I/O is proportional to the RANGE,
+      * not the file — the start is an O(log n) binary search over the
+      * offset index, the body is one buffered sequential read from that
+      * offset, and iteration stops at the first key past the upper bound
+      * (keys are sorted, so nothing after it can match). `None` bounds
+      * are open ends; `range(None, _, None, _)` degrades to the full
+      * sequential scan. With `withValues = false` value bytes are skipped
+      * in-buffer via each record's header (returned as null), the
+      * [[keysIterator]] sequential pattern. Lifetime contract matches
+      * [[iterator]]: the sequential body owns the seek pointer (at most
+      * one live sequential iterator per Reader), while positioned
+      * [[lookup]]s may interleave. Duplicate keys equal to an inclusive
+      * bound are all returned. */
+    def range(
+        from: Option[Array[Byte]],
+        fromInclusive: Boolean,
+        to: Option[Array[Byte]],
+        toInclusive: Boolean,
+        withValues: Boolean = true): Iterator[(Array[Byte], Array[Byte])] = {
+      val start = from.fold(0L)(b => lowerBound(b, fromInclusive))
+      if (start >= n) return Iterator.empty
+      // `to` is shadowed by Iterator.to inside the anonymous class below
+      val upper = to
+      in.seek(if (start == 0) 4L else recordOffset(start))
+      val data = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
+      new Iterator[(Array[Byte], Array[Byte])] {
+        private var i = start
+        private var done = false
+        private var pending: (Array[Byte], Array[Byte]) = _
+        private def advance(): Unit = {
+          if (done || pending != null) return
+          if (i >= n) { done = true; return }
+          val keyLen = data.readInt()
+          val valLen = data.readInt()
+          val k = new Array[Byte](keyLen)
+          data.readFully(k)
+          i += 1
+          val inRange = upper.forall { b =>
+            val cmp = java.util.Arrays.compareUnsigned(k, b)
+            if (toInclusive) cmp <= 0 else cmp < 0
+          }
+          if (!inRange) {
+            // sorted: the first out-of-range key ends the scan for good
+            done = true
+            return
+          }
+          val v =
+            if (valLen < 0) null
+            else if (withValues) {
+              val b = new Array[Byte](valLen); data.readFully(b); b
+            } else {
+              var left = valLen.toLong
+              while (left > 0) {
+                val s = data.skip(left)
+                if (s > 0) left -= s
+                else { data.readByte(); left -= 1 }
+              }
+              null
+            }
+          pending = (k, v)
+        }
+        def hasNext: Boolean = { advance(); pending != null }
+        def next(): (Array[Byte], Array[Byte]) = {
+          advance()
+          if (pending == null) throw new NoSuchElementException
+          val r = pending; pending = null; r
+        }
+      }
+    }
+
     def close(): Unit = in.close()
   }
 }

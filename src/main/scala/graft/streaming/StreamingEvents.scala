@@ -36,22 +36,27 @@ case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long, value_c
  */
 object StreamingEvents {
 
-  /** events table schema under the engine's ts-as-nanos convention. */
+  /** events table ON-DISK schema: the testdata files carry a µs-typed
+    * `ts` (TIMESTAMP_NTZ in Spark terms — the file-stream schema must
+    * match the files); [[readEvents]] normalizes it to the engine's
+    * ts-as-nanos BIGINT convention before any operator sees it. */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open a file-based event stream over a directory of parquet files. */
+  /** Open a file-based event stream over a directory of parquet files;
+    * `ts` is delivered as BIGINT nanos regardless of the file encoding. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventsSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    graft.operators.Events.tsAsNanos(
+      spark.readStream
+        .schema(EventsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
   }
 
   /**

@@ -142,6 +142,46 @@ class KvDomainV2Spec extends SparkSuite {
     assert(keysOnly.count() === 400L)
   }
 
+  test("key-range filters push into the scan: pruned I/O, same answers as the residual filter") {
+    val a = buildDomain("range", 4, (0L until 1000L).map(i => i -> s"v$i"))
+    def be(l: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(l).array()
+
+    // non-negative longs big-endian: unsigned byte order == numeric order
+    val pushed = a.readPartitioned(spark)
+      .where(col("key") >= lit(be(100L)) && col("key") < lit(be(200L)))
+    // the pushed range is visible in the scan description
+    assert(finalPlan(pushed).contains("keyRange="), finalPlan(pushed))
+    val viaResidual = a.read(spark)
+      .where(col("key") >= lit(be(100L)) && col("key") < lit(be(200L)))
+      .select(graft.functions.be_long(col("key"))).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    val viaPushed = pushed
+      .select(graft.functions.be_long(col("key"))).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(viaPushed.toSeq === viaResidual.toSeq)
+    assert(viaPushed.toSeq === (100L until 200L).toSeq)
+
+    // equality degenerates to a one-key range; exclusive bounds honored
+    val eq = a.readPartitioned(spark).where(col("key") === lit(be(42L)))
+    assert(finalPlan(eq).contains("keyRange="), finalPlan(eq))
+    assert(eq.count() === 1L)
+    val excl = a.readPartitioned(spark)
+      .where(col("key") > lit(be(10L)) && col("key") < lit(be(13L)))
+    assert(excl.count() === 2L)
+
+    // rangeScan convenience routes kv domains through the pushed path
+    val rs = a.rangeScan(spark, from = Some(be(500L)), to = Some(be(509L)))
+    assert(finalPlan(rs).contains("keyRange="), finalPlan(rs))
+    assert(rs.count() === 10L)
+    // contradiction (from > to) is a valid empty range, not an error
+    assert(a.rangeScan(spark, from = Some(be(10L)), to = Some(be(5L))).count() === 0L)
+    // Spark still evaluates the predicate per row (residual contract):
+    // a filter the source can't narrow (e.g. on value) composes fine
+    val mixed = a.readPartitioned(spark)
+      .where(col("key") >= lit(be(990L)) && graft.functions.bytes_utf8(col("value")).endsWith("5"))
+    assert(mixed.count() === 1L) // v995
+  }
+
   test("duplicateKeyAudit on a kv domain: finds dup keys with ZERO shuffle") {
     import spark.implicits._
     val store = DomainStore.create(

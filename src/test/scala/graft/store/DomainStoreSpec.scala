@@ -228,6 +228,66 @@ class DomainStoreSpec extends SparkSuite {
     intercept[IllegalStateException](dead.count())
   }
 
+  test("rangeScan: kv and parquet engines agree; serving-side RangeCursor matches, ordered, leak-free") {
+    def be(l: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(l).array()
+    def longKv(n: Int): DataFrame = {
+      import spark.implicits._
+      (0 until n).map(_.toLong).toDF("k")
+        .select(long_be(col("k")).as("key"), utf8_bytes(concat(lit("v"), col("k"))).as("value"))
+    }
+    val kvStore = DomainStore.create(
+      scratch("range-kv"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    kvStore.write(longKv(500), 1L)
+    val pqStore = DomainStore.create(scratch("range-pq"), DomainSpec(4), conf)
+    pqStore.write(longKv(500), 1L)
+
+    def keysOf(df: DataFrame): Seq[Long] =
+      df.select(be_long(col("key"))).collect().map(_.getLong(0)).toSeq.sorted
+    // same bounds, engines agree (kv pushes into the source, parquet
+    // evaluates above the scan)
+    val fromB = Some(be(120L)); val toB = Some(be(130L))
+    val kvKeys = keysOf(kvStore.rangeScan(spark, fromB, toB))
+    val pqKeys = keysOf(pqStore.rangeScan(spark, fromB, toB))
+    assert(kvKeys === (120L to 130L).toSeq)
+    assert(pqKeys === kvKeys)
+    // half-open + exclusive bounds
+    assert(keysOf(kvStore.rangeScan(spark, fromB, None)) === (120L until 500L).toSeq)
+    assert(keysOf(kvStore.rangeScan(spark, fromB, toB, fromInclusive = false, toInclusive = false))
+      === (121L to 129L).toSeq)
+
+    // serving-side cursor, Spark-free from here on
+    val r = KvDomainReader.open(kvStore.root.toString, conf)
+    try {
+      // default mode: one handle at a time, per-shard order only
+      val got = r.range(fromB, toB).map(t => java.nio.ByteBuffer.wrap(t._1).getLong).toVector
+      assert(got.sorted === (120L to 130L).toVector)
+      // globalOrder merges shards into one key-ordered stream
+      val ordered = r.range(fromB, toB, globalOrder = true)
+        .map(t => java.nio.ByteBuffer.wrap(t._1).getLong).toVector
+      assert(ordered === (120L to 130L).toVector)
+      // values ride along
+      val withVals = r.range(Some(be(42L)), Some(be(42L))).toVector
+      assert(withVals.size === 1)
+      assert(new String(withVals.head._2, "UTF-8") === "v42")
+      // open-ended scan = full export, still ordered under globalOrder
+      val all = r.range(globalOrder = true).map(t => java.nio.ByteBuffer.wrap(t._1).getLong).toVector
+      assert(all === (0L until 500L).toVector)
+      // early abandon + close releases handles (close is idempotent)
+      val cur = r.range(globalOrder = true)
+      assert(cur.hasNext)
+      cur.close(); cur.close()
+      // concurrent gets coexist with cursors (cursor never touches the
+      // lookup cache)
+      val c2 = r.range(fromB, toB)
+      assert(r.get(be(7L)).map(new String(_, "UTF-8")) === Some("v7"))
+      assert(c2.size === 11)
+    } finally r.close()
+    // a closed reader refuses to open a cursor
+    val dead = KvDomainReader.open(kvStore.root.toString, conf)
+    dead.close()
+    intercept[IllegalStateException](dead.range(fromB, toB))
+  }
+
   test("KvDomainReader.multiGet: density-adaptive batch lookup, input-aligned, Spark-free") {
     val root = scratch("kv-mget")
     val store = DomainStore.create(

@@ -189,6 +189,117 @@ class KvFileSpec extends AnyFunSuite {
     } finally r3.close()
   }
 
+  test("range: seeded fuzz over bounds vs an in-memory reference filter") {
+    val rnd = new scala.util.Random(4242)
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val cmp = (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
+    // duplicate keys are legal in the format — include runs of them, plus
+    // nulls and awkward shapes
+    val base = (Seq(Array.emptyByteArray, Array(0x7f.toByte), Array(0x80.toByte)) ++
+      (0 until 300).map(_ => bytes(1 + rnd.nextInt(12))))
+    val raw = base ++ base.take(40) // 40 duplicated keys
+    val rows = byUnsigned(raw.zipWithIndex.map { case (k, i) =>
+      k -> (if (i % 9 == 0) null else bytes(rnd.nextInt(32)))
+    })
+    val p = scratchFile("rangefuzz.kv")
+    writeFile(p, rows)
+    val r = KvFile.open(p.getFileSystem(conf), p)
+    try {
+      def reference(
+          from: Option[Array[Byte]], fi: Boolean,
+          to: Option[Array[Byte]], ti: Boolean): Seq[(Array[Byte], Array[Byte])] =
+        rows.filter { case (k, _) =>
+          from.forall(b => if (fi) cmp(k, b) >= 0 else cmp(k, b) > 0) &&
+            to.forall(b => if (ti) cmp(k, b) <= 0 else cmp(k, b) < 0)
+        }
+      def check(
+          from: Option[Array[Byte]], fi: Boolean,
+          to: Option[Array[Byte]], ti: Boolean): Unit = {
+        val want = reference(from, fi, to, ti)
+        val got = r.range(from, fi, to, ti).toVector
+        assert(got.size === want.size, s"range size mismatch (fi=$fi ti=$ti)")
+        got.zip(want).foreach { case ((gk, gv), (k, v)) =>
+          assert(java.util.Arrays.equals(gk, k))
+          assert((gv == null && v == null) || java.util.Arrays.equals(gv, v))
+        }
+      }
+      // bounds drawn from present keys, absent keys, and open ends,
+      // crossed with both inclusivities
+      val candidates: Seq[Option[Array[Byte]]] =
+        Seq(None) ++ (0 until 30).map(_ => Some(rows(rnd.nextInt(rows.size))._1)) ++
+          (0 until 30).map(_ => Some(bytes(1 + rnd.nextInt(14))))
+      for (_ <- 0 until 200) {
+        val from = candidates(rnd.nextInt(candidates.size))
+        val to = candidates(rnd.nextInt(candidates.size))
+        check(from, rnd.nextBoolean(), to, rnd.nextBoolean())
+      }
+      // degenerate exact-match range on a duplicated key returns ALL dups
+      val dupKey = rows.groupBy(t => java.nio.ByteBuffer.wrap(t._1))
+        .collectFirst { case (_, g) if g.size > 1 => g.head._1 }.get
+      check(Some(dupKey), true, Some(dupKey), true)
+      // empty range (from > to)
+      check(Some(Array(0xff.toByte, 0xff.toByte)), true, Some(Array(0x00.toByte)), true)
+    } finally r.close()
+  }
+
+  test("range: I/O is proportional to the range, not the file") {
+    val rnd = new scala.util.Random(7)
+    def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    // 256 records x 64 KiB values: a range of ~4 records must not read
+    // the other ~250 records' bytes
+    val rows = byUnsigned((0 until 256).map(i =>
+      java.nio.ByteBuffer.allocate(4).putInt(i).array() -> bytes(64 * 1024)))
+    val p = scratchFile("rangeio.kv")
+    writeFile(p, rows)
+    val fs = p.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(p).getLen
+    class Counting(in: org.apache.hadoop.fs.FSDataInputStream)
+        extends java.io.InputStream
+        with org.apache.hadoop.fs.Seekable
+        with org.apache.hadoop.fs.PositionedReadable {
+      var readBytes = 0L
+      override def read(): Int = { val r = in.read(); if (r >= 0) readBytes += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) readBytes += r; r
+      }
+      def seek(pos: Long): Unit = in.seek(pos)
+      def getPos: Long = in.getPos
+      def seekToNewSource(targetPos: Long): Boolean = in.seekToNewSource(targetPos)
+      def read(position: Long, buffer: Array[Byte], offset: Int, length: Int): Int = {
+        val r = in.read(position, buffer, offset, length); if (r > 0) readBytes += r; r
+      }
+      def readFully(position: Long, buffer: Array[Byte], offset: Int, length: Int): Unit = {
+        in.readFully(position, buffer, offset, length); readBytes += length
+      }
+      def readFully(position: Long, buffer: Array[Byte]): Unit = {
+        in.readFully(position, buffer); readBytes += buffer.length
+      }
+      override def close(): Unit = in.close()
+    }
+    val counting = new Counting(fs.open(p))
+    val r = new KvFile.Reader(
+      new org.apache.hadoop.fs.FSDataInputStream(counting), fileLen)
+    try {
+      val lo = java.nio.ByteBuffer.allocate(4).putInt(100).array()
+      val hi = java.nio.ByteBuffer.allocate(4).putInt(103).array()
+      val got = r.range(Some(lo), true, Some(hi), true).toVector
+      assert(got.size === 4)
+      // 4 values + binary-search preads + one read-ahead buffer ≪ file
+      assert(counting.readBytes < fileLen / 16,
+        s"range read ${counting.readBytes} of $fileLen bytes — the whole file was scanned")
+      // keys-only range on the same reader class skips even the in-range
+      // value bytes beyond read-ahead granularity
+      val counting2 = new Counting(fs.open(p))
+      val r2 = new KvFile.Reader(
+        new org.apache.hadoop.fs.FSDataInputStream(counting2), fileLen)
+      try {
+        val ks = r2.range(Some(lo), true, Some(hi), true, withValues = false).toVector
+        assert(ks.size === 4)
+        assert(ks.forall(_._2 == null))
+      } finally r2.close()
+    } finally r.close()
+  }
+
   test("unsorted input is rejected at write time") {
     val p = scratchFile("unsorted.kv")
     val rows = Seq(
