@@ -122,6 +122,20 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // The SQL catalog surface: the same kv domain resolved as a plain SQL
+    // table through GraftCatalog (spark.sql.catalog.* registration) — no
+    // DataFrame code touches the domain; resolution, version pinning, and
+    // the layout-reporting scan all ride Spark's own catalog mechanism.
+    "kv_sql_catalog" -> { (s, dir) =>
+      Fixtures.customerKvFileDomain(s, dir) // ensure built + published
+      val cat = "graft_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", Fixtures.dbRoot(dir))
+      s.sql(s"SELECT key, value FROM $cat.`customer-kvfile`")
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
     // Q6: getCount — through the metadata-only footer path, surfaced as a
     // one-row DataFrame so the oracle verifies the footer sum itself.
     "kv_count" -> { (s, dir) =>
@@ -223,6 +237,8 @@ object KvQueries {
           |  UNION ALL
           |  SELECT c_custkey + 2000000 FROM customer WHERE c_custkey % 5 = 0)
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
+      "kv_sql_catalog" ->
+        "SELECT c_custkey, c_name FROM customer",
       "kv_range_scan" ->
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 200 AND c_custkey < 700",
       "kv_count" ->

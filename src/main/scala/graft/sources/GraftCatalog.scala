@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.DomainSpec
+import graft.store.{DomainCatalog, DomainStore}
+
+/**
+ * Spark SQL `TableCatalog` over a directory of domains — the reference's
+ * database surface (a config mapping database names to domain roots,
+ * `getDomains` enumerating them: core.thrift:80-91) re-expressed as
+ * Spark's own catalog mechanism, so plain SQL reads a published domain
+ * with no DataFrame code at all:
+ *
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+ *   spark.conf.set("spark.sql.catalog.graft.root", "/data/domains")
+ *   spark.sql("SHOW TABLES IN graft")
+ *   spark.sql("SELECT key, value, shard FROM graft.`my-domain` WHERE shard = 3")
+ * }}}
+ *
+ * Each table is the newest PUBLISHED version of one kv-sorted domain,
+ * served through [[KvDomainV2]] — so SQL queries inherit the full
+ * physical story: shard-pruning and key-range pushdown, reported
+ * hash-partitioning (storage-partitioned joins between two same-sharded
+ * catalog tables plan with zero exchange), and per-shard key order. The
+ * version is resolved at `loadTable` time and pinned for the plan —
+ * exactly the reference's snapshot semantics; re-resolve (re-run the
+ * query) to pick up a newer publish.
+ *
+ * Read-only by design: domains are built/updated through
+ * [[graft.store.DomainStore]]'s versioned write path (bulk build, upsert,
+ * reshard), never through SQL DDL — every mutating method fails loud.
+ * Parquet/orc-backed domains are Spark-scan engines without a
+ * layout-reporting source; loading one names the migration path instead
+ * of limping. The namespace is flat (a "database" is one root dir),
+ * mirroring [[graft.store.DomainCatalog]].
+ */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private var conf: Configuration = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftCatalog '$name' requires spark.sql.catalog.$name.root = <dir of domain roots>"))
+    // the session's Hadoop conf at registration time rides to executors
+    // through KvDomainV2's registry, same as readPartitioned
+    conf = SparkSession.active.sessionState.newHadoopConf()
+  }
+
+  override def name(): String = catalogName
+
+  private def domains = new DomainCatalog(root, conf)
+
+  private def requireFlat(namespace: Array[String]): Unit =
+    if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireFlat(namespace)
+    domains.listDomains.map(Identifier.of(Array.empty[String], _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && domains.listDomains.contains(ident.name)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
+    val store = domains.domain(ident.name)
+    require(
+      store.spec.persistenceFormat == DomainSpec.KvSorted,
+      s"domain '${ident.name}' uses persistenceFormat '${store.spec.persistenceFormat}' — " +
+        "SQL catalog tables are served through the layout-reporting kv-sorted source; " +
+        "read this domain via DomainStore.read, or re-export it with " +
+        "persistenceFormat = kv-sorted")
+    val version = store.latestVersion
+    val vp = store.versions.versionPath(version).toString
+    KvDomainV2.registerConf(vp, DomainStore.serializableConf(conf))
+    new KvDomainTable(vp, store.numShards) {
+      override def name(): String = s"$catalogName.${ident.name}@v$version"
+    }
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"GraftCatalog is read-only ($op): domains are built and updated through " +
+        "DomainStore's versioned write path (write/upsert/reshard), not SQL DDL")
+
+  override def createTable(
+      ident: Identifier,
+      schema: org.apache.spark.sql.types.StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+}
