@@ -1293,6 +1293,94 @@ object Similarity {
   }
 
   /**
+   * Prototype-based data pruning (SSL-prototypes, Sorscher et al. 2022,
+   * arXiv:2206.14486; step 2 of D4, Abbas et al. 2023): cluster the
+   * embedding space, score each example by its distance to its cluster
+   * centroid, and DROP the most prototypical fraction per cluster — for
+   * abundant web-scale data, easy/prototypical examples teach the model
+   * least, so pruning them beats random subsampling. Returns one row per
+   * input id: (id, cell, proto_rank, cell_n, kept) — rank 1 = most
+   * prototypical (closest to its cell mean), `kept = false` for the
+   * dropped `dropNum/dropDen` fraction. A filter on `kept` is the prune.
+   *
+   * Clusters are the same ONE-table seeded-hyperplane cells as
+   * [[semanticDedup]] (2^planes cells) and the centroid is the cell MEAN
+   * — so the whole decision is deterministic and SQL-replayable, unlike
+   * the paper's trained k-means (the fixed-vs-trained split mirrors
+   * ivfTopKFixed vs ivfTopK). All ranking math is EXACT integer
+   * arithmetic: vectors quantize to `floor(v * 2^20 + 0.5)` longs
+   * (exponent-shift multiply — bit-identical in any IEEE engine), the
+   * cell mean stays a rational (element sums S, count n), and the
+   * squared distance to it is ranked by the integer key
+   * `n²·|q|² − 2n·(q·S) + |S|²` (the distance times n², constant within
+   * a cell) carried in Decimal(38) — bounded by ~2^107 even at 2^30-row
+   * cells, so no overflow at any realistic scale. Drop fraction is a
+   * RATIONAL (`dropNum/dropDen`): the per-cell threshold
+   * `floor(n·dropNum/dropDen)` is integer math, replayed verbatim in the
+   * oracle.
+   *
+   * Scale shape: element sums ride `dim` partial-agg columns (map-side
+   * combine, one shuffle — the MinHash-sketch layout); the tiny
+   * (2^planes x dim) sum table broadcasts back; scoring is one codegen'd
+   * projection; the only per-cell serial step is the rank window, whose
+   * task size is bounded by cell size — set `planes` so cells stay
+   * bounded, exactly the [[semanticDedup]] cost model. Zero-norm/null
+   * vectors have no distance to anything and must never be silently
+   * pruned: they surface with cell -1, rank 0, kept = true.
+   */
+  def prototypePruning(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 6,
+      dropNum: Int = 1,
+      dropDen: Int = 5): DataFrame = {
+    require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
+      s"prototypePruning: drop fraction $dropNum/$dropDen must be in [0, 1]")
+    val p = prepared(df, idCol, vecCol)
+    val unclustered = df.select(col(idCol).as("id"))
+      .join(p.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("cell"), lit(0L).as("proto_rank"),
+        lit(0L).as("cell_n"), lit(true).as("kept"))
+    val dimRow = p.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty) return unclustered
+    val dim = dimRow(0).getInt(0)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = lshBuckets(p, 1, planes, dim)
+      .select(col("id"), col("vec"), col("bucket").as("cell"))
+    // quantized elements as dim columns: the partial-agg sketch layout
+    val q = cells.select(
+      col("id") +: col("cell") +:
+        (0 until dim).map(i =>
+          floor(element_at(col("vec"), i + 1) * lit(ExactQuantScale) + lit(0.5))
+            .cast("long").as(s"_q$i")): _*)
+    val sums = q.groupBy(col("cell")).agg(
+      count(lit(1)).as("_n"),
+      (0 until dim).map(i => sum(col(s"_q$i")).as(s"_s$i")): _*)
+    val joined = q.join(broadcast(sums), Seq("cell"))
+    val n = col("_n").cast(dec)
+    // |q|² fits a long (dim · 2^40); the cross and sum terms need decimal
+    val vv = (0 until dim).map(i => col(s"_q$i") * col(s"_q$i")).reduce(_ + _).cast(dec)
+    val vs = (0 until dim).map(i => col(s"_q$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
+    val ss = (0 until dim).map(i => col(s"_s$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
+    val key = (n * n * vv) - (lit(2).cast(dec) * n * vs) + ss
+    val w = Window.partitionBy(col("cell")).orderBy(col("_key").asc, col("id").asc)
+    val ranked = joined
+      .withColumn("_key", key)
+      .select(col("id"), col("cell"), col("_n"), col("_key"))
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+    val scored = ranked.select(
+      col("id"), col("cell"),
+      col("proto_rank"),
+      col("_n").as("cell_n"),
+      // integer division (`div`), never `/`: double division + floor can
+      // misround the threshold for large cells; DuckDB `//` matches div
+      // for the non-negative operands here
+      (col("proto_rank") > expr(s"(_n * $dropNum) div $dropDen")).as("kept"))
+    scored.unionByName(unclustered)
+  }
+
+  /**
    * Approximate top-k: candidates = corpus vectors sharing an LSH bucket
    * with the query in any table; exact cosine re-rank of candidates only.
    * Output schema matches [[bruteForceTopK]] (rank may hold < k rows when

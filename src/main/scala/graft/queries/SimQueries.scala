@@ -40,6 +40,11 @@ object SimQueries {
   val EmbeddingDim = 64
   val LshTables = 8
   val LshPlanes = 4
+  /** Prototype pruning: 2^6 = 64 cells, drop the 1/5 most prototypical
+    * per cell (exact rational — the threshold is integer math). */
+  val ProtoPlanes = 6
+  val ProtoDropNum = 1
+  val ProtoDropDen = 5
   // After EmbeddingDim: object vals initialize in declaration order, and
   // PqDsub reads it (a forward reference would silently read 0).
   val PqM = 8
@@ -170,6 +175,21 @@ object SimQueries {
         emb.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", "label", KnnJoinK)
         .select(col("query_id"), col("label_pred").cast("long").as("label_pred"), col("n_votes"))
+    },
+    // Prototype-based data pruning (SSL-prototypes / D4 step 2): rank
+    // every vector by distance to its cell MEAN, drop the most
+    // prototypical 1/5 per cell. Cells are the seeded-hyperplane tensor
+    // (SQL-replayable), ranking is exact integer math (quantized vectors,
+    // rational mean via (sum, count), Decimal(38) keys), so the oracle
+    // replays the whole keep/drop decision bit-for-bit.
+    "sim_prototype_prune" -> { (s, dir) =>
+      val emb = Fixtures.table(s, dir, "embeddings")
+      Similarity.prototypePruning(
+        emb, "vec_id", "embedding",
+        planes = ProtoPlanes, dropNum = ProtoDropNum, dropDen = ProtoDropDen)
+        .select(
+          col("id").as("vec_id"), col("cell"), col("proto_rank"),
+          col("cell_n"), col("kept"))
     },
     // IVF-PQ: candidates travel as m shorts per vector (not dim doubles),
     // ADC preselect + exact re-rank. Approximate by design (no SQL
@@ -499,7 +519,59 @@ object SimQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, label_pred) AS rn
          |  FROM votes)
          |SELECT query_id, label_pred, CAST(n_votes AS BIGINT) AS n_votes
-         |FROM best WHERE rn = 1""".stripMargin)
+         |FROM best WHERE rn = 1""".stripMargin,
+    "sim_prototype_prune" -> protoPruneOracle)
+
+  /** Replays [[Similarity.prototypePruning]] stage by stage: one-table
+    * sign cells (planes interpolated as literals), `floor(v·2^20 + 0.5)`
+    * quantization, per-cell element sums as the rational mean, the
+    * integer rank key `n²·|q|² − 2n·(q·S) + |S|²` in HUGEINT, and the
+    * integer-division drop threshold. Stages referenced twice are
+    * MATERIALIZED (default inlining doubles the expansion per stage). */
+  private def protoPruneOracle: String =
+    s"""WITH pl(tbl, bit, p) AS (VALUES
+       |${planesValues(1, ProtoPlanes)}),
+       |ef AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN list_inner_product(ef.v, pl.p) > 0
+       |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
+       |  FROM ef, pl GROUP BY 1),
+       |qe AS MATERIALIZED (
+       |  SELECT e.vec_id, c.cell, u.i AS i,
+       |    CAST(floor(e.v[u.i] * $ExactQ + 0.5) AS BIGINT) AS q
+       |  FROM ef e JOIN cells c USING (vec_id),
+       |       (SELECT unnest(range(1, ${EmbeddingDim + 1})) AS i) u),
+       |s AS MATERIALIZED (
+       |  SELECT cell, i, CAST(sum(q) AS HUGEINT) AS sv FROM qe GROUP BY 1, 2),
+       |nn AS MATERIALIZED (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+       |terms AS (
+       |  SELECT qe.vec_id, qe.cell,
+       |    sum(CAST(qe.q AS HUGEINT) * qe.q) AS vv,
+       |    sum(CAST(qe.q AS HUGEINT) * s.sv) AS vs
+       |  FROM qe JOIN s ON s.cell = qe.cell AND s.i = qe.i GROUP BY 1, 2),
+       |ssum AS (SELECT cell, sum(sv * sv) AS ss FROM s GROUP BY 1),
+       |keyed AS (
+       |  SELECT t.vec_id, t.cell, nn.n,
+       |    CAST(nn.n AS HUGEINT) * nn.n * t.vv - 2 * CAST(nn.n AS HUGEINT) * t.vs + ssum.ss AS k
+       |  FROM terms t JOIN nn USING (cell) JOIN ssum USING (cell)),
+       |ranked AS (
+       |  SELECT vec_id, cell, n,
+       |    row_number() OVER (PARTITION BY cell ORDER BY k ASC, vec_id) AS r
+       |  FROM keyed),
+       |clustered AS (
+       |  SELECT vec_id, cell, CAST(r AS BIGINT) AS proto_rank,
+       |    CAST(n AS BIGINT) AS cell_n,
+       |    r > ((n * $ProtoDropNum) // $ProtoDropDen) AS kept
+       |  FROM ranked),
+       |unclustered AS (
+       |  SELECT e.vec_id, CAST(-1 AS BIGINT) AS cell, CAST(0 AS BIGINT) AS proto_rank,
+       |    CAST(0 AS BIGINT) AS cell_n, TRUE AS kept
+       |  FROM embeddings e LEFT JOIN ef USING (vec_id) WHERE ef.vec_id IS NULL)
+       |SELECT * FROM clustered UNION ALL SELECT * FROM unclustered""".stripMargin
   // Both trained ANN queries are now fully oracled: the generated CTE
   // chains below replay the TRAINING (exact-integer Lloyd), then the
   // search tails the fixed-quantizer oracles proved bit-compatible with

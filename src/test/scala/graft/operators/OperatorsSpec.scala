@@ -1223,6 +1223,60 @@ class OperatorsSpec extends SparkSuite {
     assert(kept.nonEmpty)
   }
 
+  test("prototypePruning: naive replay agrees; per-cell drop counts exact; zero vecs kept") {
+    import spark.implicits._
+    val planes = 4
+    val (dropNum, dropDen) = (1, 4)
+    val zeroId = 999999L
+    val corpus = embs.unionByName(
+      Seq((zeroId, Array.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val out = Similarity.prototypePruning(
+      corpus, "vec_id", "embedding", planes, dropNum, dropDen)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    // the zero-norm vector is unclustered and NEVER pruned
+    assert(out(zeroId) === ((-1L, 0L, 0L, true)))
+    // naive replay: same planes/cells as semanticDedup, exact quantized
+    // distance-to-mean ranking in BigInt
+    val vecs = embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+      .sortBy(_._1)
+    val pl = Similarity.hyperplanes(1, planes, vecs.head._2.length)(0)
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val withNorm = vecs.filter { case (_, v) => math.sqrt(dot(v, v)) > 0 }
+    val cell = withNorm.map { case (id, v) =>
+      id -> (0 until planes).map(b => if (dot(v, pl(b)) > 0) 1L << b else 0L).sum
+    }.toMap
+    val q = withNorm.map { case (id, v) =>
+      id -> v.map(x => BigInt(math.floor(x * 1048576.0 + 0.5).toLong))
+    }.toMap
+    val byCell = withNorm.map(_._1).groupBy(cell)
+    byCell.foreach { case (c, ids) =>
+      val n = BigInt(ids.length)
+      val sums = ids.map(q).transpose.map(_.sum)
+      def key(id: Long): BigInt = {
+        val v = q(id)
+        val vv = v.map(x => x * x).sum
+        val vs = v.zip(sums).map { case (a, b) => a * b }.sum
+        n * n * vv - 2 * n * vs + sums.map(x => x * x).sum
+      }
+      val ranked = ids.sortBy(id => (key(id), id))
+      val thresh = ids.length.toLong * dropNum / dropDen
+      ranked.zipWithIndex.foreach { case (id, idx) =>
+        val rank = idx + 1L
+        assert(out(id) === ((c, rank, ids.length.toLong, rank > thresh)),
+          s"id $id in cell $c")
+      }
+      // exact per-cell drop count: floor(n/4)
+      assert(ids.count(id => !out(id)._4) === thresh.toInt, s"cell $c drop count")
+    }
+    assert(out.values.exists(!_._4), "fixture produced no drops — retune planes")
+  }
+
   test("globalRank == local sort position; bands are even and ordered") {
     // Non-unique leading key (n_chars repeats), unique doc_id tiebreak —
     // the documented total-order contract.
