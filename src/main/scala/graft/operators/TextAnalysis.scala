@@ -673,6 +673,69 @@ object TextAnalysis {
         coalesce(expr("p_sum div n_bigrams"), lit(0L)).as("lm_score_fp"))
   }
 
+  /**
+   * Feature-hashed document embeddings (the "hashing trick", Weinberger
+   * et al. 2009): word unigram+bigram features hashed into `dim` signed
+   * cells — a model-free bridge from raw text into the vector stack
+   * (semantic dedup, prototype pruning, kNN join, ANN indexes) when no
+   * learned encoder is in the pipeline. The classic sparse-projection
+   * guarantee: inner products of hashed vectors are unbiased estimates
+   * of the inner products of the underlying (unbounded-vocab) gram-count
+   * vectors, and the SIGN hash is what kills the collision bias.
+   *
+   * Cell = the engine's md5-mod routing over the gram bytes (byte-
+   * replayable in SQL — the DSIR precedent); sign = md5-mod-2 of the
+   * gram with a salt suffix (an independent hash bit, same routing
+   * kernel). Weights are exact integer signed counts. Two surfaces:
+   *  - [[featureHashEmbed]]: exploded (id, cell, w) rows for nonzero
+   *    cells — the oracle-friendly sparse form;
+   *  - [[featureHashVector]]: dense `array<double>` of length `dim` per
+   *    doc (docs with no grams get the zero vector, which the vector
+   *    stack's norm>0 guards already treat as "unclustered, keep") —
+   *    plug-compatible with every `vecCol` operator.
+   * Scale: one tokenize + explode + groupBy((id, cell)) partial agg —
+   * gram rows never carry text, only (id, cell, ±1). Assembly of the
+   * dense form is a per-doc map fill over `dim` entries.
+   */
+  def featureHashEmbed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 1, "featureHashEmbed: dim must be >= 1")
+    df.select(col(idCol), wordTokens(col(textCol)).as("t"))
+      .select(col(idCol),
+        explode(concat(col("t"), tokenNGrams(col("t"), 2))).as("g"))
+      .select(
+        col(idCol),
+        graft.functions.shard_index(encode(col("g"), "UTF-8"), dim).as("cell"),
+        // independent sign bit: same md5 kernel, salted gram ('#' cannot
+        // appear in wordTokens output, so the salted space is disjoint)
+        (graft.functions.shard_index(encode(concat(col("g"), lit("#s")), "UTF-8"), 2)
+          .cast("long") * 2L - 1L).as("sgn"))
+      .groupBy(col(idCol), col("cell"))
+      .agg(sum(col("sgn")).as("w"))
+      .where(col("w") =!= 0L)
+  }
+
+  /** Dense form of [[featureHashEmbed]] — (idCol, emb: array<double>).
+    * Every input doc gets a row; gramless docs get the zero vector. */
+  def featureHashVector(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64): DataFrame = {
+    val sparse = featureHashEmbed(df, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(map_from_arrays(collect_list(col("cell")), collect_list(col("w"))).as("_m"))
+    df.select(col(idCol))
+      .join(sparse, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        expr(s"transform(sequence(0, ${dim - 1}), i -> CAST(coalesce(_m[i], 0L) AS DOUBLE))")
+          .as("emb"))
+  }
+
   /** Language-ID report: per-language marker scores + predicted language. */
   def langIdReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -165,6 +165,16 @@ object TextQueries {
           col("doc_id"), col("n_grams"), col("dsir_weight_fp"),
           coalesce(col("selected"), lit(0)).as("selected"))
     },
+    // Feature-hashed document embeddings (the hashing trick): word
+    // unigram+bigram grams hashed into 64 signed cells by the engine's
+    // md5 routing — the model-free text→vector bridge into the
+    // similarity stack. Sparse (doc, cell, w) form; integer signed
+    // counts, fully replayed by the oracle (cell AND sign hash).
+    "text_hash_embed" -> { (s, dir) =>
+      TextAnalysis.featureHashEmbed(
+        Fixtures.table(s, dir, "documents"), "doc_id", "text", HashEmbedDim)
+        .select(col("doc_id"), col("cell").cast("long").as("cell"), col("w"))
+    },
     // Stratified rebalancing: keep all short docs, half the mid band,
     // a quarter of the long band — deterministic md5-bucket membership.
     "samp_stratified" -> { (s, dir) =>
@@ -243,6 +253,10 @@ object TextQueries {
   val DsirTopK = 100
   val LmMaxGrams = 4096
   val LmVocab = 65536L
+  /** Feature-hash embedding width — POWER OF TWO so the oracle's
+    * simplified md5 routing (low-8-bytes % n == full signed-BigInteger
+    * shard_index when n | 2^64) applies, the DSIR-bucket precedent. */
+  val HashEmbedDim = 64
   val LmScale = 1000000L
   val LmBands = 3
   val PackBudget = 128L
@@ -573,6 +587,24 @@ object TextQueries {
          |SELECT doc_id, n_grams, dsir_weight_fp,
          |  CAST(CASE WHEN rn <= $DsirTopK THEN 1 ELSE 0 END AS INT) AS selected
          |FROM rk""".stripMargin
+    },
+    "text_hash_embed" -> {
+      val d = HashEmbedDim
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+         |grams AS MATERIALIZED (
+         |  SELECT doc_id, unnest(t) AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+         |  FROM toks WHERE len(t) >= 2),
+         |cw AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5(g), 17, 16))::UBIGINT % $d AS BIGINT) AS cell,
+         |    CASE WHEN ('0x' || substr(md5(g || '#s'), 17, 16))::UBIGINT % 2 = 1
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM grams)
+         |SELECT doc_id, cell, CAST(sum(sgn) AS BIGINT) AS w
+         |FROM cw GROUP BY 1, 2 HAVING sum(sgn) != 0""".stripMargin
     },
     "samp_stratified" ->
       """WITH s AS (SELECT doc_id,

@@ -1277,6 +1277,45 @@ class OperatorsSpec extends SparkSuite {
     assert(out.values.exists(!_._4), "fixture produced no drops — retune planes")
   }
 
+  test("featureHashEmbed: dense == sparse, signs/cells replay, composes with the vector stack") {
+    import spark.implicits._
+    val dim = 16
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((888888L, "")).toDF("doc_id", "text")) // gramless doc
+    val sparse = TextAnalysis.featureHashEmbed(corpus, "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(sparse.nonEmpty)
+    assert(sparse.forall(_._3 != 0L), "zero-weight cells must be dropped from the sparse form")
+    // naive replay of one doc: same tokens, same md5 routing, same sign
+    val sample = docs.select(col("doc_id"), col("text")).head()
+    val toks = "[a-z0-9]+".r.findAllIn(sample.getString(1).toLowerCase).toSeq
+    val grams = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    val expect = grams.groupBy(g => graft.core.ShardIndex.shardIndex(g.getBytes("UTF-8"), dim))
+      .view.mapValues(_.map { g =>
+        if (graft.core.ShardIndex.shardIndex((g + "#s").getBytes("UTF-8"), 2) == 1) 1L else -1L
+      }.sum).toMap.filter(_._2 != 0L)
+    val got = sparse.filter(_._1 == sample.getLong(0)).map(t => t._2 -> t._3).toMap
+    assert(got === expect)
+    // dense form: one row per input doc, dim-wide, values match sparse
+    val dense = TextAnalysis.featureHashVector(corpus, "doc_id", "text", dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dense.size === corpus.count())
+    assert(dense.values.forall(_.size == dim))
+    assert(dense(888888L).forall(_ == 0.0), "gramless doc must embed as the zero vector")
+    sparse.foreach { case (id, cell, w) =>
+      assert(dense(id)(cell) === w.toDouble, s"doc $id cell $cell")
+    }
+    // composes with the vector stack: prototypePruning accepts the dense
+    // output directly; the zero vector lands unclustered and kept
+    val pruned = Similarity.prototypePruning(
+      TextAnalysis.featureHashVector(corpus, "doc_id", "text", dim),
+      "doc_id", "emb", planes = 3, dropNum = 1, dropDen = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(4)))).toMap
+    assert(pruned.size === dense.size)
+    assert(pruned(888888L) === ((-1L, true)))
+    assert(pruned.values.exists(!_._2), "pruning on hash embeds produced no drops")
+  }
+
   test("globalRank == local sort position; bands are even and ordered") {
     // Non-unique leading key (n_chars repeats), unique doc_id tiebreak —
     // the documented total-order contract.
