@@ -160,6 +160,30 @@ object Fixtures {
       store.write(customerKv(s, sfDir), version = 1L)
     }
 
+  /** Two full versions of one kv domain for the version-diff surface:
+    * v1 = every customer name; v2 drops %7 keys, rewrites %3 values to
+    * the market segment, and adds +1000000 keys for %50. */
+  def customerDiffDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "customer-diff",
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted)) { (store, s) =>
+      val c = table(s, sfDir, "customer")
+      store.write(
+        c.select(long_be(col("c_custkey")).as("key"), utf8_bytes(col("c_name")).as("value")),
+        version = 1L)
+      val v2 = c.where(col("c_custkey") % 7 =!= 0)
+        .select(
+          long_be(col("c_custkey")).as("key"),
+          utf8_bytes(
+            when(col("c_custkey") % 3 === 0, col("c_mktsegment")).otherwise(col("c_name")))
+            .as("value"))
+        .unionByName(c.where(col("c_custkey") % 50 === 0)
+          .select(
+            long_be(col("c_custkey") + 1000000).as("key"),
+            utf8_bytes(col("c_name")).as("value")))
+      store.write(v2, version = 2L)
+    }
+
   /** Per-customer order counts on the servable kv-sorted format, sharded
     * IDENTICALLY to [[customerKvFileDomain]] (same key encoding, same
     * shard count): the second half of the storage-partitioned join pair —

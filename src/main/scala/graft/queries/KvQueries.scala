@@ -136,6 +136,20 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // Version diff — "what did the new publish touch": added / removed /
+    // changed keys across two published versions of one domain. On the
+    // kv engine both versions share one sharding scheme, so the
+    // full-outer join plans as a storage-partitioned merge join with
+    // ZERO exchange on either side (pinned in KvDomainV2Spec) — the
+    // 100 TB shape for auditing a publish.
+    "kv_version_diff" -> { (s, dir) =>
+      Fixtures.customerDiffDomain(s, dir).versionDiff(s, 1L, 2L)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          col("change"),
+          bytes_utf8(col("old_value")).as("old_v"),
+          bytes_utf8(col("new_value")).as("new_v"))
+    },
     // Q6: getCount — through the metadata-only footer path, surfaced as a
     // one-row DataFrame so the oracle verifies the footer sum itself.
     "kv_count" -> { (s, dir) =>
@@ -239,6 +253,22 @@ object KvQueries {
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
       "kv_sql_catalog" ->
         "SELECT c_custkey, c_name FROM customer",
+      "kv_version_diff" ->
+        """WITH v1 AS (SELECT c_custkey AS k, c_name AS v FROM customer),
+          |v2 AS (
+          |  SELECT c_custkey AS k,
+          |    CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment ELSE c_name END AS v
+          |  FROM customer WHERE c_custkey % 7 != 0
+          |  UNION ALL
+          |  SELECT c_custkey + 1000000, c_name FROM customer WHERE c_custkey % 50 = 0),
+          |j AS (
+          |  SELECT coalesce(v1.k, v2.k) AS c_custkey, v1.v AS old_v, v2.v AS new_v,
+          |    CASE WHEN v1.k IS NULL THEN 'added'
+          |         WHEN v2.k IS NULL THEN 'removed'
+          |         WHEN v1.v IS DISTINCT FROM v2.v THEN 'changed'
+          |         ELSE 'same' END AS change
+          |  FROM v1 FULL JOIN v2 ON v1.k = v2.k)
+          |SELECT c_custkey, change, old_v, new_v FROM j WHERE change != 'same'""".stripMargin,
       "kv_range_scan" ->
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 200 AND c_custkey < 700",
       "kv_count" ->

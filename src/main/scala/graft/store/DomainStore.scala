@@ -364,6 +364,43 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     (lo ++ hi).foldLeft(base)(_ where _)
   }
 
+  /** What changed between two published versions: one row per key whose
+    * state differs — `change` ∈ added / removed / changed, with both
+    * values. The ops question every versioned store gets asked ("what
+    * did yesterday's publish touch?"), and on kv-sorted domains it is
+    * answered WITHOUT MOVING EITHER VERSION: both sides read through the
+    * layout-reporting scan ([[readPartitioned]]), and since every
+    * version of a domain shares one sharding scheme, the full-outer
+    * join on `(shard, key)` plans as a storage-partitioned merge join —
+    * zero exchange, zero sort, a linear streamed pass over both
+    * versions' shard files (pinned in KvDomainV2Spec). Upsert-built
+    * versions diff in O(changed shards) I/O in practice: copy-forwarded
+    * shard files are byte-identical, so their merged runs match
+    * row-for-row and emit nothing. Parquet/orc domains get the same
+    * semantics through the ordinary scan (one shuffle per side).
+    * Presence is tracked by side markers, so a key legitimately present
+    * with a NULL value diffs correctly against absence. Assumes unique
+    * keys per version (the build default; [[duplicateKeyAudit]] is the
+    * check) — duplicate keys would cross-product in the join. */
+  def versionDiff(spark: SparkSession, fromVersion: Long, toVersion: Long): DataFrame = {
+    def side(version: Long, valueAs: String, marker: String): DataFrame = {
+      val base = if (isKv) readPartitioned(spark, version) else readVersion(spark, version)
+      base.select(
+        col("shard"), col("key"),
+        col("value").as(valueAs), lit(true).as(marker))
+    }
+    side(fromVersion, "old_value", "_in_old")
+      .join(side(toVersion, "new_value", "_in_new"), Seq("shard", "key"), "full_outer")
+      .withColumn(
+        "change",
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(!(col("old_value") <=> col("new_value")), lit("changed"))
+          .otherwise(lit("same")))
+      .where(col("change") =!= "same")
+      .select(col("shard"), col("key"), col("change"), col("old_value"), col("new_value"))
+  }
+
   def fsck(spark: SparkSession): DataFrame = fsck(spark, latestVersion)
 
   def fsck(spark: SparkSession, version: Long): DataFrame = {

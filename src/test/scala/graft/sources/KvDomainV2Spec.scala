@@ -182,6 +182,38 @@ class KvDomainV2Spec extends SparkSuite {
     assert(mixed.count() === 1L) // v995
   }
 
+  test("versionDiff: added/removed/changed across versions with ZERO shuffle on kv") {
+    import spark.implicits._
+    val store = buildDomain("vdiff", 4, (0L until 300L).map(i => i -> s"v$i"))
+    // v2: drop %7 keys, change %3 values, add 300..309
+    val v2 = ((0L until 300L).filter(_ % 7 != 0).map(i =>
+      i -> (if (i % 3 == 0) s"CHANGED$i" else s"v$i")) ++
+      (300L until 310L).map(i => i -> s"v$i"))
+    val df2 = v2.toDF("k", "v").select(
+      graft.functions.long_be(col("k")).as("key"),
+      graft.functions.utf8_bytes(col("v")).as("value"))
+    store.write(df2, version = 2L)
+
+    val diff = withNoBroadcast(store.versionDiff(spark, 1L, 2L))
+    val got = diff.select(
+        graft.functions.be_long(col("key")).as("k"), col("change"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expAdded = (300L until 310L).toSet
+    val expRemoved = (0L until 300L).filter(_ % 7 == 0).toSet
+    val expChanged = (0L until 300L).filter(i => i % 7 != 0 && i % 3 == 0).toSet
+    assert(got.filter(_._2 == "added").keySet === expAdded)
+    assert(got.filter(_._2 == "removed").keySet === expRemoved)
+    assert(got.filter(_._2 == "changed").keySet === expChanged)
+    assert(got.size === expAdded.size + expRemoved.size + expChanged.size)
+    // the scale claim: neither version moves — SPJ full-outer merge join
+    val plan = withNoBroadcast {
+      val d = store.versionDiff(spark, 1L, 2L)
+      d.collect()
+      finalPlan(d)
+    }
+    assert(!plan.contains("Exchange "), plan)
+  }
+
   test("duplicateKeyAudit on a kv domain: finds dup keys with ZERO shuffle") {
     import spark.implicits._
     val store = DomainStore.create(
