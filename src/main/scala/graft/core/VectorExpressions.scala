@@ -367,6 +367,62 @@ case class PqAdcExpr(
     copy(left = newLeft, right = newRight)
 }
 
+object BpeKernel {
+  /** Tokenize every word of an array<string> row under a broadcast merge
+    * table, flattened word-major — the distributed half of
+    * [[graft.operators.Bpe]] (per-row imperative, like every kernel in
+    * this file; the merge table rides ONE broadcast per plan). */
+  def segment(
+      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      bc: org.apache.spark.broadcast.Broadcast[graft.operators.Bpe.Merges])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val merges = bc.value
+    val n = words.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.unsafe.types.UTF8String]
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i).toString
+      val toks = graft.operators.Bpe.tokenizeWord(w, merges)
+      var j = 0
+      while (j < toks.length) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(j))
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
+/** BPE segmentation of a words array under a broadcast merge table —
+  * flat array<string> of subword tokens, word-major order. */
+case class BpeSegmentExpr(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[graft.operators.Bpe.Merges])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def inputTypes: Seq[interop.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segment"
+
+  override protected def nullSafeEval(a: Any): Any =
+    BpeKernel.segment(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj(
+      "bpeMergesBc", bc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.core.BpeKernel.segment($a, $bcRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentExpr =
+    copy(child = newChild)
+}
+
 object TopFreq {
   /** Count of the most frequent element in a string array (0 when empty):
     * one hash-map pass per row. */
