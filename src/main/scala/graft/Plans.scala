@@ -32,6 +32,11 @@ object Plans {
       val k = java.nio.ByteBuffer.allocate(8).putLong(42L).array()
       domain.read(spark).where(col("key") === lit(k)).select("value")
     }
+    dump("kv range scan (expect: scan description carries keyRange=, filters pushed)") {
+      val kv = Fixtures.customerKvFileDomain(spark, sfDir)
+      def be(l: Long) = java.nio.ByteBuffer.allocate(8).putLong(l).array()
+      kv.rangeScan(spark, from = Some(be(100L)), to = Some(be(200L)))
+    }
     dump("multiGet (expect: pruned scan + broadcast hash join)") {
       val keys = Fixtures.table(spark, sfDir, "customer")
         .where(col("c_custkey") % 7 === 0)

@@ -160,6 +160,20 @@ object Fixtures {
       store.write(customerKv(s, sfDir), version = 1L)
     }
 
+  /** customer kv domain with STRING keys (utf8 of the custkey decimal) —
+    * the key form whose md5 routing DuckDB can replay (its md5() is
+    * VARCHAR-only, so binary-keyed domains cannot oracle routing math). */
+  def customerStrDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "customer-strkey",
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted)) { (store, s) =>
+      store.write(
+        table(s, sfDir, "customer").select(
+          utf8_bytes(col("c_custkey").cast("string")).as("key"),
+          utf8_bytes(col("c_name")).as("value")),
+        version = 1L)
+    }
+
   /** Two full versions of one kv domain for the version-diff surface:
     * v1 = every customer name; v2 drops %7 keys, rewrites %3 values to
     * the market segment, and adds +1000000 keys for %50. */

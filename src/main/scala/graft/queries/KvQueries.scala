@@ -210,6 +210,17 @@ object KvQueries {
       Fixtures.customerDomain(s, dir).lookupJoin(probe, salt = 8)
         .select(col("o_orderkey"), bytes_utf8(col("value")).as("c_name"))
     },
+    // Per-shard skew report over a BUILT domain — metadata-only (kv
+    // trailers / parquet footers, no data page read): the histogram that
+    // catches a hot shard before a 64k-shard build straggles. The oracle
+    // replays the md5 routing of every key and counts per shard, so the
+    // report is pinned against the routing math itself (4 | 2^64, so the
+    // low-8-byte simplification applies). Bytes are format-dependent
+    // metadata and stay out of the contract columns.
+    "kv_shard_stats" -> { (s, dir) =>
+      Fixtures.customerStrDomain(s, dir).shardStats(s)
+        .select(col("shard"), col("n_rows"))
+    },
     // Q4+Q6: per-shard fanout of the routing function (the write-side
     // histogram a domain build produces for these keys).
     "kv_shard_distribution" -> { (s, dir) =>
@@ -271,6 +282,13 @@ object KvQueries {
           |SELECT c_custkey, change, old_v, new_v FROM j WHERE change != 'same'""".stripMargin,
       "kv_range_scan" ->
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 200 AND c_custkey < 700",
+      "kv_shard_stats" ->
+        """WITH r AS (
+          |  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 16))::UBIGINT % 4 AS INT) AS shard
+          |  FROM customer)
+          |SELECT CAST(s.shard AS INT) AS shard, CAST(coalesce(c.n, 0) AS BIGINT) AS n_rows
+          |FROM (SELECT unnest(range(0, 4)) AS shard) s
+          |LEFT JOIN (SELECT shard, count(*) AS n FROM r GROUP BY shard) c USING (shard)""".stripMargin,
       "kv_count" ->
         "SELECT count(*) AS cnt FROM customer",
       "kv_copartition_join" ->

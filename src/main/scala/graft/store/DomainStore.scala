@@ -401,6 +401,49 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .select(col("shard"), col("key"), col("change"), col("old_value"), col("new_value"))
   }
 
+  /** Per-shard (shard, n_rows, n_bytes) histogram of the newest version —
+    * the SKEW report: a hot shard is the first thing to know about a
+    * domain before a 64k-shard build straggles or a lookup fans out
+    * unevenly. METADATA-ONLY like [[count]]: rows come from parquet/orc
+    * footers or kv trailers, bytes from file status — no data page is
+    * ever read. Same two-tier shape as count: a driver thread pool below
+    * `distributeAbove` shards, one distributed metadata job above it
+    * (the 64k-shard regime, where even directory listing must not be a
+    * serial driver loop). Missing shard dirs (empty shards) report
+    * (shard, 0, 0) so the histogram is always numShards rows. */
+  def shardStats(
+      spark: SparkSession,
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove): DataFrame = {
+    import spark.implicits._
+    val vp = versions.versionPath(latestVersion)
+    val confEntries = DomainStore.serializableConf(conf)
+    val (base, fmt, suffix) = (vp.toString, format, fileSuffix)
+    def statsOf(s: Int, c: Configuration): (Int, Long, Long) = {
+      val d = new Path(base, s"shard=$s")
+      val fs = d.getFileSystem(c)
+      if (!fs.exists(d)) (s, 0L, 0L)
+      else {
+        val fls = fs.listStatus(d).filter(_.getPath.getName.endsWith(suffix))
+        (s,
+          fls.map(st => DomainStore.footerRowCount(st.getPath, fmt, c)).sum,
+          fls.map(_.getLen).sum)
+      }
+    }
+    val rows =
+      if (numShards > distributeAbove)
+        spark.createDataset(0 until numShards)
+          .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
+          .mapPartitions { it =>
+            val c = DomainStore.rebuildConf(confEntries)
+            it.map(s => statsOf(s, c))
+          }
+      else {
+        import scala.collection.parallel.CollectionConverters._
+        spark.createDataset((0 until numShards).par.map(s => statsOf(s, conf)).toList)
+      }
+    rows.toDF("shard", "n_rows", "n_bytes")
+  }
+
   def fsck(spark: SparkSession): DataFrame = fsck(spark, latestVersion)
 
   def fsck(spark: SparkSession, version: Long): DataFrame = {

@@ -288,6 +288,31 @@ class DomainStoreSpec extends SparkSuite {
     intercept[IllegalStateException](dead.range(fromB, toB))
   }
 
+  test("shardStats: metadata-only skew report, both tiers agree, empty shards report zero") {
+    val store = DomainStore.create(
+      scratch("shardstats"), DomainSpec(8, persistenceFormat = DomainSpec.KvSorted), conf)
+    // keys chosen so at least one shard is empty is not guaranteed; use
+    // few keys over 8 shards so some shards ARE empty
+    val pairs = (0 until 10).map(i => s"sk$i" -> s"sv$i")
+    store.write(kv(pairs: _*), 1L)
+    def statsOf(distributeAbove: Int): Map[Int, (Long, Long)] =
+      store.shardStats(spark, distributeAbove)
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val driver = statsOf(Int.MaxValue) // driver thread pool branch
+    val dist = statsOf(0) // distributed metadata job branch
+    assert(driver === dist)
+    assert(driver.keySet === (0 until 8).toSet, "one row per shard, empty included")
+    assert(driver.values.map(_._1).sum === 10L)
+    // per-shard rows match the routing
+    val expected = pairs.map(p => ShardIndex.shardIndex(utf8(p._1), 8))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    (0 until 8).foreach { s =>
+      assert(driver(s)._1 === expected.getOrElse(s, 0L), s"shard $s rows")
+      if (driver(s)._1 == 0L) assert(driver(s)._2 === 0L, s"empty shard $s must report 0 bytes")
+      else assert(driver(s)._2 > 0L, s"shard $s bytes")
+    }
+  }
+
   test("KvDomainReader.multiGet: density-adaptive batch lookup, input-aligned, Spark-free") {
     val root = scratch("kv-mget")
     val store = DomainStore.create(
