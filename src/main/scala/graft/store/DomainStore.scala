@@ -364,6 +364,18 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     (lo ++ hi).foldLeft(base)(_ where _)
   }
 
+  /** All keys starting with `prefix` — [[rangeScan]] over
+    * `[prefix, prefixSuccessor(prefix))`, so the kv engine's pushdown
+    * reads only the prefix run of each shard. The natural query shape
+    * for composite keys (`entity‖ts`, `tenant‖id`): every key of one
+    * entity/tenant without touching the rest of the domain. */
+  def prefixScan(spark: SparkSession, prefix: Array[Byte]): DataFrame =
+    rangeScan(
+      spark,
+      from = Some(prefix),
+      to = KvFile.prefixSuccessor(prefix),
+      toInclusive = false)
+
   /** What changed between two published versions: one row per key whose
     * state differs — `change` ∈ added / removed / changed, with both
     * values. The ops question every versioned store gets asked ("what

@@ -104,6 +104,23 @@ object KvFile {
     offsets.length.toLong
   }
 
+  /** Exclusive upper bound of the key range sharing `prefix`: the prefix
+    * with its last non-0xFF byte incremented and everything after it
+    * dropped (unsigned-lexicographic successor). `None` = no finite
+    * bound (all-0xFF or empty prefix — every key ≥ prefix matches).
+    * Spark-free so the serving reader and the engine share ONE
+    * definition of "prefix". */
+  def prefixSuccessor(prefix: Array[Byte]): Option[Array[Byte]] = {
+    var i = prefix.length - 1
+    while (i >= 0 && prefix(i) == 0xFF.toByte) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOfRange(prefix, 0, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
   def open(fs: FileSystem, path: Path): Reader =
     new Reader(fs.open(path), fs.getFileStatus(path).getLen, path.toString)
 

@@ -76,4 +76,30 @@ object StreamingText {
       .queryName(queryName)
       .start()
   }
+
+  /**
+   * Feature-hash-embed a document stream ([[TextAnalysis.featureHashEmbed]]
+   * unchanged) — per-row hashing plus one (doc, cell) stateful
+   * aggregation, no model at all, so the op is streaming-legal as
+   * written; each doc's grams arrive in one file-stream batch, so the
+   * running sparse-embedding table is correct per batch. The ingest-side
+   * twin of the batch text→vector bridge: embed documents AS THEY ARRIVE,
+   * then feed the vector stack.
+   */
+  def hashEmbedToMemory(
+      spark: SparkSession,
+      dir: String,
+      queryName: String,
+      dim: Int = 64): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(StreamingEvents.DocumentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    TextAnalysis.featureHashEmbed(docs, "doc_id", "text", dim)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 }

@@ -288,6 +288,38 @@ class DomainStoreSpec extends SparkSuite {
     intercept[IllegalStateException](dead.range(fromB, toB))
   }
 
+  test("prefixScan: exactly the prefix run; successor math handles 0xFF tails") {
+    // successor math on its own
+    def suc(bs: Int*): Option[Seq[Int]] =
+      KvFile.prefixSuccessor(bs.map(_.toByte).toArray).map(_.toSeq.map(_ & 0xff))
+    assert(suc(0x61, 0x62) === Some(Seq(0x61, 0x63)))
+    assert(suc(0x61, 0xff) === Some(Seq(0x62)))
+    assert(suc(0xff, 0xff) === None)
+    assert(KvFile.prefixSuccessor(Array.emptyByteArray) === None)
+
+    val store = DomainStore.create(
+      scratch("prefixscan"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val pairs = Seq("user1", "user10", "user19", "user2", "user1x", "usr1", "user")
+      .map(k => k -> s"v-$k")
+    store.write(kv(pairs: _*), 1L)
+    def scan(prefix: String): Set[String] =
+      store.prefixScan(spark, utf8(prefix))
+        .select(bytes_utf8(col("key"))).collect().map(_.getString(0)).toSet
+    assert(scan("user1") === Set("user1", "user10", "user19", "user1x"))
+    assert(scan("user") === Set("user", "user1", "user10", "user19", "user1x", "user2"))
+    assert(scan("zzz") === Set.empty)
+    // an all-0xFF prefix degrades to an open upper end, not an error
+    val ffStore = DomainStore.create(
+      scratch("prefixscan-ff"), DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    import spark.implicits._
+    val ffKey = Array(0xff.toByte, 0xff.toByte)
+    ffStore.write(
+      Seq((ffKey, utf8("top")), (utf8("a"), utf8("low"))).toDF("key", "value"), 1L)
+    val got = ffStore.prefixScan(spark, Array(0xff.toByte))
+      .select(col("value")).collect().map(r => new String(r.getAs[Array[Byte]](0), "UTF-8"))
+    assert(got.toSeq === Seq("top"))
+  }
+
   test("shardStats: metadata-only skew report, both tiers agree, empty shards report zero") {
     val store = DomainStore.create(
       scratch("shardstats"), DomainSpec(8, persistenceFormat = DomainSpec.KvSorted), conf)

@@ -317,6 +317,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming featureHashEmbed over a doc stream == batch (multi-batch)") {
+    import org.apache.spark.sql.functions._
+    val src = sf("sf0.001/documents.parquet")
+    val dir = scratch("stream-hashembed")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val staging = scratch("stream-hashembed-staging")
+    val all = spark.read.parquet(src)
+    all.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$staging/b0")
+    all.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$staging/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$staging/b0", s"$dir/docs-0.parquet")
+    stage(s"$staging/b1", s"$dir/docs-1.parquet")
+    def normalize(r: Row) = (r.getLong(0), r.getInt(1), r.getLong(2))
+    val batch = graft.operators.TextAnalysis
+      .featureHashEmbed(all, "doc_id", "text", 32)
+      .collect().map(normalize).toSet
+    val q = StreamingText.hashEmbedToMemory(spark, dir, "hashembed_stream_test", dim = 32)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hashembed_stream_test").collect().map(normalize).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup against a published band index == batch probe (multi-batch)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
