@@ -42,6 +42,18 @@ object Bpe {
   /** A learned merge table: pairs in rank order (rank 0 merges first). */
   final case class Merges(pairs: IndexedSeq[(String, String)]) {
     lazy val ranks: Map[(String, String), Int] = pairs.zipWithIndex.toMap
+
+    // One broadcast per table per session (CLAUDE.md's share-one-broadcast
+    // rule): tokenCounts + tokenHistogram over one corpus must not ship
+    // the table twice. Transient so a shipped Merges never drags a
+    // driver-side broadcast handle along.
+    @transient private var bcCache: org.apache.spark.broadcast.Broadcast[Merges] = _
+    private[graft] def broadcastWith(
+        spark: org.apache.spark.sql.SparkSession)
+        : org.apache.spark.broadcast.Broadcast[Merges] = synchronized {
+      if (bcCache == null) bcCache = spark.sparkContext.broadcast(this)
+      bcCache
+    }
   }
 
   /**
@@ -155,9 +167,8 @@ object Bpe {
     * order) — the per-row kernel over [[TextAnalysis.wordTokens]]. */
   def tokens(text: Column, merges: Merges, spark: org.apache.spark.sql.SparkSession): Column = {
     import org.apache.spark.sql.graft.interop
-    val bc = spark.sparkContext.broadcast(merges)
     interop.column(graft.core.BpeSegmentExpr(
-      interop.expression(TextAnalysis.wordTokens(text)), bc))
+      interop.expression(TextAnalysis.wordTokens(text)), merges.broadcastWith(spark)))
   }
 
   /** Per-document BPE accounting: (idCol, n_words, n_bpe_tokens) —

@@ -1359,8 +1359,10 @@ object Similarity {
       (0 until dim).map(i => sum(col(s"_q$i")).as(s"_s$i")): _*)
     val joined = q.join(broadcast(sums), Seq("cell"))
     val n = col("_n").cast(dec)
-    // |q|² fits a long (dim · 2^40); the cross and sum terms need decimal
-    val vv = (0 until dim).map(i => col(s"_q$i") * col(s"_q$i")).reduce(_ + _).cast(dec)
+    // EVERY term accumulates in decimal: a long q*q already overflows for
+    // |element| ≳ 3000 (hash-embed count vectors hit that), and with ANSI
+    // off the wrap would silently corrupt the ranking
+    val vv = (0 until dim).map(i => col(s"_q$i").cast(dec) * col(s"_q$i").cast(dec)).reduce(_ + _)
     val vs = (0 until dim).map(i => col(s"_q$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
     val ss = (0 until dim).map(i => col(s"_s$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
     val key = (n * n * vv) - (lit(2).cast(dec) * n * vs) + ss

@@ -68,8 +68,18 @@ class GraftCatalog extends TableCatalog {
     domains.listDomains.map(Identifier.of(Array.empty[String], _)).toArray
   }
 
+  /** O(1) existence: two spec-file probes, never a root listing — a SQL
+    * table resolution must not pay O(domains-under-root) metadata calls
+    * (DomainCatalog.listDomains does; it is the right cost for SHOW
+    * TABLES, the wrong one for resolving a single name). */
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.isEmpty && domains.listDomains.contains(ident.name)
+    ident.namespace.isEmpty && {
+      val dir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root), ident.name)
+      val fs = dir.getFileSystem(conf)
+      fs.exists(new org.apache.hadoop.fs.Path(dir, DomainSpec.FileName)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(dir, DomainSpec.YamlFileName))
+    }
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)

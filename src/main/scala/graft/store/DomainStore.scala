@@ -1003,26 +1003,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * reads it feeds. */
   def count(spark: SparkSession, distributeAbove: Int = DomainStore.DefaultDistributeAbove): Long = {
     val vp = versions.versionPath(latestVersion)
-    if (numShards > distributeAbove) {
-      import spark.implicits._
-      import scala.jdk.CollectionConverters._
-      val confEntries = DomainStore.serializableConf(conf)
-      val (base, fmt, suffix) = (vp.toString, format, fileSuffix)
-      return spark.createDataset(0 until numShards)
-        .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
-        .mapPartitions { it =>
-          val c = DomainStore.rebuildConf(confEntries)
-          it.map { s =>
-            val d = new Path(base, s"shard=$s")
-            val fs = d.getFileSystem(c)
-            if (!fs.exists(d)) 0L
-            else fs.listStatus(d)
-              .filter(_.getPath.getName.endsWith(suffix))
-              .map(st => DomainStore.footerRowCount(st.getPath, fmt, c)).sum
-          }
-        }
-        .agg(sum("value")).head().getLong(0)
-    }
+    if (numShards > distributeAbove)
+      // ONE definition of the distributed per-shard metadata pass:
+      // count is the row-sum of the skew report
+      return shardStats(spark, distributeAbove).agg(sum(col("n_rows"))).head().getLong(0)
     val fs = vp.getFileSystem(conf)
     val files = scala.collection.mutable.ArrayBuffer[Path]()
     val it = fs.listFiles(vp, true)

@@ -36,10 +36,12 @@ case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long, value_c
  */
 object StreamingEvents {
 
-  /** events table ON-DISK schema: the testdata files carry a µs-typed
-    * `ts` (TIMESTAMP_NTZ in Spark terms — the file-stream schema must
-    * match the files); [[readEvents]] normalizes it to the engine's
-    * ts-as-nanos BIGINT convention before any operator sees it. */
+  /** events table schema with the DEFAULT on-disk `ts` encoding
+    * (µs-typed → TIMESTAMP_NTZ in Spark terms). The driver regenerates
+    * testdata between rounds and the ts type has FLIPPED before
+    * (NANOS→MICROS, the CLAUDE.md trap), so [[readEvents]] does not
+    * trust this default: it probes the actual file footers at stream
+    * open and adopts whatever ts type they carry. */
   val EventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
@@ -49,12 +51,23 @@ object StreamingEvents {
     StructField("props", StringType)))
 
   /** Open a file-based event stream over a directory of parquet files;
-    * `ts` is delivered as BIGINT nanos regardless of the file encoding. */
+    * `ts` is delivered as BIGINT nanos regardless of the file encoding.
+    * The stream schema's ts field is probed from the files already in
+    * `dir` (one batch footer sniff — a file stream needs a declared
+    * schema, and declaring the wrong ts class fails every batch), so
+    * both nanos-as-long and µs-timestamp parquet work unmodified; an
+    * empty dir falls back to [[EventsSchema]]. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema =
+      try {
+        val probedTs = spark.read.parquet(dir).schema("ts").dataType
+        StructType(EventsSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = probedTs) else f))
+      } catch { case _: Exception => EventsSchema }
     graft.operators.Events.tsAsNanos(
       spark.readStream
-        .schema(EventsSchema)
+        .schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(dir))
   }

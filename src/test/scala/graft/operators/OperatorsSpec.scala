@@ -1228,8 +1228,15 @@ class OperatorsSpec extends SparkSuite {
     val planes = 4
     val (dropNum, dropDen) = (1, 4)
     val zeroId = 999999L
+    // large-magnitude rows (hash-embed count vectors reach thousands):
+    // q*q at quantization scale overflows a LONG for |v| ≳ 3000 — the
+    // ranking must accumulate in decimal, or these rows corrupt the
+    // keep/drop decision (regression for the r6 review finding)
+    val bigRows = Seq(
+      (999997L, Array.fill(64)(3000.0f), 0),
+      (999998L, Array.tabulate(64)(i => (i - 32) * 2900.0f), 0))
     val corpus = embs.unionByName(
-      Seq((zeroId, Array.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+      (bigRows :+ ((zeroId, Array.fill(64)(0.0f), 0))).toDF("vec_id", "embedding", "label"))
     val out = Similarity.prototypePruning(
       corpus, "vec_id", "embedding", planes, dropNum, dropDen)
       .collect()
@@ -1238,9 +1245,11 @@ class OperatorsSpec extends SparkSuite {
     // the zero-norm vector is unclustered and NEVER pruned
     assert(out(zeroId) === ((-1L, 0L, 0L, true)))
     // naive replay: same planes/cells as semanticDedup, exact quantized
-    // distance-to-mean ranking in BigInt
-    val vecs = embs.collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    // distance-to-mean ranking in BigInt — over embs AND the big rows
+    // (they share cells, so they shift every cell's mean)
+    val vecs = (embs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)) ++
+      bigRows.map { case (id, v, _) => id -> v.map(_.toDouble) })
       .sortBy(_._1)
     val pl = Similarity.hyperplanes(1, planes, vecs.head._2.length)(0)
     def dot(a: Array[Double], b: Array[Double]) = {
