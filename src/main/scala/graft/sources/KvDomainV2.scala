@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, StructField, StructType}
@@ -227,10 +227,36 @@ class KvDomainScan(
     with Batch
     with SupportsReportPartitioning
     with SupportsReportOrdering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
-  private val shards: Seq[Int] =
-    (0 until numShards).filter(s => keepShards.forall(_.contains(s)))
+  // Runtime (DPP-style) shard pruning: when a join's other side is small
+  // and selective, Spark's PartitionPruning rule hands this scan the
+  // runtime `shard IN (...)` filter derived from the build side — the
+  // DSv2 twin of dynamic partition pruning, and the automatic version of
+  // lookupJoin's plan-time shard derivation: ANY join conditioned on
+  // `shard` prunes which shard files are opened, no engine API needed.
+  // Declared pruning (keepShards) and runtime pruning intersect.
+  @volatile private var runtimeShards: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("shard"))
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    def shardSet(f: org.apache.spark.sql.sources.Filter): Option[Set[Int]] = f match {
+      case EqualTo("shard", v: Int) => Some(Set(v))
+      case EqualNullSafe("shard", v: Int) => Some(Set(v))
+      case In("shard", vs) if vs.forall(_.isInstanceOf[Int]) =>
+        Some(vs.map(_.asInstanceOf[Int]).toSet)
+      case _ => None
+    }
+    val sets = filters.flatMap(shardSet)
+    if (sets.nonEmpty) runtimeShards = Some(sets.reduce(_ intersect _))
+  }
+
+  private def shards: Seq[Int] =
+    (0 until numShards).filter(s =>
+      keepShards.forall(_.contains(s)) && runtimeShards.forall(_.contains(s)))
   private def has(name: String): Boolean = required.fieldNames.contains(name)
 
   override def readSchema(): StructType = required

@@ -182,6 +182,34 @@ class KvDomainV2Spec extends SparkSuite {
     assert(mixed.count() === 1L) // v995
   }
 
+  test("runtime filtering (DPP): a selective broadcast join prunes shard files dynamically") {
+    import spark.implicits._
+    val store = buildDomain("dpp", 8, (0L until 2000L).map(i => i -> s"v$i"))
+    // the build side must be a SCAN with a selective filter on top for
+    // PartitionPruning's benefit heuristic — a parquet probe table whose
+    // tag filter selects 2 of 8 shards
+    val probePath = scratch("dpp-probe-keys")
+    (0L until 2000L).toDF("k").select(
+        graft.functions.long_be(col("k")).as("key"))
+      .withColumn("shard", graft.functions.shard_index(col("key"), 8))
+      .withColumn("tag", (col("shard") % 4).cast("int"))
+      .write.mode("overwrite").parquet(probePath)
+    val probe = spark.read.parquet(probePath).where(col("tag") === 0)
+    val joined = store.readPartitioned(spark).join(broadcast(probe), Seq("shard", "key"))
+    val rows = joined.collect()
+    // correctness: exactly the probe's keys resolve
+    val expect = (0L until 2000L).filter(k =>
+      graft.core.ShardIndex.shardIndex(
+        java.nio.ByteBuffer.allocate(8).putLong(k).array(), 8) % 4 == 0)
+    assert(rows.length === expect.size)
+    // the scan received the runtime `shard IN (...)` filter and opened
+    // only the probed shards (2 of 8) — dynamic partition pruning through
+    // the DSv2 SupportsRuntimeFiltering seam, with NO engine API involved
+    val plan = finalPlan(joined)
+    assert(plan.contains("dynamicpruningexpression"), plan)
+    assert(plan.contains("shards=2/8"), plan)
+  }
+
   test("versionDiff: added/removed/changed across versions with ZERO shuffle on kv") {
     import spark.implicits._
     val store = buildDomain("vdiff", 4, (0L until 300L).map(i => i -> s"v$i"))
