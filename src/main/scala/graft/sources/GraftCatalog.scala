@@ -81,7 +81,30 @@ class GraftCatalog extends TableCatalog {
         fs.exists(new org.apache.hadoop.fs.Path(dir, DomainSpec.YamlFileName))
     }
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL time travel: `SELECT ... FROM cat.dom VERSION AS OF <v>` reads
+    * that PUBLISHED version — the catalog twin of
+    * `DomainStore.readPartitioned(spark, v)` (versions are the domain's
+    * own ids, the reference's caller-assigned longs). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF '$version': graft domain versions are the store's own " +
+          "numeric version ids (see SHOW TABLES + DomainCatalog.toDf for the list)")
+    }
+    load(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` has no defined meaning here: version ids are
+    * caller-assigned longs, not wall-clock instants — refuse loudly
+    * rather than guess a mapping. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported: graft domain versions are caller-assigned " +
+        "ids, not timestamps — use VERSION AS OF <version id>")
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
     val store = domains.domain(ident.name)
     require(
@@ -90,11 +113,15 @@ class GraftCatalog extends TableCatalog {
         "SQL catalog tables are served through the layout-reporting kv-sorted source; " +
         "read this domain via DomainStore.read, or re-export it with " +
         "persistenceFormat = kv-sorted")
-    val version = store.latestVersion
-    val vp = store.versions.versionPath(version).toString
+    val v = version.getOrElse(store.latestVersion)
+    require(
+      store.versions.isPublished(v),
+      s"domain '${ident.name}' has no published version $v " +
+        s"(published: ${store.versions.getAllVersions.mkString(", ")})")
+    val vp = store.versions.versionPath(v).toString
     KvDomainV2.registerConf(vp, DomainStore.serializableConf(conf))
     new KvDomainTable(vp, store.numShards) {
-      override def name(): String = s"$catalogName.${ident.name}@v$version"
+      override def name(): String = s"$catalogName.${ident.name}@v$v"
     }
   }
 

@@ -56,6 +56,18 @@ class GraftCatalogSpec extends SparkSuite {
       .select(graft.functions.bytes_utf8(col("value")).as("v"))
       .where(col("v") === "updated")
     assert(v2.count() === 1L)
+
+    // time travel: VERSION AS OF reads the pinned published version
+    val old = spark.sql("SELECT value FROM graft_t1.alpha VERSION AS OF 1")
+      .select(graft.functions.bytes_utf8(col("value")).as("v"))
+    assert(old.where(col("v") === "updated").count() === 0L)
+    assert(old.where(col("v") === "a7").count() === 1L)
+    val noV = intercept[Exception](
+      spark.sql("SELECT * FROM graft_t1.alpha VERSION AS OF 99").collect())
+    assert(noV.getMessage.contains("no published version 99"), noV.getMessage)
+    val ts = intercept[Exception](
+      spark.sql("SELECT * FROM graft_t1.alpha TIMESTAMP AS OF '2026-01-01'").collect())
+    assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
   }
 
   test("read-only + fail-loud: DDL refused, missing/non-kv domains name the problem") {
