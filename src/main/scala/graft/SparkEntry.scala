@@ -28,12 +28,12 @@ object SparkEntry {
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     KvQueries.queries ++ RelQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++ MmQueries.queries ++
-      EventQueries.queries ++ PipelineQueries.queries
+      EventQueries.queries ++ PipelineQueries.queries ++ SearchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   lazy val oracleSql: Map[String, String] =
     KvQueries.oracleSql ++ RelQueries.oracleSql ++ TextQueries.oracleSql ++
       DedupQueries.oracleSql ++ SimQueries.oracleSql ++ MmQueries.oracleSql ++
-      EventQueries.oracleSql ++ PipelineQueries.oracleSql
+      EventQueries.oracleSql ++ PipelineQueries.oracleSql ++ SearchQueries.oracleSql
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{bytes_utf8, utf8_bytes}
+import graft.store.DomainStore
+
+/** Full-text search served from a PUBLISHED kv domain — the engine-service
+  * twin of [[Dedup.bandIndexKv]] for ranked retrieval: the corpus's
+  * inverted index (term → postings) is built in one batch pass, published
+  * as a versioned sharded domain, and queried by point lookups of the
+  * query's terms (the reference's `multiGet` serving surface,
+  * `elephantdb-thrift/src/thrift/core.thrift:6-8`, carrying ranked search
+  * the way `bandIndexKv` carries dedup).
+  *
+  * Why a training-data pipeline wants this: corpus exploration ("which
+  * documents mention X"), decontamination probes against a published
+  * benchmark index, and quality triage all reduce to ranked term lookup
+  * over corpora far too large to grep — and serving them from an immutable
+  * published version is exactly the elephantdb deployment shape.
+  *
+  * == Index layout (one domain, three record classes by key prefix) ==
+  *
+  *  - `t:<term>`  → postings `"docId:tf,docId:tf,…"` sorted by docId asc
+  *  - `d:<docId>` → token count of the document (BM25 length norm)
+  *  - `m:stats`   → `"<numDocs>,<totalTokens>"` (corpus-level constants)
+  *
+  * Values are UTF-8 CSV like the band index — trivially replayable in any
+  * SQL engine, prefix-scannable (`t:` enumerates the vocabulary), and
+  * key-sorted so the kv-sorted format serves them Spark-free.
+  *
+  * == Exactly-replayable BM25 ==
+  *
+  * Scores are BM25 with k1 = 6/5 and b = 3/4 — chosen so every per-term
+  * contribution is a SINGLE integer rational, exact in any engine:
+  *
+  * {{{
+  *   idf      = (N - df + 1) / (df + 1)          (rational, monotone)
+  *   contrib  = floor( 2^20 * idf * tf*(k1+1) / (tf + k1*(1-b+b*len/avg)) )
+  *            = floor( 2^20 * (N-df+1) * tf * 22 * T
+  *                     / ((df+1) * (10*tf*T + 3*T + 9*len*N)) )
+  *   score(q,d) = Σ_t contrib(t,d)               (integer sum, order-free)
+  * }}}
+  *
+  * where N = docs, T = total tokens, len = doc tokens. Numerator and
+  * denominator stay under 10^38 even at 10^10 docs, so Decimal(38,0)
+  * `div` (exact `divideToIntegralValue`) on the Spark side and HUGEINT
+  * `//` on the oracle side agree bit-for-bit — the quantized-integer
+  * contract every trained/scored operator here follows (CLAUDE.md:
+  * query-time-trained operators). Ties break by doc id.
+  *
+  * == Scale shape ==
+  *
+  * Build is two shuffles (tf group-by, term group-by) + the standard
+  * one-shuffle domain write; postings move as ids+counts, never text.
+  * Search shuffles only the query's term keys (multiGet) and the
+  * candidate rows (lookupJoin on doc lengths) — the corpus is never
+  * rescanned. Stop-term postings are the hot-bucket class: a term in
+  * every document is a posting list the size of the corpus, so build
+  * DROPS terms past `maxPostings` (recall accounting via
+  * [[oversizedPostingTerms]], same contract as `LshBuckets.MaxBucket`) —
+  * for ranked retrieval such terms carry ~zero idf anyway.
+  */
+object Search {
+
+  /** Postings-length cap: terms in more documents than this are dropped
+    * at build (and surfaced by [[oversizedPostingTerms]]). 64k entries ≈
+    * 0.75 MB of CSV value — comfortably a single kv record. */
+  val MaxPostings: Int = 1 << 16
+
+  /** Fixed-point scale for score quantization (2^20). */
+  val ScaleBits: Int = 20
+
+  val TermPrefix = "t:"
+  val DocPrefix = "d:"
+  val MetaKey = "m:stats"
+
+  private val d38 = DecimalType(38, 0)
+
+  /** (term, doc_id, tf) over [[TextAnalysis.wordTokens]] — the shared
+    * tokenization unit (simhash/stopwords/decontam), so index and corpus
+    * operators agree on what a term is. */
+  def termFrequencies(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** The inverted index as (key, value) rows ready for
+    * [[DomainStore.write]] — postings + doc lengths + corpus stats in one
+    * frame (see the class doc for the layout). */
+  def invertedIndexKv(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int = MaxPostings): DataFrame = {
+    val postings = termFrequencies(corpus, idCol, textCol)
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+      .where(size(col("ps")) <= maxPostings)
+      .select(
+        utf8_bytes(concat(lit(TermPrefix), col("term"))).as("key"),
+        utf8_bytes(concat_ws(",",
+          transform(col("ps"), p =>
+            concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
+          .as("value"))
+    val lens = corpus.select(
+      col(idCol).as("doc_id"),
+      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+    val lenRecords = lens.select(
+      utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
+      utf8_bytes(col("len").cast("string")).as("value"))
+    val meta = lens
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("t"))
+      .select(
+        utf8_bytes(lit(MetaKey)).as("key"),
+        utf8_bytes(concat_ws(",", col("n").cast("string"), col("t").cast("string")))
+          .as("value"))
+    postings.unionByName(lenRecords).unionByName(meta)
+  }
+
+  /** Recall accounting for the build-time postings cap: the dropped
+    * terms and their document frequencies (mirror of
+    * `Dedup.oversizedLshBuckets`). */
+  def oversizedPostingTerms(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int = MaxPostings): DataFrame =
+    termFrequencies(corpus, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPostings)
+
+  /** Ranked retrieval against a published [[invertedIndexKv]] domain:
+    * `queries` needs (`query_id: long`, `query_text: string`); returns
+    * (query_id, doc_id, score, rank) with rank 1..k per query (ties by
+    * doc id). Terms absent from the index (never seen, or dropped by the
+    * postings cap) contribute nothing, the standard stop-term elision.
+    *
+    * Candidate generation is a hits-only multiGet of the distinct term
+    * keys; length norm joins through [[DomainStore.lookupJoin]] (the
+    * co-shuffled bulk path — candidates never funnel through the
+    * driver); corpus constants ride a 1-row broadcast from `m:stats`.
+    * A candidate whose `d:` record is missing fails loud: that is index
+    * corruption, not a miss. */
+  def searchTopK(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.wordTokens(col("query_text")))).as("term"))
+    val termKeys = qterms
+      .select(utf8_bytes(concat(lit(TermPrefix), col("term"))).as("key"))
+      .distinct()
+    val postings = store.multiGet(termKeys, includeMisses = false)
+      .select(
+        substring(bytes_utf8(col("key")), TermPrefix.length + 1, Int.MaxValue).as("term"),
+        split(bytes_utf8(col("value")), ",").as("plist"))
+    val entries = postings
+      .select(col("term"), size(col("plist")).cast("long").as("df"),
+        explode(col("plist")).as("e"))
+      .select(col("term"), col("df"),
+        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
+        split(col("e"), ":").getItem(1).cast("long").as("tf"))
+    val withLen = store
+      .lookupJoin(entries.withColumn(
+        "key", utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string")))))
+      .withColumn("len",
+        when(col("value").isNull, raise_error(concat(
+          lit("searchTopK: candidate doc "), col("doc_id").cast("string"),
+          lit(" has no length record — the index is corrupt (postings and " +
+            "doc records must publish together)"))))
+          .otherwise(bytes_utf8(col("value")).cast("long")))
+      .drop("key", "value")
+    val meta = store
+      .multiGet(
+        queries.sparkSession.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
+        includeMisses = false)
+      .select(split(bytes_utf8(col("value")), ",").as("m"))
+      .select(col("m").getItem(0).cast("long").as("n_docs"),
+        col("m").getItem(1).cast("long").as("total_toks"))
+    val scored = withLen
+      .crossJoin(broadcast(meta)) // 1 row × candidates: corpus constants
+      .withColumn("num",
+        lit(1L << ScaleBits).cast(d38)
+          * (col("n_docs") - col("df") + lit(1L)).cast(d38)
+          * col("tf").cast(d38) * lit(22L).cast(d38) * col("total_toks").cast(d38))
+      .withColumn("den",
+        (col("df") + lit(1L)).cast(d38)
+          * (lit(10L).cast(d38) * col("tf").cast(d38) * col("total_toks").cast(d38)
+            + lit(3L).cast(d38) * col("total_toks").cast(d38)
+            + lit(9L).cast(d38) * col("len").cast(d38) * col("n_docs").cast(d38)))
+      // IntegralDivide on decimals is divideToIntegralValue — EXACT, the
+      // same integer DuckDB's HUGEINT `//` produces (both operands > 0)
+      .withColumn("contrib", expr("num div den"))
+    val byQuery = qterms.join(scored, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    byQuery
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+}

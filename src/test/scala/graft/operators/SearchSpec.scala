@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.DomainSpec
+import graft.functions.bytes_utf8
+import graft.store.DomainStore
+
+/** Pins graft.operators.Search: the published-index search pipeline vs an
+  * INDEPENDENT BigInt reference implementation of the same exact-integer
+  * BM25 (so the Catalyst decimal math, the postings roundtrip, and the
+  * ranking are all checked against from-scratch arithmetic), plus the
+  * postings-cap recall contract and the fail-loud corruption path. */
+class SearchSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val corpus = Seq(
+    1L -> "cat cat dog",
+    2L -> "cat fish",
+    3L -> "dog dog dog bird",
+    4L -> "bird fish cat dog")
+
+  private def corpusDf: DataFrame = corpus.toDF("doc_id", "text")
+
+  /** Independent reference: same formula, java.math arithmetic. */
+  private def refContrib(n: Long, total: Long, df: Long, tf: Long, len: Long): BigInt =
+    (BigInt(1) << Search.ScaleBits) * BigInt(n - df + 1) * BigInt(tf) * 22 * BigInt(total) /
+      (BigInt(df + 1) *
+        (BigInt(10) * BigInt(tf) * BigInt(total) + BigInt(3) * BigInt(total) +
+          BigInt(9) * BigInt(len) * BigInt(n)))
+
+  /** Reference top-k over the hand corpus for one query string. */
+  private def refSearch(query: String, k: Int): Seq[(Long, Long)] = {
+    val docToks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }
+    val n = docToks.size.toLong
+    val total = docToks.map(_._2.size.toLong).sum
+    val dfs = docToks.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val terms = query.split(" ").toSeq.distinct.filter(dfs.contains)
+    val scores = docToks.flatMap { case (id, ts) =>
+      val score = terms.map { t =>
+        val tf = ts.count(_ == t).toLong
+        if (tf == 0) BigInt(0)
+        else refContrib(n, total, dfs(t), tf, ts.size.toLong)
+      }.sum
+      if (score > 0) Some(id -> score.toLong) else None
+    }
+    scores.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  private def store(name: String, format: String): DomainStore = {
+    val st = DomainStore.create(
+      scratch(s"search-$name"),
+      DomainSpec(numShards = 4, persistenceFormat = format),
+      new Configuration())
+    st.write(Search.invertedIndexKv(corpusDf, "doc_id", "text"), version = 1L)
+    st
+  }
+
+  private def run(st: DomainStore, query: String, k: Int = 10): Seq[(Long, Long)] =
+    Search.searchTopK(st, Seq(0L -> query).toDF("query_id", "query_text"), k)
+      .orderBy("rank")
+      .select(col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  for (format <- Seq(DomainSpec.ParquetSorted, DomainSpec.KvSorted))
+    test(s"search on a $format index matches the BigInt reference") {
+      val st = store(s"ref-$format", format)
+      for (q <- Seq("cat", "dog bird", "cat dog fish", "fish")) {
+        assert(run(st, q) === refSearch(q, 10), s"query '$q'")
+      }
+      // unknown terms contribute nothing; all-unknown → empty
+      assert(run(st, "wombat") === Nil)
+      assert(run(st, "wombat fish") === refSearch("fish", 10))
+    }
+
+  test("top-k truncates by (score desc, doc_id) and ranks densely") {
+    val st = store("topk", DomainSpec.KvSorted)
+    val all = run(st, "cat dog fish bird")
+    assert(all.size === 4)
+    assert(run(st, "cat dog fish bird", k = 2) === all.take(2))
+  }
+
+  test("postings cap drops hot terms at build; the audit names them") {
+    // cap=2: "cat" (df 3) and "dog" (df 3) exceed; fish/bird (df 2) stay
+    val audited = Search.oversizedPostingTerms(corpusDf, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audited === Map("cat" -> 3L, "dog" -> 3L))
+
+    val st = DomainStore.create(
+      scratch("search-capped"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    st.write(
+      Search.invertedIndexKv(corpusDf, "doc_id", "text", maxPostings = 2),
+      version = 1L)
+    assert(run(st, "cat") === Nil) // dropped term = stop-term elision
+    assert(run(st, "cat fish") === refSearch("fish", 10))
+  }
+
+  test("a candidate without a doc-length record fails loud") {
+    val st = DomainStore.create(
+      scratch("search-corrupt"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    // drop every d:<id> record — postings then name docs the index
+    // cannot length-normalize, which must be an error, not a miss
+    st.write(
+      Search.invertedIndexKv(corpusDf, "doc_id", "text")
+        .where(!bytes_utf8(col("key")).startsWith(Search.DocPrefix)),
+      version = 1L)
+    val e = intercept[Exception] {
+      Search.searchTopK(st, Seq(0L -> "cat").toDF("query_id", "query_text"), 5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("no length record")))
+  }
+}
