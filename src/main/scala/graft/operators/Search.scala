@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{bytes_utf8, utf8_bytes}
-import graft.store.DomainStore
+import graft.store.{DomainStore, SearchLayout}
 
 /** Full-text search served from a PUBLISHED kv domain — the engine-service
   * twin of [[Dedup.bandIndexKv]] for ranked retrieval: the corpus's
@@ -67,16 +67,20 @@ import graft.store.DomainStore
 object Search {
 
   /** Postings-length cap: terms in more documents than this are dropped
-    * at build (and surfaced by [[oversizedPostingTerms]]). 64k entries ≈
-    * 0.75 MB of CSV value — comfortably a single kv record. */
+    * at build — replaced by an `x:` tombstone carrying their df, so
+    * incremental upserts can keep the elision consistent (and surfaced
+    * by [[oversizedPostingTerms]]). 64k entries ≈ 0.75 MB of CSV value —
+    * comfortably a single kv record. */
   val MaxPostings: Int = 1 << 16
 
-  /** Fixed-point scale for score quantization (2^20). */
-  val ScaleBits: Int = 20
-
-  val TermPrefix = "t:"
-  val DocPrefix = "d:"
-  val MetaKey = "m:stats"
+  // Layout + scoring constants live Spark-free in graft.store.SearchLayout
+  // (shared with the serving-side SearchReader); these are the operator-
+  // side aliases.
+  val ScaleBits: Int = SearchLayout.ScaleBits
+  val TermPrefix: String = SearchLayout.TermPrefix
+  val DocPrefix: String = SearchLayout.DocPrefix
+  val DroppedPrefix: String = SearchLayout.DroppedPrefix
+  val MetaKey: String = SearchLayout.MetaKey
 
   private val d38 = DecimalType(38, 0)
 
@@ -98,15 +102,23 @@ object Search {
       idCol: String,
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
+    // One pass emits live postings AND tombstones for capped terms: a
+    // term past the cap publishes `x:<term>` → df instead of postings,
+    // so the drop is a queryable fact (and searchIndexUpsert keeps the
+    // elision consistent instead of resurrecting a partial list).
     val postings = termFrequencies(corpus, idCol, textCol)
       .groupBy("term")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
-      .where(size(col("ps")) <= maxPostings)
+      .withColumn("live", size(col("ps")) <= maxPostings)
       .select(
-        utf8_bytes(concat(lit(TermPrefix), col("term"))).as("key"),
-        utf8_bytes(concat_ws(",",
-          transform(col("ps"), p =>
-            concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
+        utf8_bytes(concat(
+          when(col("live"), lit(TermPrefix)).otherwise(lit(DroppedPrefix)),
+          col("term"))).as("key"),
+        utf8_bytes(
+          when(col("live"), concat_ws(",",
+            transform(col("ps"), p =>
+              concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
+            .otherwise(size(col("ps")).cast("string")))
           .as("value"))
     val lens = corpus.select(
       col(idCol).as("doc_id"),
@@ -204,5 +216,109 @@ object Search {
     byQuery
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
+  }
+
+  private val PostingsArrayType = "array<struct<doc_id:bigint,tf:bigint>>"
+
+  /** Incremental growth of a PUBLISHED [[invertedIndexKv]] domain — the
+    * updater cycle for search (sibling of `Dedup.bandIndexUpsert` /
+    * `Similarity.ivfIndexUpsert`): new documents fold into the affected
+    * postings, publish their lengths, and advance the corpus stats;
+    * untouched terms copy-forward via the standard delta publish.
+    *
+    * Contracts, all ENFORCED:
+    *  - delta doc ids must be disjoint from the index (postings merge is
+    *    append-only; an update needs a rebuild) — probed via the `d:`
+    *    records, bounded `limit(1)`;
+    *  - a term the BUILD tombstoned stays elided: its `x:` df advances,
+    *    no partial postings list resurrects;
+    *  - a merge that would CROSS the cap fails loud naming the rebuild
+    *    (an upsert cannot drop a published `t:` key — same reasoning as
+    *    bandIndexUpsert's bucket cap);
+    *  - internally duplicated delta ids trip upsert's key-repeat guard.
+    *
+    * Work is O(delta + affected postings): three bounded multiGets (term
+    * keys ×2, the 1-row stats) plus the delta-sized upsert. */
+  def searchIndexUpsert(
+      index: DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long,
+      maxPostings: Int = MaxPostings): Unit = {
+    val spark = delta.sparkSession
+    val clash = index.multiGet(
+        delta.select(
+          utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key")),
+        includeMisses = false)
+      .limit(1).collect()
+    require(clash.isEmpty,
+      "searchIndexUpsert: a delta doc id is already indexed — postings " +
+        "merge is append-only; rebuild with invertedIndexKv to update documents")
+
+    val metaRows = index.multiGet(
+        spark.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
+        includeMisses = false)
+      .select(split(bytes_utf8(col("value")), ",").as("m")).collect()
+    require(metaRows.length == 1,
+      s"searchIndexUpsert: no '$MetaKey' record — not a search-index domain")
+    val curN = metaRows(0).getSeq[String](0)(0).toLong
+    val curT = metaRows(0).getSeq[String](0)(1).toLong
+
+    val additions = termFrequencies(delta, idCol, textCol)
+      .groupBy("term")
+      .agg(sort_array(collect_list(
+        struct(col("doc_id").cast("long").as("doc_id"), col("tf").as("tf")))).as("aps"))
+    def current(prefix: String, as: String) = index.multiGet(
+        additions.select(utf8_bytes(concat(lit(prefix), col("term"))).as("key")),
+        includeMisses = true)
+      .select(
+        substring(bytes_utf8(col("key")), prefix.length + 1, Int.MaxValue).as("term"),
+        bytes_utf8(col("value")).as(as))
+    val merged = additions
+      .join(current(TermPrefix, "cur"), Seq("term"), "left_outer")
+      .join(current(DroppedPrefix, "xdf").withColumn("xdf", col("xdf").cast("long")),
+        Seq("term"), "left_outer")
+      .withColumn("curps",
+        when(col("cur").isNull, array().cast(PostingsArrayType))
+          .otherwise(transform(split(col("cur"), ","), e =>
+            struct(
+              split(e, ":").getItem(0).cast("long").as("doc_id"),
+              split(e, ":").getItem(1).cast("long").as("tf")))
+            .cast(PostingsArrayType)))
+      .withColumn("ps",
+        array_sort(concat(col("curps"), col("aps").cast(PostingsArrayType))))
+    val termRecords = merged.select(
+      utf8_bytes(concat(
+        when(col("xdf").isNotNull, lit(DroppedPrefix)).otherwise(lit(TermPrefix)),
+        col("term"))).as("key"),
+      utf8_bytes(
+        when(col("xdf").isNotNull, (col("xdf") + size(col("aps"))).cast("string"))
+          .otherwise(when(size(col("ps")) <= maxPostings,
+            concat_ws(",", transform(col("ps"), p =>
+              concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
+            .otherwise(raise_error(concat(
+              lit("searchIndexUpsert: merged postings for term '"), col("term"),
+              lit(s"' exceed maxPostings=$maxPostings members — a rebuild " +
+                "would tombstone the term (recall accounting) and an upsert " +
+                "cannot drop a published key: re-index with invertedIndexKv"))))))
+        .as("value"))
+
+    val lens = delta.select(
+      col(idCol).as("doc_id"),
+      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+    val lenRecords = lens.select(
+      utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
+      utf8_bytes(col("len").cast("string")).as("value"))
+    val metaRecord = lens
+      .agg(count(lit(1)).as("an"), coalesce(sum(col("len")), lit(0L)).as("at"))
+      .select(
+        utf8_bytes(lit(MetaKey)).as("key"),
+        utf8_bytes(concat_ws(",",
+          (col("an") + lit(curN)).cast("string"),
+          (col("at") + lit(curT)).cast("string"))).as("value"))
+
+    index.upsert(
+      spark, termRecords.unionByName(lenRecords).unionByName(metaRecord), newVersion)
   }
 }

@@ -102,6 +102,84 @@ class SearchSpec extends SparkSuite {
     assert(run(st, "cat fish") === refSearch("fish", 10))
   }
 
+  test("incremental upsert == full rebuild, bit for bit") {
+    val half = corpusDf.where(col("doc_id") <= 2)
+    val rest = corpusDf.where(col("doc_id") > 2)
+    val inc = DomainStore.create(
+      scratch("search-inc"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    inc.write(Search.invertedIndexKv(half, "doc_id", "text"), version = 1L)
+    Search.searchIndexUpsert(inc, rest, "doc_id", "text", newVersion = 2L)
+    val full = store("full", DomainSpec.KvSorted)
+    def dump(st: DomainStore): Map[String, String] =
+      st.read(spark)
+        .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dump(inc) === dump(full)) // every record class identical
+    for (q <- Seq("cat dog", "fish bird", "cat"))
+      assert(run(inc, q) === refSearch(q, 10), s"query '$q'")
+  }
+
+  test("upsert of an already-indexed doc id fails loud") {
+    val st = store("upsert-clash", DomainSpec.KvSorted)
+    val e = intercept[IllegalArgumentException] {
+      Search.searchIndexUpsert(
+        st, Seq(2L -> "new text").toDF("doc_id", "text"), "doc_id", "text", 2L)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("a tombstoned term stays elided through upsert; its df advances") {
+    val st = DomainStore.create(
+      scratch("search-tomb"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    st.write(
+      Search.invertedIndexKv(corpusDf, "doc_id", "text", maxPostings = 2),
+      version = 1L)
+    Search.searchIndexUpsert(
+      st, Seq(9L -> "cat zebra").toDF("doc_id", "text"), "doc_id", "text", 2L,
+      maxPostings = 2)
+    assert(run(st, "cat") === Nil) // no partial postings resurrected
+    val xdf = st.get(spark, s"${Search.DroppedPrefix}cat".getBytes("UTF-8"))
+      .map(new String(_, "UTF-8"))
+    assert(xdf === Some("4")) // build df 3 + delta df 1
+    // the delta's new term is searchable
+    assert(run(st, "zebra").map(_._1) === Seq(9L))
+  }
+
+  test("an upsert that would cross the postings cap fails loud") {
+    val st = DomainStore.create(
+      scratch("search-cap-cross"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    // "fish" has df 2 at build (cap 2, just fits); one more doc crosses
+    st.write(
+      Search.invertedIndexKv(corpusDf, "doc_id", "text", maxPostings = 2),
+      version = 1L)
+    val e = intercept[Exception] {
+      Search.searchIndexUpsert(
+        st, Seq(9L -> "fish").toDF("doc_id", "text"), "doc_id", "text", 2L,
+        maxPostings = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("exceed maxPostings")))
+  }
+
+  test("Spark-free SearchReader serves the same ranking, bit for bit") {
+    val st = store("serving", DomainSpec.KvSorted)
+    val reader = new graft.store.SearchReader(
+      graft.store.KvDomainReader.open(st.root.toString, new Configuration()))
+    try {
+      assert(reader.stats === (4L, 13L))
+      for (q <- Seq("cat", "dog bird", "cat dog fish", "wombat", "wombat fish"))
+        assert(reader.topK(q, 10) === run(st, q), s"query '$q'")
+      assert(reader.topK("cat dog fish bird", 2) === run(st, "cat dog fish bird", k = 2))
+    } finally reader.close()
+  }
+
   test("a candidate without a doc-length record fails loud") {
     val st = DomainStore.create(
       scratch("search-corrupt"),
