@@ -156,6 +156,18 @@ object KvQueries {
       val n = Fixtures.customerDomain(s, dir).count(s)
       s.range(1).select(lit(n).as("cnt"))
     },
+    // DSv2 aggregate pushdown: COUNT + key extent computed from the kv
+    // trailers and first/last record keys (KvDomainAggScan) — the plan
+    // reads ZERO data bytes; big-endian keys make min/max the custkey
+    // extent. The SQL-surface twin of kv_count's engine API.
+    "kv_agg_pushdown" -> { (s, dir) =>
+      Fixtures.customerKvFileDomain(s, dir).readPartitioned(s)
+        .agg(count(lit(1)).as("cnt"),
+          min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+        .select(col("cnt"),
+          be_long(col("min_key")).as("min_custkey"),
+          be_long(col("max_key")).as("max_custkey"))
+    },
     // W6: reshard 3 -> 5 preserves the exact set of pairs.
     "kv_reshard" -> { (s, dir) =>
       Fixtures.customerReshardedDomain(s, dir).read(s)
@@ -282,6 +294,10 @@ object KvQueries {
           |SELECT c_custkey, change, old_v, new_v FROM j WHERE change != 'same'""".stripMargin,
       "kv_range_scan" ->
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 200 AND c_custkey < 700",
+      "kv_agg_pushdown" ->
+        """SELECT CAST(count(*) AS BIGINT) AS cnt,
+          |  min(c_custkey) AS min_custkey, max(c_custkey) AS max_custkey
+          |FROM customer""".stripMargin,
       "kv_shard_stats" ->
         """WITH r AS (
           |  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 17, 16))::UBIGINT % 4 AS INT) AS shard

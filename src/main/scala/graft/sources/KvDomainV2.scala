@@ -8,11 +8,12 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{BinaryType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.store.KvFile
@@ -161,12 +162,17 @@ class KvDomainTable(versionDir: String, numShards: Int) extends Table with Suppo
 class KvDomainScanBuilder(versionDir: String, numShards: Int)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var required: StructType = KvDomainV2.Schema
   private var keepShards: Option[Set[Int]] = None
   private var keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange()
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var agg: Option[(Boolean, Seq[KvAggFunc])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of Schema's fields (possibly empty,
@@ -213,8 +219,207 @@ class KvDomainScanBuilder(versionDir: String, numShards: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new KvDomainScan(versionDir, numShards, required, keepShards, keyRange)
+  /** LIMIT pushdown: each input partition (= one shard) stops after
+    * `limit` records — the global limit needs at most `limit` rows from
+    * any shard. Partial by declaration: Spark still applies the final
+    * limit; the engine just stops reading bytes early. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown for `ORDER BY key [shard, key] ASC LIMIT n`: the kv
+    * run is key-sorted per shard, so the first n records of each shard
+    * are a superset of the global top-n — the same per-partition stop,
+    * declared partial (Spark's TakeOrdered still merges). Descending
+    * orders are refused (the format has no reverse iterator). */
+  override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+    def name(o: SortOrder): Option[String] = o.expression match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val names = orders.toSeq.map(name)
+    val ok = orders.forall(_.direction == SortDirection.ASCENDING) &&
+      (names == Seq(Some("key")) || names == Seq(Some("shard"), Some("key")))
+    if (ok) limit = Some(l)
+    ok
+  }
+
+  /** Aggregate pushdown from the kv trailers: COUNT(*) / COUNT(key) read
+    * the per-shard record counts (one trailer pread each), MIN/MAX(key)
+    * read the first/last record key of each shard (the run is sorted) —
+    * a whole-domain count/extent costs O(shards) positioned reads and
+    * ZERO data bytes, the DSv2 face of `DomainStore.getCount`
+    * (elephantdb's getDomainCount, core.thrift:21). Complete pushdown,
+    * accepted only on an unfiltered, unlimited scan (every row of every
+    * shard participates — residual filters would otherwise be lost);
+    * optional GROUP BY shard emits one row per non-empty shard dir,
+    * which is exact because shard dirs partition the domain. */
+  private def translate(a: Aggregation): Option[(Boolean, Seq[KvAggFunc])] = {
+    def col(e: V2Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val byShard: Option[Boolean] = a.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(e) if col(e).contains("shard") => Some(true)
+      case _ => None
+    }
+    val funcs: Seq[Option[KvAggFunc]] = a.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(KvAggFunc.CountAll)
+      case c: Count if !c.isDistinct && col(c.column).contains("key") =>
+        Some(KvAggFunc.CountAll) // key is non-null: count(key) == count(*)
+      case m: Min if col(m.column).contains("key") => Some(KvAggFunc.MinKey)
+      case m: Max if col(m.column).contains("key") => Some(KvAggFunc.MaxKey)
+      case _ => None
+    }
+    for {
+      g <- byShard
+      fs <- if (funcs.nonEmpty && funcs.forall(_.isDefined)) Some(funcs.flatten)
+            else None
+    } yield (g, fs)
+  }
+
+  private def aggEligible: Boolean =
+    pushed.isEmpty && keepShards.isEmpty && keyRange.isUnbounded && limit.isEmpty
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    aggEligible && translate(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (!aggEligible) false
+    else translate(a) match {
+      case Some(t) => agg = Some(t); true
+      case None => false
+    }
+
+  override def build(): Scan = agg match {
+    case Some((byShard, funcs)) =>
+      new KvDomainAggScan(versionDir, numShards, byShard, funcs)
+    case None =>
+      new KvDomainScan(versionDir, numShards, required, keepShards, keyRange, limit)
+  }
+}
+
+/** Trailer-computable aggregate functions (see pushAggregation). */
+sealed trait KvAggFunc extends Serializable
+object KvAggFunc {
+  case object CountAll extends KvAggFunc
+  case object MinKey extends KvAggFunc
+  case object MaxKey extends KvAggFunc
+}
+
+/** The pushed-aggregate scan: ONE input partition whose reader folds the
+  * shard trailers (and first/last keys) into final rows — row counts and
+  * key extents without touching a single data byte. */
+class KvDomainAggScan(
+    versionDir: String,
+    numShards: Int,
+    byShard: Boolean,
+    funcs: Seq[KvAggFunc]) extends Scan with Batch {
+
+  private def aggField(f: KvAggFunc, i: Int): StructField = f match {
+    case KvAggFunc.CountAll => StructField(s"count_$i", LongType, nullable = false)
+    case KvAggFunc.MinKey => StructField(s"min_$i", BinaryType, nullable = true)
+    case KvAggFunc.MaxKey => StructField(s"max_$i", BinaryType, nullable = true)
+  }
+
+  override def readSchema(): StructType = {
+    val g = if (byShard) Seq(StructField("shard", IntegerType, nullable = false)) else Seq.empty
+    StructType(g ++ funcs.zipWithIndex.map { case (f, i) => aggField(f, i) })
+  }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kvdomain-agg $versionDir funcs=[${funcs.mkString(",")}]" +
+      (if (byShard) " groupBy=shard" else "")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(KvAggInputPartition(versionDir, numShards))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KvAggReaderFactory(KvDomainV2.confFor(versionDir), byShard, funcs)
+}
+
+case class KvAggInputPartition(versionDir: String, numShards: Int) extends InputPartition
+
+case class KvAggReaderFactory(
+    confEntries: Seq[(String, String)],
+    byShard: Boolean,
+    funcs: Seq[KvAggFunc]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvAggInputPartition]
+    new KvAggPartitionReader(p.versionDir, p.numShards, confEntries, byShard, funcs)
+  }
+}
+
+/** Computes the pushed aggregates from trailers + first/last record keys.
+  * Per shard file: one trailer pread for the count, two more positioned
+  * reads each for min/max when requested. Empty shard dirs contribute no
+  * group row (GROUP BY) and zeros/nulls (global). */
+class KvAggPartitionReader(
+    versionDir: String,
+    numShards: Int,
+    confEntries: Seq[(String, String)],
+    byShard: Boolean,
+    funcs: Seq[KvAggFunc]) extends PartitionReader[InternalRow] {
+
+  private case class ShardAgg(shard: Int, count: Long, min: Array[Byte], max: Array[Byte])
+
+  private val rows: Iterator[InternalRow] = {
+    val conf = KvDomainV2.rebuild(confEntries)
+    val needKeys = funcs.exists(f => f != KvAggFunc.CountAll)
+    val perShard: Seq[ShardAgg] = (0 until numShards).flatMap { s =>
+      val d = new Path(s"$versionDir/shard=$s")
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) None
+      else {
+        val files = fs.listStatus(d).toSeq
+          .filter(_.getPath.getName.endsWith(KvDomainV2.Suffix))
+          .map(_.getPath)
+        var count = 0L
+        var min: Array[Byte] = null
+        var max: Array[Byte] = null
+        files.foreach { p =>
+          if (!needKeys) count += KvFile.count(fs, p)
+          else {
+            val r = KvFile.open(fs, p)
+            try {
+              val n = r.count
+              count += n
+              if (n > 0) {
+                val lo = r.keyAt(0)
+                val hi = r.keyAt(n - 1)
+                if (min == null || KvShardPartitionReader.UnsignedBytes.lt(lo, min)) min = lo
+                if (max == null || KvShardPartitionReader.UnsignedBytes.gt(hi, max)) max = hi
+              }
+            } finally r.close()
+          }
+        }
+        if (count == 0) None else Some(ShardAgg(s, count, min, max))
+      }
+    }
+    def cells(a: ShardAgg): Seq[Any] = funcs.map {
+      case KvAggFunc.CountAll => a.count
+      case KvAggFunc.MinKey => a.min
+      case KvAggFunc.MaxKey => a.max
+    }
+    if (byShard)
+      perShard.iterator.map(a => new GenericInternalRow((a.shard +: cells(a)).toArray))
+    else {
+      val total = perShard.foldLeft(ShardAgg(-1, 0L, null, null)) { (acc, a) =>
+        ShardAgg(-1, acc.count + a.count,
+          if (acc.min == null || (a.min != null && KvShardPartitionReader.UnsignedBytes.lt(a.min, acc.min))) a.min else acc.min,
+          if (acc.max == null || (a.max != null && KvShardPartitionReader.UnsignedBytes.gt(a.max, acc.max))) a.max else acc.max)
+      }
+      Iterator.single(new GenericInternalRow(cells(total).toArray))
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (!rows.hasNext) false
+    else { current = rows.next(); true }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class KvDomainScan(
@@ -222,7 +427,8 @@ class KvDomainScan(
     numShards: Int,
     required: StructType,
     keepShards: Option[Set[Int]],
-    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange())
+    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange(),
+    limit: Option[Int] = None)
     extends Scan
     with Batch
     with SupportsReportPartitioning
@@ -263,13 +469,15 @@ class KvDomainScan(
   override def toBatch: Batch = this
   override def description(): String =
     s"kvdomain $versionDir shards=${shards.size}/$numShards cols=[${required.fieldNames.mkString(",")}]" +
-      (if (keyRange.isUnbounded) "" else s" keyRange=$keyRange")
+      (if (keyRange.isUnbounded) "" else s" keyRange=$keyRange") +
+      limit.fold("")(l => s" limit=$l")
 
   override def planInputPartitions(): Array[InputPartition] =
     shards.map(s => KvShardInputPartition(s, s"$versionDir/shard=$s")).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KvDomainReaderFactory(KvDomainV2.confFor(versionDir), required.fieldNames.toSeq, keyRange)
+    KvDomainReaderFactory(
+      KvDomainV2.confFor(versionDir), required.fieldNames.toSeq, keyRange, limit)
 
   /** One partition per shard, keyed by the identity transform over the
     * `shard` output column — only claimable when `shard` survives column
@@ -344,11 +552,12 @@ case class KvShardInputPartition(shard: Int, shardDir: String)
 case class KvDomainReaderFactory(
     confEntries: Seq[(String, String)],
     fields: Seq[String],
-    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange())
+    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange(),
+    limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvShardInputPartition]
-    new KvShardPartitionReader(p.shard, p.shardDir, confEntries, fields, keyRange)
+    new KvShardPartitionReader(p.shard, p.shardDir, confEntries, fields, keyRange, limit)
   }
 }
 
@@ -365,7 +574,8 @@ class KvShardPartitionReader(
     shardDir: String,
     confEntries: Seq[(String, String)],
     fields: Seq[String],
-    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange())
+    keyRange: KvDomainV2.KeyRange = KvDomainV2.KeyRange(),
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val needValue = fields.contains("value")
@@ -393,11 +603,14 @@ class KvShardPartitionReader(
             withValues = needValue))
         else if (needValue) readers.map(_.iterator)
         else readers.map(_.keysIterator.map(k => (k, null: Array[Byte])))
-      streams match {
+      val merged = streams match {
         case Seq() => Iterator.empty
         case Seq(one) => one
         case many => KvShardPartitionReader.mergeSorted(many)
       }
+      // pushed (partial) LIMIT/TopN: stop after `limit` records — the
+      // run is key-sorted, so these are exactly the shard's smallest keys
+      limit.fold(merged)(merged.take)
     }
   }
 

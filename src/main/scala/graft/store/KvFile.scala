@@ -171,6 +171,14 @@ object KvFile {
       (key, valLen, off + 8L + keyLen)
     }
 
+    /** Key of the i-th record (0-based, key order) — two positioned
+      * reads. First/last key (`keyAt(0)` / `keyAt(count-1)`) are the
+      * shard's key min/max, the seam aggregate pushdown reads. */
+    def keyAt(i: Long): Array[Byte] = {
+      require(i >= 0 && i < n, s"$name: keyAt($i) out of range [0, $n)")
+      readHeader(recordOffset(i))._1
+    }
+
     private def readValue(valLen: Int, valuePos: Long): Array[Byte] =
       if (valLen < 0) null
       else {

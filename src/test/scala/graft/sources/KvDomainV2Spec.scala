@@ -142,6 +142,59 @@ class KvDomainV2Spec extends SparkSuite {
     assert(keysOnly.count() === 400L)
   }
 
+  test("count(*) pushes down to the kv trailers: no data bytes, exact answer") {
+    val a = buildDomain("agg-count", 4, (0L until 700L).map(i => i -> s"v$i"))
+    val df = a.readPartitioned(spark).groupBy().count()
+    assert(finalPlan(df).contains("kvdomain-agg"), finalPlan(df))
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(700L))
+    // df.count() compiles to the same pushed shape
+    assert(a.readPartitioned(spark).count() === 700L)
+  }
+
+  test("min/max(key) + count grouped by shard push down; values match the scan") {
+    val a = buildDomain("agg-minmax", 4, (0L until 300L).map(i => i -> s"v$i"))
+    val pushed = a.readPartitioned(spark)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("key").as("lo"), max("key").as("hi"))
+    assert(finalPlan(pushed).contains("kvdomain-agg"), finalPlan(pushed))
+    def render(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getAs[Array[Byte]](3).toSeq))
+      .sortBy(_._1).toSeq
+    val viaScan = a.read(spark)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("key").as("lo"), max("key").as("hi"))
+    assert(render(pushed) === render(viaScan))
+
+    // global (ungrouped) min/max too
+    val g = a.readPartitioned(spark).agg(min("key"), max("key"), count(lit(1)))
+    assert(finalPlan(g).contains("kvdomain-agg"), finalPlan(g))
+    val row = g.collect()(0)
+    assert(row.getAs[Array[Byte]](0).toSeq === graft.store.VectorCodec.longBe(0L).toSeq)
+    assert(row.getAs[Array[Byte]](1).toSeq === graft.store.VectorCodec.longBe(299L).toSeq)
+    assert(row.getLong(2) === 300L)
+  }
+
+  test("a filtered aggregate does NOT push down and stays correct") {
+    val a = buildDomain("agg-filtered", 4, (0L until 200L).map(i => i -> s"v$i"))
+    val df = a.readPartitioned(spark).where(col("shard") === 1).groupBy().count()
+    assert(!finalPlan(df).contains("kvdomain-agg"), finalPlan(df))
+    assert(df.collect()(0).getLong(0) ===
+      a.read(spark).where(col("shard") === 1).count())
+  }
+
+  test("ORDER BY key LIMIT n pushes a per-shard stop; plain LIMIT too") {
+    val a = buildDomain("topn", 4, (0L until 500L).map(i => i -> s"v$i"))
+    val top = a.readPartitioned(spark).orderBy("key").limit(7)
+      .select(graft.functions.be_long(col("key")).as("k"))
+    assert(finalPlan(top).contains("limit=7"), finalPlan(top))
+    assert(top.collect().map(_.getLong(0)).toSeq === (0L until 7L).toSeq)
+
+    val lim = a.readPartitioned(spark).limit(9)
+    assert(finalPlan(lim).contains("limit=9"), finalPlan(lim))
+    assert(lim.count() === 9L)
+  }
+
   test("key-range filters push into the scan: pruned I/O, same answers as the residual filter") {
     val a = buildDomain("range", 4, (0L until 1000L).map(i => i -> s"v$i"))
     def be(l: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(l).array()
