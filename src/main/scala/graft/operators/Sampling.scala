@@ -136,6 +136,74 @@ object Sampling {
       tokenBudgetRates(df, sourceCol, tokensCol, weights, budgetTokens),
       defaultRate = 0)
 
+  /** IEEE integer square root: `floor(ieee_sqrt(double(x)))`. This is a
+    * DEFINED deterministic function, not mathematical isqrt — IEEE-754
+    * requires sqrt correctly rounded and BIGINT→DOUBLE conversion rounds
+    * identically in every engine, so `floor(sqrt(n))` replays bit-for-bit
+    * in DuckDB/Spark/anything IEEE (the quantized-integer oracle
+    * contract). For n < 2^52 it equals true isqrt anyway. */
+  def ieeeIsqrt(x: Long): Long = {
+    require(x >= 0, s"ieeeIsqrt of negative $x")
+    math.floor(math.sqrt(x.toDouble)).toLong
+  }
+
+  /** Per-source per-mille rates for [[alphaMix]] — temperature-weighted
+    * source rebalancing (the multilingual α-sampling of XLM-R /
+    * mBERT-style pipelines): source s is sampled toward a share ∝ n_s^α,
+    * α = 1/2^halfPow, flattening the source distribution so big corpora
+    * stop drowning small ones.
+    *
+    *  - halfPow = 0: α=1, proportional (no rebalancing);
+    *  - halfPow = 1: α=1/2, the classic temperature;
+    *  - halfPow = 2: α=1/4, more aggressive flattening.
+    *
+    * All integer math: weight_s = ieeeIsqrt applied halfPow times to the
+    * source's row count, target_s = budgetRows·w_s / Σw (floor), rate_s =
+    * min(1000, 1000·target_s / n_s) — every step replayable in SQL. The
+    * per-source counts are one aggregation; only #sources rows reach the
+    * driver. */
+  def alphaRates(
+      df: DataFrame,
+      sourceCol: String,
+      budgetRows: Long,
+      halfPow: Int): Seq[(String, Int)] = {
+    require(halfPow >= 0 && halfPow <= 3, s"halfPow must be in [0,3], got $halfPow")
+    require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
+    val counts: Seq[(String, Long)] = df
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    counts.foreach { case (_, n) =>
+      require(n < Long.MaxValue / 1000 && budgetRows < Long.MaxValue / math.max(n, 1L),
+        "source count x budget overflows the integer rate math")
+    }
+    val weights = counts.map { case (s, n) =>
+      s -> (0 until halfPow).foldLeft(n)((acc, _) => ieeeIsqrt(acc))
+    }
+    val totalW = weights.map(_._2).sum
+    counts.sortBy(_._1).map { case (s, n) =>
+      val w = weights.find(_._1 == s).get._2
+      val target = if (totalW == 0) 0L else w * budgetRows / totalW
+      val rate = if (n <= 0) 0L else math.min(1000L, 1000L * target / n)
+      s -> rate.toInt
+    }
+  }
+
+  /** Temperature-rebalanced deterministic sample to a row budget (see
+    * [[alphaRates]]) — same md5 buckets as [[sample]], so membership
+    * survives reprocessing and nests as the budget grows. */
+  def alphaMix(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      budgetRows: Long,
+      halfPow: Int = 1): DataFrame =
+    stratifiedSample(
+      df, idCol, col(sourceCol),
+      alphaRates(df, sourceCol, budgetRows, halfPow),
+      defaultRate = 0)
+
   /**
    * Deterministic global shuffle — the epoch-reshuffle step of a training
    * pipeline: every row gets an exact position in a seed-keyed permutation

@@ -40,6 +40,23 @@ object DedupQueries {
     "dedup_minhash" -> { (s, dir) =>
       Dedup.minHashPairs(Fixtures.table(s, dir, "documents"), "doc_id", "text", MinHashThreshold)
     },
+    // Cross-source duplication matrix — the provenance question behind
+    // every dedup run ("did corpus B scrape corpus A?"): near-dup pairs
+    // from the standard MinHash-LSH + exact-verify path, each endpoint
+    // joined to its source, unordered pair normalized by least/greatest.
+    // Pairs-side joins move ids only; the matrix is #sources² rows.
+    "dedup_source_overlap" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.minHashPairs(docs, "doc_id", "text", MinHashThreshold)
+        .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
+        .select(
+          least(col("sa.source"), col("sb.source")).as("source_a"),
+          greatest(col("sa.source"), col("sb.source")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simHashPairsBanded(
         Dedup.simHash(Fixtures.table(s, dir, "documents"), "doc_id", "text"),
@@ -127,6 +144,14 @@ object DedupQueries {
       jaccardOracle(s"WHERE doc_id % $JaccardSampleMod = 0", JaccardSampleThreshold),
     "dedup_minhash" ->
       wordJaccardOracle(MinHashThreshold),
+    "dedup_source_overlap" ->
+      s"""WITH pairs AS (SELECT id_a, id_b FROM (${wordJaccardOracle(MinHashThreshold)})),
+         |ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs JOIN ds a ON a.doc_id = pairs.id_a JOIN ds b ON b.doc_id = pairs.id_b
+         |GROUP BY 1, 2""".stripMargin,
     // Banded replay (not the exhaustive cross join): pigeonhole chunks +
     // the hot-bucket cap (HAVING count <= cap) + exact Hamming verify —
     // simHashPairsBanded step for step, hash-checkable at any corpus

@@ -209,6 +209,17 @@ object TextQueries {
         "doc_id", "source", col("n_chars"), MixWeights, MixBudget)
         .select(col("doc_id"), col("source"))
     },
+    // Temperature (α=1/2) source rebalancing to a row budget: weights =
+    // ieeeIsqrt(per-source count), targets/rates all integer floor math,
+    // selection by the same md5 per-mille buckets as every sampler here —
+    // the whole chain (counts → isqrt → targets → rates → membership)
+    // replays in the oracle.
+    "samp_alpha_mix" -> { (s, dir) =>
+      graft.operators.Sampling.alphaMix(
+        Fixtures.table(s, dir, "documents"), "doc_id", "source",
+        AlphaMixBudget, halfPow = 1)
+        .select(col("doc_id"), col("source"))
+    },
     // Seed-keyed exact global permutation (epoch reshuffle): every doc's
     // position under order-by md5(seed:id), id tiebreak — computed with
     // the distributed two-phase prefix sum, verified against DuckDB's
@@ -262,6 +273,7 @@ object TextQueries {
   val PackBudget = 128L
   val MixWeights = Seq("src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100)
   val MixBudget = 25000L
+  val AlphaMixBudget = 120L
   val ShuffleSeed = 7L
   val BoilerMinDocs = 20
 
@@ -622,6 +634,18 @@ object TextQueries {
         |SELECT CASE WHEN bk < 980 THEN 'train' WHEN bk < 990 THEN 'valid' ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1""".stripMargin,
+    // counts → ieee isqrt (floor(sqrt) is correctly rounded IEEE in both
+    // engines) → floor-div targets/rates → md5 bucket membership.
+    "samp_alpha_mix" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+         |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wgt FROM c),
+         |r AS (SELECT source,
+         |  least(1000, (1000 * ((wgt * $AlphaMixBudget) // (SELECT CAST(sum(wgt) AS BIGINT) FROM w))) // n) AS rate
+         |  FROM w),
+         |b AS (SELECT doc_id, source,
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 1000 AS bk
+         |  FROM documents)
+         |SELECT b.doc_id, b.source FROM b JOIN r USING (source) WHERE b.bk < r.rate""".stripMargin,
     "samp_token_mix" -> {
       val w = MixWeights.map { case (s, p) => s"('$s', $p)" }.mkString(", ")
       s"""WITH avail AS (SELECT source, sum(n_chars) AS a FROM documents GROUP BY source),

@@ -1105,6 +1105,39 @@ class OperatorsSpec extends SparkSuite {
       .where(col("src") === "C").count() === 0L)
   }
 
+  test("alpha mix: temperature flattens the source distribution, integer rates replay") {
+    import spark.implicits._
+    // big source A (900 rows), small source B (100 rows)
+    val rows = (0 until 900).map(i => (i.toLong, "A")) ++
+      (900 until 1000).map(i => (i.toLong, "B"))
+    val df = rows.toDF("id", "src")
+
+    // h=0: proportional — targets track raw counts
+    val r0 = Sampling.alphaRates(df, "src", budgetRows = 500L, halfPow = 0).toMap
+    assert(r0("A") === 500) // target 900*500/1000=450 -> rate 1000*450/900
+    assert(r0("B") === 500) // target 100*500/1000=50  -> rate 1000*50/100
+
+    // h=1: sqrt temperature — B's SHARE of the kept set rises
+    // weights: isqrt(900)=30, isqrt(100)=10, W=40
+    val r1 = Sampling.alphaRates(df, "src", budgetRows = 500L, halfPow = 1).toMap
+    assert(r1("A") === 416) // target 30*500/40=375 -> 1000*375/900
+    assert(r1("B") === 1000) // target 10*500/40=125 > 100 -> capped
+    // ieeeIsqrt is exact floor-sqrt in the long range the rates use
+    assert(Sampling.ieeeIsqrt(0) === 0 && Sampling.ieeeIsqrt(1) === 1)
+    assert(Sampling.ieeeIsqrt(899) === 29 && Sampling.ieeeIsqrt(900) === 30)
+
+    // membership is the shared md5 bucket: deterministic, nested in rate
+    val kept = Sampling.alphaMix(df, "id", "src", 500L, halfPow = 1)
+    val again = Sampling.alphaMix(df.orderBy(rand(5)), "id", "src", 500L, halfPow = 1)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(kept) === ids(again))
+    assert(kept.where(col("src") === "B").count() === 100L) // capped = keep all
+    // flattening: B's kept share exceeds its corpus share
+    val keptB = kept.where(col("src") === "B").count().toDouble / kept.count()
+    assert(keptB > 0.1, s"B share $keptB")
+  }
+
   test("global shuffle: exact seed-keyed permutation, deterministic, seed-sensitive") {
     val n = docs.count()
     val out = Sampling.globalShuffle(docs, "doc_id", seed = 7L)
