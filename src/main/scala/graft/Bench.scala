@@ -79,12 +79,23 @@ object Bench {
         queries.PipelineQueries.annPqIndexProbe(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val pqProbe = (System.nanoTime() - pp0) / 1e9
+        // and the full-text index pipeline (build = inverted index +
+        // publish; probe = term lookups + lengths join + scoring + topk)
+        val sb0 = System.nanoTime()
+        queries.SearchQueries.searchIndexStore(spark, sfDir)
+        val searchBuild = (System.nanoTime() - sb0) / 1e9
+        val sp0 = System.nanoTime()
+        queries.SearchQueries.searchProbe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val searchProbe = (System.nanoTime() - sp0) / 1e9
         Seq("pipeline_dedup_index_build" -> buildSec,
           "pipeline_dedup_index_probe" -> probeSec,
           "pipeline_ann_index_build" -> annBuild,
           "pipeline_ann_index_probe" -> annProbe,
           "pipeline_annpq_index_build" -> pqBuild,
-          "pipeline_annpq_index_probe" -> pqProbe)
+          "pipeline_annpq_index_probe" -> pqProbe,
+          "text_search_topk_build" -> searchBuild,
+          "text_search_topk_probe" -> searchProbe)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] submetrics failed: $e")

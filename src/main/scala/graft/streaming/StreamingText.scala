@@ -102,4 +102,31 @@ object StreamingText {
       .queryName(queryName)
       .start()
   }
+
+  /** Streaming growth of a published SEARCH-index domain
+    * ([[graft.operators.Search]]) — the full-text member of the
+    * streaming updater cycle beside `StreamingDedup.growIndexStream` and
+    * `StreamingAnn.ingestStream`: each micro-batch of new documents folds
+    * into the affected postings (`Search.searchIndexUpsert`: append-only
+    * merge, doc lengths + corpus stats advance, tombstoned terms stay
+    * elided), untouched terms copy-forward. Version/replay protocol via
+    * [[VersionGate]]: a replayed newest version no-ops, a published
+    * non-newest fails loud. Multi-batch ingest is order-insensitive
+    * (postings re-sort by doc id, stats are additive), so the drained
+    * stream equals the one-shot full rebuild — pinned in StreamingSpec. */
+  def growSearchIndexStream(
+      index: graft.store.DomainStore,
+      docStream: org.apache.spark.sql.DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    docStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Search.searchIndexUpsert(
+          index, batch, "doc_id", "text", newVersion = version)
+      })
+      .start()
 }

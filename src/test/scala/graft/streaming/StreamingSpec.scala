@@ -195,6 +195,39 @@ class StreamingSpec extends SparkSuite {
     assert(pairs(bandIndex) === pairs(bandFull) && pairs(bandIndex).nonEmpty)
   }
 
+  test("streaming search-index growth converges to the from-scratch build across batches") {
+    import org.apache.spark.sql.functions._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val srcDir = scratch("stream-search-src")
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val index = graft.store.DomainStore.create(scratch("stream-search-dom"), spec, conf)
+    index.write(graft.operators.Search.invertedIndexKv(
+      docs.where(col("doc_id") % 4 === 0), "doc_id", "text"), 1L)
+    // two files -> two micro-batches: batch 2 merges postings batch 1 wrote
+    docs.where(col("doc_id") % 4 === 1).coalesce(1).write.parquet(s"$srcDir/d0")
+    docs.where(col("doc_id") % 4 === 2).coalesce(1).write.parquet(s"$srcDir/d1")
+    val q = StreamingText.growSearchIndexStream(
+      index,
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*"),
+      baseVersion = 1L, checkpointDir = scratch("stream-search-ckpt"),
+      queryName = "search_grow")
+    try q.awaitTermination() finally q.stop()
+
+    val full = graft.store.DomainStore.create(scratch("stream-search-full"), spec, conf)
+    full.write(graft.operators.Search.invertedIndexKv(
+      docs.where(col("doc_id") % 4 =!= 3), "doc_id", "text"), 1L)
+    assert(pairs(index) === pairs(full) && pairs(index).nonEmpty)
+  }
+
   test("append-mode watermarked windows: every finalized window equals batch") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-append-src")
