@@ -64,8 +64,18 @@ object DomainSpec {
     * engine — keep parquet-sorted for scan-heavy analytics, where
     * row-group splitting, column pruning, and filter pushdown apply. */
   val KvSorted = "kv-sorted"
+
+  /** Block-compressed servable KV format ([[graft.store.KvzFile]], magic
+    * GKZ1): the kv-sorted layout with SSTable-style Deflate blocks — the
+    * compressed-engine capability of the reference (LevelDB's Snappy
+    * blocks, LevelDB.java:46-53) with the same serving story (readers
+    * sniff the magic, so every kv consumer reads both formats). Trades
+    * ~2-4x less shard I/O/storage on compressible values for one block
+    * decompress per probe — the scan/range-heavy profile; keep plain
+    * kv-sorted when point-lookup latency dominates. */
+  val KvSortedZ = "kv-sorted-z"
   val KnownSchemes: Set[String] = Set(HashMod)
-  val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory, KvSorted)
+  val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory, KvSorted, KvSortedZ)
 
   /** Sentinel for "no write-time index" — a string (not Option) so the
     * persisted JSON stays flat and a spec written before this field

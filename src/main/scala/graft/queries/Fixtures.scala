@@ -160,6 +160,20 @@ object Fixtures {
       store.write(customerKv(s, sfDir), version = 1L)
     }
 
+  /** documents domain on the block-compressed `kv-sorted-z` engine —
+    * text values are exactly the compressible payload the Deflate blocks
+    * exist for (the reference's LevelDB-with-Snappy capability class). */
+  def docsKvzDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "docs-kvz",
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSortedZ)) { (store, s) =>
+      store.write(
+        table(s, sfDir, "documents").select(
+          long_be(col("doc_id")).as("key"),
+          utf8_bytes(col("text")).as("value")),
+        version = 1L)
+    }
+
   /** customer kv domain with STRING keys (utf8 of the custkey decimal) —
     * the key form whose md5 routing DuckDB can replay (its md5() is
     * VARCHAR-only, so binary-keyed domains cannot oracle routing math). */

@@ -91,6 +91,34 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // S8/S9 compressed-engine capability: the block-compressed kv-sorted-z
+    // format (SSTable-style Deflate blocks, magic-sniffed by every kv
+    // reader) must round-trip the exact pair set like any other engine —
+    // document text is the compressible payload it exists for.
+    "kv_kvz_roundtrip" -> { (s, dir) =>
+      Fixtures.docsKvzDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("doc_id"),
+          bytes_utf8(col("value")).as("text"))
+    },
+    // Q2 on the compressed engine: the indexed multiGet path decompresses
+    // ONE block per probed key run (key-sorted batches hit the reader's
+    // block cache) and must be indistinguishable from every other engine:
+    // hits resolve, absent keys yield null.
+    "kv_kvz_multiget" -> { (s, dir) =>
+      val docs = Fixtures.table(s, dir, "documents")
+      val keys = docs
+        .where(col("doc_id") % 6 === 0)
+        .select(col("doc_id"))
+        .unionByName(docs
+          .where(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id")))
+        .select(long_be(col("doc_id")).as("key"))
+      Fixtures.docsKvzDomain(s, dir).multiGet(keys)
+        .select(
+          be_long(col("key")).as("doc_id"),
+          bytes_utf8(col("value")).as("text"))
+    },
     // Storage-partitioned domain-to-domain join: two kv-sorted domains
     // sharded by the same scheme (customer names, per-customer order
     // counts) joined on (shard, key) through the layout-reporting DSv2
@@ -262,6 +290,14 @@ object KvQueries {
           |  UNION ALL
           |  SELECT c_custkey + 3000000 FROM customer WHERE c_custkey % 40 = 0)
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
+      "kv_kvz_roundtrip" ->
+        "SELECT doc_id, text FROM documents",
+      "kv_kvz_multiget" ->
+        """WITH ks AS (
+          |  SELECT doc_id AS k FROM documents WHERE doc_id % 6 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 5000000 FROM documents WHERE doc_id % 25 = 0)
+          |SELECT ks.k AS doc_id, d.text FROM ks LEFT JOIN documents d ON ks.k = d.doc_id""".stripMargin,
       "kv_multiget" ->
         """WITH ks AS (
           |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0

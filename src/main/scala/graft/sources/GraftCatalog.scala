@@ -108,9 +108,10 @@ class GraftCatalog extends TableCatalog {
     if (!tableExists(ident)) throw new NoSuchTableException((ident.namespace :+ ident.name).toSeq)
     val store = domains.domain(ident.name)
     require(
-      store.spec.persistenceFormat == DomainSpec.KvSorted,
+      store.spec.persistenceFormat == DomainSpec.KvSorted ||
+        store.spec.persistenceFormat == DomainSpec.KvSortedZ,
       s"domain '${ident.name}' uses persistenceFormat '${store.spec.persistenceFormat}' — " +
-        "SQL catalog tables are served through the layout-reporting kv-sorted source; " +
+        "SQL catalog tables are served through the layout-reporting kv source; " +
         "read this domain via DomainStore.read, or re-export it with " +
         "persistenceFormat = kv-sorted")
     val v = version.getOrElse(store.latestVersion)

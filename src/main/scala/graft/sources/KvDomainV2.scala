@@ -16,7 +16,7 @@ import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, GreaterThan
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.store.KvFile
+import graft.store.{KvFile, ShardReader}
 
 /**
  * DataSourceV2 reader over a `kv-sorted` domain version that REPORTS its
@@ -582,7 +582,7 @@ class KvShardPartitionReader(
 
   private val conf: Configuration = KvDomainV2.rebuild(confEntries)
 
-  private var readers: Seq[KvFile.Reader] = Seq.empty
+  private var readers: Seq[ShardReader] = Seq.empty
 
   private val rows: Iterator[(Array[Byte], Array[Byte])] = {
     val d = new Path(shardDir)

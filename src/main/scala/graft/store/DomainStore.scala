@@ -71,9 +71,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     case DomainSpec.OrcSorted => "orc"
     case DomainSpec.Memory => "parquet" // parquet layout on ramfs://
     case DomainSpec.KvSorted => "kv"
+    case DomainSpec.KvSortedZ => "kvz" // block-compressed kv ([[KvzFile]])
     case f => throw new IllegalArgumentException(s"unsupported persistenceFormat '$f'")
   }
-  private val isKv: Boolean = format == "kv"
+  /** Both servable kv formats share one layout, file name, and read path
+    * ([[KvFile.open]] sniffs the magic); only the shard-file writer
+    * branches. Everything gated on `isKv` applies to both. */
+  private val isKv: Boolean = format == "kv" || format == "kvz"
   private val fileSuffix: String =
     if (format == "orc") ".orc" else if (isKv) ".kv" else ".parquet"
 
@@ -133,6 +137,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     import spark.implicits._
     val confEntries = DomainStore.serializableConf(conf)
     val base = versions.versionPath(version).toString
+    val compressed = format == "kvz"
     // mkdirs so an all-empty build still publishes a readable version dir
     versions.versionPath(version).getFileSystem(conf).mkdirs(versions.versionPath(version))
     shardedSorted(kv)
@@ -155,7 +160,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
                 (r._2, r._3)
               }
             }
-            DomainStore.writeKvShardFile(base, shard, rows, c)
+            DomainStore.writeKvShardFile(base, shard, rows, c, compressed)
             shard
           }
         }
@@ -1273,7 +1278,8 @@ object DomainStore {
       base: String,
       shard: Int,
       rows: Iterator[(Array[Byte], Array[Byte])],
-      conf: Configuration): Long = {
+      conf: Configuration,
+      compressed: Boolean = false): Long = {
     val dir = new Path(base, s"shard=$shard")
     val dst = new Path(dir, KvFile.DataFileName)
     val tmp = new Path(dir, s"${KvFile.DataFileName}.${java.util.UUID.randomUUID()}.tmp")
@@ -1281,7 +1287,9 @@ object DomainStore {
     fs.mkdirs(dir)
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(fs.create(tmp, false), 1 << 16))
-    val n = try KvFile.write(out, rows) finally out.close()
+    val n = try {
+      if (compressed) KvzFile.write(out, rows) else KvFile.write(out, rows)
+    } finally out.close()
     if (!fs.rename(tmp, dst)) {
       val lost = fs.exists(dst) // another attempt already committed — it wins
       fs.delete(tmp, false)
@@ -1294,8 +1302,8 @@ object DomainStore {
     * driver pool for small domains and inside executor tasks for large
     * ones — keep it dependency-free of the enclosing instance. */
   private[store] def footerRowCount(p: Path, format: String, conf: Configuration): Long =
-    if (format == "kv") {
-      KvFile.count(p.getFileSystem(conf), p) // one positioned trailer read
+    if (format == "kv" || format == "kvz") {
+      KvFile.count(p.getFileSystem(conf), p) // one positioned trailer read (magic-sniffed)
     } else if (format == "orc") {
       val r = org.apache.orc.OrcFile.createReader(
         p, org.apache.orc.OrcFile.readerOptions(conf))

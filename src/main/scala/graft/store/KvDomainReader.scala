@@ -50,7 +50,8 @@ final class KvDomainReader private (
     conf: Configuration) extends AutoCloseable {
 
   require(
-    spec.persistenceFormat == DomainSpec.KvSorted,
+    spec.persistenceFormat == DomainSpec.KvSorted ||
+      spec.persistenceFormat == DomainSpec.KvSortedZ,
     s"KvDomainReader serves kv-sorted domains; got '${spec.persistenceFormat}' " +
       "(parquet/orc domains are Spark-scan engines — export with persistenceFormat = kv-sorted to serve)")
 
@@ -72,7 +73,7 @@ final class KvDomainReader private (
 
   // None = shard has no data file (empty or not localized) / no sidecar
   private val readers =
-    new java.util.concurrent.ConcurrentHashMap[Int, Option[KvFile.Reader]]()
+    new java.util.concurrent.ConcurrentHashMap[Int, Option[ShardReader]]()
   private val probes =
     new java.util.concurrent.ConcurrentHashMap[Int, Option[Array[Byte] => Boolean]]()
   // Serializes cache population with close() — see the class doc.
@@ -80,7 +81,7 @@ final class KvDomainReader private (
 
   private def shardDir(shard: Int): Path = new Path(versionDir, s"shard=$shard")
 
-  private def reader(shard: Int): Option[KvFile.Reader] = {
+  private def reader(shard: Int): Option[ShardReader] = {
     val cached = readers.get(shard)
     if (cached != null) cached
     else lifecycle.synchronized {
@@ -244,7 +245,7 @@ object KvDomainReader {
       globalOrder: Boolean)
       extends Iterator[(Array[Byte], Array[Byte])] with AutoCloseable {
 
-    private var open = List.empty[KvFile.Reader]
+    private var open = List.empty[ShardReader]
 
     private def openStream(p: Path): Option[Iterator[(Array[Byte], Array[Byte])]] =
       if (!fs.exists(p)) None
@@ -254,7 +255,7 @@ object KvDomainReader {
         Some(r.range(from, fromInclusive, to, toInclusive))
       }
 
-    private def release(r: KvFile.Reader): Unit = {
+    private def release(r: ShardReader): Unit = {
       try r.close() catch { case _: Exception => () }
       open = open.filterNot(_ eq r)
     }
@@ -273,7 +274,7 @@ object KvDomainReader {
       } else new Iterator[(Array[Byte], Array[Byte])] {
         private var rem = files.toList
         private var cur: Iterator[(Array[Byte], Array[Byte])] = Iterator.empty
-        private var curReader: KvFile.Reader = null
+        private var curReader: ShardReader = null
         private def advance(): Unit = {
           while (!cur.hasNext && rem.nonEmpty) {
             if (curReader != null) { release(curReader); curReader = null }

@@ -6,6 +6,44 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FSDataInputStream, FileSystem, Path}
 
 /**
+ * The read surface every servable shard file implements — the engine's
+ * Persistence-read SPI (reference `persistence/Persistence.java:5-12` +
+ * the cursor surface `JavaBerkDB.java:121-170`): point lookup, ordered
+ * iteration, keys-only iteration, bounded range, positional key probe.
+ * Two on-disk formats provide it — the plain sorted run ([[KvFile]],
+ * magic GKV1) and the block-compressed run ([[KvzFile]], magic GKZ1) —
+ * and [[KvFile.open]] sniffs the magic, so every consumer (Spark scans,
+ * the DSv2 source, the Spark-free serving readers) handles both without
+ * branching. Spark-free by construction: plain Hadoop streams + JDK.
+ *
+ * Concurrency contract (shared by both formats): [[lookup]] and
+ * [[keyAt]] use positioned reads only and are safe to call concurrently;
+ * the sequential iterators own the handle's seek pointer where noted in
+ * each format's docs.
+ */
+trait ShardReader extends AutoCloseable {
+  /** Record count, from trailer metadata only (no data pages touched). */
+  def count: Long
+  /** Key of the i-th record (0-based, key order). */
+  def keyAt(i: Long): Array[Byte]
+  /** Point lookup. `None` = absent; `Some(null)` = present, null value. */
+  def lookup(key: Array[Byte]): Option[Array[Byte]]
+  /** Every record in key order. */
+  def iterator: Iterator[(Array[Byte], Array[Byte])]
+  /** Every key in key order, value bytes skipped where the format can. */
+  def keysIterator: Iterator[Array[Byte]]
+  /** Records inside the unsigned-lexicographic bounds, in key order; I/O
+    * proportional to the range where the format can bound it. */
+  def range(
+      from: Option[Array[Byte]],
+      fromInclusive: Boolean,
+      to: Option[Array[Byte]],
+      toInclusive: Boolean,
+      withValues: Boolean = true): Iterator[(Array[Byte], Array[Byte])]
+  def close(): Unit
+}
+
+/**
  * The `kv-sorted` shard file: a per-shard sorted key/value run with a
  * fixed-width offset index, binary-searchable by ANY reader that can seek
  * — the engine's counterpart of the reference's servable local
@@ -121,8 +159,36 @@ object KvFile {
     }
   }
 
-  def open(fs: FileSystem, path: Path): Reader =
-    new Reader(fs.open(path), fs.getFileStatus(path).getLen, path.toString)
+  /** Open a servable shard file, SNIFFING the 4-byte header magic: GKV1
+    * → plain sorted run, GKZ1 → block-compressed run ([[KvzFile]]). One
+    * entry point means every consumer — engine scans, DSv2 source,
+    * Spark-free serving readers — reads either format transparently;
+    * only the write path chooses. Anything else fails loud naming the
+    * file (the repo's corruption convention). */
+  def open(fs: FileSystem, path: Path): ShardReader = {
+    val len = fs.getFileStatus(path).getLen
+    val name = path.toString
+    require(len >= 4L + TrailerLen, s"$name: kv file too short ($len bytes)")
+    val in = fs.open(path)
+    val magic =
+      try {
+        val m = new Array[Byte](4)
+        in.readFully(0L, m)
+        m
+      } catch { case e: Throwable => in.close(); throw e }
+    if (java.util.Arrays.equals(magic, Magic)) {
+      try new Reader(in, len, name)
+      catch { case e: Throwable => in.close(); throw e }
+    } else if (java.util.Arrays.equals(magic, KvzFile.Magic)) {
+      try new KvzFile.Reader(in, len, name)
+      catch { case e: Throwable => in.close(); throw e }
+    } else {
+      in.close()
+      throw new IllegalArgumentException(
+        s"$name: not a graft kv file (header magic ${magic.map(b => f"$b%02x").mkString} " +
+          "is neither GKV1 nor GKZ1)")
+    }
+  }
 
   /** Record count from the trailer alone — the format's "footer count"
     * (one positioned read, no data page touched). */
@@ -134,7 +200,7 @@ object KvFile {
   /** One open kv file. All reads are positioned (`readFully(pos, buf)`),
     * so a reader can interleave lookups and iteration on one handle. */
   final class Reader(in: FSDataInputStream, fileLen: Long, name: String = "<stream>")
-      extends AutoCloseable {
+      extends ShardReader {
     require(fileLen >= 4L + TrailerLen, s"$name: kv file too short ($fileLen bytes)")
     private val (indexOffset, n) = {
       val t = new Array[Byte](TrailerLen)
