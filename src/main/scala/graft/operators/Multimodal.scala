@@ -241,6 +241,139 @@ object Multimodal {
       MediaRecord(r.media_id, png, "image/png", png.length.toLong)
     }
 
+  // ------------------------------------------------------- real audio path
+
+  /** REAL audio kernels — JDK `javax.sound.sampled` (the platform's WAV
+    * codec stack; file parsing is pure Java and headless-safe), zero new
+    * dependencies. The audio twin of the imageio path: PCM WAV is
+    * lossless, so for [[synthAudioMedia]]-generated payloads the chain —
+    * synthesize → WAV encode → AudioSystem decode → decimate →
+    * re-encode → decode — is deterministic integer math, checkable in
+    * closed form by a SQL oracle. */
+
+  /** The synthetic waveform: 16-bit sample `i` of the clip seeded by
+    * `seed`. ONE definition, shared by the generator and (replayed as
+    * integer SQL) the oracles. Range ±10000 keeps headroom below the
+    * 16-bit rails, so no clipping ambiguity anywhere. */
+  def sampleValue(seed: Long, i: Int): Int =
+    (math.floorMod(seed * 17 + i.toLong * 29, 20001L) - 10000L).toInt
+
+  /** 8/9/10/11/12 kHz — all divisible by small decimation factors. */
+  def synthSampleRate(seed: Long): Int = 8000 + 1000 * math.floorMod(seed, 5L).toInt
+  def synthSampleCount(seed: Long): Int = 50 + math.floorMod(seed, 200L).toInt
+
+  /** One deterministic mono 16-bit PCM WAV (canonical 44-byte header). */
+  def synthWav(seed: Long): Array[Byte] = {
+    val n = synthSampleCount(seed)
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = sampleValue(seed, i).toShort; i += 1 }
+    encodeWav(samples, synthSampleRate(seed))
+  }
+
+  /** Mono 16-bit little-endian PCM WAV bytes. */
+  def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode through the JDK codec: (sampleRate, 16-bit signed samples).
+    * Fails loud naming the media_id on undecodable payloads. */
+  private def decodeWav(r: MediaRecord): (Int, Array[Short]) = {
+    import javax.sound.sampled.AudioSystem
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(r.content))
+      catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media_id ${r.media_id}: payload is not decodable audio (format '${r.format}')", e)
+      }
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media_id ${r.media_id}: expected 16-bit mono PCM, got " +
+          s"${fmt.getSampleSizeInBits}-bit x${fmt.getChannels}")
+      val bytes = in.readAllBytes()
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val samples = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < samples.length) { samples(i) = bb.getShort; i += 1 }
+      (fmt.getSampleRate.toInt, samples)
+    } finally in.close()
+  }
+
+  /** Media records whose payloads are REAL WAV bytes, seeded by the first
+    * column of `ids` (generated in the executors, like the PNG fixtures). */
+  def synthAudioMedia(spark: SparkSession, ids: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val wav = synthWav(id)
+        MediaRecord(id, wav, "audio/wav", wav.length.toLong)
+      }
+    }
+  }
+
+  /** Batched REAL audio decode: sample rate, sample count, sum of samples,
+    * peak |sample| — the signal-level stats an audio-quality gate keys on.
+    * Same batching contract as the image kernels. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val (rate, samples) = decodeWav(r)
+      var sum = 0L
+      var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i).toInt
+        sum += s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      (r.media_id, rate, samples.length.toLong, sum, peak)
+    })).toDF("media_id", "sample_rate", "n_samples", "sample_sum", "peak")
+  }
+
+  /** Batched REAL decimating resample: keep every `factor`-th sample
+    * (`out(i) = in(i*factor)`, `ceil(n/factor)` samples at `rate/factor`)
+    * and re-encode — exact sample picks, the audio analog of the
+    * nearest-neighbor image resize, so lossless inputs stay
+    * oracle-checkable. (A production resampler would low-pass first;
+    * exact decimation is the deterministic contract kernel.) Requires
+    * `rate % factor == 0` so the output rate stays integral. */
+  def resampleAudio(
+      spark: SparkSession,
+      media: Dataset[MediaRecord],
+      factor: Int = 2): Dataset[MediaRecord] = {
+    import spark.implicits._
+    require(factor >= 1, "resample factor must be >= 1")
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val (rate, samples) = decodeWav(r)
+      require(rate % factor == 0,
+        s"media_id ${r.media_id}: rate $rate not divisible by decimation factor $factor")
+      val out = new Array[Short]((samples.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = samples(i * factor); i += 1 }
+      val wav = encodeWav(out, rate / factor)
+      MediaRecord(r.media_id, wav, "audio/wav", wav.length.toLong)
+    }))
+  }
+
   /**
    * Frame sampling for video-like payloads: emit up to `k` evenly spaced
    * frame indices out of the item's `n_frames` (`floor(i * n_frames / k)`,

@@ -82,6 +82,35 @@ object MmQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("byte_sum"))
+    },
+    // REAL audio codec path (JDK javax.sound WAV stack): synthetic 16-bit
+    // PCM clips seeded by doc_id, decoded for rate/length/sum/peak. PCM is
+    // lossless, so the oracle replays the waveform formula in closed form.
+    "mm_audio_features" -> { (s, dir) =>
+      val media = Multimodal.synthAudioMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.decodeAudio(s, media)
+        .select(
+          col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          col("sample_sum"),
+          col("peak").cast("long").as("peak"))
+    },
+    // encode -> decode -> decimate by 2 -> re-encode -> decode: the
+    // resampled clip's samples are exact picks from the original
+    // (out(i) = in(2i)), so the oracle sums the formula over the
+    // half-grid at half the rate.
+    "mm_audio_resample" -> { (s, dir) =>
+      val media = Multimodal.synthAudioMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.decodeAudio(s, Multimodal.resampleAudio(s, media, 2))
+        .select(
+          col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          col("sample_sum"),
+          col("peak").cast("long").as("peak"))
     })
 
   /** SQL twin of [[asciiDocs]]'s filter. */
@@ -138,5 +167,31 @@ object MmQueries {
         |px AS (SELECT doc_id, ow, oh, x, unnest(range(0, oh)) AS y FROM xs)
         |SELECT doc_id AS media_id, CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
         |  CAST(sum((doc_id*31 + (2*x)*7 + (2*y)*13) % 256) AS BIGINT) AS byte_sum
-        |FROM px GROUP BY 1, 2, 3""".stripMargin)
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // The real-codec audio queries replay Multimodal.sampleValue/
+    // synthSampleRate/synthSampleCount as integer SQL: rate
+    // 8000 + 1000*(doc_id % 5), n 50 + doc_id % 200, sample(i) =
+    // (doc_id*17 + i*29) % 20001 - 10000 — PCM WAV is lossless, so the
+    // decoded stats must equal the formula's exactly.
+    "mm_audio_features" ->
+      """WITH d AS (SELECT doc_id, 8000 + 1000*(doc_id % 5) AS rate, 50 + doc_id % 200 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, rate, n, unnest(range(0, n)) AS i FROM d)
+        |SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum((doc_id*17 + i*29) % 20001 - 10000) AS BIGINT) AS sample_sum,
+        |  CAST(max(abs((doc_id*17 + i*29) % 20001 - 10000)) AS BIGINT) AS peak
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // Decimation by 2: out(i) = in(2i), ceil(n/2) samples at rate/2 — the
+    // sum ranges over the half grid with doubled indices inside the same
+    // waveform formula.
+    "mm_audio_resample" ->
+      """WITH d AS (SELECT doc_id, (8000 + 1000*(doc_id % 5)) // 2 AS rate,
+        |    (50 + doc_id % 200 + 1) // 2 AS n FROM documents),
+        |s AS (SELECT doc_id, rate, n, unnest(range(0, n)) AS i FROM d)
+        |SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum((doc_id*17 + (2*i)*29) % 20001 - 10000) AS BIGINT) AS sample_sum,
+        |  CAST(max(abs((doc_id*17 + (2*i)*29) % 20001 - 10000)) AS BIGINT) AS peak
+        |FROM s GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -926,6 +926,67 @@ class OperatorsSpec extends SparkSuite {
     assert(msgs(e).contains("99"), msgs(e))
   }
 
+  test("multimodal REAL audio codec: WAV round-trips exactly, decimation picks exact samples") {
+    import spark.implicits._
+    // encode -> JDK AudioSystem decode returns the formula's samples
+    // bit-for-bit at the formula's rate (the same math the SQL oracle
+    // replays)
+    Seq(0L, 1L, 7L, 123L, 499L).foreach { seed =>
+      val wav = Multimodal.synthWav(seed)
+      assert(new String(wav.take(4), "US-ASCII") === "RIFF", "payload is not a WAV")
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      try {
+        val fmt = in.getFormat
+        assert(fmt.getSampleRate.toInt === Multimodal.synthSampleRate(seed))
+        assert(fmt.getChannels === 1 && fmt.getSampleSizeInBits === 16)
+        val bytes = in.readAllBytes()
+        val n = Multimodal.synthSampleCount(seed)
+        assert(bytes.length === n * 2)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach { i =>
+          assert(bb.getShort.toInt === Multimodal.sampleValue(seed, i), s"seed $seed sample $i")
+        }
+      } finally in.close()
+    }
+    // distributed: decoded stats and the 1/2 decimation agree with the
+    // closed-form expectation
+    val ids = spark.range(0, 40).toDF("media_id")
+    val media = Multimodal.synthAudioMedia(spark, ids)
+    val feats = Multimodal.decodeAudio(spark, media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(feats.size === 40)
+    feats.foreach { case (id, r) =>
+      val n = Multimodal.synthSampleCount(id)
+      val vals = (0 until n).map(Multimodal.sampleValue(id, _))
+      assert(r.getInt(1) === Multimodal.synthSampleRate(id))
+      assert(r.getLong(2) === n.toLong)
+      assert(r.getLong(3) === vals.map(_.toLong).sum, s"seed $id")
+      assert(r.getInt(4) === vals.map(math.abs).max, s"seed $id")
+    }
+    val res = Multimodal.decodeAudio(spark, Multimodal.resampleAudio(spark, media, 2))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    res.foreach { case (id, r) =>
+      val n = Multimodal.synthSampleCount(id)
+      val on = (n + 1) / 2
+      val vals = (0 until on).map(i => Multimodal.sampleValue(id, 2 * i))
+      assert(r.getInt(1) === Multimodal.synthSampleRate(id) / 2)
+      assert(r.getLong(2) === on.toLong)
+      assert(r.getLong(3) === vals.map(_.toLong).sum, s"seed $id")
+      assert(r.getInt(4) === vals.map(math.abs).max, s"seed $id")
+    }
+    // a non-audio payload fails loud, naming the media id
+    val junk = MediaRecord(99L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), "fake/raw", 8L)
+    val e = intercept[Exception] {
+      Multimodal.decodeAudio(spark, spark.createDataset(Seq(junk))).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("99"), msgs(e))
+  }
+
   test("components: min-label clusters match a reference union-find") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, triangle 20-21-22 (+ isolated 30, 40)
