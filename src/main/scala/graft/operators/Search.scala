@@ -218,6 +218,114 @@ object Search {
       .where(col("rank") <= k)
   }
 
+  val PosPrefix: String = SearchLayout.PosPrefix
+
+  /** The POSITIONAL index as (key, value) rows for [[DomainStore.write]] —
+    * the phrase/proximity sibling of [[invertedIndexKv]], published as its
+    * own domain:
+    *
+    *  - `p:<term>` → `"docId:pos;pos;…,docId:pos;…"` (docId asc, 0-based
+    *    token positions asc — [[TextAnalysis.wordTokens]] order)
+    *  - `x:<term>` → tombstone for a term whose posting list exceeds
+    *    `maxPostings` DOCUMENTS (value = its df) — same recall-accounting
+    *    contract as the BM25 index, except phrase semantics make elision
+    *    a correctness matter, so [[phraseSearch]] FAILS LOUD when a query
+    *    touches a tombstoned term instead of silently scoring without it.
+    *
+    * Positions cost ~len/df extra integers per posting entry vs `t:`
+    * records — the standard positional-index overhead; values stay UTF-8
+    * CSV (SQL-replayable, Spark-free-servable) like every published
+    * index here. */
+  def positionalIndexKv(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int = MaxPostings): DataFrame =
+    corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ps")))).as("docs"))
+      .withColumn("live", size(col("docs")) <= maxPostings)
+      .select(
+        utf8_bytes(concat(
+          when(col("live"), lit(PosPrefix)).otherwise(lit(DroppedPrefix)),
+          col("term"))).as("key"),
+        utf8_bytes(
+          when(col("live"), concat_ws(",",
+            transform(col("docs"), d => concat_ws(":",
+              d("doc_id").cast("string"),
+              concat_ws(";", transform(d("ps"), p => p.cast("string")))))))
+            .otherwise(size(col("docs")).cast("string")))
+          .as("value"))
+
+  /** Exact phrase search against a published [[positionalIndexKv]]
+    * domain: `queries` needs (`query_id: long`, `phrase: string`);
+    * returns (query_id, doc_id, n_matches, rank) for documents containing
+    * the phrase's tokens CONSECUTIVELY, ranked by occurrence count (ties
+    * by doc id), rank 1..k.
+    *
+    * Relational formulation — no per-document position walk: each
+    * (query term at offset j) joins the term's postings, every match
+    * votes for anchor `pos - j`, and an anchor that collects ALL the
+    * phrase's offsets is one occurrence:
+    * {{{
+    *   matches(q, d, a) ⇔ ∀j: term_j(q) occurs in d at a + j
+    * }}}
+    * Work is proportional to the probed postings (multiGet prunes to the
+    * query terms' shards), then two partial-agg shuffles on (query, doc,
+    * anchor) — candidates move as ids+positions, never text. A repeated
+    * term inside the phrase ("the cat the") is handled by counting
+    * DISTINCT offsets. A query term the build tombstoned fails loud (see
+    * [[positionalIndexKv]]); a term simply absent from the corpus yields
+    * zero matches for that query, like any non-matching phrase. */
+  def phraseSearch(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qterms = queries
+      .select(col("query_id"),
+        posexplode(TextAnalysis.wordTokens(col("phrase"))).as(Seq("j", "term")))
+    // a tombstoned query term would silently UNDERCOUNT phrases — refuse
+    val dropped = store.multiGet(
+        qterms.select(utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key")).distinct(),
+        includeMisses = false)
+      .limit(1)
+      .select(substring(bytes_utf8(col("key")), DroppedPrefix.length + 1, Int.MaxValue))
+      .collect()
+    require(dropped.isEmpty,
+      s"phraseSearch: query term '${dropped.headOption.map(_.getString(0)).getOrElse("")}' " +
+        "was dropped by the build-time postings cap — phrase semantics cannot elide a " +
+        "term; rebuild the positional index with a higher maxPostings")
+    val termKeys = qterms
+      .select(utf8_bytes(concat(lit(PosPrefix), col("term"))).as("key"))
+      .distinct()
+    val entries = store.multiGet(termKeys, includeMisses = false)
+      .select(
+        substring(bytes_utf8(col("key")), PosPrefix.length + 1, Int.MaxValue).as("term"),
+        explode(split(bytes_utf8(col("value")), ",")).as("e"))
+      .select(col("term"),
+        split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
+        explode(split(split(col("e"), ":").getItem(1), ";")).as("p"))
+      .select(col("term"), col("doc_id"), col("p").cast("long").as("pos"))
+    val qlen = qterms.groupBy("query_id")
+      .agg(countDistinct(col("j")).as("n_terms"))
+    val anchors = qterms.join(entries, Seq("term"))
+      .select(col("query_id"), col("j"), col("doc_id"),
+        (col("pos") - col("j")).as("anchor"))
+      .where(col("anchor") >= 0)
+      .groupBy(col("query_id"), col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("j")).as("found"))
+    val byDoc = anchors.join(qlen, Seq("query_id"))
+      .where(col("found") === col("n_terms"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+    byDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   private val PostingsArrayType = "array<struct<doc_id:bigint,tf:bigint>>"
 
   /** Incremental growth of a PUBLISHED [[invertedIndexKv]] domain — the

@@ -43,8 +43,35 @@ object SearchQueries {
   def searchProbe(s: SparkSession, dir: String): DataFrame =
     Search.searchTopK(searchIndexStore(s, dir), queriesDf(s), k = TopK)
 
+  /** Literal phrase queries — drawn from the corpus vocabulary so
+    * occurrence counts span none→several; query 3 repeats a term (the
+    * distinct-offset edge). */
+  val PhraseLits: Seq[(Long, String)] = Seq(
+    0L -> "fast table",
+    1L -> "table part",
+    2L -> "agg row scan",
+    3L -> "table table")
+
+  private def phrasesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    PhraseLits.toDF("query_id", "phrase")
+  }
+
+  /** BUILD half of phrase search: the corpus's POSITIONAL index published
+    * as its own servable kv domain. */
+  def positionalIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
+    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted)
+    Fixtures.domain(s, dir, "search-positional", spec) { (st, sp) =>
+      st.write(
+        Search.positionalIndexKv(Fixtures.table(sp, dir, "documents"), "doc_id", "text"),
+        version = 1L)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_search_topk" -> { (s, dir) => searchProbe(s, dir) })
+    "text_search_topk" -> { (s, dir) => searchProbe(s, dir) },
+    "text_search_phrase" -> { (s, dir) =>
+      Search.phraseSearch(positionalIndexStore(s, dir), phrasesDf(s), k = TopK) })
 
   /** The query's (query_id, term) pairs, tokenized with the engine's own
     * unit (lowercased `[a-z0-9]+` runs), distinct per query. */
@@ -52,6 +79,15 @@ object SearchQueries {
     QueryLits.flatMap { case (qid, text) =>
       "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq.distinct
         .map(t => s"(CAST($qid AS BIGINT), '$t')")
+    }.mkString(",\n|")
+
+  /** The phrase queries' (query_id, offset, term) triples — duplicates
+    * KEPT with their offsets (phrase semantics). */
+  private def phraseTermValues: String =
+    PhraseLits.flatMap { case (qid, text) =>
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq.zipWithIndex.map { case (t, j) =>
+        s"(CAST($qid AS BIGINT), CAST($j AS BIGINT), '$t')"
+      }
     }.mkString(",\n|")
 
   val oracleSql: Map[String, String] = Map(
@@ -97,6 +133,45 @@ object SearchQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
          |  FROM scored)
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // Phrase replay: tokenize WITH POSITIONS (unnest(range) + 1-based
+    // list_extract), every (term@offset j) match votes for anchor
+    // pos - j, an anchor holding ALL offsets is one occurrence, rank by
+    // occurrence count. The postings cap is deliberately NOT modeled:
+    // phraseSearch FAILS LOUD on a tombstoned query term (eliding one
+    // silently undercounts phrases), so a corpus where the cap bites
+    // cannot reach this comparison.
+    "text_search_phrase" ->
+      s"""WITH ts AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |tok0 AS (
+         |  SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM ts),
+         |tok AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    list_extract(toks, CAST(pos + 1 AS INT)) AS term
+         |  FROM tok0),
+         |q(query_id, j, term) AS (VALUES
+         |$phraseTermValues),
+         |qn AS (
+         |  SELECT query_id, count(DISTINCT j) AS n_terms FROM q GROUP BY query_id),
+         |cand AS (
+         |  SELECT q.query_id, q.j, tok.doc_id, tok.pos - q.j AS anchor
+         |  FROM q JOIN tok USING (term) WHERE tok.pos - q.j >= 0),
+         |occ AS (
+         |  SELECT query_id, doc_id, anchor, count(DISTINCT j) AS found
+         |  FROM cand GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT o.query_id, o.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |  FROM occ o JOIN qn USING (query_id)
+         |  WHERE o.found = qn.n_terms
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id, n_matches,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY n_matches DESC, doc_id) AS rank
+         |  FROM m)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matches,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin)
 }

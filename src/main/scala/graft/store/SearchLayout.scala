@@ -21,6 +21,12 @@ object SearchLayout {
   val DroppedPrefix = "x:"
   val MetaKey = "m:stats"
 
+  /** Positional-index record class (`graft.operators.Search.positionalIndexKv`):
+    * `p:<term>` → `"docId:pos;pos;…,docId:pos;…"` (docId ascending,
+    * 0-based token positions ascending) — the phrase/proximity sibling of
+    * `t:` postings, published as its own domain. */
+  val PosPrefix = "p:"
+
   /** Fixed-point scale for score quantization (2^20). */
   val ScaleBits: Int = 20
 

@@ -78,6 +78,54 @@ class SearchSpec extends SparkSuite {
       assert(run(st, "wombat fish") === refSearch("fish", 10))
     }
 
+  test("phrase search: consecutive-token matches vs a naive substring reference") {
+    // richer corpus with repeats and overlapping phrases
+    val docs = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "a cat sat where the cat sat before",
+      3L -> "cat cat cat",
+      4L -> "sat cat",
+      5L -> "the the the")
+    val st = DomainStore.create(
+      scratch("search-phrase"), DomainSpec(numShards = 4), new Configuration())
+    st.write(Search.positionalIndexKv(docs.toDF("doc_id", "text"), "doc_id", "text"), 1L)
+    // naive reference: count anchors where the token sequence matches
+    def refPhrase(phrase: String): Seq[(Long, Long)] = {
+      val p = phrase.split(" ").toSeq
+      docs.flatMap { case (id, t) =>
+        val ts = t.split(" ").toSeq
+        val n = (0 to ts.size - p.size).count(a => ts.slice(a, a + p.size) == p)
+        if (n > 0) Some(id -> n.toLong) else None
+      }.sortBy { case (id, n) => (-n, id) }
+    }
+    def run(phrase: String): Seq[(Long, Long)] =
+      Search.phraseSearch(st, Seq(0L -> phrase).toDF("query_id", "phrase"), k = 10)
+        .orderBy("rank").select(col("doc_id"), col("n_matches"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (phrase <- Seq(
+        "cat sat", "the cat", "cat sat on", "cat cat", "the the",
+        "sat", "mat", "cat sat before", "dog"))
+      assert(run(phrase) === refPhrase(phrase), s"phrase '$phrase'")
+    // a phrase whose terms all exist but never consecutively: no matches
+    assert(run("mat the") === Nil)
+  }
+
+  test("phrase search fails loud on a term the build tombstoned") {
+    val docs = (1L to 30L).map(i => i -> s"hot cold$i").toDF("doc_id", "text")
+    val st = DomainStore.create(
+      scratch("search-phrase-cap"), DomainSpec(numShards = 4), new Configuration())
+    // cap of 10 docs: 'hot' (df=30) tombstones, every 'coldN' stays
+    st.write(Search.positionalIndexKv(docs, "doc_id", "text", maxPostings = 10), 1L)
+    val e = intercept[Exception] {
+      Search.phraseSearch(st, Seq(0L -> "hot cold5").toDF("query_id", "phrase"), 10).collect()
+    }
+    assert(e.getMessage.contains("hot") && e.getMessage.contains("postings cap"), e.getMessage)
+    // queries not touching the tombstone still answer
+    val ok = Search.phraseSearch(st, Seq(0L -> "cold5").toDF("query_id", "phrase"), 10)
+      .collect()
+    assert(ok.length === 1 && ok(0).getAs[Long]("doc_id") === 5L)
+  }
+
   test("top-k truncates by (score desc, doc_id) and ranks densely") {
     val st = store("topk", DomainSpec.KvSorted)
     val all = run(st, "cat dog fish bird")
