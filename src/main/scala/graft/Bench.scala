@@ -88,6 +88,18 @@ object Bench {
         queries.SearchQueries.searchProbe(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val searchProbe = (System.nanoTime() - sp0) / 1e9
+        // and the phrase pipeline (build = positional index + publish on
+        // the compressed engine; probe = postings lookups + anchor votes)
+        val pb2 = System.nanoTime()
+        queries.SearchQueries.positionalIndexStore(spark, sfDir)
+        val phraseBuild = (System.nanoTime() - pb2) / 1e9
+        val pp2 = System.nanoTime()
+        graft.operators.Search.phraseSearch(
+          queries.SearchQueries.positionalIndexStore(spark, sfDir),
+          { import spark.implicits._; queries.SearchQueries.PhraseLits.toDF("query_id", "phrase") },
+          k = queries.SearchQueries.TopK)
+          .write.format("noop").mode("overwrite").save()
+        val phraseProbe = (System.nanoTime() - pp2) / 1e9
         Seq("pipeline_dedup_index_build" -> buildSec,
           "pipeline_dedup_index_probe" -> probeSec,
           "pipeline_ann_index_build" -> annBuild,
@@ -95,7 +107,9 @@ object Bench {
           "pipeline_annpq_index_build" -> pqBuild,
           "pipeline_annpq_index_probe" -> pqProbe,
           "text_search_topk_build" -> searchBuild,
-          "text_search_topk_probe" -> searchProbe)
+          "text_search_topk_probe" -> searchProbe,
+          "text_search_phrase_build" -> phraseBuild,
+          "text_search_phrase_probe" -> phraseProbe)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] submetrics failed: $e")

@@ -58,9 +58,12 @@ object SearchQueries {
   }
 
   /** BUILD half of phrase search: the corpus's POSITIONAL index published
-    * as its own servable kv domain. */
+    * as its own servable kv domain — on the BLOCK-COMPRESSED engine
+    * (position CSV is exactly the redundant payload kv-sorted-z exists
+    * for), so the driver gate exercises a compressed domain through a
+    * composed build→publish→multiGet pipeline. */
   def positionalIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
-    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted)
+    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSortedZ)
     Fixtures.domain(s, dir, "search-positional", spec) { (st, sp) =>
       st.write(
         Search.positionalIndexKv(Fixtures.table(sp, dir, "documents"), "doc_id", "text"),
