@@ -240,8 +240,8 @@ object Search {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      maxPostings: Int = MaxPostings): DataFrame =
-    corpus
+      maxPostings: Int = MaxPostings): DataFrame = {
+    val postings = corpus
       .select(col(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
@@ -260,6 +260,88 @@ object Search {
               concat_ws(";", transform(d("ps"), p => p.cast("string")))))))
             .otherwise(size(col("docs")).cast("string")))
           .as("value"))
+    // `d:` doc records (value = token count): inert for phrase queries,
+    // load-bearing for [[positionalIndexUpsert]]'s disjointness contract
+    // — the same role they play in the BM25 index.
+    val lenRecords = corpus.select(
+      utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key"),
+      utf8_bytes(size(TextAnalysis.wordTokens(col(textCol))).cast("string")).as("value"))
+    postings.unionByName(lenRecords)
+  }
+
+  private val PosArrayType = "array<struct<doc_id:bigint,ps:string>>"
+
+  /** Incremental growth of a PUBLISHED [[positionalIndexKv]] domain — the
+    * updater cycle for phrase search, completing the set (band / IVF /
+    * PQ / BM25 / positional all have one). Same ENFORCED contracts as
+    * [[searchIndexUpsert]]: delta doc ids disjoint (probed via `d:`
+    * records, bounded `limit(1)`), tombstoned terms stay elided with
+    * advancing df, a merge crossing the cap fails loud naming the
+    * rebuild. Work is O(delta + affected postings). */
+  def positionalIndexUpsert(
+      index: DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long,
+      maxPostings: Int = MaxPostings): Unit = {
+    val clash = index.multiGet(
+        delta.select(
+          utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key")),
+        includeMisses = false)
+      .limit(1).collect()
+    require(clash.isEmpty,
+      "positionalIndexUpsert: a delta doc id is already indexed — postings " +
+        "merge is append-only; rebuild with positionalIndexKv to update documents")
+
+    val additions = delta
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("psArr"))
+      .groupBy("term")
+      .agg(sort_array(collect_list(struct(
+        col("doc_id"),
+        concat_ws(";", transform(col("psArr"), p => p.cast("string"))).as("ps")))).as("aps"))
+    def current(prefix: String, as: String) = index.multiGet(
+        additions.select(utf8_bytes(concat(lit(prefix), col("term"))).as("key")),
+        includeMisses = true)
+      .select(
+        substring(bytes_utf8(col("key")), prefix.length + 1, Int.MaxValue).as("term"),
+        bytes_utf8(col("value")).as(as))
+    val merged = additions
+      .join(current(PosPrefix, "cur"), Seq("term"), "left_outer")
+      .join(current(DroppedPrefix, "xdf").withColumn("xdf", col("xdf").cast("long")),
+        Seq("term"), "left_outer")
+      .withColumn("curdocs",
+        when(col("cur").isNull, array().cast(PosArrayType))
+          .otherwise(transform(split(col("cur"), ","), e =>
+            struct(
+              split(e, ":").getItem(0).cast("long").as("doc_id"),
+              split(e, ":").getItem(1).as("ps")))
+            .cast(PosArrayType)))
+      .withColumn("docs",
+        array_sort(concat(col("curdocs"), col("aps").cast(PosArrayType))))
+    val termRecords = merged.select(
+      utf8_bytes(concat(
+        when(col("xdf").isNotNull, lit(DroppedPrefix)).otherwise(lit(PosPrefix)),
+        col("term"))).as("key"),
+      utf8_bytes(
+        when(col("xdf").isNotNull, (col("xdf") + size(col("aps"))).cast("string"))
+          .otherwise(when(size(col("docs")) <= maxPostings,
+            concat_ws(",", transform(col("docs"), d =>
+              concat_ws(":", d("doc_id").cast("string"), d("ps")))))
+            .otherwise(raise_error(concat(
+              lit("positionalIndexUpsert: merged postings for term '"), col("term"),
+              lit(s"' exceed maxPostings=$maxPostings members — a rebuild " +
+                "would tombstone the term (recall accounting) and an upsert " +
+                "cannot drop a published key: re-index with positionalIndexKv"))))))
+        .as("value"))
+    val lenRecords = delta.select(
+      utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key"),
+      utf8_bytes(size(TextAnalysis.wordTokens(col(textCol))).cast("string")).as("value"))
+    index.upsert(delta.sparkSession, termRecords.unionByName(lenRecords), newVersion)
+  }
 
   /** Exact phrase search against a published [[positionalIndexKv]]
     * domain: `queries` needs (`query_id: long`, `phrase: string`);

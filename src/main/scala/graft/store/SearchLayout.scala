@@ -47,4 +47,8 @@ object SearchLayout {
 
   def terms(query: String): Seq[String] =
     TermRegex.findAllIn(query.toLowerCase).toSeq.distinct
+
+  /** Ordered, duplicates KEPT — the phrase tokenization (offsets matter). */
+  def tokens(query: String): Seq[String] =
+    TermRegex.findAllIn(query.toLowerCase).toSeq
 }

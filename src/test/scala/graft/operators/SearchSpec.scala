@@ -126,6 +126,90 @@ class SearchSpec extends SparkSuite {
     assert(ok.length === 1 && ok(0).getAs[Long]("doc_id") === 5L)
   }
 
+  test("Spark-free PhraseReader serves the same matches, bit for bit, on plain AND compressed kv") {
+    val docs = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "a cat sat where the cat sat before",
+      3L -> "cat cat cat",
+      4L -> "sat cat the cat sat")
+    for (format <- Seq(DomainSpec.KvSorted, DomainSpec.KvSortedZ)) {
+      val st = DomainStore.create(
+        scratch(s"phrase-serve-$format"),
+        DomainSpec(numShards = 4, persistenceFormat = format), new Configuration())
+      st.write(Search.positionalIndexKv(docs.toDF("doc_id", "text"), "doc_id", "text"), 1L)
+      val reader = new graft.store.PhraseReader(
+        graft.store.KvDomainReader.open(st.root.toString, new Configuration()))
+      try {
+        for (phrase <- Seq("cat sat", "the cat", "cat cat", "sat", "cat sat before", "dog cat")) {
+          val spark0 = Search.phraseSearch(
+              st, Seq(0L -> phrase).toDF("query_id", "phrase"), k = 10)
+            .orderBy("rank").select(col("doc_id"), col("n_matches"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          assert(reader.phrase(phrase, 10) === spark0, s"format $format phrase '$phrase'")
+        }
+        // empty + absent-term queries answer without Spark too
+        assert(reader.phrase("zebra", 5) === Nil)
+      } finally reader.close()
+    }
+  }
+
+  test("positional upsert == full rebuild, bit for bit; contracts enforced") {
+    val base = Seq(1L -> "cat sat", 2L -> "cat cat dog").toDF("doc_id", "text")
+    val delta = Seq(3L -> "dog cat sat", 4L -> "bird").toDF("doc_id", "text")
+    val union = Seq(
+      1L -> "cat sat", 2L -> "cat cat dog",
+      3L -> "dog cat sat", 4L -> "bird").toDF("doc_id", "text")
+    val inc = DomainStore.create(
+      scratch("pos-ups-inc"), DomainSpec(numShards = 4), new Configuration())
+    inc.write(Search.positionalIndexKv(base, "doc_id", "text"), 1L)
+    Search.positionalIndexUpsert(inc, delta, "doc_id", "text", newVersion = 2L)
+    val full = DomainStore.create(
+      scratch("pos-ups-full"), DomainSpec(numShards = 4), new Configuration())
+    full.write(Search.positionalIndexKv(union, "doc_id", "text"), 1L)
+    def dump(st: DomainStore): Map[String, String] =
+      st.read(spark).select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dump(inc) === dump(full))
+    // phrase results over the grown index match the rebuilt one
+    val q = Seq(0L -> "dog cat").toDF("query_id", "phrase")
+    def run(st: DomainStore) = Search.phraseSearch(st, q, 10)
+      .orderBy("rank").collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_matches"))).toSeq
+    assert(run(inc) === run(full) && run(inc) === Seq((3L, 1L)))
+    // re-ingesting an indexed doc id fails loud
+    val e = intercept[IllegalArgumentException] {
+      Search.positionalIndexUpsert(inc, delta, "doc_id", "text", newVersion = 3L)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // a tombstoned term stays elided and its df advances
+    val capped = DomainStore.create(
+      scratch("pos-ups-cap"), DomainSpec(numShards = 4), new Configuration())
+    capped.write(
+      Search.positionalIndexKv(
+        (1L to 12L).map(i => i -> "hot").toDF("doc_id", "text"),
+        "doc_id", "text", maxPostings = 10), 1L)
+    Search.positionalIndexUpsert(
+      capped, Seq(13L -> "hot cool").toDF("doc_id", "text"),
+      "doc_id", "text", newVersion = 2L, maxPostings = 10)
+    val d2 = dump(capped)
+    assert(d2("x:hot") === "13") // 12 + 1
+    assert(d2("p:cool") === "13:1")
+    // a merge that would CROSS the cap fails loud naming the rebuild
+    val nearCap = DomainStore.create(
+      scratch("pos-ups-cross"), DomainSpec(numShards = 4), new Configuration())
+    nearCap.write(
+      Search.positionalIndexKv(
+        (1L to 10L).map(i => i -> "warm").toDF("doc_id", "text"),
+        "doc_id", "text", maxPostings = 10), 1L)
+    val e2 = intercept[Exception] {
+      Search.positionalIndexUpsert(
+        nearCap, Seq(11L -> "warm").toDF("doc_id", "text"),
+        "doc_id", "text", newVersion = 2L, maxPostings = 10)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("positionalIndexKv")), messages(e2).mkString(" | "))
+  }
+
   test("top-k truncates by (score desc, doc_id) and ranks densely") {
     val st = store("topk", DomainSpec.KvSorted)
     val all = run(st, "cat dog fish bird")
