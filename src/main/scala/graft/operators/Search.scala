@@ -89,7 +89,11 @@ object Search {
     * operators agree on what a term is. */
   def termFrequencies(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
-      .select(col(idCol).as("doc_id"),
+      // cast to long HERE so the postings struct sort orders numerically
+      // for any id column type, matching the upsert merge's cast — else a
+      // string-typed id publishes lexicographic "docId asc" and breaks
+      // upsert-equals-rebuild byte identity
+      .select(col(idCol).cast("long").as("doc_id"),
         explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
@@ -241,8 +245,12 @@ object Search {
       idCol: String,
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
+    // doc_id CAST TO LONG before the sort: the struct sort must order
+    // numerically (the documented "docId asc" layout), exactly like the
+    // upsert's merge — a string-typed id column would otherwise publish
+    // lexicographic order and break upsert-equals-rebuild byte identity
     val postings = corpus
-      .select(col(idCol).as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))

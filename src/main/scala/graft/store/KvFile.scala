@@ -190,11 +190,36 @@ object KvFile {
     }
   }
 
-  /** Record count from the trailer alone — the format's "footer count"
-    * (one positioned read, no data page touched). */
+  /** Record count from the trailer alone — the format's "footer count":
+    * ONE positioned read of the file tail, no data page, no block index
+    * (a full [[open]] of a GKZ1 file eagerly loads its whole block
+    * index, which plan-time statistics and 64k-shard count sweeps must
+    * never pay). Both trailers end in their magic, so the tail read
+    * itself dispatches the format. */
   def count(fs: FileSystem, path: Path): Long = {
-    val r = open(fs, path)
-    try r.count finally r.close()
+    val len = fs.getFileStatus(path).getLen
+    val name = path.toString
+    val tailLen = math.min(len, math.max(TrailerLen.toLong, KvzFile.TrailerLen.toLong)).toInt
+    require(len >= 4L + TrailerLen, s"$name: kv file too short ($len bytes)")
+    val in = fs.open(path)
+    val tail =
+      try { val t = new Array[Byte](tailLen); in.readFully(len - tailLen, t); t }
+      finally in.close()
+    val magic = java.util.Arrays.copyOfRange(tail, tailLen - 4, tailLen)
+    val n =
+      if (java.util.Arrays.equals(magic, Magic))
+        // GKV1 trailer: [indexOffset:long][count:long][magic]
+        ByteBuffer.wrap(tail, tailLen - TrailerLen + 8, 8).getLong
+      else if (java.util.Arrays.equals(magic, KvzFile.Magic)) {
+        // GKZ1 trailer: [indexOffset:long][blockCount:long][recordCount:long][magic]
+        require(len >= 4L + KvzFile.TrailerLen, s"$name: kvz file too short ($len bytes)")
+        ByteBuffer.wrap(tail, tailLen - KvzFile.TrailerLen + 16, 8).getLong
+      }
+      else throw new IllegalArgumentException(
+        s"$name: not a graft kv file (trailer magic ${magic.map(b => f"$b%02x").mkString} " +
+          "is neither GKV1 nor GKZ1)")
+    require(n >= 0, s"$name: corrupt trailer (negative record count $n)")
+    n
   }
 
   /** One open kv file. All reads are positioned (`readFully(pos, buf)`),

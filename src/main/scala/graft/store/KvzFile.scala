@@ -235,6 +235,10 @@ object KvzFile {
         var off = 0
         while (off < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, off, raw.length - off)
+          // a corrupt zlib header with the FDICT bit set makes inflate()
+          // return 0 forever with needsInput() false — fail loud, never spin
+          require(!inf.needsDictionary(),
+            s"$name: corrupt GKZ1 block $b (zlib header demands a preset dictionary)")
           require(n > 0 || !inf.needsInput(),
             s"$name: corrupt GKZ1 block $b (deflate stream truncated at $off/${raw.length})")
           off += n
@@ -259,6 +263,27 @@ object KvzFile {
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
         if (java.util.Arrays.compareUnsigned(blockFirstKeys(mid), key) <= 0) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      ans
+    }
+
+    /** First block that can hold a key >= `bound`: the LAST block whose
+      * firstKey is STRICTLY below it (its tail may still reach the
+      * bound), else 0. NOT [[blockFor]]: a duplicate-key run straddling
+      * block boundaries puts the bound key's first copies in the block
+      * BEFORE the one whose firstKey equals it — a <= search would skip
+      * them and silently drop rows equal to an inclusive range start
+      * (and an equal-firstKey run can span several blocks, so the start
+      * must sit strictly below). The range body's dropWhile trims any
+      * extra prefix this widens into. */
+    private def rangeStartBlock(bound: Array[Byte]): Int = {
+      var lo = 0
+      var hi = blockCount - 1
+      var ans = 0
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.util.Arrays.compareUnsigned(blockFirstKeys(mid), bound) < 0) { ans = mid; lo = mid + 1 }
         else hi = mid - 1
       }
       ans
@@ -337,7 +362,7 @@ object KvzFile {
         toInclusive: Boolean,
         withValues: Boolean = true): Iterator[(Array[Byte], Array[Byte])] = {
       if (blockCount == 0) return Iterator.empty
-      val startBlock = from.fold(0)(b => math.max(blockFor(b), 0))
+      val startBlock = from.fold(0)(rangeStartBlock)
       (startBlock until blockCount).iterator
         .flatMap { b =>
           val raw = loadBlock(b)

@@ -192,6 +192,59 @@ class KvzFileSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("range: a duplicate-key run straddling a block boundary keeps ALL copies") {
+    // rows a, k, k, z at a block size that splits the two k's across
+    // blocks — block 1's firstKey IS k, so a <=-search start would skip
+    // the first copy (the confirmed row-loss repro)
+    val k = "kkkkkkkkkkkkkkkk".getBytes("UTF-8")
+    val rows = Seq(
+      "aaaaaaaaaaaaaaaa".getBytes("UTF-8") -> ("va" * 20).getBytes("UTF-8"),
+      k -> ("v1" * 20).getBytes("UTF-8"),
+      k -> ("v2" * 20).getBytes("UTF-8"),
+      "zzzzzzzzzzzzzzzz".getBytes("UTF-8") -> ("vz" * 20).getBytes("UTF-8"))
+    val p = scratchFile("dupstraddle.kv")
+    writeFile(p, rows, blockSize = 64) // each record ~64 B: one record per block
+    val r = KvFile.open(p.getFileSystem(conf), p)
+    try {
+      assert(r.range(Some(k), true, Some(k), true).size === 2,
+        "inclusive [k, k] must return BOTH duplicates")
+      assert(r.range(Some(k), true, None, true).size === 3, "[k, +inf) must be k, k, z")
+      assert(r.range(Some(k), false, None, true).size === 1, "(k, +inf) must be just z")
+      // an equal-firstKey run spanning SEVERAL blocks
+      val many = Seq(rows.head) ++ (0 until 6).map(i =>
+        k -> (s"dup$i" * 12).getBytes("UTF-8")) ++ Seq(rows.last)
+      val p2 = scratchFile("dupspan.kv")
+      writeFile(p2, many, blockSize = 64)
+      val r2 = KvFile.open(p2.getFileSystem(conf), p2)
+      try assert(r2.range(Some(k), true, Some(k), true).size === 6)
+      finally r2.close()
+    } finally r.close()
+  }
+
+  test("a corrupt zlib header demanding a preset dictionary fails loud, never spins") {
+    val rows = Seq("aaaa".getBytes("UTF-8") -> ("x" * 200).getBytes("UTF-8"))
+    val p = scratchFile("fdict.kv")
+    writeFile(p, rows, blockSize = 4096)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p); in.readFully(0, bytes); in.close()
+    // block starts at offset 4 with the zlib CMF/FLG pair; set FDICT
+    // (FLG bit 5) and re-solve FCHECK so the header still validates
+    val cmf = bytes(4) & 0xff
+    var flg = (bytes(5) & 0xff) | 0x20
+    flg = (flg & ~0x1f) | ((31 - (cmf * 256 + (flg & ~0x1f)) % 31) % 31)
+    assert((cmf * 256 + flg) % 31 === 0, "crafted header must pass FCHECK")
+    bytes(5) = flg.toByte
+    val out = fs.create(p, true); out.write(bytes); out.close()
+    val r = KvFile.open(fs, p)
+    try {
+      val e = intercept[IllegalArgumentException](r.lookup("aaaa".getBytes("UTF-8")))
+      assert(e.getMessage.contains("fdict.kv") && e.getMessage.contains("dictionary"),
+        e.getMessage)
+    } finally r.close()
+  }
+
   test("unsorted input and null keys are rejected at write time") {
     val p = scratchFile("unsorted.kv")
     val e = intercept[IllegalArgumentException](writeFile(p, Seq(
