@@ -33,6 +33,58 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
 
+  /**
+   * Sliding-window document chunking — the retrieval/embedding unit cut
+   * (RAG corpora, context-bounded embedding models): each document's
+   * token stream splits into windows of `chunkTokens` advancing by
+   * `chunkTokens - overlapTokens`, so consecutive chunks share
+   * `overlapTokens` tokens of context (the complement of
+   * [[graft.operators.Packing]]'s concat-and-chunk, which packs MANY
+   * docs into training sequences; this cuts ONE doc into query-sized
+   * pieces that each stand alone).
+   *
+   * Emits (doc_id, chunk_no, start_tok, n_tok, chunk_text): chunk k
+   * starts at token `k*stride`; a start past `n - overlapTokens` would
+   * add only tokens the previous chunk already covers, so it is not
+   * emitted (`chunks = max(1, ceil((n - overlap) / stride))` — every
+   * token is covered, no fully-redundant tail). `chunk_text` is the
+   * tokens rejoined with single spaces (the tokenized reconstruction —
+   * chunk-level ops downstream all work on [[wordTokens]] anyway).
+   * Zero-token documents yield no chunks (nothing to retrieve). Pure
+   * per-row array math: one codegen'd projection + explode, no shuffle,
+   * no UDF — at 100 TB chunking is a map, not a job.
+   */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .where(col("n") > 0)
+      // integer ceil — exact long math, replayed verbatim by the oracle
+      .withColumn("n_chunks",
+        greatest(lit(1L), expr(s"(n - $overlapTokens + ${stride - 1}) div $stride")))
+      .select(
+        col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+      .select(
+        col("doc_id"),
+        col("chunk_no"),
+        (col("chunk_no") * stride).as("start_tok"),
+        slice(col("toks"), (col("chunk_no") * stride + 1).cast("int"),
+          lit(chunkTokens)).as("ctoks"))
+      .select(
+        col("doc_id"), col("chunk_no"), col("start_tok"),
+        size(col("ctoks")).cast("long").as("n_tok"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
   /** How many tokens are stopwords (quality signal: prose vs noise). */
   def stopwordCount(text: Column): Column =
     size(filter(wordTokens(text), t => t.isin(Stopwords: _*)))

@@ -174,6 +174,23 @@ object Fixtures {
         version = 1L)
     }
 
+  /** The kv-sorted customer domain TRANSCODED to the compressed engine —
+    * the zero-shuffle storage-engine migration path
+    * ([[DomainStore.transcode]]): each shard's sorted run streams from
+    * the layout-reporting scan straight into the kvz writer. */
+  def customerTranscodedDomain(spark: SparkSession, sfDir: String): DomainStore = {
+    val src = customerKvFileDomain(spark, sfDir)
+    built.computeIfAbsent(
+      s"${sanitize(sfDir)}/customer-kvz-transcoded",
+      _ => {
+        val root = scratch(sfDir, "customer-kvz-transcoded")
+        val fs = new Path(root).getFileSystem(conf)
+        fs.delete(new Path(root), true)
+        DomainStore.transcode(
+          spark, src.root.toString, root, DomainSpec.KvSortedZ, version = 1L, conf)
+      })
+  }
+
   /** customer kv domain with STRING keys (utf8 of the custkey decimal) —
     * the key form whose md5 routing DuckDB can replay (its md5() is
     * VARCHAR-only, so binary-keyed domains cannot oracle routing math). */

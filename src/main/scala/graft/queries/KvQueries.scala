@@ -119,6 +119,17 @@ object KvQueries {
           be_long(col("key")).as("doc_id"),
           bytes_utf8(col("value")).as("text"))
     },
+    // Storage-engine migration (the step the reference-layout fail-loud
+    // error points at): transcode re-publishes a domain under a new
+    // persistence format with sharding preserved — kv → kvz here runs
+    // ZERO-SHUFFLE (each shard's sorted run streams scan → writer in its
+    // own task) — and the migrated domain must answer like the original.
+    "kv_transcode" -> { (s, dir) =>
+      Fixtures.customerTranscodedDomain(s, dir).read(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("c_name"))
+    },
     // Storage-partitioned domain-to-domain join: two kv-sorted domains
     // sharded by the same scheme (customer names, per-customer order
     // counts) joined on (shard, key) through the layout-reporting DSv2
@@ -290,6 +301,8 @@ object KvQueries {
           |  UNION ALL
           |  SELECT c_custkey + 3000000 FROM customer WHERE c_custkey % 40 = 0)
           |SELECT ks.k AS c_custkey, c.c_name FROM ks LEFT JOIN customer c ON ks.k = c.c_custkey""".stripMargin,
+      "kv_transcode" ->
+        "SELECT c_custkey, c_name FROM customer",
       "kv_kvz_roundtrip" ->
         "SELECT doc_id, text FROM documents",
       "kv_kvz_multiget" ->

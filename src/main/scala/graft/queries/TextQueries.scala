@@ -18,6 +18,14 @@ object TextQueries {
         TextAnalysis.wsTokenCount(t).cast("long").as("ws_tokens"),
         TextAnalysis.bpeTokenCount(t).cast("long").as("bpe_tokens"))
     },
+    // RAG-unit chunking: 32-token windows, 8-token overlap (stride 24) —
+    // shuffle-free per-row array math; the oracle replays the window
+    // arithmetic and the rejoined chunk text verbatim.
+    "text_chunks" -> { (s, dir) =>
+      TextAnalysis.chunkDocuments(
+        Fixtures.table(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+    },
     "text_quality" -> { (s, dir) =>
       TextAnalysis.qualityReport(Fixtures.table(s, dir, "documents"), "doc_id", "text")
     },
@@ -331,6 +339,27 @@ object TextQueries {
         |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents""".stripMargin,
+    // chunk = 32, overlap = 8, stride = 24; integer-ceil chunk count,
+    // 1-based inclusive list_slice == Spark's slice(arr, start, len)
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+        |  WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    greatest(1, (n - 8 + 23) // 24) AS n_chunks FROM d),
+        |e AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_no FROM c)
+        |SELECT doc_id, CAST(chunk_no AS BIGINT) AS chunk_no,
+        |  CAST(chunk_no * 24 AS BIGINT) AS start_tok,
+        |  CAST(len(list_slice(toks, CAST(chunk_no * 24 + 1 AS INT),
+        |    CAST(chunk_no * 24 + 32 AS INT))) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(toks, CAST(chunk_no * 24 + 1 AS INT),
+        |    CAST(chunk_no * 24 + 32 AS INT)), ' ') AS chunk_text
+        |FROM e""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars,

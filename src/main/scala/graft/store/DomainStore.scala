@@ -133,15 +133,26 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * their shard VALUE, never the task/partition id (the narrow-coalesce
     * trap: one task can see several upstream partitions). */
   private def writeKvShards(kv: DataFrame, version: Long): Unit = {
-    val spark = kv.sparkSession
+    // mkdirs so an all-empty build still publishes a readable version dir
+    versions.versionPath(version).getFileSystem(conf).mkdirs(versions.versionPath(version))
+    writeSortedKvRows(
+      shardedSorted(kv).select(col("shard"), col("key"), col("value")), version)
+  }
+
+  /** Terminal write of (shard, key, value) rows ALREADY sorted by
+    * (shard, key) within each partition: streams each shard's run into
+    * `shard=<i>/part-0.kv` from the shard's own task. Shared by the
+    * canonical build (post-shuffle) and [[DomainStore.transcode]]'s
+    * zero-shuffle path (layout-reporting scan). Rows are keyed by their
+    * shard VALUE, never the task/partition id (the narrow-coalesce trap:
+    * one task can see several upstream partitions). */
+  private def writeSortedKvRows(sorted: DataFrame, version: Long): Unit = {
+    val spark = sorted.sparkSession
     import spark.implicits._
     val confEntries = DomainStore.serializableConf(conf)
     val base = versions.versionPath(version).toString
     val compressed = format == "kvz"
-    // mkdirs so an all-empty build still publishes a readable version dir
-    versions.versionPath(version).getFileSystem(conf).mkdirs(versions.versionPath(version))
-    shardedSorted(kv)
-      .select(col("shard"), col("key"), col("value"))
+    sorted
       .as[(Int, Array[Byte], Array[Byte])]
       .mapPartitions { it =>
         val c = DomainStore.rebuildConf(confEntries)
@@ -1446,6 +1457,48 @@ object DomainStore {
     val src = open(srcRoot, conf)
     val dst = create(dstRoot, src.spec.copy(numShards = newNumShards), conf)
     dst.write(src.read(spark).select("key", "value"), version)
+    dst
+  }
+
+  /** Re-publish the newest version of `srcRoot` under `dstRoot` with a
+    * different persistence format — the storage-engine migration utility
+    * (the concrete step the reference-layout fail-loud error points at,
+    * and the operational path for compressing an existing domain:
+    * kv-sorted → kv-sorted-z). Sharding is PRESERVED (same numShards /
+    * scheme / indexer), which makes the servable-kv → servable-kv case
+    * ZERO-SHUFFLE: the layout-reporting scan hands each shard's
+    * key-sorted run to its own task, which streams it straight into the
+    * destination writer — at 100 TB that is a format conversion, not a
+    * re-shuffle of the corpus. Every other (src, dst) pairing routes
+    * through the canonical one-shuffle write. Index sidecars are rebuilt
+    * for the destination either way (the spec carries the indexer). */
+  def transcode(
+      spark: SparkSession,
+      srcRoot: String,
+      dstRoot: String,
+      dstFormat: String,
+      version: Long,
+      conf: Configuration): DomainStore = {
+    val src = open(srcRoot, conf)
+    val dst = create(dstRoot, src.spec.copy(persistenceFormat = dstFormat), conf)
+    if (src.isKv && dst.isKv) {
+      dst.versions.createVersion(version)
+      try {
+        dst.versions.versionPath(version).getFileSystem(conf)
+          .mkdirs(dst.versions.versionPath(version))
+        dst.writeSortedKvRows(
+          src.readPartitioned(spark).select(col("shard"), col("key"), col("value")),
+          version)
+        dst.buildIndex(spark, version, onlyShards = None)
+        dst.versions.succeedVersion(version)
+      } catch {
+        case e: Throwable =>
+          dst.versions.failVersion(version)
+          throw e
+      }
+    } else {
+      dst.write(src.read(spark).select("key", "value"), version)
+    }
     dst
   }
 

@@ -987,6 +987,49 @@ class OperatorsSpec extends SparkSuite {
     assert(msgs(e).contains("99"), msgs(e))
   }
 
+  test("chunkDocuments: sliding windows cover every token, no redundant tail") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> (1 to 100).map(i => s"w$i").mkString(" "), // many chunks
+      2L -> (1 to 32).map(i => s"x$i").mkString(" "),  // exactly one chunk
+      3L -> (1 to 33).map(i => s"y$i").mkString(" "),  // one token past: 2 chunks
+      4L -> "solo",                                     // tiny
+      5L -> "!!! ???")                                  // zero tokens -> no chunks
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_no"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_tok"), r.getAs[String]("chunk_text")))
+      .toSeq.sortBy(t => (t._1, t._2))
+    // reference: same windowing in plain Scala
+    def ref(id: Long, text: String): Seq[(Long, Long, Long, Long, String)] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+      if (toks.isEmpty) return Nil
+      val n = toks.size
+      val nChunks = math.max(1, (n - 8 + 23) / 24)
+      (0 until nChunks).map { k =>
+        val ctoks = toks.slice(k * 24, math.min(k * 24 + 32, n))
+        (id, k.toLong, (k * 24).toLong, ctoks.size.toLong, ctoks.mkString(" "))
+      }
+    }
+    val want = Seq(
+      1L -> (1 to 100).map(i => s"w$i").mkString(" "),
+      2L -> (1 to 32).map(i => s"x$i").mkString(" "),
+      3L -> (1 to 33).map(i => s"y$i").mkString(" "),
+      4L -> "solo", 5L -> "!!! ???").flatMap { case (id, t) => ref(id, t) }
+    assert(out === want)
+    // every token of doc 1 is covered by the union of its chunks
+    val covered = out.filter(_._1 == 1L)
+      .flatMap { case (_, _, s0, nt, _) => s0 until (s0 + nt) }.toSet
+    assert(covered === (0L until 100L).toSet)
+    // doc 2 (exactly chunk-size) gets ONE chunk; doc 3 gets two
+    assert(out.count(_._1 == 2L) === 1 && out.count(_._1 == 3L) === 2)
+    // zero-token doc yields nothing; invalid params refuse
+    assert(!out.exists(_._1 == 5L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocuments(docs, "doc_id", "text", 8, 8))
+  }
+
   test("components: min-label clusters match a reference union-find") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, triangle 20-21-22 (+ isolated 30, 40)

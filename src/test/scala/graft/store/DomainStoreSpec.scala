@@ -218,6 +218,71 @@ class DomainStoreSpec extends SparkSuite {
       s"kvz ${dataBytes(store, 1L)} vs kv ${dataBytes(plain, 1L)} bytes — Deflate bought < 2x")
   }
 
+  test("transcode: kv <-> kvz migrates formats; kv-to-kv is exchange-free; sidecars rebuilt") {
+    val (srcRoot, zRoot, backRoot, directRoot, pqRoot) = (
+      scratch("tc-src"), scratch("tc-z"), scratch("tc-back"),
+      scratch("tc-direct"), scratch("tc-pq"))
+    val src = DomainStore.create(
+      srcRoot,
+      DomainSpec(4, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    val pairs = (0 until 200).map(i => s"tk$i" -> (s"tv $i " * 10))
+    src.write(kv(pairs: _*), 1L)
+    // kv -> kvz: pairs survive, files are GKZ1, sidecars rebuilt, servable
+    val z = DomainStore.transcode(spark, srcRoot, zRoot, DomainSpec.KvSortedZ, 1L, conf)
+    assert(z.spec.persistenceFormat === DomainSpec.KvSortedZ)
+    assert(z.spec.indexer === classOf[BloomKeyIndexer].getName)
+    assert(readPairs(z) === pairs.toSet)
+    assert(z.count(spark) === 200L)
+    val zfs = z.root.getFileSystem(conf)
+    val zShards = zfs.listStatus(new org.apache.hadoop.fs.Path(z.root, "1"))
+      .filter(_.getPath.getName.startsWith("shard="))
+    assert(zShards.nonEmpty)
+    zShards.foreach { d =>
+      val data = new org.apache.hadoop.fs.Path(d.getPath, KvFile.DataFileName)
+      val in = zfs.open(data)
+      val m = new Array[Byte](4); in.readFully(0, m); in.close()
+      assert(new String(m, "US-ASCII") === "GKZ1", s"${d.getPath} not compressed")
+      assert(zfs.exists(new org.apache.hadoop.fs.Path(d.getPath, Indexer.SidecarName)),
+        s"${d.getPath} missing rebuilt sidecar")
+    }
+    val reader = KvDomainReader.open(zRoot, conf)
+    try assert(reader.get("tk7".getBytes("UTF-8")).map(new String(_, "UTF-8"))
+      === Some("tv 7 " * 10))
+    finally reader.close()
+    // kvz -> kv BACK: byte-identical to a direct kv build of the same rows
+    // (the format is deterministic for a sorted row set)
+    DomainStore.transcode(spark, zRoot, backRoot, DomainSpec.KvSorted, 1L, conf)
+    val direct = DomainStore.create(
+      directRoot, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    direct.write(kv(pairs: _*), 1L)
+    val fs = new org.apache.hadoop.fs.Path(backRoot).getFileSystem(conf)
+    (0 until 4).foreach { s =>
+      val a = new org.apache.hadoop.fs.Path(s"$backRoot/1/shard=$s", KvFile.DataFileName)
+      val b = new org.apache.hadoop.fs.Path(s"$directRoot/1/shard=$s", KvFile.DataFileName)
+      assert(fs.exists(a) === fs.exists(b))
+      if (fs.exists(a)) {
+        def bytes(p: org.apache.hadoop.fs.Path): Seq[Byte] = {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in = fs.open(p); in.readFully(0, buf); in.close(); buf.toSeq
+        }
+        assert(bytes(a) === bytes(b), s"shard $s transcoded bytes differ from direct build")
+      }
+    }
+    // the kv->kv scan side is exchange-free: the frame transcode streams
+    // from has NO shuffle in its plan (the layout-reporting source)
+    val plan = src.readPartitioned(spark)
+      .select(col("shard"), col("key"), col("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.split("== Initial Plan ==").head.contains("Exchange"), plan)
+    // kvz -> parquet routes through the canonical write and still answers
+    val pq = DomainStore.transcode(spark, zRoot, pqRoot, DomainSpec.ParquetSorted, 1L, conf)
+    assert(pq.spec.persistenceFormat === DomainSpec.ParquetSorted)
+    assert(readPairs(pq) === pairs.toSet)
+  }
+
   test("kv-sorted composes: reshard keeps pairs, bloom sidecars kill misses") {
     // reshard kv -> kv (spec copied, new shard count)
     val (src, dst) = (scratch("kvf-rs-src"), scratch("kvf-rs-dst"))
