@@ -129,4 +129,26 @@ object StreamingText {
           index, batch, "doc_id", "text", newVersion = version)
       })
       .start()
+
+  /** Streaming growth of a published POSITIONAL index — phrase search's
+    * member of the same updater cycle ([[growSearchIndexStream]]'s
+    * contract verbatim: gated versions, append-only merge, tombstones
+    * respected, order-insensitive across batches since postings re-sort
+    * by doc id). Pinned convergent with the from-scratch
+    * `positionalIndexKv` build in StreamingSpec. */
+  def growPositionalIndexStream(
+      index: graft.store.DomainStore,
+      docStream: org.apache.spark.sql.DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    docStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Search.positionalIndexUpsert(
+          index, batch, "doc_id", "text", newVersion = version)
+      })
+      .start()
 }

@@ -228,6 +228,44 @@ class StreamingSpec extends SparkSuite {
     assert(pairs(index) === pairs(full) && pairs(index).nonEmpty)
   }
 
+  test("streaming positional-index growth converges to the from-scratch build across batches") {
+    import org.apache.spark.sql.functions._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSortedZ)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val srcDir = scratch("stream-pos-src")
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val index = graft.store.DomainStore.create(scratch("stream-pos-dom"), spec, conf)
+    index.write(graft.operators.Search.positionalIndexKv(
+      docs.where(col("doc_id") % 4 === 0), "doc_id", "text"), 1L)
+    docs.where(col("doc_id") % 4 === 1).coalesce(1).write.parquet(s"$srcDir/d0")
+    docs.where(col("doc_id") % 4 === 2).coalesce(1).write.parquet(s"$srcDir/d1")
+    val q = StreamingText.growPositionalIndexStream(
+      index,
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/*"),
+      baseVersion = 1L, checkpointDir = scratch("stream-pos-ckpt"),
+      queryName = "pos_grow")
+    try q.awaitTermination() finally q.stop()
+
+    val full = graft.store.DomainStore.create(scratch("stream-pos-full"), spec, conf)
+    full.write(graft.operators.Search.positionalIndexKv(
+      docs.where(col("doc_id") % 4 =!= 3), "doc_id", "text"), 1L)
+    assert(pairs(index) === pairs(full) && pairs(index).nonEmpty)
+    // the grown index answers phrase queries like the rebuilt one
+    val qdf = { import spark.implicits._; Seq(0L -> "fast table").toDF("query_id", "phrase") }
+    def top(st: graft.store.DomainStore) =
+      graft.operators.Search.phraseSearch(st, qdf, 10).orderBy("rank")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_matches"))).toSeq
+    assert(top(index) === top(full))
+  }
+
   test("append-mode watermarked windows: every finalized window equals batch") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-append-src")
