@@ -101,7 +101,57 @@ object PipelineQueries {
     "pipeline_annpq_index" -> { (s, dir) =>
       annPqIndexStore(s, dir)
       annPqIndexProbe(s, dir)
+    },
+    // The RAG recipe end to end: sliding-window chunking -> model-free
+    // hash embeddings (chunk AND query text through ONE embedder) ->
+    // fixed-quantizer IVF retrieval with exact cosine re-rank. The
+    // oracle replays every stage — window arithmetic, gram hashing,
+    // dense assembly, cell assignment, probing, ranking — so a hash
+    // match pins the whole retrieval path, not one operator.
+    "pipeline_rag_retrieval" -> { (s, dir) =>
+      import s.implicits._
+      val chunks = graft.operators.TextAnalysis.chunkDocuments(
+          Fixtures.table(s, dir, "documents"), "doc_id", "text",
+          RagChunkTokens, RagOverlap)
+        .select(
+          // composed id space: doc_id * 4096 + chunk_no, guarded — a
+          // ≥4096-chunk document (~100k tokens) must fail loud, not
+          // silently collide into a neighbor's ids
+          when(col("chunk_no") >= RagIdStride,
+            raise_error(concat(lit("pipeline_rag_retrieval: doc "),
+              col("doc_id").cast("string"),
+              lit(s" has >= $RagIdStride chunks — the composed id space overflows"))))
+            .otherwise(col("doc_id") * RagIdStride + col("chunk_no")).as("chunk_id"),
+          col("chunk_text"))
+      val corpusEmb = graft.operators.TextAnalysis.featureHashVector(
+        chunks, "chunk_id", "chunk_text", TextQueries.HashEmbedDim)
+      // query ids live below zero — disjoint from every chunk id by sign
+      val qdf = RagQueryLits.toDF("qid", "qtext")
+        .select((-col("qid")).as("chunk_id"), col("qtext").as("chunk_text"))
+      val queryEmb = graft.operators.TextAnalysis.featureHashVector(
+        qdf, "chunk_id", "chunk_text", TextQueries.HashEmbedDim)
+      graft.operators.Similarity.ivfTopKFixed(
+          corpusEmb, queryEmb, "chunk_id", "emb", RagK,
+          graft.operators.Similarity.fixedCentroids(RagNlist, TextQueries.HashEmbedDim),
+          nprobe = RagNprobe)
+        .select(
+          (-col("query_id")).as("query_id"),
+          expr(s"CAST(neighbor_id div $RagIdStride AS BIGINT)").as("doc_id"),
+          pmod(col("neighbor_id"), lit(RagIdStride.toLong)).as("chunk_no"),
+          col("rank").cast("long").as("rank"))
     })
+
+  // pipeline_rag_retrieval constants — shared by query and oracle
+  val RagChunkTokens = 32
+  val RagOverlap = 8
+  val RagIdStride = 4096
+  val RagNlist = 16
+  val RagNprobe = 4
+  val RagK = 5
+  val RagQueryLits: Seq[(Long, String)] = Seq(
+    1L -> "fast table merge scan",
+    2L -> "customer query window data",
+    3L -> "spark stream batch sort")
 
   /** BUILD half of pipeline_annpq_index: PQ-coded posting lists on the
     * servable kv format, same fixed tensors as sim_ann_ivfpq_fixed. */
@@ -191,7 +241,102 @@ object PipelineQueries {
       "doc_id", "text", DedupQueries.MinHashThreshold)
   }
 
+  /** The fixed coarse quantizer as SQL literals — RagNlist × HashEmbedDim,
+    * same tensor object the Spark query broadcasts (toString round-trips
+    * doubles exactly; nsq folded left-to-right like the kernel's norms). */
+  private def ragCentroidValues: String = {
+    val ct = graft.operators.Similarity.fixedCentroids(RagNlist, TextQueries.HashEmbedDim)
+    ct.zipWithIndex.map { case (c, i) =>
+      val arr = c.map(_.toString).mkString("[", ", ", "]")
+      val nsq = c.map(x => x * x).sum
+      s"($i, CAST($arr AS DOUBLE[]), CAST($nsq AS DOUBLE))"
+    }.mkString(",\n")
+  }
+
+  private def ragQueryValues: String =
+    RagQueryLits.map { case (qid, text) =>
+      s"(CAST(${-qid} AS BIGINT), '$text')"
+    }.mkString(",\n|")
+
   def oracleSql: Map[String, String] = Map(
+    "pipeline_rag_retrieval" -> {
+      val d = TextQueries.HashEmbedDim
+      s"""WITH ct(cell, p, nsq) AS (VALUES
+         |$ragCentroidValues),
+         |t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |dd AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+         |  WHERE len(toks) > 0),
+         |cc AS (
+         |  SELECT doc_id, toks, n,
+         |    greatest(1, (n - $RagOverlap + ${RagChunkTokens - RagOverlap - 1})
+         |      // ${RagChunkTokens - RagOverlap}) AS n_chunks FROM dd),
+         |ee AS (
+         |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS k FROM cc),
+         |chunks AS (
+         |  SELECT doc_id * $RagIdStride + k AS id,
+         |    array_to_string(list_slice(toks,
+         |      CAST(k * ${RagChunkTokens - RagOverlap} + 1 AS INT),
+         |      CAST(k * ${RagChunkTokens - RagOverlap} + $RagChunkTokens AS INT)), ' ') AS txt
+         |  FROM ee),
+         |q(id, txt) AS (VALUES
+         |$ragQueryValues),
+         |corp AS (
+         |  SELECT id, txt FROM chunks UNION ALL SELECT id, txt FROM q),
+         |ctoks AS MATERIALIZED (
+         |  SELECT id, regexp_extract_all(lower(txt), '[a-z0-9]+') AS t FROM corp),
+         |grams AS (
+         |  SELECT id, unnest(t) AS g FROM ctoks
+         |  UNION ALL
+         |  SELECT id, unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))])
+         |  FROM ctoks WHERE len(t) >= 2),
+         |cw AS (
+         |  SELECT id,
+         |    CAST(('0x' || substr(md5(g), 17, 16))::UBIGINT % $d AS BIGINT) AS cell,
+         |    CASE WHEN ('0x' || substr(md5(g || '#s'), 17, 16))::UBIGINT % 2 = 1
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM grams),
+         |sp AS (
+         |  SELECT id, list(cell ORDER BY cell) AS cs, list(w ORDER BY cell) AS ws
+         |  FROM (SELECT id, cell, CAST(sum(sgn) AS BIGINT) AS w
+         |        FROM cw GROUP BY 1, 2 HAVING sum(sgn) != 0)
+         |  GROUP BY id),
+         |efn AS MATERIALIZED (
+         |  SELECT id, v FROM (
+         |    SELECT id,
+         |      [CAST(coalesce(ws[list_position(cs, i)], 0) AS DOUBLE)
+         |       FOR i IN range(0, $d)] AS v
+         |    FROM sp)
+         |  WHERE sqrt(list_inner_product(v, v)) > 0),
+         |scored AS (
+         |  SELECT e.id, ct.cell, ct.nsq - 2 * list_inner_product(e.v, ct.p) AS dist
+         |  FROM efn e CROSS JOIN ct),
+         |rnk AS MATERIALIZED (
+         |  SELECT id, cell,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+         |  FROM scored),
+         |assigned AS (SELECT id, cell FROM rnk WHERE rn = 1 AND id >= 0),
+         |qprobe AS (SELECT id AS query_id, cell FROM rnk
+         |  WHERE rn <= $RagNprobe AND id < 0),
+         |cand AS (
+         |  SELECT DISTINCT qp.query_id, a.id
+         |  FROM qprobe qp JOIN assigned a USING (cell)),
+         |sc AS (
+         |  SELECT cand.query_id, cand.id, list_cosine_similarity(ce.v, qe.v) AS cos
+         |  FROM cand JOIN efn ce ON ce.id = cand.id
+         |            JOIN efn qe ON qe.id = cand.query_id),
+         |ranked AS (
+         |  SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, id) AS rank
+         |  FROM sc)
+         |SELECT CAST(-query_id AS BIGINT) AS query_id,
+         |  CAST(id // $RagIdStride AS BIGINT) AS doc_id,
+         |  CAST(id % $RagIdStride AS BIGINT) AS chunk_no,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $RagK""".stripMargin
+    },
     "pipeline_corpus_filter" -> {
       val scoreEn = TextQueries.scoreSql("en")
       s"""WITH gated AS (SELECT doc_id, text FROM documents
