@@ -87,13 +87,27 @@ object Search {
   /** (term, doc_id, tf) over [[TextAnalysis.wordTokens]] — the shared
     * tokenization unit (simhash/stopwords/decontam), so index and corpus
     * operators agree on what a term is. */
+  /** The CANONICAL long doc id every index record derives from —
+    * postings, `d:` records, probe keys, upsert merges — so the struct
+    * sorts order numerically and the `d:` key for an id always matches
+    * its postings entry regardless of the source column's type. A null
+    * or non-long-castable id fails LOUD at build/probe time: a silent
+    * null would collapse ids into one group and publish corrupt
+    * postings, and a lossy canonicalization ('007' → 7) is only sound
+    * because EVERY record class goes through this one definition. */
+  private def docIdLong(idCol: String): Column = {
+    val c = col(idCol).cast("long")
+    when(c.isNull,
+      raise_error(concat(
+        lit("search index: doc id '"),
+        coalesce(col(idCol).cast("string"), lit("null")),
+        lit("' is not long-castable — index records key on a canonical long id"))))
+      .otherwise(c)
+  }
+
   def termFrequencies(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
-      // cast to long HERE so the postings struct sort orders numerically
-      // for any id column type, matching the upsert merge's cast — else a
-      // string-typed id publishes lexicographic "docId asc" and breaks
-      // upsert-equals-rebuild byte identity
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(docIdLong(idCol).as("doc_id"),
         explode(TextAnalysis.wordTokens(col(textCol))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
@@ -125,7 +139,7 @@ object Search {
             .otherwise(size(col("ps")).cast("string")))
           .as("value"))
     val lens = corpus.select(
-      col(idCol).as("doc_id"),
+      docIdLong(idCol).as("doc_id"),
       size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
     val lenRecords = lens.select(
       utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
@@ -223,6 +237,7 @@ object Search {
   }
 
   val PosPrefix: String = SearchLayout.PosPrefix
+  val PosMetaKey: String = SearchLayout.PosMetaKey
 
   /** The POSITIONAL index as (key, value) rows for [[DomainStore.write]] —
     * the phrase/proximity sibling of [[invertedIndexKv]], published as its
@@ -245,12 +260,8 @@ object Search {
       idCol: String,
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
-    // doc_id CAST TO LONG before the sort: the struct sort must order
-    // numerically (the documented "docId asc" layout), exactly like the
-    // upsert's merge — a string-typed id column would otherwise publish
-    // lexicographic order and break upsert-equals-rebuild byte identity
     val postings = corpus
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(docIdLong(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
@@ -270,11 +281,18 @@ object Search {
           .as("value"))
     // `d:` doc records (value = token count): inert for phrase queries,
     // load-bearing for [[positionalIndexUpsert]]'s disjointness contract
-    // — the same role they play in the BM25 index.
+    // — the same role they play in the BM25 index. Keys derive from the
+    // SAME canonical long id as the postings (docIdLong).
     val lenRecords = corpus.select(
-      utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key"),
+      utf8_bytes(concat(lit(DocPrefix), docIdLong(idCol).cast("string"))).as("key"),
       utf8_bytes(size(TextAnalysis.wordTokens(col(textCol))).cast("string")).as("value"))
-    postings.unionByName(lenRecords)
+    // type marker: positionalIndexUpsert refuses a domain without it —
+    // pointed at a BM25 domain (which also has d: records) it would
+    // otherwise silently pollute the wrong index type
+    val marker = corpus.sparkSession.range(1).select(
+      utf8_bytes(lit(PosMetaKey)).as("key"),
+      utf8_bytes(lit("1")).as("value"))
+    postings.unionByName(lenRecords).unionByName(marker)
   }
 
   private val PosArrayType = "array<struct<doc_id:bigint,ps:string>>"
@@ -293,17 +311,18 @@ object Search {
       textCol: String,
       newVersion: Long,
       maxPostings: Int = MaxPostings): Unit = {
-    val clash = index.multiGet(
-        delta.select(
-          utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key")),
+    // type guard: both index types publish d: records, so without this
+    // marker check an upsert aimed at a BM25 domain would pass the
+    // disjointness probe and silently pollute the wrong index
+    val marker = index.multiGet(
+        delta.sparkSession.range(1).select(utf8_bytes(lit(PosMetaKey)).as("key")),
         includeMisses = false)
       .limit(1).collect()
-    require(clash.isEmpty,
-      "positionalIndexUpsert: a delta doc id is already indexed — postings " +
-        "merge is append-only; rebuild with positionalIndexKv to update documents")
-
+    require(marker.nonEmpty,
+      s"positionalIndexUpsert: no '$PosMetaKey' record — not a positional-index " +
+        "domain (build with positionalIndexKv; BM25 domains take searchIndexUpsert)")
     val additions = delta
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(docIdLong(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("psArr"))
@@ -311,44 +330,18 @@ object Search {
       .agg(sort_array(collect_list(struct(
         col("doc_id"),
         concat_ws(";", transform(col("psArr"), p => p.cast("string"))).as("ps")))).as("aps"))
-    def current(prefix: String, as: String) = index.multiGet(
-        additions.select(utf8_bytes(concat(lit(prefix), col("term"))).as("key")),
-        includeMisses = true)
-      .select(
-        substring(bytes_utf8(col("key")), prefix.length + 1, Int.MaxValue).as("term"),
-        bytes_utf8(col("value")).as(as))
-    val merged = additions
-      .join(current(PosPrefix, "cur"), Seq("term"), "left_outer")
-      .join(current(DroppedPrefix, "xdf").withColumn("xdf", col("xdf").cast("long")),
-        Seq("term"), "left_outer")
-      .withColumn("curdocs",
-        when(col("cur").isNull, array().cast(PosArrayType))
-          .otherwise(transform(split(col("cur"), ","), e =>
-            struct(
-              split(e, ":").getItem(0).cast("long").as("doc_id"),
-              split(e, ":").getItem(1).as("ps")))
-            .cast(PosArrayType)))
-      .withColumn("docs",
-        array_sort(concat(col("curdocs"), col("aps").cast(PosArrayType))))
-    val termRecords = merged.select(
-      utf8_bytes(concat(
-        when(col("xdf").isNotNull, lit(DroppedPrefix)).otherwise(lit(PosPrefix)),
-        col("term"))).as("key"),
-      utf8_bytes(
-        when(col("xdf").isNotNull, (col("xdf") + size(col("aps"))).cast("string"))
-          .otherwise(when(size(col("docs")) <= maxPostings,
-            concat_ws(",", transform(col("docs"), d =>
-              concat_ws(":", d("doc_id").cast("string"), d("ps")))))
-            .otherwise(raise_error(concat(
-              lit("positionalIndexUpsert: merged postings for term '"), col("term"),
-              lit(s"' exceed maxPostings=$maxPostings members — a rebuild " +
-                "would tombstone the term (recall accounting) and an upsert " +
-                "cannot drop a published key: re-index with positionalIndexKv"))))))
-        .as("value"))
-    val lenRecords = delta.select(
-      utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key"),
-      utf8_bytes(size(TextAnalysis.wordTokens(col(textCol))).cast("string")).as("value"))
-    index.upsert(delta.sparkSession, termRecords.unionByName(lenRecords), newVersion)
+    val records = mergePostingsUpsert(
+      index, delta, idCol, textCol, additions,
+      livePrefix = PosPrefix,
+      arrayType = PosArrayType,
+      parseEntry = e => struct(
+        split(e, ":").getItem(0).cast("long").as("doc_id"),
+        split(e, ":").getItem(1).as("ps")),
+      formatEntry = d => concat_ws(":", d("doc_id").cast("string"), d("ps")),
+      opName = "positionalIndexUpsert",
+      rebuildName = "positionalIndexKv",
+      maxPostings = maxPostings)
+    index.upsert(delta.sparkSession, records, newVersion)
   }
 
   /** Exact phrase search against a published [[positionalIndexKv]]
@@ -376,15 +369,25 @@ object Search {
     val qterms = queries
       .select(col("query_id"),
         posexplode(TextAnalysis.wordTokens(col("phrase"))).as(Seq("j", "term")))
-    // a tombstoned query term would silently UNDERCOUNT phrases — refuse
-    val dropped = store.multiGet(
-        qterms.select(utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key")).distinct(),
+    // ONE bounded probe (≤ distinct query terms + 1 hits — phrase queries
+    // are human-sized) checks both preconditions: the domain is actually
+    // a positional index (marker present — a BM25 domain also has d:
+    // records and would otherwise return silent empties), and no query
+    // term was tombstoned by the build cap (eliding one would silently
+    // UNDERCOUNT phrases).
+    val probeHits = store.multiGet(
+        qterms.select(utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key")).distinct()
+          .unionByName(queries.sparkSession.range(1)
+            .select(utf8_bytes(lit(PosMetaKey)).as("key"))),
         includeMisses = false)
-      .limit(1)
-      .select(substring(bytes_utf8(col("key")), DroppedPrefix.length + 1, Int.MaxValue))
-      .collect()
+      .select(bytes_utf8(col("key")).as("k"))
+      .collect().map(_.getString(0))
+    require(probeHits.contains(PosMetaKey),
+      s"phraseSearch: no '$PosMetaKey' record — not a positional-index domain " +
+        "(build with positionalIndexKv)")
+    val dropped = probeHits.filter(_.startsWith(DroppedPrefix))
     require(dropped.isEmpty,
-      s"phraseSearch: query term '${dropped.headOption.map(_.getString(0)).getOrElse("")}' " +
+      s"phraseSearch: query term '${dropped.headOption.map(_.substring(DroppedPrefix.length)).getOrElse("")}' " +
         "was dropped by the build-time postings cap — phrase semantics cannot elide a " +
         "term; rebuild the positional index with a higher maxPostings")
     val termKeys = qterms
@@ -445,15 +448,6 @@ object Search {
       newVersion: Long,
       maxPostings: Int = MaxPostings): Unit = {
     val spark = delta.sparkSession
-    val clash = index.multiGet(
-        delta.select(
-          utf8_bytes(concat(lit(DocPrefix), col(idCol).cast("string"))).as("key")),
-        includeMisses = false)
-      .limit(1).collect()
-    require(clash.isEmpty,
-      "searchIndexUpsert: a delta doc id is already indexed — postings " +
-        "merge is append-only; rebuild with invertedIndexKv to update documents")
-
     val metaRows = index.multiGet(
         spark.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
         includeMisses = false)
@@ -467,6 +461,58 @@ object Search {
       .groupBy("term")
       .agg(sort_array(collect_list(
         struct(col("doc_id").cast("long").as("doc_id"), col("tf").as("tf")))).as("aps"))
+    val records = mergePostingsUpsert(
+      index, delta, idCol, textCol, additions,
+      livePrefix = TermPrefix,
+      arrayType = PostingsArrayType,
+      parseEntry = e => struct(
+        split(e, ":").getItem(0).cast("long").as("doc_id"),
+        split(e, ":").getItem(1).cast("long").as("tf")),
+      formatEntry = p =>
+        concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")),
+      opName = "searchIndexUpsert",
+      rebuildName = "invertedIndexKv",
+      maxPostings = maxPostings)
+    val metaRecord = delta
+      .select(size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+      .agg(count(lit(1)).as("an"), coalesce(sum(col("len")), lit(0L)).as("at"))
+      .select(
+        utf8_bytes(lit(MetaKey)).as("key"),
+        utf8_bytes(concat_ws(",",
+          (col("an") + lit(curN)).cast("string"),
+          (col("at") + lit(curT)).cast("string"))).as("value"))
+    index.upsert(spark, records.unionByName(metaRecord), newVersion)
+  }
+
+  /** The shared merge scaffold of the two index upserts (BM25 `t:` and
+    * positional `p:`): d:-probed doc-id disjointness, current-record
+    * multiGets, the tombstone-df advance, the sorted append-only merge,
+    * the cap-crossing raise, and the refreshed `d:` records — one
+    * definition so the contracts cannot drift between index types. The
+    * callers differ only in their additions frame, entry codec, and
+    * names. Returns term + d: records ready to union with any
+    * caller-specific meta and upsert. */
+  private def mergePostingsUpsert(
+      index: DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      additions: DataFrame,
+      livePrefix: String,
+      arrayType: String,
+      parseEntry: Column => Column,
+      formatEntry: Column => Column,
+      opName: String,
+      rebuildName: String,
+      maxPostings: Int): DataFrame = {
+    val clash = index.multiGet(
+        delta.select(
+          utf8_bytes(concat(lit(DocPrefix), docIdLong(idCol).cast("string"))).as("key")),
+        includeMisses = false)
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"$opName: a delta doc id is already indexed — postings " +
+        s"merge is append-only; rebuild with $rebuildName to update documents")
     def current(prefix: String, as: String) = index.multiGet(
         additions.select(utf8_bytes(concat(lit(prefix), col("term"))).as("key")),
         includeMisses = true)
@@ -474,49 +520,31 @@ object Search {
         substring(bytes_utf8(col("key")), prefix.length + 1, Int.MaxValue).as("term"),
         bytes_utf8(col("value")).as(as))
     val merged = additions
-      .join(current(TermPrefix, "cur"), Seq("term"), "left_outer")
+      .join(current(livePrefix, "cur"), Seq("term"), "left_outer")
       .join(current(DroppedPrefix, "xdf").withColumn("xdf", col("xdf").cast("long")),
         Seq("term"), "left_outer")
       .withColumn("curps",
-        when(col("cur").isNull, array().cast(PostingsArrayType))
-          .otherwise(transform(split(col("cur"), ","), e =>
-            struct(
-              split(e, ":").getItem(0).cast("long").as("doc_id"),
-              split(e, ":").getItem(1).cast("long").as("tf")))
-            .cast(PostingsArrayType)))
+        when(col("cur").isNull, array().cast(arrayType))
+          .otherwise(transform(split(col("cur"), ","), parseEntry).cast(arrayType)))
       .withColumn("ps",
-        array_sort(concat(col("curps"), col("aps").cast(PostingsArrayType))))
+        array_sort(concat(col("curps"), col("aps").cast(arrayType))))
     val termRecords = merged.select(
       utf8_bytes(concat(
-        when(col("xdf").isNotNull, lit(DroppedPrefix)).otherwise(lit(TermPrefix)),
+        when(col("xdf").isNotNull, lit(DroppedPrefix)).otherwise(lit(livePrefix)),
         col("term"))).as("key"),
       utf8_bytes(
         when(col("xdf").isNotNull, (col("xdf") + size(col("aps"))).cast("string"))
           .otherwise(when(size(col("ps")) <= maxPostings,
-            concat_ws(",", transform(col("ps"), p =>
-              concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
+            concat_ws(",", transform(col("ps"), formatEntry)))
             .otherwise(raise_error(concat(
-              lit("searchIndexUpsert: merged postings for term '"), col("term"),
+              lit(s"$opName: merged postings for term '"), col("term"),
               lit(s"' exceed maxPostings=$maxPostings members — a rebuild " +
                 "would tombstone the term (recall accounting) and an upsert " +
-                "cannot drop a published key: re-index with invertedIndexKv"))))))
+                s"cannot drop a published key: re-index with $rebuildName"))))))
         .as("value"))
-
-    val lens = delta.select(
-      col(idCol).as("doc_id"),
-      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
-    val lenRecords = lens.select(
-      utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
-      utf8_bytes(col("len").cast("string")).as("value"))
-    val metaRecord = lens
-      .agg(count(lit(1)).as("an"), coalesce(sum(col("len")), lit(0L)).as("at"))
-      .select(
-        utf8_bytes(lit(MetaKey)).as("key"),
-        utf8_bytes(concat_ws(",",
-          (col("an") + lit(curN)).cast("string"),
-          (col("at") + lit(curT)).cast("string"))).as("value"))
-
-    index.upsert(
-      spark, termRecords.unionByName(lenRecords).unionByName(metaRecord), newVersion)
+    val lenRecords = delta.select(
+      utf8_bytes(concat(lit(DocPrefix), docIdLong(idCol).cast("string"))).as("key"),
+      utf8_bytes(size(TextAnalysis.wordTokens(col(textCol))).cast("string")).as("value"))
+    termRecords.unionByName(lenRecords)
   }
 }

@@ -29,6 +29,12 @@ final class PhraseReader(val index: KvDomainReader) extends AutoCloseable {
   private def utf8(s: String): Array[Byte] = s.getBytes(UTF_8)
   private def str(b: Array[Byte]): String = new String(b, UTF_8)
 
+  // type guard at open: a BM25 domain (which also has d: records) would
+  // otherwise answer every phrase with a silent empty
+  require(index.get(utf8(PosMetaKey)).isDefined,
+    s"PhraseReader: no '$PosMetaKey' record — not a positional-index domain " +
+      "(build with Search.positionalIndexKv)")
+
   /** Top-k (docId, nMatches) for an exact phrase, occurrence count
     * descending, ties to the lower doc id. A term the build tombstoned
     * fails loud (phrase semantics cannot elide a term); a term simply
@@ -38,7 +44,12 @@ final class PhraseReader(val index: KvDomainReader) extends AutoCloseable {
     val toks = tokens(query)
     if (toks.isEmpty) return Nil
     val distinctTerms = toks.distinct
-    index.multiGet(distinctTerms.map(t => utf8(DroppedPrefix + t)))
+    // ONE batched lookup round for tombstones AND postings: each probed
+    // shard is visited once per call, not twice
+    val lookups = index.multiGet(
+      distinctTerms.map(t => utf8(DroppedPrefix + t)) ++
+        distinctTerms.map(t => utf8(PosPrefix + t)))
+    lookups.take(distinctTerms.size)
       .zip(distinctTerms)
       .collectFirst { case (Some(_), t) => t }
       .foreach { t =>
@@ -49,7 +60,7 @@ final class PhraseReader(val index: KvDomainReader) extends AutoCloseable {
       }
     // term -> (docId -> position set)
     val postings: Map[String, Map[Long, Set[Long]]] =
-      index.multiGet(distinctTerms.map(t => utf8(PosPrefix + t)))
+      lookups.drop(distinctTerms.size)
         .zip(distinctTerms)
         .collect { case (Some(v), t) =>
           t -> str(v).split(",").map { e =>

@@ -27,6 +27,13 @@ object SearchLayout {
     * `t:` postings, published as its own domain. */
   val PosPrefix = "p:"
 
+  /** Positional-domain type marker (value `"1"`): its presence is what
+    * `positionalIndexUpsert` requires before merging — both index types
+    * publish `d:` records, so without a marker an upsert pointed at the
+    * WRONG index type would pass the disjointness probe and silently
+    * pollute it. */
+  val PosMetaKey = "m:positional"
+
   /** Fixed-point scale for score quantization (2^20). */
   val ScaleBits: Int = 20
 

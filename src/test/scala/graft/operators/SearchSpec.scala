@@ -210,6 +210,68 @@ class SearchSpec extends SparkSuite {
     assert(messages(e2).exists(_.contains("positionalIndexKv")), messages(e2).mkString(" | "))
   }
 
+  test("index-type guards: positional ops refuse a BM25 domain; non-long ids fail loud") {
+    val docs = Seq(1L -> "cat sat", 2L -> "dog ran").toDF("doc_id", "text")
+    val bm25 = DomainStore.create(
+      scratch("guard-bm25"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    bm25.write(Search.invertedIndexKv(docs, "doc_id", "text"), 1L)
+    // upsert aimed at the wrong index type: both types publish d: records,
+    // so only the marker stands between this and silent pollution
+    val e1 = intercept[IllegalArgumentException] {
+      Search.positionalIndexUpsert(
+        bm25, Seq(3L -> "new doc").toDF("doc_id", "text"), "doc_id", "text", 2L)
+    }
+    assert(e1.getMessage.contains("not a positional-index domain"), e1.getMessage)
+    // phrase query against a BM25 domain: loud, not silently empty
+    val e2 = intercept[IllegalArgumentException] {
+      Search.phraseSearch(bm25, Seq(0L -> "cat sat").toDF("query_id", "phrase"), 5).collect()
+    }
+    assert(e2.getMessage.contains("not a positional-index domain"), e2.getMessage)
+    // Spark-free reader refuses too
+    val e3 = intercept[IllegalArgumentException] {
+      new graft.store.PhraseReader(
+        graft.store.KvDomainReader.open(bm25.root.toString, new Configuration()))
+    }
+    assert(e3.getMessage.contains("not a positional-index domain"), e3.getMessage)
+    // and the BM25 upsert still refuses a positional domain (m:stats absent)
+    val pos = DomainStore.create(
+      scratch("guard-pos"), DomainSpec(numShards = 4), new Configuration())
+    pos.write(Search.positionalIndexKv(docs, "doc_id", "text"), 1L)
+    val e4 = intercept[IllegalArgumentException] {
+      Search.searchIndexUpsert(
+        pos, Seq(3L -> "new doc").toDF("doc_id", "text"), "doc_id", "text", 2L)
+    }
+    assert(e4.getMessage.contains("not a search-index domain"), e4.getMessage)
+    // a non-long-castable id corrupts silently without the canonical-id
+    // guard — it must fail loud at build time instead (under ANSI the
+    // cast itself throws CAST_INVALID_INPUT; the guard's raise_error
+    // covers NULL ids and any non-ANSI session)
+    val badIds = Seq("docA" -> "some text", "7" -> "more text").toDF("doc_id", "text")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    def failsLoud(e: Throwable): Boolean = {
+      val m = msgs(e)
+      m.contains("not long-castable") || m.contains("CAST_INVALID_INPUT")
+    }
+    val e5 = intercept[Exception] {
+      Search.invertedIndexKv(badIds, "doc_id", "text").collect()
+    }
+    assert(failsLoud(e5), msgs(e5))
+    val e6 = intercept[Exception] {
+      Search.positionalIndexKv(badIds, "doc_id", "text").collect()
+    }
+    assert(failsLoud(e6), msgs(e6))
+    // NULL ids take the guard's raise_error on any session
+    val nullIds = Seq((java.lang.Long.valueOf(5L), "ok"), (null.asInstanceOf[java.lang.Long], "bad"))
+      .toDF("doc_id", "text")
+    val e7 = intercept[Exception] {
+      Search.invertedIndexKv(nullIds, "doc_id", "text").collect()
+    }
+    assert(msgs(e7).contains("not long-castable"), msgs(e7))
+  }
+
   test("top-k truncates by (score desc, doc_id) and ranks densely") {
     val st = store("topk", DomainSpec.KvSorted)
     val all = run(st, "cat dog fish bird")

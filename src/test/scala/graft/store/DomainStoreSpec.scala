@@ -271,12 +271,46 @@ class DomainStoreSpec extends SparkSuite {
         assert(bytes(a) === bytes(b), s"shard $s transcoded bytes differ from direct build")
       }
     }
-    // the kv->kv scan side is exchange-free: the frame transcode streams
-    // from has NO shuffle in its plan (the layout-reporting source)
-    val plan = src.readPartitioned(spark)
-      .select(col("shard"), col("key"), col("value"))
-      .queryExecution.executedPlan.toString
-    assert(!plan.split("== Initial Plan ==").head.contains("Exchange"), plan)
+    // the kv->kv path is exchange-free FOR DATA: measure the actual
+    // transcode jobs (scoped by a thread-local job group, so parallel
+    // suites can't pollute) — the only shuffle is count()'s partial-agg
+    // exchange, which moves at most one row per task, never the records.
+    // 200 data rows crossing an exchange would trip this immediately.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val shuffleRecords = new java.util.concurrent.atomic.LongAdder()
+    val done = new java.util.concurrent.atomic.LongAdder()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if ("transcode-pin" == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si => stages.add(si.stageId))
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (stages.contains(s.stageInfo.stageId)) {
+          shuffleRecords.add(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          done.increment()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // indexer-free source: sidecar rebuild legitimately shuffles keys
+      // (its counts + groupByKey passes), which would mask the DATA pin
+      val pinSrcRoot = scratch("tc-pin-src")
+      val pinSrc = DomainStore.create(
+        pinSrcRoot, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+      pinSrc.write(kv(pairs: _*), 1L)
+      spark.sparkContext.setJobGroup("transcode-pin", "zero-shuffle transcode pin")
+      val pinRoot = scratch("tc-pin")
+      DomainStore.transcode(spark, pinSrcRoot, pinRoot, DomainSpec.KvSortedZ, 1L, conf)
+      spark.sparkContext.clearJobGroup()
+      // listener events are async: wait for the measured stages to drain
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (done.sum() < stages.size() && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(stages.size() > 0, "transcode ran no measurable jobs")
+      assert(shuffleRecords.sum() <= 32,
+        s"transcode shuffled ${shuffleRecords.sum()} records — the data path " +
+          "re-shuffled the corpus instead of streaming the partitioned scan")
+    } finally spark.sparkContext.removeSparkListener(listener)
     // kvz -> parquet routes through the canonical write and still answers
     val pq = DomainStore.transcode(spark, zRoot, pqRoot, DomainSpec.ParquetSorted, 1L, conf)
     assert(pq.spec.persistenceFormat === DomainSpec.ParquetSorted)
