@@ -70,6 +70,18 @@ class GraftCatalogSpec extends SparkSuite {
     assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
   }
 
+  test("SQL catalog serves a COMPRESSED (kv-sorted-z) domain transparently") {
+    val root = scratch("sqlcat-z")
+    val z = DomainStore.create(
+      s"$root/zeta", DomainSpec(4, persistenceFormat = DomainSpec.KvSortedZ), conf)
+    z.write(kv((0L until 80L).map(i => i -> (s"zz $i " * 10)): _*), 1L)
+    registerCatalog("graft_tz", root)
+    assert(spark.sql("SELECT * FROM graft_tz.zeta").count() === 80L)
+    val pruned = spark.sql("SELECT key FROM graft_tz.zeta WHERE shard = 3")
+    assert(pruned.queryExecution.executedPlan.toString.contains("shards=1/4"),
+      pruned.queryExecution.executedPlan.toString)
+  }
+
   test("read-only + fail-loud: DDL refused, missing/non-kv domains name the problem") {
     val root = scratch("sqlcat-errs")
     val pq = DomainStore.create(s"$root/pqdom", DomainSpec(2), conf)

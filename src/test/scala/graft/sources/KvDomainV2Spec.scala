@@ -142,6 +142,34 @@ class KvDomainV2Spec extends SparkSuite {
     assert(keysOnly.count() === 400L)
   }
 
+  test("the DSv2 surface works unchanged on a COMPRESSED domain: SPJ, pruning, agg pushdown") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => i -> (s"payload $i " * 10))
+    val store = DomainStore.create(
+      scratch("kvv2/z-a"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSortedZ),
+      new Configuration())
+    store.write(rows.toDF("k", "v").select(
+      graft.functions.long_be(col("k")).as("key"),
+      graft.functions.utf8_bytes(col("v")).as("value")), version = 1L)
+    // trailer-count + min/max aggregate pushdown ride the sniffed readers
+    val agg = store.readPartitioned(spark)
+      .groupBy("shard").agg(count(lit(1)).as("n"), min("key").as("lo"))
+    assert(finalPlan(agg).contains("kvdomain-agg"), finalPlan(agg))
+    assert(agg.agg(sum("n")).collect()(0).getLong(0) === 400L)
+    // partition pruning + SPJ against a PLAIN kv domain of the same scheme
+    val plain = buildDomain("z-b", 4, rows.map { case (k, v) => k -> s"p$k" })
+    val one = store.readPartitioned(spark).where(col("shard") === 1)
+    assert(one.queryExecution.executedPlan.toString.contains("shards=1/4"))
+    withNoBroadcast {
+      val joined = store.readPartitioned(spark).as("a")
+        .join(plain.readPartitioned(spark).as("b"), Seq("shard", "key"))
+        .select(graft.functions.be_long(col("key")).as("k"))
+      assert(joined.count() === 400L)
+      assert(shuffleCount(joined) === 0, finalPlan(joined))
+    }
+  }
+
   test("count(*) pushes down to the kv trailers: no data bytes, exact answer") {
     val a = buildDomain("agg-count", 4, (0L until 700L).map(i => i -> s"v$i"))
     val df = a.readPartitioned(spark).groupBy().count()
