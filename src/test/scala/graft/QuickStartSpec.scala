@@ -94,6 +94,61 @@ class QuickStartSpec extends SparkSuite {
     assert(served.fsck(spark).select(sum(col("n_misrouted"))).head.getLong(0) === 0L)
   }
 
+  test("README quick start: compressed engine, migration, phrase search, chunking") {
+    import spark.implicits._
+    import graft.operators.Search
+    import graft.store.PhraseReader
+
+    val docs = Seq(
+      1L -> "spark streams merge fast tables",
+      2L -> "the cat sat on the mat",
+      3L -> "a cat sat where the cat sat before").toDF("doc_id", "text")
+    val asKv = docs.select(
+      long_be(col("doc_id")).as("key"), utf8_bytes(col("text")).as("value"))
+
+    // --- the block-compressed servable engine: same API, Deflate blocks
+    val zRoot = scratch("quickstart-z")
+    val z = DomainStore.create(
+      zRoot, DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSortedZ),
+      new Configuration())
+    z.write(asKv, version = 1L)
+    val zReader = KvDomainReader.open(zRoot, new Configuration()) // zero Spark
+    try assert(zReader.get(longBe(2L)).map(new String(_, "UTF-8"))
+      === Some("the cat sat on the mat"))
+    finally zReader.close()
+
+    // --- migrate an existing domain between engines WITHOUT reshuffling
+    val plainRoot = scratch("quickstart-plain")
+    val plain = DomainStore.create(
+      plainRoot, DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    plain.write(asKv, version = 1L)
+    val migrated = DomainStore.transcode(
+      spark, plainRoot, scratch("quickstart-migrated"), DomainSpec.KvSortedZ,
+      version = 1L, new Configuration())
+    assert(migrated.count(spark) === 3L)
+
+    // --- phrase search: publish a positional index, query it, serve it
+    val posRoot = scratch("quickstart-pos")
+    val pos = DomainStore.create(
+      posRoot, DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSortedZ),
+      new Configuration())
+    pos.write(Search.positionalIndexKv(docs, "doc_id", "text"), version = 1L)
+    val hits = Search.phraseSearch(
+      pos, Seq(0L -> "cat sat").toDF("query_id", "phrase"), k = 5)
+    assert(hits.orderBy("rank").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L, 2L)) // 2 occurrences beat 1
+    val phrases = new PhraseReader(
+      KvDomainReader.open(posRoot, new Configuration())) // zero Spark
+    try assert(phrases.phrase("cat sat", 5) === Seq(3L -> 2L, 2L -> 1L))
+    finally phrases.close()
+
+    // --- cut documents into RAG-ready overlapping chunks
+    val chunks = TextAnalysis.chunkDocuments(
+      docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+    assert(chunks.where(col("doc_id") === 2).count() === 2) // 6 tokens -> 2 windows
+  }
+
   private def longBe(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8).putLong(v).array()
 }
