@@ -165,6 +165,33 @@ object Search {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") > maxPostings)
 
+  /** Ops report of a PUBLISHED search/positional domain — the index
+    * operator's first health questions ("how big is each record class,
+    * how hot is the hottest term, did the cap tombstone anything")
+    * answered from the INDEX alone, never the corpus: one row per
+    * record class (`t`/`p` postings, `d` doc records, `x` tombstones,
+    * `m` meta) with record count, total value payload, and the largest
+    * postings list. One linear scan of the index domain + a 5-group
+    * aggregate — at 100 TB this reads the index, which is orders of
+    * magnitude smaller than what it indexes. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession, store: DomainStore): DataFrame =
+    store.read(spark)
+      .select(bytes_utf8(col("key")).as("k"), bytes_utf8(col("value")).as("v"))
+      .withColumn("record_class",
+        when(col("k").startsWith(TermPrefix), lit("t"))
+          .when(col("k").startsWith(PosPrefix), lit("p"))
+          .when(col("k").startsWith(DocPrefix), lit("d"))
+          .when(col("k").startsWith(DroppedPrefix), lit("x"))
+          .otherwise(lit("m")))
+      .withColumn("entries",
+        when(col("record_class").isin("t", "p"), size(split(col("v"), ",")).cast("long"))
+          .otherwise(lit(null).cast("long")))
+      .groupBy("record_class")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(octet_length(col("v"))).cast("long").as("value_bytes"),
+        max(col("entries")).as("max_entries"))
+
   /** Ranked retrieval against a published [[invertedIndexKv]] domain:
     * `queries` needs (`query_id: long`, `query_text: string`); returns
     * (query_id, doc_id, score, rank) with rank 1..k per query (ties by

@@ -74,7 +74,13 @@ object SearchQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_search_topk" -> { (s, dir) => searchProbe(s, dir) },
     "text_search_phrase" -> { (s, dir) =>
-      Search.phraseSearch(positionalIndexStore(s, dir), phrasesDf(s), k = TopK) })
+      Search.phraseSearch(positionalIndexStore(s, dir), phrasesDf(s), k = TopK) },
+    // Ops health report of the published BM25 index: per record class
+    // (postings/doc/meta) counts, value payload, hottest postings list —
+    // the oracle REBUILDS every value string (string_agg in doc order)
+    // and measures it, so even the CSV byte accounting is pinned.
+    "text_search_stats" -> { (s, dir) =>
+      Search.indexStats(s, searchIndexStore(s, dir)) })
 
   /** The query's (query_id, term) pairs, tokenized with the engine's own
     * unit (lowercased `[a-z0-9]+` runs), distinct per query. */
@@ -176,5 +182,42 @@ object SearchQueries {
          |  FROM m)
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matches,
          |  CAST(rank AS BIGINT) AS rank
-         |FROM ranked WHERE rank <= $TopK""".stripMargin)
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // Rebuild each record class's exact value strings from the corpus and
+    // measure them: postings = "doc:tf,..." in doc order, d: = the token
+    // count's decimal digits, m: = "n,total". The postings cap (no term
+    // here comes near 65536 docs) and tombstone class replay via HAVING —
+    // at gate scale the x class is empty on both sides.
+    "text_search_stats" ->
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |tfc AS (
+         |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+         |  GROUP BY 1, 2),
+         |tvals AS (
+         |  SELECT term,
+         |    string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS v,
+         |    CAST(count(*) AS BIGINT) AS df
+         |  FROM tfc GROUP BY term HAVING count(*) <= ${Search.MaxPostings}),
+         |lens AS MATERIALIZED (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS len FROM toks),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(len), 0) AS BIGINT) AS tt FROM lens)
+         |SELECT 't' AS record_class, CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(sum(octet_length(v::BLOB)) AS BIGINT) AS value_bytes,
+         |  CAST(max(df) AS BIGINT) AS max_entries
+         |FROM tvals
+         |UNION ALL
+         |SELECT 'd', CAST(count(*) AS BIGINT),
+         |  CAST(sum(octet_length(CAST(len AS VARCHAR)::BLOB)) AS BIGINT),
+         |  CAST(NULL AS BIGINT)
+         |FROM lens
+         |UNION ALL
+         |SELECT 'm', CAST(1 AS BIGINT),
+         |  CAST(octet_length((CAST(n AS VARCHAR) || ',' || CAST(tt AS VARCHAR))::BLOB) AS BIGINT),
+         |  CAST(NULL AS BIGINT)
+         |FROM stats""".stripMargin)
 }
