@@ -139,6 +139,25 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       shardedSorted(kv).select(col("shard"), col("key"), col("value")), version)
   }
 
+  /** kvz engine tuning via the spec's persistenceOptions — the
+    * reference's Coordinator-options pattern (BDB log sizes, LevelDB
+    * cache — `persistence_opts` in DomainSpec.java:28-30) applied to the
+    * compressed engine: `block-size` = raw bytes per Deflate block
+    * (default [[KvzFile.DefaultBlockSize]]; smaller → cheaper point
+    * lookups, larger → better ratio for scans). Validated at store
+    * construction so a typo fails at open, not mid-publish. */
+  private val kvzBlockSize: Int = spec.persistenceOptions.get("block-size") match {
+    case _ if format != "kvz" => KvzFile.DefaultBlockSize // datasource opts pass through untouched
+    case None => KvzFile.DefaultBlockSize
+    case Some(s) =>
+      val v = try s.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"persistenceOptions block-size '$s' is not an integer")
+      }
+      require(v > 0, s"persistenceOptions block-size must be positive, got $v")
+      v
+  }
+
   /** Terminal write of (shard, key, value) rows ALREADY sorted by
     * (shard, key) within each partition: streams each shard's run into
     * `shard=<i>/part-0.kv` from the shard's own task. Shared by the
@@ -152,6 +171,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val confEntries = DomainStore.serializableConf(conf)
     val base = versions.versionPath(version).toString
     val compressed = format == "kvz"
+    val blockSize = kvzBlockSize
     sorted
       .as[(Int, Array[Byte], Array[Byte])]
       .mapPartitions { it =>
@@ -171,7 +191,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
                 (r._2, r._3)
               }
             }
-            DomainStore.writeKvShardFile(base, shard, rows, c, compressed)
+            DomainStore.writeKvShardFile(base, shard, rows, c, compressed, blockSize)
             shard
           }
         }
@@ -1290,7 +1310,8 @@ object DomainStore {
       shard: Int,
       rows: Iterator[(Array[Byte], Array[Byte])],
       conf: Configuration,
-      compressed: Boolean = false): Long = {
+      compressed: Boolean = false,
+      blockSize: Int = KvzFile.DefaultBlockSize): Long = {
     val dir = new Path(base, s"shard=$shard")
     val dst = new Path(dir, KvFile.DataFileName)
     val tmp = new Path(dir, s"${KvFile.DataFileName}.${java.util.UUID.randomUUID()}.tmp")
@@ -1299,7 +1320,7 @@ object DomainStore {
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(fs.create(tmp, false), 1 << 16))
     val n = try {
-      if (compressed) KvzFile.write(out, rows) else KvFile.write(out, rows)
+      if (compressed) KvzFile.write(out, rows, blockSize) else KvFile.write(out, rows)
     } finally out.close()
     if (!fs.rename(tmp, dst)) {
       val lost = fs.exists(dst) // another attempt already committed — it wins

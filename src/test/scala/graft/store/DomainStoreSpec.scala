@@ -317,6 +317,41 @@ class DomainStoreSpec extends SparkSuite {
     assert(readPairs(pq) === pairs.toSet)
   }
 
+  test("kvz block-size rides persistenceOptions (the Coordinator-options pattern)") {
+    val pairs = (0 until 100).map(i => s"bk$i" -> (s"body $i " * 30))
+    def build(name: String, opts: Map[String, String]): DomainStore = {
+      val st = DomainStore.create(
+        scratch(name),
+        DomainSpec(4, persistenceFormat = DomainSpec.KvSortedZ, persistenceOptions = opts),
+        conf)
+      st.write(kv(pairs: _*), 1L)
+      st
+    }
+    val tiny = build("kvz-bs-tiny", Map("block-size" -> "128"))
+    val big = build("kvz-bs-big", Map.empty)
+    // both round-trip and serve; the tiny-block file carries a larger
+    // index + worse ratio, so it is measurably bigger on disk
+    assert(readPairs(tiny) === pairs.toSet && readPairs(big) === pairs.toSet)
+    assert(tiny.get(spark, utf8("bk7")).isDefined)
+    def bytesOf(s: DomainStore): Long = {
+      val fs = s.root.getFileSystem(conf)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s.root, "1"))
+        .filter(_.getPath.getName.startsWith("shard="))
+        .flatMap(d => fs.listStatus(d.getPath)).filter(_.getPath.getName.endsWith(".kv"))
+        .map(_.getLen).sum
+    }
+    assert(bytesOf(tiny) > bytesOf(big),
+      s"tiny blocks ${bytesOf(tiny)} <= default ${bytesOf(big)} — option not honored")
+    // a typo'd option fails at OPEN, not mid-publish
+    val e = intercept[IllegalArgumentException] {
+      DomainStore.create(
+        scratch("kvz-bs-bad"),
+        DomainSpec(4, persistenceFormat = DomainSpec.KvSortedZ,
+          persistenceOptions = Map("block-size" -> "lots")), conf)
+    }
+    assert(e.getMessage.contains("block-size"), e.getMessage)
+  }
+
   test("kv-sorted composes: reshard keeps pairs, bloom sidecars kill misses") {
     // reshard kv -> kv (spec copied, new shard count)
     val (src, dst) = (scratch("kvf-rs-src"), scratch("kvf-rs-dst"))
