@@ -1161,6 +1161,25 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       replace = true, distributeAbove)
   }
 
+  /** [[localize]] restricted to the shard subset a ring assigns to one
+    * host — the multi-process serving pull: every host of
+    * `ring.hostsToShards` calls this with its own name and dest, and the
+    * union of the localized subsets covers the domain `replication`
+    * times over (reference `transfer-version!` driven by the
+    * `compute-host->shards` assignment). Returns the shard ids copied. */
+  def localizeForHost(
+      version: Long,
+      destDir: Path,
+      ring: ShardRing.Index,
+      host: String,
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Seq[Int] = {
+    val mine = ring.shardSet(host)
+    require(mine.nonEmpty, s"ring assigns no shards to host '$host'")
+    require(mine.forall(s => s >= 0 && s < numShards),
+      s"ring shard ids ${mine.toSeq.sorted} exceed domain shard count $numShards")
+    localize(version, destDir, Some(mine.toSeq.sorted), distributeAbove)
+  }
+
   /** Raw FS copy of untouched `shard=<i>` dirs from one version into a
     * not-yet-published one (fresh dir: nothing to replace). */
   private def copyForward(
