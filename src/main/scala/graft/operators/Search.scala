@@ -105,6 +105,24 @@ object Search {
       .otherwise(c)
   }
 
+  /** Build-time guard for [[docIdLong]]'s deliberately lossy
+    * canonicalization: two DISTINCT raw ids that collapse under the long
+    * cast ('007' vs '7') would silently merge into one doc — fused
+    * postings, duplicate `d:` keys — and nothing downstream could tell.
+    * One column-pruned aggregate over the id column turns that silent
+    * collision into a loud build failure (ADVICE r5). */
+  private def requireCollisionFreeIds(corpus: DataFrame, idCol: String): Unit = {
+    val row = corpus
+      .agg(
+        count_distinct(col(idCol)).as("n_raw"),
+        count_distinct(col(idCol).cast("long")).as("n_canonical"))
+      .head()
+    require(row.getLong(0) == row.getLong(1),
+      s"search index: ${row.getLong(0)} distinct '$idCol' values canonicalize to " +
+        s"only ${row.getLong(1)} distinct long doc ids — distinct raw ids collide " +
+        "under the long cast (e.g. '007' vs '7'); re-key or de-duplicate the corpus")
+  }
+
   def termFrequencies(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
       .select(docIdLong(idCol).as("doc_id"),
@@ -120,6 +138,7 @@ object Search {
       idCol: String,
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
+    requireCollisionFreeIds(corpus, idCol)
     // One pass emits live postings AND tombstones for capped terms: a
     // term past the cap publishes `x:<term>` → df instead of postings,
     // so the drop is a queryable fact (and searchIndexUpsert keeps the
@@ -287,6 +306,7 @@ object Search {
       idCol: String,
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
+    requireCollisionFreeIds(corpus, idCol)
     val postings = corpus
       .select(docIdLong(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
@@ -338,6 +358,7 @@ object Search {
       textCol: String,
       newVersion: Long,
       maxPostings: Int = MaxPostings): Unit = {
+    requireCollisionFreeIds(delta, idCol)
     // type guard: both index types publish d: records, so without this
     // marker check an upsert aimed at a BM25 domain would pass the
     // disjointness probe and silently pollute the wrong index
@@ -474,6 +495,7 @@ object Search {
       textCol: String,
       newVersion: Long,
       maxPostings: Int = MaxPostings): Unit = {
+    requireCollisionFreeIds(delta, idCol)
     val spark = delta.sparkSession
     val metaRows = index.multiGet(
         spark.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),

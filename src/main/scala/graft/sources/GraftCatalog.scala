@@ -113,7 +113,7 @@ class GraftCatalog extends TableCatalog {
       s"domain '${ident.name}' uses persistenceFormat '${store.spec.persistenceFormat}' — " +
         "SQL catalog tables are served through the layout-reporting kv source; " +
         "read this domain via DomainStore.read, or re-export it with " +
-        "persistenceFormat = kv-sorted")
+        "persistenceFormat = kv-sorted (or kv-sorted-z)")
     val v = version.getOrElse(store.latestVersion)
     require(
       store.versions.isPublished(v),

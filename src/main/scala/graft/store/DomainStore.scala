@@ -592,11 +592,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * (the trailer count costs one positioned read):
     *  - sparse (keys ≪ records — the 100 TB serving case): one binary
     *    search per key, O(k log n) positioned reads, no scan;
-    *  - dense (keys within [[DomainStore.LookupScanRatio]] of records —
+    *  - dense (keys within the format's `lookupScanRatio` of records —
     *    small shard files, bulk-ish batches): ONE buffered sequential
     *    merge against the sorted run; k·log n random preads (each a
     *    checksum-chunk re-read on checksummed filesystems) would cost
-    *    more than streaming the whole file.
+    *    more than streaming the whole file. The ratio is per-FORMAT
+    *    ([[ShardReader.lookupScanRatio]]): block-compressed shards pay a
+    *    block read+inflate per probe, so they cross over far earlier
+    *    than plain kv's 256.
     * Returns (key, value, _found) — `_found` distinguishes a stored null
     * value from an absent key. Values stream through the Dataset (never
     * the driver); the reader closes on drain and on task completion. */
@@ -621,7 +624,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
           val it: Iterator[(Array[Byte], Array[Byte], Boolean)] =
-            if (ks.length.toLong * DomainStore.LookupScanRatio < r.count)
+            if (ks.length.toLong * r.lookupScanRatio < r.count)
               ks.iterator.map { k =>
                 r.lookup(k) match {
                   case Some(v) => (k, v, true)
@@ -1151,14 +1154,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       version: Long,
       destDir: Path,
       shards: Option[Seq[Int]] = None,
-      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Seq[Int] = {
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove,
+      maxKBps: Option[Int] = None): Seq[Int] = {
     require(versions.isPublished(version), s"version $version not published under $root")
     destDir.getFileSystem(conf).mkdirs(destDir)
     val wanted = shards.getOrElse(0 until numShards)
     // replace = true: FileUtil.copy into an EXISTING dir nests src under
     // it — delete first so re-running localize replaces, not corrupts.
     transferShards(versions.versionPath(version), destDir, wanted,
-      replace = true, distributeAbove)
+      replace = true, distributeAbove, maxKBps.map(new TransferThrottle(_)))
   }
 
   /** [[localize]] restricted to the shard subset a ring assigns to one
@@ -1172,12 +1176,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       destDir: Path,
       ring: ShardRing.Index,
       host: String,
-      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Seq[Int] = {
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove,
+      maxKBps: Option[Int] = None): Seq[Int] = {
     val mine = ring.shardSet(host)
     require(mine.nonEmpty, s"ring assigns no shards to host '$host'")
     require(mine.forall(s => s >= 0 && s < numShards),
       s"ring shard ids ${mine.toSeq.sorted} exceed domain shard count $numShards")
-    localize(version, destDir, Some(mine.toSeq.sorted), distributeAbove)
+    localize(version, destDir, Some(mine.toSeq.sorted), distributeAbove, maxKBps)
   }
 
   /** Raw FS copy of untouched `shard=<i>` dirs from one version into a
@@ -1206,9 +1211,21 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       dstBase: Path,
       shards: Seq[Int],
       replace: Boolean,
-      distributeAbove: Int): Seq[Int] = {
+      distributeAbove: Int,
+      throttle: Option[TransferThrottle] = None): Seq[Int] = {
     if (shards.isEmpty) return Nil
     val (src, dst) = (srcBase.toString, dstBase.toString)
+    throttle.foreach { th =>
+      // A bandwidth cap means "don't saturate THIS box's NIC" (reference
+      // :download-rate-limit — one throttle agent per serving box). The
+      // limiter is one in-process object, so the throttled pull runs on
+      // the driver pool regardless of shard count: a Spark tier would
+      // need a cluster-wide budget no single token bucket can enforce.
+      import scala.collection.parallel.CollectionConverters._
+      return shards.par
+        .filter(s => DomainStore.copyShardDirThrottled(src, dst, s, replace, conf, th))
+        .seq.toList.sorted
+    }
     if (shards.length <= distributeAbove) {
       import scala.collection.parallel.CollectionConverters._
       shards.par
@@ -1311,6 +1328,58 @@ object DomainStore {
       true
     }
   }
+
+  /** [[copyShardDir]] with every data byte metered through a shared
+    * [[TransferThrottle]] — a manual recursive stream copy (FileUtil has
+    * no byte hook) in [[ThrottleChunk]]-sized chunks, so the limiter
+    * interleaves fairly across the parallel shard copies. Byte-identical
+    * output to the unthrottled path. */
+  private[store] def copyShardDirThrottled(
+      srcBase: String,
+      dstBase: String,
+      shard: Int,
+      replace: Boolean,
+      conf: Configuration,
+      throttle: TransferThrottle): Boolean = {
+    val src = new Path(srcBase, s"shard=$shard")
+    val srcFs = src.getFileSystem(conf)
+    if (!srcFs.exists(src)) false
+    else {
+      val dst = new Path(dstBase, s"shard=$shard")
+      val dstFs = dst.getFileSystem(conf)
+      if (replace) dstFs.delete(dst, true)
+      def copyTree(s: Path, d: Path): Unit = {
+        val st = srcFs.getFileStatus(s)
+        if (st.isDirectory) {
+          dstFs.mkdirs(d)
+          srcFs.listStatus(s).foreach(c => copyTree(c.getPath, new Path(d, c.getPath.getName)))
+        } else {
+          val in = srcFs.open(s)
+          try {
+            val out = dstFs.create(d, true)
+            try {
+              val buf = new Array[Byte](ThrottleChunk)
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) {
+                  throttle.acquire(n.toLong)
+                  out.write(buf, 0, n)
+                }
+                n = in.read(buf)
+              }
+            } finally out.close()
+          } finally in.close()
+        }
+      }
+      copyTree(src, dst)
+      true
+    }
+  }
+
+  /** Chunk size for throttled copies: small enough that a 128 kB/s cap
+    * (the reference's default) still interleaves several streams per
+    * second, large enough to amortize the per-read syscall. */
+  private[store] val ThrottleChunk: Int = 64 * 1024
 
   /** Stream one shard's sorted rows into `shard=<i>/part-0.kv` — runs
     * inside the shard's executor task (static: the closure must not drag

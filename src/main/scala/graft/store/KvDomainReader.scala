@@ -32,20 +32,30 @@ import graft.core.{DomainSpec, ShardIndex}
  * indistinguishable — route requests to hosted shards, like the
  * reference's ring did).
  *
+ * Hot-swap: a root-opened reader serves ONE published version at a time
+ * but can follow new publishes in place — [[refresh]] re-resolves the
+ * newest token, installs fresh shard handles, and retires the old ones
+ * (the reference daemon's `load-version!` swap,
+ * `elephantdb-server/src/clj/elephantdb/common/domain.clj:208-228`,
+ * which swapped a domain's status to the new shard set without dropping
+ * in-flight reads).
+ *
  * Thread-safety: safe for concurrent `get`s — [[KvFile.Reader.lookup]]
  * uses positioned reads only, and cached readers resolve lock-free from
- * a concurrent map. Cache POPULATION serializes with [[close]] on one
- * lock: without it, a `get` that passed the open check could open a
- * shard file while `close()` is clearing the cache, and the map insert
- * (which happens after the mapping function returns) would land in the
- * already-cleared map — a leaked handle probing a possibly-reaped
- * version dir. A `get` that raced past the check instead fails loudly
- * inside the lock. The only residual race is benign and inherent: a
- * lookup already holding a cached reader when `close()` closes it gets
- * an IOException, never a wrong answer.
+ * a concurrent map. All per-version state (handle cache, sidecar cache,
+ * version dir) lives in one ref-counted `Generation`: a lookup acquires
+ * the current generation for its whole duration, so it can never see a
+ * torn mix of two versions, and [[refresh]]/[[close]] retire a
+ * generation by dropping its installed reference — shard handles close
+ * only when the last in-flight lookup drains, so a lookup concurrent
+ * with a swap completes normally on the version it started on (never an
+ * error, never a wrong answer). A lookup STARTED after [[close]] fails
+ * loudly with IllegalStateException.
  */
 final class KvDomainReader private (
-    versionDir: Path,
+    initialDir: Path,
+    initialVersion: Long,
+    versionsOpt: Option[VersionedStore],
     val spec: DomainSpec,
     conf: Configuration) extends AutoCloseable {
 
@@ -57,55 +67,125 @@ final class KvDomainReader private (
 
   def numShards: Int = spec.numShards
 
-  private val fs: FileSystem = versionDir.getFileSystem(conf)
+  private val fs: FileSystem = initialDir.getFileSystem(conf)
 
   private val indexerOpt: Option[Indexer] = spec.indexerClass.map(Indexer.forName)
 
-  // A closed reader must FAIL, not limp: after close() the version dir may
-  // be reaped (VersionedStore.cleanup in the updater-swap pattern this
-  // class documents), and a racing get() would otherwise repopulate the
-  // cleared caches — leaking the handle and, on a reaped dir, answering
-  // "key absent" for keys the domain holds.
-  @volatile private var closed = false
-  private def checkOpen(): Unit =
-    if (closed) throw new IllegalStateException(
-      s"KvDomainReader for $versionDir is closed — reopen to serve a newer publish")
+  /** Per-version handle state: caches + the version dir they index, with
+    * a reference count whose base ref is "installed as current". A
+    * lookup acquires for its duration; [[retire]] drops the base ref;
+    * the LAST release (drained in-flight lookup or the retire itself)
+    * closes every cached handle. Handles on a retired generation thus
+    * stay valid exactly as long as some lookup still uses them — the
+    * no-dropped-reads half of the reference's hot-swap. */
+  private final class Generation(val versionDir: Path, val version: Long) {
+    // None = shard has no data file (empty or not localized) / no sidecar
+    val readers =
+      new java.util.concurrent.ConcurrentHashMap[Int, Option[ShardReader]]()
+    val probes =
+      new java.util.concurrent.ConcurrentHashMap[Int, Option[Array[Byte] => Boolean]]()
+    private val refs = new java.util.concurrent.atomic.AtomicInteger(1)
 
-  // None = shard has no data file (empty or not localized) / no sidecar
-  private val readers =
-    new java.util.concurrent.ConcurrentHashMap[Int, Option[ShardReader]]()
-  private val probes =
-    new java.util.concurrent.ConcurrentHashMap[Int, Option[Array[Byte] => Boolean]]()
-  // Serializes cache population with close() — see the class doc.
-  private val lifecycle = new Object
+    def tryAcquire(): Boolean = {
+      var c = refs.get()
+      while (c > 0) {
+        if (refs.compareAndSet(c, c + 1)) return true
+        c = refs.get()
+      }
+      false // retired and drained: caches are closed, caller must re-read gen
+    }
 
-  private def shardDir(shard: Int): Path = new Path(versionDir, s"shard=$shard")
+    def release(): Unit =
+      if (refs.decrementAndGet() == 0) {
+        readers.values().forEach(_.foreach(r =>
+          try r.close() catch { case _: Exception => () }))
+        readers.clear()
+        probes.clear()
+      }
 
-  private def reader(shard: Int): Option[ShardReader] = {
-    val cached = readers.get(shard)
-    if (cached != null) cached
-    else lifecycle.synchronized {
-      checkOpen() // re-check under the lock: close() cannot interleave now
+    def shardDir(shard: Int): Path = new Path(versionDir, s"shard=$shard")
+
+    def reader(shard: Int): Option[ShardReader] =
+      // Safe without a lifecycle lock: callers hold an acquired ref, so
+      // the close-all (refs == 0) cannot run concurrently with this
+      // populate — an insert can never land in an already-cleared map.
       readers.computeIfAbsent(shard, { s =>
         val p = new Path(shardDir(s), KvFile.DataFileName)
         if (fs.exists(p)) Some(KvFile.open(fs, p)) else None
       })
-    }
+
+    def mightContain(shard: Int, key: Array[Byte]): Boolean =
+      indexerOpt match {
+        case None => true
+        case Some(ix) =>
+          probes.computeIfAbsent(shard, s => Indexer.loadProbe(fs, shardDir(s), ix))
+            .forall(_.apply(key))
+      }
   }
 
-  private def mightContain(shard: Int, key: Array[Byte]): Boolean =
-    indexerOpt match {
-      case None => true
-      case Some(ix) =>
-        val cached = probes.get(shard)
-        val probe =
-          if (cached != null) cached
-          else lifecycle.synchronized {
-            checkOpen()
-            probes.computeIfAbsent(shard, s => Indexer.loadProbe(fs, shardDir(s), ix))
-          }
-        probe.forall(_.apply(key))
+  // A closed reader must FAIL, not limp: after close() the version dir may
+  // be reaped (VersionedStore.cleanup in the updater-swap pattern this
+  // class documents), and a racing get() would otherwise repopulate the
+  // caches — leaking handles probing a possibly-reaped version dir.
+  @volatile private var closed = false
+  private def checkOpen(): Unit =
+    if (closed) throw new IllegalStateException(
+      s"KvDomainReader for $initialDir is closed — reopen to serve a newer publish")
+
+  @volatile private var gen: Generation = new Generation(initialDir, initialVersion)
+  // Serializes refresh() with close() (never with lookups).
+  private val lifecycle = new Object
+
+  /** The version currently served (the newest published one at open /
+    * last successful [[refresh]]; -1 for a localized shard subset). */
+  def servedVersion: Long = gen.version
+
+  private[store] def cachedShardReaders: Int = gen.readers.size
+
+  /** Run `f` against one coherent generation: acquired for the whole
+    * call, so a concurrent refresh/close can neither tear the version
+    * nor close handles mid-lookup. The retry loop covers the one narrow
+    * race — `gen` read just as its last ref drains — by re-reading the
+    * now-current generation (or failing loudly if the reader closed). */
+  private def withGen[T](f: Generation => T): T = {
+    while (true) {
+      checkOpen()
+      val g = gen
+      if (g.tryAcquire()) {
+        try return f(g)
+        finally g.release()
+      }
     }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /**
+   * Hot-swap to the newest PUBLISHED version (the reference's
+   * `load-version!` / updater cycle): re-resolve the version token,
+   * install a fresh generation of shard handles, retire the old one.
+   * Returns true when a newer version was swapped in, false when already
+   * serving the newest. Concurrent `get`s never fail and never see a
+   * torn version: lookups in flight at the swap complete on the version
+   * they started on (its handles close only when the last one drains);
+   * lookups starting after the swap see the new version only.
+   * Only root-opened readers can refresh — a localized shard subset has
+   * no version history (re-run `DomainStore.localize` and reopen).
+   */
+  def refresh(): Boolean = lifecycle.synchronized {
+    checkOpen()
+    val versions = versionsOpt.getOrElse(throw new IllegalStateException(
+      "refresh(): localized shard-subset readers have no version history — " +
+        "re-localize with DomainStore.localize and reopen"))
+    val newest = versions.mostRecentVersion.getOrElse(
+      throw new IllegalStateException(s"no published version under ${versions.root}"))
+    val cur = gen
+    if (newest == cur.version) false
+    else {
+      gen = new Generation(versions.versionPath(newest), newest)
+      cur.release() // drop the installed ref; closes when in-flight gets drain
+      true
+    }
+  }
 
   /** Point lookup: route, sidecar-probe, binary-search. `None` = absent
     * (or present with a null value — the domain schema allows it; use
@@ -114,18 +194,19 @@ final class KvDomainReader private (
 
   /** `None` = key absent; `Some(None)` = key present with a null value;
     * `Some(Some(v))` = present with value `v`. */
-  def getRecord(key: Array[Byte]): Option[Option[Array[Byte]]] = {
-    checkOpen()
+  def getRecord(key: Array[Byte]): Option[Option[Array[Byte]]] = withGen { g =>
     val shard = ShardIndex.shardIndex(key, numShards)
-    if (!mightContain(shard, key)) None
-    else reader(shard).flatMap(_.lookup(key)).map(Option(_))
+    if (!g.mightContain(shard, key)) None
+    else g.reader(shard).flatMap(_.lookup(key)).map(Option(_))
   }
 
   /** Batched point lookup — the reference daemon's primary RPC
     * (`multiGet` in core.thrift): route each key, bloom-probe, then per
     * shard pick the access pattern by batch DENSITY, exactly like the
     * engine's distributed kv lookup:
-    *  - sparse (`keys × [[KvFile.LookupScanRatio]] < records`): binary
+    *  - sparse (`keys × format lookupScanRatio < records` — plain kv
+    *    prices preads at 256, block-compressed shards cross over near
+    *    their block count since each probe inflates a block): binary
     *    searches on the CACHED reader — positioned reads, safe under
     *    concurrent calls;
     *  - dense: ONE merge pass over the shard's sorted run against the
@@ -136,8 +217,7 @@ final class KvDomainReader private (
     * present with a null value (same contract as [[getRecord]] flattened
     * one level). Duplicate input keys are fine (each resolves
     * independently). */
-  def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
-    checkOpen()
+  def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = withGen { g =>
     require(keys.forall(_ != null), "multiGet: null key")
     val out = new Array[Option[Array[Byte]]](keys.length)
     keys.zipWithIndex
@@ -145,17 +225,17 @@ final class KvDomainReader private (
       .foreach { case (shard, withIdx) =>
         // sidecar-known misses never touch data (and drop out of the
         // density decision: they cost nothing either way)
-        val (maybe, misses) = withIdx.partition { case (k, _) => mightContain(shard, k) }
+        val (maybe, misses) = withIdx.partition { case (k, _) => g.mightContain(shard, k) }
         misses.foreach { case (_, i) => out(i) = None }
-        if (maybe.nonEmpty) reader(shard) match {
+        if (maybe.nonEmpty) g.reader(shard) match {
           case None => maybe.foreach { case (_, i) => out(i) = None }
           case Some(r) =>
-            if (maybe.length.toLong * KvFile.LookupScanRatio < r.count) {
+            if (maybe.length.toLong * r.lookupScanRatio < r.count) {
               maybe.foreach { case (k, i) => out(i) = r.lookup(k) }
             } else {
               val sorted = maybe.sortWith((a, b) =>
                 java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
-              val p = new Path(shardDir(shard), KvFile.DataFileName)
+              val p = new Path(g.shardDir(shard), KvFile.DataFileName)
               val fresh = KvFile.open(fs, p)
               try {
                 val it = fresh.iterator
@@ -199,9 +279,12 @@ final class KvDomainReader private (
       to: Option[Array[Byte]] = None,
       fromInclusive: Boolean = true,
       toInclusive: Boolean = true,
-      globalOrder: Boolean = false): KvDomainReader.RangeCursor = {
-    checkOpen()
-    val files = (0 until numShards).map(s => new Path(shardDir(s), KvFile.DataFileName))
+      globalOrder: Boolean = false): KvDomainReader.RangeCursor = withGen { g =>
+    // The cursor opens fresh handles lazily from this generation's files:
+    // it keeps reading the version it was created on even across a
+    // refresh (snapshot semantics — the files persist until a cleanup
+    // reaps the version, same as the reference's retained versions).
+    val files = (0 until numShards).map(s => new Path(g.shardDir(s), KvFile.DataFileName))
     new KvDomainReader.RangeCursor(
       fs, files, from, fromInclusive, to, toInclusive, globalOrder)
   }
@@ -210,19 +293,18 @@ final class KvDomainReader private (
     * file, opened and closed per probe: counting must NOT pin numShards
     * handles in the lookup cache (at 64k shards that is fd exhaustion for
     * a call that only wants 20 bytes per file). */
-  def count(): Long = {
-    checkOpen()
+  def count(): Long = withGen { g =>
     (0 until numShards).iterator.map { s =>
-      val p = new Path(shardDir(s), KvFile.DataFileName)
+      val p = new Path(g.shardDir(s), KvFile.DataFileName)
       if (fs.exists(p)) KvFile.count(fs, p) else 0L
     }.sum
   }
 
   def close(): Unit = lifecycle.synchronized {
-    closed = true
-    readers.values().forEach(_.foreach(_.close()))
-    readers.clear()
-    probes.clear()
+    if (!closed) {
+      closed = true
+      gen.release() // handles close when the last in-flight lookup drains
+    }
   }
 }
 
@@ -314,13 +396,15 @@ object KvDomainReader {
     val versions = new VersionedStore(rootPath, conf)
     val version = versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    new KvDomainReader(versions.versionPath(version), spec, conf)
+    new KvDomainReader(
+      versions.versionPath(version), version, Some(versions), spec, conf)
   }
 
   /** Serve a `DomainStore.localize` output dir (bare `shard=<i>` subset).
-    * The spec travels out-of-band — localize ships shard dirs only. */
+    * The spec travels out-of-band — localize ships shard dirs only. No
+    * version history, so [[KvDomainReader.refresh]] is unavailable. */
   def localized(dir: String, spec: DomainSpec, conf: Configuration): KvDomainReader = {
     RamFileSystem.register(conf)
-    new KvDomainReader(new Path(dir), spec, conf)
+    new KvDomainReader(new Path(dir), -1L, None, spec, conf)
   }
 }

@@ -40,6 +40,12 @@ trait ShardReader extends AutoCloseable {
       to: Option[Array[Byte]],
       toInclusive: Boolean,
       withValues: Boolean = true): Iterator[(Array[Byte], Array[Byte])]
+  /** This format's batch-density crossover: a multiGet probes per key
+    * only while `keys × ratio < count`; at that density one buffered
+    * sequential merge pass wins. The default prices plain-kv positioned
+    * reads; formats with costlier probes (block read + inflate) override
+    * with a lower ratio. */
+  def lookupScanRatio: Int = KvFile.LookupScanRatio
   def close(): Unit
 }
 

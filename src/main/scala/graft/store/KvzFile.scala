@@ -164,7 +164,11 @@ object KvzFile {
         s"$name: not a GKZ1 file (bad trailer magic)")
       require(
         io >= 4 && bc >= 0 && rc >= 0 && io <= fileLen - TrailerLen &&
-          bc <= (fileLen - TrailerLen - io) / 28, // 28 = min index entry (empty key)
+          bc <= (fileLen - TrailerLen - io) / 28 && // 28 = min index entry (empty key)
+          // on multi-GB shards the length-derived bounds alone no longer
+          // imply these fit an Int — a corrupt trailer must fail HERE with
+          // the named error, not as NegativeArraySizeException downstream
+          bc <= Int.MaxValue && (fileLen - TrailerLen - io) <= Int.MaxValue,
         s"$name: corrupt GKZ1 trailer (indexOffset=$io blocks=$bc records=$rc len=$fileLen)")
       (io, bc.toInt, rc)
     }
@@ -218,6 +222,17 @@ object KvzFile {
     }
 
     def count: Long = recordCount
+
+    /** Format-aware batch crossover: a kvz probe inflates a WHOLE block,
+      * so each lookup costs ~one block's worth of scan work — the merge
+      * scan wins once the batch approaches the block count, not
+      * records/[[KvFile.LookupScanRatio]] (that ratio prices plain-kv
+      * preads, ~256× cheaper per probe than a block read+inflate).
+      * records-per-block is exactly that crossover:
+      * `keys · (records/blocks) < records  ⇔  keys < blocks`. */
+    override def lookupScanRatio: Int =
+      if (blockCount == 0) 1
+      else math.max(1, math.min(Int.MaxValue.toLong, recordCount / blockCount).toInt)
 
     // Benign-race one-block cache: concurrent lookups may both miss and
     // both decompress — correct either way, and key-sorted batches hit.

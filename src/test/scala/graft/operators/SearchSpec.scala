@@ -270,6 +270,25 @@ class SearchSpec extends SparkSuite {
       Search.invertedIndexKv(nullIds, "doc_id", "text").collect()
     }
     assert(msgs(e7).contains("not long-castable"), msgs(e7))
+    // distinct raw ids that collide under the long cast ('007' vs '7')
+    // would silently fuse into one doc — the build-time distinct-count
+    // guard must fail loud instead, naming the collision
+    val colliding = Seq("007" -> "alpha beta", "7" -> "gamma").toDF("doc_id", "text")
+    val e8 = intercept[IllegalArgumentException](
+      Search.invertedIndexKv(colliding, "doc_id", "text"))
+    assert(e8.getMessage.contains("collide"), e8.getMessage)
+    val e9 = intercept[IllegalArgumentException](
+      Search.positionalIndexKv(colliding, "doc_id", "text"))
+    assert(e9.getMessage.contains("collide"), e9.getMessage)
+    // and the upsert paths guard their delta the same way
+    val bm25b = DomainStore.create(
+      scratch("guard-bm25-collide"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    bm25b.write(Search.invertedIndexKv(docs, "doc_id", "text"), 1L)
+    val e10 = intercept[IllegalArgumentException](
+      Search.searchIndexUpsert(bm25b, colliding, "doc_id", "text", 2L))
+    assert(e10.getMessage.contains("collide"), e10.getMessage)
   }
 
   test("top-k truncates by (score desc, doc_id) and ranks densely") {

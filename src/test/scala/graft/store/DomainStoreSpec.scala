@@ -610,26 +610,27 @@ class DomainStoreSpec extends SparkSuite {
         assert(tasks.map(_.get(120, TimeUnit.SECONDS)).sum === 0)
       } finally r.close()
       // phase 2: close() racing cache population — threads fault shard
-      // readers in while close() clears the cache. Allowed outcomes per
-      // lookup: a correct answer, or a LOUD failure (closed-reader
-      // IllegalStateException / stream-closed IOException). Afterwards the
-      // cache must be empty: an entry inserted after clear() is exactly
-      // the leaked-handle race the lifecycle lock exists to prevent.
-      val readersField = classOf[KvDomainReader].getDeclaredFields
-        .find(_.getName.endsWith("readers")).get
-      readersField.setAccessible(true)
+      // readers in while close() retires the generation. Allowed outcomes
+      // per lookup: a correct answer (the lookup acquired the generation
+      // before retirement — its handles stay open until it drains), or a
+      // LOUD closed-reader IllegalStateException for lookups that started
+      // after. Once every racing lookup has drained, the generation's
+      // cache must be empty: a surviving entry is a leaked handle.
       (0 until 40).foreach { round =>
         val rr = KvDomainReader.open(root, conf)
         val latch = new CountDownLatch(1)
+        val wrongs = new java.util.concurrent.atomic.AtomicInteger(0)
         val tasks = (0 until 8).map { t =>
           pool.submit(new Callable[Unit] {
             def call(): Unit = {
               latch.await()
               (0 until 50).foreach { i =>
-                try rr.get(utf8(s"hk${(t * 53 + i) % 400}"))
-                catch {
-                  case _: IllegalStateException => () // closed: loud is correct
-                  case _: java.io.IOException => ()   // stream closed mid-lookup
+                val k = (t * 53 + i) % 400
+                try {
+                  val got = rr.get(utf8(s"hk$k")).map(new String(_, "UTF-8"))
+                  if (got != Some(s"hv$k")) wrongs.incrementAndGet()
+                } catch {
+                  case _: IllegalStateException => () // started after close: loud is correct
                 }
               }
             }
@@ -639,12 +640,143 @@ class DomainStoreSpec extends SparkSuite {
         if (round % 2 == 0) Thread.`yield`()
         rr.close()
         tasks.foreach(_.get(120, TimeUnit.SECONDS))
-        val cache = readersField.get(rr)
-          .asInstanceOf[java.util.concurrent.ConcurrentHashMap[_, _]]
-        assert(cache.isEmpty,
-          s"round $round: close() left ${cache.size} cached reader(s) — leaked handle(s)")
+        // ref-counted generations: lookups that began before close() must
+        // COMPLETE CORRECTLY (no torn reads, no IOExceptions) — close only
+        // reaps handles after the last one drains
+        assert(wrongs.get() === 0, s"round $round: ${wrongs.get()} wrong answers")
+        assert(rr.cachedShardReaders === 0,
+          s"round $round: close() left ${rr.cachedShardReaders} cached reader(s) — leaked handle(s)")
       }
     } finally pool.shutdown()
+  }
+
+  test("KvDomainReader.refresh(): hot-swap to a newer publish never drops or tears a get") {
+    val root = scratch("kv-refresh")
+    val store = DomainStore.create(
+      root, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    // v1: value = "v1-<i>" for keys 0..299; each later version rewrites
+    // EVERY key's value to "v<n>-<i>" — a torn read (mixing versions
+    // within one multiGet) or a dropped read is detectable per answer.
+    def pairs(v: Long): Seq[(String, String)] =
+      (0 until 300).map(i => s"rk$i" -> s"v$v-$i")
+    store.write(kv(pairs(1): _*), 1L)
+    val r = KvDomainReader.open(root, conf)
+    import java.util.concurrent.{Callable, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(10)
+    try {
+      assert(r.servedVersion === 1L)
+      assert(r.refresh() === false, "already newest: no swap")
+      val published = new java.util.concurrent.atomic.AtomicLong(1L)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      // 8 reader threads: every get must answer from SOME fully-published
+      // version (never fail, never a stale-beyond-published or mixed row),
+      // and multiGet batches must be version-coherent end to end.
+      val readers = (0 until 8).map { t =>
+        pool.submit(new Callable[Int] {
+          def call(): Int = {
+            var n = 0
+            val rnd = new scala.util.Random(t)
+            while (!stop.get()) {
+              val ks = Seq.fill(6)(rnd.nextInt(300))
+              val vMin = published.get() // published before the batch started
+              val got = r.multiGet(ks.map(k => utf8(s"rk$k"))).map(_.map(new String(_, "UTF-8")))
+              val vMax = published.get() // at most this new when it finished
+              val vers = got.zip(ks).map {
+                case (Some(v), k) =>
+                  val m = ("""v(\d+)-(\d+)""".r).findFirstMatchIn(v)
+                  if (m.isEmpty || m.get.group(2).toInt != k) { errors.add(s"bad value $v for rk$k"); -1L }
+                  else m.get.group(1).toLong
+                case (None, k) => errors.add(s"dropped key rk$k"); -1L
+              }.distinct
+              if (vers.length != 1) errors.add(s"torn batch: versions $vers")
+              else if (vers.head < vMin - 1 || vers.head > vMax)
+                // the batch may straddle one refresh (started on the prior
+                // version) but can never serve older than that or newer
+                // than what was published
+                errors.add(s"version ${vers.head} outside [$vMin-1, $vMax]")
+              n += 1
+            }
+            n
+          }
+        })
+      }
+      // publisher thread: publish v2..v6, refreshing after each
+      (2L to 6L).foreach { v =>
+        store.write(kv(pairs(v): _*), v)
+        published.set(v)
+        assert(r.refresh() === true, s"v$v is newer: must swap")
+        assert(r.servedVersion === v)
+        Thread.sleep(30)
+      }
+      assert(r.refresh() === false)
+      stop.set(true)
+      val counts = readers.map(_.get(120, TimeUnit.SECONDS))
+      assert(counts.sum > 0, "hammer must have exercised gets")
+      assert(errors.isEmpty, s"refresh hammer: ${errors.size} violations, first: ${errors.peek()}")
+      // after the swaps, reads serve v6 only
+      assert(r.get(utf8("rk7")).map(new String(_, "UTF-8")) === Some("v6-7"))
+    } finally { pool.shutdown(); r.close() }
+    // localized subsets cannot refresh — loud, with the re-localize hint
+    val dest = new org.apache.hadoop.fs.Path(scratch("kv-refresh-local"))
+    store.localize(6L, dest)
+    val lr = KvDomainReader.localized(dest.toString, store.spec, conf)
+    try {
+      assert(lr.get(utf8("rk7")).map(new String(_, "UTF-8")) === Some("v6-7"))
+      val e = intercept[IllegalStateException](lr.refresh())
+      assert(e.getMessage.contains("re-localize"))
+    } finally lr.close()
+  }
+
+  test("throttled localize: byte-identical to unthrottled, throughput stays under the cap") {
+    import org.apache.hadoop.fs.Path
+    val store = DomainStore.create(
+      scratch("throttle"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val pairs = (0 until 3000).map(i => f"tk$i%05d" -> ("x" * 200 + i))
+    store.write(kv(pairs: _*), 1L)
+    val free = new Path(scratch("throttle-free"))
+    val capped = new Path(scratch("throttle-capped"))
+    assert(store.localize(1L, free) === Seq(0, 1, 2, 3))
+    val fs = free.getFileSystem(conf)
+    def files(base: Path): Map[String, Path] = {
+      def walk(p: Path): Seq[Path] = {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) fs.listStatus(p).toSeq.flatMap(c => walk(c.getPath))
+        else Seq(p)
+      }
+      val qual = fs.makeQualified(base).toString
+      walk(base).map(p => fs.makeQualified(p).toString.stripPrefix(qual) -> p).toMap
+    }
+    val freeFiles = files(free)
+    val totalBytes = freeFiles.values.map(fs.getFileStatus(_).getLen).sum
+    assert(totalBytes > 200L * 1024, s"fixture too small to measure a throttle: $totalBytes B")
+    val capKBps = (totalBytes / 1024 / 2).toInt // cap sized so the copy takes ~2s
+    val t0 = System.nanoTime()
+    assert(store.localize(1L, capped, maxKBps = Some(capKBps)) === Seq(0, 1, 2, 3))
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    val floorSec = totalBytes / 1024.0 / capKBps
+    // aggregate throughput may not beat the cap (0.8 margin absorbs chunk
+    // granularity); no upper assert — a slow box slowing a copy is fine
+    assert(elapsedSec >= floorSec * 0.8,
+      f"throttled copy of $totalBytes B finished in $elapsedSec%.2f s — " +
+        f"faster than the $capKBps KB/s cap allows (floor $floorSec%.2f s)")
+    // byte identity file by file
+    val cappedFiles = files(capped)
+    assert(cappedFiles.keySet === freeFiles.keySet)
+    def bytes(p: Path): Array[Byte] = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      buf
+    }
+    freeFiles.foreach { case (rel, p) =>
+      assert(java.util.Arrays.equals(bytes(p), bytes(cappedFiles(rel))), s"bytes differ: $rel")
+    }
+    // served answers identical off the throttled copy
+    val r = KvDomainReader.localized(capped.toString, store.spec, conf)
+    try assert(r.get(utf8("tk00042")).map(new String(_, "UTF-8")) === Some("x" * 200 + 42))
+    finally r.close()
   }
 
   test("kv-sorted shard files binary-search WITHOUT Spark (the serving deliverable)") {

@@ -192,6 +192,24 @@ class KvzFileSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("lookupScanRatio prices probes by block density, not plain-kv preads") {
+    // ~64 B records in 256 B blocks → ~4 records/block: a kvz probe
+    // inflates a whole block, so the merge-scan crossover must sit near
+    // the records-per-block count, far below plain kv's 256
+    val rows = byUnsigned((0 until 400).map { i =>
+      f"zk$i%04d".getBytes("UTF-8") -> ("zv" * 24 + i).getBytes("UTF-8")
+    })
+    val p = scratchFile("ratio.kv")
+    writeFile(p, rows, blockSize = 256)
+    val r = KvFile.open(fs = p.getFileSystem(conf), path = p)
+    try {
+      val ratio = r.lookupScanRatio
+      assert(ratio >= 1 && ratio <= 32,
+        s"kvz ratio $ratio should approximate records-per-block, got plain-kv class")
+      assert(ratio < KvFile.LookupScanRatio)
+    } finally r.close()
+  }
+
   test("range: a duplicate-key run straddling a block boundary keeps ALL copies") {
     // rows a, k, k, z at a block size that splits the two k's across
     // blocks — block 1's firstKey IS k, so a <=-search start would skip
