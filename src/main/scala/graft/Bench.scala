@@ -49,11 +49,13 @@ object Bench {
     // Sub-metrics: pipeline_dedup_index deliberately times the full index
     // lifecycle; attribute its two halves so a regression points at the
     // right one (build = band + publish the KV index domain; probe =
-    // delta banding + point lookups + exact verify). One extra timed pass
-    // with fresh fixtures; failures skip the field rather than kill the
-    // bench line.
-    val subMetrics: Seq[(String, Double)] =
-      try {
+    // delta banding + point lookups + exact verify). BEST OF TWO passes,
+    // like the queries: a single pass after ~5 min of prior work in this
+    // JVM once printed a 53.9 s probe for a pipeline whose isolated time
+    // is ~8 s (r5 verdict) — a 7× noise artifact defeats the submetric's
+    // whole purpose (regression attribution). Failures skip the field
+    // rather than kill the bench line.
+    def subPass(): Seq[(String, Double)] = {
         spark.catalog.clearCache()
         queries.Fixtures.reset()
         val b0 = System.nanoTime()
@@ -110,6 +112,14 @@ object Bench {
           "text_search_topk_probe" -> searchProbe,
           "text_search_phrase_build" -> phraseBuild,
           "text_search_phrase_probe" -> phraseProbe)
+    }
+    val subMetrics: Seq[(String, Double)] =
+      try {
+        val s1 = subPass()
+        val s2 = subPass()
+        s1.zip(s2).map { case ((k, a), (k2, b)) =>
+          assert(k == k2); k -> math.min(a, b)
+        }
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] submetrics failed: $e")
@@ -142,7 +152,7 @@ object Bench {
     val subField =
       if (subMetrics.isEmpty) ""
       else subMetrics.map { case (k, v) => "\"" + k + "\":" + num(v) }
-        .mkString(""","submetrics":{""", ",", "}")
+        .mkString(""","submetrics_method":"best_of_2","submetrics":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","method":"sum_of_best_of_2"""" +
         s""","n_ok":${results.size - failed.size},"n_failed":${failed.size}""" +

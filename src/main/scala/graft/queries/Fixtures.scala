@@ -23,10 +23,23 @@ object Fixtures {
   // and the builder's delete-then-write would corrupt the other's output.
   private val built = new java.util.concurrent.ConcurrentHashMap[String, DomainStore]()
 
-  /** Forget all built fixtures so the next query rebuilds them — used by
-    * Bench between passes so domain-build queries time the build in every
-    * pass (not just the first). */
-  def reset(): Unit = built.clear()
+  // Non-domain per-run memos (e.g. the exact-trained quantizer two
+  // contract queries share) — same once-per-JVM-per-pass lifecycle as the
+  // domain fixtures, forgotten together by reset().
+  private val memos = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Compute-once cache for expensive derived state shared by several
+    * contract queries in one bench/verify pass (the [[domain]] pattern
+    * for non-domain values). The key must encode every input the value
+    * depends on. */
+  def memo[T <: AnyRef](key: String)(build: => T): T =
+    memos.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** Forget all built fixtures AND memos so the next query rebuilds them
+    * — used by Bench between passes so domain-build queries (and shared
+    * trained state) time the real work in every pass (not just the
+    * first). */
+  def reset(): Unit = { built.clear(); memos.clear() }
 
   def conf = new Configuration()
 
