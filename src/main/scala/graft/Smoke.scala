@@ -25,6 +25,10 @@ object Smoke {
       if (!ok) failures += 1
     }
 
+    check("fixture schemas match expectations (drift guard)") {
+      graft.queries.SchemaGuard.check(spark, "/root/testdata/sf0.001"); true
+    }
+
     check("entry rows > 0")(SparkEntry.entry(spark).count() > 0)
 
     // Sparse upsert: 1 new key -> exactly 1 shard rewritten, 7 copy-forwarded.
@@ -152,6 +156,20 @@ object Smoke {
     check("duplicate version rejected")(
       try { store.versions.createVersion(2L); false }
       catch { case _: IllegalArgumentException => true })
+
+    // One-call ops dashboard over the same database root: every fixture
+    // domain gets a row with shard totals; the smoke-sparse domain's
+    // stats must reflect its real size.
+    check("Status.report: one row per domain with shard totals") {
+      val df = Status.report(spark, Fixtures.dbRoot("/root/testdata/sf0.001"), conf)
+      val rows = df.collect().map(r => r.getString(0) -> r).toMap
+      rows.contains("smoke-sparse") && {
+        val r = rows("smoke-sparse")
+        r.getString(1) == "ready" &&
+          r.getLong(df.columns.indexOf("n_rows")) == store.count(spark) &&
+          r.getLong(df.columns.indexOf("n_bytes")) > 0
+      }
+    }
 
     spark.stop()
     if (failures > 0) { println(s"[smoke] $failures FAILURES"); sys.exit(1) }

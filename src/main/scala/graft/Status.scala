@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DomainSpec, Sessions}
+import graft.store.{DomainCatalog, KvDomainReader, SearchLayout}
+
+/**
+ * One-call ops status report — the engine's analog of the reference's web
+ * dashboard (`elephantdb-server/src/clj/elephantdb/ui/handler.clj:1-111`
+ * rendered per-domain status, shard placement, and version state): ONE
+ * DataFrame with a row per domain in a catalog root, fusing
+ *  - the catalog surface ([[DomainCatalog.toDf]]: status, format,
+ *    versions),
+ *  - the shard histogram ([[graft.store.DomainStore.shardStats]]
+ *    aggregated to totals + skew: max/min shard rows, empty shards), and
+ *  - for published search/positional kv index domains, the per-record-
+ *    class census ([[graft.operators.Search.indexStats]]) as a compact
+ *    `class=n_records:value_bytes` summary string.
+ *
+ * Costs: metadata only for the catalog + shard halves (footers/trailers +
+ * file status, never data pages); index detection is two Spark-free point
+ * lookups per kv domain (`m:stats` / `m:positional`); the index census —
+ * the one data-reading part — runs only for domains that ARE indexes,
+ * and reads the index, not what it indexes.
+ *
+ * `runMain graft.Status <catalogRoot> [sfDirForSession]` prints the
+ * report and writes `target/status.json` (one JSON object per line).
+ */
+object Status {
+
+  def report(spark: SparkSession, catalogRoot: String, conf: Configuration): DataFrame = {
+    import spark.implicits._
+    val cat = new DomainCatalog(catalogRoot, conf)
+    val rows = cat.metadataAll.map { m =>
+      val servable =
+        m.spec.persistenceFormat == DomainSpec.KvSorted ||
+          m.spec.persistenceFormat == DomainSpec.KvSortedZ
+      val (nRows, nBytes, maxShard, minShard, emptyShards) =
+        if (m.latestVersion.isEmpty) (0L, 0L, 0L, 0L, m.spec.numShards.toLong)
+        else {
+          val agg = cat.domain(m.name).shardStats(spark)
+            .agg(
+              coalesce(sum("n_rows"), lit(0L)),
+              coalesce(sum("n_bytes"), lit(0L)),
+              coalesce(max("n_rows"), lit(0L)),
+              coalesce(min("n_rows"), lit(0L)),
+              coalesce(sum(when(col("n_rows") === 0, 1L).otherwise(0L)), lit(0L)))
+            .head()
+          (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3), agg.getLong(4))
+        }
+      // Spark-free marker probes: is this kv domain a published index?
+      val indexType =
+        if (!servable || m.latestVersion.isEmpty) None
+        else {
+          val r = KvDomainReader.open(new org.apache.hadoop.fs.Path(cat.root, m.name).toString, conf)
+          try {
+            if (r.get(SearchLayout.PosMetaKey.getBytes("UTF-8")).isDefined) Some("positional")
+            else if (r.get(SearchLayout.MetaKey.getBytes("UTF-8")).isDefined) Some("bm25")
+            else None
+          } finally r.close()
+        }
+      val indexSummary = indexType.map { t =>
+        val census = graft.operators.Search.indexStats(spark, cat.domain(m.name))
+          .orderBy("record_class").collect()
+        census.map(r =>
+          s"${r.getString(0)}=${r.getLong(1)}:${r.getLong(2)}").mkString(",")
+      }
+      (m.name, m.status, m.spec.numShards, m.spec.persistenceFormat,
+        m.latestVersion, m.versions.size, m.failedVersions.size,
+        nRows, nBytes, maxShard, minShard, emptyShards,
+        indexType, indexSummary)
+    }
+    rows.toDF(
+      "domain", "status", "num_shards", "persistence_format",
+      "latest_version", "n_versions", "n_failed_versions",
+      "n_rows", "n_bytes", "max_shard_rows", "min_shard_rows", "empty_shards",
+      "index_type", "index_classes")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Status <catalogRoot>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = report(spark, args(0), new Configuration())
+    df.show(200, truncate = false)
+    val json = df.toJSON.collect().mkString("\n")
+    val out = java.nio.file.Paths.get("target/status.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

@@ -17,6 +17,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail FIRST, naming the drifted column, when the regenerated testdata
+    // changed a physical type — not 40 queries later with an analyzer error.
+    queries.SchemaGuard.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
       // Delete any previous run's output FIRST: a query that fails before
