@@ -1,0 +1,117 @@
+package graft.store
+
+import scala.util.Random
+
+import graft.core.ShardIndex
+
+/**
+ * Client-side fan-out over a ring of serving readers — the in-process
+ * re-expression of the reference's thrift client loop
+ * (`elephantdb-server/src/clj/elephantdb/keyval/core.clj:119-134`
+ * `multi-get` groups keys by replica set and races/falls over across
+ * hosts; `keyval/domain.clj:43-56` `index-keys` attaches each key's
+ * prioritized host list; `client.clj` retries `try-direct-multi-get` on
+ * the next host after a transport error). Each "host" here is a
+ * [[KvDomainReader]] serving the shard subset [[DomainStore.localizeForHost]]
+ * pulled for it — swap the map values for RPC stubs and the routing,
+ * prioritization, and failover semantics carry over unchanged.
+ *
+ * Semantics, matched to the reference:
+ *  - route key → shard ([[ShardIndex]] md5-mod), shard → replica hosts
+ *    via the ring, replicas tried in [[ShardRing.Index.prioritizeHosts]]
+ *    order (preferred predicate first — pass the local host — then the
+ *    rest, shuffled for load spread);
+ *  - a reader ANSWER (present or absent) ends the key's search — only a
+ *    thrown failure (closed reader, I/O error) falls over to the next
+ *    replica;
+ *  - every replica failing (or a shard with no ring entry) throws,
+ *    naming the shard and the hosts tried (the reference's
+ *    hosts-down-ex), never a silent miss;
+ *  - `multiGet` batches per chosen host (ONE density-adaptive
+ *    [[KvDomainReader.multiGet]] per host per attempt round), results
+ *    aligned with the input.
+ */
+final class RingClient(
+    ring: ShardRing.Index,
+    readers: Map[String, KvDomainReader],
+    preferred: String => Boolean = _ => false,
+    rnd: Random = new Random()) extends AutoCloseable {
+
+  require(readers.nonEmpty, "RingClient: no readers")
+  require(ring.hostsToShards.keySet.subsetOf(readers.keySet),
+    s"ring hosts ${ring.hostsToShards.keySet -- readers.keySet} have no reader")
+  val numShards: Int = readers.valuesIterator.next().numShards
+  require(readers.valuesIterator.forall(_.numShards == numShards),
+    "RingClient: readers disagree on shard count — they serve different domains")
+
+  private def replicaOrder(shard: Int): Seq[String] = {
+    val order = ring.prioritizeHosts(shard, preferred, rnd)
+    if (order.isEmpty) throw new IllegalStateException(
+      s"no hosts in the ring for shard $shard (of $numShards) — " +
+        "the ring was built for a different shard count")
+    order
+  }
+
+  /** Point lookup with replica failover. `None` = key absent from the
+    * domain (answered by a live replica). */
+  def get(key: Array[Byte]): Option[Array[Byte]] = {
+    val shard = ShardIndex.shardIndex(key, numShards)
+    val order = replicaOrder(shard)
+    var lastFailure: Throwable = null
+    order.foreach { host =>
+      try return readers(host).get(key)
+      catch { case e: Exception => lastFailure = e } // fail over to the next replica
+    }
+    throw new IllegalStateException(
+      s"all replicas of shard $shard failed (tried: ${order.mkString(", ")})",
+      lastFailure)
+  }
+
+  /** Batched lookup: keys group by routed shard, shards group by chosen
+    * replica, ONE batched reader call per host; shards whose host fails
+    * retry on their next replica (fresh grouping each round). Results
+    * align with the input; `Some(null)` = present with a null value. */
+  def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
+    require(keys.forall(_ != null), "multiGet: null key")
+    val out = new Array[Option[Array[Byte]]](keys.length)
+    // per shard: the indexed keys + the replica order still untried
+    var pending: Seq[(Int, Seq[(Array[Byte], Int)], Seq[String])] =
+      keys.zipWithIndex
+        .groupBy { case (k, _) => ShardIndex.shardIndex(k, numShards) }
+        .map { case (s, ks) => (s, ks.toSeq, replicaOrder(s)) }
+        .toSeq
+    var lastFailure: Throwable = null
+    while (pending.nonEmpty) {
+      val exhausted = pending.filter(_._3.isEmpty)
+      if (exhausted.nonEmpty) {
+        val (s, _, _) = exhausted.head
+        throw new IllegalStateException(
+          // the reference's hosts-down-ex reports the key's FULL replica
+          // set (`:all-hosts`), which is exactly what was tried
+          s"all replicas of shard $s failed " +
+            s"(tried: ${ring.hostSet(s).toSeq.sorted.mkString(", ")})",
+          lastFailure)
+      }
+      pending = pending
+        .groupBy(_._3.head)
+        .flatMap { case (host, group) =>
+          val batch = group.flatMap(_._2)
+          try {
+            val vs = readers(host).multiGet(batch.map(_._1))
+            batch.zip(vs).foreach { case ((_, i), v) => out(i) = v }
+            Nil // answered
+          } catch {
+            case e: Exception =>
+              lastFailure = e
+              group.map { case (s, ks, hs) => (s, ks, hs.tail) } // next replica
+          }
+        }
+        .toSeq
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  /** Close every underlying reader. */
+  def close(): Unit = readers.values.foreach(r =>
+    try r.close() catch { case _: Exception => () })
+}

@@ -1,0 +1,100 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.{DomainSpec, ShardIndex}
+import graft.functions._
+
+/** The client half of multi-process serving: ring routing + replica
+  * failover over localized readers (reference keyval client semantics —
+  * answers end the search, failures fall over, hosts-down throws). */
+class RingClientSpec extends SparkSuite {
+
+  private val conf = new Configuration()
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private val n = 5
+  private val hosts = Seq("hA", "hB", "hC")
+  private lazy val (store, ring) = {
+    import spark.implicits._
+    val store = DomainStore.create(
+      scratch("ringcli-domain"),
+      DomainSpec(n, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(
+      (0 until 500).map(i => s"ck$i" -> s"cv$i").toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      1L)
+    (store, ShardRing.generateIndex(hosts, n, replication = 2))
+  }
+
+  private def openReaders(): Map[String, KvDomainReader] =
+    hosts.map { h =>
+      val dest = new Path(scratch(s"ringcli-$h"))
+      store.localizeForHost(1L, dest, ring, h)
+      h -> KvDomainReader.localized(dest.toString, store.spec, conf)
+    }.toMap
+
+  test("get and multiGet answer every key and miss through the ring") {
+    val client = new RingClient(ring, openReaders(), rnd = new scala.util.Random(1))
+    try {
+      (0 until 500).foreach { i =>
+        assert(client.get(utf8(s"ck$i")).map(new String(_, "UTF-8")) === Some(s"cv$i"))
+      }
+      assert(client.get(utf8("absent")) === None)
+      val keys = Seq("ck3", "nope", "ck499", "ck3") // misses + duplicate inputs
+      val got = client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+      assert(got === IndexedSeq(Some("cv3"), None, Some("cv499"), Some("cv3")))
+    } finally client.close()
+  }
+
+  test("one dead replica is invisible; a fully-dead shard fails naming its replica set") {
+    val readers = openReaders()
+    // kill hA: every shard it held still has a second replica
+    readers("hA").close()
+    val client = new RingClient(ring, readers, rnd = new scala.util.Random(7))
+    (0 until 500).foreach { i =>
+      assert(client.get(utf8(s"ck$i")).map(new String(_, "UTF-8")) === Some(s"cv$i"),
+        s"key ck$i must fail over to the live replica")
+    }
+    val keysAll = (0 until 500).map(i => utf8(s"ck$i"))
+    val got = client.multiGet(keysAll).map(_.map(new String(_, "UTF-8")))
+    (0 until 500).foreach(i => assert(got(i) === Some(s"cv$i")))
+    // now kill hB too: some shard's full replica set {hA,hB} is down
+    readers("hB").close()
+    val deadShard = (0 until n).find(s => ring.hostSet(s) == Set("hA", "hB"))
+    assume(deadShard.isDefined, "ring layout must contain an {hA,hB} shard")
+    val deadKey = (0 until 10000).map(i => s"ck$i")
+      .find(k => ShardIndex.shardIndex(utf8(k), n) == deadShard.get).get
+    val e = intercept[IllegalStateException](client.get(utf8(deadKey)))
+    assert(e.getMessage.contains(s"shard ${deadShard.get}"), e.getMessage)
+    assert(e.getMessage.contains("hA") && e.getMessage.contains("hB"), e.getMessage)
+    val e2 = intercept[IllegalStateException](client.multiGet(Seq(utf8(deadKey))))
+    assert(e2.getMessage.contains("all replicas"), e2.getMessage)
+    // keys on surviving shards still answer
+    val liveKey = (0 until 10000).map(i => s"ck$i")
+      .find(k => ring.hostSet(ShardIndex.shardIndex(utf8(k), n)).contains("hC")).get
+    assert(client.get(utf8(liveKey)).isDefined || client.get(utf8(liveKey)).isEmpty)
+    readers("hC").close()
+  }
+
+  test("construction rejects mismatched rings and missing readers") {
+    val readers = openReaders()
+    try {
+      // a ring mentioning a host with no reader
+      val badRing = ShardRing.generateIndex(hosts :+ "ghost", n, replication = 2)
+      val e = intercept[IllegalArgumentException](new RingClient(badRing, readers))
+      assert(e.getMessage.contains("ghost"), e.getMessage)
+      // a ring built for FEWER shards than the domain: a routed shard has
+      // no ring entry — loud, naming the mismatch
+      val small = ShardRing.generateIndex(hosts, 2, replication = 2)
+      val cli2 = new RingClient(small, readers)
+      val k = (0 until 1000).map(i => s"ck$i")
+        .find(k => ShardIndex.shardIndex(utf8(k), n) >= 2).get
+      val e2 = intercept[IllegalStateException](cli2.get(utf8(k)))
+      assert(e2.getMessage.contains("different shard count"), e2.getMessage)
+    } finally readers.values.foreach(_.close())
+  }
+}
