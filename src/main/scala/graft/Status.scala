@@ -38,10 +38,13 @@ object Status {
       val servable =
         m.spec.persistenceFormat == DomainSpec.KvSorted ||
           m.spec.persistenceFormat == DomainSpec.KvSortedZ
+      // one open per domain (DomainStore.open touches the FS): shared by
+      // the stats aggregate and the index census below
+      lazy val store = cat.domain(m.name)
       val (nRows, nBytes, maxShard, minShard, emptyShards) =
         if (m.latestVersion.isEmpty) (0L, 0L, 0L, 0L, m.spec.numShards.toLong)
         else {
-          val agg = cat.domain(m.name).shardStats(spark)
+          val agg = store.shardStats(spark)
             .agg(
               coalesce(sum("n_rows"), lit(0L)),
               coalesce(sum("n_bytes"), lit(0L)),
@@ -63,7 +66,7 @@ object Status {
           } finally r.close()
         }
       val indexSummary = indexType.map { t =>
-        val census = graft.operators.Search.indexStats(spark, cat.domain(m.name))
+        val census = graft.operators.Search.indexStats(spark, store)
           .orderBy("record_class").collect()
         census.map(r =>
           s"${r.getString(0)}=${r.getLong(1)}:${r.getLong(2)}").mkString(",")

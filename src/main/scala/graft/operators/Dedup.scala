@@ -25,6 +25,17 @@ object Dedup {
 
   val ShingleSize = 5
 
+  /** Sample bound for the QUADRATIC exact-Jaccard audit twin — tighter
+    * than the generic [[AuditBound.MaxAuditRows]] because this
+    * operator's WORK is O(rows²) in shingle-join candidates, not O(rows):
+    * measured at ~300-char docs, 12.5k rows cost ~400 s and ~20 GB heap
+    * on a 32-core box (r6 sf1 scale audit, BASELINE.md), so the generic
+    * 100k-row cap would admit ~64× that work and read as a hang. 16k
+    * keeps the single-box audit in minutes; callers auditing more pass
+    * `maxRows` explicitly, everyone else is pointed at the banded scale
+    * twin by the bound's error. */
+  val MaxQuadraticShingleRows: Long = 16384L
+
   /** Distinct character n-gram shingles: (id, shingle). The unit for the
     * exact char-level Jaccard audit. Built from explode + substring
     * (whole-stage codegen) rather than a higher-order `transform` (which is
@@ -84,7 +95,7 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = ShingleSize,
-      maxRows: Long = AuditBound.MaxAuditRows): DataFrame = {
+      maxRows: Long = Dedup.MaxQuadraticShingleRows): DataFrame = {
     AuditBound.check(df, maxRows, "ngramJaccardPairs", "minHashPairs (or prefixFilteredJaccardPairs)")
     // Three consumers (both join sides + the size aggregate) share the
     // char-shingle table; caching it columnar is measurably faster than

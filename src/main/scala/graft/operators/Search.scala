@@ -115,7 +115,11 @@ object Search {
     val row = corpus
       .agg(
         count_distinct(col(idCol)).as("n_raw"),
-        count_distinct(col(idCol).cast("long")).as("n_canonical"))
+        // MUST derive from docIdLong (the one-definition rule): the guard
+        // counts the same canonicalization the records key on, and ids
+        // that fail the cast take docIdLong's named error, not a
+        // misleading collision message
+        count_distinct(docIdLong(idCol)).as("n_canonical"))
       .head()
     require(row.getLong(0) == row.getLong(1),
       s"search index: ${row.getLong(0)} distinct '$idCol' values canonicalize to " +

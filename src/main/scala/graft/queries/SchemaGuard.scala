@@ -79,9 +79,10 @@ object SchemaGuard {
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(new org.apache.hadoop.fs.Path(path))
       if (exists) {
-        // same session flags as Fixtures.table, so we see the read types
-        // the queries will
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // The session comes from graft.core.Sessions.builder, which owns
+        // every read-shaping conf (nanosAsLong included) — do NOT set
+        // conf here: the guard must see the read types the queries will,
+        // not types under a locally-mutated session.
         val got = spark.read.parquet(path).schema
           .map(f => f.name -> f.dataType.simpleString).toMap
         cols.foreach { case (name, accept) =>

@@ -1178,10 +1178,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       host: String,
       distributeAbove: Int = DomainStore.DefaultDistributeAbove,
       maxKBps: Option[Int] = None): Seq[Int] = {
+    // The ring must be built for EXACTLY this domain's shard count: a
+    // ring over fewer shards passes any per-id bound check, yet the
+    // union of every host's pull would miss whole shards — each one a
+    // silent 'key absent' for every key routing there.
+    require(ring.shardsToHosts.keySet == (0 until numShards).toSet,
+      s"ring covers shards ${ring.shardsToHosts.keySet.toSeq.sorted.mkString(",")} " +
+        s"but the domain has $numShards — generate the ring with shardCount = numShards")
     val mine = ring.shardSet(host)
     require(mine.nonEmpty, s"ring assigns no shards to host '$host'")
-    require(mine.forall(s => s >= 0 && s < numShards),
-      s"ring shard ids ${mine.toSeq.sorted} exceed domain shard count $numShards")
     localize(version, destDir, Some(mine.toSeq.sorted), distributeAbove, maxKBps)
   }
 
@@ -1215,18 +1220,18 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       throttle: Option[TransferThrottle] = None): Seq[Int] = {
     if (shards.isEmpty) return Nil
     val (src, dst) = (srcBase.toString, dstBase.toString)
-    throttle.foreach { th =>
-      // A bandwidth cap means "don't saturate THIS box's NIC" (reference
-      // :download-rate-limit — one throttle agent per serving box). The
-      // limiter is one in-process object, so the throttled pull runs on
-      // the driver pool regardless of shard count: a Spark tier would
-      // need a cluster-wide budget no single token bucket can enforce.
+    // A bandwidth cap means "don't saturate THIS box's NIC" (reference
+    // :download-rate-limit — one throttle agent per serving box). The
+    // limiter is one in-process object, so the throttled pull runs on
+    // the driver pool regardless of shard count: a Spark tier would
+    // need a cluster-wide budget no single token bucket can enforce.
+    if (throttle.isDefined) {
+      val th = throttle.get
       import scala.collection.parallel.CollectionConverters._
-      return shards.par
+      shards.par
         .filter(s => DomainStore.copyShardDirThrottled(src, dst, s, replace, conf, th))
         .seq.toList.sorted
-    }
-    if (shards.length <= distributeAbove) {
+    } else if (shards.length <= distributeAbove) {
       import scala.collection.parallel.CollectionConverters._
       shards.par
         .filter(s => DomainStore.copyShardDir(src, dst, s, replace, conf))

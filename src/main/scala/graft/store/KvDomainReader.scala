@@ -105,13 +105,36 @@ final class KvDomainReader private (
 
     def shardDir(shard: Int): Path = new Path(versionDir, s"shard=$shard")
 
+    /** Shard dirs present when this generation was INSTALLED (one
+      * listStatus; open/refresh only ever install live published
+      * versions, so the snapshot is taken while the dir is whole).
+      * Lookups must trust THIS, never a live `fs.exists`: after a
+      * refresh retires this generation, a concurrent
+      * `VersionedStore.cleanup` may reap its version dir, and a live
+      * existence probe on a not-yet-opened shard would then read "no
+      * file" and SILENTLY answer 'key absent' for keys the domain
+      * holds. With the snapshot, a reaped file instead throws
+      * FileNotFoundException from the open — loud, never a wrong
+      * answer (an empty shard legitimately writes no dir, which the
+      * snapshot also captures). */
+    val presentShards: Set[Int] = {
+      val listed =
+        try fs.listStatus(versionDir)
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      listed.iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("shard="))
+        .map(_.stripPrefix("shard=").toInt)
+        .toSet
+    }
+
     def reader(shard: Int): Option[ShardReader] =
       // Safe without a lifecycle lock: callers hold an acquired ref, so
       // the close-all (refs == 0) cannot run concurrently with this
       // populate — an insert can never land in an already-cleared map.
       readers.computeIfAbsent(shard, { s =>
-        val p = new Path(shardDir(s), KvFile.DataFileName)
-        if (fs.exists(p)) Some(KvFile.open(fs, p)) else None
+        if (!presentShards(s)) None
+        else Some(KvFile.open(fs, new Path(shardDir(s), KvFile.DataFileName)))
       })
 
     def mightContain(shard: Int, key: Array[Byte]): Boolean =
@@ -167,7 +190,12 @@ final class KvDomainReader private (
    * serving the newest. Concurrent `get`s never fail and never see a
    * torn version: lookups in flight at the swap complete on the version
    * they started on (its handles close only when the last one drains);
-   * lookups starting after the swap see the new version only.
+   * lookups starting after the swap see the new version only. If a
+   * `VersionedStore.cleanup` REAPS the retired version while a lookup is
+   * still in flight on it, a shard file that the lookup had not yet
+   * opened fails with FileNotFoundException — LOUD, never a silent
+   * 'key absent' (shard presence is snapshotted per generation, so a
+   * reaped file can never read as an empty shard).
    * Only root-opened readers can refresh — a localized shard subset has
    * no version history (re-run `DomainStore.localize` and reopen).
    */
@@ -283,8 +311,12 @@ final class KvDomainReader private (
     // The cursor opens fresh handles lazily from this generation's files:
     // it keeps reading the version it was created on even across a
     // refresh (snapshot semantics — the files persist until a cleanup
-    // reaps the version, same as the reference's retained versions).
-    val files = (0 until numShards).map(s => new Path(g.shardDir(s), KvFile.DataFileName))
+    // reaps the version, same as the reference's retained versions). The
+    // file list comes from the generation's SNAPSHOT, so a reaped file
+    // fails the cursor loudly instead of silently dropping a shard's rows.
+    val files = (0 until numShards)
+      .filter(g.presentShards)
+      .map(s => new Path(g.shardDir(s), KvFile.DataFileName))
     new KvDomainReader.RangeCursor(
       fs, files, from, fromInclusive, to, toInclusive, globalOrder)
   }
@@ -295,8 +327,8 @@ final class KvDomainReader private (
     * a call that only wants 20 bytes per file). */
   def count(): Long = withGen { g =>
     (0 until numShards).iterator.map { s =>
-      val p = new Path(g.shardDir(s), KvFile.DataFileName)
-      if (fs.exists(p)) KvFile.count(fs, p) else 0L
+      if (!g.presentShards(s)) 0L
+      else KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName))
     }.sum
   }
 
@@ -329,13 +361,16 @@ object KvDomainReader {
 
     private var open = List.empty[ShardReader]
 
-    private def openStream(p: Path): Option[Iterator[(Array[Byte], Array[Byte])]] =
-      if (!fs.exists(p)) None
-      else {
-        val r = KvFile.open(fs, p)
-        open ::= r
-        Some(r.range(from, fromInclusive, to, toInclusive))
-      }
+    private def openStream(p: Path): Option[Iterator[(Array[Byte], Array[Byte])]] = {
+      // `files` is pre-filtered to the generation's snapshot, so p existed
+      // when the cursor was created: a missing file here means a cleanup
+      // reaped the version mid-cursor — KvFile.open's
+      // FileNotFoundException is the LOUD outcome (a silent skip would
+      // drop the whole shard's rows from the range).
+      val r = KvFile.open(fs, p)
+      open ::= r
+      Some(r.range(from, fromInclusive, to, toInclusive))
+    }
 
     private def release(r: ShardReader): Unit = {
       try r.close() catch { case _: Exception => () }

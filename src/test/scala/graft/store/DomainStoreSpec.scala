@@ -728,6 +728,28 @@ class DomainStoreSpec extends SparkSuite {
     } finally lr.close()
   }
 
+  test("a reaped version fails lookups LOUD — shard presence is snapshotted, never re-probed") {
+    val root = scratch("kv-reap")
+    val store = DomainStore.create(
+      root, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val pairs = (0 until 200).map(i => s"pk$i" -> s"pv$i")
+    store.write(kv(pairs: _*), 1L)
+    val r = KvDomainReader.open(root, conf)
+    try {
+      // delete the served version dir UNDER the reader (the cleanup-reap
+      // race) before any shard handle was faulted in: a live fs.exists
+      // probe would now read 'no file' and silently answer None for every
+      // key — the snapshot must instead surface a loud FileNotFound.
+      val fs = store.root.getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(store.root, "1"), true)
+      val e = intercept[Exception](r.get(utf8("pk7")))
+      def chain(t: Throwable): Seq[Class[_]] =
+        if (t == null) Nil else t.getClass +: chain(t.getCause)
+      assert(chain(e).exists(classOf[java.io.FileNotFoundException].isAssignableFrom),
+        s"expected a loud FileNotFound, got: $e")
+    } finally r.close()
+  }
+
   test("throttled localize: byte-identical to unthrottled, throughput stays under the cap") {
     import org.apache.hadoop.fs.Path
     val store = DomainStore.create(

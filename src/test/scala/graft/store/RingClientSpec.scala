@@ -73,10 +73,14 @@ class RingClientSpec extends SparkSuite {
     assert(e.getMessage.contains("hA") && e.getMessage.contains("hB"), e.getMessage)
     val e2 = intercept[IllegalStateException](client.multiGet(Seq(utf8(deadKey))))
     assert(e2.getMessage.contains("all replicas"), e2.getMessage)
-    // keys on surviving shards still answer
-    val liveKey = (0 until 10000).map(i => s"ck$i")
-      .find(k => ring.hostSet(ShardIndex.shardIndex(utf8(k), n)).contains("hC")).get
-    assert(client.get(utf8(liveKey)).isDefined || client.get(utf8(liveKey)).isEmpty)
+    // keys on shards with a surviving replica (hC) still answer EXACTLY
+    val liveKeys = (0 until 500).map(i => s"ck$i")
+      .filter(k => ring.hostSet(ShardIndex.shardIndex(utf8(k), n)).contains("hC"))
+    assert(liveKeys.nonEmpty)
+    liveKeys.foreach { k =>
+      assert(client.get(utf8(k)).map(new String(_, "UTF-8")) === Some("cv" + k.drop(2)),
+        s"key $k must still answer through hC")
+    }
     readers("hC").close()
   }
 

@@ -113,5 +113,11 @@ class ShardRingSpec extends SparkSuite {
     // a host outside the ring fails loud, not empty
     intercept[IllegalArgumentException](
       store.localizeForHost(1L, new Path(scratch("ring-local-x")), ring, "ghost"))
+    // a ring generated for a DIFFERENT shard count fails loud: localizing
+    // from it would leave whole shards on no host (silent misses)
+    val smallRing = ShardRing.generateIndex(hosts, 3, replication = 2)
+    val e = intercept[IllegalArgumentException](
+      store.localizeForHost(1L, new Path(scratch("ring-local-y")), smallRing, "hostA"))
+    assert(e.getMessage.contains("shardCount = numShards"), e.getMessage)
   }
 }
