@@ -227,8 +227,27 @@ object Search {
     * driver); corpus constants ride a 1-row broadcast from `m:stats`.
     * A candidate whose `d:` record is missing fails loud: that is index
     * corruption, not a miss. */
+  /** Fail loud when `index` carries the positional type marker — a BM25
+    * op aimed at a positional domain would otherwise return silently
+    * empty results (t: keys absent) or pollute it (upsert). One bounded
+    * point probe. */
+  private def requireNotPositional(
+      index: DomainStore,
+      spark: org.apache.spark.sql.SparkSession,
+      opName: String,
+      hint: String): Unit = {
+    val hit = index.multiGet(
+        spark.range(1).select(utf8_bytes(lit(PosMetaKey)).as("key")),
+        includeMisses = false)
+      .limit(1).collect()
+    require(hit.isEmpty,
+      s"$opName: '$PosMetaKey' marker present — this is a positional-index domain; $hint")
+  }
+
   def searchTopK(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requireNotPositional(store, queries.sparkSession, "searchTopK",
+      "phrase queries take phraseSearch/phraseSearchRanked; BM25 needs invertedIndexKv")
     val qterms = queries
       .select(col("query_id"),
         explode(array_distinct(TextAnalysis.wordTokens(col("query_text")))).as("term"))
@@ -330,20 +349,34 @@ object Search {
               concat_ws(";", transform(d("ps"), p => p.cast("string")))))))
             .otherwise(size(col("docs")).cast("string")))
           .as("value"))
-    // `d:` doc records (value = token count): inert for phrase queries,
-    // load-bearing for [[positionalIndexUpsert]]'s disjointness contract
-    // — the same role they play in the BM25 index. Keys derive from the
-    // SAME canonical long id as the postings (docIdLong).
-    val lenRecords = corpus.select(
-      utf8_bytes(concat(lit(DocPrefix), docIdLong(idCol).cast("string"))).as("key"),
-      utf8_bytes(size(TextAnalysis.wordTokens(col(textCol))).cast("string")).as("value"))
+    // `d:` doc records (value = token count): load-bearing for
+    // [[positionalIndexUpsert]]'s disjointness contract AND for
+    // [[phraseSearchRanked]]'s length norm — the same role they play in
+    // the BM25 index. Keys derive from the SAME canonical long id as the
+    // postings (docIdLong).
+    val lens = corpus.select(
+      docIdLong(idCol).as("doc_id"),
+      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+    val lenRecords = lens.select(
+      utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
+      utf8_bytes(col("len").cast("string")).as("value"))
+    // corpus constants (same `m:stats` layout as the BM25 index): lets
+    // the ranked phrase fusion score candidates without touching the
+    // corpus. The `m:positional` marker below stays the TYPE authority —
+    // every cross-index guard keys on it, never on m:stats presence.
+    val meta = lens
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("t"))
+      .select(
+        utf8_bytes(lit(MetaKey)).as("key"),
+        utf8_bytes(concat_ws(",", col("n").cast("string"), col("t").cast("string")))
+          .as("value"))
     // type marker: positionalIndexUpsert refuses a domain without it —
     // pointed at a BM25 domain (which also has d: records) it would
     // otherwise silently pollute the wrong index type
     val marker = corpus.sparkSession.range(1).select(
       utf8_bytes(lit(PosMetaKey)).as("key"),
       utf8_bytes(lit("1")).as("value"))
-    postings.unionByName(lenRecords).unionByName(marker)
+    postings.unionByName(lenRecords).unionByName(meta).unionByName(marker)
   }
 
   private val PosArrayType = "array<struct<doc_id:bigint,ps:string>>"
@@ -363,9 +396,9 @@ object Search {
       newVersion: Long,
       maxPostings: Int = MaxPostings): Unit = {
     requireCollisionFreeIds(delta, idCol)
-    // type guard: both index types publish d: records, so without this
-    // marker check an upsert aimed at a BM25 domain would pass the
-    // disjointness probe and silently pollute the wrong index
+    // type guard: both index types publish d: records (and now m:stats),
+    // so without this marker check an upsert aimed at a BM25 domain would
+    // pass the disjointness probe and silently pollute the wrong index
     val marker = index.multiGet(
         delta.sparkSession.range(1).select(utf8_bytes(lit(PosMetaKey)).as("key")),
         includeMisses = false)
@@ -373,6 +406,17 @@ object Search {
     require(marker.nonEmpty,
       s"positionalIndexUpsert: no '$PosMetaKey' record — not a positional-index " +
         "domain (build with positionalIndexKv; BM25 domains take searchIndexUpsert)")
+    // corpus constants advance with the delta, exactly like the BM25
+    // upsert — phraseSearchRanked's scoring must see the grown corpus
+    val metaRows = index.multiGet(
+        delta.sparkSession.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
+        includeMisses = false)
+      .select(split(bytes_utf8(col("value")), ",").as("m")).collect()
+    require(metaRows.length == 1,
+      s"positionalIndexUpsert: no '$MetaKey' record — rebuild with positionalIndexKv " +
+        "(older positional domains predate the stats record)")
+    val curN = metaRows(0).getSeq[String](0)(0).toLong
+    val curT = metaRows(0).getSeq[String](0)(1).toLong
     val additions = delta
       .select(docIdLong(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
@@ -393,7 +437,15 @@ object Search {
       opName = "positionalIndexUpsert",
       rebuildName = "positionalIndexKv",
       maxPostings = maxPostings)
-    index.upsert(delta.sparkSession, records, newVersion)
+    val metaRecord = delta
+      .select(size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+      .agg(count(lit(1)).as("an"), coalesce(sum(col("len")), lit(0L)).as("at"))
+      .select(
+        utf8_bytes(lit(MetaKey)).as("key"),
+        utf8_bytes(concat_ws(",",
+          (col("an") + lit(curN)).cast("string"),
+          (col("at") + lit(curT)).cast("string"))).as("value"))
+    index.upsert(delta.sparkSession, records.unionByName(metaRecord), newVersion)
   }
 
   /** Exact phrase search against a published [[positionalIndexKv]]
@@ -418,6 +470,82 @@ object Search {
     * zero matches for that query, like any non-matching phrase. */
   def phraseSearch(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val (byDoc, _) = phraseMatches(store, queries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+    byDoc.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Phrase-constrained BM25 (the rank-fusion retrieval shape: the
+    * phrase decides WHO is a candidate, BM25 decides the ORDER): exact
+    * consecutive-token matching as [[phraseSearch]], then each matching
+    * doc scored by the exact-integer BM25 of the phrase's distinct terms
+    * — tf from the positional postings' position counts, df from the
+    * postings lists, length norm from the `d:` records, corpus constants
+    * from `m:stats` — so the WHOLE rank comes from the index, never the
+    * corpus. Returns (query_id, doc_id, n_matches, score, rank), rank by
+    * (score desc, doc_id), top k per query. Scoring is bit-identical to
+    * [[searchTopK]]'s integer BM25 (same quantized constants), so a SQL
+    * oracle replays match + score + rank end to end. */
+  def phraseSearchRanked(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val (byDoc, entries) = phraseMatches(store, queries)
+    // tf = positions per (term, doc); df = docs per term — both straight
+    // from the postings the match already fetched (no second probe)
+    val tf = entries.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qd = queries
+      .select(col("query_id"),
+        explode(array_distinct(TextAnalysis.wordTokens(col("phrase")))).as("term"))
+    val cand = byDoc.join(qd, Seq("query_id"))
+      .join(tf, Seq("term", "doc_id"))
+      .join(dfs, Seq("term"))
+    val withLen = store
+      .lookupJoin(cand.withColumn(
+        "key", utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string")))))
+      .withColumn("len",
+        when(col("value").isNull, raise_error(concat(
+          lit("phraseSearchRanked: candidate doc "), col("doc_id").cast("string"),
+          lit(" has no length record — the index is corrupt (postings and " +
+            "doc records must publish together)"))))
+          .otherwise(bytes_utf8(col("value")).cast("long")))
+      .drop("key", "value")
+    val meta = store
+      .multiGet(
+        queries.sparkSession.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
+        includeMisses = false)
+      .select(split(bytes_utf8(col("value")), ",").as("m"))
+      .select(col("m").getItem(0).cast("long").as("n_docs"),
+        col("m").getItem(1).cast("long").as("total_toks"))
+    val scored = withLen
+      .crossJoin(broadcast(meta)) // 1 row × candidates: corpus constants
+      .withColumn("num",
+        lit(1L << ScaleBits).cast(d38)
+          * (col("n_docs") - col("df") + lit(1L)).cast(d38)
+          * col("tf").cast(d38) * lit(22L).cast(d38) * col("total_toks").cast(d38))
+      .withColumn("den",
+        (col("df") + lit(1L)).cast(d38)
+          * (lit(10L).cast(d38) * col("tf").cast(d38) * col("total_toks").cast(d38)
+            + lit(3L).cast(d38) * col("total_toks").cast(d38)
+            + lit(9L).cast(d38) * col("len").cast(d38) * col("n_docs").cast(d38)))
+      .withColumn("contrib", expr("num div den"))
+      .groupBy(col("query_id"), col("doc_id"), col("n_matches"))
+      .agg(sum(col("contrib")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** The shared phrase-match core: exact consecutive-token occurrences
+    * against a positional domain. Returns
+    * (matches = (query_id, doc_id, n_matches), entries = the parsed
+    * (term, doc_id, pos) postings of every query term — ALL docs holding
+    * the term, not just matches, so df derives correctly downstream). */
+  private def phraseMatches(
+      store: DomainStore, queries: DataFrame): (DataFrame, DataFrame) = {
     val qterms = queries
       .select(col("query_id"),
         posexplode(TextAnalysis.wordTokens(col("phrase"))).as(Seq("j", "term")))
@@ -465,10 +593,7 @@ object Search {
       .where(col("found") === col("n_terms"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("n_matches").desc, col("doc_id"))
-    byDoc.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    (byDoc, entries)
   }
 
   private val PostingsArrayType = "array<struct<doc_id:bigint,tf:bigint>>"
@@ -501,6 +626,11 @@ object Search {
       maxPostings: Int = MaxPostings): Unit = {
     requireCollisionFreeIds(delta, idCol)
     val spark = delta.sparkSession
+    // positional domains now publish m:stats too (for ranked fusion), so
+    // stats presence alone no longer proves BM25 — the m:positional
+    // marker is the type authority and must be ABSENT here
+    requireNotPositional(index, spark, "searchIndexUpsert",
+      "positional domains take positionalIndexUpsert")
     val metaRows = index.multiGet(
         spark.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
         includeMisses = false)

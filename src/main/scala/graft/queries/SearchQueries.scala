@@ -75,6 +75,12 @@ object SearchQueries {
     "text_search_topk" -> { (s, dir) => searchProbe(s, dir) },
     "text_search_phrase" -> { (s, dir) =>
       Search.phraseSearch(positionalIndexStore(s, dir), phrasesDf(s), k = TopK) },
+    // Rank fusion: phrase match constrains the candidate set, exact-
+    // integer BM25 of the phrase's distinct terms orders it — tf/df from
+    // the positional postings, length norm from d:, constants from
+    // m:stats; the oracle replays match AND score AND rank end to end.
+    "text_search_phrase_ranked" -> { (s, dir) =>
+      Search.phraseSearchRanked(positionalIndexStore(s, dir), phrasesDf(s), k = TopK) },
     // Ops health report of the published BM25 index: per record class
     // (postings/doc/meta) counts, value payload, hottest postings list —
     // the oracle REBUILDS every value string (string_agg in doc order)
@@ -97,6 +103,14 @@ object SearchQueries {
       "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq.zipWithIndex.map { case (t, j) =>
         s"(CAST($qid AS BIGINT), CAST($j AS BIGINT), '$t')"
       }
+    }.mkString(",\n|")
+
+  /** The phrase queries' DISTINCT terms — the scoring unit of the ranked
+    * fusion (BM25 scores a term once however often the phrase repeats it). */
+  private def phraseDistinctTermValues: String =
+    PhraseLits.flatMap { case (qid, text) =>
+      "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq.distinct
+        .map(t => s"(CAST($qid AS BIGINT), '$t')")
     }.mkString(",\n|")
 
   val oracleSql: Map[String, String] = Map(
@@ -181,6 +195,73 @@ object SearchQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY n_matches DESC, doc_id) AS rank
          |  FROM m)
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matches,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM ranked WHERE rank <= $TopK""".stripMargin,
+    // Ranked fusion replay: the phrase-match CTEs verbatim, then the
+    // BM25 CTEs verbatim over the DISTINCT phrase terms, joined so only
+    // matching docs score; rank by (score desc, doc_id). HUGEINT `//`
+    // == Spark's decimal `div` for positive operands, like the topk
+    // oracle. `ts` feeds three consumers -> AS MATERIALIZED (CLAUDE.md:
+    // default inlining doubles the expansion per stage).
+    "text_search_phrase_ranked" ->
+      s"""WITH ts AS MATERIALIZED (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |tok0 AS (
+         |  SELECT doc_id, toks, unnest(range(0, len(toks))) AS pos FROM ts),
+         |tok AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    list_extract(toks, CAST(pos + 1 AS INT)) AS term
+         |  FROM tok0),
+         |q(query_id, j, term) AS (VALUES
+         |$phraseTermValues),
+         |qn AS (
+         |  SELECT query_id, count(DISTINCT j) AS n_terms FROM q GROUP BY query_id),
+         |cand AS (
+         |  SELECT q.query_id, q.j, tok.doc_id, tok.pos - q.j AS anchor
+         |  FROM q JOIN tok USING (term) WHERE tok.pos - q.j >= 0),
+         |occ AS (
+         |  SELECT query_id, doc_id, anchor, count(DISTINCT j) AS found
+         |  FROM cand GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT o.query_id, o.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+         |  FROM occ o JOIN qn USING (query_id)
+         |  WHERE o.found = qn.n_terms
+         |  GROUP BY 1, 2),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM ts) GROUP BY 1, 2),
+         |dfs AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term HAVING count(*) <= ${Search.MaxPostings}),
+         |lens AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS len FROM ts),
+         |stats AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         |         (SELECT CAST(coalesce(sum(len), 0) AS BIGINT) FROM lens) AS t),
+         |qd(query_id, term) AS (VALUES
+         |$phraseDistinctTermValues),
+         |contrib AS (
+         |  SELECT m.query_id, m.doc_id, m.n_matches,
+         |    (CAST(${1L << Search.ScaleBits} AS HUGEINT)
+         |       * (s.n - d.df + 1) * tf.tf * 22 * s.t)
+         |    // (CAST(d.df + 1 AS HUGEINT)
+         |       * (10 * CAST(tf.tf AS HUGEINT) * s.t + 3 * CAST(s.t AS HUGEINT)
+         |          + 9 * CAST(l.len AS HUGEINT) * s.n)) AS c
+         |  FROM m
+         |  JOIN qd USING (query_id)
+         |  JOIN tf ON tf.term = qd.term AND tf.doc_id = m.doc_id
+         |  JOIN dfs d ON d.term = qd.term
+         |  JOIN lens l ON l.doc_id = m.doc_id
+         |  CROSS JOIN stats s),
+         |scored AS (
+         |  SELECT query_id, doc_id, n_matches, CAST(sum(c) AS BIGINT) AS score
+         |  FROM contrib GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT query_id, doc_id, n_matches, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, n_matches, score,
          |  CAST(rank AS BIGINT) AS rank
          |FROM ranked WHERE rank <= $TopK""".stripMargin,
     // Rebuild each record class's exact value strings from the corpus and

@@ -31,6 +31,13 @@ final class SearchReader(val index: KvDomainReader) extends AutoCloseable {
   private def str(b: Array[Byte]): String = new String(b, UTF_8)
 
   private val (nDocs: Long, totalToks: Long) = {
+    // positional domains publish m:stats too (ranked fusion) — the type
+    // marker, not stats presence, decides; a positional domain here
+    // would otherwise serve silently empty rankings (no t: keys)
+    if (index.get(utf8(PosMetaKey)).isDefined)
+      throw new IllegalStateException(
+        s"'$PosMetaKey' marker present — this is a positional-index domain; " +
+          "phrase serving is PhraseReader, BM25 needs an invertedIndexKv domain")
     val raw = index.get(utf8(MetaKey)).getOrElse(throw new IllegalStateException(
       s"not a search-index domain: no '$MetaKey' record (build with " +
         "Search.invertedIndexKv)"))

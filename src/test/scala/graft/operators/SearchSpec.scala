@@ -235,15 +235,28 @@ class SearchSpec extends SparkSuite {
         graft.store.KvDomainReader.open(bm25.root.toString, new Configuration()))
     }
     assert(e3.getMessage.contains("not a positional-index domain"), e3.getMessage)
-    // and the BM25 upsert still refuses a positional domain (m:stats absent)
+    // and the BM25 surface still refuses a positional domain — which now
+    // publishes m:stats too (ranked fusion), so the m:positional MARKER,
+    // not stats presence, must be what decides
     val pos = DomainStore.create(
-      scratch("guard-pos"), DomainSpec(numShards = 4), new Configuration())
+      scratch("guard-pos"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
     pos.write(Search.positionalIndexKv(docs, "doc_id", "text"), 1L)
     val e4 = intercept[IllegalArgumentException] {
       Search.searchIndexUpsert(
         pos, Seq(3L -> "new doc").toDF("doc_id", "text"), "doc_id", "text", 2L)
     }
-    assert(e4.getMessage.contains("not a search-index domain"), e4.getMessage)
+    assert(e4.getMessage.contains("positional-index domain"), e4.getMessage)
+    val e4b = intercept[IllegalArgumentException] {
+      Search.searchTopK(pos, Seq(0L -> "cat").toDF("query_id", "query_text"), 5).collect()
+    }
+    assert(e4b.getMessage.contains("positional-index domain"), e4b.getMessage)
+    val e4c = intercept[IllegalStateException] {
+      new graft.store.SearchReader(
+        graft.store.KvDomainReader.open(pos.root.toString, new Configuration()))
+    }
+    assert(e4c.getMessage.contains("positional-index domain"), e4c.getMessage)
     // a non-long-castable id corrupts silently without the canonical-id
     // guard — it must fail loud at build time instead (under ANSI the
     // cast itself throws CAST_INVALID_INPUT; the guard's raise_error
@@ -289,6 +302,53 @@ class SearchSpec extends SparkSuite {
     val e10 = intercept[IllegalArgumentException](
       Search.searchIndexUpsert(bm25b, colliding, "doc_id", "text", 2L))
     assert(e10.getMessage.contains("collide"), e10.getMessage)
+  }
+
+  test("ranked phrase fusion: candidates = exact phrase matches, scores = BM25 of the terms") {
+    import spark.implicits._
+    val conf = new Configuration()
+    val docs = corpusDf
+    val pos = DomainStore.create(
+      scratch("fusion-pos"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSortedZ), conf)
+    pos.write(Search.positionalIndexKv(docs, "doc_id", "text"), 1L)
+    val bm25 = DomainStore.create(
+      scratch("fusion-bm25"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted), conf)
+    bm25.write(Search.invertedIndexKv(docs, "doc_id", "text"), 1L)
+    // drawn from the suite corpus: multi-doc match, repeated-occurrence
+    // match, repeated-term phrase, and a no-match phrase
+    val phrases = Seq(0L -> "cat dog", 1L -> "dog dog", 2L -> "cat cat", 3L -> "fish bird")
+      .toDF("query_id", "phrase")
+    val big = 1000
+    val fused = Search.phraseSearchRanked(pos, phrases, big)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // candidate set per query == the full phrase-match set
+    val matches = Search.phraseSearch(pos, phrases, big)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fused.keySet === matches.keySet)
+    fused.foreach { case (k, (nm, _, _)) => assert(nm === matches(k), s"$k n_matches") }
+    // scores == the BM25 index's scores for the same distinct terms at
+    // the same docs (identical integer formula, identical stats)
+    val queriesAsText = phrases.select(col("query_id"),
+      array_join(array_distinct(graft.operators.TextAnalysis.wordTokens(col("phrase"))), " ")
+        .as("query_text"))
+    val bm = Search.searchTopK(bm25, queriesAsText, big)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    fused.foreach { case (k, (_, score, _)) =>
+      assert(bm.contains(k), s"$k must appear in the BM25 ranking")
+      assert(bm(k) === score, s"$k score must equal the BM25 index's score")
+    }
+    // ranks are dense per query, ordered by (score desc, doc_id)
+    fused.groupBy(_._1._1).foreach { case (q, rows) =>
+      val byRank = rows.toSeq.sortBy(_._2._3)
+      assert(byRank.map(_._2._3) === (1L to byRank.size.toLong))
+      byRank.sliding(2).foreach {
+        case Seq((ka, (_, sa, _)), (kb, (_, sb, _))) =>
+          assert(sa > sb || (sa == sb && ka._2 < kb._2), s"query $q order")
+        case _ => ()
+      }
+    }
   }
 
   test("top-k truncates by (score desc, doc_id) and ranks densely") {
