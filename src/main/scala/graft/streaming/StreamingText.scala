@@ -151,4 +151,42 @@ object StreamingText {
           index, batch, "doc_id", "text", newVersion = version)
       })
       .start()
+
+  /**
+   * Temperature-rebalance a DOCUMENT STREAM to a row budget — the
+   * production shape of corpus mixing: the per-source rates FIT ONCE on
+   * a static census ([[graft.operators.Sampling.alphaRates]] — in a live
+   * pipeline, a periodic census of the indexed corpus), and each arriving
+   * micro-batch passes the stateless md5-bucket membership test
+   * ([[graft.operators.Sampling.stratifiedSample]]) with those rates.
+   * Membership is a pure deterministic row predicate, so this is
+   * append-mode streaming-legal with NO state, and the drained stream
+   * equals the batch [[graft.operators.Sampling.alphaMix]] over the same
+   * files with the same census (pinned in StreamingSpec). The same
+   * md5-bucket determinism that lets batch membership survive
+   * reprocessing means an accepted row never flickers out as later
+   * batches arrive — replayed files re-emit the identical accept set.
+   */
+  def alphaMixToMemory(
+      spark: SparkSession,
+      dir: String,
+      census: DataFrame,
+      budgetRows: Long,
+      queryName: String,
+      halfPow: Int = 1): StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val rates = graft.operators.Sampling.alphaRates(census, "source", budgetRows, halfPow)
+    val docs = spark.readStream
+      .schema(StreamingEvents.DocumentsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    graft.operators.Sampling
+      .stratifiedSample(docs, "doc_id", col("source"), rates, defaultRate = 0)
+      .select(col("doc_id"), col("source"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
 }

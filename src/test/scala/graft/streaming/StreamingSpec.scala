@@ -350,6 +350,42 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming alphaMix over a doc stream == batch (static census, multi-batch)") {
+    import org.apache.spark.sql.functions._
+    val src = sf("sf0.001/documents.parquet")
+    val dir = scratch("stream-alphamix")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val staging = scratch("stream-alphamix-staging")
+    val all = spark.read.parquet(src)
+    all.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$staging/b0")
+    all.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$staging/b1")
+    def stage(from: String, to: String): Unit = {
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$from/part-*.parquet"))(0).getPath
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, part, fs, new org.apache.hadoop.fs.Path(to), false, conf)
+    }
+    stage(s"$staging/b0", s"$dir/docs-0.parquet")
+    stage(s"$staging/b1", s"$dir/docs-1.parquet")
+
+    val budget = 200L
+    val batch = graft.operators.Sampling
+      .alphaMix(all, "doc_id", "source", budgetRows = budget)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch.nonEmpty, "budget must accept some rows for the pin to mean anything")
+
+    val q = StreamingText.alphaMixToMemory(
+      spark, dir, census = all, budgetRows = budget, queryName = "alphamix_stream_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("alphamix_stream_test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming dsirScore over a doc stream == batch (static fitted model, multi-batch)") {
     import org.apache.spark.sql.functions._
     val src = sf("sf0.001/documents.parquet")
