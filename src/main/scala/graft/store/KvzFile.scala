@@ -260,6 +260,23 @@ object KvzFile {
         }
         require(off == raw.length,
           s"$name: corrupt GKZ1 block $b (inflated $off bytes, expected ${raw.length})")
+        // Consume the zlib trailer and verify its ADLER32: a payload that
+        // inflates to the right LENGTH can still be the wrong BYTES (bit
+        // rot inside a huffman run decoding to equal-length garbage). The
+        // checksum is already in every block (zlib wrapper) — it just has
+        // to be read to the stream's end; a mismatch surfaces as
+        // DataFormatException("incorrect data check") via the catch below.
+        val scratch = new Array[Byte](1)
+        var spins = 0
+        while (!inf.finished()) {
+          require(inf.inflate(scratch) == 0,
+            s"$name: corrupt GKZ1 block $b (stream continues past rawLen=${raw.length})")
+          require(inf.finished() || !inf.needsInput(),
+            s"$name: corrupt GKZ1 block $b (deflate stream truncated before its checksum)")
+          spins += 1
+          require(spins <= 8,
+            s"$name: corrupt GKZ1 block $b (checksum trailer unreadable)")
+        }
       } catch {
         case e: java.util.zip.DataFormatException =>
           throw new IllegalArgumentException(s"$name: corrupt GKZ1 block $b (bad deflate data)", e)

@@ -263,6 +263,39 @@ class KvzFileSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("a block whose ADLER32 trailer lies fails loud — every decode is checksum-verified") {
+    // one block (huge blockSize): comp region = [4, indexOffset)
+    val rows = byUnsigned((0 until 50).map(i =>
+      f"ak$i%03d".getBytes("UTF-8") -> s"av$i".getBytes("UTF-8")))
+    val p = scratchFile("adler.kv")
+    writeFile(p, rows, blockSize = 1 << 20)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val trailer = new Array[Byte](28)
+    val in0 = fs.open(p)
+    try in0.readFully(len - 28, trailer) finally in0.close()
+    val indexOffset = java.nio.ByteBuffer.wrap(trailer).getLong
+    // sanity: the file reads clean before corruption
+    val ok = KvFile.open(fs, p)
+    try assert(ok.lookup("ak007".getBytes("UTF-8")).isDefined) finally ok.close()
+    // flip the zlib trailer (last 4 bytes of the block = its ADLER32):
+    // the payload still inflates to the right LENGTH, so only the
+    // checksum stands between this and serving garbage
+    val all = new Array[Byte](len.toInt)
+    val in1 = fs.open(p)
+    try in1.readFully(0, all) finally in1.close()
+    (indexOffset - 4 until indexOffset).foreach(i =>
+      all(i.toInt) = (all(i.toInt) ^ 0xff).toByte)
+    val out = fs.create(p, true)
+    try out.write(all) finally out.close()
+    val r = KvFile.open(fs, p)
+    try {
+      val e = intercept[IllegalArgumentException](r.lookup("ak007".getBytes("UTF-8")))
+      assert(e.getMessage.contains("corrupt GKZ1 block"), e.getMessage)
+      assert(e.getMessage.contains("adler.kv"), "corruption error must NAME the file")
+    } finally r.close()
+  }
+
   test("unsorted input and null keys are rejected at write time") {
     val p = scratchFile("unsorted.kv")
     val e = intercept[IllegalArgumentException](writeFile(p, Seq(
