@@ -12,7 +12,12 @@ case class DomainMetadata(
     spec: DomainSpec,
     versions: Seq[Long],
     latestVersion: Option[Long],
-    failedVersions: Seq[Long] = Nil) {
+    failedVersions: Seq[Long] = Nil,
+    inFlightVersions: Seq[Long] = Nil) {
+
+  /** A build is in flight (version dir without token or failure marker) —
+    * the reference's per-domain `update?` answer. */
+  def updating: Boolean = inFlightVersions.nonEmpty
   /** Reference status semantics (core.thrift:10-35) mapped to batch: a
     * domain serving at least one published version is "ready" (a later
     * failed update does not unserve it, matching the reference's
@@ -58,10 +63,18 @@ class DomainCatalog(val root: Path, conf: Configuration) {
     val d = domain(name)
     DomainMetadata(
       name, d.spec, d.versions.getAllVersions, d.versions.mostRecentVersion,
-      d.versions.failedVersions)
+      d.versions.failedVersions, d.versions.inFlightVersions)
   }
 
   def metadataAll: Seq[DomainMetadata] = listDomains.map(metadata)
+
+  /** Every domain serves at least one published version — the reference
+    * daemon's `isFullyLoaded` ("can I point traffic here?"). Vacuously
+    * true for an empty catalog, matching the reference's all-of-nothing. */
+  def isFullyLoaded: Boolean = metadataAll.forall(_.status == "ready")
+
+  /** Any domain has a build in flight — the reference's `isUpdating`. */
+  def isUpdating: Boolean = metadataAll.exists(_.updating)
 
   /** The catalog as a DataFrame — getDomains/getStatus as a SQL surface
     * (register as a temp view and dashboards/joins come free). Driver-side
@@ -71,10 +84,10 @@ class DomainCatalog(val root: Path, conf: Configuration) {
     import spark.implicits._
     metadataAll.map { m =>
       (m.name, m.status, m.spec.numShards, m.spec.persistenceFormat,
-        m.latestVersion, m.versions.size, m.failedVersions.size)
+        m.latestVersion, m.versions.size, m.failedVersions.size, m.updating)
     }.toDF(
       "domain", "status", "num_shards", "persistence_format",
-      "latest_version", "n_versions", "n_failed_versions")
+      "latest_version", "n_versions", "n_failed_versions", "updating")
   }
 
   /** Reference `update`/`updateAll` semantics: readers resolve the newest

@@ -56,6 +56,7 @@ final class KvDomainReader private (
     initialDir: Path,
     initialVersion: Long,
     versionsOpt: Option[VersionedStore],
+    hostedShards: Option[Set[Int]],
     val spec: DomainSpec,
     conf: Configuration) extends AutoCloseable {
 
@@ -220,10 +221,25 @@ final class KvDomainReader private (
     * [[getRecord]] to distinguish). */
   def get(key: Array[Byte]): Option[Array[Byte]] = getRecord(key).flatten
 
+  /** A localized subset CANNOT distinguish "key absent" from "shard not
+    * pulled here" by the filesystem alone (neither writes a dir). When
+    * the caller declared its hosted set (the ring assignment), a probe
+    * routed OUTSIDE it fails loud — the reference's WrongHostException
+    * (`keyval/core.clj` threw it when a direct get hit the wrong server)
+    * — instead of silently answering 'absent'; [[RingClient]] treats the
+    * throw as a failover signal like any other replica failure. */
+  private def checkHosted(shard: Int): Unit =
+    hostedShards.foreach { hosted =>
+      if (!hosted.contains(shard)) throw new IllegalStateException(
+        s"wrong host: shard $shard is not hosted here " +
+          s"(hosted: ${hosted.toSeq.sorted.mkString(",")}) — route via the ring")
+    }
+
   /** `None` = key absent; `Some(None)` = key present with a null value;
     * `Some(Some(v))` = present with value `v`. */
   def getRecord(key: Array[Byte]): Option[Option[Array[Byte]]] = withGen { g =>
     val shard = ShardIndex.shardIndex(key, numShards)
+    checkHosted(shard)
     if (!g.mightContain(shard, key)) None
     else g.reader(shard).flatMap(_.lookup(key)).map(Option(_))
   }
@@ -251,6 +267,7 @@ final class KvDomainReader private (
     keys.zipWithIndex
       .groupBy { case (k, _) => ShardIndex.shardIndex(k, numShards) }
       .foreach { case (shard, withIdx) =>
+        checkHosted(shard)
         // sidecar-known misses never touch data (and drop out of the
         // density decision: they cost nothing either way)
         val (maybe, misses) = withIdx.partition { case (k, _) => g.mightContain(shard, k) }
@@ -432,14 +449,27 @@ object KvDomainReader {
     val version = versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     new KvDomainReader(
-      versions.versionPath(version), version, Some(versions), spec, conf)
+      versions.versionPath(version), version, Some(versions), None, spec, conf)
   }
 
   /** Serve a `DomainStore.localize` output dir (bare `shard=<i>` subset).
     * The spec travels out-of-band — localize ships shard dirs only. No
-    * version history, so [[KvDomainReader.refresh]] is unavailable. */
-  def localized(dir: String, spec: DomainSpec, conf: Configuration): KvDomainReader = {
+    * version history, so [[KvDomainReader.refresh]] is unavailable.
+    * Pass `hostedShards` (the ring assignment this box pulled, e.g.
+    * `ring.shardSet(host)`) to make a MISROUTED probe fail loud — the
+    * reference's WrongHostException — instead of reading as 'key
+    * absent'; without it a non-hosted shard is indistinguishable from an
+    * empty one (both write no dir). */
+  def localized(
+      dir: String,
+      spec: DomainSpec,
+      conf: Configuration,
+      hostedShards: Option[Set[Int]] = None): KvDomainReader = {
     RamFileSystem.register(conf)
-    new KvDomainReader(new Path(dir), -1L, None, spec, conf)
+    hostedShards.foreach { hs =>
+      require(hs.nonEmpty && hs.forall(s => s >= 0 && s < spec.numShards),
+        s"hostedShards ${hs.toSeq.sorted} out of range for ${spec.numShards} shards")
+    }
+    new KvDomainReader(new Path(dir), -1L, None, hostedShards, spec, conf)
   }
 }

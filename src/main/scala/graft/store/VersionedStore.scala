@@ -30,6 +30,7 @@ class VersionedStore(val root: Path, conf: Configuration) {
   def versionPath(version: Long): Path = new Path(root, version.toString)
   private def tokenPath(version: Long): Path = new Path(root, s"$version.version")
   private def failedPath(version: Long): Path = new Path(root, s"$version.failed")
+  private def buildingPath(version: Long): Path = new Path(root, s"$version.building")
 
   /** Allocate a new (unpublished) version dir; rejects an already-published
     * id and clears any leftover partial dir (VersionedStore.java:78-91).
@@ -42,6 +43,12 @@ class VersionedStore(val root: Path, conf: Configuration) {
     if (f.exists(p)) f.delete(p, true)
     f.delete(failedPath(version), false)
     f.mkdirs(root)
+    // The data dir itself must NOT pre-exist (the parquet committer runs
+    // ErrorIfExists), so the "build in flight" state gets its own marker
+    // — created here, cleared by succeed/fail/delete; a crashed build
+    // stays visibly in flight until an explicit resolution, the
+    // reference updater's `updating` semantics ([[inFlightVersions]]).
+    f.create(buildingPath(version), true).close()
     p
   }
 
@@ -50,6 +57,7 @@ class VersionedStore(val root: Path, conf: Configuration) {
     val f = fs
     f.mkdirs(versionPath(version))
     f.delete(failedPath(version), false)
+    f.delete(buildingPath(version), false)
     f.create(tokenPath(version), true).close()
   }
 
@@ -78,6 +86,26 @@ class VersionedStore(val root: Path, conf: Configuration) {
         .sorted(Ordering[Long].reverse)
   }
 
+  /** Version ids whose `.building` marker is present without a publish
+    * token or failure marker — builds in flight right now (or crashed
+    * without the failVersion path; they stay visibly in flight until an
+    * explicit resolution), newest first. The batch analog of the
+    * reference daemon's `isUpdating` state. */
+  def inFlightVersions: Seq[Long] = {
+    val f = fs
+    if (!f.exists(root)) Seq.empty
+    else {
+      val names = f.listStatus(root).map(_.getPath.getName)
+      val building = names.filter(_.endsWith(".building"))
+        .flatMap(_.stripSuffix(".building").toLongOption).toSet
+      val tokens = names.filter(_.endsWith(".version"))
+        .flatMap(_.stripSuffix(".version").toLongOption).toSet
+      val failed = names.filter(_.endsWith(".failed"))
+        .flatMap(_.stripSuffix(".failed").toLongOption).toSet
+      (building -- tokens -- failed).toSeq.sorted(Ordering[Long].reverse)
+    }
+  }
+
   /** Remove every trace of a version: data, token, and failure marker
     * (an explicit delete means "forget this id", including its failure). */
   def deleteVersion(version: Long): Unit = {
@@ -85,6 +113,7 @@ class VersionedStore(val root: Path, conf: Configuration) {
     f.delete(versionPath(version), true)
     f.delete(tokenPath(version), false)
     f.delete(failedPath(version), false)
+    f.delete(buildingPath(version), false)
   }
 
   /** Cheap publish check: one token-existence probe, no directory listing

@@ -62,6 +62,36 @@ class DomainCatalogSpec extends SparkSuite {
       ("beta", "loading", 4, None, 0)))
   }
 
+  test("isFullyLoaded / isUpdating / updating mirror the reference's shared service") {
+    val root = scratch("catalog-loadstate")
+    val cat = new DomainCatalog(root, conf)
+    assert(cat.isFullyLoaded, "empty catalog is vacuously loaded")
+    assert(!cat.isUpdating)
+    val a = DomainStore.create(s"$root/alpha", DomainSpec(2), conf)
+    a.write(kv("a" -> "1"), 1L)
+    assert(cat.isFullyLoaded && !cat.isUpdating)
+    // a build in flight: version dir without token or failure marker
+    a.versions.createVersion(2L)
+    assert(cat.metadata("alpha").updating)
+    assert(cat.metadata("alpha").inFlightVersions === Seq(2L))
+    assert(cat.isUpdating)
+    assert(cat.isFullyLoaded, "an updating domain still serves v1 — stays loaded")
+    a.versions.succeedVersion(2L)
+    assert(!cat.isUpdating)
+    // a failed attempt is NOT 'updating' (its dir is reaped + marked)
+    a.versions.createVersion(3L)
+    a.versions.failVersion(3L)
+    assert(!cat.metadata("alpha").updating)
+    // a never-published domain blocks isFullyLoaded
+    DomainStore.create(s"$root/beta", DomainSpec(2), conf)
+    assert(!cat.isFullyLoaded)
+    // and the DataFrame surface carries the updating flag
+    val df = cat.toDf(spark)
+    val row = df.where(org.apache.spark.sql.functions.col("domain") === "alpha")
+      .select("updating").head()
+    assert(row.getBoolean(0) === false)
+  }
+
   test("failed builds surface in the catalog (reference failed status)") {
     val root = scratch("catalog-failed")
     val g = DomainStore.create(s"$root/gamma", DomainSpec(2), conf)

@@ -34,7 +34,10 @@ class RingClientSpec extends SparkSuite {
     hosts.map { h =>
       val dest = new Path(scratch(s"ringcli-$h"))
       store.localizeForHost(1L, dest, ring, h)
-      h -> KvDomainReader.localized(dest.toString, store.spec, conf)
+      // declare the hosted set so a misrouted probe throws (wrong-host)
+      // instead of reading as absent — the client treats it as failover
+      h -> KvDomainReader.localized(
+        dest.toString, store.spec, conf, Some(ring.shardSet(h)))
     }.toMap
 
   test("get and multiGet answer every key and miss through the ring") {
@@ -44,6 +47,17 @@ class RingClientSpec extends SparkSuite {
         assert(client.get(utf8(s"ck$i")).map(new String(_, "UTF-8")) === Some(s"cv$i"))
       }
       assert(client.get(utf8("absent")) === None)
+      // a DIRECT probe of a reader for a shard it does not host is loud
+      // (the reference's WrongHostException), never a silent 'absent'
+      val someHost = hosts.find(h => ring.shardSet(h).size < n).get
+      val foreign = (0 until n).find(s => !ring.shardSet(someHost).contains(s)).get
+      val fk = (0 until 10000).map(i => s"ck$i")
+        .find(k => ShardIndex.shardIndex(utf8(k), n) == foreign).get
+      val readers2 = openReaders()
+      try {
+        val e = intercept[IllegalStateException](readers2(someHost).get(utf8(fk)))
+        assert(e.getMessage.contains("wrong host"), e.getMessage)
+      } finally readers2.values.foreach(_.close())
       val keys = Seq("ck3", "nope", "ck499", "ck3") // misses + duplicate inputs
       val got = client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
       assert(got === IndexedSeq(Some("cv3"), None, Some("cv499"), Some("cv3")))
