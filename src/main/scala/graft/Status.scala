@@ -71,13 +71,13 @@ object Status {
         census.map(r =>
           s"${r.getString(0)}=${r.getLong(1)}:${r.getLong(2)}").mkString(",")
       }
-      (m.name, m.status, m.spec.numShards, m.spec.persistenceFormat,
+      (m.name, m.status, m.updating, m.spec.numShards, m.spec.persistenceFormat,
         m.latestVersion, m.versions.size, m.failedVersions.size,
         nRows, nBytes, maxShard, minShard, emptyShards,
         indexType, indexSummary)
     }
     rows.toDF(
-      "domain", "status", "num_shards", "persistence_format",
+      "domain", "status", "updating", "num_shards", "persistence_format",
       "latest_version", "n_versions", "n_failed_versions",
       "n_rows", "n_bytes", "max_shard_rows", "min_shard_rows", "empty_shards",
       "index_type", "index_classes")

@@ -161,19 +161,11 @@ object Search {
               concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
             .otherwise(size(col("ps")).cast("string")))
           .as("value"))
-    val lens = corpus.select(
-      docIdLong(idCol).as("doc_id"),
-      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+    val lens = lensOf(corpus, idCol, textCol)
     val lenRecords = lens.select(
       utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
       utf8_bytes(col("len").cast("string")).as("value"))
-    val meta = lens
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("t"))
-      .select(
-        utf8_bytes(lit(MetaKey)).as("key"),
-        utf8_bytes(concat_ws(",", col("n").cast("string"), col("t").cast("string")))
-          .as("value"))
-    postings.unionByName(lenRecords).unionByName(meta)
+    postings.unionByName(lenRecords).unionByName(metaRecordOf(lens))
   }
 
   /** Recall accounting for the build-time postings cap: the dropped
@@ -227,27 +219,110 @@ object Search {
     * driver); corpus constants ride a 1-row broadcast from `m:stats`.
     * A candidate whose `d:` record is missing fails loud: that is index
     * corruption, not a miss. */
-  /** Fail loud when `index` carries the positional type marker — a BM25
-    * op aimed at a positional domain would otherwise return silently
-    * empty results (t: keys absent) or pollute it (upsert). One bounded
-    * point probe. */
-  private def requireNotPositional(
+  /** ONE bounded probe resolving both the index's TYPE and its corpus
+    * constants: fetches `m:stats` and `m:positional` in a single
+    * multiGet, enforces the marker's required polarity (`m:positional`
+    * is the type authority — a BM25 op on a positional domain would
+    * return silently empty, a positional op on BM25 would pollute), and
+    * fails LOUD when `m:stats` is absent (the silently-empty crossJoin
+    * class: a 0-row meta frame annihilates every candidate). Returns
+    * (nDocs, totalTokens). */
+  private def statsAndTypeCheck(
       index: DomainStore,
       spark: org.apache.spark.sql.SparkSession,
       opName: String,
-      hint: String): Unit = {
-    val hit = index.multiGet(
-        spark.range(1).select(utf8_bytes(lit(PosMetaKey)).as("key")),
+      expectPositional: Boolean,
+      wrongTypeHint: String,
+      noStatsHint: String): (Long, Long) = {
+    import spark.implicits._
+    val hits = index.multiGet(
+        Seq(MetaKey, PosMetaKey).toDF("k").select(utf8_bytes(col("k")).as("key")),
         includeMisses = false)
-      .limit(1).collect()
-    require(hit.isEmpty,
-      s"$opName: '$PosMetaKey' marker present — this is a positional-index domain; $hint")
+      .select(bytes_utf8(col("key")).as("k"), bytes_utf8(col("value")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val isPositional = hits.contains(PosMetaKey)
+    if (expectPositional) require(isPositional,
+      s"$opName: no '$PosMetaKey' record — not a positional-index domain ($wrongTypeHint)")
+    else require(!isPositional,
+      s"$opName: '$PosMetaKey' marker present — this is a positional-index domain; $wrongTypeHint")
+    val raw = hits.getOrElse(MetaKey, throw new IllegalArgumentException(
+      s"$opName: no '$MetaKey' record — $noStatsHint"))
+    val parts = raw.split(",")
+    (parts(0).toLong, parts(1).toLong)
   }
+
+  /** The EXACT-integer BM25 contribution, shared by every scorer (the
+    * oracles replay this formula term by term, so there must be exactly
+    * ONE copy): input needs `tf`, `df`, `len` and the corpus constants
+    * `n_docs`, `total_toks`; appends `contrib` (LongType — decimal `div`
+    * is IntegralDivide, exact, == DuckDB HUGEINT `//` for positive
+    * operands). */
+  private def withBm25Contrib(cand: DataFrame): DataFrame =
+    cand
+      .withColumn("num",
+        lit(1L << ScaleBits).cast(d38)
+          * (col("n_docs") - col("df") + lit(1L)).cast(d38)
+          * col("tf").cast(d38) * lit(22L).cast(d38) * col("total_toks").cast(d38))
+      .withColumn("den",
+        (col("df") + lit(1L)).cast(d38)
+          * (lit(10L).cast(d38) * col("tf").cast(d38) * col("total_toks").cast(d38)
+            + lit(3L).cast(d38) * col("total_toks").cast(d38)
+            + lit(9L).cast(d38) * col("len").cast(d38) * col("n_docs").cast(d38)))
+      .withColumn("contrib", expr("num div den"))
+
+  /** Attach each candidate's doc length from its `d:` record (bulk
+    * lookupJoin); a candidate with NO length record is index corruption
+    * and fails loud naming the doc. */
+  private def attachDocLengths(store: DomainStore, cand: DataFrame, opName: String): DataFrame =
+    store
+      .lookupJoin(cand.withColumn(
+        "key", utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string")))))
+      .withColumn("len",
+        when(col("value").isNull, raise_error(concat(
+          lit(s"$opName: candidate doc "), col("doc_id").cast("string"),
+          lit(" has no length record — the index is corrupt (postings and " +
+            "doc records must publish together)"))))
+          .otherwise(bytes_utf8(col("value")).cast("long")))
+      .drop("key", "value")
+
+  /** `(doc_id, len)` token counts — the shared unit behind both index
+    * builders' `d:` records and `m:stats`. */
+  private def lensOf(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(
+      docIdLong(idCol).as("doc_id"),
+      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+
+  /** The `m:stats` kv record (corpus doc count + total tokens). */
+  private def metaRecordOf(lens: DataFrame): DataFrame =
+    lens
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("t"))
+      .select(
+        utf8_bytes(lit(MetaKey)).as("key"),
+        utf8_bytes(concat_ws(",", col("n").cast("string"), col("t").cast("string")))
+          .as("value"))
+
+  /** The upsert-advanced `m:stats` record: current constants + the
+    * delta's census (shared by both upserts — phrase fusion and BM25
+    * must see the grown corpus identically). */
+  private def advancedMetaRecord(
+      delta: DataFrame, textCol: String, curN: Long, curT: Long): DataFrame =
+    delta
+      .select(size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+      .agg(count(lit(1)).as("an"), coalesce(sum(col("len")), lit(0L)).as("at"))
+      .select(
+        utf8_bytes(lit(MetaKey)).as("key"),
+        utf8_bytes(concat_ws(",",
+          (col("an") + lit(curN)).cast("string"),
+          (col("at") + lit(curT)).cast("string"))).as("value"))
 
   def searchTopK(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    requireNotPositional(store, queries.sparkSession, "searchTopK",
-      "phrase queries take phraseSearch/phraseSearchRanked; BM25 needs invertedIndexKv")
+    // one bounded probe: type check + corpus constants together
+    val (nDocs, totalToks) = statsAndTypeCheck(
+      store, queries.sparkSession, "searchTopK", expectPositional = false,
+      wrongTypeHint = "phrase queries take phraseSearch/phraseSearchRanked; " +
+        "BM25 needs invertedIndexKv",
+      noStatsHint = "not a search-index domain (build with invertedIndexKv)")
     val qterms = queries
       .select(col("query_id"),
         explode(array_distinct(TextAnalysis.wordTokens(col("query_text")))).as("term"))
@@ -264,37 +339,9 @@ object Search {
       .select(col("term"), col("df"),
         split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
         split(col("e"), ":").getItem(1).cast("long").as("tf"))
-    val withLen = store
-      .lookupJoin(entries.withColumn(
-        "key", utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string")))))
-      .withColumn("len",
-        when(col("value").isNull, raise_error(concat(
-          lit("searchTopK: candidate doc "), col("doc_id").cast("string"),
-          lit(" has no length record — the index is corrupt (postings and " +
-            "doc records must publish together)"))))
-          .otherwise(bytes_utf8(col("value")).cast("long")))
-      .drop("key", "value")
-    val meta = store
-      .multiGet(
-        queries.sparkSession.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
-        includeMisses = false)
-      .select(split(bytes_utf8(col("value")), ",").as("m"))
-      .select(col("m").getItem(0).cast("long").as("n_docs"),
-        col("m").getItem(1).cast("long").as("total_toks"))
-    val scored = withLen
-      .crossJoin(broadcast(meta)) // 1 row × candidates: corpus constants
-      .withColumn("num",
-        lit(1L << ScaleBits).cast(d38)
-          * (col("n_docs") - col("df") + lit(1L)).cast(d38)
-          * col("tf").cast(d38) * lit(22L).cast(d38) * col("total_toks").cast(d38))
-      .withColumn("den",
-        (col("df") + lit(1L)).cast(d38)
-          * (lit(10L).cast(d38) * col("tf").cast(d38) * col("total_toks").cast(d38)
-            + lit(3L).cast(d38) * col("total_toks").cast(d38)
-            + lit(9L).cast(d38) * col("len").cast(d38) * col("n_docs").cast(d38)))
-      // IntegralDivide on decimals is divideToIntegralValue — EXACT, the
-      // same integer DuckDB's HUGEINT `//` produces (both operands > 0)
-      .withColumn("contrib", expr("num div den"))
+    val withLen = attachDocLengths(store, entries, "searchTopK")
+    val scored = withBm25Contrib(
+      withLen.withColumn("n_docs", lit(nDocs)).withColumn("total_toks", lit(totalToks)))
     val byQuery = qterms.join(scored, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
@@ -354,29 +401,22 @@ object Search {
     // [[phraseSearchRanked]]'s length norm — the same role they play in
     // the BM25 index. Keys derive from the SAME canonical long id as the
     // postings (docIdLong).
-    val lens = corpus.select(
-      docIdLong(idCol).as("doc_id"),
-      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+    val lens = lensOf(corpus, idCol, textCol)
     val lenRecords = lens.select(
       utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
       utf8_bytes(col("len").cast("string")).as("value"))
-    // corpus constants (same `m:stats` layout as the BM25 index): lets
-    // the ranked phrase fusion score candidates without touching the
-    // corpus. The `m:positional` marker below stays the TYPE authority —
-    // every cross-index guard keys on it, never on m:stats presence.
-    val meta = lens
-      .agg(count(lit(1)).as("n"), coalesce(sum(col("len")), lit(0L)).as("t"))
-      .select(
-        utf8_bytes(lit(MetaKey)).as("key"),
-        utf8_bytes(concat_ws(",", col("n").cast("string"), col("t").cast("string")))
-          .as("value"))
+    // corpus constants (same `m:stats` layout as the BM25 index, one
+    // shared builder): lets the ranked phrase fusion score candidates
+    // without touching the corpus. The `m:positional` marker below stays
+    // the TYPE authority — every cross-index guard keys on it, never on
+    // m:stats presence.
     // type marker: positionalIndexUpsert refuses a domain without it —
     // pointed at a BM25 domain (which also has d: records) it would
     // otherwise silently pollute the wrong index type
     val marker = corpus.sparkSession.range(1).select(
       utf8_bytes(lit(PosMetaKey)).as("key"),
       utf8_bytes(lit("1")).as("value"))
-    postings.unionByName(lenRecords).unionByName(meta).unionByName(marker)
+    postings.unionByName(lenRecords).unionByName(metaRecordOf(lens)).unionByName(marker)
   }
 
   private val PosArrayType = "array<struct<doc_id:bigint,ps:string>>"
@@ -396,27 +436,16 @@ object Search {
       newVersion: Long,
       maxPostings: Int = MaxPostings): Unit = {
     requireCollisionFreeIds(delta, idCol)
-    // type guard: both index types publish d: records (and now m:stats),
-    // so without this marker check an upsert aimed at a BM25 domain would
-    // pass the disjointness probe and silently pollute the wrong index
-    val marker = index.multiGet(
-        delta.sparkSession.range(1).select(utf8_bytes(lit(PosMetaKey)).as("key")),
-        includeMisses = false)
-      .limit(1).collect()
-    require(marker.nonEmpty,
-      s"positionalIndexUpsert: no '$PosMetaKey' record — not a positional-index " +
-        "domain (build with positionalIndexKv; BM25 domains take searchIndexUpsert)")
-    // corpus constants advance with the delta, exactly like the BM25
-    // upsert — phraseSearchRanked's scoring must see the grown corpus
-    val metaRows = index.multiGet(
-        delta.sparkSession.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
-        includeMisses = false)
-      .select(split(bytes_utf8(col("value")), ",").as("m")).collect()
-    require(metaRows.length == 1,
-      s"positionalIndexUpsert: no '$MetaKey' record — rebuild with positionalIndexKv " +
+    // ONE bounded probe: type guard (both index types publish d: records
+    // AND m:stats, so only the marker separates them — an upsert aimed at
+    // a BM25 domain would otherwise silently pollute the wrong index) +
+    // the corpus constants, which advance with the delta exactly like the
+    // BM25 upsert (phraseSearchRanked must see the grown corpus).
+    val (curN, curT) = statsAndTypeCheck(
+      index, delta.sparkSession, "positionalIndexUpsert", expectPositional = true,
+      wrongTypeHint = "build with positionalIndexKv; BM25 domains take searchIndexUpsert",
+      noStatsHint = "rebuild with positionalIndexKv " +
         "(older positional domains predate the stats record)")
-    val curN = metaRows(0).getSeq[String](0)(0).toLong
-    val curT = metaRows(0).getSeq[String](0)(1).toLong
     val additions = delta
       .select(docIdLong(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
@@ -437,15 +466,8 @@ object Search {
       opName = "positionalIndexUpsert",
       rebuildName = "positionalIndexKv",
       maxPostings = maxPostings)
-    val metaRecord = delta
-      .select(size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
-      .agg(count(lit(1)).as("an"), coalesce(sum(col("len")), lit(0L)).as("at"))
-      .select(
-        utf8_bytes(lit(MetaKey)).as("key"),
-        utf8_bytes(concat_ws(",",
-          (col("an") + lit(curN)).cast("string"),
-          (col("at") + lit(curT)).cast("string"))).as("value"))
-    index.upsert(delta.sparkSession, records.unionByName(metaRecord), newVersion)
+    index.upsert(delta.sparkSession,
+      records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
   }
 
   /** Exact phrase search against a published [[positionalIndexKv]]
@@ -490,6 +512,15 @@ object Search {
     * oracle replays match + score + rank end to end. */
   def phraseSearchRanked(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the corpus constants, LOUD when m:stats is absent (a pre-r6
+    // positional domain): a 0-row meta frame would otherwise annihilate
+    // every candidate through the crossJoin — silently empty results,
+    // the exact failure class the marker guards exist to kill
+    val (nDocs, totalToks) = statsAndTypeCheck(
+      store, queries.sparkSession, "phraseSearchRanked", expectPositional = true,
+      wrongTypeHint = "build with positionalIndexKv",
+      noStatsHint = "rebuild with positionalIndexKv " +
+        "(older positional domains predate the stats record)")
     val (byDoc, entries) = phraseMatches(store, queries)
     // tf = positions per (term, doc); df = docs per term — both straight
     // from the postings the match already fetched (no second probe)
@@ -502,35 +533,9 @@ object Search {
     val cand = byDoc.join(qd, Seq("query_id"))
       .join(tf, Seq("term", "doc_id"))
       .join(dfs, Seq("term"))
-    val withLen = store
-      .lookupJoin(cand.withColumn(
-        "key", utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string")))))
-      .withColumn("len",
-        when(col("value").isNull, raise_error(concat(
-          lit("phraseSearchRanked: candidate doc "), col("doc_id").cast("string"),
-          lit(" has no length record — the index is corrupt (postings and " +
-            "doc records must publish together)"))))
-          .otherwise(bytes_utf8(col("value")).cast("long")))
-      .drop("key", "value")
-    val meta = store
-      .multiGet(
-        queries.sparkSession.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
-        includeMisses = false)
-      .select(split(bytes_utf8(col("value")), ",").as("m"))
-      .select(col("m").getItem(0).cast("long").as("n_docs"),
-        col("m").getItem(1).cast("long").as("total_toks"))
-    val scored = withLen
-      .crossJoin(broadcast(meta)) // 1 row × candidates: corpus constants
-      .withColumn("num",
-        lit(1L << ScaleBits).cast(d38)
-          * (col("n_docs") - col("df") + lit(1L)).cast(d38)
-          * col("tf").cast(d38) * lit(22L).cast(d38) * col("total_toks").cast(d38))
-      .withColumn("den",
-        (col("df") + lit(1L)).cast(d38)
-          * (lit(10L).cast(d38) * col("tf").cast(d38) * col("total_toks").cast(d38)
-            + lit(3L).cast(d38) * col("total_toks").cast(d38)
-            + lit(9L).cast(d38) * col("len").cast(d38) * col("n_docs").cast(d38)))
-      .withColumn("contrib", expr("num div den"))
+    val withLen = attachDocLengths(store, cand, "phraseSearchRanked")
+    val scored = withBm25Contrib(
+      withLen.withColumn("n_docs", lit(nDocs)).withColumn("total_toks", lit(totalToks)))
       .groupBy(col("query_id"), col("doc_id"), col("n_matches"))
       .agg(sum(col("contrib")).as("score"))
     val w = Window.partitionBy(col("query_id"))
@@ -626,19 +631,13 @@ object Search {
       maxPostings: Int = MaxPostings): Unit = {
     requireCollisionFreeIds(delta, idCol)
     val spark = delta.sparkSession
-    // positional domains now publish m:stats too (for ranked fusion), so
-    // stats presence alone no longer proves BM25 — the m:positional
-    // marker is the type authority and must be ABSENT here
-    requireNotPositional(index, spark, "searchIndexUpsert",
-      "positional domains take positionalIndexUpsert")
-    val metaRows = index.multiGet(
-        spark.range(1).select(utf8_bytes(lit(MetaKey)).as("key")),
-        includeMisses = false)
-      .select(split(bytes_utf8(col("value")), ",").as("m")).collect()
-    require(metaRows.length == 1,
-      s"searchIndexUpsert: no '$MetaKey' record — not a search-index domain")
-    val curN = metaRows(0).getSeq[String](0)(0).toLong
-    val curT = metaRows(0).getSeq[String](0)(1).toLong
+    // ONE bounded probe: positional domains publish m:stats too (ranked
+    // fusion), so stats presence alone no longer proves BM25 — the
+    // m:positional marker is the type authority and must be ABSENT here
+    val (curN, curT) = statsAndTypeCheck(
+      index, spark, "searchIndexUpsert", expectPositional = false,
+      wrongTypeHint = "positional domains take positionalIndexUpsert",
+      noStatsHint = "not a search-index domain")
 
     val additions = termFrequencies(delta, idCol, textCol)
       .groupBy("term")
@@ -656,15 +655,8 @@ object Search {
       opName = "searchIndexUpsert",
       rebuildName = "invertedIndexKv",
       maxPostings = maxPostings)
-    val metaRecord = delta
-      .select(size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
-      .agg(count(lit(1)).as("an"), coalesce(sum(col("len")), lit(0L)).as("at"))
-      .select(
-        utf8_bytes(lit(MetaKey)).as("key"),
-        utf8_bytes(concat_ws(",",
-          (col("an") + lit(curN)).cast("string"),
-          (col("at") + lit(curT)).cast("string"))).as("value"))
-    index.upsert(spark, records.unionByName(metaRecord), newVersion)
+    index.upsert(spark,
+      records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
   }
 
   /** The shared merge scaffold of the two index upserts (BM25 `t:` and

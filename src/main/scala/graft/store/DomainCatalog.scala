@@ -15,8 +15,9 @@ case class DomainMetadata(
     failedVersions: Seq[Long] = Nil,
     inFlightVersions: Seq[Long] = Nil) {
 
-  /** A build is in flight (version dir without token or failure marker) —
-    * the reference's per-domain `update?` answer. */
+  /** A build is in flight (`<v>.building` marker without publish token or
+    * failure marker — see `VersionedStore.inFlightVersions`) — the
+    * reference's per-domain `update?` answer. */
   def updating: Boolean = inFlightVersions.nonEmpty
   /** Reference status semantics (core.thrift:10-35) mapped to batch: a
     * domain serving at least one published version is "ready" (a later

@@ -467,7 +467,9 @@ object KvDomainReader {
       hostedShards: Option[Set[Int]] = None): KvDomainReader = {
     RamFileSystem.register(conf)
     hostedShards.foreach { hs =>
-      require(hs.nonEmpty && hs.forall(s => s >= 0 && s < spec.numShards),
+      // an EMPTY hosted set is legal (more hosts than shard slots deals
+      // some hosts nothing — every probe is then wrong-host, correctly)
+      require(hs.forall(s => s >= 0 && s < spec.numShards),
         s"hostedShards ${hs.toSeq.sorted} out of range for ${spec.numShards} shards")
     }
     new KvDomainReader(new Path(dir), -1L, None, hostedShards, spec, conf)

@@ -160,6 +160,13 @@ class VersionedStore(val root: Path, conf: Configuration) {
           name.stripSuffix(".failed").toLongOption.foreach { v =>
             if (oldestKept.exists(v < _)) f.delete(failedPath(v), false)
           }
+        } else if (name.endsWith(".building")) {
+          // a build that crashed BEFORE its first output leaves only the
+          // marker (no dir for the dir branch to reap) — age it out like
+          // failed markers, or isUpdating pins true forever
+          name.stripSuffix(".building").toLongOption.foreach { v =>
+            if (oldestKept.exists(v < _)) f.delete(buildingPath(v), false)
+          }
         } else {
           val version =
             if (name.endsWith(".version")) name.stripSuffix(".version").toLongOption

@@ -70,7 +70,7 @@ class DomainCatalogSpec extends SparkSuite {
     val a = DomainStore.create(s"$root/alpha", DomainSpec(2), conf)
     a.write(kv("a" -> "1"), 1L)
     assert(cat.isFullyLoaded && !cat.isUpdating)
-    // a build in flight: version dir without token or failure marker
+    // a build in flight: the .building marker without token or failure
     a.versions.createVersion(2L)
     assert(cat.metadata("alpha").updating)
     assert(cat.metadata("alpha").inFlightVersions === Seq(2L))
@@ -82,6 +82,16 @@ class DomainCatalogSpec extends SparkSuite {
     a.versions.createVersion(3L)
     a.versions.failVersion(3L)
     assert(!cat.metadata("alpha").updating)
+    // a build that crashed BEFORE any output (marker, no dir) stays
+    // visibly in flight — until cleanup ages it out with the version
+    // retention window, like failed markers
+    a.versions.createVersion(4L)
+    assert(cat.metadata("alpha").updating)
+    a.versions.cleanup(versionsToKeep = 1) // keeps v2; 4 < ... no: 4 > 2
+    assert(cat.metadata("alpha").updating, "a marker NEWER than kept versions survives")
+    a.write(kv("a" -> "5"), 5L)
+    a.versions.cleanup(versionsToKeep = 1) // keeps v5 only; 4 < 5 ages out
+    assert(!cat.metadata("alpha").updating, "cleanup ages out stale building markers")
     // a never-published domain blocks isFullyLoaded
     DomainStore.create(s"$root/beta", DomainSpec(2), conf)
     assert(!cat.isFullyLoaded)
