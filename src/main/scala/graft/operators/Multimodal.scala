@@ -356,6 +356,43 @@ object Multimodal {
     * oracle-checkable. (A production resampler would low-pass first;
     * exact decimation is the deterministic contract kernel.) Requires
     * `rate % factor == 0` so the output rate stays integral. */
+  /** Anti-aliased 2:1 decimation — the proper-resampler sibling of
+    * [[resampleAudio]]'s exact picks: each output sample is the
+    * edge-clamped half-band FIR `[1, 2, 1]/4` centered on the source's
+    * even grid, `out(i) = ⌊(in(2i−1) + 2·in(2i) + in(2i+1)) / 4⌋`
+    * (a genuine low-pass: the kernel nulls the folding frequency, so
+    * energy at the old Nyquist cannot alias into the new band — the
+    * defect pure decimation has by design). EXACT integer math with an
+    * engine-independent rounding convention: a +32768 bias per sample
+    * makes the numerator non-negative before the divide, so Spark, the
+    * JVM, and DuckDB all produce the identical floor — the same
+    * replayability trick as the quantized Lloyd. Output stays in
+    * 16-bit range (a weighted mean of shorts), same length/rate
+    * contract as factor-2 [[resampleAudio]]. */
+  def resampleAudioFir(
+      spark: SparkSession,
+      media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val (rate, samples) = decodeWav(r)
+      require(rate % 2 == 0, s"media_id ${r.media_id}: odd rate $rate cannot halve")
+      val n = samples.length
+      val out = new Array[Short]((n + 1) / 2)
+      var i = 0
+      while (i < out.length) {
+        val c = 2 * i
+        val a = samples(math.max(c - 1, 0)).toInt
+        val b = samples(c).toInt
+        val d = samples(math.min(c + 1, n - 1)).toInt
+        // bias 4*32768 keeps the numerator >= 0: >> 2 IS floor division
+        out(i) = (((a + 2 * b + d + 131072) >> 2) - 32768).toShort
+        i += 1
+      }
+      val wav = encodeWav(out, rate / 2)
+      MediaRecord(r.media_id, wav, "audio/wav", wav.length.toLong)
+    }))
+  }
+
   def resampleAudio(
       spark: SparkSession,
       media: Dataset[MediaRecord],

@@ -111,6 +111,20 @@ object MmQueries {
           col("n_samples"),
           col("sample_sum"),
           col("peak").cast("long").as("peak"))
+    },
+    // ANTI-ALIASED 2:1 resample (edge-clamped half-band FIR [1,2,1]/4,
+    // exact integer floor via the +32768 bias): the oracle replays the
+    // convolution sample by sample inside the waveform formula.
+    "mm_audio_resample_fir" -> { (s, dir) =>
+      val media = Multimodal.synthAudioMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.decodeAudio(s, Multimodal.resampleAudioFir(s, media))
+        .select(
+          col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          col("sample_sum"),
+          col("peak").cast("long").as("peak"))
     })
 
   /** SQL twin of [[asciiDocs]]'s filter. */
@@ -193,5 +207,26 @@ object MmQueries {
         |  CAST(n AS BIGINT) AS n_samples,
         |  CAST(sum((doc_id*17 + (2*i)*29) % 20001 - 10000) AS BIGINT) AS sample_sum,
         |  CAST(max(abs((doc_id*17 + (2*i)*29) % 20001 - 10000)) AS BIGINT) AS peak
-        |FROM s GROUP BY 1, 2, 3""".stripMargin)
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+    // Half-band FIR replay: out(i) = ((v(2i-1) + 2*v(2i) + v(2i+1) +
+    // 131072) // 4) - 32768 with edge-clamped taps — the biased
+    // numerator is non-negative, so DuckDB's integer // and the JVM's
+    // >> 2 floor identically. v(j) is the same waveform formula.
+    "mm_audio_resample_fir" ->
+      """WITH d AS (SELECT doc_id, (8000 + 1000*(doc_id % 5)) // 2 AS rate,
+        |    50 + doc_id % 200 AS src_n, (50 + doc_id % 200 + 1) // 2 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, rate, src_n, n, unnest(range(0, n)) AS i FROM d),
+        |t AS (SELECT doc_id, rate, n,
+        |    (doc_id*17 + greatest(2*i - 1, 0)*29) % 20001 - 10000 AS va,
+        |    (doc_id*17 + (2*i)*29) % 20001 - 10000 AS vb,
+        |    (doc_id*17 + least(2*i + 1, src_n - 1)*29) % 20001 - 10000 AS vc
+        |  FROM s),
+        |o AS (SELECT doc_id, rate, n,
+        |    ((va + 2*vb + vc + 131072) // 4) - 32768 AS v FROM t)
+        |SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sample_sum,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM o GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -987,6 +987,43 @@ class OperatorsSpec extends SparkSuite {
     assert(msgs(e).contains("99"), msgs(e))
   }
 
+  test("resampleAudioFir: exact integer half-band; nulls Nyquist where decimation aliases it") {
+    import spark.implicits._
+    // a pure folding-frequency tone: alternating ±A at the source rate
+    val amp: Short = 8000
+    val tone = Array.tabulate(64)(i => if (i % 2 == 0) amp else (-amp).toShort)
+    val rec = MediaRecord(1L, Multimodal.encodeWav(tone, 16000), "audio/wav", 0L)
+    val ds = spark.createDataset(Seq(rec))
+    // plain decimation keeps full-amplitude aliased DC (picks every +A)
+    val dec = Multimodal.decodeAudio(spark, Multimodal.resampleAudio(spark, ds, 2)).head()
+    assert(dec.getInt(4) === amp.toInt, "decimation aliases Nyquist to full amplitude")
+    // the half-band FIR nulls it everywhere the kernel sees both taps
+    // (only the clamped first sample keeps residue): (−A + 2A − A)/4 = 0
+    val fir = Multimodal.decodeAudio(spark, Multimodal.resampleAudioFir(spark, ds)).head()
+    assert(fir.getInt(1) === 8000)
+    assert(fir.getLong(2) === 32L)
+    assert(fir.getInt(4) === amp / 2,
+      "only the edge-clamped first tap survives; interior is nulled")
+    assert(math.abs(fir.getLong(3)) <= amp / 2, "interior samples all zero")
+    // and on the synthetic corpus the distributed result equals the
+    // closed-form convolution sample by sample (the oracle's formula)
+    val ids = spark.range(0, 25).toDF("media_id")
+    val media = Multimodal.synthAudioMedia(spark, ids)
+    val res = Multimodal.decodeAudio(spark, Multimodal.resampleAudioFir(spark, media))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    res.foreach { case (id, r) =>
+      val n = Multimodal.synthSampleCount(id)
+      val on = (n + 1) / 2
+      def v(j: Int) = Multimodal.sampleValue(id, math.max(0, math.min(j, n - 1)))
+      val vals = (0 until on).map { i =>
+        ((v(2 * i - 1) + 2 * v(2 * i) + v(2 * i + 1) + 131072) >> 2) - 32768
+      }
+      assert(r.getLong(2) === on.toLong)
+      assert(r.getLong(3) === vals.map(_.toLong).sum, s"seed $id sum")
+      assert(r.getInt(4) === vals.map(math.abs).max, s"seed $id peak")
+    }
+  }
+
   test("chunkDocuments: sliding windows cover every token, no redundant tail") {
     import spark.implicits._
     val docs = Seq(
