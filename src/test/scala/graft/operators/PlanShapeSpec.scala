@@ -28,6 +28,30 @@ class PlanShapeSpec extends SparkSuite {
         if (i % 3 == 0) "ref" else "probe")).toDF("event_id", "user_id", "ts", "kind")
   }
 
+  test("phraseSearchRanked: the WHOLE rank derives from the index — corpus never scanned") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // build the index FROM a corpus parquet, then plan the fusion query:
+    // its scans must touch the index domain only. At 100 TB that is the
+    // entire point — tf, df, lengths, and corpus constants all come from
+    // published records, so retrieval cost scales with the INDEX.
+    val corpusPath = scratch("fusion-plan-corpus")
+    Seq(1L -> "cat cat dog", 2L -> "cat fish", 3L -> "dog cat dog")
+      .toDF("doc_id", "text").write.parquet(corpusPath)
+    val store = graft.store.DomainStore.create(
+      scratch("fusion-plan-idx"),
+      graft.core.DomainSpec(4, persistenceFormat = graft.core.DomainSpec.KvSorted), conf)
+    store.write(
+      Search.positionalIndexKv(spark.read.parquet(corpusPath), "doc_id", "text"), 1L)
+    val out = Search.phraseSearchRanked(
+      store, Seq(0L -> "cat dog").toDF("query_id", "phrase"), 5)
+    val p = plan(out)
+    assert(!p.contains("fusion-plan-corpus"),
+      s"fusion plan scans the corpus parquet:\n$p")
+    // and the result is non-trivial (docs 1 and 3 match)
+    assert(out.collect().map(_.getLong(1)).toSet === Set(1L, 3L))
+  }
+
   test("asOfJoin: exactly one exchange (the key shuffle), no join operator at all") {
     val probe = events.where(col("kind") === "probe")
       .select(col("event_id"), col("user_id"), col("ts"))
