@@ -147,6 +147,63 @@ class QuickStartSpec extends SparkSuite {
     val chunks = TextAnalysis.chunkDocuments(
       docs, "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
     assert(chunks.where(col("doc_id") === 2).count() === 2) // 6 tokens -> 2 windows
+
+    // --- ranked phrase retrieval: the phrase constrains, BM25 orders
+    val ranked = Search.phraseSearchRanked(
+      pos, Seq(0L -> "cat sat").toDF("query_id", "phrase"), k = 5)
+    assert(ranked.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
+  test("README quick start: multi-host serving ring with failover and hot-swap") {
+    import spark.implicits._
+    import graft.store.{RingClient, ShardRing}
+    import org.apache.hadoop.fs.Path
+
+    // own catalog dir: Status.report scans every domain under a root, and
+    // the shared test-scratch parent holds other suites' fixtures
+    val dbRoot = scratch("quickstart-ringdb")
+    val root = s"$dbRoot/users"
+    val store = DomainStore.create(
+      root, DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted),
+      new Configuration())
+    store.write(
+      (0 until 100).map(i => s"u$i" -> s"name-$i").toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      version = 1L)
+
+    // deal the shards over 2 hosts with replication 2, pull each host's
+    // subset (optionally bandwidth-capped), and serve it Spark-free
+    val ring = ShardRing.generateIndex(Seq("host-a", "host-b"), 4, replication = 2)
+    val readers = Seq("host-a", "host-b").map { h =>
+      val dest = new Path(scratch(s"quickstart-ring-$h"))
+      store.localizeForHost(1L, dest, ring, h)
+      h -> KvDomainReader.localized(
+        dest.toString, store.spec, new Configuration(), Some(ring.shardSet(h)))
+    }.toMap
+    val client = new RingClient(ring, readers)
+    try {
+      assert(client.get("u42".getBytes("UTF-8"))
+        .map(new String(_, "UTF-8")) === Some("name-42"))
+      readers("host-a").close() // one replica dies: reads fail over
+      assert(client.get("u42".getBytes("UTF-8")).isDefined)
+    } finally client.close()
+
+    // a root-opened reader follows new publishes WITHOUT dropping reads
+    val follower = KvDomainReader.open(root, new Configuration())
+    try {
+      assert(follower.servedVersion === 1L)
+      store.write(
+        Seq("u1" -> "renamed").toDF("k", "v")
+          .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+        version = 2L)
+      assert(follower.refresh() === true) // hot-swap: in-flight gets never torn
+      assert(follower.get("u1".getBytes("UTF-8"))
+        .map(new String(_, "UTF-8")) === Some("renamed"))
+    } finally follower.close()
+
+    // the one-call ops dashboard over the database root
+    val report = Status.report(spark, dbRoot, new Configuration())
+    assert(report.where(col("status") === "ready").count() >= 1)
   }
 
   private def longBe(v: Long): Array[Byte] =
