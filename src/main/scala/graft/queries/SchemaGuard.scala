@@ -101,6 +101,23 @@ object SchemaGuard {
             case _ => ()
           }
         }
+        // Beyond types: the embedding DIMENSION is a contract constant
+        // (SimQueries.EmbeddingDim pins quantizers, PQ subspaces, and
+        // the generated oracles to it) that no schema carries — probe one
+        // row so a regenerated corpus with a new dim fails named here,
+        // not inside a PQ dim-divisibility require 30 queries later.
+        if (table == "embeddings") {
+          val dim = spark.read.parquet(path)
+            .select(org.apache.spark.sql.functions.size(
+              org.apache.spark.sql.functions.col("embedding")))
+            .head().getInt(0)
+          if (dim != SimQueries.EmbeddingDim) throw new IllegalStateException(
+            s"fixture schema drift: embeddings.embedding has $dim elements, the " +
+              s"engine's contract constants assume ${SimQueries.EmbeddingDim} " +
+              "(SimQueries.EmbeddingDim pins quantizer dims, PQ subspaces, and " +
+              "the generated oracles) — update the constant and re-derive its " +
+              "dependents together")
+        }
       }
     }
 }

@@ -36,4 +36,15 @@ class SchemaGuardSpec extends SparkSuite {
   test("the real driver testdata passes the guard at every generated sf") {
     Seq("sf0.001", "sf0.01").foreach(s => SchemaGuard.check(spark, sf(s)))
   }
+
+  test("a regenerated embedding DIM fails named (no schema carries it)") {
+    import spark.implicits._
+    val dir = scratch("schema-dim")
+    Seq((1L, Array(0.1f, 0.2f, 0.3f), 0), (2L, Array(0.4f, 0.5f, 0.6f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](SchemaGuard.check(spark, dir))
+    assert(e.getMessage.contains("3 elements"), e.getMessage)
+    assert(e.getMessage.contains("EmbeddingDim"), e.getMessage)
+  }
 }
