@@ -349,13 +349,6 @@ object Multimodal {
     })).toDF("media_id", "sample_rate", "n_samples", "sample_sum", "peak")
   }
 
-  /** Batched REAL decimating resample: keep every `factor`-th sample
-    * (`out(i) = in(i*factor)`, `ceil(n/factor)` samples at `rate/factor`)
-    * and re-encode — exact sample picks, the audio analog of the
-    * nearest-neighbor image resize, so lossless inputs stay
-    * oracle-checkable. (A production resampler would low-pass first;
-    * exact decimation is the deterministic contract kernel.) Requires
-    * `rate % factor == 0` so the output rate stays integral. */
   /** Anti-aliased 2:1 decimation — the proper-resampler sibling of
     * [[resampleAudio]]'s exact picks: each output sample is the
     * edge-clamped half-band FIR `[1, 2, 1]/4` centered on the source's
@@ -393,6 +386,14 @@ object Multimodal {
     }))
   }
 
+  /** Batched REAL decimating resample: keep every `factor`-th sample
+    * (`out(i) = in(i*factor)`, `ceil(n/factor)` samples at `rate/factor`)
+    * and re-encode — exact sample picks, the audio analog of the
+    * nearest-neighbor image resize, so lossless inputs stay
+    * oracle-checkable. ([[resampleAudioFir]] is the low-pass production
+    * sibling; exact decimation remains the deterministic contract
+    * kernel.) Requires `rate % factor == 0` so the output rate stays
+    * integral. */
   def resampleAudio(
       spark: SparkSession,
       media: Dataset[MediaRecord],

@@ -492,7 +492,7 @@ object Search {
     * zero matches for that query, like any non-matching phrase. */
   def phraseSearch(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val (byDoc, _) = phraseMatches(store, queries)
+    val (byDoc, _, _) = phraseMatches(store, queries)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("n_matches").desc, col("doc_id"))
     byDoc.withColumn("rank", row_number().over(w).cast("long"))
@@ -512,16 +512,13 @@ object Search {
     * oracle replays match + score + rank end to end. */
   def phraseSearchRanked(store: DomainStore, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // the corpus constants, LOUD when m:stats is absent (a pre-r6
-    // positional domain): a 0-row meta frame would otherwise annihilate
-    // every candidate through the crossJoin — silently empty results,
-    // the exact failure class the marker guards exist to kill
-    val (nDocs, totalToks) = statsAndTypeCheck(
-      store, queries.sparkSession, "phraseSearchRanked", expectPositional = true,
-      wrongTypeHint = "build with positionalIndexKv",
-      noStatsHint = "rebuild with positionalIndexKv " +
-        "(older positional domains predate the stats record)")
-    val (byDoc, entries) = phraseMatches(store, queries)
+    // the corpus constants ride the match's own bounded probe and are
+    // LOUD when m:stats is absent (a pre-r6 positional domain): a 0-row
+    // meta frame would otherwise annihilate every candidate through the
+    // crossJoin — silently empty results, the exact failure class the
+    // marker guards exist to kill
+    val (byDoc, entries, stats) = phraseMatches(store, queries, fetchStats = true)
+    val (nDocs, totalToks) = stats.get
     // tf = positions per (term, doc); df = docs per term — both straight
     // from the postings the match already fetched (no second probe)
     val tf = entries.groupBy(col("term"), col("doc_id"))
@@ -548,25 +545,33 @@ object Search {
     * against a positional domain. Returns
     * (matches = (query_id, doc_id, n_matches), entries = the parsed
     * (term, doc_id, pos) postings of every query term — ALL docs holding
-    * the term, not just matches, so df derives correctly downstream). */
+    * the term, not just matches, so df derives correctly downstream,
+    * stats = the `m:stats` constants when `fetchStats`, fetched in the
+    * same probe round). */
   private def phraseMatches(
-      store: DomainStore, queries: DataFrame): (DataFrame, DataFrame) = {
+      store: DomainStore,
+      queries: DataFrame,
+      fetchStats: Boolean = false): (DataFrame, DataFrame, Option[(Long, Long)]) = {
+    import queries.sparkSession.implicits._
     val qterms = queries
       .select(col("query_id"),
         posexplode(TextAnalysis.wordTokens(col("phrase"))).as(Seq("j", "term")))
-    // ONE bounded probe (≤ distinct query terms + 1 hits — phrase queries
-    // are human-sized) checks both preconditions: the domain is actually
-    // a positional index (marker present — a BM25 domain also has d:
-    // records and would otherwise return silent empties), and no query
-    // term was tombstoned by the build cap (eliding one would silently
-    // UNDERCOUNT phrases).
-    val probeHits = store.multiGet(
+    // ONE bounded probe (≤ distinct query terms + 2 hits — phrase queries
+    // are human-sized) checks every precondition AND, for the ranked
+    // fusion, fetches the corpus constants in the same round: the domain
+    // is actually a positional index (marker present — a BM25 domain
+    // also has d: records and would otherwise return silent empties), no
+    // query term was tombstoned by the build cap (eliding one would
+    // silently UNDERCOUNT phrases), and — when asked — `m:stats` rides
+    // the same multiGet so the scorer never pays a second probe.
+    val extraKeys = if (fetchStats) Seq(PosMetaKey, MetaKey) else Seq(PosMetaKey)
+    val probeRows = store.multiGet(
         qterms.select(utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key")).distinct()
-          .unionByName(queries.sparkSession.range(1)
-            .select(utf8_bytes(lit(PosMetaKey)).as("key"))),
+          .unionByName(extraKeys.toDF("k").select(utf8_bytes(col("k")).as("key"))),
         includeMisses = false)
-      .select(bytes_utf8(col("key")).as("k"))
-      .collect().map(_.getString(0))
+      .select(bytes_utf8(col("key")).as("k"), bytes_utf8(col("value")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val probeHits = probeRows.map(_._1)
     require(probeHits.contains(PosMetaKey),
       s"phraseSearch: no '$PosMetaKey' record — not a positional-index domain " +
         "(build with positionalIndexKv)")
@@ -575,6 +580,14 @@ object Search {
       s"phraseSearch: query term '${dropped.headOption.map(_.substring(DroppedPrefix.length)).getOrElse("")}' " +
         "was dropped by the build-time postings cap — phrase semantics cannot elide a " +
         "term; rebuild the positional index with a higher maxPostings")
+    val stats = if (!fetchStats) None else {
+      val raw = probeRows.collectFirst { case (MetaKey, v) => v }
+        .getOrElse(throw new IllegalArgumentException(
+          s"phraseSearchRanked: no '$MetaKey' record — rebuild with positionalIndexKv " +
+            "(older positional domains predate the stats record)"))
+      val parts = raw.split(",")
+      Some((parts(0).toLong, parts(1).toLong))
+    }
     val termKeys = qterms
       .select(utf8_bytes(concat(lit(PosPrefix), col("term"))).as("key"))
       .distinct()
@@ -598,7 +611,7 @@ object Search {
       .where(col("found") === col("n_terms"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_matches"))
-    (byDoc, entries)
+    (byDoc, entries, stats)
   }
 
   private val PostingsArrayType = "array<struct<doc_id:bigint,tf:bigint>>"

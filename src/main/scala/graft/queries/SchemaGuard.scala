@@ -107,16 +107,22 @@ object SchemaGuard {
         // row so a regenerated corpus with a new dim fails named here,
         // not inside a PQ dim-divisibility require 30 queries later.
         if (table == "embeddings") {
-          val dim = spark.read.parquet(path)
+          // take(1), never head(): the guard must stay NAMED on an empty
+          // or null-first-row regeneration, not die with its own
+          // NoSuchElement/NPE stack
+          val probe = spark.read.parquet(path)
             .select(org.apache.spark.sql.functions.size(
-              org.apache.spark.sql.functions.col("embedding")))
-            .head().getInt(0)
-          if (dim != SimQueries.EmbeddingDim) throw new IllegalStateException(
-            s"fixture schema drift: embeddings.embedding has $dim elements, the " +
-              s"engine's contract constants assume ${SimQueries.EmbeddingDim} " +
-              "(SimQueries.EmbeddingDim pins quantizer dims, PQ subspaces, and " +
-              "the generated oracles) — update the constant and re-derive its " +
-              "dependents together")
+              org.apache.spark.sql.functions.col("embedding")).as("d"))
+            .take(1)
+          val dim =
+            if (probe.isEmpty || probe(0).isNullAt(0)) None else Some(probe(0).getInt(0))
+          if (!dim.contains(SimQueries.EmbeddingDim)) throw new IllegalStateException(
+            s"fixture schema drift: embeddings.embedding has " +
+              s"${dim.map(_.toString).getOrElse("no probeable (empty table / null)")} " +
+              s"elements, the engine's contract constants assume " +
+              s"${SimQueries.EmbeddingDim} (SimQueries.EmbeddingDim pins quantizer " +
+              "dims, PQ subspaces, and the generated oracles) — update the constant " +
+              "and re-derive its dependents together")
         }
       }
     }

@@ -163,7 +163,11 @@ class VersionedStore(val root: Path, conf: Configuration) {
         } else if (name.endsWith(".building")) {
           // a build that crashed BEFORE its first output leaves only the
           // marker (no dir for the dir branch to reap) — age it out like
-          // failed markers, or isUpdating pins true forever
+          // failed markers, or isUpdating pins true forever. NOTE: like
+          // the dir branch below (which deletes an in-flight build's DATA
+          // below the kept window), this assumes version ids only grow —
+          // running cleanup concurrently with a LOWER-id build has always
+          // been destructive to that build; don't do it.
           name.stripSuffix(".building").toLongOption.foreach { v =>
             if (oldestKept.exists(v < _)) f.delete(buildingPath(v), false)
           }

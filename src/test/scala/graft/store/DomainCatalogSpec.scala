@@ -87,7 +87,7 @@ class DomainCatalogSpec extends SparkSuite {
     // retention window, like failed markers
     a.versions.createVersion(4L)
     assert(cat.metadata("alpha").updating)
-    a.versions.cleanup(versionsToKeep = 1) // keeps v2; 4 < ... no: 4 > 2
+    a.versions.cleanup(versionsToKeep = 1) // keeps v2 (newest published); 4 > 2 survives
     assert(cat.metadata("alpha").updating, "a marker NEWER than kept versions survives")
     a.write(kv("a" -> "5"), 5L)
     a.versions.cleanup(versionsToKeep = 1) // keeps v5 only; 4 < 5 ages out
