@@ -22,7 +22,16 @@ object SchemaGuard {
     * expected column order. Read types are AFTER session flags
     * (nanosAsLong), i.e. what every contract query actually consumes. */
   val Expected: Seq[(String, Seq[(String, Set[String])])] = {
-    val ts = Set("timestamp_ntz", "timestamp", "bigint") // µs (either tz rule) or legacy ns-as-long
+    // Dual encodings are accepted ONLY for columns the engine normalizes
+    // at operator entry: events.ts routes through Events.tsAsNanos
+    // (Fixtures.table), so it may read as µs timestamp or legacy
+    // ns-as-long bigint. orders/lineitem dates have NO such normalizer —
+    // RelQueries does year()/timestamp comparisons directly — so they
+    // must read as a timestamp; accepting bigint there would let a
+    // TIMESTAMP(NANOS) regeneration pass preflight and still break
+    // mid-Verify, the exact failure class this guard exists to front-run.
+    val tsNormalized = Set("timestamp_ntz", "timestamp", "bigint")
+    val tsOnly = Set("timestamp_ntz", "timestamp")
     Seq(
       "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
       "nation" -> Seq(
@@ -42,16 +51,16 @@ object SchemaGuard {
       "orders" -> Seq(
         "o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
         "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
-        "o_orderdate" -> ts, "o_orderpriority" -> Set("string")),
+        "o_orderdate" -> tsOnly, "o_orderpriority" -> Set("string")),
       "lineitem" -> Seq(
         "l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
         "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
         "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
         "l_discount" -> Set("double"), "l_tax" -> Set("double"),
         "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
-        "l_shipdate" -> ts),
+        "l_shipdate" -> tsOnly),
       "events" -> Seq(
-        "event_id" -> Set("bigint"), "ts" -> ts, "user_id" -> Set("bigint"),
+        "event_id" -> Set("bigint"), "ts" -> tsNormalized, "user_id" -> Set("bigint"),
         "event_type" -> Set("string"), "value" -> Set("double"),
         "props" -> Set("string")),
       "documents" -> Seq(

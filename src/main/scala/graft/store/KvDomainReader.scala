@@ -125,7 +125,10 @@ final class KvDomainReader private (
       listed.iterator
         .map(_.getPath.getName)
         .filter(_.startsWith("shard="))
-        .map(_.stripPrefix("shard=").toInt)
+        // flatMap + toIntOption: a foreign entry ('shard=3.bak', a crashed
+        // copy's artifact) must not fail the whole open — only exact
+        // numeric shard dirs are the engine's
+        .flatMap(_.stripPrefix("shard=").toIntOption)
         .toSet
     }
 

@@ -154,8 +154,20 @@ class VersionedStore(val root: Path, conf: Configuration) {
     val oldestKept = keepSeq.lastOption
     val f = fs
     if (f.exists(root)) {
-      f.listStatus(root).foreach { st =>
-        val name = st.getPath.getName
+      val listed = f.listStatus(root).map(_.getPath.getName)
+      // .building markers INSIDE their retention window mark builds in
+      // flight: their data dirs must survive cleanup, or the marker pins
+      // isUpdating=true on a dataless build and the eventual
+      // succeedVersion publishes an EMPTY version (silent key-absent for
+      // every key). Markers BELOW the window age out like failed markers
+      // — a LOWER-id build racing cleanup has always been destructive;
+      // don't run one.
+      val inFlightKept = listed.iterator
+        .filter(_.endsWith(".building"))
+        .flatMap(_.stripSuffix(".building").toLongOption)
+        .filterNot(v => oldestKept.exists(v < _))
+        .toSet
+      listed.foreach { name =>
         if (name.endsWith(".failed")) {
           name.stripSuffix(".failed").toLongOption.foreach { v =>
             if (oldestKept.exists(v < _)) f.delete(failedPath(v), false)
@@ -163,11 +175,7 @@ class VersionedStore(val root: Path, conf: Configuration) {
         } else if (name.endsWith(".building")) {
           // a build that crashed BEFORE its first output leaves only the
           // marker (no dir for the dir branch to reap) — age it out like
-          // failed markers, or isUpdating pins true forever. NOTE: like
-          // the dir branch below (which deletes an in-flight build's DATA
-          // below the kept window), this assumes version ids only grow —
-          // running cleanup concurrently with a LOWER-id build has always
-          // been destructive to that build; don't do it.
+          // failed markers, or isUpdating pins true forever
           name.stripSuffix(".building").toLongOption.foreach { v =>
             if (oldestKept.exists(v < _)) f.delete(buildingPath(v), false)
           }
@@ -175,7 +183,9 @@ class VersionedStore(val root: Path, conf: Configuration) {
           val version =
             if (name.endsWith(".version")) name.stripSuffix(".version").toLongOption
             else name.toLongOption
-          version.foreach { v => if (!keep.contains(v)) deleteVersion(v) }
+          version.foreach { v =>
+            if (!keep.contains(v) && !inFlightKept.contains(v)) deleteVersion(v)
+          }
         }
       }
     }

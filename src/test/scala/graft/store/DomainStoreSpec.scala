@@ -902,13 +902,34 @@ class DomainStoreSpec extends SparkSuite {
   test("version store: unsucceeded versions invisible, cleanup keeps newest k") {
     val vs = new VersionedStore(scratch("vs"), conf)
     Seq(1L, 2L, 3L).foreach { v => vs.createVersion(v); vs.succeedVersion(v) }
-    vs.createVersion(10L) // never succeeded
+    vs.createVersion(10L) // in flight (never succeeded), id above the kept window
     assert(vs.getAllVersions === Seq(3L, 2L, 1L))
     assert(vs.mostRecentVersion === Some(3L))
     assert(vs.mostRecentVersion(2L) === Some(2L))
+    // write something into the in-flight dir: cleanup must NOT reap an
+    // in-flight build's data while its .building marker survives — that
+    // would pin isUpdating on a dataless build and let the eventual
+    // succeedVersion publish an EMPTY version (silent key-absent)
+    locally {
+      val out = vs.fs.create(new org.apache.hadoop.fs.Path(vs.versionPath(10L), "part"), true)
+      out.write(42); out.close()
+    }
     vs.cleanup(2)
     assert(vs.getAllVersions === Seq(3L, 2L))
-    assert(!vs.fs.exists(vs.versionPath(10L)), "cleanup reaps unsucceeded partial dirs")
+    assert(vs.fs.exists(vs.versionPath(10L)),
+      "cleanup keeps an in-flight build's data dir (its .building marker is in-window)")
+    assert(vs.inFlightVersions === Seq(10L))
+    // resolving the build (fail here) releases it; the next cleanup reaps nothing extra
+    vs.failVersion(10L)
+    assert(!vs.fs.exists(vs.versionPath(10L)))
+    assert(vs.inFlightVersions === Nil)
+    vs.deleteVersion(10L) // forget the failure marker for the assertions below
+    // an ABANDONED partial dir (marker aged below the window) still reaps:
+    // version 0 is older than oldestKept(2) so both marker and dir go
+    vs.createVersion(0L)
+    vs.cleanup(2)
+    assert(!vs.fs.exists(vs.versionPath(0L)), "below-window partial dirs still reap")
+    assert(vs.inFlightVersions === Nil, "its stale .building marker aged out with it")
 
     // failure markers: explicit delete forgets them; cleanup ages out
     // markers older than the retention window but keeps recent ones
