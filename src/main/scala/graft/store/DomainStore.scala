@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -101,6 +101,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     try {
       writeShards(kv, version)
       buildIndex(df.sparkSession, version, onlyShards = None)
+      writeOriginsManifest(version, _ => version) // full rebuild: every shard is new
       versions.succeedVersion(version)
     } catch {
       case e: Throwable =>
@@ -1131,6 +1132,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         // rewritten shards need fresh ones (a stale bloom would rule out
         // the very keys this upsert added).
         buildIndex(spark, newVersion, onlyShards = Some(affected))
+        // provenance: rewritten shards originate here, carried ones keep
+        // their last-rewrite version (transitively, via the old manifest)
+        val prevOrigins = DomainStore.readOriginsAt(
+          root.getFileSystem(conf), versions.versionPath(oldVersion))
+        writeOriginsManifest(newVersion, s =>
+          if (affected(s)) newVersion
+          else prevOrigins.flatMap(_.get(s)).getOrElse(oldVersion))
         versions.succeedVersion(newVersion)
       } catch {
         case e: Throwable =>
@@ -1178,16 +1186,178 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       host: String,
       distributeAbove: Int = DomainStore.DefaultDistributeAbove,
       maxKBps: Option[Int] = None): Seq[Int] = {
-    // The ring must be built for EXACTLY this domain's shard count: a
-    // ring over fewer shards passes any per-id bound check, yet the
-    // union of every host's pull would miss whole shards — each one a
-    // silent 'key absent' for every key routing there.
+    val mine = requireRingSubset(ring, host)
+    localize(version, destDir, Some(mine.toSeq.sorted), distributeAbove, maxKBps)
+  }
+
+  /** The ring must be built for EXACTLY this domain's shard count: a
+    * ring over fewer shards passes any per-id bound check, yet the
+    * union of every host's pull would miss whole shards — each one a
+    * silent 'key absent' for every key routing there. */
+  private def requireRingSubset(ring: ShardRing.Index, host: String): Set[Int] = {
     require(ring.shardsToHosts.keySet == (0 until numShards).toSet,
       s"ring covers shards ${ring.shardsToHosts.keySet.toSeq.sorted.mkString(",")} " +
         s"but the domain has $numShards — generate the ring with shardCount = numShards")
     val mine = ring.shardSet(host)
     require(mine.nonEmpty, s"ring assigns no shards to host '$host'")
-    localize(version, destDir, Some(mine.toSeq.sorted), distributeAbove, maxKBps)
+    mine
+  }
+
+  /**
+   * Delta-aware, VERSIONED serving pull — the transfer half of the
+   * reference's updater cycle, minus its wholesale re-download: the
+   * reference re-fetched every assigned shard for each new version
+   * (`common/domain.clj:363-405`), but this engine's publishes are
+   * copy-forward (O(delta), [[upsert]]), so for a typical incremental
+   * publish almost every shard file a host already holds is byte-identical
+   * to the new version's. This pull keeps the host's local dir as its own
+   * versioned store (`<localRoot>/domain-spec.json`,
+   * `<localRoot>/<v>/shard=<i>`, `<v>.version` tokens — directly openable
+   * by [[KvDomainReader.open]], whose `refresh()` then hot-swaps to each
+   * pulled version) and for each assigned shard of `version`:
+   *
+   *  - REUSES the shard locally when the publish PROVENANCE manifests
+   *    (`_origins.json`, written by every engine publish: the version
+   *    that last rewrote each present shard) say it is unchanged since
+   *    the host's newest previously-pulled version — copy-forward
+   *    carries untouched dirs byte-verbatim, so equal origins means
+   *    identical bytes, decided with ZERO remote reads beyond one small
+   *    manifest. Reuse is a hardlink where the local filesystem supports
+   *    it, a local copy otherwise. (Content probing — length + trailer
+   *    tail — is deliberately NOT used: a same-length rewrite outside
+   *    the probed window defeats it; provenance is exact.)
+   *  - TRANSFERS it from the domain (throttled by `maxKBps` if set)
+   *    when it changed, is new, no previous local version exists, or
+   *    either side lacks a manifest (pre-manifest version, foreign
+   *    layout — reuse claims need proof, absence degrades to the
+   *    reference's full pull, never to a wrong byte).
+   *
+   * Runs entirely on the calling host's thread pool — never as a Spark
+   * job: the pull writes THIS box's local disk, which no executor can
+   * reach, and the byte throttle is one in-process token bucket (the
+   * reference's one-throttle-agent-per-box). Old local versions beyond
+   * `keepLocalVersions` are reaped after the new publish (the newest
+   * previous version must survive: it is the next pull's reuse source
+   * and may still be serving in-flight reads).
+   *
+   * Idempotent: a version already pulled and published locally returns
+   * an empty delta without touching the network.
+   */
+  def localizeVersionForHost(
+      version: Long,
+      localRoot: Path,
+      ring: ShardRing.Index,
+      host: String,
+      maxKBps: Option[Int] = None,
+      keepLocalVersions: Int = 2): DomainStore.LocalizeDelta = {
+    require(versions.isPublished(version), s"version $version not published under $root")
+    require(keepLocalVersions >= 2,
+      s"keepLocalVersions must be >= 2 (the previous version is the reuse " +
+        s"source and may still be serving), got $keepLocalVersions")
+    val mine = requireRingSubset(ring, host)
+    val localFs = localRoot.getFileSystem(conf)
+    // the local root is a self-describing domain dir: write the spec on
+    // first pull so KvDomainReader.open works on it; later pulls must
+    // find the SAME spec (a localRoot shared across domains would
+    // silently interleave shard files)
+    val specPath = new Path(localRoot, DomainSpec.FileName)
+    if (localFs.exists(specPath)) {
+      val existing = DomainStore.readSpec(localRoot, conf)
+      require(existing == spec,
+        s"local root $localRoot already holds a different domain: $existing vs $spec")
+    } else {
+      localFs.mkdirs(localRoot)
+      val out = localFs.create(specPath, true)
+      out.write(spec.toJson.getBytes("UTF-8"))
+      out.close()
+    }
+    val localVs = new VersionedStore(localRoot, conf)
+    if (localVs.isPublished(version))
+      return DomainStore.LocalizeDelta(Nil, Nil)
+    val reuseFrom = localVs.mostRecentVersion.map(localVs.versionPath)
+    val newDir = localVs.createVersion(version)
+    try {
+      val srcVersionDir = versions.versionPath(version)
+      val srcFs = root.getFileSystem(conf)
+      // Reuse is decided by PROVENANCE, not content probing: the publish
+      // manifests record which version last rewrote each present shard,
+      // and copy-forward carries untouched dirs byte-verbatim — equal
+      // origins ⟹ identical bytes, at the cost of ONE small manifest
+      // read per side (the previous pull parked its copy locally). No
+      // manifest (older build, foreign layout) ⟹ no reuse claims: fall
+      // back to per-shard existence probes and full transfer.
+      val newOrigins = DomainStore.readOriginsAt(srcFs, srcVersionDir)
+      val prevOrigins = reuseFrom.flatMap(d => DomainStore.readOriginsAt(localFs, d))
+      val throttle = maxKBps.map(new TransferThrottle(_))
+      import scala.collection.parallel.CollectionConverters._
+      val outcomes: List[(Int, Boolean)] = mine.toSeq.sorted.par.flatMap { s =>
+        val present = newOrigins match {
+          case Some(o) => o.contains(s) // manifest key set = present shards
+          case None => srcFs.exists(new Path(srcVersionDir, s"shard=$s"))
+        }
+        if (!present) None // empty shard writes no dir
+        else {
+          val dstShard = new Path(newDir, s"shard=$s")
+          val prevShard = reuseFrom.map(d => new Path(d, s"shard=$s"))
+          val reusable = (newOrigins, prevOrigins) match {
+            case (Some(no), Some(po)) =>
+              no.get(s) == po.get(s) && po.contains(s) &&
+                prevShard.exists(localFs.exists) // crash-gap guard: local copy must exist
+            case _ => false
+          }
+          if (reusable) {
+            DomainStore.reuseShardDir(localFs, prevShard.get, dstShard)
+            Some(s -> true)
+          } else {
+            throttle match {
+              case Some(th) => DomainStore.copyShardDirThrottled(
+                srcVersionDir.toString, newDir.toString, s, replace = true, conf, th)
+              case None => DomainStore.copyShardDir(
+                srcVersionDir.toString, newDir.toString, s, replace = true, conf)
+            }
+            Some(s -> false)
+          }
+        }
+      }.seq.toList
+      // park the remote manifest beside the pulled shards: the NEXT pull
+      // reads its previous origins locally, so reuse keeps working even
+      // after the domain's retention reaps this version remotely
+      newOrigins.foreach { o =>
+        val out = localFs.create(new Path(newDir, DomainStore.OriginsFileName), true)
+        try out.write(DomainStore.originsToJson(o).getBytes("UTF-8"))
+        finally out.close()
+      }
+      localVs.succeedVersion(version)
+      localVs.cleanup(keepLocalVersions)
+      DomainStore.LocalizeDelta(
+        transferred = outcomes.collect { case (s, false) => s }.sorted,
+        reused = outcomes.collect { case (s, true) => s }.sorted)
+    } catch {
+      case e: Throwable =>
+        localVs.failVersion(version)
+        throw e
+    }
+  }
+
+  /** Write the provenance manifest of a fully-materialized (but not yet
+    * published) version: one listing of the version dir decides which
+    * shards are present; `originOf` supplies each one's last-rewrite
+    * version ([[DomainStore.OriginsFileName]]). Zero data I/O — publish
+    * provenance is driver knowledge. */
+  private[store] def writeOriginsManifest(version: Long, originOf: Int => Long): Unit = {
+    val vd = versions.versionPath(version)
+    val fs = root.getFileSystem(conf)
+    val present =
+      if (!fs.exists(vd)) Seq.empty[Int]
+      else fs.listStatus(vd).iterator
+        .map(_.getPath.getName)
+        .filter(_.startsWith("shard="))
+        .flatMap(_.stripPrefix("shard=").toIntOption)
+        .toSeq
+    val out = fs.create(new Path(vd, DomainStore.OriginsFileName), true)
+    try out.write(
+      DomainStore.originsToJson(present.map(s => s -> originOf(s)).toMap).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Raw FS copy of untouched `shard=<i>` dirs from one version into a
@@ -1385,6 +1555,91 @@ object DomainStore {
     * (the reference's default) still interleaves several streams per
     * second, large enough to amortize the per-read syscall. */
   private[store] val ThrottleChunk: Int = 64 * 1024
+
+  /** Per-shard outcome of [[DomainStore.localizeVersionForHost]]:
+    * `transferred` moved bytes from the domain, `reused` were satisfied
+    * from the host's previous local version (hardlink/local copy). Shards
+    * assigned but absent in the version (empty) appear in neither. */
+  final case class LocalizeDelta(transferred: Seq[Int], reused: Seq[Int])
+
+  /** Per-version provenance manifest, `<version>/_origins.json`: for each
+    * shard PRESENT in the version, the version id that last REWROTE it.
+    * A copy-forward publish carries untouched shard dirs byte-verbatim,
+    * so equal origins ⟹ byte-identical shard content — the EXACT reuse
+    * criterion for the delta serving pull, decided with zero data reads
+    * and zero per-shard remote metadata probes. (A content heuristic —
+    * same length + same trailer tail — is NOT sound: a same-length value
+    * rewrite outside the probed window passes it; this spec's own test
+    * caught that, hence provenance, not probing.) The underscore prefix
+    * keeps every Spark/parquet file-index scan from seeing it as data.
+    * Absent for versions published by older builds or foreign layouts —
+    * consumers must treat "no manifest" as "transfer everything". */
+  private[store] val OriginsFileName = "_origins.json"
+
+  private[store] def originsToJson(m: Map[Int, Long]): String =
+    m.toSeq.sorted.map { case (s, v) => s""""$s":$v""" }.mkString("{", ",", "}")
+
+  private[store] def originsFromJson(s: String): Map[Int, Long] = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").iterator.map { e =>
+      val Array(k, v) = e.split(":").map(_.trim)
+      k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toLong
+    }.toMap
+  }
+
+  /** The provenance manifest of a version dir, if present and parseable
+    * (a corrupt manifest reads as absent — the consumer then transfers,
+    * never reuses wrongly). */
+  private[store] def readOriginsAt(fs: FileSystem, versionDir: Path): Option[Map[Int, Long]] = {
+    val p = new Path(versionDir, OriginsFileName)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0L, buf)
+        finally in.close()
+        Some(originsFromJson(new String(buf, "UTF-8")))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Materialize `newShard` from the host's own `prevShard` without
+    * touching the network: per file, a hardlink when both live on the
+    * local filesystem (versions are immutable, so shared inodes are safe
+    * — delete of either version just unlinks), a within-FS stream copy
+    * otherwise (object stores, ramfs). */
+  private[store] def reuseShardDir(
+      dstFs: FileSystem,
+      prevShard: Path,
+      newShard: Path): Unit = {
+    val local = dstFs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      dstFs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    def place(src: Path, dst: Path): Unit = {
+      val st = dstFs.getFileStatus(src)
+      if (st.isDirectory) {
+        dstFs.mkdirs(dst)
+        dstFs.listStatus(src).foreach(c =>
+          place(c.getPath, new Path(dst, c.getPath.getName)))
+      } else {
+        val linked = local && {
+          try {
+            val from = java.nio.file.Paths.get(src.toUri.getPath)
+            val to = java.nio.file.Paths.get(dst.toUri.getPath)
+            java.nio.file.Files.createDirectories(to.getParent)
+            java.nio.file.Files.deleteIfExists(to)
+            java.nio.file.Files.createLink(to, from)
+            true
+          } catch { case _: Exception => false } // cross-device / unsupported
+        }
+        if (!linked) FileUtil.copy(dstFs, src, dstFs, dst, false, true, dstFs.getConf)
+      }
+    }
+    dstFs.delete(newShard, true) // replace semantics, like copyShardDir
+    place(prevShard, newShard)
+  }
 
   /** Stream one shard's sorted rows into `shard=<i>/part-0.kv` — runs
     * inside the shard's executor task (static: the closure must not drag
@@ -1604,6 +1859,7 @@ object DomainStore {
           src.readPartitioned(spark).select(col("shard"), col("key"), col("value")),
           version)
         dst.buildIndex(spark, version, onlyShards = None)
+        dst.writeOriginsManifest(version, _ => version)
         dst.versions.succeedVersion(version)
       } catch {
         case e: Throwable =>

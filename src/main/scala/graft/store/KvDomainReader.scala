@@ -444,15 +444,33 @@ object KvDomainReader {
     * `domain-spec.json` or reference `domain-spec.yaml` accepted — the
     * resolution is [[DomainStore.readSpec]], shared so the serving reader
     * can never accept/reject a spec the store half wouldn't). */
-  def open(root: String, conf: Configuration): KvDomainReader = {
+  def open(root: String, conf: Configuration): KvDomainReader =
+    open(root, conf, None)
+
+  /** As [[open]], with a declared hosted-shard set (the ring assignment)
+    * — the versioned-serving twin of [[localized]]'s `hostedShards`: a
+    * probe routed outside the set fails loud (wrong host) instead of
+    * reading as 'key absent'. This is the reader shape a serving box uses
+    * over its [[DomainStore.localizeVersionForHost]]-maintained local
+    * root: the root is a full versioned store holding only this host's
+    * shard subset, so `refresh()` follows each pulled version while
+    * misroutes stay loud. */
+  def open(
+      root: String,
+      conf: Configuration,
+      hostedShards: Option[Set[Int]]): KvDomainReader = {
     RamFileSystem.register(conf)
     val rootPath = new Path(root)
     val spec = DomainStore.readSpec(rootPath, conf)
+    hostedShards.foreach { hs =>
+      require(hs.forall(s => s >= 0 && s < spec.numShards),
+        s"hostedShards ${hs.toSeq.sorted} out of range for ${spec.numShards} shards")
+    }
     val versions = new VersionedStore(rootPath, conf)
     val version = versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     new KvDomainReader(
-      versions.versionPath(version), version, Some(versions), None, spec, conf)
+      versions.versionPath(version), version, Some(versions), hostedShards, spec, conf)
   }
 
   /** Serve a `DomainStore.localize` output dir (bare `shard=<i>` subset).

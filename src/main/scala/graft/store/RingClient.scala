@@ -111,7 +111,63 @@ final class RingClient(
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
+  /** Hot-swap every underlying reader to the newest version its local
+    * root publishes ([[KvDomainReader.refresh]]) — the client half of the
+    * reference's `updateAll` RPC (core.thrift:86-87): each host swaps
+    * atomically for itself; hosts are independent, so mixed versions
+    * during a roll are legal (they were in the reference too — a ring
+    * mid-update served old and new versions side by side). Returns
+    * host → whether a newer version was swapped in. Readers without
+    * version history (bare localized subsets) are reported false rather
+    * than failing the whole ring. */
+  def refreshAll(): Map[String, Boolean] =
+    readers.map { case (host, r) =>
+      host -> (try r.refresh() catch { case _: IllegalStateException => false })
+    }
+
+  private[store] def reader(host: String): KvDomainReader = readers(host)
+
   /** Close every underlying reader. */
   def close(): Unit = readers.values.foreach(r =>
     try r.close() catch { case _: Exception => () })
+}
+
+object RingClient {
+
+  /**
+   * One complete ring update cycle — the reference updater daemon's
+   * `update/updateAll` (core.thrift:86-87, `common/database.clj:45-57`:
+   * download the new version to every host, then swap each server) as a
+   * batch orchestration: hosts roll SEQUENTIALLY, each one
+   * [[DomainStore.localizeVersionForHost]]-pulling the version into its
+   * local versioned root (delta-aware: unchanged shards hardlink/copy
+   * locally, only changed ones transfer) and then hot-swapping its reader
+   * via [[KvDomainReader.refresh]]. Per-host atomicity: a host's reader
+   * always serves a COMPLETE published version — before its swap the old
+   * one, after it the new one — and in-flight gets finish on the version
+   * they started on. Mixed versions across hosts during the roll are
+   * legal, exactly as in the reference. Returns host → per-shard
+   * transfer/reuse outcome.
+   *
+   * Concurrent queries through the client keep answering during the
+   * whole roll; a host that fails its pull stops the roll (remaining
+   * hosts keep serving the old version — rerun after fixing; the pull is
+   * idempotent per version, so completed hosts no-op).
+   */
+  def updateRing(
+      client: RingClient,
+      store: DomainStore,
+      version: Long,
+      ring: ShardRing.Index,
+      hostRoots: Map[String, org.apache.hadoop.fs.Path],
+      maxKBps: Option[Int] = None): Map[String, DomainStore.LocalizeDelta] = {
+    require(ring.hostsToShards.keySet.subsetOf(hostRoots.keySet),
+      s"hosts ${ring.hostsToShards.keySet -- hostRoots.keySet} have no local root")
+    ring.hostsToShards.keySet.toSeq.sorted.map { host =>
+      val delta = store.localizeVersionForHost(
+        version, hostRoots(host), ring, host, maxKBps)
+      client.reader(host).refresh()
+      host -> delta
+    }.toMap
+  }
 }
