@@ -34,16 +34,31 @@ object Status {
   def report(spark: SparkSession, catalogRoot: String, conf: Configuration): DataFrame = {
     import spark.implicits._
     val cat = new DomainCatalog(catalogRoot, conf)
-    val rows = cat.metadataAll.map { m =>
+    // Domains are independent metadata work: run them on the driver pool,
+    // and fold shard totals in plain Scala off the driver-side stats tier
+    // — a catalog of hundreds of small domains starts ZERO Spark jobs
+    // here (only a distributed-scale domain, numShards above the
+    // two-tier threshold, pays one, and only index domains pay their
+    // census). Sequential per-domain Spark aggregates made the ops
+    // dashboard itself O(domains) jobs.
+    import scala.collection.parallel.CollectionConverters._
+    val rows = cat.metadataAll.par.map { m =>
       val servable =
         m.spec.persistenceFormat == DomainSpec.KvSorted ||
           m.spec.persistenceFormat == DomainSpec.KvSortedZ
       // one open per domain (DomainStore.open touches the FS): shared by
-      // the stats aggregate and the index census below
+      // the stats fold and the index census below
       lazy val store = cat.domain(m.name)
       val (nRows, nBytes, maxShard, minShard, emptyShards) =
         if (m.latestVersion.isEmpty) (0L, 0L, 0L, 0L, m.spec.numShards.toLong)
-        else {
+        else if (m.spec.numShards <= graft.store.DomainStore.DefaultDistributeAbove) {
+          val stats = store.shardStatsLocal()
+          (stats.map(_._2).sum,
+            stats.map(_._3).sum,
+            if (stats.isEmpty) 0L else stats.map(_._2).max,
+            if (stats.isEmpty) 0L else stats.map(_._2).min,
+            stats.count(_._2 == 0L).toLong)
+        } else {
           val agg = store.shardStats(spark)
             .agg(
               coalesce(sum("n_rows"), lit(0L)),
@@ -75,7 +90,7 @@ object Status {
         m.latestVersion, m.versions.size, m.failedVersions.size,
         nRows, nBytes, maxShard, minShard, emptyShards,
         indexType, indexSummary)
-    }
+    }.seq.toSeq
     rows.toDF(
       "domain", "status", "updating", "num_shards", "persistence_format",
       "latest_version", "n_versions", "n_failed_versions",

@@ -460,36 +460,37 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * (the 64k-shard regime, where even directory listing must not be a
     * serial driver loop). Missing shard dirs (empty shards) report
     * (shard, 0, 0) so the histogram is always numShards rows. */
+  /** Driver-side shard stats (shard, n_rows, n_bytes) for the latest
+    * version — metadata only (footer/trailer counts + file lengths),
+    * parallel on the driver pool, ZERO Spark jobs. The small-shard-count
+    * tier of [[shardStats]]; ops surfaces ([[graft.Status]]) fold these
+    * in plain Scala so a catalog of hundreds of domains costs no
+    * per-domain job. Above [[DomainStore.DefaultDistributeAbove]] shards,
+    * use the distributed [[shardStats]] instead. */
+  private[graft] def shardStatsLocal(): List[(Int, Long, Long)] = {
+    val base = versions.versionPath(latestVersion).toString
+    import scala.collection.parallel.CollectionConverters._
+    (0 until numShards).par
+      .map(s => DomainStore.shardStatsOf(base, format, fileSuffix, s, conf))
+      .toList
+  }
+
   def shardStats(
       spark: SparkSession,
       distributeAbove: Int = DomainStore.DefaultDistributeAbove): DataFrame = {
     import spark.implicits._
-    val vp = versions.versionPath(latestVersion)
-    val confEntries = DomainStore.serializableConf(conf)
-    val (base, fmt, suffix) = (vp.toString, format, fileSuffix)
-    def statsOf(s: Int, c: Configuration): (Int, Long, Long) = {
-      val d = new Path(base, s"shard=$s")
-      val fs = d.getFileSystem(c)
-      if (!fs.exists(d)) (s, 0L, 0L)
-      else {
-        val fls = fs.listStatus(d).filter(_.getPath.getName.endsWith(suffix))
-        (s,
-          fls.map(st => DomainStore.footerRowCount(st.getPath, fmt, c)).sum,
-          fls.map(_.getLen).sum)
-      }
-    }
     val rows =
-      if (numShards > distributeAbove)
+      if (numShards > distributeAbove) {
+        val base = versions.versionPath(latestVersion).toString
+        val confEntries = DomainStore.serializableConf(conf)
+        val (fmt, suffix) = (format, fileSuffix)
         spark.createDataset(0 until numShards)
           .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
           .mapPartitions { it =>
             val c = DomainStore.rebuildConf(confEntries)
-            it.map(s => statsOf(s, c))
+            it.map(s => DomainStore.shardStatsOf(base, fmt, suffix, s, c))
           }
-      else {
-        import scala.collection.parallel.CollectionConverters._
-        spark.createDataset((0 until numShards).par.map(s => statsOf(s, conf)).toList)
-      }
+      } else spark.createDataset(shardStatsLocal())
     rows.toDF("shard", "n_rows", "n_bytes")
   }
 
@@ -1459,6 +1460,26 @@ object DomainStore {
     * comfortably bounded — while every sane point-lookup batch (and the
     * banded probe sets of an incremental dedup delta) sits far below it. */
   val MaxDriverKeys: Int = 262144
+
+  /** One shard's (shard, rows, bytes) from metadata only — static so the
+    * distributed tier's closure never drags the store (with its
+    * non-serializable Configuration) along. */
+  private[store] def shardStatsOf(
+      base: String,
+      fmt: String,
+      suffix: String,
+      s: Int,
+      c: Configuration): (Int, Long, Long) = {
+    val d = new Path(base, s"shard=$s")
+    val fs = d.getFileSystem(c)
+    if (!fs.exists(d)) (s, 0L, 0L)
+    else {
+      val fls = fs.listStatus(d).filter(_.getPath.getName.endsWith(suffix))
+      (s,
+        fls.map(st => footerRowCount(st.getPath, fmt, c)).sum,
+        fls.map(_.getLen).sum)
+    }
+  }
 
   /** Hadoop `Configuration` is not serializable: distributed closures ship
     * it as plain entries and rebuild per partition — ONE definition for

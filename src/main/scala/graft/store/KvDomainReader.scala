@@ -283,10 +283,16 @@ final class KvDomainReader private (
             } else {
               val sorted = maybe.sortWith((a, b) =>
                 java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
-              val p = new Path(g.shardDir(shard), KvFile.DataFileName)
-              val fresh = KvFile.open(fs, p)
+              // Merge pass on the CACHED reader when the format's
+              // sequential reads are positioned-only (kvz: its block
+              // index loaded once at open stays reused across every
+              // dense batch); a seek-pointer-owning format (plain kv)
+              // gets a fresh handle per pass — cheap there, its open is
+              // one 20-byte trailer read.
+              val merge = if (r.concurrentIterators) r
+                else KvFile.open(fs, new Path(g.shardDir(shard), KvFile.DataFileName))
               try {
-                val it = fresh.iterator
+                val it = merge.iterator
                 var cur: (Array[Byte], Array[Byte]) = null
                 sorted.foreach { case (k, i) =>
                   while ((cur == null || java.util.Arrays.compareUnsigned(cur._1, k) < 0)
@@ -296,7 +302,7 @@ final class KvDomainReader private (
                       Some(cur._2)
                     else None
                 }
-              } finally fresh.close()
+              } finally if (merge ne r) merge.close()
             }
         }
       }

@@ -46,6 +46,14 @@ trait ShardReader extends AutoCloseable {
     * reads; formats with costlier probes (block read + inflate) override
     * with a lower ratio. */
   def lookupScanRatio: Int = KvFile.LookupScanRatio
+  /** True when [[iterator]]/[[keysIterator]]/[[range]] use positioned
+    * reads only — no seek-pointer ownership, so any number of sequential
+    * passes may interleave on ONE open reader (and with lookups). Batch
+    * consumers then run merge scans on a long-lived cached reader,
+    * reusing whatever index it loaded at open; formats whose sequential
+    * iterators own the handle's seek pointer keep the default `false`
+    * and batch consumers must open a fresh (cheap) handle per pass. */
+  def concurrentIterators: Boolean = false
   def close(): Unit
 }
 
@@ -253,8 +261,26 @@ object KvFile {
     private def recordOffset(i: Long): Long = {
       val b = new Array[Byte](8)
       in.readFully(indexOffset + 8L * i, b)
-      ByteBuffer.wrap(b).getLong
+      val off = ByteBuffer.wrap(b).getLong
+      // a corrupted index entry must fail NAMED here, not as an
+      // EOF/absurd-allocation deep inside the record read
+      require(off >= 4 && off + 8 <= indexOffset,
+        s"$name: corrupt GKV1 offset index (entry $i -> $off outside data region [4, $indexOffset))")
+      off
     }
+
+    /** Record-shape guard shared by every read path: lengths must fit the
+      * data region, or a flipped byte becomes a named corruption error
+      * instead of a negative-size allocation, an OOM-sized buffer, or an
+      * unnamed EOF past the region. (Value BYTES carry no checksum in
+      * GKV1 — pread cost is the format's priority; [[KvzFile]] is the
+      * integrity-checked engine, every block ADLER32-verified.) */
+    private def checkRecordShape(off: Long, keyLen: Int, valLen: Int): Unit =
+      require(
+        keyLen >= 0 && valLen >= -1 &&
+          off + 8L + keyLen + math.max(valLen, 0) <= indexOffset,
+        s"$name: corrupt GKV1 record at offset $off " +
+          s"(keyLen=$keyLen valLen=$valLen data region ends at $indexOffset)")
 
     /** (key, valLen, valuePos) of the record at a data offset. */
     private def readHeader(off: Long): (Array[Byte], Int, Long) = {
@@ -263,6 +289,7 @@ object KvFile {
       val bb = ByteBuffer.wrap(hdr)
       val keyLen = bb.getInt
       val valLen = bb.getInt
+      checkRecordShape(off, keyLen, valLen)
       val key = new Array[Byte](keyLen)
       in.readFully(off + 8L, key)
       (key, valLen, off + 8L + keyLen)
@@ -316,16 +343,19 @@ object KvFile {
       val data = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
       new Iterator[(Array[Byte], Array[Byte])] {
         private var i = 0L
+        private var off = 4L
         def hasNext: Boolean = i < n
         def next(): (Array[Byte], Array[Byte]) = {
           val keyLen = data.readInt()
           val valLen = data.readInt()
+          checkRecordShape(off, keyLen, valLen)
           val k = new Array[Byte](keyLen)
           data.readFully(k)
           val v =
             if (valLen < 0) null
             else { val b = new Array[Byte](valLen); data.readFully(b); b }
           i += 1
+          off += 8L + keyLen + math.max(valLen, 0)
           (k, v)
         }
       }
@@ -354,10 +384,13 @@ object KvFile {
         val data = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
         new Iterator[Array[Byte]] {
           private var i = 0L
+          private var off = 4L
           def hasNext: Boolean = i < n
           def next(): Array[Byte] = {
             val keyLen = data.readInt()
             val valLen = data.readInt()
+            checkRecordShape(off, keyLen, valLen)
+            off += 8L + keyLen + math.max(valLen, 0)
             val k = new Array[Byte](keyLen)
             data.readFully(k)
             if (valLen > 0) {
@@ -385,6 +418,7 @@ object KvFile {
           val bb = ByteBuffer.wrap(probe)
           val keyLen = bb.getInt
           val valLen = bb.getInt
+          checkRecordShape(off, keyLen, valLen)
           val k = new Array[Byte](keyLen)
           if (keyLen <= got - 8) System.arraycopy(probe, 8, k, 0, keyLen)
           else in.readFully(off + 8L, k)
@@ -441,12 +475,15 @@ object KvFile {
       new Iterator[(Array[Byte], Array[Byte])] {
         private var i = start
         private var done = false
+        private var off = if (start == 0) 4L else recordOffset(start)
         private var pending: (Array[Byte], Array[Byte]) = _
         private def advance(): Unit = {
           if (done || pending != null) return
           if (i >= n) { done = true; return }
           val keyLen = data.readInt()
           val valLen = data.readInt()
+          checkRecordShape(off, keyLen, valLen)
+          off += 8L + keyLen + math.max(valLen, 0)
           val k = new Array[Byte](keyLen)
           data.readFully(k)
           i += 1

@@ -192,6 +192,10 @@ object KvzFile {
           rawLens(i) = bb.getInt
           compLens(i) = bb.getInt
           val kl = bb.getInt
+          // validate before allocating: a flipped length byte must read as
+          // a named corruption, not a negative-size or multi-GB allocation
+          require(kl >= 0 && kl <= bb.remaining(),
+            s"$name: corrupt GKZ1 block index (entry $i firstKeyLen=$kl, ${bb.remaining()} bytes left)")
           val k = new Array[Byte](kl)
           bb.get(k)
           keys(i) = k
@@ -209,6 +213,11 @@ object KvzFile {
             s"rawLen=${rawLens(j)} compLen=${compLens(j)})")
         require(j == 0 || firsts(j) > firsts(j - 1),
           s"$name: corrupt GKZ1 block index (block $j firstRecord=${firsts(j)} not increasing)")
+        // firstKeys steer the lookup/range binary searches: an out-of-order
+        // entry (a flipped byte) would silently misroute probes to the
+        // wrong block — reading as 'key absent' — instead of failing named
+        require(j == 0 || java.util.Arrays.compareUnsigned(keys(j - 1), keys(j)) <= 0,
+          s"$name: corrupt GKZ1 block index (block $j firstKey out of order)")
         expect += compLens(j)
         j += 1
       }
@@ -233,6 +242,13 @@ object KvzFile {
     override def lookupScanRatio: Int =
       if (blockCount == 0) 1
       else math.max(1, math.min(Int.MaxValue.toLong, recordCount / blockCount).toInt)
+
+    /** Every read here is positioned (block loads pread their block), so
+      * sequential passes never own a seek pointer — batch merge scans may
+      * run straight on a cached reader, reusing the block index this open
+      * already paid for (reloading it per batch call was the exact cost
+      * [[KvFile.count]] was taught to avoid). */
+    override def concurrentIterators: Boolean = true
 
     // Benign-race one-block cache: concurrent lookups may both miss and
     // both decompress — correct either way, and key-sorted batches hit.

@@ -71,4 +71,39 @@ class StatusSpec extends SparkSuite {
     assert(b.getLong(idx("max_shard_rows")) >= b.getLong(idx("min_shard_rows")))
     assert(b.getLong(idx("n_rows")) === bm25.count(spark))
   }
+
+  test("report is one pass: O(1) Spark jobs for a catalog of non-index domains") {
+    import spark.implicits._
+    val root = scratch("status-jobs")
+    (0 until 6).foreach { i =>
+      val d = DomainStore.create(
+        s"$root/dom$i", DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+      d.write(
+        Seq(s"k$i" -> s"v$i", s"q$i" -> s"w$i").toDF("k", "v")
+          .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+        1L)
+    }
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.LongAdder()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if ("status-pin" == j.properties.getProperty("spark.jobGroup.id"))
+          jobs.increment()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup("status-pin", "status one-pass pin")
+      val got = Status.report(spark, root, conf).collect()
+      spark.sparkContext.clearJobGroup()
+      assert(got.length === 6)
+      assert(got.forall(_.getLong(8) === 2L), "each domain reports its 2 rows")
+      // listener events are async; give the queue a beat
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline && jobs.sum() == 0) Thread.sleep(20)
+      // shard totals fold driver-side: the whole report costs at most the
+      // final local collect (not one aggregate job per domain — 6 domains
+      // under the old shape ran >= 6)
+      assert(jobs.sum() <= 2, s"Status.report started ${jobs.sum()} jobs for 6 plain domains")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -20,6 +20,7 @@ class CountingRamFs extends RamFileSystem {
     val inner = super.open(f, bufferSize)
     val u = makeQualified(f).toUri
     val key = Option(u.getAuthority).getOrElse("") + u.getPath
+    CountingRamFs.addOpen(key)
     new FSDataInputStream(new CountingRamFs.CountingFilter(inner, key))
   }
 }
@@ -33,12 +34,15 @@ object CountingRamFs {
   def register(conf: org.apache.hadoop.conf.Configuration): Unit =
     ConfEntries.foreach { case (k, v) => if (conf.get(k) == null) conf.set(k, v) }
 
-  /** authority+path → bytes read through ctrfs. Global like the ramfs
-    * namespace itself; suites isolate by unique authority. */
+  /** authority+path → bytes read / open() calls through ctrfs. Global
+    * like the ramfs namespace itself; suites isolate by unique authority. */
   private val bytesRead = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val opens = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def add(key: String, n: Long): Unit =
     if (n > 0) bytesRead.merge(key, n, (a, b) => a + b)
+
+  private def addOpen(key: String): Unit = opens.merge(key, 1L, (a, b) => a + b)
 
   /** Total bytes read from files whose authority+path starts with `prefix`. */
   def bytesUnder(prefix: String): Long = {
@@ -47,8 +51,17 @@ object CountingRamFs {
     sum
   }
 
-  def reset(authority: String): Unit =
+  /** Total open() calls on files whose authority+path starts with `prefix`. */
+  def opensUnder(prefix: String): Long = {
+    var sum = 0L
+    opens.forEach((k, v) => if (k.startsWith(prefix)) sum += v)
+    sum
+  }
+
+  def reset(authority: String): Unit = {
     bytesRead.keySet.removeIf(_.startsWith(authority + "/"))
+    opens.keySet.removeIf(_.startsWith(authority + "/"))
+  }
 
   /** Counting pass-through that stays Seekable + PositionedReadable so
     * FSDataInputStream accepts it; every byte surfaced to the caller is
