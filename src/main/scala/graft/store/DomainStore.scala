@@ -113,10 +113,21 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   /** Materialize the canonical sharded+sorted layout of a version — the
     * shared write engine of [[write]] and [[upsert]]. Datasource formats
     * go through Spark's writer; the kv format streams each shard's sorted
-    * run through [[KvFile.write]] inside the shard's own task. */
-  private def writeShards(kv: DataFrame, version: Long): Unit =
-    if (isKv) writeKvShards(kv, version)
-    else shardedSorted(kv)
+    * run through [[KvFile.write]] inside the shard's own task.
+    *
+    * `partitions`: write-task count. The full build defaults to one task
+    * per shard (numShards — retry/straggler granularity at corpus scale);
+    * an UPSERT rewrites only its affected shards and must size the job to
+    * THEM — scheduling numShards tasks for a 5-key delta is 64k empty
+    * tasks of pure overhead at the 100 TB shard counts (measured: ~80 s
+    * of scheduling for a no-op at 64k on the metadata-scale smoke).
+    * Correctness needs only "each shard's rows in ONE task, sorted by
+    * (shard, key)" — hash-partitioning by the shard VALUE gives that at
+    * any partition count ([[writeSortedKvRows]] splits consecutive shard
+    * groups; the datasource writer's partitionBy splits by value). */
+  private def writeShards(kv: DataFrame, version: Long, partitions: Option[Int] = None): Unit =
+    if (isKv) writeKvShards(kv, version, partitions)
+    else shardedSorted(kv, partitions)
       .write
       .format(format)
       .option("compression", "zstd")
@@ -133,11 +144,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * same determinism argument) as the index sidecars. Rows are keyed by
     * their shard VALUE, never the task/partition id (the narrow-coalesce
     * trap: one task can see several upstream partitions). */
-  private def writeKvShards(kv: DataFrame, version: Long): Unit = {
+  private def writeKvShards(kv: DataFrame, version: Long, partitions: Option[Int] = None): Unit = {
     // mkdirs so an all-empty build still publishes a readable version dir
     versions.versionPath(version).getFileSystem(conf).mkdirs(versions.versionPath(version))
     writeSortedKvRows(
-      shardedSorted(kv).select(col("shard"), col("key"), col("value")), version)
+      shardedSorted(kv, partitions).select(col("shard"), col("key"), col("value")), version)
   }
 
   /** kvz engine tuning via the spec's persistenceOptions — the
@@ -202,12 +213,22 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
   /** The canonical write plan: add shard column, route each shard to exactly
     * one task, sort each shard by key. */
-  private def shardedSorted(kv: DataFrame): DataFrame =
-    kv.withColumn("shard", shard_index(col("key"), numShards))
-      .withColumn("_pid", DomainStore.shardToPartitionId(col("shard"), numShards))
-      .repartition(numShards, col("_pid"))
-      .sortWithinPartitions("shard", "key")
-      .drop("_pid")
+  private def shardedSorted(kv: DataFrame, partitions: Option[Int] = None): DataFrame =
+    partitions match {
+      case None =>
+        // full build: exactly one task per shard (_pid = shard rank)
+        kv.withColumn("shard", shard_index(col("key"), numShards))
+          .withColumn("_pid", DomainStore.shardToPartitionId(col("shard"), numShards))
+          .repartition(numShards, col("_pid"))
+          .sortWithinPartitions("shard", "key")
+          .drop("_pid")
+      case Some(p) =>
+        // delta write: size the job to the delta — hash by shard VALUE
+        // keeps each shard whole in one task at any partition count
+        kv.withColumn("shard", shard_index(col("key"), numShards))
+          .repartition(math.max(1, p), col("shard"))
+          .sortWithinPartitions("shard", "key")
+    }
 
   /**
    * Build per-shard index sidecars for a (not yet published) version — the
@@ -1127,7 +1148,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
       versions.createVersion(newVersion)
       try {
-        writeShards(merged.select("key", "value"), newVersion)
+        writeShards(merged.select("key", "value"), newVersion,
+          partitions = Some(affected.size))
         copyForward(oldVersion, newVersion, (0 until n).filterNot(affected), distributeAbove)
         // Untouched shards carried their sidecars inside the copied dirs;
         // rewritten shards need fresh ones (a stale bloom would rule out

@@ -91,6 +91,23 @@ class RamFileSystem extends FileSystem {
     d != null && d.startsWith(prefix)
   }
 
+  /** Keys sharing `prefix` are CONTIGUOUS in the sorted maps, so every
+    * prefix sweep walks the tail only while it still matches — without
+    * the break these ops are O(total entries) per call, which a 64k-shard
+    * domain turns into minutes of pure scanning (found by the
+    * metadata-scale smoke). */
+  private def prefixKeys(set: java.util.NavigableSet[String], prefix: String): Iterator[String] =
+    new Iterator[String] {
+      private val it = set.tailSet(prefix, true).iterator()
+      private var nextKey: String = advance()
+      private def advance(): String = {
+        if (it.hasNext) { val k = it.next(); if (k.startsWith(prefix)) k else null }
+        else null
+      }
+      def hasNext: Boolean = nextKey != null
+      def next(): String = { val k = nextKey; nextKey = advance(); k }
+    }
+
   override def listStatus(p: Path): Array[FileStatus] = Lock.synchronized {
     val k = key(p)
     if (files.containsKey(k)) return Array(getFileStatus(p))
@@ -102,12 +119,8 @@ class RamFileSystem extends FileSystem {
       val i = rest.indexOf('/')
       if (i < 0) rest else rest.substring(0, i)
     }
-    files.tailMap(prefix).keySet.forEach { f =>
-      if (f.startsWith(prefix)) names += firstSegment(f)
-    }
-    dirs.tailSet(prefix).forEach { d =>
-      if (d.startsWith(prefix)) names += firstSegment(d)
-    }
+    prefixKeys(files.keySet, prefix).foreach(f => names += firstSegment(f))
+    prefixKeys(dirs, prefix).foreach(d => names += firstSegment(d))
     names.iterator.map(n => getFileStatus(new Path(makeQualified(p), n))).toArray
   }
 
@@ -165,10 +178,8 @@ class RamFileSystem extends FileSystem {
       files.put(dk, files.remove(sk))
     } else {
       val prefix = childPrefix(sk)
-      val fKeys = scala.collection.mutable.ArrayBuffer[String]()
-      files.tailMap(prefix).keySet.forEach(k => if (k.startsWith(prefix)) fKeys += k)
-      val dKeys = scala.collection.mutable.ArrayBuffer[String]()
-      dirs.tailSet(prefix).forEach(k => if (k.startsWith(prefix)) dKeys += k)
+      val fKeys = prefixKeys(files.keySet, prefix).toList
+      val dKeys = prefixKeys(dirs, prefix).toList
       fKeys.foreach(k => files.put(dk + k.substring(sk.length), files.remove(k)))
       dKeys.foreach { k => dirs.remove(k); dirs.add(dk + k.substring(sk.length)) }
       dirs.remove(sk)
@@ -185,8 +196,8 @@ class RamFileSystem extends FileSystem {
     if (hasChildren(k) && !recursive)
       throw new IOException(s"ramfs: $p is a non-empty directory and recursive = false")
     val prefix = childPrefix(k)
-    files.keySet.removeIf(f => f.startsWith(prefix))
-    dirs.removeIf(d => d.startsWith(prefix))
+    prefixKeys(files.keySet, prefix).toList.foreach(files.remove)
+    prefixKeys(dirs, prefix).toList.foreach(dirs.remove)
     dirs.remove(k)
     true
   }
