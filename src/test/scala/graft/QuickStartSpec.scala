@@ -206,6 +206,56 @@ class QuickStartSpec extends SparkSuite {
     assert(report.where(col("status") === "ready").count() >= 1)
   }
 
+  test("README quick start: streaming ingest feeds a hot-swapping serving reader") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    import graft.streaming.StreamingDomain
+
+    val srcDir = scratch("quickstart-stream-src")
+    val conf = new Configuration()
+    new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+      .mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    Seq("u1" -> "ada").toDF("k", "v")
+      .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+      .coalesce(1).write.parquet(s"$srcDir/batch0")
+    val store = DomainStore.create(
+      scratch("quickstart-stream-dom"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val kvSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    val ckpt = scratch("quickstart-stream-ckpt")
+
+    // STREAMING ingest → versioned publishes: each micro-batch becomes one
+    // copy-forward upsert publish (version = baseVersion + batchId + 1);
+    // a crash mid-batch leaves the previous version serving, a replayed
+    // batch is a no-op — the reference's updater cycle as one writeStream
+    def drain(): Unit = {
+      val q = StreamingDomain.upsertStream(
+        store, spark.readStream.schema(kvSchema).parquet(s"$srcDir/*"),
+        baseVersion = 0L, queryName = "quickstart_ingest",
+        checkpointDir = ckpt)
+      try q.awaitTermination() finally q.stop()
+    }
+    drain()
+
+    // ...while a serving reader FOLLOWS the publishes via refresh():
+    // servedVersion only moves forward, in-flight gets are never torn
+    val reader = KvDomainReader.open(store.root.toString, conf)
+    try {
+      assert(reader.servedVersion === 1L)
+      assert(reader.get("u1".getBytes("UTF-8"))
+        .map(new String(_, "UTF-8")) === Some("ada"))
+      Seq("u1" -> "ada lovelace", "u2" -> "grace").toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+        .coalesce(1).write.parquet(s"$srcDir/batch1")
+      drain()                               // next micro-batch → version 2
+      assert(reader.refresh() === true)     // the follower hot-swaps to it
+      assert(reader.servedVersion === 2L)
+      assert(reader.get("u2".getBytes("UTF-8"))
+        .map(new String(_, "UTF-8")) === Some("grace"))
+    } finally reader.close()
+  }
+
   private def longBe(v: Long): Array[Byte] =
     java.nio.ByteBuffer.allocate(8).putLong(v).array()
 }
