@@ -1332,12 +1332,22 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
             DomainStore.reuseShardDir(localFs, prevShard.get, dstShard)
             Some(s -> true)
           } else {
-            throttle match {
+            val copied = throttle match {
               case Some(th) => DomainStore.copyShardDirThrottled(
                 srcVersionDir.toString, newDir.toString, s, replace = true, conf, th)
               case None => DomainStore.copyShardDir(
                 srcVersionDir.toString, newDir.toString, s, replace = true, conf)
             }
+            // `present` said this shard HAS data; a copy that finds no
+            // source dir means the remote version was reaped mid-pull
+            // (retention racing a long transfer). Publishing without the
+            // shard would serve silent 'key absent' for every key routed
+            // there — fail the pull loudly instead (the outer catch
+            // leaves a .failed marker; re-pull a still-published version).
+            if (!copied) throw new java.io.FileNotFoundException(
+              s"shard=$s of version $version vanished mid-pull from " +
+                s"$srcVersionDir — remote retention likely reaped the " +
+                "version; refusing to publish an incomplete local copy")
             Some(s -> false)
           }
         }
@@ -1372,11 +1382,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val fs = root.getFileSystem(conf)
     val present =
       if (!fs.exists(vd)) Seq.empty[Int]
-      else fs.listStatus(vd).iterator
-        .map(_.getPath.getName)
-        .filter(_.startsWith("shard="))
-        .flatMap(_.stripPrefix("shard=").toIntOption)
-        .toSeq
+      else DomainStore.listedShardNumbers(
+        fs.listStatus(vd).iterator.map(_.getPath.getName)).toSeq
     val out = fs.create(new Path(vd, DomainStore.OriginsFileName), true)
     try out.write(
       DomainStore.originsToJson(present.map(s => s -> originOf(s)).toMap).getBytes("UTF-8"))
@@ -1648,6 +1655,15 @@ object DomainStore {
       }
     } catch { case _: Exception => None }
   }
+
+  /** ONE definition of "which shards does this version-dir listing
+    * hold": exact `shard=<int>` entries only — a foreign name
+    * ('shard=3.bak', a crashed copy's artifact) is skipped, never a
+    * parse failure. Shared by the publish manifest writer and the
+    * serving reader's generation snapshot so the two present-sets
+    * cannot diverge (same one-definition rule as `Search.docIdLong`). */
+  private[store] def listedShardNumbers(names: Iterator[String]): Iterator[Int] =
+    names.filter(_.startsWith("shard=")).flatMap(_.stripPrefix("shard=").toIntOption)
 
   /** Materialize `newShard` from the host's own `prevShard` without
     * touching the network: per file, a hardlink when both live on the

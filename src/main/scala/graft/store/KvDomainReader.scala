@@ -122,14 +122,11 @@ final class KvDomainReader private (
       val listed =
         try fs.listStatus(versionDir)
         catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
-      listed.iterator
-        .map(_.getPath.getName)
-        .filter(_.startsWith("shard="))
-        // flatMap + toIntOption: a foreign entry ('shard=3.bak', a crashed
-        // copy's artifact) must not fail the whole open — only exact
-        // numeric shard dirs are the engine's
-        .flatMap(_.stripPrefix("shard=").toIntOption)
-        .toSet
+      // shared parse with the publish manifest writer: a foreign entry
+      // ('shard=3.bak', a crashed copy's artifact) must not fail the
+      // whole open — only exact numeric shard dirs are the engine's
+      DomainStore.listedShardNumbers(
+        listed.iterator.map(_.getPath.getName)).toSet
     }
 
     def reader(shard: Int): Option[ShardReader] =
@@ -166,6 +163,13 @@ final class KvDomainReader private (
   /** The version currently served (the newest published one at open /
     * last successful [[refresh]]; -1 for a localized shard subset). */
   def servedVersion: Long = gen.version
+
+  /** Whether this reader CAN follow new publishes: true for root-opened
+    * readers (version history present), false for bare localized
+    * subsets. Lets callers like `RingClient.refreshAll` skip the benign
+    * can't-refresh case without a catch that would also swallow real
+    * failures (closed reader, no published version). */
+  def canRefresh: Boolean = versionsOpt.isDefined
 
   private[store] def cachedShardReaders: Int = gen.readers.size
 

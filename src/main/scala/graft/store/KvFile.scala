@@ -470,12 +470,15 @@ object KvFile {
       if (start >= n) return Iterator.empty
       // `to` is shadowed by Iterator.to inside the anonymous class below
       val upper = to
-      in.seek(if (start == 0) 4L else recordOffset(start))
+      // one index pread serves both the seek and the offset cursor
+      // (preads are expensive on checksummed filesystems)
+      val startOff = if (start == 0) 4L else recordOffset(start)
+      in.seek(startOff)
       val data = new java.io.DataInputStream(new java.io.BufferedInputStream(in, 1 << 16))
       new Iterator[(Array[Byte], Array[Byte])] {
         private var i = start
         private var done = false
-        private var off = if (start == 0) 4L else recordOffset(start)
+        private var off = startOff
         private var pending: (Array[Byte], Array[Byte]) = _
         private def advance(): Unit = {
           if (done || pending != null) return

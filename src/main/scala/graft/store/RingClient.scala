@@ -119,10 +119,14 @@ final class RingClient(
     * mid-update served old and new versions side by side). Returns
     * host → whether a newer version was swapped in. Readers without
     * version history (bare localized subsets) are reported false rather
-    * than failing the whole ring. */
+    * than failing the whole ring — but ONLY that benign case: a closed
+    * reader or a root with no published version still throws, because
+    * mapping a broken host to false would be indistinguishable from
+    * 'already newest' and the operator would never learn the host is
+    * stuck (the silent-miss class this engine fails loudly on). */
   def refreshAll(): Map[String, Boolean] =
     readers.map { case (host, r) =>
-      host -> (try r.refresh() catch { case _: IllegalStateException => false })
+      host -> (r.canRefresh && r.refresh())
     }
 
   private[store] def reader(host: String): KvDomainReader = readers(host)

@@ -174,4 +174,30 @@ class LocalizeDeltaSpec extends SparkSuite {
     assert(fa.keySet === fb.keySet && fa.keySet.nonEmpty)
     fa.foreach { case (rel, bytes) => assert(java.util.Arrays.equals(bytes, fb(rel)), rel) }
   }
+
+  test("a shard reaped mid-pull fails the pull loudly; nothing incomplete publishes") {
+    RamFileSystem.clear(auth + "3")
+    val c3 = new Configuration(); CountingRamFs.register(c3)
+    val remote = s"ramfs://${auth}3/dom"
+    val store = DomainStore.create(
+      remote, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), c3)
+    store.write(kvDf((0 until 200).map(i => s"rk$i" -> s"r$i")), 1L)
+    val ring = ShardRing.generateIndex(Seq("hY"), 4, replication = 1)
+    // simulate retention reaping the version mid-pull: the manifest still
+    // names every shard, but one shard dir is gone from the remote — the
+    // window between the pull's isPublished check and its copies
+    val victim = ring.shardSet("hY").head
+    val fs = new Path(remote).getFileSystem(c3)
+    assert(fs.delete(new Path(s"$remote/1/shard=$victim"), true))
+    val dest = new Path(scratch("ldelta-reaped"))
+    val e = intercept[java.io.FileNotFoundException](
+      store.localizeVersionForHost(1L, dest, ring, "hY"))
+    assert(e.getMessage.contains(s"shard=$victim"), e.getMessage)
+    // the failed pull must leave NO published local version (a partial
+    // subset serving would answer silent 'key absent' on the lost shard)
+    val localVs = new VersionedStore(dest, c3)
+    assert(localVs.mostRecentVersion.isEmpty)
+    assert(intercept[IllegalStateException](
+      KvDomainReader.open(dest.toString, c3)).getMessage.contains("no published version"))
+  }
 }

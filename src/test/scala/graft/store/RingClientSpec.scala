@@ -115,4 +115,30 @@ class RingClientSpec extends SparkSuite {
       assert(e2.getMessage.contains("different shard count"), e2.getMessage)
     } finally readers.values.foreach(_.close())
   }
+
+  test("refreshAll: localized subsets report false; a CLOSED reader fails loud") {
+    // bare localized subsets cannot refresh — benign, reported false
+    val readers = openReaders()
+    val client = new RingClient(ring, readers)
+    try {
+      assert(readers.values.forall(!_.canRefresh))
+      assert(client.refreshAll() === hosts.map(_ -> false).toMap)
+    } finally client.close()
+    // but a broken host (closed reader) must NOT read as 'already
+    // newest' — mapping it to false would hide a permanently stuck host
+    val vroot = scratch("ringcli-refresh-closed")
+    val vstore = DomainStore.create(
+      vroot, DomainSpec(n, persistenceFormat = DomainSpec.KvSorted), conf)
+    import spark.implicits._
+    vstore.write(
+      Seq("a" -> "1").toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      1L)
+    val ring1 = ShardRing.generateIndex(Seq("hA"), n, replication = 1)
+    val r = KvDomainReader.open(vroot, conf)
+    val solo = new RingClient(ring1, Map("hA" -> r))
+    r.close()
+    assert(intercept[IllegalStateException](solo.refreshAll())
+      .getMessage.contains("closed"))
+  }
 }
