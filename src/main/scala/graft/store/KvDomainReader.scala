@@ -58,7 +58,7 @@ final class KvDomainReader private (
     versionsOpt: Option[VersionedStore],
     hostedShards: Option[Set[Int]],
     val spec: DomainSpec,
-    conf: Configuration) extends AutoCloseable {
+    conf: Configuration) extends ServingReader {
 
   require(
     spec.persistenceFormat == DomainSpec.KvSorted ||

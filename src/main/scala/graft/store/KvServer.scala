@@ -1,0 +1,204 @@
+package graft.store
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException, IOException}
+import java.net.{InetAddress, ServerSocket, Socket}
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicBoolean
+
+/**
+ * Network front of the serving ring: exposes a set of named domains'
+ * [[ServingReader]]s over a framed binary protocol, so a [[RingClient]]
+ * on another box reaches them through [[RemoteKvReader]] stubs — the
+ * reference's serving daemon surface (`elephantdb-thrift/src/core.thrift:80-91`
+ * `get`/`multiGet`/`getDomains`/`update`, served by
+ * `elephantdb-server/src/clj/elephantdb/keyval/core.clj:118-134`),
+ * re-expressed without a Thrift dependency: plain JDK sockets, one
+ * length-framed request/response pair per round trip.
+ *
+ * Protocol (all integers big-endian via DataOutput; strings writeUTF):
+ * request = op byte, domain UTF, op payload. Response = status byte
+ * (0 ok / 1 error); error carries exceptionClass UTF + message UTF and
+ * leaves the connection usable (transport errors close it). Ops:
+ *
+ *  - 1 MULTI_GET:  n int, n × (len int, key bytes)  →  n × record
+ *    (tag byte: 0 absent / 1 present: len int + bytes / 2 present-null)
+ *  - 2 STATS:      —  →  numShards int, servedVersion long, canRefresh bool
+ *  - 3 REFRESH:    —  →  refreshed bool (the reference's `update` RPC)
+ *  - 4 COUNT:      —  →  long
+ *  - 5 DOMAINS:    (domain ignored)  →  n int, n × name UTF
+ *
+ * Threading: one accept loop + one daemon thread per connection; the
+ * readers' documented lookup thread-safety carries the concurrency, the
+ * server adds no locking on the data path. Execution failures (unknown
+ * domain, wrong-host probe, closed reader) travel back as error frames
+ * and surface client-side as [[RemoteServingException]] — a thrown
+ * failure, so RingClient fails over exactly as it does in-process.
+ *
+ * Scale posture: the server is a thin adapter — state lives in the
+ * readers (generation hot-swap, handle caches, snapshot presence), so
+ * everything the in-process suite pins about serving (loud reaps, torn-
+ * free refresh, wrong-host) holds identically over the wire.
+ */
+final class KvServer(
+    domains: Map[String, ServingReader],
+    port: Int = 0,
+    bindAddress: String = "127.0.0.1") extends AutoCloseable {
+
+  require(domains.nonEmpty, "KvServer: no domains to serve")
+
+  private val server = new ServerSocket(
+    port, 64, InetAddress.getByName(bindAddress))
+  private val closed = new AtomicBoolean(false)
+  private val conns = ConcurrentHashMap.newKeySet[Socket]()
+
+  /** The bound port (useful with port = 0: ephemeral). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    var listening = true
+    while (listening && !closed.get()) {
+      try {
+        val s = server.accept()
+        s.setTcpNoDelay(true)
+        conns.add(s)
+        val t = new Thread(() => serve(s), s"kv-server-conn-${s.getPort}")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        // close() races accept; a DEAD listener must not spin-loop
+        case _: IOException => if (server.isClosed) listening = false
+      }
+    }
+  }, s"kv-server-accept-$boundPort")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
+      val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+      while (!closed.get()) {
+        val op =
+          try in.readByte()
+          catch { case _: EOFException => return } // client hung up cleanly
+        val domain = in.readUTF()
+        try {
+          op match {
+            case KvServer.OpMultiGet =>
+              // frame-shape violations can't leave the stream aligned
+              // (the payload shape IS what's wrong) — FrameViolation
+              // below answers and DROPS the connection instead of
+              // serving desynced frames
+              val n = in.readInt()
+              if (n < 0 || n > KvServer.MaxBatch)
+                throw new KvServer.FrameViolation(s"batch size $n out of protocol range")
+              val keys = IndexedSeq.fill(n) {
+                val len = in.readInt()
+                if (len < 0 || len > KvServer.MaxKeyLen)
+                  throw new KvServer.FrameViolation(s"key length $len out of protocol range")
+                val b = new Array[Byte](len)
+                in.readFully(b)
+                b
+              }
+              // resolve AFTER the payload is drained: an error frame must
+              // leave the connection aligned on the next request
+              val vs = reader(domain).multiGet(keys)
+              out.writeByte(0)
+              vs.foreach {
+                case None => out.writeByte(0)
+                case Some(null) => out.writeByte(2)
+                case Some(v) => out.writeByte(1); out.writeInt(v.length); out.write(v)
+              }
+            case KvServer.OpStats =>
+              val r = reader(domain)
+              out.writeByte(0)
+              out.writeInt(r.numShards)
+              out.writeLong(r.servedVersion)
+              out.writeBoolean(r.canRefresh)
+            case KvServer.OpRefresh =>
+              val refreshed = reader(domain).refresh()
+              out.writeByte(0)
+              out.writeBoolean(refreshed)
+            case KvServer.OpCount =>
+              val c = reader(domain).count()
+              out.writeByte(0)
+              out.writeLong(c)
+            case KvServer.OpDomains =>
+              out.writeByte(0)
+              val names = domains.keySet.toSeq.sorted
+              out.writeInt(names.size)
+              names.foreach(out.writeUTF)
+            case other =>
+              // unknown op: can't know its payload shape, so the stream
+              // may be misaligned — answer and drop the connection
+              out.writeByte(1)
+              out.writeUTF("java.io.IOException")
+              out.writeUTF(s"unknown op $other")
+              out.flush()
+              return
+          }
+        } catch {
+          case e: KvServer.FrameViolation =>
+            // stream alignment is lost — answer, then drop the connection
+            out.writeByte(1)
+            out.writeUTF("java.io.IOException")
+            out.writeUTF(e.getMessage)
+            out.flush()
+            return
+          case e: Exception =>
+            // execution failure: report class + message, keep serving
+            out.writeByte(1)
+            out.writeUTF(e.getClass.getName)
+            out.writeUTF(Option(e.getMessage).getOrElse("").take(4096))
+        }
+        out.flush()
+      }
+    } catch {
+      case _: IOException => // transport died; the client will fail over
+    } finally {
+      conns.remove(sock)
+      try sock.close() catch { case _: IOException => () }
+    }
+  }
+
+  private def reader(domain: String): ServingReader =
+    domains.getOrElse(domain, throw new IllegalArgumentException(
+      s"no such domain '$domain' (serving: ${domains.keySet.toSeq.sorted.mkString(", ")})"))
+
+  /** Stop accepting and drop every open connection. Does NOT close the
+    * underlying readers — the caller owns their lifecycle (a server
+    * restart must not tear down the serving state). Idempotent. */
+  def close(): Unit = if (closed.compareAndSet(false, true)) {
+    try server.close() catch { case _: IOException => () }
+    conns.forEach(s => try s.close() catch { case _: IOException => () })
+    conns.clear()
+  }
+}
+
+object KvServer {
+  val OpMultiGet: Byte = 1
+  val OpStats: Byte = 2
+  val OpRefresh: Byte = 3
+  val OpCount: Byte = 4
+  val OpDomains: Byte = 5
+
+  /** Frame sanity bounds: a serving batch is human/request-sized, never
+    * corpus-sized (the reference's multiGet was an RPC batch too). */
+  val MaxBatch: Int = 1 << 20
+  val MaxKeyLen: Int = 1 << 20
+
+  /** A request whose payload shape breaks the protocol bounds: the
+    * stream cannot be re-aligned, so the handler answers and drops the
+    * connection (ordinary execution failures keep it alive). */
+  private[store] final class FrameViolation(msg: String) extends RuntimeException(msg)
+}
+
+/** An execution failure reported by the serving process — the remote
+  * twin of the exception the in-process reader would have thrown
+  * (class name preserved for diagnostics). RingClient treats it like
+  * any thrown failure: fail over to the next replica. */
+final class RemoteServingException(
+    val host: String,
+    val remoteClass: String,
+    message: String)
+  extends RuntimeException(s"$remoteClass at $host: $message")

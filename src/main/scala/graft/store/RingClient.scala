@@ -12,9 +12,11 @@ import graft.core.ShardIndex
  * hosts; `keyval/domain.clj:43-56` `index-keys` attaches each key's
  * prioritized host list; `client.clj` retries `try-direct-multi-get` on
  * the next host after a transport error). Each "host" here is a
- * [[KvDomainReader]] serving the shard subset [[DomainStore.localizeForHost]]
- * pulled for it — swap the map values for RPC stubs and the routing,
- * prioritization, and failover semantics carry over unchanged.
+ * [[ServingReader]] — in-process [[KvDomainReader]]s over the shard
+ * subset [[DomainStore.localizeForHost]] pulled for them, or
+ * [[RemoteKvReader]] stubs speaking [[KvServer]]'s protocol to serving
+ * processes on other boxes; the routing, prioritization, and failover
+ * semantics are identical either way (RemoteServingSpec pins it).
  *
  * Semantics, matched to the reference:
  *  - route key → shard ([[ShardIndex]] md5-mod), shard → replica hosts
@@ -33,7 +35,7 @@ import graft.core.ShardIndex
  */
 final class RingClient(
     ring: ShardRing.Index,
-    readers: Map[String, KvDomainReader],
+    readers: Map[String, ServingReader],
     preferred: String => Boolean = _ => false,
     rnd: Random = new Random()) extends AutoCloseable {
 
@@ -129,7 +131,7 @@ final class RingClient(
       host -> (r.canRefresh && r.refresh())
     }
 
-  private[store] def reader(host: String): KvDomainReader = readers(host)
+  private[store] def reader(host: String): ServingReader = readers(host)
 
   /** Close every underlying reader. */
   def close(): Unit = readers.values.foreach(r =>

@@ -1,0 +1,37 @@
+package graft.store
+
+/**
+ * The serving surface a ring host exposes — the contract between
+ * [[RingClient]]'s routing/failover and whatever answers lookups on the
+ * other side. Two implementations:
+ *
+ *  - [[KvDomainReader]]: in-process, over local shard files (the
+ *    embeddable daemon core);
+ *  - [[RemoteKvReader]]: a stub speaking [[KvServer]]'s framed binary
+ *    protocol to a serving process on another box — the reference served
+ *    exactly this surface over framed Thrift
+ *    (`elephantdb-thrift/src/core.thrift:80-91`: get/multiGet/getDomains/
+ *    update per domain); the protocol here is a dependency-free
+ *    re-expression, not a Thrift implementation.
+ *
+ * Semantics every implementation must keep (RingClient depends on them):
+ *  - an ANSWER (present or absent) is authoritative for the routed
+ *    shard — only a THROWN failure makes the client fail over;
+ *  - `multiGet` results align with the input order; `Some(null)` means
+ *    present-with-null-value (the domain schema allows it);
+ *  - `refresh()` swaps to the newest published version atomically for
+ *    this host; `canRefresh` is false only for bare localized subsets
+ *    (no version history), never for broken state — broken state throws.
+ */
+trait ServingReader extends AutoCloseable {
+  def numShards: Int
+  /** Version currently served (-1 for a bare localized subset). */
+  def servedVersion: Long
+  def get(key: Array[Byte]): Option[Array[Byte]]
+  def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]]
+  /** Metadata-only record count of the served version/subset. */
+  def count(): Long
+  def canRefresh: Boolean
+  def refresh(): Boolean
+  def close(): Unit
+}

@@ -206,6 +206,43 @@ class QuickStartSpec extends SparkSuite {
     assert(report.where(col("status") === "ready").count() >= 1)
   }
 
+  test("README quick start: cross-process serving through KvServer + RemoteKvReader") {
+    import spark.implicits._
+    import graft.store.{KvServer, RemoteKvReader, RingClient, ShardRing}
+
+    val conf = new Configuration()
+    val store = DomainStore.create(
+      scratch("quickstart-rpc-dom"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(
+      (0 until 50).map(i => s"u$i" -> s"name-$i").toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      version = 1L)
+
+    // serving box: a KvServer over its local reader(s)
+    val localReader = KvDomainReader.open(store.root.toString, conf)
+    val server = new KvServer(Map("users" -> localReader))
+    // client box: a stub per host; the ring semantics carry over unchanged
+    val stub = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    val ring = ShardRing.generateIndex(Seq("host-a"), 4, replication = 1)
+    val client = new RingClient(ring, Map("host-a" -> stub))
+    try {
+      assert(client.get("u7".getBytes("UTF-8"))
+        .map(new String(_, "UTF-8")) === Some("name-7"))
+      // the reference's update RPC: publish v2, hot-swap server-side
+      store.write(
+        Seq("u7" -> "renamed").toDF("k", "v")
+          .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+        version = 2L)
+      assert(stub.refresh() === true)
+      assert(stub.servedVersion === 2L)
+      assert(client.get("u7".getBytes("UTF-8"))
+        .map(new String(_, "UTF-8")) === Some("renamed"))
+    } finally {
+      client.close(); server.close(); localReader.close()
+    }
+  }
+
   test("README quick start: streaming ingest feeds a hot-swapping serving reader") {
     import spark.implicits._
     import org.apache.spark.sql.types.{BinaryType, StructField, StructType}

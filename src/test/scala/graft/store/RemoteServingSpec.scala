@@ -1,0 +1,168 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.{DomainSpec, ShardIndex}
+import graft.functions._
+
+/**
+ * Cross-process serving: [[KvServer]] + [[RemoteKvReader]] must be a
+ * transparent transport for the [[ServingReader]] surface — every
+ * answer bit-identical to the in-process reader, every failure class
+ * preserved (wrong-host, unknown domain, server down), and a
+ * [[RingClient]] over remote stubs must keep the exact failover
+ * semantics the in-process suite pins. The reference served this
+ * surface over framed Thrift (core.thrift:80-91); the protocol here is
+ * a dependency-free re-expression.
+ */
+class RemoteServingSpec extends SparkSuite {
+
+  private val conf = new Configuration()
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private def kvDf(pairs: Seq[(String, String)]) = {
+    import spark.implicits._
+    pairs.toDF("k", "v")
+      .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+  }
+
+  test("remote reader answers bit-identically to the in-process reader") {
+    val store = DomainStore.create(
+      scratch("remote-dom"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 300).map(i => s"rk$i")
+    store.write(kvDf(keys.map(k => k -> s"val-$k")), 1L)
+
+    val local = KvDomainReader.open(store.root.toString, conf)
+    val server = new KvServer(Map("users" -> local))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    try {
+      assert(remote.numShards === 4)
+      assert(remote.servedVersion === 1L)
+      assert(remote.canRefresh)
+      assert(remote.count() === local.count())
+      assert(remote.domainNames() === Seq("users"))
+      // batched: hits, misses, and input-order alignment
+      val probe = keys.take(50).map(utf8) ++ Seq(utf8("absent-1"), utf8("absent-2"))
+      def decoded(vs: Seq[Option[Array[Byte]]]): Seq[Option[String]] =
+        vs.map(_.map(new String(_, "UTF-8")))
+      val got = remote.multiGet(probe)
+      assert(decoded(got) === decoded(local.multiGet(probe)))
+      assert(got.take(50).flatten.map(new String(_, "UTF-8")) ===
+        keys.take(50).map(k => s"val-$k"))
+      assert(got.drop(50).forall(_.isEmpty))
+      // single get through the same frames
+      assert(remote.get(utf8("rk7")).map(new String(_, "UTF-8")) === Some("val-rk7"))
+      // concurrent callers use distinct pooled connections
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 8).map { t =>
+        val th = new Thread(() => {
+          try (0 until 50).foreach { i =>
+            val k = keys((t * 37 + i) % keys.length)
+            assert(remote.get(utf8(k)).map(new String(_, "UTF-8")) === Some(s"val-$k"))
+          } catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      threads.foreach(_.join(20000))
+      assert(errs.isEmpty, errs)
+    } finally {
+      remote.close(); server.close(); local.close()
+    }
+  }
+
+  test("failures keep their class over the wire: unknown domain, wrong host, server down") {
+    val store = DomainStore.create(
+      scratch("remote-fail-dom"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kvDf((0 until 100).map(i => s"fk$i" -> s"f$i")), 1L)
+    val ring = ShardRing.generateIndex(Seq("hA", "hB"), 4, replication = 1)
+    val dest = new Path(scratch("remote-fail-hA"))
+    store.localizeForHost(1L, dest, ring, "hA")
+    val hosted = KvDomainReader.localized(
+      dest.toString, store.spec, conf, Some(ring.shardSet("hA")))
+    val server = new KvServer(Map("users" -> hosted))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    val wrongDomain = new RemoteKvReader("127.0.0.1", server.boundPort, "nope")
+    try {
+      // unknown domain: loud, names the census
+      val e1 = intercept[RemoteServingException](wrongDomain.get(utf8("fk1")))
+      assert(e1.remoteClass === "java.lang.IllegalArgumentException")
+      assert(e1.getMessage.contains("no such domain"), e1.getMessage)
+      // a misrouted probe (shard hosted elsewhere) keeps its wrong-host
+      // loudness — the error frame leaves the connection usable, so a
+      // correctly-routed probe right after still answers
+      val mine = ring.shardSet("hA")
+      val wrongKey = (0 until 1000).map(i => s"fk$i")
+        .find(k => !mine(ShardIndex.shardIndex(utf8(k), 4))).get
+      val rightKey = (0 until 1000).map(i => s"fk$i")
+        .find(k => mine(ShardIndex.shardIndex(utf8(k), 4))).get
+      val e2 = intercept[RemoteServingException](remote.get(utf8(wrongKey)))
+      assert(e2.remoteClass === "java.lang.IllegalStateException")
+      assert(e2.getMessage.contains("not hosted here"), e2.getMessage)
+      assert(remote.get(utf8(rightKey)).isDefined)
+      // a bare localized subset reports canRefresh=false remotely too
+      assert(!remote.canRefresh)
+      assert(remote.servedVersion === -1L)
+      // server down: IOException (transport), not a silent miss
+      server.close()
+      intercept[java.io.IOException](remote.get(utf8(rightKey)))
+    } finally {
+      remote.close(); wrongDomain.close(); server.close(); hosted.close()
+    }
+  }
+
+  test("RingClient over remote stubs: failover, loud dead shards, server-side refresh") {
+    val store = DomainStore.create(
+      scratch("remote-ring-dom"), DomainSpec(5, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 400).map(i => s"gk$i")
+    store.write(kvDf(keys.map(k => k -> s"v1-$k")), 1L)
+    val hosts = Seq("hA", "hB", "hC")
+    val ring = ShardRing.generateIndex(hosts, 5, replication = 2)
+
+    // each "host" is its own versioned local root + reader + server —
+    // three serving processes in miniature, reached only through sockets
+    val roots = hosts.map(h => h -> new Path(scratch(s"remote-ring-$h"))).toMap
+    val locals = hosts.map { h =>
+      store.localizeVersionForHost(1L, roots(h), ring, h)
+      h -> KvDomainReader.open(roots(h).toString, conf, Some(ring.shardSet(h)))
+    }.toMap
+    val servers = locals.map { case (h, r) => h -> new KvServer(Map("users" -> r)) }
+    val stubs: Map[String, ServingReader] = servers.map { case (h, s) =>
+      h -> new RemoteKvReader("127.0.0.1", s.boundPort, "users")
+    }
+    val client = new RingClient(ring, stubs, rnd = new scala.util.Random(5))
+    try {
+      // full ring: every key answers over the wire
+      val got = client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+      assert(got === keys.map(k => Some(s"v1-$k")))
+
+      // one server dies: its shards fail over to surviving replicas
+      servers("hB").close()
+      val got2 = client.multiGet(keys.take(100).map(utf8)).map(_.map(new String(_, "UTF-8")))
+      assert(got2 === keys.take(100).map(k => Some(s"v1-$k")))
+
+      // server-side refresh through the stub (the reference's update RPC):
+      // publish v2, delta-pull hC's subset, refresh over the wire
+      val changed = keys.filter(_.hashCode % 4 == 0)
+      store.upsert(spark, kvDf(changed.map(k => k -> s"v2-$k")), 2L)
+      store.localizeVersionForHost(2L, roots("hC"), ring, "hC")
+      assert(stubs("hC").refresh() === true)
+      assert(stubs("hC").servedVersion === 2L)
+      val mineC = ring.shardSet("hC")
+      val kC = changed.find(k => mineC(ShardIndex.shardIndex(utf8(k), 5))).get
+      assert(stubs("hC").get(utf8(kC)).map(new String(_, "UTF-8")) === Some(s"v2-$kC"))
+
+      // every server down: any probe fails loud, naming its replica set —
+      // transport IOExceptions fall over until the replicas are exhausted
+      servers.values.foreach(_.close())
+      val e = intercept[IllegalStateException](client.get(utf8(keys.head)))
+      assert(e.getMessage.contains("all replicas"), e.getMessage)
+    } finally {
+      client.close() // closes the stubs
+      servers.values.foreach(_.close())
+      locals.values.foreach(_.close())
+    }
+  }
+}
