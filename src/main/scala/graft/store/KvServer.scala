@@ -60,13 +60,23 @@ final class KvServer(
       try {
         val s = server.accept()
         s.setTcpNoDelay(true)
+        // a peer that vanishes without FIN/RST (power-cycle, dropped NAT
+        // entry) must not pin this connection's thread + fd forever:
+        // reap silent connections after the idle horizon (clients
+        // discard pooled sockets at HALF this age, so a healthy idle
+        // client never observes the reap)
+        s.setSoTimeout(KvServer.IdleTimeoutMs)
         conns.add(s)
         val t = new Thread(() => serve(s), s"kv-server-conn-${s.getPort}")
         t.setDaemon(true)
         t.start()
       } catch {
-        // close() races accept; a DEAD listener must not spin-loop
-        case _: IOException => if (server.isClosed) listening = false
+        case _: IOException =>
+          // close() races accept; a DEAD listener must not spin-loop —
+          // and a persistent accept failure (fd exhaustion) must back
+          // off instead of burning a core
+          if (server.isClosed) listening = false
+          else Thread.sleep(100)
       }
     }
   }, s"kv-server-accept-$boundPort")
@@ -92,10 +102,19 @@ final class KvServer(
               val n = in.readInt()
               if (n < 0 || n > KvServer.MaxBatch)
                 throw new KvServer.FrameViolation(s"batch size $n out of protocol range")
+              var payload = 0L
               val keys = IndexedSeq.fill(n) {
                 val len = in.readInt()
                 if (len < 0 || len > KvServer.MaxKeyLen)
                   throw new KvServer.FrameViolation(s"key length $len out of protocol range")
+                payload += len
+                // per-key and count bounds alone still admit a ~1 TB
+                // request (MaxBatch × MaxKeyLen) — cap the PRODUCT so a
+                // hostile frame can't allocate the heap away before the
+                // lookup even resolves
+                if (payload > KvServer.MaxBatchBytes)
+                  throw new KvServer.FrameViolation(
+                    s"batch payload exceeds ${KvServer.MaxBatchBytes} bytes")
                 val b = new Array[Byte](len)
                 in.readFully(b)
                 b
@@ -183,9 +202,18 @@ object KvServer {
   val OpDomains: Byte = 5
 
   /** Frame sanity bounds: a serving batch is human/request-sized, never
-    * corpus-sized (the reference's multiGet was an RPC batch too). */
+    * corpus-sized (the reference's multiGet was an RPC batch too). The
+    * aggregate byte cap bounds what one request can make the server
+    * allocate; [[RemoteKvReader]] pre-checks all three client-side so a
+    * legitimate caller sees a named error, never a dropped connection. */
   val MaxBatch: Int = 1 << 20
   val MaxKeyLen: Int = 1 << 20
+  val MaxBatchBytes: Long = 64L << 20
+
+  /** Reap horizon for SILENT connections (no frame for this long):
+    * clients discard pooled sockets at half this age, so only a peer
+    * that died without FIN/RST ever hits it. */
+  val IdleTimeoutMs: Int = 600000
 
   /** A request whose payload shape breaks the protocol bounds: the
     * stream cannot be re-aligned, so the handler answers and drops the

@@ -46,10 +46,20 @@ final class RemoteKvReader(
   override def canRefresh: Boolean = stats()._3
 
   override def get(key: Array[Byte]): Option[Array[Byte]] =
-    multiGet(IndexedSeq(key)).head
+    // flatten present-null to None, matching KvDomainReader.get's
+    // getRecord(key).flatten — multiGet keeps the Some(null) distinction
+    // on BOTH transports, get drops it on both
+    multiGet(IndexedSeq(key)).head.flatMap(Option(_))
 
   override def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
     require(keys.length <= KvServer.MaxBatch, s"batch of ${keys.length} exceeds protocol bound")
+    // pre-check the per-key and aggregate protocol bounds CLIENT-side so
+    // an oversized request is a clear named error here, not a dropped
+    // connection + replica-exhaustion on the server side
+    keys.foreach(k => require(k.length <= KvServer.MaxKeyLen,
+      s"key of ${k.length} bytes exceeds the protocol bound ${KvServer.MaxKeyLen}"))
+    require(keys.iterator.map(_.length.toLong).sum <= KvServer.MaxBatchBytes,
+      s"batch payload exceeds the protocol bound ${KvServer.MaxBatchBytes} bytes")
     roundTrip { (out, in) =>
       out.writeByte(KvServer.OpMultiGet)
       out.writeUTF(domain)
@@ -123,30 +133,57 @@ final class RemoteKvReader(
       case s => throw new IOException(s"protocol desync: status $s")
     }
 
+  private def borrow(): RemoteKvReader.Conn = {
+    // discard pooled connections idle past the server's reaping horizon
+    // (the server times out silent peers — a stale socket would cost the
+    // caller one spurious failure + failover before healing)
+    var c = pool.poll()
+    while (c != null && c.idleNanos > RemoteKvReader.MaxPoolIdleNanos) {
+      c.close(); c = pool.poll()
+    }
+    if (c != null) c else RemoteKvReader.dial(host, port, connectTimeoutMs, readTimeoutMs)
+  }
+
   private def roundTrip[A](f: (DataOutputStream, DataInputStream) => A): A = {
     if (closed.get()) throw new IllegalStateException(
       s"RemoteKvReader $host:$port/$domain is closed")
-    val conn = Option(pool.poll()).getOrElse(RemoteKvReader.dial(host, port, connectTimeoutMs, readTimeoutMs))
+    val conn = borrow()
     var ok = false
     try {
       val r = f(conn.out, conn.in)
       ok = true
       r
     } finally {
-      if (ok && !closed.get()) pool.add(conn) else conn.close()
+      if (ok && !closed.get()) {
+        conn.touch()
+        pool.add(conn)
+        // close() may have drained the pool between our check and the
+        // add — re-drain so no live socket outlives a closed stub
+        if (closed.get()) drainPool()
+      } else conn.close()
     }
   }
 
-  override def close(): Unit = if (closed.compareAndSet(false, true)) {
+  private def drainPool(): Unit = {
     var c = pool.poll()
     while (c != null) { c.close(); c = pool.poll() }
   }
+
+  override def close(): Unit = if (closed.compareAndSet(false, true)) drainPool()
 }
 
 object RemoteKvReader {
+  /** Pooled connections idle longer than this are discarded on borrow —
+    * half the server's idle-reap timeout, so a pooled socket is never
+    * offered after the server may have timed it out. */
+  private[store] val MaxPoolIdleNanos: Long = KvServer.IdleTimeoutMs / 2 * 1000000L
+
   private[store] final class Conn(sock: Socket) {
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 16))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream, 1 << 16))
+    @volatile private var lastUsed: Long = System.nanoTime()
+    def touch(): Unit = lastUsed = System.nanoTime()
+    def idleNanos: Long = System.nanoTime() - lastUsed
     def close(): Unit = try sock.close() catch { case _: IOException => () }
   }
 

@@ -42,9 +42,26 @@ final class RingClient(
   require(readers.nonEmpty, "RingClient: no readers")
   require(ring.hostsToShards.keySet.subsetOf(readers.keySet),
     s"ring hosts ${ring.hostsToShards.keySet -- readers.keySet} have no reader")
-  val numShards: Int = readers.valuesIterator.next().numShards
-  require(readers.valuesIterator.forall(_.numShards == numShards),
-    "RingClient: readers disagree on shard count — they serve different domains")
+  /** Shard count from the readers (the DOMAIN's truth — the ring is not
+    * authoritative: routing against a mismatched ring must stay loudly
+    * detectable, see replicaOrder). A remote stub's numShards is a
+    * network round trip, and a host that is DOWN at construction must
+    * not prevent building the client — failover exists for exactly that
+    * host — so transport failures are tolerated here (the reachable
+    * readers still cross-check each other; an execution failure like an
+    * unknown domain name stays loud: that is misconfiguration). */
+  val numShards: Int = {
+    val known = readers.flatMap { case (h, r) =>
+      try Some(h -> r.numShards)
+      catch { case _: java.io.IOException => None } // unreachable ≠ misconfigured
+    }
+    require(known.nonEmpty,
+      s"RingClient: no reachable reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
+        "to learn the domain's shard count from")
+    require(known.values.toSet.size == 1,
+      s"RingClient: readers disagree on shard count — they serve different domains: $known")
+    known.values.head
+  }
 
   private def replicaOrder(shard: Int): Seq[String] = {
     val order = ring.prioritizeHosts(shard, preferred, rnd)

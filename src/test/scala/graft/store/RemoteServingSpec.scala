@@ -113,6 +113,46 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("present-null parity and a host down at construction") {
+    import spark.implicits._
+    val store = DomainStore.create(
+      scratch("remote-null-dom"), DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    // one present-null key among normal ones (the domain schema allows
+    // null values; KvFile stores them as valLen = -1)
+    store.write(
+      Seq(("nk", null: String), ("ok", "v")).toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      1L)
+    val local = KvDomainReader.open(store.root.toString, conf)
+    val server = new KvServer(Map("users" -> local))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    try {
+      // multiGet keeps the present-null distinction on BOTH transports;
+      // get flattens it to None on BOTH (KvDomainReader.get's contract)
+      assert(local.multiGet(Seq(utf8("nk"))).head === Some(null))
+      assert(remote.multiGet(Seq(utf8("nk"))).head === Some(null))
+      assert(local.get(utf8("nk")) === None)
+      assert(remote.get(utf8("nk")) === None)
+      assert(remote.get(utf8("ok")).map(new String(_, "UTF-8")) === Some("v"))
+
+      // a host that is DOWN when the client is built must not prevent
+      // construction — every shard still has a live replica, and that
+      // is exactly what failover serves
+      val ring = ShardRing.generateIndex(Seq("hA", "hB"), 2, replication = 2)
+      val deadServer = new KvServer(Map("users" -> local))
+      val deadPort = deadServer.boundPort
+      deadServer.close()
+      val stubs: Map[String, ServingReader] = Map(
+        "hA" -> new RemoteKvReader("127.0.0.1", server.boundPort, "users"),
+        "hB" -> new RemoteKvReader("127.0.0.1", deadPort, "users"))
+      val client = new RingClient(ring, stubs, rnd = new scala.util.Random(3))
+      try assert(client.get(utf8("ok")).map(new String(_, "UTF-8")) === Some("v"))
+      finally client.close()
+    } finally {
+      remote.close(); server.close(); local.close()
+    }
+  }
+
   test("RingClient over remote stubs: failover, loud dead shards, server-side refresh") {
     val store = DomainStore.create(
       scratch("remote-ring-dom"), DomainSpec(5, persistenceFormat = DomainSpec.KvSorted), conf)
