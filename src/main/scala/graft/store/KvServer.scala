@@ -57,26 +57,37 @@ final class KvServer(
   private val acceptor = new Thread(() => {
     var listening = true
     while (listening && !closed.get()) {
-      try {
-        val s = server.accept()
-        s.setTcpNoDelay(true)
-        // a peer that vanishes without FIN/RST (power-cycle, dropped NAT
-        // entry) must not pin this connection's thread + fd forever:
-        // reap silent connections after the idle horizon (clients
-        // discard pooled sockets at HALF this age, so a healthy idle
-        // client never observes the reap)
-        s.setSoTimeout(KvServer.IdleTimeoutMs)
-        conns.add(s)
-        val t = new Thread(() => serve(s), s"kv-server-conn-${s.getPort}")
-        t.setDaemon(true)
-        t.start()
-      } catch {
-        case _: IOException =>
-          // close() races accept; a DEAD listener must not spin-loop —
-          // and a persistent accept failure (fd exhaustion) must back
-          // off instead of burning a core
-          if (server.isClosed) listening = false
-          else Thread.sleep(100)
+      val accepted =
+        try Some(server.accept())
+        catch {
+          case _: IOException =>
+            // close() races accept; a DEAD listener must not spin-loop —
+            // and a persistent ACCEPT failure (fd exhaustion) must back
+            // off instead of burning a core. The backoff applies only
+            // here: per-socket setup failures below are the peer's
+            // problem and must not throttle other clients.
+            if (server.isClosed) listening = false
+            else try Thread.sleep(100)
+            catch { case _: InterruptedException => listening = false }
+            None
+        }
+      accepted.foreach { s =>
+        try {
+          s.setTcpNoDelay(true)
+          // a peer that vanishes without FIN/RST (power-cycle, dropped
+          // NAT entry) must not pin this connection's thread + fd
+          // forever: reap silent connections after the idle horizon
+          // (clients discard pooled sockets at HALF this age, so a
+          // healthy idle client never observes the reap)
+          s.setSoTimeout(KvServer.IdleTimeoutMs)
+          conns.add(s)
+          val t = new Thread(() => serve(s), s"kv-server-conn-${s.getPort}")
+          t.setDaemon(true)
+          t.start()
+        } catch {
+          // a peer that RSTs between accept and setup must not leak its fd
+          case _: IOException => try s.close() catch { case _: IOException => () }
+        }
       }
     }
   }, s"kv-server-accept-$boundPort")
@@ -92,36 +103,38 @@ final class KvServer(
           try in.readByte()
           catch { case _: EOFException => return } // client hung up cleanly
         val domain = in.readUTF()
+        // ---- phase 1: drain the request payload. A failure here means
+        // the STREAM itself is untrustworthy: a FrameViolation (bounds,
+        // unknown op — the payload shape IS what's wrong) answers then
+        // drops the connection; an IOException — including the idle
+        // SocketTimeoutException firing MID-FRAME — propagates to the
+        // transport catch and drops without an answer. Only a fully
+        // drained request reaches phase 2, so an execution failure can
+        // never leave a half-read frame in the stream.
+        val keysOpt: Option[IndexedSeq[Array[Byte]]] =
+          try {
+            op match {
+              case KvServer.OpMultiGet => Some(readKeys(in))
+              case KvServer.OpStats | KvServer.OpRefresh |
+                   KvServer.OpCount | KvServer.OpDomains => None // no payload
+              case other => throw new KvServer.FrameViolation(s"unknown op $other")
+            }
+          } catch {
+            case e: KvServer.FrameViolation =>
+              out.writeByte(1)
+              out.writeUTF("java.io.IOException")
+              out.writeUTF(e.getMessage)
+              out.flush()
+              return
+          }
+        // ---- phase 2: execute and respond; failures become error
+        // frames and the (aligned) connection keeps serving. Each op
+        // computes its result BEFORE the first response byte, so an
+        // execution failure can never truncate a started response.
         try {
           op match {
             case KvServer.OpMultiGet =>
-              // frame-shape violations can't leave the stream aligned
-              // (the payload shape IS what's wrong) — FrameViolation
-              // below answers and DROPS the connection instead of
-              // serving desynced frames
-              val n = in.readInt()
-              if (n < 0 || n > KvServer.MaxBatch)
-                throw new KvServer.FrameViolation(s"batch size $n out of protocol range")
-              var payload = 0L
-              val keys = IndexedSeq.fill(n) {
-                val len = in.readInt()
-                if (len < 0 || len > KvServer.MaxKeyLen)
-                  throw new KvServer.FrameViolation(s"key length $len out of protocol range")
-                payload += len
-                // per-key and count bounds alone still admit a ~1 TB
-                // request (MaxBatch × MaxKeyLen) — cap the PRODUCT so a
-                // hostile frame can't allocate the heap away before the
-                // lookup even resolves
-                if (payload > KvServer.MaxBatchBytes)
-                  throw new KvServer.FrameViolation(
-                    s"batch payload exceeds ${KvServer.MaxBatchBytes} bytes")
-                val b = new Array[Byte](len)
-                in.readFully(b)
-                b
-              }
-              // resolve AFTER the payload is drained: an error frame must
-              // leave the connection aligned on the next request
-              val vs = reader(domain).multiGet(keys)
+              val vs = reader(domain).multiGet(keysOpt.get)
               out.writeByte(0)
               vs.foreach {
                 case None => out.writeByte(0)
@@ -130,10 +143,11 @@ final class KvServer(
               }
             case KvServer.OpStats =>
               val r = reader(domain)
+              val (n, v, cr) = (r.numShards, r.servedVersion, r.canRefresh)
               out.writeByte(0)
-              out.writeInt(r.numShards)
-              out.writeLong(r.servedVersion)
-              out.writeBoolean(r.canRefresh)
+              out.writeInt(n)
+              out.writeLong(v)
+              out.writeBoolean(cr)
             case KvServer.OpRefresh =>
               val refreshed = reader(domain).refresh()
               out.writeByte(0)
@@ -143,27 +157,12 @@ final class KvServer(
               out.writeByte(0)
               out.writeLong(c)
             case KvServer.OpDomains =>
-              out.writeByte(0)
               val names = domains.keySet.toSeq.sorted
+              out.writeByte(0)
               out.writeInt(names.size)
               names.foreach(out.writeUTF)
-            case other =>
-              // unknown op: can't know its payload shape, so the stream
-              // may be misaligned — answer and drop the connection
-              out.writeByte(1)
-              out.writeUTF("java.io.IOException")
-              out.writeUTF(s"unknown op $other")
-              out.flush()
-              return
           }
         } catch {
-          case e: KvServer.FrameViolation =>
-            // stream alignment is lost — answer, then drop the connection
-            out.writeByte(1)
-            out.writeUTF("java.io.IOException")
-            out.writeUTF(e.getMessage)
-            out.flush()
-            return
           case e: Exception =>
             // execution failure: report class + message, keep serving
             out.writeByte(1)
@@ -177,6 +176,29 @@ final class KvServer(
     } finally {
       conns.remove(sock)
       try sock.close() catch { case _: IOException => () }
+    }
+  }
+
+  /** Drain a MULTI_GET payload, enforcing the protocol bounds. The
+    * per-key and count bounds alone still admit a ~1 TB request
+    * (MaxBatch × MaxKeyLen) — the aggregate cap bounds what one frame
+    * can make this JVM allocate before the lookup even resolves. */
+  private def readKeys(in: DataInputStream): IndexedSeq[Array[Byte]] = {
+    val n = in.readInt()
+    if (n < 0 || n > KvServer.MaxBatch)
+      throw new KvServer.FrameViolation(s"batch size $n out of protocol range")
+    var payload = 0L
+    IndexedSeq.fill(n) {
+      val len = in.readInt()
+      if (len < 0 || len > KvServer.MaxKeyLen)
+        throw new KvServer.FrameViolation(s"key length $len out of protocol range")
+      payload += len
+      if (payload > KvServer.MaxBatchBytes)
+        throw new KvServer.FrameViolation(
+          s"batch payload exceeds ${KvServer.MaxBatchBytes} bytes")
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      b
     }
   }
 
@@ -209,6 +231,10 @@ object KvServer {
   val MaxBatch: Int = 1 << 20
   val MaxKeyLen: Int = 1 << 20
   val MaxBatchBytes: Long = 64L << 20
+  /** Per-record response bound the CLIENT enforces before allocating —
+    * a desynced or hostile server must not be able to demand a 2 GB
+    * allocation via one length field. */
+  val MaxValueLen: Int = 256 << 20
 
   /** Reap horizon for SILENT connections (no frame for this long):
     * clients discard pooled sockets at half this age, so only a peer

@@ -52,14 +52,43 @@ final class RemoteKvReader(
     multiGet(IndexedSeq(key)).head.flatMap(Option(_))
 
   override def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
-    require(keys.length <= KvServer.MaxBatch, s"batch of ${keys.length} exceeds protocol bound")
-    // pre-check the per-key and aggregate protocol bounds CLIENT-side so
-    // an oversized request is a clear named error here, not a dropped
+    // a single key past the frame bound is unservable over this
+    // transport, period — a clear named error here, not a dropped
     // connection + replica-exhaustion on the server side
     keys.foreach(k => require(k.length <= KvServer.MaxKeyLen,
       s"key of ${k.length} bytes exceeds the protocol bound ${KvServer.MaxKeyLen}"))
-    require(keys.iterator.map(_.length.toLong).sum <= KvServer.MaxBatchBytes,
-      s"batch payload exceeds the protocol bound ${KvServer.MaxBatchBytes} bytes")
+    // batches past the count/aggregate bounds split into several frames
+    // transparently (results re-concatenated in input order) — bulk
+    // callers that work in-process keep working over the wire
+    if (keys.length > KvServer.MaxBatch ||
+      keys.iterator.map(_.length.toLong).sum > KvServer.MaxBatchBytes)
+      return chunks(keys).flatMap(multiGetFrame).toIndexedSeq
+    multiGetFrame(keys)
+  }
+
+  /** Split `keys` into runs each within BOTH protocol bounds. */
+  private def chunks(keys: Seq[Array[Byte]]): Iterator[Seq[Array[Byte]]] =
+    new Iterator[Seq[Array[Byte]]] {
+      private var rest = keys
+      def hasNext: Boolean = rest.nonEmpty
+      def next(): Seq[Array[Byte]] = {
+        var bytes = 0L
+        var n = 0
+        var full = false
+        val it = rest.iterator
+        while (!full && it.hasNext && n < KvServer.MaxBatch) {
+          val k = it.next()
+          // n > 0: a run is never empty, so even a bound-sized key moves
+          if (n > 0 && bytes + k.length > KvServer.MaxBatchBytes) full = true
+          else { bytes += k.length; n += 1 }
+        }
+        val (head, tail) = rest.splitAt(n)
+        rest = tail
+        head
+      }
+    }
+
+  private def multiGetFrame(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] =
     roundTrip { (out, in) =>
       out.writeByte(KvServer.OpMultiGet)
       out.writeUTF(domain)
@@ -72,16 +101,18 @@ final class RemoteKvReader(
           case 0 => None
           case 1 =>
             val len = in.readInt()
-            if (len < 0) throw new IOException(s"protocol desync: value length $len")
+            // bound attacker/desync-supplied lengths BEFORE allocating —
+            // the client-side twin of the server's MaxBatchBytes cap
+            if (len < 0 || len > KvServer.MaxValueLen)
+              throw new RemoteKvReader.ProtocolException(s"value length $len out of range")
             val b = new Array[Byte](len)
             in.readFully(b)
             Some(b)
           case 2 => Some(null)
-          case t => throw new IOException(s"protocol desync: record tag $t")
+          case t => throw new RemoteKvReader.ProtocolException(s"record tag $t")
         }
       }
     }
-  }
 
   private def stats(): (Int, Long, Boolean) =
     roundTrip { (out, in) =>
@@ -130,7 +161,7 @@ final class RemoteKvReader(
     in.readByte() match {
       case 0 => ()
       case 1 => throw new RemoteServingException(s"$host:$port", in.readUTF(), in.readUTF())
-      case s => throw new IOException(s"protocol desync: status $s")
+      case s => throw new RemoteKvReader.ProtocolException(s"status $s")
     }
 
   private def borrow(): RemoteKvReader.Conn = {
@@ -173,6 +204,14 @@ final class RemoteKvReader(
 }
 
 object RemoteKvReader {
+  /** The peer answered with bytes that are not this protocol — the
+    * endpoint is the WRONG SERVICE (or the stream desynced), which is
+    * misconfiguration, not an unreachable host: RingClient's
+    * construction-time probe treats a plain connect failure as "down,
+    * failover's job" but lets this one fail loudly. */
+  final class ProtocolException(msg: String)
+    extends IOException(s"protocol desync: $msg")
+
   /** Pooled connections idle longer than this are discarded on borrow —
     * half the server's idle-reap timeout, so a pooled socket is never
     * offered after the server may have timed it out. */

@@ -51,10 +51,20 @@ final class RingClient(
     * readers still cross-check each other; an execution failure like an
     * unknown domain name stays loud: that is misconfiguration). */
   val numShards: Int = {
-    val known = readers.flatMap { case (h, r) =>
+    // probe in PARALLEL: the probes are independent, and a frozen host
+    // (accepts, never answers) must cost the construction at most one
+    // read timeout, not one per broken host
+    import scala.collection.parallel.CollectionConverters._
+    val known = readers.toSeq.par.flatMap { case (h, r) =>
       try Some(h -> r.numShards)
-      catch { case _: java.io.IOException => None } // unreachable ≠ misconfigured
-    }
+      catch {
+        // a peer speaking the wrong protocol is MISCONFIGURATION (wrong
+        // port/service) and must stay loud; only unreachability is
+        // failover's job
+        case e: RemoteKvReader.ProtocolException => throw e
+        case _: java.io.IOException => None // unreachable ≠ misconfigured
+      }
+    }.seq.toMap
     require(known.nonEmpty,
       s"RingClient: no reachable reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
         "to learn the domain's shard count from")

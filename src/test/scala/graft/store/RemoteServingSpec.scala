@@ -55,6 +55,19 @@ class RemoteServingSpec extends SparkSuite {
       assert(got.drop(50).forall(_.isEmpty))
       // single get through the same frames
       assert(remote.get(utf8("rk7")).map(new String(_, "UTF-8")) === Some("val-rk7"))
+      // a batch past the aggregate frame bound (84 MB of key bytes >
+      // MaxBatchBytes) splits into several frames transparently, results
+      // re-concatenated in INPUT order — present and absent interleaved
+      // across the chunk boundaries
+      val fatBase = Array.fill[Byte]((1 << 20) - 1)(7) // exactly MaxKeyLen with the tag
+      val mixed: Seq[Array[Byte]] =
+        (0 until 80).flatMap(i => Seq(utf8(keys(i)), fatBase :+ i.toByte))
+      val mixedGot = remote.multiGet(mixed)
+      assert(mixedGot.length === mixed.length)
+      (0 until 80).foreach { i =>
+        assert(mixedGot(2 * i).map(new String(_, "UTF-8")) === Some(s"val-${keys(i)}"), i)
+        assert(mixedGot(2 * i + 1) === None, i)
+      }
       // concurrent callers use distinct pooled connections
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = (0 until 8).map { t =>
