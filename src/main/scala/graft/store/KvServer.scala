@@ -135,6 +135,17 @@ final class KvServer(
           op match {
             case KvServer.OpMultiGet =>
               val vs = reader(domain).multiGet(keysOpt.get)
+              // a stored value past the transport's per-record bound is
+              // an EXECUTION error named before the first response byte
+              // (the client's allocation guard then only ever fires on
+              // true desync, never on legitimate data)
+              vs.foreach {
+                case Some(v) if v != null && v.length > KvServer.MaxValueLen =>
+                  throw new IllegalStateException(
+                    s"value of ${v.length} bytes exceeds the transport bound " +
+                      s"${KvServer.MaxValueLen} — serve this domain in-process")
+                case _ => ()
+              }
               out.writeByte(0)
               vs.foreach {
                 case None => out.writeByte(0)

@@ -62,8 +62,29 @@ final class RemoteKvReader(
     // callers that work in-process keep working over the wire
     if (keys.length > KvServer.MaxBatch ||
       keys.iterator.map(_.length.toLong).sum > KvServer.MaxBatchBytes)
-      return chunks(keys).flatMap(multiGetFrame).toIndexedSeq
+      return chunkedMultiGet(keys)
     multiGetFrame(keys)
+  }
+
+  /** In-process multiGet answers every key under ONE generation (a
+    * version-consistent snapshot); a chunked remote call spans several
+    * frames, so a server-side refresh between chunks could silently mix
+    * two versions into one result. Bracket the chunks with servedVersion
+    * probes and retry on movement; a ring mid-roll that keeps swapping
+    * eventually fails LOUD rather than returning a torn read. (A bare
+    * localized subset reports -1 on both probes — and cannot refresh, so
+    * its snapshot cannot move either.) */
+  private def chunkedMultiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
+    var attempt = 0
+    while (attempt < 3) {
+      val before = servedVersion
+      val r = chunks(keys).flatMap(multiGetFrame).toIndexedSeq
+      if (servedVersion == before) return r
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"chunked multiGet of ${keys.length} keys kept straddling version swaps " +
+        s"at $host:$port/$domain — retry when the serving version settles")
   }
 
   /** Split `keys` into runs each within BOTH protocol bounds. */
@@ -181,7 +202,14 @@ final class RemoteKvReader(
     val conn = borrow()
     var ok = false
     try {
-      val r = f(conn.out, conn.in)
+      val r =
+        try f(conn.out, conn.in)
+        catch {
+          // garbage where a protocol string belongs = wrong service, not
+          // an unreachable host — keep the misconfiguration class loud
+          case e: java.io.UTFDataFormatException =>
+            throw new RemoteKvReader.ProtocolException(s"bad UTF field: ${e.getMessage}")
+        }
       ok = true
       r
     } finally {

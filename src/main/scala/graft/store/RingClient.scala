@@ -51,20 +51,31 @@ final class RingClient(
     * readers still cross-check each other; an execution failure like an
     * unknown domain name stays loud: that is misconfiguration). */
   val numShards: Int = {
-    // probe in PARALLEL: the probes are independent, and a frozen host
-    // (accepts, never answers) must cost the construction at most one
-    // read timeout, not one per broken host
-    import scala.collection.parallel.CollectionConverters._
-    val known = readers.toSeq.par.flatMap { case (h, r) =>
-      try Some(h -> r.numShards)
-      catch {
-        // a peer speaking the wrong protocol is MISCONFIGURATION (wrong
-        // port/service) and must stay loud; only unreachability is
-        // failover's job
-        case e: RemoteKvReader.ProtocolException => throw e
-        case _: java.io.IOException => None // unreachable ≠ misconfigured
-      }
-    }.seq.toMap
+    // probe on DEDICATED threads (not a shared pool: these block on
+    // socket I/O up to the read timeout, and a frozen host must cost the
+    // construction at most ONE timeout, not one per broken host — nor
+    // stall unrelated pool work for that long)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
+    val threads = readers.toSeq.map { case (h, r) =>
+      val t = new Thread(() => {
+        val res =
+          try Right(r.numShards)
+          catch { case e: Exception => Left(e) }
+        results.put(h, res)
+      }, s"ring-probe-$h")
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    // a peer speaking the wrong protocol is MISCONFIGURATION (wrong
+    // port/service) and must stay loud; only unreachability is
+    // failover's job
+    results.asScala.foreach {
+      case (_, Left(e: RemoteKvReader.ProtocolException)) => throw e
+      case (_, Left(e)) if !e.isInstanceOf[java.io.IOException] => throw e
+      case _ => ()
+    }
+    val known = results.asScala.collect { case (h, Right(n)) => h -> n }.toMap
     require(known.nonEmpty,
       s"RingClient: no reachable reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
         "to learn the domain's shard count from")
