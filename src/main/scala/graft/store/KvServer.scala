@@ -20,8 +20,11 @@ import java.util.concurrent.atomic.AtomicBoolean
  * (0 ok / 1 error); error carries exceptionClass UTF + message UTF and
  * leaves the connection usable (transport errors close it). Ops:
  *
- *  - 1 MULTI_GET:  n int, n × (len int, key bytes)  →  n × record
- *    (tag byte: 0 absent / 1 present: len int + bytes / 2 present-null)
+ *  - 1 MULTI_GET:  n int, n × (len int, key bytes)  →  vLo long, vHi
+ *    long (servedVersion before/after the lookup; equal = the certified
+ *    serving version, used by chunked clients for cross-frame version
+ *    consistency), then n × record (tag byte: 0 absent / 1 present:
+ *    len int + bytes / 2 present-null)
  *  - 2 STATS:      —  →  numShards int, servedVersion long, canRefresh bool
  *  - 3 REFRESH:    —  →  refreshed bool (the reference's `update` RPC)
  *  - 4 COUNT:      —  →  long
@@ -42,7 +45,8 @@ import java.util.concurrent.atomic.AtomicBoolean
 final class KvServer(
     domains: Map[String, ServingReader],
     port: Int = 0,
-    bindAddress: String = "127.0.0.1") extends AutoCloseable {
+    bindAddress: String = "127.0.0.1",
+    maxValueLen: Int = KvServer.MaxValueLen) extends AutoCloseable {
 
   require(domains.nonEmpty, "KvServer: no domains to serve")
 
@@ -134,19 +138,29 @@ final class KvServer(
         try {
           op match {
             case KvServer.OpMultiGet =>
-              val vs = reader(domain).multiGet(keysOpt.get)
+              val r = reader(domain)
+              // bracket the lookup with version probes: the lookup itself
+              // is generation-consistent (never torn), but WHICH version
+              // served it is ambiguous if a refresh lands mid-call —
+              // vLo == vHi certifies the version, and the client uses the
+              // stamps to keep CHUNKED calls single-version end to end
+              val vLo = r.servedVersion
+              val vs = r.multiGet(keysOpt.get)
+              val vHi = r.servedVersion
               // a stored value past the transport's per-record bound is
               // an EXECUTION error named before the first response byte
               // (the client's allocation guard then only ever fires on
               // true desync, never on legitimate data)
               vs.foreach {
-                case Some(v) if v != null && v.length > KvServer.MaxValueLen =>
+                case Some(v) if v != null && v.length > maxValueLen =>
                   throw new IllegalStateException(
                     s"value of ${v.length} bytes exceeds the transport bound " +
-                      s"${KvServer.MaxValueLen} — serve this domain in-process")
+                      s"$maxValueLen — serve this domain in-process")
                 case _ => ()
               }
               out.writeByte(0)
+              out.writeLong(vLo)
+              out.writeLong(vHi)
               vs.foreach {
                 case None => out.writeByte(0)
                 case Some(null) => out.writeByte(2)

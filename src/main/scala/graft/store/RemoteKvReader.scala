@@ -19,8 +19,11 @@ import java.util.concurrent.atomic.AtomicBoolean
  *    desync) throw IOException — the server is unreachable/unusable;
  *  - execution failures on the serving side (wrong-host probe, unknown
  *    domain, closed reader) throw [[RemoteServingException]] carrying
- *    the remote exception class and message.
- *  Both are Exceptions, so RingClient fails over; both name the host.
+ *    the remote exception class and message;
+ *  - a CHUNKED multiGet (batch past the frame bounds) that keeps
+ *    straddling server-side version swaps throws IllegalStateException
+ *    after bounded retries — loud, never a torn cross-version read.
+ *  All are Exceptions, so RingClient fails over; all name the host.
  *
  * Connections: a small free-pool of persistent sockets (borrow → one
  * round trip → return). Any failure discards the borrowed connection —
@@ -69,17 +72,20 @@ final class RemoteKvReader(
   /** In-process multiGet answers every key under ONE generation (a
     * version-consistent snapshot); a chunked remote call spans several
     * frames, so a server-side refresh between chunks could silently mix
-    * two versions into one result. Bracket the chunks with servedVersion
-    * probes and retry on movement; a ring mid-roll that keeps swapping
-    * eventually fails LOUD rather than returning a torn read. (A bare
-    * localized subset reports -1 on both probes — and cannot refresh, so
+    * two versions into one result. Every MULTI_GET response carries the
+    * server's (before, after) version stamps: an attempt is accepted iff
+    * every frame certifies the SAME version (vLo == vHi, shared across
+    * frames) — exact, with no false rejection when a swap lands outside
+    * the frames. Repeated mid-attempt swaps retry, then fail LOUD
+    * (IllegalStateException) rather than ever returning a torn read. (A
+    * bare localized subset stamps -1 everywhere — and cannot refresh, so
     * its snapshot cannot move either.) */
   private def chunkedMultiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
     var attempt = 0
     while (attempt < 3) {
-      val before = servedVersion
-      val r = chunks(keys).flatMap(multiGetFrame).toIndexedSeq
-      if (servedVersion == before) return r
+      val framed = chunks(keys).map(multiGetFrameV).toIndexedSeq
+      val versions = framed.flatMap { case (vLo, vHi, _) => Seq(vLo, vHi) }.distinct
+      if (versions.size == 1) return framed.flatMap(_._3)
       attempt += 1
     }
     throw new IllegalStateException(
@@ -110,6 +116,10 @@ final class RemoteKvReader(
     }
 
   private def multiGetFrame(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] =
+    multiGetFrameV(keys)._3
+
+  private def multiGetFrameV(
+      keys: Seq[Array[Byte]]): (Long, Long, IndexedSeq[Option[Array[Byte]]]) =
     roundTrip { (out, in) =>
       out.writeByte(KvServer.OpMultiGet)
       out.writeUTF(domain)
@@ -117,7 +127,9 @@ final class RemoteKvReader(
       keys.foreach { k => out.writeInt(k.length); out.write(k) }
       out.flush()
       readStatus(in)
-      keys.indices.map { _ =>
+      val vLo = in.readLong()
+      val vHi = in.readLong()
+      val records = keys.indices.map { _ =>
         in.readByte() match {
           case 0 => None
           case 1 =>
@@ -133,6 +145,7 @@ final class RemoteKvReader(
           case t => throw new RemoteKvReader.ProtocolException(s"record tag $t")
         }
       }
+      (vLo, vHi, records)
     }
 
   private def stats(): (Int, Long, Boolean) =

@@ -60,7 +60,7 @@ final class RingClient(
       val t = new Thread(() => {
         val res =
           try Right(r.numShards)
-          catch { case e: Exception => Left(e) }
+          catch { case e: Throwable => Left(e) } // incl. fatals: rethrown below, never silent
         results.put(h, res)
       }, s"ring-probe-$h")
       t.setDaemon(true); t.start(); t
@@ -68,11 +68,15 @@ final class RingClient(
     threads.foreach(_.join())
     import scala.jdk.CollectionConverters._
     // a peer speaking the wrong protocol is MISCONFIGURATION (wrong
-    // port/service) and must stay loud; only unreachability is
-    // failover's job
+    // port/service) and must stay loud — NAMING the host, that is the
+    // probe's whole diagnostic value; so must anything that is not a
+    // plain transport failure (fatal errors included). Only
+    // unreachability is failover's job.
     results.asScala.foreach {
-      case (_, Left(e: RemoteKvReader.ProtocolException)) => throw e
-      case (_, Left(e)) if !e.isInstanceOf[java.io.IOException] => throw e
+      case (h, Left(e: RemoteKvReader.ProtocolException)) =>
+        throw new IllegalStateException(s"reader for host $h speaks the wrong protocol", e)
+      case (h, Left(e)) if !e.isInstanceOf[java.io.IOException] =>
+        throw new IllegalStateException(s"shard-count probe for host $h failed", e)
       case _ => ()
     }
     val known = results.asScala.collect { case (h, Right(n)) => h -> n }.toMap

@@ -166,6 +166,57 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("transport bounds and wrong-service endpoints are named errors, not desync") {
+    import spark.implicits._
+    val store = DomainStore.create(
+      scratch("remote-bounds-dom"), DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(
+      Seq("bk" -> "a value comfortably past a tiny bound").toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      1L)
+    val local = KvDomainReader.open(store.root.toString, conf)
+    // a server with a tiny per-record bound: the oversized STORED value
+    // must surface as a named remote execution error (connection stays
+    // usable), never as a protocol-desync misdiagnosis
+    val server = new KvServer(Map("users" -> local), maxValueLen = 8)
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    try {
+      val e = intercept[RemoteServingException](remote.get(utf8("bk")))
+      assert(e.getMessage.contains("exceeds the transport bound"), e.getMessage)
+      assert(remote.servedVersion === 1L) // same stub still answers
+
+      // an endpoint that speaks a DIFFERENT protocol is misconfiguration:
+      // construction fails loudly NAMING the host, instead of silently
+      // classifying the host as unreachable
+      val fake = new java.net.ServerSocket(0, 8, java.net.InetAddress.getByName("127.0.0.1"))
+      val fakeThread = new Thread(() => {
+        try {
+          while (true) {
+            val s = fake.accept()
+            s.getOutputStream.write(Array[Byte](77, 77, 77, 77)) // not a protocol status
+            s.getOutputStream.flush()
+            s.close()
+          }
+        } catch { case _: java.io.IOException => () }
+      })
+      fakeThread.setDaemon(true)
+      fakeThread.start()
+      try {
+        val ring = ShardRing.generateIndex(Seq("good", "bad"), 2, replication = 2)
+        val stubs: Map[String, ServingReader] = Map(
+          "good" -> new RemoteKvReader("127.0.0.1", server.boundPort, "users"),
+          "bad" -> new RemoteKvReader("127.0.0.1", fake.getLocalPort, "users"))
+        val e2 = intercept[IllegalStateException](new RingClient(ring, stubs))
+        assert(e2.getMessage.contains("bad") && e2.getMessage.contains("wrong protocol"),
+          e2.getMessage)
+        assert(e2.getCause.isInstanceOf[RemoteKvReader.ProtocolException])
+        stubs.values.foreach(_.close())
+      } finally fake.close()
+    } finally {
+      remote.close(); server.close(); local.close()
+    }
+  }
+
   test("RingClient over remote stubs: failover, loud dead shards, server-side refresh") {
     val store = DomainStore.create(
       scratch("remote-ring-dom"), DomainSpec(5, persistenceFormat = DomainSpec.KvSorted), conf)
