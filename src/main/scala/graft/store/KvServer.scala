@@ -49,6 +49,10 @@ final class KvServer(
     maxValueLen: Int = KvServer.MaxValueLen) extends AutoCloseable {
 
   require(domains.nonEmpty, "KvServer: no domains to serve")
+  require(maxValueLen > 0 && maxValueLen <= KvServer.MaxValueLen,
+    s"maxValueLen $maxValueLen outside (0, ${KvServer.MaxValueLen}] — the client's " +
+      "allocation guard uses the protocol constant, so a larger server bound would " +
+      "ship values the client must misread as desync")
 
   private val server = new ServerSocket(
     port, 64, InetAddress.getByName(bindAddress))

@@ -193,6 +193,9 @@ class RemoteServingSpec extends SparkSuite {
         try {
           while (true) {
             val s = fake.accept()
+            s.getInputStream.read() // drain a request byte first: close with
+            // an unread receive buffer would RST, which some TCP stacks
+            // surface before the queued 77s (portability-flaky)
             s.getOutputStream.write(Array[Byte](77, 77, 77, 77)) // not a protocol status
             s.getOutputStream.flush()
             s.close()
