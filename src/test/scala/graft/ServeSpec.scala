@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.core.DomainSpec
+import graft.functions._
+import graft.store.{DomainStore, RemoteKvReader}
+
+/**
+ * The standalone daemon ([[Serve]]): serves every servable domain under
+ * a catalog root over the socket protocol, skips Spark-scan-engine
+ * domains with a notice, and its updater loop hot-swaps to new
+ * publishes without a restart — the reference's deployable server
+ * process end to end.
+ */
+class ServeSpec extends SparkSuite {
+
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("daemon serves the catalog's kv domains and follows new publishes") {
+    import spark.implicits._
+    val conf = new Configuration()
+    val dbRoot = scratch("serve-db")
+    def kv(pairs: Seq[(String, String)]) =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+
+    val users = DomainStore.create(
+      s"$dbRoot/users", DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    users.write(kv(Seq("u1" -> "ada", "u2" -> "grace")), 1L)
+    val docs = DomainStore.create(
+      s"$dbRoot/docs", DomainSpec(2, persistenceFormat = DomainSpec.KvSortedZ), conf)
+    docs.write(kv(Seq("d1" -> "some document text")), 1L)
+    // a parquet domain is a Spark scan engine: skipped with a notice
+    val plain = DomainStore.create(s"$dbRoot/plain", DomainSpec(2), conf)
+    plain.write(kv(Seq("p" -> "x")), 1L)
+
+    val notices = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val handle = Serve.start(dbRoot, conf, refreshMillis = 100L, log = notices.add(_))
+    try {
+      assert(handle.readers.keySet === Set("users", "docs"))
+      assert(notices.asScala().exists(n => n.contains("skip plain")), notices)
+
+      val remoteUsers = new RemoteKvReader("127.0.0.1", handle.boundPort, "users")
+      val remoteDocs = new RemoteKvReader("127.0.0.1", handle.boundPort, "docs")
+      try {
+        assert(remoteUsers.get(utf8("u1")).map(new String(_, "UTF-8")) === Some("ada"))
+        assert(remoteDocs.get(utf8("d1")).map(new String(_, "UTF-8")) ===
+          Some("some document text"))
+        assert(remoteUsers.domainNames() === Seq("docs", "users"))
+
+        // publish v2: the UPDATER (not the client) must swap it in
+        users.write(kv(Seq("u1" -> "ada lovelace", "u2" -> "grace")), 2L)
+        val deadline = System.nanoTime() + 15e9.toLong
+        while (remoteUsers.servedVersion < 2L && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        assert(remoteUsers.servedVersion === 2L, "updater never swapped to v2")
+        assert(remoteUsers.get(utf8("u1")).map(new String(_, "UTF-8")) ===
+          Some("ada lovelace"))
+        // the untouched domain kept serving throughout
+        assert(remoteDocs.servedVersion === 1L)
+      } finally {
+        remoteUsers.close(); remoteDocs.close()
+      }
+    } finally handle.close()
+  }
+
+  private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[String]) {
+    def asScala(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      q.iterator().asScala.toSeq
+    }
+  }
+}
