@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 
@@ -9,39 +11,48 @@ import graft.store.{DomainCatalog, KvDomainReader, KvServer}
 /**
  * Standalone serving daemon: every servable (kv-sorted / kv-sorted-z)
  * domain under a catalog root, exposed over [[KvServer]]'s protocol,
- * with a background updater that follows new publishes via
- * [[KvDomainReader.refresh]] — the reference's deployable server
- * process (`elephantdb-server/src/clj/elephantdb/keyval/core.clj`
- * launched a Thrift service over its local domains, with an updater
- * loop swapping in downloaded versions) re-expressed over this
- * engine's readers. Spark-free end to end: a serving box needs the
- * jar, not a cluster.
+ * with a background updater that BOTH follows new publishes via
+ * [[KvDomainReader.refresh]] and performs initial loads — domains that
+ * first publish (or appear) after boot are discovered on the next
+ * sweep, exactly like the reference's updater
+ * (`common/database.clj:95–107` ran `update-all!` on an interval, which
+ * also loaded not-yet-loaded domains). Spark-free end to end: a serving
+ * box needs the jar, not a cluster.
  *
  * Usage: `runMain graft.Serve <catalogRoot> [port] [refreshSeconds]`
  * (port 0 = ephemeral, printed on startup; refresh 0 = never poll).
+ * Booting before the first publish is legal: the census starts empty
+ * and fills as publishes land.
  *
- * Non-servable domains (parquet/orc — Spark scan engines) and domains
- * with no published version are skipped with a notice; serve an
- * exported `kv-sorted` twin instead (see DomainStore.transcode).
+ * Non-servable domains (parquet/orc — Spark scan engines) are skipped
+ * with a notice; serve an exported `kv-sorted` twin instead (see
+ * DomainStore.transcode).
  */
 object Serve {
 
-  /** A started daemon: the bound server, its readers, and the updater
-    * thread. `close()` stops all three (readers included — the handle
-    * owns them, unlike a bare KvServer). */
+  /** A started daemon: the bound server, its live readers, and the
+    * updater thread. `close()` stops all three (readers included — the
+    * handle owns them, unlike a bare KvServer). */
   final class Handle(
       val server: KvServer,
-      val readers: Map[String, KvDomainReader],
+      served: ConcurrentHashMap[String, KvDomainReader],
       updater: Option[Thread]) extends AutoCloseable {
     def boundPort: Int = server.boundPort
+    def readers: Map[String, KvDomainReader] = {
+      import scala.jdk.CollectionConverters._
+      served.asScala.toMap
+    }
     def close(): Unit = {
-      updater.foreach(_.interrupt())
+      // stop the updater FIRST and wait it out: a sweep in flight must
+      // not run against closed readers or call the log callback after
+      // close() has returned
+      updater.foreach { t => t.interrupt(); t.join(10000) }
       server.close()
       readers.values.foreach(r => try r.close() catch { case _: Exception => () })
     }
   }
 
-  /** Open every servable domain under `root` and start serving. */
+  /** Serve every servable domain under `root`; discover late ones. */
   def start(
       root: String,
       conf: Configuration,
@@ -49,26 +60,46 @@ object Serve {
       refreshMillis: Long = 30000L,
       log: String => Unit = println): Handle = {
     val cat = new DomainCatalog(root, conf)
-    val readers: Map[String, KvDomainReader] = cat.listDomains.flatMap { name =>
-      val domainRoot = new Path(root, name)
-      val fmt = cat.domain(name).spec.persistenceFormat
-      if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
-        log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not servable " +
-          "(export a kv-sorted twin with DomainStore.transcode)")
-        None
-      } else {
-        try Some(name -> KvDomainReader.open(domainRoot.toString, conf))
-        catch {
-          case e: IllegalStateException =>
-            log(s"[serve] skip $name: ${e.getMessage}") // no published version yet
-            None
+    val served = new ConcurrentHashMap[String, KvDomainReader]()
+    val skippedFormat = ConcurrentHashMap.newKeySet[String]()
+
+    // one catalog sweep: open newly-servable domains, register them
+    def loadNew(server: Option[KvServer]): Unit = cat.listDomains.foreach { name =>
+      if (!served.containsKey(name) && !skippedFormat.contains(name)) {
+        val domainRoot = new Path(root, name)
+        val fmt = cat.domain(name).spec.persistenceFormat
+        if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
+          skippedFormat.add(name) // permanent: a domain's format never changes
+          log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not servable " +
+            "(export a kv-sorted twin with DomainStore.transcode)")
+        } else {
+          try {
+            val r = KvDomainReader.open(domainRoot.toString, conf)
+            served.put(name, r)
+            server.foreach(_.register(name, r))
+            log(s"[serve] loaded $name at version ${r.servedVersion}")
+          } catch {
+            // no published version yet: retried on the next sweep (the
+            // reference updater performed initial loads the same way)
+            case e: IllegalStateException => log(s"[serve] not yet loadable $name: ${e.getMessage}")
+          }
         }
       }
-    }.toMap
-    require(readers.nonEmpty, s"no servable domain under $root")
-    val server = new KvServer(readers, port)
-    log(s"[serve] serving ${readers.keySet.toSeq.sorted.mkString(", ")} " +
-      s"on port ${server.boundPort}")
+    }
+
+    loadNew(None)
+    val server =
+      try {
+        import scala.jdk.CollectionConverters._
+        new KvServer(served.asScala.toMap, port)
+      } catch {
+        case e: Throwable =>
+          // a bind failure must not abandon the opened readers
+          served.values().forEach(r => try r.close() catch { case _: Exception => () })
+          throw e
+      }
+    log(s"[serve] serving ${server.domainNames.mkString(", ")} on port ${server.boundPort}")
+
     val updater =
       if (refreshMillis <= 0) None
       else Some {
@@ -77,14 +108,26 @@ object Serve {
           while (running) {
             try Thread.sleep(refreshMillis)
             catch { case _: InterruptedException => running = false }
-            if (running) readers.foreach { case (name, r) =>
-              try {
-                if (r.refresh())
-                  log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
-              } catch {
-                // keep polling: a failed refresh (e.g. the publish is
-                // mid-flight) leaves the previous version serving
-                case e: Exception => log(s"[serve] refresh $name failed: $e")
+            if (running) {
+              // refresh the loaded, then look for late arrivals; catch
+              // THROWABLE per step — an Error (or a throwing log
+              // callback) must never kill the updater silently, leaving
+              // the daemon pinned to a stale version with no signal
+              served.forEach { (name, r) =>
+                try {
+                  if (r.refresh())
+                    log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
+                } catch {
+                  case e: Throwable =>
+                    try log(s"[serve] refresh $name failed: $e")
+                    catch { case _: Throwable => () }
+                }
+              }
+              try loadNew(Some(server))
+              catch {
+                case e: Throwable =>
+                  try log(s"[serve] catalog sweep failed: $e")
+                  catch { case _: Throwable => () }
               }
             }
           }
@@ -93,7 +136,7 @@ object Serve {
         t.start()
         t
       }
-    new Handle(server, readers, updater)
+    new Handle(server, served, updater)
   }
 
   def main(args: Array[String]): Unit = {

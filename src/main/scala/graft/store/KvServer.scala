@@ -48,7 +48,6 @@ final class KvServer(
     bindAddress: String = "127.0.0.1",
     maxValueLen: Int = KvServer.MaxValueLen) extends AutoCloseable {
 
-  require(domains.nonEmpty, "KvServer: no domains to serve")
   require(maxValueLen > 0 && maxValueLen <= KvServer.MaxValueLen,
     s"maxValueLen $maxValueLen outside (0, ${KvServer.MaxValueLen}] — the client's " +
       "allocation guard uses the protocol constant, so a larger server bound would " +
@@ -58,6 +57,24 @@ final class KvServer(
     port, 64, InetAddress.getByName(bindAddress))
   private val closed = new AtomicBoolean(false)
   private val conns = ConcurrentHashMap.newKeySet[Socket]()
+
+  // the census is DYNAMIC: a daemon can register a domain whose first
+  // version publishes after boot (the reference updater performed
+  // initial loads, not just refreshes). An empty boot census is legal —
+  // every probe answers 'no such domain' with the live census until
+  // registrations arrive.
+  private val served = new ConcurrentHashMap[String, ServingReader]()
+  domains.foreach { case (n, r) => served.put(n, r) }
+
+  /** Add (or replace) a served domain while running. The server never
+    * closes readers — the caller owns their lifecycle. */
+  def register(name: String, r: ServingReader): Unit = served.put(name, r)
+
+  /** The live census (sorted), as OpDomains reports it. */
+  def domainNames: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    served.keySet.asScala.toSeq.sorted
+  }
 
   /** The bound port (useful with port = 0: ephemeral). */
   def boundPort: Int = server.getLocalPort
@@ -186,7 +203,7 @@ final class KvServer(
               out.writeByte(0)
               out.writeLong(c)
             case KvServer.OpDomains =>
-              val names = domains.keySet.toSeq.sorted
+              val names = domainNames
               out.writeByte(0)
               out.writeInt(names.size)
               names.foreach(out.writeUTF)
@@ -232,8 +249,8 @@ final class KvServer(
   }
 
   private def reader(domain: String): ServingReader =
-    domains.getOrElse(domain, throw new IllegalArgumentException(
-      s"no such domain '$domain' (serving: ${domains.keySet.toSeq.sorted.mkString(", ")})"))
+    Option(served.get(domain)).getOrElse(throw new IllegalArgumentException(
+      s"no such domain '$domain' (serving: ${domainNames.mkString(", ")})"))
 
   /** Stop accepting and drop every open connection. Does NOT close the
     * underlying readers — the caller owns their lifecycle (a server

@@ -60,6 +60,23 @@ class ServeSpec extends SparkSuite {
           Some("ada lovelace"))
         // the untouched domain kept serving throughout
         assert(remoteDocs.servedVersion === 1L)
+
+        // a domain whose FIRST publish lands after boot is discovered by
+        // the updater's catalog sweep (the reference's initial loads) —
+        // no restart needed
+        val late = DomainStore.create(
+          s"$dbRoot/late", DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+        late.write(kv(Seq("l1" -> "late arrival")), 1L)
+        val lateDeadline = System.nanoTime() + 15e9.toLong
+        while (!handle.readers.contains("late") && System.nanoTime() < lateDeadline)
+          Thread.sleep(50)
+        assert(handle.readers.contains("late"), "updater never loaded the late domain")
+        val remoteLate = new RemoteKvReader("127.0.0.1", handle.boundPort, "late")
+        try {
+          assert(remoteLate.get(utf8("l1")).map(new String(_, "UTF-8")) ===
+            Some("late arrival"))
+          assert(remoteLate.domainNames() === Seq("docs", "late", "users"))
+        } finally remoteLate.close()
       } finally {
         remoteUsers.close(); remoteDocs.close()
       }

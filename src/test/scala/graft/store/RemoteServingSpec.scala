@@ -193,9 +193,11 @@ class RemoteServingSpec extends SparkSuite {
         try {
           while (true) {
             val s = fake.accept()
-            s.getInputStream.read() // drain a request byte first: close with
-            // an unread receive buffer would RST, which some TCP stacks
+            // drain the WHOLE request before closing: close with any
+            // unread receive bytes would RST, which some TCP stacks
             // surface before the queued 77s (portability-flaky)
+            val in = s.getInputStream
+            if (in.read() >= 0) while (in.available() > 0) in.read()
             s.getOutputStream.write(Array[Byte](77, 77, 77, 77)) // not a protocol status
             s.getOutputStream.flush()
             s.close()
