@@ -21,8 +21,9 @@ import graft.store.{DomainCatalog, KvDomainReader, KvServer}
  *
  * Usage: `runMain graft.Serve <catalogRoot> [port] [refreshSeconds]`
  * (port 0 = ephemeral, printed on startup; refresh 0 = never poll).
- * Booting before the first publish is legal: the census starts empty
- * and fills as publishes land.
+ * Booting before the first publish is legal when polling is on: the
+ * census starts empty and fills as publishes land (with polling
+ * disabled an empty boot fails loudly — it could never recover).
  *
  * Non-servable domains (parquet/orc — Spark scan engines) are skipped
  * with a notice; serve an exported `kv-sorted` twin instead (see
@@ -61,28 +62,44 @@ object Serve {
       log: String => Unit = println): Handle = {
     val cat = new DomainCatalog(root, conf)
     val served = new ConcurrentHashMap[String, KvDomainReader]()
-    val skippedFormat = ConcurrentHashMap.newKeySet[String]()
+    // log-once keys: every sweep RETRIES everything un-served (formats
+    // can change via purge+recreate, publishes land late, transient FS
+    // errors heal), but steady-state conditions log only on first sight
+    // — a daemon polling every 30 s must not spam its log forever
+    val noticed = ConcurrentHashMap.newKeySet[String]()
 
-    // one catalog sweep: open newly-servable domains, register them
+    // one catalog sweep: open newly-servable domains, register them.
+    // Failures are isolated PER DOMAIN — one corrupt domain-spec must
+    // not starve every alphabetically-later domain from loading.
     def loadNew(server: Option[KvServer]): Unit = cat.listDomains.foreach { name =>
-      if (!served.containsKey(name) && !skippedFormat.contains(name)) {
-        val domainRoot = new Path(root, name)
-        val fmt = cat.domain(name).spec.persistenceFormat
-        if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
-          skippedFormat.add(name) // permanent: a domain's format never changes
-          log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not servable " +
-            "(export a kv-sorted twin with DomainStore.transcode)")
-        } else {
-          try {
-            val r = KvDomainReader.open(domainRoot.toString, conf)
-            served.put(name, r)
-            server.foreach(_.register(name, r))
-            log(s"[serve] loaded $name at version ${r.servedVersion}")
-          } catch {
-            // no published version yet: retried on the next sweep (the
-            // reference updater performed initial loads the same way)
-            case e: IllegalStateException => log(s"[serve] not yet loadable $name: ${e.getMessage}")
+      if (!served.containsKey(name)) {
+        try {
+          val fmt = cat.domain(name).spec.persistenceFormat
+          if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
+            if (noticed.add(s"fmt:$name"))
+              log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not " +
+                "servable (export a kv-sorted twin with DomainStore.transcode)")
+          } else {
+            try {
+              val r = KvDomainReader.open(new Path(root, name).toString, conf)
+              // register with the SERVER before exposing via readers:
+              // an observer seeing the reader must be able to query it
+              server.foreach(_.register(name, r))
+              served.put(name, r)
+              Seq("fmt", "unpub", "err").foreach(k => noticed.remove(s"$k:$name"))
+              log(s"[serve] loaded $name at version ${r.servedVersion}")
+            } catch {
+              // no published version yet: retried on the next sweep (the
+              // reference updater performed initial loads the same way)
+              case e: IllegalStateException =>
+                if (noticed.add(s"unpub:$name"))
+                  log(s"[serve] not yet loadable $name: ${e.getMessage}")
+            }
           }
+        } catch {
+          case e: Exception =>
+            if (noticed.add(s"err:$name"))
+              log(s"[serve] cannot inspect $name (will keep retrying): $e")
         }
       }
     }
@@ -98,6 +115,15 @@ object Serve {
           served.values().forEach(r => try r.close() catch { case _: Exception => () })
           throw e
       }
+    if (refreshMillis <= 0 && served.isEmpty) {
+      // with polling disabled the census can never fill: an empty boot
+      // (mistyped root, nothing published) must fail loudly, exactly as
+      // a poller-less daemon would otherwise answer 'no such domain' to
+      // everything forever with zero signal
+      server.close()
+      throw new IllegalStateException(
+        s"no servable domain under $root and refresh polling is disabled")
+    }
     log(s"[serve] serving ${server.domainNames.mkString(", ")} on port ${server.boundPort}")
 
     val updater =
@@ -105,6 +131,12 @@ object Serve {
       else Some {
         val t = new Thread(() => {
           var running = true
+          // an interrupt ANYWHERE (sleep, a blocked refresh, a sweep)
+          // means close() wants us gone — stop before the next step, so
+          // the join in close() can't be defeated by a swallowed
+          // interrupt followed by a full sleep against closed readers
+          def interrupted(e: Throwable): Boolean =
+            e.isInstanceOf[InterruptedException] || Thread.currentThread().isInterrupted
           while (running) {
             try Thread.sleep(refreshMillis)
             catch { case _: InterruptedException => running = false }
@@ -114,17 +146,19 @@ object Serve {
               // callback) must never kill the updater silently, leaving
               // the daemon pinned to a stale version with no signal
               served.forEach { (name, r) =>
-                try {
+                if (running) try {
                   if (r.refresh())
                     log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
                 } catch {
+                  case e: Throwable if interrupted(e) => running = false
                   case e: Throwable =>
                     try log(s"[serve] refresh $name failed: $e")
                     catch { case _: Throwable => () }
                 }
               }
-              try loadNew(Some(server))
+              if (running) try loadNew(Some(server))
               catch {
+                case e: Throwable if interrupted(e) => running = false
                 case e: Throwable =>
                   try log(s"[serve] catalog sweep failed: $e")
                   catch { case _: Throwable => () }
