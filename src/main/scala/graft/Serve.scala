@@ -1,6 +1,7 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -28,6 +29,13 @@ import graft.store.{DomainCatalog, KvDomainReader, KvServer}
  * Non-servable domains (parquet/orc — Spark scan engines) are skipped
  * with a notice; serve an exported `kv-sorted` twin instead (see
  * DomainStore.transcode).
+ *
+ * Shutdown is a dedicated STOP FLAG + wake latch, not interrupt
+ * semantics: filesystem clients routinely wrap interrupts (clearing the
+ * flag, surfacing InterruptedIOException or wrappers), so interrupt
+ * classification cannot be made reliable — whereas the flag is checked
+ * between every per-domain step and the latch ends a sleep instantly,
+ * which makes close()'s bounded join dependable.
  */
 object Serve {
 
@@ -37,6 +45,8 @@ object Serve {
   final class Handle(
       val server: KvServer,
       served: ConcurrentHashMap[String, KvDomainReader],
+      stop: AtomicBoolean,
+      wake: CountDownLatch,
       updater: Option[Thread]) extends AutoCloseable {
     def boundPort: Int = server.boundPort
     def readers: Map[String, KvDomainReader] = {
@@ -47,7 +57,9 @@ object Serve {
       // stop the updater FIRST and wait it out: a sweep in flight must
       // not run against closed readers or call the log callback after
       // close() has returned
-      updater.foreach { t => t.interrupt(); t.join(10000) }
+      stop.set(true)
+      wake.countDown()
+      updater.foreach(_.join(30000))
       server.close()
       readers.values.foreach(r => try r.close() catch { case _: Exception => () })
     }
@@ -62,44 +74,63 @@ object Serve {
       log: String => Unit = println): Handle = {
     val cat = new DomainCatalog(root, conf)
     val served = new ConcurrentHashMap[String, KvDomainReader]()
-    // log-once keys: every sweep RETRIES everything un-served (formats
-    // can change via purge+recreate, publishes land late, transient FS
-    // errors heal), but steady-state conditions log only on first sight
-    // — a daemon polling every 30 s must not spam its log forever
+    val stop = new AtomicBoolean(false)
+    val wake = new CountDownLatch(1)
+    // log-once keys: every sweep RETRIES everything un-served (publishes
+    // land late, transient FS errors heal), but steady-state conditions
+    // log only on first sight — a daemon polling every 30 s must not
+    // spam its log forever. Error keys carry the exception class, so a
+    // CHANGED root cause logs anew.
     val noticed = ConcurrentHashMap.newKeySet[String]()
+    // format censuses are cached per name (a spec read per parquet
+    // domain per sweep adds up over a daemon's lifetime); entries for
+    // names gone from the catalog are evicted below, so a domain purged
+    // and recreated under the same name re-checks its format
+    val knownFormat = new ConcurrentHashMap[String, String]()
 
     // one catalog sweep: open newly-servable domains, register them.
     // Failures are isolated PER DOMAIN — one corrupt domain-spec must
     // not starve every alphabetically-later domain from loading.
-    def loadNew(server: Option[KvServer]): Unit = cat.listDomains.foreach { name =>
-      if (!served.containsKey(name)) {
-        try {
-          val fmt = cat.domain(name).spec.persistenceFormat
-          if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
-            if (noticed.add(s"fmt:$name"))
-              log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not " +
-                "servable (export a kv-sorted twin with DomainStore.transcode)")
-          } else {
-            try {
-              val r = KvDomainReader.open(new Path(root, name).toString, conf)
-              // register with the SERVER before exposing via readers:
-              // an observer seeing the reader must be able to query it
-              server.foreach(_.register(name, r))
-              served.put(name, r)
-              Seq("fmt", "unpub", "err").foreach(k => noticed.remove(s"$k:$name"))
-              log(s"[serve] loaded $name at version ${r.servedVersion}")
-            } catch {
-              // no published version yet: retried on the next sweep (the
-              // reference updater performed initial loads the same way)
-              case e: IllegalStateException =>
-                if (noticed.add(s"unpub:$name"))
-                  log(s"[serve] not yet loadable $name: ${e.getMessage}")
+    def loadNew(server: Option[KvServer]): Unit = {
+      val names = cat.listDomains
+      // prune state for vanished domains (catalog churn must not accrete)
+      val nameSet = names.toSet
+      knownFormat.keySet.removeIf(n => !nameSet.contains(n))
+      noticed.removeIf(k => !nameSet.contains(k.substring(k.lastIndexOf(':') + 1)))
+      names.foreach { name =>
+        if (!stop.get() && !served.containsKey(name)) {
+          try {
+            val fmt = Option(knownFormat.get(name)).getOrElse {
+              val f = cat.domain(name).spec.persistenceFormat
+              knownFormat.put(name, f)
+              f
             }
+            if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
+              if (noticed.add(s"fmt:$name"))
+                log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not " +
+                  "servable (export a kv-sorted twin with DomainStore.transcode)")
+            } else {
+              try {
+                val r = KvDomainReader.open(new Path(root, name).toString, conf)
+                // register with the SERVER before exposing via readers:
+                // an observer seeing the reader must be able to query it
+                server.foreach(_.register(name, r))
+                served.put(name, r)
+                noticed.removeIf(_.endsWith(s":$name"))
+                log(s"[serve] loaded $name at version ${r.servedVersion}")
+              } catch {
+                // no published version yet: retried on the next sweep (the
+                // reference updater performed initial loads the same way)
+                case e: IllegalStateException =>
+                  if (noticed.add(s"unpub:$name"))
+                    log(s"[serve] not yet loadable $name: ${e.getMessage}")
+              }
+            }
+          } catch {
+            case e: Exception =>
+              if (noticed.add(s"err-${e.getClass.getSimpleName}:$name"))
+                log(s"[serve] cannot inspect $name (will keep retrying): $e")
           }
-        } catch {
-          case e: Exception =>
-            if (noticed.add(s"err:$name"))
-              log(s"[serve] cannot inspect $name (will keep retrying): $e")
         }
       }
     }
@@ -130,35 +161,33 @@ object Serve {
       if (refreshMillis <= 0) None
       else Some {
         val t = new Thread(() => {
-          var running = true
-          // an interrupt ANYWHERE (sleep, a blocked refresh, a sweep)
-          // means close() wants us gone — stop before the next step, so
-          // the join in close() can't be defeated by a swallowed
-          // interrupt followed by a full sleep against closed readers
-          def interrupted(e: Throwable): Boolean =
-            e.isInstanceOf[InterruptedException] || Thread.currentThread().isInterrupted
-          while (running) {
-            try Thread.sleep(refreshMillis)
-            catch { case _: InterruptedException => running = false }
-            if (running) {
+          while (!stop.get()) {
+            try {
+              // the latch ends the wait INSTANTLY on close() — no
+              // interrupt needed, so nothing downstream can swallow it
+              wake.await(refreshMillis, TimeUnit.MILLISECONDS)
+            } catch { case _: InterruptedException => () } // stop flag governs
+            if (!stop.get()) {
               // refresh the loaded, then look for late arrivals; catch
               // THROWABLE per step — an Error (or a throwing log
               // callback) must never kill the updater silently, leaving
               // the daemon pinned to a stale version with no signal
               served.forEach { (name, r) =>
-                if (running) try {
-                  if (r.refresh())
+                if (!stop.get()) try {
+                  if (r.refresh()) {
+                    noticed.removeIf(k => k.startsWith("refresh-") && k.endsWith(s":$name"))
                     log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
+                  }
                 } catch {
-                  case e: Throwable if interrupted(e) => running = false
                   case e: Throwable =>
-                    try log(s"[serve] refresh $name failed: $e")
-                    catch { case _: Throwable => () }
+                    try {
+                      if (noticed.add(s"refresh-${e.getClass.getSimpleName}:$name"))
+                        log(s"[serve] refresh $name failed (will keep retrying): $e")
+                    } catch { case _: Throwable => () }
                 }
               }
-              if (running) try loadNew(Some(server))
+              if (!stop.get()) try loadNew(Some(server))
               catch {
-                case e: Throwable if interrupted(e) => running = false
                 case e: Throwable =>
                   try log(s"[serve] catalog sweep failed: $e")
                   catch { case _: Throwable => () }
@@ -170,7 +199,7 @@ object Serve {
         t.start()
         t
       }
-    new Handle(server, served, updater)
+    new Handle(server, served, stop, wake, updater)
   }
 
   def main(args: Array[String]): Unit = {
