@@ -39,6 +39,12 @@ import graft.store.{DomainCatalog, KvDomainReader, KvServer}
  */
 object Serve {
 
+  /** Every this-many sweeps the format cache is dropped and re-read —
+    * 10 min of staleness at the default 30 s poll, the bound on how
+    * long a purge+recreate that was never observed absent can be
+    * missed. */
+  val FormatRecheckSweeps: Int = 20
+
   /** A started daemon: the bound server, its live readers, and the
     * updater thread. `close()` stops all three (readers included — the
     * handle owns them, unlike a bare KvServer). */
@@ -56,10 +62,21 @@ object Serve {
     def close(): Unit = {
       // stop the updater FIRST and wait it out: a sweep in flight must
       // not run against closed readers or call the log callback after
-      // close() has returned
+      // close() has returned. The FLAG governs exit; the interrupt only
+      // unblocks in-flight interruptible I/O (safe now — a wrapped or
+      // swallowed interrupt just logs once and hits the flag check).
       stop.set(true)
       wake.countDown()
-      updater.foreach(_.join(30000))
+      updater.foreach { t =>
+        t.interrupt()
+        try t.join(30000)
+        catch {
+          case _: InterruptedException =>
+            // the CALLER was interrupted: restore the flag but still run
+            // the cleanup below — aborting would leak port + readers
+            Thread.currentThread().interrupt()
+        }
+      }
       server.close()
       readers.values.foreach(r => try r.close() catch { case _: Exception => () })
     }
@@ -83,28 +100,35 @@ object Serve {
     // CHANGED root cause logs anew.
     val noticed = ConcurrentHashMap.newKeySet[String]()
     // format censuses are cached per name (a spec read per parquet
-    // domain per sweep adds up over a daemon's lifetime); entries for
-    // names gone from the catalog are evicted below, so a domain purged
-    // and recreated under the same name re-checks its format
+    // domain per sweep adds up over a daemon's lifetime). Two
+    // invalidation paths: names gone from the catalog are evicted below
+    // (purge observed by a sweep), and the whole cache re-checks every
+    // FormatRecheckSweeps sweeps — a purge+recreate under the same name
+    // INSIDE one poll interval (never observed absent) is picked up
+    // within bounded staleness instead of never
     val knownFormat = new ConcurrentHashMap[String, String]()
+    val sweepCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
     // one catalog sweep: open newly-servable domains, register them.
     // Failures are isolated PER DOMAIN — one corrupt domain-spec must
     // not starve every alphabetically-later domain from loading.
     def loadNew(server: Option[KvServer]): Unit = {
+      if (sweepCounter.getAndIncrement() % Serve.FormatRecheckSweeps == 0)
+        knownFormat.clear()
       val names = cat.listDomains
-      // prune state for vanished domains (catalog churn must not accrete)
+      // prune state for vanished domains (catalog churn must not
+      // accrete) — but keep keys for names still SERVED: their reader
+      // outlives the catalog entry, and re-adding its refresh-failure
+      // key every sweep would log it every sweep
       val nameSet = names.toSet
-      knownFormat.keySet.removeIf(n => !nameSet.contains(n))
-      noticed.removeIf(k => !nameSet.contains(k.substring(k.lastIndexOf(':') + 1)))
+      def retired(n: String) = !nameSet.contains(n) && !served.containsKey(n)
+      knownFormat.keySet.removeIf(retired(_))
+      noticed.removeIf(k => retired(k.substring(k.lastIndexOf(':') + 1)))
       names.foreach { name =>
         if (!stop.get() && !served.containsKey(name)) {
           try {
-            val fmt = Option(knownFormat.get(name)).getOrElse {
-              val f = cat.domain(name).spec.persistenceFormat
-              knownFormat.put(name, f)
-              f
-            }
+            val fmt = knownFormat.computeIfAbsent(
+              name, _ => cat.domain(name).spec.persistenceFormat)
             if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
               if (noticed.add(s"fmt:$name"))
                 log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not " +
@@ -174,10 +198,13 @@ object Serve {
               // the daemon pinned to a stale version with no signal
               served.forEach { (name, r) =>
                 if (!stop.get()) try {
-                  if (r.refresh()) {
-                    noticed.removeIf(k => k.startsWith("refresh-") && k.endsWith(s":$name"))
+                  val swapped = r.refresh()
+                  // ANY successful refresh call heals the failure notice
+                  // (true or false) — otherwise a transient outage would
+                  // suppress logs for the next same-class outage forever
+                  noticed.removeIf(k => k.startsWith("refresh-") && k.endsWith(s":$name"))
+                  if (swapped)
                     log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
-                  }
                 } catch {
                   case e: Throwable =>
                     try {
