@@ -30,12 +30,14 @@ import graft.store.{DomainCatalog, KvDomainReader, KvServer}
  * with a notice; serve an exported `kv-sorted` twin instead (see
  * DomainStore.transcode).
  *
- * Shutdown is a dedicated STOP FLAG + wake latch, not interrupt
- * semantics: filesystem clients routinely wrap interrupts (clearing the
- * flag, surfacing InterruptedIOException or wrappers), so interrupt
- * classification cannot be made reliable — whereas the flag is checked
- * between every per-domain step and the latch ends a sleep instantly,
- * which makes close()'s bounded join dependable.
+ * Shutdown: a dedicated STOP FLAG governs exit (checked between every
+ * per-domain step; a wake latch ends the inter-sweep wait instantly),
+ * and close() ALSO interrupts — solely to unblock in-flight
+ * interruptible I/O. The two compose: filesystem clients routinely
+ * wrap interrupts (clearing the flag, surfacing InterruptedIOException
+ * or wrappers), so no code here classifies interrupt-derived
+ * exceptions — a wrapped interrupt just falls into the ordinary catch
+ * and the very next flag check exits.
  */
 object Serve {
 
@@ -130,18 +132,32 @@ object Serve {
             val fmt = knownFormat.computeIfAbsent(
               name, _ => cat.domain(name).spec.persistenceFormat)
             if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) {
-              if (noticed.add(s"fmt:$name"))
+              // the key carries the format so a purge+recreate that
+              // CHANGES it (parquet -> orc) logs anew, same design as
+              // the exception-class-carrying error keys
+              if (noticed.add(s"fmt-$fmt:$name"))
                 log(s"[serve] skip $name: format '$fmt' is a Spark scan engine, not " +
                   "servable (export a kv-sorted twin with DomainStore.transcode)")
             } else {
               try {
                 val r = KvDomainReader.open(new Path(root, name).toString, conf)
-                // register with the SERVER before exposing via readers:
-                // an observer seeing the reader must be able to query it
-                server.foreach(_.register(name, r))
-                served.put(name, r)
-                noticed.removeIf(_.endsWith(s":$name"))
-                log(s"[serve] loaded $name at version ${r.servedVersion}")
+                if (stop.get()) {
+                  // shutdown raced the open: registering now would leak
+                  // the reader past close()'s cleanup
+                  r.close()
+                } else {
+                  // register with the SERVER before exposing via readers:
+                  // an observer seeing the reader must be able to query it
+                  server.foreach(_.register(name, r))
+                  served.put(name, r)
+                  // double-check: close() may have swept `served` between
+                  // the check above and the put
+                  if (stop.get() && served.remove(name, r)) r.close()
+                  else {
+                    noticed.removeIf(_.endsWith(s":$name"))
+                    log(s"[serve] loaded $name at version ${r.servedVersion}")
+                  }
+                }
               } catch {
                 // no published version yet: retried on the next sweep (the
                 // reference updater performed initial loads the same way)
@@ -208,7 +224,11 @@ object Serve {
                 } catch {
                   case e: Throwable =>
                     try {
-                      if (noticed.add(s"refresh-${e.getClass.getSimpleName}:$name"))
+                      // during shutdown the close() interrupt surfaces
+                      // here as a wrapped IO failure — not a real retry
+                      // situation, don't log it as one
+                      if (!stop.get() &&
+                        noticed.add(s"refresh-${e.getClass.getSimpleName}:$name"))
                         log(s"[serve] refresh $name failed (will keep retrying): $e")
                     } catch { case _: Throwable => () }
                 }
