@@ -146,9 +146,7 @@ final class KvServer(
             }
           } catch {
             case e: KvServer.FrameViolation =>
-              out.writeByte(1)
-              out.writeUTF("java.io.IOException")
-              out.writeUTF(e.getMessage)
+              writeError(out, "java.io.IOException", e.getMessage)
               out.flush()
               return
           }
@@ -211,9 +209,7 @@ final class KvServer(
         } catch {
           case e: Exception =>
             // execution failure: report class + message, keep serving
-            out.writeByte(1)
-            out.writeUTF(e.getClass.getName)
-            out.writeUTF(Option(e.getMessage).getOrElse("").take(4096))
+            writeError(out, e.getClass.getName, Option(e.getMessage).getOrElse(""))
         }
         out.flush()
       }
@@ -223,6 +219,13 @@ final class KvServer(
       conns.remove(sock)
       try sock.close() catch { case _: IOException => () }
     }
+  }
+
+  /** status-1 error frame: exception class + message (bounded). */
+  private def writeError(out: DataOutputStream, cls: String, msg: String): Unit = {
+    out.writeByte(1)
+    out.writeUTF(cls)
+    out.writeUTF(Option(msg).getOrElse("").take(4096))
   }
 
   /** Drain a MULTI_GET payload, enforcing the protocol bounds. The

@@ -55,18 +55,21 @@ final class RemoteKvReader(
     multiGet(IndexedSeq(key)).head.flatMap(Option(_))
 
   override def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = {
-    // a single key past the frame bound is unservable over this
-    // transport, period — a clear named error here, not a dropped
-    // connection + replica-exhaustion on the server side
-    keys.foreach(k => require(k.length <= KvServer.MaxKeyLen,
-      s"key of ${k.length} bytes exceeds the protocol bound ${KvServer.MaxKeyLen}"))
+    var bytes = 0L
+    keys.foreach { k =>
+      // a single key past the frame bound is unservable over this
+      // transport, period — a clear named error here, not a dropped
+      // connection + replica-exhaustion on the server side
+      require(k.length <= KvServer.MaxKeyLen,
+        s"key of ${k.length} bytes exceeds the protocol bound ${KvServer.MaxKeyLen}")
+      bytes += k.length
+    }
     // batches past the count/aggregate bounds split into several frames
     // transparently (results re-concatenated in input order) — bulk
     // callers that work in-process keep working over the wire
-    if (keys.length > KvServer.MaxBatch ||
-      keys.iterator.map(_.length.toLong).sum > KvServer.MaxBatchBytes)
-      return chunkedMultiGet(keys)
-    multiGetFrame(keys)
+    if (keys.length > KvServer.MaxBatch || bytes > KvServer.MaxBatchBytes)
+      chunkedMultiGet(keys)
+    else multiGetFrame(keys)
   }
 
   /** In-process multiGet answers every key under ONE generation (a
@@ -115,18 +118,29 @@ final class RemoteKvReader(
       }
     }
 
+  /** One framed round trip: op byte, domain, op payload via `write`,
+    * flush, status check, then `read` the response body — the shared
+    * preamble of every protocol op. */
+  private def request[A](op: Byte, dom: String = domain)(
+      write: DataOutputStream => Unit)(read: DataInputStream => A): A =
+    roundTrip { (out, in) =>
+      out.writeByte(op)
+      out.writeUTF(dom)
+      write(out)
+      out.flush()
+      readStatus(in)
+      read(in)
+    }
+
   private def multiGetFrame(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] =
     multiGetFrameV(keys)._3
 
   private def multiGetFrameV(
       keys: Seq[Array[Byte]]): (Long, Long, IndexedSeq[Option[Array[Byte]]]) =
-    roundTrip { (out, in) =>
-      out.writeByte(KvServer.OpMultiGet)
-      out.writeUTF(domain)
+    request(KvServer.OpMultiGet) { out =>
       out.writeInt(keys.length)
       keys.foreach { k => out.writeInt(k.length); out.write(k) }
-      out.flush()
-      readStatus(in)
+    } { in =>
       val vLo = in.readLong()
       val vHi = in.readLong()
       val records = keys.indices.map { _ =>
@@ -149,41 +163,17 @@ final class RemoteKvReader(
     }
 
   private def stats(): (Int, Long, Boolean) =
-    roundTrip { (out, in) =>
-      out.writeByte(KvServer.OpStats)
-      out.writeUTF(domain)
-      out.flush()
-      readStatus(in)
-      (in.readInt(), in.readLong(), in.readBoolean())
-    }
+    request(KvServer.OpStats)(_ => ())(in => (in.readInt(), in.readLong(), in.readBoolean()))
 
   override def refresh(): Boolean =
-    roundTrip { (out, in) =>
-      out.writeByte(KvServer.OpRefresh)
-      out.writeUTF(domain)
-      out.flush()
-      readStatus(in)
-      in.readBoolean()
-    }
+    request(KvServer.OpRefresh)(_ => ())(_.readBoolean())
 
   override def count(): Long =
-    roundTrip { (out, in) =>
-      out.writeByte(KvServer.OpCount)
-      out.writeUTF(domain)
-      out.flush()
-      readStatus(in)
-      in.readLong()
-    }
+    request(KvServer.OpCount)(_ => ())(_.readLong())
 
   /** The server's domain census (reference `getDomains`). */
   def domainNames(): Seq[String] =
-    roundTrip { (out, in) =>
-      out.writeByte(KvServer.OpDomains)
-      out.writeUTF("")
-      out.flush()
-      readStatus(in)
-      Seq.fill(in.readInt())(in.readUTF())
-    }
+    request(KvServer.OpDomains, dom = "")(_ => ())(in => Seq.fill(in.readInt())(in.readUTF()))
 
   /** status 0 falls through; status 1 rethrows the remote failure. The
     * connection stays frame-aligned either way (the server drains the
