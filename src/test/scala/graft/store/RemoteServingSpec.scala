@@ -222,6 +222,38 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("protocol fuzz: random garbage never hangs or kills the server") {
+    import spark.implicits._
+    val store = DomainStore.create(
+      scratch("remote-fuzz-dom"), DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kvDf(Seq("fz" -> "alive")), 1L)
+    val local = KvDomainReader.open(store.root.toString, conf)
+    val server = new KvServer(Map("users" -> local))
+    try {
+      val rnd = new scala.util.Random(1234)
+      (0 until 100).foreach { i =>
+        val s = new java.net.Socket("127.0.0.1", server.boundPort)
+        try {
+          s.setSoTimeout(250) // if the server (legally) waits for more
+          // request bytes, stop probing fast — closing is the signal
+          val bytes = Array.fill(1 + rnd.nextInt(64))(rnd.nextInt().toByte)
+          s.getOutputStream.write(bytes)
+          s.getOutputStream.flush()
+          // the server may answer an error frame or just drop us — both
+          // fine; it must never hang this probe past its own reads
+          try { while (s.getInputStream.read() >= 0) () }
+          catch { case _: java.io.IOException => () }
+        } finally s.close()
+      }
+      // after 100 garbage connections the server still serves cleanly
+      val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+      try assert(remote.get(utf8("fz")).map(new String(_, "UTF-8")) === Some("alive"))
+      finally remote.close()
+    } finally {
+      server.close(); local.close()
+    }
+  }
+
   test("RingClient over remote stubs: failover, loud dead shards, server-side refresh") {
     val store = DomainStore.create(
       scratch("remote-ring-dom"), DomainSpec(5, persistenceFormat = DomainSpec.KvSorted), conf)
