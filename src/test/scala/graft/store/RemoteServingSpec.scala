@@ -222,6 +222,81 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("updateRing over sockets: the reference's updateAll as delta pulls + remote refresh under load") {
+    import java.util.concurrent.atomic.{AtomicBoolean, AtomicReference}
+    val store = DomainStore.create(
+      scratch("remote-updring-dom"), DomainSpec(5, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 300).map(i => s"uk$i")
+    store.write(kvDf(keys.map(k => k -> s"v1-$k")), 1L)
+    val hosts = Seq("rA", "rB", "rC")
+    val ring = ShardRing.generateIndex(hosts, 5, replication = 2)
+    val roots = hosts.map(h => h -> new Path(scratch(s"remote-updring-$h"))).toMap
+    val locals = hosts.map { h =>
+      store.localizeVersionForHost(1L, roots(h), ring, h)
+      h -> KvDomainReader.open(roots(h).toString, conf, Some(ring.shardSet(h)))
+    }.toMap
+    val servers = locals.map { case (h, r) => h -> new KvServer(Map("users" -> r)) }
+    val stubs: Map[String, ServingReader] = servers.map { case (h, s) =>
+      h -> new RemoteKvReader("127.0.0.1", s.boundPort, "users")
+    }
+    val client = new RingClient(ring, stubs, rnd = new scala.util.Random(17))
+    try {
+      val changed = keys.filter(_.hashCode % 3 == 0)
+      assume(changed.nonEmpty && changed.size < keys.size)
+      store.upsert(spark, kvDf(changed.map(k => k -> s"v2-$k")), 2L)
+
+      // hammer the SOCKET-served ring from 3 threads for the whole roll
+      val stop = new AtomicBoolean(false)
+      val violation = new AtomicReference[String](null)
+      val threads = (0 until 3).map { t =>
+        val th = new Thread(() => {
+          val rnd = new scala.util.Random(60 + t)
+          while (!stop.get() && violation.get() == null) {
+            try {
+              val batch = Seq.fill(15)(keys(rnd.nextInt(keys.length)))
+              client.multiGet(batch.map(utf8)).zip(batch).foreach { case (v, k) =>
+                val s = v.map(new String(_, "UTF-8"))
+                val legal =
+                  if (changed.contains(k)) s.contains(s"v1-$k") || s.contains(s"v2-$k")
+                  else s.contains(s"v1-$k")
+                if (!legal) violation.compareAndSet(null,
+                  s"key $k answered $s — not a value from any complete version")
+              }
+            } catch {
+              case e: Exception =>
+                violation.compareAndSet(null, s"query failed mid-roll: $e")
+            }
+          }
+        })
+        th.setDaemon(true); th.start(); th
+      }
+
+      // the roll: sequential delta pulls + per-host refresh — the
+      // refresh hop goes over the WIRE (stub refresh = the update RPC)
+      val deltas = RingClient.updateRing(client, store, 2L, ring, roots)
+      Thread.sleep(150)
+      stop.set(true)
+      threads.foreach(_.join(10000))
+      assert(violation.get() === null, Option(violation.get()).getOrElse("ok"))
+
+      hosts.foreach(h => assert(stubs(h).servedVersion === 2L, s"host $h"))
+      val changedShards = changed.map(k => ShardIndex.shardIndex(utf8(k), 5)).toSet
+      deltas.foreach { case (h, d) =>
+        assert(d.transferred.toSet === (ring.shardSet(h) intersect changedShards), s"host $h")
+        assert(d.reused.toSet === (ring.shardSet(h) diff changedShards), s"host $h")
+      }
+      val got = client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+      keys.zip(got).foreach { case (k, v) =>
+        val want = if (changed.contains(k)) s"v2-$k" else s"v1-$k"
+        assert(v === Some(want), s"key $k after the roll")
+      }
+    } finally {
+      client.close()
+      servers.values.foreach(_.close())
+      locals.values.foreach(_.close())
+    }
+  }
+
   test("protocol fuzz: random garbage never hangs or kills the server") {
     import spark.implicits._
     val store = DomainStore.create(
