@@ -70,14 +70,24 @@ object Serve {
       stop.set(true)
       wake.countDown()
       updater.foreach { t =>
-        t.interrupt()
-        try t.join(30000)
-        catch {
-          case _: InterruptedException =>
-            // the CALLER was interrupted: restore the flag but still run
-            // the cleanup below — aborting would leak port + readers
-            Thread.currentThread().interrupt()
+        // wait until the thread is actually DEAD — the 'no log callback
+        // after close()' guarantee is absolute, so a sweep stuck in
+        // non-interruptible I/O is waited out, re-interrupting each lap
+        // (FS clients routinely swallow the first interrupt). close()
+        // cannot return while the updater lives.
+        var callerInterrupted = false
+        while (t.isAlive) {
+          t.interrupt()
+          try t.join(30000)
+          catch {
+            case _: InterruptedException =>
+              // the CALLER was interrupted: remember it (restored below)
+              // but keep waiting — returning early would break the
+              // guarantee and leak port + readers
+              callerInterrupted = true
+          }
         }
+        if (callerInterrupted) Thread.currentThread().interrupt()
       }
       server.close()
       readers.values.foreach(r => try r.close() catch { case _: Exception => () })

@@ -42,7 +42,17 @@ object Status {
     // census). Sequential per-domain Spark aggregates made the ops
     // dashboard itself O(domains) jobs.
     import scala.collection.parallel.CollectionConverters._
-    val rows = cat.metadataAll.par.map { m =>
+    // The per-domain work blocks on FS I/O and fans out AGAIN inside
+    // (shardStatsLocal's per-shard .par): run the domain level on a
+    // dedicated bounded pool so a large catalog can't starve the global
+    // ForkJoinPool (whose workers would block here while the nested
+    // per-shard tasks queue behind them on the same pool).
+    val domainPool = new java.util.concurrent.ForkJoinPool(
+      math.min(8, Runtime.getRuntime.availableProcessors()))
+    val parDomains = cat.metadataAll.par
+    parDomains.tasksupport =
+      new scala.collection.parallel.ForkJoinTaskSupport(domainPool)
+    val rows = try parDomains.map { m =>
       val servable =
         m.spec.persistenceFormat == DomainSpec.KvSorted ||
           m.spec.persistenceFormat == DomainSpec.KvSortedZ
@@ -91,6 +101,7 @@ object Status {
         nRows, nBytes, maxShard, minShard, emptyShards,
         indexType, indexSummary)
     }.seq.toSeq
+    finally domainPool.shutdown()
     rows.toDF(
       "domain", "status", "updating", "num_shards", "persistence_format",
       "latest_version", "n_versions", "n_failed_versions",

@@ -215,7 +215,14 @@ final class KvDomainReader private (
     val newest = versions.mostRecentVersion.getOrElse(
       throw new IllegalStateException(s"no published version under ${versions.root}"))
     val cur = gen
-    if (newest == cur.version) false
+    // swap only FORWARD: published versions grow monotonically, so a
+    // "newest" below the served version means ops deleted the served
+    // version's token out from under us (retention misfire). Swapping
+    // backward would regress live traffic AND defeat KvServer's
+    // vLo==vHi single-version certification (the ABA case: old→new→old
+    // stamps look consistent). Keep serving the pinned generation — its
+    // handles stay valid until the files themselves are reaped (loud).
+    if (newest <= cur.version) false
     else {
       gen = new Generation(versions.versionPath(newest), newest)
       cur.release() // drop the installed ref; closes when in-flight gets drain

@@ -98,6 +98,14 @@ final class KvServer(
         }
       accepted.foreach { s =>
         try {
+          // cap live connections: past the limit, new accepts are closed
+          // immediately (the peer sees EOF and can retry/fail over) —
+          // a connection flood must exhaust neither threads nor fds.
+          // The idle reap only covers SILENT peers; this covers many
+          // live ones. Check-then-add races admit at most a handful of
+          // extras (#acceptor threads = 1, so in practice none).
+          if (conns.size() >= KvServer.MaxConnections)
+            throw new IOException(s"connection limit ${KvServer.MaxConnections} reached")
           s.setTcpNoDelay(true)
           // a peer that vanishes without FIN/RST (power-cycle, dropped
           // NAT entry) must not pin this connection's thread + fd
@@ -284,6 +292,12 @@ object KvServer {
     * a desynced or hostile server must not be able to demand a 2 GB
     * allocation via one length field. */
   val MaxValueLen: Int = 256 << 20
+
+  /** Live-connection cap: accepts past this are closed on arrival so a
+    * connection flood cannot exhaust threads or file descriptors. Sized
+    * generously — a serving client pools a handful of sockets, so even a
+    * large ring of clients sits far below it. */
+  val MaxConnections: Int = 1024
 
   /** Reap horizon for SILENT connections (no frame for this long):
     * clients discard pooled sockets at half this age, so only a peer

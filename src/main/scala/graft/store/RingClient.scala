@@ -214,7 +214,18 @@ object RingClient {
     ring.hostsToShards.keySet.toSeq.sorted.map { host =>
       val delta = store.localizeVersionForHost(
         version, hostRoots(host), ring, host, maxKBps)
-      client.reader(host).refresh()
+      val r = client.reader(host)
+      r.refresh()
+      // the pull succeeded and refresh() returned — but refresh() only
+      // reports "swapped vs already-newest", not WHICH version: a host
+      // whose reader is pinned elsewhere (or whose root resolves a
+      // different newest) would otherwise report as successfully rolled.
+      // Versions grow monotonically, so >= means the pulled version (or
+      // a later one that superseded it mid-roll) is live.
+      val serving = r.servedVersion
+      if (serving < version) throw new IllegalStateException(
+        s"update ring: host $host still serves version $serving after " +
+          s"pulling $version — its reader is not backed by ${hostRoots(host)}")
       host -> delta
     }.toMap
   }
