@@ -185,17 +185,65 @@ object Serve {
       }
     }
 
+    // the census STATUS reports over the wire: catalog ∪ served, so a
+    // domain the daemon has not (yet) loaded still answers — "loading"
+    // (published but unswept, or nothing published yet) and "failed"
+    // (no publish, failure marker) are exactly what a deployer polls
+    // for before pointing traffic here. Non-servable formats (parquet/
+    // orc Spark scan engines) are excluded: they will never serve, and
+    // an eternally-"loading" entry would pin isFullyLoaded false.
+    def statusSnapshot(): Seq[graft.store.ServedDomainStatus] = {
+      import scala.jdk.CollectionConverters._
+      val catalogNames = cat.listDomains
+      (catalogNames ++ served.keySet.asScala.toSeq).distinct.sorted.flatMap { name =>
+        val reader = served.get(name)
+        if (reader != null) {
+          // serving = ready at the reader's version; the catalog adds
+          // what the reader can't know (newer publishes, in-flight
+          // builds). A catalog hiccup must not unserve a ready answer.
+          val (latest, updating) =
+            try { val m = cat.metadata(name); (m.latestVersion.getOrElse(-1L), m.updating) }
+            catch { case _: Exception => (reader.servedVersion, false) }
+          Some(graft.store.ServedDomainStatus(
+            name, "ready", reader.servedVersion, latest, updating))
+        } else
+          try {
+            val fmt = knownFormat.computeIfAbsent(
+              name, _ => cat.domain(name).spec.persistenceFormat)
+            if (fmt != DomainSpec.KvSorted && fmt != DomainSpec.KvSortedZ) None
+            else {
+              val m = cat.metadata(name)
+              // the catalog says "ready" the moment a version publishes;
+              // from THIS daemon's view it is loading until swept in
+              val st = if (m.status == "ready") "loading" else m.status
+              Some(graft.store.ServedDomainStatus(
+                name, st, -1L, m.latestVersion.getOrElse(-1L), m.updating))
+            }
+          } catch {
+            // uninspectable right now (transient FS error): the sweep
+            // retries it, so "loading" is the truthful answer
+            case _: Exception => Some(graft.store.ServedDomainStatus(
+              name, "loading", -1L, -1L, updating = false))
+          }
+      }
+    }
+
     loadNew(None)
     val server =
       try {
         import scala.jdk.CollectionConverters._
-        new KvServer(served.asScala.toMap, port)
+        new KvServer(served.asScala.toMap, port,
+          statusProvider = Some(() => statusSnapshot()), log = log)
       } catch {
         case e: Throwable =>
           // a bind failure must not abandon the opened readers
           served.values().forEach(r => try r.close() catch { case _: Exception => () })
           throw e
       }
+    // remote UPDATE_ALL = the updater's sweep on demand: load domains
+    // that published after boot, then (server-side) refresh every
+    // served one — the reference's updateAll RPC kicked the same cycle
+    server.onUpdateAll(() => loadNew(Some(server)))
     if (refreshMillis <= 0 && served.isEmpty) {
       // with polling disabled the census can never fill: an empty boot
       // (mistyped root, nothing published) must fail loudly, exactly as

@@ -29,6 +29,17 @@ import java.util.concurrent.atomic.AtomicBoolean
  *  - 3 REFRESH:    —  →  refreshed bool (the reference's `update` RPC)
  *  - 4 COUNT:      —  →  long
  *  - 5 DOMAINS:    (domain ignored)  →  n int, n × name UTF
+ *  - 6 STATUS:     — ("" domain = whole census)  →  n int, n ×
+ *    (name UTF, status UTF ready/loading/failed, servedVersion long
+ *    (-1 = not serving), latestPublished long (-1 = none), updating
+ *    bool) — the reference's getStatus/getDomainStatus/getDomainMetaData
+ *    surface (core.thrift:80-91, status union common/status.clj:17-35);
+ *    a NAMED domain answers just its entry (unknown = error frame)
+ *  - 7 UPDATE_ALL: (domain ignored)  →  swapped int, failed int — the
+ *    reference's updateAll RPC: run the host's update hook (new-domain
+ *    sweep when fronted by [[graft.Serve]]), then refresh every served
+ *    domain; `failed` counts domains whose refresh threw (their names go
+ *    to the server log, the call itself stays usable)
  *
  * Threading: one accept loop + one daemon thread per connection; the
  * readers' documented lookup thread-safety carries the concurrency, the
@@ -46,7 +57,9 @@ final class KvServer(
     domains: Map[String, ServingReader],
     port: Int = 0,
     bindAddress: String = "127.0.0.1",
-    maxValueLen: Int = KvServer.MaxValueLen) extends AutoCloseable {
+    maxValueLen: Int = KvServer.MaxValueLen,
+    statusProvider: Option[() => Seq[ServedDomainStatus]] = None,
+    log: String => Unit = _ => ()) extends AutoCloseable {
 
   require(maxValueLen > 0 && maxValueLen <= KvServer.MaxValueLen,
     s"maxValueLen $maxValueLen outside (0, ${KvServer.MaxValueLen}] — the client's " +
@@ -69,6 +82,30 @@ final class KvServer(
   /** Add (or replace) a served domain while running. The server never
     * closes readers — the caller owns their lifecycle. */
   def register(name: String, r: ServingReader): Unit = served.put(name, r)
+
+  // UPDATE_ALL's pre-refresh hook — a fronting daemon (graft.Serve) wires
+  // its new-domain sweep here AFTER construction (the sweep needs the
+  // server to register into, so it cannot be a constructor argument)
+  @volatile private var updateAllHook: () => Unit = () => ()
+
+  /** Run `hook` at the start of every UPDATE_ALL request (before the
+    * per-domain refreshes) — the seam through which a fronting daemon
+    * makes remote updateAll also LOAD domains that published after boot,
+    * like the reference updater did. */
+  def onUpdateAll(hook: () => Unit): Unit = updateAllHook = hook
+
+  /** The census STATUS reports: the provider's (catalog-aware, knows
+    * loading/failed/updating) when one was wired, else derived from the
+    * served readers alone — every served domain is by definition ready
+    * at its reader's version (a bare KvServer has no catalog to know
+    * more from). */
+  private def statusSnapshot(): Seq[ServedDomainStatus] =
+    statusProvider.map(_()).getOrElse {
+      domainNames.flatMap(n => Option(served.get(n)).map { r =>
+        val v = r.servedVersion
+        ServedDomainStatus(n, "ready", v, v, updating = false)
+      })
+    }
 
   /** The live census (sorted), as OpDomains reports it. */
   def domainNames: Seq[String] = {
@@ -149,7 +186,8 @@ final class KvServer(
             op match {
               case KvServer.OpMultiGet => Some(readKeys(in))
               case KvServer.OpStats | KvServer.OpRefresh |
-                   KvServer.OpCount | KvServer.OpDomains => None // no payload
+                   KvServer.OpCount | KvServer.OpDomains |
+                   KvServer.OpStatus | KvServer.OpUpdateAll => None // no payload
               case other => throw new KvServer.FrameViolation(s"unknown op $other")
             }
           } catch {
@@ -213,6 +251,42 @@ final class KvServer(
               out.writeByte(0)
               out.writeInt(names.size)
               names.foreach(out.writeUTF)
+            case KvServer.OpStatus =>
+              // compute the census (and the named-domain miss) BEFORE the
+              // first response byte, like every other op
+              val census = statusSnapshot()
+              val entries =
+                if (domain.isEmpty) census
+                else census.filter(_.name == domain) match {
+                  case Seq() => throw new IllegalArgumentException(
+                    s"no such domain '$domain' " +
+                      s"(census: ${census.map(_.name).mkString(", ")})")
+                  case one => one
+                }
+              out.writeByte(0)
+              out.writeInt(entries.size)
+              entries.foreach { s =>
+                out.writeUTF(s.name)
+                out.writeUTF(s.status)
+                out.writeLong(s.servedVersion)
+                out.writeLong(s.latestPublished)
+                out.writeBoolean(s.updating)
+              }
+            case KvServer.OpUpdateAll =>
+              updateAllHook()
+              var swapped = 0
+              var failed = 0
+              served.forEach { (name, r) =>
+                try { if (r.canRefresh && r.refresh()) swapped += 1 }
+                catch {
+                  case e: Exception =>
+                    failed += 1
+                    log(s"[kv-server] updateAll: refresh $name failed: $e")
+                }
+              }
+              out.writeByte(0)
+              out.writeInt(swapped)
+              out.writeInt(failed)
           }
         } catch {
           case e: Exception =>
@@ -279,6 +353,8 @@ object KvServer {
   val OpRefresh: Byte = 3
   val OpCount: Byte = 4
   val OpDomains: Byte = 5
+  val OpStatus: Byte = 6
+  val OpUpdateAll: Byte = 7
 
   /** Frame sanity bounds: a serving batch is human/request-sized, never
     * corpus-sized (the reference's multiGet was an RPC batch too). The
@@ -309,6 +385,26 @@ object KvServer {
     * connection (ordinary execution failures keep it alive). */
   private[store] final class FrameViolation(msg: String) extends RuntimeException(msg)
 }
+
+/** One domain's serving status as a host reports it over the wire — the
+  * engine's re-expression of the reference's DomainStatus union + meta
+  * (`elephantdb-thrift/src/core.thrift:10-35,45-54`, status machine
+  * `common/status.clj:17-35`) flattened to what batch-plus-serving needs:
+  *  - `status`: "ready" (serving a published version), "loading" (not
+  *    yet serving — unpublished, or published but not yet swept in),
+  *    "failed" (no published version and an attempt left a failure
+  *    marker; a FAILED UPDATE on a ready domain stays "ready" — the old
+  *    version keeps serving, matching the reference);
+  *  - `servedVersion`: what lookups hit right now (-1 = not serving);
+  *  - `latestPublished`: newest published version in the catalog (-1 =
+  *    none) — servedVersion < latestPublished means an update is due;
+  *  - `updating`: a build/update is in flight (`.building` marker). */
+final case class ServedDomainStatus(
+    name: String,
+    status: String,
+    servedVersion: Long,
+    latestPublished: Long,
+    updating: Boolean)
 
 /** An execution failure reported by the serving process — the remote
   * twin of the exception the in-process reader would have thrown

@@ -175,6 +175,34 @@ final class RemoteKvReader(
   def domainNames(): Seq[String] =
     request(KvServer.OpDomains, dom = "")(_ => ())(in => Seq.fill(in.readInt())(in.readUTF()))
 
+  private def readStatuses(in: DataInputStream): Seq[ServedDomainStatus] =
+    Seq.fill(in.readInt())(ServedDomainStatus(
+      in.readUTF(), in.readUTF(), in.readLong(), in.readLong(), in.readBoolean()))
+
+  /** This domain's serving status (reference `getDomainStatus` +
+    * `getDomainMetaData`, core.thrift:81,89). Unlike the data ops this
+    * answers for domains the host is not yet SERVING — a still-loading
+    * or failed domain reports as such instead of erroring. */
+  def status(): ServedDomainStatus =
+    request(KvServer.OpStatus)(_ => ())(readStatuses(_).head)
+
+  /** The whole host's census with per-domain status (reference
+    * `getStatus`, core.thrift:82). */
+  def statusAll(): Seq[ServedDomainStatus] =
+    request(KvServer.OpStatus, dom = "")(_ => ())(readStatuses)
+
+  /** Every domain on the host serves a published version (reference
+    * `isFullyLoaded`, core.thrift:84) — "can I point traffic at this
+    * host?". Vacuously true for an empty census, matching the
+    * reference's all-of-nothing. */
+  override def fullyLoaded: Boolean = statusAll().forall(_.status == "ready")
+
+  /** Host-wide update (reference `updateAll`, core.thrift:86-87): the
+    * server sweeps for newly-published domains, then refreshes every
+    * served one. Returns (swapped, failed) counts. */
+  override def updateAll(): (Int, Int) =
+    request(KvServer.OpUpdateAll, dom = "")(_ => ())(in => (in.readInt(), in.readInt()))
+
   /** status 0 falls through; status 1 rethrows the remote failure. The
     * connection stays frame-aligned either way (the server drains the
     * request before executing), so the caller's borrow is returnable

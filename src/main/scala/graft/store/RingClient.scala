@@ -173,6 +173,31 @@ final class RingClient(
       host -> (r.canRefresh && r.refresh())
     }
 
+  /** Ring-level "can I point traffic here?" — every host reports fully
+    * loaded (the reference's `isFullyLoaded` RPC asked per host; a
+    * deployer asks it of the ring). A host that is DOWN answers false —
+    * an unreachable host is not certifiably loaded — but a host speaking
+    * the wrong protocol stays LOUD: that is misconfiguration, and
+    * reporting it as "still loading" would hide it forever. */
+  def isFullyLoaded: Boolean =
+    readers.forall { case (_, r) =>
+      try r.fullyLoaded
+      catch {
+        case e: RemoteKvReader.ProtocolException => throw e
+        case _: java.io.IOException => false
+      }
+    }
+
+  /** Ring-level update roll (the reference's `updateAll` across the
+    * cluster): every host updates itself — remote hosts run the
+    * host-wide UPDATE_ALL op (new-domain sweep + refresh all), in-process
+    * readers refresh. Hosts are independent; mixed versions during the
+    * roll are legal, exactly as in [[RingClient.updateRing]]. Returns
+    * host → (swapped, failed); an unreachable host throws (an operator
+    * triggering a roll must learn which host missed it). */
+  def updateAll(): Map[String, (Int, Int)] =
+    readers.map { case (host, r) => host -> r.updateAll() }
+
   private[store] def reader(host: String): ServingReader = readers(host)
 
   /** Close every underlying reader. */

@@ -33,5 +33,25 @@ trait ServingReader extends AutoCloseable {
   def count(): Long
   def canRefresh: Boolean
   def refresh(): Boolean
+
+  /** Is the HOST behind this reader fully loaded — every domain it
+    * should serve, served at a published version (the reference's
+    * `isFullyLoaded` RPC, core.thrift:84)? For an in-process reader the
+    * reader IS the serving state and only constructs over a published
+    * version (a bare localized subset serves its declared shard set the
+    * same way), so the default is true; [[RemoteKvReader]] overrides
+    * with a STATUS census round trip — the remote host may be mid-boot
+    * with domains still loading. Throws on an unreachable host (the
+    * caller decides whether down means "not loaded" or "retry"). */
+  def fullyLoaded: Boolean = true
+
+  /** Update every domain on the HOST behind this reader — the
+    * reference's `updateAll` RPC (core.thrift:86-87): load domains that
+    * published after boot, refresh the rest. Returns (swapped, failed)
+    * counts. The in-process default is this reader's own refresh;
+    * [[RemoteKvReader]] overrides with the host-wide UPDATE_ALL op. */
+  def updateAll(): (Int, Int) =
+    if (canRefresh && refresh()) (1, 0) else (0, 0)
+
   def close(): Unit
 }

@@ -28,9 +28,11 @@ class ServeProcessSpec extends SparkSuite {
     def kv(pairs: Seq[(String, String)]) =
       pairs.toDF("k", "v")
         .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+    // the domain is SPEC'D but unpublished at fork time: the child boots
+    // with an empty census and must (a) answer STATUS "loading" for it,
+    // (b) sweep it in once v1 publishes — the reference's boot-then-load
     val users = DomainStore.create(
       s"$dbRoot/users", DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
-    users.write(kv((0 until 50).map(i => s"u$i" -> s"name-$i")), 1L)
 
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val proc = new ProcessBuilder(
@@ -64,6 +66,21 @@ class ServeProcessSpec extends SparkSuite {
 
       val remote = new RemoteKvReader("127.0.0.1", port, "users")
       try {
+        // LOADING over the wire: nothing published yet, but the child's
+        // STATUS op answers for the spec'd domain
+        assert(remote.status() === graft.store.ServedDomainStatus(
+          "users", "loading", -1L, -1L, updating = false))
+        assert(!remote.fullyLoaded)
+
+        // publish v1 from THIS JVM; the child's 1 s updater loads it
+        users.write(kv((0 until 50).map(i => s"u$i" -> s"name-$i")), 1L)
+        val readyBy = System.nanoTime() + 30e9.toLong
+        while (remote.status().status != "ready" && System.nanoTime() < readyBy)
+          Thread.sleep(100)
+        assert(remote.status() === graft.store.ServedDomainStatus(
+          "users", "ready", 1L, 1L, updating = false))
+        assert(remote.fullyLoaded)
+
         assert(remote.numShards === 4)
         assert(remote.servedVersion === 1L)
         assert(remote.get(utf8("u7")).map(new String(_, "UTF-8")) === Some("name-7"))
@@ -77,6 +94,19 @@ class ServeProcessSpec extends SparkSuite {
           Thread.sleep(100)
         assert(remote.servedVersion === 2L, "child updater never hot-swapped")
         assert(remote.get(utf8("u7")).map(new String(_, "UTF-8")) === Some("v2-7"))
+
+        // UPDATING over the wire: an in-flight v3 build shows in STATUS
+        // while v2 keeps serving; publishing flips it back to ready
+        users.versions.createVersion(3L)
+        assert(remote.status() === graft.store.ServedDomainStatus(
+          "users", "ready", 2L, 2L, updating = true))
+        assert(remote.get(utf8("u7")).map(new String(_, "UTF-8")) === Some("v2-7"))
+        users.versions.succeedVersion(3L)
+        val v3By = System.nanoTime() + 30e9.toLong
+        while (remote.servedVersion < 3L && System.nanoTime() < v3By)
+          Thread.sleep(100)
+        assert(remote.status() === graft.store.ServedDomainStatus(
+          "users", "ready", 3L, 3L, updating = false))
       } finally remote.close()
     } finally {
       proc.destroy()

@@ -83,6 +83,109 @@ class ServeSpec extends SparkSuite {
     } finally handle.close()
   }
 
+  private def awaitUntil(what: String, timeoutNanos: Long = 15e9.toLong)(cond: => Boolean): Unit = {
+    val deadline = System.nanoTime() + timeoutNanos
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cond, s"timed out waiting for: $what")
+  }
+
+  test("STATUS lifecycle over the wire: loading -> ready -> updating -> ready; failed is loud") {
+    import spark.implicits._
+    import graft.store.ServedDomainStatus
+    val conf = new Configuration()
+    val dbRoot = scratch("serve-status-db")
+    def kv(pairs: Seq[(String, String)]) =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+
+    // a spec'd domain with NOTHING published yet, plus a parquet domain
+    // (a Spark scan engine — never part of the serving census)
+    val users = DomainStore.create(
+      s"$dbRoot/users", DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val plain = DomainStore.create(s"$dbRoot/plain", DomainSpec(2), conf)
+    plain.write(kv(Seq("p" -> "x")), 1L)
+
+    val handle = Serve.start(dbRoot, conf, refreshMillis = 100L, log = _ => ())
+    val remote = new RemoteKvReader("127.0.0.1", handle.boundPort, "users")
+    try {
+      // LOADING: STATUS answers for a domain nothing serves yet — the
+      // one state a data op could never report
+      assert(remote.status() ===
+        ServedDomainStatus("users", "loading", -1L, -1L, updating = false))
+      assert(remote.statusAll().map(_.name) === Seq("users"))
+      assert(!remote.fullyLoaded)
+
+      // READY: first publish; the updater sweeps it in
+      users.write(kv((0 until 40).map(i => s"u$i" -> s"v1-$i")), 1L)
+      awaitUntil("users to sweep in")(remote.status().status == "ready")
+      assert(remote.status() ===
+        ServedDomainStatus("users", "ready", 1L, 1L, updating = false))
+      assert(remote.fullyLoaded)
+
+      // UPDATING: an in-flight build (.building marker) shows over the
+      // wire while the old version keeps serving
+      users.versions.createVersion(2L)
+      assert(remote.status() ===
+        ServedDomainStatus("users", "ready", 1L, 1L, updating = true))
+      assert(remote.get(utf8("u3")).map(new String(_, "UTF-8")) === Some("v1-3"))
+
+      // back to READY at the new version once it publishes (an empty
+      // published version is legal — every key reads absent)
+      users.versions.succeedVersion(2L)
+      awaitUntil("v2 hot-swap")(remote.servedVersion == 2L)
+      assert(remote.status() ===
+        ServedDomainStatus("users", "ready", 2L, 2L, updating = false))
+      assert(remote.get(utf8("u3")) === None)
+
+      // FAILED: a domain whose only build attempt failed — visible in
+      // the census immediately, and it pins fullyLoaded false
+      val bad = DomainStore.create(
+        s"$dbRoot/bad", DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+      bad.versions.createVersion(1L)
+      bad.versions.failVersion(1L)
+      assert(remote.statusAll().find(_.name == "bad") ===
+        Some(ServedDomainStatus("bad", "failed", -1L, -1L, updating = false)))
+      assert(!remote.fullyLoaded)
+    } finally {
+      remote.close(); handle.close()
+    }
+  }
+
+  test("remote updateAll: on-demand sweep + refresh with polling disabled") {
+    import spark.implicits._
+    val conf = new Configuration()
+    val dbRoot = scratch("serve-updateall-db")
+    def kv(pairs: Seq[(String, String)]) =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+    val users = DomainStore.create(
+      s"$dbRoot/users", DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    users.write(kv(Seq("u1" -> "v1")), 1L)
+
+    // no updater thread at all: the ONLY way anything moves is the
+    // remote UPDATE_ALL op — proving it sweeps AND refreshes by itself
+    val handle = Serve.start(dbRoot, conf, refreshMillis = 0L, log = _ => ())
+    val remote = new RemoteKvReader("127.0.0.1", handle.boundPort, "users")
+    try {
+      assert(remote.servedVersion === 1L)
+      users.write(kv(Seq("u1" -> "v2")), 2L)
+      val late = DomainStore.create(
+        s"$dbRoot/late", DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+      late.write(kv(Seq("l1" -> "late")), 1L)
+
+      assert(remote.updateAll() === ((1, 0))) // users swapped; late newly loaded
+      assert(remote.servedVersion === 2L)
+      assert(remote.get(utf8("u1")).map(new String(_, "UTF-8")) === Some("v2"))
+      val remoteLate = new RemoteKvReader("127.0.0.1", handle.boundPort, "late")
+      try {
+        assert(remoteLate.get(utf8("l1")).map(new String(_, "UTF-8")) === Some("late"))
+        assert(remote.fullyLoaded)
+      } finally remoteLate.close()
+    } finally {
+      remote.close(); handle.close()
+    }
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[String]) {
     def asScala(): Seq[String] = {
       import scala.jdk.CollectionConverters._

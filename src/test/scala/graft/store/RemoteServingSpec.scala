@@ -329,6 +329,85 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("STATUS + UPDATE_ALL on a bare server: default census, unknown domain loud") {
+    val store = DomainStore.create(
+      scratch("remote-status-dom"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kvDf((0 until 50).map(i => s"sk$i" -> s"v1-$i")), 1L)
+    val local = KvDomainReader.open(store.root.toString, conf)
+    val server = new KvServer(Map("users" -> local))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    try {
+      // a bare server (no catalog provider) derives the census from its
+      // readers: served = ready at the reader's version
+      assert(remote.status() ===
+        ServedDomainStatus("users", "ready", 1L, 1L, updating = false))
+      assert(remote.statusAll() ===
+        Seq(ServedDomainStatus("users", "ready", 1L, 1L, updating = false)))
+      assert(remote.fullyLoaded)
+
+      // unknown domain: loud error frame; the connection stays usable
+      val other = new RemoteKvReader("127.0.0.1", server.boundPort, "nope")
+      try {
+        val e = intercept[RemoteServingException](other.status())
+        assert(e.getMessage.contains("no such domain"), e.getMessage)
+      } finally other.close()
+
+      // updateAll: already newest = nothing swapped; after a publish the
+      // host-wide op swaps it in
+      assert(remote.updateAll() === ((0, 0)))
+      store.write(kvDf((0 until 50).map(i => s"sk$i" -> s"v2-$i")), 2L)
+      assert(remote.updateAll() === ((1, 0)))
+      assert(remote.servedVersion === 2L)
+      assert(remote.status() ===
+        ServedDomainStatus("users", "ready", 2L, 2L, updating = false))
+      assert(remote.get(utf8("sk7")).map(new String(_, "UTF-8")) === Some("v2-7"))
+    } finally {
+      remote.close(); server.close(); local.close()
+    }
+  }
+
+  test("ring-level isFullyLoaded and updateAll over remote stubs") {
+    val store = DomainStore.create(
+      scratch("remote-ringops-dom"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 200).map(i => s"rg$i")
+    store.write(kvDf(keys.map(k => k -> s"v1-$k")), 1L)
+    val hosts = Seq("hA", "hB")
+    val ring = ShardRing.generateIndex(hosts, 4, replication = 2)
+    val roots = hosts.map(h => h -> new Path(scratch(s"remote-ringops-$h"))).toMap
+    val locals = hosts.map { h =>
+      store.localizeVersionForHost(1L, roots(h), ring, h)
+      h -> KvDomainReader.open(roots(h).toString, conf, Some(ring.shardSet(h)))
+    }.toMap
+    val servers = locals.map { case (h, r) => h -> new KvServer(Map("users" -> r)) }
+    val stubs: Map[String, ServingReader] = servers.map { case (h, s) =>
+      h -> new RemoteKvReader("127.0.0.1", s.boundPort, "users")
+    }
+    val client = new RingClient(ring, stubs, rnd = new scala.util.Random(7))
+    try {
+      assert(client.isFullyLoaded)
+
+      // publish v2 and pull it to every host's root: one ring-level
+      // updateAll rolls the whole ring (each host swaps for itself)
+      val changed = keys.filter(_.hashCode % 3 == 0)
+      store.upsert(spark, kvDf(changed.map(k => k -> s"v2-$k")), 2L)
+      hosts.foreach(h => store.localizeVersionForHost(2L, roots(h), ring, h))
+      assert(client.updateAll() === Map("hA" -> ((1, 0)), "hB" -> ((1, 0))))
+      assert(stubs.values.forall(_.servedVersion == 2L))
+      val got = client.multiGet(changed.take(20).map(utf8)).map(_.map(new String(_, "UTF-8")))
+      assert(got === changed.take(20).map(k => Some(s"v2-$k")))
+
+      // a DOWN host is not certifiably loaded: false, not a throw (and
+      // not silently true); an update roll on a down host stays loud
+      servers("hB").close()
+      assert(!client.isFullyLoaded)
+      intercept[java.io.IOException](client.updateAll())
+    } finally {
+      client.close()
+      servers.values.foreach(_.close())
+      locals.values.foreach(_.close())
+    }
+  }
+
   test("RingClient over remote stubs: failover, loud dead shards, server-side refresh") {
     val store = DomainStore.create(
       scratch("remote-ring-dom"), DomainSpec(5, persistenceFormat = DomainSpec.KvSorted), conf)
