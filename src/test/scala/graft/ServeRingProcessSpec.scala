@@ -1,0 +1,157 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.core.DomainSpec
+import graft.functions._
+import graft.store.{DomainStore, RemoteKvReader, RingClient, ShardRing}
+
+/**
+ * The reference's flagship deployment shape, end to end across REAL
+ * processes: a RING of serving daemons (`graft.Serve`, one forked JVM
+ * per host, Spark-free), each holding the shard subset its ring
+ * assignment deals it, queried through [[RingClient]] scatter-gather —
+ * the re-expression of the reference's multi-host thrift service
+ * (`keyval/core.clj:118-134` groups keys by replica set and falls over
+ * across hosts; `core_test.clj:249-284` drives the same future-facts).
+ *
+ * Drives the full operational story the in-process specs can't:
+ *  - a staggered version roll (hosts pull + hot-swap one at a time;
+ *    mid-roll the ring legally serves MIXED versions, but every single
+ *    answer is from a complete published version — old or new, never a
+ *    torn mix within one host's batch);
+ *  - a SIGKILLed host (no shutdown hook, no FIN handshake grace):
+ *    failover re-routes its shards to the surviving replicas and the
+ *    ring keeps answering completely.
+ */
+class ServeRingProcessSpec extends SparkSuite {
+
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  /** Fork `graft.Serve <root> 0 1` and return (process, boundPort). */
+  private def forkServe(root: String): (Process, Int) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val proc = new ProcessBuilder(
+      javaBin, "-Xmx512m", "-cp", System.getProperty("java.class.path"),
+      "graft.Serve", root, "0", "1")
+      .redirectErrorStream(true)
+      .start()
+    val lines = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+    val portRe = raw".*on port (\d+).*".r
+    val deadline = System.nanoTime() + 60e9.toLong
+    var port = -1
+    while (port < 0 && System.nanoTime() < deadline) {
+      val line = lines.readLine()
+      assert(line != null, s"daemon for $root exited before binding")
+      line match {
+        case portRe(p) => port = p.toInt
+        case _ => ()
+      }
+    }
+    assert(port > 0, s"daemon for $root never reported its port")
+    // drain the child's stdout so it can't block on a full pipe
+    val drainer = new Thread(() => {
+      try { while (lines.readLine() != null) () }
+      catch { case _: java.io.IOException => () }
+    })
+    drainer.setDaemon(true)
+    drainer.start()
+    (proc, port)
+  }
+
+  test("a forked 3-host ring: staggered roll serves mixed-but-complete versions, SIGKILL fails over") {
+    import spark.implicits._
+    val conf = new Configuration()
+    def kv(pairs: Seq[(String, String)]) =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+
+    // the build side: a central store this JVM publishes to
+    val central = DomainStore.create(
+      scratch("ring-proc-central") + "/users",
+      DomainSpec(6, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 300).map(i => s"rk$i")
+    central.write(kv(keys.map(k => k -> s"v1-$k")), 1L)
+
+    // the serving side: 3 hosts, replication 2 — every shard lives on
+    // exactly two of them, so any ONE host can die without data loss
+    val hosts = Seq("hA", "hB", "hC")
+    val ring = ShardRing.generateIndex(hosts, 6, replication = 2)
+    val hostRoots = hosts.map(h => h -> scratch(s"ring-proc-$h")).toMap
+    def pull(host: String, version: Long): Unit =
+      central.localizeVersionForHost(
+        version, new Path(hostRoots(host), "users"), ring, host)
+    hosts.foreach(pull(_, 1L))
+
+    val procs = hosts.map(h => h -> forkServe(hostRoots(h))).toMap
+    val stubs = procs.map { case (h, (_, port)) =>
+      h -> new RemoteKvReader("127.0.0.1", port, "users")
+    }
+    val client = new RingClient(
+      ring, stubs, rnd = new scala.util.Random(11))
+    try {
+      // every host serves its complete localized v1 over the wire
+      assert(client.isFullyLoaded)
+      assert(client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+        === keys.map(k => Some(s"v1-$k")))
+
+      // ---- staggered roll: publish v2 centrally, pull host BY host ----
+      val changed = keys.filter(_.hashCode % 2 == 0)
+      central.upsert(spark, kv(changed.map(k => k -> s"v2-$k")), 2L)
+
+      pull("hA", 2L)
+      val hASwapBy = System.nanoTime() + 30e9.toLong
+      while (stubs("hA").servedVersion < 2L && System.nanoTime() < hASwapBy)
+        Thread.sleep(100)
+      assert(stubs("hA").servedVersion === 2L, "hA's daemon never hot-swapped")
+      assert(stubs("hB").servedVersion === 1L) // mid-roll: mixed versions
+
+      // mid-roll answers: every key answers, and every answer is a
+      // COMPLETE version's value — v2 if the chosen replica already
+      // rolled, v1 if not; an unchanged key reads v1-* from either
+      val midRoll = client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+      keys.zip(midRoll).foreach { case (k, got) =>
+        val legal: Set[Option[String]] =
+          if (changed.contains(k)) Set(Some(s"v1-$k"), Some(s"v2-$k"))
+          else Set(Some(s"v1-$k"))
+        assert(legal.contains(got), s"mid-roll answer for $k: $got")
+      }
+
+      // finish the roll; every host converges on v2
+      Seq("hB", "hC").foreach(pull(_, 2L))
+      val rollBy = System.nanoTime() + 30e9.toLong
+      while (stubs.values.exists(_.servedVersion < 2L) && System.nanoTime() < rollBy)
+        Thread.sleep(100)
+      assert(stubs.values.forall(_.servedVersion == 2L), "roll never converged")
+      val v2 = keys.map(k => if (changed.contains(k)) s"v2-$k" else s"v1-$k")
+      assert(client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+        === v2.map(Some(_)))
+
+      // ---- SIGKILL hC: replicas absorb its shards, ring stays whole ----
+      procs("hC")._1.destroyForcibly()
+      assert(procs("hC")._1.waitFor(15, TimeUnit.SECONDS), "SIGKILL ignored")
+      // the dead host is not certifiably loaded; data keeps flowing
+      assert(!client.isFullyLoaded)
+      // repeat the full sweep a few times: the random replica choice must
+      // route INTO the dead host sometimes (it hosts 2/3 of the shards)
+      // and fail over, never dropping or corrupting an answer
+      (0 until 3).foreach { round =>
+        assert(client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+          === v2.map(Some(_)), s"post-kill sweep $round")
+      }
+      assert(client.get(utf8(keys.head)).map(new String(_, "UTF-8"))
+        === Some(v2.head))
+    } finally {
+      client.close()
+      procs.values.foreach { case (p, _) => p.destroy() }
+      procs.values.foreach { case (p, _) =>
+        assert(p.waitFor(15, TimeUnit.SECONDS), "daemon ignored SIGTERM")
+      }
+    }
+  }
+}
