@@ -87,10 +87,25 @@ trait ShardReader extends AutoCloseable {
  *
  * Lookup cost: the trailer is one positioned read, each binary-search
  * step is two (index entry, record header+key) — O(log n) positioned
- * reads per probe and zero heap proportional to the file. Writers buffer
- * only the offset index (8 bytes/record): a 10M-key shard costs the
- * writing task ~80 MB transient heap, far under executor budgets at the
- * shard sizes the layout targets.
+ * reads per probe and zero heap proportional to the file. Two
+ * serving-path accelerations sit on top (preads are expensive on
+ * checksummed filesystems — every one re-reads a checksum chunk):
+ *  - a bounded NODE CACHE memoizes probed (key, value position) pairs
+ *    by record index: binary searches from every lookup walk the same
+ *    tree-top mids, so the cache converges on the top levels and warm
+ *    steps cost zero I/O (byte-budgeted at [[KvFile.NodeCacheMaxBytes]]
+ *    per reader — tiny against a serving box, adaptive, no eviction
+ *    needed because the hot tree-top fills first);
+ *  - a WINDOW FINISH: once the live range narrows to
+ *    [[KvFile.WindowRecords]] records, ONE pread of their index slice +
+ *    ONE pread of their data span (guarded by
+ *    [[KvFile.MaxLookupWindowBytes]] — jumbo-value shards fall back to
+ *    stepping) replaces the remaining ~8 levels, and the hit's value is
+ *    answered from the span buffer.
+ * Together a warm point lookup is ~2 preads instead of 2·log2(n).
+ * Writers buffer only the offset index (8 bytes/record): a 10M-key
+ * shard costs the writing task ~80 MB transient heap, far under
+ * executor budgets at the shard sizes the layout targets.
  */
 object KvFile {
 
@@ -104,8 +119,42 @@ object KvFile {
     * pass over the sorted run. 256 ≈ log2(n) · (preads per search step)
     * · (sequential-records-per-pread-equivalent) at realistic shard
     * sizes. Lives here (not in DomainStore) so the Spark-free serving
-    * reader shares the one definition without loading Spark classes. */
+    * reader shares the one definition without loading Spark classes.
+    * GKV1 readers override with the byte model below; this constant is
+    * the trait default (= the byte model at 256 B/record). */
   val LookupScanRatio: Int = 256
+
+  /** Byte-model cost of ONE point lookup, expressed as "data bytes a
+    * sequential merge scan processes in the same time": the crossover is
+    * `keys × LookupCostBytes < dataBytes` ⇔ sparse, which a reader turns
+    * into the trait's ratio form by dividing by its own average record
+    * length (so large-record shards switch to scan later and tiny-record
+    * shards earlier — the scan pays per BYTE, the probe doesn't).
+    * Measured on the serve-bench harness after the window-finish change:
+    * a warm probe ≈ 0.16 ms ≈ 70 KB of scan at ~440 MB/s; 64 KB keeps a
+    * safety margin toward the sparse side (mis-picking scan near the
+    * boundary costs ≤2×, mis-picking sparse far above it is unbounded). */
+  val LookupCostBytes: Long = 64L << 10
+
+  /** When a [[Reader.lookup]] binary search has narrowed to this many
+    * records, finish with one index-slice pread + one data-span pread
+    * and an in-memory scan instead of ~log2(this) more stepped probes.
+    * 256 records × typical sub-KB records lands the span well inside one
+    * filesystem read-ahead chunk. */
+  val WindowRecords: Int = 256
+
+  /** Data-span ceiling for the window finish: a window whose records
+    * total more than this (jumbo values) steps instead — one bounded
+    * allocation per lookup, never value-count × value-size. */
+  val MaxLookupWindowBytes: Long = 1L << 20
+
+  /** Per-reader byte budget for the lookup node cache (memoized probed
+    * keys + value positions, keyed by record index). The binary-search
+    * tree-top fills first — the same mids repeat on every lookup — so a
+    * small budget converges on the hot levels; no eviction. Budgeted in
+    * KEY bytes + per-entry overhead, so a freak giant key cannot blow
+    * the bound. */
+  val NodeCacheMaxBytes: Long = 256L << 10
 
   /** Average-record-length crossover for [[Reader.keysIterator]]: at or
     * under this, a sequential pass (which reads value bytes as part of
@@ -258,6 +307,16 @@ object KvFile {
 
     def count: Long = n
 
+    /** Byte-model crossover (see [[KvFile.LookupCostBytes]]): one probe
+      * costs ~a fixed number of scannable bytes, so the ratio is that
+      * cost over THIS file's average record length — small records push
+      * the merge-scan crossover out (a 75 B-record shard probes until
+      * ~record-count/870), large ones pull it in. */
+    override def lookupScanRatio: Int = {
+      val avg = if (n == 0) 1L else math.max(1L, (indexOffset - 4L) / n)
+      math.max(1, math.min(Int.MaxValue.toLong, LookupCostBytes / avg).toInt)
+    }
+
     private def recordOffset(i: Long): Long = {
       val b = new Array[Byte](8)
       in.readFully(indexOffset + 8L * i, b)
@@ -311,15 +370,91 @@ object KvFile {
         v
       }
 
+    // memoized binary-search probes (see the class doc's lookup-cost
+    // section): record index -> (key, valLen, valuePos). Concurrent maps
+    // keep lookup thread-safe on a shared handle; the byte budget is
+    // enforced with an AtomicLong (slight overshoot under races is fine,
+    // the bound is a heap guard, not a semantic).
+    private val nodeCache =
+      new java.util.concurrent.ConcurrentHashMap[Long, (Array[Byte], Int, Long)]()
+    private val nodeCacheBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+    private def nodeAt(mid: Long): (Array[Byte], Int, Long) = {
+      val cached = nodeCache.get(mid)
+      if (cached != null) cached
+      else {
+        val node = readHeader(recordOffset(mid))
+        if (nodeCacheBytes.get() < NodeCacheMaxBytes &&
+            nodeCache.putIfAbsent(mid, node) == null)
+          nodeCacheBytes.addAndGet(node._1.length + 48L)
+        node
+      }
+    }
+
+    /** Window finish: resolve `key` within records [lo, hi] using one
+      * index-slice pread + one data-span pread. Outer `None` = span too
+      * large (caller keeps stepping); inner option is the lookup answer
+      * (`Some(null)` = present with null value). */
+    private def windowLookup(
+        lo: Long, hi: Long, key: Array[Byte]): Option[Option[Array[Byte]]] = {
+      val cnt = (hi - lo + 1).toInt
+      val hasEnd = hi + 1 < n
+      val slice = new Array[Byte]((cnt + (if (hasEnd) 1 else 0)) * 8)
+      in.readFully(indexOffset + 8L * lo, slice)
+      val sb = ByteBuffer.wrap(slice)
+      val offs = new Array[Long](cnt + 1)
+      var i = 0
+      while (i < cnt) { offs(i) = sb.getLong; i += 1 }
+      offs(cnt) = if (hasEnd) sb.getLong else indexOffset
+      val start = offs(0)
+      val span = offs(cnt) - start
+      require(start >= 4 && span >= 0 && offs(cnt) <= indexOffset,
+        s"$name: corrupt GKV1 offset index (window [$lo,$hi] -> [$start, ${offs(cnt)}))")
+      if (span > MaxLookupWindowBytes) return None
+      val buf = new Array[Byte](span.toInt)
+      in.readFully(start, buf)
+      var l = 0
+      var h = cnt - 1
+      while (l <= h) {
+        val m = (l + h) >>> 1
+        val rel = offs(m) - start
+        require(rel >= 0 && rel + 8 <= span,
+          s"$name: corrupt GKV1 offset index (entry ${lo + m} -> ${offs(m)} outside its window)")
+        val bb = ByteBuffer.wrap(buf, rel.toInt, 8)
+        val keyLen = bb.getInt
+        val valLen = bb.getInt
+        checkRecordShape(offs(m), keyLen, valLen)
+        require(rel + 8 + keyLen + math.max(valLen, 0) <= span,
+          s"$name: corrupt GKV1 record at offset ${offs(m)} (overruns its window)")
+        val kFrom = rel.toInt + 8
+        val cmp = java.util.Arrays.compareUnsigned(
+          buf, kFrom, kFrom + keyLen, key, 0, key.length)
+        if (cmp == 0)
+          return Some(
+            if (valLen < 0) Some(null)
+            else Some(java.util.Arrays.copyOfRange(buf, kFrom + keyLen, kFrom + keyLen + valLen)))
+        else if (cmp < 0) l = m + 1
+        else h = m - 1
+      }
+      Some(None)
+    }
+
     /** Binary search. `None` = key absent; `Some(null)` = present with a
       * null value — the distinction multiGet's miss semantics rest on is
       * observable here too (wrap in your own Option-of-Option if needed). */
     def lookup(key: Array[Byte]): Option[Array[Byte]] = {
       var lo = 0L
       var hi = n - 1
+      var windowOk = true
       while (lo <= hi) {
+        if (windowOk && hi - lo < WindowRecords) {
+          windowLookup(lo, hi, key) match {
+            case Some(answer) => return answer
+            case None => windowOk = false // jumbo span: step the rest
+          }
+        }
         val mid = (lo + hi) >>> 1
-        val (k, valLen, valuePos) = readHeader(recordOffset(mid))
+        val (k, valLen, valuePos) = nodeAt(mid)
         val cmp = java.util.Arrays.compareUnsigned(k, key)
         if (cmp == 0) return Some(readValue(valLen, valuePos))
         else if (cmp < 0) lo = mid + 1

@@ -331,4 +331,64 @@ class KvFileSpec extends AnyFunSuite {
     out2.write(Array[Byte](1, 2, 3)); out2.close()
     intercept[IllegalArgumentException](KvFile.open(fs, tiny))
   }
+
+  test("jumbo-value lookups: window span over MaxLookupWindowBytes falls back to stepping") {
+    // 600 records of ~8 KB values: any 256-record window spans ~2 MB >
+    // MaxLookupWindowBytes, so every lookup must take the stepped path
+    // (node cache + per-record preads) end to end — and still be exact.
+    val n = 600
+    val rows = (0 until n).map { i =>
+      f"key$i%05d".getBytes("UTF-8") ->
+        Array.tabulate[Byte](8192)(j => ((i * 31 + j) & 0x7f).toByte)
+    }
+    assert(rows.size * 8192L > KvFile.MaxLookupWindowBytes * 2,
+      "fixture no longer exceeds the window byte cap — bump the value size")
+    val p = scratchFile("jumbo.kv")
+    assert(writeFile(p, rows) === n.toLong)
+    val r = KvFile.open(p.getFileSystem(conf), p)
+    try {
+      // repeated passes on ONE shared reader: pass 2+ runs against a warm
+      // node cache and must agree byte-for-byte with pass 1
+      (1 to 2).foreach { _ =>
+        Seq(0, 1, n / 2 - 1, n / 2, n - 2, n - 1).foreach { i =>
+          val got = r.lookup(rows(i)._1)
+          assert(got.isDefined, s"key $i missing on jumbo path")
+          assert(java.util.Arrays.equals(got.get, rows(i)._2), s"value $i mismatched")
+        }
+        assert(r.lookup("key99999".getBytes("UTF-8")) === None)
+        assert(r.lookup("kex00000".getBytes("UTF-8")) === None)
+      }
+      // concurrent hammer on the shared node cache: exactness under races
+      val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          val rnd = new scala.util.Random(t)
+          (0 until 200).foreach { _ =>
+            val i = rnd.nextInt(n)
+            val got = r.lookup(rows(i)._1)
+            if (!got.exists(java.util.Arrays.equals(_, rows(i)._2))) errs.incrementAndGet()
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.get() === 0, "concurrent jumbo lookups diverged")
+    } finally r.close()
+  }
+
+  test("lookupScanRatio follows the byte model: tiny records raise it, jumbo records floor it") {
+    def ratioFor(name: String, count: Int, valueLen: Int): Int = {
+      val rows = (0 until count).map(i =>
+        f"k$i%06d".getBytes("UTF-8") -> Array.fill[Byte](valueLen)(7))
+      val p = scratchFile(name)
+      writeFile(p, rows)
+      val r = KvFile.open(p.getFileSystem(conf), p)
+      try r.lookupScanRatio finally r.close()
+    }
+    val tiny = ratioFor("ratio-tiny.kv", 2000, 8)   // ~23 B/record
+    val big = ratioFor("ratio-big.kv", 200, 65536)  // ~64 KB/record
+    assert(tiny > KvFile.LookupScanRatio,
+      s"tiny records should push the scan crossover OUT (got $tiny)")
+    assert(big <= 2, s"jumbo records should probe almost always (got $big)")
+    assert(tiny === (KvFile.LookupCostBytes / (8L + 7L + 8L)).toInt)
+  }
 }
