@@ -278,9 +278,16 @@ final class KvDomainReader private (
   def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] = withGen { g =>
     require(keys.forall(_ != null), "multiGet: null key")
     val out = new Array[Option[Array[Byte]]](keys.length)
-    keys.zipWithIndex
+    val groups = keys.zipWithIndex
       .groupBy { case (k, _) => ShardIndex.shardIndex(k, numShards) }
-      .foreach { case (shard, withIdx) =>
+      .toIndexedSeq
+    // Shard groups are independent (disjoint `out` slots, pread-safe
+    // cached readers), so a batch spanning shards fans out over the
+    // SHARED bounded pool — per-batch latency divides by the hosted
+    // shard count while total serving concurrency stays capped at the
+    // pool (never threads × connections). Single-shard batches (and
+    // get()) stay on the calling thread: zero overhead on the point path.
+    def processGroup(shard: Int, withIdx: Seq[(Array[Byte], Int)]): Unit = {
         checkHosted(shard)
         // sidecar-known misses never touch data (and drop out of the
         // density decision: they cost nothing either way)
@@ -317,6 +324,18 @@ final class KvDomainReader private (
             }
         }
       }
+    if (groups.length <= 1) groups.foreach { case (s, w) => processGroup(s, w) }
+    else {
+      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]](groups.length)
+      groups.foreach { case (s, w) =>
+        tasks.add(() => processGroup(s, w))
+      }
+      val futures = KvDomainReader.lookupPool.invokeAll(tasks)
+      futures.forEach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
@@ -378,6 +397,24 @@ final class KvDomainReader private (
 }
 
 object KvDomainReader {
+
+  /** Shared bounded pool for fanning one multiGet batch out across its
+    * shard groups. ONE process-wide pool (daemon threads, sized to the
+    * box) keeps total lookup parallelism capped no matter how many
+    * concurrent connections batch at once — per-call pools would
+    * multiply. Tasks are pure positioned-read I/O with no inter-task
+    * waits, so queueing excess groups behind the cap is safe (no
+    * deadlock: multiGet itself never runs ON this pool). */
+  private[store] lazy val lookupPool: java.util.concurrent.ExecutorService = {
+    val n = math.max(4, Runtime.getRuntime.availableProcessors())
+    java.util.concurrent.Executors.newFixedThreadPool(
+      n,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-kv-lookup")
+        t.setDaemon(true)
+        t
+      })
+  }
 
   /** Streaming cursor over a key range (see [[KvDomainReader.range]]).
     * Owns its [[KvFile.Reader]] handles: each closes when its shard
