@@ -1,0 +1,453 @@
+#!/usr/bin/env python3
+"""Dependency-free Python client for the graft serving protocol.
+
+The cross-language twin of the JVM client stub
+(src/main/scala/graft/store/RemoteKvReader.scala), written from the
+protocol documentation in src/main/scala/graft/store/KvServer.scala:19-45
+alone — the same role the reference's hand-written Python client played
+(elephantdb-thrift/src/py/elephantdbclient.py:1-88, a thin wrapper over
+its generated Thrift stub; here the framing is simple enough to speak
+directly). Python 3.8+, standard library only.
+
+Protocol summary (all integers big-endian):
+  request  = op byte, domain (Java writeUTF: u2 length + modified UTF-8),
+             op payload
+  response = status byte (0 ok / 1 error: class UTF + message UTF, the
+             connection stays frame-aligned), then the op's body
+
+Ops: 1 MULTI_GET, 2 STATS, 3 REFRESH, 4 COUNT, 5 DOMAINS, 6 STATUS,
+7 UPDATE_ALL — see KvServer.scala for each payload/body shape.
+
+Usage as a library:
+
+    from graft_client import GraftClient
+    with GraftClient("db-host", 3578, "users") as c:
+        value = c.get(b"u1")                  # bytes | None
+        values = c.multi_get([b"u1", b"u2"])  # list of bytes | None
+        print(c.status_all(), c.fully_loaded())
+
+Usage as a CLI (values print as UTF-8 with backslash escapes):
+
+    graft_client.py HOST PORT domains
+    graft_client.py HOST PORT status [DOMAIN]
+    graft_client.py HOST PORT get DOMAIN KEY
+    graft_client.py HOST PORT count DOMAIN
+    graft_client.py HOST PORT update-all
+"""
+
+import socket
+import struct
+import sys
+
+# protocol bounds — MUST mirror KvServer.scala's companion constants:
+# the server rejects frames past them, the client refuses to allocate
+# desync-supplied lengths past them
+MAX_BATCH = 1 << 20
+MAX_KEY_LEN = 1 << 20
+MAX_BATCH_BYTES = 64 << 20
+MAX_VALUE_LEN = 256 << 20
+
+_OP_MULTI_GET = 1
+_OP_STATS = 2
+_OP_REFRESH = 3
+_OP_COUNT = 4
+_OP_DOMAINS = 5
+_OP_STATUS = 6
+_OP_UPDATE_ALL = 7
+
+
+class ProtocolError(Exception):
+    """The peer spoke something that is not this protocol (or a length
+    field arrived out of bounds): the connection cannot realign."""
+
+
+class RemoteServingError(Exception):
+    """An execution failure reported by the serving side (unknown
+    domain, wrong-host probe, closed reader) — the remote twin of the
+    exception the in-process reader would have thrown. The connection
+    stays usable."""
+
+    def __init__(self, host, remote_class, message):
+        super().__init__(f"{host}: {remote_class}: {message}")
+        self.host = host
+        self.remote_class = remote_class
+        self.remote_message = message
+
+
+def _encode_modified_utf8(s):
+    """Java DataOutput.writeUTF body: CESU-8 with NUL as C0 80."""
+    out = bytearray()
+    for ch in s:
+        cp = ord(ch)
+        if 0x01 <= cp <= 0x7F:
+            out.append(cp)
+        elif cp == 0x00 or cp <= 0x7FF:
+            out.append(0xC0 | (cp >> 6))
+            out.append(0x80 | (cp & 0x3F))
+        elif cp <= 0xFFFF:
+            out.append(0xE0 | (cp >> 12))
+            out.append(0x80 | ((cp >> 6) & 0x3F))
+            out.append(0x80 | (cp & 0x3F))
+        else:  # supplementary: each UTF-16 surrogate as its own 3 bytes
+            cp -= 0x10000
+            for half in (0xD800 | (cp >> 10), 0xDC00 | (cp & 0x3FF)):
+                out.append(0xE0 | (half >> 12))
+                out.append(0x80 | ((half >> 6) & 0x3F))
+                out.append(0x80 | (half & 0x3F))
+    return bytes(out)
+
+
+def _decode_modified_utf8(b):
+    """Inverse of _encode_modified_utf8 (lenient only in pairing the
+    surrogates CESU-8 produces; anything else malformed raises)."""
+    units = []
+    i, n = 0, len(b)
+    while i < n:
+        c = b[i]
+        if c & 0x80 == 0:
+            units.append(c)
+            i += 1
+        elif c & 0xE0 == 0xC0:
+            if i + 1 >= n or b[i + 1] & 0xC0 != 0x80:
+                raise ProtocolError("malformed modified UTF-8")
+            units.append(((c & 0x1F) << 6) | (b[i + 1] & 0x3F))
+            i += 2
+        elif c & 0xF0 == 0xE0:
+            if i + 2 >= n or b[i + 1] & 0xC0 != 0x80 or b[i + 2] & 0xC0 != 0x80:
+                raise ProtocolError("malformed modified UTF-8")
+            units.append(((c & 0x0F) << 12) | ((b[i + 1] & 0x3F) << 6) | (b[i + 2] & 0x3F))
+            i += 3
+        else:
+            raise ProtocolError("malformed modified UTF-8")
+    # pair CESU-8 surrogates back into codepoints
+    out = []
+    j = 0
+    while j < len(units):
+        u = units[j]
+        if 0xD800 <= u <= 0xDBFF and j + 1 < len(units) and 0xDC00 <= units[j + 1] <= 0xDFFF:
+            out.append(0x10000 + ((u - 0xD800) << 10) + (units[j + 1] - 0xDC00))
+            j += 2
+        else:
+            out.append(u)
+            j += 1
+    return "".join(map(chr, out))
+
+
+class _Conn:
+    """One socket with DataInput/DataOutput-shaped helpers."""
+
+    def __init__(self, host, port, connect_timeout, read_timeout):
+        self.sock = socket.create_connection((host, port), timeout=connect_timeout)
+        self.sock.settimeout(read_timeout)
+        self._rbuf = self.sock.makefile("rb")
+        self._wbuf = bytearray()
+
+    # -- writes (buffered; flush() sends the frame in one go) --
+    def write_byte(self, v):
+        self._wbuf.append(v & 0xFF)
+
+    def write_int(self, v):
+        self._wbuf.extend(struct.pack(">i", v))
+
+    def write_bytes(self, b):
+        self._wbuf.extend(b)
+
+    def write_utf(self, s):
+        body = _encode_modified_utf8(s)
+        if len(body) > 0xFFFF:
+            raise ValueError("writeUTF string too long")
+        self._wbuf.extend(struct.pack(">H", len(body)))
+        self._wbuf.extend(body)
+
+    def flush(self):
+        self.sock.sendall(bytes(self._wbuf))
+        self._wbuf.clear()
+
+    # -- reads --
+    def read_fully(self, n):
+        b = self._rbuf.read(n)
+        if b is None or len(b) != n:
+            raise ProtocolError(f"connection closed mid-frame (wanted {n} bytes)")
+        return b
+
+    def read_byte(self):
+        return self.read_fully(1)[0]
+
+    def read_int(self):
+        return struct.unpack(">i", self.read_fully(4))[0]
+
+    def read_long(self):
+        return struct.unpack(">q", self.read_fully(8))[0]
+
+    def read_bool(self):
+        return self.read_byte() != 0
+
+    def read_utf(self):
+        n = struct.unpack(">H", self.read_fully(2))[0]
+        return _decode_modified_utf8(self.read_fully(n))
+
+    def close(self):
+        try:
+            self._rbuf.close()
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class GraftClient:
+    """Client stub for one domain on one serving host.
+
+    One persistent connection, one framed round trip per call (a failed
+    call discards the connection; the next call dials fresh — a bounced
+    server heals without client restarts). Not thread-safe; use one
+    client per thread.
+    """
+
+    def __init__(self, host, port, domain="", connect_timeout=5.0, read_timeout=60.0):
+        self.host = host
+        self.port = port
+        self.domain = domain
+        self._connect_timeout = connect_timeout
+        self._read_timeout = read_timeout
+        self._conn = None
+        self._closed = False
+
+    # -- lifecycle --
+    def close(self):
+        self._closed = True
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- protocol plumbing --
+    def _round_trip(self, op, domain, write_payload, read_body):
+        if self._closed:
+            raise ValueError("client is closed")
+        conn = self._conn
+        if conn is None:
+            conn = _Conn(self.host, self.port, self._connect_timeout, self._read_timeout)
+        self._conn = None  # in flight: a failure below must not pool it
+        try:
+            conn.write_byte(op)
+            conn.write_utf(domain)
+            write_payload(conn)
+            conn.flush()
+            status = conn.read_byte()
+            if status == 1:
+                # error frame: the stream is aligned, but match the JVM
+                # client's choice — correctness over a saved dial
+                cls = conn.read_utf()
+                msg = conn.read_utf()
+                conn.close()
+                raise RemoteServingError(f"{self.host}:{self.port}", cls, msg)
+            if status != 0:
+                raise ProtocolError(f"status byte {status}")
+            body = read_body(conn)
+            self._conn = conn  # clean round trip: keep it
+            return body
+        except RemoteServingError:
+            raise
+        except BaseException:
+            conn.close()
+            raise
+
+    # -- ops --
+    def multi_get(self, keys):
+        """Batched lookup. Returns one entry per key, aligned:
+        None = absent, bytes = value (b"" is a real empty value), and
+        present-with-null-value surfaces as None too (like the JVM
+        get(); use multi_get_records for the distinction)."""
+        return [None if r is _NULL_VALUE else r for r in self.multi_get_records(keys)]
+
+    def multi_get_records(self, keys):
+        """multi_get keeping the present-null distinction: absent keys
+        give None, present-null keys give the NULL_VALUE sentinel."""
+        for k in keys:
+            if not isinstance(k, (bytes, bytearray)):
+                raise TypeError("keys must be bytes")
+            if len(k) > MAX_KEY_LEN:
+                raise ValueError(f"key of {len(k)} bytes exceeds protocol bound")
+        # batches past the frame bounds split into several frames; accept
+        # an attempt only when every frame certifies ONE serving version
+        # (vLo == vHi shared across frames) — never a torn cross-version
+        # mix, same contract as the JVM client's chunkedMultiGet
+        if len(keys) <= MAX_BATCH and sum(len(k) for k in keys) <= MAX_BATCH_BYTES:
+            return self._multi_get_frame(keys)[2]
+        for _ in range(3):
+            framed = [self._multi_get_frame(c) for c in self._chunks(keys)]
+            versions = {v for lo, hi, _ in framed for v in (lo, hi)}
+            if len(versions) == 1:
+                return [r for _, _, rs in framed for r in rs]
+        raise ProtocolError(
+            f"chunked multi_get of {len(keys)} keys kept straddling version swaps")
+
+    @staticmethod
+    def _chunks(keys):
+        run, run_bytes = [], 0
+        for k in keys:
+            if run and (len(run) >= MAX_BATCH or run_bytes + len(k) > MAX_BATCH_BYTES):
+                yield run
+                run, run_bytes = [], 0
+            run.append(k)
+            run_bytes += len(k)
+        if run:
+            yield run
+
+    def _multi_get_frame(self, keys):
+        def payload(conn):
+            conn.write_int(len(keys))
+            for k in keys:
+                conn.write_int(len(k))
+                conn.write_bytes(k)
+
+        def body(conn):
+            v_lo = conn.read_long()
+            v_hi = conn.read_long()
+            records = []
+            for _ in keys:
+                tag = conn.read_byte()
+                if tag == 0:
+                    records.append(None)
+                elif tag == 1:
+                    n = conn.read_int()
+                    if n < 0 or n > MAX_VALUE_LEN:
+                        raise ProtocolError(f"value length {n} out of range")
+                    records.append(conn.read_fully(n))
+                elif tag == 2:
+                    records.append(_NULL_VALUE)
+                else:
+                    raise ProtocolError(f"record tag {tag}")
+            return v_lo, v_hi, records
+
+        return self._round_trip(_OP_MULTI_GET, self.domain, payload, body)
+
+    def get(self, key):
+        """Single lookup: bytes, or None for absent / present-null."""
+        return self.multi_get([key])[0]
+
+    def stats(self):
+        """(num_shards, served_version, can_refresh) for this domain."""
+        return self._round_trip(
+            _OP_STATS, self.domain, lambda c: None,
+            lambda c: (c.read_int(), c.read_long(), c.read_bool()))
+
+    def served_version(self):
+        return self.stats()[1]
+
+    def refresh(self):
+        """Ask the host to hot-swap this domain to its newest publish
+        (the reference's `update` RPC). True = a swap happened."""
+        return self._round_trip(
+            _OP_REFRESH, self.domain, lambda c: None, lambda c: c.read_bool())
+
+    def count(self):
+        """Total pairs this host serves for the domain."""
+        return self._round_trip(
+            _OP_COUNT, self.domain, lambda c: None, lambda c: c.read_long())
+
+    def domains(self):
+        """The host's domain census (reference `getDomains`)."""
+        return self._round_trip(
+            _OP_DOMAINS, "", lambda c: None,
+            lambda c: [c.read_utf() for _ in range(c.read_int())])
+
+    @staticmethod
+    def _read_statuses(conn):
+        return [
+            {
+                "name": conn.read_utf(),
+                "status": conn.read_utf(),
+                "served_version": conn.read_long(),
+                "latest_published": conn.read_long(),
+                "updating": conn.read_bool(),
+            }
+            for _ in range(conn.read_int())
+        ]
+
+    def status(self):
+        """This domain's serving status dict (reference
+        `getDomainStatus`/`getDomainMetaData`)."""
+        return self._round_trip(
+            _OP_STATUS, self.domain, lambda c: None,
+            lambda c: self._read_statuses(c)[0])
+
+    def status_all(self):
+        """The whole host's census (reference `getStatus`)."""
+        return self._round_trip(
+            _OP_STATUS, "", lambda c: None, self._read_statuses)
+
+    def fully_loaded(self):
+        """Every domain serves a published version (reference
+        `isFullyLoaded`) — 'can I point traffic at this host?'."""
+        return all(d["status"] == "ready" for d in self.status_all())
+
+    def update_all(self):
+        """Host-wide update (reference `updateAll`): sweep for new
+        domains, refresh every served one. Returns (swapped, failed)."""
+        return self._round_trip(
+            _OP_UPDATE_ALL, "", lambda c: None,
+            lambda c: (c.read_int(), c.read_int()))
+
+
+class _NullValue:
+    """Sentinel for a key that is PRESENT with a null value — distinct
+    from None (= absent), mirroring the JVM Some(null)."""
+
+    def __repr__(self):
+        return "NULL_VALUE"
+
+
+_NULL_VALUE = _NullValue()
+NULL_VALUE = _NULL_VALUE
+
+
+def _print_value(v):
+    if v is None:
+        print("(absent)")
+    else:
+        print(v.decode("utf-8", errors="backslashreplace"))
+
+
+def main(argv):
+    if len(argv) < 4:
+        print(__doc__, file=sys.stderr)
+        return 2
+    host, port, cmd = argv[1], int(argv[2]), argv[3]
+    args = argv[4:]
+    if cmd == "domains":
+        with GraftClient(host, port) as c:
+            for d in c.domains():
+                print(d)
+    elif cmd == "status":
+        with GraftClient(host, port, args[0] if args else "") as c:
+            entries = [c.status()] if args else c.status_all()
+            for d in entries:
+                print("{name} {status} served={served_version} "
+                      "latest={latest_published} updating={updating}".format(**d))
+    elif cmd == "get":
+        with GraftClient(host, port, args[0]) as c:
+            _print_value(c.get(args[1].encode("utf-8")))
+    elif cmd == "count":
+        with GraftClient(host, port, args[0]) as c:
+            print(c.count())
+    elif cmd == "update-all":
+        with GraftClient(host, port) as c:
+            swapped, failed = c.update_all()
+            print(f"swapped={swapped} failed={failed}")
+    else:
+        print(f"unknown command {cmd}", file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -55,8 +55,10 @@ object Serve {
       served: ConcurrentHashMap[String, KvDomainReader],
       stop: AtomicBoolean,
       wake: CountDownLatch,
-      updater: Option[Thread]) extends AutoCloseable {
+      updater: Option[Thread],
+      val dashboard: Option[HttpDashboard] = None) extends AutoCloseable {
     def boundPort: Int = server.boundPort
+    def dashboardPort: Option[Int] = dashboard.map(_.boundPort)
     def readers: Map[String, KvDomainReader] = {
       import scala.jdk.CollectionConverters._
       served.asScala.toMap
@@ -89,6 +91,7 @@ object Serve {
         }
         if (callerInterrupted) Thread.currentThread().interrupt()
       }
+      dashboard.foreach(d => try d.close() catch { case _: Exception => () })
       server.close()
       readers.values.foreach(r => try r.close() catch { case _: Exception => () })
     }
@@ -100,7 +103,8 @@ object Serve {
       conf: Configuration,
       port: Int = 0,
       refreshMillis: Long = 30000L,
-      log: String => Unit = println): Handle = {
+      log: String => Unit = println,
+      httpPort: Option[Int] = None): Handle = {
     val cat = new DomainCatalog(root, conf)
     val served = new ConcurrentHashMap[String, KvDomainReader]()
     val stop = new AtomicBoolean(false)
@@ -304,16 +308,40 @@ object Serve {
         t.start()
         t
       }
-    new Handle(server, served, stop, wake, updater)
+    // the dashboard renders the SAME census STATUS answers from, plus
+    // per-shard tables off the live readers — started last so a bind
+    // failure tears down cleanly via the handle-less paths above
+    val dashboard = httpPort.map { hp =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val d = HttpDashboard.start(
+          hp,
+          () => statusSnapshot(),
+          () => served.asScala.toMap,
+          () => server.boundPort)
+        log(s"[serve] dashboard on http://0.0.0.0:${d.boundPort}/")
+        d
+      } catch {
+        case e: Throwable =>
+          stop.set(true); wake.countDown()
+          updater.foreach(t => while (t.isAlive) { t.interrupt(); t.join(1000) })
+          server.close()
+          served.values().forEach(r => try r.close() catch { case _: Exception => () })
+          throw e
+      }
+    }
+    new Handle(server, served, stop, wake, updater, dashboard)
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Serve <catalogRoot> [port] [refreshSeconds]")
+    require(args.nonEmpty,
+      "usage: graft.Serve <catalogRoot> [port] [refreshSeconds] [httpPort]")
     val handle = start(
       args(0),
       new Configuration(),
       port = args.lift(1).map(_.toInt).getOrElse(0),
-      refreshMillis = args.lift(2).map(_.toLong * 1000).getOrElse(30000L))
+      refreshMillis = args.lift(2).map(_.toLong * 1000).getOrElse(30000L),
+      httpPort = args.lift(3).map(_.toInt))
     sys.addShutdownHook(handle.close())
     Thread.currentThread().join() // serve until killed
   }

@@ -388,6 +388,17 @@ final class KvDomainReader private (
     }.sum
   }
 
+  /** Per-shard (shard, pairs, present) census over this reader's version
+    * — the dashboard's shard table. Same trailer-tail economics as
+    * [[count]]; `present = false` means no data file on this box (empty
+    * shard, or not localized here — indistinguishable by design). */
+  def shardCounts(): Seq[(Int, Long, Boolean)] = withGen { g =>
+    (0 until numShards).map { s =>
+      if (!g.presentShards(s)) (s, 0L, false)
+      else (s, KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName)), true)
+    }
+  }
+
   def close(): Unit = lifecycle.synchronized {
     if (!closed) {
       closed = true

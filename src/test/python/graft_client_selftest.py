@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Self-test for graft_client.py against a live serving host.
+
+Driven by PyClientSpec (ScalaTest): the JVM side builds fixture domains,
+starts the daemon, forks this script with (host, port), and asserts on
+the exit code + final OK line. The fixture contract this script expects:
+
+  domain "users" (4 shards): u1 -> "ada", u2 -> "grace",
+      "emoji-\U0001F600" -> "smile", "empty" -> b"", "nullv" -> NULL value
+  domain "docs" (2 shards, kv-sorted-z): d1 -> "first document"
+
+Every assertion failure raises (non-zero exit) with a message naming
+what diverged; success prints SELFTEST OK as the last line.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "main", "python"))
+
+from graft_client import (  # noqa: E402
+    GraftClient, NULL_VALUE, RemoteServingError,
+    _encode_modified_utf8, _decode_modified_utf8,
+)
+
+
+def check(cond, msg):
+    if not cond:
+        raise AssertionError(msg)
+
+
+def utf_roundtrips():
+    # writeUTF twin: NUL as C0 80, supplementary as CESU-8 pairs
+    cases = ["", "ascii", "nul\x00nul", "café", "中文", "\U0001F600mix"]
+    for s in cases:
+        b = _encode_modified_utf8(s)
+        check(_decode_modified_utf8(b) == s, f"modified UTF-8 roundtrip broke on {s!r}")
+    check(_encode_modified_utf8("\x00") == b"\xc0\x80", "NUL must encode as C0 80")
+    check(_encode_modified_utf8("\U0001F600") ==
+          b"\xed\xa0\xbd\xed\xb8\x80", "supplementary must encode as CESU-8")
+
+
+def main(host, port):
+    utf_roundtrips()
+
+    with GraftClient(host, port) as census:
+        names = census.domains()
+        check(names == ["docs", "users"], f"census {names}")
+        statuses = {d["name"]: d for d in census.status_all()}
+        check(statuses["users"]["status"] == "ready", f"users status {statuses}")
+        check(statuses["users"]["served_version"] == 1, "users version")
+        check(census.fully_loaded(), "host should be fully loaded")
+
+    with GraftClient(host, port, "users") as users:
+        check(users.get(b"u1") == b"ada", "get hit")
+        check(users.get(b"missing") is None, "get miss")
+        check(users.get("emoji-\U0001F600".encode("utf-8")) == b"smile",
+              "binary (non-ASCII) key")
+        check(users.get(b"empty") == b"", "empty value must be b'', not None")
+        # the present-null distinction: absent -> None, null value -> sentinel
+        recs = users.multi_get_records([b"nullv", b"missing", b"u2"])
+        check(recs[0] is NULL_VALUE, f"nullv record {recs[0]!r}")
+        check(recs[1] is None, "missing record")
+        check(recs[2] == b"grace", "u2 record")
+        # flattened view: both read as None
+        check(users.multi_get([b"nullv", b"missing"]) == [None, None], "flattened")
+        # duplicates resolve independently and stay aligned
+        check(users.multi_get([b"u2", b"u2", b"u1"]) == [b"grace", b"grace", b"ada"],
+              "duplicate keys")
+        num_shards, version, can_refresh = users.stats()
+        check(num_shards == 4, f"num_shards {num_shards}")
+        check(version == 1, f"served_version {version}")
+        check(can_refresh, "root-opened domain must be refreshable")
+        check(users.count() == 5, f"count {users.count()}")
+        check(users.refresh() is False, "no new publish: refresh must be False")
+        st = users.status()
+        check(st["name"] == "users" and st["status"] == "ready", f"status {st}")
+
+    with GraftClient(host, port, "docs") as docs:
+        check(docs.get(b"d1") == b"first document", "kv-sorted-z domain get")
+        check(docs.count() == 1, "docs count")
+
+    # execution failures arrive as typed error frames, connection reusable
+    with GraftClient(host, port, "no-such-domain") as bad:
+        try:
+            bad.get(b"x")
+            check(False, "unknown domain must raise")
+        except RemoteServingError as e:
+            check("no-such-domain" in e.remote_message, f"error message {e}")
+        # ... and the CLIENT stays usable (fresh dial under the hood)
+        check(bad.domains() == ["docs", "users"], "client unusable after error frame")
+
+    with GraftClient(host, port) as ops:
+        swapped, failed = ops.update_all()
+        check(failed == 0, f"update_all failed count {failed}")
+
+    print("SELFTEST OK")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], int(sys.argv[2]))

@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.TimeUnit
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+import graft.core.DomainSpec
+import graft.functions._
+import graft.store.DomainStore
+
+/**
+ * Cross-LANGUAGE proof of the serving protocol: the dependency-free
+ * Python client (`src/main/python/graft_client.py`, written from the
+ * protocol doc in KvServer.scala alone — the reference shipped the same
+ * thing as `elephantdb-thrift/src/py/elephantdbclient.py`) drives a live
+ * [[Serve]] daemon through every op from a forked CPython process. If
+ * the doc were wrong or JVM-flavored (writeUTF's modified UTF-8, the
+ * present-null record tag, error-frame alignment), this is where it
+ * shows.
+ */
+class PyClientSpec extends SparkSuite {
+
+  private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  private def run(cmd: String*): (Int, String) = {
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor(60, TimeUnit.SECONDS), s"timed out: ${cmd.mkString(" ")}\n$out")
+    (proc.exitValue(), out)
+  }
+
+  test("python client: full op surface + CLI against a live daemon") {
+    assume(run("python3", "--version")._1 == 0, "python3 not on PATH")
+    import spark.implicits._
+    val conf = new Configuration()
+    val dbRoot = scratch("pyclient-db")
+
+    val users = DomainStore.create(
+      s"$dbRoot/users", DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    users.write(
+      Seq(
+        ("u1", Some("ada")),
+        ("u2", Some("grace")),
+        ("emoji-😀", Some("smile")), // non-ASCII key bytes
+        ("empty", Some("")),
+        ("nullv", None)) // present key, NULL value
+        .toDF("k", "v")
+        .select(
+          utf8_bytes(col("k")).as("key"),
+          when(col("v").isNotNull, utf8_bytes(col("v"))).as("value")),
+      1L)
+    val docs = DomainStore.create(
+      s"$dbRoot/docs", DomainSpec(2, persistenceFormat = DomainSpec.KvSortedZ), conf)
+    docs.write(
+      Seq(("d1", "first document")).toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      1L)
+
+    val handle = Serve.start(dbRoot, conf, refreshMillis = 0L, log = _ => ())
+    try {
+      val port = handle.boundPort.toString
+      val (code, out) = run(
+        "python3", "/root/repo/src/test/python/graft_client_selftest.py",
+        "127.0.0.1", port)
+      assert(code === 0, s"selftest failed:\n$out")
+      assert(out.linesIterator.toSeq.last === "SELFTEST OK", out)
+
+      // the CLI surface (what an operator actually types)
+      assert(run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "get", "users", "u1") === ((0, "ada\n")))
+      assert(run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "domains") === ((0, "docs\nusers\n")))
+      val (sc, sout) = run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "status")
+      assert(sc === 0)
+      assert(sout.contains("users ready served=1 latest=1 updating=False"), sout)
+      assert(run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "count", "users") === ((0, "5\n")))
+      assert(run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "update-all") === ((0, "swapped=0 failed=0\n")))
+    } finally handle.close()
+  }
+}
