@@ -32,6 +32,7 @@ Usage as a CLI (values print as UTF-8 with backslash escapes):
     graft_client.py HOST PORT status [DOMAIN]
     graft_client.py HOST PORT get DOMAIN KEY
     graft_client.py HOST PORT count DOMAIN
+    graft_client.py HOST PORT scan DOMAIN [FROM [TO]]
     graft_client.py HOST PORT update-all
 """
 
@@ -54,6 +55,7 @@ _OP_COUNT = 4
 _OP_DOMAINS = 5
 _OP_STATUS = 6
 _OP_UPDATE_ALL = 7
+_OP_RANGE = 8
 
 
 class ProtocolError(Exception):
@@ -334,6 +336,78 @@ class GraftClient:
         """Single lookup: bytes, or None for absent / present-null."""
         return self.multi_get([key])[0]
 
+    def range_page(self, from_key=None, to_key=None,
+                   from_inclusive=True, to_inclusive=True, max_records=4096):
+        """One bounded, globally key-ordered page of the domain's key
+        range. Returns (v_lo, v_hi, records, truncated) where records is
+        a list of (key, value) — value None means present-with-null —
+        and truncated means more records remain past the last one
+        (resume with from_key=last_key, from_inclusive=False)."""
+        if not 0 < max_records <= MAX_BATCH:
+            raise ValueError(f"max_records {max_records} out of protocol range")
+
+        def payload(conn):
+            # fromBound, fromInclusive, toBound, toInclusive, maxRecords
+            def bound(b):
+                if b is None:
+                    conn.write_byte(0)
+                else:
+                    conn.write_byte(1)
+                    conn.write_int(len(b))
+                    conn.write_bytes(b)
+            bound(from_key)
+            conn.write_byte(1 if from_inclusive else 0)
+            bound(to_key)
+            conn.write_byte(1 if to_inclusive else 0)
+            conn.write_int(max_records)
+
+        def body(conn):
+            v_lo = conn.read_long()
+            v_hi = conn.read_long()
+            n = conn.read_int()
+            if n < 0 or n > MAX_BATCH:
+                raise ProtocolError(f"range page size {n} out of range")
+            records = []
+            for _ in range(n):
+                k_len = conn.read_int()
+                if k_len < 0 or k_len > MAX_KEY_LEN:
+                    raise ProtocolError(f"range key length {k_len} out of range")
+                k = conn.read_fully(k_len)
+                tag = conn.read_byte()
+                if tag == 1:
+                    v_len = conn.read_int()
+                    if v_len < 0 or v_len > MAX_VALUE_LEN:
+                        raise ProtocolError(f"range value length {v_len} out of range")
+                    records.append((k, conn.read_fully(v_len)))
+                elif tag == 2:
+                    records.append((k, None))
+                else:
+                    raise ProtocolError(f"range value tag {tag}")
+            return v_lo, v_hi, records, conn.read_bool()
+
+        return self._round_trip(_OP_RANGE, self.domain, payload, body)
+
+    def scan(self, from_key=None, to_key=None,
+             from_inclusive=True, to_inclusive=True, page_records=4096):
+        """Generator over the whole key range, paging under the hood.
+        Every page must certify ONE unchanged serving version (like the
+        JVM client's rangeScan) — a hot-swap mid-scan raises."""
+        v_lo, v_hi, records, truncated = self.range_page(
+            from_key, to_key, from_inclusive, to_inclusive, page_records)
+        if v_lo != v_hi:
+            raise ProtocolError(f"range page straddled a version swap ({v_lo}->{v_hi})")
+        version = v_lo
+        while True:
+            yield from records
+            if not truncated:
+                return
+            last_key = records[-1][0]
+            v_lo, v_hi, records, truncated = self.range_page(
+                last_key, to_key, False, to_inclusive, page_records)
+            if v_lo != v_hi or v_lo != version:
+                raise ProtocolError(
+                    f"range scan straddled a version swap ({version}->{v_hi})")
+
     def stats(self):
         """(num_shards, served_version, can_refresh) for this domain."""
         return self._round_trip(
@@ -439,6 +513,14 @@ def main(argv):
     elif cmd == "count":
         with GraftClient(host, port, args[0]) as c:
             print(c.count())
+    elif cmd == "scan":
+        with GraftClient(host, port, args[0]) as c:
+            lo = args[1].encode("utf-8") if len(args) > 1 else None
+            hi = args[2].encode("utf-8") if len(args) > 2 else None
+            for k, v in c.scan(from_key=lo, to_key=hi):
+                key = k.decode("utf-8", errors="backslashreplace")
+                val = "(null)" if v is None else v.decode("utf-8", errors="backslashreplace")
+                print(f"{key}\t{val}")
     elif cmd == "update-all":
         with GraftClient(host, port) as c:
             swapped, failed = c.update_all()

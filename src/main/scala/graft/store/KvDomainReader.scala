@@ -388,6 +388,38 @@ final class KvDomainReader private (
     }.sum
   }
 
+  /** One bounded, globally key-ordered page (see
+    * [[ServingReader.rangePage]]): a [[range]] cursor in globalOrder
+    * mode, drained to the first cap and closed. The cursor snapshots ONE
+    * generation, so the page can never mix versions — the (vLo, vHi)
+    * stamps are taken around the whole read and certify WHICH version it
+    * was (a refresh landing mid-page swaps the serving pointer but not
+    * this page's already-opened files, exactly the MULTI_GET contract). */
+  override def rangePage(
+      from: Option[Array[Byte]], fromInclusive: Boolean,
+      to: Option[Array[Byte]], toInclusive: Boolean,
+      maxRecords: Int, maxBytes: Long): RangePage = {
+    require(maxRecords > 0, s"rangePage: maxRecords $maxRecords must be positive")
+    val vLo = servedVersion
+    val cursor = range(from, to, fromInclusive, toInclusive, globalOrder = true)
+    try {
+      val out = IndexedSeq.newBuilder[(Array[Byte], Array[Byte])]
+      var n = 0
+      var bytes = 0L
+      var full = false
+      while (!full && cursor.hasNext) {
+        val (k, v) = cursor.next()
+        out += ((k, v))
+        n += 1
+        bytes += k.length + (if (v == null) 0 else v.length)
+        // byte cap applies from the second record on: one jumbo record
+        // must still move the page forward, or a resume loops in place
+        full = n >= maxRecords || bytes >= maxBytes
+      }
+      RangePage(vLo, servedVersion, out.result(), truncated = cursor.hasNext)
+    } finally cursor.close()
+  }
+
   /** Per-shard (shard, pairs, present) census over this reader's version
     * — the dashboard's shard table. Same trailer-tail economics as
     * [[count]]; `present = false` means no data file on this box (empty

@@ -40,6 +40,14 @@ import java.util.concurrent.atomic.AtomicBoolean
  *    sweep when fronted by [[graft.Serve]]), then refresh every served
  *    domain; `failed` counts domains whose refresh threw (their names go
  *    to the server log, the call itself stays usable)
+ *  - 8 RANGE:      from bound, fromInclusive bool, to bound,
+ *    toInclusive bool, maxRecords int (each bound = tag byte 0 absent /
+ *    1 present: len int + bytes)  →  vLo long, vHi long, n int, n ×
+ *    (keyLen int, key bytes, valTag byte 1 present: len int + bytes /
+ *    2 present-null), truncated bool — ONE globally key-ordered page of
+ *    the hosted shards' key range (byte-capped server-side too);
+ *    `truncated` = more records remain, resume with
+ *    from = lastKey exclusive (pages certify versions like MULTI_GET)
  *
  * Threading: one accept loop + one daemon thread per connection; the
  * readers' documented lookup thread-safety carries the concurrency, the
@@ -181,10 +189,12 @@ final class KvServer(
         // transport catch and drops without an answer. Only a fully
         // drained request reaches phase 2, so an execution failure can
         // never leave a half-read frame in the stream.
+        var rangeReq: KvServer.RangeRequest = null
         val keysOpt: Option[IndexedSeq[Array[Byte]]] =
           try {
             op match {
               case KvServer.OpMultiGet => Some(readKeys(in))
+              case KvServer.OpRange => rangeReq = readRangeRequest(in); None
               case KvServer.OpStats | KvServer.OpRefresh |
                    KvServer.OpCount | KvServer.OpDomains |
                    KvServer.OpStatus | KvServer.OpUpdateAll => None // no payload
@@ -231,6 +241,33 @@ final class KvServer(
                 case Some(null) => out.writeByte(2)
                 case Some(v) => out.writeByte(1); out.writeInt(v.length); out.write(v)
               }
+            case KvServer.OpRange =>
+              val r = reader(domain)
+              // page caps: the CLIENT asks for a record count (bounded by
+              // the protocol), the server ALWAYS adds the aggregate byte
+              // cap — a page of jumbo values truncates early and the
+              // client resumes past its last key
+              val page = r.rangePage(
+                rangeReq.from, rangeReq.fromInclusive,
+                rangeReq.to, rangeReq.toInclusive,
+                rangeReq.maxRecords, KvServer.MaxBatchBytes)
+              page.records.foreach { case (_, v) =>
+                if (v != null && v.length > maxValueLen)
+                  throw new IllegalStateException(
+                    s"value of ${v.length} bytes exceeds the transport bound " +
+                      s"$maxValueLen — serve this domain in-process")
+              }
+              out.writeByte(0)
+              out.writeLong(page.vLo)
+              out.writeLong(page.vHi)
+              out.writeInt(page.records.size)
+              page.records.foreach { case (k, v) =>
+                out.writeInt(k.length)
+                out.write(k)
+                if (v == null) out.writeByte(2)
+                else { out.writeByte(1); out.writeInt(v.length); out.write(v) }
+              }
+              out.writeBoolean(page.truncated)
             case KvServer.OpStats =>
               val r = reader(domain)
               val (n, v, cr) = (r.numShards, r.servedVersion, r.canRefresh)
@@ -333,6 +370,30 @@ final class KvServer(
     }
   }
 
+  /** Drain a RANGE payload: two optional bounds + inclusivity flags +
+    * the page's record cap, all under the key/batch protocol bounds. */
+  private def readRangeRequest(in: DataInputStream): KvServer.RangeRequest = {
+    def readBound(): Option[Array[Byte]] = in.readByte() match {
+      case 0 => None
+      case 1 =>
+        val len = in.readInt()
+        if (len < 0 || len > KvServer.MaxKeyLen)
+          throw new KvServer.FrameViolation(s"range bound length $len out of protocol range")
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        Some(b)
+      case t => throw new KvServer.FrameViolation(s"range bound tag $t")
+    }
+    val from = readBound()
+    val fromInclusive = in.readBoolean()
+    val to = readBound()
+    val toInclusive = in.readBoolean()
+    val maxRecords = in.readInt()
+    if (maxRecords <= 0 || maxRecords > KvServer.MaxBatch)
+      throw new KvServer.FrameViolation(s"range page size $maxRecords out of protocol range")
+    KvServer.RangeRequest(from, fromInclusive, to, toInclusive, maxRecords)
+  }
+
   private def reader(domain: String): ServingReader =
     Option(served.get(domain)).getOrElse(throw new IllegalArgumentException(
       s"no such domain '$domain' (serving: ${domainNames.mkString(", ")})"))
@@ -355,6 +416,14 @@ object KvServer {
   val OpDomains: Byte = 5
   val OpStatus: Byte = 6
   val OpUpdateAll: Byte = 7
+  val OpRange: Byte = 8
+
+  private[store] final case class RangeRequest(
+      from: Option[Array[Byte]],
+      fromInclusive: Boolean,
+      to: Option[Array[Byte]],
+      toInclusive: Boolean,
+      maxRecords: Int)
 
   /** Frame sanity bounds: a serving batch is human/request-sized, never
     * corpus-sized (the reference's multiGet was an RPC batch too). The

@@ -162,6 +162,104 @@ final class RemoteKvReader(
       (vLo, vHi, records)
     }
 
+  /** One RANGE page round trip (see [[ServingReader.rangePage]]): the
+    * server caps the page by records AND aggregate bytes; `maxBytes` is
+    * accepted for interface compatibility but the transport's own cap
+    * ([[KvServer.MaxBatchBytes]]) is what actually bounds the frame. */
+  override def rangePage(
+      from: Option[Array[Byte]], fromInclusive: Boolean,
+      to: Option[Array[Byte]], toInclusive: Boolean,
+      maxRecords: Int, maxBytes: Long): RangePage = {
+    require(maxRecords > 0 && maxRecords <= KvServer.MaxBatch,
+      s"rangePage: maxRecords $maxRecords outside (0, ${KvServer.MaxBatch}]")
+    Seq(from, to).flatten.foreach(b => require(b.length <= KvServer.MaxKeyLen,
+      s"range bound of ${b.length} bytes exceeds the protocol bound ${KvServer.MaxKeyLen}"))
+    request(KvServer.OpRange) { out =>
+      def writeBound(b: Option[Array[Byte]]): Unit = b match {
+        case None => out.writeByte(0)
+        case Some(k) => out.writeByte(1); out.writeInt(k.length); out.write(k)
+      }
+      writeBound(from)
+      out.writeBoolean(fromInclusive)
+      writeBound(to)
+      out.writeBoolean(toInclusive)
+      out.writeInt(maxRecords)
+    } { in =>
+      val vLo = in.readLong()
+      val vHi = in.readLong()
+      val n = in.readInt()
+      if (n < 0 || n > KvServer.MaxBatch)
+        throw new RemoteKvReader.ProtocolException(s"range page size $n out of range")
+      val records = IndexedSeq.fill(n) {
+        val kLen = in.readInt()
+        if (kLen < 0 || kLen > KvServer.MaxKeyLen)
+          throw new RemoteKvReader.ProtocolException(s"range key length $kLen out of range")
+        val k = new Array[Byte](kLen)
+        in.readFully(k)
+        val v = in.readByte() match {
+          case 1 =>
+            val vLen = in.readInt()
+            if (vLen < 0 || vLen > KvServer.MaxValueLen)
+              throw new RemoteKvReader.ProtocolException(s"range value length $vLen out of range")
+            val b = new Array[Byte](vLen)
+            in.readFully(b)
+            b
+          case 2 => null
+          case t => throw new RemoteKvReader.ProtocolException(s"range value tag $t")
+        }
+        (k, v)
+      }
+      RangePage(vLo, vHi, records, in.readBoolean())
+    }
+  }
+
+  /** The whole range as one lazy iterator, paging under the hood — the
+    * remote twin of [[KvDomainReader.range]]'s cursor. Every page
+    * certifies ONE serving version (vLo == vHi) and all pages must
+    * certify the SAME one: a hot-swap landing mid-scan throws
+    * IllegalStateException (loud, never a silently-mixed scan — resume
+    * by re-running when the roll settles). Page size is records per
+    * round trip; the transport's byte cap may shorten pages further. */
+  def rangeScan(
+      from: Option[Array[Byte]] = None,
+      to: Option[Array[Byte]] = None,
+      fromInclusive: Boolean = true,
+      toInclusive: Boolean = true,
+      pageRecords: Int = RemoteKvReader.DefaultRangePage): Iterator[(Array[Byte], Array[Byte])] = {
+    // captured under fresh names: inside the anonymous Iterator, `to`
+    // would resolve to Iterator's own to(Factory) method
+    val (loBound, hiBound) = (from, to)
+    new Iterator[(Array[Byte], Array[Byte])] {
+      private var page =
+        rangePage(loBound, fromInclusive, hiBound, toInclusive, pageRecords, Long.MaxValue)
+      private var idx = 0
+      private val version = {
+        if (page.vLo != page.vHi) throw new IllegalStateException(
+          s"range page straddled a version swap at $host:$port/$domain " +
+            s"(${page.vLo} -> ${page.vHi}) — retry when the serving version settles")
+        page.vLo
+      }
+      private def advance(): Unit =
+        if (idx >= page.records.size && page.truncated) {
+          val lastKey = page.records.last._1
+          page = rangePage(Some(lastKey), fromInclusive = false,
+            hiBound, toInclusive, pageRecords, Long.MaxValue)
+          idx = 0
+          if (page.vLo != page.vHi || page.vLo != version)
+            throw new IllegalStateException(
+              s"range scan straddled a version swap at $host:$port/$domain " +
+                s"($version -> ${page.vHi}) — re-run when the roll settles")
+        }
+      def hasNext: Boolean = { advance(); idx < page.records.size }
+      def next(): (Array[Byte], Array[Byte]) = {
+        advance()
+        val r = page.records(idx)
+        idx += 1
+        r
+      }
+    }
+  }
+
   private def stats(): (Int, Long, Boolean) =
     request(KvServer.OpStats)(_ => ())(in => (in.readInt(), in.readLong(), in.readBoolean()))
 
@@ -263,6 +361,11 @@ final class RemoteKvReader(
 }
 
 object RemoteKvReader {
+
+  /** Default records per RANGE round trip: big enough to amortize the
+    * frame, small enough that a page of mid-size values stays well under
+    * the transport byte cap. */
+  val DefaultRangePage: Int = 4096
   /** The peer answered with bytes that are not this protocol — the
     * endpoint is the WRONG SERVICE (or the stream desynced), which is
     * misconfiguration, not an unreachable host: RingClient's

@@ -136,21 +136,47 @@ final class RingClient(
             s"(tried: ${ring.hostSet(s).toSeq.sorted.mkString(", ")})",
           lastFailure)
       }
-      pending = pending
-        .groupBy(_._3.head)
-        .flatMap { case (host, group) =>
-          val batch = group.flatMap(_._2)
-          try {
-            val vs = readers(host).multiGet(batch.map(_._1))
-            batch.zip(vs).foreach { case ((_, i), v) => out(i) = v }
-            Nil // answered
-          } catch {
-            case e: Exception =>
-              lastFailure = e
-              group.map { case (s, ks, hs) => (s, ks, hs.tail) } // next replica
-          }
+      // hosts answer in PARALLEL (scatter-gather): readers are
+      // thread-safe (socket stubs pool connections, in-process readers
+      // are pread-concurrent), and a serial sweep would multiply batch
+      // latency by the ring size. Distinct pool from the storage tier's
+      // shard fan-out — an in-process reader nests onto THAT pool, and
+      // sharing one pool across both tiers could deadlock (ring tasks
+      // holding every thread while waiting on queued shard tasks).
+      // Per-host failures stay caught inside the task: a down host turns
+      // into next-replica retries, exactly as before.
+      val attempts = pending.groupBy(_._3.head).toIndexedSeq
+      def attemptHost(
+          host: String,
+          group: Seq[(Int, Seq[(Array[Byte], Int)], Seq[String])])
+          : Seq[(Int, Seq[(Array[Byte], Int)], Seq[String])] = {
+        val batch = group.flatMap(_._2)
+        try {
+          val vs = readers(host).multiGet(batch.map(_._1))
+          batch.zip(vs).foreach { case ((_, i), v) => out(i) = v }
+          Nil // answered
+        } catch {
+          case e: Exception =>
+            lastFailure = e
+            group.map { case (s, ks, hs) => (s, ks, hs.tail) } // next replica
         }
-        .toSeq
+      }
+      pending =
+        if (attempts.length <= 1)
+          attempts.flatMap { case (h, g) => attemptHost(h, g) }
+        else {
+          val tasks = new java.util.ArrayList[
+            java.util.concurrent.Callable[Seq[(Int, Seq[(Array[Byte], Int)], Seq[String])]]](
+            attempts.length)
+          attempts.foreach { case (h, g) => tasks.add(() => attemptHost(h, g)) }
+          val futures = RingClient.hostPool.invokeAll(tasks)
+          val b = Seq.newBuilder[(Int, Seq[(Array[Byte], Int)], Seq[String])]
+          futures.forEach { f =>
+            try b ++= f.get()
+            catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          }
+          b.result()
+        }
     }
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
@@ -206,6 +232,22 @@ final class RingClient(
 }
 
 object RingClient {
+
+  /** Shared bounded pool for the per-host scatter of a ring multiGet.
+    * Deliberately DISTINCT from [[KvDomainReader.lookupPool]]: an
+    * in-process reader's shard fan-out nests inside a ring task, and one
+    * shared pool could fill with ring tasks all blocked on shard tasks
+    * queued behind them. Two tiers, two pools, no cycle. */
+  private[store] lazy val hostPool: java.util.concurrent.ExecutorService = {
+    val n = math.max(4, Runtime.getRuntime.availableProcessors())
+    java.util.concurrent.Executors.newFixedThreadPool(
+      n,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-ring-scatter")
+        t.setDaemon(true)
+        t
+      })
+  }
 
   /**
    * One complete ring update cycle — the reference updater daemon's

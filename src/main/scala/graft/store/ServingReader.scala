@@ -53,5 +53,33 @@ trait ServingReader extends AutoCloseable {
   def updateAll(): (Int, Int) =
     if (canRefresh && refresh()) (1, 0) else (0, 0)
 
+  /** One bounded PAGE of an ordered key-range scan (globally key-ordered
+    * across the hosted shards, so a caller resumes with
+    * `from = lastKey, fromInclusive = false`): the serving twin of
+    * [[graft.store.DomainStore.rangeScan]] made REMOTABLE — a framed
+    * protocol cannot stream an unbounded cursor, so the page (capped by
+    * records AND bytes, whichever lands first) is the transport unit,
+    * and [[RemoteKvReader]] stitches pages back into an iterator with
+    * cross-page version certification. Engines without ordered storage
+    * throw UnsupportedOperationException — loud, like every
+    * can't-serve-this condition. */
+  def rangePage(
+      from: Option[Array[Byte]], fromInclusive: Boolean,
+      to: Option[Array[Byte]], toInclusive: Boolean,
+      maxRecords: Int, maxBytes: Long): RangePage =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} has no ordered storage to range-scan")
+
   def close(): Unit
 }
+
+/** One page of [[ServingReader.rangePage]]: the version stamps bracket
+  * the page read (vLo == vHi certifies ONE serving version answered it,
+  * same scheme as the MULTI_GET frames), `truncated` means the range has
+  * more records past the last one returned. A null value element is a
+  * present-with-null record (the Some(null) of the lookup surface). */
+final case class RangePage(
+    vLo: Long,
+    vHi: Long,
+    records: IndexedSeq[(Array[Byte], Array[Byte])],
+    truncated: Boolean)

@@ -76,6 +76,23 @@ def main(host, port):
         st = users.status()
         check(st["name"] == "users" and st["status"] == "ready", f"status {st}")
 
+    with GraftClient(host, port, "users") as users:
+        # globally key-ordered scan, paged at 2 records per round trip:
+        # every key exactly once, unsigned-lexicographic order, the
+        # present-null record as (key, None)
+        rows = list(users.scan(page_records=2))
+        keys = [k for k, _ in rows]
+        check(keys == sorted(keys), f"scan order {keys}")
+        check(sorted(keys) == sorted([
+            b"u1", b"u2", "emoji-\U0001F600".encode("utf-8"), b"empty", b"nullv"]),
+            f"scan keys {keys}")
+        vals = dict(rows)
+        check(vals[b"u1"] == b"ada" and vals[b"nullv"] is None and vals[b"empty"] == b"",
+              f"scan values {vals}")
+        # bounded sub-range: [u1, u2) keeps only u1
+        sub = list(users.scan(from_key=b"u1", to_key=b"u2", to_inclusive=False))
+        check(sub == [(b"u1", b"ada")], f"bounded scan {sub}")
+
     with GraftClient(host, port, "docs") as docs:
         check(docs.get(b"d1") == b"first document", "kv-sorted-z domain get")
         check(docs.count() == 1, "docs count")

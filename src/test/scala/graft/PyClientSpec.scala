@@ -78,6 +78,8 @@ class PyClientSpec extends SparkSuite {
       assert(run("python3", "/root/repo/src/main/python/graft_client.py",
         "127.0.0.1", port, "count", "users") === ((0, "5\n")))
       assert(run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "scan", "docs") === ((0, "d1\tfirst document\n")))
+      assert(run("python3", "/root/repo/src/main/python/graft_client.py",
         "127.0.0.1", port, "update-all") === ((0, "swapped=0 failed=0\n")))
     } finally handle.close()
   }

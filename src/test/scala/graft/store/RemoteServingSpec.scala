@@ -460,4 +460,61 @@ class RemoteServingSpec extends SparkSuite {
       locals.values.foreach(_.close())
     }
   }
+
+  test("remote range: paged globally-ordered scan == in-process cursor; swaps fail loud") {
+    import spark.implicits._
+    val store = DomainStore.create(
+      scratch("remote-range-dom"), DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 500).map(i => f"rr$i%04d")
+    store.write(
+      // one present-null record rides along: the page's tag-2 path
+      (keys.map(k => k -> s"val-$k") :+ ("rr-null" -> (null: String))).toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      1L)
+    val local = KvDomainReader.open(store.root.toString, conf)
+    val server = new KvServer(Map("users" -> local))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    try {
+      def decode(it: Iterator[(Array[Byte], Array[Byte])]): Seq[(String, String)] =
+        it.map { case (k, v) =>
+          (new String(k, "UTF-8"), if (v == null) null else new String(v, "UTF-8"))
+        }.toSeq
+      // full scan at a page size that forces several round trips: must
+      // equal the in-process global-order cursor exactly (order included)
+      val localCur = local.range(globalOrder = true)
+      val expected = try decode(localCur) finally localCur.close()
+      assert(expected.size === 501)
+      val got = decode(remote.rangeScan(pageRecords = 64))
+      assert(got === expected)
+      // keys arrive globally sorted (unsigned-lexicographic)
+      assert(got.map(_._1) === got.map(_._1).sorted)
+      // bounded sub-range, exclusive upper
+      val sub = decode(remote.rangeScan(
+        from = Some(utf8("rr0100")), to = Some(utf8("rr0200")),
+        toInclusive = false, pageRecords = 33))
+      assert(sub.map(_._1) === (100 until 200).map(i => f"rr$i%04d"))
+      // one page directly: truncation + resumability + version stamps
+      val page = remote.rangePage(None, fromInclusive = true, None,
+        toInclusive = true, maxRecords = 10, maxBytes = Long.MaxValue)
+      assert(page.vLo === 1L && page.vHi === 1L)
+      assert(page.records.size === 10 && page.truncated)
+      // a hot-swap mid-scan fails LOUD (never a silently mixed scan):
+      // start a paged scan, publish + refresh between pages, keep pulling
+      val it = remote.rangeScan(pageRecords = 100)
+      it.take(100).toList // page 1 at v1
+      store.upsert(spark, kvDf(Seq("rr0000" -> "v2")), 2L)
+      assert(remote.refresh())
+      val e = intercept[IllegalStateException] {
+        var n = 0
+        while (it.hasNext) { it.next(); n += 1 }
+      }
+      assert(e.getMessage.contains("version swap"), e.getMessage)
+      // a fresh scan at the new version sees the updated value
+      val after = decode(remote.rangeScan(
+        from = Some(utf8("rr0000")), to = Some(utf8("rr0000")), pageRecords = 8))
+      assert(after === Seq("rr0000" -> "v2"))
+    } finally {
+      remote.close(); server.close(); local.close()
+    }
+  }
 }
