@@ -297,4 +297,82 @@ object Events {
       probeCols.map(col) :+ col("_m.asof_ts").as("asof_ts") :++
         payload.map(p => col(s"_m.$p").as(p)): _*)
   }
+
+  /**
+   * Ordered conversion funnel: per user, how many of `stages` were
+   * reached IN ORDER — stage i counts only if an event of its type
+   * occurs STRICTLY after the time stage i-1 was first reached (each
+   * stage's reach time is the earliest qualifying event). Output: one
+   * row per distinct user, `stage` = stages completed (0 = never did
+   * stage 0). The product-analytics question every event log gets asked
+   * (view → click → purchase), stated so every engine agrees exactly:
+   * reach times are minima (no tie-breaking needed), advancement is a
+   * strict timestamp comparison.
+   *
+   * Scale posture: one frontier aggregation per stage, every shuffle
+   * keyed on the user — per-task state is one (user, min-ts) pair, so a
+   * hot user costs nothing extra (never a collect-events-per-user
+   * window). Stage count is human-sized by contract, so the driver-side
+   * loop over stages is fine at any corpus size.
+   */
+  def funnel(
+      df0: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel: need at least one stage")
+    require(stages.distinct == stages, s"funnel: duplicate stage in $stages")
+    val df = tsAsNanos(df0, tsCol)
+    val users = df.select(col(userCol)).distinct()
+    // frontier i: users who completed stage i, with its reach time
+    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stage, _)) =>
+        val candidates = df.where(col(typeCol) === lit(stage))
+        val qualified = prev match {
+          case None => candidates
+          case Some(p) =>
+            candidates.join(
+              p.select(col(userCol), col("_t").as("_t_prev")), Seq(userCol))
+              .where(col(tsCol) > col("_t_prev"))
+        }
+        Some(qualified.groupBy(col(userCol)).agg(min(col(tsCol)).as("_t")))
+    }.flatten
+    // stage = highest completed frontier; frontiers are nested by
+    // construction, so marker count == highest index + 1
+    val marked = frontiers.zipWithIndex.foldLeft(users) { case (acc, (f, i)) =>
+      acc.join(f.select(col(userCol), lit(1).as(s"_s$i")), Seq(userCol), "left")
+    }
+    val stage = frontiers.indices.foldLeft(lit(0)) { case (acc, i) =>
+      when(col(s"_s$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    marked.select(col(userCol), stage.cast("int").as("stage"))
+  }
+
+  /**
+   * Cohort retention: users bucket into cohorts by their FIRST-seen
+   * epoch-aligned time bucket; every (user, bucket) activity then counts
+   * toward `(cohort, period = bucket - cohort)`. Output: one row per
+   * (cohort, period) with the distinct-user count — the retention
+   * matrix ("of the users who arrived in week w, how many were active k
+   * weeks later"). Period 0 row of a cohort = its size.
+   *
+   * Scale posture: distinct-per-(user, bucket) then two aggregations,
+   * all keyed on the user — no windows, no per-user collections.
+   */
+  def retention(
+      df0: DataFrame,
+      userCol: String,
+      tsCol: String,
+      bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, s"retention: bucketNs $bucketNs must be positive")
+    val b = tsAsNanos(df0, tsCol)
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), floorBucket(col(tsCol), bucketNs).as("_bucket"))
+      .distinct()
+    val cohorts = b.groupBy(col(userCol)).agg(min(col("_bucket")).as("cohort"))
+    b.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort"), (col("_bucket") - col("cohort")).as("period"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -61,7 +61,25 @@ object EventQueries {
         .select(
           col("event_id"), col("user_id"), col("click_id"),
           (col("ts_us") - col("asof_ts")).as("gap_us"))
+    },
+    // Ordered conversion funnel view -> click -> purchase: stage i
+    // counts only strictly after stage i-1's earliest reach. Purely
+    // ordinal timestamp comparisons, so the ns/us encoding difference
+    // between the engines cannot matter.
+    "ev_funnel" -> { (s, dir) =>
+      Events.funnel(
+        Fixtures.table(s, dir, "events"),
+        "user_id", "event_type", "ts", FunnelStages)
+    },
+    // Weekly cohort retention matrix: cohort = first-seen week bucket,
+    // one row per (cohort, weeks-since) with the distinct-user count.
+    "ev_retention" -> { (s, dir) =>
+      Events.retention(
+        Fixtures.table(s, dir, "events"), "user_id", "ts", RetentionBucketNs)
     })
+
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+  val RetentionBucketNs: Long = 7L * 24 * 3600 * 1000000000L // 1 week
 
   val ErrorWindowUs: Long = 30L * 60 * 1000000 // 30 min in us
 
@@ -126,6 +144,38 @@ object EventQueries {
     // matched payload is deterministic. Microsecond basis — see the query.
     "ev_asof_join_bucketed" -> AsofOracle,
     "ev_asof_join" -> AsofOracle,
+    // Stage frontiers as nested CTEs: each stage's earliest qualifying
+    // event strictly after the previous frontier. Only ORDER comparisons
+    // on ts, so DuckDB's µs timestamps and Spark's ns longs agree.
+    "ev_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s2.user_id IS NOT NULL THEN 3
+        |            WHEN s1.user_id IS NOT NULL THEN 2
+        |            WHEN s0.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS INT) AS stage
+        |FROM u LEFT JOIN s0 USING (user_id)
+        |  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)""".stripMargin,
+    // Week buckets by integer ns floor-division (both engines positive
+    // here, so // == floor on each).
+    "ev_retention" ->
+      s"""WITH b AS (SELECT DISTINCT user_id,
+         |    epoch_ns(ts) // $RetentionBucketNs AS bucket
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |c AS (SELECT user_id, min(bucket) AS cohort FROM b GROUP BY 1)
+         |SELECT CAST(c.cohort AS BIGINT) AS cohort,
+         |  CAST(b.bucket - c.cohort AS BIGINT) AS period,
+         |  CAST(count(*) AS BIGINT) AS n_users
+         |FROM b JOIN c USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
     // the bucketized equi-join must equal the plain non-equi join
     "ev_interval_join" ->
       s"""WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS w_start,

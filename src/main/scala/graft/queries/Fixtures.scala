@@ -173,6 +173,23 @@ object Fixtures {
       store.write(customerKv(s, sfDir), version = 1L)
     }
 
+  /** Orders under a COMPOSITE key `c<custkey>:<orderkey>` (zero-padded
+    * decimal, so byte order == numeric order) — the entity‖id layout
+    * [[graft.store.DomainStore.prefixScan]] exists for: all orders of
+    * one customer are one contiguous prefix run per shard. */
+  def ordersCompositeDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(
+      spark, sfDir, "orders-composite",
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted)) { (store, s) =>
+      store.write(
+        table(s, sfDir, "orders").select(
+          utf8_bytes(format_string("c%09d:%012d", col("o_custkey"), col("o_orderkey")))
+            .as("key"),
+          utf8_bytes(round(col("o_totalprice") * 100).cast("long").cast("string"))
+            .as("value")),
+        version = 1L)
+    }
+
   /** documents domain on the block-compressed `kv-sorted-z` engine —
     * text values are exactly the compressible payload the Deflate blocks
     * exist for (the reference's LevelDB-with-Snappy capability class). */

@@ -161,6 +161,16 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("c_name"))
     },
+    // Composite-key prefix retrieval (entity‖id): every order of one
+    // customer as the prefix run `c000000007:` — the range pushdown
+    // reads only that run per shard, never the rest of the domain.
+    "kv_prefix_scan" -> { (s, dir) =>
+      Fixtures.ordersCompositeDomain(s, dir)
+        .prefixScan(s, "c000000007:".getBytes("UTF-8"))
+        .select(
+          substring_index(bytes_utf8(col("key")), ":", -1).cast("long").as("o_orderkey"),
+          bytes_utf8(col("value")).cast("long").as("total_cents"))
+    },
     // The SQL catalog surface: the same kv domain resolved as a plain SQL
     // table through GraftCatalog (spark.sql.catalog.* registration) — no
     // DataFrame code touches the domain; resolution, version pinning, and
@@ -343,6 +353,9 @@ object KvQueries {
           |SELECT c_custkey, change, old_v, new_v FROM j WHERE change != 'same'""".stripMargin,
       "kv_range_scan" ->
         "SELECT c_custkey, c_name FROM customer WHERE c_custkey >= 200 AND c_custkey < 700",
+      "kv_prefix_scan" ->
+        """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+          |FROM orders WHERE o_custkey = 7""".stripMargin,
       "kv_agg_pushdown" ->
         """SELECT CAST(count(*) AS BIGINT) AS cnt,
           |  min(c_custkey) AS min_custkey, max(c_custkey) AS max_custkey

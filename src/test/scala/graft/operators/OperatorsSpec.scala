@@ -1555,4 +1555,64 @@ class OperatorsSpec extends SparkSuite {
     // doc1: 166 + 62 + 166 = 394, n 3 -> 131. doc2 unchanged.
     assert(run(1) === Map(1L -> ((3L, 131L)), 2L -> ((1L, 62L)), 3L -> ((0L, 0L))))
   }
+
+  test("funnel == brute-force staged minima on random data; strictness pinned") {
+    import spark.implicits._
+    val stages = Seq("a", "b", "c")
+    // hand-built strictness cases: equal ts does NOT advance a stage
+    val pinned = Seq(
+      (1L, "a", 10L), (1L, "b", 10L),               // b at == ts: stage 1
+      (2L, "a", 10L), (2L, "b", 11L), (2L, "c", 11L), // c tied with b: stage 2
+      (3L, "b", 5L), (3L, "c", 6L),                 // never did a: stage 0
+      (4L, "a", 1L), (4L, "b", 2L), (4L, "c", 3L),  // clean: stage 3
+      (5L, "c", 1L), (5L, "b", 2L), (5L, "a", 3L)   // reverse order: stage 1
+    ).toDF("user_id", "event_type", "ts")
+    val gotPinned = Events.funnel(pinned, "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotPinned === Map(1L -> 1, 2L -> 2, 3L -> 0, 4L -> 3, 5L -> 1))
+
+    val rnd = new scala.util.Random(29)
+    val evs = (0 until 2000).map(_ =>
+      (rnd.nextInt(60).toLong, stages(rnd.nextInt(3)), rnd.nextInt(50).toLong))
+    def brute(u: Long): Int = {
+      val mine = evs.filter(_._1 == u)
+      var reached = 0
+      var t = Long.MinValue
+      var advanced = true
+      while (advanced && reached < stages.length) {
+        val next = mine.filter(e => e._2 == stages(reached) &&
+          (if (reached == 0) true else e._3 > t)).map(_._3)
+        if (next.isEmpty) advanced = false
+        else { t = next.min; reached += 1 }
+      }
+      reached
+    }
+    val got = Events.funnel(
+      evs.toDF("user_id", "event_type", "ts"), "user_id", "event_type", "ts", stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === evs.map(_._1).distinct.map(u => u -> brute(u)).toMap)
+    assert(got.valuesIterator.count(_ == 3) > 5, "degenerate corpus") // non-trivial
+  }
+
+  test("retention == brute-force cohort matrix on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val bucketNs = 100L
+    val evs = (0 until 3000).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong)) // user, ts
+    val byUser = evs.groupBy(_._1)
+    val brute = byUser.toSeq.flatMap { case (u, es) =>
+      val buckets = es.map(_._2 / bucketNs).distinct
+      val cohort = buckets.min
+      buckets.map(b => (cohort, b - cohort))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Events.retention(
+      evs.toDF("user_id", "ts"), "user_id", "ts", bucketNs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === brute)
+    // period-0 cell of each cohort == cohort size
+    val sizes = byUser.values.map(_.map(_._2 / bucketNs).min)
+      .groupBy(identity).map { case (c, v) => (c, 0L) -> v.size.toLong }
+    sizes.foreach { case (cell, n) => assert(got(cell) === n, cell) }
+  }
 }
