@@ -34,6 +34,7 @@ Usage as a CLI (values print as UTF-8 with backslash escapes):
     graft_client.py HOST PORT count DOMAIN
     graft_client.py HOST PORT scan DOMAIN [FROM [TO]]
     graft_client.py HOST PORT update-all
+    graft_client.py HOST PORT metrics
 """
 
 import socket
@@ -56,6 +57,7 @@ _OP_DOMAINS = 5
 _OP_STATUS = 6
 _OP_UPDATE_ALL = 7
 _OP_RANGE = 8
+_OP_METRICS = 9
 
 
 class ProtocolError(Exception):
@@ -464,6 +466,13 @@ class GraftClient:
         `isFullyLoaded`) — 'can I point traffic at this host?'."""
         return all(d["status"] == "ready" for d in self.status_all())
 
+    def metrics(self):
+        """The host's monotonic op counters as a dict (never reset
+        server-side; rates are the scraper's delta)."""
+        return self._round_trip(
+            _OP_METRICS, "", lambda c: None,
+            lambda c: {c.read_utf(): c.read_long() for _ in range(c.read_int())})
+
     def update_all(self):
         """Host-wide update (reference `updateAll`): sweep for new
         domains, refresh every served one. Returns (swapped, failed)."""
@@ -525,6 +534,10 @@ def main(argv):
         with GraftClient(host, port) as c:
             swapped, failed = c.update_all()
             print(f"swapped={swapped} failed={failed}")
+    elif cmd == "metrics":
+        with GraftClient(host, port) as c:
+            for name, value in sorted(c.metrics().items()):
+                print(f"{name}\t{value}")
     else:
         print(f"unknown command {cmd}", file=sys.stderr)
         return 2

@@ -18,6 +18,8 @@ import graft.store.{KvDomainReader, ServedDomainStatus}
  *  - `GET /domain/<name>`       — HTML: spec, versions, per-shard table
  *  - `GET /status.json`         — the census as JSON (machine-readable)
  *  - `GET /domain/<name>.json`  — per-domain detail as JSON
+ *  - `GET /metrics.json`        — the socket server's monotonic op
+ *                                 counters (what a scraper polls)
  *  - `GET /healthz`             — 200 `ok` when fully loaded, 503 while
  *                                 any domain is still loading (load-
  *                                 balancer readiness semantics; a failed
@@ -78,7 +80,8 @@ object HttpDashboard {
       port: Int,
       census: () => Seq[ServedDomainStatus],
       readers: () => Map[String, KvDomainReader],
-      socketPort: () => Int): HttpDashboard = {
+      socketPort: () => Int,
+      metrics: () => Seq[(String, Long)] = () => Nil): HttpDashboard = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       Threads,
       (r: Runnable) => {
@@ -128,7 +131,7 @@ object HttpDashboard {
          |<table><tr><th>domain</th><th>status</th><th>served</th>
          |<th>latest</th><th>updating</th></tr>
          |$rows</table>
-         |<p><a href="/status.json">status.json</a></p>
+         |<p><a href="/status.json">status.json</a> · <a href="/metrics.json">metrics.json</a></p>
          |</body></html>""".stripMargin
     }
 
@@ -196,6 +199,10 @@ object HttpDashboard {
           case "/healthz" =>
             if (fullyLoaded(census())) respond(ex, 200, "text/plain", "ok\n")
             else respond(ex, 503, "text/plain", "loading\n")
+          case "/metrics.json" =>
+            respond(ex, 200, "application/json",
+              metrics().map { case (k, v) => s"${jstr(k)}:$v" }
+                .mkString("{", ",", "}"))
           case p if p.startsWith("/domain/") =>
             val raw = p.stripPrefix("/domain/")
             val (name, wantJson) =

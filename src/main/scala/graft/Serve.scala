@@ -318,7 +318,8 @@ object Serve {
           hp,
           () => statusSnapshot(),
           () => served.asScala.toMap,
-          () => server.boundPort)
+          () => server.boundPort,
+          () => server.metricsSnapshot())
         log(s"[serve] dashboard on http://0.0.0.0:${d.boundPort}/")
         d
       } catch {

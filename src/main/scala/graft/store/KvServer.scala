@@ -48,6 +48,9 @@ import java.util.concurrent.atomic.AtomicBoolean
  *    the hosted shards' key range (byte-capped server-side too);
  *    `truncated` = more records remain, resume with
  *    from = lastKey exclusive (pages certify versions like MULTI_GET)
+ *  - 9 METRICS:    (domain ignored)  →  n int, n × (name UTF, value
+ *    long) — monotonic op counters (`<op>.requests`/`.errors`, volume
+ *    counts, connection lifecycle), never reset server-side
  *
  * Threading: one accept loop + one daemon thread per connection; the
  * readers' documented lookup thread-safety carries the concurrency, the
@@ -121,6 +124,27 @@ final class KvServer(
     served.keySet.asScala.toSeq.sorted
   }
 
+  // op metrics: monotonic counters (LongAdder — contention-free on the
+  // serve threads), names stable protocol surface. Nothing here is ever
+  // reset; rates are the observer's delta problem (standard counter
+  // discipline, so two scrapers can't fight over a reset).
+  private val counters =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  private def bump(name: String, by: Long = 1L): Unit =
+    counters.computeIfAbsent(name, _ => new java.util.concurrent.atomic.LongAdder())
+      .add(by)
+
+  /** Monotonic counter snapshot (sorted by name): per-op `<op>.requests`
+    * / `<op>.errors`, `multi_get.keys` / `range.records` volume counts,
+    * and connection lifecycle (`connections.accepted/rejected/live`,
+    * `frame_violations`). The ops surface a deployer scrapes; also
+    * served over the wire (METRICS op) and on the HTTP dashboard. */
+  def metricsSnapshot(): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    (counters.asScala.toSeq.map { case (k, v) => (k, v.sum()) } :+
+      ("connections.live" -> conns.size().toLong)).sortBy(_._1)
+  }
+
   /** The bound port (useful with port = 0: ephemeral). */
   def boundPort: Int = server.getLocalPort
 
@@ -149,8 +173,11 @@ final class KvServer(
           // The idle reap only covers SILENT peers; this covers many
           // live ones. Check-then-add races admit at most a handful of
           // extras (#acceptor threads = 1, so in practice none).
-          if (conns.size() >= KvServer.MaxConnections)
+          if (conns.size() >= KvServer.MaxConnections) {
+            bump("connections.rejected")
             throw new IOException(s"connection limit ${KvServer.MaxConnections} reached")
+          }
+          bump("connections.accepted")
           s.setTcpNoDelay(true)
           // a peer that vanishes without FIN/RST (power-cycle, dropped
           // NAT entry) must not pin this connection's thread + fd
@@ -197,15 +224,18 @@ final class KvServer(
               case KvServer.OpRange => rangeReq = readRangeRequest(in); None
               case KvServer.OpStats | KvServer.OpRefresh |
                    KvServer.OpCount | KvServer.OpDomains |
-                   KvServer.OpStatus | KvServer.OpUpdateAll => None // no payload
+                   KvServer.OpStatus | KvServer.OpUpdateAll |
+                   KvServer.OpMetrics => None // no payload
               case other => throw new KvServer.FrameViolation(s"unknown op $other")
             }
           } catch {
             case e: KvServer.FrameViolation =>
+              bump("frame_violations")
               writeError(out, "java.io.IOException", e.getMessage)
               out.flush()
               return
           }
+        bump(s"${KvServer.opName(op)}.requests")
         // ---- phase 2: execute and respond; failures become error
         // frames and the (aligned) connection keeps serving. Each op
         // computes its result BEFORE the first response byte, so an
@@ -222,6 +252,7 @@ final class KvServer(
               val vLo = r.servedVersion
               val vs = r.multiGet(keysOpt.get)
               val vHi = r.servedVersion
+              bump("multi_get.keys", keysOpt.get.length.toLong)
               // a stored value past the transport's per-record bound is
               // an EXECUTION error named before the first response byte
               // (the client's allocation guard then only ever fires on
@@ -251,6 +282,7 @@ final class KvServer(
                 rangeReq.from, rangeReq.fromInclusive,
                 rangeReq.to, rangeReq.toInclusive,
                 rangeReq.maxRecords, KvServer.MaxBatchBytes)
+              bump("range.records", page.records.size.toLong)
               page.records.foreach { case (_, v) =>
                 if (v != null && v.length > maxValueLen)
                   throw new IllegalStateException(
@@ -309,6 +341,14 @@ final class KvServer(
                 out.writeLong(s.latestPublished)
                 out.writeBoolean(s.updating)
               }
+            case KvServer.OpMetrics =>
+              val snapshot = metricsSnapshot()
+              out.writeByte(0)
+              out.writeInt(snapshot.size)
+              snapshot.foreach { case (name, value) =>
+                out.writeUTF(name)
+                out.writeLong(value)
+              }
             case KvServer.OpUpdateAll =>
               updateAllHook()
               var swapped = 0
@@ -328,6 +368,7 @@ final class KvServer(
         } catch {
           case e: Exception =>
             // execution failure: report class + message, keep serving
+            bump(s"${KvServer.opName(op)}.errors")
             writeError(out, e.getClass.getName, Option(e.getMessage).getOrElse(""))
         }
         out.flush()
@@ -417,6 +458,21 @@ object KvServer {
   val OpStatus: Byte = 6
   val OpUpdateAll: Byte = 7
   val OpRange: Byte = 8
+  val OpMetrics: Byte = 9
+
+  /** Stable wire/metric name per op (the counter namespace). */
+  private[store] def opName(op: Byte): String = op match {
+    case OpMultiGet => "multi_get"
+    case OpStats => "stats"
+    case OpRefresh => "refresh"
+    case OpCount => "count"
+    case OpDomains => "domains"
+    case OpStatus => "status"
+    case OpUpdateAll => "update_all"
+    case OpRange => "range"
+    case OpMetrics => "metrics"
+    case other => s"op_$other"
+  }
 
   private[store] final case class RangeRequest(
       from: Option[Array[Byte]],

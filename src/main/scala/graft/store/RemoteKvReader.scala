@@ -301,6 +301,13 @@ final class RemoteKvReader(
   override def updateAll(): (Int, Int) =
     request(KvServer.OpUpdateAll, dom = "")(_ => ())(in => (in.readInt(), in.readInt()))
 
+  /** The host's monotonic op counters (`<op>.requests`/`.errors`, volume
+    * counts, connection lifecycle) — what a scraper polls. */
+  def metrics(): Map[String, Long] =
+    request(KvServer.OpMetrics, dom = "")(_ => ()) { in =>
+      Seq.fill(in.readInt())(in.readUTF() -> in.readLong()).toMap
+    }
+
   /** status 0 falls through; status 1 rethrows the remote failure. The
     * connection stays frame-aligned either way (the server drains the
     * request before executing), so the caller's borrow is returnable

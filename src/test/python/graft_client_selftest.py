@@ -110,6 +110,10 @@ def main(host, port):
     with GraftClient(host, port) as ops:
         swapped, failed = ops.update_all()
         check(failed == 0, f"update_all failed count {failed}")
+        m = ops.metrics()
+        check(m.get("multi_get.requests", 0) > 0, f"metrics {m}")
+        check(m.get("update_all.requests", 0) >= 1, "update_all counted")
+        check("connections.accepted" in m, "connection counters present")
 
     print("SELFTEST OK")
 

@@ -67,6 +67,15 @@ class HttpDashboardSpec extends SparkSuite {
       // healthz: ready = 200
       assert(fetch(s"$base/healthz") === ((200, "ok\n")))
 
+      // metrics: the socket server's counters ride the dashboard too —
+      // drive one lookup over the wire, then expect its counter
+      val probe = new graft.store.RemoteKvReader("127.0.0.1", handle.boundPort, "users")
+      try probe.get("u1".getBytes("UTF-8")) finally probe.close()
+      val (mc, mjson) = fetch(s"$base/metrics.json")
+      assert(mc === 200)
+      assert(mjson.contains("\"multi_get.requests\":"), mjson)
+      assert(mjson.contains("\"connections.accepted\":"), mjson)
+
       // per-domain page: spec + shard table with the real pair total
       val (dc, dhtml) = fetch(s"$base/domain/users")
       assert(dc === 200)

@@ -461,6 +461,33 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("metrics: per-op counters over the wire, errors and volumes counted") {
+    val store = DomainStore.create(
+      scratch("remote-metrics-dom"), DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kvDf(Seq("mk1" -> "v1", "mk2" -> "v2")), 1L)
+    val local = KvDomainReader.open(store.root.toString, conf)
+    val server = new KvServer(Map("users" -> local))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    val bad = new RemoteKvReader("127.0.0.1", server.boundPort, "nope")
+    try {
+      val base = remote.metrics()
+      remote.multiGet(Seq(utf8("mk1"), utf8("mk2"), utf8("absent")))
+      remote.count()
+      intercept[RemoteServingException](bad.count())
+      val m = remote.metrics()
+      def delta(k: String): Long = m.getOrElse(k, 0L) - base.getOrElse(k, 0L)
+      assert(delta("multi_get.requests") === 1L)
+      assert(delta("multi_get.keys") === 3L)
+      assert(delta("count.requests") === 2L) // the good call + the failed one
+      assert(delta("count.errors") === 1L)
+      assert(delta("metrics.requests") === 1L) // the base snapshot itself
+      assert(m("connections.accepted") >= 1L)
+      assert(m.keySet.forall(_.nonEmpty))
+    } finally {
+      remote.close(); bad.close(); server.close(); local.close()
+    }
+  }
+
   test("remote range: paged globally-ordered scan == in-process cursor; swaps fail loud") {
     import spark.implicits._
     val store = DomainStore.create(
