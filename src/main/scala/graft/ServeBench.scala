@@ -78,7 +78,9 @@ object ServeBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = Seq(DomainSpec.KvSorted, DomainSpec.KvSortedZ).flatMap { fmt =>
-      val root = s"/root/repo/target/serve-bench/$fmt"
+      // the root carries the parameters: a rerun at a different size must
+      // build its own domain, not reuse (and miss against) the old one
+      val root = s"/root/repo/target/serve-bench/$fmt-$numKeys-$valueLen"
       buildDomain(spark, root, fmt, numKeys, valueLen, conf)
       Seq(1, 100, 10000).map { batch =>
         // fresh server + reader + connection per cell: COLD is honest

@@ -131,10 +131,15 @@ object KvFile {
     * length (so large-record shards switch to scan later and tiny-record
     * shards earlier — the scan pays per BYTE, the probe doesn't).
     * Measured on the serve-bench harness after the window-finish change:
-    * a warm probe ≈ 0.16 ms ≈ 70 KB of scan at ~440 MB/s; 64 KB keeps a
-    * safety margin toward the sparse side (mis-picking scan near the
-    * boundary costs ≤2×, mis-picking sparse far above it is unbounded). */
-  val LookupCostBytes: Long = 64L << 10
+    * a warm probe ≈ 0.16 ms ≈ 70 KB of scan at ~440 MB/s on a 62k-record
+    * shard, ≈ 0.36 ms ≈ 158 KB on a 625k-record shard (deeper uncached
+    * levels + page-cache pressure — the cost grows slowly with n, which
+    * a single constant cannot track). 128 KB splits the measured band
+    * and errs toward SCAN: mis-picking scan near the boundary costs
+    * ≤2×, mis-picking probes far above it is unbounded (the 10M-key
+    * serve-bench measured the 64 KB constant picking probes at 3× the
+    * scan's cost). */
+  val LookupCostBytes: Long = 128L << 10
 
   /** When a [[Reader.lookup]] binary search has narrowed to this many
     * records, finish with one index-slice pread + one data-span pread
@@ -153,8 +158,11 @@ object KvFile {
     * tree-top fills first — the same mids repeat on every lookup — so a
     * small budget converges on the hot levels; no eviction. Budgeted in
     * KEY bytes + per-entry overhead, so a freak giant key cannot blow
-    * the bound. */
-  val NodeCacheMaxBytes: Long = 256L << 10
+    * the bound. 1 MB ≈ 14k small-key entries ≈ tree depth ~13.8: with
+    * the 256-record window finish (8 levels) that fully covers shards to
+    * ~1.4M records — the serving sweet spot — at ~1 MB × hosted shards
+    * per box. */
+  val NodeCacheMaxBytes: Long = 1L << 20
 
   /** Average-record-length crossover for [[Reader.keysIterator]]: at or
     * under this, a sequential pass (which reads value bytes as part of
