@@ -81,7 +81,8 @@ object HttpDashboard {
       census: () => Seq[ServedDomainStatus],
       readers: () => Map[String, KvDomainReader],
       socketPort: () => Int,
-      metrics: () => Seq[(String, Long)] = () => Nil): HttpDashboard = {
+      metrics: () => Seq[(String, Long)] = () => Nil,
+      bindAddress: String = "127.0.0.1"): HttpDashboard = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       Threads,
       (r: Runnable) => {
@@ -89,7 +90,12 @@ object HttpDashboard {
         t.setDaemon(true)
         t
       })
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // default loopback, MATCHING KvServer's bind policy: the dashboard
+    // must never be reachable from networks the data surface was
+    // deliberately scoped away from (it leaks domain names, versions,
+    // counts, metrics)
+    val server = HttpServer.create(
+      new InetSocketAddress(java.net.InetAddress.getByName(bindAddress), port), 0)
     server.setExecutor(pool)
 
     def respond(ex: HttpExchange, code: Int, contentType: String, body: String): Unit = {

@@ -97,14 +97,28 @@ object Serve {
     }
   }
 
-  /** Serve every servable domain under `root`; discover late ones. */
+  /**
+   * Serve every servable domain under `root`; discover late ones.
+   *
+   * `cleanupKeep` > 0 reaps old local versions after each hot-swap,
+   * keeping the newest N — the reference updater's `cleanup-domain!`
+   * (common/domain.clj:126-139, run around every `attempt-update!`
+   * cycle, domain.clj:433,447): a serving box following publishes would
+   * otherwise accumulate every version it ever served. OPT-IN (default
+   * 0 = never delete) and only for daemons whose root is box-local (the
+   * `localizeForHost` flow, like the reference's local store): on a
+   * SHARED catalog root, cleanup would reap versions other readers and
+   * time-travel queries still use. Keep ≥ 2 leaves the just-retired
+   * version on disk while its last in-flight lookups drain.
+   */
   def start(
       root: String,
       conf: Configuration,
       port: Int = 0,
       refreshMillis: Long = 30000L,
       log: String => Unit = println,
-      httpPort: Option[Int] = None): Handle = {
+      httpPort: Option[Int] = None,
+      cleanupKeep: Int = 0): Handle = {
     val cat = new DomainCatalog(root, conf)
     val served = new ConcurrentHashMap[String, KvDomainReader]()
     val stop = new AtomicBoolean(false)
@@ -124,11 +138,21 @@ object Serve {
     // within bounded staleness instead of never
     val knownFormat = new ConcurrentHashMap[String, String]()
     val sweepCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    // highest served version already GC'd per domain (cleanupKeep > 0):
+    // one cleanup per advance, not one per sweep
+    val cleanedAt = new ConcurrentHashMap[String, Long]()
 
     // one catalog sweep: open newly-servable domains, register them.
     // Failures are isolated PER DOMAIN — one corrupt domain-spec must
     // not starve every alphabetically-later domain from loading.
-    def loadNew(server: Option[KvServer]): Unit = {
+    // SERIALIZED: the updater thread and remote UPDATE_ALL requests
+    // (connection threads) both sweep — unserialized, two sweeps racing
+    // the same unloaded domain would each pass the containsKey check,
+    // each open a reader, and the loser's overwritten reader would LEAK
+    // its shard handles for the life of the process. Sweeps are rare and
+    // idempotent, so waiting the other one out is free.
+    val sweepLock = new Object
+    def loadNew(server: Option[KvServer]): Unit = sweepLock.synchronized {
       if (sweepCounter.getAndIncrement() % Serve.FormatRecheckSweeps == 0)
         knownFormat.clear()
       val names = cat.listDomains
@@ -196,10 +220,14 @@ object Serve {
     // for before pointing traffic here. Non-servable formats (parquet/
     // orc Spark scan engines) are excluded: they will never serve, and
     // an eternally-"loading" entry would pin isFullyLoaded false.
-    def statusSnapshot(): Seq[graft.store.ServedDomainStatus] = {
+    def statusSnapshot(
+        filter: Option[String] = None): Seq[graft.store.ServedDomainStatus] = {
       import scala.jdk.CollectionConverters._
       val catalogNames = cat.listDomains
-      (catalogNames ++ served.keySet.asScala.toSeq).distinct.sorted.flatMap { name =>
+      val all = (catalogNames ++ served.keySet.asScala.toSeq).distinct.sorted
+      // a named query narrows BEFORE the per-domain metadata reads: one
+      // domain's status costs one domain's I/O, not the catalog's
+      filter.fold(all)(n => all.filter(_ == n)).flatMap { name =>
         val reader = served.get(name)
         if (reader != null) {
           // serving = ready at the reader's version; the catalog adds
@@ -237,7 +265,7 @@ object Serve {
       try {
         import scala.jdk.CollectionConverters._
         new KvServer(served.asScala.toMap, port,
-          statusProvider = Some(() => statusSnapshot()), log = log)
+          statusProvider = Some(f => statusSnapshot(f)), log = log)
       } catch {
         case e: Throwable =>
           // a bind failure must not abandon the opened readers
@@ -283,6 +311,21 @@ object Serve {
                   noticed.removeIf(k => k.startsWith("refresh-") && k.endsWith(s":$name"))
                   if (swapped)
                     log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
+                  // post-swap disk GC (opt-in): keyed on the SERVED
+                  // version advancing, so a swap done remotely (REFRESH
+                  // over the wire) is cleaned by the next sweep too
+                  if (cleanupKeep > 0) {
+                    val v = r.servedVersion
+                    if (cleanedAt.getOrDefault(name, Long.MinValue) < v) {
+                      // the served version rides along as the FLOOR: a
+                      // publish racing this GC must never push what
+                      // lookups are reading out of the newest-N window
+                      new graft.store.VersionedStore(
+                        new Path(root, name), conf).cleanup(cleanupKeep, v)
+                      cleanedAt.put(name, v)
+                      log(s"[serve] $name cleaned old versions (kept $cleanupKeep)")
+                    }
+                  }
                 } catch {
                   case e: Throwable =>
                     try {
@@ -320,12 +363,24 @@ object Serve {
           () => served.asScala.toMap,
           () => server.boundPort,
           () => server.metricsSnapshot())
-        log(s"[serve] dashboard on http://0.0.0.0:${d.boundPort}/")
+        log(s"[serve] dashboard on http://127.0.0.1:${d.boundPort}/")
         d
       } catch {
         case e: Throwable =>
           stop.set(true); wake.countDown()
-          updater.foreach(t => while (t.isAlive) { t.interrupt(); t.join(1000) })
+          updater.foreach { t =>
+            // same caller-interrupt discipline as Handle.close(): an
+            // interrupted caller must not abort this teardown (it would
+            // leak the bound port + every reader AND swallow the bind
+            // diagnostic) — remember the flag, restore it after
+            var callerInterrupted = false
+            while (t.isAlive) {
+              t.interrupt()
+              try t.join(1000)
+              catch { case _: InterruptedException => callerInterrupted = true }
+            }
+            if (callerInterrupted) Thread.currentThread().interrupt()
+          }
           server.close()
           served.values().forEach(r => try r.close() catch { case _: Exception => () })
           throw e
@@ -336,13 +391,14 @@ object Serve {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Serve <catalogRoot> [port] [refreshSeconds] [httpPort]")
+      "usage: graft.Serve <catalogRoot> [port] [refreshSeconds] [httpPort] [cleanupKeep]")
     val handle = start(
       args(0),
       new Configuration(),
       port = args.lift(1).map(_.toInt).getOrElse(0),
       refreshMillis = args.lift(2).map(_.toLong * 1000).getOrElse(30000L),
-      httpPort = args.lift(3).map(_.toInt))
+      httpPort = args.lift(3).map(_.toInt),
+      cleanupKeep = args.lift(4).map(_.toInt).getOrElse(0))
     sys.addShutdownHook(handle.close())
     Thread.currentThread().join() // serve until killed
   }

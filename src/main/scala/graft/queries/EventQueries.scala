@@ -63,13 +63,13 @@ object EventQueries {
           (col("ts_us") - col("asof_ts")).as("gap_us"))
     },
     // Ordered conversion funnel view -> click -> purchase: stage i
-    // counts only strictly after stage i-1's earliest reach. Purely
-    // ordinal timestamp comparisons, so the ns/us encoding difference
-    // between the engines cannot matter.
+    // counts only strictly after stage i-1's earliest reach. STRICT
+    // comparisons make sub-µs precision visible (two events inside one
+    // µs order differently at ns), so the contract query runs on the
+    // µs-truncated basis like the asof/interval queries — the operator
+    // itself stays ns-native.
     "ev_funnel" -> { (s, dir) =>
-      Events.funnel(
-        Fixtures.table(s, dir, "events"),
-        "user_id", "event_type", "ts", FunnelStages)
+      Events.funnel(usEvents(s, dir), "user_id", "event_type", "ts", FunnelStages)
     },
     // Weekly cohort retention matrix: cohort = first-seen week bucket,
     // one row per (cohort, weeks-since) with the distinct-user count.

@@ -403,20 +403,51 @@ final class KvDomainReader private (
     val vLo = servedVersion
     val cursor = range(from, to, fromInclusive, toInclusive, globalOrder = true)
     try {
+      val it = cursor.buffered
       val out = IndexedSeq.newBuilder[(Array[Byte], Array[Byte])]
       var n = 0
       var bytes = 0L
       var full = false
-      while (!full && cursor.hasNext) {
-        val (k, v) = cursor.next()
+      var lastKey: Array[Byte] = null
+      while (!full && it.hasNext) {
+        val (k, v) = it.next()
         out += ((k, v))
+        lastKey = k
         n += 1
         bytes += k.length + (if (v == null) 0 else v.length)
         // byte cap applies from the second record on: one jumbo record
         // must still move the page forward, or a resume loops in place
         full = n >= maxRecords || bytes >= maxBytes
       }
-      RangePage(vLo, servedVersion, out.result(), truncated = cursor.hasNext)
+      // A truncated page must END BETWEEN KEYS: duplicate keys are legal
+      // in non-dedup'd builds, and the resume contract is
+      // `from = lastKey EXCLUSIVE` — cutting inside a duplicate run
+      // would silently drop the run's remaining copies. Drain the run to
+      // its end (typically 0 extra records), but refuse to balloon a
+      // bounded page without limit: past maxRecords extra copies, fail
+      // LOUD naming the key — that domain needs a dedup'd build (or the
+      // full-scan surface), never a silently short scan.
+      if (full && it.hasNext) {
+        var extra = 0
+        while (it.hasNext &&
+            java.util.Arrays.compareUnsigned(it.head._1, lastKey) == 0) {
+          out += it.next()
+          extra += 1
+          // the extension is bounded by a generous FIXED cap, not the
+          // (possibly tiny) page size: real duplicate runs are small,
+          // and the guarantee requires the whole run on this page no
+          // matter how small the caller's page was. A pathological
+          // run past the cap fails loud rather than ballooning one
+          // frame without limit.
+          if (extra > KvDomainReader.MaxDupRunExtension)
+            throw new IllegalStateException(
+              s"rangePage: key of ${lastKey.length} bytes repeats more than " +
+                s"${KvDomainReader.MaxDupRunExtension} times — a page cannot " +
+                "end inside the run (duplicate-key resume would drop the " +
+                "rest); dedup the build before serving range scans")
+        }
+      }
+      RangePage(vLo, servedVersion, out.result(), truncated = it.hasNext)
     } finally cursor.close()
   }
 
@@ -440,6 +471,14 @@ final class KvDomainReader private (
 }
 
 object KvDomainReader {
+
+  /** Cap on how far a [[rangePage]] extends past its size caps to finish
+    * a duplicate-key run (truncated pages must end between DISTINCT
+    * keys or the exclusive resume drops copies). Generous — real dup
+    * runs are a handful of records — but finite: a single key repeated
+    * past this makes the page error loud instead of ballooning one
+    * response frame without bound. */
+  val MaxDupRunExtension: Int = 1 << 20
 
   /** Shared bounded pool for fanning one multiGet batch out across its
     * shard groups. ONE process-wide pool (daemon threads, sized to the

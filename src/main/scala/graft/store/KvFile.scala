@@ -121,7 +121,10 @@ object KvFile {
     * sizes. Lives here (not in DomainStore) so the Spark-free serving
     * reader shares the one definition without loading Spark classes.
     * GKV1 readers override with the byte model below; this constant is
-    * the trait default (= the byte model at 256 B/record). */
+    * the conservative trait default (= the byte model at 512 B/record —
+    * deliberately probe-leaning, since a reader that does NOT override
+    * has not measured its probe cost and the scan mispick is the bounded
+    * side). */
   val LookupScanRatio: Int = 256
 
   /** Byte-model cost of ONE point lookup, expressed as "data bytes a

@@ -47,7 +47,10 @@ import java.util.concurrent.atomic.AtomicBoolean
  *    2 present-null), truncated bool — ONE globally key-ordered page of
  *    the hosted shards' key range (byte-capped server-side too);
  *    `truncated` = more records remain, resume with
- *    from = lastKey exclusive (pages certify versions like MULTI_GET)
+ *    from = lastKey exclusive — safe against duplicate keys: a
+ *    truncated page always ends between DISTINCT keys (the server
+ *    drains a duplicate run past the caps; a run longer than the page
+ *    errors loud) — and pages certify versions like MULTI_GET
  *  - 9 METRICS:    (domain ignored)  →  n int, n × (name UTF, value
  *    long) — monotonic op counters (`<op>.requests`/`.errors`, volume
  *    counts, connection lifecycle), never reset server-side
@@ -69,7 +72,7 @@ final class KvServer(
     port: Int = 0,
     bindAddress: String = "127.0.0.1",
     maxValueLen: Int = KvServer.MaxValueLen,
-    statusProvider: Option[() => Seq[ServedDomainStatus]] = None,
+    statusProvider: Option[Option[String] => Seq[ServedDomainStatus]] = None,
     log: String => Unit = _ => ()) extends AutoCloseable {
 
   require(maxValueLen > 0 && maxValueLen <= KvServer.MaxValueLen,
@@ -109,10 +112,15 @@ final class KvServer(
     * loading/failed/updating) when one was wired, else derived from the
     * served readers alone — every served domain is by definition ready
     * at its reader's version (a bare KvServer has no catalog to know
-    * more from). */
-  private def statusSnapshot(): Seq[ServedDomainStatus] =
-    statusProvider.map(_()).getOrElse {
-      domainNames.flatMap(n => Option(served.get(n)).map { r =>
+    * more from). `filter` narrows to ONE domain BEFORE the per-domain
+    * metadata work — deployment scripts poll a single domain's status in
+    * tight loops while waiting for it to load, and paying the whole
+    * catalog's FS metadata reads per poll would make the polling itself
+    * the load. */
+  private def statusSnapshot(filter: Option[String]): Seq[ServedDomainStatus] =
+    statusProvider.map(_(filter)).getOrElse {
+      val names = filter.fold(domainNames)(n => domainNames.filter(_ == n))
+      names.flatMap(n => Option(served.get(n)).map { r =>
         val v = r.servedVersion
         ServedDomainStatus(n, "ready", v, v, updating = false)
       })
@@ -322,14 +330,15 @@ final class KvServer(
               names.foreach(out.writeUTF)
             case KvServer.OpStatus =>
               // compute the census (and the named-domain miss) BEFORE the
-              // first response byte, like every other op
-              val census = statusSnapshot()
+              // first response byte, like every other op; a NAMED query
+              // filters before the per-domain metadata work (the full
+              // census is computed only for the unknown-domain error)
               val entries =
-                if (domain.isEmpty) census
-                else census.filter(_.name == domain) match {
+                if (domain.isEmpty) statusSnapshot(None)
+                else statusSnapshot(Some(domain)) match {
                   case Seq() => throw new IllegalArgumentException(
                     s"no such domain '$domain' " +
-                      s"(census: ${census.map(_.name).mkString(", ")})")
+                      s"(census: ${statusSnapshot(None).map(_.name).mkString(", ")})")
                   case one => one
                 }
               out.writeByte(0)

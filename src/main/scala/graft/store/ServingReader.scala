@@ -60,9 +60,12 @@ trait ServingReader extends AutoCloseable {
     * protocol cannot stream an unbounded cursor, so the page (capped by
     * records AND bytes, whichever lands first) is the transport unit,
     * and [[RemoteKvReader]] stitches pages back into an iterator with
-    * cross-page version certification. Engines without ordered storage
-    * throw UnsupportedOperationException — loud, like every
-    * can't-serve-this condition. */
+    * cross-page version certification. A truncated page always ends
+    * BETWEEN distinct keys (implementations drain a duplicate-key run
+    * past the caps, failing loud on a run longer than the page), so the
+    * exclusive resume can never drop copies of a repeated key. Engines
+    * without ordered storage throw UnsupportedOperationException —
+    * loud, like every can't-serve-this condition. */
   def rangePage(
       from: Option[Array[Byte]], fromInclusive: Boolean,
       to: Option[Array[Byte]], toInclusive: Boolean,

@@ -148,8 +148,26 @@ class VersionedStore(val root: Path, conf: Configuration) {
     * older than the oldest kept published version is stale history and is
     * reaped; newer markers (including ones newer than the latest publish)
     * stay visible — they are the catalog's evidence of recent failures. */
-  def cleanup(versionsToKeep: Int): Unit = {
-    val keepSeq = getAllVersions.take(versionsToKeep)
+  def cleanup(versionsToKeep: Int): Unit = cleanupImpl(versionsToKeep, None)
+
+  /** [[cleanup]] with a FLOOR: versions >= `keepFloor` survive even when
+    * they fall outside the newest-N window. The serving daemon's GC
+    * passes its currently-served version here — without the floor, a
+    * publish landing between the reader's swap and this listing would
+    * push the SERVED version out of the newest-N window and reap the
+    * files every in-flight lookup reads (a serving outage, not the
+    * documented drain case). The floor is evaluated against THIS call's
+    * own listing, so the guard cannot race the publish it defends
+    * against. */
+  def cleanup(versionsToKeep: Int, keepFloor: Long): Unit =
+    cleanupImpl(versionsToKeep, Some(keepFloor))
+
+  private def cleanupImpl(versionsToKeep: Int, keepFloor: Option[Long]): Unit = {
+    val all = getAllVersions
+    val keepSeq =
+      (all.take(versionsToKeep) ++
+        keepFloor.map(f => all.filter(_ >= f)).getOrElse(Nil))
+        .distinct.sortBy(-_)
     val keep = keepSeq.toSet
     val oldestKept = keepSeq.lastOption
     val f = fs

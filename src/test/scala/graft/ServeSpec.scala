@@ -186,6 +186,38 @@ class ServeSpec extends SparkSuite {
     }
   }
 
+  test("cleanupKeep: the updater reaps old local versions after each hot-swap") {
+    import spark.implicits._
+    val conf = new Configuration()
+    val dbRoot = scratch("serve-cleanup-db")
+    def kv(pairs: Seq[(String, String)]) =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+    val users = DomainStore.create(
+      s"$dbRoot/users", DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    users.write(kv(Seq("k" -> "v1")), 1L)
+
+    val handle = Serve.start(
+      dbRoot, conf, refreshMillis = 100L, log = _ => (), cleanupKeep = 2)
+    val remote = new RemoteKvReader("127.0.0.1", handle.boundPort, "users")
+    try {
+      awaitUntil("v1 served")(remote.servedVersion === 1L)
+      users.write(kv(Seq("k" -> "v2")), 2L)
+      awaitUntil("v2 swap")(remote.servedVersion === 2L)
+      users.write(kv(Seq("k" -> "v3")), 3L)
+      awaitUntil("v3 swap")(remote.servedVersion === 3L)
+      // keep-2 horizon: v1 reaped, v2 + v3 on disk, serving unharmed
+      awaitUntil("v1 reaped")(users.versions.getAllVersions === Seq(3L, 2L))
+      assert(remote.get("k".getBytes("UTF-8")).map(new String(_, "UTF-8")) === Some("v3"))
+      // and the reap is one-shot per advance, not per sweep: the token
+      // set stays stable across further polls with no new publish
+      Thread.sleep(400)
+      assert(users.versions.getAllVersions === Seq(3L, 2L))
+    } finally {
+      remote.close(); handle.close()
+    }
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[String]) {
     def asScala(): Seq[String] = {
       import scala.jdk.CollectionConverters._

@@ -940,6 +940,16 @@ class DomainStoreSpec extends SparkSuite {
     assert(vs.failedVersions === Seq(11L), "stale marker aged out, recent one kept")
     vs.deleteVersion(11L)
     assert(vs.failedVersions === Nil)
+
+    // keepFloor: versions >= the floor survive even outside the
+    // newest-N window — the serving daemon passes its served version so
+    // a racing publish can never reap what lookups are reading
+    Seq(4L, 5L, 6L).foreach { v => vs.createVersion(v); vs.succeedVersion(v) }
+    assert(vs.getAllVersions === Seq(6L, 5L, 4L, 3L, 2L))
+    vs.cleanup(1, keepFloor = 4L) // newest-1 = {6}, floor keeps {4, 5, 6}
+    assert(vs.getAllVersions === Seq(6L, 5L, 4L), "floor overrides the window")
+    vs.cleanup(1, keepFloor = 6L)
+    assert(vs.getAllVersions === Seq(6L), "floor at the newest = plain newest-1")
   }
 
   test("spec: json round-trip, validation, on-disk mismatch rejected") {

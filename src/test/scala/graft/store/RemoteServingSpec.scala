@@ -544,4 +544,64 @@ class RemoteServingSpec extends SparkSuite {
       remote.close(); server.close(); local.close()
     }
   }
+
+  test("remote range: duplicate-key runs never straddle a page cut (exclusive resume is exact)") {
+    import graft.core.ShardIndex
+    // duplicate keys are legal in non-dedup'd builds; write a shard file
+    // DIRECTLY (DomainStore dedup checks aside) with a 7-copy run placed
+    // so a small page would cut inside it
+    val dir = scratch("remote-dup-range")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val spec = DomainSpec(1, persistenceFormat = DomainSpec.KvSorted)
+    val store = DomainStore.create(dir, spec, conf)
+    val vDir = new org.apache.hadoop.fs.Path(dir, "1/shard=0")
+    fs.mkdirs(vDir)
+    val rows = (Seq.tabulate(5)(i => (f"a$i%02d", s"v$i")) ++
+      Seq.fill(7)(("dup", "dv")) ++
+      Seq.tabulate(5)(i => (f"z$i%02d", s"w$i")))
+      .map { case (k, v) => k.getBytes("UTF-8") -> v.getBytes("UTF-8") }
+    assert(rows.forall { case (k, _) => ShardIndex.shardIndex(k, 1) == 0 })
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(vDir, KvFile.DataFileName), true))
+    try KvFile.write(out, rows.iterator) finally out.close()
+    store.versions.succeedVersion(1L)
+
+    val local = KvDomainReader.open(dir, conf)
+    val server = new KvServer(Map("users" -> local))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    try {
+      // page sizes that would cut before, inside, and after the run:
+      // every one must return all 17 records (7 dup copies included)
+      for (page <- Seq(2, 3, 5, 6, 7, 8, 11, 16)) {
+        val got = remote.rangeScan(pageRecords = page)
+          .map { case (k, v) => (new String(k, "UTF-8"), new String(v, "UTF-8")) }.toSeq
+        assert(got.size === 17, s"pageRecords=$page dropped duplicate copies: $got")
+        assert(got.count(_._1 == "dup") === 7, s"pageRecords=$page")
+      }
+      // a run LONGER than the page extends the page to the run's end —
+      // the page size is a target, the between-keys guarantee is a
+      // contract: page=1 against a 5-copy run returns all 5 on one page
+      val dir2 = scratch("remote-dup-range-long")
+      val fs2 = new org.apache.hadoop.fs.Path(dir2).getFileSystem(conf)
+      val store2 = DomainStore.create(dir2, spec, conf)
+      val vDir2 = new org.apache.hadoop.fs.Path(dir2, "1/shard=0")
+      fs2.mkdirs(vDir2)
+      val rows2 = Seq.fill(5)(("k".getBytes("UTF-8"), "v".getBytes("UTF-8"))) :+
+        ("z".getBytes("UTF-8") -> "zz".getBytes("UTF-8"))
+      val out2 = new java.io.DataOutputStream(
+        fs2.create(new org.apache.hadoop.fs.Path(vDir2, KvFile.DataFileName), true))
+      try KvFile.write(out2, rows2.iterator) finally out2.close()
+      store2.versions.succeedVersion(1L)
+      val local2 = KvDomainReader.open(dir2, conf)
+      try {
+        val page = local2.rangePage(None, fromInclusive = true, None,
+          toInclusive = true, maxRecords = 1, maxBytes = Long.MaxValue)
+        assert(page.records.size === 5, "page must extend to the run's end")
+        assert(page.truncated, "the distinct key after the run remains")
+        assert(page.records.forall(r => new String(r._1, "UTF-8") == "k"))
+      } finally local2.close()
+    } finally {
+      remote.close(); server.close(); local.close()
+    }
+  }
 }
