@@ -339,17 +339,21 @@ class GraftClient:
         return self.multi_get([key])[0]
 
     def range_page(self, from_key=None, to_key=None,
-                   from_inclusive=True, to_inclusive=True, max_records=4096):
+                   from_inclusive=True, to_inclusive=True, max_records=4096,
+                   shards=None):
         """One bounded, globally key-ordered page of the domain's key
         range. Returns (v_lo, v_hi, records, truncated) where records is
         a list of (key, value) — value None means present-with-null —
         and truncated means more records remain past the last one
-        (resume with from_key=last_key, from_inclusive=False)."""
+        (resume with from_key=last_key, from_inclusive=False). `shards`
+        (iterable of ints) restricts the page to those shard indexes; a
+        filtered shard the host does not serve is a loud error."""
         if not 0 < max_records <= MAX_BATCH:
             raise ValueError(f"max_records {max_records} out of protocol range")
 
         def payload(conn):
-            # fromBound, fromInclusive, toBound, toInclusive, maxRecords
+            # fromBound, fromInclusive, toBound, toInclusive, maxRecords,
+            # shard filter (count + sorted indexes, 0 = all hosted)
             def bound(b):
                 if b is None:
                     conn.write_byte(0)
@@ -362,6 +366,10 @@ class GraftClient:
             bound(to_key)
             conn.write_byte(1 if to_inclusive else 0)
             conn.write_int(max_records)
+            ss = sorted(set(shards)) if shards else []
+            conn.write_int(len(ss))
+            for s in ss:
+                conn.write_int(s)
 
         def body(conn):
             v_lo = conn.read_long()

@@ -363,14 +363,24 @@ final class KvDomainReader private (
       to: Option[Array[Byte]] = None,
       fromInclusive: Boolean = true,
       toInclusive: Boolean = true,
-      globalOrder: Boolean = false): KvDomainReader.RangeCursor = withGen { g =>
+      globalOrder: Boolean = false,
+      shards: Option[Set[Int]] = None): KvDomainReader.RangeCursor = withGen { g =>
     // The cursor opens fresh handles lazily from this generation's files:
     // it keeps reading the version it was created on even across a
     // refresh (snapshot semantics — the files persist until a cleanup
     // reaps the version, same as the reference's retained versions). The
     // file list comes from the generation's SNAPSHOT, so a reaped file
     // fails the cursor loudly instead of silently dropping a shard's rows.
+    // An explicit shard filter keeps the lookup surface's wrong-host
+    // loudness: asking for a shard this box does not host throws (a
+    // silently-empty answer would be indistinguishable from a
+    // legitimately empty shard).
+    shards.foreach(_.foreach { s =>
+      require(s >= 0 && s < numShards, s"shard $s outside [0, $numShards)")
+      checkHosted(s)
+    })
     val files = (0 until numShards)
+      .filter(s => shards.forall(_.contains(s)))
       .filter(g.presentShards)
       .map(s => new Path(g.shardDir(s), KvFile.DataFileName))
     new KvDomainReader.RangeCursor(
@@ -398,10 +408,12 @@ final class KvDomainReader private (
   override def rangePage(
       from: Option[Array[Byte]], fromInclusive: Boolean,
       to: Option[Array[Byte]], toInclusive: Boolean,
-      maxRecords: Int, maxBytes: Long): RangePage = {
+      maxRecords: Int, maxBytes: Long,
+      shards: Option[Set[Int]] = None): RangePage = {
     require(maxRecords > 0, s"rangePage: maxRecords $maxRecords must be positive")
     val vLo = servedVersion
-    val cursor = range(from, to, fromInclusive, toInclusive, globalOrder = true)
+    val cursor = range(from, to, fromInclusive, toInclusive,
+      globalOrder = true, shards = shards)
     try {
       val it = cursor.buffered
       val out = IndexedSeq.newBuilder[(Array[Byte], Array[Byte])]

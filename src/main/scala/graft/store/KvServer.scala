@@ -41,8 +41,12 @@ import java.util.concurrent.atomic.AtomicBoolean
  *    domain; `failed` counts domains whose refresh threw (their names go
  *    to the server log, the call itself stays usable)
  *  - 8 RANGE:      from bound, fromInclusive bool, to bound,
- *    toInclusive bool, maxRecords int (each bound = tag byte 0 absent /
- *    1 present: len int + bytes)  →  vLo long, vHi long, n int, n ×
+ *    toInclusive bool, maxRecords int, nShards int + nShards × shard
+ *    int (0 = all hosted shards; a shard filter lets a ring client
+ *    scan each shard from ONE replica — a filtered shard not hosted
+ *    here is a loud error, the wrong-host discipline) (each bound =
+ *    tag byte 0 absent / 1 present: len int + bytes)  →  vLo long,
+ *    vHi long, n int, n ×
  *    (keyLen int, key bytes, valTag byte 1 present: len int + bytes /
  *    2 present-null), truncated bool — ONE globally key-ordered page of
  *    the hosted shards' key range (byte-capped server-side too);
@@ -289,7 +293,7 @@ final class KvServer(
               val page = r.rangePage(
                 rangeReq.from, rangeReq.fromInclusive,
                 rangeReq.to, rangeReq.toInclusive,
-                rangeReq.maxRecords, KvServer.MaxBatchBytes)
+                rangeReq.maxRecords, KvServer.MaxBatchBytes, rangeReq.shards)
               bump("range.records", page.records.size.toLong)
               page.records.foreach { case (_, v) =>
                 if (v != null && v.length > maxValueLen)
@@ -441,7 +445,17 @@ final class KvServer(
     val maxRecords = in.readInt()
     if (maxRecords <= 0 || maxRecords > KvServer.MaxBatch)
       throw new KvServer.FrameViolation(s"range page size $maxRecords out of protocol range")
-    KvServer.RangeRequest(from, fromInclusive, to, toInclusive, maxRecords)
+    val nShards = in.readInt()
+    if (nShards < 0 || nShards > KvServer.MaxBatch)
+      throw new KvServer.FrameViolation(s"range shard-filter size $nShards out of protocol range")
+    val shards =
+      if (nShards == 0) None
+      else Some(Set.fill(nShards) {
+        val s = in.readInt()
+        if (s < 0) throw new KvServer.FrameViolation(s"negative shard index $s")
+        s
+      })
+    KvServer.RangeRequest(from, fromInclusive, to, toInclusive, maxRecords, shards)
   }
 
   private def reader(domain: String): ServingReader =
@@ -488,7 +502,8 @@ object KvServer {
       fromInclusive: Boolean,
       to: Option[Array[Byte]],
       toInclusive: Boolean,
-      maxRecords: Int)
+      maxRecords: Int,
+      shards: Option[Set[Int]])
 
   /** Frame sanity bounds: a serving batch is human/request-sized, never
     * corpus-sized (the reference's multiGet was an RPC batch too). The

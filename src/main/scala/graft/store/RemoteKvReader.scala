@@ -169,11 +169,14 @@ final class RemoteKvReader(
   override def rangePage(
       from: Option[Array[Byte]], fromInclusive: Boolean,
       to: Option[Array[Byte]], toInclusive: Boolean,
-      maxRecords: Int, maxBytes: Long): RangePage = {
+      maxRecords: Int, maxBytes: Long,
+      shards: Option[Set[Int]] = None): RangePage = {
     require(maxRecords > 0 && maxRecords <= KvServer.MaxBatch,
       s"rangePage: maxRecords $maxRecords outside (0, ${KvServer.MaxBatch}]")
     Seq(from, to).flatten.foreach(b => require(b.length <= KvServer.MaxKeyLen,
       s"range bound of ${b.length} bytes exceeds the protocol bound ${KvServer.MaxKeyLen}"))
+    shards.foreach(ss => require(ss.nonEmpty && ss.forall(_ >= 0),
+      "rangePage: shard filter must be non-empty with non-negative indexes"))
     request(KvServer.OpRange) { out =>
       def writeBound(b: Option[Array[Byte]]): Unit = b match {
         case None => out.writeByte(0)
@@ -184,6 +187,12 @@ final class RemoteKvReader(
       writeBound(to)
       out.writeBoolean(toInclusive)
       out.writeInt(maxRecords)
+      shards match {
+        case None => out.writeInt(0)
+        case Some(ss) =>
+          out.writeInt(ss.size)
+          ss.toSeq.sorted.foreach(out.writeInt)
+      }
     } { in =>
       val vLo = in.readLong()
       val vHi = in.readLong()

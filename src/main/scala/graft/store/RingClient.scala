@@ -181,6 +181,101 @@ final class RingClient(
     scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
+  /**
+   * Globally key-ordered scan of the WHOLE ring: each shard streams from
+   * exactly ONE replica (the RANGE op's shard filter — a replicated ring
+   * is read once, never once per replica), pages resume after their last
+   * key, and the per-shard streams k-way merge client-side into one
+   * ordered iterator — the ring twin of [[KvDomainReader.range]]'s
+   * globalOrder mode, for ordered exports off a serving ring.
+   *
+   * Failover: a shard whose replica dies mid-scan resumes EXACTLY (the
+   * exclusive-resume contract survives host switches) on its next
+   * replica — but only onto the SAME serving version the shard's scan
+   * started on; a replica serving a different version counts as a
+   * failed attempt (mid-roll, another replica may still hold the scan's
+   * version), and a shard with no version-matching replica left fails
+   * LOUD — never a torn shard. Different SHARDS may scan different
+   * versions (hosts swap independently; mixed-version ring answers were
+   * legal in the reference too — same contract as multiGet).
+   */
+  def rangeScan(
+      from: Option[Array[Byte]] = None,
+      to: Option[Array[Byte]] = None,
+      fromInclusive: Boolean = true,
+      toInclusive: Boolean = true,
+      pageRecords: Int = RemoteKvReader.DefaultRangePage): Iterator[(Array[Byte], Array[Byte])] = {
+    // fresh names: inside an Iterator subclass, `to` resolves to
+    // Iterator's own to(Factory)
+    val (loBound, hiBound) = (from, to)
+
+    final class ShardScan(shard: Int) extends Iterator[(Array[Byte], Array[Byte])] {
+      private var buf: IndexedSeq[(Array[Byte], Array[Byte])] = IndexedSeq.empty
+      private var idx = 0
+      private var exhausted = false
+      private var started = false
+      private var resumeKey = loBound
+      private var resumeInclusive = fromInclusive
+      private var version = 0L
+      private var versionSet = false
+
+      private def fetchPage(): Unit = {
+        val order = replicaOrder(shard)
+        var lastFailure: Throwable = null
+        order.foreach { host =>
+          try {
+            val page = readers(host).rangePage(
+              resumeKey, resumeInclusive, hiBound, toInclusive,
+              pageRecords, Long.MaxValue, Some(Set(shard)))
+            if (page.vLo != page.vHi) throw new IllegalStateException(
+              s"shard $shard page straddled a version swap on $host " +
+                s"(${page.vLo} -> ${page.vHi})")
+            if (versionSet && page.vLo != version) throw new IllegalStateException(
+              s"shard $shard: replica $host serves version ${page.vLo}, " +
+                s"this scan started on $version")
+            if (!versionSet) { version = page.vLo; versionSet = true }
+            buf = page.records
+            idx = 0
+            exhausted = !page.truncated
+            if (buf.nonEmpty) {
+              resumeKey = Some(buf.last._1)
+              resumeInclusive = false
+            }
+            started = true
+            return
+          } catch {
+            case e: Exception => lastFailure = e // next replica
+          }
+        }
+        throw new IllegalStateException(
+          s"all replicas of shard $shard failed the range scan " +
+            s"(tried: ${ring.hostSet(shard).toSeq.sorted.mkString(", ")})",
+          lastFailure)
+      }
+
+      def hasNext: Boolean = {
+        while (idx >= buf.length && (!exhausted || !started)) fetchPage()
+        idx < buf.length
+      }
+      def next(): (Array[Byte], Array[Byte]) = {
+        if (!hasNext) throw new NoSuchElementException(s"shard $shard scan exhausted")
+        val r = buf(idx)
+        idx += 1
+        r
+      }
+    }
+
+    val heads = (0 until numShards).map(new ShardScan(_).buffered)
+    new Iterator[(Array[Byte], Array[Byte])] {
+      def hasNext: Boolean = heads.exists(_.hasNext)
+      def next(): (Array[Byte], Array[Byte]) =
+        heads.filter(_.hasNext)
+          .minBy(_.head._1)((a: Array[Byte], b: Array[Byte]) =>
+            java.util.Arrays.compareUnsigned(a, b))
+          .next()
+    }
+  }
+
   /** Hot-swap every underlying reader to the newest version its local
     * root publishes ([[KvDomainReader.refresh]]) — the client half of the
     * reference's `updateAll` RPC (core.thrift:86-87): each host swaps

@@ -63,13 +63,20 @@ trait ServingReader extends AutoCloseable {
     * cross-page version certification. A truncated page always ends
     * BETWEEN distinct keys (implementations drain a duplicate-key run
     * past the caps, failing loud on a run longer than the page), so the
-    * exclusive resume can never drop copies of a repeated key. Engines
-    * without ordered storage throw UnsupportedOperationException —
-    * loud, like every can't-serve-this condition. */
+    * exclusive resume can never drop copies of a repeated key. `shards`
+    * restricts the page to those shard indexes — a ring client scans
+    * each shard from exactly ONE replica and merges client-side, so a
+    * replicated ring is read once, not once per replica; a requested
+    * shard this host does not serve throws (the wrong-host loudness of
+    * the lookup surface — silently-empty would be indistinguishable
+    * from a legitimately empty shard). Engines without ordered storage
+    * throw UnsupportedOperationException — loud, like every
+    * can't-serve-this condition. */
   def rangePage(
       from: Option[Array[Byte]], fromInclusive: Boolean,
       to: Option[Array[Byte]], toInclusive: Boolean,
-      maxRecords: Int, maxBytes: Long): RangePage =
+      maxRecords: Int, maxBytes: Long,
+      shards: Option[Set[Int]] = None): RangePage =
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} has no ordered storage to range-scan")
 

@@ -92,6 +92,19 @@ def main(host, port):
         # bounded sub-range: [u1, u2) keeps only u1
         sub = list(users.scan(from_key=b"u1", to_key=b"u2", to_inclusive=False))
         check(sub == [(b"u1", b"ada")], f"bounded scan {sub}")
+        # shard filter: all four shards == unfiltered; per-shard pages
+        # partition the key set exactly
+        _, _, full_recs, _ = users.range_page(shards=[0, 1, 2, 3])
+        check(sorted(k for k, _ in full_recs) == sorted(keys), "all-shard filter")
+        per_shard = [k for s in range(4)
+                     for k, _ in users.range_page(shards=[s])[2]]
+        check(sorted(per_shard) == sorted(keys), f"per-shard partition {per_shard}")
+        # a shard index past the domain is a loud error, not empty
+        try:
+            users.range_page(shards=[99])
+            check(False, "out-of-range shard must raise")
+        except RemoteServingError:
+            pass
 
     with GraftClient(host, port, "docs") as docs:
         check(docs.get(b"d1") == b"first document", "kv-sorted-z domain get")

@@ -545,6 +545,52 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("ring rangeScan: one replica per shard, global order, exact resume across a host death") {
+    val store = DomainStore.create(
+      scratch("ring-range-dom"), DomainSpec(5, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 400).map(i => f"sk$i%04d")
+    store.write(kvDf(keys.map(k => k -> s"v-$k")), 1L)
+    val hosts = Seq("hA", "hB", "hC")
+    val ring = ShardRing.generateIndex(hosts, 5, replication = 2)
+    val roots = hosts.map(h => h -> new Path(scratch(s"ring-range-$h"))).toMap
+    val locals = hosts.map { h =>
+      store.localizeVersionForHost(1L, roots(h), ring, h)
+      h -> KvDomainReader.open(roots(h).toString, conf, Some(ring.shardSet(h)))
+    }.toMap
+    val servers = locals.map { case (h, r) => h -> new KvServer(Map("users" -> r)) }
+    val stubs: Map[String, ServingReader] = servers.map { case (h, s) =>
+      h -> new RemoteKvReader("127.0.0.1", s.boundPort, "users")
+    }
+    val client = new RingClient(ring, stubs, rnd = new scala.util.Random(7))
+    try {
+      def decode(it: Iterator[(Array[Byte], Array[Byte])]): Seq[(String, String)] =
+        it.map { case (k, v) => (new String(k, "UTF-8"), new String(v, "UTF-8")) }.toSeq
+      val expected = keys.sorted.map(k => k -> s"v-$k")
+      // full ring scan at a paging size: every key exactly ONCE (each
+      // shard read from one replica, replication never double-counts),
+      // globally key-ordered
+      assert(decode(client.rangeScan(pageRecords = 32)) === expected)
+      // bounded sub-range
+      assert(
+        decode(client.rangeScan(
+          from = Some(utf8("sk0100")), to = Some(utf8("sk0200")),
+          toInclusive = false, pageRecords = 17)) ===
+          (100 until 200).map(i => f"sk$i%04d" -> f"v-sk$i%04d"))
+      // a host dying MID-SCAN: its shards resume exactly (exclusive
+      // resume after last key) on the surviving replica — the merged
+      // stream stays complete, ordered, duplicate-free
+      val it = client.rangeScan(pageRecords = 8)
+      val first = decode(it.take(50).iterator)
+      servers("hA").close()
+      val rest = decode(it)
+      assert(first ++ rest === expected, "mid-scan host death changed the stream")
+    } finally {
+      client.close()
+      servers.values.foreach(_.close())
+      locals.values.foreach(_.close())
+    }
+  }
+
   test("remote range: duplicate-key runs never straddle a page cut (exclusive resume is exact)") {
     import graft.core.ShardIndex
     // duplicate keys are legal in non-dedup'd builds; write a shard file
