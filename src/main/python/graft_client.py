@@ -48,6 +48,9 @@ MAX_BATCH = 1 << 20
 MAX_KEY_LEN = 1 << 20
 MAX_BATCH_BYTES = 64 << 20
 MAX_VALUE_LEN = 256 << 20
+# one RANGE response may exceed the asked page size by the server's
+# duplicate-run drain (a truncated page ends between distinct keys)
+MAX_RANGE_RESPONSE_RECORDS = MAX_BATCH + (1 << 20)
 
 _OP_MULTI_GET = 1
 _OP_STATS = 2
@@ -366,7 +369,15 @@ class GraftClient:
             bound(to_key)
             conn.write_byte(1 if to_inclusive else 0)
             conn.write_int(max_records)
-            ss = sorted(set(shards)) if shards else []
+            # `shards is None` = all hosted; an EMPTY filter is a caller
+            # bug and must not silently invert into "everything" (the
+            # JVM client rejects it the same way)
+            if shards is None:
+                ss = []
+            else:
+                ss = sorted(set(shards))
+                if not ss:
+                    raise ValueError("shards filter must be non-empty (or None)")
             conn.write_int(len(ss))
             for s in ss:
                 conn.write_int(s)
@@ -375,7 +386,7 @@ class GraftClient:
             v_lo = conn.read_long()
             v_hi = conn.read_long()
             n = conn.read_int()
-            if n < 0 or n > MAX_BATCH:
+            if n < 0 or n > MAX_RANGE_RESPONSE_RECORDS:
                 raise ProtocolError(f"range page size {n} out of range")
             records = []
             for _ in range(n):

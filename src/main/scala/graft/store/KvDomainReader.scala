@@ -547,15 +547,7 @@ object KvDomainReader {
 
     private val underlying: Iterator[(Array[Byte], Array[Byte])] =
       if (globalOrder) {
-        val heads = files.flatMap(openStream).map(_.buffered)
-        new Iterator[(Array[Byte], Array[Byte])] {
-          def hasNext: Boolean = heads.exists(_.hasNext)
-          def next(): (Array[Byte], Array[Byte]) =
-            heads.filter(_.hasNext)
-              .minBy(_.head._1)((a: Array[Byte], b: Array[Byte]) =>
-                java.util.Arrays.compareUnsigned(a, b))
-              .next()
-        }
+        KvMerge.byKey(files.flatMap(openStream))
       } else new Iterator[(Array[Byte], Array[Byte])] {
         private var rem = files.toList
         private var cur: Iterator[(Array[Byte], Array[Byte])] = Iterator.empty

@@ -518,6 +518,15 @@ object KvServer {
     * allocation via one length field. */
   val MaxValueLen: Int = 256 << 20
 
+  /** Upper bound on records in ONE RANGE response: the requested page
+    * cap plus the duplicate-run drain (a truncated page must end
+    * between distinct keys, so the server may legally exceed the asked
+    * size by up to [[KvDomainReader.MaxDupRunExtension]]). Clients size
+    * their record-count allocation guard by THIS — checking against
+    * MaxBatch alone would reject a legitimate dup-drained page as
+    * desync. */
+  val MaxRangeResponseRecords: Int = MaxBatch + KvDomainReader.MaxDupRunExtension
+
   /** Live-connection cap: accepts past this are closed on arrival so a
     * connection flood cannot exhaust threads or file descriptors. Sized
     * generously — a serving client pools a handful of sockets, so even a

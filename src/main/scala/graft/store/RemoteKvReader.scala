@@ -197,7 +197,9 @@ final class RemoteKvReader(
       val vLo = in.readLong()
       val vHi = in.readLong()
       val n = in.readInt()
-      if (n < 0 || n > KvServer.MaxBatch)
+      // bound includes the server's duplicate-run drain past the asked
+      // page size (MaxRangeResponseRecords, not MaxBatch)
+      if (n < 0 || n > KvServer.MaxRangeResponseRecords)
         throw new RemoteKvReader.ProtocolException(s"range page size $n out of range")
       val records = IndexedSeq.fill(n) {
         val kLen = in.readInt()

@@ -205,6 +205,14 @@ final class RingClient(
       fromInclusive: Boolean = true,
       toInclusive: Boolean = true,
       pageRecords: Int = RemoteKvReader.DefaultRangePage): Iterator[(Array[Byte], Array[Byte])] = {
+    // validate the CALLER's arguments up front: inside the per-replica
+    // try they would read as host failures, retried against every
+    // replica and reported as "all replicas failed" — an ops alarm for
+    // a usage error
+    require(pageRecords > 0 && pageRecords <= KvServer.MaxBatch,
+      s"rangeScan: pageRecords $pageRecords outside (0, ${KvServer.MaxBatch}]")
+    Seq(from, to).flatten.foreach(b => require(b.length <= KvServer.MaxKeyLen,
+      s"range bound of ${b.length} bytes exceeds the protocol bound ${KvServer.MaxKeyLen}"))
     // fresh names: inside an Iterator subclass, `to` resolves to
     // Iterator's own to(Factory)
     val (loBound, hiBound) = (from, to)
@@ -218,9 +226,15 @@ final class RingClient(
       private var resumeInclusive = fromInclusive
       private var version = 0L
       private var versionSet = false
+      // STICKY replica order, computed once: re-prioritizing per page
+      // would bounce a mid-roll shard between differently-versioned
+      // replicas (spurious failed attempts) and keep re-trying a dead
+      // host on ~half the pages. The page's winner moves to the front,
+      // so after one failover every later page goes straight to the
+      // replica that actually answers.
+      private var order = replicaOrder(shard)
 
       private def fetchPage(): Unit = {
-        val order = replicaOrder(shard)
         var lastFailure: Throwable = null
         order.foreach { host =>
           try {
@@ -233,6 +247,14 @@ final class RingClient(
             if (versionSet && page.vLo != version) throw new IllegalStateException(
               s"shard $shard: replica $host serves version ${page.vLo}, " +
                 s"this scan started on $version")
+            // an empty-but-truncated page can make no progress (the
+            // resume key cannot advance): a desynced or non-conforming
+            // server — discard the attempt loudly instead of re-issuing
+            // the identical request forever
+            if (page.records.isEmpty && page.truncated)
+              throw new IllegalStateException(
+                s"shard $shard: $host returned an empty truncated page " +
+                  "(protocol violation — a truncated page carries records)")
             if (!versionSet) { version = page.vLo; versionSet = true }
             buf = page.records
             idx = 0
@@ -242,6 +264,8 @@ final class RingClient(
               resumeInclusive = false
             }
             started = true
+            if (order.head != host)
+              order = host +: order.filterNot(_ == host)
             return
           } catch {
             case e: Exception => lastFailure = e // next replica
@@ -265,15 +289,22 @@ final class RingClient(
       }
     }
 
-    val heads = (0 until numShards).map(new ShardScan(_).buffered)
-    new Iterator[(Array[Byte], Array[Byte])] {
-      def hasNext: Boolean = heads.exists(_.hasNext)
-      def next(): (Array[Byte], Array[Byte]) =
-        heads.filter(_.hasNext)
-          .minBy(_.head._1)((a: Array[Byte], b: Array[Byte]) =>
-            java.util.Arrays.compareUnsigned(a, b))
-          .next()
+    val scans = (0 until numShards).map(new ShardScan(_))
+    // prefetch every shard's FIRST page in parallel on the host pool
+    // (hasNext forces it): a serial first-record otherwise pays
+    // numShards sequential round trips before the merge can emit
+    // anything. Later pages fetch lazily as the merge drains — at most
+    // one in flight per shard, on the calling thread.
+    if (scans.length > 1) {
+      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]](scans.length)
+      scans.foreach(s => tasks.add(() => { s.hasNext; () }))
+      val futures = RingClient.hostPool.invokeAll(tasks)
+      futures.forEach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
     }
+    KvMerge.byKey(scans)
   }
 
   /** Hot-swap every underlying reader to the newest version its local
