@@ -22,6 +22,14 @@ case class MediaFeatures(
     n_frames: Int,
     byte_sum: Long)
 
+/** A 64-bit perceptual fingerprint of one image (see
+  * [[Multimodal.imageHashes]]). */
+case class MediaHash(
+    media_id: Long,
+    phash: Long,
+    width: Int,
+    height: Int)
+
 /**
  * Multimodal-column operators. Media payloads stay opaque `binary` columns
  * end to end; decode/feature-extraction runs batched per partition (the
@@ -189,6 +197,54 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions(_.grouped(BatchSize).flatMap(decodeImageBatch))
   }
+
+  /**
+   * Perceptual image hashing (aHash over a fixed 8×8 grid) — the
+   * image-dedup primitive every multimodal training pipeline runs
+   * before anything else: REAL decode (JDK imageio), nearest-neighbor
+   * sample of band 0 onto an 8×8 grid (`in(x·w/8, y·h/8)` — exact pixel
+   * picks, the same rule as [[resizeImages]], well-defined for images
+   * smaller than the grid), then one bit per cell: `pixel · 64 >
+   * sum(all 64 samples)` (the integer cross-multiplied form of
+   * "above the mean" — no division, bit-identical in any engine). Bit
+   * j = row-major cell y·8+x, packed into one BIGINT (two's
+   * complement, bit 63 included). Images whose content differs only by
+   * global brightness-preserving noise collapse to equal or
+   * near-equal (small Hamming distance) hashes; exact-equal hashes are
+   * the grouping key for the dedup query, and Hamming banding rides
+   * the existing SimHash machinery when needed.
+   */
+  def imageHashes(
+      spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(imageHashBatch))
+  }
+
+  private def imageHashBatch(batch: Seq[MediaRecord]): Seq[MediaHash] =
+    batch.map { r =>
+      val img = decodeImage(r)
+      val raster = img.getRaster
+      val w = img.getWidth
+      val h = img.getHeight
+      val samples = new Array[Int](64)
+      var sum = 0L
+      var j = 0
+      while (j < 64) {
+        val x = j & 7
+        val y = j >> 3
+        val v = raster.getSample(x * w / 8, y * h / 8, 0)
+        samples(j) = v
+        sum += v
+        j += 1
+      }
+      var hash = 0L
+      j = 0
+      while (j < 64) {
+        if (samples(j) * 64L > sum) hash |= 1L << j
+        j += 1
+      }
+      MediaHash(r.media_id, hash, w, h)
+    }
 
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>

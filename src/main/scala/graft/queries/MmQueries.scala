@@ -83,6 +83,18 @@ object MmQueries {
           col("height").cast("long").as("height"),
           col("byte_sum"))
     },
+    // Perceptual image dedup: REAL decode -> 8x8 nearest-neighbor aHash
+    // (64-bit fingerprint) -> exact-hash grouping, the image-dedup
+    // primitive of a multimodal pipeline. The hash is pure integer math
+    // over exact pixel picks, so the oracle replays it bit for bit.
+    "mm_image_phash" -> { (s, dir) =>
+      val media = Multimodal.synthImageMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      val hashes = Multimodal.imageHashes(s, media).toDF()
+      val groups = hashes.groupBy(col("phash")).agg(count(lit(1)).as("n_same_hash"))
+      hashes.join(groups, "phash")
+        .select(col("media_id"), col("phash"), col("n_same_hash"))
+    },
     // REAL audio codec path (JDK javax.sound WAV stack): synthetic 16-bit
     // PCM clips seeded by doc_id, decoded for rate/length/sum/peak. PCM is
     // lossless, so the oracle replays the waveform formula in closed form.
@@ -182,6 +194,28 @@ object MmQueries {
         |SELECT doc_id AS media_id, CAST(ow AS BIGINT) AS width, CAST(oh AS BIGINT) AS height,
         |  CAST(sum((doc_id*31 + (2*x)*7 + (2*y)*13) % 256) AS BIGINT) AS byte_sum
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    // The aHash replayed in closed form: 8x8 grid cell (gx, gy) samples
+    // pixel (gx*w//8, gy*h//8); bit j = gy*8+gx set iff pixel*64 >
+    // sum-of-64-samples; bits fold in HUGEINT (DuckDB refuses BIGINT
+    // 1<<63) and wrap to the signed two's-complement BIGINT Spark packs.
+    "mm_image_phash" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS gx FROM d),
+        |cells AS (SELECT doc_id, gy.gy * 8 + gx.gx AS j,
+        |    (doc_id*31 + ((gx.gx * w) // 8) * 7 + ((gy.gy * h) // 8) * 13) % 256 AS p
+        |  FROM gx CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
+        |sums AS (SELECT doc_id, sum(p) AS total FROM cells GROUP BY 1),
+        |hs AS (SELECT c.doc_id,
+        |    sum(CASE WHEN c.p * 64 > s.total
+        |        THEN CAST(power(2, c.j) AS HUGEINT) ELSE 0::HUGEINT END) AS hraw
+        |  FROM cells c JOIN sums s USING (doc_id) GROUP BY 1),
+        |ph AS (SELECT doc_id AS media_id,
+        |    CAST(CASE WHEN hraw >= 9223372036854775808::HUGEINT
+        |         THEN hraw - 18446744073709551616::HUGEINT ELSE hraw END AS BIGINT) AS phash
+        |  FROM hs),
+        |grp AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_same_hash FROM ph GROUP BY 1)
+        |SELECT ph.media_id, ph.phash, grp.n_same_hash
+        |FROM ph JOIN grp USING (phash)""".stripMargin,
     // The real-codec audio queries replay Multimodal.sampleValue/
     // synthSampleRate/synthSampleCount as integer SQL: rate
     // 8000 + 1000*(doc_id % 5), n 50 + doc_id % 200, sample(i) =

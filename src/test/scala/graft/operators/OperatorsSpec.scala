@@ -926,6 +926,50 @@ class OperatorsSpec extends SparkSuite {
     assert(msgs(e).contains("99"), msgs(e))
   }
 
+  test("image aHash: bit-exact vs closed form, sizes below the grid, brightness invariance") {
+    import spark.implicits._
+    def expectedHash(seed: Long): Long = {
+      val (w, h) = (Multimodal.synthWidth(seed), Multimodal.synthHeight(seed))
+      val samples = (0 until 64).map { j =>
+        Multimodal.pixelValue(seed, (j & 7) * w / 8, (j >> 3) * h / 8)
+      }
+      val sum = samples.map(_.toLong).sum
+      samples.zipWithIndex.foldLeft(0L) { case (acc, (p, j)) =>
+        if (p * 64L > sum) acc | (1L << j) else acc
+      }
+    }
+    val ids = spark.range(0, 80).toDF("media_id") // covers w=1 and h=1 images
+    val hashes = Multimodal.imageHashes(spark, Multimodal.synthImageMedia(spark, ids))
+      .collect().map(mh => mh.media_id -> mh).toMap
+    assert(hashes.size === 80)
+    hashes.foreach { case (id, mh) =>
+      assert(mh.phash === expectedHash(id), s"seed $id")
+      assert((mh.width, mh.height) ===
+        ((Multimodal.synthWidth(id), Multimodal.synthHeight(id))))
+    }
+    assert(hashes.values.exists(_.phash < 0), "bit 63 never exercised")
+    // the dedup property: a GLOBAL brightness shift that never wraps any
+    // sampled pixel leaves the hash unchanged (above-the-mean is
+    // shift-invariant), while real content changes move it
+    val base = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      base.getRaster.setSample(x, y, 0, 40 + ((x * 5 + y * 11) % 120))
+    val shifted = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      shifted.getRaster.setSample(x, y, 0, 40 + ((x * 5 + y * 11) % 120) + 30)
+    def rec(id: Long, img: java.awt.image.BufferedImage): MediaRecord = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRecord(id, bos.toByteArray, "image/png", bos.size().toLong)
+    }
+    val pair = Multimodal.imageHashes(
+      spark, spark.createDataset(Seq(rec(1L, base), rec(2L, shifted))))
+      .collect().map(mh => mh.media_id -> mh.phash).toMap
+    assert(pair(1L) === pair(2L), "brightness shift must not move the hash")
+  }
+
   test("multimodal REAL audio codec: WAV round-trips exactly, decimation picks exact samples") {
     import spark.implicits._
     // encode -> JDK AudioSystem decode returns the formula's samples
