@@ -246,6 +246,52 @@ object Multimodal {
       MediaHash(r.media_id, hash, w, h)
     }
 
+  /** Pigeonhole bands for [[phashNearDupPairs]]: 4 bands × 16 bits. Any
+    * two hashes within Hamming distance 3 differ in at most 3 bands, so
+    * at least one band matches exactly — the banding is EXACT (recall
+    * 1.0) for maxHamming ≤ 3, not probabilistic like MinHash-LSH. */
+  val PhashBands: Int = 4
+
+  /**
+   * Image NEAR-duplicate pairs from [[imageHashes]] fingerprints:
+   * bucket by the 4×16-bit pigeonhole bands (a candidate pair must
+   * share at least one exact band — guaranteed complete for
+   * `maxHamming ≤ 3`), then verify candidates with the exact popcount
+   * of the XOR. Output: one row per unordered pair within the Hamming
+   * bound, `(id_a < id_b, hamming)`.
+   *
+   * Scale posture: the only shuffles are the 4-rows-per-image band
+   * bucketing and the candidate dedup — never an all-pairs product;
+   * identical-hash clusters (exact dups) meet in every band and
+   * collapse in the distinct. `maxHamming` past the pigeonhole
+   * guarantee fails loud rather than silently losing recall.
+   */
+  def phashNearDupPairs(
+      spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < PhashBands,
+      s"maxHamming $maxHamming outside [0, $PhashBands): the $PhashBands-band " +
+        "pigeonhole guarantees complete recall only below the band count — " +
+        "re-band (more, narrower bands) instead of silently missing pairs")
+    // bucket = (phash >>> 16·band) & 0xFFFF — the mask makes the shift's
+    // sign treatment irrelevant, so the DuckDB oracle's `>>` agrees
+    val withBucket = hashes.select(
+        col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .withColumn("bucket",
+        expr("shiftrightunsigned(phash, 16 * band)").bitwiseAND(lit(0xFFFFL)))
+    val a = withBucket.select(
+      col("band"), col("bucket"), col("media_id").as("id_a"), col("phash").as("ph_a"))
+    val b = withBucket.select(
+      col("band"), col("bucket"), col("media_id").as("id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val img = decodeImage(r)

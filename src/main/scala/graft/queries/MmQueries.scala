@@ -95,6 +95,18 @@ object MmQueries {
       hashes.join(groups, "phash")
         .select(col("media_id"), col("phash"), col("n_same_hash"))
     },
+    // Image NEAR-dup pairs: pigeonhole banding over the perceptual
+    // hashes (4x16-bit bands — EXACT recall for hamming <= 3, not
+    // probabilistic) + popcount verify. The scale path for image dedup:
+    // band bucketing + candidate dedup, never an all-pairs product.
+    "mm_image_neardup" -> { (s, dir) =>
+      val media = Multimodal.synthImageMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      Multimodal.phashNearDupPairs(
+        s, Multimodal.imageHashes(s, media).toDF()
+          .select(col("media_id"), col("phash")),
+        maxHamming = 3)
+    },
     // REAL audio codec path (JDK javax.sound WAV stack): synthetic 16-bit
     // PCM clips seeded by doc_id, decoded for rate/length/sum/peak. PCM is
     // lossless, so the oracle replays the waveform formula in closed form.
@@ -216,6 +228,35 @@ object MmQueries {
         |grp AS (SELECT phash, CAST(count(*) AS BIGINT) AS n_same_hash FROM ph GROUP BY 1)
         |SELECT ph.media_id, ph.phash, grp.n_same_hash
         |FROM ph JOIN grp USING (phash)""".stripMargin,
+    // Near-dup: the same phash CTE, then BANDED candidates (the oracle
+    // replays the pigeonhole banding rather than the quadratic product,
+    // so it stays cheap at any sf; the two are equal by pigeonhole for
+    // hamming <= 3) + popcount verify. Band buckets mask to 16 bits, so
+    // DuckDB's arithmetic >> agrees with Spark's unsigned shift.
+    "mm_image_neardup" ->
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h FROM documents),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS gx FROM d),
+        |cells AS (SELECT doc_id, gy.gy * 8 + gx.gx AS j,
+        |    (doc_id*31 + ((gx.gx * w) // 8) * 7 + ((gy.gy * h) // 8) * 13) % 256 AS p
+        |  FROM gx CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
+        |sums AS (SELECT doc_id, sum(p) AS total FROM cells GROUP BY 1),
+        |hs AS (SELECT c.doc_id,
+        |    sum(CASE WHEN c.p * 64 > s.total
+        |        THEN CAST(power(2, c.j) AS HUGEINT) ELSE 0::HUGEINT END) AS hraw
+        |  FROM cells c JOIN sums s USING (doc_id) GROUP BY 1),
+        |ph AS MATERIALIZED (SELECT doc_id AS media_id,
+        |    CAST(CASE WHEN hraw >= 9223372036854775808::HUGEINT
+        |         THEN hraw - 18446744073709551616::HUGEINT ELSE hraw END AS BIGINT) AS phash
+        |  FROM hs),
+        |bands AS MATERIALIZED (SELECT media_id, phash, b,
+        |    (phash >> CAST(16 * b AS INT)) & 65535 AS bucket
+        |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
+        |    a.phash AS ph_a, b2.phash AS ph_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.media_id < b2.media_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
     // The real-codec audio queries replay Multimodal.sampleValue/
     // synthSampleRate/synthSampleCount as integer SQL: rate
     // 8000 + 1000*(doc_id % 5), n 50 + doc_id % 200, sample(i) =

@@ -970,6 +970,34 @@ class OperatorsSpec extends SparkSuite {
     assert(pair(1L) === pair(2L), "brightness shift must not move the hash")
   }
 
+  test("phash near-dup banding == brute-force popcount pairs (pigeonhole exactness)") {
+    import spark.implicits._
+    // random hashes with planted near-dups: flip 0..4 bits of shared bases
+    val rnd = new scala.util.Random(43)
+    val bases = Seq.fill(12)(rnd.nextLong())
+    val hashes = (0 until 150).map { i =>
+      val base = bases(i % bases.size)
+      var h = base
+      (0 until (i % 5)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+      (i.toLong, h)
+    }
+    def brute(t: Int) = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= t
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb))).toSet
+    val df = hashes.toDF("media_id", "phash")
+    for (t <- Seq(0, 1, 3)) {
+      val got = Multimodal.phashNearDupPairs(spark, df, maxHamming = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === brute(t), s"maxHamming=$t")
+      assert(got.nonEmpty, s"degenerate fixture at t=$t")
+    }
+    // past the pigeonhole guarantee: loud, never silent recall loss
+    val e = intercept[IllegalArgumentException](
+      Multimodal.phashNearDupPairs(spark, df, maxHamming = 4))
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+  }
+
   test("multimodal REAL audio codec: WAV round-trips exactly, decimation picks exact samples") {
     import spark.implicits._
     // encode -> JDK AudioSystem decode returns the formula's samples
