@@ -422,6 +422,12 @@ class GraftClient:
             yield from records
             if not truncated:
                 return
+            if not records:
+                # an empty-but-truncated page has no resume key; a
+                # conforming server never sends one — name the violation
+                # instead of an IndexError on records[-1]
+                raise ProtocolError(
+                    "empty truncated range page — the scan cannot make progress")
             last_key = records[-1][0]
             v_lo, v_hi, records, truncated = self.range_page(
                 last_key, to_key, False, to_inclusive, page_records)

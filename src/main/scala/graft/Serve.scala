@@ -119,6 +119,11 @@ object Serve {
       log: String => Unit = println,
       httpPort: Option[Int] = None,
       cleanupKeep: Int = 0): Handle = {
+    require(cleanupKeep == 0 || cleanupKeep >= 2,
+      s"cleanupKeep $cleanupKeep: 0 disables cleanup; otherwise keep >= 2 " +
+        "so the just-retired version stays on disk while in-flight " +
+        "lookups on the old generation drain (keep = 1 would reap it " +
+        "immediately and those lookups die with FileNotFoundException)")
     val cat = new DomainCatalog(root, conf)
     val served = new ConcurrentHashMap[String, KvDomainReader]()
     val stop = new AtomicBoolean(false)

@@ -441,22 +441,32 @@ final class KvDomainReader private (
       // full-scan surface), never a silently short scan.
       if (full && it.hasNext) {
         var extra = 0
+        var extraBytes = 0L
+        // the extension is bounded by generous caps, not the (possibly
+        // tiny) page size: real duplicate runs are small, and the
+        // guarantee requires the whole run on this page no matter how
+        // small the caller's page was. But both dimensions are FINITE —
+        // count AND bytes — because the drain materializes in one
+        // in-memory page (and one response frame): a key duplicated 500k
+        // times with multi-KB values would otherwise OOM the daemon
+        // before the count cap fired. Past either cap, fail loud rather
+        // than balloon one frame without limit.
+        val extraByteCap = math.max(8L * math.max(maxBytes, 0L), 1L << 20)
         while (it.hasNext &&
             java.util.Arrays.compareUnsigned(it.head._1, lastKey) == 0) {
-          out += it.next()
+          val (ek, ev) = it.next()
+          out += ((ek, ev))
           extra += 1
-          // the extension is bounded by a generous FIXED cap, not the
-          // (possibly tiny) page size: real duplicate runs are small,
-          // and the guarantee requires the whole run on this page no
-          // matter how small the caller's page was. A pathological
-          // run past the cap fails loud rather than ballooning one
-          // frame without limit.
-          if (extra > KvDomainReader.MaxDupRunExtension)
+          extraBytes += ek.length + (if (ev == null) 0L else ev.length.toLong)
+          if (extra > KvDomainReader.MaxDupRunExtension ||
+              extraBytes > extraByteCap)
             throw new IllegalStateException(
-              s"rangePage: key of ${lastKey.length} bytes repeats more than " +
-                s"${KvDomainReader.MaxDupRunExtension} times — a page cannot " +
-                "end inside the run (duplicate-key resume would drop the " +
-                "rest); dedup the build before serving range scans")
+              s"rangePage: key of ${lastKey.length} bytes repeats past the " +
+                s"drain caps ($extra extra records, $extraBytes extra bytes; " +
+                s"caps ${KvDomainReader.MaxDupRunExtension} records / " +
+                s"$extraByteCap bytes) — a page cannot end inside the run " +
+                "(duplicate-key resume would drop the rest); dedup the " +
+                "build before serving range scans")
         }
       }
       RangePage(vLo, servedVersion, out.result(), truncated = it.hasNext)

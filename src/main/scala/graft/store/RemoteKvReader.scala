@@ -252,6 +252,14 @@ final class RemoteKvReader(
       }
       private def advance(): Unit =
         if (idx >= page.records.size && page.truncated) {
+          // an empty-but-truncated page can make no progress (no lastKey
+          // to resume from) — a conforming server never sends one, so
+          // name the violation instead of surfacing a bare
+          // NoSuchElementException from .last on the empty seq
+          if (page.records.isEmpty)
+            throw new RemoteKvReader.ProtocolException(
+              s"$host:$port/$domain returned an empty truncated range page " +
+                "— the scan cannot make progress")
           val lastKey = page.records.last._1
           page = rangePage(Some(lastKey), fromInclusive = false,
             hiBound, toInclusive, pageRecords, Long.MaxValue)

@@ -124,7 +124,10 @@ final class RingClient(
         .groupBy { case (k, _) => ShardIndex.shardIndex(k, numShards) }
         .map { case (s, ks) => (s, ks.toSeq, replicaOrder(s)) }
         .toSeq
-    var lastFailure: Throwable = null
+    // written concurrently from hostPool tasks; AtomicReference gives the
+    // thread that finally throws "all replicas failed" a happens-before
+    // edge to SOME real failure (which one of several is benign)
+    val lastFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]
     while (pending.nonEmpty) {
       val exhausted = pending.filter(_._3.isEmpty)
       if (exhausted.nonEmpty) {
@@ -134,7 +137,7 @@ final class RingClient(
           // set (`:all-hosts`), which is exactly what was tried
           s"all replicas of shard $s failed " +
             s"(tried: ${ring.hostSet(s).toSeq.sorted.mkString(", ")})",
-          lastFailure)
+          lastFailure.get())
       }
       // hosts answer in PARALLEL (scatter-gather): readers are
       // thread-safe (socket stubs pool connections, in-process readers
@@ -157,7 +160,7 @@ final class RingClient(
           Nil // answered
         } catch {
           case e: Exception =>
-            lastFailure = e
+            lastFailure.set(e)
             group.map { case (s, ks, hs) => (s, ks, hs.tail) } // next replica
         }
       }

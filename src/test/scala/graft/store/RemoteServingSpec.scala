@@ -650,4 +650,38 @@ class RemoteServingSpec extends SparkSuite {
       remote.close(); server.close(); local.close()
     }
   }
+
+  test("rangePage: a pathological duplicate run fails loud on BYTES, not OOM") {
+    import graft.core.ShardIndex
+    // 12 copies of a 200 KB value: the drain past a tiny byte cap must
+    // stop at the byte bound (max(8*maxBytes, 1 MB) = 1 MB here) with the
+    // dedup-the-build message, never materialize the whole run
+    val dir = scratch("range-dup-bytebound")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val spec = DomainSpec(1, persistenceFormat = DomainSpec.KvSorted)
+    val store = DomainStore.create(dir, spec, conf)
+    val vDir = new org.apache.hadoop.fs.Path(dir, "1/shard=0")
+    fs.mkdirs(vDir)
+    val big = Array.fill[Byte](200 * 1024)('x')
+    val rows = Seq.fill(12)(("dup".getBytes("UTF-8"), big)) :+
+      ("tail".getBytes("UTF-8") -> "t".getBytes("UTF-8"))
+    assert(rows.forall { case (k, _) => ShardIndex.shardIndex(k, 1) == 0 })
+    val out = new java.io.DataOutputStream(
+      fs.create(new org.apache.hadoop.fs.Path(vDir, KvFile.DataFileName), true))
+    try KvFile.write(out, rows.iterator) finally out.close()
+    store.versions.succeedVersion(1L)
+    val local = KvDomainReader.open(dir, conf)
+    try {
+      val e = intercept[IllegalStateException] {
+        local.rangePage(None, fromInclusive = true, None, toInclusive = true,
+          maxRecords = 1, maxBytes = 100L)
+      }
+      assert(e.getMessage.contains("dedup the build"), e.getMessage)
+      assert(e.getMessage.contains("bytes"), e.getMessage)
+      // a generous byte budget still returns the whole run fine
+      val page = local.rangePage(None, fromInclusive = true, None,
+        toInclusive = true, maxRecords = 1, maxBytes = 64L * 1024 * 1024)
+      assert(page.records.size === 12)
+    } finally local.close()
+  }
 }
