@@ -65,6 +65,15 @@ object Bench {
         queries.PipelineQueries.dedupIndexProbe(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val probeSec = (System.nanoTime() - p0) / 1e9
+        // the image twin (build = decode + hash + band + publish the KV
+        // index; probe = delta hash + point lookups + popcount verify)
+        val ib0 = System.nanoTime()
+        queries.PipelineQueries.imageIndexStore(spark, sfDir)
+        val imgBuild = (System.nanoTime() - ib0) / 1e9
+        val ip0 = System.nanoTime()
+        queries.PipelineQueries.imageIndexProbe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val imgProbe = (System.nanoTime() - ip0) / 1e9
         // same attribution for the two ANN-serving pipelines (fixtures
         // still fresh for their stores: reset() above cleared them)
         val ab0 = System.nanoTime()
@@ -104,6 +113,8 @@ object Bench {
         val phraseProbe = (System.nanoTime() - pp2) / 1e9
         Seq("pipeline_dedup_index_build" -> buildSec,
           "pipeline_dedup_index_probe" -> probeSec,
+          "pipeline_image_index_build" -> imgBuild,
+          "pipeline_image_index_probe" -> imgProbe,
           "pipeline_ann_index_build" -> annBuild,
           "pipeline_ann_index_probe" -> annProbe,
           "pipeline_annpq_index_build" -> pqBuild,

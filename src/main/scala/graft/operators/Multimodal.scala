@@ -272,13 +272,7 @@ object Multimodal {
       s"maxHamming $maxHamming outside [0, $PhashBands): the $PhashBands-band " +
         "pigeonhole guarantees complete recall only below the band count — " +
         "re-band (more, narrower bands) instead of silently missing pairs")
-    // bucket = (phash >>> 16·band) & 0xFFFF — the mask makes the shift's
-    // sign treatment irrelevant, so the DuckDB oracle's `>>` agrees
-    val withBucket = hashes.select(
-        col("media_id"), col("phash"),
-        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
-      .withColumn("bucket",
-        expr("shiftrightunsigned(phash, 16 * band)").bitwiseAND(lit(0xFFFFL)))
+    val withBucket = phashBandBuckets(hashes)
     val a = withBucket.select(
       col("band"), col("bucket"), col("media_id").as("id_a"), col("phash").as("ph_a"))
     val b = withBucket.select(
@@ -290,6 +284,147 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The shared banding projection (4 rows per hash): bucket =
+    * `(phash >>> 16·band) & 0xFFFF` — the mask makes the shift's sign
+    * treatment irrelevant, so the DuckDB oracle's arithmetic `>>`
+    * agrees. */
+  private def phashBandBuckets(hashes: DataFrame): DataFrame =
+    hashes.select(
+        col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("band"))
+      .withColumn("bucket",
+        expr("shiftrightunsigned(phash, 16 * band)").bitwiseAND(lit(0xFFFFL)))
+
+  /**
+   * An image corpus's pigeonhole band buckets as publishable KV rows —
+   * key = (band:int_be, bucket:long_be), value = comma-joined sorted
+   * `id:phash` entries. Publish with `DomainStore.write` to get a
+   * versioned, sharded image-dedup INDEX that later deltas probe by
+   * point lookup ([[phashDedupAgainstIndex]]) — the image twin of
+   * `Dedup.bandIndexKv` (Dedup.scala): at 100 TB a daily media delta
+   * probes yesterday's index instead of re-banding the whole corpus.
+   * Unlike the text index, the value entries CARRY the member's phash,
+   * so the probe verifies candidates with a local popcount — no corpus
+   * access at all. Hot-bucket cap semantics are `Dedup.bandIndexKv`'s:
+   * a bucket above `maxBucket` members is dropped before the
+   * collect_list (bounds the value cell AND the probe-side explode;
+   * probes of a dropped bucket simply miss).
+   */
+  def phashIndexKv(
+      hashes: DataFrame,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
+    import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
+    LshBuckets.bounded(phashBandBuckets(hashes), Seq("band", "bucket"), maxBucket)
+      .groupBy(col("band"), col("bucket"))
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string")))))
+        .as("entries"))
+      .select(
+        composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"),
+        utf8_bytes(col("entries")).as("value"))
+  }
+
+  /**
+   * Near-dup image pairs of `incoming` hashes against a PUBLISHED
+   * [[phashIndexKv]] domain: band the incoming hashes, probe the index
+   * with hits-only point lookups (`multiGet(includeMisses = false)` —
+   * the delta's band keys are a bounded probe set by the incremental
+   * contract, so the index scan prunes to their shards and bloom
+   * sidecars kill definite misses), unpack candidate `id:phash`
+   * entries, verify with the exact popcount. Per-call cost is
+   * O(delta + candidates), NOT O(corpus) — and since the index values
+   * carry the corpus phashes, NO corpus table is touched at all.
+   *
+   * Incoming and indexed id spaces must be disjoint (pairs are oriented
+   * incoming → corpus; fail loud, same contract as
+   * `Dedup.dedupAgainstIndex`). Recall equals [[phashNearDupPairs]]'s
+   * pigeonhole guarantee: exact (1.0) for `maxHamming < PhashBands`.
+   *
+   * Output: (delta_id, corpus_id, hamming), one row per oriented pair
+   * within the Hamming bound.
+   */
+  def phashDedupAgainstIndex(
+      store: graft.store.DomainStore,
+      incoming: DataFrame,
+      maxHamming: Int = PhashBands - 1): DataFrame = {
+    import graft.functions.{bytes_utf8, composite_key, int_be, long_be}
+    require(maxHamming >= 0 && maxHamming < PhashBands,
+      s"maxHamming $maxHamming outside [0, $PhashBands): the $PhashBands-band " +
+        "pigeonhole guarantees complete recall only below the band count — " +
+        "re-band (more, narrower bands) instead of silently missing pairs")
+    val probes = phashBandBuckets(incoming).select(
+      col("media_id").as("id_a"), col("phash").as("ph_a"),
+      composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"))
+    val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+    // candidates checkpointed: the band+probe pipeline feeds both the
+    // disjointness check and the verify, and must not re-run per action
+    val cand = probes.join(hits, "key")
+      .select(col("id_a"), col("ph_a"),
+        explode(split(bytes_utf8(col("value")), ",")).as("entry"))
+      .select(col("id_a"), col("ph_a"),
+        split(col("entry"), ":").getItem(0).cast("long").as("id_b"),
+        split(col("entry"), ":").getItem(1).cast("long").as("ph_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val inIds = incoming.select(col("media_id").cast("long").as("_in_id"))
+    val clash = cand.join(inIds, col("id_b") === col("_in_id"), "left_semi")
+      .limit(1).collect()
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"phashDedupAgainstIndex: id ${clash(0).get(2)} appears on both the " +
+        "incoming and indexed sides — id spaces must be disjoint (pairs " +
+        "are oriented incoming -> corpus)")
+    cand
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("hamming"))
+  }
+
+  /**
+   * Incremental growth of a PUBLISHED [[phashIndexKv]] domain — after a
+   * media delta is deduped against the index, its survivors join the
+   * corpus and THIS folds their band entries in so tomorrow's delta
+   * probes them too. Affected buckets merge by entry string (sorted —
+   * the index's canonical form; re-adding an indexed image is
+   * idempotent because `id:phash` entries are identical), untouched
+   * buckets copy-forward; work is O(delta + affected bucket values).
+   * Same cap asymmetry as `Dedup.bandIndexUpsert`: a merge crossing
+   * `maxBucket` FAILS LOUD naming the re-band as the fix (an upsert has
+   * no tombstone to drop a published key), and byte-identity with a
+   * full rebuild holds exactly when the base publish dropped nothing.
+   */
+  def phashIndexUpsert(
+      index: graft.store.DomainStore,
+      deltaHashes: DataFrame,
+      newVersion: Long,
+      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+    val spark = deltaHashes.sparkSession
+    import graft.functions.bytes_utf8
+    val additions = phashIndexKv(deltaHashes, maxBucket = Int.MaxValue)
+      .select(col("key"), bytes_utf8(col("value")).as("add"))
+      .persist()
+    try {
+      val current = index
+        .multiGet(additions.select(col("key")), includeMisses = true)
+        .select(col("key"), bytes_utf8(col("value")).as("cur"))
+      val curEntries =
+        when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
+          .otherwise(split(col("cur"), ","))
+      val merged = additions.join(current, Seq("key"))
+        .select(col("key"),
+          array_sort(array_distinct(concat(curEntries, split(col("add"), ","))))
+            .as("entries"))
+        .select(col("key"),
+          graft.functions.utf8_bytes(
+            when(size(col("entries")) <= maxBucket, concat_ws(",", col("entries")))
+              .otherwise(raise_error(concat(
+                lit(s"phashIndexUpsert: a merged bucket exceeds maxBucket=$maxBucket "),
+                lit("members — the rebuild path would DROP it and an upsert cannot: "),
+                lit("re-band the corpus with phashIndexKv instead")))))
+            .as("value"))
+      index.upsert(spark, merged, newVersion)
+    } finally additions.unpersist()
   }
 
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =

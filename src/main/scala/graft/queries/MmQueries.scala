@@ -154,6 +154,31 @@ object MmQueries {
   /** SQL twin of [[asciiDocs]]'s filter. */
   private val AsciiFilter = "octet_length(text::BLOB) = length(text)"
 
+  /** Shared CTE chain replaying Multimodal.imageHashes + the pigeonhole
+    * banding, ending in `ph(media_id, phash)` and `bands(media_id,
+    * phash, b, bucket)` — the aHash in closed form (bits fold in
+    * HUGEINT, wrap to the signed BIGINT Spark packs; band buckets mask
+    * to 16 bits so DuckDB's arithmetic >> agrees with Spark's unsigned
+    * shift). Used by mm_image_neardup and pipeline_image_index. */
+  private[queries] val PhashBandCtes: String =
+    """d AS (SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h FROM documents),
+      |gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS gx FROM d),
+      |cells AS (SELECT doc_id, gy.gy * 8 + gx.gx AS j,
+      |    (doc_id*31 + ((gx.gx * w) // 8) * 7 + ((gy.gy * h) // 8) * 13) % 256 AS p
+      |  FROM gx CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
+      |sums AS (SELECT doc_id, sum(p) AS total FROM cells GROUP BY 1),
+      |hs AS (SELECT c.doc_id,
+      |    sum(CASE WHEN c.p * 64 > s.total
+      |        THEN CAST(power(2, c.j) AS HUGEINT) ELSE 0::HUGEINT END) AS hraw
+      |  FROM cells c JOIN sums s USING (doc_id) GROUP BY 1),
+      |ph AS MATERIALIZED (SELECT doc_id AS media_id,
+      |    CAST(CASE WHEN hraw >= 9223372036854775808::HUGEINT
+      |         THEN hraw - 18446744073709551616::HUGEINT ELSE hraw END AS BIGINT) AS phash
+      |  FROM hs),
+      |bands AS MATERIALIZED (SELECT media_id, phash, b,
+      |    (phash >> CAST(16 * b AS INT)) & 65535 AS bucket
+      |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm_media_meta" ->
       s"""SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS content_md5
@@ -234,23 +259,7 @@ object MmQueries {
     // hamming <= 3) + popcount verify. Band buckets mask to 16 bits, so
     // DuckDB's arithmetic >> agrees with Spark's unsigned shift.
     "mm_image_neardup" ->
-      """WITH d AS (SELECT doc_id, 1 + doc_id % 31 AS w, 1 + doc_id % 17 AS h FROM documents),
-        |gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS gx FROM d),
-        |cells AS (SELECT doc_id, gy.gy * 8 + gx.gx AS j,
-        |    (doc_id*31 + ((gx.gx * w) // 8) * 7 + ((gy.gy * h) // 8) * 13) % 256 AS p
-        |  FROM gx CROSS JOIN (SELECT unnest(range(0, 8)) AS gy) gy),
-        |sums AS (SELECT doc_id, sum(p) AS total FROM cells GROUP BY 1),
-        |hs AS (SELECT c.doc_id,
-        |    sum(CASE WHEN c.p * 64 > s.total
-        |        THEN CAST(power(2, c.j) AS HUGEINT) ELSE 0::HUGEINT END) AS hraw
-        |  FROM cells c JOIN sums s USING (doc_id) GROUP BY 1),
-        |ph AS MATERIALIZED (SELECT doc_id AS media_id,
-        |    CAST(CASE WHEN hraw >= 9223372036854775808::HUGEINT
-        |         THEN hraw - 18446744073709551616::HUGEINT ELSE hraw END AS BIGINT) AS phash
-        |  FROM hs),
-        |bands AS MATERIALIZED (SELECT media_id, phash, b,
-        |    (phash >> CAST(16 * b AS INT)) & 65535 AS bucket
-        |  FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+      s"""WITH $PhashBandCtes,
         |cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
         |    a.phash AS ph_a, b2.phash AS ph_b
         |  FROM bands a JOIN bands b2

@@ -81,6 +81,19 @@ object PipelineQueries {
       dedupIndexStore(s, dir)
       dedupIndexProbe(s, dir)
     },
+    // The IMAGE twin of pipeline_dedup_index: the corpus's perceptual
+    // hashes banded (4×16-bit pigeonhole — recall exactly 1.0 for
+    // hamming ≤ 3) and PUBLISHED AS A KV DOMAIN whose values carry
+    // id:phash entries, so an incoming media delta dedups against it by
+    // point lookup + LOCAL popcount verify — no corpus access at all.
+    // Closes the one all-corpus-per-delta shape left in the pipeline
+    // family (mm_image_neardup re-bands the whole corpus per run; this
+    // probes yesterday's index). The oracle replays hash + banding +
+    // oriented candidate join + popcount in closed form.
+    "pipeline_image_index" -> { (s, dir) =>
+      imageIndexStore(s, dir)
+      imageIndexProbe(s, dir)
+    },
     // ANN served from a PUBLISHED domain — the other flagship composition
     // (vector-search twin of pipeline_dedup_index): the corpus's IVF
     // posting lists published as a kv-sorted domain (key = cell, value =
@@ -228,6 +241,38 @@ object PipelineQueries {
           "doc_id", "text"),
         version = 1L)
     }
+  }
+
+  /** The BUILD half of pipeline_image_index: hash the corpus images
+    * (REAL decode) and publish the pigeonhole band index as a KV domain
+    * (memoized per sf by Fixtures; bloom sidecars answer the probe's
+    * definite misses with zero I/O, same rationale as dedupIndexStore). */
+  def imageIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
+    val spec = DomainSpec(
+      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName)
+    Fixtures.domain(s, dir, "image-phash-index", spec) { (st, sp) =>
+      val media = graft.operators.Multimodal.synthImageMedia(
+        sp, Fixtures.table(sp, dir, "documents")
+          .where(col("doc_id") % DeltaMod =!= 0).select(col("doc_id")))
+      st.write(
+        graft.operators.Multimodal.phashIndexKv(
+          graft.operators.Multimodal.imageHashes(sp, media).toDF()
+            .select(col("media_id"), col("phash"))),
+        version = 1L)
+    }
+  }
+
+  /** The PROBE half: hash the delta images, point-look-up the published
+    * band index, popcount-verify the unpacked id:phash candidates. */
+  def imageIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val deltaMedia = graft.operators.Multimodal.synthImageMedia(
+      s, Fixtures.table(s, dir, "documents")
+        .where(col("doc_id") % DeltaMod === 0).select(col("doc_id")))
+    graft.operators.Multimodal.phashDedupAgainstIndex(
+      imageIndexStore(s, dir),
+      graft.operators.Multimodal.imageHashes(s, deltaMedia).toDF()
+        .select(col("media_id"), col("phash")),
+      maxHamming = 3)
   }
 
   /** The PROBE half: delta banding + point lookups against the published
@@ -404,6 +449,20 @@ object PipelineQueries {
          |  CAST(i AS DOUBLE) / (cd.n + cx.n - i) AS jaccard
          |FROM inter JOIN c cd ON cd.doc_id = delta_id JOIN c cx ON cx.doc_id = corpus_id
          |WHERE CAST(i AS DOUBLE) / (cd.n + cx.n - i) >= ${DedupQueries.MinHashThreshold}""".stripMargin,
+    // Delta-vs-corpus image near-dups — the phash + pigeonhole banding
+    // replayed in closed form, with the candidate join ORIENTED (delta
+    // side a, corpus side b; the two are disjoint by the mod split).
+    // Banding recall is exactly 1.0 at hamming <= 3 (pigeonhole), so
+    // this equals the index-probe path bit for bit.
+    "pipeline_image_index" ->
+      s"""WITH ${MmQueries.PhashBandCtes},
+         |cand AS (SELECT DISTINCT a.media_id AS delta_id, b2.media_id AS corpus_id,
+         |    a.phash AS ph_a, b2.phash AS ph_b
+         |  FROM bands a JOIN bands b2
+         |    ON a.b = b2.b AND a.bucket = b2.bucket
+         |  WHERE a.media_id % $DeltaMod = 0 AND b2.media_id % $DeltaMod != 0)
+         |SELECT delta_id, corpus_id, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
     // The serving path must be invisible in the result: publishing the
     // posting lists as a domain and probing them by point lookup has to
     // reproduce the direct fixed-quantizer IVF search EXACTLY — so the

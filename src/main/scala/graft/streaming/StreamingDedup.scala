@@ -79,4 +79,25 @@ object StreamingDedup {
         Dedup.bandIndexUpsert(index, batch, "doc_id", "text", newVersion = version)
       })
       .start()
+
+  /** The IMAGE twin of [[growIndexStream]]: each micro-batch of accepted
+    * image hashes (media_id, phash — e.g. `Multimodal.imageHashes` run on
+    * the arriving media) folds its pigeonhole band entries into a
+    * published [[graft.operators.Multimodal.phashIndexKv]] domain, so
+    * the next media delta's [[graft.operators.Multimodal.phashDedupAgainstIndex]]
+    * probes today's accepts too. Same version/replay protocol. */
+  def growImageIndexStream(
+      index: DomainStore,
+      hashStream: DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    hashStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Multimodal.phashIndexUpsert(index, batch, newVersion = version)
+      })
+      .start()
 }

@@ -804,6 +804,70 @@ class OperatorsSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("re-band")), messages(e).mkString(" | "))
   }
 
+  test("image phash index: probe == banded pairs, upsert == rebuild, cap + overlap fail loud") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet")).select(col("doc_id"))
+    def hashesOf(ids: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageHashes(spark, Multimodal.synthImageMedia(spark, ids)).toDF()
+        .select(col("media_id"), col("phash"))
+    val corpusH = hashesOf(docs.where(col("doc_id") % 4 =!= 0))
+    val deltaH = hashesOf(docs.where(col("doc_id") % 4 === 0))
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+
+    // probe against the published index == the all-pairs banding path,
+    // restricted to oriented delta->corpus pairs
+    val ix = graft.store.DomainStore.create(scratch("phash-ix/base"), spec, conf)
+    ix.write(Multimodal.phashIndexKv(corpusH), 1L)
+    val got = Multimodal.phashDedupAgainstIndex(ix, deltaH, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val allPairs = Multimodal.phashNearDupPairs(
+        spark, corpusH.unionByName(deltaH), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = allPairs.collect {
+      case (a, b, h) if a % 4 == 0 && b % 4 != 0 => (a, b, h)
+      case (a, b, h) if b % 4 == 0 && a % 4 != 0 => (b, a, h)
+    }
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no near-dup pairs — test is vacuous")
+
+    // upsert == rebuild on the union corpus (incl. idempotent re-ingest)
+    val inc = graft.store.DomainStore.create(scratch("phash-ix/inc"), spec, conf)
+    inc.write(Multimodal.phashIndexKv(corpusH), 1L)
+    Multimodal.phashIndexUpsert(
+      inc, deltaH.unionByName(corpusH.limit(3)), newVersion = 2L)
+    val full = graft.store.DomainStore.create(scratch("phash-ix/full"), spec, conf)
+    full.write(Multimodal.phashIndexKv(corpusH.unionByName(deltaH)), 1L)
+    def kvPairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(kvPairs(inc) === kvPairs(full))
+    assert(kvPairs(inc).nonEmpty)
+
+    // a merged bucket crossing the cap fails loud naming the re-band
+    val sameA = (0L until 30L).map(i => (i, 7L)).toDF("media_id", "phash")
+    val sameB = (100L until 130L).map(i => (i, 7L)).toDF("media_id", "phash")
+    val capped = graft.store.DomainStore.create(scratch("phash-ix/cap"), spec, conf)
+    capped.write(Multimodal.phashIndexKv(sameA, maxBucket = 40), 1L)
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val e = intercept[Exception](
+      Multimodal.phashIndexUpsert(capped, sameB, 2L, maxBucket = 40))
+    assert(messages(e).exists(_.contains("re-band")), messages(e).mkString(" | "))
+
+    // overlapping id spaces rejected even when the hashes differ
+    val e2 = intercept[IllegalArgumentException](
+      Multimodal.phashDedupAgainstIndex(
+        ix, corpusH.limit(5), maxHamming = 3))
+    assert(e2.getMessage.contains("disjoint"))
+
+    // maxHamming past the pigeonhole guarantee fails loud
+    val e3 = intercept[IllegalArgumentException](
+      Multimodal.phashDedupAgainstIndex(ix, deltaH, maxHamming = 4))
+    assert(e3.getMessage.contains("pigeonhole"))
+  }
+
   test("dedupAgainstIndex rejects overlapping id spaces even when the texts differ") {
     import spark.implicits._
     val corpus = Seq(

@@ -193,6 +193,30 @@ class StreamingSpec extends SparkSuite {
     bandFull.write(graft.operators.Dedup.bandIndexKv(
       docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text"), 1L)
     assert(pairs(bandIndex) === pairs(bandFull) && pairs(bandIndex).nonEmpty)
+
+    // image phash-band index growth (the image twin of the band index)
+    def hashesOf(ids: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.imageHashes(
+          spark, graft.operators.Multimodal.synthImageMedia(spark, ids)).toDF()
+        .select(col("media_id"), col("phash"))
+    val imgSrc = scratch("stream-img-src")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(imgSrc))
+    val imgIndex = graft.store.DomainStore.create(scratch("stream-img-dom"), spec, conf)
+    imgIndex.write(graft.operators.Multimodal.phashIndexKv(
+      hashesOf(docs.where(col("doc_id") % 3 === 0).select(col("doc_id")))), 1L)
+    hashesOf(docs.where(col("doc_id") % 3 === 1).select(col("doc_id")))
+      .coalesce(1).write.parquet(s"$imgSrc/d0")
+    val imgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.LongType)))
+    val q3 = StreamingDedup.growImageIndexStream(
+      imgIndex, spark.readStream.schema(imgSchema).parquet(s"$imgSrc/*"),
+      baseVersion = 1L, checkpointDir = scratch("stream-img-ckpt"), queryName = "img_grow")
+    try q3.awaitTermination() finally q3.stop()
+    val imgFull = graft.store.DomainStore.create(scratch("stream-img-full"), spec, conf)
+    imgFull.write(graft.operators.Multimodal.phashIndexKv(
+      hashesOf(docs.where(col("doc_id") % 3 =!= 2).select(col("doc_id")))), 1L)
+    assert(pairs(imgIndex) === pairs(imgFull) && pairs(imgIndex).nonEmpty)
   }
 
   test("streaming search-index growth converges to the from-scratch build across batches") {
