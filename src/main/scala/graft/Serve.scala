@@ -394,16 +394,131 @@ object Serve {
     new Handle(server, served, stop, wake, updater, dashboard)
   }
 
+  /** A conf-booted daemon: the serving [[Handle]] plus the pull thread
+    * that follows central publishes. `close()` stops the puller first
+    * (same join-until-dead discipline as [[Handle.close]] — no pull I/O
+    * may outlive close), then the serving handle. */
+  final class ConfHandle(
+      val serve: Handle,
+      pullStop: AtomicBoolean,
+      pullWake: CountDownLatch,
+      puller: Thread) extends AutoCloseable {
+    def boundPort: Int = serve.boundPort
+    def close(): Unit = {
+      pullStop.set(true)
+      pullWake.countDown()
+      var callerInterrupted = false
+      while (puller.isAlive) {
+        puller.interrupt()
+        try puller.join(30000)
+        catch { case _: InterruptedException => callerInterrupted = true }
+      }
+      if (callerInterrupted) Thread.currentThread().interrupt()
+      serve.close()
+    }
+  }
+
+  /**
+   * Boot a self-pulling ring member purely from conf files (the
+   * reference's two-file deploy: `global-conf.clj` + `local-conf.clj`,
+   * see [[ServeConfig]]): serve `local.root` on this host's conf'd port,
+   * and on every `update.interval.s` sweep pull each conf'd domain's
+   * newest central version — restricted to the shards the ring deal
+   * assigns THIS host (`localizeForHost` semantics: delta-aware,
+   * provenance-reusing, throttled by `download.rate.limit.kbps`) — which
+   * the serving updater then hot-swaps. Version GC rides the pull
+   * (`cleanup.keep`, 0 = never delete), so [[start]]'s own cleanupKeep
+   * stays off: one reaper, one policy.
+   *
+   * A domain whose central store does not exist yet (or has no publish)
+   * is retried every sweep — booting a ring before the first publish is
+   * the normal deploy order. A domain the ring assigns no shards of on
+   * this host is skipped (more hosts than shards).
+   */
+  def startFromConf(
+      globalPath: String,
+      localPath: String,
+      hostName: String,
+      conf: Configuration,
+      log: String => Unit = println): ConfHandle = {
+    val g = ServeConfig.readGlobal(globalPath, conf)
+    val l = ServeConfig.readLocal(localPath, conf)
+    val me = g.host(hostName)
+    val keepLocal = if (l.cleanupKeep == 0) Int.MaxValue else math.max(2, l.cleanupKeep)
+    val intervalMs = l.updateIntervalS * 1000L
+    // serve first (an empty local root fills as pulls land — start's
+    // late-discovery sweep picks new domains up), then pull
+    val serveHandle = start(
+      l.localRoot, conf,
+      port = me.port,
+      refreshMillis = intervalMs,
+      log = log,
+      httpPort = l.httpPort,
+      cleanupKeep = 0)
+    val pullStop = new AtomicBoolean(false)
+    val pullWake = new CountDownLatch(1)
+    val noticed = ConcurrentHashMap.newKeySet[String]()
+    val centrals = new ConcurrentHashMap[String, graft.store.DomainStore]()
+    val puller = new Thread(() => {
+      while (!pullStop.get()) {
+        g.domains.toSeq.sortBy(_._1).foreach { case (name, srcRoot) =>
+          if (!pullStop.get()) {
+            try {
+              val central = centrals.computeIfAbsent(
+                name, _ => graft.store.DomainStore.open(srcRoot, conf))
+              central.versions.mostRecentVersion.foreach { v =>
+                val ring = graft.store.ShardRing.generateIndex(
+                  g.hosts.map(_.name), central.numShards, g.replication)
+                if (ring.shardSet(me.name).nonEmpty) {
+                  val delta = central.localizeVersionForHost(
+                    v, new Path(l.localRoot, name), ring, me.name,
+                    maxKBps = l.downloadRateLimitKbps,
+                    keepLocalVersions = keepLocal)
+                  if (delta.transferred.nonEmpty || delta.reused.nonEmpty)
+                    log(s"[serve] pulled $name v$v (" +
+                      s"${delta.transferred.size} transferred, " +
+                      s"${delta.reused.size} reused)")
+                } else if (noticed.add(s"noshards:$name"))
+                  log(s"[serve] ring assigns no shards of $name to $hostName — skipping")
+              }
+            } catch {
+              case e: Exception =>
+                // a not-yet-created central store heals on a later sweep;
+                // a cached handle gone stale (central recreated) is
+                // evicted so the next sweep re-opens
+                centrals.remove(name)
+                if (!pullStop.get() &&
+                  noticed.add(s"pull-${e.getClass.getSimpleName}:$name"))
+                  log(s"[serve] pull $name failed (will keep retrying): $e")
+            }
+          }
+        }
+        if (!pullStop.get()) pullWake.await(intervalMs, TimeUnit.MILLISECONDS)
+      }
+    }, "serve-puller")
+    puller.setDaemon(true)
+    puller.start()
+    log(s"[serve] conf boot: host $hostName pulling ${g.domains.size} domain(s) " +
+      s"every ${l.updateIntervalS}s into ${l.localRoot}")
+    new ConfHandle(serveHandle, pullStop, pullWake, puller)
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Serve <catalogRoot> [port] [refreshSeconds] [httpPort] [cleanupKeep]")
-    val handle = start(
-      args(0),
-      new Configuration(),
-      port = args.lift(1).map(_.toInt).getOrElse(0),
-      refreshMillis = args.lift(2).map(_.toLong * 1000).getOrElse(30000L),
-      httpPort = args.lift(3).map(_.toInt),
-      cleanupKeep = args.lift(4).map(_.toInt).getOrElse(0))
+      "usage: graft.Serve <catalogRoot> [port] [refreshSeconds] [httpPort] [cleanupKeep]\n" +
+        "   or: graft.Serve --conf <globalConf> <localConf> <hostName>")
+    val handle: AutoCloseable =
+      if (args(0) == "--conf") {
+        require(args.length == 4,
+          "usage: graft.Serve --conf <globalConf> <localConf> <hostName>")
+        startFromConf(args(1), args(2), args(3), new Configuration())
+      } else start(
+        args(0),
+        new Configuration(),
+        port = args.lift(1).map(_.toInt).getOrElse(0),
+        refreshMillis = args.lift(2).map(_.toLong * 1000).getOrElse(30000L),
+        httpPort = args.lift(3).map(_.toInt),
+        cleanupKeep = args.lift(4).map(_.toInt).getOrElse(0))
     sys.addShutdownHook(handle.close())
     Thread.currentThread().join() // serve until killed
   }

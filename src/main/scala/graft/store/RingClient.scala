@@ -362,6 +362,52 @@ final class RingClient(
 
 object RingClient {
 
+  /**
+   * Construct a ring client purely from the SAME shared global conf the
+   * daemons booted from (`graft.ServeConfig` — hosts/replication/port/
+   * domains): one remote stub per conf'd host, shard count probed from
+   * the live ring (first host that answers — construction must survive
+   * down hosts, that is failover's job; a ring where NO host answers
+   * fails loud naming them all), ring deal recomputed deterministically
+   * from (hosts order, shard count, replication) — the exact deal the
+   * daemons' pulls used, so routing agrees by construction (and stays
+   * loudly cross-checked by numShards' probe).
+   */
+  def fromConf(
+      globalPath: String,
+      domain: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      preferred: String => Boolean = _ => false,
+      rnd: Random = new Random()): RingClient = {
+    val g = graft.ServeConfig.readGlobal(globalPath, conf)
+    require(g.domains.contains(domain),
+      s"$globalPath: domain '$domain' not configured " +
+        s"(domains: ${g.domains.keys.toSeq.sorted.mkString(", ")})")
+    val stubs: Map[String, ServingReader] = g.hosts.map { h =>
+      h.name -> (new RemoteKvReader(h.address, h.port, domain): ServingReader)
+    }.toMap
+    val shardCount = {
+      var found: Option[Int] = None
+      val failures = Seq.newBuilder[(String, Throwable)]
+      val it = g.hosts.iterator
+      while (found.isEmpty && it.hasNext) {
+        val h = it.next()
+        try found = Some(stubs(h.name).numShards)
+        catch {
+          case e: RemoteKvReader.ProtocolException => throw e // wrong service: loud
+          case e: Exception => failures += h.name -> e
+        }
+      }
+      found.getOrElse(throw new IllegalStateException(
+        s"no host of the conf'd ring answered a shard-count probe for " +
+          s"'$domain' (tried: ${failures.result().map(_._1).mkString(", ")})",
+        failures.result().lastOption.map(_._2).orNull))
+    }
+    new RingClient(
+      ShardRing.generateIndex(g.hosts.map(_.name), shardCount, g.replication),
+      stubs, preferred, rnd)
+  }
+
   /** Shared bounded pool for the per-host scatter of a ring multiGet.
     * Deliberately DISTINCT from [[KvDomainReader.lookupPool]]: an
     * in-process reader's shard fan-out nests inside a ring task, and one

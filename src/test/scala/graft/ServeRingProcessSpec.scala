@@ -33,11 +33,14 @@ class ServeRingProcessSpec extends SparkSuite {
   private def utf8(s: String): Array[Byte] = s.getBytes("UTF-8")
 
   /** Fork `graft.Serve <root> 0 1` and return (process, boundPort). */
-  private def forkServe(root: String): (Process, Int) = {
+  private def forkServe(root: String): (Process, Int) =
+    forkServeArgs(root, root, "0", "1")
+
+  private def forkServeArgs(label: String, args: String*): (Process, Int) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val proc = new ProcessBuilder(
-      javaBin, "-Xmx512m", "-cp", System.getProperty("java.class.path"),
-      "graft.Serve", root, "0", "1")
+      (Seq(javaBin, "-Xmx512m", "-cp", System.getProperty("java.class.path"),
+        "graft.Serve") ++ args): _*)
       .redirectErrorStream(true)
       .start()
     val lines = new java.io.BufferedReader(
@@ -47,13 +50,13 @@ class ServeRingProcessSpec extends SparkSuite {
     var port = -1
     while (port < 0 && System.nanoTime() < deadline) {
       val line = lines.readLine()
-      assert(line != null, s"daemon for $root exited before binding")
+      assert(line != null, s"daemon for $label exited before binding")
       line match {
         case portRe(p) => port = p.toInt
         case _ => ()
       }
     }
-    assert(port > 0, s"daemon for $root never reported its port")
+    assert(port > 0, s"daemon for $label never reported its port")
     // drain the child's stdout so it can't block on a full pipe
     val drainer = new Thread(() => {
       try { while (lines.readLine() != null) () }
@@ -148,6 +151,97 @@ class ServeRingProcessSpec extends SparkSuite {
         === Some(v2.head))
     } finally {
       client.close()
+      procs.values.foreach { case (p, _) => p.destroy() }
+      procs.values.foreach { case (p, _) =>
+        assert(p.waitFor(15, TimeUnit.SECONDS), "daemon ignored SIGTERM")
+      }
+    }
+  }
+
+  test("a 3-host ring boots PURELY from conf files: daemons self-pull, follow publishes, fail over") {
+    import spark.implicits._
+    val conf = new Configuration()
+    def kv(pairs: Seq[(String, String)]) =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+
+    val central = DomainStore.create(
+      scratch("ring-conf-central") + "/users",
+      DomainSpec(6, persistenceFormat = DomainSpec.KvSorted), conf)
+    val keys = (0 until 200).map(i => s"ck$i")
+    central.write(kv(keys.map(k => k -> s"v1-$k")), 1L)
+
+    // conf files are the ONLY deployment input from here on
+    val hosts = Seq("hA", "hB", "hC")
+    val ports = hosts.map { _ =>
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val confDir = new java.io.File(scratch("ring-conf-files"))
+    confDir.mkdirs()
+    val globalPath = new java.io.File(confDir, "global.conf").getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Path.of(globalPath),
+      s"""# shared ring conf (reference global-conf.clj shape)
+         |hosts = ${hosts.zip(ports).map { case (h, p) => s"$h=127.0.0.1:$p" }.mkString(", ")}
+         |replication = 2
+         |domain.users = ${central.root}
+         |""".stripMargin)
+    val localPaths = hosts.map { h =>
+      val lp = new java.io.File(confDir, s"local-$h.conf").getAbsolutePath
+      java.nio.file.Files.writeString(java.nio.file.Path.of(lp),
+        s"""local.root = ${scratch(s"ring-conf-$h")}
+           |update.interval.s = 1
+           |""".stripMargin)
+      h -> lp
+    }.toMap
+
+    val procs = hosts.map(h =>
+      h -> forkServeArgs(s"conf:$h", "--conf", globalPath, localPaths(h), h)).toMap
+    hosts.zip(ports).foreach { case (h, p) =>
+      assert(procs(h)._2 === p, s"$h bound an unexpected port") }
+    val stubs = hosts.zip(ports).map { case (h, p) =>
+      h -> new RemoteKvReader("127.0.0.1", p, "users")
+    }.toMap
+    try {
+      // daemons pull v1 on their own (1 s interval); wait for every host
+      // to serve it, then build the client FROM THE SAME CONF
+      val loadBy = System.nanoTime() + 60e9.toLong
+      def servedAll(v: Long) = stubs.values.forall { s =>
+        try s.servedVersion >= v catch { case _: Exception => false } }
+      while (!servedAll(1L) && System.nanoTime() < loadBy) Thread.sleep(200)
+      assert(servedAll(1L), "ring never self-loaded v1 from the conf'd central store")
+      val client = RingClient.fromConf(
+        globalPath, "users", conf, rnd = new scala.util.Random(23))
+      try {
+        assert(client.isFullyLoaded)
+        assert(client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+          === keys.map(k => Some(s"v1-$k")))
+
+        // a central publish propagates with NO orchestration: every
+        // daemon's pull loop localizes + hot-swaps on its own
+        val changed = keys.filter(_.hashCode % 3 == 0)
+        central.upsert(spark, kv(changed.map(k => k -> s"v2-$k")), 2L)
+        val rollBy = System.nanoTime() + 60e9.toLong
+        while (!servedAll(2L) && System.nanoTime() < rollBy) Thread.sleep(200)
+        assert(servedAll(2L), "ring never converged on the self-pulled v2")
+        val v2 = keys.map(k => if (changed.contains(k)) s"v2-$k" else s"v1-$k")
+        assert(client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+          === v2.map(Some(_)))
+
+        // SIGKILL one conf-booted host: replication 2 absorbs it
+        procs("hB")._1.destroyForcibly()
+        assert(procs("hB")._1.waitFor(15, TimeUnit.SECONDS), "SIGKILL ignored")
+        assert(client.multiGet(keys.map(utf8)).map(_.map(new String(_, "UTF-8")))
+          === v2.map(Some(_)), "post-kill sweep")
+        // fromConf also survives a down host at CONSTRUCTION time
+        val client2 = RingClient.fromConf(
+          globalPath, "users", conf, rnd = new scala.util.Random(29))
+        try assert(client2.get(utf8(keys.head)).map(new String(_, "UTF-8"))
+          === Some(v2.head))
+        finally client2.close()
+      } finally client.close()
+    } finally {
+      stubs.values.foreach(s => try s.close() catch { case _: Exception => () })
       procs.values.foreach { case (p, _) => p.destroy() }
       procs.values.foreach { case (p, _) =>
         assert(p.waitFor(15, TimeUnit.SECONDS), "daemon ignored SIGTERM")
