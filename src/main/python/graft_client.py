@@ -16,7 +16,8 @@ Protocol summary (all integers big-endian):
              connection stays frame-aligned), then the op's body
 
 Ops: 1 MULTI_GET, 2 STATS, 3 REFRESH, 4 COUNT, 5 DOMAINS, 6 STATUS,
-7 UPDATE_ALL — see KvServer.scala for each payload/body shape.
+7 UPDATE_ALL, 8 RANGE, 9 METRICS, 10 META — see KvServer.scala for each
+payload/body shape.
 
 Usage as a library:
 
@@ -35,6 +36,7 @@ Usage as a CLI (values print as UTF-8 with backslash escapes):
     graft_client.py HOST PORT scan DOMAIN [FROM [TO]]
     graft_client.py HOST PORT update-all
     graft_client.py HOST PORT metrics
+    graft_client.py HOST PORT meta DOMAIN
 """
 
 import socket
@@ -61,6 +63,7 @@ _OP_STATUS = 6
 _OP_UPDATE_ALL = 7
 _OP_RANGE = 8
 _OP_METRICS = 9
+_OP_META = 10
 
 
 class ProtocolError(Exception):
@@ -505,6 +508,33 @@ class GraftClient:
             _OP_UPDATE_ALL, "", lambda c: None,
             lambda c: (c.read_int(), c.read_int()))
 
+    def meta(self):
+        """This domain's metadata (reference `getDomainMetaData`): the
+        spec's routing-relevant fields, served/latest versions, and the
+        shards THIS host carries with record counts (fewer than
+        num_shards is the normal replicated-ring shape)."""
+        def body(conn):
+            num_shards = conn.read_int()
+            served = conn.read_long()
+            latest = conn.read_long()
+            fmt = conn.read_utf()
+            scheme = conn.read_utf()
+            indexer = conn.read_utf()
+            n = conn.read_int()
+            if num_shards < 1 or n < 0 or n > num_shards:
+                raise ProtocolError(f"meta shard census {n} of {num_shards} out of range")
+            shards = [(conn.read_int(), conn.read_long()) for _ in range(n)]
+            return {
+                "num_shards": num_shards,
+                "served_version": served,
+                "latest_published": latest,
+                "persistence_format": fmt,
+                "shard_scheme": scheme,
+                "indexer": indexer,
+                "shards": shards,
+            }
+        return self._round_trip(_OP_META, self.domain, lambda c: None, body)
+
 
 class _NullValue:
     """Sentinel for a key that is PRESENT with a null value — distinct
@@ -559,6 +589,14 @@ def main(argv):
         with GraftClient(host, port) as c:
             swapped, failed = c.update_all()
             print(f"swapped={swapped} failed={failed}")
+    elif cmd == "meta":
+        with GraftClient(host, port, args[0]) as c:
+            m = c.meta()
+            print("num_shards={num_shards} served={served_version} "
+                  "latest={latest_published} format={persistence_format} "
+                  "scheme={shard_scheme} indexer={indexer}".format(**m))
+            for shard, records in m["shards"]:
+                print(f"shard={shard}\trecords={records}")
     elif cmd == "metrics":
         with GraftClient(host, port) as c:
             for name, value in sorted(c.metrics().items()):

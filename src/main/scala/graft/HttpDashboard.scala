@@ -148,7 +148,8 @@ object HttpDashboard {
       if (entry.isEmpty && reader.isEmpty) return None
       val shardTable = reader.map(_.shardCounts())
       val specLine = reader.map(r =>
-        s"${r.spec.numShards} shards · format ${r.spec.persistenceFormat}")
+        s"${r.spec.numShards} shards · format ${r.spec.persistenceFormat} · " +
+          s"scheme ${r.spec.shardScheme} · indexer ${r.spec.indexer}")
       val html = {
         val head = entry.map { d =>
           s"<p>status <b>${esc(d.status)}</b> · served version " +
@@ -182,6 +183,8 @@ object HttpDashboard {
           }.mkString("[", ",", "]")
           s""","num_shards":${reader.get.spec.numShards},""" +
             s""""format":${jstr(reader.get.spec.persistenceFormat)},""" +
+            s""""shard_scheme":${jstr(reader.get.spec.shardScheme)},""" +
+            s""""indexer":${jstr(reader.get.spec.indexer)},""" +
             s""""total_pairs":${sc.map(_._2).sum},"shards":$arr"""
         }.getOrElse("")
         base.dropRight(1) + shardsJson + "}"

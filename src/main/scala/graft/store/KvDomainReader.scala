@@ -484,6 +484,25 @@ final class KvDomainReader private (
     }
   }
 
+  /** [[ServingReader.metadata]]: spec fields + version pair + the PRESENT
+    * shard set with counts (one generation snapshot — the census and the
+    * version stamp can never disagree). `latestPublished` = -1 for a bare
+    * localized subset (no version history to consult). */
+  override def metadata(): DomainMeta = withGen { g =>
+    DomainMeta(
+      numShards = numShards,
+      servedVersion = g.version,
+      latestPublished = versionsOpt.flatMap(_.mostRecentVersion).getOrElse(-1L),
+      persistenceFormat = spec.persistenceFormat,
+      shardScheme = spec.shardScheme,
+      indexer = spec.indexer,
+      shards = (0 until numShards).collect {
+        case s if g.presentShards(s) =>
+          DomainMeta.ShardInfo(
+            s, KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName)))
+      })
+  }
+
   def close(): Unit = lifecycle.synchronized {
     if (!closed) {
       closed = true

@@ -58,6 +58,14 @@ import java.util.concurrent.atomic.AtomicBoolean
  *  - 9 METRICS:    (domain ignored)  →  n int, n × (name UTF, value
  *    long) — monotonic op counters (`<op>.requests`/`.errors`, volume
  *    counts, connection lifecycle), never reset server-side
+ *  - 10 META:      —  →  numShards int, servedVersion long (-1 = bare
+ *    subset), latestPublished long (-1 = none/unknown), format UTF,
+ *    shardScheme UTF, indexer UTF, n int, n × (shard int, records long)
+ *    — the reference's getDomainMetaData (core.thrift:45-54: shard set
+ *    + spec per domain): the spec's routing-relevant fields plus the
+ *    shard subset THIS host carries with per-shard record counts
+ *    (n < numShards is the normal replicated-ring shape); unknown
+ *    domain = error frame
  *
  * Threading: one accept loop + one daemon thread per connection; the
  * readers' documented lookup thread-safety carries the concurrency, the
@@ -237,7 +245,7 @@ final class KvServer(
               case KvServer.OpStats | KvServer.OpRefresh |
                    KvServer.OpCount | KvServer.OpDomains |
                    KvServer.OpStatus | KvServer.OpUpdateAll |
-                   KvServer.OpMetrics => None // no payload
+                   KvServer.OpMetrics | KvServer.OpMeta => None // no payload
               case other => throw new KvServer.FrameViolation(s"unknown op $other")
             }
           } catch {
@@ -353,6 +361,23 @@ final class KvServer(
                 out.writeLong(s.servedVersion)
                 out.writeLong(s.latestPublished)
                 out.writeBoolean(s.updating)
+              }
+            case KvServer.OpMeta =>
+              // computed fully before the first response byte, like every
+              // op (metadata() snapshots ONE generation, so the census
+              // and version stamp cannot disagree)
+              val m = reader(domain).metadata()
+              out.writeByte(0)
+              out.writeInt(m.numShards)
+              out.writeLong(m.servedVersion)
+              out.writeLong(m.latestPublished)
+              out.writeUTF(m.persistenceFormat)
+              out.writeUTF(m.shardScheme)
+              out.writeUTF(m.indexer)
+              out.writeInt(m.shards.size)
+              m.shards.foreach { s =>
+                out.writeInt(s.shard)
+                out.writeLong(s.records)
               }
             case KvServer.OpMetrics =>
               val snapshot = metricsSnapshot()
@@ -482,6 +507,7 @@ object KvServer {
   val OpUpdateAll: Byte = 7
   val OpRange: Byte = 8
   val OpMetrics: Byte = 9
+  val OpMeta: Byte = 10
 
   /** Stable wire/metric name per op (the counter namespace). */
   private[store] def opName(op: Byte): String = op match {
@@ -494,6 +520,7 @@ object KvServer {
     case OpUpdateAll => "update_all"
     case OpRange => "range"
     case OpMetrics => "metrics"
+    case OpMeta => "meta"
     case other => s"op_$other"
   }
 

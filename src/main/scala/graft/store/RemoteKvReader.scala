@@ -327,6 +327,27 @@ final class RemoteKvReader(
       Seq.fill(in.readInt())(in.readUTF() -> in.readLong()).toMap
     }
 
+  /** The reference's `getDomainMetaData` over the wire (META op): spec
+    * fields, version pair, and the shard subset the HOST carries with
+    * record counts. Shard-list length is bounds-checked against the
+    * advertised numShards before allocation (desync guard, like every
+    * length this client reads). */
+  override def metadata(): DomainMeta =
+    request(KvServer.OpMeta)(_ => ()) { in =>
+      val numShards = in.readInt()
+      val served = in.readLong()
+      val latest = in.readLong()
+      val format = in.readUTF()
+      val scheme = in.readUTF()
+      val indexer = in.readUTF()
+      val n = in.readInt()
+      if (numShards < 1 || n < 0 || n > numShards)
+        throw new RemoteKvReader.ProtocolException(
+          s"meta shard census $n of $numShards out of range")
+      DomainMeta(numShards, served, latest, format, scheme, indexer,
+        Seq.fill(n)(DomainMeta.ShardInfo(in.readInt(), in.readLong())))
+    }
+
   /** status 0 falls through; status 1 rethrows the remote failure. The
     * connection stays frame-aligned either way (the server drains the
     * request before executing), so the caller's borrow is returnable

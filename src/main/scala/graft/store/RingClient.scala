@@ -353,6 +353,16 @@ final class RingClient(
   def updateAll(): Map[String, (Int, Int)] =
     readers.map { case (host, r) => host -> r.updateAll() }
 
+  /** Per-host domain metadata (the reference's `getMetaData` across a
+    * ring, core.thrift:90 — here scoped to this client's one domain):
+    * host → spec + version pair + the shard subset each host carries
+    * with record counts. An unreachable host throws — an ops sweep must
+    * learn which host is dark, not silently shrink the census (down
+    * hosts are failover's job on the DATA path, not here); a wrong-
+    * service answer stays loud naming the host, as at construction. */
+  def metadataByHost(): Map[String, DomainMeta] =
+    readers.map { case (host, r) => host -> r.metadata() }
+
   private[store] def reader(host: String): ServingReader = readers(host)
 
   /** Close every underlying reader. */

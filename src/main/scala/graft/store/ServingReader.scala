@@ -80,6 +80,17 @@ trait ServingReader extends AutoCloseable {
     throw new UnsupportedOperationException(
       s"${getClass.getSimpleName} has no ordered storage to range-scan")
 
+  /** Per-domain metadata — the reference's `getDomainMetaData` RPC
+    * (core.thrift:45-54 carries local/remote version, the shard SET and
+    * the spec; assembled at common/metadata.clj:16-26): the spec fields,
+    * served + latest-published versions, and the shards THIS host
+    * carries with their record counts (trailer-tail reads — cheap).
+    * What an ops tool or an external router asks before anything else:
+    * which shards live here, at what version, in what format. */
+  def metadata(): DomainMeta =
+    throw new UnsupportedOperationException(
+      s"${getClass.getSimpleName} has no metadata surface")
+
   def close(): Unit
 }
 
@@ -93,3 +104,23 @@ final case class RangePage(
     vHi: Long,
     records: IndexedSeq[(Array[Byte], Array[Byte])],
     truncated: Boolean)
+
+/** [[ServingReader.metadata]]'s answer (reference `DomainMetaData`,
+  * core.thrift:45-54): the domain spec's routing-relevant fields, the
+  * version pair (served vs latest published — unequal means an update is
+  * due; -1 = none), and the shard subset THIS host carries with per-shard
+  * record counts (a ring host holds only its ring-assigned shards, so
+  * `shards.size < numShards` is the normal replicated-deploy shape). */
+final case class DomainMeta(
+    numShards: Int,
+    servedVersion: Long,
+    latestPublished: Long,
+    persistenceFormat: String,
+    shardScheme: String,
+    indexer: String,
+    shards: Seq[DomainMeta.ShardInfo])
+
+object DomainMeta {
+  /** One hosted shard: its index and record count. */
+  final case class ShardInfo(shard: Int, records: Long)
+}

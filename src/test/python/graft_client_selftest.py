@@ -120,6 +120,23 @@ def main(host, port):
         # ... and the CLIENT stays usable (fresh dial under the hood)
         check(bad.domains() == ["docs", "users"], "client unusable after error frame")
 
+    # domain metadata (reference getDomainMetaData): spec + versions +
+    # hosted shard census with record counts
+    with GraftClient(host, port, "users") as users:
+        m = users.meta()
+        check(m["num_shards"] == 4, f"meta num_shards {m}")
+        check(m["served_version"] == 1 and m["latest_published"] == 1, f"meta versions {m}")
+        check(m["persistence_format"] == "kv-sorted", f"meta format {m}")
+        check(sum(n for _, n in m["shards"]) == 5, f"meta shard records {m}")
+        check([s for s, _ in m["shards"]] == sorted(s for s, _ in m["shards"]),
+              f"meta shard order {m}")
+    with GraftClient(host, port, "no-such-domain") as bad:
+        try:
+            bad.meta()
+            check(False, "meta of unknown domain must raise")
+        except RemoteServingError:
+            pass
+
     with GraftClient(host, port) as ops:
         swapped, failed = ops.update_all()
         check(failed == 0, f"update_all failed count {failed}")

@@ -81,6 +81,14 @@ class PyClientSpec extends SparkSuite {
         "127.0.0.1", port, "scan", "docs") === ((0, "d1\tfirst document\n")))
       assert(run("python3", "/root/repo/src/main/python/graft_client.py",
         "127.0.0.1", port, "update-all") === ((0, "swapped=0 failed=0\n")))
+      val (mc, mout) = run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "meta", "users")
+      assert(mc === 0)
+      assert(mout.startsWith(
+        "num_shards=4 served=1 latest=1 format=kv-sorted scheme=hash-mod indexer=none\n"), mout)
+      // 5 keys over 4 shards leave one shard empty → absent from the
+      // census (present shards only, like the dashboard's table)
+      assert(mout.linesIterator.count(_.startsWith("shard=")) === 3, mout)
     } finally handle.close()
   }
 }

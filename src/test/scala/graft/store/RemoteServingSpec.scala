@@ -651,6 +651,69 @@ class RemoteServingSpec extends SparkSuite {
     }
   }
 
+  test("META op: remote metadata == local, ring census shows each host's shard subset") {
+    val domDir = scratch("meta-dom")
+    val store = DomainStore.create(
+      domDir,
+      DomainSpec(5, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    val keys = (0 until 200).map(i => f"mk$i%04d")
+    store.write(kvDf(keys.map(k => k -> s"v-$k")), 1L)
+
+    // full-store host: metadata over the wire == the local reader's
+    val local = KvDomainReader.open(domDir, conf)
+    val server = new KvServer(Map("users" -> local))
+    val remote = new RemoteKvReader("127.0.0.1", server.boundPort, "users")
+    try {
+      val m = remote.metadata()
+      assert(m === local.metadata())
+      assert(m.numShards === 5 && m.servedVersion === 1L && m.latestPublished === 1L)
+      assert(m.persistenceFormat === DomainSpec.KvSorted)
+      assert(m.shardScheme === DomainSpec.HashMod)
+      assert(m.indexer === classOf[BloomKeyIndexer].getName)
+      assert(m.shards.map(_.shard) === (0 until 5))
+      assert(m.shards.map(_.records).sum === 200L)
+      // an unknown domain answers an error frame, not a dropped conn
+      val bad = new RemoteKvReader("127.0.0.1", server.boundPort, "nope")
+      try intercept[RemoteServingException](bad.metadata()) finally bad.close()
+
+      // a publish the reader has not swapped to yet shows in the pair
+      store.upsert(spark, kvDf(Seq("mk0000" -> "v2")), 2L)
+      val pair = remote.metadata()
+      assert(pair.servedVersion === 1L && pair.latestPublished === 2L)
+    } finally { remote.close(); server.close(); local.close() }
+
+    // ring hosts carry SUBSETS: each host's census is its ring assignment
+    val hosts = Seq("hA", "hB")
+    val ring = ShardRing.generateIndex(hosts, 5, replication = 1)
+    val locals = hosts.map { h =>
+      val root = new Path(scratch(s"meta-$h"))
+      store.localizeVersionForHost(2L, root, ring, h)
+      h -> KvDomainReader.open(root.toString, conf, Some(ring.shardSet(h)))
+    }.toMap
+    val servers = locals.map { case (h, r) => h -> new KvServer(Map("users" -> r)) }
+    val stubs: Map[String, ServingReader] = servers.map { case (h, s) =>
+      h -> new RemoteKvReader("127.0.0.1", s.boundPort, "users")
+    }
+    val client = new RingClient(ring, stubs, rnd = new scala.util.Random(3))
+    try {
+      val byHost = client.metadataByHost()
+      assert(byHost.keySet === hosts.toSet)
+      hosts.foreach { h =>
+        assert(byHost(h).shards.map(_.shard).toSet === ring.shardSet(h),
+          s"$h census != ring assignment")
+        assert(byHost(h).shards.size < byHost(h).numShards) // a replica subset
+      }
+      // union covers the domain exactly once at replication 1
+      assert(byHost.values.flatMap(_.shards.map(_.shard)).toSeq.sorted === (0 until 5))
+      assert(byHost.values.flatMap(_.shards.map(_.records)).sum === 200L)
+    } finally {
+      client.close()
+      servers.values.foreach(_.close())
+      locals.values.foreach(_.close())
+    }
+  }
+
   test("rangePage: a pathological duplicate run fails loud on BYTES, not OOM") {
     import graft.core.ShardIndex
     // 12 copies of a 200 KB value: the drain past a tiny byte cap must
