@@ -19,7 +19,13 @@ import graft.store.{KvDomainReader, ServedDomainStatus}
  *  - `GET /status.json`         — the census as JSON (machine-readable)
  *  - `GET /domain/<name>.json`  — per-domain detail as JSON
  *  - `GET /metrics.json`        — the socket server's monotonic op
- *                                 counters (what a scraper polls)
+ *                                 counters (what a scraper polls);
+ *                                 `?window=SECONDS` adds the in-daemon
+ *                                 history samples inside the window
+ *                                 (bounded ring, one sampler thread) —
+ *                                 rate-of-change without external
+ *                                 scrape tooling (the reference leaned
+ *                                 on Graphite, common/metrics.clj:5-15)
  *  - `GET /healthz`             — 200 `ok` when fully loaded, 503 while
  *                                 any domain is still loading (load-
  *                                 balancer readiness semantics; a failed
@@ -39,11 +45,15 @@ import graft.store.{KvDomainReader, ServedDomainStatus}
  */
 final class HttpDashboard private (
     server: HttpServer,
-    pool: java.util.concurrent.ExecutorService) extends AutoCloseable {
+    pool: java.util.concurrent.ExecutorService,
+    samplerStop: java.util.concurrent.atomic.AtomicBoolean,
+    sampler: Option[Thread]) extends AutoCloseable {
 
   def boundPort: Int = server.getAddress.getPort
 
   def close(): Unit = {
+    samplerStop.set(true)
+    sampler.foreach(_.interrupt())
     server.stop(0)
     pool.shutdownNow()
   }
@@ -76,13 +86,19 @@ object HttpDashboard {
       s""""served_version":${d.servedVersion},"latest_published":${d.latestPublished},""" +
       s""""updating":${d.updating}}"""
 
+  /** Ring buffer cap for the in-daemon metrics history: 360 samples =
+    * 1 h at the default 10 s cadence. Bounded — a long-lived daemon's
+    * dashboard must hold a fixed-size window, never grow. */
+  val HistorySamples: Int = 360
+
   def start(
       port: Int,
       census: () => Seq[ServedDomainStatus],
       readers: () => Map[String, KvDomainReader],
       socketPort: () => Int,
       metrics: () => Seq[(String, Long)] = () => Nil,
-      bindAddress: String = "127.0.0.1"): HttpDashboard = {
+      bindAddress: String = "127.0.0.1",
+      sampleIntervalMs: Long = 10000L): HttpDashboard = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       Threads,
       (r: Runnable) => {
@@ -97,6 +113,13 @@ object HttpDashboard {
     val server = HttpServer.create(
       new InetSocketAddress(java.net.InetAddress.getByName(bindAddress), port), 0)
     server.setExecutor(pool)
+
+    // in-daemon metrics history: a bounded ring of (epochMillis,
+    // snapshot) samples taken by ONE daemon thread — /metrics.json?window=
+    // serves rate-of-change from it (a Nil source stores empty
+    // snapshots: cheap, bounded, and the window surface stays uniform).
+    val history = new scala.collection.mutable.ArrayDeque[(Long, Seq[(String, Long)])]()
+    val samplerStop = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     def respond(ex: HttpExchange, code: Int, contentType: String, body: String): Unit = {
       val bytes = body.getBytes(UTF_8)
@@ -209,9 +232,38 @@ object HttpDashboard {
             if (fullyLoaded(census())) respond(ex, 200, "text/plain", "ok\n")
             else respond(ex, 503, "text/plain", "loading\n")
           case "/metrics.json" =>
-            respond(ex, 200, "application/json",
-              metrics().map { case (k, v) => s"${jstr(k)}:$v" }
-                .mkString("{", ",", "}"))
+            // bare: the live counter snapshot (backward-compatible).
+            // ?window=SECONDS: the snapshot PLUS the in-daemon history
+            // samples inside the window — rate-of-change for an
+            // operator without external scrape tooling (the reference
+            // leaned on Graphite reporters, common/metrics.clj:5-15)
+            val window = Option(ex.getRequestURI.getQuery)
+              .flatMap(_.split("&").collectFirst {
+                case q if q.startsWith("window=") =>
+                  try q.stripPrefix("window=").toLong
+                  catch { case _: NumberFormatException => -1L }
+              })
+            window match {
+              case None =>
+                respond(ex, 200, "application/json",
+                  metrics().map { case (k, v) => s"${jstr(k)}:$v" }
+                    .mkString("{", ",", "}"))
+              case Some(w) if w <= 0 =>
+                respond(ex, 400, "text/plain", "window must be a positive integer (seconds)\n")
+              case Some(w) =>
+                val cutoff = System.currentTimeMillis() - w * 1000L
+                val samples = history.synchronized {
+                  history.toSeq.filter(_._1 >= cutoff)
+                }
+                val sampleJson = samples.map { case (ts, m) =>
+                  s"""{"ts":$ts,"counters":${
+                    m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")}}"""
+                }.mkString("[", ",", "]")
+                respond(ex, 200, "application/json",
+                  s"""{"now":${metrics().map { case (k, v) => s"${jstr(k)}:$v" }
+                    .mkString("{", ",", "}")},"interval_ms":$sampleIntervalMs,""" +
+                    s""""samples":$sampleJson}""")
+            }
           case p if p.startsWith("/domain/") =>
             val raw = p.stripPrefix("/domain/")
             val (name, wantJson) =
@@ -232,7 +284,28 @@ object HttpDashboard {
       }
     })
     server.start()
-    new HttpDashboard(server, pool)
+    val sampler = {
+      Some {
+        val t = new Thread(() => {
+          while (!samplerStop.get()) {
+            try {
+              val snap = metrics()
+              val now = System.currentTimeMillis()
+              history.synchronized {
+                history.append(now -> snap)
+                while (history.size > HistorySamples) history.removeHead()
+              }
+            } catch { case _: Exception => () } // transient source failure: skip the tick
+            try Thread.sleep(sampleIntervalMs)
+            catch { case _: InterruptedException => () } // stop flag governs exit
+          }
+        }, "graft-dashboard-sampler")
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+    }
+    new HttpDashboard(server, pool, samplerStop, sampler)
   }
 
   private val Style: String =

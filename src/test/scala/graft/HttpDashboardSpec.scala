@@ -113,4 +113,43 @@ class HttpDashboardSpec extends SparkSuite {
       fetch(s"http://127.0.0.1:${handle.dashboardPort.get}/healthz")
     }
   }
+
+  test("metrics history: ?window= serves bounded in-daemon samples with rate-of-change") {
+    val counter = new java.util.concurrent.atomic.AtomicLong(0)
+    val dash = HttpDashboard.start(
+      0, () => Nil, () => Map.empty, () => 0,
+      metrics = () => Seq("ticks" -> counter.incrementAndGet()),
+      sampleIntervalMs = 50L)
+    try {
+      val base = s"http://127.0.0.1:${dash.boundPort}"
+      // bare endpoint: unchanged snapshot shape
+      val (bc, bare) = fetch(s"$base/metrics.json")
+      assert(bc === 200 && bare.startsWith("""{"ticks":"""), bare)
+
+      // the sampler fills the ring; wait for >= 3 samples in the window
+      val deadline = System.nanoTime() + 15e9.toLong
+      var body = ""
+      var ts = 0
+      while (ts < 3 && System.nanoTime() < deadline) {
+        body = fetch(s"$base/metrics.json?window=60")._2
+        ts = "\"ts\":".r.findAllIn(body).length
+        if (ts < 3) Thread.sleep(50)
+      }
+      assert(ts >= 3, s"sampler never produced 3 samples: $body")
+      assert(body.contains(""""now":{"ticks":"""), body)
+      assert(body.contains(""""interval_ms":50"""), body)
+      // rate-of-change is visible: the SAMPLED counter values increase
+      // in sample order (the "now" field precedes the samples — exclude it)
+      val sampleSection = body.substring(body.indexOf("\"samples\":"))
+      val vals = """"ticks":(\d+)""".r.findAllMatchIn(sampleSection)
+        .map(_.group(1).toLong).toSeq
+      assert(vals.distinct.size >= 3, s"samples show no movement: $vals")
+      assert(vals === vals.sorted, s"monotonic counter sampled out of order: $vals")
+
+      // invalid windows answer 400, not 500
+      assert(fetch(s"$base/metrics.json?window=0")._1 === 400)
+      assert(fetch(s"$base/metrics.json?window=-5")._1 === 400)
+      assert(fetch(s"$base/metrics.json?window=abc")._1 === 400)
+    } finally dash.close()
+  }
 }
