@@ -74,6 +74,15 @@ object Bench {
         queries.PipelineQueries.imageIndexProbe(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val imgProbe = (System.nanoTime() - ip0) / 1e9
+        // the embedding twin (build = cell assignment + publish; probe =
+        // delta cells + point lookups + cosine verify of named rows)
+        val eb0 = System.nanoTime()
+        queries.PipelineQueries.semIndexStore(spark, sfDir)
+        val semBuild = (System.nanoTime() - eb0) / 1e9
+        val ep0 = System.nanoTime()
+        queries.PipelineQueries.semIndexProbe(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val semProbe = (System.nanoTime() - ep0) / 1e9
         // same attribution for the two ANN-serving pipelines (fixtures
         // still fresh for their stores: reset() above cleared them)
         val ab0 = System.nanoTime()
@@ -115,6 +124,8 @@ object Bench {
           "pipeline_dedup_index_probe" -> probeSec,
           "pipeline_image_index_build" -> imgBuild,
           "pipeline_image_index_probe" -> imgProbe,
+          "pipeline_semdedup_index_build" -> semBuild,
+          "pipeline_semdedup_index_probe" -> semProbe,
           "pipeline_ann_index_build" -> annBuild,
           "pipeline_ann_index_probe" -> annProbe,
           "pipeline_annpq_index_build" -> pqBuild,

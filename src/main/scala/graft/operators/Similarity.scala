@@ -1337,6 +1337,156 @@ object Similarity {
   }
 
   /**
+   * An embedding corpus's semantic-dedup cells as publishable KV rows —
+   * key = cell:long_be (ONE seeded-hyperplane table, 2^planes cells,
+   * the [[semanticDedup]] partition), value = comma-joined sorted member
+   * ids. The embedding twin of `Dedup.bandIndexKv`: publish once, and a
+   * daily embedding delta dedups against it by POINT LOOKUP
+   * ([[semDedupAgainstIndex]]) instead of re-clustering the corpus.
+   * Zero-norm vectors are never indexed (no cosine to anything — the
+   * [[semanticDedup]] contract).
+   *
+   * Cell sizing is the caller's lever exactly as in [[semanticDedup]]:
+   * cells grow with the corpus at fixed `planes`, so the publish drops
+   * cells past `maxBucket` (probes of a dropped cell miss; raise
+   * `planes` — the paper's k — to re-bound them) and an upsert crossing
+   * the cap fails loud.
+   */
+  def semIndexKv(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
+    import graft.functions.{long_be, utf8_bytes}
+    val p = prepared(corpus, idCol, vecCol)
+    val dimRow = p.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(lit(Array.empty[Byte]).as("key"), lit(Array.empty[Byte]).as("value"))
+        .limit(0)
+    val cells = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
+      .select(col("id"), col("bucket").as("cell"))
+    LshBuckets.bounded(cells, Seq("cell"), maxBucket)
+      .groupBy(col("cell"))
+      .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
+      .select(long_be(col("cell")).as("key"), utf8_bytes(col("ids")).as("value"))
+  }
+
+  /**
+   * Semantic near-dups of `incoming` embeddings against a PUBLISHED
+   * [[semIndexKv]] domain: assign the delta's cells (same seeded
+   * planes), probe the index with hits-only point lookups (bounded
+   * probe set by the incremental contract — shard pruning + bloom
+   * sidecars apply), then exact-cosine-verify ONLY the corpus rows
+   * named by candidates (semi-join first — per-call cost is
+   * O(delta + candidates), never O(corpus)). Incoming and corpus id
+   * spaces must be disjoint (pairs are oriented incoming → corpus) and
+   * integral (ids round-trip through index values as decimal strings)
+   * — both fail loud, the `Dedup.dedupAgainstIndex` contract.
+   *
+   * Output: (delta_id, corpus_id), one row per oriented pair with
+   * cosine >= threshold whose two members share a cell — the
+   * [[semanticDedup]] candidate rule served from the index (same
+   * deliberate non-transitivity: compose `Dedup.components` for
+   * clusters).
+   */
+  def semDedupAgainstIndex(
+      store: graft.store.DomainStore,
+      incoming: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int): DataFrame = {
+    import graft.functions.{bytes_utf8, long_be}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq("incoming" -> incoming, "corpus" -> corpus).foreach { case (side, df) =>
+      df.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"semDedupAgainstIndex: $side id column '$idCol' must be integral " +
+            s"(ids travel through index values as decimal strings), got ${other.simpleString}")
+      }
+    }
+    val pIn = prepared(incoming, idCol, vecCol).persist()
+    try {
+      val dimRow = pIn.select(size(col("vec"))).head(1)
+      if (dimRow.isEmpty)
+        return incoming.sparkSession.emptyDataFrame
+          .select(lit(0L).as("delta_id"), lit(0L).as("corpus_id")).limit(0)
+      val probes = lshBuckets(pIn, 1, planes, dimRow(0).getInt(0))
+        .select(col("id").as("id_a"), long_be(col("bucket")).as("key"))
+      val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+      val cand = probes.join(hits, "key")
+        .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
+        .select(col("id_a"), col("cid").cast("long").as("id_b"))
+        .distinct()
+        .localCheckpoint(true)
+      val inIds = incoming.select(col(idCol).cast("long").as("_in_id"))
+      val clash = cand.join(inIds, col("id_b") === col("_in_id"), "left_semi")
+        .limit(1).collect()
+      if (clash.nonEmpty) throw new IllegalArgumentException(
+        s"semDedupAgainstIndex: id ${clash(0).get(1)} appears on both the incoming " +
+          "and corpus sides — id spaces must be disjoint (pairs are oriented " +
+          "incoming -> corpus)")
+      val corpusNeeded = prepared(
+        corpus.select(col(idCol), col(vecCol)).join(
+          cand.select(col("id_b").as("_cand_id")),
+          col(idCol) === col("_cand_id"), "left_semi"),
+        idCol, vecCol)
+      cand
+        .join(pIn.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), "id_a")
+        .join(corpusNeeded.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), "id_b")
+        .where(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"))
+        .localCheckpoint(true)
+    } finally pIn.unpersist()
+  }
+
+  /**
+   * Incremental growth of a PUBLISHED [[semIndexKv]] domain: fold a
+   * delta's cell memberships in (string-sorted id merge — re-adding an
+   * indexed id is idempotent), untouched cells copy-forward. Same cap
+   * asymmetry as `Dedup.bandIndexUpsert`: a merge crossing `maxBucket`
+   * FAILS LOUD naming the re-cluster (here: more planes) as the fix.
+   */
+  def semIndexUpsert(
+      index: graft.store.DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      vecCol: String,
+      newVersion: Long,
+      planes: Int,
+      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+    val spark = delta.sparkSession
+    import graft.functions.bytes_utf8
+    val additions = semIndexKv(delta, idCol, vecCol, planes, maxBucket = Int.MaxValue)
+      .select(col("key"), bytes_utf8(col("value")).as("add"))
+      .persist()
+    try {
+      val current = index
+        .multiGet(additions.select(col("key")), includeMisses = true)
+        .select(col("key"), bytes_utf8(col("value")).as("cur"))
+      val curIds =
+        when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
+          .otherwise(split(col("cur"), ","))
+      val merged = additions.join(current, Seq("key"))
+        .select(col("key"),
+          array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
+        .select(col("key"),
+          graft.functions.utf8_bytes(
+            when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
+              .otherwise(raise_error(concat(
+                lit(s"semIndexUpsert: a merged cell exceeds maxBucket=$maxBucket "),
+                lit("members — the rebuild path would DROP it and an upsert cannot: "),
+                lit("re-cluster with semIndexKv at more planes instead")))))
+            .as("value"))
+      index.upsert(spark, merged, newVersion)
+    } finally additions.unpersist()
+  }
+
+  /**
    * Prototype-based data pruning (SSL-prototypes, Sorscher et al. 2022,
    * arXiv:2206.14486; step 2 of D4, Abbas et al. 2023): cluster the
    * embedding space, score each example by its distance to its cluster

@@ -21,6 +21,12 @@ object PipelineQueries {
 
   val MinTokens = 20
   val DeltaMod = 10
+  // pipeline_semdedup_index's verify threshold: LOWER than
+  // dedup_semantic's 0.44 on purpose — the synthetic embeddings carry
+  // few >= 0.44 delta-corpus pairs (5 at sf0.01), and a contract query
+  // whose correct answer is near-empty pins nothing; 0.3 yields a
+  // non-vacuous pair set at every sf while exercising the identical path
+  val SemIndexThreshold = 0.3
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_corpus_filter" -> { (s, dir) =>
@@ -93,6 +99,17 @@ object PipelineQueries {
     "pipeline_image_index" -> { (s, dir) =>
       imageIndexStore(s, dir)
       imageIndexProbe(s, dir)
+    },
+    // The EMBEDDING twin of pipeline_dedup_index (SemDeDup served from a
+    // published index): the corpus's seeded-hyperplane cells published
+    // AS A KV DOMAIN (key = cell, value = member ids), an incoming
+    // embedding delta probes them by point lookup, and only the corpus
+    // rows named by candidates get the exact cosine verify — a daily
+    // delta never re-clusters the corpus. Deterministic planes make the
+    // whole path oracled (cells + oriented candidates + cosine replayed).
+    "pipeline_semdedup_index" -> { (s, dir) =>
+      semIndexStore(s, dir)
+      semIndexProbe(s, dir)
     },
     // ANN served from a PUBLISHED domain — the other flagship composition
     // (vector-search twin of pipeline_dedup_index): the corpus's IVF
@@ -241,6 +258,32 @@ object PipelineQueries {
           "doc_id", "text"),
         version = 1L)
     }
+  }
+
+  /** The BUILD half of pipeline_semdedup_index: publish the corpus
+    * embeddings' hyperplane cells as a KV domain (bloom sidecars for
+    * the probe's misses, like every index fixture). */
+  def semIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
+    val spec = DomainSpec(
+      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName)
+    Fixtures.domain(s, dir, "semdedup-cell-index", spec) { (st, sp) =>
+      st.write(
+        Similarity.semIndexKv(
+          Fixtures.table(sp, dir, "embeddings").where(col("vec_id") % DeltaMod =!= 0),
+          "vec_id", "embedding", DedupQueries.SemPlanes),
+        version = 1L)
+    }
+  }
+
+  /** The PROBE half: delta cell assignment + point lookups + exact
+    * cosine verify of the named corpus rows only. */
+  def semIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Fixtures.table(s, dir, "embeddings")
+    Similarity.semDedupAgainstIndex(
+      semIndexStore(s, dir),
+      emb.where(col("vec_id") % DeltaMod === 0),
+      emb.where(col("vec_id") % DeltaMod =!= 0),
+      "vec_id", "embedding", SemIndexThreshold, DedupQueries.SemPlanes)
   }
 
   /** The BUILD half of pipeline_image_index: hash the corpus images
@@ -449,6 +492,32 @@ object PipelineQueries {
          |  CAST(i AS DOUBLE) / (cd.n + cx.n - i) AS jaccard
          |FROM inter JOIN c cd ON cd.doc_id = delta_id JOIN c cx ON cx.doc_id = corpus_id
          |WHERE CAST(i AS DOUBLE) / (cd.n + cx.n - i) >= ${DedupQueries.MinHashThreshold}""".stripMargin,
+    // Delta-vs-corpus semantic near-dups: same seeded-plane cell CTEs as
+    // dedup_semantic, with the candidate join ORIENTED (delta side x,
+    // corpus side y) and the exact cosine filter — the index probe path
+    // must equal this bit for bit (cells are deterministic, candidates
+    // are exactly the co-cell pairs, verify is the same cosine).
+    "pipeline_semdedup_index" ->
+      s"""WITH pl(tbl, bit, p) AS (VALUES
+         |${SimQueries.planesValues(1, DedupQueries.SemPlanes)}),
+         |ef AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |cells AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_inner_product(ef.v, pl.p) > 0
+         |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
+         |  FROM ef, pl GROUP BY 1),
+         |cand AS (
+         |  SELECT x.vec_id AS delta_id, y.vec_id AS corpus_id
+         |  FROM cells x JOIN cells y ON x.cell = y.cell
+         |  WHERE x.vec_id % $DeltaMod = 0 AND y.vec_id % $DeltaMod != 0)
+         |SELECT DISTINCT delta_id, corpus_id
+         |FROM cand
+         |JOIN ef ex ON ex.vec_id = delta_id
+         |JOIN ef ey ON ey.vec_id = corpus_id
+         |WHERE list_cosine_similarity(ex.v, ey.v) >= $SemIndexThreshold""".stripMargin,
     // Delta-vs-corpus image near-dups — the phash + pigeonhole banding
     // replayed in closed form, with the candidate join ORIENTED (delta
     // side a, corpus side b; the two are disjoint by the mod split).

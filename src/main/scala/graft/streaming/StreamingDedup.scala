@@ -100,4 +100,28 @@ object StreamingDedup {
         graft.operators.Multimodal.phashIndexUpsert(index, batch, newVersion = version)
       })
       .start()
+
+  /** The EMBEDDING twin: each micro-batch of accepted embeddings folds
+    * its hyperplane-cell memberships into a published
+    * [[graft.operators.Similarity.semIndexKv]] domain, so the next
+    * embedding delta's semantic-dedup probe sees today's accepts too.
+    * Same version/replay protocol. */
+  def growSemIndexStream(
+      index: DomainStore,
+      embStream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    embStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Similarity.semIndexUpsert(
+          index, batch, idCol, vecCol, newVersion = version, planes = planes)
+      })
+      .start()
 }

@@ -868,6 +868,75 @@ class OperatorsSpec extends SparkSuite {
     assert(e3.getMessage.contains("pigeonhole"))
   }
 
+  test("semantic cell index: probe == in-cell cosine pairs, upsert == rebuild, guards loud") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val base = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding"))
+    val corpus = base.where(col("vec_id") % 4 =!= 0)
+    // plant exact semantic dups: clones of corpus vectors under fresh
+    // delta-side ids (cosine 1 to their sources), plus the natural delta
+    val clones = corpus.orderBy(col("vec_id")).limit(5)
+      .withColumn("vec_id", lit(1000000L) + monotonically_increasing_id() * 4)
+    val delta = base.where(col("vec_id") % 4 === 0).unionByName(clones)
+    val emb = corpus.unionByName(delta)
+    val planes = 4
+    val t = 0.44
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+
+    // probe against the published index == semanticDedup's candidate rule
+    // (co-cell + cosine >= t), oriented delta -> corpus
+    val ix = graft.store.DomainStore.create(scratch("sem-ix/base"), spec, conf)
+    ix.write(Similarity.semIndexKv(corpus, "vec_id", "embedding", planes), 1L)
+    val got = Similarity.semDedupAgainstIndex(
+        ix, delta, corpus, "vec_id", "embedding", t, planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // expected: same cells over the UNION, oriented pairs, exact cosine
+    val p = Similarity.prepared(emb, "vec_id", "embedding")
+    val dim = p.select(size(col("vec"))).head().getInt(0)
+    val cells = Similarity.lshBuckets(p, 1, planes, dim)
+      .select(col("id"), col("vec"), col("norm"), col("bucket"))
+    val expected = cells.as("x").join(cells.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.id") % 4 === 0 && col("y.id") % 4 =!= 0 &&
+          Similarity.dot(col("x.vec"), col("y.vec")) /
+            (col("x.norm") * col("y.norm")) >= t)
+      .select(col("x.id"), col("y.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture produced no semantic near-dups — test is vacuous")
+
+    // upsert == rebuild on the union (idempotent re-ingest included)
+    val inc = graft.store.DomainStore.create(scratch("sem-ix/inc"), spec, conf)
+    inc.write(Similarity.semIndexKv(corpus, "vec_id", "embedding", planes), 1L)
+    Similarity.semIndexUpsert(
+      inc, delta.unionByName(corpus.limit(3)), "vec_id", "embedding", 2L, planes)
+    val full = graft.store.DomainStore.create(scratch("sem-ix/full"), spec, conf)
+    full.write(Similarity.semIndexKv(emb, "vec_id", "embedding", planes), 1L)
+    def kvPairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(kvPairs(inc) === kvPairs(full))
+    assert(kvPairs(inc).nonEmpty)
+
+    // overlapping id spaces fail loud
+    val e = intercept[IllegalArgumentException](
+      Similarity.semDedupAgainstIndex(
+        ix, corpus.limit(5), corpus, "vec_id", "embedding", t, planes))
+    assert(e.getMessage.contains("disjoint"))
+
+    // a cap-crossing merge fails loud naming the re-cluster
+    val capped = graft.store.DomainStore.create(scratch("sem-ix/cap"), spec, conf)
+    capped.write(Similarity.semIndexKv(corpus, "vec_id", "embedding", planes, maxBucket = 10000), 1L)
+    def messages(th: Throwable): Seq[String] =
+      if (th == null) Nil else Option(th.getMessage).toSeq ++ messages(th.getCause)
+    val e2 = intercept[Exception](
+      Similarity.semIndexUpsert(
+        capped, delta, "vec_id", "embedding", 2L, planes, maxBucket = 1))
+    assert(messages(e2).exists(_.contains("re-cluster")), messages(e2).mkString(" | "))
+  }
+
   test("dedupAgainstIndex rejects overlapping id spaces even when the texts differ") {
     import spark.implicits._
     val corpus = Seq(

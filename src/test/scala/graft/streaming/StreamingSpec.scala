@@ -217,6 +217,23 @@ class StreamingSpec extends SparkSuite {
     imgFull.write(graft.operators.Multimodal.phashIndexKv(
       hashesOf(docs.where(col("doc_id") % 3 =!= 2).select(col("doc_id")))), 1L)
     assert(pairs(imgIndex) === pairs(imgFull) && pairs(imgIndex).nonEmpty)
+
+    // semantic cell-index growth (the embedding twin)
+    val semSrc = scratch("stream-sem-src")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(semSrc))
+    val semIndex = graft.store.DomainStore.create(scratch("stream-sem-dom"), spec, conf)
+    semIndex.write(graft.operators.Similarity.semIndexKv(
+      emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding", 4), 1L)
+    emb.where(col("vec_id") % 3 === 1).coalesce(1).write.parquet(s"$semSrc/d0")
+    val q4 = StreamingDedup.growSemIndexStream(
+      semIndex, spark.readStream.schema(emb.schema).parquet(s"$semSrc/*"),
+      "vec_id", "embedding", planes = 4,
+      baseVersion = 1L, checkpointDir = scratch("stream-sem-ckpt"), queryName = "sem_grow")
+    try q4.awaitTermination() finally q4.stop()
+    val semFull = graft.store.DomainStore.create(scratch("stream-sem-full"), spec, conf)
+    semFull.write(graft.operators.Similarity.semIndexKv(
+      emb.where(col("vec_id") % 3 =!= 2), "vec_id", "embedding", 4), 1L)
+    assert(pairs(semIndex) === pairs(semFull) && pairs(semIndex).nonEmpty)
   }
 
   test("streaming search-index growth converges to the from-scratch build across batches") {
