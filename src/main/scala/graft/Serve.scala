@@ -441,15 +441,20 @@ object Serve {
       hostName: String,
       conf: Configuration,
       log: String => Unit = println): ConfHandle = {
-    val g = ServeConfig.readGlobal(globalPath, conf)
+    // local first: its fs.* entries configure the FileSystem everything
+    // else (the possibly-remote global conf, the central stores, the
+    // pulls) is reached through — the reference's read order
+    // (config.clj:60-78 read local, then global via its :blob-conf)
     val l = ServeConfig.readLocal(localPath, conf)
+    val fsConf = l.hadoopConf(conf)
+    val g = ServeConfig.readGlobal(globalPath, fsConf)
     val me = g.host(hostName)
     val keepLocal = if (l.cleanupKeep == 0) Int.MaxValue else math.max(2, l.cleanupKeep)
     val intervalMs = l.updateIntervalS * 1000L
     // serve first (an empty local root fills as pulls land — start's
     // late-discovery sweep picks new domains up), then pull
     val serveHandle = start(
-      l.localRoot, conf,
+      l.localRoot, fsConf,
       port = me.port,
       refreshMillis = intervalMs,
       log = log,
@@ -459,21 +464,37 @@ object Serve {
     val pullWake = new CountDownLatch(1)
     val noticed = ConcurrentHashMap.newKeySet[String]()
     val centrals = new ConcurrentHashMap[String, graft.store.DomainStore]()
+    // the ring deal is deterministic in (hosts, numShards, replication),
+    // all fixed for the daemon's life per domain shard count — cache it
+    // instead of re-dealing O(shards x replication) every sweep (keyed by
+    // numShards so a recreated central with a new spec re-deals)
+    val rings = new ConcurrentHashMap[(String, Int), graft.store.ShardRing.Index]()
     val puller = new Thread(() => {
       while (!pullStop.get()) {
         g.domains.toSeq.sortBy(_._1).foreach { case (name, srcRoot) =>
           if (!pullStop.get()) {
             try {
               val central = centrals.computeIfAbsent(
-                name, _ => graft.store.DomainStore.open(srcRoot, conf))
+                name, _ => graft.store.DomainStore.open(srcRoot, fsConf))
               central.versions.mostRecentVersion.foreach { v =>
-                val ring = graft.store.ShardRing.generateIndex(
-                  g.hosts.map(_.name), central.numShards, g.replication)
+                val ring = rings.computeIfAbsent(
+                  (name, central.numShards),
+                  _ => graft.store.ShardRing.generateIndex(
+                    g.hosts.map(_.name), central.numShards, g.replication))
                 if (ring.shardSet(me.name).nonEmpty) {
+                  // the pull-side reaper needs the SERVED-version floor
+                  // (CLAUDE.md / VersionedStore.cleanup(keep, floor)): the
+                  // keep-newest-N window can slide past a version the
+                  // serving reader is still swapped to (updater stall, two
+                  // publishes in one sweep) — reaping it would turn every
+                  // lookup into FileNotFoundException
+                  val servedFloor = serveHandle.readers.get(name)
+                    .map(_.servedVersion).getOrElse(-1L)
                   val delta = central.localizeVersionForHost(
                     v, new Path(l.localRoot, name), ring, me.name,
                     maxKBps = l.downloadRateLimitKbps,
-                    keepLocalVersions = keepLocal)
+                    keepLocalVersions = keepLocal,
+                    keepFloor = servedFloor)
                   if (delta.transferred.nonEmpty || delta.reused.nonEmpty)
                     log(s"[serve] pulled $name v$v (" +
                       s"${delta.transferred.size} transferred, " +

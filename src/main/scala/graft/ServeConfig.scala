@@ -50,6 +50,12 @@ import org.apache.hadoop.fs.Path
  *                                         # just-retired version must outlive
  *                                         # in-flight lookups)
  * http.port = 8080                        # optional dashboard
+ * fs.<key> = <value>                      # Hadoop conf entries applied before
+ *                                         # any filesystem is touched — the
+ *                                         # reference's :hdfs-conf/:blob-conf
+ *                                         # (local-conf.clj:4, config.clj:25-28):
+ *                                         # e.g. fs.defaultFS, credentials for
+ *                                         # the central stores' FS
  * }}}
  */
 object ServeConfig {
@@ -76,7 +82,18 @@ object ServeConfig {
       updateIntervalS: Int,
       downloadRateLimitKbps: Option[Int],
       cleanupKeep: Int,
-      httpPort: Option[Int])
+      httpPort: Option[Int],
+      fsConf: Map[String, String] = Map.empty) {
+    /** A COPY of `base` with this conf's `fs.*` entries applied — the
+      * Configuration every FS touch of a conf boot goes through (the
+      * reference threaded :hdfs-conf/:blob-conf the same way). The
+      * caller's object is never mutated. */
+    def hadoopConf(base: Configuration): Configuration = {
+      val c = new Configuration(base)
+      fsConf.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+  }
 
   /** Read + validate the shared global conf through the Hadoop
     * FileSystem of `path` (local paths work unchanged; so does an
@@ -134,6 +151,11 @@ object ServeConfig {
         "(the just-retired version must outlive in-flight lookups)")
     val interval = intKey(props, "update.interval.s", default = Some(60), path)
     require(interval >= 1, s"$path: update.interval.s must be >= 1, got $interval")
+    import scala.jdk.CollectionConverters._
+    val fsConf = props.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("fs."))
+      .map(k => k -> props.getProperty(k).trim)
+      .toMap
     Local(
       localRoot = localRoot,
       updateIntervalS = interval,
@@ -142,7 +164,8 @@ object ServeConfig {
           require(v >= 1, s"$path: download.rate.limit.kbps must be >= 1, got $v"); v
         },
       cleanupKeep = keep,
-      httpPort = optIntKey(props, "http.port", path))
+      httpPort = optIntKey(props, "http.port", path),
+      fsConf = fsConf)
   }
 
   private def load(path: String, conf: Configuration): Properties = {

@@ -286,6 +286,20 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Ids round-trip through index values as decimal strings (`id:phash`
+    * entries) and back through `cast("long")` — a string id '007' would
+    * silently split into two id spaces ('007' probing, 7 unpacked).
+    * Fail loud upfront, the `Dedup.dedupAgainstIndex` contract. */
+  private def requireIntegralMediaId(df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema("media_id").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op: media_id must be integral (ids travel through index values " +
+          s"as decimal strings), got ${other.simpleString}")
+    }
+  }
+
   /** The shared banding projection (4 rows per hash): bucket =
     * `(phash >>> 16·band) & 0xFFFF` — the mask makes the shift's sign
     * treatment irrelevant, so the DuckDB oracle's arithmetic `>>`
@@ -316,6 +330,7 @@ object Multimodal {
       hashes: DataFrame,
       maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
+    requireIntegralMediaId(hashes, "phashIndexKv")
     LshBuckets.bounded(phashBandBuckets(hashes), Seq("band", "bucket"), maxBucket)
       .groupBy(col("band"), col("bucket"))
       .agg(concat_ws(",", sort_array(collect_list(
@@ -354,6 +369,7 @@ object Multimodal {
       s"maxHamming $maxHamming outside [0, $PhashBands): the $PhashBands-band " +
         "pigeonhole guarantees complete recall only below the band count — " +
         "re-band (more, narrower bands) instead of silently missing pairs")
+    requireIntegralMediaId(incoming, "phashDedupAgainstIndex")
     val probes = phashBandBuckets(incoming).select(
       col("media_id").as("id_a"), col("phash").as("ph_a"),
       composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"))
@@ -415,9 +431,24 @@ object Multimodal {
         .select(col("key"),
           array_sort(array_distinct(concat(curEntries, split(col("add"), ","))))
             .as("entries"))
+        // an id re-ingested with a CHANGED phash is remove+add, which an
+        // upsert cannot express (the old entry's OTHER band buckets are
+        // unreachable from here) — and a stale id:phash entry would feed
+        // the probe's popcount verify WRONG data, a silent-miss class.
+        // Detectable exactly when old and new land in the same bucket
+        // (guaranteed for hamming <= 3 by the pigeonhole: at least one
+        // band is unchanged), and that is where it fails loud.
+        .select(col("key"), col("entries"),
+          size(array_distinct(expr("transform(entries, e -> split(e, ':')[0])")))
+            .as("n_ids"))
         .select(col("key"),
           graft.functions.utf8_bytes(
-            when(size(col("entries")) <= maxBucket, concat_ws(",", col("entries")))
+            when(col("n_ids") =!= size(col("entries")), raise_error(concat(
+              lit("phashIndexUpsert: an id was re-ingested with a CHANGED "),
+              lit("phash (old and new entries share a bucket) — an upsert has "),
+              lit("no tombstone for the old hash: re-band the corpus with "),
+              lit("phashIndexKv instead"))))
+              .when(size(col("entries")) <= maxBucket, concat_ws(",", col("entries")))
               .otherwise(raise_error(concat(
                 lit(s"phashIndexUpsert: a merged bucket exceeds maxBucket=$maxBucket "),
                 lit("members — the rebuild path would DROP it and an upsert cannot: "),

@@ -1415,6 +1415,19 @@ object Similarity {
       if (dimRow.isEmpty)
         return incoming.sparkSession.emptyDataFrame
           .select(lit(0L).as("delta_id"), lit(0L).as("corpus_id")).limit(0)
+      // the seeded planes are a function of DIMENSION: a delta from a
+      // different-dim encoder would bucket under entirely different
+      // planes than the published index and read as clean misses — a
+      // silently empty answer. Cross-check against the corpus (one head
+      // row each) and fail loud instead.
+      val corpusDim = prepared(corpus, idCol, vecCol)
+        .select(size(col("vec"))).head(1)
+      if (corpusDim.nonEmpty && corpusDim(0).getInt(0) != dimRow(0).getInt(0))
+        throw new IllegalArgumentException(
+          s"semDedupAgainstIndex: incoming dim ${dimRow(0).getInt(0)} != corpus " +
+            s"dim ${corpusDim(0).getInt(0)} — different-dim embeddings bucket " +
+            "under different seeded planes, so every probe would silently miss; " +
+            "re-encode one side (or rebuild the index) first")
       val probes = lshBuckets(pIn, 1, planes, dimRow(0).getInt(0))
         .select(col("id").as("id_a"), long_be(col("bucket")).as("key"))
       val hits = store.multiGet(probes.select(col("key")), includeMisses = false)

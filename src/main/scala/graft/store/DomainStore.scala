@@ -1261,7 +1261,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * reference's one-throttle-agent-per-box). Old local versions beyond
    * `keepLocalVersions` are reaped after the new publish (the newest
    * previous version must survive: it is the next pull's reuse source
-   * and may still be serving in-flight reads).
+   * and may still be serving in-flight reads). A puller running BESIDE
+   * a serving reader must pass `keepFloor = <served version>`: the
+   * keep-newest-N window alone can slide past a version the reader is
+   * still swapped to (updater stall, multiple publishes between
+   * sweeps), and reaping it turns every lookup into
+   * FileNotFoundException — the same served-version floor
+   * `VersionedStore.cleanup(keep, keepFloor)` gives the in-daemon
+   * reaper.
    *
    * Idempotent: a version already pulled and published locally returns
    * an empty delta without touching the network.
@@ -1272,7 +1279,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       ring: ShardRing.Index,
       host: String,
       maxKBps: Option[Int] = None,
-      keepLocalVersions: Int = 2): DomainStore.LocalizeDelta = {
+      keepLocalVersions: Int = 2,
+      keepFloor: Long = -1L): DomainStore.LocalizeDelta = {
     require(versions.isPublished(version), s"version $version not published under $root")
     require(keepLocalVersions >= 2,
       s"keepLocalVersions must be >= 2 (the previous version is the reuse " +
@@ -1361,7 +1369,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         finally out.close()
       }
       localVs.succeedVersion(version)
-      localVs.cleanup(keepLocalVersions)
+      if (keepFloor >= 0) localVs.cleanup(keepLocalVersions, keepFloor)
+      else localVs.cleanup(keepLocalVersions)
       DomainStore.LocalizeDelta(
         transferred = outcomes.collect { case (s, false) => s }.sorted,
         reused = outcomes.collect { case (s, true) => s }.sorted)

@@ -451,7 +451,13 @@ final class KvDomainReader private (
         // times with multi-KB values would otherwise OOM the daemon
         // before the count cap fired. Past either cap, fail loud rather
         // than balloon one frame without limit.
-        val extraByteCap = math.max(8L * math.max(maxBytes, 0L), 1L << 20)
+        // overflow-safe: an unbounded-byte page (maxBytes near
+        // Long.MaxValue — the ring scan's record-capped pages) keeps an
+        // unbounded drain; 8 * MaxValue would wrap NEGATIVE and collapse
+        // the cap to the 1 MB floor, breaking legal multi-MB dup runs
+        val extraByteCap =
+          if (maxBytes >= Long.MaxValue / 8) Long.MaxValue
+          else math.max(8L * math.max(maxBytes, 0L), 1L << 20)
         while (it.hasNext &&
             java.util.Arrays.compareUnsigned(it.head._1, lastKey) == 0) {
           val (ek, ev) = it.next()
@@ -477,12 +483,16 @@ final class KvDomainReader private (
     * — the dashboard's shard table. Same trailer-tail economics as
     * [[count]]; `present = false` means no data file on this box (empty
     * shard, or not localized here — indistinguishable by design). */
-  def shardCounts(): Seq[(Int, Long, Boolean)] = withGen { g =>
+  /** One generation's trailer-tail shard census — the shared kernel of
+    * [[shardCounts]] and [[metadata]] (one definition: the two surfaces
+    * must never count differently). */
+  private def censusOf(g: Generation): Seq[(Int, Long, Boolean)] =
     (0 until numShards).map { s =>
       if (!g.presentShards(s)) (s, 0L, false)
       else (s, KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName)), true)
     }
-  }
+
+  def shardCounts(): Seq[(Int, Long, Boolean)] = withGen(censusOf)
 
   /** [[ServingReader.metadata]]: spec fields + version pair + the PRESENT
     * shard set with counts (one generation snapshot — the census and the
@@ -496,10 +506,8 @@ final class KvDomainReader private (
       persistenceFormat = spec.persistenceFormat,
       shardScheme = spec.shardScheme,
       indexer = spec.indexer,
-      shards = (0 until numShards).collect {
-        case s if g.presentShards(s) =>
-          DomainMeta.ShardInfo(
-            s, KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName)))
+      shards = censusOf(g).collect {
+        case (s, n, true) => DomainMeta.ShardInfo(s, n)
       })
   }
 

@@ -396,26 +396,46 @@ object RingClient {
     val stubs: Map[String, ServingReader] = g.hosts.map { h =>
       h.name -> (new RemoteKvReader(h.address, h.port, domain): ServingReader)
     }.toMap
-    val shardCount = {
-      var found: Option[Int] = None
-      val failures = Seq.newBuilder[(String, Throwable)]
-      val it = g.hosts.iterator
-      while (found.isEmpty && it.hasNext) {
-        val h = it.next()
-        try found = Some(stubs(h.name).numShards)
-        catch {
-          case e: RemoteKvReader.ProtocolException => throw e // wrong service: loud
-          case e: Exception => failures += h.name -> e
-        }
+    // anything thrown from here on must not leak the stubs' pooled
+    // sockets — close them all before rethrowing
+    try {
+      // probe every host in PARALLEL on dedicated threads (the ctor's own
+      // discipline: a frozen host costs the construction at most ONE
+      // timeout, never one per broken host)
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
+      val threads = g.hosts.map { h =>
+        val t = new Thread(() => {
+          val res =
+            try Right(stubs(h.name).numShards)
+            catch { case e: Throwable => Left(e) }
+          results.put(h.name, res)
+        }, s"ring-conf-probe-${h.name}")
+        t.setDaemon(true); t.start(); t
       }
-      found.getOrElse(throw new IllegalStateException(
+      threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      // wrong service stays loud naming the host (misconfiguration);
+      // plain unreachability is failover's job, tolerated if ANY host
+      // answered
+      results.asScala.foreach {
+        case (h, Left(e: RemoteKvReader.ProtocolException)) =>
+          throw new IllegalStateException(
+            s"host $h of the conf'd ring speaks the wrong protocol for '$domain'", e)
+        case _ => ()
+      }
+      val answers = results.asScala.collect { case (_, Right(n)) => n }.toSeq
+      val shardCount = answers.headOption.getOrElse(throw new IllegalStateException(
         s"no host of the conf'd ring answered a shard-count probe for " +
-          s"'$domain' (tried: ${failures.result().map(_._1).mkString(", ")})",
-        failures.result().lastOption.map(_._2).orNull))
+          s"'$domain' (tried: ${g.hosts.map(_.name).mkString(", ")})",
+        results.asScala.collectFirst { case (_, Left(e)) => e }.orNull))
+      new RingClient(
+        ShardRing.generateIndex(g.hosts.map(_.name), shardCount, g.replication),
+        stubs, preferred, rnd)
+    } catch {
+      case t: Throwable =>
+        stubs.values.foreach(s => try s.close() catch { case _: Exception => () })
+        throw t
     }
-    new RingClient(
-      ShardRing.generateIndex(g.hosts.map(_.name), shardCount, g.replication),
-      stubs, preferred, rnd)
   }
 
   /** Shared bounded pool for the per-host scatter of a ring multiGet.

@@ -81,4 +81,21 @@ class ServeConfigSpec extends AnyFunSuite {
     assert(local("local.root = /d\ndownload.rate.limit.kbps = 0\n")
       .contains("download.rate.limit.kbps"))
   }
+
+  test("local: fs.* entries ride into a COPIED Hadoop Configuration (reference :hdfs-conf)") {
+    val l = ServeConfig.readLocal(
+      write("l.conf",
+        """local.root = /d
+          |fs.graft.test.key = hello
+          |fs.defaultFS = file:///
+          |""".stripMargin), conf)
+    assert(l.fsConf === Map("fs.graft.test.key" -> "hello", "fs.defaultFS" -> "file:///"))
+    val base = new Configuration(false)
+    val applied = l.hadoopConf(base)
+    assert(applied.get("fs.graft.test.key") === "hello")
+    assert(base.get("fs.graft.test.key") === null, "base Configuration was mutated")
+    // no fs.* entries -> an equivalent copy
+    val none = ServeConfig.readLocal(write("l.conf", "local.root = /d\n"), conf)
+    assert(none.fsConf.isEmpty)
+  }
 }

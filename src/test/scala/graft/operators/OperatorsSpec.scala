@@ -856,6 +856,18 @@ class OperatorsSpec extends SparkSuite {
       Multimodal.phashIndexUpsert(capped, sameB, 2L, maxBucket = 40))
     assert(messages(e).exists(_.contains("re-band")), messages(e).mkString(" | "))
 
+    // an id re-ingested with a CHANGED phash fails loud (old and new
+    // entries meet in an unchanged band's bucket — guaranteed for
+    // hamming <= 3 by the pigeonhole), never silently feeds the verify
+    // a stale hash
+    val orig = (0L until 5L).map(i => (i, 100L + i)).toDF("media_id", "phash")
+    val chg = graft.store.DomainStore.create(scratch("phash-ix/chg"), spec, conf)
+    chg.write(Multimodal.phashIndexKv(orig), 1L)
+    val e4 = intercept[Exception](
+      Multimodal.phashIndexUpsert(
+        chg, Seq((2L, 103L)).toDF("media_id", "phash"), 2L)) // was 102, hamming 1
+    assert(messages(e4).exists(_.contains("CHANGED")), messages(e4).mkString(" | "))
+
     // overlapping id spaces rejected even when the hashes differ
     val e2 = intercept[IllegalArgumentException](
       Multimodal.phashDedupAgainstIndex(

@@ -745,6 +745,12 @@ class RemoteServingSpec extends SparkSuite {
       val page = local.rangePage(None, fromInclusive = true, None,
         toInclusive = true, maxRecords = 1, maxBytes = 64L * 1024 * 1024)
       assert(page.records.size === 12)
+      // an UNBOUNDED byte budget (the ring scan's record-capped pages)
+      // must not overflow the drain cap to its floor: 8 * Long.MaxValue
+      // wraps negative — the multi-MB run must still come back whole
+      val unbounded = local.rangePage(None, fromInclusive = true, None,
+        toInclusive = true, maxRecords = 1, maxBytes = Long.MaxValue)
+      assert(unbounded.records.size === 12, "overflowed cap broke an unbounded-byte page")
     } finally local.close()
   }
 }
