@@ -43,7 +43,22 @@ object SynthScale {
       .drop("r")
       .repartition(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    Seq("customer", "orders").foreach { t =>
+    // embeddings: key-shifted replicas with the vector ROTATED by the
+    // replica index — rotation preserves the norm but decorrelates the
+    // copies (cosine between rotations of a random vector ≈ random), so
+    // replica clones don't manufacture quadratic exact-dup clusters the
+    // real corpus wouldn't have. Replica 0 is the unmodified source.
+    spark.read.parquet(s"$src/embeddings.parquet")
+      .select(col("*"), r)
+      .withColumn("vec_id", col("vec_id") + col("r") * Offset)
+      .withColumn("embedding",
+        expr("""CASE WHEN r = 0 THEN embedding ELSE
+               |  concat(slice(embedding, CAST(r + 1 AS INT), size(embedding) - CAST(r AS INT)),
+               |         slice(embedding, 1, CAST(r AS INT))) END""".stripMargin))
+      .drop("r")
+      .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    Seq("customer", "orders", "embeddings").foreach { t =>
       val n = spark.read.parquet(s"$out/$t.parquet").count()
       println(s"[synth] $out/$t.parquet rows=$n")
     }

@@ -57,6 +57,58 @@ object StreamingDedup {
       }
       .start()
 
+  /** The IMAGE twin of [[dedupAgainstIndexToFiles]]: each micro-batch of
+    * arriving image hashes (media_id, phash) probes a published
+    * [[graft.operators.Multimodal.phashIndexKv]] domain by point lookup
+    * + local popcount verify and appends its near-dup pairs — per-batch
+    * work is O(batch + candidates), no corpus table at all (the index
+    * values carry the phashes). Same batch=<id> overwrite-on-replay sink
+    * discipline. Compose with [[growImageIndexStream]] as
+    * probe-then-grow. */
+  def imageDedupToFiles(
+      store: DomainStore,
+      hashStream: DataFrame,
+      maxHamming: Int,
+      outDir: String,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    hashStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Multimodal.phashDedupAgainstIndex(store, batch, maxHamming)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** The EMBEDDING twin: each micro-batch of arriving embeddings probes
+    * a published [[graft.operators.Similarity.semIndexKv]] domain and
+    * appends its verified semantic near-dup pairs (exact cosine against
+    * only the candidate-named corpus rows). Compose with
+    * [[growSemIndexStream]] as probe-then-grow. */
+  def semDedupToFiles(
+      store: DomainStore,
+      embStream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int,
+      outDir: String,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    embStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.semDedupAgainstIndex(
+            store, batch, corpus, idCol, vecCol, threshold, planes)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** The GROWTH side of the streaming updater cycle: each micro-batch of
     * accepted documents folds its band keys into the published index
     * ([[Dedup.bandIndexUpsert]] — affected buckets merged, rest

@@ -554,6 +554,74 @@ class StreamingSpec extends SparkSuite {
     assert(batch.count(_._3 == 1.0) >= 8)
   }
 
+  test("streaming image + semantic dedup probes == batch probes (multi-batch)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
+    import graft.core.DomainSpec
+    import graft.store.DomainStore
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = DomainSpec(4, indexer = classOf[graft.store.BloomKeyIndexer].getName)
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet")).select(col("doc_id"))
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.LongType)))
+
+    // image: index odd doc-id images, stream the even ones in 2 batches
+    def hashesOf(ids: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.imageHashes(
+          spark, graft.operators.Multimodal.synthImageMedia(spark, ids)).toDF()
+        .select(col("media_id"), col("phash"))
+    val imgStore = DomainStore.create(scratch("simg-index"), spec, conf)
+    imgStore.write(graft.operators.Multimodal.phashIndexKv(
+      hashesOf(docs.where(col("doc_id") % 2 === 1))), 1L)
+    val imgSrc = scratch("simg-src")
+    hashesOf(docs.where(col("doc_id") % 4 === 0)).coalesce(1)
+      .write.parquet(s"$imgSrc/b0")
+    hashesOf(docs.where(col("doc_id") % 4 === 2)).coalesce(1)
+      .write.parquet(s"$imgSrc/b1")
+    val imgOut = scratch("simg-out")
+    val q1 = StreamingDedup.imageDedupToFiles(
+      imgStore,
+      spark.readStream.schema(schema2).option("maxFilesPerTrigger", 1).parquet(s"$imgSrc/*"),
+      maxHamming = 3, imgOut, scratch("simg-ckpt"), "simg_probe")
+    try q1.awaitTermination() finally q1.stop()
+    val imgStreamed = spark.read.parquet(imgOut)
+      .select("delta_id", "corpus_id", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val imgBatch = graft.operators.Multimodal.phashDedupAgainstIndex(
+        imgStore, hashesOf(docs.where(col("doc_id") % 2 === 0)), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(imgStreamed === imgBatch && imgBatch.nonEmpty)
+
+    // semantic: same split over embeddings (planted clones guarantee pairs)
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") % 2 === 1)
+    val clones = corpus.orderBy(col("vec_id")).limit(4)
+      .withColumn("vec_id", lit(1000000L) + monotonically_increasing_id() * 2)
+    val delta = emb.where(col("vec_id") % 2 === 0).unionByName(clones)
+    val semStore = DomainStore.create(scratch("ssem-index"), spec, conf)
+    semStore.write(graft.operators.Similarity.semIndexKv(
+      corpus, "vec_id", "embedding", 4), 1L)
+    val semSrc = scratch("ssem-src")
+    delta.where(col("vec_id") % 4 === 0).coalesce(1).write.parquet(s"$semSrc/b0")
+    delta.where(col("vec_id") % 4 === 2).coalesce(1).write.parquet(s"$semSrc/b1")
+    val semOut = scratch("ssem-out")
+    val q2 = StreamingDedup.semDedupToFiles(
+      semStore,
+      spark.readStream.schema(delta.schema).option("maxFilesPerTrigger", 1).parquet(s"$semSrc/*"),
+      corpus, "vec_id", "embedding", 0.3, 4,
+      semOut, scratch("ssem-ckpt"), "ssem_probe")
+    try q2.awaitTermination() finally q2.stop()
+    val semStreamed = spark.read.parquet(semOut)
+      .select("delta_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val semBatch = graft.operators.Similarity.semDedupAgainstIndex(
+        semStore, delta, corpus, "vec_id", "embedding", 0.3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semStreamed === semBatch && semBatch.nonEmpty)
+  }
+
   test("stateful streaming sessionization == batch sessionStats (multi-batch)") {
     val src = sf("sf0.001/events.parquet")
     val dir = scratch("stream-sessions")
