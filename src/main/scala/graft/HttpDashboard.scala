@@ -53,7 +53,18 @@ final class HttpDashboard private (
 
   def close(): Unit = {
     samplerStop.set(true)
-    sampler.foreach(_.interrupt())
+    // join-until-dead, the Handle.close discipline: a tick already past
+    // the stop check must not run its metrics() closure against
+    // components the caller tears down right after close() returns
+    sampler.foreach { t =>
+      var callerInterrupted = false
+      while (t.isAlive) {
+        t.interrupt()
+        try t.join(30000)
+        catch { case _: InterruptedException => callerInterrupted = true }
+      }
+      if (callerInterrupted) Thread.currentThread().interrupt()
+    }
     server.stop(0)
     pool.shutdownNow()
   }

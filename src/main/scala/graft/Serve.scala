@@ -514,7 +514,13 @@ object Serve {
             }
           }
         }
-        if (!pullStop.get()) pullWake.await(intervalMs, TimeUnit.MILLISECONDS)
+        // same interrupt discipline as the updater loop: the stop FLAG
+        // governs exit; close()'s interrupt (or any stray one) must not
+        // kill the loop via an uncaught InterruptedException — a daemon
+        // that keeps serving with a silently dead puller goes stale
+        if (!pullStop.get())
+          try pullWake.await(intervalMs, TimeUnit.MILLISECONDS)
+          catch { case _: InterruptedException => () }
       }
     }, "serve-puller")
     puller.setDaemon(true)

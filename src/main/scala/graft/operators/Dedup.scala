@@ -589,7 +589,13 @@ object Dedup {
       .select(
         composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"),
         utf8_bytes(col("ids")).as("value"))
+      // the type authority: three index families share this key shape
+      // with different value grammars — see IndexMarker
+      .unionByName(IndexMarker.row(corpus.sparkSession, BandIndexType))
   }
+
+  /** [[bandIndexKv]]'s `m:index-type` marker value. */
+  val BandIndexType = "lsh-band"
 
   /**
    * Incremental growth of a PUBLISHED [[bandIndexKv]] domain — the
@@ -624,6 +630,7 @@ object Dedup {
       maxBucket: Int = LshBuckets.MaxBucket): Unit = {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
+    IndexMarker.require(index, spark, BandIndexType, "bandIndexUpsert", "bandIndexKv")
     val additions = bandIndexKv(delta, idCol, textCol, maxBucket = Int.MaxValue)
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
@@ -696,6 +703,8 @@ object Dedup {
             s"(ids travel through index values as decimal strings), got ${other.simpleString}")
       }
     }
+    IndexMarker.require(
+      store, incoming.sparkSession, BandIndexType, "dedupAgainstIndex", "bandIndexKv")
     val shIn = wordShingles(incoming, idCol, textCol).persist()
     try {
       val probes = lshBands(minHashSignatures(shIn)).select(

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The index-type marker record every published pipeline index carries —
+ * the CLAUDE.md rule born from the BM25/positional split: two index
+ * types sharing a key scheme need a type authority, or an upsert/probe
+ * aimed at the wrong domain silently pollutes (or returns empty). The
+ * text band index, the image phash band index, and the semantic cell
+ * index all publish binary composite keys of compatible shapes and
+ * comma-joined value cells whose GRAMMAR differs (`id` vs `id:phash`),
+ * so `m:index-type` is the only thing separating them: every build
+ * publishes it, every probe/upsert verifies it FIRST and fails loud
+ * naming both types on a mismatch.
+ *
+ * Collision-free by construction: real index keys start with a
+ * big-endian band/cell integer whose first byte is 0x00 (bands < 256,
+ * cells < 2^planes), while the marker key starts with 'm' (0x6D).
+ */
+private[graft] object IndexMarker {
+
+  val Key: Array[Byte] = "m:index-type".getBytes("UTF-8")
+
+  /** The marker as a 1-row (key, value) DataFrame — union it onto the
+    * index rows at build time (and into every upsert delta: merging an
+    * identical marker is a no-op, so growth keeps it verbatim). */
+  def row(spark: SparkSession, indexType: String): DataFrame =
+    spark.range(1).select(
+      lit(Key).as("key"),
+      lit(indexType.getBytes("UTF-8")).as("value"))
+
+  /** Verify a published domain IS the expected index type — one point
+    * lookup, before any probe or merge touches it. */
+  def require(
+      store: graft.store.DomainStore,
+      spark: SparkSession,
+      expected: String,
+      op: String,
+      buildFn: String): Unit =
+    store.get(spark, Key).map(new String(_, "UTF-8")) match {
+      case Some(got) if got == expected => ()
+      case Some(other) => throw new IllegalArgumentException(
+        s"$op: domain at ${store.root} is a '$other' index, not '$expected' " +
+          "— this call is aimed at the wrong domain (merging or probing " +
+          "across index types silently pollutes or returns empty)")
+      case None => throw new IllegalArgumentException(
+        s"$op: domain at ${store.root} carries no m:index-type marker — " +
+          s"not built by $buildFn (or a pre-marker build): re-publish it")
+    }
+}

@@ -339,7 +339,14 @@ object Multimodal {
       .select(
         composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"),
         utf8_bytes(col("entries")).as("value"))
+      // type authority: byte-compatible key shape with the text band
+      // index but a DIFFERENT value grammar (id:phash vs id) — the
+      // marker is what keeps a cross-type upsert/probe loud
+      .unionByName(IndexMarker.row(hashes.sparkSession, PhashIndexType))
   }
+
+  /** [[phashIndexKv]]'s `m:index-type` marker value. */
+  val PhashIndexType = "phash-band"
 
   /**
    * Near-dup image pairs of `incoming` hashes against a PUBLISHED
@@ -370,6 +377,8 @@ object Multimodal {
         "pigeonhole guarantees complete recall only below the band count — " +
         "re-band (more, narrower bands) instead of silently missing pairs")
     requireIntegralMediaId(incoming, "phashDedupAgainstIndex")
+    IndexMarker.require(
+      store, incoming.sparkSession, PhashIndexType, "phashDedupAgainstIndex", "phashIndexKv")
     val probes = phashBandBuckets(incoming).select(
       col("media_id").as("id_a"), col("phash").as("ph_a"),
       composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"))
@@ -417,6 +426,7 @@ object Multimodal {
       maxBucket: Int = LshBuckets.MaxBucket): Unit = {
     val spark = deltaHashes.sparkSession
     import graft.functions.bytes_utf8
+    IndexMarker.require(index, spark, PhashIndexType, "phashIndexUpsert", "phashIndexKv")
     val additions = phashIndexKv(deltaHashes, maxBucket = Int.MaxValue)
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()

@@ -1371,7 +1371,14 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
       .select(long_be(col("cell")).as("key"), utf8_bytes(col("ids")).as("value"))
+      // type authority shared with the text/image band indexes — see
+      // IndexMarker (same value grammar as lsh-band, but probing a cell
+      // index with band keys or vice versa must stay loud)
+      .unionByName(IndexMarker.row(corpus.sparkSession, SemIndexType))
   }
+
+  /** [[semIndexKv]]'s `m:index-type` marker value. */
+  val SemIndexType = "sem-cell"
 
   /**
    * Semantic near-dups of `incoming` embeddings against a PUBLISHED
@@ -1409,6 +1416,8 @@ object Similarity {
             s"(ids travel through index values as decimal strings), got ${other.simpleString}")
       }
     }
+    IndexMarker.require(
+      store, incoming.sparkSession, SemIndexType, "semDedupAgainstIndex", "semIndexKv")
     val pIn = prepared(incoming, idCol, vecCol).persist()
     try {
       val dimRow = pIn.select(size(col("vec"))).head(1)
@@ -1474,6 +1483,7 @@ object Similarity {
       maxBucket: Int = LshBuckets.MaxBucket): Unit = {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
+    IndexMarker.require(index, spark, SemIndexType, "semIndexUpsert", "semIndexKv")
     val additions = semIndexKv(delta, idCol, vecCol, planes, maxBucket = Int.MaxValue)
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()

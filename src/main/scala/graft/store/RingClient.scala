@@ -37,7 +37,8 @@ final class RingClient(
     ring: ShardRing.Index,
     readers: Map[String, ServingReader],
     preferred: String => Boolean = _ => false,
-    rnd: Random = new Random()) extends AutoCloseable {
+    rnd: Random = new Random(),
+    knownShardCount: Option[Int] = None) extends AutoCloseable {
 
   require(readers.nonEmpty, "RingClient: no readers")
   require(ring.hostsToShards.keySet.subsetOf(readers.keySet),
@@ -50,43 +51,11 @@ final class RingClient(
     * host — so transport failures are tolerated here (the reachable
     * readers still cross-check each other; an execution failure like an
     * unknown domain name stays loud: that is misconfiguration). */
-  val numShards: Int = {
-    // probe on DEDICATED threads (not a shared pool: these block on
-    // socket I/O up to the read timeout, and a frozen host must cost the
-    // construction at most ONE timeout, not one per broken host — nor
-    // stall unrelated pool work for that long)
-    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
-    val threads = readers.toSeq.map { case (h, r) =>
-      val t = new Thread(() => {
-        val res =
-          try Right(r.numShards)
-          catch { case e: Throwable => Left(e) } // incl. fatals: rethrown below, never silent
-        results.put(h, res)
-      }, s"ring-probe-$h")
-      t.setDaemon(true); t.start(); t
-    }
-    threads.foreach(_.join())
-    import scala.jdk.CollectionConverters._
-    // a peer speaking the wrong protocol is MISCONFIGURATION (wrong
-    // port/service) and must stay loud — NAMING the host, that is the
-    // probe's whole diagnostic value; so must anything that is not a
-    // plain transport failure (fatal errors included). Only
-    // unreachability is failover's job.
-    results.asScala.foreach {
-      case (h, Left(e: RemoteKvReader.ProtocolException)) =>
-        throw new IllegalStateException(s"reader for host $h speaks the wrong protocol", e)
-      case (h, Left(e)) if !e.isInstanceOf[java.io.IOException] =>
-        throw new IllegalStateException(s"shard-count probe for host $h failed", e)
-      case _ => ()
-    }
-    val known = results.asScala.collect { case (h, Right(n)) => h -> n }.toMap
-    require(known.nonEmpty,
-      s"RingClient: no reachable reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
-        "to learn the domain's shard count from")
-    require(known.values.toSet.size == 1,
-      s"RingClient: readers disagree on shard count — they serve different domains: $known")
-    known.values.head
-  }
+  val numShards: Int =
+    // `knownShardCount` = the caller already ran probeShardCount over
+    // these same readers (fromConf must, to build the ring first) —
+    // re-probing would pay a second full timeout per dark host
+    knownShardCount.getOrElse(RingClient.probeShardCount(readers))
 
   private def replicaOrder(shard: Int): Seq[String] = {
     val order = ring.prioritizeHosts(shard, preferred, rnd)
@@ -372,6 +341,43 @@ final class RingClient(
 
 object RingClient {
 
+  /** Probe every reader's shard count in PARALLEL on dedicated threads
+    * (not a shared pool: these block on socket I/O up to the read
+    * timeout, and a frozen host must cost the caller at most ONE
+    * timeout, not one per broken host — nor stall unrelated pool work).
+    * A peer speaking the wrong protocol is MISCONFIGURATION and stays
+    * loud NAMING the host; so does anything that is not a plain
+    * transport failure. Only unreachability is failover's job: the
+    * reachable readers cross-check each other and must agree. */
+  private[store] def probeShardCount(readers: Map[String, ServingReader]): Int = {
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
+    val threads = readers.toSeq.map { case (h, r) =>
+      val t = new Thread(() => {
+        val res =
+          try Right(r.numShards)
+          catch { case e: Throwable => Left(e) } // incl. fatals: rethrown below, never silent
+        results.put(h, res)
+      }, s"ring-probe-$h")
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    results.asScala.foreach {
+      case (h, Left(e: RemoteKvReader.ProtocolException)) =>
+        throw new IllegalStateException(s"reader for host $h speaks the wrong protocol", e)
+      case (h, Left(e)) if !e.isInstanceOf[java.io.IOException] =>
+        throw new IllegalStateException(s"shard-count probe for host $h failed", e)
+      case _ => ()
+    }
+    val known = results.asScala.collect { case (h, Right(n)) => h -> n }.toMap
+    require(known.nonEmpty,
+      s"RingClient: no reachable reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
+        "to learn the domain's shard count from")
+    require(known.values.toSet.size == 1,
+      s"RingClient: readers disagree on shard count — they serve different domains: $known")
+    known.values.head
+  }
+
   /**
    * Construct a ring client purely from the SAME shared global conf the
    * daemons booted from (`graft.ServeConfig` — hosts/replication/port/
@@ -397,40 +403,15 @@ object RingClient {
       h.name -> (new RemoteKvReader(h.address, h.port, domain): ServingReader)
     }.toMap
     // anything thrown from here on must not leak the stubs' pooled
-    // sockets — close them all before rethrowing
+    // sockets — close them all before rethrowing. ONE probe total: the
+    // shared helper learns (and cross-checks) the shard count, and the
+    // constructor is told not to re-probe (a dark host would otherwise
+    // pay its connect timeout twice).
     try {
-      // probe every host in PARALLEL on dedicated threads (the ctor's own
-      // discipline: a frozen host costs the construction at most ONE
-      // timeout, never one per broken host)
-      val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
-      val threads = g.hosts.map { h =>
-        val t = new Thread(() => {
-          val res =
-            try Right(stubs(h.name).numShards)
-            catch { case e: Throwable => Left(e) }
-          results.put(h.name, res)
-        }, s"ring-conf-probe-${h.name}")
-        t.setDaemon(true); t.start(); t
-      }
-      threads.foreach(_.join())
-      import scala.jdk.CollectionConverters._
-      // wrong service stays loud naming the host (misconfiguration);
-      // plain unreachability is failover's job, tolerated if ANY host
-      // answered
-      results.asScala.foreach {
-        case (h, Left(e: RemoteKvReader.ProtocolException)) =>
-          throw new IllegalStateException(
-            s"host $h of the conf'd ring speaks the wrong protocol for '$domain'", e)
-        case _ => ()
-      }
-      val answers = results.asScala.collect { case (_, Right(n)) => n }.toSeq
-      val shardCount = answers.headOption.getOrElse(throw new IllegalStateException(
-        s"no host of the conf'd ring answered a shard-count probe for " +
-          s"'$domain' (tried: ${g.hosts.map(_.name).mkString(", ")})",
-        results.asScala.collectFirst { case (_, Left(e)) => e }.orNull))
+      val shardCount = probeShardCount(stubs)
       new RingClient(
         ShardRing.generateIndex(g.hosts.map(_.name), shardCount, g.replication),
-        stubs, preferred, rnd)
+        stubs, preferred, rnd, knownShardCount = Some(shardCount))
     } catch {
       case t: Throwable =>
         stubs.values.foreach(s => try s.close() catch { case _: Exception => () })

@@ -949,6 +949,45 @@ class OperatorsSpec extends SparkSuite {
     assert(messages(e2).exists(_.contains("re-cluster")), messages(e2).mkString(" | "))
   }
 
+  test("index type markers: cross-type upserts and probes fail loud, never pollute") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 2, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val hashes = Seq((1L, 42L)).toDF("media_id", "phash")
+    val emb = Seq((1L, Array.fill(8)(0.5))).toDF("vec_id", "embedding")
+
+    // a TEXT band index: image/semantic calls aimed at it must fail loud
+    // naming both types (byte-compatible keys, different value grammar —
+    // the silent-pollution class the marker exists for)
+    val band = graft.store.DomainStore.create(scratch("marker/band"), spec, conf)
+    band.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    def loud(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(loud(Multimodal.phashIndexUpsert(band, hashes, 2L))
+      .contains("'lsh-band' index, not 'phash-band'"))
+    assert(loud(Multimodal.phashDedupAgainstIndex(band, hashes))
+      .contains("'lsh-band' index, not 'phash-band'"))
+    assert(loud(Similarity.semIndexUpsert(band, emb, "vec_id", "embedding", 2L, 3))
+      .contains("'lsh-band' index, not 'sem-cell'"))
+
+    // ...and a text call aimed at an IMAGE index fails the same way
+    val img = graft.store.DomainStore.create(scratch("marker/img"), spec, conf)
+    img.write(Multimodal.phashIndexKv(hashes), 1L)
+    assert(loud(Dedup.dedupAgainstIndex(img, docs, docs.limit(0), "doc_id", "text", 0.8))
+      .contains("'phash-band' index, not 'lsh-band'"))
+
+    // an unmarked plain kv domain is rejected as not-an-index
+    val plain = graft.store.DomainStore.create(scratch("marker/plain"), spec, conf)
+    plain.write(Seq(("k", "v")).toDF("k", "v").select(
+      graft.functions.utf8_bytes(col("k")).as("key"),
+      graft.functions.utf8_bytes(col("v")).as("value")), 1L)
+    assert(loud(Multimodal.phashDedupAgainstIndex(plain, hashes))
+      .contains("no m:index-type marker"))
+  }
+
   test("dedupAgainstIndex rejects overlapping id spaces even when the texts differ") {
     import spark.implicits._
     val corpus = Seq(
