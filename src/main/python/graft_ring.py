@@ -1,0 +1,249 @@
+#!/usr/bin/env python3
+"""Dependency-free Python RING client for graft serving clusters.
+
+The cross-language twin of the JVM RingClient
+(src/main/scala/graft/store/RingClient.scala): md5-mod shard routing,
+the deterministic round-robin shard deal, per-shard replica failover,
+and scatter-gather multi_get — over graft_client.GraftClient host stubs.
+Boots from the SAME shared global conf the daemons boot from
+(src/main/scala/graft/ServeConfig.scala: `hosts`, `replication`, `port`,
+`domain.<name>`), so an ops box needs this file, graft_client.py, and
+the conf — no JVM.
+
+The two routing algorithms are BYTE-COMPATIBLE with the engine (and so
+with the reference, nathanmarz/elephantdb):
+
+- shard_index(key, n) = BigInteger(md5(key)) mod n over the SIGNED md5
+  bytes (elephantdb's HashModScheme; graft core/ShardIndex.scala) —
+  Python: int.from_bytes(md5, 'big', signed=True) % n (Python's % and
+  BigInteger.mod are both always non-negative for positive n).
+- host_to_shards = deal shards over hosts round-robin, `replication`
+  passes, skipping (and consuming the turn of) any host already holding
+  the shard (elephantdb common/shard.clj; graft store/ShardRing.scala).
+  Reference vectors (shard_test.clj): (["a","b"], 5, 1) ->
+  {a: {0,2,4}, b: {1,3}}; (["a","b","c"], 5, 2) ->
+  {a: {0,1,3,4}, b: {1,2,4}, c: {0,2,3}}.
+
+Usage:
+
+    from graft_ring import GraftRing
+    ring = GraftRing.from_conf("/etc/graft/global.conf", "users")
+    value = ring.get(b"u1")
+    values = ring.multi_get([b"u1", b"u2"])
+    ring.close()
+
+CLI:
+
+    graft_ring.py CONF DOMAIN get KEY
+    graft_ring.py CONF DOMAIN multi-get KEY [KEY...]
+"""
+
+import hashlib
+import random
+import sys
+
+from graft_client import GraftClient, ProtocolError
+
+
+def shard_index(key, num_shards):
+    """BigInteger(md5(key)).mod(n) over SIGNED md5 bytes — byte-compatible
+    with the engine's write routing (and the reference's HashMod)."""
+    digest = hashlib.md5(key).digest()
+    return int.from_bytes(digest, "big", signed=True) % num_shards
+
+
+def compute_host_to_shards(hosts, shard_count, replication):
+    """The deterministic ring deal (see module doc). Returns
+    {host: set(shard)}; hosts that never get a shard are absent."""
+    if not hosts:
+        raise ValueError("ring: no hosts")
+    if len(set(hosts)) != len(hosts):
+        raise ValueError(f"ring: duplicate hosts in {hosts}")
+    if shard_count < 1 or replication < 1:
+        raise ValueError("ring: shard_count and replication must be >= 1")
+    if len(hosts) < replication:
+        raise ValueError(
+            f"ring: replication {replication} greater than number of hosts ({len(hosts)})")
+    acc = {}
+    turn = 0
+    for _ in range(replication):
+        for shard in range(shard_count):
+            skipped = 0
+            host = hosts[turn % len(hosts)]
+            turn += 1
+            while shard in acc.get(host, set()):
+                skipped += 1
+                if skipped > len(hosts):
+                    raise AssertionError(f"ring: no host free for shard {shard}")
+                host = hosts[turn % len(hosts)]
+                turn += 1
+            acc.setdefault(host, set()).add(shard)
+    return acc
+
+
+def parse_global_conf(path):
+    """Parse the shared global conf (java.util.Properties subset: one
+    `key = value` per line, # / ! comments — the shape ServeConfig
+    writes and reads). Returns (host_entries, replication, port, domains)
+    where host_entries = [(name, address, port)]."""
+    props = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for raw in f:
+            line = raw.strip()
+            if not line or line[0] in "#!":
+                continue
+            if "=" not in line:
+                raise ProtocolError(f"{path}: unparseable line {line!r}")
+            k, v = line.split("=", 1)
+            props[k.strip()] = v.strip()
+    port = int(props.get("port", "3578"))
+    hosts_raw = props.get("hosts")
+    if not hosts_raw:
+        raise ProtocolError(f"{path}: missing required key 'hosts'")
+    entries = []
+    for entry in [e.strip() for e in hosts_raw.split(",") if e.strip()]:
+        if "=" in entry:
+            name, addr = entry.split("=", 1)
+            a, _, p = addr.partition(":")
+            if not p:
+                raise ProtocolError(
+                    f"{path}: host entry {entry!r} must be name or name=address:port")
+            entries.append((name.strip(), a.strip(), int(p)))
+        else:
+            entries.append((entry, entry, port))
+    names = [n for n, _, _ in entries]
+    if len(set(names)) != len(names):
+        raise ProtocolError(f"{path}: duplicate host names in 'hosts'")
+    domains = {k[len("domain."):]: v for k, v in props.items() if k.startswith("domain.")}
+    replication = int(props.get("replication", "1"))
+    return entries, replication, port, domains
+
+
+class GraftRing:
+    """Ring client for one domain: routes each key to its shard, tries
+    that shard's replicas in a shuffled sticky order, and scatter-gathers
+    multi_get batches per host. Not thread-safe (one GraftClient per
+    host, like the JVM client's reader map)."""
+
+    def __init__(self, host_entries, replication, domain,
+                 connect_timeout=5.0, read_timeout=60.0, seed=None):
+        self._rnd = random.Random(seed)
+        self._stubs = {
+            name: GraftClient(addr, port, domain,
+                              connect_timeout=connect_timeout,
+                              read_timeout=read_timeout)
+            for name, addr, port in host_entries}
+        names = [n for n, _, _ in host_entries]
+        # probe the shard count from the first live host; reachable hosts
+        # must agree (they'd be serving different domains otherwise)
+        counts = {}
+        last_err = None
+        for n in names:
+            try:
+                counts[n] = self._stubs[n].meta()["num_shards"]
+            except ProtocolError:
+                self.close()
+                raise
+            except Exception as e:  # unreachable: failover's job
+                last_err = e
+        if not counts:
+            self.close()
+            raise ConnectionError(
+                f"no host of the ring answered a shard-count probe "
+                f"(tried: {', '.join(names)}): {last_err}")
+        if len(set(counts.values())) != 1:
+            self.close()
+            raise ProtocolError(
+                f"ring hosts disagree on shard count — different domains: {counts}")
+        self.num_shards = next(iter(counts.values()))
+        fwd = compute_host_to_shards(names, self.num_shards, replication)
+        self._shard_hosts = {}
+        for host, shards in fwd.items():
+            for s in shards:
+                self._shard_hosts.setdefault(s, []).append(host)
+        for s in self._shard_hosts:
+            self._rnd.shuffle(self._shard_hosts[s])
+
+    @classmethod
+    def from_conf(cls, path, domain, **kw):
+        entries, replication, _, domains = parse_global_conf(path)
+        if domain not in domains:
+            raise ProtocolError(
+                f"{path}: domain {domain!r} not configured "
+                f"(domains: {', '.join(sorted(domains))})")
+        return cls(entries, replication, domain, **kw)
+
+    def close(self):
+        for c in self._stubs.values():
+            try:
+                c.close()
+            except Exception:
+                pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _replicas(self, shard):
+        hosts = self._shard_hosts.get(shard)
+        if not hosts:
+            raise ProtocolError(
+                f"no hosts in the ring for shard {shard} (of {self.num_shards})")
+        return hosts
+
+    def get(self, key):
+        """Point lookup with replica failover. None = key absent."""
+        return self.multi_get([key])[0]
+
+    def multi_get(self, keys):
+        """Values aligned with `keys` (None = absent), each shard's keys
+        answered by one replica, failing over host by host; raises only
+        when EVERY replica of some shard fails."""
+        out = [None] * len(keys)
+        pending = {}
+        for i, k in enumerate(keys):
+            pending.setdefault(shard_index(k, self.num_shards), []).append((k, i))
+        for shard, group in pending.items():
+            last = None
+            answered = False
+            for host in self._replicas(shard):
+                try:
+                    vals = self._stubs[host].multi_get([k for k, _ in group])
+                    for (k, i), v in zip(group, vals):
+                        out[i] = v
+                    answered = True
+                    break
+                except ProtocolError:
+                    raise  # wrong service: loud, not failover
+                except Exception as e:
+                    last = e  # next replica
+            if not answered:
+                raise ConnectionError(
+                    f"all replicas of shard {shard} failed "
+                    f"(tried: {', '.join(sorted(self._replicas(shard)))})") from last
+        return out
+
+
+def main(argv):
+    if len(argv) < 5:
+        print(__doc__, file=sys.stderr)
+        return 2
+    conf, domain, cmd = argv[1], argv[2], argv[3]
+    with GraftRing.from_conf(conf, domain) as ring:
+        if cmd == "get":
+            v = ring.get(argv[4].encode("utf-8"))
+            print("(absent)" if v is None else v.decode("utf-8", errors="backslashreplace"))
+        elif cmd == "multi-get":
+            for k, v in zip(argv[4:], ring.multi_get([a.encode("utf-8") for a in argv[4:]])):
+                val = "(absent)" if v is None else v.decode("utf-8", errors="backslashreplace")
+                print(f"{k}\t{val}")
+        else:
+            print(f"unknown command {cmd}", file=sys.stderr)
+            return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -137,6 +137,15 @@ def main(host, port):
         except RemoteServingError:
             pass
 
+    # ring-client routing math, pinned to the reference vectors
+    # (shard_test.clj via ShardRing's scaladoc) — pure, no servers
+    from graft_ring import compute_host_to_shards
+    check(compute_host_to_shards(["a", "b"], 5, 1)
+          == {"a": {0, 2, 4}, "b": {1, 3}}, "ring deal vector 1")
+    check(compute_host_to_shards(["a", "b", "c"], 5, 2)
+          == {"a": {0, 1, 3, 4}, "b": {1, 2, 4}, "c": {0, 2, 3}},
+          "ring deal vector 2")
+
     with GraftClient(host, port) as ops:
         swapped, failed = ops.update_all()
         check(failed == 0, f"update_all failed count {failed}")

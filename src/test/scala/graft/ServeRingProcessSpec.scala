@@ -239,6 +239,29 @@ class ServeRingProcessSpec extends SparkSuite {
         try assert(client2.get(utf8(keys.head)).map(new String(_, "UTF-8"))
           === Some(v2.head))
         finally client2.close()
+
+        // the PYTHON ring client consumes the SAME conf, JVM-free:
+        // md5-mod routing + the deterministic shard deal + replica
+        // failover (hB is SIGKILLED right now — ~2/3 of the shards have
+        // a dead replica) must return every value and the absent miss
+        if (new ProcessBuilder("python3", "--version").start().waitFor() == 0) {
+          val probeKeys = keys.take(20)
+          val pb = new ProcessBuilder(
+            (Seq("python3", "/root/repo/src/main/python/graft_ring.py",
+              globalPath, "users", "multi-get") ++ probeKeys :+ "nope-key"): _*)
+          pb.redirectErrorStream(true)
+          val p = pb.start()
+          val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+          assert(p.waitFor(60, TimeUnit.SECONDS) && p.exitValue() == 0,
+            s"python ring client failed:\n$out")
+          val lines = out.trim.linesIterator.toSeq
+          assert(lines.size === probeKeys.size + 1, out)
+          probeKeys.zip(lines).foreach { case (k, line) =>
+            val expectedV = if (changed.contains(k)) s"v2-$k" else s"v1-$k"
+            assert(line === s"$k\t$expectedV", out)
+          }
+          assert(lines.last === "nope-key\t(absent)", out)
+        }
       } finally client.close()
     } finally {
       stubs.values.foreach(s => try s.close() catch { case _: Exception => () })
