@@ -31,16 +31,30 @@ private[graft] object IndexMarker {
       lit(Key).as("key"),
       lit(indexType.getBytes("UTF-8")).as("value"))
 
+  /** Verified types, keyed by (root, version, version-token mtime): the
+    * marker lookup is a Spark job on parquet-format domains (~0.5 s),
+    * and an index's type never changes within one publish — the mtime
+    * makes a delete+rebuild at the SAME version id a cache miss, so a
+    * stale type can never be served. Values are the READ type (matching
+    * or not), so a wrong-type domain stays loud on every call. Bounded:
+    * one small entry per (domain, publish) this JVM ever verified. */
+  private val verified =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[String]]()
+
   /** Verify a published domain IS the expected index type — one point
-    * lookup, before any probe or merge touches it. */
+    * lookup (cached per publish), before any probe or merge touches it. */
   def require(
       store: graft.store.DomainStore,
       spark: SparkSession,
       expected: String,
       op: String,
-      buildFn: String): Unit =
-    store.get(spark, Key).map(new String(_, "UTF-8")) match {
-      case Some(got) if got == expected => ()
+      buildFn: String): Unit = {
+    val version = store.latestVersion
+    val cacheKey = (store.root.toString, version, store.versions.tokenMtime(version))
+    val got = verified.computeIfAbsent(
+      cacheKey, _ => store.get(spark, Key).map(new String(_, "UTF-8")))
+    got match {
+      case Some(t) if t == expected => ()
       case Some(other) => throw new IllegalArgumentException(
         s"$op: domain at ${store.root} is a '$other' index, not '$expected' " +
           "— this call is aimed at the wrong domain (merging or probing " +
@@ -49,4 +63,5 @@ private[graft] object IndexMarker {
         s"$op: domain at ${store.root} carries no m:index-type marker — " +
           s"not built by $buildFn (or a pre-marker build): re-publish it")
     }
+  }
 }

@@ -29,6 +29,14 @@ class VersionedStore(val root: Path, conf: Configuration) {
 
   def versionPath(version: Long): Path = new Path(root, version.toString)
   private def tokenPath(version: Long): Path = new Path(root, s"$version.version")
+
+  /** Modification time of a published version's token file — a cheap
+    * (one getFileStatus, no data reads) fingerprint of WHICH publish a
+    * version id refers to: a delete+rebuild at the same version id gets
+    * a fresh token with a new mtime, so caches keyed on (root, version,
+    * tokenMtime) can never serve the old build's answer. */
+  def tokenMtime(version: Long): Long =
+    fs.getFileStatus(tokenPath(version)).getModificationTime
   private def failedPath(version: Long): Path = new Path(root, s"$version.failed")
   private def buildingPath(version: Long): Path = new Path(root, s"$version.building")
 
