@@ -41,6 +41,7 @@ CLI:
 import hashlib
 import random
 import sys
+import threading
 
 from graft_client import GraftClient, ProtocolError
 
@@ -134,23 +135,34 @@ class GraftRing:
                               read_timeout=read_timeout)
             for name, addr, port in host_entries}
         names = [n for n, _, _ in host_entries]
-        # probe the shard count from the first live host; reachable hosts
-        # must agree (they'd be serving different domains otherwise)
+        # probe the shard count in PARALLEL (the JVM client's discipline:
+        # a frozen host costs construction at most ONE timeout, never one
+        # per broken host); reachable hosts must agree. Down hosts AND
+        # hosts answering "no such domain" (mid-deploy, puller not done)
+        # are failover's job, matching RingClient.probeShardCount; a
+        # wrong-protocol peer stays loud.
         counts = {}
-        last_err = None
-        for n in names:
+        errs = {}
+        def probe(n):
             try:
                 counts[n] = self._stubs[n].meta()["num_shards"]
-            except ProtocolError:
+            except Exception as e:
+                errs[n] = e
+        threads = [threading.Thread(target=probe, args=(n,), daemon=True)
+                   for n in names]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for n, e in errs.items():
+            if isinstance(e, ProtocolError):
                 self.close()
-                raise
-            except Exception as e:  # unreachable: failover's job
-                last_err = e
+                raise ProtocolError(f"host {n} speaks the wrong protocol: {e}")
         if not counts:
             self.close()
             raise ConnectionError(
                 f"no host of the ring answered a shard-count probe "
-                f"(tried: {', '.join(names)}): {last_err}")
+                f"(tried: {', '.join(names)}): {errs}")
         if len(set(counts.values())) != 1:
             self.close()
             raise ProtocolError(

@@ -56,15 +56,7 @@ final class HttpDashboard private (
     // join-until-dead, the Handle.close discipline: a tick already past
     // the stop check must not run its metrics() closure against
     // components the caller tears down right after close() returns
-    sampler.foreach { t =>
-      var callerInterrupted = false
-      while (t.isAlive) {
-        t.interrupt()
-        try t.join(30000)
-        catch { case _: InterruptedException => callerInterrupted = true }
-      }
-      if (callerInterrupted) Thread.currentThread().interrupt()
-    }
+    sampler.foreach(Threads.joinUntilDead(_))
     server.stop(0)
     pool.shutdownNow()
   }

@@ -71,26 +71,9 @@ object Serve {
       // swallowed interrupt just logs once and hits the flag check).
       stop.set(true)
       wake.countDown()
-      updater.foreach { t =>
-        // wait until the thread is actually DEAD — the 'no log callback
-        // after close()' guarantee is absolute, so a sweep stuck in
-        // non-interruptible I/O is waited out, re-interrupting each lap
-        // (FS clients routinely swallow the first interrupt). close()
-        // cannot return while the updater lives.
-        var callerInterrupted = false
-        while (t.isAlive) {
-          t.interrupt()
-          try t.join(30000)
-          catch {
-            case _: InterruptedException =>
-              // the CALLER was interrupted: remember it (restored below)
-              // but keep waiting — returning early would break the
-              // guarantee and leak port + readers
-              callerInterrupted = true
-          }
-        }
-        if (callerInterrupted) Thread.currentThread().interrupt()
-      }
+      // wait until the thread is actually DEAD — the 'no log callback
+      // after close()' guarantee is absolute; see Threads.joinUntilDead
+      updater.foreach(Threads.joinUntilDead(_))
       dashboard.foreach(d => try d.close() catch { case _: Exception => () })
       server.close()
       readers.values.foreach(r => try r.close() catch { case _: Exception => () })
@@ -373,19 +356,10 @@ object Serve {
       } catch {
         case e: Throwable =>
           stop.set(true); wake.countDown()
-          updater.foreach { t =>
-            // same caller-interrupt discipline as Handle.close(): an
-            // interrupted caller must not abort this teardown (it would
-            // leak the bound port + every reader AND swallow the bind
-            // diagnostic) — remember the flag, restore it after
-            var callerInterrupted = false
-            while (t.isAlive) {
-              t.interrupt()
-              try t.join(1000)
-              catch { case _: InterruptedException => callerInterrupted = true }
-            }
-            if (callerInterrupted) Thread.currentThread().interrupt()
-          }
+          // same discipline as Handle.close(): an interrupted caller must
+          // not abort this teardown (it would leak the bound port + every
+          // reader AND swallow the bind diagnostic)
+          updater.foreach(Threads.joinUntilDead(_, lapMillis = 1000L))
           server.close()
           served.values().forEach(r => try r.close() catch { case _: Exception => () })
           throw e
@@ -407,13 +381,7 @@ object Serve {
     def close(): Unit = {
       pullStop.set(true)
       pullWake.countDown()
-      var callerInterrupted = false
-      while (puller.isAlive) {
-        puller.interrupt()
-        try puller.join(30000)
-        catch { case _: InterruptedException => callerInterrupted = true }
-      }
-      if (callerInterrupted) Thread.currentThread().interrupt()
+      Threads.joinUntilDead(puller)
       serve.close()
     }
   }

@@ -35,11 +35,20 @@ private[graft] object IndexMarker {
     * marker lookup is a Spark job on parquet-format domains (~0.5 s),
     * and an index's type never changes within one publish — the mtime
     * makes a delete+rebuild at the SAME version id a cache miss, so a
-    * stale type can never be served. Values are the READ type (matching
-    * or not), so a wrong-type domain stays loud on every call. Bounded:
-    * one small entry per (domain, publish) this JVM ever verified. */
+    * stale type can never be served within the filesystem's mtime
+    * resolution (a same-version CROSS-TYPE rebuild inside one mtime
+    * granule is out of contract — nothing rebuilds an index as a
+    * different type at the same version id in one second). Values are
+    * the READ type (matching or not), so a wrong-type domain stays loud
+    * on every call. Bounded by [[MaxCached]]: a perpetual streaming
+    * updater publishes a new version per micro-batch (each a fresh key,
+    * never a hit), so an uncapped map would grow forever — past the cap
+    * the whole map drops (re-verification is one cheap-to-moderate
+    * lookup, correctness never depends on a hit). */
   private val verified =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[String]]()
+
+  private val MaxCached = 4096
 
   /** Verify a published domain IS the expected index type — one point
     * lookup (cached per publish), before any probe or merge touches it. */
@@ -51,6 +60,7 @@ private[graft] object IndexMarker {
       buildFn: String): Unit = {
     val version = store.latestVersion
     val cacheKey = (store.root.toString, version, store.versions.tokenMtime(version))
+    if (verified.size > MaxCached) verified.clear()
     val got = verified.computeIfAbsent(
       cacheKey, _ => store.get(spark, Key).map(new String(_, "UTF-8")))
     got match {

@@ -346,9 +346,15 @@ object RingClient {
     * timeout, and a frozen host must cost the caller at most ONE
     * timeout, not one per broken host — nor stall unrelated pool work).
     * A peer speaking the wrong protocol is MISCONFIGURATION and stays
-    * loud NAMING the host; so does anything that is not a plain
-    * transport failure. Only unreachability is failover's job: the
-    * reachable readers cross-check each other and must agree. */
+    * loud NAMING the host; so does anything that is neither a plain
+    * transport failure NOR a remote execution failure. Unreachability
+    * AND a host that answers "no such domain" are both failover's job —
+    * the latter is a ring member mid-deploy whose puller has not
+    * localized this domain yet (construction must survive it; the data
+    * path fails over exactly as for a down host). A domain unknown on
+    * EVERY host still fails loud: no reader answers, and the error
+    * carries the remote cause. The reachable readers cross-check each
+    * other and must agree. */
   private[store] def probeShardCount(readers: Map[String, ServingReader]): Int = {
     val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
     val threads = readers.toSeq.map { case (h, r) =>
@@ -365,14 +371,17 @@ object RingClient {
     results.asScala.foreach {
       case (h, Left(e: RemoteKvReader.ProtocolException)) =>
         throw new IllegalStateException(s"reader for host $h speaks the wrong protocol", e)
-      case (h, Left(e)) if !e.isInstanceOf[java.io.IOException] =>
+      case (h, Left(e)) if !e.isInstanceOf[java.io.IOException] &&
+          !e.isInstanceOf[RemoteServingException] =>
         throw new IllegalStateException(s"shard-count probe for host $h failed", e)
       case _ => ()
     }
     val known = results.asScala.collect { case (h, Right(n)) => h -> n }.toMap
-    require(known.nonEmpty,
-      s"RingClient: no reachable reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
-        "to learn the domain's shard count from")
+    if (known.isEmpty) throw new IllegalStateException(
+      s"RingClient: no reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
+        "answered the shard-count probe (every host down, or none serves " +
+        "this domain)",
+      results.asScala.collectFirst { case (_, Left(e)) => e }.orNull)
     require(known.values.toSet.size == 1,
       s"RingClient: readers disagree on shard count — they serve different domains: $known")
     known.values.head

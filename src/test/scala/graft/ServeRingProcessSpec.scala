@@ -244,7 +244,10 @@ class ServeRingProcessSpec extends SparkSuite {
         // md5-mod routing + the deterministic shard deal + replica
         // failover (hB is SIGKILLED right now — ~2/3 of the shards have
         // a dead replica) must return every value and the absent miss
-        if (new ProcessBuilder("python3", "--version").start().waitFor() == 0) {
+        val pythonAvailable =
+          try new ProcessBuilder("python3", "--version").start().waitFor() == 0
+          catch { case _: java.io.IOException => false } // binary absent
+        if (pythonAvailable) {
           val probeKeys = keys.take(20)
           val pb = new ProcessBuilder(
             (Seq("python3", "/root/repo/src/main/python/graft_ring.py",
