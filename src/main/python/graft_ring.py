@@ -36,6 +36,7 @@ CLI:
 
     graft_ring.py CONF DOMAIN get KEY
     graft_ring.py CONF DOMAIN multi-get KEY [KEY...]
+    graft_ring.py CONF DOMAIN scan [FROM [TO]]
 """
 
 import hashlib
@@ -209,6 +210,66 @@ class GraftRing:
         """Point lookup with replica failover. None = key absent."""
         return self.multi_get([key])[0]
 
+    def scan(self, from_key=None, to_key=None,
+             from_inclusive=True, to_inclusive=True, page_records=4096):
+        """Ring-wide, globally key-ordered scan — the Python twin of
+        RingClient.rangeScan: each shard is read from exactly ONE replica
+        (a replicated ring is read once, not once per replica) with
+        sticky failover and exact exclusive resume; each shard's stream
+        certifies ONE serving version for its whole run (a replica that
+        can only continue at a different version counts as failed; when
+        every replica of a shard fails, the scan raises naming it). The
+        merged stream yields (key, value) with value None for
+        present-null records."""
+        import heapq
+
+        def shard_iter(shard):
+            order = list(self._replicas(shard))
+            resume, inclusive = from_key, from_inclusive
+            version = None
+            done = False
+            while not done:
+                page = None
+                last = None
+                for host in order:
+                    try:
+                        v_lo, v_hi, records, truncated = self._stubs[host].range_page(
+                            resume, to_key, inclusive, to_inclusive,
+                            page_records, shards=[shard])
+                        if v_lo != v_hi:
+                            raise ProtocolError(
+                                f"shard {shard} page straddled a version swap on {host}")
+                        if version is not None and v_lo != version:
+                            raise ProtocolError(
+                                f"shard {shard}: {host} serves version {v_lo}, "
+                                f"this scan started on {version}")
+                        if not records and truncated:
+                            raise ProtocolError(
+                                f"shard {shard}: {host} returned an empty truncated page")
+                        page = (records, truncated)
+                        if version is None:
+                            version = v_lo
+                        if order[0] != host:  # sticky: winner to the front
+                            order.remove(host)
+                            order.insert(0, host)
+                        break
+                    except Exception as e:  # next replica (incl. version misses)
+                        last = e
+                if page is None:
+                    raise ConnectionError(
+                        f"all replicas of shard {shard} failed the range scan "
+                        f"(tried: {', '.join(sorted(self._replicas(shard)))})") from last
+                records, truncated = page
+                yield from records
+                if not truncated:
+                    done = True
+                else:
+                    resume, inclusive = records[-1][0], False
+
+        return heapq.merge(
+            *(shard_iter(s) for s in range(self.num_shards)),
+            key=lambda kv: kv[0])
+
     def multi_get(self, keys):
         """Values aligned with `keys` (None = absent), each shard's keys
         answered by one replica, failing over host by host; raises only
@@ -239,7 +300,7 @@ class GraftRing:
 
 
 def main(argv):
-    if len(argv) < 5:
+    if len(argv) < 4 or (argv[3] in ("get", "multi-get") and len(argv) < 5):
         print(__doc__, file=sys.stderr)
         return 2
     conf, domain, cmd = argv[1], argv[2], argv[3]
@@ -251,6 +312,13 @@ def main(argv):
             for k, v in zip(argv[4:], ring.multi_get([a.encode("utf-8") for a in argv[4:]])):
                 val = "(absent)" if v is None else v.decode("utf-8", errors="backslashreplace")
                 print(f"{k}\t{val}")
+        elif cmd == "scan":
+            lo = argv[4].encode("utf-8") if len(argv) > 4 else None
+            hi = argv[5].encode("utf-8") if len(argv) > 5 else None
+            for k, v in ring.scan(from_key=lo, to_key=hi):
+                key = k.decode("utf-8", errors="backslashreplace")
+                val = "(null)" if v is None else v.decode("utf-8", errors="backslashreplace")
+                print(f"{key}\t{val}")
         else:
             print(f"unknown command {cmd}", file=sys.stderr)
             return 2

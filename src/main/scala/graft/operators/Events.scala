@@ -375,4 +375,37 @@ object Events {
       .groupBy(col("cohort"), (col("_bucket") - col("cohort")).as("period"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Event-path transitions: per user, order events by (ts, tiebreak id —
+   * equal timestamps are real in event data and the order must be
+   * deterministic for the oracle), pair each event with its predecessor,
+   * and count every (from_type → to_type) edge across all users — the
+   * Markov-transition census behind "what do users do next" path
+   * analytics (the companion of [[funnel]], which asks about ONE fixed
+   * path). Null users/timestamps/types are excluded (no position in any
+   * path).
+   *
+   * Scale posture: one shuffle keyed on user; the per-user lag window's
+   * task state is one row (no collections), its partition bounded by a
+   * single user's activity — the [[sessionStats]] cost model. The edge
+   * aggregation is map-side-combined on (from, to), whose cardinality is
+   * |types|² regardless of corpus size.
+   */
+  def transitions(
+      df0: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val df = tsAsNanos(df0, tsCol).where(
+      col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    df.select(
+        col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 }

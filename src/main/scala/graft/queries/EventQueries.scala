@@ -76,6 +76,14 @@ object EventQueries {
     "ev_retention" -> { (s, dir) =>
       Events.retention(
         Fixtures.table(s, dir, "events"), "user_id", "ts", RetentionBucketNs)
+    },
+    // Event-path transitions (what-do-users-do-next): per-user ordered
+    // (ts, event_id tiebreak) consecutive pairs, counted per
+    // (from_type, to_type) edge. µs-truncated events (usEvents) so the
+    // ORDER — including which rows tie — is identical engine to engine
+    // even if the fixture's timestamp precision changes.
+    "ev_transitions" -> { (s, dir) =>
+      Events.transitions(usEvents(s, dir), "user_id", "event_type", "ts", "event_id")
     })
 
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
@@ -176,6 +184,17 @@ object EventQueries {
          |  CAST(count(*) AS BIGINT) AS n_users
          |FROM b JOIN c USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    // Per-user lag over (ts, event_id) — the same deterministic order
+    // the Spark window uses (ns = µs·1000 exactly, so ordering and ties
+    // agree engine to engine; event_id breaks the ties).
+    "ev_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |t AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM e)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // the bucketized equi-join must equal the plain non-equi join
     "ev_interval_join" ->
       s"""WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS w_start,

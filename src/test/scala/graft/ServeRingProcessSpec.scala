@@ -264,6 +264,22 @@ class ServeRingProcessSpec extends SparkSuite {
             assert(line === s"$k\t$expectedV", out)
           }
           assert(lines.last === "nope-key\t(absent)", out)
+
+          // ...and its ring-wide ordered SCAN: one replica per shard
+          // (failover past the dead host), globally key-ordered, complete
+          val ps = new ProcessBuilder(
+            "python3", "/root/repo/src/main/python/graft_ring.py",
+            globalPath, "users", "scan")
+          ps.redirectErrorStream(true)
+          val sp = ps.start()
+          val sout = new String(sp.getInputStream.readAllBytes(), "UTF-8")
+          assert(sp.waitFor(60, TimeUnit.SECONDS) && sp.exitValue() == 0,
+            s"python ring scan failed:\n$sout")
+          val expectedScan = keys.sorted.map { k =>
+            val v = if (changed.contains(k)) s"v2-$k" else s"v1-$k"
+            s"$k\t$v"
+          }
+          assert(sout.trim.linesIterator.toSeq === expectedScan, "python ring scan diverged")
         }
       } finally client.close()
     } finally {

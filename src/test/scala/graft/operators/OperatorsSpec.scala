@@ -1850,6 +1850,34 @@ class OperatorsSpec extends SparkSuite {
     assert(got.valuesIterator.count(_ == 3) > 5, "degenerate corpus") // non-trivial
   }
 
+  test("transitions == brute-force ordered pairs; tie-break + null exclusion pinned") {
+    import spark.implicits._
+    // hand-built: equal ts orders by event_id; nulls drop out entirely
+    val pinned = Seq(
+      (1L, 10L, "a", 1L), (1L, 10L, "b", 2L), (1L, 11L, "c", 3L), // a->b->c via id tiebreak
+      (2L, 5L, "x", 4L), (2L, 5L, "y", 0L),                       // y->x (id 0 first)
+      (3L, 1L, "a", 5L)                                           // single event: no edge
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val gotPinned = Events.transitions(pinned, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotPinned === Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("y", "x") -> 1L))
+
+    val rnd = new scala.util.Random(37)
+    val types = Vector("a", "b", "c", "d")
+    val evs = (0 until 3000).map(i =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(200).toLong, types(rnd.nextInt(4)), i.toLong))
+    val brute = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._4)).map(_._3)
+      ordered.zip(ordered.drop(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Events.transitions(
+      evs.toDF("user_id", "ts", "event_type", "event_id"),
+      "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === brute)
+    assert(got.values.sum === evs.groupBy(_._1).values.map(_.size - 1).sum.toLong)
+  }
+
   test("retention == brute-force cohort matrix on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
