@@ -222,6 +222,16 @@ class GraftRing:
         merged stream yields (key, value) with value None for
         present-null records."""
         import heapq
+        from graft_client import MAX_BATCH, MAX_KEY_LEN
+        # validate CALLER arguments up front (the Scala twin's requires):
+        # inside the per-replica try they would read as host failures and
+        # surface as "all replicas failed" -- an ops alarm for a usage error
+        if not 0 < page_records <= MAX_BATCH:
+            raise ValueError(f"scan: page_records {page_records} outside (0, {MAX_BATCH}]")
+        for b in (from_key, to_key):
+            if b is not None and len(b) > MAX_KEY_LEN:
+                raise ValueError(
+                    f"scan: range bound of {len(b)} bytes exceeds the protocol bound {MAX_KEY_LEN}")
 
         def shard_iter(shard):
             order = list(self._replicas(shard))

@@ -398,8 +398,14 @@ object Events {
       typeCol: String,
       tsCol: String,
       idCol: String): DataFrame = {
+    // null tiebreak ids are excluded like null users/timestamps/types: a
+    // row with no deterministic position in its user's path cannot form
+    // deterministic edges (and Spark orders nulls FIRST where SQL engines
+    // default to LAST — an engine-divergent tie is exactly what the
+    // tiebreak column exists to prevent)
     val df = tsAsNanos(df0, tsCol).where(
-      col(userCol).isNotNull && col(tsCol).isNotNull && col(typeCol).isNotNull)
+      col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull && col(idCol).isNotNull)
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     df.select(
         col(typeCol).as("to_type"),

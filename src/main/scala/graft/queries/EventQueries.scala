@@ -189,7 +189,8 @@ object EventQueries {
     // agree engine to engine; event_id breaks the ties).
     "ev_transitions" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
         |t AS (SELECT event_type AS to_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
         |  FROM e)
