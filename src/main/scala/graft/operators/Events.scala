@@ -84,6 +84,109 @@ object Events {
         sum(cents(col("value"))).as("value_cents"))
 
   /**
+   * Skew-proof [[sessionize]]: identical output, but the big window
+   * partitions by (user, time bucket) instead of user alone — the
+   * [[asOfJoinBucketed]] pattern. The plain formulation funnels a user's
+   * ENTIRE history through one task; a bot/service account with 10⁸–10⁹
+   * events is then a multi-GB straggler partition at 100 TB. Here
+   * per-task work is bounded by one (user, bucket) cell, and the
+   * cross-bucket handoff is ONE row of running state per (user, bucket):
+   *   1. in-bucket lag + row_number over (user, bucket);
+   *   2. a summary frame — per (user, bucket): first/last ts and the
+   *      count of in-bucket session starts — windowed per user over
+   *      BUCKETS (rows per user = bucket count, not event count) to
+   *      carry the previous bucket's last ts and the session-index
+   *      offset;
+   *   3. summaries join back on (user, bucket) — the big side keeps its
+   *      step-1 partitioning, so the event log crosses a shuffle ONCE.
+   * Bucket boundaries are a function of ts, so the concatenated
+   * (bucket, ts, event_id) order IS the plain window's (ts, event_id)
+   * order; equivalence at every bucket width is property-tested and the
+   * driver oracle for the contract query is the plain-window SQL.
+   *
+   * Null semantics match the plain window exactly (partitionBy groups
+   * nulls; null ts sorts first): null users and null timestamps land in
+   * their own (user, bucket) groups via a NULL-SAFE carry join — a plain
+   * equi-join would orphan every bucket of a null user from its carry
+   * and overcount its sessions.
+   */
+  def sessionizeBucketed(df0: DataFrame, gapMinutes: Int, bucketNs: Long): DataFrame = {
+    require(bucketNs >= 1, s"sessionizeBucketed: bucketNs must be >= 1, got $bucketNs")
+    val df = tsAsNanos(df0)
+    val gapNs = gapMinutes * 60L * NanosPerSecond
+    val origCols = df.columns.toSeq
+    val reserved = Seq(
+      "_bucket", "_rn", "_prev_in", "_last_ts", "_first_ts", "_n_in",
+      "_c_user", "_c_bucket", "_prev_last", "_offset",
+      "prev_ts", "new_session", "session_idx")
+    require(
+      origCols.forall(c => !reserved.contains(c)),
+      s"sessionizeBucketed: input columns must not use the reserved names ${reserved.mkString(",")}")
+    val withBucket = df.withColumn("_bucket", floorBucket(col("ts"), bucketNs))
+    val wIn = Window
+      .partitionBy(col("user_id"), col("_bucket"))
+      .orderBy(col("ts"), col("event_id"))
+    // 1. in-bucket predecessor + position
+    val phase1 = withBucket
+      .withColumn("_prev_in", lag(col("ts"), 1).over(wIn))
+      .withColumn("_rn", row_number().over(wIn))
+    // 2. one summary row per (user, bucket): last/first ts and the count
+    // of NON-first in-bucket session starts (the first event's start is
+    // decided at the summary level, where the previous bucket's last ts
+    // is in hand). `_prev_in.isNull` beyond row 1 happens only in the
+    // null-ts bucket, where the plain window also hands every row a null
+    // prev_ts — counted as a start in both formulations.
+    val summaries = phase1
+      .groupBy(col("user_id"), col("_bucket"))
+      .agg(
+        max(col("ts")).as("_last_ts"),
+        min(col("ts")).as("_first_ts"),
+        sum(when(col("_rn") > 1 &&
+            (col("_prev_in").isNull || col("ts") - col("_prev_in") > gapNs), 1L)
+          .otherwise(0L)).as("_n_in"))
+    val wAcross = Window.partitionBy(col("user_id")).orderBy(col("_bucket"))
+    val carries = summaries
+      .withColumn("_prev_last", lag(col("_last_ts"), 1).over(wAcross))
+      .withColumn("_b_start", when(col("_prev_last").isNull ||
+          col("_first_ts") - col("_prev_last") > gapNs, 1L).otherwise(0L))
+      .withColumn("_offset", coalesce(
+        sum(col("_n_in") + col("_b_start")).over(
+          wAcross.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(
+        col("user_id").as("_c_user"), col("_bucket").as("_c_bucket"),
+        col("_prev_last"), col("_offset"))
+    // 3. null-safe carry join on (user, bucket) — big side already
+    // partitioned on exactly these keys by the step-1 window.
+    val joined = phase1.join(
+      carries,
+      col("user_id") <=> col("_c_user") && col("_bucket") <=> col("_c_bucket"),
+      "left")
+    val withSession = joined
+      // NOT coalesce: in the null-ts bucket a non-first row's prev_ts is
+      // the previous row's null ts and must STAY null, never fall back
+      // to a carried value
+      .withColumn("prev_ts", when(col("_rn") === 1, col("_prev_last")).otherwise(col("_prev_in")))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("session_idx", coalesce(col("_offset"), lit(0L)) + sum(col("new_session")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSession.select(
+      (origCols.map(col) :+ col("prev_ts") :+ col("new_session") :+ col("session_idx")): _*)
+  }
+
+  /** Per-user session stats built on [[sessionizeBucketed]] — same output
+    * as [[sessionStats]], hot-user-proof. */
+  def sessionStatsBucketed(df: DataFrame, gapMinutes: Int, bucketNs: Long): DataFrame =
+    sessionizeBucketed(df, gapMinutes, bucketNs)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_idx")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"))
+
+  /**
    * As-of join: each probe row picks up the latest reference row with the
    * same key and `ref.ts <= probe.ts` (left semantics — unmatched probes
    * keep null payload). Optional `toleranceNs` voids matches older than
@@ -411,6 +514,60 @@ object Events {
         col(typeCol).as("to_type"),
         lag(col(typeCol), 1).over(w).as("from_type"))
       .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /**
+   * Skew-proof [[transitions]]: identical output, per-task work bounded
+   * by one (user, time bucket) instead of a user's whole history — the
+   * [[asOfJoinBucketed]] / [[sessionizeBucketed]] pattern. Consecutive
+   * events either share a bucket (an in-bucket lag pair) or straddle a
+   * bucket boundary; the boundary edges come from a summary frame — one
+   * row per (user, non-empty bucket) carrying the bucket's first/last
+   * event type — lagged per user over BUCKETS (empty buckets simply
+   * don't appear, so lag(1) is the previous event regardless of gaps).
+   * The event log crosses a shuffle once; everything after the summary
+   * aggregation is bucket-count-sized, and the final edge aggregation is
+   * map-side-combined on a |types|²-sized key space.
+   */
+  def transitionsBucketed(
+      df0: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      bucketNs: Long): DataFrame = {
+    require(bucketNs >= 1, s"transitionsBucketed: bucketNs must be >= 1, got $bucketNs")
+    // same null exclusions as the plain operator
+    val df = tsAsNanos(df0, tsCol).where(
+      col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull && col(idCol).isNotNull)
+    val withBucket = df.withColumn("_bucket", floorBucket(col(tsCol), bucketNs))
+    val wIn = Window
+      .partitionBy(col(userCol), col("_bucket"))
+      .orderBy(col(tsCol), col(idCol))
+    val inPairs = withBucket
+      .select(
+        col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(wIn).as("from_type"))
+      .where(col("from_type").isNotNull)
+    // bucket-boundary edges: previous non-empty bucket's last event type
+    // → this bucket's first event type, per user. min_by/max_by partials
+    // combine MAP-SIDE, so a hot (user, bucket) collapses to one row per
+    // map task before its exchange — that shuffle carries summary-keyed
+    // partials, never event-log rows (pinned in PlanShapeSpec).
+    val summaries = withBucket
+      .groupBy(col(userCol), col("_bucket"))
+      .agg(
+        min_by(col(typeCol), struct(col(tsCol), col(idCol))).as("_first"),
+        max_by(col(typeCol), struct(col(tsCol), col(idCol))).as("_last"))
+    val wAcross = Window.partitionBy(col(userCol)).orderBy(col("_bucket"))
+    val crossPairs = summaries
+      .withColumn("from_type", lag(col("_last"), 1).over(wAcross))
+      .where(col("from_type").isNotNull)
+      .select(col("from_type"), col("_first").as("to_type"))
+    inPairs.unionByName(crossPairs)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
   }

@@ -84,7 +84,21 @@ object EventQueries {
     // even if the fixture's timestamp precision changes.
     "ev_transitions" -> { (s, dir) =>
       Events.transitions(usEvents(s, dir), "user_id", "event_type", "ts", "event_id")
+    },
+    // Skew-proof twins of ev_sessions / ev_transitions: per-task work is
+    // bounded by one (user, 6-hour bucket), never a hot user's whole
+    // history (the asOfJoinBucketed pattern). Same oracle as the plain
+    // formulation — the driver hash-compare doubles as an equivalence
+    // proof on the real fixture.
+    "ev_sessions_bucketed" -> { (s, dir) =>
+      Events.sessionStatsBucketed(usEvents(s, dir), SessionGapMinutes, SessionBucketNs)
+    },
+    "ev_transitions_bucketed" -> { (s, dir) =>
+      Events.transitionsBucketed(
+        usEvents(s, dir), "user_id", "event_type", "ts", "event_id", SessionBucketNs)
     })
+
+  val SessionBucketNs: Long = 6L * 3600 * 1000000000L // 6 hours
 
   val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
   val RetentionBucketNs: Long = 7L * 24 * 3600 * 1000000000L // 1 week
@@ -134,19 +148,8 @@ object EventQueries {
          |  count(*) AS n_events,
          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM events GROUP BY 1, 2""".stripMargin,
-    "ev_sessions" ->
-      s"""WITH o AS (SELECT user_id, value, epoch_ns(ts) AS tns, event_id FROM events),
-         |l AS (SELECT user_id, value, tns,
-         |    lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev_tns
-         |  FROM o),
-         |s AS (SELECT user_id, value,
-         |    CASE WHEN prev_tns IS NULL OR tns - prev_tns > $GapNs THEN 1 ELSE 0 END AS ns
-         |  FROM l)
-         |SELECT user_id,
-         |  CAST(sum(ns) AS BIGINT) AS n_sessions,
-         |  count(*) AS n_events,
-         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-         |FROM s GROUP BY user_id""".stripMargin,
+    "ev_sessions" -> SessionsOracle,
+    "ev_sessions_bucketed" -> SessionsOracle,
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // implementation; clicks deduped per (user, ts) on both sides so the
     // matched payload is deterministic. Microsecond basis — see the query.
@@ -187,15 +190,8 @@ object EventQueries {
     // Per-user lag over (ts, event_id) — the same deterministic order
     // the Spark window uses (ns = µs·1000 exactly, so ordering and ties
     // agree engine to engine; event_id breaks the ties).
-    "ev_transitions" ->
-      """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
-        |t AS (SELECT event_type AS to_type,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
-        |  FROM e)
-        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
-        |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "ev_transitions" -> TransitionsOracle,
+    "ev_transitions_bucketed" -> TransitionsOracle,
     // the bucketized equi-join must equal the plain non-equi join
     "ev_interval_join" ->
       s"""WITH e AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS w_start,
@@ -206,6 +202,33 @@ object EventQueries {
          |SELECT e.error_id, c.click_id, c.tus - e.w_start AS offset_us
          |FROM c JOIN e ON c.user_id = e.user_id
          |  AND c.tus >= e.w_start AND c.tus < e.w_end""".stripMargin)
+
+  // Shared by the plain and bucketed session/transition formulations —
+  // identical semantics, different physical plan (the bucketed Spark
+  // side hashing equal to this window SQL IS the equivalence proof).
+  private val SessionsOracle =
+    s"""WITH o AS (SELECT user_id, value, epoch_ns(ts) AS tns, event_id FROM events),
+       |l AS (SELECT user_id, value, tns,
+       |    lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev_tns
+       |  FROM o),
+       |s AS (SELECT user_id, value,
+       |    CASE WHEN prev_tns IS NULL OR tns - prev_tns > $GapNs THEN 1 ELSE 0 END AS ns
+       |  FROM l)
+       |SELECT user_id,
+       |  CAST(sum(ns) AS BIGINT) AS n_sessions,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       |FROM s GROUP BY user_id""".stripMargin
+
+  private val TransitionsOracle =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+      |t AS (SELECT event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM e)
+      |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+      |FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2""".stripMargin
 
   // Shared by the plain and bucketed formulations — identical semantics,
   // different physical plan.

@@ -1878,6 +1878,53 @@ class OperatorsSpec extends SparkSuite {
     assert(got.values.sum === evs.groupBy(_._1).values.map(_.size - 1).sum.toLong)
   }
 
+  test("sessionizeBucketed == sessionize at every bucket width (nulls, negatives, ties)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val minuteNs = 60L * 1000000000L
+    // ~25 users x ~120 events over a 5000-minute span (typical gap ~40
+    // min vs the 30-min threshold → a real mix of continues and starts);
+    // null users, null timestamps, pre-epoch timestamps, and ts ties all
+    // present so every documented equivalence edge is exercised
+    val evs = (0 until 3000).map { i =>
+      val u = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(25).toLong)
+      val ts = if (rnd.nextInt(40) == 0) None
+               else Some((rnd.nextInt(4000) - 1000).toLong * minuteNs)
+      (i.toLong, u, ts)
+    }.toDF("event_id", "user_id", "ts")
+    def byEvent(df: org.apache.spark.sql.DataFrame): Map[Long, (Option[Any], Long, Long)] =
+      df.collect().map(r =>
+        r.getLong(0) -> ((Option(r.get(3)), r.getLong(4), r.getLong(5)))).toMap
+    val plain = byEvent(Events.sessionize(evs, 30))
+    assert(plain.valuesIterator.map(_._3).max > 3, "degenerate corpus: no multi-session users")
+    // bucket == 1 ns maximizes cross-bucket handoffs (every event its own
+    // bucket); a prime width misaligns every boundary; the gap-sized and
+    // huge widths cover the in-bucket-dominant and degenerate-to-plain
+    // extremes
+    for (bucketNs <- Seq(1L, 997L, 30L * minuteNs, 1000000000000000L)) {
+      val bucketed = byEvent(Events.sessionizeBucketed(evs, 30, bucketNs))
+      assert(bucketed === plain, s"bucketNs=$bucketNs")
+    }
+  }
+
+  test("transitionsBucketed == transitions at every bucket width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val types = Vector("a", "b", "c", "d")
+    val evs = (0 until 3000).map(i =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(200).toLong, types(rnd.nextInt(4)), i.toLong))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    def edges(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val plain = edges(Events.transitions(evs, "user_id", "event_type", "ts", "event_id"))
+    assert(plain.values.sum > 2000, "degenerate corpus")
+    for (bucketNs <- Seq(1L, 7L, 64L, 1000000L)) {
+      val bucketed = edges(Events.transitionsBucketed(
+        evs, "user_id", "event_type", "ts", "event_id", bucketNs))
+      assert(bucketed === plain, s"bucketNs=$bucketNs")
+    }
+  }
+
   test("retention == brute-force cohort matrix on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)

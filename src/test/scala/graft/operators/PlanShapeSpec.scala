@@ -73,6 +73,121 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"no sort-merge of the big side:\n$p")
   }
 
+  /** Shuffle-exchange partition-key sets, deduplicated by CANONICALIZED
+    * plan: the summary branches of the bucketed event operators repeat
+    * the big (user, bucket) exchange subtree verbatim, and AQE reuses a
+    * stage exactly when the canonicalized plans match — so the distinct
+    * count here IS the number of shuffles that run (the listener test
+    * below confirms the record volume at runtime). */
+  private def distinctShuffleKeys(df: DataFrame): Seq[Set[String]] = {
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.groupBy(_.canonicalized).values.map { es =>
+      es.head.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.collect {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name
+          }.toSet
+        case other => Set(other.toString)
+      }
+    }.toSeq
+  }
+
+  /** Total shuffle records written while running `df`, scoped by job
+    * group (robust under sbt's parallel suites). */
+  private def shuffleRecordsWritten(df: DataFrame): Long = {
+    import org.apache.spark.scheduler._
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val recs = new java.util.concurrent.atomic.LongAdder
+    val done = new java.util.concurrent.atomic.LongAdder
+    val group = s"shuffle-pin-${System.nanoTime()}"
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si => stages.add(si.stageId))
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        if (stages.contains(s.stageInfo.stageId)) {
+          recs.add(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          done.increment()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "shuffle-volume pin")
+      df.write.format("noop").mode("overwrite").save()
+      spark.sparkContext.clearJobGroup()
+      // listener events are async: wait for the measured stages to drain
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (done.sum() < stages.size() && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      recs.sum()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("sessionizeBucketed: event log shuffles ONCE — on (user, bucket); carry join broadcast") {
+    val ev = events.select(col("event_id"), col("user_id"), col("ts"))
+    val df = Events.sessionizeBucketed(ev, 30, bucketNs = 20000L)
+    // exactly one distinct shuffle carries event-log rows (the
+    // (user, bucket) window exchange — the summary branch repeats it and
+    // AQE runs it once); the only other shuffle is the summary frame's
+    // per-user window, bucket-count-sized. The summary aggregation and
+    // the final session_idx window both reuse the (user, bucket)
+    // partitioning.
+    val keys = distinctShuffleKeys(df)
+    assert(keys.count(_ == Set("user_id", "_bucket")) === 1, s"shuffle keys: $keys")
+    assert(keys.size === 2, s"expected 2 distinct shuffles: $keys")
+    assert(keys.contains(Set("user_id")), s"summary shuffle missing: $keys")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"carry join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge of the big side:\n$p")
+    // runtime proof: 2000 events + at most 50 users x 5 buckets of
+    // summaries — a second event-log shuffle would double this
+    val written = shuffleRecordsWritten(df)
+    assert(written < 2000 + 600, s"event log shuffled more than once: $written records")
+    assert(written >= 2000, s"suspiciously few shuffle records: $written")
+  }
+
+  test("transitionsBucketed: event log shuffles ONCE; no join; edge agg is |types|^2-keyed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // few users/buckets so the summary-partial shuffle volume is clearly
+    // separable from the event volume in the runtime assertion below
+    val ev = (0 until 2000).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(100000).toLong,
+        if (i % 3 == 0) "a" else "b")).toDF("event_id", "user_id", "ts", "event_type")
+    val df = Events.transitionsBucketed(
+      ev, "user_id", "event_type", "ts", "event_id", bucketNs = 50000L)
+    // exactly ONE exchange carries event-log-width rows (the window's
+    // (user, bucket) shuffle — identified by the raw event_id column in
+    // its output); every other shuffle carries min_by/max_by summary
+    // partials (map-side-combined per (user, bucket)), per-user bucket
+    // summaries, or (from, to) edge partials — all bounded by group
+    // counts, never by event counts
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val eventRowShuffles = exchanges.filter(_.output.exists(_.name == "event_id"))
+    assert(eventRowShuffles.size === 1,
+      s"expected exactly one event-row shuffle:\n${plan(df)}")
+    val keys = distinctShuffleKeys(df)
+    assert(keys.contains(Set("from_type", "to_type")), s"edge-agg shuffle missing: $keys")
+    assert(!plan(df).contains("Join"), s"transitions must not join:\n${plan(df)}")
+    // runtime proof: 2000 events cross once; summary partials are
+    // ~(map tasks x 10 users x 2 buckets) and edge partials ~(tasks x 4)
+    // — a second event-log shuffle would add another 2000
+    val written = shuffleRecordsWritten(df)
+    assert(written < 2000 + 1000, s"event log shuffled more than once: $written records")
+    assert(written >= 2000, s"suspiciously few shuffle records: $written")
+  }
+
   test("chunkSpans: a MapPartitions pass, never a Window") {
     import spark.implicits._
     val docs = (0 until 1000).map(i => (i.toLong, (i % 37 + 1).toLong)).toDF("doc_id", "toks")
