@@ -23,7 +23,15 @@ case class DomainSpec(
     // graft.store.Indexer, or "none". Class-name indirection like the
     // reference's SPIs; resolution is checked where the store loads it
     // (keeps core free of a store-package dependency).
-    indexer: String = DomainSpec.NoIndexer) {
+    indexer: String = DomainSpec.NoIndexer,
+    // Index-type authority for published pipeline index domains
+    // (lsh-band / phash-band / sem-cell): declared at create time so a
+    // probe/upsert type check reads metadata already in hand at open —
+    // zero Spark jobs. "none" = not declared; the in-data
+    // `m:index-type` marker record remains the fallback authority for
+    // domains published before this field existed, and defense in depth
+    // everywhere (graft.operators.IndexMarker).
+    indexType: String = DomainSpec.NoIndexType) {
 
   def validate(): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
@@ -36,11 +44,18 @@ case class DomainSpec(
     require(
       indexer != null && indexer.trim.nonEmpty,
       "indexer must be a class name or \"" + DomainSpec.NoIndexer + "\" (got blank)")
+    require(
+      indexType != null && indexType.trim.nonEmpty,
+      "indexType must be an index-type name or \"" + DomainSpec.NoIndexType + "\" (got blank)")
   }
 
   /** The indexer class name, if any. */
   def indexerClass: Option[String] =
     Some(indexer.trim).filter(_ != DomainSpec.NoIndexer)
+
+  /** The declared index type, if any. */
+  def indexTypeOption: Option[String] =
+    Some(indexType.trim).filter(_ != DomainSpec.NoIndexType)
 
   def toJson: String = DomainSpec.mapper.writeValueAsString(this)
 }
@@ -81,6 +96,9 @@ object DomainSpec {
     * persisted JSON stays flat and a spec written before this field
     * existed normalizes cleanly on read. */
   val NoIndexer = "none"
+
+  /** Sentinel for "no declared index type" — same flat-JSON rationale. */
+  val NoIndexType = "none"
 
   val FileName = "domain-spec.json"
 
@@ -145,10 +163,12 @@ object DomainSpec {
 
   def fromJson(json: String): DomainSpec = {
     val raw = mapper.readValue(json, classOf[DomainSpec])
-    // A domain-spec.json written before the indexer field existed
-    // deserializes with a null (Jackson skips Scala default args for
-    // missing properties) — normalize so spec equality keeps working.
-    val spec = if (raw.indexer == null) raw.copy(indexer = NoIndexer) else raw
+    // A domain-spec.json written before the indexer/indexType fields
+    // existed deserializes with nulls (Jackson skips Scala default args
+    // for missing properties) — normalize so spec equality keeps working.
+    val spec = raw.copy(
+      indexer = if (raw.indexer == null) NoIndexer else raw.indexer,
+      indexType = if (raw.indexType == null) NoIndexType else raw.indexType)
     spec.validate()
     spec
   }

@@ -50,9 +50,27 @@ private[graft] object IndexMarker {
 
   private val MaxCached = 4096
 
-  /** Verify a published domain IS the expected index type — one point
-    * lookup (cached per publish), before any probe or merge touches it. */
+  /** Verify a published domain IS the expected index type. The
+    * AUTHORITY is the `indexType` field of `domain-spec.json` — metadata
+    * already in hand at open, so the check costs ZERO Spark jobs. Only a
+    * domain whose spec declares no type (published before the field
+    * existed) falls back to the in-data marker record — one point lookup,
+    * cached per publish. */
   def require(
+      store: graft.store.DomainStore,
+      spark: SparkSession,
+      expected: String,
+      op: String,
+      buildFn: String): Unit = store.spec.indexTypeOption match {
+    case Some(t) if t == expected => ()
+    case Some(other) => throw new IllegalArgumentException(
+      s"$op: domain at ${store.root} is a '$other' index, not '$expected' " +
+        "— this call is aimed at the wrong domain (merging or probing " +
+        "across index types silently pollutes or returns empty)")
+    case None => requireByMarker(store, spark, expected, op, buildFn)
+  }
+
+  private def requireByMarker(
       store: graft.store.DomainStore,
       spark: SparkSession,
       expected: String,
@@ -71,7 +89,8 @@ private[graft] object IndexMarker {
           "across index types silently pollutes or returns empty)")
       case None => throw new IllegalArgumentException(
         s"$op: domain at ${store.root} carries no m:index-type marker — " +
-          s"not built by $buildFn (or a pre-marker build): re-publish it")
+          s"not built by $buildFn (or a pre-marker build): re-publish it " +
+          s"(or declare indexType in ${graft.core.DomainSpec.FileName})")
     }
   }
 }

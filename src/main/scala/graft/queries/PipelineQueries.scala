@@ -250,7 +250,8 @@ object PipelineQueries {
     * attribute build vs probe time (VERDICT r3 task 7). */
   def dedupIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
-      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName)
+      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
+      indexType = Dedup.BandIndexType)
     Fixtures.domain(s, dir, "dedup-band-index", spec) { (st, sp) =>
       st.write(
         Dedup.bandIndexKv(
@@ -265,7 +266,8 @@ object PipelineQueries {
     * the probe's misses, like every index fixture). */
   def semIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
-      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName)
+      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
+      indexType = Similarity.SemIndexType)
     Fixtures.domain(s, dir, "semdedup-cell-index", spec) { (st, sp) =>
       st.write(
         Similarity.semIndexKv(
@@ -292,7 +294,8 @@ object PipelineQueries {
     * definite misses with zero I/O, same rationale as dedupIndexStore). */
   def imageIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
-      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName)
+      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
+      indexType = graft.operators.Multimodal.PhashIndexType)
     Fixtures.domain(s, dir, "image-phash-index", spec) { (st, sp) =>
       val media = graft.operators.Multimodal.synthImageMedia(
         sp, Fixtures.table(sp, dir, "documents")

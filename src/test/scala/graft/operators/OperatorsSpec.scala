@@ -988,6 +988,55 @@ class OperatorsSpec extends SparkSuite {
       .contains("no m:index-type marker"))
   }
 
+  test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // spec declares the type → the check reads metadata only. Pin it:
+    // ZERO jobs run inside IndexMarker.require on a spec-typed domain
+    // (the pre-spec marker fallback costs a Spark point lookup per
+    // publish — the exact bench regression this field removed).
+    val spec = graft.core.DomainSpec(
+      numShards = 2, persistenceFormat = graft.core.DomainSpec.KvSorted,
+      indexType = Dedup.BandIndexType)
+    val band = graft.store.DomainStore.create(scratch("spec-ix/band"), spec, conf)
+    band.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    import org.apache.spark.scheduler._
+    val jobs = new java.util.concurrent.atomic.LongAdder
+    val group = s"spec-ix-pin-${System.nanoTime()}"
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (group == j.properties.getProperty("spark.jobGroup.id")) jobs.increment()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "spec index-type pin")
+      IndexMarker.require(band, spark, Dedup.BandIndexType, "specPin", "bandIndexKv")
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (jobs.sum() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(jobs.sum() === 0, "spec-typed verification ran a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the spec is the AUTHORITY: a wrong-type call fails loud from
+    // metadata alone, even on a domain with NO marker record at all
+    val wrongSpec = graft.core.DomainSpec(
+      numShards = 2, persistenceFormat = graft.core.DomainSpec.KvSorted,
+      indexType = Similarity.SemIndexType)
+    val mislabeled = graft.store.DomainStore.create(
+      scratch("spec-ix/mislabeled"), wrongSpec, conf)
+    mislabeled.write(Seq(("k", "v")).toDF("k", "v").select(
+      graft.functions.utf8_bytes(col("k")).as("key"),
+      graft.functions.utf8_bytes(col("v")).as("value")), 1L)
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupAgainstIndex(mislabeled, docs, docs.limit(0), "doc_id", "text", 0.8))
+    assert(e.getMessage.contains("'sem-cell' index, not 'lsh-band'"))
+    // and the spec round-trips through JSON with the field (plus
+    // pre-field JSON normalizing to "none")
+    assert(graft.core.DomainSpec.fromJson(spec.toJson) === spec)
+    assert(graft.core.DomainSpec.fromJson("""{"numShards": 2}""").indexTypeOption.isEmpty)
+  }
+
   test("dedupAgainstIndex rejects overlapping id spaces even when the texts differ") {
     import spark.implicits._
     val corpus = Seq(
