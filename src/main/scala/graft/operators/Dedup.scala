@@ -656,6 +656,33 @@ object Dedup {
   }
 
   /**
+   * Takedown from a PUBLISHED [[bandIndexKv]] domain: remove `removed`
+   * docs' ids from every band bucket their text maps to, publishing ONE
+   * new version (shrunken buckets upserted, emptied buckets absent —
+   * [[graft.store.DomainStore.patch]]). CONTENT-ADDRESSED like the probe:
+   * pass the same (id, text) rows that were indexed — the bucket keys are
+   * re-derived from the text, so a drifted text leaves stale entries in
+   * unprobed buckets (rebuild with [[bandIndexKv]] when content is gone
+   * or untrusted). Removing a never-indexed doc is a no-op. Work is
+   * O(removed + affected buckets), never O(index).
+   */
+  def bandIndexDelete(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long): Unit = {
+    val spark = removed.sparkSession
+    IndexDelete.requireIntegralId(removed, idCol, "bandIndexDelete")
+    IndexMarker.require(index, spark, BandIndexType, "bandIndexDelete", "bandIndexKv")
+    IndexDelete.publishRemoval(
+      index,
+      IndexDelete.removalsFromBuild(
+        bandIndexKv(removed, idCol, textCol, maxBucket = Int.MaxValue)),
+      newVersion)
+  }
+
+  /**
    * Dedup `incoming` docs against a PUBLISHED [[bandIndexKv]] domain:
    * band the incoming docs, probe the index with hits-only point lookups
    * (`multiGet(includeMisses = false)` — the incoming band keys are a

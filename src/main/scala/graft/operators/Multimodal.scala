@@ -468,6 +468,29 @@ object Multimodal {
     } finally additions.unpersist()
   }
 
+  /**
+   * Takedown from a PUBLISHED [[phashIndexKv]] domain: remove the named
+   * media ids' `id:phash` entries from every band bucket their hash maps
+   * to, publishing ONE new version (shrunken buckets upserted, emptied
+   * buckets absent). Content-addressed — pass the same (media_id, phash)
+   * rows that were indexed; a re-hashed image whose phash changed maps
+   * to other buckets and no-ops there (rebuild with [[phashIndexKv]]
+   * when the indexed hashes are gone or untrusted). Work is
+   * O(removed + affected buckets).
+   */
+  def phashIndexDelete(
+      index: graft.store.DomainStore,
+      removedHashes: DataFrame,
+      newVersion: Long): Unit = {
+    requireIntegralMediaId(removedHashes, "phashIndexDelete")
+    IndexMarker.require(
+      index, removedHashes.sparkSession, PhashIndexType, "phashIndexDelete", "phashIndexKv")
+    IndexDelete.publishRemoval(
+      index,
+      IndexDelete.removalsFromBuild(phashIndexKv(removedHashes, maxBucket = Int.MaxValue)),
+      newVersion)
+  }
+
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val img = decodeImage(r)

@@ -427,7 +427,10 @@ object Search {
     * [[searchIndexUpsert]]: delta doc ids disjoint (probed via `d:`
     * records, bounded `limit(1)`), tombstoned terms stay elided with
     * advancing df, a merge crossing the cap fails loud naming the
-    * rebuild. Work is O(delta + affected postings). */
+    * rebuild. Takedown: same as BM25 — not supported incrementally
+    * (position payloads + stats would need exact surgery); rebuild via
+    * [[positionalIndexKv]] on the corpus minus the removed docs.
+    * Work is O(delta + affected postings). */
   def positionalIndexUpsert(
       index: DomainStore,
       delta: DataFrame,
@@ -632,6 +635,15 @@ object Search {
     *    (an upsert cannot drop a published `t:` key — same reasoning as
     *    bandIndexUpsert's bucket cap);
     *  - internally duplicated delta ids trip upsert's key-repeat guard.
+    *
+    * Takedown: NOT supported incrementally — a removed doc's tf entries
+    * sit inside every one of its terms' postings AND the corpus
+    * constants (`m:stats` N, total tokens) and per-term dfs would all
+    * need exact decrement; the supported path is a rebuild via
+    * [[invertedIndexKv]] on the corpus minus the removed docs (contrast the
+    * dedup/ANN families, whose membership-only cells take
+    * `bandIndexDelete`/`semIndexDelete`/`phashIndexDelete`/
+    * `ivfIndexDelete`).
     *
     * Work is O(delta + affected postings): three bounded multiGets (term
     * keys ×2, the 1-row stats) plus the delta-sized upsert. */

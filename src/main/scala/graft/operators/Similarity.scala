@@ -663,8 +663,9 @@ object Similarity {
    * first-commit-wins data-file protocol. Caveat shared with
    * [[ivfPqIndexUpsert]]: a re-ingested id whose VECTOR changed cells
    * leaves its stale membership in an untouched cell, invisible to a
-   * per-cell merge — vector updates are remove+add; [[ivfIndexIdAudit]]
-   * detects the duplicate-id corruption globally.
+   * per-cell merge — vector updates are remove+add ([[ivfIndexDelete]]
+   * with the old vector, then this upsert); [[ivfIndexIdAudit]] detects
+   * the duplicate-id corruption globally.
    */
   def ivfIndexUpsert(
       index: graft.store.DomainStore,
@@ -959,7 +960,8 @@ object Similarity {
    * that moved to a DIFFERENT cell is invisible to a posting-list merge
    * (the stale entry sits in an untouched, copy-forwarded cell) — run
    * [[indexIdAudit]] to detect that corruption globally, and route
-   * vector updates through remove+add pipelines rather than here.
+   * vector updates through remove+add ([[ivfIndexDelete]] with the old
+   * vector, then this upsert) rather than here.
    */
   def ivfPqIndexUpsert(
       index: graft.store.DomainStore,
@@ -999,7 +1001,8 @@ object Similarity {
             lit("ivfPqIndexUpsert: cell "),
             graft.functions.be_int(col("key")).cast("string"),
             lit(" would hold two encodings of one id — a re-ingested vector " +
-              "changed; remove the old version first (remove+add, not upsert)"))))
+              "changed; remove the old version first (ivfIndexDelete with the " +
+              "old vector, then this upsert — remove+add, never a plain upsert)"))))
           .otherwise(col("ss")).as("ss"))
       .select(col("key"),
         graft.functions.utf8_bytes(
@@ -1507,6 +1510,60 @@ object Similarity {
             .as("value"))
       index.upsert(spark, merged, newVersion)
     } finally additions.unpersist()
+  }
+
+  /**
+   * Takedown from a PUBLISHED [[semIndexKv]] domain: remove `removed`
+   * embeddings' ids from their hyperplane cells, publishing ONE new
+   * version (shrunken cells upserted, emptied cells absent). Content-
+   * addressed like the probe — pass the same (id, vector) rows that were
+   * indexed; a different-dim or drifted embedding maps to other cells
+   * and reads as a no-op, leaving the stale entries behind (rebuild with
+   * [[semIndexKv]] when the indexed embeddings are gone or untrusted).
+   * Work is O(removed + affected cells).
+   */
+  def semIndexDelete(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      newVersion: Long): Unit = {
+    val spark = removed.sparkSession
+    IndexDelete.requireIntegralId(removed, idCol, "semIndexDelete")
+    IndexMarker.require(index, spark, SemIndexType, "semIndexDelete", "semIndexKv")
+    IndexDelete.publishRemoval(
+      index,
+      IndexDelete.removalsFromBuild(
+        semIndexKv(removed, idCol, vecCol, planes, maxBucket = Int.MaxValue)),
+      newVersion)
+  }
+
+  /**
+   * Takedown from a PUBLISHED ANN index domain — [[ivfIndexKv]] (plain
+   * posting lists) and [[ivfPqIndexKv]] (`id:codes` entries) both:
+   * assign the removed vectors to their cells under the SAME quantizer
+   * the index was built with, drop their ids from those posting lists,
+   * publish ONE new version (emptied cells absent). This is the
+   * remove half of the remove+add that a moved vector needs
+   * (see [[ivfIndexUpsert]]'s caveat): `ivfIndexDelete` with the OLD
+   * vector, then the upsert with the new one. Content-addressed — a
+   * removed id whose indexed vector differed lands in other cells and
+   * no-ops ([[ivfIndexIdAudit]] is the global stale-entry detector).
+   */
+  def ivfIndexDelete(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      newVersion: Long): Unit = {
+    IndexDelete.requireIntegralId(removed, idCol, "ivfIndexDelete")
+    IndexDelete.publishRemoval(
+      index,
+      IndexDelete.removalsFromBuild(
+        ivfIndexKv(removed, idCol, vecCol, centroids, maxCellMembers = Int.MaxValue)),
+      newVersion)
   }
 
   /**

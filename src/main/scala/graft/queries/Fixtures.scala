@@ -123,6 +123,17 @@ object Fixtures {
       store.upsert(s, delta, newVersion = 2L)
     }
 
+  /** v1 = names for all keys; v2 = DELETE of custkey % 10 == 0 (takedown
+    * publish — named keys absent, untouched shards copy-forward). */
+  def customerDeleteDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(spark, sfDir, "customer-delete", DomainSpec(numShards = 8)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+      val doomed = table(s, sfDir, "customer")
+        .where(col("c_custkey") % 10 === 0)
+        .select(long_be(col("c_custkey")).as("key"))
+      store.delete(s, doomed, newVersion = 2L)
+    }
+
   /** 3-shard customer domain resharded to 5 shards (reference reshard!, W6). */
   def customerReshardedDomain(spark: SparkSession, sfDir: String): DomainStore = {
     domain(spark, sfDir, "customer-3", DomainSpec(numShards = 3)) { (store, s) =>

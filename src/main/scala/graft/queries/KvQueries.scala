@@ -232,6 +232,19 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("v"))
     },
+    // Takedown lifecycle: delete publishes a new version with the named
+    // keys ABSENT (delta-sized rewrite + copy-forward). The multiGet mix
+    // proves absence the strong way: deleted keys read as null values
+    // (exactly like never-written keys), surviving keys still serve.
+    "kv_delete" -> { (s, dir) =>
+      val keys = Fixtures.table(s, dir, "customer")
+        .where(col("c_custkey") % 5 === 0)
+        .select(long_be(col("c_custkey")).as("key"))
+      Fixtures.customerDeleteDomain(s, dir).multiGet(keys)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("v"))
+    },
     // V2/V4/Q10: reads resolve the newest *published* version at plan time.
     "kv_version_latest" -> { (s, dir) =>
       Fixtures.customerVersionedDomain(s, dir).read(s)
@@ -385,6 +398,10 @@ object KvQueries {
         "SELECT c_custkey, c_name FROM customer",
       "kv_upsert" ->
         "SELECT c_custkey, CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment ELSE c_name END AS v FROM customer",
+      "kv_delete" ->
+        """SELECT c_custkey,
+          |  CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_name END AS v
+          |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
       "kv_version_latest" ->
         "SELECT c_custkey, c_mktsegment AS v FROM customer",
       // Replicates new BigInteger(md5(key)).mod(n) — the 16 md5 bytes as a

@@ -1118,33 +1118,101 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       newDf: DataFrame,
       newVersion: Long,
       dedupKeys: Boolean = false,
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit =
+    patch(spark, Some(newDf), None, newVersion, dedupKeys, distributeAbove)
+
+  /**
+   * Takedown publish: a new version in which `keys` are ABSENT — the
+   * delete half of the update lifecycle (a training-data pipeline gets
+   * takedown requests; `upsert` can only add or overwrite). Upsert-shaped
+   * cost: only the shards a named key routes to are rewritten (their
+   * surviving rows re-merged without the named keys), every other shard
+   * copies forward as a raw file copy — O(delta), never O(domain).
+   * Deleting a key that is absent is a no-op for correctness (its shard
+   * still rewrites — membership isn't probed first); deleting EVERY key
+   * of a shard publishes it legitimately empty (readers treat a missing
+   * shard file as an empty shard). [[versionDiff]] classifies the result
+   * as `removed` rows; a later [[upsert]] can re-insert a deleted key.
+   * Duplicate keys in `keys` are harmless (deduplicated); null keys fail
+   * loud like every publish.
+   */
+  def delete(
+      spark: SparkSession,
+      keys: DataFrame,
+      newVersion: Long,
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit =
+    patch(spark, None, Some(keys), newVersion, dedupKeys = false, distributeAbove)
+
+  /**
+   * Combined incremental publish: upserts and deletes in ONE new version
+   * (e.g. an index maintenance pass that shrinks some bucket cells and
+   * drops now-empty ones — two separate publishes would expose an
+   * intermediate state and double the copy-forward). `upserts` rows win
+   * per key like [[upsert]]; `deleteKeys` are absent from the new
+   * version; a key in BOTH is ambiguous and fails loud. Cost is the
+   * union of the two deltas' affected shards.
+   */
+  def patch(
+      spark: SparkSession,
+      upserts: Option[DataFrame],
+      deleteKeys: Option[DataFrame],
+      newVersion: Long,
+      dedupKeys: Boolean = false,
       distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit = {
     val oldVersion = latestVersion
     val n = numShards
-    val kv0 = newDf.select(col("key"), col("value"))
-    val kv = if (dedupKeys) kv0.dropDuplicates("key") else kv0
-    // The delta feeds three consumers (affected-shard scan, the union, and
-    // the anti-join); it is small by contract, so materialize it once.
-    val incoming = kv
-      .withColumn("shard", shard_index(col("key"), n))
-      .persist()
+    // The deltas feed several consumers (affected-shard scan, the union,
+    // and the anti-join); they are small by contract, so materialize once.
+    val up = upserts.map { df =>
+      val kv0 = df.select(col("key"), col("value"))
+      (if (dedupKeys) kv0.dropDuplicates("key") else kv0)
+        .withColumn("shard", shard_index(col("key"), n))
+        .persist()
+    }
+    val del = deleteKeys.map(
+      _.select(col("key")).dropDuplicates("key")
+        .withColumn("shard", shard_index(col("key"), n))
+        .persist())
     try {
-      if (!dedupKeys) {
-        val Array(total, distinct) = incoming
-          .agg(org.apache.spark.sql.functions.count(lit(1)), count_distinct(col("key")))
-          .head().toSeq.map(_.asInstanceOf[Long]).toArray
-        require(
-          total == distinct,
-          s"upsert delta repeats keys ($total rows, $distinct distinct) — " +
-            "pass dedupKeys = true or pre-aggregate the delta")
+      up.foreach { u =>
+        if (!dedupKeys) {
+          val Array(total, distinct) = u
+            .agg(org.apache.spark.sql.functions.count(lit(1)), count_distinct(col("key")))
+            .head().toSeq.map(_.asInstanceOf[Long]).toArray
+          require(
+            total == distinct,
+            s"upsert delta repeats keys ($total rows, $distinct distinct) — " +
+              "pass dedupKeys = true or pre-aggregate the delta")
+        }
       }
-      // Affected-shard set: at most n ints on the driver.
-      val shardRows = incoming.select("shard").distinct().collect()
-      require(!shardRows.exists(_.isNullAt(0)), "upsert: delta contains a null key")
-      val affected = shardRows.map(_.getInt(0)).toSet
+      // Affected-shard sets: at most n ints each on the driver.
+      def shardsOf(df: DataFrame, what: String): Set[Int] = {
+        val rows = df.select("shard").distinct().collect()
+        require(!rows.exists(_.isNullAt(0)), s"$what contains a null key")
+        rows.map(_.getInt(0)).toSet
+      }
+      val affected =
+        up.map(shardsOf(_, "upsert delta")).getOrElse(Set.empty) ++
+          del.map(shardsOf(_, "delete key set")).getOrElse(Set.empty)
+      for (u <- up; d <- del) {
+        val clash = u.join(d, Seq("key"), "left_semi").limit(1).collect()
+        require(clash.isEmpty,
+          "patch: a key appears in both the upserts and the delete set — " +
+            "ambiguous (drop it from one side)")
+      }
+      val touched = (up.map(_.select("key")), del.map(_.select("key"))) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => throw new IllegalArgumentException(
+          "patch: pass at least one of upserts / deleteKeys")
+      }
       val oldAffected = prunedScan(spark, oldVersion, Some(affected.toSeq))
-      val merged = incoming.unionByName(
-        oldAffected.join(incoming.select("key"), Seq("key"), "left_anti"))
+      val survivors = oldAffected.join(touched, Seq("key"), "left_anti")
+      val merged = up match {
+        case Some(u) => u.unionByName(survivors)
+        case None => survivors
+      }
 
       versions.createVersion(newVersion)
       try {
@@ -1153,7 +1221,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         copyForward(oldVersion, newVersion, (0 until n).filterNot(affected), distributeAbove)
         // Untouched shards carried their sidecars inside the copied dirs;
         // rewritten shards need fresh ones (a stale bloom would rule out
-        // the very keys this upsert added).
+        // the very keys this publish added — and a deleted key must fall
+        // out of its shard's sidecar too).
         buildIndex(spark, newVersion, onlyShards = Some(affected))
         // provenance: rewritten shards originate here, carried ones keep
         // their last-rewrite version (transitively, via the old manifest)
@@ -1168,7 +1237,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           versions.failVersion(newVersion)
           throw e
       }
-    } finally incoming.unpersist()
+    } finally {
+      up.foreach(_.unpersist())
+      del.foreach(_.unpersist())
+    }
   }
 
   /**

@@ -988,6 +988,98 @@ class OperatorsSpec extends SparkSuite {
       .contains("no m:index-type marker"))
   }
 
+  test("index takedown: delete == byte-identical rebuild on corpus-minus-removed, all families") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def kvPairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+
+    // text band index: the removed doc's ids leave every band bucket;
+    // the result must be byte-identical to building on the survivors
+    // (emptied buckets ABSENT, shrunken cells re-canonicalized)
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(40)
+    val removedDocs = docs.where(col("doc_id") % 5 === 0)
+    val keptDocs = docs.where(col("doc_id") % 5 =!= 0)
+    val band = graft.store.DomainStore.create(scratch("ix-del/band"), spec, conf)
+    band.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexDelete(band, removedDocs, "doc_id", "text", 2L)
+    val bandRebuilt = graft.store.DomainStore.create(scratch("ix-del/band-rb"), spec, conf)
+    bandRebuilt.write(Dedup.bandIndexKv(keptDocs, "doc_id", "text"), 1L)
+    assert(kvPairs(band) === kvPairs(bandRebuilt))
+    assert(kvPairs(band).nonEmpty)
+    // ...and the probe FORGETS the removed doc: its own text re-ingested
+    // under a fresh id no longer pairs with it
+    val ghost = removedDocs.limit(1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val hits = Dedup.dedupAgainstIndex(band, ghost, keptDocs, "doc_id", "text", 0.9)
+      .collect()
+    val preHits = {
+      val pre = graft.store.DomainStore.create(scratch("ix-del/band-pre"), spec, conf)
+      pre.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+      Dedup.dedupAgainstIndex(pre, ghost, docs, "doc_id", "text", 0.9).collect()
+    }
+    assert(preHits.nonEmpty, "fixture vacuous: the doomed doc never matched itself")
+    assert(hits.isEmpty, "probe still finds the removed doc")
+
+    // semantic cell index
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(60)
+    val remEmb = emb.where(col("vec_id") % 4 === 0)
+    val keptEmb = emb.where(col("vec_id") % 4 =!= 0)
+    val sem = graft.store.DomainStore.create(scratch("ix-del/sem"), spec, conf)
+    sem.write(Similarity.semIndexKv(emb, "vec_id", "embedding", 3), 1L)
+    Similarity.semIndexDelete(sem, remEmb, "vec_id", "embedding", 3, 2L)
+    val semRebuilt = graft.store.DomainStore.create(scratch("ix-del/sem-rb"), spec, conf)
+    semRebuilt.write(Similarity.semIndexKv(keptEmb, "vec_id", "embedding", 3), 1L)
+    assert(kvPairs(sem) === kvPairs(semRebuilt))
+
+    // image phash band index (id:phash entries — removal matches the id part)
+    val hashes = (0L until 30L).map(i => (i, i * 37L + (i % 3))).toDF("media_id", "phash")
+    val remH = hashes.where(col("media_id") % 3 === 0)
+    val keptH = hashes.where(col("media_id") % 3 =!= 0)
+    val ph = graft.store.DomainStore.create(scratch("ix-del/ph"), spec, conf)
+    ph.write(Multimodal.phashIndexKv(hashes), 1L)
+    Multimodal.phashIndexDelete(ph, remH, 2L)
+    val phRebuilt = graft.store.DomainStore.create(scratch("ix-del/ph-rb"), spec, conf)
+    phRebuilt.write(Multimodal.phashIndexKv(keptH), 1L)
+    assert(kvPairs(ph) === kvPairs(phRebuilt))
+
+    // ANN posting lists: plain AND PQ-coded through the SAME delete
+    val cents = Similarity.fixedCentroids(4, 64)
+    val vecs = emb.limit(40)
+    val remV = vecs.where(col("vec_id") % 4 === 0)
+    val keptV = vecs.where(col("vec_id") % 4 =!= 0)
+    val ivf = graft.store.DomainStore.create(scratch("ix-del/ivf"), spec, conf)
+    ivf.write(Similarity.ivfIndexKv(vecs, "vec_id", "embedding", cents), 1L)
+    Similarity.ivfIndexDelete(ivf, remV, "vec_id", "embedding", cents, 2L)
+    val ivfRebuilt = graft.store.DomainStore.create(scratch("ix-del/ivf-rb"), spec, conf)
+    ivfRebuilt.write(Similarity.ivfIndexKv(keptV, "vec_id", "embedding", cents), 1L)
+    assert(kvPairs(ivf) === kvPairs(ivfRebuilt))
+    val books = Similarity.fixedPqCodebooks(4, 4, 16)
+    val pq = graft.store.DomainStore.create(scratch("ix-del/pq"), spec, conf)
+    pq.write(Similarity.ivfPqIndexKv(vecs, "vec_id", "embedding", cents, books), 1L)
+    Similarity.ivfIndexDelete(pq, remV, "vec_id", "embedding", cents, 2L)
+    val pqRebuilt = graft.store.DomainStore.create(scratch("ix-del/pq-rb"), spec, conf)
+    pqRebuilt.write(Similarity.ivfPqIndexKv(keptV, "vec_id", "embedding", cents, books), 1L)
+    assert(kvPairs(pq) === kvPairs(pqRebuilt))
+
+    // wrong-type guard holds for deletes too
+    val e = intercept[IllegalArgumentException](
+      Similarity.semIndexDelete(band, remEmb, "vec_id", "embedding", 3, 9L))
+    assert(e.getMessage.contains("'lsh-band' index, not 'sem-cell'"))
+    // deleting never-indexed content publishes a no-op version
+    val before = kvPairs(band)
+    Dedup.bandIndexDelete(
+      band, Seq((777777L, "totally novel unseen takedown text")).toDF("doc_id", "text"),
+      "doc_id", "text", 3L)
+    assert(kvPairs(band) === before)
+    assert(band.latestVersion === 3L)
+  }
+
   test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration()

@@ -94,6 +94,105 @@ class DomainStoreSpec extends SparkSuite {
     assert(readPairs(store) === Set("a" -> "4", "b" -> "4", "c" -> "3", "d" -> "5"))
   }
 
+  test("delete battery: takedown, absent no-op, reinsert, versionDiff removals, multiGet nulls") {
+    import spark.implicits._
+    val store = DomainStore.create(scratch("del"), DomainSpec(4), conf)
+    val pairs = (0 until 100).map(i => s"k$i" -> s"v$i")
+    store.write(kv(pairs: _*), 1L)
+    def keysOf(ks: String*): DataFrame =
+      ks.toDF("k").select(utf8_bytes(col("k")).as("key"))
+
+    // takedown: named keys absent from the new version
+    store.delete(spark, keysOf("k3", "k7", "k42"), 2L)
+    assert(readPairs(store) === pairs.toSet -- Set("k3" -> "v3", "k7" -> "v7", "k42" -> "v42"))
+    assert(store.count(spark) === 97L)
+    // multiGet reads deleted keys exactly like never-written ones
+    val got = store.multiGet(keysOf("k3", "k7", "k1", "never"))
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map("k3" -> None, "k7" -> None, "k1" -> Some("v1"), "never" -> None))
+    assert(store.get(spark, utf8("k3")).isEmpty)
+    assert(store.get(spark, utf8("k1")).map(new String(_, "UTF-8")) === Some("v1"))
+    // versionDiff classifies the takedown as removed rows, nothing else
+    val diff = store.versionDiff(spark, 1L, 2L)
+      .select(bytes_utf8(col("key")), col("change")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(diff === Set("k3" -> "removed", "k7" -> "removed", "k42" -> "removed"))
+
+    // delete of an ABSENT key: a no-op for the pair set (still a publish)
+    store.delete(spark, keysOf("ghost", "k3"), 3L)
+    assert(readPairs(store) === pairs.toSet -- Set("k3" -> "v3", "k7" -> "v7", "k42" -> "v42"))
+    // duplicate keys in the delete set are deduplicated, not rejected
+    store.delete(spark, keysOf("k8", "k8"), 4L)
+    assert(store.get(spark, utf8("k8")).isEmpty)
+
+    // delete then REINSERT: the key serves again with its new value
+    store.upsert(spark, kv("k3" -> "reborn"), 5L)
+    assert(store.get(spark, utf8("k3")).map(new String(_, "UTF-8")) === Some("reborn"))
+
+    // null keys fail loud like every publish
+    val e = intercept[Exception](store.delete(
+      spark,
+      Seq(Option.empty[String]).toDF("k")
+        .select(when(col("k").isNotNull, utf8_bytes(col("k"))).as("key")),
+      6L))
+    assert(e.getMessage.contains("null key"))
+    // the failed publish left no version behind
+    assert(store.latestVersion === 5L)
+  }
+
+  test("patch: one version of upserts + deletes; overlapping key fails loud") {
+    val store = DomainStore.create(scratch("patch"), DomainSpec(4), conf)
+    store.write(kv("a" -> "1", "b" -> "2", "c" -> "3", "d" -> "4"), 1L)
+    store.patch(
+      spark,
+      Some(kv("a" -> "9", "e" -> "5")),
+      Some(kv("b" -> "_").select(col("key"))),
+      2L)
+    assert(readPairs(store) === Set("a" -> "9", "c" -> "3", "d" -> "4", "e" -> "5"))
+    val e = intercept[IllegalArgumentException](store.patch(
+      spark,
+      Some(kv("c" -> "changed")),
+      Some(kv("c" -> "_").select(col("key"))),
+      3L))
+    assert(e.getMessage.contains("both the upserts and the delete set"))
+    assert(store.latestVersion === 2L)
+    val e2 = intercept[IllegalArgumentException](store.patch(spark, None, None, 3L))
+    assert(e2.getMessage.contains("at least one"))
+  }
+
+  test("delete: untouched shards copy forward byte-identically; emptied shard reads empty") {
+    val n = 4
+    val store = DomainStore.create(scratch("del-cf"), DomainSpec(n, persistenceFormat = DomainSpec.KvSorted), conf)
+    val pairs = (0 until 200).map(i => s"d$i" -> s"v$i")
+    store.write(kv(pairs: _*), 1L)
+    // delete every key of ONE shard (and nothing else): that shard must
+    // publish legitimately EMPTY, every other shard must copy forward
+    // byte-identically (provenance manifest says origin 1)
+    val victim = 2
+    val doomed = pairs.map(_._1).filter(k =>
+      graft.core.ShardIndex.shardIndex(utf8(k), n) == victim)
+    assert(doomed.nonEmpty)
+    import spark.implicits._
+    store.delete(spark, doomed.toDF("k").select(utf8_bytes(col("k")).as("key")), 2L)
+    val expect = pairs.filterNot(p => doomed.contains(p._1)).toSet
+    assert(readPairs(store) === expect)
+    // untouched shard files byte-identical across versions
+    val fs = store.root.getFileSystem(conf)
+    for (s <- 0 until n if s != victim) {
+      def bytes(v: Long): Seq[(String, Long)] = {
+        val d = new org.apache.hadoop.fs.Path(store.root, s"$v/shard=$s")
+        fs.listStatus(d).map(st => (st.getPath.getName, st.getLen)).toSeq.sorted
+      }
+      assert(bytes(1L) === bytes(2L), s"shard $s rewritten by an unrelated delete")
+    }
+    // the emptied shard still answers lookups (absent, not an error)
+    assert(store.get(spark, utf8(doomed.head)).isEmpty)
+    // and a fresh upsert repopulates it
+    store.upsert(spark, kv(doomed.head -> "back"), 3L)
+    assert(store.get(spark, utf8(doomed.head)).map(new String(_, "UTF-8")) === Some("back"))
+  }
+
   test("orc-sorted persistence format: round-trip, upsert, footer count") {
     val store = DomainStore.create(
       scratch("orc"),
