@@ -534,6 +534,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           var records = 0L
           var misrouted = 0L
           var sorted = true
+          val corrupt = scala.collection.mutable.ArrayBuffer[String]()
           if (fs.exists(d)) fs.listStatus(d)
             .filter(_.getPath.getName.endsWith(suffix))
             .foreach { st =>
@@ -550,10 +551,17 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
                   prev = k
                 }
               } finally r.close()
+              // payload integrity: span-CRC audit on a FRESH handle (the
+              // sequential passes own the seek pointer). Names file +
+              // byte range of every mismatching span; legacy pre-CRC
+              // files and kvz (verified per block on read) report none.
+              val ri = KvFile.open(fs, st.getPath)
+              try corrupt ++= ri.verifyIntegrity()
+              finally ri.close()
             }
-          (s, records, misrouted, sorted)
+          (s, records, misrouted, sorted, corrupt.toSeq)
         }
-        .toDF("shard", "n_records", "n_misrouted", "sorted_ok")
+        .toDF("shard", "n_records", "n_misrouted", "sorted_ok", "corruption")
     } else {
       // left-join from the full shard range: a shard whose directory is
       // GONE must audit as a zero-record row, not silently vanish from
@@ -571,8 +579,39 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           col("shard"),
           coalesce(col("n_records"), lit(0L)).as("n_records"),
           coalesce(col("n_misrouted"), lit(0L)).as("n_misrouted"),
-          lit(null).cast("boolean").as("sorted_ok"))
+          lit(null).cast("boolean").as("sorted_ok"),
+          // datasource formats carry their own page/footer checksums
+          // (parquet/orc verify on read); nothing extra to audit here
+          array().cast("array<string>").as("corruption"))
     }
+  }
+
+  /** Distributed span-CRC audit of a kv version's shard files (the
+    * `corruption` half of [[fsck]] without its key scan): one sequential
+    * pass per file, findings name file + byte range. Used by transcode's
+    * pre-rewrite gate; empty for pre-CRC legacy files. */
+  private[store] def integrityFindings(spark: SparkSession, version: Long): Array[String] = {
+    import spark.implicits._
+    require(isKv, "integrityFindings: kv formats only")
+    val confEntries = DomainStore.serializableConf(conf)
+    val base = versions.versionPath(version).toString
+    val suffix = fileSuffix
+    spark.createDataset(0 until numShards)
+      .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
+      .flatMap { s =>
+        val c = DomainStore.rebuildConf(confEntries)
+        val d = new Path(base, s"shard=$s")
+        val fs = d.getFileSystem(c)
+        if (!fs.exists(d)) Seq.empty[String]
+        else fs.listStatus(d)
+          .filter(_.getPath.getName.endsWith(suffix))
+          .toSeq
+          .flatMap { st =>
+            val r = KvFile.open(fs, st.getPath)
+            try r.verifyIntegrity().toSeq finally r.close()
+          }
+      }
+      .collect()
   }
 
   /** Data-quality audit: keys holding more than one record (legal in a
@@ -1990,6 +2029,17 @@ object DomainStore {
       conf: Configuration): DomainStore = {
     val src = open(srcRoot, conf)
     val dst = create(dstRoot, src.spec.copy(persistenceFormat = dstFormat), conf)
+    // refuse to transcode corrupt payloads: the rewrite would re-checksum
+    // flipped bytes as if they were authentic, laundering the corruption
+    // into a clean-auditing file (parquet/orc sources verify on read;
+    // kv sources take the span-CRC audit — pre-CRC files audit clean by
+    // absence, the documented legacy trade)
+    if (src.isKv) {
+      val bad = src.integrityFindings(spark, src.latestVersion)
+      require(bad.isEmpty,
+        s"transcode: source domain $srcRoot fails its payload-integrity audit — " +
+          s"restore or re-publish the named shards first:\n  ${bad.mkString("\n  ")}")
+    }
     if (src.isKv && dst.isKv) {
       dst.versions.createVersion(version)
       try {

@@ -32,6 +32,14 @@ trait ShardReader extends AutoCloseable {
   def iterator: Iterator[(Array[Byte], Array[Byte])]
   /** Every key in key order, value bytes skipped where the format can. */
   def keysIterator: Iterator[Array[Byte]]
+  /** Payload-integrity audit: recompute the format's stored data
+    * checksums in one sequential pass and report each mismatching span
+    * as a human-readable finding (empty = clean). Default empty for
+    * formats whose READ path already verifies every byte it returns
+    * (kvz: ADLER32 per block, corruption throws on read) and for files
+    * written before their format carried checksums. Sequential-pass
+    * lifetime contract matches [[iterator]] where the format notes one. */
+  def verifyIntegrity(): Iterator[String] = Iterator.empty
   /** Records inside the unsigned-lexicographic bounds, in key order; I/O
     * proportional to the range where the format can bound it. */
   def range(
@@ -74,8 +82,13 @@ trait ShardReader extends AutoCloseable {
  *   header : magic "GKV1"                                    (4 bytes)
  *   records: [keyLen:int][valLen:int][key][value]  x count   (sorted by key)
  *   index  : [recordOffset:long] x count                     (fixed 8-byte entries)
- *   trailer: [indexOffset:long][count:long][magic "GKV1"]    (20 bytes)
+ *   crcs   : [crc32:int] x ceil(dataLen / spanBytes)         (since GKV2 trailers)
+ *   trailer: [indexOffset:long][count:long][crcOffset:long][spanBytes:int][magic "GKV2"]  (32 bytes)
  * }}}
+ * (Files written before span checksums end in the 20-byte legacy trailer
+ * `[indexOffset:long][count:long][magic "GKV1"]` with no crcs section;
+ * readers dispatch on the TRAILER magic and accept both forever. The
+ * header magic is GKV1 in both — record/index/lookup math is identical.)
  *
  * Key order is unsigned-lexicographic (`Arrays.compareUnsigned`) — the
  * same total order Spark gives BinaryType, so the write path's
@@ -111,6 +124,27 @@ object KvFile {
 
   val Magic: Array[Byte] = "GKV1".getBytes(StandardCharsets.US_ASCII)
   val TrailerLen = 20
+
+  /** Trailer magic of files carrying span checksums. The HEADER magic
+    * stays GKV1 (records/index/lookup math are unchanged — only the
+    * tail grew), so open()'s format sniff is untouched; the TRAILER
+    * magic distinguishes the 20-byte legacy tail from the 32-byte
+    * checksummed one, and both remain readable forever. */
+  val TrailerMagicV2: Array[Byte] = "GKV2".getBytes(StandardCharsets.US_ASCII)
+
+  /** Checksummed trailer:
+    * [indexOffset:long][count:long][crcOffset:long][spanBytes:int][magic "GKV2"]. */
+  val TrailerLenV2 = 32
+
+  /** Bytes of records region covered by one stored CRC32 (4 bytes per
+    * span → 4 ppm overhead at 1 MB). Spans are what let a flipped bit be
+    * NAMED with an offset instead of "somewhere in this file" — and keep
+    * re-verification after a partial repair span-local. The LOOKUP path
+    * never touches them (pread latency is this format's priority; the
+    * kvz engine is the per-read-verified one): integrity is audited by
+    * [[Reader.verifyIntegrity]] — `DomainStore.fsck` runs it per shard
+    * file, and transcode audits its source before rewriting. */
+  val CrcSpanBytes: Int = 1 << 20
 
   /** Batch-density crossover for kv point lookups: a batch
     * binary-searches only when `keys * ratio < records` — below that,
@@ -193,6 +227,29 @@ object KvFile {
     out.write(Magic)
     var pos = 4L
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
+    // span CRCs over the records region, computed as the bytes stream
+    // past (a record may straddle a span boundary — feed() splits it)
+    val crcs = scala.collection.mutable.ArrayBuffer[Int]()
+    val crc = new java.util.zip.CRC32
+    var spanFill = 0
+    def feed(b: Array[Byte], off0: Int, len0: Int): Unit = {
+      var off = off0
+      var len = len0
+      while (len > 0) {
+        val take = math.min(len, CrcSpanBytes - spanFill)
+        crc.update(b, off, take)
+        spanFill += take
+        off += take
+        len -= take
+        if (spanFill == CrcSpanBytes) {
+          crcs += crc.getValue.toInt
+          crc.reset()
+          spanFill = 0
+        }
+      }
+    }
+    val hdr = new Array[Byte](8)
+    val hdrBuf = ByteBuffer.wrap(hdr)
     var prev: Array[Byte] = null
     while (rows.hasNext) {
       val (k, v) = rows.next()
@@ -201,18 +258,28 @@ object KvFile {
         prev == null || java.util.Arrays.compareUnsigned(prev, k) <= 0,
         "kv-sorted: input rows not sorted by key")
       offsets += pos
-      out.writeInt(k.length)
-      out.writeInt(if (v == null) -1 else v.length)
+      hdrBuf.clear()
+      hdrBuf.putInt(k.length)
+      hdrBuf.putInt(if (v == null) -1 else v.length)
+      out.write(hdr)
       out.write(k)
       if (v != null) out.write(v)
+      feed(hdr, 0, 8)
+      feed(k, 0, k.length)
+      if (v != null) feed(v, 0, v.length)
       pos += 8L + k.length + (if (v == null) 0 else v.length)
       prev = k
     }
+    if (spanFill > 0) crcs += crc.getValue.toInt
     val indexOffset = pos
     offsets.foreach(out.writeLong)
+    val crcOffset = indexOffset + 8L * offsets.length
+    crcs.foreach(out.writeInt)
     out.writeLong(indexOffset)
     out.writeLong(offsets.length.toLong)
-    out.write(Magic)
+    out.writeLong(crcOffset)
+    out.writeInt(CrcSpanBytes)
+    out.write(TrailerMagicV2)
     offsets.length.toLong
   }
 
@@ -273,7 +340,9 @@ object KvFile {
   def count(fs: FileSystem, path: Path): Long = {
     val len = fs.getFileStatus(path).getLen
     val name = path.toString
-    val tailLen = math.min(len, math.max(TrailerLen.toLong, KvzFile.TrailerLen.toLong)).toInt
+    val tailLen = math.min(
+      len,
+      Seq(TrailerLen, TrailerLenV2, KvzFile.TrailerLen).max.toLong).toInt
     require(len >= 4L + TrailerLen, s"$name: kv file too short ($len bytes)")
     val in = fs.open(path)
     val tail =
@@ -282,16 +351,20 @@ object KvFile {
     val magic = java.util.Arrays.copyOfRange(tail, tailLen - 4, tailLen)
     val n =
       if (java.util.Arrays.equals(magic, Magic))
-        // GKV1 trailer: [indexOffset:long][count:long][magic]
+        // legacy GKV1 trailer: [indexOffset:long][count:long][magic]
         ByteBuffer.wrap(tail, tailLen - TrailerLen + 8, 8).getLong
-      else if (java.util.Arrays.equals(magic, KvzFile.Magic)) {
+      else if (java.util.Arrays.equals(magic, TrailerMagicV2)) {
+        // GKV2 trailer: [indexOffset][count][crcOffset][spanBytes][magic]
+        require(len >= 4L + TrailerLenV2, s"$name: kv file too short for GKV2 ($len bytes)")
+        ByteBuffer.wrap(tail, tailLen - TrailerLenV2 + 8, 8).getLong
+      } else if (java.util.Arrays.equals(magic, KvzFile.Magic)) {
         // GKZ1 trailer: [indexOffset:long][blockCount:long][recordCount:long][magic]
         require(len >= 4L + KvzFile.TrailerLen, s"$name: kvz file too short ($len bytes)")
         ByteBuffer.wrap(tail, tailLen - KvzFile.TrailerLen + 16, 8).getLong
       }
       else throw new IllegalArgumentException(
         s"$name: not a graft kv file (trailer magic ${magic.map(b => f"$b%02x").mkString} " +
-          "is neither GKV1 nor GKZ1)")
+          "is neither GKV1/GKV2 nor GKZ1)")
     require(n >= 0, s"$name: corrupt trailer (negative record count $n)")
     n
   }
@@ -301,19 +374,39 @@ object KvFile {
   final class Reader(in: FSDataInputStream, fileLen: Long, name: String = "<stream>")
       extends ShardReader {
     require(fileLen >= 4L + TrailerLen, s"$name: kv file too short ($fileLen bytes)")
-    private val (indexOffset, n) = {
-      val t = new Array[Byte](TrailerLen)
-      in.readFully(fileLen - TrailerLen, t)
-      val bb = ByteBuffer.wrap(t)
-      val io = bb.getLong
-      val cnt = bb.getLong
-      val magic = new Array[Byte](4)
-      bb.get(magic)
-      require(java.util.Arrays.equals(magic, Magic),
-        s"$name: not a GKV1 file (bad trailer magic)")
-      require(cnt >= 0 && io >= 4 && io + 8L * cnt + TrailerLen == fileLen,
-        s"$name: corrupt GKV1 trailer (indexOffset=$io count=$cnt len=$fileLen)")
-      (io, cnt)
+    // Trailer versions: 20-byte legacy [io][cnt]["GKV1"], or the 32-byte
+    // checksummed [io][cnt][crcOffset][spanBytes]["GKV2"] — dispatch on
+    // the tail magic; both stay readable forever. crcInfo = (crcOffset,
+    // spanBytes) when the file carries span checksums.
+    private val (indexOffset, n, crcInfo) = {
+      val tailLen = math.min(fileLen - 4L, TrailerLenV2.toLong).toInt
+      val t = new Array[Byte](tailLen)
+      in.readFully(fileLen - tailLen, t)
+      val magic = java.util.Arrays.copyOfRange(t, tailLen - 4, tailLen)
+      if (java.util.Arrays.equals(magic, TrailerMagicV2)) {
+        require(tailLen == TrailerLenV2, s"$name: kv file too short for a GKV2 trailer ($fileLen bytes)")
+        val bb = ByteBuffer.wrap(t)
+        val io = bb.getLong
+        val cnt = bb.getLong
+        val crcOff = bb.getLong
+        val spanBytes = bb.getInt
+        val nSpans = if (io <= 4 || spanBytes <= 0) 0L else (io - 4 + spanBytes - 1) / spanBytes
+        require(
+          cnt >= 0 && io >= 4 && spanBytes > 0 && crcOff == io + 8L * cnt &&
+            crcOff + 4L * nSpans + TrailerLenV2 == fileLen,
+          s"$name: corrupt GKV2 trailer (indexOffset=$io count=$cnt " +
+            s"crcOffset=$crcOff spanBytes=$spanBytes len=$fileLen)")
+        (io, cnt, Some((crcOff, spanBytes)))
+      } else {
+        require(java.util.Arrays.equals(magic, Magic),
+          s"$name: not a GKV1 file (bad trailer magic)")
+        val bb = ByteBuffer.wrap(t, tailLen - TrailerLen, TrailerLen)
+        val io = bb.getLong
+        val cnt = bb.getLong
+        require(cnt >= 0 && io >= 4 && io + 8L * cnt + TrailerLen == fileLen,
+          s"$name: corrupt GKV1 trailer (indexOffset=$io count=$cnt len=$fileLen)")
+        (io, cnt, None)
+      }
     }
 
     def count: Long = n
@@ -342,9 +435,11 @@ object KvFile {
     /** Record-shape guard shared by every read path: lengths must fit the
       * data region, or a flipped byte becomes a named corruption error
       * instead of a negative-size allocation, an OOM-sized buffer, or an
-      * unnamed EOF past the region. (Value BYTES carry no checksum in
-      * GKV1 — pread cost is the format's priority; [[KvzFile]] is the
-      * integrity-checked engine, every block ADLER32-verified.) */
+      * unnamed EOF past the region. (Value BYTES are not checksum-checked
+      * on the LOOKUP path — pread cost is the format's priority;
+      * [[KvzFile]] is the per-read-verified engine. Payload integrity is
+      * audited offline via the span CRCs — [[verifyIntegrity]], run by
+      * fsck and transcode.) */
     private def checkRecordShape(off: Long, keyLen: Int, valLen: Int): Unit =
       require(
         keyLen >= 0 && valLen >= -1 &&
@@ -505,6 +600,54 @@ object KvFile {
           (k, v)
         }
       }
+    }
+
+    /** Span-checksum audit (GKV2 trailers; legacy GKV1-trailer files
+      * report nothing — they carry no checksums): ONE buffered
+      * sequential pass over the records region, each span's CRC32
+      * recomputed and compared against the stored array. One finding per
+      * mismatching span, naming the file and byte range — re-publish (or
+      * restore) the shard; the LOOKUP path stays checksum-free by design
+      * (see [[KvFile.CrcSpanBytes]]). Owns the seek pointer like
+      * [[iterator]]. */
+    override def verifyIntegrity(): Iterator[String] = crcInfo match {
+      case None => Iterator.empty
+      case Some((crcOff, spanBytes)) =>
+        val dataLen = indexOffset - 4L
+        val nSpans = if (dataLen <= 0) 0 else ((dataLen + spanBytes - 1) / spanBytes).toInt
+        if (nSpans == 0) Iterator.empty
+        else {
+          val stored = new Array[Byte](4 * nSpans)
+          in.readFully(crcOff, stored)
+          val sb = ByteBuffer.wrap(stored)
+          in.seek(4L)
+          val data = new java.io.BufferedInputStream(in, 1 << 16)
+          val buf = new Array[Byte](1 << 16)
+          val findings = scala.collection.mutable.ArrayBuffer[String]()
+          var remaining = dataLen
+          var spanStart = 4L
+          var i = 0
+          while (i < nSpans) {
+            val spanLen = math.min(spanBytes.toLong, remaining)
+            val crc = new java.util.zip.CRC32
+            var left = spanLen
+            while (left > 0) {
+              val r = data.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+              require(r > 0, s"$name: unexpected EOF verifying span at offset $spanStart")
+              crc.update(buf, 0, r)
+              left -= r
+            }
+            val expect = sb.getInt
+            val actual = crc.getValue.toInt
+            if (actual != expect)
+              findings += f"$name%s: CRC mismatch in bytes [$spanStart%d, ${spanStart + spanLen}%d) " +
+                f"(stored 0x$expect%08x, actual 0x$actual%08x)"
+            spanStart += spanLen
+            remaining -= spanLen
+            i += 1
+          }
+          findings.iterator
+        }
     }
 
     /** Keys-only scan, in key order: value bytes are SKIPPED using the

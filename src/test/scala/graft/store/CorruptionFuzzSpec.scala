@@ -79,7 +79,7 @@ class CorruptionFuzzSpec extends AnyFunSuite {
     val orig = writeFile(cleanPath, kvz)
     val baseline = probe(cleanPath)
     // region boundaries from the clean trailer
-    val trailerLen = if (kvz) KvzFile.TrailerLen else KvFile.TrailerLen
+    val trailerLen = if (kvz) KvzFile.TrailerLen else KvFile.TrailerLenV2
     val indexOffset = ByteBuffer.wrap(orig, orig.length - trailerLen, 8).getLong
     val mutPath = new Path(s"ramfs://$auth/$label/mut.kv")
     val rnd = new scala.util.Random(if (kvz) 0xC0FFEE else 0xBEEF)
@@ -125,11 +125,25 @@ class CorruptionFuzzSpec extends AnyFunSuite {
             s"gkz1 trial $trial: data flip at $pos read as '$outcome' — checksum must catch it")
       } else {
         // GKV1 magic/trailer flips must fail named at open (length
-        // equation + magic checks); data-region divergence is the
-        // format's documented trade
+        // equation + magic checks); data-region divergence on the READ
+        // path is the format's documented trade...
         if (pos < 4 || pos >= orig.length - trailerLen)
           assert(outcome == "named",
             s"gkv1 trial $trial: header/trailer flip at $pos read as '$outcome'")
+        // ...but the span-CRC AUDIT must catch every data-region flip
+        // (whether or not the read path happened to trip over it), and
+        // the named byte range must contain the flipped offset
+        if (pos >= 4 && pos < indexOffset && outcome != "named") {
+          val r = KvFile.open(fs, mutPath)
+          val findings = try r.verifyIntegrity().toVector finally r.close()
+          assert(findings.nonEmpty,
+            s"gkv1 trial $trial: data flip at $pos invisible to the span-CRC audit")
+          val rangeRe = """\[(\d+), (\d+)\)""".r
+          assert(findings.exists { f =>
+            rangeRe.findFirstMatchIn(f).exists(m =>
+              m.group(1).toLong <= pos && pos < m.group(2).toLong)
+          }, s"gkv1 trial $trial: flip at $pos outside every named range: $findings")
+        }
       }
     }
     // sanity on the fuzz itself: it exercised all three outcome classes

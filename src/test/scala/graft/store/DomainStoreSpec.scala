@@ -1314,6 +1314,41 @@ class DomainStoreSpec extends SparkSuite {
     }
   }
 
+  test("fsck catches a flipped value byte: corruption names file + offset; transcode refuses") {
+    import org.apache.hadoop.fs.Path
+    // scratch() deletes on every call — capture the path once
+    val root = scratch("crc-fsck")
+    val store = DomainStore.create(
+      root, DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kv((0 until 300).map(i => f"ck$i%04d" -> s"val-$i"): _*), 1L)
+    // clean: fsck's corruption column is empty everywhere
+    val clean = store.fsck(spark).collect()
+    assert(clean.forall(_.getSeq[String](4).isEmpty))
+    // flip one byte inside shard 0's data region (past header+index math:
+    // pick a spot inside a value, located via a known record's bytes)
+    val fs = store.root.getFileSystem(conf)
+    val f = new Path(store.root, s"1/shard=0/${KvFile.DataFileName}")
+    val len = fs.getFileStatus(f).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(f); in.readFully(0, bytes); in.close()
+    val marker = "val-".getBytes("UTF-8")
+    val pos = bytes.indexOfSlice(marker) + 2 // inside some record's value
+    bytes(pos) = (bytes(pos) ^ 0x01).toByte
+    val out = fs.create(f, true); out.write(bytes); out.close()
+    val audit = store.fsck(spark).collect().map(r => r.getInt(0) -> r.getSeq[String](4)).toMap
+    assert(audit(0).nonEmpty, "flipped byte invisible to fsck")
+    assert(audit(0).head.contains(KvFile.DataFileName))
+    val rangeRe = """\[(\d+), (\d+)\)""".r
+    val m = rangeRe.findFirstMatchIn(audit(0).head).get
+    assert(m.group(1).toLong <= pos && pos < m.group(2).toLong,
+      s"flip at $pos outside named range ${m.group(0)}")
+    assert(audit(1).isEmpty, "unflipped shard must audit clean")
+    // transcode refuses to launder the corruption into a fresh file
+    val e = intercept[IllegalArgumentException](DomainStore.transcode(
+      spark, root, scratch("crc-fsck-dst"), DomainSpec.KvSortedZ, 1L, conf))
+    assert(e.getMessage.contains("integrity"), e.getMessage)
+  }
+
   test("fsck: clean domains audit clean; a foreign shard file surfaces as misrouted keys") {
     import org.apache.hadoop.fs.Path
     for (fmt <- Seq(DomainSpec.ParquetSorted, DomainSpec.KvSorted)) {

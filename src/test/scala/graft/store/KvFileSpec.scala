@@ -56,6 +56,62 @@ class KvFileSpec extends AnyFunSuite {
     try assert(r.count === 2L) finally r.close()
   }
 
+  test("span CRCs: a flipped value byte is NAMED with file + offset; clean and legacy files audit clean") {
+    val fs = scratchFile("x").getFileSystem(conf)
+    // > 2 spans of data (64 KB values), so the audit must name the RIGHT span
+    val rows = byUnsigned((0 until 40).map { i =>
+      (f"crc$i%04d".getBytes, Array.fill[Byte](64 << 10)((i % 120).toByte))
+    })
+    val clean = scratchFile("crc-clean.kv")
+    writeFile(clean, rows)
+    val r0 = KvFile.open(fs, clean)
+    val cleanFindings = try r0.verifyIntegrity().toSeq finally r0.close()
+    assert(cleanFindings.isEmpty, cleanFindings.mkString("; "))
+
+    // flip one value byte deep in the data region
+    val len = fs.getFileStatus(clean).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(clean); in.readFully(0, bytes); in.close()
+    val flipAt = (KvFile.CrcSpanBytes * 3) / 2 // mid span #1 (0-based), well inside values
+    bytes(flipAt) = (bytes(flipAt) ^ 0x40).toByte
+    val corrupt = scratchFile("crc-corrupt.kv")
+    val out = fs.create(corrupt, true); out.write(bytes); out.close()
+    // the READ path stays checksum-free by design: the flip serves as bytes
+    val rc = KvFile.open(fs, corrupt)
+    val findings = try {
+      assert(rc.count === 40L)
+      rc.verifyIntegrity().toSeq
+    } finally rc.close()
+    assert(findings.size === 1, findings.mkString("; "))
+    assert(findings.head.contains("crc-corrupt.kv"), findings.head)
+    // the named byte range must CONTAIN the flipped offset
+    val rangeRe = """\[(\d+), (\d+)\)""".r
+    val m = rangeRe.findFirstMatchIn(findings.head).get
+    assert(m.group(1).toLong <= flipAt && flipAt < m.group(2).toLong,
+      s"flip at $flipAt outside named range ${m.group(0)}")
+
+    // a LEGACY 20-byte-trailer file (pre-CRC) still opens, counts, looks
+    // up — and audits clean by absence (the documented trade). Rebuild
+    // one from the clean file: data+index bytes are everything before
+    // the crcs section, located via the v2 trailer.
+    val bb = java.nio.ByteBuffer.wrap(bytes, bytes.length - KvFile.TrailerLenV2, KvFile.TrailerLenV2)
+    val (vIo, vCnt, vCrcOff) = (bb.getLong, bb.getLong, bb.getLong)
+    val legacy = scratchFile("crc-legacy.kv")
+    val lo = new java.io.DataOutputStream(fs.create(legacy, true))
+    lo.write(bytes, 0, vCrcOff.toInt)
+    lo.writeLong(vIo); lo.writeLong(vCnt); lo.write(KvFile.Magic)
+    lo.close()
+    val rl = KvFile.open(fs, legacy)
+    try {
+      assert(rl.count === 40L)
+      assert(rl.lookup("crc0007".getBytes).exists(_.length === (64 << 10)))
+      assert(rl.verifyIntegrity().isEmpty)
+    } finally rl.close()
+    // KvFile.count tail-dispatches both trailer versions
+    assert(KvFile.count(fs, clean) === 40L)
+    assert(KvFile.count(fs, legacy) === 40L)
+  }
+
   test("seeded fuzz: arbitrary binary keys round-trip through lookup and iterator") {
     val rnd = new scala.util.Random(1234)
     def bytes(n: Int): Array[Byte] = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
