@@ -58,7 +58,42 @@ object SynthScale {
       .drop("r")
       .repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    Seq("customer", "orders", "embeddings").foreach { t =>
+    // events: 10x rows with ONE synthetic hot user carrying ~20% of ALL
+    // events (replicas 1 and 2 collapse onto user 99_999_999; the rest
+    // key-shift normally) — the bot/service-account shape every real
+    // event log has, and exactly the skew the per-user-window event
+    // operators straggle on (the bucketed twins must not). event_id
+    // stays unique (shifted per replica) so (ts, event_id) ordering is
+    // deterministic; ts/type/value carry over verbatim.
+    val HotUser = 99_999_999L
+    spark.read.parquet(s"$src/events.parquet")
+      .select(col("*"), r)
+      .withColumn("event_id", col("event_id") + col("r") * Offset)
+      .withColumn("user_id",
+        when(col("r").isin(1L, 2L), lit(HotUser))
+          .otherwise(col("user_id") + col("r") * Offset))
+      .drop("r")
+      .repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // events at 100x (10M rows), SAME ~20% hot-user share but 10x the
+    // absolute hot history (2M events on one user): at local[32] the
+    // sf1 hot partition (200k rows) sorts inside a task's fixed
+    // overhead, so the straggler only becomes measurable here — this is
+    // the table DebugEventSkew's max-task audit runs on.
+    val skewOut = s"$out-skew"
+    val r100 = explode(sequence(lit(0L), lit(99L))).as("r")
+    spark.read.parquet(s"$src/events.parquet")
+      .select(col("*"), r100)
+      .withColumn("event_id", col("event_id") + col("r") * Offset)
+      .withColumn("user_id",
+        when(col("r") < 20L, lit(HotUser))
+          .otherwise(col("user_id") + col("r") * Offset))
+      .drop("r")
+      .repartition(16).write.mode("overwrite").parquet(s"$skewOut/events.parquet")
+    println(s"[synth] $skewOut/events.parquet rows=" +
+      spark.read.parquet(s"$skewOut/events.parquet").count())
+
+    Seq("customer", "orders", "embeddings", "events").foreach { t =>
       val n = spark.read.parquet(s"$out/$t.parquet").count()
       println(s"[synth] $out/$t.parquet rows=$n")
     }
