@@ -181,11 +181,18 @@ object Bench {
         s""","per_pass_total":[${num(passTotal(rep1))},${num(passTotal(rep2))}]""" +
         s""","queries":$qs$failuresField$subField,"sf":"$sfDir"}"""
     println(line)
+    // The driver's artifact capture FRONT-truncates long tails, losing the
+    // headline fields that lead the big line — so a SECOND, short summary
+    // line follows it: any tail capture keeps total/n_ok/n_failed.
+    val summary =
+      s"""{"metric":"total_summary","value":${num(total)},"unit":"sec"""" +
+        s""","n_ok":${results.size - failed.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    println(summary)
     // The driver parses this JSON from process output, where sbt log noise
     // can swallow it — also land it in a known file.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(out, (line + "\n" + summary + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -59,4 +59,36 @@ object StreamingDomain {
         }
       }
       .start()
+
+  /** The takedown twin of [[upsertStream]]: a stream of `key` rows (a
+    * deletion/takedown feed) where each micro-batch publishes one
+    * [[DomainStore.delete]] version — named keys absent, untouched
+    * shards copy-forward, O(batch) per publish. Same version/replay
+    * protocol as upsertStream (version = baseVersion + batchId + 1;
+    * an already-published non-latest version fails loud; deleting keys
+    * that are already absent is a no-op by delete's contract, which is
+    * exactly what an at-least-once replayed batch needs). Requires a
+    * published base version — deleting from a domain that was never
+    * built is a wiring error, not a bootstrap. */
+  def deleteStream(
+      store: DomainStore,
+      keyStream: DataFrame,
+      baseVersion: Long,
+      queryName: String,
+      checkpointDir: String): StreamingQuery =
+    keyStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = baseVersion + batchId + 1
+        if (store.versions.isPublished(version) && version != store.latestVersion)
+          throw new IllegalStateException(
+            s"delete-stream batch $batchId maps to version $version, which is already " +
+              s"published but is not the domain's latest (${store.latestVersion}) — " +
+              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
+        if (!store.versions.isPublished(version))
+          store.delete(batch.sparkSession, batch, version)
+      }
+      .start()
 }

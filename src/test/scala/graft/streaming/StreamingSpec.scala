@@ -105,6 +105,53 @@ class StreamingSpec extends SparkSuite {
     assert(store.latestVersion === 2L)
   }
 
+  test("streaming takedown: per-batch delete versions; replayed/absent keys are no-ops") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    import spark.implicits._
+    val srcDir = scratch("stream-del-src")
+    val ckpt = scratch("stream-del-ckpt")
+    val domRoot = scratch("stream-del-dom")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    val store = graft.store.DomainStore.create(
+      domRoot, graft.core.DomainSpec(numShards = 4), conf)
+    store.write(
+      (0 until 50).map(i => s"k$i" -> s"v$i").toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
+      1L)
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType)))
+    def keyParquet(name: String, ks: Seq[String]): Unit =
+      ks.toDF("k").select(utf8_bytes(col("k")).as("key"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/$name")
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(keySchema).parquet(s"$srcDir/*")
+      val q = StreamingDomain.deleteStream(
+        store, stream, baseVersion = 1L, queryName = "dom_del_stream_test", checkpointDir = ckpt)
+      try q.awaitTermination() finally q.stop()
+    }
+    def pairs(): Set[String] = store.read(spark)
+      .select(bytes_utf8(col("key"))).collect().map(_.getString(0)).toSet
+
+    // takedown batch 0
+    keyParquet("t0", Seq("k3", "k7"))
+    drain()
+    assert(store.latestVersion === 2L)
+    assert(pairs() === (0 until 50).map(i => s"k$i").toSet -- Set("k3", "k7"))
+    // takedown batch 1 (restart from checkpoint): absent key is a no-op
+    keyParquet("t1", Seq("k7", "k11", "ghost"))
+    drain()
+    assert(store.latestVersion === 3L)
+    assert(pairs() === (0 until 50).map(i => s"k$i").toSet -- Set("k3", "k7", "k11"))
+    // prior snapshots remain readable (takedown publishes, never mutates)
+    assert(store.readVersion(spark, 1L).count() === 50L)
+    // no new files -> nothing published
+    drain()
+    assert(store.latestVersion === 3L)
+  }
+
   test("streaming ANN ingest: per-batch index upserts converge to the from-scratch index") {
     import org.apache.spark.sql.functions._
     val srcDir = scratch("stream-ann-src")
