@@ -51,12 +51,21 @@ private[graft] object IndexDelete {
         .multiGet(r.select(col("key")), includeMisses = false)
         .select(col("key"), bytes_utf8(col("value")).as("cur"))
       // cells are sorted at publish and filter() preserves order, so the
-      // kept cell stays in the index's canonical byte form
+      // kept cell stays in the index's canonical byte form. Every stored
+      // entry's id part must parse as an integer — a hit whose value is
+      // NOT a membership cell (wrong domain wired despite the callers'
+      // type gates) fails loud instead of silently keeping everything.
+      def checkedId(e: Column): Column =
+        when(entryId(e).try_cast("long").isNotNull, entryId(e))
+          .otherwise(raise_error(concat(
+            lit("indexDelete: stored entry '"), e,
+            lit("' has no integral id part — this domain is not a " +
+              "membership index (wrong root wired?)"))))
       val after = r.join(current, Seq("key"))
         .select(
           col("key"),
           filter(split(col("cur"), ","),
-            e => !array_contains(col("rids"), entryId(e))).as("kept"))
+            e => !array_contains(col("rids"), checkedId(e))).as("kept"))
         .localCheckpoint(true) // feeds both patch sides; ContextCleaner-reaped
       val ups = after.where(size(col("kept")) > 0)
         .select(col("key"), utf8_bytes(concat_ws(",", col("kept"))).as("value"))

@@ -70,6 +70,22 @@ private[graft] object IndexMarker {
     case None => requireByMarker(store, spark, expected, op, buildFn)
   }
 
+  /** Spec-only type gate for families whose domains carry no in-data
+    * marker (the ANN posting-list domains — their 4-byte cell keys
+    * cannot collide with any marker-carrying family, so a wrong aim is
+    * a silent no-op rather than pollution, and the spec field is the
+    * guard that makes it loud): a DECLARED indexType must be one of
+    * `allowed`; an undeclared (pre-field / legacy) spec passes. */
+  def requireSpecIn(
+      store: graft.store.DomainStore,
+      allowed: Set[String],
+      op: String): Unit =
+    store.spec.indexTypeOption.foreach { t =>
+      if (!allowed(t)) throw new IllegalArgumentException(
+        s"$op: domain at ${store.root} declares index type '$t', not one of " +
+          s"${allowed.mkString("/")} — this call is aimed at the wrong domain")
+    }
+
   private def requireByMarker(
       store: graft.store.DomainStore,
       spark: SparkSession,

@@ -598,6 +598,13 @@ object Similarity {
    * One aggregation shuffle over (cell, id) pairs — vectors never enter
    * the exchange.
    */
+  /** Declared-spec index types for the ANN posting-list domains (no
+    * in-data marker — 4-byte cell keys can't collide with the marker
+    * families; declare these in `DomainSpec.indexType` at create so a
+    * wrong-domain upsert/delete fails loud instead of no-opping). */
+  val IvfIndexType = "ivf-postings"
+  val IvfPqIndexType = "ivf-pq-postings"
+
   def ivfIndexKv(
       corpus: DataFrame,
       idCol: String,
@@ -676,6 +683,10 @@ object Similarity {
       newVersion: Long,
       maxCellMembers: Int = Similarity.MaxCellMembers): Unit = {
     val spark = delta.sparkSession
+    // a PQ domain that DECLARES its type fails here before the grammar
+    // guard below ever reads a cell; undeclared/legacy domains still
+    // have the entry-parse guard
+    IndexMarker.requireSpecIn(index, Set(IvfIndexType), "ivfIndexUpsert")
     // Materialize the delta's posting additions ONCE (≤ affected-cells
     // rows): they feed both multiGet's decision probe and the merge —
     // without it the assignment + aggregation would run twice per call,
@@ -973,6 +984,7 @@ object Similarity {
       newVersion: Long,
       maxCellMembers: Int = Similarity.MaxCellMembers): Unit = {
     val spark = delta.sparkSession
+    IndexMarker.requireSpecIn(index, Set(IvfPqIndexType), "ivfPqIndexUpsert")
     val additions = ivfPqIndexKv(delta, idCol, vecCol, centroids, books, maxCellMembers)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
       .persist()
@@ -1559,6 +1571,12 @@ object Similarity {
       centroids: Array[Array[Double]],
       newVersion: Long): Unit = {
     IndexDelete.requireIntegralId(removed, idCol, "ivfIndexDelete")
+    // spec-declared wrong domains fail loud here; an UNDECLARED wrong
+    // domain can only no-op (4-byte cell keys collide with no other
+    // family, hits-only probing removes nothing) and any hit whose
+    // entry lacks an integral id part fails loud inside publishRemoval
+    IndexMarker.requireSpecIn(
+      index, Set(IvfIndexType, IvfPqIndexType), "ivfIndexDelete")
     IndexDelete.publishRemoval(
       index,
       IndexDelete.removalsFromBuild(

@@ -186,7 +186,8 @@ object PipelineQueries {
   /** BUILD half of pipeline_annpq_index: PQ-coded posting lists on the
     * servable kv format, same fixed tensors as sim_ann_ivfpq_fixed. */
   def annPqIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
-    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted)
+    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted,
+      indexType = Similarity.IvfPqIndexType)
     Fixtures.domain(s, dir, "ann-ivfpq-index", spec) { (st, sp) =>
       st.write(
         Similarity.ivfPqIndexKv(
@@ -216,7 +217,8 @@ object PipelineQueries {
     * SHARED fixed quantizer and publish the inverted index as a
     * kv-sorted domain (point lookups = per-shard binary search). */
   def annIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
-    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted)
+    val spec = DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted,
+      indexType = Similarity.IvfIndexType)
     Fixtures.domain(s, dir, "ann-ivf-index", spec) { (st, sp) =>
       st.write(
         Similarity.ivfIndexKv(

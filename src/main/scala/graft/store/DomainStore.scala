@@ -2028,11 +2028,12 @@ object DomainStore {
       version: Long,
       conf: Configuration): DomainStore = {
     val src = open(srcRoot, conf)
-    val dst = create(dstRoot, src.spec.copy(persistenceFormat = dstFormat), conf)
-    // refuse to transcode corrupt payloads: the rewrite would re-checksum
-    // flipped bytes as if they were authentic, laundering the corruption
-    // into a clean-auditing file (parquet/orc sources verify on read;
-    // kv sources take the span-CRC audit — pre-CRC files audit clean by
+    // refuse to transcode corrupt payloads BEFORE creating the
+    // destination (a refusal must not leave a spec-only dst root behind
+    // that blocks a later create): the rewrite would re-checksum flipped
+    // bytes as if they were authentic, laundering the corruption into a
+    // clean-auditing file (parquet/orc sources verify on read; kv
+    // sources take the span-CRC audit — pre-CRC files audit clean by
     // absence, the documented legacy trade)
     if (src.isKv) {
       val bad = src.integrityFindings(spark, src.latestVersion)
@@ -2040,6 +2041,7 @@ object DomainStore {
         s"transcode: source domain $srcRoot fails its payload-integrity audit — " +
           s"restore or re-publish the named shards first:\n  ${bad.mkString("\n  ")}")
     }
+    val dst = create(dstRoot, src.spec.copy(persistenceFormat = dstFormat), conf)
     if (src.isKv && dst.isKv) {
       dst.versions.createVersion(version)
       try {

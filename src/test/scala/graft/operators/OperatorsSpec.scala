@@ -1071,6 +1071,36 @@ class OperatorsSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Similarity.semIndexDelete(band, remEmb, "vec_id", "embedding", 3, 9L))
     assert(e.getMessage.contains("'lsh-band' index, not 'sem-cell'"))
+    // ...and for the marker-free ANN family via the SPEC declaration:
+    // an ivf takedown aimed at a sem-declared domain fails loud
+    val semDeclared = graft.store.DomainStore.create(
+      scratch("ix-del/sem-declared"),
+      spec.copy(indexType = Similarity.SemIndexType), conf)
+    semDeclared.write(Similarity.semIndexKv(keptEmb, "vec_id", "embedding", 3), 1L)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.ivfIndexDelete(semDeclared, remV, "vec_id", "embedding", cents, 2L))
+    assert(e2.getMessage.contains("declares index type 'sem-cell'"), e2.getMessage)
+    // a PQ-declared domain refuses the PLAIN ivf upsert before any
+    // grammar read, and vice versa
+    val pqDeclared = graft.store.DomainStore.create(
+      scratch("ix-del/pq-declared"),
+      spec.copy(indexType = Similarity.IvfPqIndexType), conf)
+    pqDeclared.write(Similarity.ivfPqIndexKv(keptV, "vec_id", "embedding", cents, books), 1L)
+    val e3 = intercept[IllegalArgumentException](
+      Similarity.ivfIndexUpsert(pqDeclared, remV, "vec_id", "embedding", cents, 2L))
+    assert(e3.getMessage.contains("declares index type 'ivf-pq-postings'"), e3.getMessage)
+    // an UNDECLARED wrong domain whose cells HIT with a foreign value
+    // grammar fails loud inside the removal engine (never silently
+    // keeps everything): same cell keys, garbage values
+    val bogus = Similarity.ivfIndexKv(remV, "vec_id", "embedding", cents)
+      .select(col("key"), graft.functions.utf8_bytes(lit("foo:x,bar")).as("value"))
+    val wrong = graft.store.DomainStore.create(scratch("ix-del/wrong-grammar"), spec, conf)
+    wrong.write(bogus, 1L, dedupKeys = true)
+    def messages(th: Throwable): Seq[String] =
+      if (th == null) Nil else Option(th.getMessage).toSeq ++ messages(th.getCause)
+    val e4 = intercept[Exception](
+      Similarity.ivfIndexDelete(wrong, remV, "vec_id", "embedding", cents, 2L))
+    assert(messages(e4).exists(_.contains("no integral id part")), messages(e4).mkString(" | "))
     // deleting never-indexed content publishes a no-op version
     val before = kvPairs(band)
     Dedup.bandIndexDelete(
@@ -1096,18 +1126,30 @@ class OperatorsSpec extends SparkSuite {
     band.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
     import org.apache.spark.scheduler._
     val jobs = new java.util.concurrent.atomic.LongAdder
+    val sentinelSeen = new java.util.concurrent.atomic.LongAdder
     val group = s"spec-ix-pin-${System.nanoTime()}"
+    val sentinelGroup = s"$group-sentinel"
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (group == j.properties.getProperty("spark.jobGroup.id")) jobs.increment()
+        j.properties.getProperty("spark.jobGroup.id") match {
+          case `group` => jobs.increment()
+          case `sentinelGroup` => sentinelSeen.increment()
+          case _ => ()
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       spark.sparkContext.setJobGroup(group, "spec index-type pin")
       IndexMarker.require(band, spark, Dedup.BandIndexType, "specPin", "bandIndexKv")
+      // a SENTINEL job in a sibling group proves the async listener bus
+      // has drained past our window — zero fixed sleep, no 5 s deadline
+      // burned on the (correct) passing case
+      spark.sparkContext.setJobGroup(sentinelGroup, "listener drain sentinel")
+      spark.range(1).count()
       spark.sparkContext.clearJobGroup()
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      while (jobs.sum() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (sentinelSeen.sum() == 0 && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sentinelSeen.sum() > 0, "listener bus never delivered the sentinel")
       assert(jobs.sum() === 0, "spec-typed verification ran a Spark job")
     } finally spark.sparkContext.removeSparkListener(listener)
     // the spec is the AUTHORITY: a wrong-type call fails loud from

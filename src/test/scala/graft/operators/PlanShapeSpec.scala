@@ -120,9 +120,13 @@ class PlanShapeSpec extends SparkSuite {
       spark.sparkContext.setJobGroup(group, "shuffle-volume pin")
       df.write.format("noop").mode("overwrite").save()
       spark.sparkContext.clearJobGroup()
-      // listener events are async: wait for the measured stages to drain
+      // listener events are async: wait for the job-start events to
+      // ARRIVE (stages would otherwise still be empty and the drain
+      // condition vacuously satisfied at 0 records) and then for the
+      // measured stages to drain
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
-      while (done.sum() < stages.size() && System.nanoTime() < deadline)
+      while ((stages.isEmpty || done.sum() < stages.size()) &&
+          System.nanoTime() < deadline)
         Thread.sleep(50)
       recs.sum()
     } finally spark.sparkContext.removeSparkListener(listener)

