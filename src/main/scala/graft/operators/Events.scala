@@ -61,7 +61,13 @@ object Events {
 
   /** Gap-based sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds `gapMinutes`. Ordering is by
-    * exact nanosecond timestamp with event_id tie-break. */
+    * exact nanosecond timestamp with event_id tie-break.
+    *
+    * Scale note: this window partitions by USER — one task owns a hot
+    * user's entire history (a 10⁹-event bot = a straggler task). It is
+    * the audit/equivalence twin; the production path at corpus scale is
+    * [[sessionizeBucketed]], identical output with per-task work bounded
+    * by one (user, time-bucket). */
   def sessionize(df0: DataFrame, gapMinutes: Int): DataFrame = {
     val df = tsAsNanos(df0)
     val gapNs = gapMinutes * 60L * NanosPerSecond
@@ -490,10 +496,13 @@ object Events {
    * path).
    *
    * Scale posture: one shuffle keyed on user; the per-user lag window's
-   * task state is one row (no collections), its partition bounded by a
-   * single user's activity — the [[sessionStats]] cost model. The edge
-   * aggregation is map-side-combined on (from, to), whose cardinality is
-   * |types|² regardless of corpus size.
+   * task state is one row (no collections), but its PARTITION is bounded
+   * by a single user's whole activity — a hot user straggles one task.
+   * This is the audit/equivalence twin; the production path is
+   * [[transitionsBucketed]], identical output with per-task work bounded
+   * by one (user, time-bucket). The edge aggregation is
+   * map-side-combined on (from, to), whose cardinality is |types|²
+   * regardless of corpus size.
    */
   def transitions(
       df0: DataFrame,

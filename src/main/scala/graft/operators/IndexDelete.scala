@@ -61,11 +61,15 @@ private[graft] object IndexDelete {
             lit("indexDelete: stored entry '"), e,
             lit("' has no integral id part — this domain is not a " +
               "membership index (wrong root wired?)"))))
+      // array_compact: a null id in rids would make every non-matching
+      // array_contains evaluate NULL -> filter drops the whole cell — a
+      // silent full-bucket delete. Current callers derive rids null-free
+      // (removalsFromBuild), this guards future direct callers.
       val after = r.join(current, Seq("key"))
         .select(
           col("key"),
           filter(split(col("cur"), ","),
-            e => !array_contains(col("rids"), checkedId(e))).as("kept"))
+            e => !array_contains(array_compact(col("rids")), checkedId(e))).as("kept"))
         .localCheckpoint(true) // feeds both patch sides; ContextCleaner-reaped
       val ups = after.where(size(col("kept")) > 0)
         .select(col("key"), utf8_bytes(concat_ws(",", col("kept"))).as("value"))

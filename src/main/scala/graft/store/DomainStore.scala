@@ -535,29 +535,32 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           var misrouted = 0L
           var sorted = true
           val corrupt = scala.collection.mutable.ArrayBuffer[String]()
-          if (fs.exists(d)) fs.listStatus(d)
-            .filter(_.getPath.getName.endsWith(suffix))
+          DomainStore.shardFiles(fs, base, suffix, s)
             .foreach { st =>
-              val r = KvFile.open(fs, st.getPath)
+              // ONE combined sequential pass per file (auditPass): key
+              // framing + routing/order checks + span-CRC verification
+              // share a single read — and corruption NEVER crashes the
+              // audit: a broken trailer/record/block becomes a finding
+              // in the corruption column while every other shard still
+              // reports (the audit tool must work exactly when
+              // corruption is worst).
               try {
-                var prev: Array[Byte] = null
-                val it = r.keysIterator
-                while (it.hasNext) {
-                  val k = it.next()
-                  records += 1
-                  if (graft.core.ShardIndex.shardIndex(k, n) != s) misrouted += 1
-                  if (prev != null && java.util.Arrays.compareUnsigned(prev, k) > 0)
-                    sorted = false
-                  prev = k
-                }
-              } finally r.close()
-              // payload integrity: span-CRC audit on a FRESH handle (the
-              // sequential passes own the seek pointer). Names file +
-              // byte range of every mismatching span; legacy pre-CRC
-              // files and kvz (verified per block on read) report none.
-              val ri = KvFile.open(fs, st.getPath)
-              try corrupt ++= ri.verifyIntegrity()
-              finally ri.close()
+                val r = KvFile.open(fs, st.getPath)
+                try {
+                  var prev: Array[Byte] = null
+                  corrupt ++= r.auditPass { k =>
+                    records += 1
+                    if (graft.core.ShardIndex.shardIndex(k, n) != s) misrouted += 1
+                    if (prev != null && java.util.Arrays.compareUnsigned(prev, k) > 0)
+                      sorted = false
+                    prev = k
+                  }
+                } finally r.close()
+              } catch {
+                case e @ (_: IllegalArgumentException | _: IllegalStateException |
+                    _: java.io.IOException) =>
+                  corrupt += s"${st.getPath}: ${e.getMessage}"
+              }
             }
           (s, records, misrouted, sorted, corrupt.toSeq)
         }
@@ -600,16 +603,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
       .flatMap { s =>
         val c = DomainStore.rebuildConf(confEntries)
-        val d = new Path(base, s"shard=$s")
-        val fs = d.getFileSystem(c)
-        if (!fs.exists(d)) Seq.empty[String]
-        else fs.listStatus(d)
-          .filter(_.getPath.getName.endsWith(suffix))
-          .toSeq
-          .flatMap { st =>
-            val r = KvFile.open(fs, st.getPath)
-            try r.verifyIntegrity().toSeq finally r.close()
-          }
+        val fs = new Path(base).getFileSystem(c)
+        DomainStore.shardFiles(fs, base, suffix, s).flatMap { st =>
+          val r = KvFile.open(fs, st.getPath)
+          try r.verifyIntegrity().toSeq finally r.close()
+        }
       }
       .collect()
   }
@@ -1610,6 +1608,21 @@ object DomainStore {
     * banded probe sets of an incremental dedup delta) sits far below it. */
   val MaxDriverKeys: Int = 262144
 
+  /** One shard dir's data files (empty when the dir is absent — a
+    * legitimately empty shard). The ONE shard-walk definition the audit
+    * tiers share ([[DomainStore.fsck]], `integrityFindings`), so a
+    * future change to the walk (suffix rules, missing-dir semantics)
+    * lands once. */
+  private[store] def shardFiles(
+      fs: FileSystem,
+      base: String,
+      suffix: String,
+      s: Int): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val d = new Path(base, s"shard=$s")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.getPath.getName.endsWith(suffix)).toSeq
+  }
+
   /** One shard's (shard, rows, bytes) from metadata only — static so the
     * distributed tier's closure never drags the store (with its
     * non-serializable Configuration) along. */
@@ -2028,6 +2041,10 @@ object DomainStore {
       version: Long,
       conf: Configuration): DomainStore = {
     val src = open(srcRoot, conf)
+    // resolve the source version ONCE: the integrity gate and the
+    // rewrite must see the same bytes (a publish landing between them
+    // would otherwise transcode a never-audited version)
+    val srcVersion = src.latestVersion
     // refuse to transcode corrupt payloads BEFORE creating the
     // destination (a refusal must not leave a spec-only dst root behind
     // that blocks a later create): the rewrite would re-checksum flipped
@@ -2036,7 +2053,7 @@ object DomainStore {
     // sources take the span-CRC audit — pre-CRC files audit clean by
     // absence, the documented legacy trade)
     if (src.isKv) {
-      val bad = src.integrityFindings(spark, src.latestVersion)
+      val bad = src.integrityFindings(spark, srcVersion)
       require(bad.isEmpty,
         s"transcode: source domain $srcRoot fails its payload-integrity audit — " +
           s"restore or re-publish the named shards first:\n  ${bad.mkString("\n  ")}")
@@ -2048,7 +2065,8 @@ object DomainStore {
         dst.versions.versionPath(version).getFileSystem(conf)
           .mkdirs(dst.versions.versionPath(version))
         dst.writeSortedKvRows(
-          src.readPartitioned(spark).select(col("shard"), col("key"), col("value")),
+          src.readPartitioned(spark, srcVersion)
+            .select(col("shard"), col("key"), col("value")),
           version)
         dst.buildIndex(spark, version, onlyShards = None)
         dst.writeOriginsManifest(version, _ => version)
@@ -2059,7 +2077,7 @@ object DomainStore {
           throw e
       }
     } else {
-      dst.write(src.read(spark).select("key", "value"), version)
+      dst.write(src.readVersion(spark, srcVersion).select("key", "value"), version)
     }
     dst
   }

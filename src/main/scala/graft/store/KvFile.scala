@@ -40,6 +40,37 @@ trait ShardReader extends AutoCloseable {
     * written before their format carried checksums. Sequential-pass
     * lifetime contract matches [[iterator]] where the format notes one. */
   def verifyIntegrity(): Iterator[String] = Iterator.empty
+
+  /** Combined key + integrity audit (the fsck primitive): frame every
+    * record in key order handing each key to `onKey`, verify whatever
+    * stored checksums the format carries, and return corruption
+    * FINDINGS instead of throwing on a malformed record — the audit
+    * tool must not crash exactly when corruption is worst. Framing
+    * stops at the first broken record (no resync in a length-prefixed
+    * run) but checksum verification still completes, so the flipped
+    * byte is named either way. Default: drain [[keysIterator]] (read
+    * failures — e.g. kvz's per-block ADLER32 — become findings), then
+    * [[verifyIntegrity]]; formats with their own checksums may override
+    * with a single-read pass. Lifetime contract matches [[iterator]]:
+    * one audit per reader handle. */
+  def auditPass(onKey: Array[Byte] => Unit): Seq[String] = {
+    val findings = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      val it = keysIterator
+      while (it.hasNext) onKey(it.next())
+    } catch {
+      case e @ (_: IllegalArgumentException | _: IllegalStateException |
+          _: java.io.IOException) =>
+        findings += s"record scan failed: ${e.getMessage}"
+    }
+    try findings ++= verifyIntegrity()
+    catch {
+      case e @ (_: IllegalArgumentException | _: IllegalStateException |
+          _: java.io.IOException) =>
+        findings += s"checksum audit failed: ${e.getMessage}"
+    }
+    findings.toSeq
+  }
   /** Records inside the unsigned-lexicographic bounds, in key order; I/O
     * proportional to the range where the format can bound it. */
   def range(
@@ -82,7 +113,7 @@ trait ShardReader extends AutoCloseable {
  *   header : magic "GKV1"                                    (4 bytes)
  *   records: [keyLen:int][valLen:int][key][value]  x count   (sorted by key)
  *   index  : [recordOffset:long] x count                     (fixed 8-byte entries)
- *   crcs   : [crc32:int] x ceil(dataLen / spanBytes)         (since GKV2 trailers)
+ *   crcs   : [crc32:int] x ceil((indexEnd - 4) / spanBytes)  (records + index; since GKV2 trailers)
  *   trailer: [indexOffset:long][count:long][crcOffset:long][spanBytes:int][magic "GKV2"]  (32 bytes)
  * }}}
  * (Files written before span checksums end in the 20-byte legacy trailer
@@ -136,15 +167,24 @@ object KvFile {
     * [indexOffset:long][count:long][crcOffset:long][spanBytes:int][magic "GKV2"]. */
   val TrailerLenV2 = 32
 
-  /** Bytes of records region covered by one stored CRC32 (4 bytes per
-    * span → 4 ppm overhead at 1 MB). Spans are what let a flipped bit be
-    * NAMED with an offset instead of "somewhere in this file" — and keep
-    * re-verification after a partial repair span-local. The LOOKUP path
-    * never touches them (pread latency is this format's priority; the
-    * kvz engine is the per-read-verified one): integrity is audited by
-    * [[Reader.verifyIntegrity]] — `DomainStore.fsck` runs it per shard
-    * file, and transcode audits its source before rewriting. */
+  /** Bytes of the records+index region covered by one stored CRC32
+    * (4 bytes per span → 4 ppm overhead at 1 MB). Spans are what let a
+    * flipped bit be NAMED with an offset instead of "somewhere in this
+    * file" — and keep re-verification after a partial repair span-local.
+    * Coverage includes the OFFSET INDEX: a flipped in-bounds index byte
+    * mis-targets binary searches silently (records still frame clean).
+    * The LOOKUP path never touches the CRCs (pread latency is this
+    * format's priority; the kvz engine is the per-read-verified one):
+    * integrity is audited by [[Reader.verifyIntegrity]] /
+    * [[Reader.auditPass]] — `DomainStore.fsck` runs the combined pass
+    * per shard file, and transcode audits its source before rewriting. */
   val CrcSpanBytes: Int = 1 << 20
+
+  /** Floor a GKV2 trailer's spanBytes must clear (the writer uses
+    * [[CrcSpanBytes]]): without it a crafted tiny spanBytes makes the
+    * crc section rival the data region and the span count overflow Int
+    * math — reject it as a named corrupt-trailer error instead. */
+  val MinSpanBytes: Int = 4096
 
   /** Batch-density crossover for kv point lookups: a batch
     * binary-searches only when `keys * ratio < records` — below that,
@@ -227,8 +267,12 @@ object KvFile {
     out.write(Magic)
     var pos = 4L
     val offsets = scala.collection.mutable.ArrayBuffer[Long]()
-    // span CRCs over the records region, computed as the bytes stream
-    // past (a record may straddle a span boundary — feed() splits it)
+    // span CRCs over records AND the offset index — everything in
+    // [4, crcOffset) — computed as the bytes stream past (a record may
+    // straddle a span boundary; feed() splits it). Covering the index
+    // matters as much as the values: a flipped in-bounds index byte
+    // silently mis-targets binary searches (wrong/absent answers) while
+    // every record still frames cleanly.
     val crcs = scala.collection.mutable.ArrayBuffer[Int]()
     val crc = new java.util.zip.CRC32
     var spanFill = 0
@@ -270,9 +314,16 @@ object KvFile {
       pos += 8L + k.length + (if (v == null) 0 else v.length)
       prev = k
     }
-    if (spanFill > 0) crcs += crc.getValue.toInt
     val indexOffset = pos
-    offsets.foreach(out.writeLong)
+    val entryBuf = new Array[Byte](8)
+    val entryBB = ByteBuffer.wrap(entryBuf)
+    offsets.foreach { o =>
+      entryBB.clear()
+      entryBB.putLong(o)
+      out.write(entryBuf)
+      feed(entryBuf, 0, 8)
+    }
+    if (spanFill > 0) crcs += crc.getValue.toInt
     val crcOffset = indexOffset + 8L * offsets.length
     crcs.foreach(out.writeInt)
     out.writeLong(indexOffset)
@@ -390,12 +441,20 @@ object KvFile {
         val cnt = bb.getLong
         val crcOff = bb.getLong
         val spanBytes = bb.getInt
-        val nSpans = if (io <= 4 || spanBytes <= 0) 0L else (io - 4 + spanBytes - 1) / spanBytes
-        require(
-          cnt >= 0 && io >= 4 && spanBytes > 0 && crcOff == io + 8L * cnt &&
-            crcOff + 4L * nSpans + TrailerLenV2 == fileLen,
+        // every bound is checked with NON-WRAPPING arithmetic (division,
+        // not `8L * cnt` — a cnt near 2^61 would wrap that product back
+        // onto the expected value and open "cleanly" with an absurd n);
+        // spanBytes has a floor so the span count stays sane
+        def fail(): Nothing = throw new IllegalArgumentException(
           s"$name: corrupt GKV2 trailer (indexOffset=$io count=$cnt " +
             s"crcOffset=$crcOff spanBytes=$spanBytes len=$fileLen)")
+        if (!(io >= 4 && io <= fileLen - TrailerLenV2 &&
+            crcOff >= io && crcOff <= fileLen - TrailerLenV2 &&
+            spanBytes >= MinSpanBytes)) fail()
+        val idxLen = crcOff - io
+        if (idxLen % 8 != 0 || cnt != idxLen / 8) fail()
+        val nSpans = if (crcOff <= 4) 0L else (crcOff - 4 + spanBytes - 1) / spanBytes
+        if (fileLen - crcOff - TrailerLenV2 != 4L * nSpans) fail()
         (io, cnt, Some((crcOff, spanBytes)))
       } else {
         require(java.util.Arrays.equals(magic, Magic),
@@ -403,7 +462,9 @@ object KvFile {
         val bb = ByteBuffer.wrap(t, tailLen - TrailerLen, TrailerLen)
         val io = bb.getLong
         val cnt = bb.getLong
-        require(cnt >= 0 && io >= 4 && io + 8L * cnt + TrailerLen == fileLen,
+        // division-form bound for the same wrap-proofing as the GKV2 arm
+        val idxLen = fileLen - TrailerLen - io
+        require(cnt >= 0 && io >= 4 && idxLen >= 0 && idxLen % 8 == 0 && cnt == idxLen / 8,
           s"$name: corrupt GKV1 trailer (indexOffset=$io count=$cnt len=$fileLen)")
         (io, cnt, None)
       }
@@ -604,29 +665,36 @@ object KvFile {
 
     /** Span-checksum audit (GKV2 trailers; legacy GKV1-trailer files
       * report nothing — they carry no checksums): ONE buffered
-      * sequential pass over the records region, each span's CRC32
-      * recomputed and compared against the stored array. One finding per
-      * mismatching span, naming the file and byte range — re-publish (or
-      * restore) the shard; the LOOKUP path stays checksum-free by design
-      * (see [[KvFile.CrcSpanBytes]]). Owns the seek pointer like
-      * [[iterator]]. */
+      * sequential pass over the records+index region [4, crcOffset),
+      * each span's CRC32 recomputed and compared against the stored
+      * array. One finding per mismatching span, naming the file and byte
+      * range — re-publish (or restore) the shard; the LOOKUP path stays
+      * checksum-free by design (see [[KvFile.CrcSpanBytes]]). Owns the
+      * seek pointer like [[iterator]]. [[auditPass]] is the fsck variant
+      * that frames records in the same single read. */
     override def verifyIntegrity(): Iterator[String] = crcInfo match {
       case None => Iterator.empty
       case Some((crcOff, spanBytes)) =>
-        val dataLen = indexOffset - 4L
-        val nSpans = if (dataLen <= 0) 0 else ((dataLen + spanBytes - 1) / spanBytes).toInt
+        val coveredLen = crcOff - 4L // records + offset index
+        val nSpans = if (coveredLen <= 0) 0L else (coveredLen + spanBytes - 1) / spanBytes
         if (nSpans == 0) Iterator.empty
         else {
-          val stored = new Array[Byte](4 * nSpans)
+          // the trailer equation bounds 4*nSpans to the crc section's
+          // actual byte size; the MinSpanBytes floor keeps it far from
+          // Int limits at any realistic file size — but fail NAMED, not
+          // as a negative allocation, if a pathological file gets here
+          require(nSpans <= Int.MaxValue / 4,
+            s"$name: corrupt GKV2 trailer ($nSpans checksum spans)")
+          val stored = new Array[Byte](4 * nSpans.toInt)
           in.readFully(crcOff, stored)
           val sb = ByteBuffer.wrap(stored)
           in.seek(4L)
           val data = new java.io.BufferedInputStream(in, 1 << 16)
           val buf = new Array[Byte](1 << 16)
           val findings = scala.collection.mutable.ArrayBuffer[String]()
-          var remaining = dataLen
+          var remaining = coveredLen
           var spanStart = 4L
-          var i = 0
+          var i = 0L
           while (i < nSpans) {
             val spanLen = math.min(spanBytes.toLong, remaining)
             val crc = new java.util.zip.CRC32
@@ -648,6 +716,122 @@ object KvFile {
           }
           findings.iterator
         }
+    }
+
+    /** Rolling span-CRC tracker for [[auditPass]]: fed every byte of
+      * [4, crcOffset) in order, compares each completed span against the
+      * stored array. */
+    private final class SpanCrcTracker(
+        spanBytes: Int, stored: ByteBuffer, coveredLen: Long) {
+      private val crc = new java.util.zip.CRC32
+      private var fill = 0L
+      private var spanStart = 4L
+      private var consumed = 0L
+      val findings = scala.collection.mutable.ArrayBuffer[String]()
+      def feed(b: Array[Byte], off0: Int, len0: Int): Unit = {
+        var off = off0
+        var len = len0
+        while (len > 0) {
+          val take = math.min(len.toLong, spanBytes - fill).toInt
+          crc.update(b, off, take)
+          fill += take
+          consumed += take
+          off += take
+          len -= take
+          if (fill == spanBytes) roll()
+        }
+      }
+      private def roll(): Unit = {
+        val expect = stored.getInt
+        val actual = crc.getValue.toInt
+        if (actual != expect)
+          findings += f"$name%s: CRC mismatch in bytes [$spanStart%d, ${spanStart + fill}%d) " +
+            f"(stored 0x$expect%08x, actual 0x$actual%08x)"
+        spanStart += fill
+        crc.reset()
+        fill = 0
+      }
+      def finish(): Unit = if (fill > 0) roll()
+      def remaining: Long = coveredLen - consumed
+    }
+
+    /** Single-read combined audit: ONE buffered sequential pass over
+      * [4, crcOffset) frames every record (keys to `onKey`) AND feeds
+      * the span CRCs — the offset index included (a flipped in-bounds
+      * index byte mis-targets binary searches while records frame
+      * clean; only the CRC sees it). A framing break becomes a finding
+      * and the CRC pass still completes over the rest of the region, so
+      * corruption is always NAMED, never a crashed audit. Legacy files
+      * (no CRCs) frame only. Owns the seek pointer like [[iterator]]. */
+    override def auditPass(onKey: Array[Byte] => Unit): Seq[String] = {
+      val findings = scala.collection.mutable.ArrayBuffer[String]()
+      val crcState = crcInfo.map { case (crcOff, spanBytes) =>
+        val coveredLen = crcOff - 4L
+        val nSpans = if (coveredLen <= 0) 0L else (coveredLen + spanBytes - 1) / spanBytes
+        require(nSpans <= Int.MaxValue / 4,
+          s"$name: corrupt GKV2 trailer ($nSpans checksum spans)")
+        val stored = new Array[Byte](4 * nSpans.toInt)
+        if (nSpans > 0) in.readFully(crcOff, stored)
+        new SpanCrcTracker(spanBytes, ByteBuffer.wrap(stored), coveredLen)
+      }
+      in.seek(4L)
+      val raw = new java.io.BufferedInputStream(in, 1 << 16)
+      val buf = new Array[Byte](1 << 16)
+      def readTracked(dst: Array[Byte], len: Int): Unit = {
+        var o = 0
+        while (o < len) {
+          val r = raw.read(dst, o, len - o)
+          require(r > 0, s"$name: unexpected EOF in audit pass")
+          o += r
+        }
+        crcState.foreach(_.feed(dst, 0, len))
+      }
+      def drainTracked(count: Long): Unit = {
+        var left = count
+        while (left > 0) {
+          val r = raw.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+          require(r > 0, s"$name: unexpected EOF in audit pass")
+          crcState.foreach(_.feed(buf, 0, r))
+          left -= r
+        }
+      }
+      var off = 4L
+      var i = 0L
+      try {
+        val hdr = new Array[Byte](8)
+        while (i < n) {
+          readTracked(hdr, 8)
+          val bb = ByteBuffer.wrap(hdr)
+          val keyLen = bb.getInt
+          val valLen = bb.getInt
+          checkRecordShape(off, keyLen, valLen)
+          val k = new Array[Byte](keyLen)
+          readTracked(k, keyLen)
+          if (valLen > 0) drainTracked(valLen.toLong)
+          onKey(k)
+          off += 8L + keyLen + math.max(valLen, 0)
+          i += 1
+        }
+        if (off != indexOffset)
+          findings += s"$name: record framing ended at $off but the index starts at $indexOffset"
+      } catch {
+        case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+          findings += s"$name: record framing broke after $i records " +
+            s"(near offset $off): ${e.getMessage}"
+      }
+      // finish the CRC stream over whatever remains of [4, crcOffset) —
+      // index bytes, plus unframed record bytes after a framing break
+      crcState.foreach { cs =>
+        try {
+          drainTracked(cs.remaining)
+          cs.finish()
+        } catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+            findings += s"$name: checksum audit incomplete: ${e.getMessage}"
+        }
+        findings ++= cs.findings
+      }
+      findings.toSeq
     }
 
     /** Keys-only scan, in key order: value bytes are SKIPPED using the

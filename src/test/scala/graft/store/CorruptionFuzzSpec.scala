@@ -81,6 +81,10 @@ class CorruptionFuzzSpec extends AnyFunSuite {
     // region boundaries from the clean trailer
     val trailerLen = if (kvz) KvzFile.TrailerLen else KvFile.TrailerLenV2
     val indexOffset = ByteBuffer.wrap(orig, orig.length - trailerLen, 8).getLong
+    // GKV2 CRC coverage ends at crcOffset (records + offset index)
+    val crcOffset =
+      if (kvz) indexOffset
+      else ByteBuffer.wrap(orig, orig.length - trailerLen + 16, 8).getLong
     val mutPath = new Path(s"ramfs://$auth/$label/mut.kv")
     val rnd = new scala.util.Random(if (kvz) 0xC0FFEE else 0xBEEF)
     var named = 0
@@ -135,10 +139,12 @@ class CorruptionFuzzSpec extends AnyFunSuite {
         if ((pos < 4 || pos >= orig.length - trailerLen) && !inSpanBytesField)
           assert(outcome == "named",
             s"gkv1 trial $trial: header/trailer flip at $pos read as '$outcome'")
-        // ...but the span-CRC AUDIT must catch every data-region flip
-        // (whether or not the read path happened to trip over it), and
-        // the named byte range must contain the flipped offset
-        if (pos >= 4 && pos < indexOffset && outcome != "named") {
+        // ...but the span-CRC AUDIT must catch every flip in the covered
+        // region — records AND the offset index (an index flip
+        // mis-targets binary searches while records frame clean; only
+        // the CRC sees it) — whether or not the read path happened to
+        // trip over it, and the named byte range must contain the flip
+        if (pos >= 4 && pos < crcOffset && outcome != "named") {
           val r = KvFile.open(fs, mutPath)
           val findings = try r.verifyIntegrity().toVector finally r.close()
           assert(findings.nonEmpty,

@@ -1347,6 +1347,48 @@ class DomainStoreSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](DomainStore.transcode(
       spark, root, scratch("crc-fsck-dst"), DomainSpec.KvSortedZ, 1L, conf))
     assert(e.getMessage.contains("integrity"), e.getMessage)
+
+    // FRAMING corruption (flipped keyLen byte) must not crash the audit:
+    // fsck completes, the broken file lands as findings (framing + CRC),
+    // and the healthy shard still reports clean
+    val f1 = new Path(store.root, s"1/shard=1/${KvFile.DataFileName}")
+    val b1 = new Array[Byte](fs.getFileStatus(f1).getLen.toInt)
+    val in1 = fs.open(f1); in1.readFully(0, b1); in1.close()
+    b1(4) = (b1(4) ^ 0x7F).toByte // first record's keyLen MSB -> absurd length
+    val out1 = fs.create(f1, true); out1.write(b1); out1.close()
+    val audit2 = store.fsck(spark).collect().map(r => r.getInt(0) -> r.getSeq[String](4)).toMap
+    assert(audit2(1).exists(_.contains("framing")), audit2(1).mkString(" | "))
+    assert(audit2(1).exists(_.contains("CRC mismatch")), audit2(1).mkString(" | "))
+  }
+
+  test("fsck catches a flipped OFFSET-INDEX byte (silent lookup mis-targeting)") {
+    import org.apache.hadoop.fs.Path
+    val root = scratch("crc-ix-fsck")
+    val store = DomainStore.create(
+      root, DomainSpec(2, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kv((0 until 300).map(i => f"ik$i%04d" -> s"v$i"): _*), 1L)
+    val fs = store.root.getFileSystem(conf)
+    val f = new Path(store.root, s"1/shard=0/${KvFile.DataFileName}")
+    val len = fs.getFileStatus(f).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(f); in.readFully(0, bytes); in.close()
+    // locate the index region from the GKV2 trailer and flip a
+    // low-order byte of one entry: records still frame clean, the
+    // sequential key scan sees nothing wrong — only the CRC can tell
+    val bb = java.nio.ByteBuffer.wrap(bytes, bytes.length - KvFile.TrailerLenV2, KvFile.TrailerLenV2)
+    val io = bb.getLong
+    val pos = io.toInt + 12 // inside index entry 1
+    bytes(pos) = (bytes(pos) ^ 0x01).toByte
+    val out = fs.create(f, true); out.write(bytes); out.close()
+    val audit = store.fsck(spark).collect().map(r => r.getInt(0) -> r.getSeq[String](4)).toMap
+    assert(audit(0).nonEmpty, "index flip invisible to fsck")
+    val rangeRe = """\[(\d+), (\d+)\)""".r
+    val m = rangeRe.findFirstMatchIn(audit(0).head).get
+    assert(m.group(1).toLong <= pos && pos < m.group(2).toLong,
+      s"index flip at $pos outside named range ${m.group(0)}")
+    // routing/order stayed green — the CRC is the ONLY detector here
+    val row0 = store.fsck(spark).collect().find(_.getInt(0) == 0).get
+    assert(row0.getLong(2) === 0L && row0.getBoolean(3))
   }
 
   test("fsck: clean domains audit clean; a foreign shard file surfaces as misrouted keys") {
