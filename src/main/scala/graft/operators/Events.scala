@@ -176,7 +176,10 @@ object Events {
       .withColumn(
         "new_session",
         when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
-      .withColumn("session_idx", coalesce(col("_offset"), lit(0L)) + sum(col("new_session")).over(
+      // _offset is never null here: carries coalesces it to 0 at build
+      // and the null-safe join matches every (user, bucket) group by
+      // construction (carries derives from the same groups)
+      .withColumn("session_idx", col("_offset") + sum(col("new_session")).over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     withSession.select(
       (origCols.map(col) :+ col("prev_ts") :+ col("new_session") :+ col("session_idx")): _*)
@@ -539,6 +542,13 @@ object Events {
    * The event log crosses a shuffle once; everything after the summary
    * aggregation is bucket-count-sized, and the final edge aggregation is
    * map-side-combined on a |types|²-sized key space.
+   *
+   * Identity with [[transitions]] holds under the tiebreak contract both
+   * formulations document: (user, ts, id) unique — that is what makes
+   * the PLAIN operator's order deterministic in the first place. With
+   * duplicated tie keys both formulations are nondeterministic (the
+   * window's tie order and min_by/max_by's tie pick are independent
+   * arbitrary choices) and may disagree with each other.
    */
   def transitionsBucketed(
       df0: DataFrame,

@@ -65,19 +65,25 @@ private[graft] object IndexDelete {
       // array_contains evaluate NULL -> filter drops the whole cell — a
       // silent full-bucket delete. Current callers derive rids null-free
       // (removalsFromBuild), this guards future direct callers.
+      // PROJECTED before the filter (a bound reference per row), never
+      // inside the lambda — HOF lambdas evaluate interpreted PER
+      // ELEMENT, which would recompute the compaction |cell| times.
       val after = r.join(current, Seq("key"))
+        .select(col("key"), array_compact(col("rids")).as("_rids"), col("cur"))
         .select(
           col("key"),
           filter(split(col("cur"), ","),
-            e => !array_contains(array_compact(col("rids")), checkedId(e))).as("kept"))
+            e => !array_contains(col("_rids"), checkedId(e))).as("kept"))
         .localCheckpoint(true) // feeds both patch sides; ContextCleaner-reaped
       val ups = after.where(size(col("kept")) > 0)
         .select(col("key"), utf8_bytes(concat_ws(",", col("kept"))).as("value"))
       val dels = after.where(size(col("kept")) === 0).select(col("key"))
       // one publish: shrunken cells upserted, emptied cells absent — two
       // separate publishes would expose an intermediate version holding
-      // empty cells and double the copy-forward
-      index.patch(spark, Some(ups), Some(dels), newVersion)
+      // empty cells and double the copy-forward. ups/dels partition ONE
+      // checkpointed frame by size(kept), so the clash check is skipped
+      // (disjoint by construction — no need to pay its Spark job here).
+      index.patch(spark, Some(ups), Some(dels), newVersion, checkDisjoint = false)
     } finally r.unpersist()
   }
 

@@ -1195,7 +1195,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       deleteKeys: Option[DataFrame],
       newVersion: Long,
       dedupKeys: Boolean = false,
-      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit = {
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove,
+      // the upsert/delete overlap guard costs one small join job; pass
+      // false ONLY when the two sides derive from a DISJOINT split of
+      // one frame (the index-removal engine) — external callers keep it
+      checkDisjoint: Boolean = true): Unit = {
     val oldVersion = latestVersion
     val n = numShards
     // The deltas feed several consumers (affected-shard scan, the union,
@@ -1231,7 +1235,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       val affected =
         up.map(shardsOf(_, "upsert delta")).getOrElse(Set.empty) ++
           del.map(shardsOf(_, "delete key set")).getOrElse(Set.empty)
-      for (u <- up; d <- del) {
+      if (checkDisjoint) for (u <- up; d <- del) {
         val clash = u.join(d, Seq("key"), "left_semi").limit(1).collect()
         require(clash.isEmpty,
           "patch: a key appears in both the upserts and the delete set — " +
