@@ -209,7 +209,8 @@ object EventQueries {
   private val SessionsOracle =
     s"""WITH o AS (SELECT user_id, value, epoch_ns(ts) AS tns, event_id FROM events),
        |l AS (SELECT user_id, value, tns,
-       |    lag(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id) AS prev_tns
+       |    lag(tns) OVER (PARTITION BY user_id
+       |      ORDER BY tns NULLS FIRST, event_id NULLS FIRST) AS prev_tns
        |  FROM o),
        |s AS (SELECT user_id, value,
        |    CASE WHEN prev_tns IS NULL OR tns - prev_tns > $GapNs THEN 1 ELSE 0 END AS ns
