@@ -193,6 +193,62 @@ class DomainStoreSpec extends SparkSuite {
     assert(store.get(spark, utf8(doomed.head)).map(new String(_, "UTF-8")) === Some("back"))
   }
 
+  test("update-lifecycle fuzz: random upsert/delete/patch interleavings == in-memory model") {
+    import spark.implicits._
+    // the takedown lifecycle's strongest correctness pin: 25 random
+    // versions of mixed upserts (some re-inserting deleted keys),
+    // deletes (some absent), and combined patches, on the GKV2-writing
+    // kv engine (copy-forward + emptied shards + sidecar-free spec),
+    // checked against a plain HashMap model — and the fsck audit stays
+    // clean through every publish
+    val rnd = new scala.util.Random(97)
+    val store = DomainStore.create(
+      scratch("lifecycle-fuzz"),
+      DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    val model = scala.collection.mutable.HashMap[String, String]()
+    def keysDf(ks: Seq[String]) =
+      ks.toDF("k").select(utf8_bytes(col("k")).as("key"))
+    def someKeys(n: Int): Seq[String] =
+      Seq.fill(n)(s"k${rnd.nextInt(400)}").distinct
+    var version = 1L
+    val init = someKeys(150).map(k => k -> s"v0-${rnd.nextInt(1000)}")
+    store.write(kv(init: _*), version)
+    model ++= init
+    (1 to 25).foreach { step =>
+      version += 1
+      rnd.nextInt(3) match {
+        case 0 =>
+          val delta = someKeys(30).map(k => k -> s"u$version")
+          store.upsert(spark, kv(delta: _*), version)
+          model ++= delta
+        case 1 =>
+          val dels = someKeys(25)
+          store.delete(spark, keysDf(dels), version)
+          dels.foreach(model.remove)
+        case 2 =>
+          val ups = someKeys(15).map(k => k -> s"p$version")
+          val dels = someKeys(15).filterNot(ups.map(_._1).toSet)
+          store.patch(spark, Some(kv(ups: _*)), Some(keysDf(dels)), version)
+          model ++= ups
+          dels.foreach(model.remove)
+      }
+      if (step % 5 == 0) assert(readPairs(store) === model.toSet, s"diverged at step $step")
+    }
+    assert(readPairs(store) === model.toSet)
+    assert(model.nonEmpty && model.size < 400, "degenerate fuzz")
+    // multiGet agrees on a present/absent mix
+    val probe = (someKeys(40) ++ Seq("never-a", "never-b")).distinct
+    val got = store.multiGet(keysDf(probe))
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === probe.map(k => k -> model.get(k)).toMap)
+    // the audit stays clean across the whole history (copy-forwarded,
+    // rewritten, and emptied shards alike)
+    val audit = store.fsck(spark).collect()
+    assert(audit.forall(_.getSeq[String](4).isEmpty), "fuzz left corruption findings")
+    assert(audit.map(_.getLong(1)).sum === model.size.toLong)
+  }
+
   test("orc-sorted persistence format: round-trip, upsert, footer count") {
     val store = DomainStore.create(
       scratch("orc"),
