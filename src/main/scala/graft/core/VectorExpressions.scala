@@ -470,6 +470,65 @@ case class TopFreqExpr(child: Expression)
     copy(child = newChild)
 }
 
+object DenseScatter {
+  /** Scatter (cell, w) entries into a dense double vector of length
+    * `dim` — one O(nnz + dim) pass. Cells must be unique and in
+    * [0, dim) (the feature-hash aggregation guarantees both); an
+    * out-of-range cell fails loud naming the mismatch (it means the
+    * sparse rows were built under a different `dim`). */
+  def scatter(entries: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Double](dim)
+    val n = entries.numElements()
+    var i = 0
+    while (i < n) {
+      val row = entries.getStruct(i, 2)
+      val cell = row.getInt(0)
+      if (cell < 0 || cell >= dim)
+        throw new IllegalArgumentException(
+          s"dense_scatter: cell $cell outside [0, $dim) — the sparse rows " +
+            "were hashed under a different dim than the dense assembly")
+      out(cell) = row.getLong(1).toDouble
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/**
+ * Dense assembly of feature-hashed (cell, w) entries: array<double> of
+ * length `dim` with w at each entry's cell and 0 elsewhere.
+ *
+ * Why custom: the HOF formulation (`transform(sequence(0, dim-1),
+ * i -> coalesce(m[i], 0))`) evaluates its lambda INTERPRETED per element
+ * with a linear map probe per cell — O(dim x nnz) interpreted work per
+ * document (the TopFreqExpr cost class). This is one codegen'd
+ * O(nnz + dim) scatter.
+ */
+case class DenseScatterExpr(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StructField, StructType}
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def inputTypes: Seq[interop.AbstractType] =
+    Seq(ArrayType(StructType(Seq(
+      StructField("cell", IntegerType), StructField("w", LongType)))))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "dense_scatter"
+
+  override protected def nullSafeEval(a: Any): Any =
+    DenseScatter.scatter(a.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.core.DenseScatter.scatter($a, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): DenseScatterExpr =
+    copy(child = newChild)
+}
+
 object Anchors {
   val Prime = 1000000007L
   val Base = 31L

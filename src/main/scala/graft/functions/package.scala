@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.interop
 
-import graft.core.{AnchorPositionsExpr, DoubleArrayDot, RollingHashExpr, ShardIndexExpr, TopFreqExpr}
+import graft.core.{AnchorPositionsExpr, DenseScatterExpr, DoubleArrayDot, RollingHashExpr, ShardIndexExpr, TopFreqExpr}
 
 /**
  * Column-level functions of the graft engine. Everything here is either a
@@ -84,6 +84,12 @@ package object functions {
     * column (see [[graft.core.TopFreqExpr]]). */
   def top_freq(a: Column): Column =
     interop.column(TopFreqExpr(interop.expression(a)))
+
+  /** Codegen'd dense assembly of feature-hashed (cell:int, w:long)
+    * entries into array<double> of length `dim` (see
+    * [[graft.core.DenseScatterExpr]]). */
+  def dense_scatter(entries: Column, dim: Int): Column =
+    interop.column(DenseScatterExpr(interop.expression(entries), dim))
 
   /** First 32 bits of md5 of a string column as a non-negative long — the
     * engine's engine-replicable base hash (DuckDB twin:

@@ -62,7 +62,11 @@ object Packing {
     // reads the checkpoint blocks; they are freed with the DataFrame).
     val ordered = df
       .select(col(idCol).cast("long").as(idCol), tokensCol.cast("long").as("n_tokens"))
-      .where(col("n_tokens") > 0)
+      // null ids are excluded like zero-token docs (a doc with no
+      // position in the id order has no chunk span) — without this the
+      // range shuffle sorts them FIRST, phase 1's min(id) skips them,
+      // and phase 2's head-row seed NPEs opaquely on the executor
+      .where(col(idCol).isNotNull && col("n_tokens") > 0)
       .repartitionByRange(spark.sparkContext.defaultParallelism, col(idCol))
       .sortWithinPartitions(col(idCol))
       .localCheckpoint(true)

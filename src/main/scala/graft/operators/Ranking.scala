@@ -25,7 +25,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Ranking {
 
   /** Materialized range-sorted layout + (first-key -> offset, total) from
-    * the per-partition counts — the shared skeleton of rank and bands. */
+    * the per-partition counts — the shared skeleton of rank and bands.
+    *
+    * COST CONTRACT: the eager localCheckpoint materializes EVERY input
+    * column into executor block storage for the call's lifetime. Rank a
+    * NARROW projection (the order keys + an id, ~16 bytes/row — the
+    * Packing.chunkSpans discipline) and join results back by id; handing
+    * a raw document frame here would attempt to cache the corpus itself.
+    * In-repo callers (lmScore bands, globalShuffle's (id, hash)) all
+    * pass narrow frames. */
   private def rankedWithTotal(df: DataFrame, orderCols: Seq[String]): (DataFrame, Long) = {
     require(orderCols.nonEmpty, "globalRank: orderCols must be non-empty")
     // Offsets key on driver-side VALUE equality of the order tuple;

@@ -170,6 +170,10 @@ object Sampling {
     require(halfPow >= 0 && halfPow <= 3, s"halfPow must be in [0,3], got $halfPow")
     require(budgetRows > 0, s"budgetRows must be positive, got $budgetRows")
     val counts: Seq[(String, Long)] = df
+      // a null-source row can never be selected by a per-source rate
+      // (stratifiedSample joins on the source value), so it is excluded
+      // from the census too — and a null key would NPE the sortBy below
+      .where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n"))
       .collect()
@@ -185,6 +189,13 @@ object Sampling {
     counts.sortBy(_._1).map { case (s, n) =>
       val w = weights.find(_._1 == s).get._2
       val target = if (totalW == 0) 0L else w * budgetRows / totalW
+      // the per-source requires above bound n*1000 and n*budget, but
+      // target can reach budgetRows itself (one tiny source, huge
+      // budget): clamp the 1000x rate step the same way — a wrapped
+      // negative rate would read as "select nothing", silent data loss
+      require(target < Long.MaxValue / 1000,
+        s"alphaRates: target rows for source '$s' overflow the per-mille rate math " +
+          s"(target=$target) — lower budgetRows")
       val rate = if (n <= 0) 0L else math.min(1000L, 1000L * target / n)
       s -> rate.toInt
     }

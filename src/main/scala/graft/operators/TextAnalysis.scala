@@ -621,8 +621,14 @@ object TextAnalysis {
       textCol: String,
       buckets: Int = 4096): DataFrame = {
     // Null-sentinel gram per doc (the lmScore shape): every document
-    // reaches the aggregation, so empty docs score 0 instead of vanishing.
-    corpus.select(col(idCol), wordTokens(col(textCol)).as("t"))
+    // reaches the aggregation, so empty docs score 0 instead of
+    // vanishing. NULL text must coalesce to an empty token array HERE:
+    // wordTokens(NULL) is NULL, a NULL operand nulls the whole concat,
+    // and explode(NULL) emits zero rows — the null-TEXT doc would
+    // silently vanish (exactly the corruption the sentinel exists to
+    // prevent) while the oracle's corpus-left-join keeps it at 0.
+    corpus.select(col(idCol),
+        coalesce(wordTokens(col(textCol)), array().cast("array<string>")).as("t"))
       .select(col(idCol),
         explode(concat(
           array(lit(null).cast("string")),
@@ -777,14 +783,21 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       dim: Int = 64): DataFrame = {
+    // dense assembly through the codegen scatter kernel: the HOF
+    // formulation (transform(sequence(0, dim-1), i -> m[i]) with a
+    // linear map probe per cell) is O(dim x nnz) INTERPRETED work per
+    // document — ruinous at DSIR-style dims; the kernel is one
+    // O(nnz + dim) pass inside whole-stage codegen
     val sparse = featureHashEmbed(df, idCol, textCol, dim)
       .groupBy(col(idCol))
-      .agg(map_from_arrays(collect_list(col("cell")), collect_list(col("w"))).as("_m"))
+      .agg(collect_list(struct(
+        col("cell").cast("int").as("cell"), col("w").cast("long").as("w"))).as("_s"))
     df.select(col(idCol))
       .join(sparse, Seq(idCol), "left")
       .select(
         col(idCol),
-        expr(s"transform(sequence(0, ${dim - 1}), i -> CAST(coalesce(_m[i], 0L) AS DOUBLE))")
+        graft.functions.dense_scatter(
+          coalesce(col("_s"), array().cast("array<struct<cell:int,w:bigint>>")), dim)
           .as("emb"))
   }
 

@@ -251,6 +251,45 @@ class OperatorsSpec extends SparkSuite {
     assert(got(2L) === got(3L)) // identical text, identical weight
   }
 
+  test("degenerate inputs: null text/ids/sources never vanish rows or crash (review-pass pins)") {
+    import spark.implicits._
+    // dsirScore: a NULL-text doc is KEPT at (0, 0) exactly like an
+    // empty-text doc (the null-sentinel contract) — it used to vanish
+    // (explode of a nulled concat emits zero rows)
+    val target = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(w.keySet === Set(1L, 2L, 3L))
+    assert(w(2L) === ((0L, 0L)) && w(3L) === ((0L, 0L)))
+    // featureHashVector: null-text doc gets the zero vector (kept)
+    val emb = TextAnalysis.featureHashVector(corpus, "doc_id", "text", dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(emb.keySet === Set(1L, 2L, 3L))
+    assert(emb(2L) === Seq.fill(8)(0.0))
+    assert(emb(1L).exists(_ != 0.0))
+    // chunkSpans: null ids are excluded like zero-token docs (they used
+    // to NPE the phase-2 seed on the executor)
+    val docs = Seq((Some(1L), 10L), (None, 5L), (Some(2L), 3L))
+      .toDF("doc_id", "toks")
+    val spans = Packing.chunkSpans(docs, "doc_id", col("toks"), 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(spans === Set(1L, 2L))
+    // alphaRates: a null source is excluded from the census (it can
+    // never match a per-source rate) instead of NPE-ing the driver sort
+    val mixed = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "src")
+    val rates = Sampling.alphaRates(mixed, "src", budgetRows = 10L, halfPow = 0)
+    assert(rates.map(_._1) === Seq("a"))
+    // alphaRates: a per-mille step that would wrap fails loud, never a
+    // silently-negative (select-nothing) rate
+    val tiny = Seq((1L, "solo")).toDF("id", "src")
+    val e = intercept[IllegalArgumentException](
+      Sampling.alphaRates(tiny, "src", budgetRows = Long.MaxValue / 500, halfPow = 0))
+    assert(e.getMessage.contains("per-mille"), e.getMessage)
+  }
+
   test("DSIR fit/apply: bucket-space mismatch fails loud; unseen-corpus grams hit the OOV floor") {
     import spark.implicits._
     val target = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
