@@ -39,19 +39,33 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
+  /** Driver-work ceiling for [[trainOnFreqs]] (numMerges x sample
+    * symbols — each merge recounts every adjacent pair): 2e9 boxed
+    * HashMap operations is minutes on one core; past it the trainer
+    * fails loud instead of spinning for hours. */
+  val MaxTrainWork: Long = 2_000_000_000L
+
   /** A learned merge table: pairs in rank order (rank 0 merges first). */
   final case class Merges(pairs: IndexedSeq[(String, String)]) {
     lazy val ranks: Map[(String, String), Int] = pairs.zipWithIndex.toMap
 
-    // One broadcast per table per session (CLAUDE.md's share-one-broadcast
+    // One broadcast per table per CONTEXT (CLAUDE.md's share-one-broadcast
     // rule): tokenCounts + tokenHistogram over one corpus must not ship
-    // the table twice. Transient so a shipped Merges never drags a
-    // driver-side broadcast handle along.
+    // the table twice. Keyed by SparkContext identity — a Merges trained
+    // in one session and reused after a context restart would otherwise
+    // hand out a broadcast whose blocks belong to the dead context
+    // ("Failed to get broadcast" at job time). Transient so a shipped
+    // Merges never drags a driver-side broadcast handle along.
     @transient private var bcCache: org.apache.spark.broadcast.Broadcast[Merges] = _
+    @transient private var bcCtx: org.apache.spark.SparkContext = _
     private[graft] def broadcastWith(
         spark: org.apache.spark.sql.SparkSession)
         : org.apache.spark.broadcast.Broadcast[Merges] = synchronized {
-      if (bcCache == null) bcCache = spark.sparkContext.broadcast(this)
+      val sc = spark.sparkContext
+      if (bcCache == null || (bcCtx ne sc)) {
+        bcCache = sc.broadcast(this)
+        bcCtx = sc
+      }
       bcCache
     }
   }
@@ -87,6 +101,20 @@ object Bpe {
     // words as codepoint-symbol vectors; merges rewrite these in place
     var vocab: Array[(Array[String], Long)] =
       freqs.map { case (w, f) => (codepoints(w), f) }
+    // Work-calibrated bound (the AuditBound convention — loud, never a
+    // silent hang): each merge iteration recounts every adjacent pair
+    // over the whole sample vocabulary, so total driver work is
+    // ~numMerges x totalSymbols. A GPT-scale table (32k merges) over the
+    // default 65k-word sample is ~10^10 boxed HashMap ops — hours of
+    // silent driver spin. Past the cap the trainer refuses and names the
+    // levers; incremental pair-count maintenance is the real fix if a
+    // caller ever needs that scale in-process.
+    val totalSymbols = vocab.iterator.map(_._1.length.toLong).sum
+    require(numMerges.toLong * math.max(totalSymbols, 1L) <= MaxTrainWork,
+      s"bpe train: numMerges=$numMerges x $totalSymbols sample symbols = " +
+        s"${numMerges.toLong * totalSymbols} pair-count operations, past the " +
+        s"$MaxTrainWork driver-work bound (~minutes) — lower numMerges or " +
+        "maxTrainWords, or train out-of-process")
     val out = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false

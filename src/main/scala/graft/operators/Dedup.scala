@@ -452,7 +452,11 @@ object Dedup {
    * fingerprint (md5, anchors only), and one equi-join on fingerprint
    * hashes pairs the documents. Three shuffles, all of anchor-sized data
    * (the (id, fp) distinct, the join on fp, the final pair distinct); no
-   * O(N^2) anywhere.
+   * O(N^2) anywhere — a fingerprint shared by more than `maxBucket`
+   * documents is dropped whole before the self-join (the lshCandidates
+   * hot-bucket rule: B co-anchored docs would emit B²/2 pairs in one
+   * task), so corpus-wide boilerplate bounds the task instead of
+   * stalling it.
    *
    * Detection is probabilistic in run length r: a shared run is found iff
    * an anchor lands in its first r - minLen positions, p ~ 1 -
@@ -475,7 +479,8 @@ object Dedup {
       textCol: String,
       minLen: Int = 64,
       window: Int = 8,
-      modulus: Int = 16): DataFrame = {
+      modulus: Int = 16,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     require(window >= 1 && window <= minLen,
       s"anchor window $window must be in [1, minLen=$minLen]")
     require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
@@ -489,8 +494,18 @@ object Dedup {
       .where(col("pos") <= length(col("t")) - (minLen - 1))
       .select(col("id"), md5(expr(s"substring(t, pos, $minLen)")).as("fp"))
       .dropDuplicates("id", "fp")
-    fp.as("a")
-      .join(fp.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+    // Hot-fingerprint cap (the lshCandidates rule): a 64-char run shared
+    // VERBATIM by B documents (legal footer, license header — exactly
+    // this operator's target class) puts B rows under one fp and the
+    // self-join emits B²/2 pairs inside ONE task. Buckets past the cap
+    // are dropped whole — bounding any single bucket's task — and the
+    // window count shares the join's fp hash partitioning, so the cap
+    // costs no extra exchange. Pairs of a dropped run simply don't emit
+    // (boilerplate that common is a [[TextAnalysis.boilerplateRemoval]]
+    // job, not a pair listing).
+    val capped = LshBuckets.bounded(fp, Seq("fp"), maxBucket)
+    capped.as("a")
+      .join(capped.as("b"), col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -631,7 +646,12 @@ object Dedup {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, BandIndexType, "bandIndexUpsert", "bandIndexKv")
+    // the m:index-type marker row the build appends must NOT enter the
+    // bucket merge (its value would be treated as a member-id CSV —
+    // byte-stable only while marker values stay comma-free); it reaches
+    // the new version untouched through upsert's anti-join carry
     val additions = bandIndexKv(delta, idCol, textCol, maxBucket = Int.MaxValue)
+      .where(col("key") =!= lit(IndexMarker.Key))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
     val current = index

@@ -24,8 +24,11 @@ private[graft] object IndexMarker {
   val Key: Array[Byte] = "m:index-type".getBytes("UTF-8")
 
   /** The marker as a 1-row (key, value) DataFrame — union it onto the
-    * index rows at build time (and into every upsert delta: merging an
-    * identical marker is a no-op, so growth keeps it verbatim). */
+    * index rows at build time. Incremental paths (upserts, deletes)
+    * FILTER it out of their merge inputs (a marker value run through a
+    * bucket merge is byte-stable only while it stays comma-free) and
+    * let upsert's anti-join carry the published marker forward
+    * untouched. */
   def row(spark: SparkSession, indexType: String): DataFrame =
     spark.range(1).select(
       lit(Key).as("key"),

@@ -427,7 +427,10 @@ object Multimodal {
     val spark = deltaHashes.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, PhashIndexType, "phashIndexUpsert", "phashIndexKv")
+    // marker row filtered from the merge (Dedup.bandIndexUpsert's
+    // rationale); it carries forward untouched via the anti-join
     val additions = phashIndexKv(deltaHashes, maxBucket = Int.MaxValue)
+      .where(col("key") =!= lit(IndexMarker.Key))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
     try {

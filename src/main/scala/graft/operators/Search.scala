@@ -114,6 +114,7 @@ object Search {
   private def requireCollisionFreeIds(corpus: DataFrame, idCol: String): Unit = {
     val row = corpus
       .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("n_rows"),
         count_distinct(col(idCol)).as("n_raw"),
         // MUST derive from docIdLong (the one-definition rule): the guard
         // counts the same canonicalization the records key on, and ids
@@ -121,9 +122,17 @@ object Search {
         // misleading collision message
         count_distinct(docIdLong(idCol)).as("n_canonical"))
       .head()
+    // plain duplicate ids corrupt just as silently as cast collisions:
+    // fused postings with doubled tf/df, duplicate d: records (a kv
+    // build tolerates duplicate keys), and an over-counted m:stats N —
+    // the build must fail loud, like the upsert path's key-repeat guard
     require(row.getLong(0) == row.getLong(1),
-      s"search index: ${row.getLong(0)} distinct '$idCol' values canonicalize to " +
-        s"only ${row.getLong(1)} distinct long doc ids — distinct raw ids collide " +
+      s"search index: corpus has ${row.getLong(0)} rows but only " +
+        s"${row.getLong(1)} distinct '$idCol' values — duplicate doc ids " +
+        "would fuse postings and double-count stats; de-duplicate the corpus")
+    require(row.getLong(1) == row.getLong(2),
+      s"search index: ${row.getLong(1)} distinct '$idCol' values canonicalize to " +
+        s"only ${row.getLong(2)} distinct long doc ids — distinct raw ids collide " +
         "under the long cast (e.g. '007' vs '7'); re-key or de-duplicate the corpus")
   }
 
@@ -449,6 +458,7 @@ object Search {
       wrongTypeHint = "build with positionalIndexKv; BM25 domains take searchIndexUpsert",
       noStatsHint = "rebuild with positionalIndexKv " +
         "(older positional domains predate the stats record)")
+    // scoped persist: same rationale as searchIndexUpsert's additions
     val additions = delta
       .select(docIdLong(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
@@ -458,19 +468,22 @@ object Search {
       .agg(sort_array(collect_list(struct(
         col("doc_id"),
         concat_ws(";", transform(col("psArr"), p => p.cast("string"))).as("ps")))).as("aps"))
-    val records = mergePostingsUpsert(
-      index, delta, idCol, textCol, additions,
-      livePrefix = PosPrefix,
-      arrayType = PosArrayType,
-      parseEntry = e => struct(
-        split(e, ":").getItem(0).cast("long").as("doc_id"),
-        split(e, ":").getItem(1).as("ps")),
-      formatEntry = d => concat_ws(":", d("doc_id").cast("string"), d("ps")),
-      opName = "positionalIndexUpsert",
-      rebuildName = "positionalIndexKv",
-      maxPostings = maxPostings)
-    index.upsert(delta.sparkSession,
-      records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
+      .persist()
+    try {
+      val records = mergePostingsUpsert(
+        index, delta, idCol, textCol, additions,
+        livePrefix = PosPrefix,
+        arrayType = PosArrayType,
+        parseEntry = e => struct(
+          split(e, ":").getItem(0).cast("long").as("doc_id"),
+          split(e, ":").getItem(1).as("ps")),
+        formatEntry = d => concat_ws(":", d("doc_id").cast("string"), d("ps")),
+        opName = "positionalIndexUpsert",
+        rebuildName = "positionalIndexKv",
+        maxPostings = maxPostings)
+      index.upsert(delta.sparkSession,
+        records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
+    } finally additions.unpersist()
   }
 
   /** Exact phrase search against a published [[positionalIndexKv]]
@@ -664,24 +677,32 @@ object Search {
       wrongTypeHint = "positional domains take positionalIndexUpsert",
       noStatsHint = "not a search-index domain")
 
+    // SCOPED persist (the bandIndexUpsert pattern): the additions
+    // aggregate feeds the two current-record multiGets AND the merge —
+    // without it the delta is re-tokenized and re-aggregated per
+    // consumer (an expensive-source delta would be scanned ~4x per
+    // upsert). Released before returning; nothing outlives the call.
     val additions = termFrequencies(delta, idCol, textCol)
       .groupBy("term")
       .agg(sort_array(collect_list(
         struct(col("doc_id").cast("long").as("doc_id"), col("tf").as("tf")))).as("aps"))
-    val records = mergePostingsUpsert(
-      index, delta, idCol, textCol, additions,
-      livePrefix = TermPrefix,
-      arrayType = PostingsArrayType,
-      parseEntry = e => struct(
-        split(e, ":").getItem(0).cast("long").as("doc_id"),
-        split(e, ":").getItem(1).cast("long").as("tf")),
-      formatEntry = p =>
-        concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")),
-      opName = "searchIndexUpsert",
-      rebuildName = "invertedIndexKv",
-      maxPostings = maxPostings)
-    index.upsert(spark,
-      records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
+      .persist()
+    try {
+      val records = mergePostingsUpsert(
+        index, delta, idCol, textCol, additions,
+        livePrefix = TermPrefix,
+        arrayType = PostingsArrayType,
+        parseEntry = e => struct(
+          split(e, ":").getItem(0).cast("long").as("doc_id"),
+          split(e, ":").getItem(1).cast("long").as("tf")),
+        formatEntry = p =>
+          concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")),
+        opName = "searchIndexUpsert",
+        rebuildName = "invertedIndexKv",
+        maxPostings = maxPostings)
+      index.upsert(spark,
+        records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
+    } finally additions.unpersist()
   }
 
   /** The shared merge scaffold of the two index upserts (BM25 `t:` and

@@ -1499,7 +1499,10 @@ object Similarity {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, SemIndexType, "semIndexUpsert", "semIndexKv")
+    // marker row filtered from the merge (Dedup.bandIndexUpsert's
+    // rationale); it carries forward untouched via the anti-join
     val additions = semIndexKv(delta, idCol, vecCol, planes, maxBucket = Int.MaxValue)
+      .where(col("key") =!= lit(IndexMarker.Key))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
     try {

@@ -27,8 +27,15 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   /** Lowercased alphanumeric word tokens (the unit for simhash / stopwords). */
+  /** Lower-cased [a-z0-9]+ runs. NULL-SAFE: null text tokenizes as the
+    * EMPTY array, never null — a null array nulls any concat it enters
+    * and explode(NULL) silently drops the document's row (the dsirScore
+    * row-loss class; index builders would publish null/garbage `d:`
+    * records). Every consumer treats "no text" as "zero tokens". */
   def wordTokens(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    coalesce(
+      regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)),
+      array().cast("array<string>"))
 
   val Stopwords: Seq[String] =
     Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
