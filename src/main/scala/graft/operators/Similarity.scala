@@ -371,23 +371,44 @@ object Similarity {
     require(sample.length >= nlist,
       s"ivf exact training: need >= $nlist rows, got ${sample.length}")
     val dim = sample(0).length
-    // farthest-point seeding, integer distances (terms bounded well under
-    // 2^63 for unit-scale embeddings at 2^20 quantization)
+    // farthest-point seeding with the SAME 128-bit (hi, lo) squared
+    // distances the Lloyd loop uses: a plain-Long accumulator is fine
+    // for unit-scale embeddings at 2^20 quantization, but the in-domain
+    // hash-embed COUNT vectors (elements ~10^3 → quantized ~2^31.5) push
+    // a single t² term past 2^63 — a wrapped-negative distance would
+    // pick garbage seeds silently AND diverge from a HUGEINT oracle
+    // replay of this exact contract
     val seeds = Array.ofDim[Array[Long]](nlist)
     seeds(0) = sample(0).clone()
-    val minD = Array.fill(sample.length)(Long.MaxValue)
+    def less128(ah: Long, al: Long, bh: Long, bl: Long): Boolean =
+      ah < bh || (ah == bh && java.lang.Long.compareUnsigned(al, bl) < 0)
+    val minHi = Array.fill(sample.length)(Long.MaxValue)
+    val minLo = Array.fill(sample.length)(-1L) // unsigned all-ones
     var s = 1
     while (s < nlist) {
       var farIdx = 0
-      var farD = -1L
+      var farHi = -1L
+      var farLo = 0L
       var i = 0
       while (i < sample.length) {
-        var d = 0L
+        var hi = 0L
+        var lo = 0L
         var j = 0
         val last = seeds(s - 1)
-        while (j < dim) { val t = sample(i)(j) - last(j); d += t * t; j += 1 }
-        if (d < minD(i)) minD(i) = d
-        if (minD(i) > farD) { farD = minD(i); farIdx = i }
+        while (j < dim) {
+          val t = sample(i)(j) - last(j)
+          val pl = t * t
+          val nl = lo + pl
+          hi += Math.multiplyHigh(t, t) +
+            (if (java.lang.Long.compareUnsigned(nl, lo) < 0) 1L else 0L)
+          lo = nl
+          j += 1
+        }
+        if (less128(hi, lo, minHi(i), minLo(i))) { minHi(i) = hi; minLo(i) = lo }
+        // strict >, first index wins ties — the original tie order
+        if (less128(farHi, farLo, minHi(i), minLo(i))) {
+          farIdx = i; farHi = minHi(i); farLo = minLo(i)
+        }
         i += 1
       }
       seeds(s) = sample(farIdx).clone()
@@ -611,12 +632,18 @@ object Similarity {
       vecCol: String,
       centroids: Array[Array[Double]],
       maxCellMembers: Int = Similarity.MaxCellMembers): DataFrame = {
+    // ids must be integral (entries round-trip as decimal strings — the
+    // one-definition rule; a string '007' would split the id space from
+    // the upsert's canonical long 7) and duplicates collapse at build
+    // exactly like the merge path collapses them (re-ingest idempotent),
+    // keeping upsert==rebuild byte identity for duplicated-id corpora
+    IndexDelete.requireIntegralId(corpus, idCol, "ivfIndexKv")
     val c = prepared(corpus, idCol, vecCol)
     val bc = c.sparkSession.sparkContext.broadcast(
       (centroids, centroids.map(_.map(x => x * x).sum)))
     c.withColumn("cell", element_at(nearestCells(col("vec"), bc, 1), 1))
       .groupBy(col("cell"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
       // A degenerate cell (quantizer too coarse, or collapsed training)
       // would pack millions of ids into ONE value blob and serialize the
       // whole domain behind it — fail loud IN the plan, naming the fix,
@@ -687,6 +714,7 @@ object Similarity {
     // guard below ever reads a cell; undeclared/legacy domains still
     // have the entry-parse guard
     IndexMarker.requireSpecIn(index, Set(IvfIndexType), "ivfIndexUpsert")
+    IndexDelete.requireIntegralId(delta, idCol, "ivfIndexUpsert")
     // Materialize the delta's posting additions ONCE (≤ affected-cells
     // rows): they feed both multiGet's decision probe and the merge —
     // without it the assignment + aggregation would run twice per call,
@@ -696,6 +724,10 @@ object Similarity {
     val additions = ivfIndexKv(delta, idCol, vecCol, centroids, maxCellMembers)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
       .persist()
+    // the try opens IMMEDIATELY after persist(): multiGet runs an eager
+    // driver action, and a store read failure before the old try line
+    // would leak the cache (the no-leak invariant)
+    try {
     val current = index
       .multiGet(additions.select(col("key")), includeMisses = true)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
@@ -731,8 +763,8 @@ object Similarity {
               lit(s" exceeds $maxCellMembers members — re-quantize the " +
                 "index with more cells (bigger nlist)")))))
           .as("value"))
-    try index.upsert(spark, merged, newVersion)
-    finally additions.unpersist()
+    index.upsert(spark, merged, newVersion)
+    } finally additions.unpersist()
   }
 
   /**
@@ -757,6 +789,9 @@ object Similarity {
       k: Int,
       centroids: Array[Array[Double]],
       nprobe: Int = 4): DataFrame = {
+    // spec-declared wrong domains fail loud with the designed message,
+    // not a raw cast error on an id:codes entry
+    IndexMarker.requireSpecIn(index, Set(IvfIndexType), "ivfSearchIndex")
     val c = prepared(corpus, idCol, vecCol)
     val q0 = prepared(queries, idCol, vecCol)
     val bc = c.sparkSession.sparkContext.broadcast(
@@ -927,6 +962,9 @@ object Similarity {
       centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       maxCellMembers: Int = Similarity.MaxCellMembers): DataFrame = {
+    // same build-side contracts as ivfIndexKv: integral ids, duplicate
+    // entries collapse (keeps upsert==rebuild byte identity)
+    IndexDelete.requireIntegralId(corpus, idCol, "ivfPqIndexKv")
     val c = prepared(corpus, idCol, vecCol)
     val sc = c.sparkSession.sparkContext
     val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
@@ -941,7 +979,7 @@ object Similarity {
         concat_ws(":", col("id").cast("string"),
           concat_ws(".", transform(col("codes"), _.cast("string")))).as("entry")).as("s"))
       .groupBy(col("cell"))
-      .agg(array_sort(collect_list(col("s"))).as("ss"))
+      .agg(array_distinct(array_sort(collect_list(col("s")))).as("ss"))
       .select(
         col("cell"),
         when(size(col("ss")) <= maxCellMembers,
@@ -985,9 +1023,13 @@ object Similarity {
       maxCellMembers: Int = Similarity.MaxCellMembers): Unit = {
     val spark = delta.sparkSession
     IndexMarker.requireSpecIn(index, Set(IvfPqIndexType), "ivfPqIndexUpsert")
+    IndexDelete.requireIntegralId(delta, idCol, "ivfPqIndexUpsert")
     val additions = ivfPqIndexKv(delta, idCol, vecCol, centroids, books, maxCellMembers)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("add"))
       .persist()
+    // try opens immediately after persist() — multiGet is an eager
+    // action and a failure before the old try line leaked the cache
+    try {
     val current = index
       .multiGet(additions.select(col("key")), includeMisses = true)
       .select(col("key"), graft.functions.bytes_utf8(col("value")).as("cur"))
@@ -1026,8 +1068,8 @@ object Similarity {
               lit(s" exceeds $maxCellMembers members — re-quantize the index " +
                 "with more cells (bigger nlist)")))))
           .as("value"))
-    try index.upsert(spark, merged, newVersion)
-    finally additions.unpersist()
+    index.upsert(spark, merged, newVersion)
+    } finally additions.unpersist()
   }
 
   /**
@@ -1049,6 +1091,9 @@ object Similarity {
       books: Array[Array[Array[Double]]],
       nprobe: Int = 4,
       rerank: Int = 4): DataFrame = {
+    // spec-declared wrong domains fail loud with the designed message,
+    // not a cryptic entry-parse error (or, non-ANSI, silent mis-ranking)
+    IndexMarker.requireSpecIn(index, Set(IvfPqIndexType), "ivfPqSearchIndex")
     val c = prepared(corpus, idCol, vecCol)
     val q0 = prepared(queries, idCol, vecCol)
     val sc = c.sparkSession.sparkContext
@@ -1374,12 +1419,17 @@ object Similarity {
       planes: Int,
       maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     import graft.functions.{long_be, utf8_bytes}
+    IndexDelete.requireIntegralId(corpus, idCol, "semIndexKv")
     val p = prepared(corpus, idCol, vecCol)
     val dimRow = p.select(size(col("vec"))).head(1)
     if (dimRow.isEmpty)
-      return corpus.sparkSession.emptyDataFrame
-        .select(lit(Array.empty[Byte]).as("key"), lit(Array.empty[Byte]).as("value"))
-        .limit(0)
+      // marker-ONLY index, never a marker-less one: a bootstrap publish
+      // from an empty (or all-zero-norm) corpus must still carry
+      // m:index-type, or every later upsert/probe/delete on an
+      // undeclared-spec domain rejects it as not-built-by-semIndexKv —
+      // breaking the publish-empty-then-grow lifecycle (phashIndexKv
+      // already behaves this way by construction)
+      return IndexMarker.row(corpus.sparkSession, SemIndexType)
     val cells = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
       .select(col("id"), col("bucket").as("cell"))
     LshBuckets.bounded(cells, Seq("cell"), maxBucket)
@@ -1499,6 +1549,7 @@ object Similarity {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, SemIndexType, "semIndexUpsert", "semIndexKv")
+    IndexDelete.requireIntegralId(delta, idCol, "semIndexUpsert")
     // marker row filtered from the merge (Dedup.bandIndexUpsert's
     // rationale); it carries forward untouched via the anti-join
     val additions = semIndexKv(delta, idCol, vecCol, planes, maxBucket = Int.MaxValue)
@@ -1608,8 +1659,14 @@ object Similarity {
    * cell mean stays a rational (element sums S, count n), and the
    * squared distance to it is ranked by the integer key
    * `n²·|q|² − 2n·(q·S) + |S|²` (the distance times n², constant within
-   * a cell) carried in Decimal(38) — bounded by ~2^107 even at 2^30-row
-   * cells, so no overflow at any realistic scale. Drop fraction is a
+   * a cell) carried in Decimal(38). INPUT-DOMAIN bound: for unit-scale
+   * embeddings (|element| ≲ 1, quantized ≲ 2^20) the key stays ~2^107
+   * even at 2^30-row cells; large-magnitude vectors (hash-embed COUNT
+   * vectors, elements ~10^3 → quantized ~2^31) push the |S|² term past
+   * Decimal(38)'s ~10^38 ceiling once cells reach ~10^8 rows — the
+   * session's ANSI mode makes that a loud ARITHMETIC_OVERFLOW, never a
+   * silent null mis-rank; normalize (or down-scale) count vectors
+   * before pruning at that scale. Drop fraction is a
    * RATIONAL (`dropNum/dropDen`): the per-cell threshold
    * `floor(n·dropNum/dropDen)` is integer math, replayed verbatim in the
    * oracle.
