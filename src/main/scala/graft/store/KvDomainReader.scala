@@ -584,7 +584,13 @@ object KvDomainReader {
 
     private val underlying: Iterator[(Array[Byte], Array[Byte])] =
       if (globalOrder) {
-        KvMerge.byKey(files.flatMap(openStream))
+        // the merge opens EVERY shard eagerly; if the Nth open throws
+        // (version reaped mid-construction, I/O error) the constructor
+        // never returns a cursor the caller could close() — release the
+        // N-1 handles already opened before rethrowing, or a failover
+        // retry loop leaks a set of file descriptors per attempt
+        try KvMerge.byKey(files.flatMap(openStream))
+        catch { case e: Throwable => close(); throw e }
       } else new Iterator[(Array[Byte], Array[Byte])] {
         private var rem = files.toList
         private var cur: Iterator[(Array[Byte], Array[Byte])] = Iterator.empty

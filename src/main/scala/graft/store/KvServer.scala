@@ -303,7 +303,17 @@ final class KvServer(
                 rangeReq.to, rangeReq.toInclusive,
                 rangeReq.maxRecords, KvServer.MaxBatchBytes, rangeReq.shards)
               bump("range.records", page.records.size.toLong)
-              page.records.foreach { case (_, v) =>
+              page.records.foreach { case (k, v) =>
+                // keys checked like values: the kv write path caps
+                // neither, and an unchecked oversized key would reach
+                // the client as a ProtocolException ("length out of
+                // range" = the wrong-service class) — every replica
+                // failing identically while the operator chases a
+                // nonexistent desync instead of reading THIS error
+                if (k.length > KvServer.MaxKeyLen)
+                  throw new IllegalStateException(
+                    s"key of ${k.length} bytes exceeds the transport bound " +
+                      s"${KvServer.MaxKeyLen} — serve this domain in-process")
                 if (v != null && v.length > maxValueLen)
                   throw new IllegalStateException(
                     s"value of ${v.length} bytes exceeds the transport bound " +

@@ -250,8 +250,14 @@ final class RemoteKvReader(
             s"(${page.vLo} -> ${page.vHi}) — retry when the serving version settles")
         page.vLo
       }
+      // a WHILE, not an if: the guard must re-check the page it just
+      // FETCHED — with an `if`, a non-first empty-but-truncated page
+      // (desynced/non-conforming server) would return here, hasNext
+      // would read 0 < 0 = false, and the rest of the range would be
+      // dropped silently (the exact truncation this guard documents it
+      // prevents; the `if` form only protected the first page)
       private def advance(): Unit =
-        if (idx >= page.records.size && page.truncated) {
+        while (idx >= page.records.size && page.truncated) {
           // an empty-but-truncated page can make no progress (no lastKey
           // to resume from) — a conforming server never sends one, so
           // name the violation instead of surfacing a bare
@@ -271,7 +277,10 @@ final class RemoteKvReader(
         }
       def hasNext: Boolean = { advance(); idx < page.records.size }
       def next(): (Array[Byte], Array[Byte]) = {
-        advance()
+        // Iterator contract: exhaustion is NoSuchElementException, never
+        // an IndexOutOfBounds from the backing seq
+        if (!hasNext) throw new NoSuchElementException(
+          s"range scan over $host:$port/$domain is exhausted")
         val r = page.records(idx)
         idx += 1
         r
