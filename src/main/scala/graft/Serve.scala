@@ -211,7 +211,12 @@ object Serve {
     def statusSnapshot(
         filter: Option[String] = None): Seq[graft.store.ServedDomainStatus] = {
       import scala.jdk.CollectionConverters._
-      val catalogNames = cat.listDomains
+      // the LISTING gets the same hiccup tolerance as the per-domain
+      // metadata below: a transient catalog-FS error must not fail the
+      // whole STATUS answer while every served domain could truthfully
+      // report "ready" — fall back to the served census
+      val catalogNames =
+        try cat.listDomains catch { case _: Exception => Seq.empty[String] }
       val all = (catalogNames ++ served.keySet.asScala.toSeq).distinct.sorted
       // a named query narrows BEFORE the per-domain metadata reads: one
       // domain's status costs one domain's I/O, not the catalog's
@@ -369,9 +374,16 @@ object Serve {
   }
 
   /** A conf-booted daemon: the serving [[Handle]] plus the pull thread
-    * that follows central publishes. `close()` stops the puller first
-    * (same join-until-dead discipline as [[Handle.close]] — no pull I/O
-    * may outlive close), then the serving handle. */
+    * that follows central publishes. `close()` stops the puller FIRST
+    * (same join-until-dead discipline as [[Handle.close]]), then the
+    * serving handle. Teardown is best-effort for in-flight transfers:
+    * the interrupt unblocks the COORDINATING puller thread (which fails
+    * the in-flight local version before exiting), but shard copies
+    * running on the parallel-collections common pool are not
+    * interruptible mid-chunk — they drain on their own and any partial
+    * files they leave under the failed version id are cleared by the
+    * next pull's createVersion for that id. Don't reuse the local root
+    * for something else the instant close() returns. */
   final class ConfHandle(
       val serve: Handle,
       pullStop: AtomicBoolean,
@@ -463,22 +475,34 @@ object Serve {
                     maxKBps = l.downloadRateLimitKbps,
                     keepLocalVersions = keepLocal,
                     keepFloor = servedFloor)
+                  // a successful pull HEALS the log-once failure notices
+                  // for this domain (the updater loop's rule): without
+                  // it, one transient outage suppresses the log for every
+                  // later same-class outage forever
+                  noticed.removeIf(_.endsWith(s":$name"))
                   if (delta.transferred.nonEmpty || delta.reused.nonEmpty)
-                    log(s"[serve] pulled $name v$v (" +
+                    try log(s"[serve] pulled $name v$v (" +
                       s"${delta.transferred.size} transferred, " +
                       s"${delta.reused.size} reused)")
+                    catch { case _: Throwable => () }
                 } else if (noticed.add(s"noshards:$name"))
-                  log(s"[serve] ring assigns no shards of $name to $hostName — skipping")
+                  try log(s"[serve] ring assigns no shards of $name to $hostName — skipping")
+                  catch { case _: Throwable => () }
               }
             } catch {
-              case e: Exception =>
+              // THROWABLE, not Exception — the updater loop's rule: an
+              // Error (OOM mid-pull, linkage) or a throwing user log
+              // callback must never kill the puller silently, leaving
+              // the daemon serving an ever-staler version with no signal
+              case e: Throwable =>
                 // a not-yet-created central store heals on a later sweep;
                 // a cached handle gone stale (central recreated) is
                 // evicted so the next sweep re-opens
                 centrals.remove(name)
                 if (!pullStop.get() &&
                   noticed.add(s"pull-${e.getClass.getSimpleName}:$name"))
-                  log(s"[serve] pull $name failed (will keep retrying): $e")
+                  try log(s"[serve] pull $name failed (will keep retrying): $e")
+                  catch { case _: Throwable => () }
             }
           }
         }

@@ -60,13 +60,21 @@ class VersionedStore(val root: Path, conf: Configuration) {
     p
   }
 
-  /** Atomically publish: create the token file (VersionedStore.java:102-108). */
+  /** Atomically publish: create the token file (VersionedStore.java:102-108).
+    * ORDER IS LOAD-BEARING: the token is created BEFORE the `.building`
+    * marker is deleted, so at every instant the version is protected
+    * from a concurrent [[cleanup]] by at least one of the two — marker
+    * (in-flight retention) or token (the keep window). The old
+    * delete-marker-then-create-token order opened a window where a
+    * racing cleanup saw neither, reaped the fully-built data dir, and
+    * the subsequent token create published an EMPTY version (silent
+    * key-absent for every key). */
   def succeedVersion(version: Long): Unit = {
     val f = fs
     f.mkdirs(versionPath(version))
+    f.create(tokenPath(version), true).close()
     f.delete(failedPath(version), false)
     f.delete(buildingPath(version), false)
-    f.create(tokenPath(version), true).close()
   }
 
   /** Abort/unpublish: delete data dir and token (VersionedStore.java:93-100)
@@ -171,16 +179,32 @@ class VersionedStore(val root: Path, conf: Configuration) {
     cleanupImpl(versionsToKeep, Some(keepFloor))
 
   private def cleanupImpl(versionsToKeep: Int, keepFloor: Option[Long]): Unit = {
-    val all = getAllVersions
+    val f = fs
+    if (!f.exists(root)) return
+    // ONE listing drives BOTH the keep-set and the deletions: deriving
+    // keep from a separate getAllVersions listing opened a TOCTOU where
+    // a version published between the two listings (token present,
+    // building marker already gone) was absent from the stale keep-set
+    // and got reaped — GC destroying the newest publish.
+    val listed = f.listStatus(root).map(_.getPath.getName)
+    val all = listed.iterator
+      .filter(_.endsWith(".version"))
+      .flatMap(_.stripSuffix(".version").toLongOption)
+      .toSeq
+      .sorted(Ordering[Long].reverse)
     val keepSeq =
       (all.take(versionsToKeep) ++
-        keepFloor.map(f => all.filter(_ >= f)).getOrElse(Nil))
+        keepFloor.map(fl => all.filter(_ >= fl)).getOrElse(Nil))
         .distinct.sortBy(-_)
     val keep = keepSeq.toSet
     val oldestKept = keepSeq.lastOption
-    val f = fs
-    if (f.exists(root)) {
-      val listed = f.listStatus(root).map(_.getPath.getName)
+    // belt over the single-listing braces: version ids are monotone by
+    // convention (every publish path takes newVersion > latest), so
+    // anything ABOVE the newest kept publish is a fresh publish or an
+    // in-flight build, never the garbage cleanup exists to reap —
+    // deletions apply only below the window top
+    val newestKept = keepSeq.headOption
+    locally {
       // .building markers INSIDE their retention window mark builds in
       // flight: their data dirs must survive cleanup, or the marker pins
       // isUpdating=true on a dataless build and the eventual
@@ -210,7 +234,8 @@ class VersionedStore(val root: Path, conf: Configuration) {
             if (name.endsWith(".version")) name.stripSuffix(".version").toLongOption
             else name.toLongOption
           version.foreach { v =>
-            if (!keep.contains(v) && !inFlightKept.contains(v)) deleteVersion(v)
+            if (!keep.contains(v) && !inFlightKept.contains(v) &&
+                !newestKept.exists(v > _)) deleteVersion(v)
           }
         }
       }

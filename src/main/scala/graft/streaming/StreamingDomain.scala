@@ -36,28 +36,17 @@ object StreamingDomain {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = baseVersion + batchId + 1
-        // A replayed batch (restart after the publish but before the
-        // checkpoint commit) is a no-op — but Spark only ever replays the
-        // LAST batch, so an already-published version that is not the
-        // newest one means the stream is pointed at the wrong domain,
-        // baseVersion, or checkpointDir: fail loudly instead of silently
-        // dropping the batch's data.
-        if (store.versions.isPublished(version) && version != store.latestVersion)
-          throw new IllegalStateException(
-            s"stream batch $batchId maps to version $version, which is already " +
-              s"published but is not the domain's latest (${store.latestVersion}) — " +
-              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
-        if (!store.versions.isPublished(version)) {
-          // First-ever batch bootstraps the domain (upsert needs a
-          // published version to merge against).
-          if (store.versions.mostRecentVersion.isEmpty)
-            store.write(batch, version, dedupKeys = true)
-          else
-            store.upsert(batch.sparkSession, batch, version, dedupKeys = true)
-        }
-      }
+      // ONE replay protocol for every index-maintaining foreachBatch
+      // loop (VersionGate): a replayed last batch is a no-op, an
+      // already-published non-latest version fails loud
+      .foreachBatch(VersionGate.gated(store, baseVersion) { (batch, version) =>
+        // First-ever batch bootstraps the domain (upsert needs a
+        // published version to merge against).
+        if (store.versions.mostRecentVersion.isEmpty)
+          store.write(batch, version, dedupKeys = true)
+        else
+          store.upsert(batch.sparkSession, batch, version, dedupKeys = true)
+      })
       .start()
 
   /** The takedown twin of [[upsertStream]]: a stream of `key` rows (a
@@ -80,15 +69,8 @@ object StreamingDomain {
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val version = baseVersion + batchId + 1
-        if (store.versions.isPublished(version) && version != store.latestVersion)
-          throw new IllegalStateException(
-            s"delete-stream batch $batchId maps to version $version, which is already " +
-              s"published but is not the domain's latest (${store.latestVersion}) — " +
-              "baseVersion/checkpointDir mismatch, refusing to drop the batch")
-        if (!store.versions.isPublished(version))
-          store.delete(batch.sparkSession, batch, version)
-      }
+      .foreachBatch(VersionGate.gated(store, baseVersion) { (batch, version) =>
+        store.delete(batch.sparkSession, batch, version)
+      })
       .start()
 }

@@ -1086,6 +1086,17 @@ class DomainStoreSpec extends SparkSuite {
     assert(!vs.fs.exists(vs.versionPath(0L)), "below-window partial dirs still reap")
     assert(vs.inFlightVersions === Nil, "its stale .building marker aged out with it")
 
+    // ABOVE-window protection (the publish-vs-GC race pin): anything
+    // with an id above the newest kept publish is a fresh publish or an
+    // in-flight build mid-commit, never the garbage cleanup reaps — a
+    // bare data dir (marker already gone: the succeed path mid-flight)
+    // must survive even with no .building marker and no token yet
+    vs.fs.mkdirs(vs.versionPath(50L))
+    vs.cleanup(2)
+    assert(vs.fs.exists(vs.versionPath(50L)),
+      "cleanup must never reap an id above the kept window (racing publish)")
+    vs.deleteVersion(50L)
+
     // failure markers: explicit delete forgets them; cleanup ages out
     // markers older than the retention window but keeps recent ones
     vs.createVersion(0L); vs.failVersion(0L) // older than oldest kept (2)
