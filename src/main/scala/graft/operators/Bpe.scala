@@ -193,21 +193,30 @@ object Bpe {
 
   /** BPE tokens of a text column (one flat array per row, word-major
     * order) — the per-row kernel over [[TextAnalysis.wordTokens]]. */
-  def tokens(text: Column, merges: Merges, spark: org.apache.spark.sql.SparkSession): Column = {
+  def tokens(text: Column, merges: Merges, spark: org.apache.spark.sql.SparkSession): Column =
+    tokensFromWords(TextAnalysis.wordTokens(text), merges, spark)
+
+  /** The BPE kernel over an already-tokenized word array — callers that
+    * need both the word array and its BPE segmentation tokenize once. */
+  def tokensFromWords(
+      words: Column, merges: Merges, spark: org.apache.spark.sql.SparkSession): Column = {
     import org.apache.spark.sql.graft.interop
     interop.column(graft.core.BpeSegmentExpr(
-      interop.expression(TextAnalysis.wordTokens(text)), merges.broadcastWith(spark)))
+      interop.expression(words), merges.broadcastWith(spark)))
   }
 
   /** Per-document BPE accounting: (idCol, n_words, n_bpe_tokens) —
-    * the learned-vocab replacement for the regex token estimate. */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String, merges: Merges): DataFrame = {
-    val toks = tokens(col(textCol), merges, df.sparkSession)
-    df.select(
-      col(idCol),
-      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("n_words"),
-      size(toks).cast("long").as("n_bpe_tokens"))
-  }
+    * the learned-vocab replacement for the regex token estimate.
+    * Tokenizes ONCE in a first projection (the CSE-independence pattern
+    * from [[TextAnalysis.repetitionReport]] — the flat form ran the
+    * tokenizer twice per row, once inside the kernel and once for
+    * n_words). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String, merges: Merges): DataFrame =
+    df.select(col(idCol), TextAnalysis.wordTokens(col(textCol)).as("w"))
+      .select(
+        col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        size(tokensFromWords(col("w"), merges, df.sparkSession)).cast("long").as("n_bpe_tokens"))
 
   /** Corpus token histogram under the learned vocabulary: (token, cnt),
     * the "what does my vocab actually look like" report. One explode +

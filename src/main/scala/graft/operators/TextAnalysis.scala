@@ -266,18 +266,31 @@ object TextAnalysis {
    * engines, so they compare bit-for-bit.
    */
   def repetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val toks = wordTokens(t)
-    val bi = wordNGrams(t, 2)
-    val tri = wordNGrams(t, 3)
-    val topBigram = graft.functions.top_freq(bi).cast("long")
-    df.select(
-      col(idCol),
-      size(toks).cast("long").as("n_tokens"),
-      (size(toks) - size(array_distinct(toks))).cast("long").as("dup_token_cnt"),
-      (size(tri) - size(array_distinct(tri))).cast("long").as("dup_trigram_cnt"),
-      topBigram.as("top_bigram_cnt"),
-      size(bi).cast("long").as("n_bigrams"))
+    // Tokenize ONCE in its own projection, then derive the n-gram arrays
+    // from the materialized token array in a second projection. The flat
+    // formulation (wordNGrams(text, n) per output column) evaluated the
+    // tokenizing regexp_extract_all up to 6x per row UNLESS codegen
+    // subexpression elimination hoisted it — and the r10 null-safety
+    // `coalesce` in [[wordTokens]] made the shared subtree a conditional
+    // expression, exactly the class Spark's subexpression extraction
+    // declines to hoist (the r10 bench-of-record 17.9 s outlier). The
+    // staged form doesn't depend on CSE at all: CollapseProject keeps a
+    // projection boundary whenever a non-cheap alias is referenced more
+    // than once downstream, which `toks` (4 uses) / `bi` (2) / `tri` (2)
+    // all are. Pinned by PlanShapeSpec ("repetitionReport tokenizes
+    // once"): exactly ONE regexp_extract_all in the optimized plan.
+    df.select(col(idCol), wordTokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol), col("toks"),
+        tokenNGrams(col("toks"), 2).as("bi"),
+        tokenNGrams(col("toks"), 3).as("tri"))
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(array_distinct(col("toks")))).cast("long").as("dup_token_cnt"),
+        (size(col("tri")) - size(array_distinct(col("tri")))).cast("long").as("dup_trigram_cnt"),
+        graft.functions.top_freq(col("bi")).cast("long").as("top_bigram_cnt"),
+        size(col("bi")).cast("long").as("n_bigrams"))
       .withColumn(
         "dup_token_frac",
         col("dup_token_cnt").cast("double") / greatest(col("n_tokens"), lit(1)))

@@ -288,4 +288,18 @@ class PlanShapeSpec extends SparkSuite {
       assert(p.contains("*("), s"no codegen stage at all:\n$p")
     }
   }
+
+  test("repetitionReport tokenizes once: exactly one regexp_extract_all in the plan") {
+    // The flat formulation depended on codegen subexpression elimination
+    // to dedupe up to six tokenizations per row, and the wordTokens
+    // null-safety `coalesce` silently defeated that (conditional
+    // subtrees are excluded from subexpression extraction — the r10
+    // 17.9 s bench-of-record outlier). The staged projections make the
+    // single evaluation STRUCTURAL; this pin fails if a future refactor
+    // (or a "harmless" wrapper) re-multiplies the tokenizer.
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val p = plan(TextAnalysis.repetitionReport(docs, "doc_id", "text"))
+    val n = countOccurrences(p, "regexp_extract_all")
+    assert(n === 1, s"expected exactly 1 regexp_extract_all, got $n:\n$p")
+  }
 }
