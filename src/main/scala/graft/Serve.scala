@@ -475,11 +475,18 @@ object Serve {
                     maxKBps = l.downloadRateLimitKbps,
                     keepLocalVersions = keepLocal,
                     keepFloor = servedFloor)
-                  // a successful pull HEALS the log-once failure notices
+                  // a successful pull HEALS the log-once FAILURE notices
                   // for this domain (the updater loop's rule): without
                   // it, one transient outage suppresses the log for every
-                  // later same-class outage forever
-                  noticed.removeIf(_.endsWith(s":$name"))
+                  // later same-class outage forever. Exact key-tail match
+                  // (the loadNew idiom) — a bare endsWith(":$name") would
+                  // also clear notices of any domain whose name ends in
+                  // ":$name". The `noshards` notice is EXCLUDED from the
+                  // heal: it isn't a failure this pull recovered from, and
+                  // clearing it would re-log once per assignment flap.
+                  noticed.removeIf(k =>
+                    !k.startsWith("noshards:") &&
+                      k.substring(k.lastIndexOf(':') + 1) == name)
                   if (delta.transferred.nonEmpty || delta.reused.nonEmpty)
                     try log(s"[serve] pulled $name v$v (" +
                       s"${delta.transferred.size} transferred, " +

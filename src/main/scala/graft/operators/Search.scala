@@ -120,13 +120,26 @@ object Search {
         // counts the same canonicalization the records key on, and ids
         // that fail the cast take docIdLong's named error, not a
         // misleading collision message
-        count_distinct(docIdLong(idCol)).as("n_canonical"))
+        count_distinct(docIdLong(idCol)).as("n_canonical"),
+        // null-id accounting (ADVICE r10): count(lit(1)) includes null-id
+        // rows while count_distinct skips them, so a NULL id must not
+        // reach the duplicate-id compare — it would fail with a
+        // misleading "de-duplicate the corpus" when nothing is
+        // duplicated. Today docIdLong's raise_error usually fires first
+        // (n_canonical evaluates it on the null row, SearchSpec pins the
+        // message), but that guard is docIdLong's to keep — this one
+        // makes the arithmetic below correct regardless
+        coalesce(sum(when(col(idCol).isNull, 1L)), lit(0L)).as("n_null"))
       .head()
+    require(row.getLong(3) == 0L,
+      s"search index: corpus has ${row.getLong(3)} rows with a NULL '$idCol' — " +
+        "a null doc id cannot key a d: record; drop or re-key the null-id rows")
     // plain duplicate ids corrupt just as silently as cast collisions:
     // fused postings with doubled tf/df, duplicate d: records (a kv
     // build tolerates duplicate keys), and an over-counted m:stats N —
     // the build must fail loud, like the upsert path's key-repeat guard
-    require(row.getLong(0) == row.getLong(1),
+    // (row count compared over NON-NULL ids only — nulls fail above)
+    require(row.getLong(0) - row.getLong(3) == row.getLong(1),
       s"search index: corpus has ${row.getLong(0)} rows but only " +
         s"${row.getLong(1)} distinct '$idCol' values — duplicate doc ids " +
         "would fuse postings and double-count stats; de-duplicate the corpus")

@@ -211,9 +211,12 @@ object DedupQueries {
         |      [CAST(unicode(c) AS BIGINT) FOR c IN
         |        list_filter(string_split(substr(text, CAST(i AS INT), $SubstringWindow), ''), x -> x != '')]),
         |      (a, b) -> (a * 31 + b) % 1000000007) % $SubstringModulus = 0),
-        |f AS (SELECT DISTINCT doc_id, fp FROM anch)
+        |f AS (SELECT DISTINCT doc_id, fp FROM anch),
+        |fok AS (SELECT fp FROM f GROUP BY fp
+        |        HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
+        |ff AS (SELECT f.* FROM f JOIN fok USING (fp))
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+        |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
     // SemDeDup replay: the single-table cell assignment from the same
     // interpolated planes, in-cell dominated-by-smaller-id drops, then
     // the anti-join — semanticDedup step for step.

@@ -202,7 +202,22 @@ class VersionedStore(val root: Path, conf: Configuration) {
     // convention (every publish path takes newVersion > latest), so
     // anything ABOVE the newest kept publish is a fresh publish or an
     // in-flight build, never the garbage cleanup exists to reap —
-    // deletions apply only below the window top
+    // deletions apply only below the window top.
+    //
+    // DELIBERATE BOUNDED LEAK (ADVICE r10): a build that crashes without
+    // failVersion leaves its marker + partial dir ABOVE the window, and
+    // this guard never reaps them — cleanup cannot distinguish "crashed"
+    // from "still running a 12-hour bulk load", and time-based aging
+    // would destroy legitimately slow in-flight builds (silent empty-
+    // version publish, the worst failure class this store has). The
+    // leak is VISIBLE (inFlightVersions lists it until resolved), at
+    // most one partial dir per crashed attempt, explicitly reclaimable
+    // (failVersion/deleteVersion — the documented resolution, see
+    // createVersion), and self-healing under traffic: once versionsToKeep
+    // later publishes push oldestKept above the crashed id, the marker
+    // ages out and the dir branch reaps the data. Only an ABANDONED
+    // store retains it indefinitely — and an abandoned store's garbage
+    // is purgeDomain's job, not cleanup's.
     val newestKept = keepSeq.headOption
     locally {
       // .building markers INSIDE their retention window mark builds in
