@@ -180,19 +180,28 @@ object Bench {
         s""","n_ok":${results.size - failed.size},"n_failed":${failed.size}""" +
         s""","per_pass_total":[${num(passTotal(rep1))},${num(passTotal(rep2))}]""" +
         s""","queries":$qs$failuresField$subField,"sf":"$sfDir"}"""
-    println(line)
     // The driver's artifact capture FRONT-truncates long tails, losing the
     // headline fields that lead the big line — so a SECOND, short summary
     // line follows it: any tail capture keeps total/n_ok/n_failed.
     val summary =
       s"""{"metric":"total_summary","value":${num(total)},"unit":"sec"""" +
         s""","n_ok":${results.size - failed.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
-    println(summary)
-    // The driver parses this JSON from process output, where sbt log noise
-    // can swallow it — also land it in a known file.
+    // FILES FIRST, stdout second (r10 verdict task 6): the driver's
+    // stdout capture lost per-query data two rounds running; the files
+    // are the per-query record and must exist even if the process dies
+    // mid-print. bench_queries.json is the compact slowest-first map so
+    // the top movers survive ANY truncation of any channel.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n" + summary + "\n").getBytes("UTF-8"))
+    val slowestFirst = results.sortBy { case (_, (v, _)) => -v }
+      .map { case (k, (v, _)) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_queries.json"),
+      (slowestFirst + "\n").getBytes("UTF-8"))
+    println(line)
+    println(summary)
     spark.stop()
   }
 }

@@ -169,7 +169,40 @@ object PipelineQueries {
           expr(s"CAST(neighbor_id div $RagIdStride AS BIGINT)").as("doc_id"),
           pmod(col("neighbor_id"), lit(RagIdStride.toLong)).as("chunk_no"),
           col("rank").cast("long").as("rank"))
+    },
+    // The D4 data-pruning recipe (Tirumala et al. 2023, arXiv:2308.12284)
+    // composed: SemDeDup drops near-duplicate embeddings (step 1,
+    // semanticDedup — same threshold/planes as dedup_semantic), then
+    // SSL-prototype pruning ranks the SURVIVORS against their cell means
+    // and drops the most prototypical fraction (step 2,
+    // prototypePruning — same params as sim_prototype_prune). Both
+    // stages are oracled standalone; this pins their COMPOSITION — the
+    // ids-only survivor plumbing and the drop-set interaction (a doc
+    // deduped in step 1 must not occupy a rank in step 2's cells). The
+    // oracle replays both stages in one chain, the pruning half shared
+    // verbatim with sim_prototype_prune's (SimQueries.protoPruneChain).
+    "pipeline_data_prune" -> { (s, dir) =>
+      dataPrune(Fixtures.table(s, dir, "embeddings"))
     })
+
+  /** The composed D4 recipe on any (vec_id, embedding, ...) frame —
+    * shared by the contract query and the PlanShapeSpec exchange pin.
+    * Survivors travel as IDS ONLY into the semi-join (vectors re-read
+    * from the input, never shuffled with the drop-set), then the pruning
+    * stage's own partial-agg sketch layout takes over. */
+  def dataPrune(emb: DataFrame): DataFrame = {
+    val survivors = Similarity.semanticDedup(
+        emb, "vec_id", "embedding",
+        DedupQueries.CosineThreshold, DedupQueries.SemPlanes)
+      .select(col("id").as("vec_id"))
+    val kept = emb.join(survivors, Seq("vec_id"), "left_semi")
+    Similarity.prototypePruning(
+        kept, "vec_id", "embedding",
+        planes = SimQueries.ProtoPlanes,
+        dropNum = SimQueries.ProtoDropNum, dropDen = SimQueries.ProtoDropDen)
+      .select(col("id").as("vec_id"), col("cell"), col("proto_rank"),
+        col("cell_n"), col("kept"))
+  }
 
   // pipeline_rag_retrieval constants — shared by query and oracle
   val RagChunkTokens = 32
@@ -548,5 +581,35 @@ object PipelineQueries {
     // shortlist → re-rank math is sim_ann_ivfpq_fixed's, so its SQL is
     // the oracle; only the posting-list roundtrip is new, and it must be
     // invisible
-    "pipeline_annpq_index" -> SimQueries.oracleSql("sim_ann_ivfpq_fixed"))
+    "pipeline_annpq_index" -> SimQueries.oracleSql("sim_ann_ivfpq_fixed"),
+    // D4 composed: the dedup_semantic survivor chain (s-prefixed CTEs,
+    // SemPlanes/CosineThreshold) feeds sim_prototype_prune's chain
+    // VERBATIM (SimQueries.protoPruneChain over `surv` instead of
+    // `embeddings`) — survivors = everything not dropped, including the
+    // zero-norm rows SemDeDup can't compare (they surface from the prune
+    // chain's own unclustered branch). MATERIALIZED on every
+    // twice-referenced stage, per the CTE-chain rule.
+    "pipeline_data_prune" ->
+      s"""WITH spl(tbl, bit, p) AS (VALUES
+         |${SimQueries.planesValues(1, DedupQueries.SemPlanes)}),
+         |sef AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings
+         |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+         |scells AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_inner_product(sef.v, spl.p) > 0
+         |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
+         |  FROM sef, spl GROUP BY 1),
+         |sdropped AS MATERIALIZED (
+         |  SELECT DISTINCT y.vec_id AS id
+         |  FROM scells x JOIN scells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN sef ex ON ex.vec_id = x.vec_id
+         |  JOIN sef ey ON ey.vec_id = y.vec_id
+         |  WHERE list_cosine_similarity(ex.v, ey.v) >= ${DedupQueries.CosineThreshold}),
+         |surv AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  LEFT JOIN sdropped d ON e.vec_id = d.id WHERE d.id IS NULL),
+         |${SimQueries.protoPruneChain("surv")}
+         |SELECT * FROM clustered UNION ALL SELECT * FROM unclustered""".stripMargin)
 }

@@ -551,11 +551,21 @@ object SimQueries {
     * integer-division drop threshold. Stages referenced twice are
     * MATERIALIZED (default inlining doubles the expansion per stage). */
   private def protoPruneOracle: String =
-    s"""WITH pl(tbl, bit, p) AS (VALUES
+    s"""WITH ${protoPruneChain("embeddings")}
+       |SELECT * FROM clustered UNION ALL SELECT * FROM unclustered""".stripMargin
+
+  /** The [[protoPruneOracle]] CTE chain over any (vec_id, embedding)
+    * relation `src` — shared verbatim by the standalone query (src =
+    * embeddings) and the D4-recipe composition (src = the semantic-dedup
+    * survivor CTE in pipeline_data_prune), so the two can never drift.
+    * Defines CTEs pl/ef/cells/qe/s/nn/terms/ssum/keyed/ranked/clustered/
+    * unclustered; callers SELECT from clustered UNION ALL unclustered. */
+  private[queries] def protoPruneChain(src: String): String =
+    s"""pl(tbl, bit, p) AS (VALUES
        |${planesValues(1, ProtoPlanes)}),
        |ef AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings
+       |  FROM $src
        |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
        |cells AS MATERIALIZED (
        |  SELECT vec_id,
@@ -592,8 +602,7 @@ object SimQueries {
        |unclustered AS (
        |  SELECT e.vec_id, CAST(-1 AS BIGINT) AS cell, CAST(0 AS BIGINT) AS proto_rank,
        |    CAST(0 AS BIGINT) AS cell_n, TRUE AS kept
-       |  FROM embeddings e LEFT JOIN ef USING (vec_id) WHERE ef.vec_id IS NULL)
-       |SELECT * FROM clustered UNION ALL SELECT * FROM unclustered""".stripMargin
+       |  FROM $src e LEFT JOIN ef USING (vec_id) WHERE ef.vec_id IS NULL)""".stripMargin
   // Both trained ANN queries are now fully oracled: the generated CTE
   // chains below replay the TRAINING (exact-integer Lloyd), then the
   // search tails the fixed-quantizer oracles proved bit-compatible with

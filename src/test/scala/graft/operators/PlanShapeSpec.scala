@@ -270,6 +270,17 @@ class PlanShapeSpec extends SparkSuite {
       Similarity.annTopK(embs, queries, "id", "vec", 5), Set("query_id", "id"))
     dedupExchangesHaveNoArrays(
       Similarity.knnJoin(queries, embs, "id", "vec", 5), Set("query_id", "id"))
+
+    // the composed D4 recipe (pipeline_data_prune): the semantic-dedup
+    // drop-set dedup exchange (keyed exactly {id}) must move ids alone —
+    // an embedding smuggled into the drop set re-widens the one exchange
+    // whose row count is corpus-scale. (The survivor semi-join's vec_id
+    // exchange legitimately carries the vectors ONCE into the pruning
+    // stage; it is keyed {vec_id}, so the {id} filter isolates the pin.)
+    val embCorpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    dedupExchangesHaveNoArrays(
+      graft.queries.PipelineQueries.dataPrune(embCorpus), Set("id"))
   }
 
   test("text analysis reports are shuffle-free whole-stage codegen") {
