@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{DomainSpec, Sessions}
+import graft.store.DomainStore
+
+/**
+ * Dev-only: the 64k-shard OPS-REGIME audit (BASELINE.md r11 — VERDICT r10
+ * task 2). README claims numShards 16–64k at 100 TB and every metadata /
+ * publish path is two-tier (driver pool below `DefaultDistributeAbove` =
+ * 1024 shards, one distributed Spark pass above); this measures the
+ * advertised regime END TO END on a real 64Ki-shard kv-sorted domain:
+ *
+ *   full build → count → shardStats → fsck → 1k-key multiGet →
+ *   1k-key upsert publish → 100-key delete publish
+ *
+ * The cost under audit is PER-SHARD OVERHEAD (task scheduling, dir
+ * listings, file-copy fan-out, trailer-tail count reads), not bytes —
+ * records are deliberately small (~30 per shard). Every per-shard pass
+ * must run in the distributed tier at this shard count (structural:
+ * 65536 > 1024); what this audit adds is the measured wall and driver
+ * heap so a superlinear or driver-serial regression has a number to
+ * diff against. One-shot walls (a build at 64k shards is minutes; the
+ * noise band matters less than the magnitude), driver heap sampled
+ * after a forced GC per phase.
+ *
+ * Usage: runMain graft.DebugShardScale [numShards=65536] [keys=2000000]
+ */
+object DebugShardScale {
+  def main(args: Array[String]): Unit = {
+    val shards = args.headOption.map(_.toInt).getOrElse(65536)
+    val keysN = args.lift(1).map(_.toLong).getOrElse(2_000_000L)
+    val spark = Sessions.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val conf = new org.apache.hadoop.conf.Configuration()
+
+    def heapMb(): Long = {
+      System.gc()
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+    }
+    def timeIt[A](what: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[shard-scale] $what%-34s ${secs}%8.2f s   heap=${heapMb()}%5d MB")
+      a
+    }
+
+    val root = s"/root/repo/target/shard-scale-domain-$shards"
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    // RESUMABLE: a 64k-shard build is tens of minutes on this box (the
+    // per-task overhead IS the measurement) — a crashed later phase must
+    // not force a rebuild. An existing published v1 is reused; delete
+    // the root dir to force a fresh build.
+    val fs0 = rootPath.getFileSystem(conf)
+    val resume = fs0.exists(new org.apache.hadoop.fs.Path(root, "1.version"))
+    val store =
+      if (resume) DomainStore.open(root, conf)
+      else DomainStore.create(
+        root, DomainSpec(shards, persistenceFormat = DomainSpec.KvSorted), conf)
+    println(s"[shard-scale] numShards=$shards keys=$keysN " +
+      s"(~${keysN / shards} records/shard) heap0=${heapMb()} MB resume=$resume")
+
+    def kvOf(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      graft.functions.long_be(col("id")).as("key"),
+      graft.functions.utf8_bytes(concat(lit("v"), col("id").cast("string"))).as("value"))
+
+    if (!resume)
+      timeIt(s"full build ($keysN keys)") { store.write(kvOf(spark.range(keysN).toDF("id")), 1L) }
+    val c1 = timeIt("count (distributed tier)") { store.count(spark) }
+    if (store.latestVersion == 1L)
+      require(c1 == keysN, s"count after build: $c1 != $keysN")
+    val hot = timeIt("shardStats max/sum") {
+      store.shardStats(spark)
+        .agg(max(col("n_rows")), sum(col("n_rows")), sum(col("n_bytes"))).head()
+    }
+    println(s"[shard-scale]   hottest shard rows=${hot.getLong(0)} " +
+      s"total rows=${hot.getLong(1)} bytes=${hot.getLong(2)}")
+    val bad = timeIt("fsck (full integrity pass)") {
+      store.fsck(spark).where(
+        col("n_misrouted") > 0 || !col("sorted_ok") || size(col("corruption")) > 0).count()
+    }
+    require(bad == 0L, s"fsck found $bad bad shards")
+
+    // 1k-key batch lookup: 500 present, 500 absent — the point-lookup
+    // path (1000 << MaxDriverKeys), one task per probed shard. Present
+    // ids start at 1000: ids 0..99 are the delete phase's victims, so a
+    // RESUMED run (domain already past the delete) still probes 500 hits
+    val probeIds = spark.range(1000, 1500).toDF("id")
+      .unionByName(spark.range(500).select((col("id") + keysN * 3).as("id")))
+    val probe = probeIds.select(graft.functions.long_be(col("id")).as("key"))
+      .localCheckpoint(true)
+    val hits = timeIt("multiGet 1k keys (500 hits)") {
+      store.multiGet(probe).where(col("value").isNotNull).count()
+    }
+    require(hits == 500L, s"multiGet hits: $hits != 500")
+
+    // version-relative so a resumed run republishes cleanly
+    val v0 = store.latestVersion
+    timeIt("upsert publish (1k new keys)") {
+      store.upsert(spark,
+        kvOf(spark.range(keysN, keysN + 1000L).toDF("id")), v0 + 1)
+    }
+    timeIt("delete publish (100 keys)") {
+      store.delete(spark,
+        spark.range(100).select(graft.functions.long_be(col("id")).as("key")), v0 + 2)
+    }
+    val c3 = timeIt("count after upsert+delete") { store.count(spark) }
+    require(c3 == keysN + 1000L - 100L, s"final count: $c3 != ${keysN + 900L}")
+
+    // leave no half-million-file tree in target/
+    rootPath.getFileSystem(conf).delete(rootPath, true)
+    println(s"[shard-scale] all checks passed; domain deleted")
+    spark.stop()
+  }
+}
