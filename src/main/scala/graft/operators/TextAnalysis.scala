@@ -266,6 +266,12 @@ object TextAnalysis {
    * engines, so they compare bit-for-bit.
    */
   def repetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // staged-projection aliases — loud on collision, the _bsz precedent
+    // (the pre-r11 flat form had no internal aliases, so these names
+    // regressing silently into AMBIGUOUS_REFERENCE would be new)
+    require(!Set("toks", "bi", "tri").contains(idCol),
+      s"repetitionReport: id column '$idCol' collides with an internal " +
+        "staging alias (toks/bi/tri) — rename the id column")
     // Tokenize ONCE in its own projection, then derive the n-gram arrays
     // from the materialized token array in a second projection. The flat
     // formulation (wordNGrams(text, n) per output column) evaluated the

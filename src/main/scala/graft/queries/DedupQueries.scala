@@ -219,25 +219,11 @@ object DedupQueries {
         |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
     // SemDeDup replay: the single-table cell assignment from the same
     // interpolated planes, in-cell dominated-by-smaller-id drops, then
-    // the anti-join — semanticDedup step for step.
+    // the anti-join — semanticDedup step for step. The CTE chain is
+    // SHARED verbatim with pipeline_data_prune's oracle (semDedupChain)
+    // so the standalone query and the D4 composition can never drift.
     "dedup_semantic" ->
-      s"""WITH pl(tbl, bit, p) AS (VALUES
-         |${SimQueries.planesValues(1, SemPlanes)}),
-         |ef AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings
-         |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
-         |cells AS (
-         |  SELECT vec_id,
-         |    CAST(sum(CASE WHEN list_inner_product(ef.v, pl.p) > 0
-         |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
-         |  FROM ef, pl GROUP BY 1),
-         |dropped AS (
-         |  SELECT DISTINCT y.vec_id AS id
-         |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |  JOIN ef ex ON ex.vec_id = x.vec_id
-         |  JOIN ef ey ON ey.vec_id = y.vec_id
-         |  WHERE list_cosine_similarity(ex.v, ey.v) >= $CosineThreshold)
+      s"""WITH ${semDedupChain("")}
          |SELECT c.vec_id AS id, c.cell FROM cells c
          |LEFT JOIN dropped d ON c.vec_id = d.id WHERE d.id IS NULL
          |UNION ALL
@@ -258,4 +244,32 @@ object DedupQueries {
          |    SELECT e.src, r.lbl FROM edges e JOIN r ON e.dst = r.id)
          |  SELECT id, min(lbl) AS rep_id FROM r GROUP BY id)
          |SELECT id AS doc_id, rep_id FROM reach""".stripMargin)
+
+  /** The [[graft.operators.Similarity.semanticDedup]] replay chain over
+    * the embeddings table — planes (SemPlanes, table 1), norm-filtered
+    * vectors, sign cells, and the in-cell dominated-by-smaller-id drop
+    * set at [[CosineThreshold]]. Shared verbatim by the standalone
+    * `dedup_semantic` oracle (prefix = "") and the D4 composition
+    * `pipeline_data_prune` (prefix = "s"), so the two can never drift —
+    * the protoPruneChain convention. Defines CTEs `<p>pl` / `<p>ef` /
+    * `<p>cells` / `<p>dropped`; multi-referenced stages MATERIALIZED
+    * (the CTE-chain rule). */
+  private[queries] def semDedupChain(p: String): String =
+    s"""${p}pl(tbl, bit, pv) AS (VALUES
+       |${SimQueries.planesValues(1, SemPlanes)}),
+       |${p}ef AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
+       |${p}cells AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN list_inner_product(${p}ef.v, ${p}pl.pv) > 0
+       |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
+       |  FROM ${p}ef, ${p}pl GROUP BY 1),
+       |${p}dropped AS MATERIALIZED (
+       |  SELECT DISTINCT y.vec_id AS id
+       |  FROM ${p}cells x JOIN ${p}cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN ${p}ef ex ON ex.vec_id = x.vec_id
+       |  JOIN ${p}ef ey ON ey.vec_id = y.vec_id
+       |  WHERE list_cosine_similarity(ex.v, ey.v) >= $CosineThreshold)""".stripMargin
 }

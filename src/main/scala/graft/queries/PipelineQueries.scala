@@ -582,31 +582,16 @@ object PipelineQueries {
     // the oracle; only the posting-list roundtrip is new, and it must be
     // invisible
     "pipeline_annpq_index" -> SimQueries.oracleSql("sim_ann_ivfpq_fixed"),
-    // D4 composed: the dedup_semantic survivor chain (s-prefixed CTEs,
-    // SemPlanes/CosineThreshold) feeds sim_prototype_prune's chain
-    // VERBATIM (SimQueries.protoPruneChain over `surv` instead of
-    // `embeddings`) — survivors = everything not dropped, including the
-    // zero-norm rows SemDeDup can't compare (they surface from the prune
-    // chain's own unclustered branch). MATERIALIZED on every
-    // twice-referenced stage, per the CTE-chain rule.
+    // D4 composed: the dedup_semantic survivor chain — SHARED verbatim
+    // with that query's oracle (DedupQueries.semDedupChain, s-prefixed
+    // CTE names) — feeds sim_prototype_prune's chain VERBATIM
+    // (SimQueries.protoPruneChain over `surv` instead of `embeddings`).
+    // Survivors = everything not dropped, including the zero-norm rows
+    // SemDeDup can't compare (they surface from the prune chain's own
+    // unclustered branch). Both halves are single-definition, so neither
+    // standalone oracle can drift from this composition.
     "pipeline_data_prune" ->
-      s"""WITH spl(tbl, bit, p) AS (VALUES
-         |${SimQueries.planesValues(1, DedupQueries.SemPlanes)}),
-         |sef AS MATERIALIZED (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings
-         |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
-         |scells AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    CAST(sum(CASE WHEN list_inner_product(sef.v, spl.p) > 0
-         |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
-         |  FROM sef, spl GROUP BY 1),
-         |sdropped AS MATERIALIZED (
-         |  SELECT DISTINCT y.vec_id AS id
-         |  FROM scells x JOIN scells y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |  JOIN sef ex ON ex.vec_id = x.vec_id
-         |  JOIN sef ey ON ey.vec_id = y.vec_id
-         |  WHERE list_cosine_similarity(ex.v, ey.v) >= ${DedupQueries.CosineThreshold}),
+      s"""WITH ${DedupQueries.semDedupChain("s")},
          |surv AS MATERIALIZED (
          |  SELECT e.vec_id, e.embedding FROM embeddings e
          |  LEFT JOIN sdropped d ON e.vec_id = d.id WHERE d.id IS NULL),
