@@ -33,18 +33,39 @@ private[graft] object LshBuckets {
     * replacing-then-dropping a caller's own `_bsz` column on the public
     * entry points (lshCandidates, simHashPairsBanded, bandIndexKv) would
     * lose user data — so its presence fails loud, same convention as
-    * dedupAgainstIndex's reserved-column guard. */
-  def bounded(df: org.apache.spark.sql.DataFrame, keys: Seq[String], maxBucket: Int): org.apache.spark.sql.DataFrame = {
+    * dedupAgainstIndex's reserved-column guard.
+    *
+    * `failOversized = true` turns the drop into an in-plan
+    * `raise_error` naming the cap — for callers whose ORACLE cannot
+    * replay the drop (the MinHash banding rides xxhash64, which no SQL
+    * replay can express): the contract then either matches its oracle
+    * exactly or fails loudly, never silently diverges (the
+    * dedup_shared_substring class, ADVICE r10). Same plan shape — the
+    * raise rides the window count the filter would have used. */
+  def bounded(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      maxBucket: Int,
+      failOversized: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     require(!df.columns.contains("_bsz"),
       "input carries the reserved column name `_bsz` (used internally for " +
         "the bucket-size window count) — rename or drop it before calling")
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, concat, count, lit, raise_error, when}
     val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("_bsz", count(lit(1)).over(w))
-      .where(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+    val counted = df.withColumn("_bsz", count(lit(1)).over(w))
+    val capped =
+      if (!failOversized) counted.where(col("_bsz") <= maxBucket)
+      else counted.where(
+        when(col("_bsz") <= maxBucket, lit(true)).otherwise(raise_error(concat(
+          lit(s"bucket (${keys.mkString(", ")}) exceeds the hot-bucket cap $maxBucket with "),
+          col("_bsz").cast("string"),
+          lit(" members — this caller's oracle cannot replay the drop; " +
+            "inspect with oversizedLshBuckets, then dedup the degenerate " +
+            "cluster (exact dedup / boilerplate removal) or use the " +
+            "dropping variant explicitly")))))
+    capped.drop("_bsz")
   }
 }
 

@@ -222,8 +222,11 @@ object Dedup {
     * [[oversizedLshBuckets]] reports exactly what was dropped so a
     * pipeline can alert instead of silently stalling. The window count
     * shares the self-join's hash partitioning — no extra exchange. */
-  def lshCandidates(bands: DataFrame, maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
-    val b = LshBuckets.bounded(bands, Seq("band", "band_hash"), maxBucket)
+  def lshCandidates(
+      bands: DataFrame,
+      maxBucket: Int = LshBuckets.MaxBucket,
+      failOversized: Boolean = false): DataFrame = {
+    val b = LshBuckets.bounded(bands, Seq("band", "band_hash"), maxBucket, failOversized)
     b.as("x")
       .join(b.as("y"),
         col("x.band") === col("y.band") &&
@@ -256,13 +259,21 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      // The MinHash band hash is xxhash64 — no SQL oracle can replay the
+      // hot-bucket drop (unlike the simhash/plane-LSH oracles, whose
+      // banding is md5/dot-product replayable). Contract queries pass
+      // true so a corpus with an oversized bucket fails LOUD instead of
+      // silently diverging from the exhaustive-Jaccard oracle; pipeline
+      // callers keep the dropping default (the declared recall trade,
+      // audited by [[oversizedLshBuckets]]).
+      failOversized: Boolean = false): DataFrame = {
     // Shingles feed three consumers (signatures, sizes, verification). The
     // shingle table ends in its collect_set aggregate's exchange, so
     // ReuseExchange runs that shuffle once and each consumer re-reads the
     // shuffle files — no persist, nothing outlives the query.
     val sh = wordShingles(df, idCol, textCol)
-    val cand = lshCandidates(lshBands(minHashSignatures(sh)))
+    val cand = lshCandidates(lshBands(minHashSignatures(sh)), failOversized = failOversized)
     exactJaccardOfCandidates(sh, cand, threshold)
   }
 
@@ -594,11 +605,16 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String,
-      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
+      maxBucket: Int = LshBuckets.MaxBucket,
+      // xxhash64 banding is not SQL-replayable, so an exact-Jaccard
+      // oracle cannot see the drop — contract/oracle-verified builds
+      // pass true to fail loud instead (the minHashPairs rationale);
+      // production publishes keep the documented dropping default.
+      failOversized: Boolean = false): DataFrame = {
     import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
     LshBuckets.bounded(
         lshBands(minHashSignatures(wordShingles(corpus, idCol, textCol))),
-        Seq("band", "band_hash"), maxBucket)
+        Seq("band", "band_hash"), maxBucket, failOversized)
       .groupBy(col("band"), col("band_hash"))
       .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
       .select(

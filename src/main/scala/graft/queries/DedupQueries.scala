@@ -38,7 +38,11 @@ object DedupQueries {
         "doc_id", "text", JaccardSampleThreshold)
     },
     "dedup_minhash" -> { (s, dir) =>
-      Dedup.minHashPairs(Fixtures.table(s, dir, "documents"), "doc_id", "text", MinHashThreshold)
+      // failOversized: the exhaustive-Jaccard oracle cannot replay the
+      // xxhash64-band hot-bucket drop, so the contract fails loud on a
+      // corpus with an oversized bucket instead of silently diverging
+      Dedup.minHashPairs(Fixtures.table(s, dir, "documents"), "doc_id", "text", MinHashThreshold,
+        failOversized = true)
     },
     // Cross-source duplication matrix — the provenance question behind
     // every dedup run ("did corpus B scrape corpus A?"): near-dup pairs
@@ -48,7 +52,7 @@ object DedupQueries {
     "dedup_source_overlap" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
-      Dedup.minHashPairs(docs, "doc_id", "text", MinHashThreshold)
+      Dedup.minHashPairs(docs, "doc_id", "text", MinHashThreshold, failOversized = true)
         .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(
@@ -98,7 +102,7 @@ object DedupQueries {
       val docs = Fixtures.table(s, dir, "documents")
       Dedup.components(
         docs.select(col("doc_id").as("id")),
-        Dedup.minHashPairs(docs, "doc_id", "text", MinHashThreshold))
+        Dedup.minHashPairs(docs, "doc_id", "text", MinHashThreshold, failOversized = true))
         .select(col("id").as("doc_id"), col("rep_id"))
     })
 

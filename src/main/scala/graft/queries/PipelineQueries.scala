@@ -291,7 +291,11 @@ object PipelineQueries {
       st.write(
         Dedup.bandIndexKv(
           Fixtures.table(sp, dir, "documents").where(col("doc_id") % DeltaMod =!= 0),
-          "doc_id", "text"),
+          // the contract oracle is the exhaustive delta x corpus Jaccard,
+          // which cannot replay a build-time bucket drop (xxhash64
+          // banding) — so the CONTRACT build fails loud on an oversized
+          // bucket; production publishes keep the documented drop
+          "doc_id", "text", failOversized = true),
         version = 1L)
     }
   }
@@ -534,7 +538,11 @@ object PipelineQueries {
     // dedup_semantic, with the candidate join ORIENTED (delta side x,
     // corpus side y) and the exact cosine filter — the index probe path
     // must equal this bit for bit (cells are deterministic, candidates
-    // are exactly the co-cell pairs, verify is the same cosine).
+    // are exactly the co-cell pairs, verify is the same cosine). The
+    // publish-time hot-cell cap is REPLAYED (`cok`: corpus-member count
+    // per cell <= MaxBucket — semIndexKv drops bigger cells, so probes
+    // of them miss): without it the contract silently diverges on any
+    // corpus with a >cap cell (the dedup_shared_substring class).
     "pipeline_semdedup_index" ->
       s"""WITH pl(tbl, bit, p) AS (VALUES
          |${SimQueries.planesValues(1, DedupQueries.SemPlanes)}),
@@ -547,9 +555,12 @@ object PipelineQueries {
          |    CAST(sum(CASE WHEN list_inner_product(ef.v, pl.p) > 0
          |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
          |  FROM ef, pl GROUP BY 1),
+         |cok AS (SELECT cell FROM cells WHERE vec_id % $DeltaMod != 0
+         |        GROUP BY cell HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
          |cand AS (
          |  SELECT x.vec_id AS delta_id, y.vec_id AS corpus_id
          |  FROM cells x JOIN cells y ON x.cell = y.cell
+         |  JOIN cok ON cok.cell = x.cell
          |  WHERE x.vec_id % $DeltaMod = 0 AND y.vec_id % $DeltaMod != 0)
          |SELECT DISTINCT delta_id, corpus_id
          |FROM cand
@@ -560,13 +571,19 @@ object PipelineQueries {
     // replayed in closed form, with the candidate join ORIENTED (delta
     // side a, corpus side b; the two are disjoint by the mod split).
     // Banding recall is exactly 1.0 at hamming <= 3 (pigeonhole), so
-    // this equals the index-probe path bit for bit.
+    // this equals the index-probe path bit for bit — INCLUDING the
+    // publish-time hot-bucket cap (`bok`: corpus-member count per
+    // (band, bucket) <= MaxBucket — phashIndexKv drops bigger buckets,
+    // so probes of them miss; same replay rule as the LSH oracles).
     "pipeline_image_index" ->
       s"""WITH ${MmQueries.PhashBandCtes},
+         |bok AS (SELECT b, bucket FROM bands WHERE media_id % $DeltaMod != 0
+         |        GROUP BY b, bucket HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
          |cand AS (SELECT DISTINCT a.media_id AS delta_id, b2.media_id AS corpus_id,
          |    a.phash AS ph_a, b2.phash AS ph_b
          |  FROM bands a JOIN bands b2
          |    ON a.b = b2.b AND a.bucket = b2.bucket
+         |  JOIN bok ON bok.b = a.b AND bok.bucket = a.bucket
          |  WHERE a.media_id % $DeltaMod = 0 AND b2.media_id % $DeltaMod != 0)
          |SELECT delta_id, corpus_id, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,

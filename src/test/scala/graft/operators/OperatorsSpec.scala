@@ -803,6 +803,25 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sims.contains((1000L, 1001L)))
     assert(!sims.exists(p => p._1 < 60 && p._2 < 60))
+    // the fail-loud variant (contract queries: the xxhash64 banding's
+    // drop is not SQL-replayable, so the oracle contract demands a loud
+    // error instead of a silent divergence) raises naming the cap
+    val eCand = intercept[Exception](
+      Dedup.lshCandidates(bands, maxBucket = 16, failOversized = true).collect())
+    assert(eCand.getMessage.contains("hot-bucket cap"), eCand.getMessage)
+    val eIdx = intercept[Exception](
+      Dedup.bandIndexKv(corpus, "doc_id", "text", maxBucket = 16, failOversized = true)
+        .collect())
+    assert(eIdx.getMessage.contains("hot-bucket cap"), eIdx.getMessage)
+    // and below the cap it must NOT fire: same pairs as the dropping
+    // default (the contract queries ride this identity)
+    val mhFail = Dedup.minHashPairs(corpus, "doc_id", "text", 0.8, failOversized = true)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhDrop = Dedup.minHashPairs(corpus, "doc_id", "text", 0.8)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhFail === mhDrop && mhFail.contains((1000L, 1001L)))
   }
 
   test("band index upsert == rebuild on the union corpus; a cap-crossing merge fails loud") {
