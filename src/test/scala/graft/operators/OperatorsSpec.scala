@@ -1005,6 +1005,29 @@ class OperatorsSpec extends SparkSuite {
       Similarity.semIndexUpsert(
         capped, delta, "vec_id", "embedding", 2L, planes, maxBucket = 1))
     assert(messages(e2).exists(_.contains("re-cluster")), messages(e2).mkString(" | "))
+
+    // PUBLISH-time drop => probe MISS: a cell past the cap never becomes
+    // a key, so a delta probing it finds no candidates — exactly what the
+    // pipeline_semdedup_index oracle's `cok` HAVING replays (validated
+    // against DuckDB on an oversized synthetic cell, BASELINE r11).
+    // Deterministic mini-corpus: identical vectors land ONE cell with 6
+    // members (> cap 4 => dropped whole); the same probe against an
+    // uncapped publish finds every pair, proving the emptiness comes
+    // from the drop, not a broken probe.
+    val oneCellCorpus = (1 to 6).map(i => (100L + i, Array.fill(8)(0.7f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val oneCellDelta = Seq((10L, Array.fill(8)(0.7f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val dropAll = graft.store.DomainStore.create(scratch("sem-ix/drop"), spec, conf)
+    dropAll.write(
+      Similarity.semIndexKv(oneCellCorpus, "vec_id", "embedding", planes, maxBucket = 4), 1L)
+    assert(Similarity.semDedupAgainstIndex(
+      dropAll, oneCellDelta, oneCellCorpus, "vec_id", "embedding", t, planes).count() === 0L)
+    val keepAll = graft.store.DomainStore.create(scratch("sem-ix/keep"), spec, conf)
+    keepAll.write(
+      Similarity.semIndexKv(oneCellCorpus, "vec_id", "embedding", planes), 1L)
+    assert(Similarity.semDedupAgainstIndex(
+      keepAll, oneCellDelta, oneCellCorpus, "vec_id", "embedding", t, planes).count() === 6L)
   }
 
   test("index type markers: cross-type upserts and probes fail loud, never pollute") {
