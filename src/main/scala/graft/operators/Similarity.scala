@@ -1381,19 +1381,47 @@ object Similarity {
     val p = prepared(df, idCol, vecCol)
     val dimRow = p.select(size(col("vec"))).head(1)
     if (dimRow.isEmpty) return df.select(col(idCol).as("id"), lit(-1L).as("cell"))
-    val b = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
-      .select(col("id"), col("vec"), col("norm"), col("bucket").as("cell"))
-    val dropped = b.as("x")
-      .join(b.as("y"),
-        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
-          dot(col("x.vec"), col("y.vec")) / (col("x.norm") * col("y.norm")) >= threshold)
-      .select(col("y.id").as("id")).distinct()
+    val b = cellsOf(p, planes, dimRow(0).getInt(0))
     val unclustered = df.select(col(idCol).as("id"))
       .join(p.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cell", lit(-1L))
     b.select(col("id"), col("cell"))
-      .join(dropped, Seq("id"), "left_anti")
+      .join(droppedOf(b, threshold), Seq("id"), "left_anti")
       .unionByName(unclustered)
+  }
+
+  /** The (id, vec, norm, cell) frame [[semanticDedup]] clusters. */
+  private def cellsOf(p: DataFrame, planes: Int, dim: Int): DataFrame =
+    lshBuckets(p, 1, planes, dim)
+      .select(col("id"), col("vec"), col("norm"), col("bucket").as("cell"))
+
+  /** The in-cell dominated-by-smaller-id drop decision over [[cellsOf]]'s
+    * frame — ids only. */
+  private def droppedOf(b: DataFrame, threshold: Double): DataFrame =
+    b.as("x")
+      .join(b.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
+          dot(col("x.vec"), col("y.vec")) / (col("x.norm") * col("y.norm")) >= threshold)
+      .select(col("y.id").as("id")).distinct()
+
+  /** JUST the ids [[semanticDedup]] would drop — the small side of the
+    * decision (duplicates are a sliver of any sane corpus, where the
+    * keep set is corpus-sized). Compositions that only need to FILTER
+    * the corpus anti-join this instead of semi-joining the keeps: the
+    * drop set broadcasts (AQE) and the corpus payload never shuffles
+    * for the filter (the pipeline_data_prune shape — its oracle's
+    * `surv` CTE is literally this anti-join). Zero-norm/null vectors
+    * are never dropped, exactly as in [[semanticDedup]]. */
+  def semanticDropSet(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 8): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val dimRow = p.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty) return p.select(col("id")).limit(0)
+    droppedOf(cellsOf(p, planes, dimRow(0).getInt(0)), threshold)
   }
 
   /**

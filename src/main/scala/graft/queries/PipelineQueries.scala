@@ -187,15 +187,21 @@ object PipelineQueries {
 
   /** The composed D4 recipe on any (vec_id, embedding, ...) frame —
     * shared by the contract query and the PlanShapeSpec exchange pin.
-    * Survivors travel as IDS ONLY into the semi-join (vectors re-read
-    * from the input, never shuffled with the drop-set), then the pruning
-    * stage's own partial-agg sketch layout takes over. */
+    * The dedup stage contributes only its DROP SET (ids of dominated
+    * near-dups — a sliver of the corpus), anti-joined against the
+    * input: the small side broadcasts (AQE), so the corpus payload
+    * never shuffles for the filter and its one big exchange is the
+    * pruning stage's own partial-agg sketch. The semi-join-on-keeps
+    * formulation would instead co-shuffle the full embedding payload
+    * against a corpus-sized id set — at 100 TB that is an extra
+    * full-data exchange for the same answer. The oracle's `surv` CTE
+    * is literally this anti-join. */
   def dataPrune(emb: DataFrame): DataFrame = {
-    val survivors = Similarity.semanticDedup(
+    val dropped = Similarity.semanticDropSet(
         emb, "vec_id", "embedding",
         DedupQueries.CosineThreshold, DedupQueries.SemPlanes)
       .select(col("id").as("vec_id"))
-    val kept = emb.join(survivors, Seq("vec_id"), "left_semi")
+    val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
     Similarity.prototypePruning(
         kept, "vec_id", "embedding",
         planes = SimQueries.ProtoPlanes,
