@@ -37,19 +37,25 @@ object PipelineQueries {
       val gated = corpus.where(
         TextAnalysis.wsTokenCount(col("text")) >= MinTokens &&
           TextAnalysis.langScore(col("text"), "en") > 0)
-      // decontamination gate: ids of clean docs only
-      val clean = TextAnalysis.decontaminate(gated, bench, "doc_id", "text", DecontamN)
-        .where(col("contaminated") === 0)
+      // decontamination gate by the SMALL side: contaminated ids are a
+      // sliver of the corpus (clean ids are corpus-sized), so the
+      // anti-join broadcasts and the text payload never shuffles for
+      // this filter — the dataPrune drop-set rule
+      val contaminated = TextAnalysis.decontaminate(gated, bench, "doc_id", "text", DecontamN)
+        .where(col("contaminated") === 1)
         .select("doc_id")
-      val surviving = gated.join(clean, "doc_id")
+      val surviving = gated.join(contaminated, Seq("doc_id"), "left_anti")
       // dedup decision: keep the min-id representative of each normalized
-      // text among survivors
+      // text among survivors. The rep id set is corpus-sized (both join
+      // sides big), so project the output columns FIRST — the exchange
+      // moves two longs per row, never the text
       val reps = Dedup.exact(surviving, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      surviving.join(reps, "doc_id")
+      surviving
         .select(
           col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(reps, "doc_id")
     },
     // The back half of the recipe: token-budget source mixing → seed-keyed
     // epoch shuffle of the kept docs → sequence packing in SHUFFLED order
@@ -62,9 +68,13 @@ object PipelineQueries {
       val kept = Sampling.tokenBudgetMix(
         docs, "doc_id", "source", col("n_chars"), MixWeights, MixBudget)
       val pos = Sampling.globalShuffle(kept.select(col("doc_id")), "doc_id", ShuffleSeed)
-      val ordered = kept.select(col("doc_id"), col("text")).join(pos, "doc_id")
-      Packing.chunkSpans(
-        ordered, "pos", TextAnalysis.wsTokenCount(col("text")), PackBudget)
+      // token counts projected BEFORE the position join: both sides are
+      // corpus-sized (every kept doc has a position), so the exchange
+      // must move two longs per row, never the text payload
+      val ordered = kept
+        .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"))
+        .join(pos, "doc_id")
+      Packing.chunkSpans(ordered, "pos", col("nt"), PackBudget)
         .join(pos, "pos")
         .select(col("doc_id"), col("pos"), col("n_tokens"),
           col("first_chunk"), col("last_chunk"))
