@@ -562,11 +562,11 @@ object PipelineQueries {
     "pipeline_semdedup_index" ->
       s"""WITH pl(tbl, bit, p) AS (VALUES
          |${SimQueries.planesValues(1, DedupQueries.SemPlanes)}),
-         |ef AS (
+         |ef AS MATERIALIZED (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings
          |  WHERE sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0),
-         |cells AS (
+         |cells AS MATERIALIZED (
          |  SELECT vec_id,
          |    CAST(sum(CASE WHEN list_inner_product(ef.v, pl.p) > 0
          |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell

@@ -273,10 +273,11 @@ class PlanShapeSpec extends SparkSuite {
 
     // the composed D4 recipe (pipeline_data_prune): the semantic-dedup
     // drop-set dedup exchange (keyed exactly {id}) must move ids alone —
-    // an embedding smuggled into the drop set re-widens the one exchange
-    // whose row count is corpus-scale. (The survivor semi-join's vec_id
-    // exchange legitimately carries the vectors ONCE into the pruning
-    // stage; it is keyed {vec_id}, so the {id} filter isolates the pin.)
+    // an embedding smuggled into the drop set re-widens the exchange AND
+    // un-broadcasts the drop-set anti-join that keeps the corpus payload
+    // from shuffling for the filter (the corpus's only big exchange is
+    // the pruning stage's own partial-agg sketch, keyed {cell}, so the
+    // {id} filter isolates the pin).
     val embCorpus = (0 until 200).map(i =>
       (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
     dedupExchangesHaveNoArrays(
