@@ -114,6 +114,27 @@ object DebugShardScale {
     val c3 = timeIt("count after upsert+delete") { store.count(spark) }
     require(c3 == keysN + 1000L - 100L, s"final count: $c3 != ${keysN + 900L}")
 
+    // SERVING half of the regime: a Spark-free reader over the same
+    // domain. Open = one listStatus snapshot (never per-shard probes);
+    // lookups open one fd per TOUCHED shard, cached for the generation —
+    // the full-domain single-process reader is the AUDIT shape only (a
+    // real 64k deployment rings subsets across hosts; uniform traffic
+    // here would eventually cache one handle per shard, which is exactly
+    // the per-box fd budget the ring bounds).
+    val reader = timeIt("reader open (snapshot listing)") {
+      graft.store.KvDomainReader.open(root, conf)
+    }
+    try {
+      def longBe(v: Long): Array[Byte] =
+        java.nio.ByteBuffer.allocate(8).putLong(v).array()
+      val probeKeys = (1000L until 2000L).map(longBe)
+      val cold = timeIt("reader multiGet 1k (cold fds)") { reader.multiGet(probeKeys) }
+      require(cold.count(_.isDefined) == 1000, "reader multiGet missed present keys")
+      timeIt("reader multiGet 1k (warm)") { reader.multiGet(probeKeys) }
+      val rc = timeIt("reader count (trailer tails)") { reader.count() }
+      require(rc == c3, s"reader count $rc != store count $c3")
+    } finally reader.close()
+
     // leave no half-million-file tree in target/
     rootPath.getFileSystem(conf).delete(rootPath, true)
     println(s"[shard-scale] all checks passed; domain deleted")

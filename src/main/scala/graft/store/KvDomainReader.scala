@@ -390,12 +390,30 @@ final class KvDomainReader private (
   /** Total pairs across the hosted shards — one trailer read per shard
     * file, opened and closed per probe: counting must NOT pin numShards
     * handles in the lookup cache (at 64k shards that is fd exhaustion for
-    * a call that only wants 20 bytes per file). */
+    * a call that only wants 20 bytes per file). Probes fan out over the
+    * shared bounded [[KvDomainReader.lookupPool]] (a serial loop was
+    * 22 s at 64k shards — 0.34 ms of open+tail-read+close per shard is
+    * invisible at 64 shards and an ops outage at 64k; r11 shard-scale
+    * audit). Absent shard dirs cost nothing (the generation snapshot
+    * answers them without I/O), and count() never runs ON the pool, so
+    * the no-deadlock argument is multiGet's own. */
   def count(): Long = withGen { g =>
-    (0 until numShards).iterator.map { s =>
-      if (!g.presentShards(s)) 0L
-      else KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName))
-    }.sum
+    val present = (0 until numShards).filter(g.presentShards)
+    if (present.length <= 1)
+      present.iterator
+        .map(s => KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName))).sum
+    else {
+      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Long]](present.length)
+      present.foreach { s =>
+        tasks.add(() => KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName)))
+      }
+      var total = 0L
+      KvDomainReader.lookupPool.invokeAll(tasks).forEach { f =>
+        try total += f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+      total
+    }
   }
 
   /** One bounded, globally key-ordered page (see
