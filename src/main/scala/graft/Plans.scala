@@ -92,6 +92,10 @@ object Plans {
     dump("ev_asof_join_bucketed (expect: big side shuffled once on (user,bucket); only the small summary re-shuffles for the carry join)") {
       queries.EventQueries.queries("ev_asof_join_bucketed")(spark, sfDir)
     }
+    dump("pipeline_data_prune (expect: drop-set BroadcastExchange into a LeftAnti join — " +
+      "the corpus payload's only hash exchange is the pruning partial-agg on cell)") {
+      queries.PipelineQueries.dataPrune(Fixtures.table(spark, sfDir, "embeddings"))
+    }
     dump("domain build plan (expect: one Exchange + in-partition Sort)") {
       import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
       val kvDf = Fixtures.customerKv(spark, sfDir)
