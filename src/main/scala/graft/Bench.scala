@@ -158,11 +158,22 @@ object Bench {
     val failed = results.collect { case (n, (_, false)) => n }
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
     def num(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + num(v) }
+    // Query names are code-controlled identifiers today, but these lines
+    // are the artifacts built to SURVIVE truncation — a name carrying a
+    // quote/backslash/control char must not be the thing that makes
+    // them unparseable (ADVICE r11).
+    def jstr(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }.mkString("\"", "", "\"")
+    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val failuresField =
       if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failures":[""", ",", "]")
+      else failed.map(jstr).mkString(""","failures":[""", ",", "]")
     // "total" = sum of per-query best-of-two (not the wall-clock of either
     // pass — per_pass_total carries those); queries with no successful
     // pass are excluded (their timing measures a crash, not the work).
@@ -173,7 +184,7 @@ object Bench {
     // a speedup without noticing the query count dropped.
     val subField =
       if (subMetrics.isEmpty) ""
-      else subMetrics.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      else subMetrics.map { case (k, v) => jstr(k) + ":" + num(v) }
         .mkString(""","submetrics_method":"best_of_2","submetrics":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","method":"sum_of_best_of_2"""" +
@@ -201,9 +212,9 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n" + summary + "\n").getBytes("UTF-8"))
       val slowestFirst = results.sortBy { case (_, (v, _)) => -v }
-        .map { case (k, (v, _)) => "\"" + k + "\":" + num(v) }
+        .map { case (k, (v, _)) => jstr(k) + ":" + num(v) }
         .mkString("{", ",", "}")
-      val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failedArr = failed.map(jstr).mkString("[", ",", "]")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target/bench_queries.json"),
         (s"""{"failures":$failedArr,"queries":$slowestFirst}""" + "\n").getBytes("UTF-8"))

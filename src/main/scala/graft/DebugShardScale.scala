@@ -133,6 +133,26 @@ object DebugShardScale {
       timeIt("reader multiGet 1k (warm)") { reader.multiGet(probeKeys) }
       val rc = timeIt("reader count (trailer tails)") { reader.count() }
       require(rc == c3, s"reader count $rc != store count $c3")
+      // serving METADATA surface at the same regime: shardCounts backs the
+      // dashboard shard table and censusOf backs the wire META op — both
+      // must pool-fan like count() (r12 fix; the serial loop was ~22 s
+      // here), so their walls must sit in count()'s band, not 10× it
+      val sc = timeIt("reader shardCounts (pooled census)") { reader.shardCounts() }
+      require(sc.iterator.map(_._2).sum == c3,
+        s"shardCounts sum ${sc.iterator.map(_._2).sum} != count $c3")
+      val md = timeIt("reader metadata (wire META census)") { reader.metadata() }
+      require(md.shards.iterator.map(_.records).sum == c3,
+        s"metadata census sum != count $c3")
+      // store/serve census PARITY: the Spark-side shardStats and the
+      // serving reader's census must agree per shard, exactly
+      val storeRows = store.shardStats(spark)
+        .select(col("shard"), col("n_rows")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      sc.foreach { case (s, n, _) =>
+        require(storeRows.getOrElse(s, 0L) == n,
+          s"census parity: shard $s store=${storeRows.getOrElse(s, 0L)} serve=$n")
+      }
+      println(s"[shard-scale]   store/serve census parity: ${sc.length} shards agree")
     } finally reader.close()
 
     // leave no half-million-file tree in target/

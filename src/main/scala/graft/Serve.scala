@@ -47,6 +47,17 @@ object Serve {
     * missed. */
   val FormatRecheckSweeps: Int = 20
 
+  /** Parse a log-once notice key back to its domain name. Keys are
+    * '<kind>:<name>' (no kind contains ':', and names are Hadoop Path
+    * components so never contain ':'). The shape is ENFORCED, not
+    * assumed: a colon-free key would otherwise parse as all-name and be
+    * healed by an unrelated domain whose name equals the key. */
+  private[graft] def noticeName(k: String): String = {
+    val i = k.lastIndexOf(':')
+    require(i >= 0, s"notice key '$k' is not '<kind>:<name>'")
+    k.substring(i + 1)
+  }
+
   /** A started daemon: the bound server, its live readers, and the
     * updater thread. `close()` stops all three (readers included — the
     * handle owns them, unlike a bare KvServer). */
@@ -151,7 +162,7 @@ object Serve {
       val nameSet = names.toSet
       def retired(n: String) = !nameSet.contains(n) && !served.containsKey(n)
       knownFormat.keySet.removeIf(retired(_))
-      noticed.removeIf(k => retired(k.substring(k.lastIndexOf(':') + 1)))
+      noticed.removeIf(k => retired(Serve.noticeName(k)))
       names.foreach { name =>
         if (!stop.get() && !served.containsKey(name)) {
           try {
@@ -180,7 +191,7 @@ object Serve {
                   // the check above and the put
                   if (stop.get() && served.remove(name, r)) r.close()
                   else {
-                    noticed.removeIf(k => k.substring(k.lastIndexOf(':') + 1) == name)
+                    noticed.removeIf(k => Serve.noticeName(k) == name)
                     log(s"[serve] loaded $name at version ${r.servedVersion}")
                   }
                 }
@@ -302,7 +313,7 @@ object Serve {
                   // (true or false) — otherwise a transient outage would
                   // suppress logs for the next same-class outage forever
                   noticed.removeIf(k =>
-                    k.startsWith("refresh-") && k.substring(k.lastIndexOf(':') + 1) == name)
+                    k.startsWith("refresh-") && Serve.noticeName(k) == name)
                   if (swapped)
                     log(s"[serve] $name hot-swapped to version ${r.servedVersion}")
                   // post-swap disk GC (opt-in): keyed on the SERVED
@@ -489,8 +500,7 @@ object Serve {
                   // recovered from, and clearing it would re-log once per
                   // assignment flap.
                   noticed.removeIf(k =>
-                    !k.startsWith("noshards:") &&
-                      k.substring(k.lastIndexOf(':') + 1) == name)
+                    !k.startsWith("noshards:") && Serve.noticeName(k) == name)
                   if (delta.transferred.nonEmpty || delta.reused.nonEmpty)
                     try log(s"[serve] pulled $name v$v (" +
                       s"${delta.transferred.size} transferred, " +

@@ -97,11 +97,20 @@ object Search {
     * because EVERY record class goes through this one definition. */
   private def docIdLong(idCol: String): Column = {
     val c = col(idCol).cast("long")
+    // NULL ids get their own actionable message (ADVICE r11: under ANSI
+    // mode a malformed string fails the cast itself, so NULL input is
+    // the only way to reach this branch — and the aggregate guard's
+    // clearer 'drop or re-key' text never surfaced because this
+    // raise_error fired first on the same pass)
     when(c.isNull,
-      raise_error(concat(
-        lit("search index: doc id '"),
-        coalesce(col(idCol).cast("string"), lit("null")),
-        lit("' is not long-castable — index records key on a canonical long id"))))
+      raise_error(
+        when(col(idCol).isNull,
+          lit(s"search index: corpus has a NULL '$idCol' — a null doc id " +
+            "cannot key a d: record; drop or re-key the null-id rows"))
+          .otherwise(concat(
+            lit("search index: doc id '"),
+            col(idCol).cast("string"),
+            lit("' is not long-castable — index records key on a canonical long id")))))
       .otherwise(c)
   }
 

@@ -390,31 +390,12 @@ final class KvDomainReader private (
   /** Total pairs across the hosted shards — one trailer read per shard
     * file, opened and closed per probe: counting must NOT pin numShards
     * handles in the lookup cache (at 64k shards that is fd exhaustion for
-    * a call that only wants 20 bytes per file). Probes fan out over the
-    * shared bounded [[KvDomainReader.lookupPool]] (a serial loop was
-    * 22 s at 64k shards — 0.34 ms of open+tail-read+close per shard is
-    * invisible at 64 shards and an ops outage at 64k; r11 shard-scale
-    * audit). Absent shard dirs cost nothing (the generation snapshot
-    * answers them without I/O), and count() never runs ON the pool, so
-    * the no-deadlock argument is multiGet's own. */
-  def count(): Long = withGen { g =>
-    val present = (0 until numShards).filter(g.presentShards)
-    if (present.length <= 1)
-      present.iterator
-        .map(s => KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName))).sum
-    else {
-      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Long]](present.length)
-      present.foreach { s =>
-        tasks.add(() => KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName)))
-      }
-      var total = 0L
-      KvDomainReader.lookupPool.invokeAll(tasks).forEach { f =>
-        try total += f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      }
-      total
-    }
-  }
+    * a call that only wants 20 bytes per file). Expressed as the sum of
+    * the pooled [[censusOf]] so count/shardCounts/metadata can never
+    * count differently (the r11 count() fix stopped one method short:
+    * censusOf backed the wire META op and the dashboard shard table and
+    * stayed a ~22 s serial stall at 64Ki shards). */
+  def count(): Long = withGen(g => censusOf(g).iterator.map(_._2).sum)
 
   /** One bounded, globally key-ordered page (see
     * [[ServingReader.rangePage]]): a [[range]] cursor in globalOrder
@@ -497,18 +478,29 @@ final class KvDomainReader private (
     } finally cursor.close()
   }
 
-  /** Per-shard (shard, pairs, present) census over this reader's version
-    * — the dashboard's shard table. Same trailer-tail economics as
-    * [[count]]; `present = false` means no data file on this box (empty
-    * shard, or not localized here — indistinguishable by design). */
   /** One generation's trailer-tail shard census — the shared kernel of
-    * [[shardCounts]] and [[metadata]] (one definition: the two surfaces
-    * must never count differently). */
-  private def censusOf(g: Generation): Seq[(Int, Long, Boolean)] =
+    * [[count]], [[shardCounts]] and [[metadata]] (one definition: the
+    * three surfaces must never count differently). Present-shard trailer
+    * reads fan over the shared bounded pool via
+    * [[KvDomainReader.fanCounts]] — a serial loop here was the same
+    * 0.34 ms/shard class the r11 audit measured at ~22 s for 64Ki shards,
+    * and this method backs the wire META op (`metadata()`, KvServer op
+    * 10) and the dashboard shard table, so a page view must not stall
+    * the serving box. Absent shard dirs cost nothing (the generation
+    * snapshot answers them without I/O); `present = false` means no data
+    * file on this box (empty shard, or not localized here —
+    * indistinguishable by design). */
+  private def censusOf(g: Generation): Seq[(Int, Long, Boolean)] = {
+    val present = (0 until numShards).filter(g.presentShards) // ascending
+    val counts = KvDomainReader.fanCounts(
+      fs, present.map(s => new Path(g.shardDir(s), KvFile.DataFileName)))
+    var pi = 0
     (0 until numShards).map { s =>
-      if (!g.presentShards(s)) (s, 0L, false)
-      else (s, KvFile.count(fs, new Path(g.shardDir(s), KvFile.DataFileName)), true)
+      if (pi < present.length && present(pi) == s) {
+        val t = (s, counts(pi), true); pi += 1; t
+      } else (s, 0L, false)
     }
+  }
 
   def shardCounts(): Seq[(Int, Long, Boolean)] = withGen(censusOf)
 
@@ -554,15 +546,59 @@ object KvDomainReader {
     * multiply. Tasks are pure positioned-read I/O with no inter-task
     * waits, so queueing excess groups behind the cap is safe (no
     * deadlock: multiGet itself never runs ON this pool). */
-  private[store] lazy val lookupPool: java.util.concurrent.ExecutorService = {
-    val n = math.max(4, Runtime.getRuntime.availableProcessors())
+  private[store] val lookupPoolThreads: Int =
+    math.max(4, Runtime.getRuntime.availableProcessors())
+
+  private[store] lazy val lookupPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
-      n,
+      lookupPoolThreads,
       (r: Runnable) => {
         val t = new Thread(r, "graft-kv-lookup")
         t.setDaemon(true)
         t
       })
+
+  /** Fan one trailer-tail `KvFile.count` per file over the shared
+    * [[lookupPool]] and return the counts aligned with `files`. Two
+    * deliberate differences from a bare `invokeAll` (a census sweep can
+    * be 64Ki tasks — metadata must not starve the serving path):
+    *  - in-flight submissions are CAPPED below the pool size, so
+    *    concurrent multiGet shard groups always find free threads
+    *    instead of queueing behind the whole sweep (head-of-line);
+    *  - completions drain through a CompletionService so the first
+    *    failed shard read rethrows IMMEDIATELY (not after the remaining
+    *    tens of thousands of tasks finish), with the not-yet-started
+    *    remainder cancelled.
+    * Tasks are pure open+tail-read+close I/O and this method never runs
+    * ON the pool, so the no-deadlock argument is multiGet's own. */
+  private[store] def fanCounts(
+      fs: FileSystem, files: IndexedSeq[Path]): IndexedSeq[Long] = {
+    if (files.length <= 1) files.map(p => KvFile.count(fs, p))
+    else {
+      val ecs = new java.util.concurrent.ExecutorCompletionService[(Int, Long)](lookupPool)
+      val out = new Array[Long](files.length)
+      // leave headroom: a census may be 64k tasks, lookups must not wait
+      val inFlightCap = math.max(2, lookupPoolThreads - 2)
+      val pending = new java.util.ArrayList[java.util.concurrent.Future[(Int, Long)]]()
+      var submitted = 0
+      var completed = 0
+      var failure: Throwable = null
+      try {
+        while (completed < files.length && failure == null) {
+          while (submitted < files.length && submitted - completed < inFlightCap) {
+            val i = submitted
+            pending.add(ecs.submit(() => (i, KvFile.count(fs, files(i)))))
+            submitted += 1
+          }
+          val f = ecs.take()
+          completed += 1
+          try { val (i, n) = f.get(); out(i) = n }
+          catch { case e: java.util.concurrent.ExecutionException => failure = e.getCause }
+        }
+      } finally if (failure != null) pending.forEach(_.cancel(false))
+      if (failure != null) throw failure
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
   }
 
   /** Streaming cursor over a key range (see [[KvDomainReader.range]]).

@@ -276,13 +276,15 @@ class SearchSpec extends SparkSuite {
       Search.positionalIndexKv(badIds, "doc_id", "text").collect()
     }
     assert(failsLoud(e6), msgs(e6))
-    // NULL ids take the guard's raise_error on any session
+    // NULL ids take the guard's raise_error on any session, with the
+    // null-specific actionable message (ADVICE r11)
     val nullIds = Seq((java.lang.Long.valueOf(5L), "ok"), (null.asInstanceOf[java.lang.Long], "bad"))
       .toDF("doc_id", "text")
     val e7 = intercept[Exception] {
       Search.invertedIndexKv(nullIds, "doc_id", "text").collect()
     }
-    assert(msgs(e7).contains("not long-castable"), msgs(e7))
+    assert(msgs(e7).contains("NULL 'doc_id'") &&
+      msgs(e7).contains("drop or re-key"), msgs(e7))
     // distinct raw ids that collide under the long cast ('007' vs '7')
     // would silently fuse into one doc — the build-time distinct-count
     // guard must fail loud instead, naming the collision

@@ -133,6 +133,15 @@ class MetadataScaleSpec extends SparkSuite {
       }
       // replication 2 over 64 hosts: h7's subset holds ~2/64 of all rows
       assert(subsetRows > 0L && subsetRows < rows.toLong / 8)
+      // census surfaces (dashboard shardCounts, wire META) share count()'s
+      // pooled kernel — they must agree with it and with each other, and
+      // present shards must all lie inside the host's ring subset
+      val census = timed("serving shardCounts (pooled census)")(reader.shardCounts())
+      assert(census.iterator.map(_._2).sum === subsetRows)
+      val present = census.collect { case (s, c, true) => s -> c }.toMap
+      assert(present.keySet.subsetOf(mine))
+      val meta = timed("serving metadata (wire META census)")(reader.metadata())
+      assert(meta.shards.map(si => si.shard -> si.records).toMap === present)
     } finally reader.close()
   }
 }
