@@ -114,6 +114,29 @@ object DebugShardScale {
     val c3 = timeIt("count after upsert+delete") { store.count(spark) }
     require(c3 == keysN + 1000L - 100L, s"final count: $c3 != ${keysN + 900L}")
 
+    // MANIFEST-LINKED publishes at the same regime (r12 task 2): the
+    // copy-forward publishes above pay O(domain) raw copies per publish
+    // (~64.5k untouched dirs — the r11 audit measured ~140 s); the
+    // linked twins below must be O(delta) — only the affected shards are
+    // written, the rest become `_links.json` entries. Same delta sizes
+    // so the walls are directly comparable.
+    timeIt("LINKED upsert publish (1k keys)") {
+      store.upsert(spark,
+        kvOf(spark.range(keysN + 1000L, keysN + 2000L).toDF("id")), v0 + 3, linked = true)
+    }
+    timeIt("LINKED delete publish (100 keys)") {
+      store.delete(spark,
+        spark.range(100, 200).select(graft.functions.long_be(col("id")).as("key")),
+        v0 + 4, linked = true)
+    }
+    val c4 = timeIt("count after linked publishes") { store.count(spark) }
+    require(c4 == keysN + 2000L - 200L, s"linked count: $c4 != ${keysN + 1800L}")
+    // link-aware GC: keep-newest-2 must also keep every origin the kept
+    // manifests reference — the domain stays fully readable after the sweep
+    timeIt("cleanup(keep=2, link-aware)") { store.versions.cleanup(2) }
+    val c5 = timeIt("count after GC") { store.count(spark) }
+    require(c5 == c4, s"count after link-aware GC: $c5 != $c4")
+
     // SERVING half of the regime: a Spark-free reader over the same
     // domain. Open = one listStatus snapshot (never per-shard probes);
     // lookups open one fd per TOUCHED shard, cached for the generation —
@@ -131,18 +154,20 @@ object DebugShardScale {
       val cold = timeIt("reader multiGet 1k (cold fds)") { reader.multiGet(probeKeys) }
       require(cold.count(_.isDefined) == 1000, "reader multiGet missed present keys")
       timeIt("reader multiGet 1k (warm)") { reader.multiGet(probeKeys) }
+      // the reader now serves the LINKED head version: every serving
+      // surface below also audits link resolution at this shard count
       val rc = timeIt("reader count (trailer tails)") { reader.count() }
-      require(rc == c3, s"reader count $rc != store count $c3")
+      require(rc == c4, s"reader count $rc != store count $c4")
       // serving METADATA surface at the same regime: shardCounts backs the
       // dashboard shard table and censusOf backs the wire META op — both
       // must pool-fan like count() (r12 fix; the serial loop was ~22 s
       // here), so their walls must sit in count()'s band, not 10× it
       val sc = timeIt("reader shardCounts (pooled census)") { reader.shardCounts() }
-      require(sc.iterator.map(_._2).sum == c3,
-        s"shardCounts sum ${sc.iterator.map(_._2).sum} != count $c3")
+      require(sc.iterator.map(_._2).sum == c4,
+        s"shardCounts sum ${sc.iterator.map(_._2).sum} != count $c4")
       val md = timeIt("reader metadata (wire META census)") { reader.metadata() }
-      require(md.shards.iterator.map(_.records).sum == c3,
-        s"metadata census sum != count $c3")
+      require(md.shards.iterator.map(_.records).sum == c4,
+        s"metadata census sum != count $c4")
       // store/serve census PARITY: the Spark-side shardStats and the
       // serving reader's census must agree per shard, exactly
       val storeRows = store.shardStats(spark)

@@ -35,9 +35,11 @@ case class DomainSpec(
 
   def validate(): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    require(
-      DomainSpec.KnownSchemes.contains(shardScheme),
-      s"unknown shardScheme '$shardScheme' (known: ${DomainSpec.KnownSchemes.mkString(", ")})")
+    // scheme-registry seam (reference DomainSpec.java:46-52 loads any
+    // shardingScheme class by name): "hash-mod" or a resolvable
+    // graft.core.ShardScheme class name — a foreign/typo'd scheme fails
+    // HERE, at spec load, never by mis-routing keys.
+    ShardScheme.forName(shardScheme)
     require(
       DomainSpec.KnownFormats.contains(persistenceFormat),
       s"unknown persistenceFormat '$persistenceFormat' (known: ${DomainSpec.KnownFormats.mkString(", ")})")

@@ -521,6 +521,94 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Span-level duplicate-text REMOVAL — the cut step of Lee et al. 2022
+   * ("Deduplicating Training Data Makes Language Models Better", the half
+   * [[sharedSubstringPairs]] doesn't do): where the detector only LISTS
+   * documents sharing a verbatim >= `minLen`-codepoint run, this produces
+   * the CLEANED corpus — every anchored duplicate span is kept in exactly
+   * ONE place (the lexicographically first (id, position) occurrence:
+   * keep-first by doc id, then by position) and excised, codepoint-
+   * exactly, everywhere else.
+   *
+   * Shares the detector's anchoring verbatim (same kernel, same
+   * fingerprint definition — the two operators cannot drift): a CUT SITE
+   * is any anchored occurrence (id, pos) of a fingerprint that is not
+   * that fingerprint's keeper. Per document the sites excise as intervals
+   * `[pos, pos + minLen)` over the ORIGINAL codepoint positions in one
+   * left-to-right fold, overlaps coalescing naturally — consecutive
+   * anchors inside one long shared run chain their intervals, so the run
+   * is removed end to end, not just its first minLen chars.
+   *
+   * Distributed shape: NO self-join anywhere — unlike pair listing, the
+   * cut decision is a per-fingerprint MIN (one aggregation), so no
+   * hot-bucket cap is needed and corpus-wide boilerplate costs one row
+   * per occurrence, linear at any corpus size (the pair listing's
+   * B²/2 blow-up class cannot occur). Exchanges carry (id, pos, fp)
+   * anchor rows and per-doc position lists only; document text
+   * re-attaches once, by id. The excision fold is per-row compute,
+   * O(sites × output) string assembly — content-proportional,
+   * shuffle-free.
+   *
+   * Deterministic and SQL-replayable end to end (anchor rule = the
+   * detector's mod-p rolling fold, keeper = min, excision = substring
+   * arithmetic), so the contract oracle hash-checks the full cleaned
+   * text. One pass removes every anchored occurrence found in the
+   * ORIGINAL corpus; as in Lee et al., an excision can join previously-
+   * distant text, so two non-keeper documents cut identically may (in
+   * principle) expose new shared windows across a cut boundary — iterate
+   * to a fixpoint if the corpus demands it (OperatorsSpec pins one-pass
+   * convergence on the detector's own target class).
+   *
+   * Output: one row per input document — (idCol, n_cuts, textCol), the
+   * cleaned text under the original column name; untouched documents
+   * pass through verbatim with n_cuts = 0.
+   */
+  def removeSharedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    require(window >= 1 && window <= minLen,
+      s"anchor window $window must be in [1, minLen=$minLen]")
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    // the detector's exact fingerprint rows, with the anchor POSITION kept
+    val occ = base
+      .where(length(col("t")) >= minLen)
+      .select(col("id"), col("t"),
+        explode(graft.functions.anchor_positions(col("t"), window, modulus)).as("pos"))
+      .where(col("pos") <= length(col("t")) - (minLen - 1))
+      .select(col("id"), col("pos"), md5(expr(s"substring(t, pos, $minLen)")).as("fp"))
+    // keeper of a fingerprint = its first occurrence in (id, pos) order;
+    // a fingerprint occurring once is its own keeper and cuts nothing
+    val keeper = occ.groupBy("fp").agg(min(struct(col("id"), col("pos"))).as("k"))
+    val cuts = occ.join(keeper, Seq("fp"))
+      .where(col("id") =!= col("k.id") || col("pos") =!= col("k.pos"))
+      .select(col("id"), col("pos"))
+    val perDoc = cuts.groupBy("id")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    // One fold excises every interval [p, p + minLen): the accumulator is
+    // (output so far, first original position not yet consumed) — an
+    // already-consumed site contributes an empty slice and only pushes
+    // the consumption point, which IS interval coalescing.
+    val excised = expr(
+      s"""aggregate(
+         |  ps,
+         |  named_struct('o', '', 'd', 1),
+         |  (acc, p) -> named_struct(
+         |    'o', concat(acc.o, substring(t, acc.d, greatest(p - acc.d, 0))),
+         |    'd', greatest(acc.d, p + $minLen)),
+         |  acc -> concat(acc.o, substring(t, acc.d, length(t))))""".stripMargin)
+    base.join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(size(col("ps")), lit(0)).cast("long").as("n_cuts"),
+        when(col("ps").isNull, col("t")).otherwise(excised).as(textCol))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively
     * (O(N^2) — the audit/oracle twin of [[simHashPairsBanded]]). Enforced
     * audit bound: > `maxRows` sketches throws (see [[AuditBound]]). */

@@ -86,6 +86,17 @@ object DedupQueries {
         Fixtures.table(s, dir, "documents"), "doc_id", "text",
         minLen = SubstringMinLen, window = SubstringWindow, modulus = SubstringModulus)
     },
+    // The CUT step over the same anchored fingerprints (Lee et al. 2022's
+    // duplicate-span removal): every anchored duplicate span survives in
+    // exactly one place (first (id, pos) occurrence), excised codepoint-
+    // exactly everywhere else — the CLEANED corpus, hash-checked in full
+    // (the oracle replays anchoring, keeper choice, and the excision with
+    // substring arithmetic).
+    "dedup_span_cut" -> { (s, dir) =>
+      Dedup.removeSharedSpans(
+        Fixtures.table(s, dir, "documents"), "doc_id", "text",
+        minLen = SubstringMinLen, window = SubstringWindow, modulus = SubstringModulus)
+    },
     // SemDeDup (Abbas et al. 2023): the semantic KEEP decision — cells
     // from one seeded hyperplane table, and any row >= t-similar to a
     // smaller id in its cell is dropped. Deterministic planes make even
@@ -221,6 +232,49 @@ object DedupQueries {
         |ff AS (SELECT f.* FROM f JOIN fok USING (fp))
         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+    // Replays the full cut: the detector's anchor rule with positions
+    // kept, keeper = first (doc_id, pos) per fingerprint (row_number),
+    // then the excision as pure substring arithmetic — a character
+    // survives iff no cut interval [p, p+minLen) covers it. `cuts` is
+    // MATERIALIZED (referenced by the anti-join AND the per-doc count —
+    // default inlining would run the window function twice).
+    "dedup_span_cut" ->
+      s"""WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - ${SubstringMinLen - 1}, 0) + 1)) AS i
+        |  FROM documents WHERE length(text) >= $SubstringMinLen),
+        |anch AS (
+        |  SELECT doc_id, CAST(i AS INT) AS p,
+        |    md5(substr(text, CAST(i AS INT), $SubstringMinLen)) AS fp
+        |  FROM pos
+        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT) FOR c IN
+        |        list_filter(string_split(substr(text, CAST(i AS INT), $SubstringWindow), ''), x -> x != '')]),
+        |      (a, b) -> (a * 31 + b) % 1000000007) % $SubstringModulus = 0),
+        |ranked AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn
+        |  FROM anch),
+        |cuts AS MATERIALIZED (SELECT DISTINCT doc_id, p FROM ranked WHERE rn > 1),
+        |chars AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j
+        |  FROM documents WHERE length(text) > 0),
+        |kept AS (
+        |  SELECT c.doc_id, c.j, substr(c.text, CAST(c.j AS INT), 1) AS ch
+        |  FROM chars c
+        |  WHERE NOT EXISTS (SELECT 1 FROM cuts u
+        |    WHERE u.doc_id = c.doc_id
+        |      AND c.j >= u.p AND c.j < u.p + $SubstringMinLen)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(ch, '' ORDER BY j) AS t
+        |  FROM kept GROUP BY doc_id),
+        |nc AS (SELECT doc_id, count(*) AS n FROM cuts GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cuts,
+        |  coalesce(cl.t, '') AS text
+        |FROM documents d
+        |LEFT JOIN clean cl USING (doc_id)
+        |LEFT JOIN nc USING (doc_id)""".stripMargin,
     // SemDeDup replay: the single-table cell assignment from the same
     // interpolated planes, in-cell dominated-by-smaller-id drops, then
     // the anti-join — semanticDedup step for step. The CTE chain is

@@ -123,6 +123,27 @@ object Fixtures {
       store.upsert(s, delta, newVersion = 2L)
     }
 
+  /** MANIFEST-LINKED publish chain on the servable kv format: v1 = full
+    * build (names), v2 = linked upsert (mktsegment for custkey % 3 == 0),
+    * v3 = linked delete (custkey % 10 == 0). Untouched shards are
+    * RECORDED (`_links.json`) instead of copied — the O(delta) publish
+    * mode for the 64k-shard regime; reads resolve links transparently. */
+  def customerLinkedDomain(spark: SparkSession, sfDir: String): DomainStore =
+    domain(spark, sfDir, "customer-linked",
+      DomainSpec(numShards = 8, persistenceFormat = DomainSpec.KvSorted)) { (store, s) =>
+      store.write(customerKv(s, sfDir), version = 1L)
+      val delta = table(s, sfDir, "customer")
+        .where(col("c_custkey") % 3 === 0)
+        .select(
+          long_be(col("c_custkey")).as("key"),
+          utf8_bytes(col("c_mktsegment")).as("value"))
+      store.upsert(s, delta, newVersion = 2L, linked = true)
+      val doomed = table(s, sfDir, "customer")
+        .where(col("c_custkey") % 10 === 0)
+        .select(long_be(col("c_custkey")).as("key"))
+      store.delete(s, doomed, newVersion = 3L, linked = true)
+    }
+
   /** v1 = names for all keys; v2 = DELETE of custkey % 10 == 0 (takedown
     * publish — named keys absent, untouched shards copy-forward). */
   def customerDeleteDomain(spark: SparkSession, sfDir: String): DomainStore =

@@ -245,6 +245,18 @@ object KvQueries {
           be_long(col("key")).as("c_custkey"),
           bytes_utf8(col("value")).as("v"))
     },
+    // Manifest-linked publish (VERDICT r11 task 2): a linked upsert + a
+    // linked delete record untouched shards as shard->origin links
+    // instead of copying their dirs (O(delta) publish at 64k shards).
+    // The read goes through the layout-reporting DSv2 scan, whose input
+    // partitions resolve the links at planning — content must be
+    // indistinguishable from the copy-forward twin.
+    "kv_linked_publish" -> { (s, dir) =>
+      Fixtures.customerLinkedDomain(s, dir).readPartitioned(s)
+        .select(
+          be_long(col("key")).as("c_custkey"),
+          bytes_utf8(col("value")).as("v"))
+    },
     // V2/V4/Q10: reads resolve the newest *published* version at plan time.
     "kv_version_latest" -> { (s, dir) =>
       Fixtures.customerVersionedDomain(s, dir).read(s)
@@ -402,6 +414,10 @@ object KvQueries {
         """SELECT c_custkey,
           |  CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_name END AS v
           |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+      "kv_linked_publish" ->
+        """SELECT c_custkey,
+          |  CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment ELSE c_name END AS v
+          |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin,
       "kv_version_latest" ->
         "SELECT c_custkey, c_mktsegment AS v FROM customer",
       // Replicates new BigInteger(md5(key)).mod(n) — the 16 md5 bytes as a

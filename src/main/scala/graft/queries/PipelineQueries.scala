@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.DomainSpec
-import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /**
  * The end-to-end composition check: a realistic training-corpus
@@ -21,6 +21,11 @@ object PipelineQueries {
 
   val MinTokens = 20
   val DeltaMod = 10
+  // pipeline_media_filter's quality gates: minimum pixel area and minimum
+  // mean byte value (byte_sum >= area * MinMeanByte). Both replayed in
+  // closed form by the oracle over the synthetic pixel formula.
+  val MediaMinArea = 64
+  val MediaMinMeanByte = 110
   // pipeline_semdedup_index's verify threshold: LOWER than
   // dedup_semantic's 0.44 on purpose — the synthetic embeddings carry
   // few >= 0.44 delta-corpus pairs (5 at sf0.01), and a contract query
@@ -109,6 +114,33 @@ object PipelineQueries {
     "pipeline_image_index" -> { (s, dir) =>
       imageIndexStore(s, dir)
       imageIndexProbe(s, dir)
+    },
+    // The composed IMAGE filter recipe — the multimodal twin of
+    // pipeline_corpus_filter (VERDICT r11 task 5): decode → quality gate
+    // (per-row column math, no shuffle) → perceptual near-dup DROP
+    // (keep-min-id: any image within hamming <= 3 of a smaller id goes;
+    // banding makes that exact) → kept census. The drop set is pair-
+    // sized ≪ corpus, so it broadcasts into a left-anti and the decoded
+    // features never shuffle for the drop — the dataPrune drop-set rule.
+    // Pins the id plumbing across decodeImages → imageHashes →
+    // phashNearDupPairs → keep rule, which no single mm_* query composes.
+    "pipeline_media_filter" -> { (s, dir) =>
+      val media = Multimodal.synthImageMedia(
+        s, Fixtures.table(s, dir, "documents").select(col("doc_id")))
+      val feats = Multimodal.decodeImages(s, media).toDF()
+      val gated = feats.where(
+        col("width") * col("height") >= MediaMinArea &&
+          col("byte_sum") >= col("width").cast("long") * col("height") * MediaMinMeanByte)
+      val dropped = Multimodal.phashNearDupPairs(
+          s,
+          Multimodal.imageHashes(s, media).toDF().select(col("media_id"), col("phash")),
+          maxHamming = 3)
+        .select(col("id_b").as("media_id")).distinct()
+      gated.join(dropped, Seq("media_id"), "left_anti")
+        .select(
+          col("media_id"),
+          (col("width").cast("long") * col("height")).as("area"),
+          col("byte_sum"))
     },
     // The EMBEDDING twin of pipeline_dedup_index (SemDeDup served from a
     // published index): the corpus's seeded-hyperplane cells published
@@ -603,6 +635,27 @@ object PipelineQueries {
          |  WHERE a.media_id % $DeltaMod = 0 AND b2.media_id % $DeltaMod != 0)
          |SELECT delta_id, corpus_id, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
+    // The composed image filter replayed end to end: aHash + banding
+    // (the shared PhashBandCtes), the keep-min-id drop set (id_b of any
+    // hamming <= 3 pair), and the pixel-formula quality gates — one
+    // oracle pinning that decode, hashing, banding, and the drop rule
+    // COMPOSE on the same ids.
+    "pipeline_media_filter" ->
+      s"""WITH ${MmQueries.PhashBandCtes},
+         |dropped AS (SELECT DISTINCT b2.media_id
+         |  FROM bands a JOIN bands b2
+         |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.media_id < b2.media_id
+         |  WHERE bit_count(xor(a.phash, b2.phash)) <= 3),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+         |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         |feat AS (SELECT doc_id AS media_id, w, h,
+         |    CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS byte_sum
+         |  FROM px GROUP BY 1, 2, 3)
+         |SELECT f.media_id, CAST(f.w * f.h AS BIGINT) AS area, f.byte_sum
+         |FROM feat f
+         |WHERE f.w * f.h >= $MediaMinArea
+         |  AND f.byte_sum >= f.w * f.h * $MediaMinMeanByte
+         |  AND f.media_id NOT IN (SELECT media_id FROM dropped)""".stripMargin,
     // The serving path must be invisible in the result: publishing the
     // posting lists as a domain and probing them by point lookup has to
     // reproduce the direct fixed-quantizer IVF search EXACTLY — so the

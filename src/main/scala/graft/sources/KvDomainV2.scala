@@ -80,6 +80,24 @@ object KvDomainV2 {
   private[sources] def confFor(versionDir: String): Seq[(String, String)] =
     Option(confs.get(versionDir)).getOrElse(Seq.empty)
 
+  // Link-aware shard-dir overrides (manifest-linked publishes: an
+  // untouched shard's dir lives in an OLDER version dir). Registered by
+  // DomainStore.readPartitioned beside the conf; resolved at PLANNING on
+  // the driver and shipped to executors inside the input partitions, so
+  // the executor side never reads `_links.json`.
+  private val links =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
+
+  def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit =
+    links.put(versionDir, shardDirs)
+
+  private[sources] def shardDirFor(versionDir: String, shard: Int): String =
+    Option(links.get(versionDir)).flatMap(_.get(shard))
+      .getOrElse(s"$versionDir/shard=$shard")
+
+  private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] =
+    Option(links.get(versionDir)).getOrElse(Map.empty)
+
   /** The kv data-file suffix — ONE definition, derived from the format's
     * canonical file name so it cannot drift from [[KvFile]]. */
   private[sources] val Suffix: String =
@@ -333,13 +351,18 @@ class KvDomainAggScan(
       (if (byShard) " groupBy=shard" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(KvAggInputPartition(versionDir, numShards))
+    // linked shard dirs resolve at planning (driver registry) and ride
+    // the partition to the executor
+    Array(KvAggInputPartition(versionDir, numShards, KvDomainV2.linkedDirsFor(versionDir)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvAggReaderFactory(KvDomainV2.confFor(versionDir), byShard, funcs)
 }
 
-case class KvAggInputPartition(versionDir: String, numShards: Int) extends InputPartition
+case class KvAggInputPartition(
+    versionDir: String,
+    numShards: Int,
+    linkedDirs: Map[Int, String]) extends InputPartition
 
 case class KvAggReaderFactory(
     confEntries: Seq[(String, String)],
@@ -347,7 +370,7 @@ case class KvAggReaderFactory(
     funcs: Seq[KvAggFunc]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvAggInputPartition]
-    new KvAggPartitionReader(p.versionDir, p.numShards, confEntries, byShard, funcs)
+    new KvAggPartitionReader(p.versionDir, p.numShards, p.linkedDirs, confEntries, byShard, funcs)
   }
 }
 
@@ -358,6 +381,7 @@ case class KvAggReaderFactory(
 class KvAggPartitionReader(
     versionDir: String,
     numShards: Int,
+    linkedDirs: Map[Int, String],
     confEntries: Seq[(String, String)],
     byShard: Boolean,
     funcs: Seq[KvAggFunc]) extends PartitionReader[InternalRow] {
@@ -368,7 +392,7 @@ class KvAggPartitionReader(
     val conf = KvDomainV2.rebuild(confEntries)
     val needKeys = funcs.exists(f => f != KvAggFunc.CountAll)
     val perShard: Seq[ShardAgg] = (0 until numShards).flatMap { s =>
-      val d = new Path(s"$versionDir/shard=$s")
+      val d = new Path(linkedDirs.getOrElse(s, s"$versionDir/shard=$s"))
       val fs = d.getFileSystem(conf)
       if (!fs.exists(d)) None
       else {
@@ -473,7 +497,7 @@ class KvDomainScan(
       limit.fold("")(l => s" limit=$l")
 
   override def planInputPartitions(): Array[InputPartition] =
-    shards.map(s => KvShardInputPartition(s, s"$versionDir/shard=$s")).toArray
+    shards.map(s => KvShardInputPartition(s, KvDomainV2.shardDirFor(versionDir, s))).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvDomainReaderFactory(
@@ -522,7 +546,7 @@ class KvDomainScan(
     var bytes = 0L
     var rows = 0L
     shards.foreach { s =>
-      val d = new Path(s"$versionDir/shard=$s")
+      val d = new Path(KvDomainV2.shardDirFor(versionDir, s))
       val fs = d.getFileSystem(conf)
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         if (st.getPath.getName.endsWith(KvDomainV2.Suffix)) {

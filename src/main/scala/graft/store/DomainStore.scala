@@ -43,6 +43,64 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
   def numShards: Int = spec.numShards
 
+  // ------------------------------------------------- shard-dir resolution
+
+  /** Shard links of a version (see [[VersionedStore.readLinks]]): a
+    * manifest-linked publish records untouched shards as
+    * `shard -> physical-host version` instead of copying their dirs.
+    * Cached per version — published versions are immutable; the writer
+    * ([[writeLinksManifest]]) refreshes the entry so an in-build read
+    * (buildIndex over an unpublished version) can never see a stale
+    * pre-write cache. */
+  private val linksCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, Long]]()
+
+  private[store] def linksOf(version: Long): Map[Int, Long] =
+    linksCache.computeIfAbsent(
+      version,
+      v => VersionedStore.readLinks(root.getFileSystem(conf), versions.versionPath(v)))
+
+  /** THE shard-dir resolution seam: every read path (scans, lookups,
+    * audits, stats, transfers) locates shard `s` of `version` through
+    * here, so linked and physical shards are indistinguishable to
+    * consumers. One map probe on the copy-mode default. */
+  private[store] def shardDirOf(version: Long, s: Int): Path =
+    new Path(versions.versionPath(linksOf(version).getOrElse(s, version)), s"shard=$s")
+
+  private[store] def shardDirStrOf(version: Long, s: Int): String =
+    shardDirOf(version, s).toString
+
+  /** Write a version's shard-link manifest (linked publishes; the
+    * copy-mode default writes none — absent = no links). Loss of this
+    * file after publish is the same severity class as losing a shard dir
+    * itself (linked shards would read as empty); parse corruption fails
+    * loud at read ([[VersionedStore.readLinks]]). */
+  private def writeLinksManifest(version: Long, links: Map[Int, Long]): Unit = {
+    if (links.nonEmpty) {
+      val fs = root.getFileSystem(conf)
+      val out = fs.create(new Path(versions.versionPath(version), VersionedStore.LinksFileName), true)
+      try out.write(VersionedStore.linksToJson(links).getBytes("UTF-8"))
+      finally out.close()
+    }
+    linksCache.put(version, links)
+  }
+
+  /** Resolved sharding scheme (the registry seam — reference
+    * DomainSpec.java:46-52 loads any shardingScheme class by name): ONE
+    * instance per store; every routing site (write sharding, multiGet /
+    * get / lookupJoin routing, fsck's misroute audit, patch deltas) goes
+    * through [[routedShard]] / [[routeKey]] so a custom scheme can never
+    * half-apply. Resolution already validated by `spec.validate()`. */
+  private val scheme: graft.core.ShardScheme = graft.core.ShardScheme.forName(spec.shardScheme)
+  private val isHashMod: Boolean = scheme eq graft.core.ShardScheme.HashMod
+
+  /** The routing column of this domain's scheme. */
+  private def routedShard(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.core.ShardScheme.routingColumn(scheme, key, numShards)
+
+  /** Driver/serving-side routing of one key. */
+  private def routeKey(key: Array[Byte]): Int = scheme.shardIndex(key, numShards)
+
   /** Write-time index hook (reference Indexer SPI, W5), class-name-loaded
     * from the spec. Resolved eagerly so a typo'd class name fails at open
     * time, not mid-publish. */
@@ -217,7 +275,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     partitions match {
       case None =>
         // full build: exactly one task per shard (_pid = shard rank)
-        kv.withColumn("shard", shard_index(col("key"), numShards))
+        kv.withColumn("shard", routedShard(col("key")))
           .withColumn("_pid", DomainStore.shardToPartitionId(col("shard"), numShards))
           .repartition(numShards, col("_pid"))
           .sortWithinPartitions("shard", "key")
@@ -225,7 +283,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       case Some(p) =>
         // delta write: size the job to the delta — hash by shard VALUE
         // keeps each shard whole in one task at any partition count
-        kv.withColumn("shard", shard_index(col("key"), numShards))
+        kv.withColumn("shard", routedShard(col("key")))
           .repartition(math.max(1, p), col("shard"))
           .sortWithinPartitions("shard", "key")
     }
@@ -335,6 +393,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     require(versions.isPublished(version), s"version $version not published under $root")
     val vp = versions.versionPath(version).toString
     graft.sources.KvDomainV2.registerConf(vp, DomainStore.serializableConf(conf))
+    // link-aware shard-dir overrides, resolved here (driver) and captured
+    // by the scan at planning — executors never read the manifest
+    graft.sources.KvDomainV2.registerLinks(
+      vp, linksOf(version).map { case (s, o) => s -> shardDirStrOf(version, s) })
     spark.read
       .format(classOf[graft.sources.KvDomainTableProvider].getName)
       .option("path", vp)
@@ -354,25 +416,48 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     // metadata). ShardPruningRule locates the key's leaf relation and
     // pairs it with that same leaf's `shard` attribute to derive
     // `shard = shard_index(X)` from plain `key = X` filters.
-    val keyMeta = new org.apache.spark.sql.types.MetadataBuilder()
-      .putLong(graft.plans.ShardPruningRule.NumShardsKey, numShards.toLong)
-      .build()
+    // The pruning tag is HASH-MOD ONLY: ShardPruningRule derives
+    // `shard = shard_index(key)` (md5-mod) from key-equality filters, so
+    // tagging a custom-scheme domain would inject the WRONG routing and
+    // prune real rows away. Custom schemes still prune through multiGet's
+    // explicit routing; they just lose the plan-time rule.
+    val keyMeta =
+      if (!isHashMod) org.apache.spark.sql.types.Metadata.empty
+      else new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(graft.plans.ShardPruningRule.NumShardsKey, numShards.toLong)
+        .build()
     val schema = org.apache.spark.sql.types.StructType(
       DomainStore.DomainSchema.map {
         case f if f.name == "key" => f.copy(metadata = keyMeta)
         case f => f
       })
-    spark.read
+    def loadBase(basePath: Path, paths: Seq[String]): DataFrame = spark.read
       .format(format)
       // Explicit schema: no inference job, and a published-but-empty
       // version (legal: an empty initial build) reads as an empty
       // DataFrame instead of failing schema inference.
       .schema(schema)
-      .option("basePath", versions.versionPath(version).toString)
+      .option("basePath", basePath.toString)
       .options(fsOptions)
       // no cast on shard: the explicit schema already types the partition
       // column int, and a cast's Alias would strip the provenance tag
-      .load(versions.versionPath(version).toString)
+      .load(paths: _*)
+    val vp = versions.versionPath(version)
+    val links = linksOf(version)
+    if (links.isEmpty) loadBase(vp, Seq(vp.toString))
+    else {
+      // Linked shards live in older version dirs; basePath must be each
+      // group's OWN version dir so the `shard=<i>` partition column still
+      // derives from the dir names. One scan per distinct origin plus one
+      // for the local (rewritten) shards, unioned — partition pruning and
+      // the key-metadata pushdown apply per branch.
+      val local = loadBase(vp, Seq(vp.toString))
+      val originScans = links.groupBy(_._2).toSeq.sortBy(_._1).map { case (origin, ss) =>
+        val base = versions.versionPath(origin)
+        loadBase(base, ss.keys.toSeq.sorted.map(s => new Path(base, s"shard=$s").toString))
+      }
+      originScans.foldLeft(local)(_ unionByName _)
+    }
   }
 
   /** Distributed integrity audit — fsck for a domain version (newest by
@@ -489,10 +574,10 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * per-domain job. Above [[DomainStore.DefaultDistributeAbove]] shards,
     * use the distributed [[shardStats]] instead. */
   private[graft] def shardStatsLocal(): List[(Int, Long, Long)] = {
-    val base = versions.versionPath(latestVersion).toString
+    val version = latestVersion
     import scala.collection.parallel.CollectionConverters._
     (0 until numShards).par
-      .map(s => DomainStore.shardStatsOf(base, format, fileSuffix, s, conf))
+      .map(s => DomainStore.shardStatsOf(s, shardDirStrOf(version, s), format, fileSuffix, conf))
       .toList
   }
 
@@ -502,14 +587,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     import spark.implicits._
     val rows =
       if (numShards > distributeAbove) {
-        val base = versions.versionPath(latestVersion).toString
+        val version = latestVersion
         val confEntries = DomainStore.serializableConf(conf)
         val (fmt, suffix) = (format, fileSuffix)
-        spark.createDataset(0 until numShards)
+        spark.createDataset((0 until numShards).map(s => (s, shardDirStrOf(version, s))))
           .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
           .mapPartitions { it =>
             val c = DomainStore.rebuildConf(confEntries)
-            it.map(s => DomainStore.shardStatsOf(base, fmt, suffix, s, c))
+            it.map { case (s, dir) => DomainStore.shardStatsOf(s, dir, fmt, suffix, c) }
           }
       } else spark.createDataset(shardStatsLocal())
     rows.toDF("shard", "n_rows", "n_bytes")
@@ -523,19 +608,25 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val n = numShards
     if (isKv) {
       val confEntries = DomainStore.serializableConf(conf)
-      val base = versions.versionPath(version).toString
       val suffix = fileSuffix
-      spark.createDataset(0 until n)
+      val links = linksOf(version)
+      val sch = scheme // Serializable; the task closure must not drag the store
+      spark.createDataset((0 until n).map(s => (s, shardDirStrOf(version, s), links.contains(s))))
         .repartition(math.min(n, spark.sparkContext.defaultParallelism))
-        .map { s =>
+        .map { case (s, dir, isLinked) =>
           val c = DomainStore.rebuildConf(confEntries)
-          val d = new Path(base, s"shard=$s")
+          val d = new Path(dir)
           val fs = d.getFileSystem(c)
           var records = 0L
           var misrouted = 0L
           var sorted = true
           val corrupt = scala.collection.mutable.ArrayBuffer[String]()
-          DomainStore.shardFiles(fs, base, suffix, s)
+          // A LINKED shard's dir lives in an older version; its absence is
+          // never "legitimately empty" (the link manifest recorded data
+          // there) — it means the origin was reaped or lost: a finding.
+          if (isLinked && !fs.exists(d))
+            corrupt += s"$d: linked shard target missing (origin version reaped?)"
+          DomainStore.shardFiles(fs, d, suffix)
             .foreach { st =>
               // ONE combined sequential pass per file (auditPass): key
               // framing + routing/order checks + span-CRC verification
@@ -550,7 +641,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
                   var prev: Array[Byte] = null
                   corrupt ++= r.auditPass { k =>
                     records += 1
-                    if (graft.core.ShardIndex.shardIndex(k, n) != s) misrouted += 1
+                    if (sch.shardIndex(k, n) != s) misrouted += 1
                     if (prev != null && java.util.Arrays.compareUnsigned(prev, k) > 0)
                       sorted = false
                     prev = k
@@ -574,7 +665,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         .agg(
           org.apache.spark.sql.functions.count(lit(1)).as("n_records"),
           org.apache.spark.sql.functions.sum(
-            when(shard_index(col("key"), n) =!= col("shard"), 1L).otherwise(0L))
+            when(routedShard(col("key")) =!= col("shard"), 1L).otherwise(0L))
             .as("n_misrouted"))
       spark.range(n).select(col("id").cast("int").as("shard"))
         .join(perShard, Seq("shard"), "left")
@@ -597,14 +688,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     import spark.implicits._
     require(isKv, "integrityFindings: kv formats only")
     val confEntries = DomainStore.serializableConf(conf)
-    val base = versions.versionPath(version).toString
     val suffix = fileSuffix
-    spark.createDataset(0 until numShards)
+    spark.createDataset((0 until numShards).map(s => shardDirStrOf(version, s)))
       .repartition(math.min(numShards, spark.sparkContext.defaultParallelism))
-      .flatMap { s =>
+      .flatMap { dir =>
         val c = DomainStore.rebuildConf(confEntries)
-        val fs = new Path(base).getFileSystem(c)
-        DomainStore.shardFiles(fs, base, suffix, s).flatMap { st =>
+        val d = new Path(dir)
+        val fs = d.getFileSystem(c)
+        DomainStore.shardFiles(fs, d, suffix).flatMap { st =>
           val r = KvFile.open(fs, st.getPath)
           try r.verifyIntegrity().toSeq finally r.close()
         }
@@ -669,14 +760,16 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       keyRows: Array[(Array[Byte], Int)]): DataFrame = {
     import spark.implicits._
     val confEntries = DomainStore.serializableConf(conf)
-    val base = versions.versionPath(version).toString
-    val byShard: Seq[(Int, Array[Array[Byte]])] =
-      keyRows.groupBy(_._2).view.map { case (s, rs) => (s, rs.map(_._1)) }.toSeq
+    // per-shard dirs resolved on the driver (link-aware) and shipped AS
+    // THE DATASET ROWS — the closure stays link-agnostic and small
+    val byShard: Seq[(String, Array[Array[Byte]])] =
+      keyRows.groupBy(_._2).view
+        .map { case (s, rs) => (shardDirStrOf(version, s), rs.map(_._1)) }.toSeq
     spark.createDataset(byShard)
       .repartition(math.min(byShard.size, spark.sparkContext.defaultParallelism))
-      .flatMap { case (s, ks) =>
+      .flatMap { case (dir, ks) =>
         val c = DomainStore.rebuildConf(confEntries)
-        val file = new Path(new Path(base, s"shard=$s"), KvFile.DataFileName)
+        val file = new Path(dir, KvFile.DataFileName)
         val fs = file.getFileSystem(c)
         if (!fs.exists(file)) ks.iterator.map(k => (k, null: Array[Byte], false))
         else {
@@ -723,16 +816,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   private def kvScan(spark: SparkSession, version: Long, shards: Option[Seq[Int]]): DataFrame = {
     import spark.implicits._
     val confEntries = DomainStore.serializableConf(conf)
-    val base = versions.versionPath(version).toString
     val wanted = shards.getOrElse(0 until numShards)
     val suffix = fileSuffix
     if (wanted.isEmpty)
       return spark.emptyDataset[(Array[Byte], Array[Byte], Int)].toDF("key", "value", "shard")
-    spark.createDataset(wanted.toSeq)
+    spark.createDataset(wanted.toSeq.map(s => (s, shardDirStrOf(version, s))))
       .repartition(math.min(wanted.size, spark.sparkContext.defaultParallelism))
-      .flatMap { s =>
+      .flatMap { case (s, dir) =>
         val c = DomainStore.rebuildConf(confEntries)
-        val d = new Path(base, s"shard=$s")
+        val d = new Path(dir)
         val fs = d.getFileSystem(c)
         if (!fs.exists(d)) Iterator.empty
         else fs.listStatus(d).iterator
@@ -766,16 +858,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   private def kvKeysScan(spark: SparkSession, version: Long, shards: Option[Seq[Int]]): DataFrame = {
     import spark.implicits._
     val confEntries = DomainStore.serializableConf(conf)
-    val base = versions.versionPath(version).toString
     val wanted = shards.getOrElse(0 until numShards)
     val suffix = fileSuffix
     if (wanted.isEmpty)
       return spark.emptyDataset[(Int, Array[Byte])].toDF("shard", "key")
-    spark.createDataset(wanted.toSeq)
+    spark.createDataset(wanted.toSeq.map(s => (s, shardDirStrOf(version, s))))
       .repartition(math.min(wanted.size, spark.sparkContext.defaultParallelism))
-      .flatMap { s =>
+      .flatMap { case (s, dir) =>
         val c = DomainStore.rebuildConf(confEntries)
-        val d = new Path(base, s"shard=$s")
+        val d = new Path(dir)
         val fs = d.getFileSystem(c)
         if (!fs.exists(d)) Iterator.empty
         else fs.listStatus(d).iterator
@@ -817,7 +908,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       case None => true
       case Some(ix) =>
         probeCache.computeIfAbsent((version, shard), { vs =>
-          val d = new Path(versions.versionPath(vs._1), s"shard=${vs._2}")
+          val d = shardDirOf(vs._1, vs._2)
           Indexer.loadProbe(d.getFileSystem(conf), d, ix)
         }).forall(_.apply(key))
     }
@@ -884,7 +975,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       // Datasource formats go through FileSourceScanExec, which reports
       // no partitioning, so they keep the plain co-shuffled join.
       if (isKv) {
-        val routed = checked.withColumn("shard", shard_index(col("key"), numShards))
+        val routed = checked.withColumn("shard", routedShard(col("key")))
         return routed
           .join(readPartitioned(spark, latestVersion), Seq("shard", "key"), joinType)
           .select(col("key"), col("value"))
@@ -900,7 +991,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     require(!probe.exists(_.isNullAt(0)), "multiGet: key set contains a null key")
     val keyRows = probe.map { r =>
       val k = r.getAs[Array[Byte]](0)
-      (k, ShardIndex.shardIndex(k, n))
+      (k, routeKey(k))
     }
     // Index pre-filter (W5): keys whose shard sidecar answers "definitely
     // absent" become misses with zero data I/O, and shards left with no
@@ -1010,7 +1101,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       if (!prune) None
       else {
         val shardRows = rows
-          .select(shard_index(col("key"), numShards).as("s")).distinct().collect()
+          .select(routedShard(col("key")).as("s")).distinct().collect()
         // null keys route nowhere (and match nothing in the join)
         val shards = shardRows.collect { case r if !r.isNullAt(0) => r.getInt(0) }
         // latestVersion resolves from publish tokens only — no extra
@@ -1031,7 +1122,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       // collision-proof routing column on the probe (the reserved-name
       // guard convention — probes may legitimately carry a "shard")
       val tmp = s"_lj_shard_${java.util.UUID.randomUUID().toString.take(8)}"
-      val probed = rows.withColumn(tmp, shard_index(col("key"), numShards))
+      val probed = rows.withColumn(tmp, routedShard(col("key")))
       // output column ORDER matches the datasource branch's using-column
       // join (key first, then the probe's remaining columns, then value)
       // so the schema cannot depend on the domain's persistence format
@@ -1064,11 +1155,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * job, no scan, O(log n) positioned reads — exactly what the
     * reference's daemon did against its local B-tree/LSM shard. */
   def get(spark: SparkSession, key: Array[Byte]): Option[Array[Byte]] = {
-    val shard = ShardIndex.shardIndex(key, numShards)
+    val shard = routeKey(key)
     val version = latestVersion
     if (!mightContain(version, shard, key)) None
     else if (isKv) {
-      val d = new Path(versions.versionPath(version), s"shard=$shard")
+      val d = shardDirOf(version, shard)
       val fs = d.getFileSystem(conf)
       if (!fs.exists(d)) None
       else fs.listStatus(d).iterator
@@ -1101,17 +1192,27 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * 64k shard dirs is the same serial-metadata-I/O class as the footer
     * reads it feeds. */
   def count(spark: SparkSession, distributeAbove: Int = DomainStore.DefaultDistributeAbove): Long = {
-    val vp = versions.versionPath(latestVersion)
+    val version = latestVersion
+    val vp = versions.versionPath(version)
     if (numShards > distributeAbove)
       // ONE definition of the distributed per-shard metadata pass:
       // count is the row-sum of the skew report
       return shardStats(spark, distributeAbove).agg(sum(col("n_rows"))).head().getLong(0)
     val fs = vp.getFileSystem(conf)
     val files = scala.collection.mutable.ArrayBuffer[Path]()
-    val it = fs.listFiles(vp, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(fileSuffix)) files += f.getPath
+    if (linksOf(version).isEmpty) {
+      val it = fs.listFiles(vp, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(fileSuffix)) files += f.getPath
+      }
+    } else {
+      // linked shards live outside this version dir: enumerate per
+      // resolved shard dir instead of one recursive listing
+      import scala.collection.parallel.CollectionConverters._
+      files ++= (0 until numShards).par.flatMap { s =>
+        DomainStore.shardFiles(fs, shardDirOf(version, s), fileSuffix).map(_.getPath)
+      }.seq
     }
     if (files.isEmpty) return 0L
     if (files.length <= distributeAbove) {
@@ -1155,8 +1256,9 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       newDf: DataFrame,
       newVersion: Long,
       dedupKeys: Boolean = false,
-      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit =
-    patch(spark, Some(newDf), None, newVersion, dedupKeys, distributeAbove)
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove,
+      linked: Boolean = false): Unit =
+    patch(spark, Some(newDf), None, newVersion, dedupKeys, distributeAbove, linked = linked)
 
   /**
    * Takedown publish: a new version in which `keys` are ABSENT — the
@@ -1177,8 +1279,9 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       spark: SparkSession,
       keys: DataFrame,
       newVersion: Long,
-      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit =
-    patch(spark, None, Some(keys), newVersion, dedupKeys = false, distributeAbove)
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove,
+      linked: Boolean = false): Unit =
+    patch(spark, None, Some(keys), newVersion, dedupKeys = false, distributeAbove, linked = linked)
 
   /**
    * Combined incremental publish: upserts and deletes in ONE new version
@@ -1199,7 +1302,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       // the upsert/delete overlap guard costs one small join job; pass
       // false ONLY when the two sides derive from a DISJOINT split of
       // one frame (the index-removal engine) — external callers keep it
-      checkDisjoint: Boolean = true): Unit = {
+      checkDisjoint: Boolean = true,
+      // `linked = true`: record untouched shards as shard->origin links
+      // (`_links.json`) instead of copying their dirs forward — publish
+      // I/O becomes O(delta), the high-shard-count / 100 TB regime's
+      // publish mode. Trade: versions are no longer self-contained
+      // (readers resolve links; GC keeps referenced origins alive —
+      // VersionedStore.cleanupImpl). Default stays copy-forward.
+      linked: Boolean = false): Unit = {
     val oldVersion = latestVersion
     val n = numShards
     // The deltas feed several consumers (affected-shard scan, the union,
@@ -1207,12 +1317,12 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val up = upserts.map { df =>
       val kv0 = df.select(col("key"), col("value"))
       (if (dedupKeys) kv0.dropDuplicates("key") else kv0)
-        .withColumn("shard", shard_index(col("key"), n))
+        .withColumn("shard", routedShard(col("key")))
         .persist()
     }
     val del = deleteKeys.map(
       _.select(col("key")).dropDuplicates("key")
-        .withColumn("shard", shard_index(col("key"), n))
+        .withColumn("shard", routedShard(col("key")))
         .persist())
     try {
       up.foreach { u =>
@@ -1259,11 +1369,33 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       try {
         writeShards(merged.select("key", "value"), newVersion,
           partitions = Some(affected.size))
-        copyForward(oldVersion, newVersion, (0 until n).filterNot(affected), distributeAbove)
-        // Untouched shards carried their sidecars inside the copied dirs;
-        // rewritten shards need fresh ones (a stale bloom would rule out
-        // the very keys this publish added — and a deleted key must fall
-        // out of its shard's sidecar too).
+        if (linked) {
+          // Manifest-linked publish: untouched shards are RECORDED
+          // (`shard -> physical-host version`, resolved one-hop — a link
+          // onto a linked version re-points at the original host, so
+          // chains never deepen) instead of copied. Publish I/O is
+          // O(delta); the copy-forward default pays O(domain) per publish
+          // for self-contained versions. GC safety: cleanup's keep set
+          // expands over these manifests (VersionedStore.cleanupImpl), so
+          // a referenced origin outlives every version linking to it.
+          val fsRoot = root.getFileSystem(conf)
+          val oldVp = versions.versionPath(oldVersion)
+          val oldLinks = linksOf(oldVersion)
+          val listedOld =
+            if (!fsRoot.exists(oldVp)) Set.empty[Int]
+            else DomainStore.listedShardNumbers(
+              fsRoot.listStatus(oldVp).iterator.map(_.getPath.getName)).toSet
+          val carried = (listedOld ++ oldLinks.keySet).diff(affected)
+          writeLinksManifest(newVersion,
+            carried.iterator.map(s => s -> oldLinks.getOrElse(s, oldVersion)).toMap)
+        } else {
+          copyForward(oldVersion, newVersion, (0 until n).filterNot(affected), distributeAbove)
+          writeLinksManifest(newVersion, Map.empty) // no file; refreshes the cache
+        }
+        // Untouched shards carry their sidecars inside their (copied or
+        // linked) dirs; rewritten shards need fresh ones (a stale bloom
+        // would rule out the very keys this publish added — and a deleted
+        // key must fall out of its shard's sidecar too).
         buildIndex(spark, newVersion, onlyShards = Some(affected))
         // provenance: rewritten shards originate here, carried ones keep
         // their last-rewrite version (transitively, via the old manifest)
@@ -1271,7 +1403,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           root.getFileSystem(conf), versions.versionPath(oldVersion))
         writeOriginsManifest(newVersion, s =>
           if (affected(s)) newVersion
-          else prevOrigins.flatMap(_.get(s)).getOrElse(oldVersion))
+          else prevOrigins.flatMap(_.get(s)).getOrElse(oldVersion),
+          alsoPresent = linksOf(newVersion).keySet)
         versions.succeedVersion(newVersion)
       } catch {
         case e: Throwable =>
@@ -1305,7 +1438,9 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     val wanted = shards.getOrElse(0 until numShards)
     // replace = true: FileUtil.copy into an EXISTING dir nests src under
     // it — delete first so re-running localize replaces, not corrupts.
-    transferShards(versions.versionPath(version), destDir, wanted,
+    // Sources resolve per shard (link-aware), so localizing a
+    // manifest-linked version produces a SELF-CONTAINED physical copy.
+    transferShards(wanted.map(s => (s, shardDirStrOf(version, s))), destDir,
       replace = true, distributeAbove, maxKBps.map(new TransferThrottle(_)))
   }
 
@@ -1437,7 +1572,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       val outcomes: List[(Int, Boolean)] = mine.toSeq.sorted.par.flatMap { s =>
         val present = newOrigins match {
           case Some(o) => o.contains(s) // manifest key set = present shards
-          case None => srcFs.exists(new Path(srcVersionDir, s"shard=$s"))
+          case None => srcFs.exists(shardDirOf(version, s))
         }
         if (!present) None // empty shard writes no dir
         else {
@@ -1453,11 +1588,14 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
             DomainStore.reuseShardDir(localFs, prevShard.get, dstShard)
             Some(s -> true)
           } else {
+            // link-aware source: a linked shard's bytes are pulled from
+            // its origin dir — the local copy is always self-contained
+            val srcDir = shardDirStrOf(version, s)
             val copied = throttle match {
               case Some(th) => DomainStore.copyShardDirThrottled(
-                srcVersionDir.toString, newDir.toString, s, replace = true, conf, th)
+                srcDir, newDir.toString, s, replace = true, conf, th)
               case None => DomainStore.copyShardDir(
-                srcVersionDir.toString, newDir.toString, s, replace = true, conf)
+                srcDir, newDir.toString, s, replace = true, conf)
             }
             // `present` said this shard HAS data; a copy that finds no
             // source dir means the remote version was reaped mid-pull
@@ -1499,13 +1637,20 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * shards are present; `originOf` supplies each one's last-rewrite
     * version ([[DomainStore.OriginsFileName]]). Zero data I/O — publish
     * provenance is driver knowledge. */
-  private[store] def writeOriginsManifest(version: Long, originOf: Int => Long): Unit = {
+  private[store] def writeOriginsManifest(
+      version: Long,
+      originOf: Int => Long,
+      alsoPresent: Set[Int] = Set.empty): Unit = {
     val vd = versions.versionPath(version)
     val fs = root.getFileSystem(conf)
-    val present =
+    val listed =
       if (!fs.exists(vd)) Seq.empty[Int]
       else DomainStore.listedShardNumbers(
         fs.listStatus(vd).iterator.map(_.getPath.getName)).toSeq
+    // `alsoPresent`: LINKED shards are logically present without a local
+    // dir — the manifest records the full logical shard set either way
+    // (the pull's presence test is the manifest key set).
+    val present = (listed ++ alsoPresent).distinct
     val out = fs.create(new Path(vd, DomainStore.OriginsFileName), true)
     try out.write(
       DomainStore.originsToJson(present.map(s => s -> originOf(s)).toMap).getBytes("UTF-8"))
@@ -1513,14 +1658,19 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   }
 
   /** Raw FS copy of untouched `shard=<i>` dirs from one version into a
-    * not-yet-published one (fresh dir: nothing to replace). */
+    * not-yet-published one (fresh dir: nothing to replace). Sources
+    * resolve through [[shardDirOf]], so copying forward FROM a
+    * manifest-linked version copies the physical bytes — the copy-mode
+    * publish re-materializes a self-contained version regardless of how
+    * its predecessor was published. */
   private def copyForward(
       fromVersion: Long,
       toVersion: Long,
       shards: Seq[Int],
       distributeAbove: Int): Unit =
-    transferShards(versions.versionPath(fromVersion), versions.versionPath(toVersion),
-      shards, replace = false, distributeAbove)
+    transferShards(
+      shards.map(s => (s, shardDirStrOf(fromVersion, s))),
+      versions.versionPath(toVersion), replace = false, distributeAbove)
 
   /**
    * Two-tier parallel shard-dir transfer, mirroring [[count]]'s layout:
@@ -1534,14 +1684,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    * dir existed, ascending.
    */
   private def transferShards(
-      srcBase: Path,
+      shardDirs: Seq[(Int, String)], // (shard, resolved source shard dir)
       dstBase: Path,
-      shards: Seq[Int],
       replace: Boolean,
       distributeAbove: Int,
       throttle: Option[TransferThrottle] = None): Seq[Int] = {
-    if (shards.isEmpty) return Nil
-    val (src, dst) = (srcBase.toString, dstBase.toString)
+    if (shardDirs.isEmpty) return Nil
+    val dst = dstBase.toString
     // A bandwidth cap means "don't saturate THIS box's NIC" (reference
     // :download-rate-limit — one throttle agent per serving box). The
     // limiter is one in-process object, so the throttled pull runs on
@@ -1550,13 +1699,13 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     if (throttle.isDefined) {
       val th = throttle.get
       import scala.collection.parallel.CollectionConverters._
-      shards.par
-        .filter(s => DomainStore.copyShardDirThrottled(src, dst, s, replace, conf, th))
+      shardDirs.par
+        .collect { case (s, d) if DomainStore.copyShardDirThrottled(d, dst, s, replace, conf, th) => s }
         .seq.toList.sorted
-    } else if (shards.length <= distributeAbove) {
+    } else if (shardDirs.length <= distributeAbove) {
       import scala.collection.parallel.CollectionConverters._
-      shards.par
-        .filter(s => DomainStore.copyShardDir(src, dst, s, replace, conf))
+      shardDirs.par
+        .collect { case (s, d) if DomainStore.copyShardDir(d, dst, s, replace, conf) => s }
         .seq.toList.sorted
     } else {
       val spark = SparkSession.active
@@ -1564,11 +1713,11 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       import scala.jdk.CollectionConverters._
       val confEntries = DomainStore.serializableConf(conf)
       val rep = replace
-      spark.createDataset(shards)
-        .repartition(math.min(shards.length, spark.sparkContext.defaultParallelism))
+      spark.createDataset(shardDirs)
+        .repartition(math.min(shardDirs.length, spark.sparkContext.defaultParallelism))
         .mapPartitions { it =>
           val c = DomainStore.rebuildConf(confEntries)
-          it.filter(s => DomainStore.copyShardDir(src, dst, s, rep, c))
+          it.collect { case (s, d) if DomainStore.copyShardDir(d, dst, s, rep, c) => s }
         }
         .collect().toList.sorted
     }
@@ -1619,24 +1768,22 @@ object DomainStore {
     * lands once. */
   private[store] def shardFiles(
       fs: FileSystem,
-      base: String,
-      suffix: String,
-      s: Int): Seq[org.apache.hadoop.fs.FileStatus] = {
-    val d = new Path(base, s"shard=$s")
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).filter(_.getPath.getName.endsWith(suffix)).toSeq
+      shardDir: Path,
+      suffix: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(shardDir)) Seq.empty
+    else fs.listStatus(shardDir).filter(_.getPath.getName.endsWith(suffix)).toSeq
   }
 
   /** One shard's (shard, rows, bytes) from metadata only — static so the
     * distributed tier's closure never drags the store (with its
     * non-serializable Configuration) along. */
   private[store] def shardStatsOf(
-      base: String,
+      s: Int,
+      shardDir: String,
       fmt: String,
       suffix: String,
-      s: Int,
       c: Configuration): (Int, Long, Long) = {
-    val d = new Path(base, s"shard=$s")
+    val d = new Path(shardDir)
     val fs = d.getFileSystem(c)
     if (!fs.exists(d)) (s, 0L, 0L)
     else {
@@ -1674,12 +1821,12 @@ object DomainStore {
     * Returns false when the source shard dir does not exist (legal: a
     * shard that received no keys writes no dir). */
   private[store] def copyShardDir(
-      srcBase: String,
+      srcShardDir: String,
       dstBase: String,
       shard: Int,
       replace: Boolean,
       conf: Configuration): Boolean = {
-    val src = new Path(srcBase, s"shard=$shard")
+    val src = new Path(srcShardDir)
     val srcFs = src.getFileSystem(conf)
     if (!srcFs.exists(src)) false
     else {
@@ -1697,13 +1844,13 @@ object DomainStore {
     * interleaves fairly across the parallel shard copies. Byte-identical
     * output to the unthrottled path. */
   private[store] def copyShardDirThrottled(
-      srcBase: String,
+      srcShardDir: String,
       dstBase: String,
       shard: Int,
       replace: Boolean,
       conf: Configuration,
       throttle: TransferThrottle): Boolean = {
-    val src = new Path(srcBase, s"shard=$shard")
+    val src = new Path(srcShardDir)
     val srcFs = src.getFileSystem(conf)
     if (!srcFs.exists(src)) false
     else {

@@ -3,7 +3,7 @@ package graft.store
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import graft.core.{DomainSpec, ShardIndex}
+import graft.core.DomainSpec
 
 /**
  * Spark-free point-lookup reader for a `kv-sorted` domain — the embeddable
@@ -72,6 +72,12 @@ final class KvDomainReader private (
 
   private val indexerOpt: Option[Indexer] = spec.indexerClass.map(Indexer.forName)
 
+  /** Resolved sharding scheme (registry seam) — the serving reader routes
+    * through the SAME resolution as the store's write path, so a
+    * custom-scheme domain serves correctly and a foreign scheme fails at
+    * open, never by probing wrong shards. */
+  private val scheme: graft.core.ShardScheme = graft.core.ShardScheme.forName(spec.shardScheme)
+
   /** Per-version handle state: caches + the version dir they index, with
     * a reference count whose base ref is "installed as current". A
     * lookup acquires for its duration; [[retire]] drops the base ref;
@@ -104,20 +110,37 @@ final class KvDomainReader private (
         probes.clear()
       }
 
-    def shardDir(shard: Int): Path = new Path(versionDir, s"shard=$shard")
+    /** Shard links of this version (manifest-linked publishes record
+      * untouched shards as `shard -> origin version` instead of copying
+      * their dirs — `_links.json`). Read ONCE at generation install,
+      * like the presence snapshot; origins resolve as SIBLING version
+      * dirs (`<root>/<origin>/shard=<i>` — the layout contract), so a
+      * bare localized subset (self-contained by construction, no
+      * manifest) never consults version history. */
+    private val links: Map[Int, Long] =
+      VersionedStore.readLinks(fs, versionDir)
+
+    def shardDir(shard: Int): Path = links.get(shard) match {
+      case Some(origin) =>
+        new Path(new Path(versionDir.getParent, origin.toString), s"shard=$shard")
+      case None => new Path(versionDir, s"shard=$shard")
+    }
 
     /** Shard dirs present when this generation was INSTALLED (one
-      * listStatus; open/refresh only ever install live published
-      * versions, so the snapshot is taken while the dir is whole).
-      * Lookups must trust THIS, never a live `fs.exists`: after a
-      * refresh retires this generation, a concurrent
+      * listStatus + the link manifest; open/refresh only ever install
+      * live published versions, so the snapshot is taken while the dir
+      * is whole). Lookups must trust THIS, never a live `fs.exists`:
+      * after a refresh retires this generation, a concurrent
       * `VersionedStore.cleanup` may reap its version dir, and a live
       * existence probe on a not-yet-opened shard would then read "no
       * file" and SILENTLY answer 'key absent' for keys the domain
       * holds. With the snapshot, a reaped file instead throws
       * FileNotFoundException from the open — loud, never a wrong
       * answer (an empty shard legitimately writes no dir, which the
-      * snapshot also captures). */
+      * snapshot also captures). Linked shards are present by MANIFEST:
+      * their dirs live in origin version dirs, which link-aware GC
+      * (VersionedStore.cleanupImpl) keeps alive as long as this version
+      * is kept. */
     val presentShards: Set[Int] = {
       val listed =
         try fs.listStatus(versionDir)
@@ -126,7 +149,7 @@ final class KvDomainReader private (
       // ('shard=3.bak', a crashed copy's artifact) must not fail the
       // whole open — only exact numeric shard dirs are the engine's
       DomainStore.listedShardNumbers(
-        listed.iterator.map(_.getPath.getName)).toSet
+        listed.iterator.map(_.getPath.getName)).toSet ++ links.keySet
     }
 
     def reader(shard: Int): Option[ShardReader] =
@@ -252,7 +275,7 @@ final class KvDomainReader private (
   /** `None` = key absent; `Some(None)` = key present with a null value;
     * `Some(Some(v))` = present with value `v`. */
   def getRecord(key: Array[Byte]): Option[Option[Array[Byte]]] = withGen { g =>
-    val shard = ShardIndex.shardIndex(key, numShards)
+    val shard = scheme.shardIndex(key, numShards)
     checkHosted(shard)
     if (!g.mightContain(shard, key)) None
     else g.reader(shard).flatMap(_.lookup(key)).map(Option(_))
@@ -279,7 +302,7 @@ final class KvDomainReader private (
     require(keys.forall(_ != null), "multiGet: null key")
     val out = new Array[Option[Array[Byte]]](keys.length)
     val groups = keys.zipWithIndex
-      .groupBy { case (k, _) => ShardIndex.shardIndex(k, numShards) }
+      .groupBy { case (k, _) => scheme.shardIndex(k, numShards) }
       .toIndexedSeq
     // Shard groups are independent (disjoint `out` slots, pread-safe
     // cached readers), so a batch spanning shards fans out over the

@@ -2,7 +2,6 @@ package graft.store
 
 import scala.util.Random
 
-import graft.core.ShardIndex
 
 /**
  * Client-side fan-out over a ring of serving readers — the in-process
@@ -38,7 +37,12 @@ final class RingClient(
     readers: Map[String, ServingReader],
     preferred: String => Boolean = _ => false,
     rnd: Random = new Random(),
-    knownShardCount: Option[Int] = None) extends AutoCloseable {
+    knownShardCount: Option[Int] = None,
+    // client-side routing must match the DOMAIN's scheme (registry seam);
+    // hash-mod default = every reference-compatible deployment. Serving a
+    // custom-scheme domain through a ring requires passing its resolved
+    // scheme here — fromConf resolves it from the served metadata.
+    scheme: graft.core.ShardScheme = graft.core.ShardScheme.HashMod) extends AutoCloseable {
 
   require(readers.nonEmpty, "RingClient: no readers")
   require(ring.hostsToShards.keySet.subsetOf(readers.keySet),
@@ -68,7 +72,7 @@ final class RingClient(
   /** Point lookup with replica failover. `None` = key absent from the
     * domain (answered by a live replica). */
   def get(key: Array[Byte]): Option[Array[Byte]] = {
-    val shard = ShardIndex.shardIndex(key, numShards)
+    val shard = scheme.shardIndex(key, numShards)
     val order = replicaOrder(shard)
     var lastFailure: Throwable = null
     order.foreach { host =>
@@ -90,7 +94,7 @@ final class RingClient(
     // per shard: the indexed keys + the replica order still untried
     var pending: Seq[(Int, Seq[(Array[Byte], Int)], Seq[String])] =
       keys.zipWithIndex
-        .groupBy { case (k, _) => ShardIndex.shardIndex(k, numShards) }
+        .groupBy { case (k, _) => scheme.shardIndex(k, numShards) }
         .map { case (s, ks) => (s, ks.toSeq, replicaOrder(s)) }
         .toSeq
     // written concurrently from hostPool tasks; AtomicReference gives the
@@ -397,6 +401,15 @@ object RingClient {
    * from (hosts order, shard count, replication) — the exact deal the
    * daemons' pulls used, so routing agrees by construction (and stays
    * loudly cross-checked by numShards' probe).
+   *
+   * Conf-booted clients route HASH-MOD (the only scheme a shared conf can
+   * promise without a per-domain metadata round trip). Serving a
+   * custom-scheme domain through a conf ring is NOT silently wrong — the
+   * daemon-side readers route with the domain's true scheme and throw
+   * wrong-host on a misdirected probe, so the client fails over and
+   * either lands on a correct replica or fails loud — but it is
+   * inefficient: build the client directly with the resolved scheme
+   * (`new RingClient(..., scheme = ShardScheme.forName(...))`) instead.
    */
   def fromConf(
       globalPath: String,

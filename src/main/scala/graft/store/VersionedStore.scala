@@ -192,11 +192,32 @@ class VersionedStore(val root: Path, conf: Configuration) {
       .flatMap(_.stripSuffix(".version").toLongOption)
       .toSeq
       .sorted(Ordering[Long].reverse)
-    val keepSeq =
+    val windowSeq =
       (all.take(versionsToKeep) ++
         keepFloor.map(fl => all.filter(_ >= fl)).getOrElse(Nil))
         .distinct.sortBy(-_)
-    val keep = keepSeq.toSet
+    // Link-aware retention: a manifest-linked publish (DomainStore.patch
+    // with linked = true) records untouched shards as `shard -> origin
+    // version` in `_links.json` instead of copying their dirs forward, so
+    // a kept version's DATA may physically live in older version dirs.
+    // The keep set therefore expands to the fixpoint of every kept
+    // version's link targets — reaping a referenced origin would turn
+    // every key routed to a linked shard into a silent 'key absent'.
+    // This lives HERE, not in a DomainStore wrapper, so every cleanup
+    // caller (serving daemons, catalogs, pull-side reapers) is safe by
+    // construction; the cost is one small manifest read per kept version
+    // per sweep. Versions kept only as link targets are kept WHOLE
+    // (dir + token) — GC granularity is the version.
+    var keep = windowSeq.toSet
+    var frontier = keep
+    while (frontier.nonEmpty) {
+      val refs = frontier.iterator
+        .flatMap(v => VersionedStore.readLinks(f, versionPath(v)).values)
+        .toSet.diff(keep)
+      keep ++= refs
+      frontier = refs
+    }
+    val keepSeq = keep.toSeq.sortBy(-_)
     val oldestKept = keepSeq.lastOption
     // belt over the single-listing braces: version ids are monotone by
     // convention (every publish path takes newVersion > latest), so
@@ -254,6 +275,61 @@ class VersionedStore(val root: Path, conf: Configuration) {
           }
         }
       }
+    }
+  }
+}
+
+object VersionedStore {
+
+  /** Per-version shard-link manifest, `<version>/_links.json`: for each
+    * logically-present shard whose `shard=<i>` dir is NOT in this version
+    * dir, the (older) version whose dir physically holds it — written by
+    * manifest-linked publishes (`DomainStore.patch(linked = true)`), which
+    * record untouched shards instead of copying them forward. Targets are
+    * always PHYSICAL hosts (one-hop: a linked publish on top of a linked
+    * version re-points at the original host, never at the intermediate
+    * link). Absent ⟹ no linked shards (every copy-mode / legacy version).
+    * The underscore prefix hides it from Spark file indexes, like
+    * `_origins.json`. */
+  val LinksFileName = "_links.json"
+
+  private[store] def linksToJson(m: Map[Int, Long]): String =
+    m.toSeq.sorted.map { case (s, v) => s""""$s":$v""" }.mkString("{", ",", "}")
+
+  /** Shard links of a version dir. Absent file = no linked shards. A
+    * PRESENT-BUT-UNPARSEABLE manifest fails LOUD: treating it as empty
+    * would silently read every linked shard as an empty shard (key
+    * absent for every key routed there) — the one failure mode a
+    * versioned KV store must never produce. Contrast `_origins.json`,
+    * where a corrupt manifest safely degrades to "transfer everything". */
+  def readLinks(fs: FileSystem, versionDir: Path): Map[Int, Long] = {
+    val p = new Path(versionDir, LinksFileName)
+    val existing =
+      try { if (fs.exists(p)) Some(fs.getFileStatus(p).getLen.toInt) else None }
+      catch { case _: java.io.FileNotFoundException => None }
+    existing match {
+      case None => Map.empty
+      case Some(len) =>
+        val buf = new Array[Byte](len)
+        val in = fs.open(p)
+        try in.readFully(0L, buf)
+        finally in.close()
+        val body = new String(buf, "UTF-8").trim.stripPrefix("{").stripSuffix("}").trim
+        try {
+          if (body.isEmpty) Map.empty
+          else body.split(",").iterator.map { e =>
+            val Array(k, v) = e.split(":").map(_.trim)
+            val shard = k.stripPrefix("\"").stripSuffix("\"").toInt
+            val origin = v.toLong
+            require(shard >= 0 && origin >= 0, s"negative shard/origin in $p")
+            shard -> origin
+          }.toMap
+        } catch {
+          case e: Exception => throw new IllegalStateException(
+            s"corrupt shard-link manifest $p — refusing to read the version " +
+              "(an empty link set would silently serve 'key absent' for " +
+              "every linked shard); restore the manifest or re-publish", e)
+        }
     }
   }
 }

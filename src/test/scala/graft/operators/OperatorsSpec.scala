@@ -1646,6 +1646,79 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("span cut (Lee et al.): keeper survives verbatim, duplicates excised, re-detection clean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val (minLen, window, modulus) = (64, 8, 4)
+    // one 300-char verbatim run planted in three docs (keeper = doc 1);
+    // doc 3's prefix carries a non-BMP char so a code-unit excision would
+    // shift every boundary after it
+    val run = randText(300)
+    val texts = Map(
+      1L -> (randText(200) + run + randText(200)),
+      2L -> (randText(500) + run + randText(100)),
+      3L -> ("😀" + randText(79) + run + randText(420)),
+      4L -> randText(700))
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val out = Dedup.removeSharedSpans(docs, "doc_id", "text", minLen, window, modulus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+    // Independent Scala model of keeper choice + codepoint excision (the
+    // anchor kernel itself is pinned by the shift-invariance/non-BMP
+    // tests; the DuckDB oracle replays it independently end to end).
+    def anchorsOf(text: String): Seq[Int] =
+      Seq(text).toDF("t")
+        .select(graft.functions.anchor_positions(col("t"), window, modulus).as("a"))
+        .head().getSeq[Int](0)
+    def cpSub(cps: Array[Int], pos1: Int, len: Int): String = {
+      val from = pos1 - 1
+      val n = math.min(len, math.max(0, cps.length - from))
+      if (n <= 0) "" else new String(cps, from, n)
+    }
+    val occ = texts.toSeq.flatMap { case (id, t) =>
+      val cps = t.codePoints().toArray
+      if (cps.length < minLen) Nil
+      else anchorsOf(t).filter(_ <= cps.length - (minLen - 1))
+        .map(p => (id, p, cpSub(cps, p, minLen)))
+    }
+    val keeper = occ.groupBy(_._3).map { case (fp, os) => fp -> os.map(o => (o._1, o._2)).min }
+    val cutsByDoc = occ
+      .filter { case (id, p, fp) => keeper(fp) != ((id, p)) }
+      .groupBy(_._1).map { case (id, os) => id -> os.map(_._2).distinct.sorted }
+    val expected = texts.map { case (id, t) =>
+      val cps = t.codePoints().toArray
+      val ps = cutsByDoc.getOrElse(id, Nil)
+      val sb = new StringBuilder
+      var done = 1
+      ps.foreach { p =>
+        if (p > done) sb.append(cpSub(cps, done, p - done))
+        done = math.max(done, p + minLen)
+      }
+      sb.append(cpSub(cps, done, cps.length))
+      id -> ((ps.size.toLong, sb.toString))
+    }
+    assert(out === expected)
+
+    // keeper + untouched docs pass through verbatim; dups actually shrank
+    assert(out(1L) === ((0L, texts(1L))))
+    assert(out(4L) === ((0L, texts(4L))))
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id)._1 > 0L, s"doc $id: no cut sites")
+      assert(out(id)._2.length < texts(id).length, s"doc $id: nothing excised")
+    }
+    // the non-BMP prefix survived with exact boundaries (model already
+    // checks equality; this pins the headline property by name)
+    assert(out(3L)._2.startsWith("😀"))
+    // THE convergence pin: detection over the scrubbed corpus is clean
+    val scrubbed = out.toSeq.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
+    val residual = Dedup.sharedSubstringPairs(
+      scrubbed, "doc_id", "text", minLen, window, modulus).collect()
+    assert(residual.isEmpty,
+      s"re-detection found pairs on the scrubbed corpus: ${residual.mkString(", ")}")
+  }
+
   test("anchor positions are position-shift invariant (content-defined)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
