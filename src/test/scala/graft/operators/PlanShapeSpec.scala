@@ -284,6 +284,55 @@ class PlanShapeSpec extends SparkSuite {
       graft.queries.PipelineQueries.dataPrune(embCorpus), Set("id"))
   }
 
+  test("removeSharedSpans: document text crosses no exchange; reattach join broadcasts") {
+    // a real file scan — a local relation constant-folds the plan
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val df = Dedup.removeSharedSpans(docs, "doc_id", "text")
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"expected fp/cut exchanges:\n${plan(df)}")
+    // the exchanges carry anchor rows (id, pos, fp) and per-doc position
+    // lists — the text column (internal name "t") must never ride one:
+    // at corpus scale the fingerprint shuffle is anchor-sized precisely
+    // because the payload stays columnar at its source until the final
+    // per-doc reattach
+    val textCarrying = exchanges.filter(_.output.exists(_.name == "t"))
+    assert(textCarrying.isEmpty,
+      s"text rides ${textCarrying.size} exchange(s):\n${plan(df)}")
+    // the reattach (base ⋈ per-doc cut lists) broadcasts the cut lists —
+    // only docs WITH cut sites have a row there, a sliver of the corpus
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"reattach join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"text side must not sort-merge:\n$p")
+  }
+
+  test("pipeline_media_filter: drop set broadcasts into the anti-join, features never re-shuffle") {
+    val df = graft.queries.PipelineQueries.queries("pipeline_media_filter")(
+      spark, sf("sf0.001"))
+    // The drop-set side is a TYPED MapPartitions pipeline (decode +
+    // banding), so the initial planner has no stats and conservatively
+    // plans a sort-merge anti; the pin is on the FINAL adaptive plan —
+    // AQE must convert it to a BroadcastHashJoin LeftAnti once the
+    // pair-sized drop set materializes (a surviving sort-merge would
+    // shuffle every decoded feature row for a sliver-sized filter — the
+    // dataPrune drop-set rule). AQE hides exchanges/joins inside query
+    // stages, so inspect the final plan's STRING after an action, cut at
+    // the initial-plan section (the KvDomainV2Spec.finalPlan idiom).
+    df.collect() // an action on THIS QueryExecution (df.write would spawn a fresh one)
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"), s"adaptive plan never finalized:\n$full")
+    val p = full.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"drop-set anti-join must broadcast in the final plan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"features must not sort-merge in the final plan:\n$p")
+  }
+
   test("text analysis reports are shuffle-free whole-stage codegen") {
     // a real file scan — a local relation constant-folds the whole plan
     // into LocalTableScan and proves nothing
