@@ -118,19 +118,23 @@ object DebugShardScale {
     // copy-forward publishes above pay O(domain) raw copies per publish
     // (~64.5k untouched dirs — the r11 audit measured ~140 s); the
     // linked twins below must be O(delta) — only the affected shards are
-    // written, the rest become `_links.json` entries. Same delta sizes
-    // so the walls are directly comparable.
+    // written, the rest become `_links.json` entries. The SAME key
+    // ranges as the copy-forward twins: identical delta sizes keep the
+    // walls directly comparable, and re-applying them is count-neutral,
+    // so a RESUMED run (whose previous attempt may already have run
+    // these phases) still satisfies every count assertion above and
+    // below.
     timeIt("LINKED upsert publish (1k keys)") {
       store.upsert(spark,
-        kvOf(spark.range(keysN + 1000L, keysN + 2000L).toDF("id")), v0 + 3, linked = true)
+        kvOf(spark.range(keysN, keysN + 1000L).toDF("id")), v0 + 3, linked = true)
     }
     timeIt("LINKED delete publish (100 keys)") {
       store.delete(spark,
-        spark.range(100, 200).select(graft.functions.long_be(col("id")).as("key")),
+        spark.range(100).select(graft.functions.long_be(col("id")).as("key")),
         v0 + 4, linked = true)
     }
     val c4 = timeIt("count after linked publishes") { store.count(spark) }
-    require(c4 == keysN + 2000L - 200L, s"linked count: $c4 != ${keysN + 1800L}")
+    require(c4 == c3, s"linked publishes changed membership: $c4 != $c3")
     // link-aware GC: keep-newest-2 must also keep every origin the kept
     // manifests reference — the domain stays fully readable after the sweep
     timeIt("cleanup(keep=2, link-aware)") { store.versions.cleanup(2) }

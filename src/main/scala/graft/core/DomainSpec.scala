@@ -91,7 +91,7 @@ object DomainSpec {
     * decompress per probe — the scan/range-heavy profile; keep plain
     * kv-sorted when point-lookup latency dominates. */
   val KvSortedZ = "kv-sorted-z"
-  val KnownSchemes: Set[String] = Set(HashMod)
+  // scheme names validate through ShardScheme.forName (the registry seam)
   val KnownFormats: Set[String] = Set(ParquetSorted, OrcSorted, Memory, KvSorted, KvSortedZ)
 
   /** Sentinel for "no write-time index" — a string (not Option) so the

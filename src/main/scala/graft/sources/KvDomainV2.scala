@@ -84,19 +84,31 @@ object KvDomainV2 {
   // untouched shard's dir lives in an OLDER version dir). Registered by
   // DomainStore.readPartitioned beside the conf; resolved at PLANNING on
   // the driver and shipped to executors inside the input partitions, so
-  // the executor side never reads `_links.json`.
+  // the executor side never reads `_links.json`. A registry MISS is NOT
+  // "no links": a direct `spark.read.format(KvDomainTableProvider)` of a
+  // linked version (notebook, saved pipeline, fresh JVM) never went
+  // through readPartitioned, and assuming no links would make its linked
+  // shards read as legitimately empty — the silent 'key absent' class.
+  // On a miss the manifest is read HERE (driver, once, memoized into the
+  // registry; a registered EMPTY map is a positive "no links" answer).
   private val links =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
 
   def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit =
     links.put(versionDir, shardDirs)
 
-  private[sources] def shardDirFor(versionDir: String, shard: Int): String =
-    Option(links.get(versionDir)).flatMap(_.get(shard))
-      .getOrElse(s"$versionDir/shard=$shard")
-
   private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] =
-    Option(links.get(versionDir)).getOrElse(Map.empty)
+    links.computeIfAbsent(versionDir, { vd =>
+      val p = new Path(vd)
+      val resolved = graft.store.VersionedStore
+        .readLinks(p.getFileSystem(rebuild(confFor(vd))), p)
+      resolved.map { case (s, origin) =>
+        s -> new Path(new Path(p.getParent, origin.toString), s"shard=$s").toString
+      }
+    })
+
+  private[sources] def shardDirFor(versionDir: String, shard: Int): String =
+    linkedDirsFor(versionDir).getOrElse(shard, s"$versionDir/shard=$shard")
 
   /** The kv data-file suffix — ONE definition, derived from the format's
     * canonical file name so it cannot drift from [[KvFile]]. */

@@ -160,10 +160,16 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       writeShards(kv, version)
       buildIndex(df.sparkSession, version, onlyShards = None)
       writeOriginsManifest(version, _ => version) // full rebuild: every shard is new
+      // full rebuild = no links; the explicit empty write REFRESHES the
+      // links cache — a failed LINKED publish retried as a full build at
+      // the SAME version id would otherwise keep serving the stale link
+      // map on this instance (silent stale reads from origin dirs)
+      writeLinksManifest(version, Map.empty)
       versions.succeedVersion(version)
     } catch {
       case e: Throwable =>
         versions.failVersion(version)
+        linksCache.remove(version) // the failed attempt's links are void
         throw e
     }
   }
@@ -1409,6 +1415,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       } catch {
         case e: Throwable =>
           versions.failVersion(newVersion)
+          linksCache.remove(newVersion) // the failed attempt's links are void
           throw e
       }
     } finally {
@@ -2221,10 +2228,12 @@ object DomainStore {
           version)
         dst.buildIndex(spark, version, onlyShards = None)
         dst.writeOriginsManifest(version, _ => version)
+        dst.writeLinksManifest(version, Map.empty) // full rewrite: cache refresh, no file
         dst.versions.succeedVersion(version)
       } catch {
         case e: Throwable =>
           dst.versions.failVersion(version)
+          dst.linksCache.remove(version)
           throw e
       }
     } else {

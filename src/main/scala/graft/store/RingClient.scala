@@ -41,7 +41,9 @@ final class RingClient(
     // client-side routing must match the DOMAIN's scheme (registry seam);
     // hash-mod default = every reference-compatible deployment. Serving a
     // custom-scheme domain through a ring requires passing its resolved
-    // scheme here — fromConf resolves it from the served metadata.
+    // scheme HERE — conf-booted clients (fromConf) always route hash-mod
+    // (see fromConf's doc: misroutes there degrade to loud wrong-host
+    // failover via the daemon-side readers, never silent misses).
     scheme: graft.core.ShardScheme = graft.core.ShardScheme.HashMod) extends AutoCloseable {
 
   require(readers.nonEmpty, "RingClient: no readers")

@@ -269,6 +269,50 @@ class LinkedPublishSpec extends SparkSuite {
     assert(e.getMessage.contains("corrupt shard-link manifest"))
   }
 
+  test("version-id reuse after an abandoned linked publish serves the fresh bytes") {
+    // A linked publish at id N is abandoned (deleteVersion — the
+    // failVersion/retry class) and the operator rebuilds N as a FULL
+    // build with different values: the links cache on THIS instance must
+    // refresh (write() publishes an empty link set), or reads of N would
+    // silently resolve untouched shards to the ORIGIN versions' stale
+    // bytes — the review-caught staleness class.
+    val root = scratch("lnk-reuse")
+    val store = DomainStore.create(root, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kv(base: _*), 1L)
+    store.upsert(spark, kv("lk0" -> "NEW"), 2L, linked = true)
+    store.upsert(spark, kv("lk1" -> "X"), 3L, linked = true)
+    assert(store.get(spark, utf8("lk7")).map(new String(_, "UTF-8")) === Some("v7"))
+    store.versions.deleteVersion(3L)
+    val fresh = (0 until 300).map(i => s"lk$i" -> s"r$i") // every value differs
+    store.write(kv(fresh: _*), 3L)
+    assert(readPairs(store) === fresh.toSet)
+    assert(store.get(spark, utf8("lk7")).map(new String(_, "UTF-8")) === Some("r7"))
+    assert(store.count(spark) === fresh.size.toLong)
+  }
+
+  test("direct DSv2 read of a linked version resolves links without readPartitioned") {
+    // A saved pipeline / fresh JVM reads the version dir through the
+    // table provider directly — the driver-side registry never saw a
+    // registerLinks for it. The scan must fall back to reading
+    // `_links.json` itself at planning, or every linked shard would read
+    // as legitimately empty (silent key-absent).
+    val root = scratch("lnk-direct")
+    val store = DomainStore.create(root, DomainSpec(8, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kv(base: _*), 1L)
+    store.upsert(spark, kv("lk0" -> "NEW"), 2L, linked = true)
+    val vp = new Path(root, "2").toString
+    val df = spark.read
+      .format(classOf[graft.sources.KvDomainTableProvider].getName)
+      .option("path", vp)
+      .option("shards", "8")
+      .load()
+    val expected = base.toMap ++ Map("lk0" -> "NEW")
+    assert(df.select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet === expected.toSet)
+    // the trailer-fold aggregate pushdown path resolves links too
+    assert(df.count() === expected.size.toLong)
+  }
+
   test("pull (localizeVersionForHost) from a linked version is self-contained") {
     val root = scratch("lnk-pull")
     val local = scratch("lnk-pull-local")
