@@ -26,12 +26,25 @@ import graft.store.DomainStore
  */
 object StreamingDomain {
 
+  /** `linked = true` publishes each micro-batch MANIFEST-LINKED
+    * (`DomainStore.upsert(linked)`): per-batch publish I/O is O(batch)
+    * even at 64k shards — the streaming twin of the high-shard-count
+    * publish mode, since a stream is exactly the many-small-deltas shape
+    * the copy-forward floor punishes. Link chains stay one-hop, but GC
+    * must retain every version that still physically hosts a shard, so a
+    * long-running linked stream accretes retained versions; `compactEvery
+    * = N` re-materializes every Nth batch as a COPY-MODE publish (a
+    * self-contained version releases everything older once the keep
+    * window passes it). 0 = never auto-compact. */
   def upsertStream(
       store: DomainStore,
       kvStream: DataFrame,
       baseVersion: Long,
       queryName: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      linked: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     kvStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
@@ -40,14 +53,20 @@ object StreamingDomain {
       // loop (VersionGate): a replayed last batch is a no-op, an
       // already-published non-latest version fails loud
       .foreachBatch(VersionGate.gated(store, baseVersion) { (batch, version) =>
+        // Keyed off the VERSION, not the batch id: replays re-derive the
+        // same decision, so a re-attempted batch publishes the same mode.
+        val linkThis = linked &&
+          (compactEvery == 0 || (version - baseVersion) % compactEvery != 0)
         // First-ever batch bootstraps the domain (upsert needs a
         // published version to merge against).
         if (store.versions.mostRecentVersion.isEmpty)
           store.write(batch, version, dedupKeys = true)
         else
-          store.upsert(batch.sparkSession, batch, version, dedupKeys = true)
+          store.upsert(batch.sparkSession, batch, version, dedupKeys = true,
+            linked = linkThis)
       })
       .start()
+  }
 
   /** The takedown twin of [[upsertStream]]: a stream of `key` rows (a
     * deletion/takedown feed) where each micro-batch publishes one
@@ -64,13 +83,14 @@ object StreamingDomain {
       keyStream: DataFrame,
       baseVersion: Long,
       queryName: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      linked: Boolean = false): StreamingQuery =
     keyStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(store, baseVersion) { (batch, version) =>
-        store.delete(batch.sparkSession, batch, version)
+        store.delete(batch.sparkSession, batch, version, linked = linked)
       })
       .start()
 }

@@ -218,6 +218,49 @@ class ServeSpec extends SparkSuite {
     }
   }
 
+  test("linked publish chain: daemon hot-swaps onto linked versions; GC keeps origins") {
+    import spark.implicits._
+    val conf = new Configuration()
+    val dbRoot = scratch("serve-linked-db")
+    def kv(pairs: Seq[(String, String)]) =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+    val users = DomainStore.create(
+      s"$dbRoot/users", DomainSpec(8, persistenceFormat = DomainSpec.KvSorted), conf)
+    val base = (0 until 200).map(i => s"lk$i" -> s"v$i")
+    users.write(kv(base), 1L)
+
+    // tightest legal GC (keep-2) — v1 survives the window ONLY because
+    // the in-daemon reaper's keep set expands over the kept versions' links
+    val handle = Serve.start(
+      dbRoot, conf, refreshMillis = 100L, log = _ => (), cleanupKeep = 2)
+    val remote = new RemoteKvReader("127.0.0.1", handle.boundPort, "users")
+    try {
+      awaitUntil("v1 served")(remote.servedVersion === 1L)
+      users.upsert(spark, kv(Seq("lk0" -> "NEW")), 2L, linked = true)
+      awaitUntil("v2 swap")(remote.servedVersion === 2L)
+      users.upsert(spark, kv(Seq("lk1" -> "ALSO")), 3L, linked = true)
+      awaitUntil("v3 swap")(remote.servedVersion === 3L)
+      // keep-2 window is {3, 2}, but both link into v1: all three survive
+      Thread.sleep(400) // let a few reap sweeps run
+      assert(users.versions.getAllVersions === Seq(3L, 2L, 1L))
+      // served answers come from linked shards after the sweeps
+      assert(remote.get(utf8("lk0")).map(new String(_, "UTF-8")) === Some("NEW"))
+      assert(remote.get(utf8("lk1")).map(new String(_, "UTF-8")) === Some("ALSO"))
+      assert(remote.get(utf8("lk7")).map(new String(_, "UTF-8")) === Some("v7"))
+      assert(remote.count() === base.size.toLong)
+      // self-contained publishes release the chain on the next sweeps
+      users.write(kv(base.map { case (k, _) => k -> "r4" }), 4L)
+      awaitUntil("v4 swap")(remote.servedVersion === 4L)
+      users.write(kv(base.map { case (k, _) => k -> "r5" }), 5L)
+      awaitUntil("v5 swap")(remote.servedVersion === 5L)
+      awaitUntil("chain reaped")(users.versions.getAllVersions === Seq(5L, 4L))
+      assert(remote.get(utf8("lk7")).map(new String(_, "UTF-8")) === Some("r5"))
+    } finally {
+      remote.close(); handle.close()
+    }
+  }
+
   private implicit class QueueOps(q: java.util.concurrent.ConcurrentLinkedQueue[String]) {
     def asScala(): Seq[String] = {
       import scala.jdk.CollectionConverters._

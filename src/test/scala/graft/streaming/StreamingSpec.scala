@@ -105,6 +105,65 @@ class StreamingSpec extends SparkSuite {
     assert(store.latestVersion === 2L)
   }
 
+  test("streaming linked ingest: O(delta) publishes, compactEvery re-materializes") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    import spark.implicits._
+    val srcDir = scratch("stream-lnk-src")
+    val ckpt = scratch("stream-lnk-ckpt")
+    val domRoot = scratch("stream-lnk-dom")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+    def kvParquet(name: String, pairs: Seq[(String, String)]): Unit =
+      pairs.toDF("k", "v")
+        .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$srcDir/$name")
+    val kvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.BinaryType)))
+    val store = graft.store.DomainStore.create(
+      domRoot, graft.core.DomainSpec(
+        numShards = 8, persistenceFormat = graft.core.DomainSpec.KvSorted), conf)
+    // linked streaming ingest, compacting every 3rd version
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(kvSchema).parquet(s"$srcDir/*")
+      val q = StreamingDomain.upsertStream(
+        store, stream, baseVersion = 0L, queryName = "dom_lnk_stream_test",
+        checkpointDir = ckpt, linked = true, compactEvery = 3)
+      try q.awaitTermination() finally q.stop()
+    }
+    val big = (0 until 200).map(i => s"sk$i" -> s"v$i")
+    kvParquet("d0", big) // v1: bootstrap full build (physical by definition)
+    drain()
+    kvParquet("d1", Seq("sk0" -> "a")) // v2: linked delta
+    drain()
+    kvParquet("d2", Seq("sk1" -> "b")) // v3: compaction slot -> copy-mode
+    drain()
+    kvParquet("d3", Seq("sk2" -> "c")) // v4: linked delta again
+    drain()
+    assert(store.latestVersion === 4L)
+    val dfs = new org.apache.hadoop.fs.Path(domRoot).getFileSystem(conf)
+    def links(v: Long) = graft.store.VersionedStore.readLinks(
+      dfs, new org.apache.hadoop.fs.Path(domRoot, v.toString))
+    assert(links(1L).isEmpty && links(3L).isEmpty,
+      "bootstrap + compaction versions must be self-contained")
+    assert(links(2L).nonEmpty && links(4L).nonEmpty,
+      "delta versions must be manifest-linked")
+    // v4's links point at the COMPACTED v3, never through it to v1/v2
+    assert(links(4L).values.toSet === Set(3L))
+    // content converges with the equivalent batch state
+    val got = store.read(spark)
+      .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === (big.toMap ++ Map("sk0" -> "a", "sk1" -> "b", "sk2" -> "c")).toSet)
+    // GC after the compaction: keep-1 retains v4 + its physical host v3,
+    // releases v1/v2 (the compaction is what makes the chain collectible)
+    store.versions.cleanup(1)
+    assert(store.versions.getAllVersions === Seq(4L, 3L))
+    assert(store.get(spark, "sk5".getBytes("UTF-8")).map(new String(_, "UTF-8")) === Some("v5"))
+  }
+
   test("streaming takedown: per-batch delete versions; replayed/absent keys are no-ops") {
     import org.apache.spark.sql.functions._
     import graft.functions._
