@@ -484,6 +484,33 @@ object Dedup {
    * is over the ~len/modulus anchor array, never an O(len) position
    * range), and only anchors reach a shuffle.
    */
+  /** The ONE anchored-fingerprint kernel (id, pos, fp) shared by the
+    * pair detector, the span cut, and the published fingerprint index —
+    * the three must fingerprint identically or probes miss what builds
+    * indexed (the Search.docIdLong one-definition rule). `pos` is the
+    * 1-based CODEPOINT position; `fp` the md5 hex of the minLen-codepoint
+    * run at it. Anchors are content-defined ([[graft.core.Anchors]]), so
+    * a shared run fingerprints identically wherever it sits. */
+  private def anchorOccurrences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      window: Int,
+      modulus: Int): DataFrame = {
+    require(window >= 1 && window <= minLen,
+      s"anchor window $window must be in [1, minLen=$minLen]")
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
+    df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .where(length(col("t")) >= minLen)
+      .select(col("id"), col("t"),
+        explode(graft.functions.anchor_positions(col("t"), window, modulus)).as("pos"))
+      // the anchor kernel emits every window position; fingerprints need
+      // minLen chars of runway
+      .where(col("pos") <= length(col("t")) - (minLen - 1))
+      .select(col("id"), col("pos"), md5(expr(s"substring(t, pos, $minLen)")).as("fp"))
+  }
+
   def sharedSubstringPairs(
       df: DataFrame,
       idCol: String,
@@ -492,18 +519,8 @@ object Dedup {
       window: Int = 8,
       modulus: Int = 16,
       maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
-    require(window >= 1 && window <= minLen,
-      s"anchor window $window must be in [1, minLen=$minLen]")
-    require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
-    val fp = df
-      .select(col(idCol).as("id"), col(textCol).as("t"))
-      .where(length(col("t")) >= minLen)
-      .select(col("id"), col("t"),
-        explode(graft.functions.anchor_positions(col("t"), window, modulus)).as("pos"))
-      // the anchor kernel emits every window position; fingerprints need
-      // minLen chars of runway
-      .where(col("pos") <= length(col("t")) - (minLen - 1))
-      .select(col("id"), md5(expr(s"substring(t, pos, $minLen)")).as("fp"))
+    val fp = anchorOccurrences(df, idCol, textCol, minLen, window, modulus)
+      .select(col("id"), col("fp"))
       .dropDuplicates("id", "fp")
     // Hot-fingerprint cap (the lshCandidates rule): a 64-char run shared
     // VERBATIM by B documents (legal footer, license header — exactly
@@ -571,17 +588,9 @@ object Dedup {
       minLen: Int = 64,
       window: Int = 8,
       modulus: Int = 16): DataFrame = {
-    require(window >= 1 && window <= minLen,
-      s"anchor window $window must be in [1, minLen=$minLen]")
-    require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
     val base = df.select(col(idCol).as("id"), col(textCol).as("t"))
     // the detector's exact fingerprint rows, with the anchor POSITION kept
-    val occ = base
-      .where(length(col("t")) >= minLen)
-      .select(col("id"), col("t"),
-        explode(graft.functions.anchor_positions(col("t"), window, modulus)).as("pos"))
-      .where(col("pos") <= length(col("t")) - (minLen - 1))
-      .select(col("id"), col("pos"), md5(expr(s"substring(t, pos, $minLen)")).as("fp"))
+    val occ = anchorOccurrences(df, idCol, textCol, minLen, window, modulus)
     // keeper of a fingerprint = its first occurrence in (id, pos) order;
     // a fingerprint occurring once is its own keeper and cuts nothing
     val keeper = occ.groupBy("fp").agg(min(struct(col("id"), col("pos"))).as("k"))
@@ -893,5 +902,183 @@ object Dedup {
         .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
         .localCheckpoint(true)
     } finally shIn.unpersist()
+  }
+
+  /** [[fpIndexKv]]'s `m:index-type` marker / spec-indexType value. */
+  val SpanIndexType = "fp-anchor"
+
+  /**
+   * Publish the corpus's anchored FINGERPRINTS as a KV domain — the
+   * shared-substring family's index twin (the fourth membership-index
+   * family beside the text band, image phash, and semantic cell
+   * indexes): key = the 16 raw md5 bytes of a minLen-codepoint anchored
+   * run, value = the comma-joined (string-sorted) member doc ids. An
+   * incoming delta then detects VERBATIM overlap against the corpus by
+   * POINT LOOKUP ([[sharedSubstringAgainstIndex]]) — no corpus
+   * re-anchoring, no re-shingling, no verify pass at all (fingerprints
+   * are exact at the minLen level: both sides hashed the same chars) —
+   * the decontamination/boilerplate-provenance check a daily delta runs
+   * against yesterday's corpus at 100 TB.
+   *
+   * The detector's hot-fingerprint cap applies at publish (a fingerprint
+   * shared by more than `maxBucket` docs is corpus-wide boilerplate, a
+   * [[TextAnalysis.boilerplateRemoval]] job, not a membership list) —
+   * and unlike the xxhash64 band index, md5 fingerprints ARE
+   * SQL-replayable, so the contract oracle replays the cap exactly
+   * (HAVING count <= cap, the phash/sem-family pattern; no fail-loud
+   * contract mode needed).
+   *
+   * Key-shape note (IndexMarker doc): raw md5 keys are 16 bytes — the
+   * `m:index-type` marker key is 12 bytes, so the two can never collide
+   * on EQUALITY even though a fingerprint's first byte can be 0x6D.
+   */
+  def fpIndexKv(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
+    import graft.functions.utf8_bytes
+    val fps = anchorOccurrences(corpus, idCol, textCol, minLen, window, modulus)
+      .select(col("id"), col("fp"))
+      .dropDuplicates("id", "fp")
+    LshBuckets.bounded(fps, Seq("fp"), maxBucket)
+      .groupBy(col("fp"))
+      .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
+      .select(unhex(col("fp")).as("key"), utf8_bytes(col("ids")).as("value"))
+      .unionByName(IndexMarker.row(corpus.sparkSession, SpanIndexType))
+  }
+
+  /**
+   * Detect verbatim >= minLen-codepoint overlap of `incoming` docs
+   * against a PUBLISHED [[fpIndexKv]] domain: anchor the incoming text,
+   * probe the fingerprints with hits-only point lookups (bounded probe
+   * set by the incremental contract — shard-pruned, bloom sidecars kill
+   * definite misses; a jumbo delta auto-switches to the co-shuffled
+   * join via multiGet's decision probe), and emit the oriented pairs.
+   * NO exact-verify stage exists or is needed — a fingerprint hit IS a
+   * shared minLen-char run (md5 over the same chars on both sides), so
+   * per-call cost is O(incoming anchors + hits) with the corpus never
+   * read. Same recall as [[sharedSubstringPairs]] on the same
+   * parameters: detection is probabilistic in run length via anchor
+   * density, exact at the fingerprint level, minus publish-time
+   * cap-dropped fingerprints (corpus-wide boilerplate — replayed by the
+   * oracle).
+   *
+   * Output: (delta_id, corpus_id), one row per overlapping pair. Ids
+   * must be integral and the id spaces disjoint (pairs are oriented
+   * incoming -> corpus) — both fail loud, the dedupAgainstIndex
+   * contract.
+   */
+  def sharedSubstringAgainstIndex(
+      store: graft.store.DomainStore,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    import graft.functions.bytes_utf8
+    IndexDelete.requireIntegralId(incoming, idCol, "sharedSubstringAgainstIndex")
+    IndexMarker.require(
+      store, incoming.sparkSession, SpanIndexType, "sharedSubstringAgainstIndex", "fpIndexKv")
+    val probes = anchorOccurrences(incoming, idCol, textCol, minLen, window, modulus)
+      .select(col("id").as("delta_id"), unhex(col("fp")).as("key"))
+      .dropDuplicates("delta_id", "key")
+      .localCheckpoint(true) // feeds the probe, the join, and the clash check
+    val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+    val cand = probes.join(hits, "key")
+      .select(col("delta_id"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
+      .select(col("delta_id"), col("cid").cast("long").as("corpus_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // oriented pairs require DISJOINT id spaces: a corpus id that also
+    // names an incoming doc would read as cross-corpus overlap when it
+    // may be the same document — fail loud (the dedupAgainstIndex rule)
+    val inIds = incoming.select(col(idCol).cast("long").as("_in_id"))
+    val clash = cand.join(inIds, col("corpus_id") === col("_in_id"), "left_semi")
+      .limit(1).collect()
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"sharedSubstringAgainstIndex: id ${clash(0).get(1)} appears on both the " +
+        "incoming and corpus sides — id spaces must be disjoint (pairs are " +
+        "oriented incoming -> corpus)")
+    cand
+  }
+
+  /**
+   * Incremental growth of a PUBLISHED [[fpIndexKv]] domain — fold a
+   * delta's anchored fingerprints in so tomorrow's probe sees today's
+   * accepts (the updater cycle every index family closes). Affected
+   * fingerprints merge by string-sorted id union (re-adding an indexed
+   * id is idempotent); untouched keys copy-forward (or link, under a
+   * linked-publish policy). A merge that would cross `maxBucket` fails
+   * loud naming the re-publish — a rebuild would DROP that fingerprint
+   * (the cap is the boilerplate rule) and an upsert has no tombstone.
+   * Byte-identical to a union rebuild exactly when no cap boundary is
+   * crossed, the bandIndexUpsert contract.
+   */
+  def fpIndexUpsert(
+      index: graft.store.DomainStore,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16,
+      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+    val spark = delta.sparkSession
+    import graft.functions.bytes_utf8
+    IndexMarker.require(index, spark, SpanIndexType, "fpIndexUpsert", "fpIndexKv")
+    val additions = fpIndexKv(delta, idCol, textCol, minLen, window, modulus,
+        maxBucket = Int.MaxValue)
+      .where(col("key") =!= lit(IndexMarker.Key))
+      .select(col("key"), bytes_utf8(col("value")).as("add"))
+      .persist()
+    val current = index
+      .multiGet(additions.select(col("key")), includeMisses = true)
+      .select(col("key"), bytes_utf8(col("value")).as("cur"))
+    val curIds = when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
+      .otherwise(split(col("cur"), ","))
+    val merged = additions.join(current, Seq("key"))
+      .select(col("key"),
+        array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
+      .select(col("key"),
+        graft.functions.utf8_bytes(
+          when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
+            .otherwise(raise_error(concat(
+              lit(s"fpIndexUpsert: a merged fingerprint exceeds maxBucket=$maxBucket "),
+              lit("members — the rebuild path would DROP it (corpus-wide "),
+              lit("boilerplate): re-publish with fpIndexKv instead")))))
+          .as("value"))
+    try index.upsert(spark, merged, newVersion)
+    finally additions.unpersist()
+  }
+
+  /**
+   * Takedown from a PUBLISHED [[fpIndexKv]] domain: content-addressed
+   * like every family's delete — the removed docs' fingerprint keys are
+   * re-derived with the build kernel, shrunken fingerprints upserted,
+   * emptied ones absent, ONE patch version. O(removed + affected keys).
+   */
+  def fpIndexDelete(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): Unit = {
+    val spark = removed.sparkSession
+    IndexDelete.requireIntegralId(removed, idCol, "fpIndexDelete")
+    IndexMarker.require(index, spark, SpanIndexType, "fpIndexDelete", "fpIndexKv")
+    IndexDelete.publishRemoval(
+      index,
+      IndexDelete.removalsFromBuild(
+        fpIndexKv(removed, idCol, textCol, minLen, window, modulus, maxBucket = Int.MaxValue)),
+      newVersion)
   }
 }

@@ -8,16 +8,18 @@ import org.apache.spark.sql.functions._
  * the CLAUDE.md rule born from the BM25/positional split: two index
  * types sharing a key scheme need a type authority, or an upsert/probe
  * aimed at the wrong domain silently pollutes (or returns empty). The
- * text band index, the image phash band index, and the semantic cell
- * index all publish binary composite keys of compatible shapes and
- * comma-joined value cells whose GRAMMAR differs (`id` vs `id:phash`),
- * so `m:index-type` is the only thing separating them: every build
- * publishes it, every probe/upsert verifies it FIRST and fails loud
- * naming both types on a mismatch.
+ * text band index, the image phash band index, the semantic cell
+ * index, and the anchored-fingerprint index all publish binary keys of
+ * compatible shapes and comma-joined value cells whose GRAMMAR differs
+ * (`id` vs `id:phash`), so `m:index-type` is the only thing separating
+ * them: every build publishes it, every probe/upsert verifies it FIRST
+ * and fails loud naming both types on a mismatch.
  *
- * Collision-free by construction: real index keys start with a
- * big-endian band/cell integer whose first byte is 0x00 (bands < 256,
- * cells < 2^planes), while the marker key starts with 'm' (0x6D).
+ * Collision-free by construction: band/cell index keys start with a
+ * big-endian integer whose first byte is 0x00 (bands < 256, cells <
+ * 2^planes), while the marker key starts with 'm' (0x6D); the
+ * fingerprint index's raw-md5 keys can start with any byte but are 16
+ * bytes long — the 12-byte marker key can never EQUAL one.
  */
 private[graft] object IndexMarker {
 

@@ -115,6 +115,27 @@ object PipelineQueries {
       imageIndexStore(s, dir)
       imageIndexProbe(s, dir)
     },
+    // The VERBATIM-OVERLAP twin of pipeline_dedup_index: the corpus's
+    // anchored shared-substring fingerprints (winnowing, md5 of each
+    // anchored 64-codepoint run) PUBLISHED AS A KV DOMAIN, and an
+    // incoming delta detects exact >= 64-char overlap against it by
+    // POINT LOOKUP alone — no corpus re-anchoring and NO verify stage
+    // (a fingerprint hit IS a shared run; the set-similarity families
+    // structurally miss this overlap class). The contamination /
+    // boilerplate-provenance probe a daily delta runs against
+    // yesterday's corpus at 100 TB. md5 fingerprints are SQL-replayable,
+    // so the oracle replays anchoring, the publish-time hot-fingerprint
+    // cap, and the oriented candidate join exactly.
+    "pipeline_span_index" -> { (s, dir) =>
+      spanIndexStore(s, dir)
+      Dedup.sharedSubstringAgainstIndex(
+        spanIndexStore(s, dir),
+        Fixtures.table(s, dir, "documents").where(col("doc_id") % DeltaMod === 0),
+        "doc_id", "text",
+        minLen = DedupQueries.SubstringMinLen,
+        window = DedupQueries.SubstringWindow,
+        modulus = DedupQueries.SubstringModulus)
+    },
     // The composed IMAGE filter recipe — the multimodal twin of
     // pipeline_corpus_filter (VERDICT r11 task 5): decode → quality gate
     // (per-row column math, no shuffle) → perceptual near-dup DROP
@@ -331,6 +352,27 @@ object PipelineQueries {
     * the indexer, mightContain is constantly true and the advertised
     * zero-I/O miss path never runs. Exposed separately so Bench can
     * attribute build vs probe time (VERDICT r3 task 7). */
+  /** The BUILD half of pipeline_span_index: publish the corpus's anchored
+    * fingerprints as a KV domain (bloom sidecars for the probe's misses,
+    * like every index fixture). The md5 fingerprints are SQL-replayable,
+    * so — unlike the band index — the publish keeps the documented
+    * cap-dropping default and the oracle replays the cap. */
+  def spanIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
+    val spec = DomainSpec(
+      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
+      indexType = Dedup.SpanIndexType)
+    Fixtures.domain(s, dir, "span-fp-index", spec) { (st, sp) =>
+      st.write(
+        Dedup.fpIndexKv(
+          Fixtures.table(sp, dir, "documents").where(col("doc_id") % DeltaMod =!= 0),
+          "doc_id", "text",
+          minLen = DedupQueries.SubstringMinLen,
+          window = DedupQueries.SubstringWindow,
+          modulus = DedupQueries.SubstringModulus),
+        version = 1L)
+    }
+  }
+
   def dedupIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
       numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
@@ -635,6 +677,31 @@ object PipelineQueries {
          |  WHERE a.media_id % $DeltaMod = 0 AND b2.media_id % $DeltaMod != 0)
          |SELECT delta_id, corpus_id, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
          |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
+    // Delta-vs-corpus verbatim overlap served from the published
+    // fingerprint index — the dedup_shared_substring anchor/fingerprint
+    // replay with the candidate join ORIENTED (delta side a, corpus side
+    // b) and the publish-time cap on the CORPUS side (fpIndexKv drops
+    // fingerprints shared by > MaxBucket corpus docs, so probes of them
+    // miss — same replay rule as the phash/sem index oracles).
+    "pipeline_span_index" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, greatest(length(text) - ${DedupQueries.SubstringMinLen - 1}, 0) + 1)) AS i
+         |  FROM documents WHERE length(text) >= ${DedupQueries.SubstringMinLen}),
+         |anch AS (
+         |  SELECT doc_id, md5(substr(text, CAST(i AS INT), ${DedupQueries.SubstringMinLen})) AS fp
+         |  FROM pos
+         |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(c) AS BIGINT) FOR c IN
+         |        list_filter(string_split(substr(text, CAST(i AS INT), ${DedupQueries.SubstringWindow}), ''), x -> x != '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % ${DedupQueries.SubstringModulus} = 0),
+         |f AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM anch),
+         |fok AS (SELECT fp FROM f WHERE doc_id % $DeltaMod != 0
+         |        GROUP BY fp HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket})
+         |SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS corpus_id
+         |FROM f a JOIN f b ON a.fp = b.fp
+         |JOIN fok ON fok.fp = a.fp
+         |WHERE a.doc_id % $DeltaMod = 0 AND b.doc_id % $DeltaMod != 0""".stripMargin,
     // The composed image filter replayed end to end: aHash + banding
     // (the shared PhashBandCtes), the keep-min-id drop set (id_b of any
     // hamming <= 3 pair), and the pixel-formula quality gates — one

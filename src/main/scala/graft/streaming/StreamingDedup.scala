@@ -132,6 +132,26 @@ object StreamingDedup {
       })
       .start()
 
+  /** The FINGERPRINT twin of [[growIndexStream]]: each micro-batch of
+    * accepted documents folds its anchored fingerprints into a published
+    * [[graft.operators.Dedup.fpIndexKv]] domain, so the next delta's
+    * [[graft.operators.Dedup.sharedSubstringAgainstIndex]] probe sees
+    * today's accepts too. Same version/replay protocol. */
+  def growFpIndexStream(
+      index: DomainStore,
+      docStream: DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String): StreamingQuery =
+    docStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Dedup.fpIndexUpsert(index, batch, "doc_id", "text", newVersion = version)
+      })
+      .start()
+
   /** The IMAGE twin of [[growIndexStream]]: each micro-batch of accepted
     * image hashes (media_id, phash — e.g. `Multimodal.imageHashes` run on
     * the arriving media) folds its pigeonhole band entries into a

@@ -862,6 +862,80 @@ class OperatorsSpec extends SparkSuite {
     assert(messages(e).exists(_.contains("re-band")), messages(e).mkString(" | "))
   }
 
+  test("fingerprint index: probe == oriented pairs, upsert/delete == rebuild, guards loud") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val rnd = new scala.util.Random(41)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // two planted 200-char runs: run1 in base docs 1,2 and delta doc 100;
+    // run2 in base doc 3 and delta doc 104; docs 4/108 are noise
+    val (run1, run2) = (randText(200), randText(200))
+    val baseDocs = Seq(
+      1L -> (randText(300) + run1 + randText(100)),
+      2L -> (randText(50) + run1 + randText(350)),
+      3L -> (randText(200) + run2 + randText(200)),
+      4L -> randText(600)).toDF("doc_id", "text")
+    val deltaDocs = Seq(
+      100L -> (randText(120) + run1 + randText(280)),
+      104L -> (run2 + randText(400)),
+      108L -> randText(600)).toDF("doc_id", "text")
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted,
+      indexType = Dedup.SpanIndexType)
+
+    val idx = graft.store.DomainStore.create(scratch("fp-idx/inc"), spec, conf)
+    idx.write(Dedup.fpIndexKv(baseDocs, "doc_id", "text"), 1L)
+    def probe(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Dedup.sharedSubstringAgainstIndex(idx, df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the indexed probe equals the direct detector's oriented cross pairs
+    val direct = Dedup.sharedSubstringPairs(
+        baseDocs.unionByName(deltaDocs), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oriented = direct.collect {
+      case (a, b) if a < 100 && b >= 100 => (b, a)
+      case (a, b) if a >= 100 && b < 100 => (a, b)
+    }
+    assert(oriented === Set((100L, 1L), (100L, 2L), (104L, 3L)))
+    assert(probe(deltaDocs) === oriented)
+
+    // upsert == rebuild on the union, byte-identical
+    Dedup.fpIndexUpsert(idx, deltaDocs, "doc_id", "text", newVersion = 2L)
+    val full = graft.store.DomainStore.create(scratch("fp-idx/full"), spec, conf)
+    full.write(Dedup.fpIndexKv(baseDocs.unionByName(deltaDocs), "doc_id", "text"), 1L)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(pairs(idx) === pairs(full))
+    assert(pairs(idx).size > 1) // fingerprints + the marker row
+
+    // delete == rebuild on corpus-minus-removed, byte-identical; the
+    // removed doc's pairs stop surfacing on the next probe
+    val idx2 = graft.store.DomainStore.create(scratch("fp-idx/del"), spec, conf)
+    idx2.write(Dedup.fpIndexKv(baseDocs, "doc_id", "text"), 1L)
+    Dedup.fpIndexDelete(idx2, baseDocs.where(col("doc_id") === 1L), "doc_id", "text", 2L)
+    val minus = graft.store.DomainStore.create(scratch("fp-idx/minus"), spec, conf)
+    minus.write(Dedup.fpIndexKv(baseDocs.where(col("doc_id") =!= 1L), "doc_id", "text"), 1L)
+    assert(pairs(idx2) === pairs(minus))
+    val afterDel = Dedup.sharedSubstringAgainstIndex(idx2, deltaDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(afterDel === Set((100L, 2L), (104L, 3L)))
+
+    // overlapping id spaces fail loud (oriented pairs need disjointness)
+    val clashing = Seq(1L -> (randText(10) + run1 + randText(40))).toDF("doc_id", "text")
+    val eClash = intercept[IllegalArgumentException](probe(clashing))
+    assert(eClash.getMessage.contains("disjoint"), eClash.getMessage)
+    // and a probe aimed at a different index family fails loud by type
+    val band = graft.store.DomainStore.create(
+      scratch("fp-idx/band"),
+      spec.copy(indexType = Dedup.BandIndexType), conf)
+    band.write(Dedup.bandIndexKv(baseDocs, "doc_id", "text"), 1L)
+    val eType = intercept[IllegalArgumentException](
+      Dedup.sharedSubstringAgainstIndex(band, deltaDocs, "doc_id", "text").collect())
+    assert(eType.getMessage.contains(Dedup.BandIndexType), eType.getMessage)
+  }
+
   test("image phash index: probe == banded pairs, upsert == rebuild, cap + overlap fail loud") {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration()

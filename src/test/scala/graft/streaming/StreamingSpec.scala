@@ -300,6 +300,22 @@ class StreamingSpec extends SparkSuite {
       docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text"), 1L)
     assert(pairs(bandIndex) === pairs(bandFull) && pairs(bandIndex).nonEmpty)
 
+    // fingerprint index growth (the verbatim-overlap twin)
+    val fpSrc = scratch("stream-fp-src")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(fpSrc))
+    val fpIndex = graft.store.DomainStore.create(scratch("stream-fp-dom"), spec, conf)
+    fpIndex.write(graft.operators.Dedup.fpIndexKv(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text"), 1L)
+    docs.where(col("doc_id") % 3 === 1).coalesce(1).write.parquet(s"$fpSrc/d0")
+    val qFp = StreamingDedup.growFpIndexStream(
+      fpIndex, spark.readStream.schema(docs.schema).parquet(s"$fpSrc/*"),
+      baseVersion = 1L, checkpointDir = scratch("stream-fp-ckpt"), queryName = "fp_grow")
+    try qFp.awaitTermination() finally qFp.stop()
+    val fpFull = graft.store.DomainStore.create(scratch("stream-fp-full"), spec, conf)
+    fpFull.write(graft.operators.Dedup.fpIndexKv(
+      docs.where(col("doc_id") % 3 =!= 2), "doc_id", "text"), 1L)
+    assert(pairs(fpIndex) === pairs(fpFull) && pairs(fpIndex).nonEmpty)
+
     // image phash-band index growth (the image twin of the band index)
     def hashesOf(ids: org.apache.spark.sql.DataFrame) =
       graft.operators.Multimodal.imageHashes(
