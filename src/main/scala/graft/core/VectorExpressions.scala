@@ -530,8 +530,8 @@ case class DenseScatterExpr(child: Expression, dim: Int)
 }
 
 object Anchors {
-  val Prime = 1000000007L
-  val Base = 31L
+  val Prime = AnchorMath.Prime
+  val Base = AnchorMath.Base
 
   /**
    * Content-defined anchor positions (1-based) for winnowing-style
@@ -551,31 +551,11 @@ object Anchors {
    * after the first non-BMP character and fingerprint different text on
    * the two sides.
    */
-  def anchorPositions(s: org.apache.spark.unsafe.types.UTF8String, window: Int, modulus: Int): ArrayData = {
-    val cps = s.toString.codePoints().toArray
-    val n = cps.length
-    val out = scala.collection.mutable.ArrayBuffer[Int]()
-    if (n >= window) {
-      var pow = 1L // Base^(window-1) mod Prime
-      var i = 0
-      while (i < window - 1) { pow = pow * Base % Prime; i += 1 }
-      var h = 0L
-      i = 0
-      while (i < window) { h = (h * Base + cps(i)) % Prime; i += 1 }
-      var pos = 0 // 0-based window start
-      var done = false
-      while (!done) {
-        if (h % modulus == 0) out += pos + 1
-        if (pos + window >= n) done = true
-        else {
-          h = ((h - cps(pos) * pow % Prime + Prime) % Prime * Base +
-            cps(pos + window)) % Prime
-          pos += 1
-        }
-      }
-    }
-    ArrayData.toArrayData(out.toArray)
-  }
+  def anchorPositions(s: org.apache.spark.unsafe.types.UTF8String, window: Int, modulus: Int): ArrayData =
+    // the math lives in the Spark-free AnchorMath (ONE kernel definition,
+    // shared with the serving-side OverlapReader probe)
+    ArrayData.toArrayData(
+      AnchorMath.positions(s.toString.codePoints().toArray, window, modulus))
 }
 
 /**

@@ -904,8 +904,9 @@ object Dedup {
     } finally shIn.unpersist()
   }
 
-  /** [[fpIndexKv]]'s `m:index-type` marker / spec-indexType value. */
-  val SpanIndexType = "fp-anchor"
+  /** [[fpIndexKv]]'s `m:index-type` marker / spec-indexType value —
+    * ONE definition, owned by the Spark-free serving side. */
+  val SpanIndexType: String = graft.store.OverlapReader.IndexType
 
   /**
    * Publish the corpus's anchored FINGERPRINTS as a KV domain — the
