@@ -530,8 +530,7 @@ case class DenseScatterExpr(child: Expression, dim: Int)
 }
 
 object Anchors {
-  val Prime = AnchorMath.Prime
-  val Base = AnchorMath.Base
+  // the anchor constants live in the Spark-free AnchorMath (one home)
 
   /**
    * Content-defined anchor positions (1-based) for winnowing-style

@@ -39,17 +39,28 @@ final class OverlapReader(
   // Index-type gate, Spark-free: the spec field is the authority
   // (declared at store creation); pre-field domains fall back to the
   // in-data m:index-type marker — one point lookup. Either way a wrong
-  // family fails loud here, never as silently-empty probes.
+  // family fails loud here, never as silently-empty probes. On a gate
+  // failure the handed-in reader is CLOSED before the throw — the caller
+  // constructed it solely for this wrapper (`new OverlapReader(
+  // KvDomainReader.open(...))`) and has no other reference, so leaving
+  // it open would leak its shard handles per failed construction (a
+  // daemon retrying against a mid-deploy domain leaks a set per attempt).
   locally {
     val expected = OverlapReader.IndexType
+    def fail(msg: String): Nothing = {
+      try index.close() catch { case _: Exception => () }
+      throw new IllegalArgumentException(msg)
+    }
     index.spec.indexTypeOption match {
       case Some(t) if t == expected => ()
-      case Some(other) => throw new IllegalArgumentException(
+      case Some(other) => fail(
         s"OverlapReader: domain is a '$other' index, not '$expected' — " +
           "this reader serves fpIndexKv domains only")
       case None =>
-        val marker = index.get("m:index-type".getBytes(UTF_8)).map(new String(_, UTF_8))
-        if (!marker.contains(expected)) throw new IllegalArgumentException(
+        val marker =
+          try index.get("m:index-type".getBytes(UTF_8)).map(new String(_, UTF_8))
+          catch { case e: Throwable => try index.close() catch { case _: Exception => () }; throw e }
+        if (!marker.contains(expected)) fail(
           s"OverlapReader: domain carries index-type ${marker.getOrElse("<none>")}, " +
             s"not '$expected' — not built by fpIndexKv (or a pre-marker build)")
     }

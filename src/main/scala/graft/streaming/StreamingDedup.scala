@@ -142,13 +142,22 @@ object StreamingDedup {
       docStream: DataFrame,
       baseVersion: Long,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      // MUST match the index build's geometry: these parameters define
+      // the fingerprint KEY BYTES themselves (unlike the band twin's
+      // maxBucket, which only affects loudness) — growing a
+      // minLen=128 index with the defaults would silently fold in
+      // 64-codepoint fingerprints no probe at 128 ever matches
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): StreamingQuery =
     docStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
-        graft.operators.Dedup.fpIndexUpsert(index, batch, "doc_id", "text", newVersion = version)
+        graft.operators.Dedup.fpIndexUpsert(index, batch, "doc_id", "text",
+          newVersion = version, minLen = minLen, window = window, modulus = modulus)
       })
       .start()
 

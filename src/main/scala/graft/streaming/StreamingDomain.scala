@@ -78,19 +78,28 @@ object StreamingDomain {
     * exactly what an at-least-once replayed batch needs). Requires a
     * published base version — deleting from a domain that was never
     * built is a wiring error, not a bootstrap. */
+  /** `linked`/`compactEvery` as on [[upsertStream]] — a long-running
+    * linked takedown stream accretes retained versions exactly like the
+    * upsert stream, so it gets the same periodic copy-mode
+    * re-materialization escape. */
   def deleteStream(
       store: DomainStore,
       keyStream: DataFrame,
       baseVersion: Long,
       queryName: String,
       checkpointDir: String,
-      linked: Boolean = false): StreamingQuery =
+      linked: Boolean = false,
+      compactEvery: Int = 0): StreamingQuery = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     keyStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(store, baseVersion) { (batch, version) =>
-        store.delete(batch.sparkSession, batch, version, linked = linked)
+        val linkThis = linked &&
+          (compactEvery == 0 || (version - baseVersion) % compactEvery != 0)
+        store.delete(batch.sparkSession, batch, version, linked = linkThis)
       })
       .start()
+  }
 }

@@ -37,25 +37,31 @@ class OverlapReaderSpec extends SparkSuite {
     val reader = new OverlapReader(KvDomainReader.open(root, conf))
     try {
       // probe texts: run1 carrier (hits docs 1+2), run2 carrier (doc 3),
-      // clean text (no hits), short text (no anchors possible)
+      // clean text (no hits), short text (no anchors possible), and a
+      // NON-BMP probe — the emoji before the run shifts every UTF-16
+      // unit after it, so a code-unit bug in the READER's own extraction
+      // (AnchorMath input or the codepoint substring) would fingerprint
+      // different text than the Spark side and silently disagree
       val probes = Seq(
         100L -> (randText(80) + run1 + randText(20)),
         101L -> ("x" + run2),
         102L -> randText(500),
-        103L -> "too short")
+        103L -> "too short",
+        104L -> ("🚀" + randText(19) + run1 + randText(60)))
       // Spark-side truth for the same delta through the SAME domain
       val sparkPairs = Dedup.sharedSubstringAgainstIndex(
           store, probes.toDF("doc_id", "text"), "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(sparkPairs === Set((100L, 1L), (100L, 2L), (101L, 3L)))
+      assert(sparkPairs === Set((100L, 1L), (100L, 2L), (101L, 3L),
+        (104L, 1L), (104L, 2L)))
       probes.foreach { case (pid, text) =>
         val served = reader.overlapping(text)
         val expected = sparkPairs.collect { case (`pid`, c) => c }.toSeq.sorted
         assert(served === expected, s"probe $pid drifted: $served vs $expected")
         assert(reader.isContaminated(text) === expected.nonEmpty)
       }
-      // fingerprint keys equal the Spark kernel's for a non-BMP text
-      val text = probes(0)._2
+      // fingerprint keys equal the Spark kernel's for the NON-BMP probe
+      val text = probes(4)._2
       val sparkFps = Seq(text).toDF("text").select(col("text"))
         .select(explode(graft.functions.anchor_positions(col("text"), 8, 16)).as("pos"),
           col("text"))
@@ -73,8 +79,13 @@ class OverlapReaderSpec extends SparkSuite {
     val band = DomainStore.create(
       bandRoot, spec.copy(indexType = Dedup.BandIndexType), conf)
     band.write(Dedup.bandIndexKv(corpus, "doc_id", "text"), 1L)
-    val e = intercept[IllegalArgumentException](
-      new OverlapReader(KvDomainReader.open(bandRoot, conf)))
+    val inner = KvDomainReader.open(bandRoot, conf)
+    val e = intercept[IllegalArgumentException](new OverlapReader(inner))
     assert(e.getMessage.contains(Dedup.BandIndexType), e.getMessage)
+    // ...and the gate CLOSED the handed-in reader before throwing (the
+    // caller holds no other reference in the open(...) idiom — an open
+    // reader here is a shard-handle leak per failed construction)
+    val closed = intercept[IllegalStateException](inner.get("x".getBytes("UTF-8")))
+    assert(closed.getMessage.contains("closed"), closed.getMessage)
   }
 }
