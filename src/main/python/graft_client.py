@@ -37,6 +37,7 @@ Usage as a CLI (values print as UTF-8 with backslash escapes):
     graft_client.py HOST PORT update-all
     graft_client.py HOST PORT metrics
     graft_client.py HOST PORT meta DOMAIN
+    graft_client.py HOST PORT overlap DOMAIN TEXT
 """
 
 import socket
@@ -535,6 +536,70 @@ class GraftClient:
             }
         return self._round_trip(_OP_META, self.domain, lambda c: None, body)
 
+    def overlapping(self, text, min_len=64, window=8, modulus=16):
+        """Indexed corpus doc ids sharing an exact >= min_len-codepoint
+        run with `text`, ascending — the admission-time contamination
+        probe against a published fp-anchor index domain (the Python
+        twin of the JVM OverlapReader): one local anchor pass, one
+        batched multi_get over the fingerprint keys, no verify stage
+        (a fingerprint hit IS a shared run)."""
+        fps = anchor_fingerprints(text, min_len, window, modulus)
+        if not fps:
+            return []
+        ids = set()
+        for v in self.multi_get(fps):
+            if v is not None and v is not _NULL_VALUE:
+                for part in v.decode("utf-8").split(","):
+                    ids.add(int(part))
+        return sorted(ids)
+
+
+# ---------------------------------------------------------------- overlap
+
+# The anchored-fingerprint kernel of the fp-anchor index family
+# (graft.core.AnchorMath + Dedup.fpIndexKv), replicated in pure Python:
+# Python 3 str indexes by CODEPOINT (like Spark substring and the JVM
+# kernel's codePoints array), so positions line up exactly.
+_ANCHOR_PRIME = 1000000007
+_ANCHOR_BASE = 31
+
+
+def anchor_fingerprints(text, min_len=64, window=8, modulus=16):
+    """The text's fp-anchor index keys: 16 raw md5 bytes per anchored
+    min_len-codepoint run, distinct, in first-occurrence order. Position
+    i (1-based) anchors iff the rolling hash of the window starting
+    there is 0 mod modulus; parameters MUST match the index build's
+    (they shape the key bytes themselves)."""
+    import hashlib
+    if window < 1 or window > min_len:
+        raise ValueError(f"window {window} must be in [1, min_len={min_len}]")
+    if modulus < 1:
+        raise ValueError(f"modulus must be >= 1, got {modulus}")
+    n = len(text)
+    if n < min_len:
+        return []
+    cps = [ord(c) for c in text]
+    max_pos = n - (min_len - 1)  # 1-based runway bound
+    out, seen = [], set()
+    pow_w = pow(_ANCHOR_BASE, window - 1, _ANCHOR_PRIME)
+    h = 0
+    for i in range(window):
+        h = (h * _ANCHOR_BASE + cps[i]) % _ANCHOR_PRIME
+    pos = 0  # 0-based window start
+    while True:
+        if h % modulus == 0 and pos + 1 <= max_pos:
+            digest = hashlib.md5(
+                text[pos:pos + min_len].encode("utf-8")).digest()
+            if digest not in seen:
+                seen.add(digest)
+                out.append(digest)
+        if pos + window >= n:
+            break
+        h = ((h - cps[pos] * pow_w) % _ANCHOR_PRIME * _ANCHOR_BASE
+             + cps[pos + window]) % _ANCHOR_PRIME
+        pos += 1
+    return out
+
 
 class _NullValue:
     """Sentinel for a key that is PRESENT with a null value — distinct
@@ -597,6 +662,10 @@ def main(argv):
                   "scheme={shard_scheme} indexer={indexer}".format(**m))
             for shard, records in m["shards"]:
                 print(f"shard={shard}\trecords={records}")
+    elif cmd == "overlap":
+        with GraftClient(host, port, args[0]) as c:
+            hits = c.overlapping(args[1])
+            print(" ".join(str(i) for i in hits) if hits else "(clean)")
     elif cmd == "metrics":
         with GraftClient(host, port) as c:
             for name, value in sorted(c.metrics().items()):

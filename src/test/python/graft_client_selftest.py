@@ -45,7 +45,7 @@ def main(host, port):
 
     with GraftClient(host, port) as census:
         names = census.domains()
-        check(names == ["docs", "users"], f"census {names}")
+        check(names == ["docs", "fpidx", "users"], f"census {names}")
         statuses = {d["name"]: d for d in census.status_all()}
         check(statuses["users"]["status"] == "ready", f"users status {statuses}")
         check(statuses["users"]["served_version"] == 1, "users version")
@@ -118,7 +118,7 @@ def main(host, port):
         except RemoteServingError as e:
             check("no-such-domain" in e.remote_message, f"error message {e}")
         # ... and the CLIENT stays usable (fresh dial under the hood)
-        check(bad.domains() == ["docs", "users"], "client unusable after error frame")
+        check(bad.domains() == ["docs", "fpidx", "users"], "client unusable after error frame")
 
     # domain metadata (reference getDomainMetaData): spec + versions +
     # hosted shard census with record counts

@@ -57,6 +57,28 @@ class PyClientSpec extends SparkSuite {
         .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value")),
       1L)
 
+    // a published fp-anchor index domain for the cross-language overlap
+    // probe: one planted 200-char run shared by corpus docs 1 and 2
+    val rnd = new scala.util.Random(47)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val run200 = randText(200)
+    val probeHit = randText(30) + run200 + randText(30)
+    val probeEmoji = "😀" + randText(9) + run200
+    val probeClean = randText(300)
+    val fpidx = DomainStore.create(
+      s"$dbRoot/fpidx",
+      DomainSpec(4, persistenceFormat = DomainSpec.KvSorted,
+        indexType = graft.operators.Dedup.SpanIndexType), conf)
+    fpidx.write(
+      graft.operators.Dedup.fpIndexKv(
+        Seq(
+          1L -> (randText(100) + run200 + randText(100)),
+          2L -> (run200 + randText(250)),
+          3L -> randText(500)).toDF("doc_id", "text"),
+        "doc_id", "text"),
+      1L)
+
     val handle = Serve.start(dbRoot, conf, refreshMillis = 0L, log = _ => ())
     try {
       val port = handle.boundPort.toString
@@ -70,7 +92,7 @@ class PyClientSpec extends SparkSuite {
       assert(run("python3", "/root/repo/src/main/python/graft_client.py",
         "127.0.0.1", port, "get", "users", "u1") === ((0, "ada\n")))
       assert(run("python3", "/root/repo/src/main/python/graft_client.py",
-        "127.0.0.1", port, "domains") === ((0, "docs\nusers\n")))
+        "127.0.0.1", port, "domains") === ((0, "docs\nfpidx\nusers\n")))
       val (sc, sout) = run("python3", "/root/repo/src/main/python/graft_client.py",
         "127.0.0.1", port, "status")
       assert(sc === 0)
@@ -89,6 +111,27 @@ class PyClientSpec extends SparkSuite {
       // 5 keys over 4 shards leave one shard empty → absent from the
       // census (present shards only, like the dashboard's table)
       assert(mout.linesIterator.count(_.startsWith("shard=")) === 3, mout)
+
+      // the OVERLAP probe: the Python-side anchor/md5 kernel must agree
+      // with the JVM OverlapReader on the SAME served domain — the
+      // cross-language proof for the fp-anchor index family (incl. a
+      // non-BMP probe, where a code-unit kernel would silently diverge)
+      val jvm = new graft.store.OverlapReader(
+        graft.store.KvDomainReader.open(s"$dbRoot/fpidx", conf))
+      try {
+        Seq(probeHit, probeEmoji, probeClean).foreach { text =>
+          val expected = jvm.overlapping(text)
+          val (oc, oout) = run("python3", "/root/repo/src/main/python/graft_client.py",
+            "127.0.0.1", port, "overlap", "fpidx", text)
+          assert(oc === 0, oout)
+          val got =
+            if (oout.trim == "(clean)") IndexedSeq.empty[Long]
+            else oout.trim.split(" ").map(_.toLong).toIndexedSeq
+          assert(got === expected, s"python overlap drifted on '${text.take(20)}…'")
+          assert(text != probeHit || expected.nonEmpty, "hit probe found nothing")
+          assert(text != probeClean || expected.isEmpty, "clean probe hit")
+        }
+      } finally jvm.close()
     } finally handle.close()
   }
 }
