@@ -37,7 +37,7 @@ Usage as a CLI (values print as UTF-8 with backslash escapes):
     graft_client.py HOST PORT update-all
     graft_client.py HOST PORT metrics
     graft_client.py HOST PORT meta DOMAIN
-    graft_client.py HOST PORT overlap DOMAIN TEXT
+    graft_client.py HOST PORT overlap DOMAIN TEXT [MIN_LEN [WINDOW [MODULUS]]]
 """
 
 import socket
@@ -542,13 +542,25 @@ class GraftClient:
         probe against a published fp-anchor index domain (the Python
         twin of the JVM OverlapReader): one local anchor pass, one
         batched multi_get over the fingerprint keys, no verify stage
-        (a fingerprint hit IS a shared run)."""
+        (a fingerprint hit IS a shared run). min_len/window/modulus MUST
+        match the index build's — they define the key bytes themselves.
+
+        Fails loud on a wrong-family domain (the JVM gate's twin): a
+        band/phash/sem index or plain KV domain would otherwise read as
+        silently '(clean)' for genuinely contaminated text."""
+        marker = self.get(b"m:index-type")
+        if marker != b"fp-anchor":
+            got = "<none>" if marker is None else marker.decode(
+                "utf-8", errors="backslashreplace")
+            raise ValueError(
+                f"overlapping: domain '{self.domain}' carries index-type "
+                f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
         fps = anchor_fingerprints(text, min_len, window, modulus)
         if not fps:
             return []
         ids = set()
         for v in self.multi_get(fps):
-            if v is not None and v is not _NULL_VALUE:
+            if v is not None:
                 for part in v.decode("utf-8").split(","):
                     ids.add(int(part))
         return sorted(ids)
@@ -663,8 +675,13 @@ def main(argv):
             for shard, records in m["shards"]:
                 print(f"shard={shard}\trecords={records}")
     elif cmd == "overlap":
+        # overlap DOMAIN TEXT [MIN_LEN [WINDOW [MODULUS]]] — the geometry
+        # MUST match the index build's (it defines the key bytes)
         with GraftClient(host, port, args[0]) as c:
-            hits = c.overlapping(args[1])
+            min_len = int(args[2]) if len(args) > 2 else 64
+            window = int(args[3]) if len(args) > 3 else 8
+            modulus = int(args[4]) if len(args) > 4 else 16
+            hits = c.overlapping(args[1], min_len, window, modulus)
             print(" ".join(str(i) for i in hits) if hits else "(clean)")
     elif cmd == "metrics":
         with GraftClient(host, port) as c:

@@ -32,10 +32,6 @@ final class OverlapReader(
     window: Int = 8,
     modulus: Int = 16) extends AutoCloseable {
 
-  require(window >= 1 && window <= minLen,
-    s"anchor window $window must be in [1, minLen=$minLen]")
-  require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
-
   // Index-type gate, Spark-free: the spec field is the authority
   // (declared at store creation); pre-field domains fall back to the
   // in-data m:index-type marker — one point lookup. Either way a wrong
@@ -51,6 +47,13 @@ final class OverlapReader(
       try index.close() catch { case _: Exception => () }
       throw new IllegalArgumentException(msg)
     }
+    // parameter requires route through the SAME close-first helper: a
+    // bad-geometry construction under the open(...) idiom must not leak
+    // the reader any more than a wrong-family one
+    if (!(window >= 1 && window <= minLen))
+      fail(s"anchor window $window must be in [1, minLen=$minLen]")
+    if (modulus < 1)
+      fail(s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
     index.spec.indexTypeOption match {
       case Some(t) if t == expected => ()
       case Some(other) => fail(

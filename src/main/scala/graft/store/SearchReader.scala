@@ -33,16 +33,27 @@ final class SearchReader(val index: KvDomainReader) extends AutoCloseable {
   private val (nDocs: Long, totalToks: Long) = {
     // positional domains publish m:stats too (ranked fusion) — the type
     // marker, not stats presence, decides; a positional domain here
-    // would otherwise serve silently empty rankings (no t: keys)
-    if (index.get(utf8(PosMetaKey)).isDefined)
-      throw new IllegalStateException(
-        s"'$PosMetaKey' marker present — this is a positional-index domain; " +
-          "phrase serving is PhraseReader, BM25 needs an invertedIndexKv domain")
-    val raw = index.get(utf8(MetaKey)).getOrElse(throw new IllegalStateException(
-      s"not a search-index domain: no '$MetaKey' record (build with " +
-        "Search.invertedIndexKv)"))
-    val parts = str(raw).split(",")
-    (parts(0).toLong, parts(1).toLong)
+    // would otherwise serve silently empty rankings (no t: keys). Any
+    // gate failure CLOSES the handed-in reader before the throw — under
+    // the `new SearchReader(KvDomainReader.open(...))` idiom the caller
+    // holds no other reference, so an open reader per failed
+    // construction is a shard-handle leak (the OverlapReader gate
+    // contract, family-wide).
+    try {
+      if (index.get(utf8(PosMetaKey)).isDefined)
+        throw new IllegalStateException(
+          s"'$PosMetaKey' marker present — this is a positional-index domain; " +
+            "phrase serving is PhraseReader, BM25 needs an invertedIndexKv domain")
+      val raw = index.get(utf8(MetaKey)).getOrElse(throw new IllegalStateException(
+        s"not a search-index domain: no '$MetaKey' record (build with " +
+          "Search.invertedIndexKv)"))
+      val parts = str(raw).split(",")
+      (parts(0).toLong, parts(1).toLong)
+    } catch {
+      case e: Throwable =>
+        try index.close() catch { case _: Exception => () }
+        throw e
+    }
   }
 
   /** Corpus-level constants, as published. */

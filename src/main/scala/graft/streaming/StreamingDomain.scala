@@ -77,8 +77,9 @@ object StreamingDomain {
     * that are already absent is a no-op by delete's contract, which is
     * exactly what an at-least-once replayed batch needs). Requires a
     * published base version — deleting from a domain that was never
-    * built is a wiring error, not a bootstrap. */
-  /** `linked`/`compactEvery` as on [[upsertStream]] — a long-running
+    * built is a wiring error, not a bootstrap.
+    *
+    * `linked`/`compactEvery` as on [[upsertStream]] — a long-running
     * linked takedown stream accretes retained versions exactly like the
     * upsert stream, so it gets the same periodic copy-mode
     * re-materialization escape. */
