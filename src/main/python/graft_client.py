@@ -521,6 +521,7 @@ class GraftClient:
             fmt = conn.read_utf()
             scheme = conn.read_utf()
             indexer = conn.read_utf()
+            index_type = conn.read_utf()
             n = conn.read_int()
             if num_shards < 1 or n < 0 or n > num_shards:
                 raise ProtocolError(f"meta shard census {n} of {num_shards} out of range")
@@ -532,6 +533,7 @@ class GraftClient:
                 "persistence_format": fmt,
                 "shard_scheme": scheme,
                 "indexer": indexer,
+                "index_type": index_type,
                 "shards": shards,
             }
         return self._round_trip(_OP_META, self.domain, lambda c: None, body)
@@ -547,14 +549,23 @@ class GraftClient:
 
         Fails loud on a wrong-family domain (the JVM gate's twin): a
         band/phash/sem index or plain KV domain would otherwise read as
-        silently '(clean)' for genuinely contaminated text."""
-        marker = self.get(b"m:index-type")
-        if marker != b"fp-anchor":
-            got = "<none>" if marker is None else marker.decode(
-                "utf-8", errors="backslashreplace")
-            raise ValueError(
-                f"overlapping: domain '{self.domain}' carries index-type "
-                f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
+        silently '(clean)' for genuinely contaminated text. The gate
+        mirrors the JVM's authority order — the spec's index_type (via
+        META: works on a localized shard subset that may not host the
+        marker record's shard) first, the in-data m:index-type marker as
+        the pre-field fallback — and the verdict is cached per client,
+        so probes after the first pay exactly one multi_get."""
+        if not getattr(self, "_fp_gate_ok", False):
+            got = self.meta()["index_type"]
+            if got == "none":  # pre-field spec: fall back to the marker
+                marker = self.get(b"m:index-type")
+                got = "<none>" if marker is None else marker.decode(
+                    "utf-8", errors="backslashreplace")
+            if got != "fp-anchor":
+                raise ValueError(
+                    f"overlapping: domain '{self.domain}' carries index-type "
+                    f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
+            self._fp_gate_ok = True
         fps = anchor_fingerprints(text, min_len, window, modulus)
         if not fps:
             return []
@@ -671,7 +682,8 @@ def main(argv):
             m = c.meta()
             print("num_shards={num_shards} served={served_version} "
                   "latest={latest_published} format={persistence_format} "
-                  "scheme={shard_scheme} indexer={indexer}".format(**m))
+                  "scheme={shard_scheme} indexer={indexer} "
+                  "index_type={index_type}".format(**m))
             for shard, records in m["shards"]:
                 print(f"shard={shard}\trecords={records}")
     elif cmd == "overlap":

@@ -40,11 +40,25 @@ final class AnnReader(
     centroids: Array[Array[Double]],
     books: Array[Array[Array[Double]]]) extends AutoCloseable {
 
-  require(centroids.nonEmpty && books.nonEmpty, "empty quantizer")
-  private val norms: Array[Double] = centroids.map(_.map(x => x * x).sum)
-  private val m = books.length
-  private val ksub = books(0).length
-  private val dsub = books(0)(0).length
+  // gates + derived fields run under ReaderGate: any failure closes BOTH
+  // handed-in readers before the throw (the family-wide ownership rule —
+  // a daemon retrying against a mid-deploy domain must not leak two
+  // shard-handle sets per attempt). The postings gate replicates
+  // IndexMarker.requireSpecIn Spark-free: a DECLARED index type must be
+  // the PQ posting-list family (a wrong aim would serve silently-empty
+  // topK); undeclared (pre-field/legacy) specs pass, like every spec-only
+  // gate.
+  private val (norms: Array[Double], m: Int, ksub: Int, dsub: Int) = ReaderGate(postings, vectors) {
+    postings.spec.indexTypeOption.foreach { t =>
+      if (t != "ivf-pq-postings") throw new IllegalArgumentException(
+        s"AnnReader: postings domain declares index type '$t', not " +
+          "'ivf-pq-postings' — this reader serves ivfPqIndexKv domains only")
+    }
+    require(centroids.nonEmpty && books.nonEmpty, "empty quantizer")
+    require(books.forall(_.nonEmpty) && books.forall(_.forall(_.nonEmpty)),
+      "ragged codebooks: every subspace needs non-empty centroids")
+    (centroids.map(_.map(x => x * x).sum), books.length, books(0).length, books(0)(0).length)
+  }
 
   /** The `nprobe` nearest cells by `|c|^2 - 2(v·c)` (the |v|^2 term is
     * constant per query), ascending score, ties to the lower cell id —

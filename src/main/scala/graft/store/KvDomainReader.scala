@@ -539,6 +539,7 @@ final class KvDomainReader private (
       persistenceFormat = spec.persistenceFormat,
       shardScheme = spec.shardScheme,
       indexer = spec.indexer,
+      indexType = spec.indexType,
       shards = censusOf(g).collect {
         case (s, n, true) => DomainMeta.ShardInfo(s, n)
       })

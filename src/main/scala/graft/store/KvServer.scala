@@ -60,7 +60,8 @@ import java.util.concurrent.atomic.AtomicBoolean
  *    counts, connection lifecycle), never reset server-side
  *  - 10 META:      —  →  numShards int, servedVersion long (-1 = bare
  *    subset), latestPublished long (-1 = none/unknown), format UTF,
- *    shardScheme UTF, indexer UTF, n int, n × (shard int, records long)
+ *    shardScheme UTF, indexer UTF, indexType UTF ("none" = not a
+ *    published index domain), n int, n × (shard int, records long)
  *    — the reference's getDomainMetaData (core.thrift:45-54: shard set
  *    + spec per domain): the spec's routing-relevant fields plus the
  *    shard subset THIS host carries with per-shard record counts
@@ -384,6 +385,7 @@ final class KvServer(
               out.writeUTF(m.persistenceFormat)
               out.writeUTF(m.shardScheme)
               out.writeUTF(m.indexer)
+              out.writeUTF(m.indexType)
               out.writeInt(m.shards.size)
               m.shards.foreach { s =>
                 out.writeInt(s.shard)

@@ -35,35 +35,22 @@ final class OverlapReader(
   // Index-type gate, Spark-free: the spec field is the authority
   // (declared at store creation); pre-field domains fall back to the
   // in-data m:index-type marker — one point lookup. Either way a wrong
-  // family fails loud here, never as silently-empty probes. On a gate
-  // failure the handed-in reader is CLOSED before the throw — the caller
-  // constructed it solely for this wrapper (`new OverlapReader(
-  // KvDomainReader.open(...))`) and has no other reference, so leaving
-  // it open would leak its shard handles per failed construction (a
-  // daemon retrying against a mid-deploy domain leaks a set per attempt).
-  locally {
+  // family (or bad geometry) fails loud here, never as silently-empty
+  // probes — and ANY gate failure closes the handed-in reader first
+  // (ReaderGate: the family-wide ownership rule).
+  ReaderGate(index) {
+    require(window >= 1 && window <= minLen,
+      s"anchor window $window must be in [1, minLen=$minLen]")
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
     val expected = OverlapReader.IndexType
-    def fail(msg: String): Nothing = {
-      try index.close() catch { case _: Exception => () }
-      throw new IllegalArgumentException(msg)
-    }
-    // parameter requires route through the SAME close-first helper: a
-    // bad-geometry construction under the open(...) idiom must not leak
-    // the reader any more than a wrong-family one
-    if (!(window >= 1 && window <= minLen))
-      fail(s"anchor window $window must be in [1, minLen=$minLen]")
-    if (modulus < 1)
-      fail(s"modulus must be >= 1, got $modulus (1 anchors everywhere)")
     index.spec.indexTypeOption match {
       case Some(t) if t == expected => ()
-      case Some(other) => fail(
+      case Some(other) => throw new IllegalArgumentException(
         s"OverlapReader: domain is a '$other' index, not '$expected' — " +
           "this reader serves fpIndexKv domains only")
       case None =>
-        val marker =
-          try index.get("m:index-type".getBytes(UTF_8)).map(new String(_, UTF_8))
-          catch { case e: Throwable => try index.close() catch { case _: Exception => () }; throw e }
-        if (!marker.contains(expected)) fail(
+        val marker = index.get("m:index-type".getBytes(UTF_8)).map(new String(_, UTF_8))
+        if (!marker.contains(expected)) throw new IllegalArgumentException(
           s"OverlapReader: domain carries index-type ${marker.getOrElse("<none>")}, " +
             s"not '$expected' — not built by fpIndexKv (or a pre-marker build)")
     }

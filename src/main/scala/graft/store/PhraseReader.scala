@@ -30,21 +30,15 @@ final class PhraseReader(val index: KvDomainReader) extends AutoCloseable {
   private def str(b: Array[Byte]): String = new String(b, UTF_8)
 
   // type guard at open: a BM25 domain (which also has d: records) would
-  // otherwise answer every phrase with a silent empty. On failure the
-  // handed-in reader is CLOSED before the throw — under the
+  // otherwise answer every phrase with a silent empty. Gate failures
+  // close the handed-in reader first (ReaderGate — under the
   // `new PhraseReader(KvDomainReader.open(...))` idiom the caller holds
   // no other reference, so an open reader per failed construction is a
-  // shard-handle leak (the OverlapReader gate contract, family-wide).
-  locally {
-    val ok =
-      try index.get(utf8(PosMetaKey)).isDefined
-      catch { case e: Throwable => try index.close() catch { case _: Exception => () }; throw e }
-    if (!ok) {
-      try index.close() catch { case _: Exception => () }
-      throw new IllegalArgumentException(
-        s"PhraseReader: no '$PosMetaKey' record — not a positional-index domain " +
-          "(build with Search.positionalIndexKv)")
-    }
+  // shard-handle leak).
+  ReaderGate(index) {
+    require(index.get(utf8(PosMetaKey)).isDefined,
+      s"PhraseReader: no '$PosMetaKey' record — not a positional-index domain " +
+        "(build with Search.positionalIndexKv)")
   }
 
   /** Top-k (docId, nMatches) for an exact phrase, occurrence count

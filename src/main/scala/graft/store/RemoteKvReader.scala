@@ -349,11 +349,12 @@ final class RemoteKvReader(
       val format = in.readUTF()
       val scheme = in.readUTF()
       val indexer = in.readUTF()
+      val indexType = in.readUTF()
       val n = in.readInt()
       if (numShards < 1 || n < 0 || n > numShards)
         throw new RemoteKvReader.ProtocolException(
           s"meta shard census $n of $numShards out of range")
-      DomainMeta(numShards, served, latest, format, scheme, indexer,
+      DomainMeta(numShards, served, latest, format, scheme, indexer, indexType,
         Seq.fill(n)(DomainMeta.ShardInfo(in.readInt(), in.readLong())))
     }
 

@@ -30,30 +30,21 @@ final class SearchReader(val index: KvDomainReader) extends AutoCloseable {
   private def utf8(s: String): Array[Byte] = s.getBytes(UTF_8)
   private def str(b: Array[Byte]): String = new String(b, UTF_8)
 
-  private val (nDocs: Long, totalToks: Long) = {
+  private val (nDocs: Long, totalToks: Long) = ReaderGate(index) {
     // positional domains publish m:stats too (ranked fusion) — the type
     // marker, not stats presence, decides; a positional domain here
-    // would otherwise serve silently empty rankings (no t: keys). Any
-    // gate failure CLOSES the handed-in reader before the throw — under
-    // the `new SearchReader(KvDomainReader.open(...))` idiom the caller
-    // holds no other reference, so an open reader per failed
-    // construction is a shard-handle leak (the OverlapReader gate
-    // contract, family-wide).
-    try {
-      if (index.get(utf8(PosMetaKey)).isDefined)
-        throw new IllegalStateException(
-          s"'$PosMetaKey' marker present — this is a positional-index domain; " +
-            "phrase serving is PhraseReader, BM25 needs an invertedIndexKv domain")
-      val raw = index.get(utf8(MetaKey)).getOrElse(throw new IllegalStateException(
-        s"not a search-index domain: no '$MetaKey' record (build with " +
-          "Search.invertedIndexKv)"))
-      val parts = str(raw).split(",")
-      (parts(0).toLong, parts(1).toLong)
-    } catch {
-      case e: Throwable =>
-        try index.close() catch { case _: Exception => () }
-        throw e
-    }
+    // would otherwise serve silently empty rankings (no t: keys). Gate
+    // failures close the handed-in reader first (ReaderGate — the
+    // family-wide ownership rule).
+    if (index.get(utf8(PosMetaKey)).isDefined)
+      throw new IllegalStateException(
+        s"'$PosMetaKey' marker present — this is a positional-index domain; " +
+          "phrase serving is PhraseReader, BM25 needs an invertedIndexKv domain")
+    val raw = index.get(utf8(MetaKey)).getOrElse(throw new IllegalStateException(
+      s"not a search-index domain: no '$MetaKey' record (build with " +
+        "Search.invertedIndexKv)"))
+    val parts = str(raw).split(",")
+    (parts(0).toLong, parts(1).toLong)
   }
 
   /** Corpus-level constants, as published. */

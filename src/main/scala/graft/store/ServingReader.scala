@@ -118,6 +118,11 @@ final case class DomainMeta(
     persistenceFormat: String,
     shardScheme: String,
     indexer: String,
+    // the spec's index-type AUTHORITY ("none" for plain KV domains) —
+    // carried over the wire so non-JVM clients can type-gate published
+    // index domains without reading the m:index-type record (which a
+    // localized shard subset may not even host)
+    indexType: String,
     shards: Seq[DomainMeta.ShardInfo])
 
 object DomainMeta {

@@ -107,7 +107,8 @@ class PyClientSpec extends SparkSuite {
         "127.0.0.1", port, "meta", "users")
       assert(mc === 0)
       assert(mout.startsWith(
-        "num_shards=4 served=1 latest=1 format=kv-sorted scheme=hash-mod indexer=none\n"), mout)
+        "num_shards=4 served=1 latest=1 format=kv-sorted scheme=hash-mod " +
+          "indexer=none index_type=none\n"), mout)
       // 5 keys over 4 shards leave one shard empty → absent from the
       // census (present shards only, like the dashboard's table)
       assert(mout.linesIterator.count(_.startsWith("shard=")) === 3, mout)
@@ -132,6 +133,18 @@ class PyClientSpec extends SparkSuite {
           assert(text != probeClean || expected.isEmpty, "clean probe hit")
         }
       } finally jvm.close()
+
+      // the Python gate refuses a wrong-family domain loud (never a
+      // silent '(clean)' admission) ...
+      val (wc, wout) = run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "overlap", "users", probeHit)
+      assert(wc !== 0, s"wrong-family overlap must fail: $wout")
+      assert(wout.contains("not 'fp-anchor'"), wout)
+      // ... and the CLI's geometry args reach the kernel: a non-matching
+      // minLen yields fingerprints that can't hit the default-built index
+      assert(run("python3", "/root/repo/src/main/python/graft_client.py",
+        "127.0.0.1", port, "overlap", "fpidx", probeHit, "128", "8", "16")
+        === ((0, "(clean)\n")))
     } finally handle.close()
   }
 }
