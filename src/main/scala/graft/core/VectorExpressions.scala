@@ -633,3 +633,100 @@ case class RollingHashExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
     copy(child = newChild)
 }
+
+object SpanExcise {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /**
+   * Excise every codepoint interval `[p, p + minLen)` (p 1-based, from the
+   * SORTED-ascending `ps`) from `t` in ONE byte-level pass: walk the UTF-8
+   * sequences once tracking the codepoint position, batch-copy each kept
+   * run with arraycopy. O(bytes + |ps|) per document — the codepoint at
+   * position c is excised iff some consumed p satisfies p <= c < p + minLen,
+   * which for sorted ps reduces to c < max(consumed p + minLen), exactly
+   * the left-to-right interval-coalescing fold semantics.
+   *
+   * Positions past the end of the string cut nothing (they are never
+   * consumed); an unsorted input fails loud — silence there would excise
+   * different text than the fold the oracle replays.
+   */
+  def excise(t: UTF8String, ps: ArrayData, minLen: Int): UTF8String = {
+    val n = ps.numElements()
+    if (n == 0) return t
+    val bytes = t.getBytes
+    val len = bytes.length
+    val out = new Array[Byte](len)
+    var outLen = 0
+    var bi = 0        // byte index into the UTF-8 sequence
+    var cp = 1        // 1-based codepoint position of bytes(bi)
+    var k = 0         // next unconsumed cut site
+    var lastP = Int.MinValue
+    var skipUntil = 0 // codepoints before this position are excised
+    var runStart = 0  // byte index where the current kept run began; -1 while skipping
+    while (bi < len) {
+      while (k < n && ps.getInt(k) <= cp) {
+        val p = ps.getInt(k)
+        if (p < lastP)
+          throw new IllegalArgumentException(
+            s"span_excise: cut positions must be sorted ascending (saw $p after $lastP)")
+        lastP = p
+        val e = p + minLen
+        if (e > skipUntil) skipUntil = e
+        k += 1
+      }
+      if (cp >= skipUntil) {
+        if (runStart < 0) runStart = bi
+      } else if (runStart >= 0) {
+        System.arraycopy(bytes, runStart, out, outLen, bi - runStart)
+        outLen += bi - runStart
+        runStart = -1
+      }
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      cp += 1
+    }
+    if (runStart >= 0) {
+      System.arraycopy(bytes, runStart, out, outLen, len - runStart)
+      outLen += len - runStart
+    }
+    UTF8String.fromBytes(out, 0, outLen)
+  }
+}
+
+/**
+ * Codepoint-exact span excision — remove `[p, p + minLen)` for every
+ * (sorted) cut position in an array<int> column — as a native codegen
+ * expression: the cut step of [[graft.operators.Dedup.removeSharedSpans]].
+ *
+ * Why custom: the `aggregate(ps, ...)` higher-order fold evaluates its
+ * lambda INTERPRETED per cut site AND copies the accumulated output string
+ * each step — O(sites × |doc|) churn in one task, and the operator's
+ * 100×-scale inputs (big boilerplate-heavy documents) make sites ≈
+ * len/modulus (the TopFreqExpr straggler class). This is one O(bytes)
+ * arraycopy-batched pass, inside whole-stage codegen.
+ */
+case class SpanExciseExpr(left: Expression, right: Expression, minLen: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  import org.apache.spark.sql.graft.interop
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+  require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+
+  override def inputTypes: Seq[interop.AbstractType] =
+    Seq(StringType, ArrayType(IntegerType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "span_excise"
+
+  override protected def nullSafeEval(t: Any, ps: Any): Any =
+    SpanExcise.excise(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      ps.asInstanceOf[ArrayData], minLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, ps) => s"graft.core.SpanExcise.excise($t, $ps, $minLen)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanExciseExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.interop
 
-import graft.core.{AnchorPositionsExpr, DenseScatterExpr, DoubleArrayDot, RollingHashExpr, ShardIndexExpr, TopFreqExpr}
+import graft.core.{AnchorPositionsExpr, DenseScatterExpr, DoubleArrayDot, RollingHashExpr, ShardIndexExpr, SpanExciseExpr, TopFreqExpr}
 
 /**
  * Column-level functions of the graft engine. Everything here is either a
@@ -90,6 +90,12 @@ package object functions {
     * [[graft.core.DenseScatterExpr]]). */
   def dense_scatter(entries: Column, dim: Int): Column =
     interop.column(DenseScatterExpr(interop.expression(entries), dim))
+
+  /** Codegen'd codepoint-exact excision of `[p, p + minLen)` for every
+    * sorted 1-based cut position in `ps` (array<int>) from string `t` —
+    * one byte-level pass (see [[graft.core.SpanExciseExpr]]). */
+  def span_excise(t: Column, ps: Column, minLen: Int): Column =
+    interop.column(SpanExciseExpr(interop.expression(t), interop.expression(ps), minLen))
 
   /** First 32 bits of md5 of a string column as a non-negative long — the
     * engine's engine-replicable base hash (DuckDB twin:

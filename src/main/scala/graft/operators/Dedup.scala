@@ -563,9 +563,10 @@ object Dedup {
    * per occurrence, linear at any corpus size (the pair listing's
    * B²/2 blow-up class cannot occur). Exchanges carry (id, pos, fp)
    * anchor rows and per-doc position lists only; document text
-   * re-attaches once, by id. The excision fold is per-row compute,
-   * O(sites × output) string assembly — content-proportional,
-   * shuffle-free.
+   * re-attaches once, by id. The excision is per-row codegen compute,
+   * ONE O(len) byte pass per document ([[graft.core.SpanExciseExpr]]) —
+   * linear even for a mostly-duplicated document whose cut-site count
+   * approaches len/modulus — and shuffle-free.
    *
    * Deterministic and SQL-replayable end to end (anchor rule = the
    * detector's mod-p rolling fold, keeper = min, excision = substring
@@ -599,18 +600,12 @@ object Dedup {
       .select(col("id"), col("pos"))
     val perDoc = cuts.groupBy("id")
       .agg(sort_array(collect_set(col("pos"))).as("ps"))
-    // One fold excises every interval [p, p + minLen): the accumulator is
-    // (output so far, first original position not yet consumed) — an
-    // already-consumed site contributes an empty slice and only pushes
-    // the consumption point, which IS interval coalescing.
-    val excised = expr(
-      s"""aggregate(
-         |  ps,
-         |  named_struct('o', '', 'd', 1),
-         |  (acc, p) -> named_struct(
-         |    'o', concat(acc.o, substring(t, acc.d, greatest(p - acc.d, 0))),
-         |    'd', greatest(acc.d, p + $minLen)),
-         |  acc -> concat(acc.o, substring(t, acc.d, length(t))))""".stripMargin)
+    // One codegen pass excises every interval [p, p + minLen), overlaps
+    // coalescing left to right ([[graft.core.SpanExciseExpr]]) — O(len)
+    // per document where the equivalent `aggregate(ps, ...)` HOF fold
+    // was interpreted per cut site with quadratic string assembly
+    // (OperatorsSpec pins the two formulations equal).
+    val excised = graft.functions.span_excise(col("t"), col("ps"), minLen)
     base.join(perDoc, Seq("id"), "left")
       .select(
         col("id").as(idCol),

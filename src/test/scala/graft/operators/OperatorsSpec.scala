@@ -1793,6 +1793,66 @@ class OperatorsSpec extends SparkSuite {
       s"re-detection found pairs on the scrubbed corpus: ${residual.mkString(", ")}")
   }
 
+  test("span_excise codegen == the HOF aggregate fold (incl. non-BMP + boundary cuts)") {
+    import spark.implicits._
+    val minLen = 8
+    // the interpreted formulation SpanExciseExpr replaced — kept here as
+    // the equivalence reference (this IS the r12 production fold)
+    val hofFold = expr(
+      s"""aggregate(
+         |  ps,
+         |  named_struct('o', '', 'd', 1),
+         |  (acc, p) -> named_struct(
+         |    'o', concat(acc.o, substring(t, acc.d, greatest(p - acc.d, 0))),
+         |    'd', greatest(acc.d, p + $minLen)),
+         |  acc -> concat(acc.o, substring(t, acc.d, length(t))))""".stripMargin)
+    val rnd = new scala.util.Random(43)
+    val astral = Array("😀", "𝔘", "🚀")
+    def randText(n: Int): String =
+      (0 until n).map { _ =>
+        if (rnd.nextInt(10) == 0) astral(rnd.nextInt(astral.length))
+        else ('a' + rnd.nextInt(26)).toChar.toString
+      }.mkString
+    def randCuts(cpLen: Int): Seq[Int] = {
+      val k = rnd.nextInt(8)
+      (0 until k).map(_ => 1 + rnd.nextInt(math.max(cpLen + minLen, 1))).sorted
+    }
+    val random = (1 to 60).map { _ =>
+      val t = randText(rnd.nextInt(120))
+      (t, randCuts(t.codePointCount(0, t.length)))
+    }
+    val edge: Seq[(String, Seq[Int])] = Seq(
+      ("", Seq(1)),                               // cut on an empty doc
+      ("abcdefghij", Seq.empty[Int]),             // no cuts (empty, not null)
+      ("abcdefghij", Seq(1)),                     // cut at the first codepoint
+      ("abcdefghij", Seq(10)),                    // cut at the last codepoint
+      ("abcdefghij", Seq(25)),                    // cut entirely past the end
+      ("abcdefghij", Seq(1, 2, 3, 4)),            // chained overlaps cover all
+      ("abcdefghijklmnopqrstuvwxyz", Seq(2, 4, 20)), // coalesce then a gap
+      ("😀😀😀😀😀😀😀😀😀😀", Seq(3)),            // all-astral doc
+      ("a😀b😀c😀d😀e😀f😀g😀h😀", Seq(2, 9)))     // mixed, cut straddles astral
+    val frame = (random ++ edge).toDF("t", "ps")
+    val rows = frame.select(
+        col("t"), col("ps"),
+        hofFold.as("hof"),
+        graft.functions.span_excise(col("t"), col("ps"), minLen).as("cg"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) === r.getString(3),
+        s"divergence on t='${r.getString(0)}' ps=${r.getSeq[Int](1)}")
+    }
+    // unsorted cut positions fail loud, never excise different text
+    // (literal inputs may constant-fold, so the IAE can surface bare or
+    // wrapped in a SparkException — accept either, require the message)
+    val err = intercept[Exception] {
+      Seq(("abcdefghijklmnop", Seq(9, 2))).toDF("t", "ps")
+        .select(graft.functions.span_excise(col("t"), col("ps"), minLen))
+        .collect()
+    }
+    assert(err.getMessage.contains("sorted ascending") ||
+      Option(err.getCause).exists(_.getMessage.contains("sorted ascending")))
+  }
+
   test("anchor positions are position-shift invariant (content-defined)") {
     import spark.implicits._
     val rnd = new scala.util.Random(31)
