@@ -613,6 +613,79 @@ object Dedup {
         when(col("ps").isNull, col("t")).otherwise(excised).as(textCol))
   }
 
+  /**
+   * [[removeSharedSpans]] iterated to a FIXPOINT — Lee et al. 2022's
+   * iterate-to-convergence note made an operator: an excision can join
+   * previously-distant text, and when two non-keeper documents are cut
+   * identically the joined text can expose a NEW shared >= minLen run
+   * across the cut boundary that the original corpus never contained.
+   * One pass cannot see it (the detector ran on the original text);
+   * this re-detects + re-cuts until a round finds zero cut sites.
+   *
+   * Driver-loop shape (the [[components]] precedent): each round runs the
+   * one-pass operator to a materialized intermediate (eager
+   * `localCheckpoint` — multi-pass algorithms must not recompute a
+   * re-sampled lineage, the repartitionByRange rule) and probes its total
+   * cut count; rounds are data-dependent, typically 2 (the second round
+   * IS the convergence proof). Past `maxRounds` detection rounds the
+   * operator fails LOUD — a corpus still cutting at the bound is either
+   * adversarial or mis-parameterized, and silently returning a
+   * non-fixpoint would break the operator's one contract. All
+   * intermediates are unpersisted before returning (the no-cache-leak
+   * contract); the RETURNED frame is the pure re-composed plan over the
+   * input — deterministic, so downstream actions recompute the converged
+   * rounds without any block dependency.
+   *
+   * Output: [[removeSharedSpans]]'s schema — (idCol, n_cuts, textCol) —
+   * with `n_cuts` the TOTAL cut sites across all rounds.
+   */
+  def removeSharedSpansIterated(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16,
+      maxRounds: Int = 4): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    def onePass(d: DataFrame): DataFrame =
+      removeSharedSpans(d, idCol, textCol, minLen, window, modulus)
+    // probe loop: how many rounds until a round cuts nothing?
+    val checkpoints = scala.collection.mutable.Buffer[DataFrame]()
+    var rounds = 0
+    try {
+      var cur = df.select(col(idCol), col(textCol))
+      var lastCuts = -1L
+      while (lastCuts != 0L) {
+        if (rounds == maxRounds)
+          throw new IllegalStateException(
+            s"removeSharedSpansIterated: no fixpoint after $maxRounds detection rounds " +
+              s"(the last round still found cut sites) — raise maxRounds or inspect the " +
+              "corpus; returning a non-converged cut would violate the operator contract")
+        val out = onePass(cur).localCheckpoint(true)
+        checkpoints += out
+        rounds += 1
+        lastCuts = out.agg(coalesce(sum(col("n_cuts")), lit(0L))).head().getLong(0)
+        cur = out.select(col(idCol), col(textCol))
+      }
+    } finally checkpoints.foreach(_.unpersist(true))
+    // the final round proved convergence by cutting nothing, so the text
+    // fixpoint is reached one round earlier (a single-round corpus IS the
+    // one-pass result); re-compose that many passes lazily over the input
+    val effective = math.max(1, rounds - 1)
+    var acc = onePass(df)
+    for (_ <- 2 to effective) {
+      val prev = acc.select(col(idCol), col("n_cuts").as("nc_prev"))
+      acc = onePass(acc.select(col(idCol), col(textCol)))
+        .join(prev, Seq(idCol))
+        .select(
+          col(idCol),
+          (col("nc_prev") + col("n_cuts")).as("n_cuts"),
+          col(textCol))
+    }
+    acc
+  }
+
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively
     * (O(N^2) — the audit/oracle twin of [[simHashPairsBanded]]). Enforced
     * audit bound: > `maxRows` sketches throws (see [[AuditBound]]). */

@@ -1793,6 +1793,101 @@ class OperatorsSpec extends SparkSuite {
       s"re-detection found pairs on the scrubbed corpus: ${residual.mkString(", ")}")
   }
 
+  test("span cut fixpoint: a cut boundary exposing a NEW shared run converges in round 2") {
+    import spark.implicits._
+    val (minLen, window, modulus) = (64, 8, 4)
+    val rnd = new scala.util.Random(53)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def anchorsOf(text: String): Seq[Int] =
+      Seq(text).toDF("t")
+        .select(graft.functions.anchor_positions(col("t"), window, modulus).as("a"))
+        .head().getSeq[Int](0)
+    // Construction: doc2 carries A + S + B (S shared with keeper doc1);
+    // round 1 excises S's anchored interior from doc2, leaving
+    // A + s_pre + s_suf + B — and doc3 carries exactly that JOINED text,
+    // which no 64-codepoint fingerprint could see in the ORIGINAL corpus
+    // (|A + s_pre| < 64 and |s_suf + B| < 64, so every shared window
+    // straddling the future boundary diverges into S's cut interior).
+    val S = randText(300)
+    val A = randText(48)
+    val B = randText(48)
+    val interior = anchorsOf(S).filter(_ <= S.length - (minLen - 1))
+    assert(interior.nonEmpty, "fixture: S has no interior anchors — reseed")
+    val sPre = S.substring(0, interior.head - 1)
+    val sSuf = S.substring(interior.last + minLen - 1)
+    // the no-round-1-detection precondition (see comment above)
+    assert(sPre.length < minLen - A.length, s"fixture: s_pre too long (${sPre.length}) — reseed")
+    assert(sSuf.length < minLen - B.length, s"fixture: s_suf too long (${sSuf.length}) — reseed")
+    val J = A + sPre + sSuf + B
+    assert(J.length >= minLen)
+    assert(anchorsOf(J).exists(_ <= J.length - (minLen - 1)),
+      "fixture: joined run has no interior anchor to detect — reseed")
+    val texts = Map(
+      1L -> (randText(100) + S + randText(100)),
+      2L -> (randText(120) + A + S + B + randText(150)),
+      3L -> (randText(90) + J + randText(200)),
+      4L -> randText(400))
+    val docs = texts.toSeq.toDF("doc_id", "text")
+
+    // ONE pass does NOT converge here: the excision joins A..B in doc2
+    // and re-detection sees the run doc3 carried all along
+    val once = Dedup.removeSharedSpans(docs, "doc_id", "text", minLen, window, modulus)
+      .localCheckpoint(true)
+    try {
+      val residualOnce = Dedup.sharedSubstringPairs(
+        once.select(col("doc_id"), col("text")), "doc_id", "text", minLen, window, modulus)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(residualOnce === Set((2L, 3L)),
+        s"fixture should expose exactly the joined doc2/doc3 run, got $residualOnce")
+
+      val iterated = Dedup.removeSharedSpansIterated(
+        docs, "doc_id", "text", minLen, window, modulus, maxRounds = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+      // fixpoint: re-detection over the iterated output is clean
+      val residual = Dedup.sharedSubstringPairs(
+        iterated.toSeq.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text", minLen, window, modulus).collect()
+      assert(residual.isEmpty, s"iterated output still shares runs: ${residual.mkString(", ")}")
+
+      // and it equals the manual two-pass composition exactly (text AND
+      // the accumulated cut count)
+      val twice = Dedup.removeSharedSpans(
+        once.select(col("doc_id"), col("text")), "doc_id", "text", minLen, window, modulus)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val onceMap = once.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      texts.keys.foreach { id =>
+        assert(iterated(id)._2 === twice(id)._2, s"doc $id: text != two-pass composition")
+        assert(iterated(id)._1 === onceMap(id)._1 + twice(id)._1,
+          s"doc $id: n_cuts not accumulated across rounds")
+      }
+      // keeper + control untouched through both rounds
+      assert(iterated(1L) === ((0L, texts(1L))))
+      assert(iterated(4L) === ((0L, texts(4L))))
+
+      // the loud bound: a corpus still cutting at maxRounds throws
+      val err = intercept[IllegalStateException] {
+        Dedup.removeSharedSpansIterated(
+          docs, "doc_id", "text", minLen, window, modulus, maxRounds = 1)
+      }
+      assert(err.getMessage.contains("no fixpoint"))
+    } finally once.unpersist(true)
+
+    // a corpus that converges in one pass: iterated == single pass verbatim
+    val simple = Seq(
+      (1L, texts(1L)),
+      (2L, randText(120) + S + randText(150)),
+      (4L, texts(4L))).toDF("doc_id", "text")
+    val single = Dedup.removeSharedSpans(simple, "doc_id", "text", minLen, window, modulus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val iteratedSimple = Dedup.removeSharedSpansIterated(
+      simple, "doc_id", "text", minLen, window, modulus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(iteratedSimple === single)
+  }
+
   test("span_excise codegen == the HOF aggregate fold (incl. non-BMP + boundary cuts)") {
     import spark.implicits._
     val minLen = 8
