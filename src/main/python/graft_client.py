@@ -553,9 +553,18 @@ class GraftClient:
         mirrors the JVM's authority order — the spec's index_type (via
         META: works on a localized shard subset that may not host the
         marker record's shard) first, the in-data m:index-type marker as
-        the pre-field fallback — and the verdict is cached per client,
-        so probes after the first pay exactly one multi_get."""
-        if not getattr(self, "_fp_gate_ok", False):
+        the pre-field fallback — and the verdict is cached per SERVED
+        VERSION, observed from the probe frames' own version stamps (the
+        JVM caches per version + token mtime): a republish the server
+        swaps in re-runs the gate before any value is parsed, so a
+        long-lived client can never keep probing a domain republished as
+        a different family on a stale verdict — and the steady state
+        pays ZERO extra round trips."""
+        fps = anchor_fingerprints(text, min_len, window, modulus)
+        if not fps:
+            return []
+        version, records = self._multi_get_versioned(fps)
+        if getattr(self, "_fp_gate_version", None) != version:
             got = self.meta()["index_type"]
             if got == "none":  # pre-field spec: fall back to the marker
                 marker = self.get(b"m:index-type")
@@ -565,16 +574,38 @@ class GraftClient:
                 raise ValueError(
                     f"overlapping: domain '{self.domain}' carries index-type "
                     f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
-            self._fp_gate_ok = True
-        fps = anchor_fingerprints(text, min_len, window, modulus)
-        if not fps:
-            return []
+            self._fp_gate_version = version
         ids = set()
-        for v in self.multi_get(fps):
-            if v is not None:
-                for part in v.decode("utf-8").split(","):
-                    ids.add(int(part))
+        for v in records:
+            if v is None or v is _NULL_VALUE:
+                continue
+            s = v.decode("utf-8")
+            if s == "!capped":  # cap tombstone (graft.core.IndexTombstone):
+                continue        # publish-dropped boilerplate reads as a miss
+            for part in s.split(","):
+                ids.add(int(part))
         return sorted(ids)
+
+    def _multi_get_versioned(self, keys):
+        """multi_get that also returns THE serving version every frame
+        certified — retried like the chunked path until an attempt's
+        stamps agree, so the caller gets (version, aligned records) from
+        one consistent snapshot."""
+        for k in keys:
+            if not isinstance(k, (bytes, bytearray)):
+                raise TypeError("keys must be bytes")
+            if len(k) > MAX_KEY_LEN:
+                raise ValueError(f"key of {len(k)} bytes exceeds protocol bound")
+        for _ in range(3):
+            if len(keys) <= MAX_BATCH and sum(len(k) for k in keys) <= MAX_BATCH_BYTES:
+                framed = [self._multi_get_frame(keys)]
+            else:
+                framed = [self._multi_get_frame(c) for c in self._chunks(keys)]
+            versions = {v for lo, hi, _ in framed for v in (lo, hi)}
+            if len(versions) == 1:
+                return versions.pop(), [r for _, _, rs in framed for r in rs]
+        raise ProtocolError(
+            f"versioned multi_get of {len(keys)} keys kept straddling version swaps")
 
 
 # ---------------------------------------------------------------- overlap

@@ -67,6 +67,30 @@ private[graft] object LshBuckets {
             "dropping variant explicitly")))))
     capped.drop("_bsz")
   }
+
+  /** [[bounded]]'s split twin for the PUBLISHED index families: (rows of
+    * within-cap buckets, DISTINCT keys of oversized buckets). The second
+    * frame becomes [[graft.core.IndexTombstone]] rows — oversized members
+    * are still dropped BEFORE any collect_list (the value-cell bound),
+    * but the bucket's key survives so incremental upserts can keep it
+    * dropped. Both frames derive from the one window-counted subplan
+    * (same partitioning; ReuseExchange dedups the exchange), and the
+    * distinct on oversized keys re-uses that clustering. */
+  def boundedSplit(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      maxBucket: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    require(!df.columns.contains("_bsz"),
+      "input carries the reserved column name `_bsz` (used internally for " +
+        "the bucket-size window count) — rename or drop it before calling")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val w = Window.partitionBy(keys.map(col): _*)
+    val counted = df.withColumn("_bsz", count(lit(1)).over(w))
+    (counted.where(col("_bsz") <= maxBucket).drop("_bsz"),
+      counted.where(col("_bsz") > maxBucket).select(keys.map(col): _*).distinct())
+  }
 }
 
 private[operators] object AuditBound {

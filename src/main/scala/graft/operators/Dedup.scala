@@ -760,11 +760,14 @@ object Dedup {
    * membership, not order, carries the semantics.
    *
    * Hot-bucket cap (same rule and rationale as [[lshCandidates]]): a
-   * bucket above `maxBucket` members is dropped BEFORE the collect_list,
-   * which both bounds the value cell (≤ maxBucket ids, ~80 KB at the
-   * default — never the multi-MB blob a boilerplate cluster would pack)
-   * and bounds the probe-side explode. Probes of a dropped bucket simply
-   * miss; [[oversizedLshBuckets]] over the same bands is the audit.
+   * bucket above `maxBucket` members has its MEMBERS dropped BEFORE the
+   * collect_list — bounding the value cell (≤ maxBucket ids, ~80 KB at
+   * the default, never the multi-MB blob a boilerplate cluster would
+   * pack) and the probe-side explode — but its KEY is published as a
+   * [[graft.core.IndexTombstone]] row so incremental upserts keep it
+   * dropped instead of silently resurrecting it with delta-only members.
+   * Probes of a tombstoned bucket miss (the documented cap semantics);
+   * [[oversizedLshBuckets]] over the same bands is the audit.
    */
   def bandIndexKv(
       corpus: DataFrame,
@@ -772,22 +775,31 @@ object Dedup {
       textCol: String,
       maxBucket: Int = LshBuckets.MaxBucket,
       // xxhash64 banding is not SQL-replayable, so an exact-Jaccard
-      // oracle cannot see the drop — contract/oracle-verified builds
-      // pass true to fail loud instead (the minHashPairs rationale);
-      // production publishes keep the documented dropping default.
+      // oracle cannot see the drop OR the tombstone row — contract/
+      // oracle-verified builds pass true to fail loud instead (the
+      // minHashPairs rationale); production publishes keep the
+      // documented tombstoning default.
       failOversized: Boolean = false): DataFrame = {
     import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
-    LshBuckets.bounded(
-        lshBands(minHashSignatures(wordShingles(corpus, idCol, textCol))),
-        Seq("band", "band_hash"), maxBucket, failOversized)
-      .groupBy(col("band"), col("band_hash"))
-      .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
-      .select(
-        composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"),
-        utf8_bytes(col("ids")).as("value"))
-      // the type authority: three index families share this key shape
-      // with different value grammars — see IndexMarker
-      .unionByName(IndexMarker.row(corpus.sparkSession, BandIndexType))
+    val bands = lshBands(minHashSignatures(wordShingles(corpus, idCol, textCol)))
+    def bandKey = composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key")
+    val buckets =
+      if (failOversized)
+        LshBuckets.bounded(bands, Seq("band", "band_hash"), maxBucket, failOversized = true)
+          .groupBy(col("band"), col("band_hash"))
+          .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
+          .select(bandKey, utf8_bytes(col("ids")).as("value"))
+      else {
+        val (kept, dropped) = LshBuckets.boundedSplit(bands, Seq("band", "band_hash"), maxBucket)
+        kept.groupBy(col("band"), col("band_hash"))
+          .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
+          .select(bandKey, utf8_bytes(col("ids")).as("value"))
+          .unionByName(dropped.select(
+            bandKey, utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
+      }
+    // the type authority: the index families share this key shape
+    // with different value grammars — see IndexMarker
+    buckets.unionByName(IndexMarker.row(corpus.sparkSession, BandIndexType))
   }
 
   /** [[bandIndexKv]]'s `m:index-type` marker value. */
@@ -802,20 +814,16 @@ object Dedup {
    * canonical form; re-adding an indexed id is idempotent), untouched
    * buckets copy-forward. Work is O(delta + affected bucket values).
    *
-   * The hot-bucket cap cannot be silently preserved by an upsert: a
-   * REBUILD drops a bucket whose member count crosses `maxBucket`
-   * (recall accounting via [[oversizedLshBuckets]]), but an upsert has
-   * no tombstone to drop a published key with — so a merge that would
-   * cross the cap FAILS LOUD naming the full re-band as the fix
-   * (delta-side banding runs uncapped here precisely so the crossing is
-   * seen, not silently pre-dropped). One asymmetry survives: a bucket
-   * the PUBLISH dropped left no key at all, so a delta member of it
-   * reads as a brand-new bucket (a miss is indistinguishable from
-   * never-existed) and is published with only the delta's members —
-   * where a union rebuild would drop it again. Byte-identity with the
-   * rebuild therefore holds exactly when the base publish dropped
-   * nothing; a build that reported rows in [[oversizedLshBuckets]]
-   * should be re-banded, not grown.
+   * The hot-bucket cap is preserved ACROSS upserts via
+   * [[graft.core.IndexTombstone]] (the BM25 stop-term precedent): a
+   * bucket the publish tombstoned never enters the merge (it stays
+   * tombstoned — a rebuild on corpus + delta would count past the cap
+   * and tombstone it again), and a merge that itself crosses `maxBucket`
+   * WRITES the tombstone instead of the member list — so
+   * upsert == union-rebuild stays byte-identical on BOTH sides of the
+   * cap boundary (delta-side banding runs uncapped here precisely so
+   * the crossing is seen, not silently pre-dropped). Recall accounting
+   * for what got dropped is [[oversizedLshBuckets]] at build time.
    */
   def bandIndexUpsert(
       index: graft.store.DomainStore,
@@ -840,17 +848,19 @@ object Dedup {
       .select(col("key"), bytes_utf8(col("value")).as("cur"))
     val curIds = when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
       .otherwise(split(col("cur"), ","))
+    // a tombstoned bucket stays tombstoned: the key never enters the
+    // merge (no write at all — the tombstone carries forward untouched),
+    // exactly what a union rebuild would republish for it
     val merged = additions.join(current, Seq("key"))
+      .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"),
         array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
       .select(col("key"),
         graft.functions.utf8_bytes(
+          // a merge crossing the cap writes the tombstone the rebuild
+          // would (byte-identity across the cap boundary)
           when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
-            .otherwise(raise_error(concat(
-              lit(s"bandIndexUpsert: a merged bucket exceeds maxBucket=$maxBucket "),
-              lit("members — the rebuild path would DROP it (recall accounting via "),
-              lit("oversizedLshBuckets) and an upsert cannot: re-band the corpus " +
-                "with bandIndexKv instead")))))
+            .otherwise(lit(graft.core.IndexTombstone.Value)))
           .as("value"))
     try index.upsert(spark, merged, newVersion)
     finally additions.unpersist()
@@ -938,7 +948,10 @@ object Dedup {
       val probes = lshBands(minHashSignatures(shIn)).select(
         col("id").as("id_a"),
         composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
+      // a tombstoned bucket (cap-dropped at publish) is a MISS — no
+      // candidates, the documented cap semantics
       val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+        .where(bytes_utf8(col("value")) =!= lit(graft.core.IndexTombstone.Value))
       val cand = probes.join(hits, "key")
         .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
         .select(col("id_a"), col("cid").cast("long").as("id_b"))
@@ -991,11 +1004,13 @@ object Dedup {
    *
    * The detector's hot-fingerprint cap applies at publish (a fingerprint
    * shared by more than `maxBucket` docs is corpus-wide boilerplate, a
-   * [[TextAnalysis.boilerplateRemoval]] job, not a membership list) —
-   * and unlike the xxhash64 band index, md5 fingerprints ARE
-   * SQL-replayable, so the contract oracle replays the cap exactly
-   * (HAVING count <= cap, the phash/sem-family pattern; no fail-loud
-   * contract mode needed).
+   * [[TextAnalysis.boilerplateRemoval]] job, not a membership list);
+   * capped fingerprints keep their key as [[graft.core.IndexTombstone]]
+   * rows (probes miss them, upserts keep them dropped). Unlike the
+   * xxhash64 band index, md5 fingerprints ARE SQL-replayable, so the
+   * contract oracle replays the cap exactly (HAVING count <= cap, the
+   * phash/sem-family pattern; no fail-loud contract mode needed —
+   * probes filter tombstones, so the oracle never sees them).
    *
    * Key-shape note (IndexMarker doc): raw md5 keys are 16 bytes — the
    * `m:index-type` marker key is 12 bytes, so the two can never collide
@@ -1010,13 +1025,22 @@ object Dedup {
       modulus: Int = 16,
       maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     import graft.functions.utf8_bytes
+    // every consumer parses the published ids as longs (OverlapReader's
+    // raw .toLong, sharedSubstringAgainstIndex's ANSI cast) — a string-id
+    // corpus must fail HERE at publish, not at the first admission probe
+    IndexDelete.requireIntegralId(corpus, idCol, "fpIndexKv")
     val fps = anchorOccurrences(corpus, idCol, textCol, minLen, window, modulus)
       .select(col("id"), col("fp"))
       .dropDuplicates("id", "fp")
-    LshBuckets.bounded(fps, Seq("fp"), maxBucket)
-      .groupBy(col("fp"))
+    // cap-dropped fingerprints keep their key as a tombstone row (see
+    // IndexTombstone: upserts must keep them dropped, probes miss them)
+    val (kept, dropped) = LshBuckets.boundedSplit(fps, Seq("fp"), maxBucket)
+    kept.groupBy(col("fp"))
       .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
       .select(unhex(col("fp")).as("key"), utf8_bytes(col("ids")).as("value"))
+      .unionByName(dropped.select(
+        unhex(col("fp")).as("key"),
+        utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
       .unionByName(IndexMarker.row(corpus.sparkSession, SpanIndexType))
   }
 
@@ -1057,7 +1081,10 @@ object Dedup {
       .select(col("id").as("delta_id"), unhex(col("fp")).as("key"))
       .dropDuplicates("delta_id", "key")
       .localCheckpoint(true) // feeds the probe, the join, and the clash check
+    // a tombstoned fingerprint (cap-dropped corpus-wide boilerplate at
+    // publish) is a MISS — no candidates, the documented cap semantics
     val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+      .where(bytes_utf8(col("value")) =!= lit(graft.core.IndexTombstone.Value))
     val cand = probes.join(hits, "key")
       .select(col("delta_id"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
       .select(col("delta_id"), col("cid").cast("long").as("corpus_id"))
@@ -1082,11 +1109,12 @@ object Dedup {
    * accepts (the updater cycle every index family closes). Affected
    * fingerprints merge by string-sorted id union (re-adding an indexed
    * id is idempotent); untouched keys copy-forward (or link, under a
-   * linked-publish policy). A merge that would cross `maxBucket` fails
-   * loud naming the re-publish — a rebuild would DROP that fingerprint
-   * (the cap is the boilerplate rule) and an upsert has no tombstone.
-   * Byte-identical to a union rebuild exactly when no cap boundary is
-   * crossed, the bandIndexUpsert contract.
+   * linked-publish policy). Cap semantics ride
+   * [[graft.core.IndexTombstone]]: a tombstoned fingerprint stays
+   * dropped (never enters the merge), and a merge crossing `maxBucket`
+   * writes the tombstone a rebuild would — byte-identical to a union
+   * rebuild on BOTH sides of the cap boundary, the bandIndexUpsert
+   * contract.
    */
   def fpIndexUpsert(
       index: graft.store.DomainStore,
@@ -1111,16 +1139,16 @@ object Dedup {
       .select(col("key"), bytes_utf8(col("value")).as("cur"))
     val curIds = when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
       .otherwise(split(col("cur"), ","))
+    // tombstoned fingerprints stay dropped; a cap-crossing merge writes
+    // the tombstone a rebuild would (bandIndexUpsert's rationale)
     val merged = additions.join(current, Seq("key"))
+      .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"),
         array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
       .select(col("key"),
         graft.functions.utf8_bytes(
           when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
-            .otherwise(raise_error(concat(
-              lit(s"fpIndexUpsert: a merged fingerprint exceeds maxBucket=$maxBucket "),
-              lit("members — the rebuild path would DROP it (corpus-wide "),
-              lit("boilerplate): re-publish with fpIndexKv instead")))))
+            .otherwise(lit(graft.core.IndexTombstone.Value)))
           .as("value"))
     try index.upsert(spark, merged, newVersion)
     finally additions.unpersist()

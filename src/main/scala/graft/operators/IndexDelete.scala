@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
  * Work is O(removed + affected cells), never O(index); untouched shards
  * copy forward.
  *
- * Removing content that was never indexed (or whose bucket was
- * cap-dropped at publish) is a no-op for those cells. An id whose
+ * Removing content that was never indexed is a no-op for those cells,
+ * and so is removal from a bucket the publish CAP-TOMBSTONED
+ * ([[graft.core.IndexTombstone]] — its membership is unknown, so the
+ * tombstone stays; rebuild to recount after mass removals). An id whose
  * indexed CONTENT differs from the content handed here can leave stale
  * entries in buckets this call never probes — the same
  * content-drift caveat every per-cell merge has
@@ -45,11 +47,14 @@ private[graft] object IndexDelete {
     // once, release before returning (no-cache-leak invariant)
     val r = removals.persist()
     try {
-      // hits only: a bucket the index never held (never indexed, or
-      // cap-dropped at publish) has nothing to shrink
+      // hits only: a bucket the index never held has nothing to shrink —
+      // and a cap-tombstoned bucket stays tombstoned (no member list to
+      // shrink; the checkedId guard below would otherwise read the
+      // sentinel as a non-integral member and fail loud)
       val current = index
         .multiGet(r.select(col("key")), includeMisses = false)
         .select(col("key"), bytes_utf8(col("value")).as("cur"))
+        .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
       // cells are sorted at publish and filter() preserves order, so the
       // kept cell stays in the index's canonical byte form. Every stored
       // entry's id part must parse as an integer — a hit whose value is

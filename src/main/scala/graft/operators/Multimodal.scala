@@ -322,23 +322,26 @@ object Multimodal {
    * Unlike the text index, the value entries CARRY the member's phash,
    * so the probe verifies candidates with a local popcount — no corpus
    * access at all. Hot-bucket cap semantics are `Dedup.bandIndexKv`'s:
-   * a bucket above `maxBucket` members is dropped before the
-   * collect_list (bounds the value cell AND the probe-side explode;
-   * probes of a dropped bucket simply miss).
+   * a bucket above `maxBucket` members has its entries dropped before
+   * the collect_list (bounds the value cell AND the probe-side explode)
+   * and its key published as a [[graft.core.IndexTombstone]] row —
+   * probes miss it, upserts keep it dropped.
    */
   def phashIndexKv(
       hashes: DataFrame,
       maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
     requireIntegralMediaId(hashes, "phashIndexKv")
-    LshBuckets.bounded(phashBandBuckets(hashes), Seq("band", "bucket"), maxBucket)
-      .groupBy(col("band"), col("bucket"))
+    def bucketKey = composite_key(int_be(col("band")), long_be(col("bucket"))).as("key")
+    val (kept, dropped) =
+      LshBuckets.boundedSplit(phashBandBuckets(hashes), Seq("band", "bucket"), maxBucket)
+    kept.groupBy(col("band"), col("bucket"))
       .agg(concat_ws(",", sort_array(collect_list(
         concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string")))))
         .as("entries"))
-      .select(
-        composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"),
-        utf8_bytes(col("entries")).as("value"))
+      .select(bucketKey, utf8_bytes(col("entries")).as("value"))
+      .unionByName(dropped.select(
+        bucketKey, utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
       // type authority: byte-compatible key shape with the text band
       // index but a DIFFERENT value grammar (id:phash vs id) — the
       // marker is what keeps a cross-type upsert/probe loud
@@ -382,7 +385,10 @@ object Multimodal {
     val probes = phashBandBuckets(incoming).select(
       col("media_id").as("id_a"), col("phash").as("ph_a"),
       composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"))
+    // a tombstoned bucket (cap-dropped at publish) is a MISS — no
+    // candidates, the documented cap semantics
     val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+      .where(bytes_utf8(col("value")) =!= lit(graft.core.IndexTombstone.Value))
     // candidates checkpointed: the band+probe pipeline feeds both the
     // disjointness check and the verify, and must not re-run per action
     val cand = probes.join(hits, "key")
@@ -414,10 +420,11 @@ object Multimodal {
    * the index's canonical form; re-adding an indexed image is
    * idempotent because `id:phash` entries are identical), untouched
    * buckets copy-forward; work is O(delta + affected bucket values).
-   * Same cap asymmetry as `Dedup.bandIndexUpsert`: a merge crossing
-   * `maxBucket` FAILS LOUD naming the re-band as the fix (an upsert has
-   * no tombstone to drop a published key), and byte-identity with a
-   * full rebuild holds exactly when the base publish dropped nothing.
+   * Cap semantics ride [[graft.core.IndexTombstone]]
+   * (`Dedup.bandIndexUpsert`'s rationale): a tombstoned bucket stays
+   * dropped (never enters the merge) and a merge crossing `maxBucket`
+   * writes the tombstone a rebuild would — byte-identical to a full
+   * rebuild on both sides of the cap boundary.
    */
   def phashIndexUpsert(
       index: graft.store.DomainStore,
@@ -440,7 +447,10 @@ object Multimodal {
       val curEntries =
         when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
           .otherwise(split(col("cur"), ","))
+      // a tombstoned bucket stays tombstoned: the key never enters the
+      // merge (the tombstone carries forward untouched via the anti-join)
       val merged = additions.join(current, Seq("key"))
+        .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
         .select(col("key"),
           array_sort(array_distinct(concat(curEntries, split(col("add"), ","))))
             .as("entries"))
@@ -462,10 +472,9 @@ object Multimodal {
               lit("no tombstone for the old hash: re-band the corpus with "),
               lit("phashIndexKv instead"))))
               .when(size(col("entries")) <= maxBucket, concat_ws(",", col("entries")))
-              .otherwise(raise_error(concat(
-                lit(s"phashIndexUpsert: a merged bucket exceeds maxBucket=$maxBucket "),
-                lit("members — the rebuild path would DROP it and an upsert cannot: "),
-                lit("re-band the corpus with phashIndexKv instead")))))
+              // a merge crossing the cap writes the tombstone a rebuild
+              // would (byte-identity across the cap boundary)
+              .otherwise(lit(graft.core.IndexTombstone.Value)))
             .as("value"))
       index.upsert(spark, merged, newVersion)
     } finally additions.unpersist()

@@ -622,9 +622,11 @@ object Similarity {
   /** Declared-spec index types for the ANN posting-list domains (no
     * in-data marker — 4-byte cell keys can't collide with the marker
     * families; declare these in `DomainSpec.indexType` at create so a
-    * wrong-domain upsert/delete fails loud instead of no-opping). */
+    * wrong-domain upsert/delete fails loud instead of no-opping). The
+    * PQ one is OWNED by the Spark-free serving side ([[graft.store.AnnReader]]
+    * gates on it — the OverlapReader.IndexType one-definition pattern). */
   val IvfIndexType = "ivf-postings"
-  val IvfPqIndexType = "ivf-pq-postings"
+  val IvfPqIndexType: String = graft.store.AnnReader.IndexType
 
   def ivfIndexKv(
       corpus: DataFrame,
@@ -1436,9 +1438,9 @@ object Similarity {
    *
    * Cell sizing is the caller's lever exactly as in [[semanticDedup]]:
    * cells grow with the corpus at fixed `planes`, so the publish drops
-   * cells past `maxBucket` (probes of a dropped cell miss; raise
-   * `planes` — the paper's k — to re-bound them) and an upsert crossing
-   * the cap fails loud.
+   * cells past `maxBucket` — keeping their key as a
+   * [[graft.core.IndexTombstone]] row (probes miss it, upserts keep it
+   * dropped; raise `planes` — the paper's k — to re-bound the cells).
    */
   def semIndexKv(
       corpus: DataFrame,
@@ -1460,10 +1462,13 @@ object Similarity {
       return IndexMarker.row(corpus.sparkSession, SemIndexType)
     val cells = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
       .select(col("id"), col("bucket").as("cell"))
-    LshBuckets.bounded(cells, Seq("cell"), maxBucket)
-      .groupBy(col("cell"))
+    val (kept, dropped) = LshBuckets.boundedSplit(cells, Seq("cell"), maxBucket)
+    kept.groupBy(col("cell"))
       .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
       .select(long_be(col("cell")).as("key"), utf8_bytes(col("ids")).as("value"))
+      .unionByName(dropped.select(
+        long_be(col("cell")).as("key"),
+        utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
       // type authority shared with the text/image band indexes — see
       // IndexMarker (same value grammar as lsh-band, but probing a cell
       // index with band keys or vice versa must stay loud)
@@ -1532,7 +1537,10 @@ object Similarity {
             "re-encode one side (or rebuild the index) first")
       val probes = lshBuckets(pIn, 1, planes, dimRow(0).getInt(0))
         .select(col("id").as("id_a"), long_be(col("bucket")).as("key"))
+      // a tombstoned cell (cap-dropped at publish) is a MISS — no
+      // candidates, the documented cap semantics
       val hits = store.multiGet(probes.select(col("key")), includeMisses = false)
+        .where(bytes_utf8(col("value")) =!= lit(graft.core.IndexTombstone.Value))
       val cand = probes.join(hits, "key")
         .select(col("id_a"), explode(split(bytes_utf8(col("value")), ",")).as("cid"))
         .select(col("id_a"), col("cid").cast("long").as("id_b"))
@@ -1562,9 +1570,12 @@ object Similarity {
   /**
    * Incremental growth of a PUBLISHED [[semIndexKv]] domain: fold a
    * delta's cell memberships in (string-sorted id merge — re-adding an
-   * indexed id is idempotent), untouched cells copy-forward. Same cap
-   * asymmetry as `Dedup.bandIndexUpsert`: a merge crossing `maxBucket`
-   * FAILS LOUD naming the re-cluster (here: more planes) as the fix.
+   * indexed id is idempotent), untouched cells copy-forward. Cap
+   * semantics ride [[graft.core.IndexTombstone]]
+   * (`Dedup.bandIndexUpsert`'s rationale): a tombstoned cell stays
+   * dropped and a merge crossing `maxBucket` writes the tombstone a
+   * rebuild would — byte-identical to a union rebuild on both sides of
+   * the cap boundary (re-cluster at more planes to re-bound hot cells).
    */
   def semIndexUpsert(
       index: graft.store.DomainStore,
@@ -1591,16 +1602,16 @@ object Similarity {
       val curIds =
         when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
           .otherwise(split(col("cur"), ","))
+      // tombstoned cells stay dropped; a cap-crossing merge writes the
+      // tombstone a rebuild would (Dedup.bandIndexUpsert's rationale)
       val merged = additions.join(current, Seq("key"))
+        .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
         .select(col("key"),
           array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
         .select(col("key"),
           graft.functions.utf8_bytes(
             when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
-              .otherwise(raise_error(concat(
-                lit(s"semIndexUpsert: a merged cell exceeds maxBucket=$maxBucket "),
-                lit("members — the rebuild path would DROP it and an upsert cannot: "),
-                lit("re-cluster with semIndexKv at more planes instead")))))
+              .otherwise(lit(graft.core.IndexTombstone.Value)))
             .as("value"))
       index.upsert(spark, merged, newVersion)
     } finally additions.unpersist()

@@ -91,13 +91,20 @@ object KvDomainV2 {
   // shards read as legitimately empty — the silent 'key absent' class.
   // On a miss the manifest is read HERE (driver, once, memoized into the
   // registry; a registered EMPTY map is a positive "no links" answer).
+  // Bounded like IndexMarker.verified: a perpetual linked streaming
+  // reader accretes one entry per version dir, so the registry clears
+  // past MaxCachedVersionDirs — a later miss just re-reads the manifest.
+  private val MaxCachedVersionDirs = 4096
   private val links =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
 
-  def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit =
+  def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit = {
+    if (links.size > MaxCachedVersionDirs) links.clear()
     links.put(versionDir, shardDirs)
+  }
 
-  private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] =
+  private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] = {
+    if (links.size > MaxCachedVersionDirs) links.clear()
     links.computeIfAbsent(versionDir, { vd =>
       val p = new Path(vd)
       val resolved = graft.store.VersionedStore
@@ -106,6 +113,7 @@ object KvDomainV2 {
         s -> new Path(new Path(p.getParent, origin.toString), s"shard=$s").toString
       }
     })
+  }
 
   private[sources] def shardDirFor(versionDir: String, shard: Int): String =
     linkedDirsFor(versionDir).getOrElse(shard, s"$versionDir/shard=$shard")

@@ -50,9 +50,9 @@ final class AnnReader(
   // gate.
   private val (norms: Array[Double], m: Int, ksub: Int, dsub: Int) = ReaderGate(postings, vectors) {
     postings.spec.indexTypeOption.foreach { t =>
-      if (t != "ivf-pq-postings") throw new IllegalArgumentException(
+      if (t != AnnReader.IndexType) throw new IllegalArgumentException(
         s"AnnReader: postings domain declares index type '$t', not " +
-          "'ivf-pq-postings' — this reader serves ivfPqIndexKv domains only")
+          s"'${AnnReader.IndexType}' — this reader serves ivfPqIndexKv domains only")
     }
     require(centroids.nonEmpty && books.nonEmpty, "empty quantizer")
     require(books.forall(_.nonEmpty) && books.forall(_.forall(_.nonEmpty)),
@@ -176,4 +176,12 @@ final class AnnReader(
   override def close(): Unit =
     try postings.close()
     finally vectors.close()
+}
+
+object AnnReader {
+  /** The ivf-pq posting-list index-type authority string — defined HERE
+    * (Spark-free) so the serving reader never loads the Spark-heavy
+    * operators package; `graft.operators.Similarity.IvfPqIndexType`
+    * aliases it (one definition, the OverlapReader.IndexType pattern). */
+  val IndexType = "ivf-pq-postings"
 }

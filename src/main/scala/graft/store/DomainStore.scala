@@ -51,14 +51,20 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * Cached per version — published versions are immutable; the writer
     * ([[writeLinksManifest]]) refreshes the entry so an in-build read
     * (buildIndex over an unpublished version) can never see a stale
-    * pre-write cache. */
+    * pre-write cache. Bounded like IndexMarker.verified: a perpetual
+    * linked streaming publisher accretes one ~numShards-entry map per
+    * micro-batch version, so the cache clears past
+    * [[DomainStore.MaxCachedLinkVersions]] — correctness never depends
+    * on a hit (a miss re-reads the manifest). */
   private val linksCache =
     new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, Long]]()
 
-  private[store] def linksOf(version: Long): Map[Int, Long] =
+  private[store] def linksOf(version: Long): Map[Int, Long] = {
+    if (linksCache.size > DomainStore.MaxCachedLinkVersions) linksCache.clear()
     linksCache.computeIfAbsent(
       version,
       v => VersionedStore.readLinks(root.getFileSystem(conf), versions.versionPath(v)))
+  }
 
   /** THE shard-dir resolution seam: every read path (scans, lookups,
     * audits, stats, transfers) locates shard `s` of `version` through
@@ -1767,6 +1773,11 @@ object DomainStore {
     * comfortably bounded — while every sane point-lookup batch (and the
     * banded probe sets of an incremental dedup delta) sits far below it. */
   val MaxDriverKeys: Int = 262144
+
+  /** Cap on memoized per-version link manifests (linksOf; the
+    * IndexMarker.MaxCached rationale — bounds a perpetual linked
+    * streaming publisher's driver footprint). */
+  val MaxCachedLinkVersions: Int = 4096
 
   /** One shard dir's data files (empty when the dir is absent — a
     * legitimately empty shard). The ONE shard-walk definition the audit

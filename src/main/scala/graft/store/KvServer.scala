@@ -66,7 +66,16 @@ import java.util.concurrent.atomic.AtomicBoolean
  *    + spec per domain): the spec's routing-relevant fields plus the
  *    shard subset THIS host carries with per-shard record counts
  *    (n < numShards is the normal replicated-ring shape); unknown
- *    domain = error frame
+ *    domain = error frame. FRAME HISTORY: indexType was INSERTED before
+ *    the census in r12 with no version bump (this protocol has no
+ *    version negotiation — all in-repo consumers move in lockstep); a
+ *    pre-r12 client reading a post-r12 server (or vice versa) mis-frames
+ *    HERE first — the census count lands on the indexType UTF's length
+ *    prefix and the client's census-range guard (`n in [0, numShards]`)
+ *    makes that a clean ProtocolException in practice, not silent
+ *    garbage. Any future META field must be APPENDED after the census
+ *    (old clients then ignore the tail bytes harmlessly) or come with a
+ *    format version byte.
  *
  * Threading: one accept loop + one daemon thread per connection; the
  * readers' documented lookup thread-safety carries the concurrency, the

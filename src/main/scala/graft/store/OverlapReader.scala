@@ -88,6 +88,9 @@ final class OverlapReader(
     if (fps.isEmpty) return IndexedSeq.empty
     index.multiGet(fps).iterator
       .collect { case Some(v) => new String(v, UTF_8) }
+      // a cap-tombstoned fingerprint is a MISS (publish-time corpus-wide
+      // boilerplate — the Spark probe's documented cap semantics)
+      .filter(_ != graft.core.IndexTombstone.Value)
       .flatMap(_.split(','))
       .map(_.toLong)
       .toIndexedSeq.distinct.sorted

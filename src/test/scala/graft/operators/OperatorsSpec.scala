@@ -824,7 +824,7 @@ class OperatorsSpec extends SparkSuite {
     assert(mhFail === mhDrop && mhFail.contains((1000L, 1001L)))
   }
 
-  test("band index upsert == rebuild on the union corpus; a cap-crossing merge fails loud") {
+  test("band index upsert == rebuild on the union corpus; cap crossings tombstone") {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration()
     val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
@@ -847,19 +847,37 @@ class OperatorsSpec extends SparkSuite {
     assert(pairs(inc).nonEmpty)
 
     // a merged bucket crossing the cap: 30 identical docs published at a
-    // permissive cap, 30 more arriving -> rebuild would DROP the bucket,
-    // upsert must refuse rather than silently keep it
-    val same = (0L until 30L).map(i => (i, "same same text for every doc here"))
-      .toDF("doc_id", "text")
-    val more = (100L until 130L).map(i => (i, "same same text for every doc here"))
-      .toDF("doc_id", "text")
+    // permissive cap, 30 more arriving -> the upsert writes the TOMBSTONE
+    // a rebuild would, so upsert == rebuild holds ACROSS the cap boundary
+    // (the r12 verdict's resurrect hole, closed) — and a later delta on
+    // the tombstoned bucket keeps it dropped
+    val sameText = "same same text for every doc here"
+    val same = (0L until 30L).map(i => (i, sameText)).toDF("doc_id", "text")
+    val more = (100L until 130L).map(i => (i, sameText)).toDF("doc_id", "text")
+    val later = (200L until 210L).map(i => (i, sameText)).toDF("doc_id", "text")
     val capped = graft.store.DomainStore.create(scratch("band-upsert/cap"), spec, conf)
     capped.write(Dedup.bandIndexKv(same, "doc_id", "text", maxBucket = 40), 1L)
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    val e = intercept[Exception](
-      Dedup.bandIndexUpsert(capped, more, "doc_id", "text", 2L, maxBucket = 40))
-    assert(messages(e).exists(_.contains("re-band")), messages(e).mkString(" | "))
+    Dedup.bandIndexUpsert(capped, more, "doc_id", "text", 2L, maxBucket = 40)
+    val crossed = graft.store.DomainStore.create(scratch("band-upsert/crossed"), spec, conf)
+    crossed.write(
+      Dedup.bandIndexKv(same.unionByName(more), "doc_id", "text", maxBucket = 40), 1L)
+    assert(pairs(capped) === pairs(crossed))
+    val tombstone = graft.core.IndexTombstone.Value.getBytes("UTF-8").toSeq
+    assert(pairs(capped).exists(_._2 == tombstone), "cap crossing left no tombstone")
+    // the tombstoned bucket stays dropped through the NEXT upsert —
+    // byte-identical to the three-way union rebuild (the resurrect case)
+    Dedup.bandIndexUpsert(capped, later, "doc_id", "text", 3L, maxBucket = 40)
+    val crossed3 = graft.store.DomainStore.create(scratch("band-upsert/crossed3"), spec, conf)
+    crossed3.write(
+      Dedup.bandIndexKv(same.unionByName(more).unionByName(later),
+        "doc_id", "text", maxBucket = 40), 1L)
+    assert(pairs(capped) === pairs(crossed3))
+    // and probes of the tombstoned buckets MISS (cap semantics):
+    // an incoming clone of the boilerplate yields no candidate pairs
+    val incoming = Seq((5000L, sameText)).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(
+      capped, incoming, same.unionByName(more).unionByName(later),
+      "doc_id", "text", 0.5).count() === 0L)
   }
 
   test("fingerprint index: probe == oriented pairs, upsert/delete == rebuild, guards loud") {
@@ -922,6 +940,31 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(afterDel === Set((100L, 2L), (104L, 3L)))
 
+    // cap tombstones: 6 docs sharing one run published at cap 4 -> the
+    // shared fingerprints tombstone (not vanish), probes miss them, an
+    // upsert keeps them dropped (byte-identical to the union rebuild),
+    // and the Spark-free OverlapReader reads the tombstone as a miss too
+    val boiler = randText(100) + run1 + randText(50)
+    val sixSame = (0L until 6L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val twoMore = (500L until 502L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val capRoot = scratch("fp-idx/cap")
+    val cap = graft.store.DomainStore.create(capRoot, spec, conf)
+    cap.write(Dedup.fpIndexKv(sixSame, "doc_id", "text", maxBucket = 4), 1L)
+    val tombstone = graft.core.IndexTombstone.Value.getBytes("UTF-8").toSeq
+    assert(pairs(cap).exists(_._2 == tombstone), "capped publish left no tombstone")
+    assert(Dedup.sharedSubstringAgainstIndex(
+      cap, Seq((900L, boiler)).toDF("doc_id", "text"), "doc_id", "text").count() === 0L)
+    Dedup.fpIndexUpsert(cap, twoMore, "doc_id", "text", newVersion = 2L, maxBucket = 4)
+    val capFull = graft.store.DomainStore.create(scratch("fp-idx/cap-full"), spec, conf)
+    capFull.write(
+      Dedup.fpIndexKv(sixSame.unionByName(twoMore), "doc_id", "text", maxBucket = 4), 1L)
+    assert(pairs(cap) === pairs(capFull))
+    val ovr = new graft.store.OverlapReader(
+      graft.store.KvDomainReader.open(capRoot, conf))
+    try assert(ovr.overlapping(boiler).isEmpty,
+      "OverlapReader must read a cap tombstone as a miss")
+    finally ovr.close()
+
     // overlapping id spaces fail loud (oriented pairs need disjointness)
     val clashing = Seq(1L -> (randText(10) + run1 + randText(40))).toDF("doc_id", "text")
     val eClash = intercept[IllegalArgumentException](probe(clashing))
@@ -977,16 +1020,29 @@ class OperatorsSpec extends SparkSuite {
     assert(kvPairs(inc) === kvPairs(full))
     assert(kvPairs(inc).nonEmpty)
 
-    // a merged bucket crossing the cap fails loud naming the re-band
+    // a merged bucket crossing the cap writes the tombstone a rebuild
+    // would (upsert == rebuild across the cap boundary), a later delta
+    // keeps it dropped, and probes of it miss
     val sameA = (0L until 30L).map(i => (i, 7L)).toDF("media_id", "phash")
     val sameB = (100L until 130L).map(i => (i, 7L)).toDF("media_id", "phash")
+    val sameC = (200L until 210L).map(i => (i, 7L)).toDF("media_id", "phash")
     val capped = graft.store.DomainStore.create(scratch("phash-ix/cap"), spec, conf)
     capped.write(Multimodal.phashIndexKv(sameA, maxBucket = 40), 1L)
+    Multimodal.phashIndexUpsert(capped, sameB, 2L, maxBucket = 40)
+    val crossed = graft.store.DomainStore.create(scratch("phash-ix/crossed"), spec, conf)
+    crossed.write(Multimodal.phashIndexKv(sameA.unionByName(sameB), maxBucket = 40), 1L)
+    assert(kvPairs(capped) === kvPairs(crossed))
+    val tombstone = graft.core.IndexTombstone.Value.getBytes("UTF-8").toSeq
+    assert(kvPairs(capped).exists(_._2 == tombstone), "cap crossing left no tombstone")
+    Multimodal.phashIndexUpsert(capped, sameC, 3L, maxBucket = 40)
+    val crossed3 = graft.store.DomainStore.create(scratch("phash-ix/crossed3"), spec, conf)
+    crossed3.write(
+      Multimodal.phashIndexKv(sameA.unionByName(sameB).unionByName(sameC), maxBucket = 40), 1L)
+    assert(kvPairs(capped) === kvPairs(crossed3))
+    assert(Multimodal.phashDedupAgainstIndex(
+      capped, Seq((5000L, 7L)).toDF("media_id", "phash"), maxHamming = 3).count() === 0L)
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    val e = intercept[Exception](
-      Multimodal.phashIndexUpsert(capped, sameB, 2L, maxBucket = 40))
-    assert(messages(e).exists(_.contains("re-band")), messages(e).mkString(" | "))
 
     // an id re-ingested with a CHANGED phash fails loud (old and new
     // entries meet in an unchanged band's bucket — guaranteed for
@@ -1070,15 +1126,33 @@ class OperatorsSpec extends SparkSuite {
         ix, corpus.limit(5), corpus, "vec_id", "embedding", t, planes))
     assert(e.getMessage.contains("disjoint"))
 
-    // a cap-crossing merge fails loud naming the re-cluster
+    // a cap-crossing merge writes the tombstone a rebuild would
+    // (upsert == rebuild across the cap boundary), a later delta keeps
+    // it dropped: identical vectors land ONE cell — 3 published under
+    // cap 4, 3 more crossing it, 2 more probing the tombstone
+    val cellA = (1 to 3).map(i => (300L + i, Array.fill(8)(0.7f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val cellB = (1 to 3).map(i => (400L + i, Array.fill(8)(0.7f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val cellC = (1 to 2).map(i => (500L + i, Array.fill(8)(0.7f), 0L))
+      .toDF("vec_id", "embedding", "label")
     val capped = graft.store.DomainStore.create(scratch("sem-ix/cap"), spec, conf)
-    capped.write(Similarity.semIndexKv(corpus, "vec_id", "embedding", planes, maxBucket = 10000), 1L)
-    def messages(th: Throwable): Seq[String] =
-      if (th == null) Nil else Option(th.getMessage).toSeq ++ messages(th.getCause)
-    val e2 = intercept[Exception](
-      Similarity.semIndexUpsert(
-        capped, delta, "vec_id", "embedding", 2L, planes, maxBucket = 1))
-    assert(messages(e2).exists(_.contains("re-cluster")), messages(e2).mkString(" | "))
+    capped.write(Similarity.semIndexKv(cellA, "vec_id", "embedding", planes, maxBucket = 4), 1L)
+    Similarity.semIndexUpsert(
+      capped, cellB, "vec_id", "embedding", 2L, planes, maxBucket = 4)
+    val crossed = graft.store.DomainStore.create(scratch("sem-ix/crossed"), spec, conf)
+    crossed.write(Similarity.semIndexKv(
+      cellA.unionByName(cellB), "vec_id", "embedding", planes, maxBucket = 4), 1L)
+    assert(kvPairs(capped) === kvPairs(crossed))
+    val tombstone = graft.core.IndexTombstone.Value.getBytes("UTF-8").toSeq
+    assert(kvPairs(capped).exists(_._2 == tombstone), "cap crossing left no tombstone")
+    Similarity.semIndexUpsert(
+      capped, cellC, "vec_id", "embedding", 3L, planes, maxBucket = 4)
+    val crossed3 = graft.store.DomainStore.create(scratch("sem-ix/crossed3"), spec, conf)
+    crossed3.write(Similarity.semIndexKv(
+      cellA.unionByName(cellB).unionByName(cellC),
+      "vec_id", "embedding", planes, maxBucket = 4), 1L)
+    assert(kvPairs(capped) === kvPairs(crossed3))
 
     // PUBLISH-time drop => probe MISS: a cell past the cap never becomes
     // a key, so a delta probing it finds no candidates — exactly what the
