@@ -142,11 +142,12 @@ class GraftRing:
         # hosts answering "no such domain" (mid-deploy, puller not done)
         # are failover's job, matching RingClient.probeShardCount; a
         # wrong-protocol peer stays loud.
-        counts = {}
+        metas = {}
         errs = {}
         def probe(n):
             try:
-                counts[n] = self._stubs[n].meta()["num_shards"]
+                m = self._stubs[n].meta()
+                metas[n] = (m["num_shards"], m["shard_scheme"])
             except Exception as e:
                 errs[n] = e
         threads = [threading.Thread(target=probe, args=(n,), daemon=True)
@@ -159,16 +160,27 @@ class GraftRing:
             if isinstance(e, ProtocolError):
                 self.close()
                 raise ProtocolError(f"host {n} speaks the wrong protocol: {e}")
-        if not counts:
+        if not metas:
             self.close()
             raise ConnectionError(
                 f"no host of the ring answered a shard-count probe "
                 f"(tried: {', '.join(names)}): {errs}")
-        if len(set(counts.values())) != 1:
+        if len(set(metas.values())) != 1:
             self.close()
             raise ProtocolError(
-                f"ring hosts disagree on shard count — different domains: {counts}")
-        self.num_shards = next(iter(counts.values()))
+                f"ring hosts disagree on shard count/scheme — different domains: {metas}")
+        self.num_shards, scheme = next(iter(metas.values()))
+        # scheme gate: this client routes md5-mod ONLY. A custom-scheme
+        # domain would degrade to per-lookup wrong-host failover at best
+        # (and silent misses if the daemon could not re-route) — refuse
+        # AT BOOT naming the scheme, like the JVM RingClient.fromConf.
+        # The META probe already paid for the answer; the gate is free.
+        if scheme != "hash-mod":
+            self.close()
+            raise ProtocolError(
+                f"domain {domain!r} routes with shard scheme {scheme!r}, but this "
+                "client can only route 'hash-mod' (md5-mod) — serve custom-scheme "
+                "domains from a JVM client built with the resolved scheme")
         fwd = compute_host_to_shards(names, self.num_shards, replication)
         self._shard_hosts = {}
         for host, shards in fwd.items():

@@ -361,12 +361,28 @@ object RingClient {
     * EVERY host still fails loud: no reader answers, and the error
     * carries the remote cause. The reachable readers cross-check each
     * other and must agree. */
-  private[store] def probeShardCount(readers: Map[String, ServingReader]): Int = {
-    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
+  private[store] def probeShardCount(readers: Map[String, ServingReader]): Int =
+    probeRing(readers)(_.numShards)
+
+  /** fromConf's boot probe: (shard count, shard scheme) from ONE META
+    * round trip per host — the scheme gate rides the probe the shard
+    * count already pays for. Same host-failure taxonomy as
+    * [[probeShardCount]]. */
+  private[store] def probeMeta(readers: Map[String, ServingReader]): (Int, String) =
+    probeRing(readers)(r => { val m = r.metadata(); (m.numShards, m.shardScheme) })
+
+  /** The shared parallel ring probe: every reader asked concurrently (a
+    * frozen host costs at most ONE timeout, never one per broken host);
+    * down hosts (IOException) and mid-deploy hosts
+    * (RemoteServingException) are failover's job, a wrong-protocol peer
+    * stays loud, and the reachable answers must AGREE. */
+  private def probeRing[A](readers: Map[String, ServingReader])(
+      ask: ServingReader => A): A = {
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, A]]()
     val threads = readers.toSeq.map { case (h, r) =>
       val t = new Thread(() => {
         val res =
-          try Right(r.numShards)
+          try Right(ask(r))
           catch { case e: Throwable => Left(e) } // incl. fatals: rethrown below, never silent
         results.put(h, res)
       }, s"ring-probe-$h")
@@ -405,12 +421,12 @@ object RingClient {
    * loudly cross-checked by numShards' probe).
    *
    * Conf-booted clients route HASH-MOD (the only scheme a shared conf can
-   * promise without a per-domain metadata round trip). Serving a
-   * custom-scheme domain through a conf ring is NOT silently wrong — the
-   * daemon-side readers route with the domain's true scheme and throw
-   * wrong-host on a misdirected probe, so the client fails over and
-   * either lands on a correct replica or fails loud — but it is
-   * inefficient: build the client directly with the resolved scheme
+   * promise), and the construction probe ENFORCES it: the boot-time META
+   * round trip carries the domain's `shardScheme` (the reference always
+   * knew the scheme because DomainSpec shipped it — DomainSpec.java:46-52),
+   * so a custom-scheme domain fails HERE naming the scheme instead of
+   * degrading to per-lookup wrong-host failover. Build the client
+   * directly with the resolved scheme
    * (`new RingClient(..., scheme = ShardScheme.forName(...))`) instead.
    */
   def fromConf(
@@ -428,11 +444,19 @@ object RingClient {
     }.toMap
     // anything thrown from here on must not leak the stubs' pooled
     // sockets — close them all before rethrowing. ONE probe total: the
-    // shared helper learns (and cross-checks) the shard count, and the
-    // constructor is told not to re-probe (a dark host would otherwise
-    // pay its connect timeout twice).
+    // META-based helper learns (and cross-checks) the shard count AND
+    // the scheme in one round trip, and the constructor is told not to
+    // re-probe (a dark host would otherwise pay its connect timeout
+    // twice).
     try {
-      val shardCount = probeShardCount(stubs)
+      val (shardCount, scheme) = probeMeta(stubs)
+      if (scheme != graft.core.DomainSpec.HashMod)
+        throw new IllegalArgumentException(
+          s"RingClient.fromConf: domain '$domain' routes with shard scheme " +
+            s"'$scheme', but a conf-booted ring can only route " +
+            s"'${graft.core.DomainSpec.HashMod}' — build the client directly " +
+            "with the resolved scheme: new RingClient(..., scheme = " +
+            s"ShardScheme.forName(\"$scheme\"))")
       new RingClient(
         ShardRing.generateIndex(g.hosts.map(_.name), shardCount, g.replication),
         stubs, preferred, rnd, knownShardCount = Some(shardCount))

@@ -141,4 +141,72 @@ class RingClientSpec extends SparkSuite {
     assert(intercept[IllegalStateException](solo.refreshAll())
       .getMessage.contains("closed"))
   }
+
+  test("fromConf gates custom-scheme domains AT BOOT, naming the scheme; hash-mod untouched") {
+    import spark.implicits._
+    val schemeName = classOf[FirstByteModScheme].getName
+    def kv(prefix: String) = (0 until 50).map(i => s"$prefix$i" -> s"v$i").toDF("k", "v")
+      .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
+    val pqRoot = scratch("ringconf-pq")
+    val pq = DomainStore.create(
+      pqRoot,
+      DomainSpec(4, shardScheme = schemeName, persistenceFormat = DomainSpec.KvSorted),
+      conf)
+    pq.write(kv("p"), 1L)
+    val hmRoot = scratch("ringconf-hm")
+    val hm = DomainStore.create(
+      hmRoot, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    hm.write(kv("h"), 1L)
+    val rdPq = KvDomainReader.open(pqRoot, conf)
+    val rdHm = KvDomainReader.open(hmRoot, conf)
+    val server = new KvServer(Map("pq" -> rdPq, "hm" -> rdHm))
+    try {
+      val confDir = new java.io.File(scratch("ringconf-files"))
+      confDir.mkdirs()
+      val globalPath = new java.io.File(confDir, "global.conf").getAbsolutePath
+      java.nio.file.Files.writeString(java.nio.file.Path.of(globalPath),
+        s"""hosts = hA=127.0.0.1:${server.boundPort}
+           |replication = 1
+           |domain.pq = $pqRoot
+           |domain.hm = $hmRoot
+           |""".stripMargin)
+      // the custom-scheme domain fails AT CONSTRUCTION, scheme named —
+      // never the old degrade-to-per-lookup-wrong-host-failover
+      val e = intercept[IllegalArgumentException](
+        RingClient.fromConf(globalPath, "pq", conf))
+      assert(e.getMessage.contains(schemeName), e.getMessage)
+      assert(e.getMessage.contains("hash-mod"), e.getMessage)
+      // the hash-mod domain on the SAME server boots and serves
+      val ok = RingClient.fromConf(globalPath, "hm", conf)
+      try assert(ok.get(utf8("h3")).map(new String(_, "UTF-8")) === Some("v3"))
+      finally ok.close()
+      // the PYTHON ring client gates identically from the same conf
+      val pythonAvailable =
+        try new ProcessBuilder("python3", "--version").start().waitFor() == 0
+        catch { case _: java.io.IOException => false }
+      if (pythonAvailable) {
+        val pb = new ProcessBuilder(
+          "python3", "/root/repo/src/main/python/graft_ring.py",
+          globalPath, "pq", "get", "p3")
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() != 0,
+          s"python ring client must refuse a custom-scheme domain:\n$out")
+        assert(out.contains(schemeName) && out.contains("hash-mod"), out)
+        val pb2 = new ProcessBuilder(
+          "python3", "/root/repo/src/main/python/graft_ring.py",
+          globalPath, "hm", "get", "h3")
+        pb2.redirectErrorStream(true)
+        val p2 = pb2.start()
+        val out2 = new String(p2.getInputStream.readAllBytes(), "UTF-8")
+        assert(p2.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) && p2.exitValue() == 0, out2)
+        assert(out2.trim === "v3", out2)
+      }
+    } finally {
+      server.close()
+      rdPq.close()
+      rdHm.close()
+    }
+  }
 }
