@@ -1431,6 +1431,46 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
   }
 
   /**
+   * Re-materialize the NEWEST published version as a new SELF-CONTAINED
+   * version — the batch retention valve for `patch(linked = true)`
+   * chains (streaming ingest has `compactEvery`; batch callers publish
+   * this periodically instead): every shard's bytes are physically
+   * copied through the [[shardDirOf]] link resolution, no `_links.json`
+   * is written, so a following `cleanup(keep)` can reap the whole old
+   * chain — nothing references its link targets any more. Reads of the
+   * compacted version are byte-identical to the head it copied
+   * (LinkedPublishSpec pins it).
+   *
+   * Provenance: bytes are unchanged, so each shard KEEPS its
+   * last-rewrite origin from the old manifest — a delta-aware pull
+   * ([[localizeDelta]]) that already holds those shards still hardlinks
+   * instead of re-transferring. Sidecars ride inside the copied shard
+   * dirs (no index rebuild). Cost is one O(domain) copy — exactly the
+   * bill every copy-mode publish pays, spent deliberately, amortized
+   * over the linked chain it retires.
+   */
+  def compact(
+      newVersion: Long,
+      distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit = {
+    val oldVersion = latestVersion
+    versions.createVersion(newVersion)
+    try {
+      copyForward(oldVersion, newVersion, 0 until numShards, distributeAbove)
+      writeLinksManifest(newVersion, Map.empty) // self-contained; refreshes the cache
+      val prevOrigins = DomainStore.readOriginsAt(
+        root.getFileSystem(conf), versions.versionPath(oldVersion))
+      writeOriginsManifest(newVersion, s =>
+        prevOrigins.flatMap(_.get(s)).getOrElse(oldVersion))
+      versions.succeedVersion(newVersion)
+    } catch {
+      case e: Throwable =>
+        versions.failVersion(newVersion)
+        linksCache.remove(newVersion)
+        throw e
+    }
+  }
+
+  /**
    * Copy a published version's shard dirs to another filesystem location
    * (reference transfer-version!/`LocalElephantManager` shard
    * localization, SURVEY V7/S3 — there a serving box downloads its shard

@@ -100,6 +100,40 @@ final class OverlapReader(
     * run with any indexed doc. */
   def isContaminated(text: String): Boolean = overlapping(text).nonEmpty
 
+  /** Batched admission — [[overlapping]] for a STREAM of documents in
+    * ONE index round: all docs' fingerprints dedup across the batch
+    * (shared boilerplate fingerprints once, not once per carrier) into a
+    * single [[KvDomainReader.multiGet]], whose one generation pin is the
+    * version-consistency stamp for the whole batch — every answer row
+    * reflects the SAME served version, the daemon's chunked-batch
+    * contract. Answers align with the input; each is exactly what
+    * [[overlapping]] would return for that text (OverlapReaderSpec pins
+    * the equivalence on a mixed hit/clean/non-BMP batch). */
+  def overlappingAll(texts: Seq[String]): IndexedSeq[IndexedSeq[Long]] = {
+    import scala.collection.immutable.ArraySeq
+    val perDoc = texts.map(fingerprints)
+    val uniq = scala.collection.mutable.LinkedHashMap.empty[ArraySeq[Byte], Array[Byte]]
+    perDoc.foreach(_.foreach(k => uniq.getOrElseUpdate(ArraySeq.unsafeWrapArray(k), k)))
+    val hits: Map[ArraySeq[Byte], Array[Long]] =
+      if (uniq.isEmpty) Map.empty
+      else {
+        val keys = uniq.values.toIndexedSeq
+        keys.iterator.zip(index.multiGet(keys).iterator).flatMap {
+          case (k, Some(v)) =>
+            val s = new String(v, UTF_8)
+            // a cap-tombstoned fingerprint is a MISS (overlapping's rule)
+            if (s == graft.core.IndexTombstone.Value) None
+            else Some(ArraySeq.unsafeWrapArray(k) -> s.split(',').map(_.toLong))
+          case _ => None
+        }.toMap
+      }
+    perDoc.iterator.map { fps =>
+      fps.iterator
+        .flatMap(k => hits.getOrElse(ArraySeq.unsafeWrapArray(k), Array.empty[Long]))
+        .toIndexedSeq.distinct.sorted
+    }.toIndexedSeq
+  }
+
   def close(): Unit = index.close()
 }
 

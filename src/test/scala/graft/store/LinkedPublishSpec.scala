@@ -152,6 +152,39 @@ class LinkedPublishSpec extends SparkSuite {
     assert(readPairs(store) === (base.toMap ++ Map("lk1" -> "a2", "lk2" -> "a3", "solo" -> "x")).toSet)
   }
 
+  test("compact re-materializes the head: chain fully reaped, reads byte-identical") {
+    val root = scratch("lnk-compact")
+    val store = DomainStore.create(root, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)
+    store.write(kv(base: _*), 1L)
+    store.upsert(spark, kv("lk1" -> "a2", "fresh" -> "f1"), 2L, linked = true)
+    store.delete(spark, keysDf("lk5"), 3L, linked = true)
+    store.upsert(spark, kv("lk2" -> "a4"), 4L, linked = true)
+    val expected = readPairs(store)
+    val fs = store.root.getFileSystem(conf)
+
+    // the batch retention valve: one self-contained copy of the head...
+    store.compact(5L)
+    assert(VersionedStore.readLinks(fs, store.versions.versionPath(5L)).isEmpty,
+      "compacted version must carry no links manifest")
+    // ...and cleanup(1) reaps the WHOLE old chain (nothing references it)
+    store.versions.cleanup(1)
+    assert(store.versions.getAllVersions === Seq(5L))
+    Seq(1L, 2L, 3L, 4L).foreach(v =>
+      assert(!fs.exists(new Path(root, v.toString)), s"version $v survived the reap"))
+    assert(readPairs(store) === expected)
+    // point lookups against the compacted head (shard routing + sidecars
+    // rode the physical copy)
+    assert(store.get(spark, utf8("lk2")).map(new String(_, "UTF-8")) === Some("a4"))
+    assert(store.get(spark, utf8("lk5")) === None)
+    // provenance: untouched shards keep their last-rewrite origins, so a
+    // delta-aware pull that already has them hardlinks (the manifest maps
+    // every shard; none may claim the compact version itself as a REWRITE
+    // origin for carried bytes)
+    val origins = DomainStore.readOriginsAt(fs, store.versions.versionPath(5L))
+    assert(origins.nonEmpty && origins.get.nonEmpty)
+    assert(origins.get.values.forall(_ < 5L), s"compact rewrote origins: $origins")
+  }
+
   test("GC keepFloor: a served linked version pins its origins too") {
     val root = scratch("lnk-gc-floor")
     val store = DomainStore.create(root, DomainSpec(4, persistenceFormat = DomainSpec.KvSorted), conf)

@@ -72,6 +72,19 @@ class OverlapReaderSpec extends SparkSuite {
       assert(sparkFps.nonEmpty)
       // no anchors on sub-minLen text
       assert(reader.fingerprints("tiny").isEmpty)
+
+      // BATCHED admission == per-doc answers on the same mixed batch
+      // (hit carriers, clean, too-short, non-BMP — the full probe set,
+      // plus a duplicate carrier so the cross-doc key dedup is real),
+      // alignment preserved
+      val batch = probes.map(_._2) ++ Seq(probes.head._2, "")
+      val batched = reader.overlappingAll(batch)
+      assert(batched.length === batch.length)
+      batch.zip(batched).foreach { case (text, got) =>
+        assert(got === reader.overlapping(text),
+          s"batched answer drifted on '${text.take(20)}…'")
+      }
+      assert(reader.overlappingAll(Seq.empty).isEmpty)
     } finally reader.close()
 
     // a wrong-family domain fails loud at reader construction
