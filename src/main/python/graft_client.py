@@ -281,25 +281,40 @@ class GraftClient:
 
     def multi_get_records(self, keys):
         """multi_get keeping the present-null distinction: absent keys
-        give None, present-null keys give the NULL_VALUE sentinel."""
+        give None, present-null keys give the NULL_VALUE sentinel.
+
+        Batches past the frame bounds split into several frames; accept
+        an attempt only when every frame certifies ONE serving version
+        (vLo == vHi shared across frames) — never a torn cross-version
+        mix, same contract as the JVM client's chunkedMultiGet. A
+        SINGLE-frame answer is accepted regardless of a mid-frame swap
+        (JVM parity: the stamps exist for chunked certification;
+        _multi_get_versioned is the stricter variant)."""
+        self._validate_keys(keys)
+        for _ in range(3):
+            framed = self._framed_attempt(keys)
+            versions = {v for lo, hi, _ in framed for v in (lo, hi)}
+            if len(framed) == 1 or len(versions) == 1:
+                return [r for _, _, rs in framed for r in rs]
+        raise ProtocolError(
+            f"chunked multi_get of {len(keys)} keys kept straddling version swaps")
+
+    @staticmethod
+    def _validate_keys(keys):
         for k in keys:
             if not isinstance(k, (bytes, bytearray)):
                 raise TypeError("keys must be bytes")
             if len(k) > MAX_KEY_LEN:
                 raise ValueError(f"key of {len(k)} bytes exceeds protocol bound")
-        # batches past the frame bounds split into several frames; accept
-        # an attempt only when every frame certifies ONE serving version
-        # (vLo == vHi shared across frames) — never a torn cross-version
-        # mix, same contract as the JVM client's chunkedMultiGet
+
+    def _framed_attempt(self, keys):
+        """One multi_get attempt as a list of (v_lo, v_hi, records)
+        frames — a single frame when the batch fits the protocol bounds,
+        chunked otherwise. The ONE framing definition both acceptance
+        rules (multi_get_records, _multi_get_versioned) share."""
         if len(keys) <= MAX_BATCH and sum(len(k) for k in keys) <= MAX_BATCH_BYTES:
-            return self._multi_get_frame(keys)[2]
-        for _ in range(3):
-            framed = [self._multi_get_frame(c) for c in self._chunks(keys)]
-            versions = {v for lo, hi, _ in framed for v in (lo, hi)}
-            if len(versions) == 1:
-                return [r for _, _, rs in framed for r in rs]
-        raise ProtocolError(
-            f"chunked multi_get of {len(keys)} keys kept straddling version swaps")
+            return [self._multi_get_frame(keys)]
+        return [self._multi_get_frame(c) for c in self._chunks(keys)]
 
     @staticmethod
     def _chunks(keys):
@@ -562,19 +577,17 @@ class GraftClient:
         pays ZERO extra round trips."""
         fps = anchor_fingerprints(text, min_len, window, modulus)
         if not fps:
+            # still fail loud on a wrong-family domain: a client that only
+            # ever probes short/anchor-free texts must not read as
+            # silently clean forever — gate once (meta round trip) if this
+            # client has never gated, then the cached verdict carries
+            if not hasattr(self, "_fp_gate_version"):
+                self._fp_gate_version = self._fp_gate(
+                    self.meta()["served_version"])
             return []
         version, records = self._multi_get_versioned(fps)
         if getattr(self, "_fp_gate_version", None) != version:
-            got = self.meta()["index_type"]
-            if got == "none":  # pre-field spec: fall back to the marker
-                marker = self.get(b"m:index-type")
-                got = "<none>" if marker is None else marker.decode(
-                    "utf-8", errors="backslashreplace")
-            if got != "fp-anchor":
-                raise ValueError(
-                    f"overlapping: domain '{self.domain}' carries index-type "
-                    f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
-            self._fp_gate_version = version
+            self._fp_gate_version = self._fp_gate(version)
         ids = set()
         for v in records:
             if v is None or v is _NULL_VALUE:
@@ -586,21 +599,30 @@ class GraftClient:
                 ids.add(int(part))
         return sorted(ids)
 
+    def _fp_gate(self, version):
+        """Run the fp-anchor family gate (meta index_type authority,
+        in-data marker fallback for pre-field specs) and return the
+        version to cache the verdict under. Raises ValueError on a
+        wrong-family domain."""
+        got = self.meta()["index_type"]
+        if got == "none":  # pre-field spec: fall back to the marker
+            marker = self.get(b"m:index-type")
+            got = "<none>" if marker is None else marker.decode(
+                "utf-8", errors="backslashreplace")
+        if got != "fp-anchor":
+            raise ValueError(
+                f"overlapping: domain '{self.domain}' carries index-type "
+                f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
+        return version
+
     def _multi_get_versioned(self, keys):
         """multi_get that also returns THE serving version every frame
-        certified — retried like the chunked path until an attempt's
+        certified — retried (even for a single frame) until an attempt's
         stamps agree, so the caller gets (version, aligned records) from
         one consistent snapshot."""
-        for k in keys:
-            if not isinstance(k, (bytes, bytearray)):
-                raise TypeError("keys must be bytes")
-            if len(k) > MAX_KEY_LEN:
-                raise ValueError(f"key of {len(k)} bytes exceeds protocol bound")
+        self._validate_keys(keys)
         for _ in range(3):
-            if len(keys) <= MAX_BATCH and sum(len(k) for k in keys) <= MAX_BATCH_BYTES:
-                framed = [self._multi_get_frame(keys)]
-            else:
-                framed = [self._multi_get_frame(c) for c in self._chunks(keys)]
+            framed = self._framed_attempt(keys)
             versions = {v for lo, hi, _ in framed for v in (lo, hi)}
             if len(versions) == 1:
                 return versions.pop(), [r for _, _, rs in framed for r in rs]

@@ -26,6 +26,15 @@ package graft.core
  * grammar is comma-joined entries whose id part is a decimal integer
  * (`id`, `id:phash`, `id:codes`), and '!' is not a digit.
  *
+ * MIGRATION: an index published BEFORE tombstones existed has no
+ * tombstone for buckets its build dropped (the build would have
+ * reported them in `oversizedLshBuckets`) — there a miss is still
+ * indistinguishable from never-indexed and incremental growth
+ * re-publishes delta-only members for such buckets, exactly the caveat
+ * the pre-tombstone docs carried. Re-publish such an index with the
+ * family's build function before growing it incrementally; a build
+ * that reported nothing oversized never had the hole.
+ *
  * Spark-free (the AnchorMath/DomainSpec precedent) so serving-side
  * probes ([[graft.store.OverlapReader]], the Python clients) share the
  * ONE definition.

@@ -98,13 +98,20 @@ private[graft] object IndexDelete {
 
   /** Removal rows derived from a family's own BUILD output on the
     * removed content — (key, rids) with the build's exact key kernel —
-    * minus the `m:index-type` marker row some builders append (left in,
-    * the marker value would read as a member id and the marker key
-    * would be deleted as an emptied bucket). */
+    * minus the TWO non-membership row classes builders append: the
+    * `m:index-type` marker (left in, its value would read as a member id
+    * and the marker key would be deleted as an emptied bucket) and
+    * [[graft.core.IndexTombstone]] rows (a default-cap build of a
+    * boilerplate-heavy removal set tombstones its hot buckets — left in,
+    * `rids = ["!capped"]` matches no stored id, so the removed members
+    * would silently SURVIVE the takedown; the in-repo delete wrappers
+    * dodge both by building at `maxBucket = Int.MaxValue`, this guards
+    * direct callers following the documented pattern). */
   def removalsFromBuild(built: DataFrame): DataFrame = {
     import graft.functions.bytes_utf8
     built
       .where(col("key") =!= lit(IndexMarker.Key))
+      .where(bytes_utf8(col("value")) =!= lit(graft.core.IndexTombstone.Value))
       .select(
         col("key"),
         transform(split(bytes_utf8(col("value")), ","), entryId(_)).as("rids"))

@@ -97,6 +97,16 @@ object DedupQueries {
         Fixtures.table(s, dir, "documents"), "doc_id", "text",
         minLen = SubstringMinLen, window = SubstringWindow, modulus = SubstringModulus)
     },
+    // The FIXPOINT variant (Lee et al.'s iterate-to-convergence note):
+    // re-detect + re-cut until a round finds nothing, loud past the
+    // round bound. The oracle replays the round chain twice (round 2 is
+    // the operator's convergence-proof round — identity on a one-pass
+    // corpus, the genuine second cut otherwise).
+    "dedup_span_cut_iterated" -> { (s, dir) =>
+      Dedup.removeSharedSpansIterated(
+        Fixtures.table(s, dir, "documents"), "doc_id", "text",
+        minLen = SubstringMinLen, window = SubstringWindow, modulus = SubstringModulus)
+    },
     // SemDeDup (Abbas et al. 2023): the semantic KEEP decision — cells
     // from one seeded hyperplane table, and any row >= t-similar to a
     // smaller id in its cell is dropped. Deterministic planes make even
@@ -118,6 +128,56 @@ object DedupQueries {
     })
 
   /** Exact-Jaccard oracle tail shared by both shingle units. */
+  /** ONE span-cut round as a CTE chain reading (doc_id, text) from
+    * `src`, every CTE name prefixed with `p`, ending in `${p}out`
+    * (doc_id, n_cuts, text) — anchored fingerprints (the detector's
+    * rolling window hash folded over per-character unicode()), keeper =
+    * first (doc_id, pos) per fingerprint, excision as pure substring
+    * arithmetic (a character survives iff no cut interval [p, p+minLen)
+    * covers it). `cuts` is MATERIALIZED (referenced by the anti-join AND
+    * the count) and `out` is MATERIALIZED (the iterated oracle reads it
+    * three times — default inlining would re-run the char-level chain
+    * per reference). Shared by dedup_span_cut and its iterated twin so
+    * the two replays can never drift. */
+  private def spanCutRound(src: String, p: String): String =
+    s"""${p}pos AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(1, greatest(length(text) - ${SubstringMinLen - 1}, 0) + 1)) AS i
+       |  FROM $src WHERE length(text) >= $SubstringMinLen),
+       |${p}anch AS (
+       |  SELECT doc_id, CAST(i AS INT) AS p,
+       |    md5(substr(text, CAST(i AS INT), $SubstringMinLen)) AS fp
+       |  FROM ${p}pos
+       |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [CAST(unicode(c) AS BIGINT) FOR c IN
+       |        list_filter(string_split(substr(text, CAST(i AS INT), $SubstringWindow), ''), x -> x != '')]),
+       |      (a, b) -> (a * 31 + b) % 1000000007) % $SubstringModulus = 0),
+       |${p}ranked AS (
+       |  SELECT doc_id, p,
+       |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn
+       |  FROM ${p}anch),
+       |${p}cuts AS MATERIALIZED (SELECT DISTINCT doc_id, p FROM ${p}ranked WHERE rn > 1),
+       |${p}chars AS (
+       |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j
+       |  FROM $src WHERE length(text) > 0),
+       |${p}kept AS (
+       |  SELECT c.doc_id, c.j, substr(c.text, CAST(c.j AS INT), 1) AS ch
+       |  FROM ${p}chars c
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}cuts u
+       |    WHERE u.doc_id = c.doc_id
+       |      AND c.j >= u.p AND c.j < u.p + $SubstringMinLen)),
+       |${p}clean AS (
+       |  SELECT doc_id, string_agg(ch, '' ORDER BY j) AS t
+       |  FROM ${p}kept GROUP BY doc_id),
+       |${p}nc AS (SELECT doc_id, count(*) AS n FROM ${p}cuts GROUP BY doc_id),
+       |${p}out AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    CAST(coalesce(${p}nc.n, 0) AS BIGINT) AS n_cuts,
+       |    coalesce(cl.t, '') AS text
+       |  FROM $src d
+       |  LEFT JOIN ${p}clean cl USING (doc_id)
+       |  LEFT JOIN ${p}nc USING (doc_id))""".stripMargin
+
   private def jaccardTail(threshold: Double): String =
     s"""c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
@@ -239,42 +299,23 @@ object DedupQueries {
     // MATERIALIZED (referenced by the anti-join AND the per-doc count —
     // default inlining would run the window function twice).
     "dedup_span_cut" ->
-      s"""WITH pos AS (
-        |  SELECT doc_id, text,
-        |    unnest(range(1, greatest(length(text) - ${SubstringMinLen - 1}, 0) + 1)) AS i
-        |  FROM documents WHERE length(text) >= $SubstringMinLen),
-        |anch AS (
-        |  SELECT doc_id, CAST(i AS INT) AS p,
-        |    md5(substr(text, CAST(i AS INT), $SubstringMinLen)) AS fp
-        |  FROM pos
-        |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      [CAST(unicode(c) AS BIGINT) FOR c IN
-        |        list_filter(string_split(substr(text, CAST(i AS INT), $SubstringWindow), ''), x -> x != '')]),
-        |      (a, b) -> (a * 31 + b) % 1000000007) % $SubstringModulus = 0),
-        |ranked AS (
-        |  SELECT doc_id, p,
-        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id, p) AS rn
-        |  FROM anch),
-        |cuts AS MATERIALIZED (SELECT DISTINCT doc_id, p FROM ranked WHERE rn > 1),
-        |chars AS (
-        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS j
-        |  FROM documents WHERE length(text) > 0),
-        |kept AS (
-        |  SELECT c.doc_id, c.j, substr(c.text, CAST(c.j AS INT), 1) AS ch
-        |  FROM chars c
-        |  WHERE NOT EXISTS (SELECT 1 FROM cuts u
-        |    WHERE u.doc_id = c.doc_id
-        |      AND c.j >= u.p AND c.j < u.p + $SubstringMinLen)),
-        |clean AS (
-        |  SELECT doc_id, string_agg(ch, '' ORDER BY j) AS t
-        |  FROM kept GROUP BY doc_id),
-        |nc AS (SELECT doc_id, count(*) AS n FROM cuts GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cuts,
-        |  coalesce(cl.t, '') AS text
-        |FROM documents d
-        |LEFT JOIN clean cl USING (doc_id)
-        |LEFT JOIN nc USING (doc_id)""".stripMargin,
+      s"""WITH ${spanCutRound("documents", "")}
+        |SELECT doc_id, n_cuts, text FROM out""".stripMargin,
+    // The fixpoint variant: the SAME round chain applied TWICE, round 2
+    // reading round 1's cleaned output. Round 2 replays the operator's
+    // convergence-proof round — on a corpus converging in one pass
+    // (every round so far) it is the identity and the two queries hash
+    // identically; on a corpus where an excision joins text into a NEW
+    // shared run, round 2 cuts it exactly as the operator's re-detection
+    // does. (A corpus demanding a THIRD round would hash-mismatch here
+    // and widen the operator's rounds — loud on both sides, never a
+    // silent divergence; OperatorsSpec pins the multi-round semantics on
+    // a constructed fixture.)
+    "dedup_span_cut_iterated" ->
+      s"""WITH ${spanCutRound("documents", "")},
+        |${spanCutRound("out", "r2")}
+        |SELECT a.doc_id, a.n_cuts + b.n_cuts AS n_cuts, b.text
+        |FROM out a JOIN r2out b USING (doc_id)""".stripMargin,
     // SemDeDup replay: the single-table cell assignment from the same
     // interpolated planes, in-cell dominated-by-smaller-id drops, then
     // the anti-join — semanticDedup step for step. The CTE chain is

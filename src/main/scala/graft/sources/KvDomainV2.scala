@@ -68,14 +68,23 @@ object KvDomainV2 {
     StructField("value", BinaryType, nullable = true),
     StructField("shard", IntegerType, nullable = false)))
 
-  // Driver-side conf hand-off (see class doc). Keyed by version dir:
-  // idempotent re-registration, bounded by the number of distinct domain
-  // versions a driver ever reads through this source.
+  // Driver-side conf hand-off (see class doc). Keyed by version dir;
+  // idempotent re-registration. Bounded like the links registry below —
+  // a perpetual linked streaming reader registers one (heavier)
+  // conf-entry Seq per micro-batch version. Clearing is SAFE at this
+  // point in the lifecycle: reader factories capture entries at PLAN
+  // time (executors never consult the registry), and a post-clear
+  // linkedDirsFor miss for an EVICTED old version falls back to the
+  // default-conf manifest read — identical to a direct (never
+  // registered) spark.read of that version: exotic-FS confs fail LOUD
+  // there, never silently.
   private val confs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
-  def registerConf(versionDir: String, entries: Seq[(String, String)]): Unit =
+  def registerConf(versionDir: String, entries: Seq[(String, String)]): Unit = {
+    if (confs.size > MaxCachedVersionDirs) confs.clear()
     confs.put(versionDir, entries)
+  }
 
   private[sources] def confFor(versionDir: String): Seq[(String, String)] =
     Option(confs.get(versionDir)).getOrElse(Seq.empty)

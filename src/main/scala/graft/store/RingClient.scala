@@ -362,21 +362,22 @@ object RingClient {
     * carries the remote cause. The reachable readers cross-check each
     * other and must agree. */
   private[store] def probeShardCount(readers: Map[String, ServingReader]): Int =
-    probeRing(readers)(_.numShards)
+    probeRing(readers, "shard-count")(_.numShards)
 
   /** fromConf's boot probe: (shard count, shard scheme) from ONE META
     * round trip per host — the scheme gate rides the probe the shard
     * count already pays for. Same host-failure taxonomy as
     * [[probeShardCount]]. */
   private[store] def probeMeta(readers: Map[String, ServingReader]): (Int, String) =
-    probeRing(readers)(r => { val m = r.metadata(); (m.numShards, m.shardScheme) })
+    probeRing(readers, "META (shard count + scheme)")(
+      r => { val m = r.metadata(); (m.numShards, m.shardScheme) })
 
   /** The shared parallel ring probe: every reader asked concurrently (a
     * frozen host costs at most ONE timeout, never one per broken host);
     * down hosts (IOException) and mid-deploy hosts
     * (RemoteServingException) are failover's job, a wrong-protocol peer
     * stays loud, and the reachable answers must AGREE. */
-  private def probeRing[A](readers: Map[String, ServingReader])(
+  private def probeRing[A](readers: Map[String, ServingReader], what: String)(
       ask: ServingReader => A): A = {
     val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, A]]()
     val threads = readers.toSeq.map { case (h, r) =>
@@ -395,17 +396,18 @@ object RingClient {
         throw new IllegalStateException(s"reader for host $h speaks the wrong protocol", e)
       case (h, Left(e)) if !e.isInstanceOf[java.io.IOException] &&
           !e.isInstanceOf[RemoteServingException] =>
-        throw new IllegalStateException(s"shard-count probe for host $h failed", e)
+        throw new IllegalStateException(s"$what probe for host $h failed", e)
       case _ => ()
     }
     val known = results.asScala.collect { case (h, Right(n)) => h -> n }.toMap
     if (known.isEmpty) throw new IllegalStateException(
       s"RingClient: no reader among ${readers.keySet.toSeq.sorted.mkString(", ")} " +
-        "answered the shard-count probe (every host down, or none serves " +
+        s"answered the $what probe (every host down, or none serves " +
         "this domain)",
       results.asScala.collectFirst { case (_, Left(e)) => e }.orNull)
     require(known.values.toSet.size == 1,
-      s"RingClient: readers disagree on shard count — they serve different domains: $known")
+      s"RingClient: readers disagree on the $what probe — they serve " +
+        s"different domains: $known")
     known.values.head
   }
 
