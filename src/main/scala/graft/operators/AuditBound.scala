@@ -25,23 +25,56 @@ private[graft] object LshBuckets {
     * fixture scales the oracles verify. */
   val MaxBucket: Int = 4096
 
+  /** The DISTINCT oversized bucket keys of `df`, with their counts
+    * (`_bsz`): a map-side-combined `groupBy(keys).count()` — one partial
+    * row per bucket per mapper crosses the exchange, so the hot bucket
+    * the cap exists for is never sorted or buffered in a single task
+    * (the previous window-count formulation routed ALL of a hot bucket's
+    * rows through ONE WindowExec sort before discarding them — the cap
+    * mechanism itself straggled at exactly the scale it defends
+    * against). The result is tiny by construction: at most
+    * rows/maxBucket keys can be oversized. */
+  private def oversizedKeys(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      maxBucket: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > maxBucket)
+  }
+
+  /** Left-anti of `df` against the (tiny, BROADCAST — a shuffled anti
+    * would re-route the hot bucket through one sort task) oversized key
+    * set; null-safe equality so a null-keyed bucket drops exactly as the
+    * count grouped it. */
+  private def dropKeys(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String],
+      oversized: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val ov = oversized.select(
+      keys.zipWithIndex.map { case (k, i) => col(k).as(s"_ov$i") }: _*)
+    val cond = keys.zipWithIndex
+      .map { case (k, i) => df(k) <=> ov(s"_ov$i") }
+      .reduce(_ && _)
+    df.join(broadcast(ov), cond, "left_anti")
+  }
+
   /** Rows whose bucket (the `keys` tuple) holds at most `maxBucket`
-    * members; oversized buckets are DROPPED whole. One window count over
-    * the bucket key — the same hash partitioning the downstream self-join
-    * shuffles on, so the exchange is shared, not added. `_bsz` is a
-    * reserved name: the window count rides it internally, and silently
-    * replacing-then-dropping a caller's own `_bsz` column on the public
-    * entry points (lshCandidates, simHashPairsBanded, bandIndexKv) would
-    * lose user data — so its presence fails loud, same convention as
-    * dedupAgainstIndex's reserved-column guard.
+    * members; oversized buckets are DROPPED whole — their rows removed
+    * MAP-SIDE by a broadcast anti-join against the (tiny) oversized key
+    * set, before any downstream exchange ever carries them. `_bsz` is a
+    * reserved name (rides the count internally); a caller's own `_bsz`
+    * column fails loud, same convention as dedupAgainstIndex's
+    * reserved-column guard.
     *
     * `failOversized = true` turns the drop into an in-plan
-    * `raise_error` naming the cap — for callers whose ORACLE cannot
-    * replay the drop (the MinHash banding rides xxhash64, which no SQL
-    * replay can express): the contract then either matches its oracle
-    * exactly or fails loudly, never silently diverges (the
-    * dedup_shared_substring class, ADVICE r10). Same plan shape — the
-    * raise rides the window count the filter would have used. */
+    * `raise_error` naming the cap and the observed count — for callers
+    * whose ORACLE cannot replay the drop (the MinHash banding rides
+    * xxhash64, which no SQL replay can express): the contract then
+    * either matches its oracle exactly or fails loudly, never silently
+    * diverges (the dedup_shared_substring class, ADVICE r10). */
   def bounded(
       df: org.apache.spark.sql.DataFrame,
       keys: Seq[String],
@@ -50,32 +83,38 @@ private[graft] object LshBuckets {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     require(!df.columns.contains("_bsz"),
       "input carries the reserved column name `_bsz` (used internally for " +
-        "the bucket-size window count) — rename or drop it before calling")
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, concat, count, lit, raise_error, when}
-    val w = Window.partitionBy(keys.map(col): _*)
-    val counted = df.withColumn("_bsz", count(lit(1)).over(w))
-    val capped =
-      if (!failOversized) counted.where(col("_bsz") <= maxBucket)
-      else counted.where(
-        when(col("_bsz") <= maxBucket, lit(true)).otherwise(raise_error(concat(
+        "the bucket-size count) — rename or drop it before calling")
+    import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
+    val oversized = oversizedKeys(df, keys, maxBucket)
+    if (!failOversized) dropKeys(df, keys, oversized)
+    else {
+      // left join against the oversized set: a matched row means its
+      // bucket crossed the cap — raise with the count, else pass through
+      val ov = oversized.select(
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"_ov$i") } :+ col("_bsz"): _*)
+      val cond = keys.zipWithIndex
+        .map { case (k, i) => df(k) <=> ov(s"_ov$i") }
+        .reduce(_ && _)
+      df.join(broadcast(ov), cond, "left")
+        .where(when(col("_bsz").isNull, lit(true)).otherwise(raise_error(concat(
           lit(s"bucket (${keys.mkString(", ")}) exceeds the hot-bucket cap $maxBucket with "),
           col("_bsz").cast("string"),
           lit(" members — this caller's oracle cannot replay the drop; " +
             "inspect with oversizedLshBuckets, then dedup the degenerate " +
             "cluster (exact dedup / boilerplate removal) or use the " +
             "dropping variant explicitly")))))
-    capped.drop("_bsz")
+        .drop((keys.indices.map(i => s"_ov$i") :+ "_bsz"): _*)
+    }
   }
 
   /** [[bounded]]'s split twin for the PUBLISHED index families: (rows of
     * within-cap buckets, DISTINCT keys of oversized buckets). The second
     * frame becomes [[graft.core.IndexTombstone]] rows — oversized members
-    * are still dropped BEFORE any collect_list (the value-cell bound),
-    * but the bucket's key survives so incremental upserts can keep it
-    * dropped. Both frames derive from the one window-counted subplan
-    * (same partitioning; ReuseExchange dedups the exchange), and the
-    * distinct on oversized keys re-uses that clustering. */
+    * are still dropped BEFORE any collect_list (the value-cell bound) and
+    * before any exchange (the broadcast anti-join), but the bucket's key
+    * survives so incremental upserts can keep it dropped. The two frames
+    * share the one map-side-combined count subplan (canonically
+    * identical aggregates — ReuseExchange/AQE dedup it). */
   def boundedSplit(
       df: org.apache.spark.sql.DataFrame,
       keys: Seq[String],
@@ -83,13 +122,10 @@ private[graft] object LshBuckets {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     require(!df.columns.contains("_bsz"),
       "input carries the reserved column name `_bsz` (used internally for " +
-        "the bucket-size window count) — rename or drop it before calling")
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, count, lit}
-    val w = Window.partitionBy(keys.map(col): _*)
-    val counted = df.withColumn("_bsz", count(lit(1)).over(w))
-    (counted.where(col("_bsz") <= maxBucket).drop("_bsz"),
-      counted.where(col("_bsz") > maxBucket).select(keys.map(col): _*).distinct())
+        "the bucket-size count) — rename or drop it before calling")
+    import org.apache.spark.sql.functions.col
+    val oversized = oversizedKeys(df, keys, maxBucket)
+    (dropKeys(df, keys, oversized), oversized.select(keys.map(col): _*))
   }
 }
 

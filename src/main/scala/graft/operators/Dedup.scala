@@ -78,7 +78,13 @@ object Dedup {
   /** Exact dedup on normalized text: keep the smallest id per group.
     * Output: (keep_id, n_copies) — one row per distinct normalized text. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.normalized(col(textCol)).as("norm"))
+    // group by the md5 of the normalized text, not the text: the key
+    // never reaches the output (keep_id, n_copies), so the digest is
+    // output-identical while the exchange carries 32 bytes/row instead
+    // of the corpus text (~1000x at web scale; the same 128-bit-identity
+    // assumption shard routing already stakes the store on). The oracle
+    // groups by the full norm — equal results bar an md5 collision.
+    df.select(col(idCol).as("id"), md5(TextAnalysis.normalized(col(textCol))).as("norm"))
       .groupBy(col("norm"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
@@ -124,8 +130,19 @@ object Dedup {
    * rare shingles; on degenerate tiny-alphabet corpora every shingle is
    * common and the extra df/rank pass costs more than it saves (measured:
    * the driver's synthetic word-salad corpus).
+   *
+   * The exactness guarantee forbids a silent hot-bucket drop, so the
+   * prefix join BOUNDS instead: a prefix shingle shared by more than
+   * `maxBucket` docs — possible only on the degenerate corpora above,
+   * where the AllPairs bound has already stopped helping — fails LOUD
+   * naming the scale twin, never runs bucket²/2 candidate pairs in one
+   * task (the lshCandidates failOversized discipline: exact-or-loud,
+   * never silently quadratic OR silently lossy).
    */
-  def prefixFilteredJaccardPairs(shIn: DataFrame, threshold: Double): DataFrame = {
+  def prefixFilteredJaccardPairs(
+      shIn: DataFrame,
+      threshold: Double,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     val sh = shIn
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
@@ -136,11 +153,13 @@ object Dedup {
     // pairs). The prefix table feeds both self-join sides; its window runs
     // behind an exchange on id, which ReuseExchange dedups across the two
     // identical scans — no persist needed (or leaked).
-    val prefix = sh.join(df, "shingle")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(szW))
-      .where(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1)
-      .select(col("id"), col("shingle"))
+    val prefix = LshBuckets.bounded(
+      sh.join(df, "shingle")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_sh", count(lit(1)).over(szW))
+        .where(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold - lit(1e-9)) + 1)
+        .select(col("id"), col("shingle")),
+      Seq("shingle"), maxBucket, failOversized = true)
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -838,8 +857,13 @@ object Dedup {
     // the m:index-type marker row the build appends must NOT enter the
     // bucket merge (its value would be treated as a member-id CSV —
     // byte-stable only while marker values stay comma-free); it reaches
-    // the new version untouched through upsert's anti-join carry
-    val additions = bandIndexKv(delta, idCol, textCol, maxBucket = Int.MaxValue)
+    // the new version untouched through upsert's anti-join carry.
+    // The delta builds at the REAL cap: a delta bucket past maxBucket
+    // arrives as a tombstone (its member list never packs into one value
+    // cell — a 150M-doc mirrored-crawl bucket would otherwise build a
+    // multi-GB CSV just for the cap check to discard it) and the merge
+    // below writes the tombstone straight through.
+    val additions = bandIndexKv(delta, idCol, textCol, maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
@@ -851,15 +875,18 @@ object Dedup {
     // a tombstoned bucket stays tombstoned: the key never enters the
     // merge (no write at all — the tombstone carries forward untouched),
     // exactly what a union rebuild would republish for it
+    val mergedIds = array_sort(array_distinct(concat(curIds, split(col("add"), ","))))
     val merged = additions.join(current, Seq("key"))
       .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"),
-        array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
-      .select(col("key"),
         graft.functions.utf8_bytes(
-          // a merge crossing the cap writes the tombstone the rebuild
-          // would (byte-identity across the cap boundary)
-          when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
+          // a delta-side tombstone or a merge crossing the cap writes
+          // the tombstone the rebuild would (the union count is at
+          // least the larger side's — byte-identity across the cap
+          // boundary either way)
+          when(col("add") === lit(graft.core.IndexTombstone.Value),
+            lit(graft.core.IndexTombstone.Value))
+            .when(size(mergedIds) <= maxBucket, concat_ws(",", mergedIds))
             .otherwise(lit(graft.core.IndexTombstone.Value)))
           .as("value"))
     try index.upsert(spark, merged, newVersion)
@@ -1129,8 +1156,10 @@ object Dedup {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, SpanIndexType, "fpIndexUpsert", "fpIndexKv")
+    // delta builds at the REAL cap (bandIndexUpsert's rationale: a hot
+    // delta fingerprint arrives as a tombstone, never a giant value cell)
     val additions = fpIndexKv(delta, idCol, textCol, minLen, window, modulus,
-        maxBucket = Int.MaxValue)
+        maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
@@ -1139,15 +1168,16 @@ object Dedup {
       .select(col("key"), bytes_utf8(col("value")).as("cur"))
     val curIds = when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
       .otherwise(split(col("cur"), ","))
-    // tombstoned fingerprints stay dropped; a cap-crossing merge writes
-    // the tombstone a rebuild would (bandIndexUpsert's rationale)
+    // tombstoned fingerprints stay dropped; a delta-side tombstone or a
+    // cap-crossing merge writes the tombstone a rebuild would
+    val mergedIds = array_sort(array_distinct(concat(curIds, split(col("add"), ","))))
     val merged = additions.join(current, Seq("key"))
       .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"),
-        array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
-      .select(col("key"),
         graft.functions.utf8_bytes(
-          when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
+          when(col("add") === lit(graft.core.IndexTombstone.Value),
+            lit(graft.core.IndexTombstone.Value))
+            .when(size(mergedIds) <= maxBucket, concat_ws(",", mergedIds))
             .otherwise(lit(graft.core.IndexTombstone.Value)))
           .as("value"))
     try index.upsert(spark, merged, newVersion)

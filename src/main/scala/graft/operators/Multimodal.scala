@@ -265,14 +265,24 @@ object Multimodal {
    * identical-hash clusters (exact dups) meet in every band and
    * collapse in the distinct. `maxHamming` past the pigeonhole
    * guarantee fails loud rather than silently losing recall.
+   *
+   * Hot-bucket cap (the [[LshBuckets]] rule, same as every banded
+   * pair-lister and [[phashIndexKv]]): a (band, bucket) cell above
+   * `maxBucket` members — 100k copies of one placeholder image put
+   * 100k rows in the same cell of EVERY band, a 5e9-pair single-task
+   * straggler — is dropped whole before the self-join; pairs of such a
+   * cluster don't emit (a corpus that common is an exact-dedup job
+   * first), and the oracles replay the cap.
    */
   def phashNearDupPairs(
-      spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+      spark: SparkSession, hashes: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming < PhashBands,
       s"maxHamming $maxHamming outside [0, $PhashBands): the $PhashBands-band " +
         "pigeonhole guarantees complete recall only below the band count — " +
         "re-band (more, narrower bands) instead of silently missing pairs")
-    val withBucket = phashBandBuckets(hashes)
+    val withBucket =
+      LshBuckets.bounded(phashBandBuckets(hashes), Seq("band", "bucket"), maxBucket)
     val a = withBucket.select(
       col("band"), col("bucket"), col("media_id").as("id_a"), col("phash").as("ph_a"))
     val b = withBucket.select(
@@ -435,8 +445,10 @@ object Multimodal {
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, PhashIndexType, "phashIndexUpsert", "phashIndexKv")
     // marker row filtered from the merge (Dedup.bandIndexUpsert's
-    // rationale); it carries forward untouched via the anti-join
-    val additions = phashIndexKv(deltaHashes, maxBucket = Int.MaxValue)
+    // rationale); it carries forward untouched via the anti-join.
+    // Delta builds at the REAL cap: a hot delta bucket arrives as a
+    // tombstone, never a giant value cell (bandIndexUpsert's rationale)
+    val additions = phashIndexKv(deltaHashes, maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
@@ -448,10 +460,13 @@ object Multimodal {
         when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
           .otherwise(split(col("cur"), ","))
       // a tombstoned bucket stays tombstoned: the key never enters the
-      // merge (the tombstone carries forward untouched via the anti-join)
+      // merge (the tombstone carries forward untouched via the anti-join);
+      // a delta-side tombstone passes straight through as the tombstone a
+      // rebuild would write (the changed-phash check below is moot for it
+      // — a rebuild would drop the bucket unexamined too)
       val merged = additions.join(current, Seq("key"))
         .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
-        .select(col("key"),
+        .select(col("key"), col("add"),
           array_sort(array_distinct(concat(curEntries, split(col("add"), ","))))
             .as("entries"))
         // an id re-ingested with a CHANGED phash is remove+add, which an
@@ -461,16 +476,18 @@ object Multimodal {
         // Detectable exactly when old and new land in the same bucket
         // (guaranteed for hamming <= 3 by the pigeonhole: at least one
         // band is unchanged), and that is where it fails loud.
-        .select(col("key"), col("entries"),
+        .select(col("key"), col("add"), col("entries"),
           size(array_distinct(expr("transform(entries, e -> split(e, ':')[0])")))
             .as("n_ids"))
         .select(col("key"),
           graft.functions.utf8_bytes(
-            when(col("n_ids") =!= size(col("entries")), raise_error(concat(
-              lit("phashIndexUpsert: an id was re-ingested with a CHANGED "),
-              lit("phash (old and new entries share a bucket) — an upsert has "),
-              lit("no tombstone for the old hash: re-band the corpus with "),
-              lit("phashIndexKv instead"))))
+            when(col("add") === lit(graft.core.IndexTombstone.Value),
+              lit(graft.core.IndexTombstone.Value))
+              .when(col("n_ids") =!= size(col("entries")), raise_error(concat(
+                lit("phashIndexUpsert: an id was re-ingested with a CHANGED "),
+                lit("phash (old and new entries share a bucket) — an upsert has "),
+                lit("no tombstone for the old hash: re-band the corpus with "),
+                lit("phashIndexKv instead"))))
               .when(size(col("entries")) <= maxBucket, concat_ws(",", col("entries")))
               // a merge crossing the cap writes the tombstone a rebuild
               // would (byte-identity across the cap boundary)

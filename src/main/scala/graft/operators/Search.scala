@@ -174,24 +174,32 @@ object Search {
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
     requireCollisionFreeIds(corpus, idCol)
-    // One pass emits live postings AND tombstones for capped terms: a
-    // term past the cap publishes `x:<term>` → df instead of postings,
-    // so the drop is a queryable fact (and searchIndexUpsert keeps the
-    // elision consistent instead of resurrecting a partial list).
-    val postings = termFrequencies(corpus, idCol, textCol)
+    // Tombstones for capped terms come from COUNTS alone — a stop-term
+    // ('the', df ≈ N) must never collect its full posting list into one
+    // aggregation buffer just so the cap can discard it (the
+    // LshBuckets.boundedSplit rule applied to the postings cap): df per
+    // term is a map-side-combined count, the (tiny) dropped set
+    // broadcasts back as an anti-join that removes hot terms' rows
+    // BEFORE the collect_list, and `x:<term>` → df publishes the drop as
+    // a queryable fact (searchIndexUpsert keeps the elision consistent
+    // instead of resurrecting a partial list).
+    val tf = termFrequencies(corpus, idCol, textCol)
+    val dropped = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPostings)
+    val tombstones = dropped.select(
+      utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key"),
+      utf8_bytes(col("df").cast("string")).as("value"))
+    val postings = tf
+      .join(broadcast(dropped.select(col("term"))), Seq("term"), "left_anti")
       .groupBy("term")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
-      .withColumn("live", size(col("ps")) <= maxPostings)
       .select(
-        utf8_bytes(concat(
-          when(col("live"), lit(TermPrefix)).otherwise(lit(DroppedPrefix)),
-          col("term"))).as("key"),
-        utf8_bytes(
-          when(col("live"), concat_ws(",",
-            transform(col("ps"), p =>
-              concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
-            .otherwise(size(col("ps")).cast("string")))
+        utf8_bytes(concat(lit(TermPrefix), col("term"))).as("key"),
+        utf8_bytes(concat_ws(",",
+          transform(col("ps"), p =>
+            concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
           .as("value"))
+      .unionByName(tombstones)
     val lens = lensOf(corpus, idCol, textCol)
     val lenRecords = lens.select(
       utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
@@ -408,25 +416,31 @@ object Search {
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
     requireCollisionFreeIds(corpus, idCol)
-    val postings = corpus
+    // cap from COUNTS, drop hot terms' rows BEFORE any position list is
+    // collected (invertedIndexKv's rationale — positional payloads are
+    // heavier still, ~len/df integers per entry)
+    val perDoc = corpus
       .select(docIdLong(idCol).as("doc_id"),
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+    val dropped = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxPostings)
+    val tombstones = dropped.select(
+      utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key"),
+      utf8_bytes(col("df").cast("string")).as("value"))
+    val postings = perDoc
+      .join(broadcast(dropped.select(col("term"))), Seq("term"), "left_anti")
       .groupBy("term")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("ps")))).as("docs"))
-      .withColumn("live", size(col("docs")) <= maxPostings)
       .select(
-        utf8_bytes(concat(
-          when(col("live"), lit(PosPrefix)).otherwise(lit(DroppedPrefix)),
-          col("term"))).as("key"),
-        utf8_bytes(
-          when(col("live"), concat_ws(",",
-            transform(col("docs"), d => concat_ws(":",
-              d("doc_id").cast("string"),
-              concat_ws(";", transform(d("ps"), p => p.cast("string")))))))
-            .otherwise(size(col("docs")).cast("string")))
+        utf8_bytes(concat(lit(PosPrefix), col("term"))).as("key"),
+        utf8_bytes(concat_ws(",",
+          transform(col("docs"), d => concat_ws(":",
+            d("doc_id").cast("string"),
+            concat_ws(";", transform(d("ps"), p => p.cast("string")))))))
           .as("value"))
+      .unionByName(tombstones)
     // `d:` doc records (value = token count): load-bearing for
     // [[positionalIndexUpsert]]'s disjointness contract AND for
     // [[phraseSearchRanked]]'s length norm — the same role they play in

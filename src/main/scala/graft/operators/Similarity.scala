@@ -1367,7 +1367,13 @@ object Similarity {
    * Scale: one shuffle assigns cells; in-cell pairwise is the SemDeDup
    * cost model — sum of cell_size^2, bounded by raising `planes`
    * (= log2 cells, the paper's k); the dominator check never leaves the
-   * cell join, and the drop-set dedup + anti-join move ids only.
+   * cell join, and the drop-set dedup + anti-join move ids only. Raising
+   * planes cannot split a cluster of IDENTICAL embeddings (identical
+   * hyperplane signs under any table), so a hot cell past `maxCell`
+   * members SKIPS the dominated check — its members all KEEP (recall
+   * loss on exactly the degenerate-encoder cluster that is an
+   * exact-dedup job first), bounding any single join task; the oracles
+   * replay the cap (cells are arithmetic).
    *
    * Zero-norm / null vectors (failed encoders, padding) have no cosine
    * to anything, so they are never duplicates — a KEEP decision must
@@ -1379,7 +1385,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      maxCell: Int = LshBuckets.MaxBucket): DataFrame = {
     val p = prepared(df, idCol, vecCol)
     val dimRow = p.select(size(col("vec"))).head(1)
     if (dimRow.isEmpty) return df.select(col(idCol).as("id"), lit(-1L).as("cell"))
@@ -1388,7 +1395,7 @@ object Similarity {
       .join(p.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cell", lit(-1L))
     b.select(col("id"), col("cell"))
-      .join(droppedOf(b, threshold), Seq("id"), "left_anti")
+      .join(droppedOf(b, threshold, maxCell), Seq("id"), "left_anti")
       .unionByName(unclustered)
   }
 
@@ -1398,13 +1405,18 @@ object Similarity {
       .select(col("id"), col("vec"), col("norm"), col("bucket").as("cell"))
 
   /** The in-cell dominated-by-smaller-id drop decision over [[cellsOf]]'s
-    * frame — ids only. */
-  private def droppedOf(b: DataFrame, threshold: Double): DataFrame =
-    b.as("x")
-      .join(b.as("y"),
+    * frame — ids only. Cells past `maxCell` skip the check (all keep):
+    * see [[semanticDedup]]'s cap note — `planes` cannot split identical
+    * embeddings, so without the cap one degenerate cluster runs
+    * cell_size² dim-length dot products inside one join task. */
+  private def droppedOf(b: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
+    val capped = LshBuckets.bounded(b, Seq("cell"), maxCell)
+    capped.as("x")
+      .join(capped.as("y"),
         col("x.cell") === col("y.cell") && col("x.id") < col("y.id") &&
           dot(col("x.vec"), col("y.vec")) / (col("x.norm") * col("y.norm")) >= threshold)
       .select(col("y.id").as("id")).distinct()
+  }
 
   /** JUST the ids [[semanticDedup]] would drop — the small side of the
     * decision (duplicates are a sliver of any sane corpus, where the
@@ -1419,11 +1431,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      maxCell: Int = LshBuckets.MaxBucket): DataFrame = {
     val p = prepared(df, idCol, vecCol)
     val dimRow = p.select(size(col("vec"))).head(1)
     if (dimRow.isEmpty) return p.select(col("id")).limit(0)
-    droppedOf(cellsOf(p, planes, dimRow(0).getInt(0)), threshold)
+    droppedOf(cellsOf(p, planes, dimRow(0).getInt(0)), threshold, maxCell)
   }
 
   /**
@@ -1590,8 +1603,10 @@ object Similarity {
     IndexMarker.require(index, spark, SemIndexType, "semIndexUpsert", "semIndexKv")
     IndexDelete.requireIntegralId(delta, idCol, "semIndexUpsert")
     // marker row filtered from the merge (Dedup.bandIndexUpsert's
-    // rationale); it carries forward untouched via the anti-join
-    val additions = semIndexKv(delta, idCol, vecCol, planes, maxBucket = Int.MaxValue)
+    // rationale); it carries forward untouched via the anti-join.
+    // Delta builds at the REAL cap: a hot delta cell arrives as a
+    // tombstone, never a giant value cell (bandIndexUpsert's rationale)
+    val additions = semIndexKv(delta, idCol, vecCol, planes, maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
@@ -1602,15 +1617,16 @@ object Similarity {
       val curIds =
         when(coalesce(col("cur"), lit("")) === "", array().cast("array<string>"))
           .otherwise(split(col("cur"), ","))
-      // tombstoned cells stay dropped; a cap-crossing merge writes the
-      // tombstone a rebuild would (Dedup.bandIndexUpsert's rationale)
+      // tombstoned cells stay dropped; a delta-side tombstone or a
+      // cap-crossing merge writes the tombstone a rebuild would
+      val mergedIds = array_sort(array_distinct(concat(curIds, split(col("add"), ","))))
       val merged = additions.join(current, Seq("key"))
         .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
         .select(col("key"),
-          array_sort(array_distinct(concat(curIds, split(col("add"), ",")))).as("ids"))
-        .select(col("key"),
           graft.functions.utf8_bytes(
-            when(size(col("ids")) <= maxBucket, concat_ws(",", col("ids")))
+            when(col("add") === lit(graft.core.IndexTombstone.Value),
+              lit(graft.core.IndexTombstone.Value))
+              .when(size(mergedIds) <= maxBucket, concat_ws(",", mergedIds))
               .otherwise(lit(graft.core.IndexTombstone.Value)))
             .as("value"))
       index.upsert(spark, merged, newVersion)
@@ -1712,12 +1728,21 @@ object Similarity {
    *
    * Scale shape: element sums ride `dim` partial-agg columns (map-side
    * combine, one shuffle — the MinHash-sketch layout); the tiny
-   * (2^planes x dim) sum table broadcasts back; scoring is one codegen'd
-   * projection; the only per-cell serial step is the rank window, whose
-   * task size is bounded by cell size — set `planes` so cells stay
-   * bounded, exactly the [[semanticDedup]] cost model. Zero-norm/null
-   * vectors have no distance to anything and must never be silently
-   * pruned: they surface with cell -1, rank 0, kept = true.
+   * (2^planes x dim) sum table broadcasts back; scoring is one
+   * projection; ranking is the TWO-PHASE global prefix sum over
+   * (cell, key, id) ([[graft.operators.Ranking.globalRank]]) rebased
+   * per cell by a broadcast of each cell's first global rank — range
+   * partitions split even a hot cell across many tasks, so NO task
+   * sorts a whole cell (a per-cell rank window would put ~N/2^planes
+   * rows in each of 2^planes sort tasks: 64 stragglers and 936 idle
+   * executors at the defaults). Codegen note: the dim-wide decimal
+   * scoring stays inside whole-stage codegen up to the session's
+   * `codegen.maxFields` (256) — wider embeddings fall back to
+   * interpreted projection (still distributed, ~constant-factor
+   * slower); normalize very wide count vectors anyway (see the
+   * Decimal(38) bound above). Zero-norm/null vectors have no distance
+   * to anything and must never be silently pruned: they surface with
+   * cell -1, rank 0, kept = true.
    */
   def prototypePruning(
       df: DataFrame,
@@ -1757,11 +1782,22 @@ object Similarity {
     val vs = (0 until dim).map(i => col(s"_q$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
     val ss = (0 until dim).map(i => col(s"_s$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
     val key = (n * n * vv) - (lit(2).cast(dec) * n * vs) + ss
-    val w = Window.partitionBy(col("cell")).orderBy(col("_key").asc, col("id").asc)
-    val ranked = joined
-      .withColumn("_key", key)
-      .select(col("id"), col("cell"), col("_n"), col("_key"))
-      .withColumn("proto_rank", row_number().over(w).cast("long"))
+    // Per-cell rank WITHOUT a per-cell window: cells number only
+    // 2^planes (64 at the default), so Window.partitionBy(cell) would
+    // sort ~N/64th of the corpus inside EACH of 64 tasks — at 1000
+    // executors, ~94% idle behind the stragglers. Instead rank GLOBALLY
+    // over (cell, _key, id) with the two-phase distributed prefix sum
+    // (range partitions split a hot cell across many tasks), then
+    // rebase each cell by its first global rank — one tiny aggregate
+    // (≤ 2^planes rows), broadcast back.
+    val ranked0 = Ranking.globalRank(
+      joined
+        .withColumn("_key", key)
+        .select(col("id"), col("cell"), col("_n"), col("_key")),
+      Seq("cell", "_key", "id"))
+    val cellBase = ranked0.groupBy(col("cell")).agg(min(col("rank")).as("_base"))
+    val ranked = ranked0.join(broadcast(cellBase), Seq("cell"))
+      .withColumn("proto_rank", col("rank") - col("_base") + lit(1L))
     val scored = ranked.select(
       col("id"), col("cell"),
       col("proto_rank"),

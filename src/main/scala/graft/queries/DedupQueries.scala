@@ -365,9 +365,12 @@ object DedupQueries {
        |    CAST(sum(CASE WHEN list_inner_product(${p}ef.v, ${p}pl.pv) > 0
        |        THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
        |  FROM ${p}ef, ${p}pl GROUP BY 1),
+       |${p}cok AS (SELECT cell FROM ${p}cells GROUP BY 1
+       |  HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
        |${p}dropped AS MATERIALIZED (
        |  SELECT DISTINCT y.vec_id AS id
        |  FROM ${p}cells x JOIN ${p}cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN ${p}cok ck ON ck.cell = x.cell
        |  JOIN ${p}ef ex ON ex.vec_id = x.vec_id
        |  JOIN ${p}ef ey ON ey.vec_id = y.vec_id
        |  WHERE list_cosine_similarity(ex.v, ey.v) >= $CosineThreshold)""".stripMargin

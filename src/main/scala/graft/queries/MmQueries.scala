@@ -260,10 +260,13 @@ object MmQueries {
     // DuckDB's arithmetic >> agrees with Spark's unsigned shift.
     "mm_image_neardup" ->
       s"""WITH $PhashBandCtes,
+        |bok AS (SELECT b, bucket FROM bands GROUP BY 1, 2
+        |  HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
         |cand AS (SELECT DISTINCT a.media_id AS id_a, b2.media_id AS id_b,
         |    a.phash AS ph_a, b2.phash AS ph_b
         |  FROM bands a JOIN bands b2
-        |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.media_id < b2.media_id)
+        |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.media_id < b2.media_id
+        |  JOIN bok ON bok.b = a.b AND bok.bucket = a.bucket)
         |SELECT id_a, id_b, CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3""".stripMargin,
     // The real-codec audio queries replay Multimodal.sampleValue/

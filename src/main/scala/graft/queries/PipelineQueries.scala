@@ -709,9 +709,12 @@ object PipelineQueries {
     // COMPOSE on the same ids.
     "pipeline_media_filter" ->
       s"""WITH ${MmQueries.PhashBandCtes},
+         |mbok AS (SELECT b, bucket FROM bands GROUP BY 1, 2
+         |  HAVING count(*) <= ${graft.operators.LshBuckets.MaxBucket}),
          |dropped AS (SELECT DISTINCT b2.media_id
          |  FROM bands a JOIN bands b2
          |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.media_id < b2.media_id
+         |  JOIN mbok ON mbok.b = a.b AND mbok.bucket = a.bucket
          |  WHERE bit_count(xor(a.phash, b2.phash)) <= 3),
          |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
          |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),

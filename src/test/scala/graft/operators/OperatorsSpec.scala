@@ -878,6 +878,24 @@ class OperatorsSpec extends SparkSuite {
     assert(Dedup.dedupAgainstIndex(
       capped, incoming, same.unionByName(more).unionByName(later),
       "doc_id", "text", 0.5).count() === 0L)
+
+    // a DELTA that alone crosses the cap (the upsert now builds its
+    // delta AT the cap — a hot delta bucket arrives as a tombstone, its
+    // member list never packed into one value cell) still lands
+    // byte-identical to the union rebuild
+    val fresh = graft.store.DomainStore.create(scratch("band-upsert/fresh"), spec, conf)
+    fresh.write(Dedup.bandIndexKv(
+      (900L until 905L).map(i => (i, s"unique text for doc number $i here"))
+        .toDF("doc_id", "text"), "doc_id", "text", maxBucket = 40), 1L)
+    val bigDelta = (1000L until 1050L).map(i => (i, sameText)).toDF("doc_id", "text")
+    Dedup.bandIndexUpsert(fresh, bigDelta, "doc_id", "text", 2L, maxBucket = 40)
+    val freshFull = graft.store.DomainStore.create(scratch("band-upsert/fresh-full"), spec, conf)
+    freshFull.write(Dedup.bandIndexKv(
+      (900L until 905L).map(i => (i, s"unique text for doc number $i here"))
+        .toDF("doc_id", "text").unionByName(bigDelta),
+      "doc_id", "text", maxBucket = 40), 1L)
+    assert(pairs(fresh) === pairs(freshFull))
+    assert(pairs(fresh).exists(_._2 == tombstone), "hot delta left no tombstone")
   }
 
   test("fingerprint index: probe == oriented pairs, upsert/delete == rebuild, guards loud") {
