@@ -25,23 +25,38 @@ private[graft] object LshBuckets {
     * fixture scales the oracles verify. */
   val MaxBucket: Int = 4096
 
-  /** The DISTINCT oversized bucket keys of `df`, with their counts
-    * (`_bsz`): a map-side-combined `groupBy(keys).count()` — one partial
-    * row per bucket per mapper crosses the exchange, so the hot bucket
-    * the cap exists for is never sorted or buffered in a single task
-    * (the previous window-count formulation routed ALL of a hot bucket's
-    * rows through ONE WindowExec sort before discarding them — the cap
-    * mechanism itself straggled at exactly the scale it defends
-    * against). The result is tiny by construction: at most
-    * rows/maxBucket keys can be oversized. */
+  /** The DISTINCT oversized bucket keys of a key-partitioned frame,
+    * with their counts (`_bsz`): a hash aggregate that runs DIRECTLY on
+    * [[keyPartitioned]]'s exchange output (the partitioning already
+    * satisfies the grouping, so no second exchange and no re-derivation
+    * of the upstream pipeline), counting even a hot bucket's rows
+    * linearly — where the previous window-count formulation routed ALL
+    * of a hot bucket's rows through ONE WindowExec SORT before
+    * discarding them (the cap mechanism itself straggled at exactly the
+    * scale it defends against). The result is tiny by construction: at
+    * most rows/maxBucket keys can be oversized. */
   private def oversizedKeys(
-      df: org.apache.spark.sql.DataFrame,
+      shuffled: org.apache.spark.sql.DataFrame,
       keys: Seq[String],
       maxBucket: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    df.groupBy(keys.map(col): _*)
+    shuffled.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))
       .where(col("_bsz") > maxBucket)
+  }
+
+  /** ONE explicit hash exchange on the bucket keys, shared by EVERY
+    * consumer of the capped frame: the oversized-key count, the drop/
+    * raise probe, and the caller's downstream groupBy/self-join on the
+    * same keys all read these shuffle files (canonically identical
+    * subplan — ReuseExchange/AQE stage reuse), so the upstream pipeline
+    * (minhash signatures, anchor fingerprints, band projections…)
+    * computes ONCE, exactly as under the old shared-window layout. */
+  private def keyPartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(keys.map(col): _*)
   }
 
   /** Left-anti of `df` against the (tiny, BROADCAST — a shuffled anti
@@ -85,17 +100,18 @@ private[graft] object LshBuckets {
       "input carries the reserved column name `_bsz` (used internally for " +
         "the bucket-size count) — rename or drop it before calling")
     import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
-    val oversized = oversizedKeys(df, keys, maxBucket)
-    if (!failOversized) dropKeys(df, keys, oversized)
+    val shuffled = keyPartitioned(df, keys)
+    val oversized = oversizedKeys(shuffled, keys, maxBucket)
+    if (!failOversized) dropKeys(shuffled, keys, oversized)
     else {
       // left join against the oversized set: a matched row means its
       // bucket crossed the cap — raise with the count, else pass through
       val ov = oversized.select(
         keys.zipWithIndex.map { case (k, i) => col(k).as(s"_ov$i") } :+ col("_bsz"): _*)
       val cond = keys.zipWithIndex
-        .map { case (k, i) => df(k) <=> ov(s"_ov$i") }
+        .map { case (k, i) => shuffled(k) <=> ov(s"_ov$i") }
         .reduce(_ && _)
-      df.join(broadcast(ov), cond, "left")
+      shuffled.join(broadcast(ov), cond, "left")
         .where(when(col("_bsz").isNull, lit(true)).otherwise(raise_error(concat(
           lit(s"bucket (${keys.mkString(", ")}) exceeds the hot-bucket cap $maxBucket with "),
           col("_bsz").cast("string"),
@@ -124,8 +140,9 @@ private[graft] object LshBuckets {
       "input carries the reserved column name `_bsz` (used internally for " +
         "the bucket-size count) — rename or drop it before calling")
     import org.apache.spark.sql.functions.col
-    val oversized = oversizedKeys(df, keys, maxBucket)
-    (dropKeys(df, keys, oversized), oversized.select(keys.map(col): _*))
+    val shuffled = keyPartitioned(df, keys)
+    val oversized = oversizedKeys(shuffled, keys, maxBucket)
+    (dropKeys(shuffled, keys, oversized), oversized.select(keys.map(col): _*))
   }
 }
 

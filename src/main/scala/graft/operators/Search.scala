@@ -183,7 +183,12 @@ object Search {
     // BEFORE the collect_list, and `x:<term>` → df publishes the drop as
     // a queryable fact (searchIndexUpsert keeps the elision consistent
     // instead of resurrecting a partial list).
-    val tf = termFrequencies(corpus, idCol, textCol)
+    // ONE explicit term exchange shared by the df count, the anti-join
+    // probe, and the collect_list aggregate (the LshBuckets
+    // keyPartitioned layout — without it the count would add a second
+    // term exchange, since (term, doc_id) partitioning does not satisfy
+    // term clustering)
+    val tf = termFrequencies(corpus, idCol, textCol).repartition(col("term"))
     val dropped = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") > maxPostings)
     val tombstones = dropped.select(
@@ -424,6 +429,8 @@ object Search {
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      // one shared term exchange (invertedIndexKv's rationale)
+      .repartition(col("term"))
     val dropped = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
       .where(col("df") > maxPostings)
     val tombstones = dropped.select(

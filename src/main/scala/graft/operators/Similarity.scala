@@ -31,6 +31,13 @@ object Similarity {
     * past it signals a degenerate quantizer (see the in-plan guard). */
   val MaxCellMembers: Int = 1 << 20
 
+  /** [[prototypePruning]]'s rank-formulation switch point: at or below
+    * this many clustered rows the per-cell window (one sort task per
+    * cell, each ≤ this bound) beats the two-phase prefix sum's fixed
+    * costs; above it the window's 2^planes sort tasks straggle and the
+    * distributed rank takes over. Both rank identically. */
+  val ProtoWindowMaxRows: Int = 1 << 20
+
   def dot(a: Column, b: Column): Column = array_dot(a, b)
 
   def norm(a: Column): Column = sqrt(array_dot(a, a))
@@ -1782,22 +1789,34 @@ object Similarity {
     val vs = (0 until dim).map(i => col(s"_q$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
     val ss = (0 until dim).map(i => col(s"_s$i").cast(dec) * col(s"_s$i").cast(dec)).reduce(_ + _)
     val key = (n * n * vv) - (lit(2).cast(dec) * n * vs) + ss
-    // Per-cell rank WITHOUT a per-cell window: cells number only
-    // 2^planes (64 at the default), so Window.partitionBy(cell) would
-    // sort ~N/64th of the corpus inside EACH of 64 tasks — at 1000
-    // executors, ~94% idle behind the stragglers. Instead rank GLOBALLY
-    // over (cell, _key, id) with the two-phase distributed prefix sum
-    // (range partitions split a hot cell across many tasks), then
-    // rebase each cell by its first global rank — one tiny aggregate
-    // (≤ 2^planes rows), broadcast back.
-    val ranked0 = Ranking.globalRank(
-      joined
-        .withColumn("_key", key)
-        .select(col("id"), col("cell"), col("_n"), col("_key")),
-      Seq("cell", "_key", "id"))
-    val cellBase = ranked0.groupBy(col("cell")).agg(min(col("rank")).as("_base"))
-    val ranked = ranked0.join(broadcast(cellBase), Seq("cell"))
-      .withColumn("proto_rank", col("rank") - col("_base") + lit(1L))
+    val keyed = joined
+      .withColumn("_key", key)
+      .select(col("id"), col("cell"), col("_n"), col("_key"))
+    // Per-cell rank WITHOUT a per-cell window at scale: cells number
+    // only 2^planes (64 at the default), so Window.partitionBy(cell)
+    // sorts ~N/64th of the corpus inside EACH of 64 tasks — at 1000
+    // executors, ~94% idle behind the stragglers. Above the probe bound
+    // rank GLOBALLY over (cell, _key, id) with the two-phase
+    // distributed prefix sum (range partitions split even a hot cell
+    // across many tasks), then rebase each cell by its first global
+    // rank — one tiny aggregate (≤ 2^planes rows), broadcast back.
+    // Below the bound the window IS the cheaper plan (the prefix sum
+    // pays checkpoint + two driver jobs) — the decision probe is
+    // bounded (`limit(n+1).count()` over the shuffle-free cell
+    // projection) and both formulations rank identically, the
+    // components/multiGet decision-probe precedent.
+    val small = cells.limit(Similarity.ProtoWindowMaxRows + 1).count() <=
+      Similarity.ProtoWindowMaxRows
+    val ranked =
+      if (small) {
+        val w = Window.partitionBy(col("cell")).orderBy(col("_key").asc, col("id").asc)
+        keyed.withColumn("proto_rank", row_number().over(w).cast("long"))
+      } else {
+        val ranked0 = Ranking.globalRank(keyed, Seq("cell", "_key", "id"))
+        val cellBase = ranked0.groupBy(col("cell")).agg(min(col("rank")).as("_base"))
+        ranked0.join(broadcast(cellBase), Seq("cell"))
+          .withColumn("proto_rank", col("rank") - col("_base") + lit(1L))
+      }
     val scored = ranked.select(
       col("id"), col("cell"),
       col("proto_rank"),
