@@ -62,7 +62,11 @@ private[graft] object LshBuckets {
   /** Left-anti of `df` against the (tiny, BROADCAST — a shuffled anti
     * would re-route the hot bucket through one sort task) oversized key
     * set; null-safe equality so a null-keyed bucket drops exactly as the
-    * count grouped it. */
+    * count grouped it. Broadcast size is bounded in practice by
+    * rows/maxBucket keys AND by Spark's own broadcast-table ceiling
+    * (BroadcastExchange fails LOUD past it — a corpus degenerate enough
+    * to oversize hundreds of millions of buckets is not a capping
+    * problem). */
   private def dropKeys(
       df: org.apache.spark.sql.DataFrame,
       keys: Seq[String],
@@ -96,9 +100,10 @@ private[graft] object LshBuckets {
       maxBucket: Int,
       failOversized: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    require(!df.columns.contains("_bsz"),
-      "input carries the reserved column name `_bsz` (used internally for " +
-        "the bucket-size count) — rename or drop it before calling")
+    require(!df.columns.exists(c => c == "_bsz" || c.startsWith("_ov")),
+      "input carries a reserved column name (`_bsz` or `_ov*`, used " +
+        "internally for the bucket-size count and the oversized-key join) " +
+        "— rename or drop it before calling")
     import org.apache.spark.sql.functions.{broadcast, col, concat, lit, raise_error, when}
     val shuffled = keyPartitioned(df, keys)
     val oversized = oversizedKeys(shuffled, keys, maxBucket)
@@ -136,9 +141,10 @@ private[graft] object LshBuckets {
       keys: Seq[String],
       maxBucket: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    require(!df.columns.contains("_bsz"),
-      "input carries the reserved column name `_bsz` (used internally for " +
-        "the bucket-size count) — rename or drop it before calling")
+    require(!df.columns.exists(c => c == "_bsz" || c.startsWith("_ov")),
+      "input carries a reserved column name (`_bsz` or `_ov*`, used " +
+        "internally for the bucket-size count and the oversized-key join) " +
+        "— rename or drop it before calling")
     import org.apache.spark.sql.functions.col
     val shuffled = keyPartitioned(df, keys)
     val oversized = oversizedKeys(shuffled, keys, maxBucket)

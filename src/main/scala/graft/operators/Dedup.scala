@@ -837,12 +837,14 @@ object Dedup {
    * [[graft.core.IndexTombstone]] (the BM25 stop-term precedent): a
    * bucket the publish tombstoned never enters the merge (it stays
    * tombstoned — a rebuild on corpus + delta would count past the cap
-   * and tombstone it again), and a merge that itself crosses `maxBucket`
-   * WRITES the tombstone instead of the member list — so
-   * upsert == union-rebuild stays byte-identical on BOTH sides of the
-   * cap boundary (delta-side banding runs uncapped here precisely so
-   * the crossing is seen, not silently pre-dropped). Recall accounting
-   * for what got dropped is [[oversizedLshBuckets]] at build time.
+   * and tombstone it again); the delta itself builds AT the cap, so a
+   * delta-hot bucket arrives as a tombstone and passes straight through
+   * (the union count is at least the delta's — a rebuild tombstones it
+   * too, and the member list never packs into one value cell); and a
+   * live merge crossing `maxBucket` WRITES the tombstone instead of the
+   * member list — upsert == union-rebuild therefore stays byte-identical
+   * on BOTH sides of the cap boundary. Recall accounting for what got
+   * dropped is [[oversizedLshBuckets]] at build time.
    */
   def bandIndexUpsert(
       index: graft.store.DomainStore,

@@ -475,7 +475,13 @@ object Multimodal {
         // the probe's popcount verify WRONG data, a silent-miss class.
         // Detectable exactly when old and new land in the same bucket
         // (guaranteed for hamming <= 3 by the pigeonhole: at least one
-        // band is unchanged), and that is where it fails loud.
+        // band is unchanged) AND that bucket's merge actually runs —
+        // a bucket the delta cap-tombstoned skips the merge unexamined
+        // (a rebuild would drop it unexamined too), so a changed phash
+        // whose ONLY unchanged band lands in a delta-hot bucket escapes
+        // this guard; the other three bands' buckets still catch any
+        // additional unchanged band, and the guard remains best-effort
+        // by construction (it never promised to see hamming > 3).
         .select(col("key"), col("add"), col("entries"),
           size(array_distinct(expr("transform(entries, e -> split(e, ':')[0])")))
             .as("n_ids"))

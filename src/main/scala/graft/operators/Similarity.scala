@@ -1757,7 +1757,11 @@ object Similarity {
       vecCol: String,
       planes: Int = 6,
       dropNum: Int = 1,
-      dropDen: Int = 5): DataFrame = {
+      dropDen: Int = 5,
+      // rank-formulation switch point (see the tier comment below);
+      // injectable so the distributed branch is testable at fixture
+      // scale — production callers keep the default
+      windowMaxRows: Long = Similarity.ProtoWindowMaxRows): DataFrame = {
     require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
       s"prototypePruning: drop fraction $dropNum/$dropDen must be in [0, 1]")
     val p = prepared(df, idCol, vecCol)
@@ -1777,9 +1781,15 @@ object Similarity {
         (0 until dim).map(i =>
           floor(element_at(col("vec"), i + 1) * lit(ExactQuantScale) + lit(0.5))
             .cast("long").as(s"_q$i")): _*)
+    // The (≤ 2^planes x dim) sum table is SMALL and needed by the probe
+    // AND the broadcast join — materialize it once (the ngramJaccard
+    // small-result pattern; ContextCleaner-reaped) so the tier decision
+    // below costs ZERO extra upstream passes: the main query reads the
+    // checkpoint the probe already paid for.
     val sums = q.groupBy(col("cell")).agg(
       count(lit(1)).as("_n"),
       (0 until dim).map(i => sum(col(s"_q$i")).as(s"_s$i")): _*)
+      .localCheckpoint(true)
     val joined = q.join(broadcast(sums), Seq("cell"))
     val n = col("_n").cast(dec)
     // EVERY term accumulates in decimal: a long q*q already overflows for
@@ -1801,12 +1811,13 @@ object Similarity {
     // across many tasks), then rebase each cell by its first global
     // rank — one tiny aggregate (≤ 2^planes rows), broadcast back.
     // Below the bound the window IS the cheaper plan (the prefix sum
-    // pays checkpoint + two driver jobs) — the decision probe is
-    // bounded (`limit(n+1).count()` over the shuffle-free cell
-    // projection) and both formulations rank identically, the
+    // pays checkpoint + two driver jobs) — the decision reads the
+    // clustered-row total off the ALREADY-materialized sums table (a
+    // ≤ 2^planes-row aggregate over the checkpoint: no extra upstream
+    // pass at all) and both formulations rank identically, the
     // components/multiGet decision-probe precedent.
-    val small = cells.limit(Similarity.ProtoWindowMaxRows + 1).count() <=
-      Similarity.ProtoWindowMaxRows
+    val clustered = sums.agg(coalesce(sum(col("_n")), lit(0L))).head().getLong(0)
+    val small = clustered <= windowMaxRows
     val ranked =
       if (small) {
         val w = Window.partitionBy(col("cell")).orderBy(col("_key").asc, col("id").asc)

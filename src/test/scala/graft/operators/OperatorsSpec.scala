@@ -982,6 +982,19 @@ class OperatorsSpec extends SparkSuite {
     try assert(ovr.overlapping(boiler).isEmpty,
       "OverlapReader must read a cap tombstone as a miss")
     finally ovr.close()
+    // a DELTA that alone crosses the cap: the add side arrives as a
+    // tombstone (delta builds AT the cap) and merges straight through —
+    // byte-identical to the union rebuild even though cur was LIVE
+    val fpBase = (700L until 702L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val fpHot = (800L until 806L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val fpFresh = graft.store.DomainStore.create(scratch("fp-idx/delta-hot"), spec, conf)
+    fpFresh.write(Dedup.fpIndexKv(fpBase, "doc_id", "text", maxBucket = 4), 1L)
+    Dedup.fpIndexUpsert(fpFresh, fpHot, "doc_id", "text", newVersion = 2L, maxBucket = 4)
+    val fpFreshFull = graft.store.DomainStore.create(scratch("fp-idx/delta-hot-full"), spec, conf)
+    fpFreshFull.write(
+      Dedup.fpIndexKv(fpBase.unionByName(fpHot), "doc_id", "text", maxBucket = 4), 1L)
+    assert(pairs(fpFresh) === pairs(fpFreshFull))
+    assert(pairs(fpFresh).exists(_._2 == tombstone), "hot fp delta left no tombstone")
 
     // overlapping id spaces fail loud (oriented pairs need disjointness)
     val clashing = Seq(1L -> (randText(10) + run1 + randText(40))).toDF("doc_id", "text")
@@ -1059,6 +1072,16 @@ class OperatorsSpec extends SparkSuite {
     assert(kvPairs(capped) === kvPairs(crossed3))
     assert(Multimodal.phashDedupAgainstIndex(
       capped, Seq((5000L, 7L)).toDF("media_id", "phash"), maxHamming = 3).count() === 0L)
+    // a DELTA that alone crosses the cap (add-side tombstone pass-through)
+    val phBase = (600L until 605L).map(i => (i, 9L)).toDF("media_id", "phash")
+    val phHot = (700L until 745L).map(i => (i, 9L)).toDF("media_id", "phash")
+    val phFresh = graft.store.DomainStore.create(scratch("phash-ix/delta-hot"), spec, conf)
+    phFresh.write(Multimodal.phashIndexKv(phBase, maxBucket = 40), 1L)
+    Multimodal.phashIndexUpsert(phFresh, phHot, 2L, maxBucket = 40)
+    val phFreshFull = graft.store.DomainStore.create(scratch("phash-ix/delta-hot-full"), spec, conf)
+    phFreshFull.write(Multimodal.phashIndexKv(phBase.unionByName(phHot), maxBucket = 40), 1L)
+    assert(kvPairs(phFresh) === kvPairs(phFreshFull))
+    assert(kvPairs(phFresh).exists(_._2 == tombstone), "hot phash delta left no tombstone")
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
 
@@ -1171,6 +1194,17 @@ class OperatorsSpec extends SparkSuite {
       cellA.unionByName(cellB).unionByName(cellC),
       "vec_id", "embedding", planes, maxBucket = 4), 1L)
     assert(kvPairs(capped) === kvPairs(crossed3))
+    // a DELTA that alone crosses the cap (add-side tombstone pass-through)
+    val cellHot = (1 to 5).map(i => (600L + i, Array.fill(8)(0.7f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val semFresh = graft.store.DomainStore.create(scratch("sem-ix/delta-hot"), spec, conf)
+    semFresh.write(Similarity.semIndexKv(cellA, "vec_id", "embedding", planes, maxBucket = 4), 1L)
+    Similarity.semIndexUpsert(semFresh, cellHot, "vec_id", "embedding", 2L, planes, maxBucket = 4)
+    val semFreshFull = graft.store.DomainStore.create(scratch("sem-ix/delta-hot-full"), spec, conf)
+    semFreshFull.write(Similarity.semIndexKv(
+      cellA.unionByName(cellHot), "vec_id", "embedding", planes, maxBucket = 4), 1L)
+    assert(kvPairs(semFresh) === kvPairs(semFreshFull))
+    assert(kvPairs(semFresh).exists(_._2 == tombstone), "hot sem delta left no tombstone")
 
     // PUBLISH-time drop => probe MISS: a cell past the cap never becomes
     // a key, so a delta probing it finds no candidates — exactly what the
@@ -2332,6 +2366,16 @@ class OperatorsSpec extends SparkSuite {
       .toMap
     // the zero-norm vector is unclustered and NEVER pruned
     assert(out(zeroId) === ((-1L, 0L, 0L, true)))
+    // the DISTRIBUTED rank tier (above the window bound) must rank
+    // identically — forced here by windowMaxRows = 0, so the
+    // globalRank + per-cell rebase branch runs at fixture scale instead
+    // of first executing at >1M-row production scale
+    val outDistributed = Similarity.prototypePruning(
+      corpus, "vec_id", "embedding", planes, dropNum, dropDen, windowMaxRows = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(outDistributed === out, "window and distributed rank tiers diverged")
     // naive replay: same planes/cells as semanticDedup, exact quantized
     // distance-to-mean ranking in BigInt — over embs AND the big rows
     // (they share cells, so they shift every cell's mean)
