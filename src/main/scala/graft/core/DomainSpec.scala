@@ -31,7 +31,15 @@ case class DomainSpec(
     // `m:index-type` marker record remains the fallback authority for
     // domains published before this field existed, and defense in depth
     // everywhere (graft.operators.IndexMarker).
-    indexType: String = DomainSpec.NoIndexType) {
+    indexType: String = DomainSpec.NoIndexType,
+    // Cap-semantics authority for published membership-index domains:
+    // "tombstone-v1" declares that every publish tombstones its
+    // cap-dropped buckets (graft.core.IndexTombstone), which is what
+    // makes incremental growth safe — upserts gate on it (or on the
+    // in-data `m:cap-semantics` marker r14+ builds publish) and fail
+    // loud on a legacy publish instead of silently resurrecting
+    // buckets the build dropped. "none" = not declared.
+    capSemantics: String = DomainSpec.NoCapSemantics) {
 
   def validate(): Unit = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
@@ -49,6 +57,10 @@ case class DomainSpec(
     require(
       indexType != null && indexType.trim.nonEmpty,
       "indexType must be an index-type name or \"" + DomainSpec.NoIndexType + "\" (got blank)")
+    require(
+      DomainSpec.KnownCapSemantics.contains(capSemantics),
+      s"unknown capSemantics '$capSemantics' " +
+        s"(known: ${DomainSpec.KnownCapSemantics.mkString(", ")})")
   }
 
   /** The indexer class name, if any. */
@@ -58,6 +70,10 @@ case class DomainSpec(
   /** The declared index type, if any. */
   def indexTypeOption: Option[String] =
     Some(indexType.trim).filter(_ != DomainSpec.NoIndexType)
+
+  /** The declared cap semantics, if any. */
+  def capSemanticsOption: Option[String] =
+    Some(capSemantics.trim).filter(_ != DomainSpec.NoCapSemantics)
 
   def toJson: String = DomainSpec.mapper.writeValueAsString(this)
 }
@@ -101,6 +117,17 @@ object DomainSpec {
 
   /** Sentinel for "no declared index type" — same flat-JSON rationale. */
   val NoIndexType = "none"
+
+  /** Sentinel for "no declared cap semantics" — same flat-JSON rationale. */
+  val NoCapSemantics = "none"
+
+  /** Cap-dropped buckets keep their key as [[IndexTombstone]] rows —
+    * the one cap-semantics version that exists; versioned so a future
+    * change to the drop contract is a new value, never a silent
+    * reinterpretation of an old publish. */
+  val CapTombstoneV1 = "tombstone-v1"
+
+  val KnownCapSemantics: Set[String] = Set(NoCapSemantics, CapTombstoneV1)
 
   val FileName = "domain-spec.json"
 
@@ -170,7 +197,8 @@ object DomainSpec {
     // for missing properties) — normalize so spec equality keeps working.
     val spec = raw.copy(
       indexer = if (raw.indexer == null) NoIndexer else raw.indexer,
-      indexType = if (raw.indexType == null) NoIndexType else raw.indexType)
+      indexType = if (raw.indexType == null) NoIndexType else raw.indexType,
+      capSemantics = if (raw.capSemantics == null) NoCapSemantics else raw.capSemantics)
     spec.validate()
     spec
   }

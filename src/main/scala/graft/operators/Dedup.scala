@@ -817,8 +817,26 @@ object Dedup {
             bandKey, utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
       }
     // the type authority: the index families share this key shape
-    // with different value grammars — see IndexMarker
-    buckets.unionByName(IndexMarker.row(corpus.sparkSession, BandIndexType))
+    // with different value grammars — see IndexMarker. The cap-semantics
+    // marker records that this publish tombstones its cap-dropped
+    // buckets (upserts gate on it — IndexMarker.requireTombstoneCap);
+    // the fail-loud contract mode raises instead of dropping, which is
+    // tombstone-compatible by vacuity, so it carries the marker too.
+    buckets
+      .unionByName(IndexMarker.row(corpus.sparkSession, BandIndexType))
+      .unionByName(IndexMarker.capRow(corpus.sparkSession))
+  }
+
+  /** The band family's (key, rid) removal rows — the pre-aggregation
+    * half of [[bandIndexKv]]'s key kernel, used by [[bandIndexDelete]]
+    * so a mass takedown never packs a per-bucket member array (the
+    * [[IndexDelete.publishRemoval]] row contract). */
+  private def bandKeyRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.{composite_key, int_be, long_be}
+    lshBands(minHashSignatures(wordShingles(docs, idCol, textCol)))
+      .select(
+        composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"),
+        col("id").cast("string").as("rid"))
   }
 
   /** [[bandIndexKv]]'s `m:index-type` marker value. */
@@ -856,6 +874,10 @@ object Dedup {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, BandIndexType, "bandIndexUpsert", "bandIndexKv")
+    // tombstone-era gate: growing a publish whose build dropped buckets
+    // WITHOUT tombstones would silently resurrect them (IndexTombstone
+    // MIGRATION caveat) — refuse legacy publishes loud
+    IndexMarker.requireTombstoneCap(index, spark, "bandIndexUpsert", "bandIndexKv")
     // the m:index-type marker row the build appends must NOT enter the
     // bucket merge (its value would be treated as a member-id CSV —
     // byte-stable only while marker values stay comma-free); it reaches
@@ -867,6 +889,7 @@ object Dedup {
     // below writes the tombstone straight through.
     val additions = bandIndexKv(delta, idCol, textCol, maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
+      .where(col("key") =!= lit(IndexMarker.CapKey))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
     val current = index
@@ -915,11 +938,11 @@ object Dedup {
     val spark = removed.sparkSession
     IndexDelete.requireIntegralId(removed, idCol, "bandIndexDelete")
     IndexMarker.require(index, spark, BandIndexType, "bandIndexDelete", "bandIndexKv")
-    IndexDelete.publishRemoval(
-      index,
-      IndexDelete.removalsFromBuild(
-        bandIndexKv(removed, idCol, textCol, maxBucket = Int.MaxValue)),
-      newVersion)
+    // removal rows come straight from the band kernel — never a built
+    // index frame: a mass takedown sharing one hot band must stay (key,
+    // id) ROWS end to end (IndexDelete.publishRemoval's contract), not a
+    // collected member array
+    IndexDelete.publishRemoval(index, bandKeyRows(removed, idCol, textCol), newVersion)
   }
 
   /**
@@ -1071,7 +1094,21 @@ object Dedup {
         unhex(col("fp")).as("key"),
         utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
       .unionByName(IndexMarker.row(corpus.sparkSession, SpanIndexType))
+      .unionByName(IndexMarker.capRow(corpus.sparkSession))
   }
+
+  /** The fingerprint family's (key, rid) removal rows — the
+    * pre-aggregation half of [[fpIndexKv]]'s key kernel
+    * (the [[IndexDelete.publishRemoval]] row contract). */
+  private def fpKeyRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int,
+      window: Int,
+      modulus: Int): DataFrame =
+    anchorOccurrences(docs, idCol, textCol, minLen, window, modulus)
+      .select(unhex(col("fp")).as("key"), col("id").cast("string").as("rid"))
 
   /**
    * Detect verbatim >= minLen-codepoint overlap of `incoming` docs
@@ -1158,11 +1195,13 @@ object Dedup {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, SpanIndexType, "fpIndexUpsert", "fpIndexKv")
+    IndexMarker.requireTombstoneCap(index, spark, "fpIndexUpsert", "fpIndexKv")
     // delta builds at the REAL cap (bandIndexUpsert's rationale: a hot
     // delta fingerprint arrives as a tombstone, never a giant value cell)
     val additions = fpIndexKv(delta, idCol, textCol, minLen, window, modulus,
         maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
+      .where(col("key") =!= lit(IndexMarker.CapKey))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
     val current = index
@@ -1204,10 +1243,10 @@ object Dedup {
     val spark = removed.sparkSession
     IndexDelete.requireIntegralId(removed, idCol, "fpIndexDelete")
     IndexMarker.require(index, spark, SpanIndexType, "fpIndexDelete", "fpIndexKv")
+    // (key, id) rows straight from the anchor kernel — a boilerplate
+    // fingerprint shared by 100M removed docs is the DESIGN POINT of a
+    // takedown, and must never pack one aggregation buffer
     IndexDelete.publishRemoval(
-      index,
-      IndexDelete.removalsFromBuild(
-        fpIndexKv(removed, idCol, textCol, minLen, window, modulus, maxBucket = Int.MaxValue)),
-      newVersion)
+      index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus), newVersion)
   }
 }

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
  * Work is O(removed + affected cells), never O(index); untouched shards
  * copy forward.
  *
+ * The removal set travels as (key, rid) ROWS end to end — never as a
+ * per-bucket collected array. A mass takedown whose removed content
+ * shares one hot fingerprint (court-ordered bulk removals are exactly
+ * this shape: 100M docs, one boilerplate band) must not pack a multi-GB
+ * aggregation buffer or an O(|cell| × |rids|) containment scan into one
+ * task; here it is a plain (key, id)-keyed join whose per-key fan-in on
+ * the STORED side is bounded by the families' publish-time hot-bucket
+ * cap ([[graft.core.IndexTombstone]]) — the same row-not-buffer rule the
+ * build side follows ([[AuditBound]] / the stop-term count derivation).
+ *
  * Removing content that was never indexed is a no-op for those cells,
  * and so is removal from a bucket the publish CAP-TOMBSTONED
  * ([[graft.core.IndexTombstone]] — its membership is unknown, so the
@@ -31,11 +41,24 @@ private[graft] object IndexDelete {
 
   /**
    * Publish `newVersion` of `index` with the named members removed.
-   * `removals` columns: `key` (binary bucket key), `rids`
-   * (array&lt;string&gt; of member ids to drop from that bucket). A stored
-   * entry's id is everything before the first ':' ([[entryId]]) — which
-   * is the whole entry for the plain-id grammars, so one extractor
-   * serves every family (ids are decimal integers, never containing ':').
+   * `removals` columns: `key` (binary bucket key), `rid` (string member
+   * id to drop from that bucket) — one ROW per (bucket, member), derived
+   * by the family's own key kernel (the `*KeyRows` helpers), duplicates
+   * welcome (collapsed here), null rids inert (a null id names nothing —
+   * contrast the retired array formulation, where an un-compacted null
+   * made `array_contains` evaluate NULL and silently dropped the whole
+   * cell). A stored entry's id is everything before the first ':'
+   * ([[entryId]]) — which is the whole entry for the plain-id grammars,
+   * so one extractor serves every family (ids are decimal integers,
+   * never containing ':').
+   *
+   * Kept cells re-aggregate under their ORIGINAL stored order
+   * (posexplode position carried through the join, position-sorted on
+   * re-collect), so the engine stays agnostic to each family's canonical
+   * sort (id-string for band/fp/sem, full-entry string for phash,
+   * numeric id for the ANN posting lists) exactly as the old in-place
+   * `filter()` was — and the re-collect buffer is bounded by the
+   * publish-time cap, never by the removal set.
    */
   def publishRemoval(
       index: graft.store.DomainStore,
@@ -43,43 +66,53 @@ private[graft] object IndexDelete {
       newVersion: Long): Unit = {
     val spark = removals.sparkSession
     import graft.functions.{bytes_utf8, utf8_bytes}
-    // the removal set feeds the probe and the cell rewrite — materialize
-    // once, release before returning (no-cache-leak invariant)
-    val r = removals.persist()
+    // the removal rows feed the probe-key list and the drop join —
+    // materialize once (distinct: duplicate (key, rid) rows would
+    // duplicate kept entries through the left join below), release
+    // before returning (no-cache-leak invariant)
+    val r = removals
+      .select(col("key"), col("rid"))
+      .where(col("rid").isNotNull)
+      .distinct()
+      .persist()
     try {
       // hits only: a bucket the index never held has nothing to shrink —
       // and a cap-tombstoned bucket stays tombstoned (no member list to
       // shrink; the checkedId guard below would otherwise read the
       // sentinel as a non-integral member and fail loud)
       val current = index
-        .multiGet(r.select(col("key")), includeMisses = false)
+        .multiGet(r.select(col("key")).distinct(), includeMisses = false)
         .select(col("key"), bytes_utf8(col("value")).as("cur"))
         .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
-      // cells are sorted at publish and filter() preserves order, so the
-      // kept cell stays in the index's canonical byte form. Every stored
-      // entry's id part must parse as an integer — a hit whose value is
-      // NOT a membership cell (wrong domain wired despite the callers'
-      // type gates) fails loud instead of silently keeping everything.
+      // Every stored entry's id part must parse as an integer — a hit
+      // whose value is NOT a membership cell (wrong domain wired despite
+      // the callers' type gates) fails loud instead of silently keeping
+      // everything.
       def checkedId(e: Column): Column =
         when(entryId(e).try_cast("long").isNotNull, entryId(e))
           .otherwise(raise_error(concat(
             lit("indexDelete: stored entry '"), e,
             lit("' has no integral id part — this domain is not a " +
               "membership index (wrong root wired?)"))))
-      // array_compact: a null id in rids would make every non-matching
-      // array_contains evaluate NULL -> filter drops the whole cell — a
-      // silent full-bucket delete. Current callers derive rids null-free
-      // (removalsFromBuild), this guards future direct callers.
-      // PROJECTED before the filter (a bound reference per row), never
-      // inside the lambda — HOF lambdas evaluate interpreted PER
-      // ELEMENT, which would recompute the compaction |cell| times.
-      val after = r.join(current, Seq("key"))
-        .select(col("key"), array_compact(col("rids")).as("_rids"), col("cur"))
-        .select(
-          col("key"),
-          filter(split(col("cur"), ","),
-            e => !array_contains(col("_rids"), checkedId(e))).as("kept"))
-        .localCheckpoint(true) // feeds both patch sides; ContextCleaner-reaped
+      // one row per stored entry, position kept for the canonical-order
+      // re-collect; per-key row count is bounded by the publish cap
+      val entries = current
+        .select(col("key"), posexplode(split(col("cur"), ",")).as(Seq("pos", "entry")))
+        .select(col("key"), col("pos"), col("entry"), checkedId(col("entry")).as("eid"))
+      // the drop decision is a row join on (key, id) — ids-only
+      // exchanges, no collected removal array anywhere. collect_list
+      // skips the nulled (removed) slots, so a fully-emptied key
+      // re-aggregates to an empty array and lands on the delete side —
+      // one frame feeds both patch sides (ContextCleaner-reaped).
+      val after = entries
+        .join(r.select(col("key"), col("rid").as("eid"), lit(true).as("_rm")),
+          Seq("key", "eid"), "left")
+        .groupBy(col("key"))
+        .agg(transform(
+          array_sort(collect_list(
+            when(col("_rm").isNull, struct(col("pos"), col("entry"))))),
+          s => s.getField("entry")).as("kept"))
+        .localCheckpoint(true)
       val ups = after.where(size(col("kept")) > 0)
         .select(col("key"), utf8_bytes(concat_ws(",", col("kept"))).as("value"))
       val dels = after.where(size(col("kept")) === 0).select(col("key"))
@@ -96,25 +129,26 @@ private[graft] object IndexDelete {
     * (`id:phash` / `id:codes`), or the whole entry (plain-id grammars). */
   private def entryId(e: Column): Column = substring_index(e, ":", 1)
 
-  /** Removal rows derived from a family's own BUILD output on the
-    * removed content — (key, rids) with the build's exact key kernel —
-    * minus the TWO non-membership row classes builders append: the
-    * `m:index-type` marker (left in, its value would read as a member id
-    * and the marker key would be deleted as an emptied bucket) and
-    * [[graft.core.IndexTombstone]] rows (a default-cap build of a
-    * boilerplate-heavy removal set tombstones its hot buckets — left in,
-    * `rids = ["!capped"]` matches no stored id, so the removed members
-    * would silently SURVIVE the takedown; the in-repo delete wrappers
-    * dodge both by building at `maxBucket = Int.MaxValue`, this guards
-    * direct callers following the documented pattern). */
+  /** (key, rid) removal rows derived from a family's BUILT index frame —
+    * the adapter for direct callers who hold a build output rather than
+    * the pre-aggregation key rows (the in-repo delete wrappers derive
+    * rows straight from the family kernels and never aggregate at all).
+    * Strips the non-membership row classes builders append — the
+    * `m:index-type` / `m:cap-semantics` markers (their values would read
+    * as member ids) and [[graft.core.IndexTombstone]] rows (`!capped`
+    * matches no stored id, so a capped build's removed members would
+    * silently SURVIVE the takedown) — then explodes each cell to one row
+    * per member id. */
   def removalsFromBuild(built: DataFrame): DataFrame = {
     import graft.functions.bytes_utf8
     built
       .where(col("key") =!= lit(IndexMarker.Key))
+      .where(col("key") =!= lit(IndexMarker.CapKey))
       .where(bytes_utf8(col("value")) =!= lit(graft.core.IndexTombstone.Value))
       .select(
         col("key"),
-        transform(split(bytes_utf8(col("value")), ","), entryId(_)).as("rids"))
+        explode(split(bytes_utf8(col("value")), ",")).as("entry"))
+      .select(col("key"), entryId(col("entry")).as("rid"))
   }
 
   /** The integral-id contract every index family's ids share (they

@@ -25,6 +25,16 @@ private[graft] object IndexMarker {
 
   val Key: Array[Byte] = "m:index-type".getBytes("UTF-8")
 
+  /** The cap-semantics marker key: a publish that tombstones its
+    * cap-dropped buckets ([[graft.core.IndexTombstone]]) records that
+    * fact IN the publish, so incremental growth can refuse a legacy
+    * (pre-tombstone) publish instead of silently resurrecting buckets
+    * its build dropped with no tombstone (the IndexTombstone MIGRATION
+    * caveat, made loud). Same collision-free-by-construction argument as
+    * [[Key]]: band/cell keys start 0x00, raw-md5 fingerprint keys are 16
+    * bytes (this key is 15). */
+  val CapKey: Array[Byte] = "m:cap-semantics".getBytes("UTF-8")
+
   /** The marker as a 1-row (key, value) DataFrame — union it onto the
     * index rows at build time. Incremental paths (upserts, deletes)
     * FILTER it out of their merge inputs (a marker value run through a
@@ -35,6 +45,14 @@ private[graft] object IndexMarker {
     spark.range(1).select(
       lit(Key).as("key"),
       lit(indexType.getBytes("UTF-8")).as("value"))
+
+  /** The cap-semantics marker as a 1-row frame — the four band-family
+    * builders union it onto every publish alongside [[row]]; upserts and
+    * deletes filter it from their merge inputs like the type marker. */
+  def capRow(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit(CapKey).as("key"),
+      lit(graft.core.DomainSpec.CapTombstoneV1.getBytes("UTF-8")).as("value"))
 
   /** Verified types, keyed by (root, version, version-token mtime): the
     * marker lookup is a Spark job on parquet-format domains (~0.5 s),
@@ -51,9 +69,24 @@ private[graft] object IndexMarker {
     * the whole map drops (re-verification is one cheap-to-moderate
     * lookup, correctness never depends on a hit). */
   private val verified =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[String]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), Option[String]]()
 
   private val MaxCached = 4096
+
+  /** One cached point lookup of a reserved marker record — shared by the
+    * type gate and the cap-semantics gate (same publish-scoped cache
+    * contract as documented on [[verified]]). */
+  private def cachedMarker(
+      store: graft.store.DomainStore,
+      spark: SparkSession,
+      markerKey: Array[Byte]): Option[String] = {
+    val version = store.latestVersion
+    val cacheKey = (store.root.toString, version, store.versions.tokenMtime(version),
+      new String(markerKey, "UTF-8"))
+    if (verified.size > MaxCached) verified.clear()
+    verified.computeIfAbsent(
+      cacheKey, _ => store.get(spark, markerKey).map(new String(_, "UTF-8")))
+  }
 
   /** Verify a published domain IS the expected index type. The
     * AUTHORITY is the `indexType` field of `domain-spec.json` — metadata
@@ -91,17 +124,45 @@ private[graft] object IndexMarker {
           s"${allowed.mkString("/")} — this call is aimed at the wrong domain")
     }
 
+  /** The tombstone-era gate every band-family UPSERT runs before growing
+    * a published index: a publish that predates cap tombstones left NO
+    * record for buckets its build dropped, so an incremental merge would
+    * re-publish such a bucket with delta-only members — silently
+    * diverging from the rebuild it is pinned byte-identical to (the
+    * [[graft.core.IndexTombstone]] MIGRATION caveat). The AUTHORITY is
+    * the `capSemantics` field of `domain-spec.json` (zero Spark jobs,
+    * the indexType precedent); a domain whose spec declares none falls
+    * back to the in-data `m:cap-semantics` marker every r14+ build
+    * publishes (one point lookup, cached per publish). Absent both, the
+    * upsert fails loud naming the rebuild. Probes and deletes need no
+    * gate: a legacy publish's missing bucket reads as a miss / no-ops
+    * either way — only GROWTH can resurrect. */
+  def requireTombstoneCap(
+      store: graft.store.DomainStore,
+      spark: SparkSession,
+      op: String,
+      buildFn: String): Unit = store.spec.capSemanticsOption match {
+    case Some(_) => () // validate() pins the one known value
+    case None => cachedMarker(store, spark, CapKey) match {
+      case Some(_) => ()
+      case None => throw new IllegalArgumentException(
+        s"$op: domain at ${store.root} was published before cap tombstones " +
+          s"existed (no m:cap-semantics marker and no capSemantics in " +
+          s"${graft.core.DomainSpec.FileName}) — its build may have dropped " +
+          "hot buckets with no tombstone, and incremental growth would " +
+          s"silently resurrect them with delta-only members: rebuild with " +
+          s"$buildFn first (a legacy build that reported nothing oversized " +
+          "may instead declare capSemantics in the spec)")
+    }
+  }
+
   private def requireByMarker(
       store: graft.store.DomainStore,
       spark: SparkSession,
       expected: String,
       op: String,
       buildFn: String): Unit = {
-    val version = store.latestVersion
-    val cacheKey = (store.root.toString, version, store.versions.tokenMtime(version))
-    if (verified.size > MaxCached) verified.clear()
-    val got = verified.computeIfAbsent(
-      cacheKey, _ => store.get(spark, Key).map(new String(_, "UTF-8")))
+    val got = cachedMarker(store, spark, Key)
     got match {
       case Some(t) if t == expected => ()
       case Some(other) => throw new IllegalArgumentException(

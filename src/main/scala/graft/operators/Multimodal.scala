@@ -356,6 +356,17 @@ object Multimodal {
       // index but a DIFFERENT value grammar (id:phash vs id) — the
       // marker is what keeps a cross-type upsert/probe loud
       .unionByName(IndexMarker.row(hashes.sparkSession, PhashIndexType))
+      .unionByName(IndexMarker.capRow(hashes.sparkSession))
+  }
+
+  /** The phash family's (key, rid) removal rows — the pre-aggregation
+    * half of [[phashIndexKv]]'s key kernel
+    * (the [[IndexDelete.publishRemoval]] row contract). */
+  private def phashKeyRows(hashes: DataFrame): DataFrame = {
+    import graft.functions.{composite_key, int_be, long_be}
+    phashBandBuckets(hashes).select(
+      composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"),
+      col("media_id").cast("string").as("rid"))
   }
 
   /** [[phashIndexKv]]'s `m:index-type` marker value. */
@@ -444,12 +455,14 @@ object Multimodal {
     val spark = deltaHashes.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, PhashIndexType, "phashIndexUpsert", "phashIndexKv")
+    IndexMarker.requireTombstoneCap(index, spark, "phashIndexUpsert", "phashIndexKv")
     // marker row filtered from the merge (Dedup.bandIndexUpsert's
     // rationale); it carries forward untouched via the anti-join.
     // Delta builds at the REAL cap: a hot delta bucket arrives as a
     // tombstone, never a giant value cell (bandIndexUpsert's rationale)
     val additions = phashIndexKv(deltaHashes, maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
+      .where(col("key") =!= lit(IndexMarker.CapKey))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
     try {
@@ -520,10 +533,10 @@ object Multimodal {
     requireIntegralMediaId(removedHashes, "phashIndexDelete")
     IndexMarker.require(
       index, removedHashes.sparkSession, PhashIndexType, "phashIndexDelete", "phashIndexKv")
-    IndexDelete.publishRemoval(
-      index,
-      IndexDelete.removalsFromBuild(phashIndexKv(removedHashes, maxBucket = Int.MaxValue)),
-      newVersion)
+    // (key, id) rows straight from the band kernel — a mass takedown of
+    // one replicated image (every row sharing its bands) must never pack
+    // a collected member array (IndexDelete.publishRemoval's contract)
+    IndexDelete.publishRemoval(index, phashKeyRows(removedHashes), newVersion)
   }
 
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =

@@ -672,6 +672,23 @@ object Similarity {
         graft.functions.utf8_bytes(col("members")).as("value"))
   }
 
+  /** The ANN families' (key, rid) removal rows — cell assignment under
+    * the index's own quantizer, no posting aggregation
+    * (the [[IndexDelete.publishRemoval]] row contract). Shared by the
+    * plain and PQ domains: removal needs only (cell, id). */
+  private def ivfKeyRows(
+      removed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val c = prepared(removed, idCol, vecCol)
+    val bc = c.sparkSession.sparkContext.broadcast(
+      (centroids, centroids.map(_.map(x => x * x).sum)))
+    c.select(
+      graft.functions.int_be(element_at(nearestCells(col("vec"), bc, 1), 1)).as("key"),
+      col("id").cast("string").as("rid"))
+  }
+
   /**
    * Global duplicate-id audit for a published ANN index (plain or
    * PQ-coded): every id must live in exactly ONE cell; a re-ingested
@@ -1478,8 +1495,11 @@ object Similarity {
       // m:index-type, or every later upsert/probe/delete on an
       // undeclared-spec domain rejects it as not-built-by-semIndexKv —
       // breaking the publish-empty-then-grow lifecycle (phashIndexKv
-      // already behaves this way by construction)
+      // already behaves this way by construction). The cap-semantics
+      // marker rides along for the same reason: the first upsert gates
+      // on it (requireTombstoneCap).
       return IndexMarker.row(corpus.sparkSession, SemIndexType)
+        .unionByName(IndexMarker.capRow(corpus.sparkSession))
     val cells = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
       .select(col("id"), col("bucket").as("cell"))
     val (kept, dropped) = LshBuckets.boundedSplit(cells, Seq("cell"), maxBucket)
@@ -1493,6 +1513,29 @@ object Similarity {
       // IndexMarker (same value grammar as lsh-band, but probing a cell
       // index with band keys or vice versa must stay loud)
       .unionByName(IndexMarker.row(corpus.sparkSession, SemIndexType))
+      .unionByName(IndexMarker.capRow(corpus.sparkSession))
+  }
+
+  /** The semantic family's (key, rid) removal rows — the pre-aggregation
+    * half of [[semIndexKv]]'s cell kernel
+    * (the [[IndexDelete.publishRemoval]] row contract). */
+  private def semKeyRows(
+      removed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int): DataFrame = {
+    import graft.functions.long_be
+    val p = prepared(removed, idCol, vecCol)
+    val dimRow = p.select(size(col("vec"))).head(1)
+    if (dimRow.isEmpty)
+      // nothing indexed (empty or all-zero-norm removal set) — an empty
+      // removal row set publishes a pure copy-forward version, the same
+      // no-op the old built-frame path produced
+      p.select(lit(null).cast("binary").as("key"), lit(null).cast("string").as("rid"))
+        .limit(0)
+    else
+      lshBuckets(p, 1, planes, dimRow(0).getInt(0))
+        .select(long_be(col("bucket")).as("key"), col("id").cast("string").as("rid"))
   }
 
   /** [[semIndexKv]]'s `m:index-type` marker value. */
@@ -1608,6 +1651,7 @@ object Similarity {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, SemIndexType, "semIndexUpsert", "semIndexKv")
+    IndexMarker.requireTombstoneCap(index, spark, "semIndexUpsert", "semIndexKv")
     IndexDelete.requireIntegralId(delta, idCol, "semIndexUpsert")
     // marker row filtered from the merge (Dedup.bandIndexUpsert's
     // rationale); it carries forward untouched via the anti-join.
@@ -1615,6 +1659,7 @@ object Similarity {
     // tombstone, never a giant value cell (bandIndexUpsert's rationale)
     val additions = semIndexKv(delta, idCol, vecCol, planes, maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
+      .where(col("key") =!= lit(IndexMarker.CapKey))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
       .persist()
     try {
@@ -1660,11 +1705,11 @@ object Similarity {
     val spark = removed.sparkSession
     IndexDelete.requireIntegralId(removed, idCol, "semIndexDelete")
     IndexMarker.require(index, spark, SemIndexType, "semIndexDelete", "semIndexKv")
+    // (key, id) rows straight from the cell kernel — an identical-
+    // embedding cluster (one hot cell) must never pack a collected
+    // member array (IndexDelete.publishRemoval's contract)
     IndexDelete.publishRemoval(
-      index,
-      IndexDelete.removalsFromBuild(
-        semIndexKv(removed, idCol, vecCol, planes, maxBucket = Int.MaxValue)),
-      newVersion)
+      index, semKeyRows(removed, idCol, vecCol, planes), newVersion)
   }
 
   /**
@@ -1693,11 +1738,12 @@ object Similarity {
     // entry lacks an integral id part fails loud inside publishRemoval
     IndexMarker.requireSpecIn(
       index, Set(IvfIndexType, IvfPqIndexType), "ivfIndexDelete")
+    // (key, id) rows straight from the assignment kernel — a removal
+    // set collapsing into one cell must never pack a collected posting
+    // array (IndexDelete.publishRemoval's contract); serves the PQ
+    // domain too (removal needs only cell + id, codes are irrelevant)
     IndexDelete.publishRemoval(
-      index,
-      IndexDelete.removalsFromBuild(
-        ivfIndexKv(removed, idCol, vecCol, centroids, maxCellMembers = Int.MaxValue)),
-      newVersion)
+      index, ivfKeyRows(removed, idCol, vecCol, centroids), newVersion)
   }
 
   /**

@@ -1269,6 +1269,66 @@ class OperatorsSpec extends SparkSuite {
       .contains("no m:index-type marker"))
   }
 
+  test("tombstone-era gate: upserts refuse a legacy (pre-tombstone) publish, all four families") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 2, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val hashes = Seq((1L, 42L)).toDF("media_id", "phash")
+    val emb = Seq((1L, Array.fill(8)(0.5))).toDF("vec_id", "embedding")
+    // a legacy publish = today's build minus the m:cap-semantics marker
+    // (exactly what a pre-r14 build wrote): its build may have dropped
+    // hot buckets with NO tombstone, so growth must fail loud naming the
+    // rebuild — not silently resurrect them with delta-only members
+    def legacy(name: String, built: org.apache.spark.sql.DataFrame) = {
+      val st = graft.store.DomainStore.create(scratch(s"cap-gate/$name"), spec, conf)
+      st.write(built.where(col("key") =!= lit(IndexMarker.CapKey)), 1L)
+      st
+    }
+    def refused(f: => Any): String = {
+      val m = intercept[IllegalArgumentException](f).getMessage
+      assert(m.contains("published before cap tombstones"), m)
+      m
+    }
+    assert(refused(Dedup.bandIndexUpsert(
+      legacy("band", Dedup.bandIndexKv(docs, "doc_id", "text")),
+      docs, "doc_id", "text", 2L)).contains("bandIndexKv"))
+    assert(refused(Dedup.fpIndexUpsert(
+      legacy("fp", Dedup.fpIndexKv(docs, "doc_id", "text", minLen = 8)),
+      docs, "doc_id", "text", 2L, minLen = 8)).contains("fpIndexKv"))
+    assert(refused(Multimodal.phashIndexUpsert(
+      legacy("ph", Multimodal.phashIndexKv(hashes)), hashes, 2L))
+      .contains("phashIndexKv"))
+    assert(refused(Similarity.semIndexUpsert(
+      legacy("sem", Similarity.semIndexKv(emb, "vec_id", "embedding", 3)),
+      emb, "vec_id", "embedding", 2L, 3)).contains("semIndexKv"))
+
+    // the spec field is the zero-job authority (the indexType precedent):
+    // a legacy publish whose build verifiably dropped nothing can declare
+    // capSemantics instead of rebuilding — the gate passes on metadata
+    val declared = graft.store.DomainStore.create(
+      scratch("cap-gate/declared"),
+      spec.copy(capSemantics = graft.core.DomainSpec.CapTombstoneV1), conf)
+    declared.write(
+      Dedup.bandIndexKv(docs, "doc_id", "text")
+        .where(col("key") =!= lit(IndexMarker.CapKey)), 1L)
+    Dedup.bandIndexUpsert(declared, docs, "doc_id", "text", 2L)
+    assert(declared.latestVersion === 2L)
+    // fresh publishes carry the in-data marker, so growth needs no spec
+    // declaration — and upsert keeps carrying the marker forward (the
+    // gate stays green on the grown version too)
+    val fresh = graft.store.DomainStore.create(scratch("cap-gate/fresh"), spec, conf)
+    fresh.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexUpsert(fresh, docs, "doc_id", "text", 2L)
+    Dedup.bandIndexUpsert(fresh, docs, "doc_id", "text", 3L)
+    assert(fresh.latestVersion === 3L)
+    // an unknown capSemantics value is a spec error, never a silent pass
+    intercept[IllegalArgumentException](
+      graft.core.DomainSpec(numShards = 2, capSemantics = "tombstone-v99").validate())
+  }
+
   test("index takedown: delete == byte-identical rebuild on corpus-minus-removed, all families") {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration()
