@@ -575,36 +575,75 @@ class GraftClient:
         long-lived client can never keep probing a domain republished as
         a different family on a stale verdict — and the steady state
         pays ZERO extra round trips."""
-        fps = anchor_fingerprints(text, min_len, window, modulus)
-        if not fps:
+        return self.overlapping_all([text], min_len, window, modulus)[0]
+
+    def overlapping_all(self, texts, min_len=64, window=8, modulus=16):
+        """Batched admission — overlapping() for a STREAM of documents in
+        ONE index round (the JVM OverlapReader.overlappingAll twin): all
+        docs' fingerprints dedup across the batch (shared boilerplate
+        fingerprints probe once, not once per carrier) into a single
+        versioned multi_get, whose one version stamp certifies the WHOLE
+        batch — every answer reflects the same served version. Answers
+        align with the input; each is exactly what overlapping() would
+        return for that text."""
+        per_doc = [anchor_fingerprints(t, min_len, window, modulus)
+                   for t in texts]
+        uniq, seen = [], set()
+        for fps in per_doc:
+            for k in fps:
+                if k not in seen:
+                    seen.add(k)
+                    uniq.append(k)
+        if not uniq:
             # still fail loud on a wrong-family domain: a client that only
             # ever probes short/anchor-free texts must not read as
             # silently clean forever — gate once (meta round trip) if this
             # client has never gated, then the cached verdict carries
+            # (no records are parsed here, so any served version's type
+            # verdict is safe to cache)
             if not hasattr(self, "_fp_gate_version"):
-                self._fp_gate_version = self._fp_gate(
-                    self.meta()["served_version"])
-            return []
-        version, records = self._multi_get_versioned(fps)
-        if getattr(self, "_fp_gate_version", None) != version:
-            self._fp_gate_version = self._fp_gate(version)
-        ids = set()
-        for v in records:
+                m = self.meta()
+                self._fp_gate_check(m)
+                self._fp_gate_version = m["served_version"]
+            return [[] for _ in texts]
+        # Gate and records must observe the SAME served version: meta()
+        # is a separate round trip, so a republish landing between the
+        # probe and the gate could validate version N+1's family while
+        # the parsed records are version N's — on disagreement, re-probe
+        # (never parse under a verdict for a different version). The
+        # verdict caches per certified version, so the steady state pays
+        # zero extra round trips.
+        for _ in range(3):
+            version, records = self._multi_get_versioned(uniq)
+            if getattr(self, "_fp_gate_version", None) == version:
+                break
+            m = self.meta()
+            if m["served_version"] == version:
+                self._fp_gate_check(m)
+                self._fp_gate_version = version
+                break
+        else:
+            raise ProtocolError(
+                "overlapping: served version kept moving between the probe "
+                "and the family gate — retries exhausted")
+        hits = {}
+        for k, v in zip(uniq, records):
             if v is None or v is _NULL_VALUE:
                 continue
-            s = v.decode("utf-8")
-            if s == "!capped":  # cap tombstone (graft.core.IndexTombstone):
-                continue        # publish-dropped boilerplate reads as a miss
-            for part in s.split(","):
-                ids.add(int(part))
-        return sorted(ids)
+            sval = v.decode("utf-8")
+            if sval == "!capped":  # cap tombstone (graft.core.IndexTombstone):
+                continue           # publish-dropped boilerplate reads as a miss
+            hits[k] = [int(part) for part in sval.split(",")]
+        return [sorted({i for k in fps for i in hits.get(k, ())})
+                for fps in per_doc]
 
-    def _fp_gate(self, version):
-        """Run the fp-anchor family gate (meta index_type authority,
-        in-data marker fallback for pre-field specs) and return the
-        version to cache the verdict under. Raises ValueError on a
-        wrong-family domain."""
-        got = self.meta()["index_type"]
+    def _fp_gate_check(self, meta):
+        """The fp-anchor family gate body (meta index_type authority,
+        in-data marker fallback for pre-field specs). Raises ValueError
+        on a wrong-family domain. The marker fallback's point lookup is
+        not version-certified — it is the pre-field defense-in-depth
+        path, bounded by the caller's same-version rule on the meta."""
+        got = meta["index_type"]
         if got == "none":  # pre-field spec: fall back to the marker
             marker = self.get(b"m:index-type")
             got = "<none>" if marker is None else marker.decode(
@@ -613,7 +652,6 @@ class GraftClient:
             raise ValueError(
                 f"overlapping: domain '{self.domain}' carries index-type "
                 f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
-        return version
 
     def _multi_get_versioned(self, keys):
         """multi_get that also returns THE serving version every frame

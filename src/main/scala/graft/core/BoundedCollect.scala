@@ -1,0 +1,216 @@
+package graft.core
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Capped member collection in ONE aggregation pass — the fused form of
+ * the hot-bucket cap's previous two-aggregate layout (count per key →
+ * broadcast anti-join drop → `collect_list`): per group it returns
+ * `struct(n: bigint, members: array<string>)` where `members` is the
+ * payloads sorted by (`sortKey`, payload) when the group holds at most
+ * `maxItems` rows, and NULL once it crossed the cap — with `n` the
+ * exact total either way (the tombstone/`x:` records publish it).
+ *
+ * Why fused, and why this bounds better than the count-first layout:
+ *  - buffers are capped at `maxItems + 1` entries ALWAYS — a hot bucket
+ *    overflows its partial buffer map-side and ships a constant-size
+ *    marker, so the exchange never carries the hot bucket's rows at all
+ *    (the count-first layout still repartitions every hot row into one
+ *    shuffle partition just to count-and-discard it there);
+ *  - one exchange, one aggregate: the counts pass, the broadcast of the
+ *    oversized key set, and the anti-join scan all disappear — the
+ *    declared +0.8–1.0 s/query toy-scale cost of the r13 cap mechanism
+ *    (BASELINE.md round-13) was exactly those extra passes.
+ *  - merge is O(1) once either side overflowed, so even the middle zone
+ *    (hot bucket spread thin enough that no single partial overflows)
+ *    ships at most partitions × cap entries to one reducer — the same
+ *    "heavy but finite" bound the cap already accepts on join tasks.
+ *
+ * Determinism: `members` is sorted at eval (sortKey asc, payload-bytes
+ * asc tie-break), so output is independent of encounter order —
+ * byte-identical to `sort_array(collect_list(...))` on the same rows
+ * for every family's canonical form (id-string sort where
+ * sortKey = payload; doc_id-numeric sort for the posting lists).
+ * Like `collect_list`, null payloads are skipped (they name no member)
+ * but still count toward `n` (the row existed).
+ *
+ * sortKey must be integral-or-string; payload must be string — checked
+ * at analysis (checkInputDataTypes; children are unresolved at
+ * construction, so a constructor require would read `void` types).
+ */
+case class BoundedCollectAgg(
+    sortKey: Expression,
+    payload: Expression,
+    maxItems: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedCollectBuf] {
+
+  require(maxItems >= 1, s"bounded_collect: maxItems must be >= 1, got $maxItems")
+
+  // children are unresolved at construction — type contracts check at
+  // analysis (checkInputDataTypes), the standard Catalyst seam
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (payload.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bounded_collect: payload must be string, got ${payload.dataType.simpleString}")
+    else if (BoundedCollectAgg.keyKind(sortKey.dataType) < 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"bounded_collect: sortKey must be integral or string, got ${sortKey.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private lazy val kind = BoundedCollectAgg.keyKind(sortKey.dataType)
+
+  override def children: Seq[Expression] = Seq(sortKey, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BoundedCollectAgg.OutType
+  override def prettyName: String = "bounded_collect"
+
+  override def createAggregationBuffer(): BoundedCollectBuf = new BoundedCollectBuf
+
+  override def update(b: BoundedCollectBuf, input: InternalRow): BoundedCollectBuf = {
+    b.n += 1L
+    val p = payload.eval(input)
+    if (p != null && !b.over) {
+      // copy out of the reused row buffers; a null sort key sorts first
+      // (kind-tagged sentinel handled in the ordering)
+      val k = sortKey.eval(input)
+      b.keys += (if (k == null) null
+                 else if (kind == BoundedCollectAgg.KindString) k.asInstanceOf[UTF8String].clone()
+                 else k)
+      b.vals += p.asInstanceOf[UTF8String].clone()
+      if (b.vals.length > maxItems) b.overflow()
+    }
+    b
+  }
+
+  override def merge(b: BoundedCollectBuf, o: BoundedCollectBuf): BoundedCollectBuf = {
+    b.n += o.n
+    if (b.over || o.over || b.vals.length + o.vals.length > maxItems) b.overflow()
+    else { b.keys ++= o.keys; b.vals ++= o.vals }
+    b
+  }
+
+  override def eval(b: BoundedCollectBuf): Any =
+    if (b.over) new GenericInternalRow(Array[Any](b.n, null))
+    else {
+      val idx = Array.range(0, b.vals.length)
+      val ord = new Ordering[Int] {
+        def compare(i: Int, j: Int): Int = {
+          val c = BoundedCollectAgg.compareKeys(kind, b.keys(i), b.keys(j))
+          if (c != 0) c else b.vals(i).compareTo(b.vals(j))
+        }
+      }
+      val sorted = idx.sorted(ord)
+      new GenericInternalRow(Array[Any](
+        b.n, new GenericArrayData(sorted.map(i => b.vals(i): Any))))
+    }
+
+  override def serialize(b: BoundedCollectBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(b.n)
+    out.writeBoolean(b.over)
+    out.writeInt(b.vals.length)
+    var i = 0
+    while (i < b.vals.length) {
+      val k = b.keys(i)
+      if (k == null) out.writeByte(0)
+      else {
+        out.writeByte(1)
+        if (kind == BoundedCollectAgg.KindString) {
+          val kb = k.asInstanceOf[UTF8String].getBytes
+          out.writeInt(kb.length); out.write(kb)
+        } else out.writeLong(BoundedCollectAgg.keyAsLong(k))
+      }
+      val vb = b.vals(i).getBytes
+      out.writeInt(vb.length); out.write(vb)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedCollectBuf = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new BoundedCollectBuf
+    b.n = in.readLong()
+    b.over = in.readBoolean()
+    val m = in.readInt()
+    var i = 0
+    while (i < m) {
+      val k: Any =
+        if (in.readByte() == 0) null
+        else if (kind == BoundedCollectAgg.KindString) {
+          val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+          UTF8String.fromBytes(kb)
+        } else java.lang.Long.valueOf(in.readLong())
+      val vb = new Array[Byte](in.readInt()); in.readFully(vb)
+      b.keys += k
+      b.vals += UTF8String.fromBytes(vb)
+      i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BoundedCollectAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BoundedCollectAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BoundedCollectAgg =
+    copy(sortKey = newChildren(0), payload = newChildren(1))
+}
+
+object BoundedCollectAgg {
+  val OutType: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("members", ArrayType(StringType, containsNull = false), nullable = true)))
+
+  private[core] val KindLong = 0
+  private[core] val KindString = 1
+
+  private[core] def keyKind(t: DataType): Int = t match {
+    case ByteType | ShortType | IntegerType | LongType => KindLong
+    case StringType => KindString
+    case _ => -1
+  }
+
+  private[core] def keyAsLong(k: Any): Long = k match {
+    case b: java.lang.Byte => b.longValue
+    case s: java.lang.Short => s.longValue
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+    case other => throw new IllegalStateException(s"non-integral sort key $other")
+  }
+
+  /** Nulls first (matches `sort_array` asc null ordering), then by value. */
+  private[core] def compareKeys(kind: Int, a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else if (kind == KindString) a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    else java.lang.Long.compare(keyAsLong(a), keyAsLong(b))
+}
+
+/** Mutable per-group state: exact row count + the (sortKey, payload)
+  * pairs, cleared-and-flagged the moment the group crosses the cap. */
+final class BoundedCollectBuf {
+  var n: Long = 0L
+  var over: Boolean = false
+  val keys = new ArrayBuffer[Any]
+  val vals = new ArrayBuffer[UTF8String]
+  def overflow(): Unit = { over = true; keys.clear(); vals.clear() }
+}

@@ -128,28 +128,49 @@ private[graft] object LshBuckets {
     }
   }
 
-  /** [[bounded]]'s split twin for the PUBLISHED index families: (rows of
-    * within-cap buckets, DISTINCT keys of oversized buckets). The second
-    * frame becomes [[graft.core.IndexTombstone]] rows — oversized members
-    * are still dropped BEFORE any collect_list (the value-cell bound) and
-    * before any exchange (the broadcast anti-join), but the bucket's key
-    * survives so incremental upserts can keep it dropped. The two frames
-    * share the one map-side-combined count subplan (canonically
-    * identical aggregates — ReuseExchange/AQE dedup it). */
-  def boundedSplit(
+  /** ONE-PASS capped member collection for the PUBLISHED index families
+    * and the posting-list builds — the [[graft.core.BoundedCollectAgg]]
+    * fusion of the retired count-first split + the downstream
+    * `sort_array(collect_list(...))`: per bucket key, the exact member
+    * count `_n` and the sorted member payloads `_members`
+    * (NULL = crossed the cap → the caller publishes the
+    * [[graft.core.IndexTombstone]] / `x:` record, with `_n` as the
+    * published count where the grammar wants one). ONE exchange whose
+    * partial buffers are capped at `maxBucket + 1` entries — a hot
+    * bucket overflows MAP-SIDE and ships a constant-size marker, so the
+    * exchange never carries its rows (the count-first layout still
+    * repartitioned every hot row into one shuffle partition to count it
+    * there), and the counts pass + broadcast anti-join disappear with
+    * their toy-scale stage cost (BASELINE.md round-13's declared
+    * +0.8–1.0 s/query).
+    *
+    * `sortKeyCol` picks the family's canonical member order (the payload
+    * itself for the string-sorted band families; the numeric doc id for
+    * the posting lists); ties break on payload bytes. Output columns:
+    * the `keys` columns + `_n` (bigint) + `_members`
+    * (array&lt;string&gt;, null past the cap). */
+  def boundedMembers(
       df: org.apache.spark.sql.DataFrame,
       keys: Seq[String],
-      maxBucket: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      sortKeyCol: org.apache.spark.sql.Column,
+      payloadCol: org.apache.spark.sql.Column,
+      maxBucket: Int): org.apache.spark.sql.DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    require(!df.columns.exists(c => c == "_bsz" || c.startsWith("_ov")),
-      "input carries a reserved column name (`_bsz` or `_ov*`, used " +
-        "internally for the bucket-size count and the oversized-key join) " +
-        "— rename or drop it before calling")
+    require(!df.columns.exists(c => c == "_bc" || c == "_n" || c == "_members"),
+      "input carries a reserved column name (`_bc`/`_n`/`_members`, used " +
+        "internally by the capped member collection) — rename or drop it " +
+        "before calling")
     import org.apache.spark.sql.functions.col
-    val shuffled = keyPartitioned(df, keys)
-    val oversized = oversizedKeys(shuffled, keys, maxBucket)
-    (dropKeys(shuffled, keys, oversized), oversized.select(keys.map(col): _*))
+    import org.apache.spark.sql.graft.interop
+    df.groupBy(keys.map(col): _*)
+      .agg(interop.column(graft.core.BoundedCollectAgg(
+          interop.expression(sortKeyCol),
+          interop.expression(payloadCol),
+          maxBucket).toAggregateExpression()).as("_bc"))
+      .select(keys.map(col) ++ Seq(
+        col("_bc.n").as("_n"), col("_bc.members").as("_members")): _*)
   }
+
 }
 
 private[operators] object AuditBound {

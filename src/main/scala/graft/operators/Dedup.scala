@@ -644,16 +644,26 @@ object Dedup {
    * Driver-loop shape (the [[components]] precedent): each round runs the
    * one-pass operator to a materialized intermediate (eager
    * `localCheckpoint` — multi-pass algorithms must not recompute a
-   * re-sampled lineage, the repartitionByRange rule) and probes its total
-   * cut count; rounds are data-dependent, typically 2 (the second round
-   * IS the convergence proof). Past `maxRounds` detection rounds the
-   * operator fails LOUD — a corpus still cutting at the bound is either
-   * adversarial or mis-parameterized, and silently returning a
-   * non-fixpoint would break the operator's one contract. All
-   * intermediates are unpersisted before returning (the no-cache-leak
-   * contract); the RETURNED frame is the pure re-composed plan over the
-   * input — deterministic, so downstream actions recompute the converged
-   * rounds without any block dependency.
+   * re-sampled lineage, the repartitionByRange rule), folds the running
+   * cut total in (one cheap join against the PREVIOUS round's
+   * materialized rows — never a self-join of the unmaterialized
+   * pipeline), and probes the new total; rounds are data-dependent,
+   * typically 2 (the second round IS the convergence proof). Past
+   * `maxRounds` detection rounds the operator fails LOUD — a corpus
+   * still cutting at the bound is either adversarial or
+   * mis-parameterized, and silently returning a non-fixpoint would
+   * break the operator's one contract.
+   *
+   * The RETURNED frame is the final round's ALREADY-PAID checkpoint (the
+   * converged round cut nothing, so its rows ARE the fixpoint): the
+   * detector runs exactly `rounds` times total and downstream actions
+   * replay nothing — where re-composing the passes lazily would run the
+   * whole chain again per action (the r13 shape: a 1-round corpus paid
+   * the detector 3×). Superseded rounds are unpersisted before
+   * returning; the returned checkpoint is reaped by the ContextCleaner
+   * when the caller drops the frame (the [[IndexDelete]] precedent —
+   * deliberately NOT in the lazy-operator no-cache pin, whose list
+   * covers operators returning pure plans).
    *
    * Output: [[removeSharedSpans]]'s schema — (idCol, n_cuts, textCol) —
    * with `n_cuts` the TOTAL cut sites across all rounds.
@@ -669,11 +679,14 @@ object Dedup {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     def onePass(d: DataFrame): DataFrame =
       removeSharedSpans(d, idCol, textCol, minLen, window, modulus)
-    // probe loop: how many rounds until a round cuts nothing?
-    val checkpoints = scala.collection.mutable.Buffer[DataFrame]()
-    var rounds = 0
+    // superseded rounds, released on every exit path; the final round's
+    // checkpoint is the return value and survives
+    val superseded = scala.collection.mutable.Buffer[DataFrame]()
+    var acc: DataFrame = null
+    var ok = false
     try {
-      var cur = df.select(col(idCol), col(textCol))
+      var rounds = 0
+      var cumTotal = 0L
       var lastCuts = -1L
       while (lastCuts != 0L) {
         if (rounds == maxRounds)
@@ -681,28 +694,37 @@ object Dedup {
             s"removeSharedSpansIterated: no fixpoint after $maxRounds detection rounds " +
               s"(the last round still found cut sites) — raise maxRounds or inspect the " +
               "corpus; returning a non-converged cut would violate the operator contract")
-        val out = onePass(cur).localCheckpoint(true)
-        checkpoints += out
+        val base =
+          if (acc == null) df.select(col(idCol), col(textCol))
+          else acc.select(col(idCol), col(textCol))
+        val pass = onePass(base)
+        // fold the running total so the returned rows carry cumulative
+        // n_cuts; the join's right side is last round's MATERIALIZED
+        // checkpoint — tiny, and never re-runs the detector
+        val cum =
+          if (acc == null) pass
+          else pass
+            .join(acc.select(col(idCol), col("n_cuts").as("_nc_prev")), Seq(idCol))
+            .select(
+              col(idCol),
+              (col("_nc_prev") + col("n_cuts")).as("n_cuts"),
+              col(textCol))
+        val ck = cum.localCheckpoint(true)
+        if (acc != null) superseded += acc
+        acc = ck
         rounds += 1
-        lastCuts = out.agg(coalesce(sum(col("n_cuts")), lit(0L))).head().getLong(0)
-        cur = out.select(col(idCol), col(textCol))
+        val total = ck.agg(coalesce(sum(col("n_cuts")), lit(0L))).head().getLong(0)
+        lastCuts = total - cumTotal
+        cumTotal = total
       }
-    } finally checkpoints.foreach(_.unpersist(true))
-    // the final round proved convergence by cutting nothing, so the text
-    // fixpoint is reached one round earlier (a single-round corpus IS the
-    // one-pass result); re-compose that many passes lazily over the input
-    val effective = math.max(1, rounds - 1)
-    var acc = onePass(df)
-    for (_ <- 2 to effective) {
-      val prev = acc.select(col(idCol), col("n_cuts").as("nc_prev"))
-      acc = onePass(acc.select(col(idCol), col(textCol)))
-        .join(prev, Seq(idCol))
-        .select(
-          col(idCol),
-          (col("nc_prev") + col("n_cuts")).as("n_cuts"),
-          col(textCol))
+      ok = true
+      // the converged round cut nothing: its text equals the fixpoint and
+      // its cumulative n_cuts gained zero — these rows ARE the answer
+      acc
+    } finally {
+      superseded.foreach(_.unpersist(true))
+      if (!ok && acc != null) acc.unpersist(true)
     }
-    acc
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxDist, exhaustively
@@ -802,20 +824,27 @@ object Dedup {
     import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
     val bands = lshBands(minHashSignatures(wordShingles(corpus, idCol, textCol)))
     def bandKey = composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key")
+    // ONE capped aggregation pass (LshBuckets.boundedMembers): members
+    // collect and the cap decide together — a hot bucket overflows its
+    // partial buffer map-side, so no exchange ever carries its rows
+    val member = col("id").cast("string")
+    val bc = LshBuckets.boundedMembers(
+      bands, Seq("band", "band_hash"), member, member, maxBucket)
     val buckets =
       if (failOversized)
-        LshBuckets.bounded(bands, Seq("band", "band_hash"), maxBucket, failOversized = true)
-          .groupBy(col("band"), col("band_hash"))
-          .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
-          .select(bandKey, utf8_bytes(col("ids")).as("value"))
-      else {
-        val (kept, dropped) = LshBuckets.boundedSplit(bands, Seq("band", "band_hash"), maxBucket)
-        kept.groupBy(col("band"), col("band_hash"))
-          .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
-          .select(bandKey, utf8_bytes(col("ids")).as("value"))
-          .unionByName(dropped.select(
-            bandKey, utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
-      }
+        bc.select(bandKey, utf8_bytes(
+          when(col("_members").isNotNull, concat_ws(",", col("_members")))
+            .otherwise(raise_error(concat(
+              lit(s"bucket (band, band_hash) exceeds the hot-bucket cap $maxBucket with "),
+              col("_n").cast("string"),
+              lit(" members — this caller's oracle cannot replay the drop; " +
+                "inspect with oversizedLshBuckets, then dedup the degenerate " +
+                "cluster (exact dedup / boilerplate removal) or use the " +
+                "tombstoning default explicitly"))))).as("value"))
+      else
+        bc.select(bandKey, utf8_bytes(
+          when(col("_members").isNull, lit(graft.core.IndexTombstone.Value))
+            .otherwise(concat_ws(",", col("_members")))).as("value"))
     // the type authority: the index families share this key shape
     // with different value grammars — see IndexMarker. The cap-semantics
     // marker records that this publish tombstones its cap-dropped
@@ -1085,14 +1114,13 @@ object Dedup {
       .select(col("id"), col("fp"))
       .dropDuplicates("id", "fp")
     // cap-dropped fingerprints keep their key as a tombstone row (see
-    // IndexTombstone: upserts must keep them dropped, probes miss them)
-    val (kept, dropped) = LshBuckets.boundedSplit(fps, Seq("fp"), maxBucket)
-    kept.groupBy(col("fp"))
-      .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
-      .select(unhex(col("fp")).as("key"), utf8_bytes(col("ids")).as("value"))
-      .unionByName(dropped.select(
-        unhex(col("fp")).as("key"),
-        utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
+    // IndexTombstone: upserts must keep them dropped, probes miss them);
+    // one capped aggregation pass (LshBuckets.boundedMembers)
+    val member = col("id").cast("string")
+    LshBuckets.boundedMembers(fps, Seq("fp"), member, member, maxBucket)
+      .select(unhex(col("fp")).as("key"), utf8_bytes(
+        when(col("_members").isNull, lit(graft.core.IndexTombstone.Value))
+          .otherwise(concat_ws(",", col("_members")))).as("value"))
       .unionByName(IndexMarker.row(corpus.sparkSession, SpanIndexType))
       .unionByName(IndexMarker.capRow(corpus.sparkSession))
   }

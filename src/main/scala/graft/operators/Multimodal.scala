@@ -343,15 +343,14 @@ object Multimodal {
     import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
     requireIntegralMediaId(hashes, "phashIndexKv")
     def bucketKey = composite_key(int_be(col("band")), long_be(col("bucket"))).as("key")
-    val (kept, dropped) =
-      LshBuckets.boundedSplit(phashBandBuckets(hashes), Seq("band", "bucket"), maxBucket)
-    kept.groupBy(col("band"), col("bucket"))
-      .agg(concat_ws(",", sort_array(collect_list(
-        concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string")))))
-        .as("entries"))
-      .select(bucketKey, utf8_bytes(col("entries")).as("value"))
-      .unionByName(dropped.select(
-        bucketKey, utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
+    // one capped aggregation pass (LshBuckets.boundedMembers); the
+    // family's canonical order is the full `id:phash` entry string
+    val entry = concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string"))
+    LshBuckets.boundedMembers(
+        phashBandBuckets(hashes), Seq("band", "bucket"), entry, entry, maxBucket)
+      .select(bucketKey, utf8_bytes(
+        when(col("_members").isNull, lit(graft.core.IndexTombstone.Value))
+          .otherwise(concat_ws(",", col("_members")))).as("value"))
       // type authority: byte-compatible key shape with the text band
       // index but a DIFFERENT value grammar (id:phash vs id) — the
       // marker is what keeps a cross-type upsert/probe loud

@@ -174,37 +174,29 @@ object Search {
       textCol: String,
       maxPostings: Int = MaxPostings): DataFrame = {
     requireCollisionFreeIds(corpus, idCol)
-    // Tombstones for capped terms come from COUNTS alone — a stop-term
-    // ('the', df ≈ N) must never collect its full posting list into one
-    // aggregation buffer just so the cap can discard it (the
-    // LshBuckets.boundedSplit rule applied to the postings cap): df per
-    // term is a map-side-combined count, the (tiny) dropped set
-    // broadcasts back as an anti-join that removes hot terms' rows
-    // BEFORE the collect_list, and `x:<term>` → df publishes the drop as
-    // a queryable fact (searchIndexUpsert keeps the elision consistent
-    // instead of resurrecting a partial list).
-    // ONE explicit term exchange shared by the df count, the anti-join
-    // probe, and the collect_list aggregate (the LshBuckets
-    // keyPartitioned layout — without it the count would add a second
-    // term exchange, since (term, doc_id) partitioning does not satisfy
-    // term clustering)
-    val tf = termFrequencies(corpus, idCol, textCol).repartition(col("term"))
-    val dropped = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxPostings)
-    val tombstones = dropped.select(
-      utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key"),
-      utf8_bytes(col("df").cast("string")).as("value"))
-    val postings = tf
-      .join(broadcast(dropped.select(col("term"))), Seq("term"), "left_anti")
-      .groupBy("term")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("ps"))
+    // A stop-term ('the', df ≈ N) must never collect its full posting
+    // list into one aggregation buffer just so the cap can discard it —
+    // `x:<term>` → df publishes the drop as a queryable fact
+    // (searchIndexUpsert keeps the elision consistent instead of
+    // resurrecting a partial list). ONE capped aggregation pass
+    // ([[graft.core.BoundedCollectAgg]] via LshBuckets.boundedMembers):
+    // a hot term overflows its partial buffer MAP-SIDE and ships a
+    // constant-size marker with the exact df — no counts pass, no
+    // broadcast anti-join, no explicit term re-exchange (the r13
+    // count-first layout's toy-scale cost, BASELINE.md).
+    val tf = termFrequencies(corpus, idCol, textCol)
+    val postings = LshBuckets.boundedMembers(
+        tf, Seq("term"),
+        col("doc_id"), // canonical posting order: ascending numeric doc id
+        concat_ws(":", col("doc_id").cast("string"), col("tf").cast("string")),
+        maxPostings)
       .select(
-        utf8_bytes(concat(lit(TermPrefix), col("term"))).as("key"),
-        utf8_bytes(concat_ws(",",
-          transform(col("ps"), p =>
-            concat_ws(":", p("doc_id").cast("string"), p("tf").cast("string")))))
-          .as("value"))
-      .unionByName(tombstones)
+        utf8_bytes(concat(
+          when(col("_members").isNull, lit(DroppedPrefix)).otherwise(lit(TermPrefix)),
+          col("term"))).as("key"),
+        utf8_bytes(
+          when(col("_members").isNull, col("_n").cast("string"))
+            .otherwise(concat_ws(",", col("_members")))).as("value"))
     val lens = lensOf(corpus, idCol, textCol)
     val lenRecords = lens.select(
       utf8_bytes(concat(lit(DocPrefix), col("doc_id").cast("string"))).as("key"),
@@ -429,25 +421,23 @@ object Search {
         posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
       .groupBy("term", "doc_id")
       .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
-      // one shared term exchange (invertedIndexKv's rationale)
-      .repartition(col("term"))
-    val dropped = perDoc.groupBy("term").agg(count(lit(1)).as("df"))
-      .where(col("df") > maxPostings)
-    val tombstones = dropped.select(
-      utf8_bytes(concat(lit(DroppedPrefix), col("term"))).as("key"),
-      utf8_bytes(col("df").cast("string")).as("value"))
-    val postings = perDoc
-      .join(broadcast(dropped.select(col("term"))), Seq("term"), "left_anti")
-      .groupBy("term")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("ps")))).as("docs"))
+    // one capped aggregation pass (invertedIndexKv's rationale — the
+    // per-(term, doc) entry renders BEFORE the term aggregate, so the
+    // capped buffer holds strings, never position arrays)
+    val postings = LshBuckets.boundedMembers(
+        perDoc, Seq("term"),
+        col("doc_id"),
+        concat_ws(":",
+          col("doc_id").cast("string"),
+          concat_ws(";", transform(col("ps"), p => p.cast("string")))),
+        maxPostings)
       .select(
-        utf8_bytes(concat(lit(PosPrefix), col("term"))).as("key"),
-        utf8_bytes(concat_ws(",",
-          transform(col("docs"), d => concat_ws(":",
-            d("doc_id").cast("string"),
-            concat_ws(";", transform(d("ps"), p => p.cast("string")))))))
-          .as("value"))
-      .unionByName(tombstones)
+        utf8_bytes(concat(
+          when(col("_members").isNull, lit(DroppedPrefix)).otherwise(lit(PosPrefix)),
+          col("term"))).as("key"),
+        utf8_bytes(
+          when(col("_members").isNull, col("_n").cast("string"))
+            .otherwise(concat_ws(",", col("_members")))).as("value"))
     // `d:` doc records (value = token count): load-bearing for
     // [[positionalIndexUpsert]]'s disjointness contract AND for
     // [[phraseSearchRanked]]'s length norm — the same role they play in

@@ -1502,13 +1502,12 @@ object Similarity {
         .unionByName(IndexMarker.capRow(corpus.sparkSession))
     val cells = lshBuckets(p, 1, planes, dimRow(0).getInt(0))
       .select(col("id"), col("bucket").as("cell"))
-    val (kept, dropped) = LshBuckets.boundedSplit(cells, Seq("cell"), maxBucket)
-    kept.groupBy(col("cell"))
-      .agg(concat_ws(",", sort_array(collect_list(col("id").cast("string")))).as("ids"))
-      .select(long_be(col("cell")).as("key"), utf8_bytes(col("ids")).as("value"))
-      .unionByName(dropped.select(
-        long_be(col("cell")).as("key"),
-        utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value")))
+    // one capped aggregation pass (LshBuckets.boundedMembers)
+    val member = col("id").cast("string")
+    LshBuckets.boundedMembers(cells, Seq("cell"), member, member, maxBucket)
+      .select(long_be(col("cell")).as("key"), utf8_bytes(
+        when(col("_members").isNull, lit(graft.core.IndexTombstone.Value))
+          .otherwise(concat_ws(",", col("_members")))).as("value"))
       // type authority shared with the text/image band indexes — see
       // IndexMarker (same value grammar as lsh-band, but probing a cell
       // index with band keys or vice versa must stay loud)

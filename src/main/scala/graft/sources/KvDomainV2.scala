@@ -71,23 +71,22 @@ object KvDomainV2 {
   // Driver-side conf hand-off (see class doc). Keyed by version dir;
   // idempotent re-registration. Bounded like the links registry below —
   // a perpetual linked streaming reader registers one (heavier)
-  // conf-entry Seq per micro-batch version. Clearing is SAFE at this
-  // point in the lifecycle: reader factories capture entries at PLAN
-  // time (executors never consult the registry), and a post-clear
-  // linkedDirsFor miss for an EVICTED old version falls back to the
-  // default-conf manifest read — identical to a direct (never
-  // registered) spark.read of that version: exotic-FS confs fail LOUD
-  // there, never silently.
-  private val confs =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  // conf-entry Seq per micro-batch version — by OLDEST-ACCESSED
+  // eviction ([[LruRegistry]]): reader factories capture entries at
+  // PLAN time (executors never consult the registry), so eviction only
+  // affects not-yet-planned frames, and LRU order keeps the freshly
+  // registered (about-to-plan) entries while shedding long-idle
+  // versions. A post-eviction linkedDirsFor miss for an old version
+  // falls back to the default-conf manifest read — identical to a
+  // direct (never registered) spark.read of that version: exotic-FS
+  // confs fail LOUD there, never silently.
+  private val confs = new LruRegistry[Seq[(String, String)]](MaxCachedVersionDirs)
 
-  def registerConf(versionDir: String, entries: Seq[(String, String)]): Unit = {
-    if (confs.size > MaxCachedVersionDirs) confs.clear()
+  def registerConf(versionDir: String, entries: Seq[(String, String)]): Unit =
     confs.put(versionDir, entries)
-  }
 
   private[sources] def confFor(versionDir: String): Seq[(String, String)] =
-    Option(confs.get(versionDir)).getOrElse(Seq.empty)
+    confs.get(versionDir).getOrElse(Seq.empty)
 
   // Link-aware shard-dir overrides (manifest-linked publishes: an
   // untouched shard's dir lives in an OLDER version dir). Registered by
@@ -100,28 +99,48 @@ object KvDomainV2 {
   // shards read as legitimately empty — the silent 'key absent' class.
   // On a miss the manifest is read HERE (driver, once, memoized into the
   // registry; a registered EMPTY map is a positive "no links" answer).
-  // Bounded like IndexMarker.verified: a perpetual linked streaming
-  // reader accretes one entry per version dir, so the registry clears
-  // past MaxCachedVersionDirs — a later miss just re-reads the manifest.
+  // Bounded: a perpetual linked streaming reader accretes one entry per
+  // version dir, so past MaxCachedVersionDirs the OLDEST-accessed
+  // entries evict ([[LruRegistry]]) — a later miss just re-reads the
+  // manifest.
   private val MaxCachedVersionDirs = 4096
-  private val links =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[Int, String]]()
+  private val links = new LruRegistry[Map[Int, String]](MaxCachedVersionDirs)
 
-  def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit = {
-    if (links.size > MaxCachedVersionDirs) links.clear()
+  def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit =
     links.put(versionDir, shardDirs)
-  }
 
-  private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] = {
-    if (links.size > MaxCachedVersionDirs) links.clear()
-    links.computeIfAbsent(versionDir, { vd =>
+  private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] =
+    links.getOrElseUpdate(versionDir) { vd =>
       val p = new Path(vd)
       val resolved = graft.store.VersionedStore
         .readLinks(p.getFileSystem(rebuild(confFor(vd))), p)
       resolved.map { case (s, origin) =>
         s -> new Path(new Path(p.getParent, origin.toString), s"shard=$s").toString
       }
-    })
+    }
+
+  /** Bounded driver-side registry that evicts OLDEST-ACCESSED entries
+    * past the cap — never a wholesale clear(), which could drop the
+    * entry for a version dir whose DataFrame was created but not yet
+    * PLANNED (the registration is current, just not yet consumed),
+    * turning a previously-working exotic-FS scan of a long-lived lazy
+    * frame into a failure under streaming churn. Oldest-first eviction
+    * only sheds long-idle versions; a later miss re-reads the manifest
+    * (loud on corruption, like a never-registered read). Misses compute
+    * OUTSIDE the lock (a manifest read must not serialize unrelated
+    * plannings); racing computes are idempotent — both read the same
+    * manifest — so last-write-wins is safe. */
+  private final class LruRegistry[V](cap: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size > cap
+    }
+    def put(k: String, v: V): Unit = m.synchronized { m.put(k, v); () }
+    def get(k: String): Option[V] = m.synchronized(Option(m.get(k)))
+    def getOrElseUpdate(k: String)(f: String => V): V = get(k) match {
+      case Some(v) => v
+      case None => val v = f(k); put(k, v); v
+    }
   }
 
   private[sources] def shardDirFor(versionDir: String, shard: Int): String =

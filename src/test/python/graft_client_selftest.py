@@ -40,7 +40,7 @@ def utf_roundtrips():
           b"\xed\xa0\xbd\xed\xb8\x80", "supplementary must encode as CESU-8")
 
 
-def main(host, port):
+def main(host, port, hit_texts=()):
     utf_roundtrips()
 
     with GraftClient(host, port) as census:
@@ -146,6 +146,25 @@ def main(host, port):
           == {"a": {0, 1, 3, 4}, "b": {1, 2, 4}, "c": {0, 2, 3}},
           "ring deal vector 2")
 
+    # batched admission (overlapping_all) == per-doc overlapping, on a
+    # mixed hit/clean/non-BMP/anchor-free batch against the LIVE daemon —
+    # one versioned multi_get certifies the whole batch; the planted hit
+    # texts arrive from the JVM fixture via argv (the selftest cannot
+    # know the index contents)
+    if hit_texts:
+        with GraftClient(host, port, "fpidx") as ov:
+            batch = list(hit_texts) + ["x" * 300, "short"]
+            per_doc = [ov.overlapping(t) for t in batch]
+            check(per_doc[0], "fixture vacuous: planted hit text found nothing")
+            check(per_doc[-2] == [] and per_doc[-1] == [],
+                  "clean/anchor-free probes must be empty")
+            check(ov.overlapping_all(batch) == per_doc,
+                  "overlapping_all diverged from per-doc overlapping")
+            # and the batch dedups shared fingerprints: a doubled hit text
+            # answers identically per position
+            check(ov.overlapping_all([batch[0], batch[0]])
+                  == [per_doc[0], per_doc[0]], "duplicate texts diverged")
+
     with GraftClient(host, port) as ops:
         swapped, failed = ops.update_all()
         check(failed == 0, f"update_all failed count {failed}")
@@ -158,4 +177,4 @@ def main(host, port):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], int(sys.argv[2]))
+    main(sys.argv[1], int(sys.argv[2]), sys.argv[3:])

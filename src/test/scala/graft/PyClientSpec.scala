@@ -84,7 +84,7 @@ class PyClientSpec extends SparkSuite {
       val port = handle.boundPort.toString
       val (code, out) = run(
         "python3", "/root/repo/src/test/python/graft_client_selftest.py",
-        "127.0.0.1", port)
+        "127.0.0.1", port, probeHit, probeEmoji)
       assert(code === 0, s"selftest failed:\n$out")
       assert(out.linesIterator.toSeq.last === "SELFTEST OK", out)
 

@@ -743,6 +743,15 @@ class OperatorsSpec extends SparkSuite {
     // ngramJaccardPairs is exempt by design (it eagerly materializes its
     // small audit result and releases its internals before returning);
     // every LAZY operator must leave the block manager untouched.
+    // Also exempt BY DESIGN — operators whose returned plan reads a
+    // BOUNDED ContextCleaner-reaped localCheckpoint (released when the
+    // caller drops the frame, never a permanent pin): prototypePruning
+    // (the ≤ 2^planes-row sums table — re-deriving it would re-run the
+    // whole upstream aggregation for both the tier probe and the
+    // broadcast join), removeSharedSpansIterated (the converged round's
+    // rows — replaying the detector chain per action was the r13 3×
+    // cost), and IndexDelete.publishRemoval internally (the
+    // IndexDelete.scala patch-side precedent).
     val before = spark.sparkContext.getPersistentRDDs.keySet
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -754,6 +763,43 @@ class OperatorsSpec extends SparkSuite {
     run(Similarity.nearDupPairsBucketed(embs, "vec_id", "embedding", 0.44))
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"operators leaked persisted RDDs: ${leaked.mkString(", ")}")
+  }
+
+  test("bounded_collect: exact cap boundary, canonical orders, merge across partitions") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long)], cap: Int, numericKey: Boolean) = {
+      // many partitions force partial buffers + merges (the map-side
+      // overflow path), not just a single-update stream
+      val df = rows.toDF("k", "id").repartition(8)
+      val payload = col("id").cast("string")
+      val sortKey = if (numericKey) col("id") else payload
+      LshBuckets.boundedMembers(df, Seq("k"), sortKey, payload, cap)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.getSeq[String](2)).map(_.toList))))
+        .toMap
+    }
+    // exactly AT the cap survives; one past it tombstones with the EXACT
+    // total count (the x:/tombstone records publish it)
+    val rows = (1L to 5L).map(("hot", _)) ++ (1L to 4L).map(("ok", _))
+    val got = run(rows, cap = 4, numericKey = false)
+    assert(got("hot") === ((5L, None)))
+    assert(got("ok") === ((4L, Some(List("1", "2", "3", "4")))))
+    // canonical order follows the SORT KEY: numeric doc ids ascend
+    // numerically (the posting-list form), string payloads ascend by
+    // bytes (the band-family form) — "10" < "2" as strings
+    val two = Seq(("k", 2L), ("k", 10L))
+    assert(run(two, 16, numericKey = true)("k")._2 === Some(List("2", "10")))
+    assert(run(two, 16, numericKey = false)("k")._2 === Some(List("10", "2")))
+    // equivalence with the retired sort_array(collect_list(...)) form on
+    // a within-cap random fixture (the band families' byte contract)
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 300).map(_ => (s"g${rnd.nextInt(9)}", rnd.nextInt(1000).toLong))
+    val ref = big.toDF("k", "id")
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("id").cast("string"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(run(big, 4096, numericKey = false).view.mapValues(_._2.get).toMap === ref)
   }
 
   test("bucket-cap entry points reject a caller-supplied reserved _bsz column") {
