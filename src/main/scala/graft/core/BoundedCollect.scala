@@ -52,6 +52,14 @@ case class BoundedCollectAgg(
     sortKey: Expression,
     payload: Expression,
     maxItems: Int,
+    // distinct mode: members dedupe by PAYLOAD bytes inside the buffer
+    // (the ANN posting-list builds' array_distinct semantics — a
+    // re-ingested identical entry collapses), so the cap applies to
+    // DISTINCT members and the buffer stays bounded even under massive
+    // duplication. `n` then counts distinct members while within the
+    // cap; past it, `n` is a lower bound ("more than maxItems") — the
+    // fail-loud consumers only need the exceedance, never the total.
+    distinctMembers: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[BoundedCollectBuf] {
@@ -81,25 +89,45 @@ case class BoundedCollectAgg(
   override def createAggregationBuffer(): BoundedCollectBuf = new BoundedCollectBuf
 
   override def update(b: BoundedCollectBuf, input: InternalRow): BoundedCollectBuf = {
-    b.n += 1L
+    if (!distinctMembers) b.n += 1L
     val p = payload.eval(input)
     if (p != null && !b.over) {
       // copy out of the reused row buffers; a null sort key sorts first
       // (kind-tagged sentinel handled in the ordering)
-      val k = sortKey.eval(input)
-      b.keys += (if (k == null) null
-                 else if (kind == BoundedCollectAgg.KindString) k.asInstanceOf[UTF8String].clone()
-                 else k)
-      b.vals += p.asInstanceOf[UTF8String].clone()
-      if (b.vals.length > maxItems) b.overflow()
+      // copy FIRST: the membership set must never hold a reference into
+      // the reused row buffer (it would mutate under later rows)
+      val pc = p.asInstanceOf[UTF8String].clone()
+      if (!distinctMembers || b.addDistinct(pc)) {
+        val k = sortKey.eval(input)
+        b.keys += (if (k == null) null
+                   else if (kind == BoundedCollectAgg.KindString) k.asInstanceOf[UTF8String].clone()
+                   else k)
+        b.vals += pc
+        if (distinctMembers) b.n += 1L
+        if (b.vals.length > maxItems) b.overflow()
+      }
     }
     b
   }
 
   override def merge(b: BoundedCollectBuf, o: BoundedCollectBuf): BoundedCollectBuf = {
-    b.n += o.n
-    if (b.over || o.over || b.vals.length + o.vals.length > maxItems) b.overflow()
-    else { b.keys ++= o.keys; b.vals ++= o.vals }
+    if (!distinctMembers) {
+      b.n += o.n
+      if (b.over || o.over || b.vals.length + o.vals.length > maxItems) b.overflow()
+      else { b.keys ++= o.keys; b.vals ++= o.vals }
+    } else if (b.over || o.over) {
+      // n is a lower bound past the cap: at least the larger side's
+      b.n = math.max(b.n, o.n); b.overflow()
+    } else {
+      var i = 0
+      while (i < o.vals.length && !b.over) {
+        if (b.addDistinct(o.vals(i))) {
+          b.keys += o.keys(i); b.vals += o.vals(i); b.n += 1L
+          if (b.vals.length > maxItems) b.overflow()
+        }
+        i += 1
+      }
+    }
     b
   }
 
@@ -206,11 +234,26 @@ object BoundedCollectAgg {
 }
 
 /** Mutable per-group state: exact row count + the (sortKey, payload)
-  * pairs, cleared-and-flagged the moment the group crosses the cap. */
+  * pairs, cleared-and-flagged the moment the group crosses the cap.
+  * In distinct mode `seen` mirrors `vals` as a membership set (payload
+  * bytes), also cleared on overflow — past the cap nothing accumulates
+  * either way. */
 final class BoundedCollectBuf {
   var n: Long = 0L
   var over: Boolean = false
   val keys = new ArrayBuffer[Any]
   val vals = new ArrayBuffer[UTF8String]
-  def overflow(): Unit = { over = true; keys.clear(); vals.clear() }
+  private var seen: java.util.HashSet[UTF8String] = null
+  /** true iff `p` was not yet a member (and is now marked seen). Lazily
+    * rebuilds the set from `vals` — a deserialized partial buffer (the
+    * shuffle path) arrives with members but no set. Callers pass OWNED
+    * UTF8Strings only (never a view into a reused row buffer). */
+  def addDistinct(p: UTF8String): Boolean = {
+    if (seen == null) {
+      seen = new java.util.HashSet[UTF8String]()
+      vals.foreach(seen.add)
+    }
+    seen.add(p)
+  }
+  def overflow(): Unit = { over = true; keys.clear(); vals.clear(); seen = null }
 }

@@ -154,7 +154,11 @@ private[graft] object LshBuckets {
       keys: Seq[String],
       sortKeyCol: org.apache.spark.sql.Column,
       payloadCol: org.apache.spark.sql.Column,
-      maxBucket: Int): org.apache.spark.sql.DataFrame = {
+      maxBucket: Int,
+      // ANN posting-list semantics: dedupe members by payload inside the
+      // capped buffer (re-ingested identical entries collapse; the cap
+      // applies to DISTINCT members, `_n` is a lower bound past it)
+      distinctMembers: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     require(!df.columns.exists(c => c == "_bc" || c == "_n" || c == "_members"),
       "input carries a reserved column name (`_bc`/`_n`/`_members`, used " +
@@ -166,7 +170,8 @@ private[graft] object LshBuckets {
       .agg(interop.column(graft.core.BoundedCollectAgg(
           interop.expression(sortKeyCol),
           interop.expression(payloadCol),
-          maxBucket).toAggregateExpression()).as("_bc"))
+          maxBucket,
+          distinctMembers).toAggregateExpression()).as("_bc"))
       .select(keys.map(col) ++ Seq(
         col("_bc.n").as("_n"), col("_bc.members").as("_members")): _*)
   }

@@ -650,26 +650,30 @@ object Similarity {
     val c = prepared(corpus, idCol, vecCol)
     val bc = c.sparkSession.sparkContext.broadcast(
       (centroids, centroids.map(_.map(x => x * x).sum)))
-    c.withColumn("cell", element_at(nearestCells(col("vec"), bc, 1), 1))
-      .groupBy(col("cell"))
-      .agg(array_distinct(sort_array(collect_list(col("id")))).as("ids"))
-      // A degenerate cell (quantizer too coarse, or collapsed training)
-      // would pack millions of ids into ONE value blob and serialize the
-      // whole domain behind it — fail loud IN the plan, naming the fix,
-      // rather than publish a multi-GB posting list (AuditBound
-      // convention: load-bearing bounds throw, never truncate silently).
-      .select(
-        col("cell"),
-        when(size(col("ids")) <= maxCellMembers,
-          concat_ws(",", transform(col("ids"), _.cast("string"))))
-          .otherwise(raise_error(concat(
-            lit(s"ivfIndexKv: cell "), col("cell").cast("string"),
-            lit(s" holds more than $maxCellMembers members — re-quantize with more " +
-              "cells (bigger nlist) or raise maxCellMembers"))))
-          .as("members"))
+    // A degenerate cell (quantizer too coarse, or collapsed training)
+    // would pack millions of ids into ONE value blob and serialize the
+    // whole domain behind it — fail loud IN the plan, naming the fix,
+    // rather than publish a multi-GB posting list (AuditBound
+    // convention: load-bearing bounds throw, never truncate silently).
+    // The capped aggregate bounds the BUFFER too: the old shape
+    // collected the whole degenerate cell before its size check could
+    // fire — at the guard's own design point the job OOMed before it
+    // could raise (LshBuckets.boundedMembers, distinct: re-ingested
+    // duplicate ids collapse, the merge-path idempotence contract).
+    LshBuckets.boundedMembers(
+        c.select(
+          col("id"),
+          element_at(nearestCells(col("vec"), bc, 1), 1).as("cell")),
+        Seq("cell"), col("id"), col("id").cast("string"),
+        maxCellMembers, distinctMembers = true)
       .select(
         graft.functions.int_be(col("cell")).as("key"),
-        graft.functions.utf8_bytes(col("members")).as("value"))
+        graft.functions.utf8_bytes(
+          when(col("_members").isNotNull, concat_ws(",", col("_members")))
+            .otherwise(raise_error(concat(
+              lit(s"ivfIndexKv: cell "), col("cell").cast("string"),
+              lit(s" holds more than $maxCellMembers members — re-quantize with more " +
+                "cells (bigger nlist) or raise maxCellMembers"))))).as("value"))
   }
 
   /** The ANN families' (key, rid) removal rows — cell assignment under
@@ -996,28 +1000,29 @@ object Similarity {
     val bcCells = sc.broadcast((centroids, centroids.map(_.map(x => x * x).sum)))
     val bcBooks = sc.broadcast(books)
     import org.apache.spark.sql.graft.interop
-    c.select(
-        col("id"),
-        element_at(nearestCells(col("vec"), bcCells, 1), 1).as("cell"),
-        interop.column(graft.core.PqEncodeExpr(interop.expression(col("vec")), bcBooks))
-          .as("codes"))
-      .select(col("cell"), struct(col("id"),
-        concat_ws(":", col("id").cast("string"),
-          concat_ws(".", transform(col("codes"), _.cast("string")))).as("entry")).as("s"))
-      .groupBy(col("cell"))
-      .agg(array_distinct(array_sort(collect_list(col("s")))).as("ss"))
-      .select(
-        col("cell"),
-        when(size(col("ss")) <= maxCellMembers,
-          concat_ws(",", transform(col("ss"), _.getField("entry"))))
-          .otherwise(raise_error(concat(
-            lit("ivfPqIndexKv: cell "), col("cell").cast("string"),
-            lit(s" holds more than $maxCellMembers members — re-quantize with more " +
-              "cells (bigger nlist) or raise maxCellMembers"))))
-          .as("members"))
+    // capped-buffer fail-loud cap, ivfIndexKv's rationale: entries dedupe
+    // by full `id:codes` payload (an entry embeds its id, so payload
+    // distinctness == the old struct distinctness), sort by numeric id
+    // with payload-byte tie-break == array_sort on struct(id, entry)
+    LshBuckets.boundedMembers(
+        c.select(
+          col("id"),
+          element_at(nearestCells(col("vec"), bcCells, 1), 1).as("cell"),
+          interop.column(graft.core.PqEncodeExpr(interop.expression(col("vec")), bcBooks))
+            .as("codes"))
+          .select(col("cell"), col("id"),
+            concat_ws(":", col("id").cast("string"),
+              concat_ws(".", transform(col("codes"), _.cast("string")))).as("entry")),
+        Seq("cell"), col("id"), col("entry"),
+        maxCellMembers, distinctMembers = true)
       .select(
         graft.functions.int_be(col("cell")).as("key"),
-        graft.functions.utf8_bytes(col("members")).as("value"))
+        graft.functions.utf8_bytes(
+          when(col("_members").isNotNull, concat_ws(",", col("_members")))
+            .otherwise(raise_error(concat(
+              lit("ivfPqIndexKv: cell "), col("cell").cast("string"),
+              lit(s" holds more than $maxCellMembers members — re-quantize with more " +
+                "cells (bigger nlist) or raise maxCellMembers"))))).as("value"))
   }
 
   /**

@@ -800,6 +800,22 @@ class OperatorsSpec extends SparkSuite {
       .agg(sort_array(collect_list(col("id").cast("string"))).as("m"))
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
     assert(run(big, 4096, numericKey = false).view.mapValues(_._2.get).toMap === ref)
+    // distinct mode (the ANN posting-list semantics): duplicates collapse
+    // INSIDE the capped buffer, so the cap applies to DISTINCT members —
+    // 100 copies of 3 ids stay well under a cap of 3
+    def runD(rows: Seq[(String, Long)], cap: Int) =
+      LshBuckets.boundedMembers(
+          rows.toDF("k", "id").repartition(8),
+          Seq("k"), col("id"), col("id").cast("string"), cap,
+          distinctMembers = true)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.getSeq[String](2)).map(_.toList))))
+        .toMap
+    val dup = (1 to 100).flatMap(_ => Seq(("k", 3L), ("k", 1L), ("k", 2L)))
+    assert(runD(dup, 3)("k") === ((3L, Some(List("1", "2", "3")))))
+    // ...and a fourth DISTINCT member overflows (members null)
+    assert(runD(dup :+ (("k", 4L)), 3)("k")._2 === None)
   }
 
   test("bucket-cap entry points reject a caller-supplied reserved _bsz column") {
