@@ -801,12 +801,14 @@ object Dedup {
    * membership, not order, carries the semantics.
    *
    * Hot-bucket cap (same rule and rationale as [[lshCandidates]]): a
-   * bucket above `maxBucket` members has its MEMBERS dropped BEFORE the
-   * collect_list — bounding the value cell (≤ maxBucket ids, ~80 KB at
-   * the default, never the multi-MB blob a boilerplate cluster would
-   * pack) and the probe-side explode — but its KEY is published as a
-   * [[graft.core.IndexTombstone]] row so incremental upserts keep it
-   * dropped instead of silently resurrecting it with delta-only members.
+   * bucket above `maxBucket` members never materializes a member list —
+   * the capped aggregate ([[LshBuckets.boundedMembers]]) overflows its
+   * buffer map-side, bounding the value cell (≤ maxBucket ids, ~80 KB
+   * at the default, never the multi-MB blob a boilerplate cluster would
+   * pack), the exchange, AND the probe-side explode — but its KEY is
+   * published as a [[graft.core.IndexTombstone]] row so incremental
+   * upserts keep it dropped instead of silently resurrecting it with
+   * delta-only members.
    * Probes of a tombstoned bucket miss (the documented cap semantics);
    * [[oversizedLshBuckets]] over the same bands is the audit.
    */

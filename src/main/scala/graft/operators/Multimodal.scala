@@ -332,10 +332,11 @@ object Multimodal {
    * Unlike the text index, the value entries CARRY the member's phash,
    * so the probe verifies candidates with a local popcount — no corpus
    * access at all. Hot-bucket cap semantics are `Dedup.bandIndexKv`'s:
-   * a bucket above `maxBucket` members has its entries dropped before
-   * the collect_list (bounds the value cell AND the probe-side explode)
-   * and its key published as a [[graft.core.IndexTombstone]] row —
-   * probes miss it, upserts keep it dropped.
+   * a bucket above `maxBucket` members never materializes its entry
+   * list (the capped aggregate overflows map-side — bounds the value
+   * cell, the exchange, AND the probe-side explode) and its key
+   * publishes as a [[graft.core.IndexTombstone]] row — probes miss it,
+   * upserts keep it dropped.
    */
   def phashIndexKv(
       hashes: DataFrame,

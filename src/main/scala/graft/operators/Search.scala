@@ -492,15 +492,20 @@ object Search {
       noStatsHint = "rebuild with positionalIndexKv " +
         "(older positional domains predate the stats record)")
     // scoped persist: same rationale as searchIndexUpsert's additions
-    val additions = delta
-      .select(docIdLong(idCol).as("doc_id"),
-        posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
-      .groupBy("term", "doc_id")
-      .agg(sort_array(collect_list(col("pos").cast("long"))).as("psArr"))
-      .groupBy("term")
-      .agg(sort_array(collect_list(struct(
+    // per-(term, doc) position lists are doc-bounded; the TERM-level
+    // aggregation rides the capped aggregate (searchIndexUpsert's
+    // rationale — positional payloads are heavier still)
+    val additions = LshBuckets.boundedMembers(
+        delta
+          .select(docIdLong(idCol).as("doc_id"),
+            posexplode(TextAnalysis.wordTokens(col(textCol))).as(Seq("pos", "term")))
+          .groupBy("term", "doc_id")
+          .agg(sort_array(collect_list(col("pos").cast("long"))).as("psArr")),
+        Seq("term"),
         col("doc_id"),
-        concat_ws(";", transform(col("psArr"), p => p.cast("string"))).as("ps")))).as("aps"))
+        concat_ws(":", col("doc_id").cast("string"),
+          concat_ws(";", transform(col("psArr"), p => p.cast("string")))),
+        maxPostings)
       .persist()
     try {
       val records = mergePostingsUpsert(
@@ -715,10 +720,16 @@ object Search {
     // without it the delta is re-tokenized and re-aggregated per
     // consumer (an expensive-source delta would be scanned ~4x per
     // upsert). Released before returning; nothing outlives the call.
-    val additions = termFrequencies(delta, idCol, textCol)
-      .groupBy("term")
-      .agg(sort_array(collect_list(
-        struct(col("doc_id").cast("long").as("doc_id"), col("tf").as("tf")))).as("aps"))
+    // the delta's hot term must not collect its whole posting list into
+    // one buffer just for the merge to reject it (the build side's
+    // BoundedCollectAgg rule): past the cap, members are null and `_n`
+    // carries the exact delta df — enough for the tombstone arithmetic,
+    // and the live-term merge fails loud without ever building the blob
+    val additions = LshBuckets.boundedMembers(
+        termFrequencies(delta, idCol, textCol), Seq("term"),
+        col("doc_id"),
+        concat_ws(":", col("doc_id").cast("string"), col("tf").cast("string")),
+        maxPostings)
       .persist()
     try {
       val records = mergePostingsUpsert(
@@ -773,6 +784,10 @@ object Search {
       .select(
         substring(bytes_utf8(col("key")), prefix.length + 1, Int.MaxValue).as("term"),
         bytes_utf8(col("value")).as(as))
+    // additions carry entry STRINGS in the stored grammar (`_members`,
+    // null once the delta term alone crossed the cap — where only `_n`
+    // survives, exact, for the tombstone arithmetic), so current and
+    // delta entries parse through the SAME parseEntry
     val merged = additions
       .join(current(livePrefix, "cur"), Seq("term"), "left_outer")
       .join(current(DroppedPrefix, "xdf").withColumn("xdf", col("xdf").cast("long")),
@@ -780,21 +795,29 @@ object Search {
       .withColumn("curps",
         when(col("cur").isNull, array().cast(arrayType))
           .otherwise(transform(split(col("cur"), ","), parseEntry).cast(arrayType)))
+      .withColumn("aps",
+        when(col("_members").isNull, array().cast(arrayType))
+          .otherwise(transform(col("_members"), parseEntry).cast(arrayType)))
       .withColumn("ps",
-        array_sort(concat(col("curps"), col("aps").cast(arrayType))))
+        array_sort(concat(col("curps"), col("aps"))))
+    def mergedOverflow = raise_error(concat(
+      lit(s"$opName: merged postings for term '"), col("term"),
+      lit(s"' exceed maxPostings=$maxPostings members — a rebuild " +
+        "would tombstone the term (recall accounting) and an upsert " +
+        s"cannot drop a published key: re-index with $rebuildName")))
     val termRecords = merged.select(
       utf8_bytes(concat(
         when(col("xdf").isNotNull, lit(DroppedPrefix)).otherwise(lit(livePrefix)),
         col("term"))).as("key"),
       utf8_bytes(
-        when(col("xdf").isNotNull, (col("xdf") + size(col("aps"))).cast("string"))
-          .otherwise(when(size(col("ps")) <= maxPostings,
-            concat_ws(",", transform(col("ps"), formatEntry)))
-            .otherwise(raise_error(concat(
-              lit(s"$opName: merged postings for term '"), col("term"),
-              lit(s"' exceed maxPostings=$maxPostings members — a rebuild " +
-                "would tombstone the term (recall accounting) and an upsert " +
-                s"cannot drop a published key: re-index with $rebuildName"))))))
+        when(col("xdf").isNotNull, (col("xdf") + col("_n")).cast("string"))
+          // the delta alone crossed the cap onto a LIVE term — the merge
+          // can only exceed it; fail loud without ever having built the
+          // delta's posting blob
+          .otherwise(when(col("_members").isNull, mergedOverflow)
+            .when(size(col("ps")) <= maxPostings,
+              concat_ws(",", transform(col("ps"), formatEntry)))
+            .otherwise(mergedOverflow)))
         .as("value"))
     val lenRecords = delta.select(
       utf8_bytes(concat(lit(DocPrefix), docIdLong(idCol).cast("string"))).as("key"),

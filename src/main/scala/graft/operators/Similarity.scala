@@ -31,6 +31,13 @@ object Similarity {
     * past it signals a degenerate quantizer (see the in-plan guard). */
   val MaxCellMembers: Int = 1 << 20
 
+  /** Max query rows per PQ probe call: the ADC lookup tables (m × ksub
+    * doubles per query) build driver-side and broadcast — the
+    * point-query serving asymmetry. 64Ki queries × a 16×256 PQ ≈ 2 GB
+    * of LUTs, the sane ceiling for that shape; past it the probe fails
+    * loud naming the co-shuffled alternatives. */
+  val MaxQueryBatch: Int = 1 << 16
+
   /** [[prototypePruning]]'s rank-formulation switch point: at or below
     * this many clustered rows the per-cell window (one sort task per
     * cell, each ≤ this bound) beats the two-phase prefix sum's fixed
@@ -1198,7 +1205,21 @@ object Similarity {
     val m = books.length
     val ksubEff = books(0).length
     val dsub = books(0)(0).length
-    q0.select(col("id"), col("vec")).collect().map { r =>
+    // the per-query ADC LUTs build on the DRIVER (m × ksub doubles per
+    // query) and broadcast — correct for the probe's design asymmetry
+    // (query batch ≪ corpus), but an unbounded collect() of a jumbo
+    // batch OOMs the driver with no useful message: the bound rides the
+    // collect ITSELF (limit cap+1 — one action, driver memory bounded
+    // either way, no second pass over the query pipeline) and throws
+    // LOUD past it naming the batch-shaped alternatives
+    val collected = q0.select(col("id"), col("vec")).limit(MaxQueryBatch + 1).collect()
+    if (collected.length > MaxQueryBatch) throw new IllegalArgumentException(
+      s"PQ probe: query batch exceeds $MaxQueryBatch rows — per-query ADC " +
+        "lookup tables build on the driver and broadcast, which is the " +
+        "point-query serving shape; split the batch, or for corpus-sized " +
+        "query sets use knnJoin/nearDupPairsBucketed (co-shuffled, no " +
+        "broadcast of the query side)")
+    collected.map { r =>
       val qv = r.getSeq[Double](1).toArray
       val lut = new Array[Double](m * ksubEff)
       var s = 0
