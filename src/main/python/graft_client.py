@@ -605,7 +605,8 @@ class GraftClient:
                 m = self.meta()
                 self._fp_gate_check(m)
                 self._fp_gate_version = m["served_version"]
-            return [[] for _ in texts]
+            # per_doc, not texts: a generator input is exhausted by now
+            return [[] for _ in per_doc]
         # Gate and records must observe the SAME served version: meta()
         # is a separate round trip, so a republish landing between the
         # probe and the gate could validate version N+1's family while

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler._
 import org.apache.spark.sql.functions._
 
 import graft.core.Sessions
@@ -40,22 +39,13 @@ object DebugProtoScale {
         .as("embedding"))
       .localCheckpoint(true) // fixture off the clock
 
-    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-    val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        if (String.valueOf(j.properties.getProperty("spark.jobGroup.id")).startsWith("proto-"))
-          j.stageInfos.foreach(si => stages.add(si.stageId))
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (stages.contains(t.stageId) && t.taskInfo != null)
-          stageStats.merge(t.stageId, (1, t.taskInfo.duration, t.taskInfo.duration),
-            (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
-    })
+    val stats = new StageStats("proto-")
+    spark.sparkContext.addSparkListener(stats)
 
     for ((label, bound) <- Seq(
         ("distributed (globalRank)", graft.operators.Similarity.ProtoWindowMaxRows.toLong),
         ("window (contrast)", Long.MaxValue))) {
-      stages.clear(); stageStats.clear()
+      stats.reset()
       spark.sparkContext.setJobGroup(s"proto-$label", label)
       val t0 = System.nanoTime()
       val out = graft.operators.Similarity.prototypePruning(
@@ -63,14 +53,9 @@ object DebugProtoScale {
       val dropped = out.where(!col("kept")).count()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
-      Thread.sleep(500)
-      import scala.jdk.CollectionConverters._
       println(f"[proto-scale] $label%-26s $rows%9d rows x $dim dims: " +
         f"wall $wall%6.2f s (dropped $dropped)")
-      stageStats.asScala.toSeq.sortBy(-_._2._2).take(4).foreach { case (sid, (nt, mx, sm)) =>
-        println(f"[proto-scale]   stage $sid%4d tasks $nt%4d max $mx%6d ms " +
-          f"mean ${sm / math.max(nt, 1)}%6d ms  skew ${mx.toDouble * nt / math.max(sm, 1)}%4.1fx")
-      }
+      stats.report("proto-scale")
     }
     spark.stop()
   }

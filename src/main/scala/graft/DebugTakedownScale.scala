@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.scheduler._
 import org.apache.spark.sql.functions._
 
 import graft.core.{DomainSpec, Sessions}
@@ -22,7 +21,7 @@ import graft.store.DomainStore
  * takedown of those docs PLUS `extra` never-indexed docs with the SAME
  * text — ≥1M removal ids landing on each of the 32 hot bucket keys.
  * Reported per size: wall, then the heaviest stages of the takedown's
- * own job group (the DebugEventSkew listener) as (tasks, max, mean) —
+ * own job group ([[StageStats]]) as (tasks, max, mean) —
  * a straggler reads as max >> mean WITHIN a stage (a one-task collect
  * of the hot bucket); balanced-but-heavy stages (the content-addressed
  * re-hash of the removed docs, inherent to content addressing) read as
@@ -56,19 +55,8 @@ object DebugTakedownScale {
       val removed = docsFrame(
         spark.range(indexedN + extra).toDF("id")).localCheckpoint(true)
 
-      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
-      // per stage: (tasks, max ms, sum ms)
-      val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
       val group = s"takedown-$extra"
-      val listener = new SparkListener {
-        override def onJobStart(j: SparkListenerJobStart): Unit =
-          if (group == j.properties.getProperty("spark.jobGroup.id"))
-            j.stageInfos.foreach(si => stages.add(si.stageId))
-        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-          if (stages.contains(t.stageId) && t.taskInfo != null)
-            stageStats.merge(t.stageId, (1, t.taskInfo.duration, t.taskInfo.duration),
-              (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
-      }
+      val listener = new StageStats(group)
       spark.sparkContext.addSparkListener(listener)
       val wall = try {
         spark.sparkContext.setJobGroup(group, s"takedown $extra")
@@ -80,13 +68,9 @@ object DebugTakedownScale {
         Thread.sleep(500) // let the last task-end events drain
         spark.sparkContext.removeSparkListener(listener)
       }
-      import scala.jdk.CollectionConverters._
       println(f"[takedown-scale] ${indexedN + extra}%9d removal ids on 32 hot buckets: " +
         f"wall $wall%6.2f s")
-      stageStats.asScala.toSeq.sortBy(-_._2._2).take(4).foreach { case (sid, (nt, mx, sm)) =>
-        println(f"[takedown-scale]   stage $sid%4d tasks $nt%4d " +
-          f"max $mx%6d ms mean ${sm / math.max(nt, 1)}%6d ms  skew ${mx.toDouble * nt / math.max(sm, 1)}%4.1fx")
-      }
+      listener.report("takedown-scale")
       assert(store.count(spark) > 0, "marker rows must survive the takedown")
     }
     spark.stop()

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.scheduler._
+
+/**
+ * Job-group-scoped stage statistics for the dev-only scale audits
+ * (DebugTakedownScale / DebugProtoScale / DebugCapScale — one
+ * definition, not a drifting copy per main): tracks per-stage
+ * (tasks, max task ms, sum task ms) plus total shuffle write records
+ * for every job whose group id starts with `groupPrefix` — the
+ * CLAUDE.md job-group scoping rule, robust when other jobs share the
+ * SparkContext. `report` prints the heaviest stages as
+ * (tasks, max, mean, skew): a straggler reads as skew (max/mean) ≫ 1
+ * WITHIN a stage; balanced-but-heavy stages read ≈ 1.
+ */
+private[graft] final class StageStats(groupPrefix: String) extends SparkListener {
+  private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val stats =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
+  val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def onJobStart(j: SparkListenerJobStart): Unit =
+    if (String.valueOf(j.properties.getProperty("spark.jobGroup.id"))
+        .startsWith(groupPrefix))
+      j.stageInfos.foreach(si => stages.add(si.stageId))
+
+  override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+    if (stages.contains(t.stageId) && t.taskInfo != null) {
+      stats.merge(t.stageId, (1, t.taskInfo.duration, t.taskInfo.duration),
+        (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+      if (t.taskMetrics != null && t.taskMetrics.shuffleWriteMetrics != null)
+        shuffleRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+
+  def reset(): Unit = { stages.clear(); stats.clear(); shuffleRecords.set(0L) }
+
+  /** Print the `top` heaviest stages under `tag` (after a short drain
+    * sleep — task-end events trail the action's return). */
+  def report(tag: String, top: Int = 4): Unit = {
+    Thread.sleep(500)
+    import scala.jdk.CollectionConverters._
+    stats.asScala.toSeq.sortBy(-_._2._2).take(top).foreach { case (sid, (nt, mx, sm)) =>
+      println(f"[$tag]   stage $sid%4d tasks $nt%4d max $mx%6d ms " +
+        f"mean ${sm / math.max(nt, 1)}%6d ms  skew ${mx.toDouble * nt / math.max(sm, 1)}%4.1fx")
+    }
+  }
+}

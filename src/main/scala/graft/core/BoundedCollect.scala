@@ -41,8 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * byte-identical to `sort_array(collect_list(...))` on the same rows
  * for every family's canonical form (id-string sort where
  * sortKey = payload; doc_id-numeric sort for the posting lists).
- * Like `collect_list`, null payloads are skipped (they name no member)
- * but still count toward `n` (the row existed).
+ * Like `collect_list`, null payloads are skipped (they name no member);
+ * in NON-distinct mode they still count toward `n` (the row existed —
+ * count(1) parity with the retired count-first layout), while distinct
+ * mode counts distinct non-null members only.
  *
  * sortKey must be integral-or-string; payload must be string — checked
  * at analysis (checkInputDataTypes; children are unresolved at

@@ -663,7 +663,13 @@ object Dedup {
    * returning; the returned checkpoint is reaped by the ContextCleaner
    * when the caller drops the frame (the [[IndexDelete]] precedent —
    * deliberately NOT in the lazy-operator no-cache pin, whose list
-   * covers operators returning pure plans).
+   * covers operators returning pure plans). NOTE the frame is
+   * CORPUS-SIZED (id, n_cuts, full cleaned text) and
+   * lineage-truncated: the caller owns those blocks until it drops the
+   * reference — write the result out (the normal pipeline step after a
+   * span cut) or release it promptly; a lost executor cannot recompute
+   * a truncated frame, so long-lived holders should prefer persisting
+   * to storage over keeping the handle.
    *
    * Output: [[removeSharedSpans]]'s schema — (idCol, n_cuts, textCol) —
    * with `n_cuts` the TOTAL cut sites across all rounds.

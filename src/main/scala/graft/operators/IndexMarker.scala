@@ -141,18 +141,32 @@ private[graft] object IndexMarker {
       store: graft.store.DomainStore,
       spark: SparkSession,
       op: String,
-      buildFn: String): Unit = store.spec.capSemanticsOption match {
-    case Some(_) => () // validate() pins the one known value
-    case None => cachedMarker(store, spark, CapKey) match {
-      case Some(_) => ()
-      case None => throw new IllegalArgumentException(
-        s"$op: domain at ${store.root} was published before cap tombstones " +
-          s"existed (no m:cap-semantics marker and no capSemantics in " +
-          s"${graft.core.DomainSpec.FileName}) — its build may have dropped " +
-          "hot buckets with no tombstone, and incremental growth would " +
-          s"silently resurrect them with delta-only members: rebuild with " +
-          s"$buildFn first (a legacy build that reported nothing oversized " +
-          "may instead declare capSemantics in the spec)")
+      buildFn: String): Unit = {
+    val want = graft.core.DomainSpec.CapTombstoneV1
+    // the VALUE is the contract version — a future 'tombstone-v2'
+    // publish (or a corrupt/foreign marker) must fail this v1 gate
+    // loud: silently merging under a different drop contract is the
+    // very reinterpretation the version string exists to prevent
+    def wrongEra(got: String): Nothing = throw new IllegalArgumentException(
+      s"$op: domain at ${store.root} declares cap semantics '$got' but this " +
+        s"upsert implements '$want' — merging under a different drop contract " +
+        "silently reinterprets what the publish dropped; rebuild with " +
+        s"$buildFn (or run the matching engine version)")
+    store.spec.capSemanticsOption match {
+      case Some(v) if v == want => ()
+      case Some(other) => wrongEra(other)
+      case None => cachedMarker(store, spark, CapKey) match {
+        case Some(v) if v == want => ()
+        case Some(other) => wrongEra(other)
+        case None => throw new IllegalArgumentException(
+          s"$op: domain at ${store.root} was published before cap tombstones " +
+            s"existed (no m:cap-semantics marker and no capSemantics in " +
+            s"${graft.core.DomainSpec.FileName}) — its build may have dropped " +
+            "hot buckets with no tombstone, and incremental growth would " +
+            s"silently resurrect them with delta-only members: rebuild with " +
+            s"$buildFn first (a legacy build that reported nothing oversized " +
+            "may instead declare capSemantics in the spec)")
+      }
     }
   }
 

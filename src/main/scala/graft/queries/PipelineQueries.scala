@@ -360,7 +360,10 @@ object PipelineQueries {
   def spanIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
       numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
-      indexType = Dedup.SpanIndexType)
+      indexType = Dedup.SpanIndexType,
+      // the zero-job cap-semantics authority (IndexMarker.requireTombstoneCap):
+      // without it every upsert pays a per-publish marker point lookup
+      capSemantics = graft.core.DomainSpec.CapTombstoneV1)
     Fixtures.domain(s, dir, "span-fp-index", spec) { (st, sp) =>
       st.write(
         Dedup.fpIndexKv(
@@ -376,7 +379,10 @@ object PipelineQueries {
   def dedupIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
       numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
-      indexType = Dedup.BandIndexType)
+      indexType = Dedup.BandIndexType,
+      // the zero-job cap-semantics authority (IndexMarker.requireTombstoneCap):
+      // without it every upsert pays a per-publish marker point lookup
+      capSemantics = graft.core.DomainSpec.CapTombstoneV1)
     Fixtures.domain(s, dir, "dedup-band-index", spec) { (st, sp) =>
       st.write(
         Dedup.bandIndexKv(
@@ -396,7 +402,10 @@ object PipelineQueries {
   def semIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
       numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
-      indexType = Similarity.SemIndexType)
+      indexType = Similarity.SemIndexType,
+      // the zero-job cap-semantics authority (IndexMarker.requireTombstoneCap):
+      // without it every upsert pays a per-publish marker point lookup
+      capSemantics = graft.core.DomainSpec.CapTombstoneV1)
     Fixtures.domain(s, dir, "semdedup-cell-index", spec) { (st, sp) =>
       st.write(
         Similarity.semIndexKv(
@@ -424,7 +433,10 @@ object PipelineQueries {
   def imageIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
       numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
-      indexType = graft.operators.Multimodal.PhashIndexType)
+      indexType = graft.operators.Multimodal.PhashIndexType,
+      // the zero-job cap-semantics authority (IndexMarker.requireTombstoneCap):
+      // without it every upsert pays a per-publish marker point lookup
+      capSemantics = graft.core.DomainSpec.CapTombstoneV1)
     Fixtures.domain(s, dir, "image-phash-index", spec) { (st, sp) =>
       val media = graft.operators.Multimodal.synthImageMedia(
         sp, Fixtures.table(sp, dir, "documents")

@@ -1389,6 +1389,20 @@ class OperatorsSpec extends SparkSuite {
     // an unknown capSemantics value is a spec error, never a silent pass
     intercept[IllegalArgumentException](
       graft.core.DomainSpec(numShards = 2, capSemantics = "tombstone-v99").validate())
+    // a FUTURE (or corrupt) cap-semantics marker value fails the v1 gate
+    // loud — the version string exists to prevent silently merging under
+    // a different drop contract
+    val futureEra = graft.store.DomainStore.create(scratch("cap-gate/future"), spec, conf)
+    futureEra.write(
+      Dedup.bandIndexKv(docs, "doc_id", "text")
+        .where(col("key") =!= lit(IndexMarker.CapKey))
+        .unionByName(spark.range(1).select(
+          lit(IndexMarker.CapKey).as("key"),
+          lit("tombstone-v99".getBytes("UTF-8")).as("value"))), 1L)
+    val eFuture = intercept[IllegalArgumentException](
+      Dedup.bandIndexUpsert(futureEra, docs, "doc_id", "text", 2L))
+    assert(eFuture.getMessage.contains("declares cap semantics 'tombstone-v99'"),
+      eFuture.getMessage)
   }
 
   test("index takedown: delete == byte-identical rebuild on corpus-minus-removed, all families") {
