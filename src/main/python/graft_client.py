@@ -602,9 +602,15 @@ class GraftClient:
             # (no records are parsed here, so any served version's type
             # verdict is safe to cache)
             if not hasattr(self, "_fp_gate_version"):
-                m = self.meta()
-                self._fp_gate_check(m)
-                self._fp_gate_version = m["served_version"]
+                for _ in range(3):
+                    m = self.meta()
+                    if self._fp_gate_check(m, m["served_version"]):
+                        self._fp_gate_version = m["served_version"]
+                        break
+                else:
+                    raise ProtocolError(
+                        "overlapping: served version kept moving under the "
+                        "family gate — retries exhausted")
             # per_doc, not texts: a generator input is exhausted by now
             return [[] for _ in per_doc]
         # Gate and records must observe the SAME served version: meta()
@@ -619,8 +625,7 @@ class GraftClient:
             if getattr(self, "_fp_gate_version", None) == version:
                 break
             m = self.meta()
-            if m["served_version"] == version:
-                self._fp_gate_check(m)
+            if m["served_version"] == version and self._fp_gate_check(m, version):
                 self._fp_gate_version = version
                 break
         else:
@@ -638,21 +643,26 @@ class GraftClient:
         return [sorted({i for k in fps for i in hits.get(k, ())})
                 for fps in per_doc]
 
-    def _fp_gate_check(self, meta):
+    def _fp_gate_check(self, meta, version):
         """The fp-anchor family gate body (meta index_type authority,
         in-data marker fallback for pre-field specs). Raises ValueError
-        on a wrong-family domain. The marker fallback's point lookup is
-        not version-certified — it is the pre-field defense-in-depth
-        path, bounded by the caller's same-version rule on the meta."""
+        on a wrong-family domain; returns False when the verdict could
+        not be certified against `version` (the marker read observed a
+        different served version — the caller re-probes so gate and
+        records describe ONE snapshot); True when certified clean."""
         got = meta["index_type"]
         if got == "none":  # pre-field spec: fall back to the marker
-            marker = self.get(b"m:index-type")
-            got = "<none>" if marker is None else marker.decode(
-                "utf-8", errors="backslashreplace")
+            mv, recs = self._multi_get_versioned([b"m:index-type"])
+            if mv != version:
+                return False  # republish mid-gate: re-probe, never mix
+            marker = recs[0]
+            got = ("<none>" if marker is None or marker is _NULL_VALUE
+                   else marker.decode("utf-8", errors="backslashreplace"))
         if got != "fp-anchor":
             raise ValueError(
                 f"overlapping: domain '{self.domain}' carries index-type "
                 f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
+        return True
 
     def _multi_get_versioned(self, keys):
         """multi_get that also returns THE serving version every frame
