@@ -169,7 +169,15 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }.mkString("\"", "", "\"")
-    val qs = results.map { case (k, (v, _)) => jstr(k) + ":" + num(v) }
+    // ASCENDING by time (name-tiebroken): the driver's capture keeps only
+    // the LAST ~2k chars of stdout, which under alphabetical order made the
+    // head families (dedup_*/ev_*/kv_*/mm_*) permanently invisible — the
+    // exact attribution gap of the r14 bench watch. Cheapest first puts
+    // every expensive (diagnostic) query inside the surviving tail; JSON
+    // key order carries no semantics, and target/bench_queries.json keeps
+    // the slowest-first full record.
+    val qs = results.sortBy { case (k, (v, _)) => (v, k) }
+      .map { case (k, (v, _)) => jstr(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val failuresField =
       if (failed.isEmpty) ""

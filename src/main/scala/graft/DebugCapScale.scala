@@ -34,21 +34,25 @@ object DebugCapScale {
     val group = "cap-scale"
     val stats = new StageStats(group)
     spark.sparkContext.addSparkListener(stats)
-
-    spark.sparkContext.setJobGroup(group, "capped band-index build")
-    val t0 = System.nanoTime()
-    val built = operators.Dedup.bandIndexKv(corpus, "doc_id", "text")
-    val rows = built.count()
-    val tomb = built
-      .where(graft.functions.bytes_utf8(col("value")) === lit(graft.core.IndexTombstone.Value))
-      .count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    spark.sparkContext.clearJobGroup()
-    Thread.sleep(500)
-    println(f"[cap-scale] $docs%9d identical docs -> $rows index rows " +
-      f"($tomb tombstones): wall $wall%6.2f s, shuffle write records " +
-      f"${stats.shuffleRecords.get}%d (band rows would be ${docs * 32}%d)")
-    stats.report("cap-scale")
+    // remove in finally (the DebugTakedownScale pattern): a leaked
+    // listener keeps accumulating into a dead audit if this main is ever
+    // embedded in a longer-lived session
+    try {
+      spark.sparkContext.setJobGroup(group, "capped band-index build")
+      val t0 = System.nanoTime()
+      val built = operators.Dedup.bandIndexKv(corpus, "doc_id", "text")
+      val rows = built.count()
+      val tomb = built
+        .where(graft.functions.bytes_utf8(col("value")) === lit(graft.core.IndexTombstone.Value))
+        .count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      Thread.sleep(500)
+      println(f"[cap-scale] $docs%9d identical docs -> $rows index rows " +
+        f"($tomb tombstones): wall $wall%6.2f s, shuffle write records " +
+        f"${stats.shuffleRecords.get}%d (band rows would be ${docs * 32}%d)")
+      stats.report("cap-scale")
+    } finally spark.sparkContext.removeSparkListener(stats)
     spark.stop()
   }
 }

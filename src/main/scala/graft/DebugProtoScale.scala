@@ -41,22 +41,28 @@ object DebugProtoScale {
 
     val stats = new StageStats("proto-")
     spark.sparkContext.addSparkListener(stats)
-
-    for ((label, bound) <- Seq(
-        ("distributed (globalRank)", graft.operators.Similarity.ProtoWindowMaxRows.toLong),
-        ("window (contrast)", Long.MaxValue))) {
-      stats.reset()
-      spark.sparkContext.setJobGroup(s"proto-$label", label)
-      val t0 = System.nanoTime()
-      val out = graft.operators.Similarity.prototypePruning(
-        emb, "vec_id", "embedding", planes = 6, windowMaxRows = bound)
-      val dropped = out.where(!col("kept")).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.clearJobGroup()
-      println(f"[proto-scale] $label%-26s $rows%9d rows x $dim dims: " +
-        f"wall $wall%6.2f s (dropped $dropped)")
-      stats.report("proto-scale")
-    }
+    // remove in finally (the DebugTakedownScale pattern). Cross-tier
+    // bleed-through is already impossible by construction: stage ids are
+    // unique per SparkContext, so a tier-1 task-end trailing past reset()
+    // fails the stages.contains check (tier 2 only registers ITS OWN new
+    // stage ids) — the reset order below is belt-and-braces, not the guard.
+    try {
+      for ((label, bound) <- Seq(
+          ("distributed (globalRank)", graft.operators.Similarity.ProtoWindowMaxRows.toLong),
+          ("window (contrast)", Long.MaxValue))) {
+        stats.reset()
+        spark.sparkContext.setJobGroup(s"proto-$label", label)
+        val t0 = System.nanoTime()
+        val out = graft.operators.Similarity.prototypePruning(
+          emb, "vec_id", "embedding", planes = 6, windowMaxRows = bound)
+        val dropped = out.where(!col("kept")).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.clearJobGroup()
+        println(f"[proto-scale] $label%-26s $rows%9d rows x $dim dims: " +
+          f"wall $wall%6.2f s (dropped $dropped)")
+        stats.report("proto-scale")
+      }
+    } finally spark.sparkContext.removeSparkListener(stats)
     spark.stop()
   }
 }

@@ -20,12 +20,21 @@ private[graft] final class StageStats(groupPrefix: String) extends SparkListener
   val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
 
   override def onJobStart(j: SparkListenerJobStart): Unit =
-    if (String.valueOf(j.properties.getProperty("spark.jobGroup.id"))
-        .startsWith(groupPrefix))
+    // properties is documented nullable on SparkListenerJobStart — an NPE
+    // here is swallowed by the listener bus and silently drops the job's
+    // stages from the audit (a shuffle-record claim under-reports and
+    // reads as a false pass)
+    if (Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        .exists(_.startsWith(groupPrefix)))
       j.stageInfos.foreach(si => stages.add(si.stageId))
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-    if (stages.contains(t.stageId) && t.taskInfo != null) {
+    // successful attempts only: stage retries and speculative duplicates
+    // would double-count durations and shuffle write records, over-reporting
+    // skew under local retry noise
+    if (t.reason == org.apache.spark.Success &&
+        stages.contains(t.stageId) && t.taskInfo != null) {
       stats.merge(t.stageId, (1, t.taskInfo.duration, t.taskInfo.duration),
         (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
       if (t.taskMetrics != null && t.taskMetrics.shuffleWriteMetrics != null)

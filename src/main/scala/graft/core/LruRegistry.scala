@@ -1,0 +1,28 @@
+package graft.core
+
+/**
+ * A small synchronized oldest-ACCESSED-evicts map for driver-side
+ * registries that grow one entry per published version under perpetual
+ * streaming churn (the KvDomainV2 conf/links registries, the
+ * IndexMarker verification cache). LRU, not wholesale clear-past-cap:
+ * a clear drops entries that are current-but-not-yet-consumed, so every
+ * cap crossing pays a burst of re-derivation across ALL live users
+ * instead of only the long-idle ones (the r14 KvDomainV2 finding, made
+ * the one shared implementation so the retired pattern cannot creep
+ * back per call site). Correctness never depends on a hit — every user
+ * treats a miss as "re-derive" — so eviction is purely a cost knob.
+ */
+private[graft] final class LruRegistry[K, V](cap: Int) {
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      size > cap
+  }
+  def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+  def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+  // compute OUTSIDE the lock (f may run Spark jobs / filesystem reads);
+  // idempotent recomputation on a race is the documented trade
+  def getOrElseUpdate(k: K)(f: K => V): V = get(k) match {
+    case Some(v) => v
+    case None => val v = f(k); put(k, v); v
+  }
+}

@@ -63,15 +63,21 @@ private[graft] object IndexMarker {
     * granule is out of contract — nothing rebuilds an index as a
     * different type at the same version id in one second). Values are
     * the READ type (matching or not), so a wrong-type domain stays loud
-    * on every call. Bounded by [[MaxCached]]: a perpetual streaming
-    * updater publishes a new version per micro-batch (each a fresh key,
-    * never a hit), so an uncapped map would grow forever — past the cap
-    * the whole map drops (re-verification is one cheap-to-moderate
-    * lookup, correctness never depends on a hit). */
-  private val verified =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), Option[String]]()
-
+    * on every call. Bounded at [[MaxCached]] by OLDEST-ACCESSED eviction
+    * ([[graft.core.LruRegistry]], the shared registry): a perpetual
+    * streaming updater publishes a new version per micro-batch (each a
+    * fresh key, never a hit), so an uncapped map would grow forever —
+    * LRU sheds only long-idle publishes, where the wholesale clear this
+    * replaced made every 4096th publish pay a burst of re-verification
+    * Spark jobs across ALL live domains at once (correctness never
+    * depended on a hit either way; this is purely the cost knob). */
+  // defined BEFORE verified: an object-body forward reference to a
+  // non-final val reads its default (0) during init — a cap-0 registry
+  // would silently evict every entry
   private val MaxCached = 4096
+
+  private val verified =
+    new graft.core.LruRegistry[(String, Long, Long, String), Option[String]](MaxCached)
 
   /** One cached point lookup of a reserved marker record — shared by the
     * type gate and the cap-semantics gate (same publish-scoped cache
@@ -83,9 +89,11 @@ private[graft] object IndexMarker {
     val version = store.latestVersion
     val cacheKey = (store.root.toString, version, store.versions.tokenMtime(version),
       new String(markerKey, "UTF-8"))
-    if (verified.size > MaxCached) verified.clear()
-    verified.computeIfAbsent(
-      cacheKey, _ => store.get(spark, markerKey).map(new String(_, "UTF-8")))
+    // the lookup is a Spark job on parquet-format domains — compute
+    // outside the registry lock (LruRegistry's contract); racing lookups
+    // of one publish are idempotent
+    verified.getOrElseUpdate(cacheKey)(
+      _ => store.get(spark, markerKey).map(new String(_, "UTF-8")))
   }
 
   /** Verify a published domain IS the expected index type. The

@@ -72,7 +72,7 @@ object KvDomainV2 {
   // idempotent re-registration. Bounded like the links registry below —
   // a perpetual linked streaming reader registers one (heavier)
   // conf-entry Seq per micro-batch version — by OLDEST-ACCESSED
-  // eviction ([[LruRegistry]]): reader factories capture entries at
+  // eviction ([[graft.core.LruRegistry]]): reader factories capture entries at
   // PLAN time (executors never consult the registry), so eviction only
   // affects not-yet-planned frames, and LRU order keeps the freshly
   // registered (about-to-plan) entries while shedding long-idle
@@ -80,7 +80,13 @@ object KvDomainV2 {
   // falls back to the default-conf manifest read — identical to a
   // direct (never registered) spark.read of that version: exotic-FS
   // confs fail LOUD there, never silently.
-  private val confs = new LruRegistry[Seq[(String, String)]](MaxCachedVersionDirs)
+  // defined BEFORE the registries that take it: an object-body forward
+  // reference to a non-final val reads its DEFAULT (0) during init — a
+  // cap-0 registry silently evicts every entry (every access a miss)
+  private val MaxCachedVersionDirs = 4096
+
+  private val confs =
+    new graft.core.LruRegistry[String, Seq[(String, String)]](MaxCachedVersionDirs)
 
   def registerConf(versionDir: String, entries: Seq[(String, String)]): Unit =
     confs.put(versionDir, entries)
@@ -101,10 +107,10 @@ object KvDomainV2 {
   // registry; a registered EMPTY map is a positive "no links" answer).
   // Bounded: a perpetual linked streaming reader accretes one entry per
   // version dir, so past MaxCachedVersionDirs the OLDEST-accessed
-  // entries evict ([[LruRegistry]]) — a later miss just re-reads the
+  // entries evict ([[graft.core.LruRegistry]]) — a later miss just re-reads the
   // manifest.
-  private val MaxCachedVersionDirs = 4096
-  private val links = new LruRegistry[Map[Int, String]](MaxCachedVersionDirs)
+  private val links =
+    new graft.core.LruRegistry[String, Map[Int, String]](MaxCachedVersionDirs)
 
   def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit =
     links.put(versionDir, shardDirs)
@@ -118,30 +124,6 @@ object KvDomainV2 {
         s -> new Path(new Path(p.getParent, origin.toString), s"shard=$s").toString
       }
     }
-
-  /** Bounded driver-side registry that evicts OLDEST-ACCESSED entries
-    * past the cap — never a wholesale clear(), which could drop the
-    * entry for a version dir whose DataFrame was created but not yet
-    * PLANNED (the registration is current, just not yet consumed),
-    * turning a previously-working exotic-FS scan of a long-lived lazy
-    * frame into a failure under streaming churn. Oldest-first eviction
-    * only sheds long-idle versions; a later miss re-reads the manifest
-    * (loud on corruption, like a never-registered read). Misses compute
-    * OUTSIDE the lock (a manifest read must not serialize unrelated
-    * plannings); racing computes are idempotent — both read the same
-    * manifest — so last-write-wins is safe. */
-  private final class LruRegistry[V](cap: Int) {
-    private val m = new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
-        size > cap
-    }
-    def put(k: String, v: V): Unit = m.synchronized { m.put(k, v); () }
-    def get(k: String): Option[V] = m.synchronized(Option(m.get(k)))
-    def getOrElseUpdate(k: String)(f: String => V): V = get(k) match {
-      case Some(v) => v
-      case None => val v = f(k); put(k, v); v
-    }
-  }
 
   private[sources] def shardDirFor(versionDir: String, shard: Int): String =
     linkedDirsFor(versionDir).getOrElse(shard, s"$versionDir/shard=$shard")
