@@ -843,7 +843,9 @@ object Dedup {
         bc.select(bandKey, utf8_bytes(
           when(col("_members").isNotNull, concat_ws(",", col("_members")))
             .otherwise(raise_error(concat(
-              lit(s"bucket (band, band_hash) exceeds the hot-bucket cap $maxBucket with "),
+              lit("bucket (band="), col("band").cast("string"),
+              lit(", band_hash="), col("band_hash").cast("string"),
+              lit(s") exceeds the hot-bucket cap $maxBucket with "),
               col("_n").cast("string"),
               lit(" members — this caller's oracle cannot replay the drop; " +
                 "inspect with oversizedLshBuckets, then dedup the degenerate " +
@@ -962,9 +964,10 @@ object Dedup {
    * [[graft.store.DomainStore.patch]]). CONTENT-ADDRESSED like the probe:
    * pass the same (id, text) rows that were indexed — the bucket keys are
    * re-derived from the text, so a drifted text leaves stale entries in
-   * unprobed buckets (rebuild with [[bandIndexKv]] when content is gone
-   * or untrusted). Removing a never-indexed doc is a no-op. Work is
-   * O(removed + affected buckets), never O(index).
+   * unprobed buckets — [[bandIndexIdAudit]] detects them; rebuild with
+   * [[bandIndexKv]] when content is gone or untrusted. Removing a
+   * never-indexed doc is a no-op. Work is O(removed + affected
+   * buckets), never O(index).
    */
   def bandIndexDelete(
       index: graft.store.DomainStore,
@@ -980,6 +983,33 @@ object Dedup {
     // id) ROWS end to end (IndexDelete.publishRemoval's contract), not a
     // collected member array
     IndexDelete.publishRemoval(index, bandKeyRows(removed, idCol, textCol), newVersion)
+  }
+
+  /**
+   * Stale-entry audit of a PUBLISHED [[bandIndexKv]] domain against the
+   * corpus of record — the detector for the content-drift caveat on
+   * [[bandIndexDelete]]: a takedown (or re-ingest) whose text drifted
+   * from what the build indexed leaves the id in buckets the delete
+   * never probed, invisible to every point probe and believing itself
+   * complete. Re-derives every (bucket, id) `corpus` should occupy with
+   * the build's own band kernel and full-outers the exploded index
+   * ([[IndexDelete.idAudit]]): `stale` rows are entries a
+   * current-content takedown would MISS (delete them with the content
+   * as indexed, or rebuild); `unindexed` rows are members a
+   * current-content probe would miss. Tombstoned buckets are excluded
+   * both ways (cap drops are semantics, not drift). Empty = consistent.
+   * O(index + corpus) — the batch audit before trusting a mass
+   * takedown, not a per-delta probe.
+   */
+  def bandIndexIdAudit(
+      index: graft.store.DomainStore,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    IndexDelete.requireIntegralId(corpus, idCol, "bandIndexIdAudit")
+    IndexMarker.require(
+      index, corpus.sparkSession, BandIndexType, "bandIndexIdAudit", "bandIndexKv")
+    IndexDelete.idAudit(index, bandKeyRows(corpus, idCol, textCol))
   }
 
   /**
@@ -1266,6 +1296,8 @@ object Dedup {
    * like every family's delete — the removed docs' fingerprint keys are
    * re-derived with the build kernel, shrunken fingerprints upserted,
    * emptied ones absent, ONE patch version. O(removed + affected keys).
+   * Drifted text leaves stale entries in unprobed keys —
+   * [[fpIndexIdAudit]] detects them.
    */
   def fpIndexDelete(
       index: graft.store.DomainStore,
@@ -1284,5 +1316,26 @@ object Dedup {
     // takedown, and must never pack one aggregation buffer
     IndexDelete.publishRemoval(
       index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus), newVersion)
+  }
+
+  /**
+   * Stale-entry audit of a PUBLISHED [[fpIndexKv]] domain against the
+   * corpus of record — [[bandIndexIdAudit]]'s contract on the anchored
+   * fingerprint kernel (must be called with the BUILD's minLen/window/
+   * modulus: a different anchor parameterization derives different keys
+   * and reads as wholesale drift).
+   */
+  def fpIndexIdAudit(
+      index: graft.store.DomainStore,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    IndexDelete.requireIntegralId(corpus, idCol, "fpIndexIdAudit")
+    IndexMarker.require(
+      index, corpus.sparkSession, SpanIndexType, "fpIndexIdAudit", "fpIndexKv")
+    IndexDelete.idAudit(index, fpKeyRows(corpus, idCol, textCol, minLen, window, modulus))
   }
 }

@@ -34,8 +34,10 @@ import org.apache.spark.sql.functions._
  * indexed CONTENT differs from the content handed here can leave stale
  * entries in buckets this call never probes — the same
  * content-drift caveat every per-cell merge has
- * ([[Similarity.ivfIndexUpsert]]); `Similarity.ivfIndexIdAudit` is the
- * global detector for the ANN families.
+ * ([[Similarity.ivfIndexUpsert]]). [[idAudit]] is the global detector
+ * for the four membership families (`bandIndexIdAudit` /
+ * `fpIndexIdAudit` / `phashIndexIdAudit` / `semIndexIdAudit`);
+ * `Similarity.ivfIndexIdAudit` covers the ANN posting lists.
  */
 private[graft] object IndexDelete {
 
@@ -128,6 +130,72 @@ private[graft] object IndexDelete {
   /** The id part of a stored entry: everything before the first ':'
     * (`id:phash` / `id:codes`), or the whole entry (plain-id grammars). */
   private def entryId(e: Column): Column = substring_index(e, ":", 1)
+
+  /**
+   * The stale-entry detector for the content-addressed index families —
+   * the global answer to the content-drift caveat documented on this
+   * object: a takedown (or a re-ingest) whose content differs from what
+   * the build indexed leaves entries in buckets the delete never probed,
+   * and a probe for the CURRENT content misses buckets the build never
+   * saw. Point probes cannot see either (they only visit keys derived
+   * from the content in hand), so the detector is a full pass: re-derive
+   * every (key, entry) the index SHOULD hold from the corpus of record
+   * via the family's own key kernel (`expected` — the same `*KeyRows`
+   * frames the deletes use), full-outer join the exploded published
+   * index, and report the orphans both ways:
+   *
+   *  - `stale` (index-only): a takedown believing itself complete MISSED
+   *    this entry — the court-ordered-removal hole; probes can return it
+   *    as a false candidate (harmless where an exact verify follows,
+   *    NOT harmless for the takedown).
+   *  - `unindexed` (content-only): a probe for this content misses the
+   *    member — silent recall loss.
+   *
+   * Comparison is on the FULL entry string, not just the id part: the
+   * phash family's `id:phash` entries carry a payload the probe's
+   * hamming verify reads, so a same-bucket payload drift must read as
+   * stale + unindexed, not as clean (plain-id families are unaffected —
+   * entry == id there). Tombstone-aware: a cap-tombstoned bucket has
+   * UNKNOWN membership by design ([[graft.core.IndexTombstone]]), so
+   * both sides of it are excluded — cap drops are the documented
+   * semantics, not drift. Cost is O(index + corpus) with row-only
+   * exchanges (per-key stored fan-in is bounded by the publish cap);
+   * this is the batch audit you run before trusting a mass takedown,
+   * not a per-delta probe.
+   *
+   * Output: (key binary, id string, entry string, kind string) — one row
+   * per orphaned entry, kind ∈ stale | unindexed. Empty = consistent.
+   */
+  def idAudit(index: graft.store.DomainStore, expected: DataFrame): DataFrame = {
+    import graft.functions.bytes_utf8
+    val spark = expected.sparkSession
+    val stored = index.read(spark)
+      .where(col("key") =!= lit(IndexMarker.Key))
+      .where(col("key") =!= lit(IndexMarker.CapKey))
+      .select(col("key"), bytes_utf8(col("value")).as("cur"))
+    val tombstoned = stored
+      .where(col("cur") === lit(graft.core.IndexTombstone.Value))
+      .select(col("key"))
+    val indexEntries = stored
+      .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
+      .select(col("key"), explode(split(col("cur"), ",")).as("entry"))
+      .where(col("entry") =!= "")
+    // content-derived entries for keys the publish tombstoned are not
+    // drift — the cap dropped that bucket's membership knowingly
+    val expectedLive = expected
+      .select(col("key"), col("rid").as("entry"))
+      .where(col("entry").isNotNull)
+      .distinct()
+      .join(tombstoned, Seq("key"), "left_anti")
+    indexEntries.withColumn("_i", lit(true))
+      .join(expectedLive.withColumn("_c", lit(true)), Seq("key", "entry"), "full_outer")
+      .where(col("_i").isNull || col("_c").isNull)
+      .select(
+        col("key"),
+        entryId(col("entry")).as("id"),
+        col("entry"),
+        when(col("_c").isNull, lit("stale")).otherwise(lit("unindexed")).as("kind"))
+  }
 
   /** (key, rid) removal rows derived from a family's BUILT index frame —
     * the adapter for direct callers who hold a build output rather than

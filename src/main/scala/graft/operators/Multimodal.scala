@@ -522,8 +522,9 @@ object Multimodal {
    * to, publishing ONE new version (shrunken buckets upserted, emptied
    * buckets absent). Content-addressed — pass the same (media_id, phash)
    * rows that were indexed; a re-hashed image whose phash changed maps
-   * to other buckets and no-ops there (rebuild with [[phashIndexKv]]
-   * when the indexed hashes are gone or untrusted). Work is
+   * to other buckets and no-ops there, leaving stale entries —
+   * [[phashIndexIdAudit]] detects them; rebuild with [[phashIndexKv]]
+   * when the indexed hashes are gone or untrusted. Work is
    * O(removed + affected buckets).
    */
   def phashIndexDelete(
@@ -537,6 +538,27 @@ object Multimodal {
     // one replicated image (every row sharing its bands) must never pack
     // a collected member array (IndexDelete.publishRemoval's contract)
     IndexDelete.publishRemoval(index, phashKeyRows(removedHashes), newVersion)
+  }
+
+  /**
+   * Stale-entry audit of a PUBLISHED [[phashIndexKv]] domain against the
+   * (media_id, phash) table of record — `Dedup.bandIndexIdAudit`'s
+   * contract on the pigeonhole band kernel. Compared at FULL `id:phash`
+   * entry granularity ([[IndexDelete.idAudit]]): a re-hashed image whose
+   * old and new phash share a band bucket reads as stale + unindexed
+   * there, not as clean — the stored payload is what the probe's hamming
+   * verify reads, so payload drift is drift.
+   */
+  def phashIndexIdAudit(index: graft.store.DomainStore, hashes: DataFrame): DataFrame = {
+    requireIntegralMediaId(hashes, "phashIndexIdAudit")
+    IndexMarker.require(
+      index, hashes.sparkSession, PhashIndexType, "phashIndexIdAudit", "phashIndexKv")
+    // expected rows carry the full entry string as the comparison unit
+    // (the build's exact value-cell grammar)
+    IndexDelete.idAudit(index, phashBandBuckets(hashes).select(
+      graft.functions.composite_key(
+        graft.functions.int_be(col("band")), graft.functions.long_be(col("bucket"))).as("key"),
+      concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string")).as("rid")))
   }
 
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =

@@ -1716,9 +1716,10 @@ object Similarity {
    * version (shrunken cells upserted, emptied cells absent). Content-
    * addressed like the probe — pass the same (id, vector) rows that were
    * indexed; a different-dim or drifted embedding maps to other cells
-   * and reads as a no-op, leaving the stale entries behind (rebuild with
-   * [[semIndexKv]] when the indexed embeddings are gone or untrusted).
-   * Work is O(removed + affected cells).
+   * and reads as a no-op, leaving the stale entries behind —
+   * [[semIndexIdAudit]] detects them; rebuild with [[semIndexKv]] when
+   * the indexed embeddings are gone or untrusted. Work is
+   * O(removed + affected cells).
    */
   def semIndexDelete(
       index: graft.store.DomainStore,
@@ -1735,6 +1736,25 @@ object Similarity {
     // member array (IndexDelete.publishRemoval's contract)
     IndexDelete.publishRemoval(
       index, semKeyRows(removed, idCol, vecCol, planes), newVersion)
+  }
+
+  /**
+   * Stale-entry audit of a PUBLISHED [[semIndexKv]] domain against the
+   * embedding table of record — `Dedup.bandIndexIdAudit`'s contract on
+   * the seeded-hyperplane cell kernel (must be called with the build's
+   * `planes`; zero-norm vectors were never indexed and derive no
+   * expected rows, matching the build).
+   */
+  def semIndexIdAudit(
+      index: graft.store.DomainStore,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int): DataFrame = {
+    IndexDelete.requireIntegralId(corpus, idCol, "semIndexIdAudit")
+    IndexMarker.require(
+      index, corpus.sparkSession, SemIndexType, "semIndexIdAudit", "semIndexKv")
+    IndexDelete.idAudit(index, semKeyRows(corpus, idCol, vecCol, planes))
   }
 
   /**

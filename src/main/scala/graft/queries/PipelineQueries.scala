@@ -21,6 +21,12 @@ object PipelineQueries {
 
   val MinTokens = 20
   val DeltaMod = 10
+
+  /** pipeline_index_audit's takedown slice: indexed docs (doc_id %
+    * DeltaMod != 0) with doc_id % AuditDropMod == 0 leave the corpus of
+    * record while their entries stay published — the stale direction.
+    * Coprime with DeltaMod so the slice is non-degenerate. */
+  val AuditDropMod = 7
   // pipeline_media_filter's quality gates: minimum pixel area and minimum
   // mean byte value (byte_sum >= area * MinMeanByte). Both replayed in
   // closed form by the oracle over the synthetic pixel formula.
@@ -135,6 +141,31 @@ object PipelineQueries {
         minLen = DedupQueries.SubstringMinLen,
         window = DedupQueries.SubstringWindow,
         modulus = DedupQueries.SubstringModulus)
+    },
+    // The STALE-ENTRY AUDIT served on the span index — the content-drift
+    // detector (IndexDelete.idAudit) as a contract query, on the ONE
+    // family whose keys the oracle can replay (md5 anchors; xxhash64
+    // bands / seeded hyperplanes cannot). The corpus of record drifts
+    // from what the index saw in both directions: a takedown slice
+    // (indexed docs with doc_id % AuditDropMod == 0) is GONE from the
+    // record but still published — every unshared fingerprint of theirs
+    // must report `stale` (the entries a content-addressed takedown
+    // would miss); the never-indexed delta (doc_id % DeltaMod == 0) is
+    // IN the record — its fingerprints report `unindexed` (the probes
+    // that would silently miss). Publish-time cap tombstones are
+    // excluded both ways (cap drops are semantics, not drift), and the
+    // oracle replays anchoring, the cap, and the full-outer orphan
+    // report in closed form.
+    "pipeline_index_audit" -> { (s, dir) =>
+      val store = spanIndexStore(s, dir)
+      val record = Fixtures.table(s, dir, "documents").where(
+        col("doc_id") % DeltaMod === 0 || col("doc_id") % AuditDropMod =!= 0)
+      Dedup.fpIndexIdAudit(store, record, "doc_id", "text",
+          minLen = DedupQueries.SubstringMinLen,
+          window = DedupQueries.SubstringWindow,
+          modulus = DedupQueries.SubstringModulus)
+        .select(lower(hex(col("key"))).as("fp"),
+          col("id").cast("long").as("id"), col("kind"))
     },
     // The composed IMAGE filter recipe — the multimodal twin of
     // pipeline_corpus_filter (VERDICT r11 task 5): decode → quality gate
@@ -714,6 +745,42 @@ object PipelineQueries {
          |FROM f a JOIN f b ON a.fp = b.fp
          |JOIN fok ON fok.fp = a.fp
          |WHERE a.doc_id % $DeltaMod = 0 AND b.doc_id % $DeltaMod != 0""".stripMargin,
+    // The stale-entry audit replayed in closed form: anchors over ALL
+    // documents (the same pos/anch chain as pipeline_span_index), the
+    // index side = the publish's corpus slice with its cap tombstones
+    // removed BOTH ways (a tombstoned fingerprint has unknown membership
+    // by design), the record side = corpus minus the takedown slice plus
+    // the delta, and the orphan report = the two anti-joins of the
+    // full-outer. DuckDB md5() is already lowercase hex — the Spark side
+    // lower(hex(key))s its binary key to match.
+    "pipeline_index_audit" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, greatest(length(text) - ${DedupQueries.SubstringMinLen - 1}, 0) + 1)) AS i
+         |  FROM documents WHERE length(text) >= ${DedupQueries.SubstringMinLen}),
+         |anch AS (
+         |  SELECT doc_id, md5(substr(text, CAST(i AS INT), ${DedupQueries.SubstringMinLen})) AS fp
+         |  FROM pos
+         |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(c) AS BIGINT) FOR c IN
+         |        list_filter(string_split(substr(text, CAST(i AS INT), ${DedupQueries.SubstringWindow}), ''), x -> x != '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % ${DedupQueries.SubstringModulus} = 0),
+         |f AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM anch),
+         |fidx AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % $DeltaMod != 0),
+         |ftomb AS MATERIALIZED (SELECT fp FROM fidx
+         |        GROUP BY fp HAVING count(*) > ${graft.operators.LshBuckets.MaxBucket}),
+         |live_idx AS MATERIALIZED (SELECT doc_id, fp FROM fidx
+         |        WHERE fp NOT IN (SELECT fp FROM ftomb)),
+         |rec_live AS MATERIALIZED (SELECT doc_id, fp FROM f
+         |        WHERE (doc_id % $DeltaMod = 0 OR doc_id % $AuditDropMod != 0)
+         |          AND fp NOT IN (SELECT fp FROM ftomb))
+         |SELECT i.fp, i.doc_id AS id, 'stale' AS kind
+         |FROM live_idx i LEFT JOIN rec_live r ON i.fp = r.fp AND i.doc_id = r.doc_id
+         |WHERE r.doc_id IS NULL
+         |UNION ALL
+         |SELECT r.fp, r.doc_id AS id, 'unindexed' AS kind
+         |FROM rec_live r LEFT JOIN live_idx i ON i.fp = r.fp AND i.doc_id = r.doc_id
+         |WHERE i.doc_id IS NULL""".stripMargin,
     // The composed image filter replayed end to end: aHash + banding
     // (the shared PhashBandCtes), the keep-min-id drop set (id_b of any
     // hamming <= 3 pair), and the pixel-formula quality gates — one

@@ -1527,6 +1527,114 @@ class OperatorsSpec extends SparkSuite {
     assert(band.latestVersion === 3L)
   }
 
+  test("index id audit: drift detected both ways, all families; clean empty; tombstone-aware") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def kinds(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.groupBy(col("id"), col("kind")).count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // text band family: clean corpus reports EMPTY; a dropped-from-record
+    // doc reads stale; a never-indexed doc reads unindexed
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(30)
+    val band = graft.store.DomainStore.create(scratch("ix-audit/band"), spec, conf)
+    band.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    assert(Dedup.bandIndexIdAudit(band, docs, "doc_id", "text").isEmpty)
+    val gone = docs.orderBy(col("doc_id")).limit(1)
+      .collect()(0).getLong(0) // takedown target of record
+    val record = docs.where(col("doc_id") =!= gone)
+      .unionByName(Seq((990001L, "a genuinely novel never indexed document text body"))
+        .toDF("doc_id", "text"))
+    val k1 = kinds(Dedup.bandIndexIdAudit(band, record, "doc_id", "text"))
+    assert(k1.keys.map(_._1).toSet === Set(gone.toString, "990001"))
+    assert(k1.keySet.forall { case (id, kind) =>
+      if (id == gone.toString) kind == "stale" else kind == "unindexed" })
+
+    // composed: a takedown handed DRIFTED content misses buckets (audit
+    // says stale), the corrected delete with the content AS INDEXED
+    // empties them (audit clean, store == rebuild-on-survivors)
+    val drifted = Seq((gone, "completely different drifted takedown text payload"))
+      .toDF("doc_id", "text")
+    Dedup.bandIndexDelete(band, drifted, "doc_id", "text", 2L)
+    val survivors = docs.where(col("doc_id") =!= gone)
+    val afterDrifted = kinds(Dedup.bandIndexIdAudit(band, survivors, "doc_id", "text"))
+    assert(afterDrifted.nonEmpty && afterDrifted.keys.forall(_ == (gone.toString, "stale")),
+      s"drifted takedown should leave only stale rows for $gone: $afterDrifted")
+    Dedup.bandIndexDelete(band, docs.where(col("doc_id") === gone), "doc_id", "text", 3L)
+    assert(Dedup.bandIndexIdAudit(band, survivors, "doc_id", "text").isEmpty)
+    val rebuilt = graft.store.DomainStore.create(scratch("ix-audit/band-rb"), spec, conf)
+    rebuilt.write(Dedup.bandIndexKv(survivors, "doc_id", "text"), 1L)
+    def kvPairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(kvPairs(band) === kvPairs(rebuilt))
+
+    // fp family: same contract on the anchor kernel (shared boilerplate
+    // run so fingerprints actually exist)
+    val run = "this exact shared boilerplate run is long enough to anchor " +
+      "and repeats verbatim across documents in the fixture corpus body"
+    val fpDocs = (1L to 8L).map(i => (i, s"doc $i prefix $run suffix $i"))
+      .toDF("doc_id", "text")
+    val fpIdx = graft.store.DomainStore.create(scratch("ix-audit/fp"), spec, conf)
+    fpIdx.write(Dedup.fpIndexKv(fpDocs, "doc_id", "text", minLen = 32, window = 4,
+      modulus = 4), 1L)
+    assert(Dedup.fpIndexIdAudit(fpIdx, fpDocs, "doc_id", "text", minLen = 32,
+      window = 4, modulus = 4).isEmpty)
+    val fpRecord = fpDocs.where(col("doc_id") =!= 3L)
+    val k2 = kinds(Dedup.fpIndexIdAudit(fpIdx, fpRecord, "doc_id", "text",
+      minLen = 32, window = 4, modulus = 4))
+    assert(k2.nonEmpty && k2.keys.forall(_ == ("3", "stale")), k2.toString)
+
+    // phash family: compared at FULL id:phash entry granularity — a
+    // payload drift in a SHARED bucket (low-band bits flipped, upper
+    // bands identical) must read stale + unindexed at the same key,
+    // never clean
+    val hashes = (0L until 20L).map(i => (i, i * 37L + (i % 3))).toDF("media_id", "phash")
+    val ph = graft.store.DomainStore.create(scratch("ix-audit/ph"), spec, conf)
+    ph.write(Multimodal.phashIndexKv(hashes), 1L)
+    assert(Multimodal.phashIndexIdAudit(ph, hashes).isEmpty)
+    val reHashed = hashes.withColumn("phash",
+      when(col("media_id") === 5L, col("phash").bitwiseXOR(lit(1L)))
+        .otherwise(col("phash")))
+    val k3 = kinds(Multimodal.phashIndexIdAudit(ph, reHashed))
+    assert(k3.keys.map(_._1).toSet === Set("5"), k3.toString)
+    assert(k3.contains(("5", "stale")) && k3.contains(("5", "unindexed")), k3.toString)
+    // bands 1..3 share buckets (only bit 0 flipped): stale and unindexed
+    // counts match band-for-band — 4 each (old entry out, new entry in)
+    assert(k3(("5", "stale")) === 4L && k3(("5", "unindexed")) === 4L, k3.toString)
+
+    // semantic cell family
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(40)
+    val sem = graft.store.DomainStore.create(scratch("ix-audit/sem"), spec, conf)
+    sem.write(Similarity.semIndexKv(emb, "vec_id", "embedding", 3), 1L)
+    assert(Similarity.semIndexIdAudit(sem, emb, "vec_id", "embedding", 3).isEmpty)
+    val semGone = emb.orderBy(col("vec_id")).limit(1).collect()(0).getLong(0)
+    val k4 = kinds(Similarity.semIndexIdAudit(
+      sem, emb.where(col("vec_id") =!= semGone), "vec_id", "embedding", 3))
+    assert(k4.nonEmpty && k4.keys.forall(_ == (semGone.toString, "stale")), k4.toString)
+
+    // tombstone-aware: a cap-tombstoned bucket has unknown membership by
+    // design — the audit reports NOTHING for it, in either direction
+    val hotDocs = (1L to 6L).map(i => (i, "identical boilerplate cluster text body " +
+      "shared verbatim by every document here")).toDF("doc_id", "text")
+    val hot = graft.store.DomainStore.create(scratch("ix-audit/hot"), spec, conf)
+    hot.write(Dedup.bandIndexKv(hotDocs, "doc_id", "text", maxBucket = 2), 1L)
+    // fixture sanity: the cap actually tombstoned the buckets
+    assert(hot.read(spark).where(
+      graft.functions.bytes_utf8(col("value")) === lit(graft.core.IndexTombstone.Value))
+      .count() > 0)
+    assert(Dedup.bandIndexIdAudit(hot, hotDocs, "doc_id", "text").isEmpty)
+
+    // wrong-type guard holds for audits too
+    val e = intercept[IllegalArgumentException](
+      Similarity.semIndexIdAudit(band, emb, "vec_id", "embedding", 3))
+    assert(e.getMessage.contains("not 'sem-cell'"), e.getMessage)
+  }
+
   test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration()
