@@ -289,7 +289,7 @@ class GraftClient:
         mix, same contract as the JVM client's chunkedMultiGet. A
         SINGLE-frame answer is accepted regardless of a mid-frame swap
         (JVM parity: the stamps exist for chunked certification;
-        _multi_get_versioned is the stricter variant)."""
+        multi_get_versioned is the stricter variant)."""
         self._validate_keys(keys)
         for _ in range(3):
             framed = self._framed_attempt(keys)
@@ -311,7 +311,7 @@ class GraftClient:
         """One multi_get attempt as a list of (v_lo, v_hi, records)
         frames — a single frame when the batch fits the protocol bounds,
         chunked otherwise. The ONE framing definition both acceptance
-        rules (multi_get_records, _multi_get_versioned) share."""
+        rules (multi_get_records, multi_get_versioned) share."""
         if len(keys) <= MAX_BATCH and sum(len(k) for k in keys) <= MAX_BATCH_BYTES:
             return [self._multi_get_frame(keys)]
         return [self._multi_get_frame(c) for c in self._chunks(keys)]
@@ -586,14 +586,7 @@ class GraftClient:
         batch — every answer reflects the same served version. Answers
         align with the input; each is exactly what overlapping() would
         return for that text."""
-        per_doc = [anchor_fingerprints(t, min_len, window, modulus)
-                   for t in texts]
-        uniq, seen = [], set()
-        for fps in per_doc:
-            for k in fps:
-                if k not in seen:
-                    seen.add(k)
-                    uniq.append(k)
+        per_doc, uniq = batch_fingerprints(texts, min_len, window, modulus)
         if not uniq:
             # still fail loud on a wrong-family domain: a client that only
             # ever probes short/anchor-free texts must not read as
@@ -621,7 +614,7 @@ class GraftClient:
         # verdict caches per certified version, so the steady state pays
         # zero extra round trips.
         for _ in range(3):
-            version, records = self._multi_get_versioned(uniq)
+            version, records = self.multi_get_versioned(uniq)
             if getattr(self, "_fp_gate_version", None) == version:
                 break
             m = self.meta()
@@ -632,16 +625,7 @@ class GraftClient:
             raise ProtocolError(
                 "overlapping: served version kept moving between the probe "
                 "and the family gate — retries exhausted")
-        hits = {}
-        for k, v in zip(uniq, records):
-            if v is None or v is _NULL_VALUE:
-                continue
-            sval = v.decode("utf-8")
-            if sval == "!capped":  # cap tombstone (graft.core.IndexTombstone):
-                continue           # publish-dropped boilerplate reads as a miss
-            hits[k] = [int(part) for part in sval.split(",")]
-        return [sorted({i for k in fps for i in hits.get(k, ())})
-                for fps in per_doc]
+        return resolve_overlaps(per_doc, uniq, records)
 
     def _fp_gate_check(self, meta, version):
         """The fp-anchor family gate body (meta index_type authority,
@@ -652,7 +636,7 @@ class GraftClient:
         records describe ONE snapshot); True when certified clean."""
         got = meta["index_type"]
         if got == "none":  # pre-field spec: fall back to the marker
-            mv, recs = self._multi_get_versioned([b"m:index-type"])
+            mv, recs = self.multi_get_versioned([b"m:index-type"])
             if mv != version:
                 return False  # republish mid-gate: re-probe, never mix
             marker = recs[0]
@@ -664,7 +648,7 @@ class GraftClient:
                 f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
         return True
 
-    def _multi_get_versioned(self, keys):
+    def multi_get_versioned(self, keys):
         """multi_get that also returns THE serving version every frame
         certified — retried (even for a single frame) until an attempt's
         stamps agree, so the caller gets (version, aligned records) from
@@ -724,6 +708,42 @@ def anchor_fingerprints(text, min_len=64, window=8, modulus=16):
              + cps[pos + window]) % _ANCHOR_PRIME
         pos += 1
     return out
+
+
+def batch_fingerprints(texts, min_len=64, window=8, modulus=16):
+    """Each text's anchored fingerprints plus the batch-deduped probe
+    list (first-occurrence order): shared boilerplate fingerprints probe
+    ONCE per batch, not once per carrier. Shared by the single-server
+    and ring clients' overlapping_all so the two admissions cannot
+    drift. Returns (per_doc, uniq)."""
+    per_doc = [anchor_fingerprints(t, min_len, window, modulus)
+               for t in texts]
+    uniq, seen = [], set()
+    for fps in per_doc:
+        for k in fps:
+            if k not in seen:
+                seen.add(k)
+                uniq.append(k)
+    return per_doc, uniq
+
+
+def resolve_overlaps(per_doc, uniq, records):
+    """Align a batched fingerprint probe's RECORDS (one per `uniq` key,
+    from one certified served version) back onto each input doc: decode
+    membership cells (a cap tombstone — graft.core.IndexTombstone —
+    reads as a miss: publish-dropped boilerplate), map each doc's
+    fingerprints through the hits, ascending distinct ids per doc.
+    Shared by the single-server and ring clients."""
+    hits = {}
+    for k, v in zip(uniq, records):
+        if v is None or v is _NULL_VALUE:
+            continue
+        sval = v.decode("utf-8")
+        if sval == "!capped":
+            continue
+        hits[k] = [int(part) for part in sval.split(",")]
+    return [sorted({i for k in fps for i in hits.get(k, ())})
+            for fps in per_doc]
 
 
 class _NullValue:

@@ -37,6 +37,10 @@ CLI:
     graft_ring.py CONF DOMAIN get KEY
     graft_ring.py CONF DOMAIN multi-get KEY [KEY...]
     graft_ring.py CONF DOMAIN scan [FROM [TO]]
+    graft_ring.py CONF DOMAIN overlap TEXT [TEXT...]   # batched admission
+                  # (one line per text: ids or '(clean)'; default anchor
+                  # geometry — the batch certifies ONE served version
+                  # ring-wide)
 """
 
 import hashlib
@@ -292,6 +296,160 @@ class GraftRing:
             *(shard_iter(s) for s in range(self.num_shards)),
             key=lambda kv: kv[0])
 
+    def overlapping(self, text, min_len=64, window=8, modulus=16):
+        """Ring-wide admission probe: indexed corpus doc ids sharing an
+        exact >= min_len-codepoint run with `text` — overlapping_all for
+        one doc."""
+        return self.overlapping_all([text], min_len, window, modulus)[0]
+
+    def overlapping_all(self, texts, min_len=64, window=8, modulus=16):
+        """Batched admission over the RING — the deployment-shaped twin
+        of GraftClient.overlapping_all: every doc's fingerprints dedup
+        across the batch (shared boilerplate probes once, not once per
+        carrier), the deduped keys scatter-gather per SHARD OWNER with
+        replica failover, and the batch is accepted only when every
+        shard's frames certify ONE ring-wide served version (the scan
+        path's rule: a replica that can only answer a different version
+        counts as failed) — every answer in the batch reflects the same
+        published version, never a pre-/post-takedown mix across hosts.
+        A mid-roll ring that cannot converge on one version within the
+        retries fails LOUD rather than mixing. The fp-anchor family gate
+        runs against the SAME certified version (meta from a host
+        serving it; the in-data marker fallback routed to the marker's
+        owner shard), cached per version like the single-server client.
+        min_len/window/modulus MUST match the index build's — they
+        define the key bytes themselves. Answers align with the input;
+        each is exactly what a single complete server would return."""
+        from graft_client import batch_fingerprints, resolve_overlaps
+        per_doc, uniq = batch_fingerprints(texts, min_len, window, modulus)
+        if not uniq:
+            # still fail loud on a wrong-family domain (the single-server
+            # rule: anchor-free texts must not read as silently clean
+            # forever) — gate once at any one certifiable version
+            if not hasattr(self, "_fp_gate_version"):
+                for _ in range(3):
+                    v = self._fp_gate_ring(None)
+                    if v is not None:
+                        self._fp_gate_version = v
+                        break
+                else:
+                    raise ProtocolError(
+                        "overlapping: the ring kept swapping versions under "
+                        "the family gate — retries exhausted")
+            return [[] for _ in per_doc]
+        for _ in range(3):
+            got = self._ring_multi_get_versioned(uniq)
+            if got is None:
+                continue  # mid-roll version split: re-scatter
+            version, records = got
+            if getattr(self, "_fp_gate_version", None) == version or \
+                    self._fp_gate_ring(version) == version:
+                self._fp_gate_version = version
+                return resolve_overlaps(per_doc, uniq, records)
+        raise ProtocolError(
+            "overlapping: the ring kept serving mixed versions under the "
+            "batch — retries exhausted (mid-roll: retry when the roll "
+            "converges rather than mixing versions within one admission)")
+
+    def _ring_multi_get_versioned(self, keys):
+        """(version, records aligned with keys) where every shard
+        group's frames certified the SAME ring-wide served version — the
+        batch's first successful answer pins it; a replica answering a
+        different version counts as failed and the next replica is
+        tried. Returns None when some shard's replicas are alive but can
+        only answer another version (the ring is mid-roll — the caller
+        re-scatters); raises when every replica of some shard is DOWN,
+        and stays loud on a wrong-protocol peer."""
+        out = [None] * len(keys)
+        groups = {}
+        for i, k in enumerate(keys):
+            groups.setdefault(shard_index(k, self.num_shards), []).append((k, i))
+        version = None
+        for shard, group in groups.items():
+            answered = False
+            wrong_version = False
+            last = None
+            for host in self._replicas(shard):
+                try:
+                    v, vals = self._stubs[host].multi_get_versioned(
+                        [k for k, _ in group])
+                except ProtocolError:
+                    raise  # wrong service: loud, not failover
+                except Exception as e:
+                    last = e  # down/mid-frame: next replica
+                    continue
+                if version is not None and v != version:
+                    wrong_version = True  # alive, but another version
+                    continue
+                if version is None:
+                    version = v
+                for (k, i), val in zip(group, vals):
+                    out[i] = val
+                answered = True
+                break
+            if not answered:
+                if wrong_version:
+                    return None
+                raise ConnectionError(
+                    f"all replicas of shard {shard} failed the versioned "
+                    f"batch (tried: {', '.join(sorted(self._replicas(shard)))})"
+                ) from last
+        return version, out
+
+    def _fp_gate_ring(self, version):
+        """The fp-anchor family gate against one served version (None =
+        whatever single version can be observed): meta's index_type from
+        a host serving that version is the spec authority; a pre-field
+        spec ('none') falls back to the in-data m:index-type marker,
+        routed to the marker's OWNER shard and certified against the
+        same version. Returns the certified version, or None when the
+        observation raced a swap (the caller re-probes); raises
+        ValueError on a wrong-family domain and stays loud on a
+        wrong-protocol peer."""
+        from graft_client import NULL_VALUE
+        last = None
+        for host, stub in self._stubs.items():
+            try:
+                m = stub.meta()
+            except ProtocolError:
+                raise
+            except Exception as e:
+                last = e
+                continue
+            if version is not None and m["served_version"] != version:
+                continue  # mid-roll host: try one serving the batch's version
+            at = m["served_version"] if version is None else version
+            got = m["index_type"]
+            if got == "none":  # pre-field spec: the in-data marker
+                marker_key = b"m:index-type"
+                got = None
+                for h2 in self._replicas(shard_index(marker_key, self.num_shards)):
+                    try:
+                        mv, recs = self._stubs[h2].multi_get_versioned([marker_key])
+                    except ProtocolError:
+                        raise
+                    except Exception as e:
+                        last = e
+                        continue
+                    if mv != at:
+                        continue  # republish mid-gate: never mix versions
+                    marker = recs[0]
+                    got = ("<none>" if marker is None or marker is NULL_VALUE
+                           else marker.decode("utf-8", errors="backslashreplace"))
+                    break
+                if got is None:
+                    return None  # could not certify at `at`: re-probe
+            if got != "fp-anchor":
+                raise ValueError(
+                    f"overlapping: domain carries index-type {got!r}, not "
+                    "'fp-anchor' — not an fpIndexKv domain (a wrong-family "
+                    "probe must never read as silently clean)")
+            return at
+        if last is not None and version is None:
+            raise ConnectionError(
+                "no ring host answered the family gate") from last
+        return None  # no host serves `version` right now: re-probe
+
     def multi_get(self, keys):
         """Values aligned with `keys` (None = absent), each shard's keys
         answered by one replica, failing over host by host; raises only
@@ -322,7 +480,7 @@ class GraftRing:
 
 
 def main(argv):
-    if len(argv) < 4 or (argv[3] in ("get", "multi-get") and len(argv) < 5):
+    if len(argv) < 4 or (argv[3] in ("get", "multi-get", "overlap") and len(argv) < 5):
         print(__doc__, file=sys.stderr)
         return 2
     conf, domain, cmd = argv[1], argv[2], argv[3]
@@ -341,6 +499,9 @@ def main(argv):
                 key = k.decode("utf-8", errors="backslashreplace")
                 val = "(null)" if v is None else v.decode("utf-8", errors="backslashreplace")
                 print(f"{key}\t{val}")
+        elif cmd == "overlap":
+            for hits in ring.overlapping_all(argv[4:]):
+                print(" ".join(str(i) for i in hits) if hits else "(clean)")
         else:
             print(f"unknown command {cmd}", file=sys.stderr)
             return 2

@@ -165,11 +165,34 @@ class ServeRingProcessSpec extends SparkSuite {
       pairs.toDF("k", "v")
         .select(utf8_bytes(col("k")).as("key"), utf8_bytes(col("v")).as("value"))
 
+    val centralRoot = scratch("ring-conf-central")
     val central = DomainStore.create(
-      scratch("ring-conf-central") + "/users",
+      centralRoot + "/users",
       DomainSpec(6, persistenceFormat = DomainSpec.KvSorted), conf)
     val keys = (0 until 200).map(i => s"ck$i")
     central.write(kv(keys.map(k => k -> s"v1-$k")), 1L)
+
+    // a second conf'd domain: a published fp-anchor index, for the
+    // ring-level batched admission probe (one planted 200-char run
+    // shared by corpus docs 1 and 2 — the PyClientSpec fixture shape)
+    val rnd = new scala.util.Random(47)
+    def randText(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val run200 = randText(200)
+    val probeHit = randText(30) + run200 + randText(30)
+    val probeClean = randText(300)
+    val fpCentral = DomainStore.create(
+      centralRoot + "/fpidx",
+      DomainSpec(6, persistenceFormat = DomainSpec.KvSorted,
+        indexType = graft.operators.Dedup.SpanIndexType), conf)
+    fpCentral.write(
+      graft.operators.Dedup.fpIndexKv(
+        Seq(
+          1L -> (randText(100) + run200 + randText(100)),
+          2L -> (run200 + randText(250)),
+          3L -> randText(500)).toDF("doc_id", "text"),
+        "doc_id", "text"),
+      1L)
 
     // conf files are the ONLY deployment input from here on
     val hosts = Seq("hA", "hB", "hC")
@@ -185,6 +208,7 @@ class ServeRingProcessSpec extends SparkSuite {
          |hosts = ${hosts.zip(ports).map { case (h, p) => s"$h=127.0.0.1:$p" }.mkString(", ")}
          |replication = 2
          |domain.users = ${central.root}
+         |domain.fpidx = ${fpCentral.root}
          |""".stripMargin)
     val localPaths = hosts.map { h =>
       val lp = new java.io.File(confDir, s"local-$h.conf").getAbsolutePath
@@ -202,14 +226,21 @@ class ServeRingProcessSpec extends SparkSuite {
     val stubs = hosts.zip(ports).map { case (h, p) =>
       h -> new RemoteKvReader("127.0.0.1", p, "users")
     }.toMap
+    val fpStubs = hosts.zip(ports).map { case (h, p) =>
+      h -> new RemoteKvReader("127.0.0.1", p, "fpidx")
+    }.toMap
     try {
       // daemons pull v1 on their own (1 s interval); wait for every host
-      // to serve it, then build the client FROM THE SAME CONF
+      // to serve BOTH conf'd domains, then build the client FROM THE
+      // SAME CONF
       val loadBy = System.nanoTime() + 60e9.toLong
-      def servedAll(v: Long) = stubs.values.forall { s =>
+      def served(ss: Iterable[RemoteKvReader], v: Long) = ss.forall { s =>
         try s.servedVersion >= v catch { case _: Exception => false } }
-      while (!servedAll(1L) && System.nanoTime() < loadBy) Thread.sleep(200)
-      assert(servedAll(1L), "ring never self-loaded v1 from the conf'd central store")
+      def servedAll(v: Long) = served(stubs.values, v)
+      while (!(servedAll(1L) && served(fpStubs.values, 1L)) &&
+        System.nanoTime() < loadBy) Thread.sleep(200)
+      assert(servedAll(1L) && served(fpStubs.values, 1L),
+        "ring never self-loaded v1 of both conf'd domains")
       val client = RingClient.fromConf(
         globalPath, "users", conf, rnd = new scala.util.Random(23))
       try {
@@ -280,10 +311,38 @@ class ServeRingProcessSpec extends SparkSuite {
             s"$k\t$v"
           }
           assert(sout.trim.linesIterator.toSeq === expectedScan, "python ring scan diverged")
+
+          // ...and ring-level BATCHED ADMISSION (hB still dead): the
+          // deduped fingerprint keys scatter per shard owner, every
+          // frame certifies ONE ring-wide served version, and the
+          // answers must equal the single-server ground truth (the JVM
+          // OverlapReader on the complete central store) text for text
+          val jvm = new graft.store.OverlapReader(
+            graft.store.KvDomainReader.open(fpCentral.root.toString, conf))
+          val expectedOverlap =
+            try Seq(probeHit, probeClean).map(t =>
+              jvm.overlapping(t) match {
+                case ids if ids.nonEmpty => ids.mkString(" ")
+                case _ => "(clean)"
+              })
+            finally jvm.close()
+          assert(expectedOverlap.head != "(clean)", "hit probe found nothing")
+          assert(expectedOverlap(1) === "(clean)", "clean probe hit")
+          val po = new ProcessBuilder(
+            "python3", "/root/repo/src/main/python/graft_ring.py",
+            globalPath, "fpidx", "overlap", probeHit, probeClean)
+          po.redirectErrorStream(true)
+          val op = po.start()
+          val oout = new String(op.getInputStream.readAllBytes(), "UTF-8")
+          assert(op.waitFor(60, TimeUnit.SECONDS) && op.exitValue() == 0,
+            s"python ring overlap failed:\n$oout")
+          assert(oout.trim.linesIterator.toSeq === expectedOverlap,
+            s"ring batched admission diverged from single-server answers:\n$oout")
         }
       } finally client.close()
     } finally {
-      stubs.values.foreach(s => try s.close() catch { case _: Exception => () })
+      (stubs.values ++ fpStubs.values)
+        .foreach(s => try s.close() catch { case _: Exception => () })
       procs.values.foreach { case (p, _) => p.destroy() }
       procs.values.foreach { case (p, _) =>
         assert(p.waitFor(15, TimeUnit.SECONDS), "daemon ignored SIGTERM")
