@@ -15,9 +15,12 @@ import org.apache.spark.scheduler._
  */
 private[graft] final class StageStats(groupPrefix: String) extends SparkListener {
   private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // per stage: (tasks, max task ms, sum task ms, shuffle write records,
+  // shuffle write bytes)
   private val stats =
-    new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long, Long, Long)]()
   val shuffleRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+  val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
 
   override def onJobStart(j: SparkListenerJobStart): Unit =
     // properties is documented nullable on SparkListenerJobStart — an NPE
@@ -35,22 +38,32 @@ private[graft] final class StageStats(groupPrefix: String) extends SparkListener
     // skew under local retry noise
     if (t.reason == org.apache.spark.Success &&
         stages.contains(t.stageId) && t.taskInfo != null) {
-      stats.merge(t.stageId, (1, t.taskInfo.duration, t.taskInfo.duration),
-        (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
-      if (t.taskMetrics != null && t.taskMetrics.shuffleWriteMetrics != null)
-        shuffleRecords.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      val (recs, bytes) =
+        if (t.taskMetrics != null && t.taskMetrics.shuffleWriteMetrics != null)
+          (t.taskMetrics.shuffleWriteMetrics.recordsWritten,
+            t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        else (0L, 0L)
+      stats.merge(t.stageId,
+        (1, t.taskInfo.duration, t.taskInfo.duration, recs, bytes),
+        (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3,
+          a._4 + b._4, a._5 + b._5))
+      shuffleRecords.addAndGet(recs)
+      shuffleBytes.addAndGet(bytes)
     }
 
-  def reset(): Unit = { stages.clear(); stats.clear(); shuffleRecords.set(0L) }
+  def reset(): Unit =
+    { stages.clear(); stats.clear(); shuffleRecords.set(0L); shuffleBytes.set(0L) }
 
   /** Print the `top` heaviest stages under `tag` (after a short drain
     * sleep — task-end events trail the action's return). */
   def report(tag: String, top: Int = 4): Unit = {
     Thread.sleep(500)
     import scala.jdk.CollectionConverters._
-    stats.asScala.toSeq.sortBy(-_._2._2).take(top).foreach { case (sid, (nt, mx, sm)) =>
-      println(f"[$tag]   stage $sid%4d tasks $nt%4d max $mx%6d ms " +
-        f"mean ${sm / math.max(nt, 1)}%6d ms  skew ${mx.toDouble * nt / math.max(sm, 1)}%4.1fx")
+    stats.asScala.toSeq.sortBy(-_._2._2).take(top).foreach {
+      case (sid, (nt, mx, sm, recs, bytes)) =>
+        println(f"[$tag]   stage $sid%4d tasks $nt%4d max $mx%6d ms " +
+          f"mean ${sm / math.max(nt, 1)}%6d ms  skew ${mx.toDouble * nt / math.max(sm, 1)}%4.1fx" +
+          f"  wrote $recs%8d rec ${bytes / (1024 * 1024)}%5d MB")
     }
   }
 }

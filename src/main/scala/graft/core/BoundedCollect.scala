@@ -91,6 +91,10 @@ case class BoundedCollectAgg(
   override def createAggregationBuffer(): BoundedCollectBuf = new BoundedCollectBuf
 
   override def update(b: BoundedCollectBuf, input: InternalRow): BoundedCollectBuf = {
+    // FIRST: a spill-restored buffer arrives lazy (see deserialize), and
+    // ANY mutation must void the serialize fast-path's verbatim bytes —
+    // even a null-payload row that only bumps n
+    b.materialize(kind)
     if (!distinctMembers) b.n += 1L
     val p = payload.eval(input)
     if (p != null && !b.over) {
@@ -112,15 +116,26 @@ case class BoundedCollectAgg(
     b
   }
 
+  // The discard path never materializes: overflow decisions need only the
+  // SIZES (kept in the lazy header), so merging a shipped partial into an
+  // already-overflowed buffer is O(1) regardless of how many entries the
+  // partial carries — the middle-zone reducer (a hot bucket spread so thin
+  // no partial overflowed map-side ships partitions × cap entries to ONE
+  // task) pays stream transport only, never per-entry parse (measured
+  // ~0.9M entries/s of parse avoided per task, DebugCapMidScale).
   override def merge(b: BoundedCollectBuf, o: BoundedCollectBuf): BoundedCollectBuf = {
     if (!distinctMembers) {
       b.n += o.n
-      if (b.over || o.over || b.vals.length + o.vals.length > maxItems) b.overflow()
-      else { b.keys ++= o.keys; b.vals ++= o.vals }
+      if (b.over || o.over || b.size + o.size > maxItems) b.overflow()
+      else {
+        b.materialize(kind); o.materialize(kind)
+        b.keys ++= o.keys; b.vals ++= o.vals
+      }
     } else if (b.over || o.over) {
       // n is a lower bound past the cap: at least the larger side's
       b.n = math.max(b.n, o.n); b.overflow()
     } else {
+      b.materialize(kind); o.materialize(kind)
       var i = 0
       while (i < o.vals.length && !b.over) {
         if (b.addDistinct(o.vals(i))) {
@@ -136,6 +151,7 @@ case class BoundedCollectAgg(
   override def eval(b: BoundedCollectBuf): Any =
     if (b.over) new GenericInternalRow(Array[Any](b.n, null))
     else {
+      b.materialize(kind)
       val idx = Array.range(0, b.vals.length)
       val ord = new Ordering[Int] {
         def compare(i: Int, j: Int): Int = {
@@ -149,6 +165,11 @@ case class BoundedCollectAgg(
     }
 
   override def serialize(b: BoundedCollectBuf): Array[Byte] = {
+    // an untouched lazy buffer (deserialized, then re-spilled before any
+    // update/merge reached it) round-trips its original bytes verbatim —
+    // materialize() and overflow() both null `pending`, so pending != null
+    // means nothing changed since deserialize
+    if (b.pendingBytes != null) return b.pendingBytes
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(b.n)
@@ -173,25 +194,18 @@ case class BoundedCollectAgg(
     bos.toByteArray
   }
 
+  // LAZY: parse only the fixed 13-byte header (n, over, count) and keep
+  // the raw bytes — entries materialize on first need (merge into a
+  // live buffer, update, eval). A partial landing on an already-
+  // overflowed reducer buffer is header-read + discard, never an
+  // entries parse; see the merge doc.
   override def deserialize(bytes: Array[Byte]): BoundedCollectBuf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val b = new BoundedCollectBuf
     b.n = in.readLong()
     b.over = in.readBoolean()
     val m = in.readInt()
-    var i = 0
-    while (i < m) {
-      val k: Any =
-        if (in.readByte() == 0) null
-        else if (kind == BoundedCollectAgg.KindString) {
-          val kb = new Array[Byte](in.readInt()); in.readFully(kb)
-          UTF8String.fromBytes(kb)
-        } else java.lang.Long.valueOf(in.readLong())
-      val vb = new Array[Byte](in.readInt()); in.readFully(vb)
-      b.keys += k
-      b.vals += UTF8String.fromBytes(vb)
-      i += 1
-    }
+    if (m > 0) { b.pendingBytes = bytes; b.pendingCount = m }
     b
   }
 
@@ -239,13 +253,44 @@ object BoundedCollectAgg {
   * pairs, cleared-and-flagged the moment the group crosses the cap.
   * In distinct mode `seen` mirrors `vals` as a membership set (payload
   * bytes), also cleared on overflow — past the cap nothing accumulates
-  * either way. */
+  * either way. A DESERIALIZED buffer is LAZY: entries stay as raw bytes
+  * (`pendingBytes`/`pendingCount`) until a consumer needs them — the
+  * invariant is pending XOR materialized (materialize/overflow null the
+  * raw form), so `size` is total entries either way. */
 final class BoundedCollectBuf {
   var n: Long = 0L
   var over: Boolean = false
   val keys = new ArrayBuffer[Any]
   val vals = new ArrayBuffer[UTF8String]
+  private[core] var pendingBytes: Array[Byte] = null
+  private[core] var pendingCount: Int = 0
   private var seen: java.util.HashSet[UTF8String] = null
+
+  /** Entry count, lazy or materialized. */
+  def size: Int = vals.length + pendingCount
+
+  /** Parse the lazy entries into keys/vals (no-op when already
+    * materialized). `kind` is the agg's sort-key kind — the serialized
+    * key encoding depends on it. */
+  def materialize(kind: Int): Unit = if (pendingBytes != null) {
+    val in = new DataInputStream(new ByteArrayInputStream(pendingBytes))
+    in.skipBytes(13) // n (8) + over (1) + count (4): the eager header
+    var i = 0
+    while (i < pendingCount) {
+      val k: Any =
+        if (in.readByte() == 0) null
+        else if (kind == BoundedCollectAgg.KindString) {
+          val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+          UTF8String.fromBytes(kb)
+        } else java.lang.Long.valueOf(in.readLong())
+      val vb = new Array[Byte](in.readInt()); in.readFully(vb)
+      keys += k
+      vals += UTF8String.fromBytes(vb)
+      i += 1
+    }
+    pendingBytes = null
+    pendingCount = 0
+  }
   /** true iff `p` was not yet a member (and is now marked seen). Lazily
     * rebuilds the set from `vals` — a deserialized partial buffer (the
     * shuffle path) arrives with members but no set. Callers pass OWNED
@@ -257,5 +302,8 @@ final class BoundedCollectBuf {
     }
     seen.add(p)
   }
-  def overflow(): Unit = { over = true; keys.clear(); vals.clear(); seen = null }
+  def overflow(): Unit = {
+    over = true; keys.clear(); vals.clear(); seen = null
+    pendingBytes = null; pendingCount = 0
+  }
 }

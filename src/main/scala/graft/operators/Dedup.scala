@@ -909,7 +909,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       newVersion: Long,
-      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+      maxBucket: Int = LshBuckets.MaxBucket,
+      // `linked = true`: untouched shards ride `_links.json` instead of
+      // copy-forward — the O(delta) publish mode the daily-growth cycle
+      // needs at the 64Ki-shard regime (same trade as the deletes)
+      linked: Boolean = false): Unit = {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, BandIndexType, "bandIndexUpsert", "bandIndexKv")
@@ -953,7 +957,7 @@ object Dedup {
             .when(size(mergedIds) <= maxBucket, concat_ws(",", mergedIds))
             .otherwise(lit(graft.core.IndexTombstone.Value)))
           .as("value"))
-    try index.upsert(spark, merged, newVersion)
+    try index.upsert(spark, merged, newVersion, linked = linked)
     finally additions.unpersist()
   }
 
@@ -974,7 +978,8 @@ object Dedup {
       removed: DataFrame,
       idCol: String,
       textCol: String,
-      newVersion: Long): Unit = {
+      newVersion: Long,
+      linked: Boolean = false): Unit = {
     val spark = removed.sparkSession
     IndexDelete.requireIntegralId(removed, idCol, "bandIndexDelete")
     IndexMarker.require(index, spark, BandIndexType, "bandIndexDelete", "bandIndexKv")
@@ -982,7 +987,8 @@ object Dedup {
     // index frame: a mass takedown sharing one hot band must stay (key,
     // id) ROWS end to end (IndexDelete.publishRemoval's contract), not a
     // collected member array
-    IndexDelete.publishRemoval(index, bandKeyRows(removed, idCol, textCol), newVersion)
+    IndexDelete.publishRemoval(
+      index, bandKeyRows(removed, idCol, textCol), newVersion, linked = linked)
   }
 
   /**
@@ -1257,7 +1263,8 @@ object Dedup {
       minLen: Int = 64,
       window: Int = 8,
       modulus: Int = 16,
-      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+      maxBucket: Int = LshBuckets.MaxBucket,
+      linked: Boolean = false): Unit = {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, SpanIndexType, "fpIndexUpsert", "fpIndexKv")
@@ -1287,7 +1294,7 @@ object Dedup {
             .when(size(mergedIds) <= maxBucket, concat_ws(",", mergedIds))
             .otherwise(lit(graft.core.IndexTombstone.Value)))
           .as("value"))
-    try index.upsert(spark, merged, newVersion)
+    try index.upsert(spark, merged, newVersion, linked = linked)
     finally additions.unpersist()
   }
 
@@ -1307,7 +1314,8 @@ object Dedup {
       newVersion: Long,
       minLen: Int = 64,
       window: Int = 8,
-      modulus: Int = 16): Unit = {
+      modulus: Int = 16,
+      linked: Boolean = false): Unit = {
     val spark = removed.sparkSession
     IndexDelete.requireIntegralId(removed, idCol, "fpIndexDelete")
     IndexMarker.require(index, spark, SpanIndexType, "fpIndexDelete", "fpIndexKv")
@@ -1315,7 +1323,8 @@ object Dedup {
     // fingerprint shared by 100M removed docs is the DESIGN POINT of a
     // takedown, and must never pack one aggregation buffer
     IndexDelete.publishRemoval(
-      index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus), newVersion)
+      index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus), newVersion,
+      linked = linked)
   }
 
   /**

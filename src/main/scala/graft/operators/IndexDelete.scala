@@ -65,7 +65,13 @@ private[graft] object IndexDelete {
   def publishRemoval(
       index: graft.store.DomainStore,
       removals: DataFrame,
-      newVersion: Long): Unit = {
+      newVersion: Long,
+      // `linked = true`: record untouched shards as manifest links
+      // instead of copying them forward — the O(affected shards + delta)
+      // publish bound a takedown needs at the 64Ki-shard regime (a
+      // copy-forward takedown pays ~numShards raw dir copies however
+      // small the removal set)
+      linked: Boolean = false): Unit = {
     val spark = removals.sparkSession
     import graft.functions.{bytes_utf8, utf8_bytes}
     // the removal rows feed the probe-key list and the drop join —
@@ -123,7 +129,8 @@ private[graft] object IndexDelete {
       // empty cells and double the copy-forward. ups/dels partition ONE
       // checkpointed frame by size(kept), so the clash check is skipped
       // (disjoint by construction — no need to pay its Spark job here).
-      index.patch(spark, Some(ups), Some(dels), newVersion, checkDisjoint = false)
+      index.patch(spark, Some(ups), Some(dels), newVersion, checkDisjoint = false,
+        linked = linked)
     } finally r.unpersist()
   }
 

@@ -451,7 +451,8 @@ object Multimodal {
       index: graft.store.DomainStore,
       deltaHashes: DataFrame,
       newVersion: Long,
-      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+      maxBucket: Int = LshBuckets.MaxBucket,
+      linked: Boolean = false): Unit = {
     val spark = deltaHashes.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, PhashIndexType, "phashIndexUpsert", "phashIndexKv")
@@ -512,7 +513,7 @@ object Multimodal {
               // would (byte-identity across the cap boundary)
               .otherwise(lit(graft.core.IndexTombstone.Value)))
             .as("value"))
-      index.upsert(spark, merged, newVersion)
+      index.upsert(spark, merged, newVersion, linked = linked)
     } finally additions.unpersist()
   }
 
@@ -530,14 +531,16 @@ object Multimodal {
   def phashIndexDelete(
       index: graft.store.DomainStore,
       removedHashes: DataFrame,
-      newVersion: Long): Unit = {
+      newVersion: Long,
+      linked: Boolean = false): Unit = {
     requireIntegralMediaId(removedHashes, "phashIndexDelete")
     IndexMarker.require(
       index, removedHashes.sparkSession, PhashIndexType, "phashIndexDelete", "phashIndexKv")
     // (key, id) rows straight from the band kernel — a mass takedown of
     // one replicated image (every row sharing its bands) must never pack
     // a collected member array (IndexDelete.publishRemoval's contract)
-    IndexDelete.publishRemoval(index, phashKeyRows(removedHashes), newVersion)
+    IndexDelete.publishRemoval(
+      index, phashKeyRows(removedHashes), newVersion, linked = linked)
   }
 
   /**

@@ -479,7 +479,8 @@ object Search {
       idCol: String,
       textCol: String,
       newVersion: Long,
-      maxPostings: Int = MaxPostings): Unit = {
+      maxPostings: Int = MaxPostings,
+      linked: Boolean = false): Unit = {
     requireCollisionFreeIds(delta, idCol)
     // ONE bounded probe: type guard (both index types publish d: records
     // AND m:stats, so only the marker separates them — an upsert aimed at
@@ -520,7 +521,8 @@ object Search {
         rebuildName = "positionalIndexKv",
         maxPostings = maxPostings)
       index.upsert(delta.sparkSession,
-        records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
+        records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion,
+        linked = linked)
     } finally additions.unpersist()
   }
 
@@ -704,7 +706,8 @@ object Search {
       idCol: String,
       textCol: String,
       newVersion: Long,
-      maxPostings: Int = MaxPostings): Unit = {
+      maxPostings: Int = MaxPostings,
+      linked: Boolean = false): Unit = {
     requireCollisionFreeIds(delta, idCol)
     val spark = delta.sparkSession
     // ONE bounded probe: positional domains publish m:stats too (ranked
@@ -745,7 +748,8 @@ object Search {
         rebuildName = "invertedIndexKv",
         maxPostings = maxPostings)
       index.upsert(spark,
-        records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion)
+        records.unionByName(advancedMetaRecord(delta, textCol, curN, curT)), newVersion,
+        linked = linked)
     } finally additions.unpersist()
   }
 

@@ -745,7 +745,8 @@ object Similarity {
       vecCol: String,
       centroids: Array[Array[Double]],
       newVersion: Long,
-      maxCellMembers: Int = Similarity.MaxCellMembers): Unit = {
+      maxCellMembers: Int = Similarity.MaxCellMembers,
+      linked: Boolean = false): Unit = {
     val spark = delta.sparkSession
     // a PQ domain that DECLARES its type fails here before the grammar
     // guard below ever reads a cell; undeclared/legacy domains still
@@ -800,7 +801,7 @@ object Similarity {
               lit(s" exceeds $maxCellMembers members — re-quantize the " +
                 "index with more cells (bigger nlist)")))))
           .as("value"))
-    index.upsert(spark, merged, newVersion)
+    index.upsert(spark, merged, newVersion, linked = linked)
     } finally additions.unpersist()
   }
 
@@ -1058,7 +1059,8 @@ object Similarity {
       centroids: Array[Array[Double]],
       books: Array[Array[Array[Double]]],
       newVersion: Long,
-      maxCellMembers: Int = Similarity.MaxCellMembers): Unit = {
+      maxCellMembers: Int = Similarity.MaxCellMembers,
+      linked: Boolean = false): Unit = {
     val spark = delta.sparkSession
     IndexMarker.requireSpecIn(index, Set(IvfPqIndexType), "ivfPqIndexUpsert")
     IndexDelete.requireIntegralId(delta, idCol, "ivfPqIndexUpsert")
@@ -1106,7 +1108,7 @@ object Similarity {
               lit(s" exceeds $maxCellMembers members — re-quantize the index " +
                 "with more cells (bigger nlist)")))))
           .as("value"))
-    index.upsert(spark, merged, newVersion)
+    index.upsert(spark, merged, newVersion, linked = linked)
     } finally additions.unpersist()
   }
 
@@ -1672,7 +1674,8 @@ object Similarity {
       vecCol: String,
       newVersion: Long,
       planes: Int,
-      maxBucket: Int = LshBuckets.MaxBucket): Unit = {
+      maxBucket: Int = LshBuckets.MaxBucket,
+      linked: Boolean = false): Unit = {
     val spark = delta.sparkSession
     import graft.functions.bytes_utf8
     IndexMarker.require(index, spark, SemIndexType, "semIndexUpsert", "semIndexKv")
@@ -1706,7 +1709,7 @@ object Similarity {
               .when(size(mergedIds) <= maxBucket, concat_ws(",", mergedIds))
               .otherwise(lit(graft.core.IndexTombstone.Value)))
             .as("value"))
-      index.upsert(spark, merged, newVersion)
+      index.upsert(spark, merged, newVersion, linked = linked)
     } finally additions.unpersist()
   }
 
@@ -1727,7 +1730,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       planes: Int,
-      newVersion: Long): Unit = {
+      newVersion: Long,
+      linked: Boolean = false): Unit = {
     val spark = removed.sparkSession
     IndexDelete.requireIntegralId(removed, idCol, "semIndexDelete")
     IndexMarker.require(index, spark, SemIndexType, "semIndexDelete", "semIndexKv")
@@ -1735,7 +1739,7 @@ object Similarity {
     // embedding cluster (one hot cell) must never pack a collected
     // member array (IndexDelete.publishRemoval's contract)
     IndexDelete.publishRemoval(
-      index, semKeyRows(removed, idCol, vecCol, planes), newVersion)
+      index, semKeyRows(removed, idCol, vecCol, planes), newVersion, linked = linked)
   }
 
   /**
@@ -1775,7 +1779,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Double]],
-      newVersion: Long): Unit = {
+      newVersion: Long,
+      linked: Boolean = false): Unit = {
     IndexDelete.requireIntegralId(removed, idCol, "ivfIndexDelete")
     // spec-declared wrong domains fail loud here; an UNDECLARED wrong
     // domain can only no-op (4-byte cell keys collide with no other
@@ -1788,7 +1793,7 @@ object Similarity {
     // array (IndexDelete.publishRemoval's contract); serves the PQ
     // domain too (removal needs only cell + id, codes are irrelevant)
     IndexDelete.publishRemoval(
-      index, ivfKeyRows(removed, idCol, vecCol, centroids), newVersion)
+      index, ivfKeyRows(removed, idCol, vecCol, centroids), newVersion, linked = linked)
   }
 
   /**

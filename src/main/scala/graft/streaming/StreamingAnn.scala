@@ -35,7 +35,8 @@ object StreamingAnn {
       baseVersion: Long,
       checkpointDir: String,
       queryName: String,
-      maxCellMembers: Int = Similarity.MaxCellMembers): StreamingQuery =
+      maxCellMembers: Int = Similarity.MaxCellMembers,
+      linked: Boolean = false): StreamingQuery =
     vecStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
@@ -43,7 +44,7 @@ object StreamingAnn {
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
         Similarity.ivfIndexUpsert(
           index, batch, idCol, vecCol, centroids, newVersion = version,
-          maxCellMembers = maxCellMembers)
+          maxCellMembers = maxCellMembers, linked = linked)
       })
       .start()
 
@@ -60,7 +61,8 @@ object StreamingAnn {
       baseVersion: Long,
       checkpointDir: String,
       queryName: String,
-      maxCellMembers: Int = Similarity.MaxCellMembers): StreamingQuery =
+      maxCellMembers: Int = Similarity.MaxCellMembers,
+      linked: Boolean = false): StreamingQuery =
     vecStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
@@ -68,7 +70,7 @@ object StreamingAnn {
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
         Similarity.ivfPqIndexUpsert(
           index, batch, idCol, vecCol, centroids, books, newVersion = version,
-          maxCellMembers = maxCellMembers)
+          maxCellMembers = maxCellMembers, linked = linked)
       })
       .start()
 }

@@ -122,13 +122,20 @@ object StreamingDedup {
       docStream: DataFrame,
       baseVersion: Long,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      // `linked = true`: each micro-batch publishes O(delta) with
+      // untouched shards riding `_links.json` — the perpetual-updater
+      // mode at high shard counts (a copy-forward publish per
+      // micro-batch pays O(domain) raw copies each trigger); GC of the
+      // accreting link chain is the serving daemons' pull policy
+      linked: Boolean = false): StreamingQuery =
     docStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
-        Dedup.bandIndexUpsert(index, batch, "doc_id", "text", newVersion = version)
+        Dedup.bandIndexUpsert(index, batch, "doc_id", "text", newVersion = version,
+          linked = linked)
       })
       .start()
 
@@ -150,14 +157,16 @@ object StreamingDedup {
       // 64-codepoint fingerprints no probe at 128 ever matches
       minLen: Int = 64,
       window: Int = 8,
-      modulus: Int = 16): StreamingQuery =
+      modulus: Int = 16,
+      linked: Boolean = false): StreamingQuery =
     docStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
         graft.operators.Dedup.fpIndexUpsert(index, batch, "doc_id", "text",
-          newVersion = version, minLen = minLen, window = window, modulus = modulus)
+          newVersion = version, minLen = minLen, window = window, modulus = modulus,
+          linked = linked)
       })
       .start()
 
@@ -172,13 +181,15 @@ object StreamingDedup {
       hashStream: DataFrame,
       baseVersion: Long,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
     hashStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
-        graft.operators.Multimodal.phashIndexUpsert(index, batch, newVersion = version)
+        graft.operators.Multimodal.phashIndexUpsert(index, batch, newVersion = version,
+          linked = linked)
       })
       .start()
 
@@ -195,14 +206,16 @@ object StreamingDedup {
       planes: Int,
       baseVersion: Long,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
     embStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
         graft.operators.Similarity.semIndexUpsert(
-          index, batch, idCol, vecCol, newVersion = version, planes = planes)
+          index, batch, idCol, vecCol, newVersion = version, planes = planes,
+          linked = linked)
       })
       .start()
 }

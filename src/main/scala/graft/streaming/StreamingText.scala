@@ -119,14 +119,15 @@ object StreamingText {
       docStream: org.apache.spark.sql.DataFrame,
       baseVersion: Long,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
     docStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
         graft.operators.Search.searchIndexUpsert(
-          index, batch, "doc_id", "text", newVersion = version)
+          index, batch, "doc_id", "text", newVersion = version, linked = linked)
       })
       .start()
 
@@ -141,14 +142,15 @@ object StreamingText {
       docStream: org.apache.spark.sql.DataFrame,
       baseVersion: Long,
       checkpointDir: String,
-      queryName: String): StreamingQuery =
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
     docStream.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
         graft.operators.Search.positionalIndexUpsert(
-          index, batch, "doc_id", "text", newVersion = version)
+          index, batch, "doc_id", "text", newVersion = version, linked = linked)
       })
       .start()
 

@@ -1442,6 +1442,43 @@ class OperatorsSpec extends SparkSuite {
     assert(preHits.nonEmpty, "fixture vacuous: the doomed doc never matched itself")
     assert(hits.isEmpty, "probe still finds the removed doc")
 
+    // LINKED takedown twin: same logical result as the rebuild, with the
+    // untouched shards carried by _links.json instead of raw copies —
+    // the O(affected + delta) publish bound the 64Ki-shard regime needs
+    // (DebugTakedownShardScale measures it at scale). One removed doc on
+    // a 64-shard domain guarantees untouched shards exist.
+    val oneId = removedDocs.orderBy(col("doc_id")).limit(1).collect()(0).getLong(0)
+    val spec64 = spec.copy(numShards = 64)
+    val bandL = graft.store.DomainStore.create(scratch("ix-del/band-lnk"), spec64, conf)
+    bandL.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexDelete(
+      bandL, docs.where(col("doc_id") === oneId), "doc_id", "text", 2L, linked = true)
+    val bandLRebuilt =
+      graft.store.DomainStore.create(scratch("ix-del/band-lnk-rb"), spec64, conf)
+    bandLRebuilt.write(
+      Dedup.bandIndexKv(docs.where(col("doc_id") =!= oneId), "doc_id", "text"), 1L)
+    assert(kvPairs(bandL) === kvPairs(bandLRebuilt))
+    val lfs = new org.apache.hadoop.fs.Path(bandL.root.toString).getFileSystem(conf)
+    assert(graft.store.VersionedStore.readLinks(
+      lfs, bandL.versions.versionPath(2L)).nonEmpty,
+      "linked takedown must record untouched shards in _links.json")
+    // ...and the linked UPSERT twin (the daily-growth publish mode, now a
+    // passthrough on every family upsert + streaming grower): grow the
+    // linked head — still byte-identical to the union rebuild, untouched
+    // shards again carried by the manifest (one-hop onto the v2 links)
+    val extraDoc =
+      Seq((888888L, "an entirely fresh growth document for the linked upsert twin"))
+        .toDF("doc_id", "text")
+    Dedup.bandIndexUpsert(bandL, extraDoc, "doc_id", "text", 3L, linked = true)
+    val bandLGrown =
+      graft.store.DomainStore.create(scratch("ix-del/band-lnk-grown"), spec64, conf)
+    bandLGrown.write(Dedup.bandIndexKv(
+      docs.where(col("doc_id") =!= oneId).unionByName(extraDoc), "doc_id", "text"), 1L)
+    assert(kvPairs(bandL) === kvPairs(bandLGrown))
+    assert(graft.store.VersionedStore.readLinks(
+      lfs, bandL.versions.versionPath(3L)).nonEmpty,
+      "linked upsert must record untouched shards in _links.json")
+
     // semantic cell index
     val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
       .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(60)
