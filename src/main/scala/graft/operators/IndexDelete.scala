@@ -173,7 +173,16 @@ private[graft] object IndexDelete {
    * Output: (key binary, id string, entry string, kind string) — one row
    * per orphaned entry, kind ∈ stale | unindexed. Empty = consistent.
    */
-  def idAudit(index: graft.store.DomainStore, expected: DataFrame): DataFrame = {
+  def idAudit(
+      index: graft.store.DomainStore,
+      expected: DataFrame,
+      // `idLevel = true`: compare on the entry's ID PART instead of the
+      // full entry string — the ANN families' mode (their `id:codes`
+      // payload is deterministic from the vector under fixed codebooks,
+      // and takedown completeness is about MEMBERSHIP; the band
+      // families keep full-entry compare so phash payload drift reads
+      // as drift)
+      idLevel: Boolean = false): DataFrame = {
     import graft.functions.bytes_utf8
     val spark = expected.sparkSession
     val stored = index.read(spark)
@@ -185,8 +194,10 @@ private[graft] object IndexDelete {
       .select(col("key"))
     val indexEntries = stored
       .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
-      .select(col("key"), explode(split(col("cur"), ",")).as("entry"))
-      .where(col("entry") =!= "")
+      .select(col("key"), explode(split(col("cur"), ",")).as("raw"))
+      .where(col("raw") =!= "")
+      .select(col("key"),
+        (if (idLevel) entryId(col("raw")) else col("raw")).as("entry"))
     // content-derived entries for keys the publish tombstoned are not
     // drift — the cap dropped that bucket's membership knowingly
     val expectedLive = expected

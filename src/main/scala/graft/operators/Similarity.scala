@@ -707,8 +707,39 @@ object Similarity {
    * posting merge cannot see — see [[ivfPqIndexUpsert]]) surfaces here
    * as (id, n_cells > 1). One linear read + one count shuffle of
    * (id, cell) pairs; run it the way [[graft.store.DomainStore.fsck]]
-   * runs after risky maintenance.
+   * runs after risky maintenance. BLIND by construction to a
+   * takedown-missed REMOVED id (nothing left to duplicate against) —
+   * that direction needs the corpus of record: [[ivfIndexContentAudit]].
    */
+  /**
+   * Stale-entry audit of a PUBLISHED [[ivfIndexKv]] / [[ivfPqIndexKv]]
+   * domain against the vector table of record — the takedown-hole
+   * detector [[ivfIndexIdAudit]] structurally cannot be: an id REMOVED
+   * from the corpus whose indexed vector had drifted leaves NO
+   * duplicate (nothing left to pair with), only a stale posting entry
+   * in a cell the content-addressed delete never probed. Re-derives
+   * every (cell, id) the corpus should occupy under the index's own
+   * quantizer (MUST be the build's `centroids`) and full-outers the
+   * exploded posting lists ([[IndexDelete.idAudit]], ID-level — the PQ
+   * `id:codes` payload is deterministic from the vector under fixed
+   * codebooks, and takedown completeness is about membership): `stale`
+   * rows are entries a current-content takedown would miss, `unindexed`
+   * rows are vectors a probe would never return. O(index + corpus);
+   * run it like [[ivfIndexIdAudit]], before trusting a mass takedown.
+   */
+  def ivfIndexContentAudit(
+      index: graft.store.DomainStore,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    IndexDelete.requireIntegralId(corpus, idCol, "ivfIndexContentAudit")
+    IndexMarker.requireSpecIn(
+      index, Set(IvfIndexType, IvfPqIndexType), "ivfIndexContentAudit")
+    IndexDelete.idAudit(
+      index, ivfKeyRows(corpus, idCol, vecCol, centroids), idLevel = true)
+  }
+
   def ivfIndexIdAudit(
       index: graft.store.DomainStore,
       spark: org.apache.spark.sql.SparkSession): DataFrame =

@@ -1654,6 +1654,35 @@ class OperatorsSpec extends SparkSuite {
       sem, emb.where(col("vec_id") =!= semGone), "vec_id", "embedding", 3))
     assert(k4.nonEmpty && k4.keys.forall(_ == (semGone.toString, "stale")), k4.toString)
 
+    // ANN families, at ID level (PQ codes are payload — membership is
+    // the takedown contract): the duplicate-id audit is structurally
+    // blind to a takedown-missed REMOVED id (no duplicate left to pair
+    // with); the content audit reports it stale
+    val cents = Similarity.fixedCentroids(4, 64)
+    val vecs = emb.limit(32)
+    val ivf = graft.store.DomainStore.create(
+      scratch("ix-audit/ivf"), spec.copy(indexType = Similarity.IvfIndexType), conf)
+    ivf.write(Similarity.ivfIndexKv(vecs, "vec_id", "embedding", cents), 1L)
+    assert(Similarity.ivfIndexContentAudit(ivf, vecs, "vec_id", "embedding", cents).isEmpty)
+    val ivfGone = vecs.orderBy(col("vec_id")).limit(1).collect()(0).getLong(0)
+    val ivfRecord = vecs.where(col("vec_id") =!= ivfGone)
+    val k5 = kinds(Similarity.ivfIndexContentAudit(
+      ivf, ivfRecord, "vec_id", "embedding", cents))
+    assert(k5.nonEmpty && k5.keys.forall(_ == (ivfGone.toString, "stale")), k5.toString)
+    assert(Similarity.ivfIndexIdAudit(ivf, spark).isEmpty,
+      "the duplicate-id audit must be blind to this hole — if it ever " +
+        "sees it, the content audit is redundant")
+    // PQ twin: same audit, same quantizer, codes ignored; an extra
+    // never-indexed vector reads unindexed
+    val books = Similarity.fixedPqCodebooks(4, 4, 16)
+    val pq = graft.store.DomainStore.create(
+      scratch("ix-audit/pq"), spec.copy(indexType = Similarity.IvfPqIndexType), conf)
+    pq.write(Similarity.ivfPqIndexKv(ivfRecord, "vec_id", "embedding", cents, books), 1L)
+    assert(Similarity.ivfIndexContentAudit(pq, ivfRecord, "vec_id", "embedding", cents).isEmpty)
+    val k6 = kinds(Similarity.ivfIndexContentAudit(
+      pq, vecs, "vec_id", "embedding", cents))
+    assert(k6.nonEmpty && k6.keys.forall(_ == (ivfGone.toString, "unindexed")), k6.toString)
+
     // tombstone-aware: a cap-tombstoned bucket has unknown membership by
     // design — the audit reports NOTHING for it, in either direction
     val hotDocs = (1L to 6L).map(i => (i, "identical boilerplate cluster text body " +
