@@ -636,16 +636,11 @@ class GraftClient:
         records describe ONE snapshot); True when certified clean."""
         got = meta["index_type"]
         if got == "none":  # pre-field spec: fall back to the marker
-            mv, recs = self.multi_get_versioned([b"m:index-type"])
+            mv, recs = self.multi_get_versioned([FP_TYPE_MARKER_KEY])
             if mv != version:
                 return False  # republish mid-gate: re-probe, never mix
-            marker = recs[0]
-            got = ("<none>" if marker is None or marker is _NULL_VALUE
-                   else marker.decode("utf-8", errors="backslashreplace"))
-        if got != "fp-anchor":
-            raise ValueError(
-                f"overlapping: domain '{self.domain}' carries index-type "
-                f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
+            got = marker_index_type(recs[0])
+        require_fp_family(got, self.domain)
         return True
 
     def multi_get_versioned(self, keys):
@@ -708,6 +703,29 @@ def anchor_fingerprints(text, min_len=64, window=8, modulus=16):
              + cps[pos + window]) % _ANCHOR_PRIME
         pos += 1
     return out
+
+
+# The fp-anchor family gate's shared verdict pieces — ONE definition for
+# the single-server and ring clients (like batch_fingerprints /
+# resolve_overlaps: a gate rule change must not leave one client
+# enforcing the old rule).
+FP_TYPE_MARKER_KEY = b"m:index-type"
+
+
+def marker_index_type(marker):
+    """The in-data marker record decoded to an index-type verdict
+    ('<none>' for an absent/null marker — pre-marker build)."""
+    return ("<none>" if marker is None or marker is _NULL_VALUE
+            else marker.decode("utf-8", errors="backslashreplace"))
+
+
+def require_fp_family(got, domain):
+    """Raise ValueError unless the verdict names the fp-anchor family —
+    a wrong-family probe must never read as silently '(clean)'."""
+    if got != "fp-anchor":
+        raise ValueError(
+            f"overlapping: domain '{domain}' carries index-type "
+            f"{got}, not 'fp-anchor' — not an fpIndexKv domain")
 
 
 def batch_fingerprints(texts, min_len=64, window=8, modulus=16):

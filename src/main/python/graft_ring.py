@@ -133,6 +133,7 @@ class GraftRing:
 
     def __init__(self, host_entries, replication, domain,
                  connect_timeout=5.0, read_timeout=60.0, seed=None):
+        self.domain = domain
         self._rnd = random.Random(seed)
         self._stubs = {
             name: GraftClient(addr, port, domain,
@@ -402,12 +403,17 @@ class GraftRing:
         a host serving that version is the spec authority; a pre-field
         spec ('none') falls back to the in-data m:index-type marker,
         routed to the marker's OWNER shard and certified against the
-        same version. Returns the certified version, or None when the
-        observation raced a swap (the caller re-probes); raises
-        ValueError on a wrong-family domain and stays loud on a
-        wrong-protocol peer."""
-        from graft_client import NULL_VALUE
+        same version. The VERDICT body (marker decode + family check) is
+        graft_client's, shared with the single-server gate so the two
+        admissions cannot drift. Returns the certified version, or None
+        when the observation raced a swap (the caller re-probes); raises
+        ConnectionError when NO host answers at all (a dead ring is not
+        a version roll), ValueError on a wrong-family domain, and stays
+        loud on a wrong-protocol peer."""
+        from graft_client import (FP_TYPE_MARKER_KEY, marker_index_type,
+                                  require_fp_family)
         last = None
+        answered = False
         for host, stub in self._stubs.items():
             try:
                 m = stub.meta()
@@ -416,16 +422,18 @@ class GraftRing:
             except Exception as e:
                 last = e
                 continue
+            answered = True
             if version is not None and m["served_version"] != version:
                 continue  # mid-roll host: try one serving the batch's version
             at = m["served_version"] if version is None else version
             got = m["index_type"]
             if got == "none":  # pre-field spec: the in-data marker
-                marker_key = b"m:index-type"
                 got = None
-                for h2 in self._replicas(shard_index(marker_key, self.num_shards)):
+                for h2 in self._replicas(
+                        shard_index(FP_TYPE_MARKER_KEY, self.num_shards)):
                     try:
-                        mv, recs = self._stubs[h2].multi_get_versioned([marker_key])
+                        mv, recs = self._stubs[h2].multi_get_versioned(
+                            [FP_TYPE_MARKER_KEY])
                     except ProtocolError:
                         raise
                     except Exception as e:
@@ -433,22 +441,20 @@ class GraftRing:
                         continue
                     if mv != at:
                         continue  # republish mid-gate: never mix versions
-                    marker = recs[0]
-                    got = ("<none>" if marker is None or marker is NULL_VALUE
-                           else marker.decode("utf-8", errors="backslashreplace"))
+                    got = marker_index_type(recs[0])
                     break
                 if got is None:
                     return None  # could not certify at `at`: re-probe
-            if got != "fp-anchor":
-                raise ValueError(
-                    f"overlapping: domain carries index-type {got!r}, not "
-                    "'fp-anchor' — not an fpIndexKv domain (a wrong-family "
-                    "probe must never read as silently clean)")
+            require_fp_family(got, self.domain)
             return at
-        if last is not None and version is None:
+        if not answered:
+            # every host's meta failed: a DEAD ring, not a mid-roll —
+            # name it (the retry loop's "mixed versions" message would
+            # send an operator chasing a version roll that does not exist)
             raise ConnectionError(
-                "no ring host answered the family gate") from last
-        return None  # no host serves `version` right now: re-probe
+                "no ring host answered the family gate "
+                f"(tried: {', '.join(sorted(self._stubs))})") from last
+        return None  # hosts answered but none serves `version`: re-probe
 
     def multi_get(self, keys):
         """Values aligned with `keys` (None = absent), each shard's keys

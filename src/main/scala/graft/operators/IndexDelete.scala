@@ -189,9 +189,16 @@ private[graft] object IndexDelete {
       .where(col("key") =!= lit(IndexMarker.Key))
       .where(col("key") =!= lit(IndexMarker.CapKey))
       .select(col("key"), bytes_utf8(col("value")).as("cur"))
+    // materialize the (small) tombstone key list eagerly: it feeds the
+    // content-side anti-join, and as a lazy branch it would plan a
+    // SECOND full index scan into every action over the audit result —
+    // the checkpoint pays one tiny job instead (bounded:
+    // cap-tombstoned keys only; ContextCleaner-reaped when the caller
+    // drops the frame — the prototypePruning precedent)
     val tombstoned = stored
       .where(col("cur") === lit(graft.core.IndexTombstone.Value))
       .select(col("key"))
+      .localCheckpoint(true)
     val indexEntries = stored
       .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"), explode(split(col("cur"), ",")).as("raw"))

@@ -310,6 +310,19 @@ object Multimodal {
     }
   }
 
+  /** The index families' ONE key/entry grammar (CLAUDE.md: two record
+    * classes sharing a key scheme must share the key-building
+    * expression) — build, removal rows, and the content audit all
+    * derive from these two definitions, so a grammar change cannot
+    * leave the audit reporting a consistent index as wholesale drift
+    * (or a drifted one as clean). */
+  private def phashBucketKey: Column = {
+    import graft.functions.{composite_key, int_be, long_be}
+    composite_key(int_be(col("band")), long_be(col("bucket")))
+  }
+  private def phashEntry: Column =
+    concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string"))
+
   /** The shared banding projection (4 rows per hash): bucket =
     * `(phash >>> 16·band) & 0xFFFF` — the mask makes the shift's sign
     * treatment irrelevant, so the DuckDB oracle's arithmetic `>>`
@@ -341,15 +354,14 @@ object Multimodal {
   def phashIndexKv(
       hashes: DataFrame,
       maxBucket: Int = LshBuckets.MaxBucket): DataFrame = {
-    import graft.functions.{composite_key, int_be, long_be, utf8_bytes}
+    import graft.functions.utf8_bytes
     requireIntegralMediaId(hashes, "phashIndexKv")
-    def bucketKey = composite_key(int_be(col("band")), long_be(col("bucket"))).as("key")
     // one capped aggregation pass (LshBuckets.boundedMembers); the
     // family's canonical order is the full `id:phash` entry string
-    val entry = concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string"))
+    // (phashEntry — the ONE grammar definition the audit shares)
     LshBuckets.boundedMembers(
-        phashBandBuckets(hashes), Seq("band", "bucket"), entry, entry, maxBucket)
-      .select(bucketKey, utf8_bytes(
+        phashBandBuckets(hashes), Seq("band", "bucket"), phashEntry, phashEntry, maxBucket)
+      .select(phashBucketKey.as("key"), utf8_bytes(
         when(col("_members").isNull, lit(graft.core.IndexTombstone.Value))
           .otherwise(concat_ws(",", col("_members")))).as("value"))
       // type authority: byte-compatible key shape with the text band
@@ -362,12 +374,10 @@ object Multimodal {
   /** The phash family's (key, rid) removal rows — the pre-aggregation
     * half of [[phashIndexKv]]'s key kernel
     * (the [[IndexDelete.publishRemoval]] row contract). */
-  private def phashKeyRows(hashes: DataFrame): DataFrame = {
-    import graft.functions.{composite_key, int_be, long_be}
+  private def phashKeyRows(hashes: DataFrame): DataFrame =
     phashBandBuckets(hashes).select(
-      composite_key(int_be(col("band")), long_be(col("bucket"))).as("key"),
+      phashBucketKey.as("key"),
       col("media_id").cast("string").as("rid"))
-  }
 
   /** [[phashIndexKv]]'s `m:index-type` marker value. */
   val PhashIndexType = "phash-band"
@@ -557,11 +567,10 @@ object Multimodal {
     IndexMarker.require(
       index, hashes.sparkSession, PhashIndexType, "phashIndexIdAudit", "phashIndexKv")
     // expected rows carry the full entry string as the comparison unit
-    // (the build's exact value-cell grammar)
+    // — phashBucketKey/phashEntry are the build's own definitions, so
+    // the audit can never drift from the published grammar
     IndexDelete.idAudit(index, phashBandBuckets(hashes).select(
-      graft.functions.composite_key(
-        graft.functions.int_be(col("band")), graft.functions.long_be(col("bucket"))).as("key"),
-      concat(col("media_id").cast("string"), lit(":"), col("phash").cast("string")).as("rid")))
+      phashBucketKey.as("key"), phashEntry.as("rid")))
   }
 
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
