@@ -5,8 +5,7 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{DomainSpec, ShardIndex}
-import graft.functions.shard_index
+import graft.core.DomainSpec
 
 /**
  * A *domain*: a named, versioned, sharded key-value dataset — the engine's
@@ -64,6 +63,22 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     linksCache.computeIfAbsent(
       version,
       v => VersionedStore.readLinks(root.getFileSystem(conf), versions.versionPath(v)))
+  }
+
+  /** Void this instance's per-version caches before (re)building
+    * `version`: a same-id delete+rebuild (the flow
+    * [[VersionedStore.tokenMtime]] exists to support) must not serve the
+    * OLD build's bloom-sidecar probes — a stale "definitely absent" is a
+    * silent wrong answer (IndexMarker keys its marker cache by token
+    * mtime for the same reason; the publishing instance can simply
+    * invalidate). Cross-INSTANCE same-id rebuilds remain out of contract
+    * for long-lived handles — re-open the store (the immutability
+    * assumption both cache docs state). */
+  private def voidVersionCaches(version: Long): Unit = {
+    linksCache.remove(version)
+    probeCache.synchronized {
+      probeCache.keySet.removeIf(k => k._1 == version)
+    }
   }
 
   /** THE shard-dir resolution seam: every read path (scans, lookups,
@@ -160,6 +175,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
    */
   def write(df: DataFrame, version: Long, dedupKeys: Boolean = false): Unit = {
     versions.createVersion(version)
+    voidVersionCaches(version) // same-id rebuild: old sidecars/links are void
     val kv0 = df.select(col("key"), col("value"))
     val kv = if (dedupKeys) kv0.dropDuplicates("key") else kv0
     try {
@@ -899,12 +915,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
 
   // --------------------------------------------------- index read side (W5)
 
-  /** Deserialized sidecar probes, LRU-cached per (version, shard): versions
-    * are immutable once published, so entries never invalidate — they only
-    * age out. `None` caches "shard has no sidecar" (an empty shard wrote no
-    * dir, or the spec names no indexer for an older version) = always
-    * maybe. Capacity bounds driver memory when lookups sweep a 64k-shard
-    * domain; access-order eviction keeps a hot working set resident. */
+  /** Deserialized sidecar probes, LRU-cached per (version, shard):
+    * published versions are immutable to OTHER instances, and a same-id
+    * rebuild through THIS instance voids its entries up front
+    * ([[voidVersionCaches]] — a stale bloom's "definitely absent" for a
+    * key the new build holds is a silent wrong answer); otherwise entries
+    * only age out. `None` caches "shard has no sidecar" (an empty shard
+    * wrote no dir, or the spec names no indexer for an older version) =
+    * always maybe. Capacity bounds driver memory when lookups sweep a
+    * 64k-shard domain; access-order eviction keeps a hot set resident. */
   private val probeCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(Long, Int), Option[Array[Byte] => Boolean]](64, 0.75f, true) {
       override def removeEldestEntry(
@@ -1378,6 +1397,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       }
 
       versions.createVersion(newVersion)
+      voidVersionCaches(newVersion) // same-id rebuild: old sidecars/links are void
       try {
         writeShards(merged.select("key", "value"), newVersion,
           partitions = Some(affected.size))
@@ -1454,6 +1474,7 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       distributeAbove: Int = DomainStore.DefaultDistributeAbove): Unit = {
     val oldVersion = latestVersion
     versions.createVersion(newVersion)
+    voidVersionCaches(newVersion) // same-id rebuild: old sidecars/links are void
     try {
       copyForward(oldVersion, newVersion, 0 until numShards, distributeAbove)
       writeLinksManifest(newVersion, Map.empty) // self-contained; refreshes the cache
@@ -1968,17 +1989,15 @@ object DomainStore {
     * consumers must treat "no manifest" as "transfer everything". */
   private[store] val OriginsFileName = "_origins.json"
 
+  // ONE codec with _links.json (VersionedStore.shardMapToJson/FromJson):
+  // the two manifests' READ policies deliberately differ (corrupt origins
+  // degrade to "transfer everything"; corrupt links fail loud), but the
+  // byte format must not drift between them.
   private[store] def originsToJson(m: Map[Int, Long]): String =
-    m.toSeq.sorted.map { case (s, v) => s""""$s":$v""" }.mkString("{", ",", "}")
+    VersionedStore.shardMapToJson(m)
 
-  private[store] def originsFromJson(s: String): Map[Int, Long] = {
-    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
-    if (body.isEmpty) Map.empty
-    else body.split(",").iterator.map { e =>
-      val Array(k, v) = e.split(":").map(_.trim)
-      k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toLong
-    }.toMap
-  }
+  private[store] def originsFromJson(s: String): Map[Int, Long] =
+    VersionedStore.shardMapFromJson(s)
 
   /** The provenance manifest of a version dir, if present and parseable
     * (a corrupt manifest reads as absent — the consumer then transfers,
@@ -2270,6 +2289,7 @@ object DomainStore {
     val dst = create(dstRoot, src.spec.copy(persistenceFormat = dstFormat), conf)
     if (src.isKv && dst.isKv) {
       dst.versions.createVersion(version)
+      dst.voidVersionCaches(version) // same-id rebuild: old sidecars/links are void
       try {
         dst.versions.versionPath(version).getFileSystem(conf)
           .mkdirs(dst.versions.versionPath(version))

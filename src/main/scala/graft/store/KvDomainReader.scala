@@ -644,15 +644,17 @@ object KvDomainReader {
 
     private var open = List.empty[ShardReader]
 
-    private def openStream(p: Path): Option[Iterator[(Array[Byte], Array[Byte])]] = {
+    private def openStream(p: Path): Iterator[(Array[Byte], Array[Byte])] = {
       // `files` is pre-filtered to the generation's snapshot, so p existed
       // when the cursor was created: a missing file here means a cleanup
       // reaped the version mid-cursor — KvFile.open's
       // FileNotFoundException is the LOUD outcome (a silent skip would
-      // drop the whole shard's rows from the range).
+      // drop the whole shard's rows from the range; there is deliberately
+      // NO missing-file-is-skipped path, which is why this returns the
+      // iterator directly rather than an Option suggesting one).
       val r = KvFile.open(fs, p)
       open ::= r
-      Some(r.range(from, fromInclusive, to, toInclusive))
+      r.range(from, fromInclusive, to, toInclusive)
     }
 
     private def release(r: ShardReader): Unit = {
@@ -667,7 +669,7 @@ object KvDomainReader {
         // never returns a cursor the caller could close() — release the
         // N-1 handles already opened before rethrowing, or a failover
         // retry loop leaks a set of file descriptors per attempt
-        try KvMerge.byKey(files.flatMap(openStream))
+        try KvMerge.byKey(files.map(openStream))
         catch { case e: Throwable => close(); throw e }
       } else new Iterator[(Array[Byte], Array[Byte])] {
         private var rem = files.toList
@@ -676,10 +678,8 @@ object KvDomainReader {
         private def advance(): Unit = {
           while (!cur.hasNext && rem.nonEmpty) {
             if (curReader != null) { release(curReader); curReader = null }
-            cur = openStream(rem.head) match {
-              case Some(it) => curReader = open.head; it
-              case None => Iterator.empty
-            }
+            cur = openStream(rem.head)
+            curReader = open.head
             rem = rem.tail
           }
           if (!cur.hasNext && curReader != null) { release(curReader); curReader = null }

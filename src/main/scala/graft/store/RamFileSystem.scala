@@ -71,7 +71,14 @@ class RamFileSystem extends FileSystem {
   override def getFileStatus(p: Path): FileStatus = Lock.synchronized {
     val k = key(p)
     if (files.containsKey(k))
-      new FileStatus(files.get(k).length.toLong, false, 1, BlockSize, 0L, makeQualified(p))
+      // REAL per-write mtime (a strictly monotonic counter, not 0L):
+      // VersionedStore.tokenMtime is the same-version-rebuild cache
+      // fingerprint (IndexMarker keys its marker verdicts by it), and a
+      // constant mtime made that fingerprint inert on exactly the
+      // filesystem memory-format domains must use — a ramfs rebuild at
+      // the same version id would serve the pre-rebuild cached verdict
+      new FileStatus(files.get(k).length.toLong, false, 1, BlockSize,
+        mtimes.getOrDefault(k, 0L), makeQualified(p))
     else if (isDir(k))
       new FileStatus(0L, true, 1, BlockSize, 0L, makeQualified(p))
     else throw new FileNotFoundException(s"ramfs: no such path $p")
@@ -150,7 +157,10 @@ class RamFileSystem extends FileSystem {
     val sink: OutputStream = new OutputStream {
       override def write(b: Int): Unit = buf.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit = buf.write(b, off, len)
-      override def close(): Unit = Lock.synchronized { files.put(k, buf.toByteArray) }
+      override def close(): Unit = Lock.synchronized {
+        files.put(k, buf.toByteArray)
+        mtimes.put(k, Tick.incrementAndGet())
+      }
     }
     new FSDataOutputStream(sink, statistics)
   }
@@ -176,11 +186,17 @@ class RamFileSystem extends FileSystem {
     if (srcIsFile) {
       addParents(dk)
       files.put(dk, files.remove(sk))
+      mtimes.put(dk, Tick.incrementAndGet())
+      mtimes.remove(sk)
     } else {
       val prefix = childPrefix(sk)
       val fKeys = prefixKeys(files.keySet, prefix).toList
       val dKeys = prefixKeys(dirs, prefix).toList
-      fKeys.foreach(k => files.put(dk + k.substring(sk.length), files.remove(k)))
+      fKeys.foreach { k =>
+        files.put(dk + k.substring(sk.length), files.remove(k))
+        mtimes.put(dk + k.substring(sk.length), Tick.incrementAndGet())
+        mtimes.remove(k)
+      }
       dKeys.foreach { k => dirs.remove(k); dirs.add(dk + k.substring(sk.length)) }
       dirs.remove(sk)
       dirs.add(dk)
@@ -191,12 +207,14 @@ class RamFileSystem extends FileSystem {
 
   override def delete(p: Path, recursive: Boolean): Boolean = Lock.synchronized {
     val k = key(p)
-    if (files.containsKey(k)) { files.remove(k); return true }
+    if (files.containsKey(k)) { files.remove(k); mtimes.remove(k); return true }
     if (!dirs.contains(k) && !hasChildren(k)) return false
     if (hasChildren(k) && !recursive)
       throw new IOException(s"ramfs: $p is a non-empty directory and recursive = false")
     val prefix = childPrefix(k)
-    prefixKeys(files.keySet, prefix).toList.foreach(files.remove)
+    prefixKeys(files.keySet, prefix).toList.foreach { k =>
+      files.remove(k); mtimes.remove(k)
+    }
     prefixKeys(dirs, prefix).toList.foreach(dirs.remove)
     dirs.remove(k)
     true
@@ -210,6 +228,10 @@ object RamFileSystem {
   /** Process-global state: one namespace per JVM, like the reference's
     * global in-memory coordinator. */
   private val files = new java.util.concurrent.ConcurrentSkipListMap[String, Array[Byte]]()
+  // per-file write stamp: strictly monotonic, JVM-global — uniqueness is
+  // what the mtime fingerprint needs (real clocks only offer granularity)
+  private val mtimes = new java.util.concurrent.ConcurrentSkipListMap[String, Long]()
+  private val Tick = new java.util.concurrent.atomic.AtomicLong(0L)
   private val dirs = new java.util.concurrent.ConcurrentSkipListSet[String]()
   private object Lock
 
@@ -224,7 +246,7 @@ object RamFileSystem {
     ConfEntries.foreach { case (k, v) => if (conf.get(k) == null) conf.set(k, v) }
 
   /** Wipe the whole in-memory namespace (test isolation). */
-  def clear(): Unit = Lock.synchronized { files.clear(); dirs.clear() }
+  def clear(): Unit = Lock.synchronized { files.clear(); dirs.clear(); mtimes.clear() }
 
   /** Wipe one authority's namespace only — suites running in parallel in
     * one JVM each clear their own authority instead of each other's. */
@@ -232,6 +254,7 @@ object RamFileSystem {
     val prefix = authority + "/"
     files.keySet.removeIf(k => k.startsWith(prefix))
     dirs.removeIf(k => k.startsWith(prefix))
+    mtimes.keySet.removeIf(k => k.startsWith(prefix))
   }
 }
 

@@ -515,9 +515,18 @@ object RingClient {
     require(ring.hostsToShards.keySet.subsetOf(hostRoots.keySet),
       s"hosts ${ring.hostsToShards.keySet -- hostRoots.keySet} have no local root")
     ring.hostsToShards.keySet.toSeq.sorted.map { host =>
-      val delta = store.localizeVersionForHost(
-        version, hostRoots(host), ring, host, maxKBps)
       val r = client.reader(host)
+      // served-version FLOOR for the pull-side GC (the CLAUDE.md rule the
+      // conf-booted daemons already follow): a host whose previous roll
+      // pulled-but-never-swapped holds {served, newer} locally, and the
+      // next roll's cleanup(keepLocalVersions=2) would otherwise reap the
+      // version the reader is STILL SERVING — every in-flight lookup then
+      // dies on a reaped shard file until the refresh below lands. A host
+      // that cannot answer (down, not yet loaded) floors at -1: failover
+      // owns it, exactly as the construction probes do.
+      val floor = try r.servedVersion catch { case _: Exception => -1L }
+      val delta = store.localizeVersionForHost(
+        version, hostRoots(host), ring, host, maxKBps, keepFloor = floor)
       r.refresh()
       // the pull succeeded and refresh() returned — but refresh() only
       // reports "swapped vs already-newest", not WHICH version: a host

@@ -293,8 +293,25 @@ object VersionedStore {
     * `_origins.json`. */
   val LinksFileName = "_links.json"
 
-  private[store] def linksToJson(m: Map[Int, Long]): String =
+  /** ONE serializer/parser pair for the two shard→version manifests
+    * (`_origins.json`, `_links.json`): their READ policies deliberately
+    * differ (corrupt origins degrade to "transfer everything"; corrupt
+    * links fail loud), but two copies of the codec could drift — a
+    * formatting change landing in one would make the other's reader
+    * reject (or misread) its sibling's bytes. */
+  private[store] def shardMapToJson(m: Map[Int, Long]): String =
     m.toSeq.sorted.map { case (s, v) => s""""$s":$v""" }.mkString("{", ",", "}")
+
+  private[store] def shardMapFromJson(s: String): Map[Int, Long] = {
+    val body = s.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) Map.empty
+    else body.split(",").iterator.map { e =>
+      val Array(k, v) = e.split(":").map(_.trim)
+      k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toLong
+    }.toMap
+  }
+
+  private[store] def linksToJson(m: Map[Int, Long]): String = shardMapToJson(m)
 
   /** Shard links of a version dir. Absent file = no linked shards. A
     * PRESENT-BUT-UNPARSEABLE manifest fails LOUD: treating it as empty
@@ -314,16 +331,12 @@ object VersionedStore {
         val in = fs.open(p)
         try in.readFully(0L, buf)
         finally in.close()
-        val body = new String(buf, "UTF-8").trim.stripPrefix("{").stripSuffix("}").trim
         try {
-          if (body.isEmpty) Map.empty
-          else body.split(",").iterator.map { e =>
-            val Array(k, v) = e.split(":").map(_.trim)
-            val shard = k.stripPrefix("\"").stripSuffix("\"").toInt
-            val origin = v.toLong
+          val m = shardMapFromJson(new String(buf, "UTF-8"))
+          m.foreach { case (shard, origin) =>
             require(shard >= 0 && origin >= 0, s"negative shard/origin in $p")
-            shard -> origin
-          }.toMap
+          }
+          m
         } catch {
           case e: Exception => throw new IllegalStateException(
             s"corrupt shard-link manifest $p — refusing to read the version " +

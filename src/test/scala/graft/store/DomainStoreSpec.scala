@@ -28,6 +28,32 @@ class DomainStoreSpec extends SparkSuite {
       .select(bytes_utf8(col("key")), bytes_utf8(col("value")))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
 
+  test("same-id rebuild voids this instance's sidecar probes (stale-bloom silent miss)") {
+    import spark.implicits._
+    val st = DomainStore.create(
+      scratch("same-id-rebuild"),
+      DomainSpec(4, persistenceFormat = DomainSpec.KvSorted,
+        indexer = classOf[BloomKeyIndexer].getName), conf)
+    st.write(kv("a" -> "1", "b" -> "2"), 1L)
+    def look(k: String) = st.multiGet(
+        Seq(k).toDF("s").select(utf8_bytes(col("s")).as("key")))
+      .collect().map(r =>
+        Option(r.getAs[Array[Byte]]("value")).map(new String(_, "UTF-8"))).toSeq
+    // populate the probe cache with v1's blooms (a miss AND a hit)
+    assert(look("zz") === Seq(None))
+    assert(look("a") === Seq(Some("1")))
+    // delete + rebuild at the SAME version id (the tokenMtime-supported
+    // flow) with a key v1's bloom ruled 'definitely absent': the probe
+    // cache must not keep serving the old sidecar — that is a silent
+    // wrong miss with zero data I/O, the worst failure class a kv store
+    // has (IndexMarker keys its cache by token mtime for the same hole;
+    // the publishing instance voids its own entries up front)
+    st.versions.deleteVersion(1L)
+    st.write(kv("zz" -> "9"), 1L)
+    assert(look("zz") === Seq(Some("9")), "stale bloom served a silent miss")
+    assert(look("a") === Seq(None))
+  }
+
   test("build -> read round-trip preserves the exact pair set") {
     val store = DomainStore.create(scratch("rt"), DomainSpec(4), conf)
     val pairs = Seq("foo" -> "bar", "hot" -> "dog", "biggie" -> "tupac",

@@ -91,6 +91,27 @@ class RamFileSystemSpec extends AnyFunSuite {
     intercept[FileNotFoundException](fs.getFileStatus(new Path("ramfs://t/absent")))
   }
 
+  test("file mtimes advance on every rewrite (the tokenMtime fingerprint)") {
+    // VersionedStore.tokenMtime is the same-version-rebuild cache
+    // fingerprint (IndexMarker keys marker verdicts by it) — a constant
+    // mtime would make it inert on exactly the filesystem memory-format
+    // domains must use, so a ramfs rebuild at the same version id would
+    // serve pre-rebuild cached verdicts
+    val fs = freshFs()
+    put(fs, "ramfs://t/mt/f", "one")
+    val m1 = fs.getFileStatus(new Path("ramfs://t/mt/f")).getModificationTime
+    put(fs, "ramfs://t/mt/f", "two")
+    val m2 = fs.getFileStatus(new Path("ramfs://t/mt/f")).getModificationTime
+    assert(m2 > m1, s"rewrite did not advance mtime ($m1 -> $m2)")
+    // rename stamps the destination fresh (a re-created token must never
+    // alias an older fingerprint)
+    put(fs, "ramfs://t/mt/g", "three")
+    val g1 = fs.getFileStatus(new Path("ramfs://t/mt/g")).getModificationTime
+    assert(fs.rename(new Path("ramfs://t/mt/g"), new Path("ramfs://t/mt/h")))
+    val h = fs.getFileStatus(new Path("ramfs://t/mt/h")).getModificationTime
+    assert(h > g1)
+  }
+
   test("namespaces are per-authority; scoped clear wipes only its own") {
     val fs = freshFs()
     put(fs, "ramfs://t/f", "t-data")
