@@ -182,7 +182,12 @@ private[graft] object IndexDelete {
       // and takedown completeness is about MEMBERSHIP; the band
       // families keep full-entry compare so phash payload drift reads
       // as drift)
-      idLevel: Boolean = false): DataFrame = {
+      idLevel: Boolean = false,
+      // `hasTombstones = false`: the family's publishes can never hold
+      // IndexTombstone rows (the ANN posting lists raise past their cap
+      // instead of dropping), so the tombstone-derivation scan below
+      // would be a guaranteed-empty O(index) job per audit call
+      hasTombstones: Boolean = true): DataFrame = {
     import graft.functions.bytes_utf8
     val spark = expected.sparkSession
     val stored = index.read(spark)
@@ -195,10 +200,12 @@ private[graft] object IndexDelete {
     // the checkpoint pays one tiny job instead (bounded:
     // cap-tombstoned keys only; ContextCleaner-reaped when the caller
     // drops the frame — the prototypePruning precedent)
-    val tombstoned = stored
-      .where(col("cur") === lit(graft.core.IndexTombstone.Value))
-      .select(col("key"))
-      .localCheckpoint(true)
+    val tombstoned =
+      if (!hasTombstones) None
+      else Some(stored
+        .where(col("cur") === lit(graft.core.IndexTombstone.Value))
+        .select(col("key"))
+        .localCheckpoint(true))
     val indexEntries = stored
       .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"), explode(split(col("cur"), ",")).as("raw"))
@@ -207,11 +214,14 @@ private[graft] object IndexDelete {
         (if (idLevel) entryId(col("raw")) else col("raw")).as("entry"))
     // content-derived entries for keys the publish tombstoned are not
     // drift — the cap dropped that bucket's membership knowingly
-    val expectedLive = expected
+    val expectedDistinct = expected
       .select(col("key"), col("rid").as("entry"))
       .where(col("entry").isNotNull)
       .distinct()
-      .join(tombstoned, Seq("key"), "left_anti")
+    val expectedLive = tombstoned match {
+      case Some(t) => expectedDistinct.join(t, Seq("key"), "left_anti")
+      case None => expectedDistinct
+    }
     indexEntries.withColumn("_i", lit(true))
       .join(expectedLive.withColumn("_c", lit(true)), Seq("key", "entry"), "full_outer")
       .where(col("_i").isNull || col("_c").isNull)

@@ -701,17 +701,6 @@ object Similarity {
   }
 
   /**
-   * Global duplicate-id audit for a published ANN index (plain or
-   * PQ-coded): every id must live in exactly ONE cell; a re-ingested
-   * vector that moved cells under an upsert (the corruption a per-cell
-   * posting merge cannot see — see [[ivfPqIndexUpsert]]) surfaces here
-   * as (id, n_cells > 1). One linear read + one count shuffle of
-   * (id, cell) pairs; run it the way [[graft.store.DomainStore.fsck]]
-   * runs after risky maintenance. BLIND by construction to a
-   * takedown-missed REMOVED id (nothing left to duplicate against) —
-   * that direction needs the corpus of record: [[ivfIndexContentAudit]].
-   */
-  /**
    * Stale-entry audit of a PUBLISHED [[ivfIndexKv]] / [[ivfPqIndexKv]]
    * domain against the vector table of record — the takedown-hole
    * detector [[ivfIndexIdAudit]] structurally cannot be: an id REMOVED
@@ -736,10 +725,25 @@ object Similarity {
     IndexDelete.requireIntegralId(corpus, idCol, "ivfIndexContentAudit")
     IndexMarker.requireSpecIn(
       index, Set(IvfIndexType, IvfPqIndexType), "ivfIndexContentAudit")
+    // hasTombstones = false: the ANN builds/upserts RAISE past
+    // maxCellMembers and never publish IndexTombstone rows, so the
+    // tombstone-derivation scan would be a guaranteed-empty O(index) job
     IndexDelete.idAudit(
-      index, ivfKeyRows(corpus, idCol, vecCol, centroids), idLevel = true)
+      index, ivfKeyRows(corpus, idCol, vecCol, centroids),
+      idLevel = true, hasTombstones = false)
   }
 
+  /**
+   * Global duplicate-id audit for a published ANN index (plain or
+   * PQ-coded): every id must live in exactly ONE cell; a re-ingested
+   * vector that moved cells under an upsert (the corruption a per-cell
+   * posting merge cannot see — see [[ivfPqIndexUpsert]]) surfaces here
+   * as (id, n_cells > 1). One linear read + one count shuffle of
+   * (id, cell) pairs; run it the way [[graft.store.DomainStore.fsck]]
+   * runs after risky maintenance. BLIND by construction to a
+   * takedown-missed REMOVED id (nothing left to duplicate against) —
+   * that direction needs the corpus of record: [[ivfIndexContentAudit]].
+   */
   def ivfIndexIdAudit(
       index: graft.store.DomainStore,
       spark: org.apache.spark.sql.SparkSession): DataFrame =
