@@ -71,10 +71,9 @@ private[graft] object IndexMarker {
     * replaced made every 4096th publish pay a burst of re-verification
     * Spark jobs across ALL live domains at once (correctness never
     * depended on a hit either way; this is purely the cost knob). */
-  // defined BEFORE verified: an object-body forward reference to a
-  // non-final val reads its default (0) during init — a cap-0 registry
-  // would silently evict every entry
-  private val MaxCached = 4096
+  // `final val` (literal) = compile-time constant, immune to the
+  // object-body forward-reference default-0 hazard regardless of order
+  private final val MaxCached = 4096
 
   private val verified =
     new graft.core.LruRegistry[(String, Long, Long, String), Option[String]](MaxCached)

@@ -80,10 +80,11 @@ object KvDomainV2 {
   // falls back to the default-conf manifest read — identical to a
   // direct (never registered) spark.read of that version: exotic-FS
   // confs fail LOUD there, never silently.
-  // defined BEFORE the registries that take it: an object-body forward
-  // reference to a non-final val reads its DEFAULT (0) during init — a
-  // cap-0 registry silently evicts every entry (every access a miss)
-  private val MaxCachedVersionDirs = 4096
+  // `final val` (literal, untyped) = a compile-time constant inlined at
+  // use sites, so declaration order can never matter: a plain val here
+  // once read as its uninitialized DEFAULT (0) through an object-body
+  // forward reference — a cap-0 registry silently evicts every entry
+  private final val MaxCachedVersionDirs = 4096
 
   private val confs =
     new graft.core.LruRegistry[String, Seq[(String, String)]](MaxCachedVersionDirs)
@@ -109,24 +110,44 @@ object KvDomainV2 {
   // version dir, so past MaxCachedVersionDirs the OLDEST-accessed
   // entries evict ([[graft.core.LruRegistry]]) — a later miss just re-reads the
   // manifest.
+  // Entries carry the version TOKEN's mtime as a freshness stamp (the
+  // VersionedStore.tokenMtime discipline): the registry is JVM-GLOBAL,
+  // so an in-contract same-id delete+rebuild — which re-creates the
+  // token — must not keep serving the OLD build's memoized link map to
+  // catalog/direct readers (silent stale reads from still-retained
+  // origin dirs; FileNotFoundException once GC reaps them). One token
+  // stat per linkedDirsFor call; the planning loops call it once per
+  // scan, never per shard.
   private val links =
-    new graft.core.LruRegistry[String, Map[Int, String]](MaxCachedVersionDirs)
+    new graft.core.LruRegistry[String, (Long, Map[Int, String])](MaxCachedVersionDirs)
 
-  def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit =
-    links.put(versionDir, shardDirs)
+  private def tokenStamp(vd: Path, fs: org.apache.hadoop.fs.FileSystem): Long =
+    try fs.getFileStatus(new Path(vd.getParent, vd.getName + ".version"))
+      .getModificationTime
+    catch { case _: java.io.FileNotFoundException => -1L } // no token (building/legacy)
 
-  private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] =
-    links.getOrElseUpdate(versionDir) { vd =>
-      val p = new Path(vd)
-      val resolved = graft.store.VersionedStore
-        .readLinks(p.getFileSystem(rebuild(confFor(vd))), p)
-      resolved.map { case (s, origin) =>
-        s -> new Path(new Path(p.getParent, origin.toString), s"shard=$s").toString
-      }
+  def registerLinks(versionDir: String, shardDirs: Map[Int, String]): Unit = {
+    val vd = new Path(versionDir)
+    links.put(versionDir,
+      (tokenStamp(vd, vd.getFileSystem(rebuild(confFor(versionDir)))), shardDirs))
+  }
+
+  private[sources] def linkedDirsFor(versionDir: String): Map[Int, String] = {
+    val vd = new Path(versionDir)
+    val fs = vd.getFileSystem(rebuild(confFor(versionDir)))
+    val stamp = tokenStamp(vd, fs)
+    links.get(versionDir) match {
+      case Some((cached, m)) if cached == stamp => m
+      case _ =>
+        val resolved = graft.store.VersionedStore.readLinks(fs, vd).map {
+          case (sh, origin) =>
+            sh -> new Path(new Path(vd.getParent, origin.toString), s"shard=$sh").toString
+        }
+        links.put(versionDir, (stamp, resolved))
+        resolved
     }
+  }
 
-  private[sources] def shardDirFor(versionDir: String, shard: Int): String =
-    linkedDirsFor(versionDir).getOrElse(shard, s"$versionDir/shard=$shard")
 
   /** The kv data-file suffix — ONE definition, derived from the format's
     * canonical file name so it cannot drift from [[KvFile]]. */
@@ -526,8 +547,13 @@ class KvDomainScan(
       (if (keyRange.isUnbounded) "" else s" keyRange=$keyRange") +
       limit.fold("")(l => s" limit=$l")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    shards.map(s => KvShardInputPartition(s, KvDomainV2.shardDirFor(versionDir, s))).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // resolve links ONCE per plan (one token stat + one registry probe),
+    // not once per shard
+    val dirs = KvDomainV2.linkedDirsFor(versionDir)
+    shards.map(s =>
+      KvShardInputPartition(s, dirs.getOrElse(s, s"$versionDir/shard=$s"))).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     KvDomainReaderFactory(
@@ -573,10 +599,11 @@ class KvDomainScan(
 
   private lazy val (totalBytes, totalRows): (Long, Long) = {
     val conf = KvDomainV2.rebuild(KvDomainV2.confFor(versionDir))
+    val dirs = KvDomainV2.linkedDirsFor(versionDir)
     var bytes = 0L
     var rows = 0L
     shards.foreach { s =>
-      val d = new Path(KvDomainV2.shardDirFor(versionDir, s))
+      val d = new Path(dirs.getOrElse(s, s"$versionDir/shard=$s"))
       val fs = d.getFileSystem(conf)
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         if (st.getPath.getName.endsWith(KvDomainV2.Suffix)) {

@@ -22,6 +22,44 @@ class KvDomainV2Spec extends SparkSuite {
     store
   }
 
+  test("links registry: a same-id delete+rebuild is a registry miss (token-mtime stamp)") {
+    import spark.implicits._
+    val conf = new Configuration()
+    val store = DomainStore.create(
+      scratch("kvv2/links-stamp"),
+      DomainSpec(numShards = 4, persistenceFormat = DomainSpec.KvSorted), conf)
+    def kv(pairs: (Long, String)*) = pairs.toDF("k", "v").select(
+      graft.functions.long_be(col("k")).as("key"),
+      graft.functions.utf8_bytes(col("v")).as("value"))
+    // DIRECT DSv2 reads: unlike readPartitioned (which re-registers the
+    // resolved links on every call, masking the hole), a direct
+    // spark.read / catalog read resolves links from the JVM-GLOBAL
+    // registry alone — the path where a stale memoized map silently
+    // serves the pre-rebuild rows
+    def pairsAt(v: Long): Set[(Long, String)] =
+      spark.read
+        .format(classOf[graft.sources.KvDomainTableProvider].getName)
+        .option("path", store.versions.versionPath(v).toString)
+        .option("shards", "4")
+        .load()
+        .select(graft.functions.be_long(col("key")), graft.functions.bytes_utf8(col("value")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    store.write(kv(1L -> "one", 2L -> "two"), 1L)
+    // a LINKED upsert; the direct read memoizes v2's link map into the
+    // JVM-global registry
+    store.upsert(spark, kv(1L -> "one-b"), 2L, linked = true)
+    assert(pairsAt(2L) === Set(1L -> "one-b", 2L -> "two"))
+    // delete + rebuild v2 as a FULL build (token re-created): the next
+    // direct read must plan against the new physical dirs — the old
+    // memoized links (pointing shards at v1) must read as a registry
+    // MISS via the token-mtime stamp, or this scan silently serves the
+    // pre-rebuild rows from v1's still-retained dirs
+    store.versions.deleteVersion(2L)
+    store.write(kv(9L -> "nine"), 2L)
+    assert(pairsAt(2L) === Set(9L -> "nine"),
+      "stale link map served the pre-rebuild version")
+  }
+
   // AQE hides exchanges inside QueryStageExec nodes, which collect() does
   // not descend into — inspect the FINAL adaptive plan's rendering (the
   // part before "== Initial Plan =="), where every stage's subtree shows.
