@@ -72,6 +72,18 @@ class ProtocolError(Exception):
     field arrived out of bounds): the connection cannot realign."""
 
 
+class VersionStraddleError(ProtocolError):
+    """A versioned operation kept observing different served versions
+    across its frames/pages (the host is mid-publish): the CONNECTION
+    is fine and the condition is transient — retry when the roll
+    settles, or fail over to another replica. Subclasses ProtocolError
+    so callers that treat every protocol anomaly as loud are
+    unaffected; ring-level callers catch this one specifically and
+    route it to the failover/re-scatter path (the JVM twin throws
+    IllegalStateException there, which RingClient's generic failover
+    already absorbs — this class is the python parity seam)."""
+
+
 class RemoteServingError(Exception):
     """An execution failure reported by the serving side (unknown
     domain, wrong-host probe, closed reader) — the remote twin of the
@@ -296,7 +308,7 @@ class GraftClient:
             versions = {v for lo, hi, _ in framed for v in (lo, hi)}
             if len(framed) == 1 or len(versions) == 1:
                 return [r for _, _, rs in framed for r in rs]
-        raise ProtocolError(
+        raise VersionStraddleError(
             f"chunked multi_get of {len(keys)} keys kept straddling version swaps")
 
     @staticmethod
@@ -435,7 +447,8 @@ class GraftClient:
         v_lo, v_hi, records, truncated = self.range_page(
             from_key, to_key, from_inclusive, to_inclusive, page_records)
         if v_lo != v_hi:
-            raise ProtocolError(f"range page straddled a version swap ({v_lo}->{v_hi})")
+            raise VersionStraddleError(
+                f"range page straddled a version swap ({v_lo}->{v_hi})")
         version = v_lo
         while True:
             yield from records
@@ -451,7 +464,7 @@ class GraftClient:
             v_lo, v_hi, records, truncated = self.range_page(
                 last_key, to_key, False, to_inclusive, page_records)
             if v_lo != v_hi or v_lo != version:
-                raise ProtocolError(
+                raise VersionStraddleError(
                     f"range scan straddled a version swap ({version}->{v_hi})")
 
     def stats(self):
@@ -654,7 +667,7 @@ class GraftClient:
             versions = {v for lo, hi, _ in framed for v in (lo, hi)}
             if len(versions) == 1:
                 return versions.pop(), [r for _, _, rs in framed for r in rs]
-        raise ProtocolError(
+        raise VersionStraddleError(
             f"versioned multi_get of {len(keys)} keys kept straddling version swaps")
 
 

@@ -48,7 +48,7 @@ import random
 import sys
 import threading
 
-from graft_client import GraftClient, ProtocolError
+from graft_client import GraftClient, ProtocolError, VersionStraddleError
 
 
 def shard_index(key, num_shards):
@@ -374,6 +374,14 @@ class GraftRing:
                 try:
                     v, vals = self._stubs[host].multi_get_versioned(
                         [k for k, _ in group])
+                except VersionStraddleError:
+                    # alive but republishing so fast its own frame stamps
+                    # never agreed — the same mid-roll signal as an
+                    # explicit other-version answer: try the next replica,
+                    # and if none certifies, re-scatter (never loud — one
+                    # busy host must not abort the whole ring admission)
+                    wrong_version = True
+                    continue
                 except ProtocolError:
                     raise  # wrong service: loud, not failover
                 except Exception as e:
@@ -434,6 +442,9 @@ class GraftRing:
                     try:
                         mv, recs = self._stubs[h2].multi_get_versioned(
                             [FP_TYPE_MARKER_KEY])
+                    except VersionStraddleError as e:
+                        last = e  # mid-roll marker read: next replica
+                        continue
                     except ProtocolError:
                         raise
                     except Exception as e:
@@ -474,6 +485,8 @@ class GraftRing:
                         out[i] = v
                     answered = True
                     break
+                except VersionStraddleError as e:
+                    last = e  # mid-roll host: next replica, never loud
                 except ProtocolError:
                     raise  # wrong service: loud, not failover
                 except Exception as e:

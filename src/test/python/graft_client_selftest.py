@@ -40,8 +40,71 @@ def utf_roundtrips():
           b"\xed\xa0\xbd\xed\xb8\x80", "supplementary must encode as CESU-8")
 
 
+def ring_straddle_routing_unit():
+    """Pure-unit pin (no server): a replica that keeps straddling version
+    swaps (VersionStraddleError — its own retries exhausted mid-roll) is
+    a FAILOVER signal at ring level, never a loud abort; a genuine
+    protocol violation stays loud. The JVM parity seam: RemoteKvReader
+    throws IllegalStateException there, which RingClient's generic
+    failover absorbs."""
+    from graft_client import ProtocolError, VersionStraddleError
+    from graft_ring import GraftRing
+
+    def fake_ring(stubs):
+        r = GraftRing.__new__(GraftRing)
+        r._stubs = stubs
+        r.num_shards = 1
+        r._shard_hosts = {0: sorted(stubs)}
+        r.domain = "users"
+        return r
+
+    class Stub:
+        def __init__(self, versioned=None, plain=None):
+            self._v, self._p = versioned, plain
+
+        def multi_get_versioned(self, keys):
+            if isinstance(self._v, Exception):
+                raise self._v
+            return self._v
+
+        def multi_get(self, keys):
+            if isinstance(self._p, Exception):
+                raise self._p
+            return self._p
+
+    straddle = VersionStraddleError("kept straddling version swaps")
+    # one straddling replica + one healthy: the batch answers (failover)
+    ring = fake_ring({"hA": Stub(versioned=straddle, plain=straddle),
+                      "hB": Stub(versioned=(7, [b"v"]), plain=[b"v"])})
+    check(ring._ring_multi_get_versioned([b"k"]) == (7, [b"v"]),
+          "straddling replica must fail over, not abort the admission")
+    check(ring.multi_get([b"k"]) == [b"v"], "plain multi_get must fail over too")
+    # EVERY replica straddling = the ring is mid-roll: re-scatter (None),
+    # never a loud ProtocolError
+    allbusy = fake_ring({"hA": Stub(versioned=straddle, plain=straddle),
+                         "hB": Stub(versioned=straddle, plain=straddle)})
+    check(allbusy._ring_multi_get_versioned([b"k"]) is None,
+          "an all-straddling ring is mid-roll: the caller re-scatters")
+    try:
+        allbusy.multi_get([b"k"])
+        check(False, "all-straddling plain multi_get must raise ConnectionError")
+    except ConnectionError:
+        pass
+    # a genuine frame violation stays loud naming the condition
+    broken = fake_ring({"hA": Stub(versioned=ProtocolError("status byte 9")),
+                        "hB": Stub(versioned=(7, [b"v"]))})
+    try:
+        broken._ring_multi_get_versioned([b"k"])
+        check(False, "a wrong-protocol peer must stay loud")
+    except VersionStraddleError:
+        check(False, "a wrong-protocol peer must stay loud")
+    except ProtocolError:
+        pass
+
+
 def main(host, port, hit_texts=()):
     utf_roundtrips()
+    ring_straddle_routing_unit()
 
     with GraftClient(host, port) as census:
         names = census.domains()
