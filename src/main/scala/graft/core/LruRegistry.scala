@@ -19,6 +19,9 @@ private[graft] final class LruRegistry[K, V](cap: Int) {
   }
   def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
   def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+  // targeted invalidation (same-id rebuilds / failed-publish cleanup
+  // void exactly one version's entry — never the whole registry)
+  def remove(k: K): Unit = m.synchronized { m.remove(k); () }
   // compute OUTSIDE the lock (f may run Spark jobs / filesystem reads);
   // idempotent recomputation on a race is the documented trade
   def getOrElseUpdate(k: K)(f: K => V): V = get(k) match {

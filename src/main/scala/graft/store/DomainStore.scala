@@ -52,18 +52,19 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * (buildIndex over an unpublished version) can never see a stale
     * pre-write cache. Bounded like IndexMarker.verified: a perpetual
     * linked streaming publisher accretes one ~numShards-entry map per
-    * micro-batch version, so the cache clears past
-    * [[DomainStore.MaxCachedLinkVersions]] — correctness never depends
-    * on a hit (a miss re-reads the manifest). */
+    * micro-batch version, so the cache is a [[graft.core.LruRegistry]]
+    * capped at [[DomainStore.MaxCachedLinkVersions]] — oldest-accessed
+    * entries evict one by one (never a wholesale clear that would burst
+    * manifest re-reads across ALL live versions every cap crossing);
+    * correctness never depends on a hit (a miss re-reads the manifest,
+    * and a racing recompute is idempotent — published versions are
+    * immutable). */
   private val linksCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, Map[Int, Long]]()
+    new graft.core.LruRegistry[Long, Map[Int, Long]](DomainStore.MaxCachedLinkVersions)
 
-  private[store] def linksOf(version: Long): Map[Int, Long] = {
-    if (linksCache.size > DomainStore.MaxCachedLinkVersions) linksCache.clear()
-    linksCache.computeIfAbsent(
-      version,
+  private[store] def linksOf(version: Long): Map[Int, Long] =
+    linksCache.getOrElseUpdate(version)(
       v => VersionedStore.readLinks(root.getFileSystem(conf), versions.versionPath(v)))
-  }
 
   /** Void this instance's per-version caches before (re)building
     * `version`: a same-id delete+rebuild (the flow
@@ -1602,7 +1603,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       host: String,
       maxKBps: Option[Int] = None,
       keepLocalVersions: Int = 2,
-      keepFloor: Long = -1L): DomainStore.LocalizeDelta = {
+      keepFloor: Long = -1L,
+      // `cleanupLocal = false`: pull and publish but run NO local reap
+      // this roll — the conservative fallback when the caller could not
+      // learn the served-version floor (RingClient.updateRing's probe
+      // failed): skipping one reap only accretes disk until the next
+      // successful roll, while a floor-less cleanup can reap the version
+      // a stalled reader still serves (every in-flight lookup then dies
+      // until refresh lands)
+      cleanupLocal: Boolean = true): DomainStore.LocalizeDelta = {
     require(versions.isPublished(version), s"version $version not published under $root")
     require(keepLocalVersions >= 2,
       s"keepLocalVersions must be >= 2 (the previous version is the reuse " +
@@ -1694,7 +1703,8 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         finally out.close()
       }
       localVs.succeedVersion(version)
-      if (keepFloor >= 0) localVs.cleanup(keepLocalVersions, keepFloor)
+      if (!cleanupLocal) () // floor unknown: skip the reap, never un-floor it
+      else if (keepFloor >= 0) localVs.cleanup(keepLocalVersions, keepFloor)
       else localVs.cleanup(keepLocalVersions)
       DomainStore.LocalizeDelta(
         transferred = outcomes.collect { case (s, false) => s }.sorted,

@@ -522,11 +522,18 @@ object RingClient {
       // next roll's cleanup(keepLocalVersions=2) would otherwise reap the
       // version the reader is STILL SERVING — every in-flight lookup then
       // dies on a reaped shard file until the refresh below lands. A host
-      // that cannot answer (down, not yet loaded) floors at -1: failover
-      // owns it, exactly as the construction probes do.
-      val floor = try r.servedVersion catch { case _: Exception => -1L }
+      // that cannot answer the probe (alive-but-slow read timeout, not
+      // yet loaded) gets ONE retry, then the CONSERVATIVE fallback: pull
+      // without any local reap this roll (cleanupLocal = false) — a
+      // floor-less cleanup would silently re-open the reap-the-served-
+      // version window the floor exists to close, while a skipped reap
+      // only accretes disk until the next successful roll.
+      val floor =
+        try Some(r.servedVersion) catch { case _: Exception =>
+          try Some(r.servedVersion) catch { case _: Exception => None } }
       val delta = store.localizeVersionForHost(
-        version, hostRoots(host), ring, host, maxKBps, keepFloor = floor)
+        version, hostRoots(host), ring, host, maxKBps,
+        keepFloor = floor.getOrElse(-1L), cleanupLocal = floor.isDefined)
       r.refresh()
       // the pull succeeded and refresh() returned — but refresh() only
       // reports "swapped vs already-newest", not WHICH version: a host

@@ -107,4 +107,67 @@ class RingUpdateSpec extends SparkSuite {
       }
     } finally client.close()
   }
+
+  /** A delegate whose served-version PROBE fails its first `failFirst`
+    * calls (alive-but-slow read timeout), then recovers — the ADVICE
+    * scenario: the floor probe must not silently degrade to a
+    * floor-less cleanup. */
+  private final class FlakyProbeReader(inner: ServingReader, failFirst: Int)
+      extends ServingReader {
+    private var calls = 0
+    def numShards: Int = inner.numShards
+    def servedVersion: Long = {
+      calls += 1
+      if (calls <= failFirst)
+        throw new java.io.IOException(s"served-version probe timed out (call $calls)")
+      inner.servedVersion
+    }
+    def get(key: Array[Byte]): Option[Array[Byte]] = inner.get(key)
+    def multiGet(keys: Seq[Array[Byte]]): IndexedSeq[Option[Array[Byte]]] =
+      inner.multiGet(keys)
+    def count(): Long = inner.count()
+    def canRefresh: Boolean = inner.canRefresh
+    def refresh(): Boolean = inner.refresh()
+    def close(): Unit = inner.close()
+  }
+
+  test("updateRing floor-probe failure: one retry, then the roll SKIPS the local reap " +
+      "(a floor-less cleanup would reap the version still being served)") {
+    RamFileSystem.clear("ringupdfloor")
+    val store = DomainStore.create(
+      s"ramfs://ringupdfloor/dom", DomainSpec(n, persistenceFormat = DomainSpec.KvSorted), conf)
+    val host = "rF"
+    val ring = ShardRing.generateIndex(Seq(host), n, replication = 1)
+    val root = new Path(scratch("ringupd-floor"))
+    val roots = Map(host -> root)
+    store.write(kvDf(keys.map(k => k -> s"v1-$k")), 1L)
+    store.localizeVersionForHost(1L, root, ring, host)
+    val reader = KvDomainReader.open(root.toString, conf, Some(ring.shardSet(host)))
+    val flaky = new FlakyProbeReader(reader, failFirst = 2) // probe + its one retry
+    val client = new RingClient(ring, Map(host -> (flaky: ServingReader)),
+      rnd = new scala.util.Random(13))
+    try {
+      // build up local {1, 2} with the reader STALLED on v1 (no refresh):
+      // the exact shape where keep-newest-2 slides past the served version
+      store.upsert(spark, kvDf(keys.take(3).map(k => k -> s"v2-$k")), 2L)
+      store.localizeVersionForHost(2L, root, ring, host, keepFloor = 1L)
+      store.upsert(spark, kvDf(keys.take(3).map(k => k -> s"v3-$k")), 3L)
+      assert(reader.servedVersion === 1L, "fixture: reader stalled on v1")
+      RingClient.updateRing(client, store, 3L, ring, roots)
+      val localVs = new VersionedStore(root, conf)
+      // the probe failed (twice): NO reap this roll — v1, the version the
+      // reader was serving when the pull started, must survive (an
+      // un-floored cleanup(keep=2) would have kept only {2, 3})
+      assert(localVs.getAllVersions.toSet === Set(1L, 2L, 3L),
+        "probe-failure roll must skip the local reap entirely")
+      assert(reader.servedVersion === 3L, "the swap itself still happened")
+      // next roll: the probe works again → the floored cleanup resumes
+      // (keep newest 2, floor = served 3) and reaps the backlog
+      store.upsert(spark, kvDf(keys.take(3).map(k => k -> s"v4-$k")), 4L)
+      RingClient.updateRing(client, store, 4L, ring, roots)
+      assert(localVs.getAllVersions.toSet === Set(3L, 4L),
+        "recovered probe must resume the floored reap")
+      assert(reader.servedVersion === 4L)
+    } finally client.close()
+  }
 }
