@@ -1011,11 +1011,15 @@ object Dedup {
       index: graft.store.DomainStore,
       corpus: DataFrame,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      // > 1: the deterministic 1/sampleMod id-hash sweep — detects drift
+      // classes between full audits, can NOT prove takedown completeness
+      // (IndexDelete.idAudit's contract)
+      sampleMod: Long = 1L): DataFrame = {
     IndexDelete.requireIntegralId(corpus, idCol, "bandIndexIdAudit")
     IndexMarker.require(
       index, corpus.sparkSession, BandIndexType, "bandIndexIdAudit", "bandIndexKv")
-    IndexDelete.idAudit(index, bandKeyRows(corpus, idCol, textCol))
+    IndexDelete.idAudit(index, bandKeyRows(corpus, idCol, textCol), sampleMod = sampleMod)
   }
 
   /**
@@ -1341,10 +1345,15 @@ object Dedup {
       textCol: String,
       minLen: Int = 64,
       window: Int = 8,
-      modulus: Int = 16): DataFrame = {
+      modulus: Int = 16,
+      // > 1: the deterministic 1/sampleMod id-hash sweep — detects drift
+      // classes between full audits, can NOT prove takedown completeness
+      // (IndexDelete.idAudit's contract)
+      sampleMod: Long = 1L): DataFrame = {
     IndexDelete.requireIntegralId(corpus, idCol, "fpIndexIdAudit")
     IndexMarker.require(
       index, corpus.sparkSession, SpanIndexType, "fpIndexIdAudit", "fpIndexKv")
-    IndexDelete.idAudit(index, fpKeyRows(corpus, idCol, textCol, minLen, window, modulus))
+    IndexDelete.idAudit(index, fpKeyRows(corpus, idCol, textCol, minLen, window, modulus),
+      sampleMod = sampleMod)
   }
 }

@@ -172,6 +172,22 @@ private[graft] object IndexDelete {
    *
    * Output: (key binary, id string, entry string, kind string) — one row
    * per orphaned entry, kind ∈ stale | unindexed. Empty = consistent.
+   *
+   * `sampleMod > 1` is the CADENCE variant for 100 TB corpora: audit
+   * only the ids whose deterministic hash lands in the 1/sampleMod
+   * sample (`xxhash64(id) % sampleMod == 0` — integer-exact, stable
+   * across runs and engines, independent of id-assignment patterns a
+   * raw `id % m` could align with). Both sides filter by the SAME id
+   * predicate, so the sample is self-consistent: an in-sample id's
+   * drift reports exactly as the full audit would. What it buys: the
+   * corpus re-derivation AND the index explode shrink ~1/sampleMod —
+   * a cheap between-full-audits sweep that detects drift CLASSES
+   * (systemic drift — a broken takedown batch, a re-ingest with
+   * changed normalization — hits in-sample ids with probability
+   * 1 - (1-1/m)^affected). What it can NOT do: prove takedown
+   * completeness — an out-of-sample id's stale entries are invisible
+   * by construction, so sampled-clean ⊬ complete; only the full audit
+   * (sampleMod = 1) certifies a mass takedown.
    */
   def idAudit(
       index: graft.store.DomainStore,
@@ -187,8 +203,17 @@ private[graft] object IndexDelete {
       // IndexTombstone rows (the ANN posting lists raise past their cap
       // instead of dropping), so the tombstone-derivation scan below
       // would be a guaranteed-empty O(index) job per audit call
-      hasTombstones: Boolean = true): DataFrame = {
+      hasTombstones: Boolean = true,
+      sampleMod: Long = 1L): DataFrame = {
     import graft.functions.bytes_utf8
+    require(sampleMod >= 1L,
+      s"idAudit: sampleMod must be >= 1 (1 = full audit), got $sampleMod")
+    // the id-hash sample gate, applied to BOTH sides on the entry's ID
+    // part (never the full entry: an in-sample id's payload drift must
+    // stay visible under full-entry compare)
+    def inSample(id: Column): Column =
+      if (sampleMod == 1L) lit(true)
+      else pmod(xxhash64(id), lit(sampleMod)) === 0L
     val spark = expected.sparkSession
     val stored = index.read(spark)
       .where(col("key") =!= lit(IndexMarker.Key))
@@ -210,6 +235,7 @@ private[graft] object IndexDelete {
       .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"), explode(split(col("cur"), ",")).as("raw"))
       .where(col("raw") =!= "")
+      .where(inSample(entryId(col("raw"))))
       .select(col("key"),
         (if (idLevel) entryId(col("raw")) else col("raw")).as("entry"))
     // content-derived entries for keys the publish tombstoned are not
@@ -217,6 +243,7 @@ private[graft] object IndexDelete {
     val expectedDistinct = expected
       .select(col("key"), col("rid").as("entry"))
       .where(col("entry").isNotNull)
+      .where(inSample(entryId(col("entry"))))
       .distinct()
     val expectedLive = tombstoned match {
       case Some(t) => expectedDistinct.join(t, Seq("key"), "left_anti")

@@ -562,7 +562,13 @@ object Multimodal {
    * there, not as clean — the stored payload is what the probe's hamming
    * verify reads, so payload drift is drift.
    */
-  def phashIndexIdAudit(index: graft.store.DomainStore, hashes: DataFrame): DataFrame = {
+  def phashIndexIdAudit(
+      index: graft.store.DomainStore,
+      hashes: DataFrame,
+      // > 1: the deterministic 1/sampleMod id-hash sweep — detects drift
+      // classes between full audits, can NOT prove takedown completeness
+      // (IndexDelete.idAudit's contract)
+      sampleMod: Long = 1L): DataFrame = {
     requireIntegralMediaId(hashes, "phashIndexIdAudit")
     IndexMarker.require(
       index, hashes.sparkSession, PhashIndexType, "phashIndexIdAudit", "phashIndexKv")
@@ -570,7 +576,7 @@ object Multimodal {
     // — phashBucketKey/phashEntry are the build's own definitions, so
     // the audit can never drift from the published grammar
     IndexDelete.idAudit(index, phashBandBuckets(hashes).select(
-      phashBucketKey.as("key"), phashEntry.as("rid")))
+      phashBucketKey.as("key"), phashEntry.as("rid")), sampleMod = sampleMod)
   }
 
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =

@@ -1789,11 +1789,16 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Int): DataFrame = {
+      planes: Int,
+      // > 1: the deterministic 1/sampleMod id-hash sweep — detects drift
+      // classes between full audits, can NOT prove takedown completeness
+      // (IndexDelete.idAudit's contract)
+      sampleMod: Long = 1L): DataFrame = {
     IndexDelete.requireIntegralId(corpus, idCol, "semIndexIdAudit")
     IndexMarker.require(
       index, corpus.sparkSession, SemIndexType, "semIndexIdAudit", "semIndexKv")
-    IndexDelete.idAudit(index, semKeyRows(corpus, idCol, vecCol, planes))
+    IndexDelete.idAudit(index, semKeyRows(corpus, idCol, vecCol, planes),
+      sampleMod = sampleMod)
   }
 
   /**

@@ -818,6 +818,46 @@ class OperatorsSpec extends SparkSuite {
     assert(runD(dup :+ (("k", 4L)), 3)("k")._2 === None)
   }
 
+  test("bounded_collect: sort-based fallback (spill-restore) equals the in-memory path") {
+    // the ONE integration seam the direct buffer pins (BoundedCollectSpec)
+    // don't cross: ObjectAggregationIterator's sort-based fallback
+    // serializes every live buffer into the external sorter and restores
+    // it via deserialize + merge — including the serialize FAST-PATH on
+    // re-spill and the lazy-deserialize discard path on overflowed
+    // reducers. Force it with fallbackThreshold = 1 (every task falls
+    // back after its first group) on an ISOLATED session (newSession:
+    // same context, separate SQLConf — parallel suites unaffected), over
+    // a fixture mixing overflowed, at-cap, and under-cap groups, both
+    // modes. The two paths must agree exactly.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1")
+    val rnd = new scala.util.Random(11)
+    val rows: Seq[(String, Long)] =
+      (1 to 4000).map(_ => (s"hot${rnd.nextInt(40)}", rnd.nextInt(500).toLong)) ++
+        (0 until 30).flatMap(i => (0 until 1 + i % 4).map(j => (s"u$i", j.toLong))) ++
+        (1L to 16L).map(("atcap", _))
+    def run(s: org.apache.spark.sql.SparkSession, distinct: Boolean) = {
+      import s.implicits._
+      LshBuckets.boundedMembers(
+          rows.toDF("k", "id").repartition(8),
+          Seq("k"), col("id").cast("string"), col("id").cast("string"),
+          maxBucket = 16, distinctMembers = distinct)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.getSeq[String](2)).map(_.toList))))
+        .toMap
+    }
+    for (distinct <- Seq(false, true)) {
+      val plain = run(spark, distinct)
+      val spilled = run(s2, distinct)
+      assert(spilled === plain, s"distinct=$distinct")
+      // fixture sanity: all three regimes are actually present
+      assert(plain.exists(_._2._2.isEmpty), "no overflowed group in the fixture")
+      assert(plain.exists(kv => kv._2._2.exists(_.size == 16)), "no at-cap group")
+      assert(plain.exists(kv => kv._2._2.exists(_.size < 16)), "no under-cap group")
+    }
+  }
+
   test("bucket-cap entry points reject a caller-supplied reserved _bsz column") {
     import spark.implicits._
     val bands = Seq((1L, 0, 7L, 99L)).toDF("id", "band", "band_hash", "_bsz")
@@ -1699,6 +1739,61 @@ class OperatorsSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](
       Similarity.semIndexIdAudit(band, emb, "vec_id", "embedding", 3))
     assert(e.getMessage.contains("not 'sem-cell'"), e.getMessage)
+  }
+
+  test("idAudit sampleMod: in-sample drift flagged both directions; " +
+      "out-of-sample invisible (sampled-clean does not prove completeness)") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(30)
+    val mod = 2L
+    // the sample predicate is the audit's own definition — derive the
+    // in/out split with the same expression so the test can't drift
+    def parity(ids: Seq[Long]): Map[Long, Long] =
+      ids.toDF("id").select(col("id"),
+          pmod(xxhash64(col("id").cast("string")), lit(mod)).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val samp = parity(docs.select("doc_id").as[Long].collect().toIndexedSeq)
+    val inS = samp.collectFirst { case (id, h) if h == 0L => id }.get
+    val outS = samp.collectFirst { case (id, h) if h != 0L => id }.get
+    val novelIn = parity(990001L to 990016L)
+      .collectFirst { case (id, h) if h == 0L => id }.get
+    val st = graft.store.DomainStore.create(scratch("ix-audit/sampled"), spec, conf)
+    st.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    // record drifts: two indexed docs leave (one in-sample, one out),
+    // one never-indexed in-sample doc arrives
+    val record = docs
+      .where(col("doc_id") =!= inS && col("doc_id") =!= outS)
+      .unionByName(Seq((novelIn, "a genuinely novel never indexed document text body"))
+        .toDF("doc_id", "text"))
+    def audited(sampleMod: Long): Map[String, Set[String]] =
+      Dedup.bandIndexIdAudit(st, record, "doc_id", "text", sampleMod = sampleMod)
+        .select(col("id"), col("kind")).distinct().collect()
+        .groupBy(_.getString(1)).view.mapValues(_.map(_.getString(0)).toSet).toMap
+    // full audit (sampleMod = 1, the default) sees all three
+    val full = audited(1L)
+    assert(full("stale") === Set(inS.toString, outS.toString), full.toString)
+    assert(full("unindexed") === Set(novelIn.toString), full.toString)
+    // the sampled sweep flags the in-sample drift BOTH directions and is
+    // structurally blind to the out-of-sample stale id — the documented
+    // contract: sampled-clean does not prove takedown completeness
+    val sampled = audited(mod)
+    assert(sampled("stale") === Set(inS.toString),
+      s"out-of-sample stale id $outS must be invisible to the sample: $sampled")
+    assert(sampled("unindexed") === Set(novelIn.toString), sampled.toString)
+    // wrapper passthrough on a second family (phash, full-entry grammar):
+    // a sampled run over a clean record is clean
+    val hashes = (0L until 20L).map(i => (i, i * 37L)).toDF("media_id", "phash")
+    val ph = graft.store.DomainStore.create(scratch("ix-audit/sampled-ph"), spec, conf)
+    ph.write(Multimodal.phashIndexKv(hashes), 1L)
+    assert(Multimodal.phashIndexIdAudit(ph, hashes, sampleMod = 7L).isEmpty)
+    // nonsense sampleMod fails loud
+    val e = intercept[IllegalArgumentException](
+      Dedup.bandIndexIdAudit(st, record, "doc_id", "text", sampleMod = 0L))
+    assert(e.getMessage.contains("sampleMod"), e.getMessage)
   }
 
   test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
