@@ -167,6 +167,31 @@ object PipelineQueries {
         .select(lower(hex(col("key"))).as("fp"),
           col("id").cast("long").as("id"), col("kind"))
     },
+    // The SECOND oracled audit family (phash bands): pipeline_index_audit
+    // proves the shared idAudit ENGINE on the fp-anchor key kernel; this
+    // one proves the family-wrapper COMPOSITION isn't fp-shaped by
+    // accident — a different key grammar (composite (band:int_be,
+    // bucket:long_be) keys vs raw md5), a different entry grammar
+    // (payload-carrying `id:phash` vs plain id, so the FULL-entry compare
+    // path is what's on trial), and the pigeonhole banding chain in
+    // place of anchoring. Same drift construction: a takedown slice
+    // (indexed media with media_id % AuditDropMod == 0) leaves the
+    // record while its entries stay published (`stale`), the
+    // never-indexed delta is in the record (`unindexed`), and the
+    // publish-time cap tombstones are excluded both ways.
+    "pipeline_image_audit" -> { (s, dir) =>
+      val store = imageIndexStore(s, dir)
+      val recordMedia = Multimodal.synthImageMedia(
+        s, Fixtures.table(s, dir, "documents")
+          .where(col("doc_id") % DeltaMod === 0 || col("doc_id") % AuditDropMod =!= 0)
+          .select(col("doc_id")))
+      Multimodal.phashIndexIdAudit(
+          store,
+          Multimodal.imageHashes(s, recordMedia).toDF()
+            .select(col("media_id"), col("phash")))
+        .select(lower(hex(col("key"))).as("fp"),
+          col("id").cast("long").as("id"), col("entry"), col("kind"))
+    },
     // The composed IMAGE filter recipe — the multimodal twin of
     // pipeline_corpus_filter (VERDICT r11 task 5): decode → quality gate
     // (per-row column math, no shuffle) → perceptual near-dup DROP
@@ -781,6 +806,47 @@ object PipelineQueries {
          |SELECT r.fp, r.doc_id AS id, 'unindexed' AS kind
          |FROM rec_live r LEFT JOIN live_idx i ON i.fp = r.fp AND i.doc_id = r.doc_id
          |WHERE i.doc_id IS NULL""".stripMargin,
+    // The phash-family audit replayed in closed form: the shared
+    // PhashBandCtes derive every (band, bucket, id:phash) entry the
+    // corpus of record implies, the index side = the publish's corpus
+    // slice minus its cap tombstones (count > MaxBucket per (band,
+    // bucket) — tombstoned both ways, cap drops are semantics), and the
+    // orphan report = the two anti-joins of the full-outer at FULL-entry
+    // granularity (the join carries phash, so a payload drift would
+    // read as stale + unindexed, never clean). The hex key replays
+    // composite_key(int_be(band), long_be(bucket)) as printf.
+    "pipeline_image_audit" ->
+      s"""WITH ${MmQueries.PhashBandCtes},
+         |bidx AS MATERIALIZED (SELECT media_id, phash, b, bucket FROM bands
+         |  WHERE media_id % $DeltaMod != 0),
+         |btomb AS MATERIALIZED (SELECT b, bucket FROM bidx GROUP BY b, bucket
+         |  HAVING count(*) > ${graft.operators.LshBuckets.MaxBucket}),
+         |live_idx AS MATERIALIZED (
+         |  SELECT i.b, i.bucket, i.media_id, i.phash FROM bidx i
+         |  LEFT JOIN btomb t ON t.b = i.b AND t.bucket = i.bucket
+         |  WHERE t.b IS NULL),
+         |rec_live AS MATERIALIZED (
+         |  SELECT r.b, r.bucket, r.media_id, r.phash FROM bands r
+         |  LEFT JOIN btomb t ON t.b = r.b AND t.bucket = r.bucket
+         |  WHERE (r.media_id % $DeltaMod = 0 OR r.media_id % $AuditDropMod != 0)
+         |    AND t.b IS NULL)
+         |SELECT printf('%08x%016x', i.b, i.bucket) AS fp,
+         |  CAST(i.media_id AS BIGINT) AS id,
+         |  CAST(i.media_id AS VARCHAR) || ':' || CAST(i.phash AS VARCHAR) AS entry,
+         |  'stale' AS kind
+         |FROM live_idx i LEFT JOIN rec_live r
+         |  ON i.b = r.b AND i.bucket = r.bucket
+         |    AND i.media_id = r.media_id AND i.phash = r.phash
+         |WHERE r.media_id IS NULL
+         |UNION ALL
+         |SELECT printf('%08x%016x', r.b, r.bucket) AS fp,
+         |  CAST(r.media_id AS BIGINT) AS id,
+         |  CAST(r.media_id AS VARCHAR) || ':' || CAST(r.phash AS VARCHAR) AS entry,
+         |  'unindexed' AS kind
+         |FROM rec_live r LEFT JOIN live_idx i
+         |  ON i.b = r.b AND i.bucket = r.bucket
+         |    AND i.media_id = r.media_id AND i.phash = r.phash
+         |WHERE i.media_id IS NULL""".stripMargin,
     // The composed image filter replayed end to end: aHash + banding
     // (the shared PhashBandCtes), the keep-min-id drop set (id_b of any
     // hamming <= 3 pair), and the pixel-formula quality gates — one
