@@ -150,6 +150,16 @@ object DebugTakedownShardScale {
     println(s"[takedown-shards] survivor audit: 0 group ids remain, " +
       s"${survivors.getLong(1)} filler entries intact")
 
+    // the TARGETED certification at the same regime: removalAudit
+    // re-derives the removal set's bucket keys and point-probes ONLY
+    // those — the O(removals + affected buckets) per-takedown check,
+    // vs the full-scan bill above (the fsck). Must certify clean here.
+    val certified = timeIt("removalAudit certification") {
+      operators.Dedup.bandIndexRemovalAudit(store, removed, "doc_id", "text").count()
+    }
+    require(certified == 0L,
+      s"removalAudit reports $certified surviving/uncertifiable entries")
+
     // compact re-materializes the head; the GC fixpoint then reaps the
     // whole linked chain — the domain must stay readable throughout
     timeIt("compact(3) re-materialize") { store.compact(3L) }

@@ -1023,6 +1023,27 @@ object Dedup {
   }
 
   /**
+   * Targeted takedown-certification of a PUBLISHED [[bandIndexKv]]
+   * domain ([[IndexDelete.removalAudit]] on the band kernel): pass the
+   * SAME (id, text) rows a [[bandIndexDelete]] consumed and get back
+   * every band entry still naming a removed id (`present` = the
+   * takedown missed it; `tombstoned` = the bucket's membership is
+   * cap-unknown, certify by rebuild). O(removed + affected buckets) —
+   * the post-takedown check; the full [[bandIndexIdAudit]] stays the
+   * drift fsck.
+   */
+  def bandIndexRemovalAudit(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    IndexDelete.requireIntegralId(removed, idCol, "bandIndexRemovalAudit")
+    IndexMarker.require(index, removed.sparkSession, BandIndexType,
+      "bandIndexRemovalAudit", "bandIndexKv")
+    IndexDelete.removalAudit(index, bandKeyRows(removed, idCol, textCol))
+  }
+
+  /**
    * Dedup `incoming` docs against a PUBLISHED [[bandIndexKv]] domain:
    * band the incoming docs, probe the index with hits-only point lookups
    * (`multiGet(includeMisses = false)` — the incoming band keys are a
@@ -1355,5 +1376,30 @@ object Dedup {
       index, corpus.sparkSession, SpanIndexType, "fpIndexIdAudit", "fpIndexKv")
     IndexDelete.idAudit(index, fpKeyRows(corpus, idCol, textCol, minLen, window, modulus),
       sampleMod = sampleMod)
+  }
+
+  /**
+   * Targeted takedown-certification of a PUBLISHED [[fpIndexKv]] domain
+   * ([[IndexDelete.removalAudit]] on the anchored fingerprint kernel —
+   * must be called with the BUILD's minLen/window/modulus): every
+   * fingerprint entry still naming a removed id reports `present`, a
+   * removal mapping to a cap-tombstoned fingerprint reports
+   * `tombstoned` (membership unknown — certify by rebuild). Empty =
+   * the takedown is complete for this removal set, at
+   * O(removed + affected keys) instead of [[fpIndexIdAudit]]'s fsck.
+   */
+  def fpIndexRemovalAudit(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    IndexDelete.requireIntegralId(removed, idCol, "fpIndexRemovalAudit")
+    IndexMarker.require(index, removed.sparkSession, SpanIndexType,
+      "fpIndexRemovalAudit", "fpIndexKv")
+    IndexDelete.removalAudit(
+      index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus))
   }
 }

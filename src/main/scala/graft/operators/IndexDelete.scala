@@ -259,6 +259,81 @@ private[graft] object IndexDelete {
         when(col("_c").isNull, lit("stale")).otherwise(lit("unindexed")).as("kind"))
   }
 
+  /**
+   * Targeted takedown-completeness audit — the third point on the audit
+   * cost/assurance curve:
+   *
+   *  - [[idAudit]] (full): O(index + corpus), proves global consistency
+   *    — the fsck;
+   *  - [[idAudit]] `sampleMod > 1`: ~1/m cost, detects drift CLASSES,
+   *    can NOT prove takedown completeness (out-of-sample entries are
+   *    invisible by construction);
+   *  - `removalAudit`: O(removals + affected buckets), CAN certify
+   *    completeness FOR THE GIVEN removal set — the check you run right
+   *    after a [[publishRemoval]] instead of paying an fsck.
+   *
+   * Takes the SAME (key, rid) rows the takedown consumed (the family
+   * `*KeyRows` kernels — re-derived from the removed members' content),
+   * point-probes exactly those buckets through the store's density-
+   * auto-selected lookup path ([[graft.store.DomainStore.multiGet]],
+   * hits only — shard-pruned, never an O(index) scan), and reports
+   * every stored entry whose id part still names a targeted member:
+   *
+   *  - `present`: the takedown MISSED this entry — it would satisfy a
+   *    probe for the removed content right now;
+   *  - `tombstoned`: the bucket this member maps to is cap-tombstoned
+   *    ([[graft.core.IndexTombstone]]) — its membership is UNKNOWN, so
+   *    this audit cannot certify the member gone (rebuild to recount;
+   *    reported loud instead of silently reading as clean).
+   *
+   * Empty = every targeted member is certifiably absent from every
+   * bucket its content derives — within the standing content-drift
+   * caveat (an entry left by DRIFTED content lives in buckets this
+   * content does not derive; that direction belongs to [[idAudit]]).
+   *
+   * Output: (key binary, id string, entry string, kind string).
+   * The returned plan reads the removal rows through a BOUNDED
+   * ContextCleaner-reaped `localCheckpoint` (O(removals) rows — the same
+   * bill [[publishRemoval]]'s scoped persist pays; re-deriving them
+   * would replan the caller's kernel chain into the probe AND both
+   * report joins): blocks release when the caller drops the frame.
+   */
+  def removalAudit(
+      index: graft.store.DomainStore,
+      removals: DataFrame): DataFrame = {
+    import graft.functions.bytes_utf8
+    val r = removals
+      .select(col("key"), col("rid"))
+      .where(col("rid").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    // hits only: an absent bucket is exactly what a complete takedown
+    // leaves behind (emptied cells are ABSENT, never empty strings)
+    val hits = index
+      .multiGet(r.select(col("key")).distinct(), includeMisses = false)
+      .select(col("key"), bytes_utf8(col("value")).as("cur"))
+    val tombstonedKeys = hits
+      .where(col("cur") === lit(graft.core.IndexTombstone.Value))
+      .select(col("key"))
+    val present = hits
+      .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
+      .select(col("key"), explode(split(col("cur"), ",")).as("entry"))
+      .where(col("entry") =!= "")
+      .select(col("key"), col("entry"), entryId(col("entry")).as("eid"))
+      // the certification join: a stored entry reports iff ITS bucket and
+      // ITS id were targeted — (key, id) rows both sides, the same
+      // row-not-buffer rule as the takedown itself
+      .join(r.select(col("key"), col("rid").as("eid")), Seq("key", "eid"), "left_semi")
+      .select(col("key"), entryId(col("entry")).as("id"), col("entry"),
+        lit("present").as("kind"))
+    val uncertifiable = r
+      .join(tombstonedKeys, Seq("key"), "left_semi")
+      .select(col("key"), col("rid").as("id"),
+        lit(graft.core.IndexTombstone.Value).as("entry"),
+        lit("tombstoned").as("kind"))
+    present.unionByName(uncertifiable)
+  }
+
   /** (key, rid) removal rows derived from a family's BUILT index frame —
     * the adapter for direct callers who hold a build output rather than
     * the pre-aggregation key rows (the in-repo delete wrappers derive

@@ -579,6 +579,29 @@ object Multimodal {
       phashBucketKey.as("key"), phashEntry.as("rid")), sampleMod = sampleMod)
   }
 
+  /**
+   * Targeted takedown-certification of a PUBLISHED [[phashIndexKv]]
+   * domain ([[IndexDelete.removalAudit]] on the pigeonhole band kernel):
+   * pass the removed media's (media_id, phash) rows and get back every
+   * band entry still naming a removed id (`present`; the id JOIN is on
+   * the entry's id part, so it certifies membership regardless of
+   * payload — a payload-drifted survivor still reports) or mapping to a
+   * cap-tombstoned bucket (`tombstoned` — membership unknown, certify
+   * by rebuild). O(removed + affected buckets); [[phashIndexIdAudit]]
+   * stays the drift fsck.
+   */
+  def phashIndexRemovalAudit(
+      index: graft.store.DomainStore,
+      hashes: DataFrame): DataFrame = {
+    requireIntegralMediaId(hashes, "phashIndexRemovalAudit")
+    IndexMarker.require(index, hashes.sparkSession, PhashIndexType,
+      "phashIndexRemovalAudit", "phashIndexKv")
+    // removal rows carry the plain media_id as rid (the delete's own
+    // contract — phashKeyRows): the engine joins stored entries by id
+    // part, so `id:phash` payloads need not match the content in hand
+    IndexDelete.removalAudit(index, phashKeyRows(hashes))
+  }
+
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val img = decodeImage(r)

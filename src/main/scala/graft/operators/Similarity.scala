@@ -721,7 +721,11 @@ object Similarity {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
+      centroids: Array[Array[Double]],
+      // > 1: the deterministic 1/sampleMod id-hash sweep — detects drift
+      // classes between full audits, can NOT prove takedown completeness
+      // (IndexDelete.idAudit's contract)
+      sampleMod: Long = 1L): DataFrame = {
     IndexDelete.requireIntegralId(corpus, idCol, "ivfIndexContentAudit")
     IndexMarker.requireSpecIn(
       index, Set(IvfIndexType, IvfPqIndexType), "ivfIndexContentAudit")
@@ -730,7 +734,7 @@ object Similarity {
     // tombstone-derivation scan would be a guaranteed-empty O(index) job
     IndexDelete.idAudit(
       index, ivfKeyRows(corpus, idCol, vecCol, centroids),
-      idLevel = true, hasTombstones = false)
+      idLevel = true, hasTombstones = false, sampleMod = sampleMod)
   }
 
   /**
@@ -1802,6 +1806,26 @@ object Similarity {
   }
 
   /**
+   * Targeted takedown-certification of a PUBLISHED [[semIndexKv]] domain
+   * ([[IndexDelete.removalAudit]] on the hyperplane cell kernel — the
+   * build's `planes`): every cell entry still naming a removed id
+   * reports `present`, a removal mapping to a cap-tombstoned cell
+   * reports `tombstoned`. O(removed + affected cells);
+   * [[semIndexIdAudit]] stays the drift fsck.
+   */
+  def semIndexRemovalAudit(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int): DataFrame = {
+    IndexDelete.requireIntegralId(removed, idCol, "semIndexRemovalAudit")
+    IndexMarker.require(index, removed.sparkSession, SemIndexType,
+      "semIndexRemovalAudit", "semIndexKv")
+    IndexDelete.removalAudit(index, semKeyRows(removed, idCol, vecCol, planes))
+  }
+
+  /**
    * Takedown from a PUBLISHED ANN index domain — [[ivfIndexKv]] (plain
    * posting lists) and [[ivfPqIndexKv]] (`id:codes` entries) both:
    * assign the removed vectors to their cells under the SAME quantizer
@@ -1834,6 +1858,28 @@ object Similarity {
     // domain too (removal needs only cell + id, codes are irrelevant)
     IndexDelete.publishRemoval(
       index, ivfKeyRows(removed, idCol, vecCol, centroids), newVersion, linked = linked)
+  }
+
+  /**
+   * Targeted takedown-certification of a PUBLISHED [[ivfIndexKv]] /
+   * [[ivfPqIndexKv]] domain ([[IndexDelete.removalAudit]] on the
+   * assignment kernel — MUST be the build's `centroids`): every posting
+   * entry still naming a removed id reports `present` (id-part join, so
+   * the PQ `id:codes` payload is irrelevant — membership is the claim).
+   * The ANN publishes raise past their cap instead of tombstoning, so
+   * `tombstoned` rows cannot occur here. O(removed + affected cells);
+   * [[ivfIndexContentAudit]] stays the drift fsck.
+   */
+  def ivfIndexRemovalAudit(
+      index: graft.store.DomainStore,
+      removed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    IndexDelete.requireIntegralId(removed, idCol, "ivfIndexRemovalAudit")
+    IndexMarker.requireSpecIn(
+      index, Set(IvfIndexType, IvfPqIndexType), "ivfIndexRemovalAudit")
+    IndexDelete.removalAudit(index, ivfKeyRows(removed, idCol, vecCol, centroids))
   }
 
   /**

@@ -27,6 +27,13 @@ object PipelineQueries {
     * record while their entries stay published — the stale direction.
     * Coprime with DeltaMod so the slice is non-degenerate. */
   val AuditDropMod = 7
+
+  /** pipeline_takedown_audit's not-removed audit slice: indexed docs
+    * with doc_id % TakedownExtraMod == 0 are audited WITHOUT having been
+    * taken down, so their entries report `present` (a nonzero result
+    * proving the probe path) while the genuinely-removed AuditDropMod
+    * slice certifies clean. Coprime with DeltaMod and AuditDropMod. */
+  val TakedownExtraMod = 11
   // pipeline_media_filter's quality gates: minimum pixel area and minimum
   // mean byte value (byte_sum >= area * MinMeanByte). Both replayed in
   // closed form by the oracle over the synthetic pixel formula.
@@ -166,6 +173,33 @@ object PipelineQueries {
           modulus = DedupQueries.SubstringModulus)
         .select(lower(hex(col("key"))).as("fp"),
           col("id").cast("long").as("id"), col("kind"))
+    },
+    // The TARGETED TAKEDOWN-CERTIFICATION as a contract query
+    // (IndexDelete.removalAudit — the O(removals) completeness proof the
+    // sampled idAudit explicitly cannot give), end to end through a REAL
+    // takedown: the fixture store publishes v1 (the fp index over the
+    // corpus slice) then a LINKED publishRemoval v2 of the AuditDropMod
+    // slice, and the audit targets that removed slice PLUS a
+    // never-removed TakedownExtraMod slice. The removed ids certify
+    // clean (their entries are gone — zero rows), the never-removed ids'
+    // surviving entries report `present` (the nonzero half proving the
+    // point-probe + id-join path), and any targeted id mapping to a
+    // cap-tombstoned fingerprint reports `tombstoned` (membership
+    // unknown — loud, never silently clean). The oracle replays
+    // anchoring, the cap, the takedown subtraction, and both report
+    // joins in closed form.
+    "pipeline_takedown_audit" -> { (s, dir) =>
+      val store = takedownIndexStore(s, dir)
+      val audit = Fixtures.table(s, dir, "documents")
+        .where(col("doc_id") % DeltaMod =!= 0 &&
+          (col("doc_id") % AuditDropMod === 0 ||
+            col("doc_id") % TakedownExtraMod === 0))
+      Dedup.fpIndexRemovalAudit(store, audit, "doc_id", "text",
+          minLen = DedupQueries.SubstringMinLen,
+          window = DedupQueries.SubstringWindow,
+          modulus = DedupQueries.SubstringModulus)
+        .select(lower(hex(col("key"))).as("fp"),
+          col("id").cast("long").as("id"), col("entry"), col("kind"))
     },
     // The SECOND oracled audit family (phash bands): pipeline_index_audit
     // proves the shared idAudit ENGINE on the fp-anchor key kernel; this
@@ -429,6 +463,36 @@ object PipelineQueries {
           window = DedupQueries.SubstringWindow,
           modulus = DedupQueries.SubstringModulus),
         version = 1L)
+    }
+  }
+
+  /** The BUILD + TAKEDOWN halves of pipeline_takedown_audit: v1 = the
+    * fp index over the corpus slice (spanIndexStore's kernel/params,
+    * its own root — the shared span fixture must keep serving v1 to the
+    * other queries), v2 = a LINKED publishRemoval of the AuditDropMod
+    * slice (the O(affected + delta) takedown publish exercised inside a
+    * contract query). Memoized per sf by Fixtures. */
+  def takedownIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
+    val spec = DomainSpec(
+      numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
+      indexType = Dedup.SpanIndexType,
+      capSemantics = graft.core.DomainSpec.CapTombstoneV1)
+    Fixtures.domain(s, dir, "takedown-fp-index", spec) { (st, sp) =>
+      def indexed = Fixtures.table(sp, dir, "documents")
+        .where(col("doc_id") % DeltaMod =!= 0)
+      st.write(
+        Dedup.fpIndexKv(indexed, "doc_id", "text",
+          minLen = DedupQueries.SubstringMinLen,
+          window = DedupQueries.SubstringWindow,
+          modulus = DedupQueries.SubstringModulus),
+        version = 1L)
+      Dedup.fpIndexDelete(st,
+        indexed.where(col("doc_id") % AuditDropMod === 0),
+        "doc_id", "text", newVersion = 2L,
+        minLen = DedupQueries.SubstringMinLen,
+        window = DedupQueries.SubstringWindow,
+        modulus = DedupQueries.SubstringModulus,
+        linked = true)
     }
   }
 
@@ -806,6 +870,45 @@ object PipelineQueries {
          |SELECT r.fp, r.doc_id AS id, 'unindexed' AS kind
          |FROM rec_live r LEFT JOIN live_idx i ON i.fp = r.fp AND i.doc_id = r.doc_id
          |WHERE i.doc_id IS NULL""".stripMargin,
+    // The targeted takedown-certification replayed in closed form: the
+    // same anchor chain derives the audit slice's (fp, id) rows; the
+    // post-takedown index = the v1 corpus slice minus its cap tombstones
+    // minus the removed AuditDropMod docs' rows (publishRemoval probes
+    // exactly the keys their unchanged text derives, so the subtraction
+    // is per-doc row removal — tombstoned fps stay tombstoned); `present`
+    // = audit rows still in that index (the never-removed
+    // TakedownExtraMod slice), `tombstoned` = audit rows whose
+    // fingerprint the publish capped (membership unknown, '!capped' is
+    // the stored sentinel the engine reports).
+    "pipeline_takedown_audit" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, greatest(length(text) - ${DedupQueries.SubstringMinLen - 1}, 0) + 1)) AS i
+         |  FROM documents WHERE length(text) >= ${DedupQueries.SubstringMinLen}),
+         |anch AS (
+         |  SELECT doc_id, md5(substr(text, CAST(i AS INT), ${DedupQueries.SubstringMinLen})) AS fp
+         |  FROM pos
+         |  WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(c) AS BIGINT) FOR c IN
+         |        list_filter(string_split(substr(text, CAST(i AS INT), ${DedupQueries.SubstringWindow}), ''), x -> x != '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) % ${DedupQueries.SubstringModulus} = 0),
+         |f AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM anch),
+         |fidx AS MATERIALIZED (SELECT doc_id, fp FROM f WHERE doc_id % $DeltaMod != 0),
+         |ftomb AS MATERIALIZED (SELECT fp FROM fidx
+         |        GROUP BY fp HAVING count(*) > ${graft.operators.LshBuckets.MaxBucket}),
+         |idx2 AS MATERIALIZED (SELECT doc_id, fp FROM fidx
+         |        WHERE doc_id % $AuditDropMod != 0
+         |          AND fp NOT IN (SELECT fp FROM ftomb)),
+         |audit AS MATERIALIZED (SELECT doc_id, fp FROM f
+         |        WHERE doc_id % $DeltaMod != 0
+         |          AND (doc_id % $AuditDropMod = 0 OR doc_id % $TakedownExtraMod = 0))
+         |SELECT a.fp, CAST(a.doc_id AS BIGINT) AS id,
+         |  CAST(a.doc_id AS VARCHAR) AS entry, 'present' AS kind
+         |FROM audit a JOIN idx2 e ON e.fp = a.fp AND e.doc_id = a.doc_id
+         |UNION ALL
+         |SELECT a.fp, CAST(a.doc_id AS BIGINT) AS id,
+         |  '${graft.core.IndexTombstone.Value}' AS entry, 'tombstoned' AS kind
+         |FROM audit a JOIN ftomb t ON t.fp = a.fp""".stripMargin,
     // The phash-family audit replayed in closed form: the shared
     // PhashBandCtes derive every (band, bucket, id:phash) entry the
     // corpus of record implies, the index side = the publish's corpus

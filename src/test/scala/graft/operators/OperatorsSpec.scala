@@ -1790,10 +1790,97 @@ class OperatorsSpec extends SparkSuite {
     val ph = graft.store.DomainStore.create(scratch("ix-audit/sampled-ph"), spec, conf)
     ph.write(Multimodal.phashIndexKv(hashes), 1L)
     assert(Multimodal.phashIndexIdAudit(ph, hashes, sampleMod = 7L).isEmpty)
+    // ANN wrapper passthrough (ivfIndexContentAudit rides the same
+    // engine at ID level): a sampled run over a clean record is clean
+    val embS = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(16)
+    val centsS = Similarity.fixedCentroids(4, 64)
+    val ivfS = graft.store.DomainStore.create(
+      scratch("ix-audit/sampled-ivf"),
+      spec.copy(indexType = Similarity.IvfIndexType), conf)
+    ivfS.write(Similarity.ivfIndexKv(embS, "vec_id", "embedding", centsS), 1L)
+    assert(Similarity.ivfIndexContentAudit(
+      ivfS, embS, "vec_id", "embedding", centsS, sampleMod = 5L).isEmpty)
     // nonsense sampleMod fails loud
     val e = intercept[IllegalArgumentException](
       Dedup.bandIndexIdAudit(st, record, "doc_id", "text", sampleMod = 0L))
     assert(e.getMessage.contains("sampleMod"), e.getMessage)
+  }
+
+  test("removalAudit: post-takedown certification clean; missed entries present; " +
+      "tombstoned loud; content-addressed caveat; wrong family refused") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(30)
+    val st = graft.store.DomainStore.create(scratch("rm-audit/band"), spec, conf)
+    st.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val removed = docs.where(col("doc_id") === ids(0) || col("doc_id") === ids(1))
+    // BEFORE the takedown every targeted entry reports present — and ONLY
+    // the targeted ids report (shared buckets never leak other members)
+    val pre = Dedup.bandIndexRemovalAudit(st, removed, "doc_id", "text")
+    val preRows = pre.select(col("id"), col("kind")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(preRows === Set((ids(0).toString, "present"), (ids(1).toString, "present")),
+      preRows.toString)
+    // entry == id for the plain-id band grammar
+    assert(pre.where(col("entry") =!= col("id")).isEmpty)
+    // after the real takedown the SAME audit certifies clean...
+    Dedup.bandIndexDelete(st, removed, "doc_id", "text", 2L)
+    assert(Dedup.bandIndexRemovalAudit(st, removed, "doc_id", "text").isEmpty)
+    // ...and a never-removed id still reports present (the empty result
+    // above is a live certification, not a dead probe)
+    assert(Dedup.bandIndexRemovalAudit(
+        st, docs.where(col("doc_id") === ids(2)), "doc_id", "text")
+      .where(col("kind") === "present").count() > 0)
+    // content-addressed caveat, pinned: a DRIFTED takedown certifies
+    // clean against its own (drifted) content while the content AS
+    // INDEXED surfaces exactly what it missed — certify with the content
+    // of record, use idAudit when content is untrusted
+    val drifted = Seq((ids(2), "completely different drifted takedown text payload"))
+      .toDF("doc_id", "text")
+    Dedup.bandIndexDelete(st, drifted, "doc_id", "text", 3L)
+    assert(Dedup.bandIndexRemovalAudit(st, drifted, "doc_id", "text").isEmpty)
+    assert(Dedup.bandIndexRemovalAudit(
+        st, docs.where(col("doc_id") === ids(2)), "doc_id", "text")
+      .where(col("kind") === "present").count() > 0,
+      "the content-as-indexed audit must surface what the drifted takedown missed")
+    // a removal mapping to a cap-tombstoned bucket is UNCERTIFIABLE and
+    // says so — never silently clean
+    val hotDocs = (1L to 6L).map(i => (i, "identical boilerplate cluster text body " +
+      "shared verbatim by every document here")).toDF("doc_id", "text")
+    val hot = graft.store.DomainStore.create(scratch("rm-audit/hot"), spec, conf)
+    hot.write(Dedup.bandIndexKv(hotDocs, "doc_id", "text", maxBucket = 2), 1L)
+    val tomb = Dedup.bandIndexRemovalAudit(
+      hot, hotDocs.where(col("doc_id") === 1L), "doc_id", "text")
+    assert(tomb.where(col("kind") === "tombstoned").count() > 0)
+    assert(tomb.where(col("kind") === "present").isEmpty)
+    assert(tomb.where(col("entry") =!= lit(graft.core.IndexTombstone.Value)).isEmpty)
+    // ANN family: the id-part join certifies membership over `id:codes`
+    // entries (payload irrelevant), pre-takedown present, post clean
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(24)
+    val cents = Similarity.fixedCentroids(4, 64)
+    val books = Similarity.fixedPqCodebooks(4, 4, 16)
+    val pq = graft.store.DomainStore.create(
+      scratch("rm-audit/pq"), spec.copy(indexType = Similarity.IvfPqIndexType), conf)
+    pq.write(Similarity.ivfPqIndexKv(emb, "vec_id", "embedding", cents, books), 1L)
+    val vGone = emb.orderBy(col("vec_id")).limit(1).collect()(0).getLong(0)
+    val vRemoved = emb.where(col("vec_id") === vGone)
+    val pqPre = Similarity.ivfIndexRemovalAudit(pq, vRemoved, "vec_id", "embedding", cents)
+    assert(pqPre.where(col("kind") === "present").count() > 0)
+    assert(pqPre.select(col("id")).distinct().collect().map(_.getString(0)).toSet
+      === Set(vGone.toString))
+    Similarity.ivfIndexDelete(pq, vRemoved, "vec_id", "embedding", cents, 2L)
+    assert(Similarity.ivfIndexRemovalAudit(
+      pq, vRemoved, "vec_id", "embedding", cents).isEmpty)
+    // wrong-family wiring refused before any probe
+    val e = intercept[IllegalArgumentException](
+      Dedup.fpIndexRemovalAudit(st, docs, "doc_id", "text"))
+    assert(e.getMessage.contains("not 'fp-anchor'"), e.getMessage)
   }
 
   test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
