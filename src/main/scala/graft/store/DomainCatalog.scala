@@ -84,11 +84,20 @@ class DomainCatalog(val root: Path, conf: Configuration) {
   def toDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     metadataAll.map { m =>
+      // the retention-valve gauge rides the status surface (one cached
+      // manifest read per READY domain): linked_pinned_span > retention
+      // window means "compact now" — the ADVICE compaction cadence as a
+      // queryable number instead of operator folklore
+      val fp = m.latestVersion.map(v => domain(m.name).linkFootprint(v))
       (m.name, m.status, m.spec.numShards, m.spec.persistenceFormat,
-        m.latestVersion, m.versions.size, m.failedVersions.size, m.updating)
+        m.latestVersion, m.versions.size, m.failedVersions.size, m.updating,
+        fp.map(_.linkedShards).getOrElse(0),
+        fp.map(_.targetVersions).getOrElse(0),
+        m.latestVersion.flatMap(v => fp.map(_.pinnedSpan(v))).getOrElse(0L))
     }.toDF(
       "domain", "status", "num_shards", "persistence_format",
-      "latest_version", "n_versions", "n_failed_versions", "updating")
+      "latest_version", "n_versions", "n_failed_versions", "updating",
+      "linked_shards", "link_target_versions", "linked_pinned_span")
   }
 
   /** Reference `update`/`updateAll` semantics: readers resolve the newest

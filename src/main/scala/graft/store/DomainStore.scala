@@ -82,6 +82,25 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     }
   }
 
+  /** The version's LINK FOOTPRINT — the retention-valve gauge for
+    * perpetual linked publishing: how many shards ride `_links.json`
+    * (`linkedShards`), how many DISTINCT older versions they point at
+    * (`targetVersions`), and the OLDEST of them (`oldestTarget` — the
+    * link-aware GC fixpoint can never reap past it, so
+    * `version - oldestTarget` is exactly the history a linked head
+    * PINS). All zeros-at-version for a self-contained head. Run
+    * [[compact]] (or streaming `compactEvery`) when the pinned span
+    * exceeds what retention wants — this is that decision's number.
+    * One cached manifest read; zero Spark jobs. */
+  def linkFootprint(version: Long = latestVersion): DomainStore.LinkFootprint = {
+    val links = linksOf(version)
+    val targets = links.values.toSet
+    DomainStore.LinkFootprint(
+      linkedShards = links.size,
+      targetVersions = targets.size,
+      oldestTarget = if (targets.isEmpty) version else targets.min)
+  }
+
   /** THE shard-dir resolution seam: every read path (scans, lookups,
     * audits, stats, transfers) locates shard `s` of `version` through
     * here, so linked and physical shards are indistinguishable to
@@ -1984,6 +2003,14 @@ object DomainStore {
     * from the host's previous local version (hardlink/local copy). Shards
     * assigned but absent in the version (empty) appear in neither. */
   final case class LocalizeDelta(transferred: Seq[Int], reused: Seq[Int])
+
+  /** [[DomainStore.linkFootprint]]'s result: what a linked head still
+    * references — and therefore what the GC fixpoint must keep. */
+  final case class LinkFootprint(
+      linkedShards: Int, targetVersions: Int, oldestTarget: Long) {
+    /** Versions of history this head pins (0 = self-contained). */
+    def pinnedSpan(version: Long): Long = version - oldestTarget
+  }
 
   /** Per-version provenance manifest, `<version>/_origins.json`: for each
     * shard PRESENT in the version, the version id that last REWROTE it.

@@ -73,4 +73,34 @@ object StreamingAnn {
           maxCellMembers = maxCellMembers, linked = linked)
       })
       .start()
+
+  /** The TAKEDOWN side of the streaming ANN cycle — [[ingestStream]]'s
+    * inverse for BOTH posting-list grammars (plain and PQ: removal
+    * needs only cell + id, codes are irrelevant): each micro-batch of
+    * removal requests (the vectors AS INDEXED) publishes one
+    * content-addressed takedown version via
+    * [[Similarity.ivfIndexDelete]] under the SAME build quantizer.
+    * Version/replay protocol as ingest; ingest and takedown feeds onto
+    * one domain must share a version line. Certify with
+    * [[Similarity.ivfIndexRemovalAudit]] over the same rows. */
+  def takedownStream(
+      index: DomainStore,
+      vecStream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
+    vecStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        Similarity.ivfIndexDelete(
+          index, batch, idCol, vecCol, centroids, newVersion = version,
+          linked = linked)
+      })
+      .start()
 }

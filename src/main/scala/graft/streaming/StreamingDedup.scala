@@ -218,4 +218,102 @@ object StreamingDedup {
           linked = linked)
       })
       .start()
+
+  /** The TAKEDOWN side of the streaming updater cycle — the
+    * court-ordered-removal feed, [[growIndexStream]]'s inverse: each
+    * micro-batch of removal requests (doc_id, text — the content AS
+    * INDEXED) publishes ONE content-addressed takedown version
+    * ([[graft.operators.Dedup.bandIndexDelete]]: affected buckets
+    * shrunken, emptied buckets absent, untouched shards copy-forward —
+    * or `_links.json` under `linked`, the perpetual-feed mode). Same
+    * version/replay protocol as the growth streams (replayed newest
+    * no-ops, published non-newest fails loud; grow and takedown feeds
+    * onto ONE domain must share a version line — interleave them behind
+    * one stream, not two racing checkpoints). Certify each takedown
+    * with [[graft.operators.Dedup.bandIndexRemovalAudit]] over the same
+    * removal rows — the O(removals) completeness check; drifted-content
+    * requests need the idAudit fsck instead. */
+  def takedownIndexStream(
+      index: DomainStore,
+      removedStream: DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
+    removedStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        Dedup.bandIndexDelete(index, batch, "doc_id", "text", newVersion = version,
+          linked = linked)
+      })
+      .start()
+
+  /** The FINGERPRINT twin of [[takedownIndexStream]] — geometry params
+    * MUST match the build's (they define the key bytes; a mismatched
+    * takedown probes keys the index never held and silently no-ops:
+    * certify with `fpIndexRemovalAudit` at the same geometry). */
+  def takedownFpIndexStream(
+      index: DomainStore,
+      removedStream: DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16,
+      linked: Boolean = false): StreamingQuery =
+    removedStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Dedup.fpIndexDelete(index, batch, "doc_id", "text",
+          newVersion = version, minLen = minLen, window = window, modulus = modulus,
+          linked = linked)
+      })
+      .start()
+
+  /** The IMAGE twin of [[takedownIndexStream]]: micro-batches of removed
+    * (media_id, phash) rows — the hashes AS INDEXED. */
+  def takedownImageIndexStream(
+      index: DomainStore,
+      hashStream: DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
+    hashStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Multimodal.phashIndexDelete(index, batch, newVersion = version,
+          linked = linked)
+      })
+      .start()
+
+  /** The EMBEDDING twin of [[takedownIndexStream]] — `planes` MUST be
+    * the build's (the cell keys). */
+  def takedownSemIndexStream(
+      index: DomainStore,
+      embStream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
+    embStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        graft.operators.Similarity.semIndexDelete(
+          index, batch, idCol, vecCol, planes = planes, newVersion = version,
+          linked = linked)
+      })
+      .start()
 }

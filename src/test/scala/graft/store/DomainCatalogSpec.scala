@@ -60,6 +60,24 @@ class DomainCatalogSpec extends SparkSuite {
     assert(got.toSeq === Seq(
       ("alpha", "ready", 2, Some(2L), 2),
       ("beta", "loading", 4, None, 0)))
+    // the retention gauge columns: self-contained alpha pins nothing,
+    // unpublished beta reads zeros (no head to gauge)
+    val gauge = spark.sql(
+      """SELECT domain, linked_shards, link_target_versions, linked_pinned_span
+        |FROM graft_domains ORDER BY domain""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(gauge.toSeq === Seq(("alpha", 0, 0, 0L), ("beta", 0, 0, 0L)))
+    // a linked upsert starts pinning: the gauge reports it (v3 carries
+    // enough keys at v2 that the delta's shard leaves the other one
+    // untouched — first publish BOTH shards, then upsert one key)
+    val a2 = DomainStore.open(s"$root/alpha", conf)
+    a2.write(kv("a" -> "2", "c" -> "1", "d" -> "1", "e" -> "1", "f" -> "1"), 3L)
+    a2.upsert(spark, kv("b" -> "3"), 4L, linked = true)
+    val g2 = new DomainCatalog(root, conf).toDf(spark)
+      .where(col("domain") === "alpha")
+      .select(col("linked_shards"), col("link_target_versions"), col("linked_pinned_span"))
+      .collect()(0)
+    assert(g2.getInt(0) > 0 && g2.getInt(1) === 1 && g2.getLong(2) === 1L, g2.toString)
   }
 
   test("isFullyLoaded / isUpdating / updating mirror the reference's shared service") {

@@ -162,8 +162,21 @@ class LinkedPublishSpec extends SparkSuite {
     val expected = readPairs(store)
     val fs = store.root.getFileSystem(conf)
 
+    // the retention-valve gauge reads the pinned history exactly: the
+    // linked head v4 still references v1 (untouched shards), so the GC
+    // fixpoint keeps 3 versions of history — compact is due when this
+    // span exceeds retention
+    val fp = store.linkFootprint()
+    assert(fp.linkedShards > 0 && fp.targetVersions >= 1, fp.toString)
+    assert(fp.oldestTarget === 1L, fp.toString)
+    assert(fp.pinnedSpan(4L) === 3L)
+
     // the batch retention valve: one self-contained copy of the head...
     store.compact(5L)
+    // ...after which the head pins nothing
+    assert(store.linkFootprint() ===
+      DomainStore.LinkFootprint(0, 0, 5L))
+    assert(store.linkFootprint().pinnedSpan(5L) === 0L)
     assert(VersionedStore.readLinks(fs, store.versions.versionPath(5L)).isEmpty,
       "compacted version must carry no links manifest")
     // ...and cleanup(1) reaps the WHOLE old chain (nothing references it)

@@ -358,6 +358,114 @@ class StreamingSpec extends SparkSuite {
     assert(pairs(semIndex) === pairs(semFull) && pairs(semIndex).nonEmpty)
   }
 
+  test("streaming index takedowns converge to rebuilds on survivors; certification clean") {
+    import org.apache.spark.sql.functions._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+    val fsRoot = scratch("tk-root")
+    val fs = new org.apache.hadoop.fs.Path(fsRoot).getFileSystem(conf)
+
+    // band family, LINKED takedown feed; post-takedown certification clean
+    val bandSrc = scratch("tk-band-src"); fs.mkdirs(new org.apache.hadoop.fs.Path(bandSrc))
+    val band = graft.store.DomainStore.create(scratch("tk-band-dom"), spec, conf)
+    band.write(graft.operators.Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    docs.where(col("doc_id") % 3 === 0).coalesce(1).write.parquet(s"$bandSrc/d0")
+    val q1 = StreamingDedup.takedownIndexStream(
+      band, spark.readStream.schema(docs.schema).parquet(s"$bandSrc/*"),
+      baseVersion = 1L, checkpointDir = scratch("tk-band-ckpt"), queryName = "band_tk",
+      linked = true)
+    try q1.awaitTermination() finally q1.stop()
+    val bandFull = graft.store.DomainStore.create(scratch("tk-band-full"), spec, conf)
+    bandFull.write(graft.operators.Dedup.bandIndexKv(
+      docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text"), 1L)
+    assert(pairs(band) === pairs(bandFull) && pairs(band).nonEmpty)
+    assert(graft.operators.Dedup.bandIndexRemovalAudit(
+      band, docs.where(col("doc_id") % 3 === 0), "doc_id", "text").isEmpty)
+
+    // fingerprint family (build geometry threaded through the stream)
+    val fpSrc = scratch("tk-fp-src"); fs.mkdirs(new org.apache.hadoop.fs.Path(fpSrc))
+    val fp = graft.store.DomainStore.create(scratch("tk-fp-dom"), spec, conf)
+    fp.write(graft.operators.Dedup.fpIndexKv(docs, "doc_id", "text"), 1L)
+    docs.where(col("doc_id") % 3 === 0).coalesce(1).write.parquet(s"$fpSrc/d0")
+    val qFp = StreamingDedup.takedownFpIndexStream(
+      fp, spark.readStream.schema(docs.schema).parquet(s"$fpSrc/*"),
+      baseVersion = 1L, checkpointDir = scratch("tk-fp-ckpt"), queryName = "fp_tk")
+    try qFp.awaitTermination() finally qFp.stop()
+    val fpFull = graft.store.DomainStore.create(scratch("tk-fp-full"), spec, conf)
+    fpFull.write(graft.operators.Dedup.fpIndexKv(
+      docs.where(col("doc_id") % 3 =!= 0), "doc_id", "text"), 1L)
+    assert(pairs(fp) === pairs(fpFull) && pairs(fp).nonEmpty)
+
+    // image family (removed hashes AS INDEXED)
+    def hashesOf(ids: org.apache.spark.sql.DataFrame) =
+      graft.operators.Multimodal.imageHashes(
+          spark, graft.operators.Multimodal.synthImageMedia(spark, ids)).toDF()
+        .select(col("media_id"), col("phash"))
+    val imgSrc = scratch("tk-img-src"); fs.mkdirs(new org.apache.hadoop.fs.Path(imgSrc))
+    val img = graft.store.DomainStore.create(scratch("tk-img-dom"), spec, conf)
+    img.write(graft.operators.Multimodal.phashIndexKv(
+      hashesOf(docs.select(col("doc_id")))), 1L)
+    hashesOf(docs.where(col("doc_id") % 3 === 0).select(col("doc_id")))
+      .coalesce(1).write.parquet(s"$imgSrc/d0")
+    val imgSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("phash", org.apache.spark.sql.types.LongType)))
+    val q3 = StreamingDedup.takedownImageIndexStream(
+      img, spark.readStream.schema(imgSchema).parquet(s"$imgSrc/*"),
+      baseVersion = 1L, checkpointDir = scratch("tk-img-ckpt"), queryName = "img_tk")
+    try q3.awaitTermination() finally q3.stop()
+    val imgFull = graft.store.DomainStore.create(scratch("tk-img-full"), spec, conf)
+    imgFull.write(graft.operators.Multimodal.phashIndexKv(
+      hashesOf(docs.where(col("doc_id") % 3 =!= 0).select(col("doc_id")))), 1L)
+    assert(pairs(img) === pairs(imgFull) && pairs(img).nonEmpty)
+    assert(graft.operators.Multimodal.phashIndexRemovalAudit(
+      img, hashesOf(docs.where(col("doc_id") % 3 === 0).select(col("doc_id")))).isEmpty)
+
+    // embedding cell family
+    val semSrc = scratch("tk-sem-src"); fs.mkdirs(new org.apache.hadoop.fs.Path(semSrc))
+    val sem = graft.store.DomainStore.create(scratch("tk-sem-dom"), spec, conf)
+    sem.write(graft.operators.Similarity.semIndexKv(emb, "vec_id", "embedding", 4), 1L)
+    emb.where(col("vec_id") % 3 === 0).coalesce(1).write.parquet(s"$semSrc/d0")
+    val q4 = StreamingDedup.takedownSemIndexStream(
+      sem, spark.readStream.schema(emb.schema).parquet(s"$semSrc/*"),
+      "vec_id", "embedding", planes = 4,
+      baseVersion = 1L, checkpointDir = scratch("tk-sem-ckpt"), queryName = "sem_tk")
+    try q4.awaitTermination() finally q4.stop()
+    val semFull = graft.store.DomainStore.create(scratch("tk-sem-full"), spec, conf)
+    semFull.write(graft.operators.Similarity.semIndexKv(
+      emb.where(col("vec_id") % 3 =!= 0), "vec_id", "embedding", 4), 1L)
+    assert(pairs(sem) === pairs(semFull) && pairs(sem).nonEmpty)
+
+    // ANN posting lists (plain grammar; PQ shares the delete/audit path)
+    val centroids = graft.operators.Similarity.fixedCentroids(8, 64)
+    val annSrc = scratch("tk-ann-src"); fs.mkdirs(new org.apache.hadoop.fs.Path(annSrc))
+    val ann = graft.store.DomainStore.create(
+      scratch("tk-ann-dom"),
+      spec.copy(indexType = graft.operators.Similarity.IvfIndexType), conf)
+    ann.write(graft.operators.Similarity.ivfIndexKv(
+      emb, "vec_id", "embedding", centroids), 1L)
+    emb.where(col("vec_id") % 3 === 0).coalesce(1).write.parquet(s"$annSrc/d0")
+    val q5 = StreamingAnn.takedownStream(
+      ann, spark.readStream.schema(emb.schema).parquet(s"$annSrc/*"),
+      "vec_id", "embedding", centroids,
+      baseVersion = 1L, checkpointDir = scratch("tk-ann-ckpt"), queryName = "ann_tk")
+    try q5.awaitTermination() finally q5.stop()
+    val annFull = graft.store.DomainStore.create(
+      scratch("tk-ann-full"),
+      spec.copy(indexType = graft.operators.Similarity.IvfIndexType), conf)
+    annFull.write(graft.operators.Similarity.ivfIndexKv(
+      emb.where(col("vec_id") % 3 =!= 0), "vec_id", "embedding", centroids), 1L)
+    assert(pairs(ann) === pairs(annFull) && pairs(ann).nonEmpty)
+    assert(graft.operators.Similarity.ivfIndexRemovalAudit(
+      ann, emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding", centroids).isEmpty)
+  }
+
   test("streaming search-index growth converges to the from-scratch build across batches") {
     import org.apache.spark.sql.functions._
     val conf = new org.apache.hadoop.conf.Configuration()
