@@ -96,17 +96,21 @@ object Status {
         census.map(r =>
           s"${r.getString(0)}=${r.getLong(1)}:${r.getLong(2)}").mkString(",")
       }
+      // the retention-valve gauge (DomainCatalog.toDf's columns, here in
+      // the fused ops report): versions of history the linked head pins
+      val pinnedSpan = m.latestVersion
+        .map(v => store.linkFootprint(v).pinnedSpan(v)).getOrElse(0L)
       (m.name, m.status, m.updating, m.spec.numShards, m.spec.persistenceFormat,
         m.latestVersion, m.versions.size, m.failedVersions.size,
         nRows, nBytes, maxShard, minShard, emptyShards,
-        indexType, indexSummary)
+        indexType, indexSummary, pinnedSpan)
     }.seq.toSeq
     finally domainPool.shutdown()
     rows.toDF(
       "domain", "status", "updating", "num_shards", "persistence_format",
       "latest_version", "n_versions", "n_failed_versions",
       "n_rows", "n_bytes", "max_shard_rows", "min_shard_rows", "empty_shards",
-      "index_type", "index_classes")
+      "index_type", "index_classes", "linked_pinned_span")
   }
 
   def main(args: Array[String]): Unit = {
