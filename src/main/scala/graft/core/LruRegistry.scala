@@ -23,9 +23,28 @@ private[graft] final class LruRegistry[K, V](cap: Int) {
   // void exactly one version's entry — never the whole registry)
   def remove(k: K): Unit = m.synchronized { m.remove(k); () }
   // compute OUTSIDE the lock (f may run Spark jobs / filesystem reads);
-  // idempotent recomputation on a race is the documented trade
+  // idempotent recomputation on a race is the documented trade — but
+  // NOT safe for caches that `remove()` to INVALIDATE: an in-flight
+  // stale compute can put() after the remove and resurrect the entry
+  // the invalidation killed (use the Locked variant there)
   def getOrElseUpdate(k: K)(f: K => V): V = get(k) match {
     case Some(v) => v
     case None => val v = f(k); put(k, v); v
+  }
+
+  // compute UNDER the lock: the miss-check, compute, and put are one
+  // atomic block, so a concurrent remove(k) is always strictly before
+  // (kills a previous entry) or strictly after (kills this one) — a
+  // stale compute can never land after an invalidation, which is the
+  // contract remove()-as-invalidation callers need (DomainStore's
+  // linksCache: a same-id rebuild voids the version's entry; the old
+  // ConcurrentHashMap.computeIfAbsent gave exactly this serialization).
+  // Only for CHEAP loaders (one small FS read) — f blocks every other
+  // registry user while it runs.
+  def getOrElseUpdateLocked(k: K)(f: K => V): V = m.synchronized {
+    Option(m.get(k)) match {
+      case Some(v) => v
+      case None => val v = f(k); m.put(k, v); v
+    }
   }
 }

@@ -312,9 +312,15 @@ private[graft] object IndexDelete {
     val hits = index
       .multiGet(r.select(col("key")).distinct(), includeMisses = false)
       .select(col("key"), bytes_utf8(col("value")).as("cur"))
+    // eager like idAudit's tombstone list and for the same reason: as a
+    // lazy branch of the union below it would plan the PROBE a second
+    // time into every action (past multiGet's driver threshold that
+    // probe is a corpus join — doubled); bounded (cap-tombstoned probed
+    // keys only), ContextCleaner-reaped with the r checkpoint above
     val tombstonedKeys = hits
       .where(col("cur") === lit(graft.core.IndexTombstone.Value))
       .select(col("key"))
+      .localCheckpoint(true)
     val present = hits
       .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"), explode(split(col("cur"), ",")).as("entry"))

@@ -60,12 +60,12 @@ class DomainCatalog(val root: Path, conf: Configuration) {
   def domain(name: String): DomainStore =
     DomainStore.open(new Path(root, name).toString, conf)
 
-  def metadata(name: String): DomainMetadata = {
-    val d = domain(name)
+  def metadata(name: String): DomainMetadata = metadataOf(name, domain(name))
+
+  private def metadataOf(name: String, d: DomainStore): DomainMetadata =
     DomainMetadata(
       name, d.spec, d.versions.getAllVersions, d.versions.mostRecentVersion,
       d.versions.failedVersions, d.versions.inFlightVersions)
-  }
 
   def metadataAll: Seq[DomainMetadata] = listDomains.map(metadata)
 
@@ -83,12 +83,16 @@ class DomainCatalog(val root: Path, conf: Configuration) {
     * counts, so local-relation scale is the right scale. */
   def toDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    metadataAll.map { m =>
+    // ONE DomainStore.open per domain (open touches the FS): the same
+    // instance serves the metadata read and the footprint gauge below —
+    // metadataAll would open a second store per domain just to discard it
+    listDomains.map(n => (n, domain(n))).map { case (name, d) =>
+      val m = metadataOf(name, d)
       // the retention-valve gauge rides the status surface (one cached
       // manifest read per READY domain): linked_pinned_span > retention
       // window means "compact now" — the ADVICE compaction cadence as a
       // queryable number instead of operator folklore
-      val fp = m.latestVersion.map(v => domain(m.name).linkFootprint(v))
+      val fp = m.latestVersion.map(v => d.linkFootprint(v))
       (m.name, m.status, m.spec.numShards, m.spec.persistenceFormat,
         m.latestVersion, m.versions.size, m.failedVersions.size, m.updating,
         fp.map(_.linkedShards).getOrElse(0),

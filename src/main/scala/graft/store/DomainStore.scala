@@ -56,14 +56,18 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
     * capped at [[DomainStore.MaxCachedLinkVersions]] — oldest-accessed
     * entries evict one by one (never a wholesale clear that would burst
     * manifest re-reads across ALL live versions every cap crossing);
-    * correctness never depends on a hit (a miss re-reads the manifest,
-    * and a racing recompute is idempotent — published versions are
-    * immutable). */
+    * correctness never depends on a hit (a miss re-reads the manifest).
+    * Loads run UNDER the registry lock (cheap: one small json read) so
+    * they serialize with [[voidVersionCaches]]'s remove — an unlocked
+    * load racing a same-id rebuild could put() its stale map back AFTER
+    * the void and silently resurrect the links the invalidation killed
+    * (the serialization the pre-r16 ConcurrentHashMap.computeIfAbsent
+    * provided; restored by review in r16). */
   private val linksCache =
     new graft.core.LruRegistry[Long, Map[Int, Long]](DomainStore.MaxCachedLinkVersions)
 
   private[store] def linksOf(version: Long): Map[Int, Long] =
-    linksCache.getOrElseUpdate(version)(
+    linksCache.getOrElseUpdateLocked(version)(
       v => VersionedStore.readLinks(root.getFileSystem(conf), versions.versionPath(v)))
 
   /** Void this instance's per-version caches before (re)building
