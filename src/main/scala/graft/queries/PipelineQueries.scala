@@ -447,6 +447,23 @@ object PipelineQueries {
     * like every index fixture). The md5 fingerprints are SQL-replayable,
     * so — unlike the band index — the publish keeps the documented
     * cap-dropping default and the oracle replays the cap. */
+  /** The fp-index kv frame BOTH fp-family stores publish as v1
+    * (spanIndexStore and takedownIndexStore — same corpus slice, same
+    * geometry): built once per pass and shared via Fixtures.memo (the
+    * eager localCheckpoint is the materialization both writes reuse;
+    * blocks release with the memo at Fixtures.reset, the trained-
+    * quantizer memo lifecycle). */
+  private def fpIndexFrame(s: SparkSession, dir: String): DataFrame =
+    Fixtures.memo(s"fp-index-kv:$dir") {
+      Dedup.fpIndexKv(
+          Fixtures.table(s, dir, "documents").where(col("doc_id") % DeltaMod =!= 0),
+          "doc_id", "text",
+          minLen = DedupQueries.SubstringMinLen,
+          window = DedupQueries.SubstringWindow,
+          modulus = DedupQueries.SubstringModulus)
+        .localCheckpoint(true)
+    }
+
   def spanIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
       numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
@@ -455,14 +472,7 @@ object PipelineQueries {
       // without it every upsert pays a per-publish marker point lookup
       capSemantics = graft.core.DomainSpec.CapTombstoneV1)
     Fixtures.domain(s, dir, "span-fp-index", spec) { (st, sp) =>
-      st.write(
-        Dedup.fpIndexKv(
-          Fixtures.table(sp, dir, "documents").where(col("doc_id") % DeltaMod =!= 0),
-          "doc_id", "text",
-          minLen = DedupQueries.SubstringMinLen,
-          window = DedupQueries.SubstringWindow,
-          modulus = DedupQueries.SubstringModulus),
-        version = 1L)
+      st.write(fpIndexFrame(sp, dir), version = 1L)
     }
   }
 
@@ -478,16 +488,10 @@ object PipelineQueries {
       indexType = Dedup.SpanIndexType,
       capSemantics = graft.core.DomainSpec.CapTombstoneV1)
     Fixtures.domain(s, dir, "takedown-fp-index", spec) { (st, sp) =>
-      def indexed = Fixtures.table(sp, dir, "documents")
-        .where(col("doc_id") % DeltaMod =!= 0)
-      st.write(
-        Dedup.fpIndexKv(indexed, "doc_id", "text",
-          minLen = DedupQueries.SubstringMinLen,
-          window = DedupQueries.SubstringWindow,
-          modulus = DedupQueries.SubstringModulus),
-        version = 1L)
+      st.write(fpIndexFrame(sp, dir), version = 1L)
       Dedup.fpIndexDelete(st,
-        indexed.where(col("doc_id") % AuditDropMod === 0),
+        Fixtures.table(sp, dir, "documents")
+          .where(col("doc_id") % DeltaMod =!= 0 && col("doc_id") % AuditDropMod === 0),
         "doc_id", "text", newVersion = 2L,
         minLen = DedupQueries.SubstringMinLen,
         window = DedupQueries.SubstringWindow,
