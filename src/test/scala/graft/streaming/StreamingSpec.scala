@@ -387,6 +387,25 @@ class StreamingSpec extends SparkSuite {
     assert(pairs(band) === pairs(bandFull) && pairs(band).nonEmpty)
     assert(graft.operators.Dedup.bandIndexRemovalAudit(
       band, docs.where(col("doc_id") % 3 === 0), "doc_id", "text").isEmpty)
+    // the documented version-line composition: a GROW feed picks up at
+    // the takedown stream's head (baseVersion = latestVersion, its own
+    // checkpoint) — sequential feeds share one version line and the
+    // result is the rebuild on (survivors ∪ additions)
+    val grow2Src = scratch("tk-band-grow-src")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(grow2Src))
+    docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$grow2Src/d0")
+    val qG = StreamingDedup.growIndexStream(
+      band, spark.readStream.schema(docs.schema).parquet(s"$grow2Src/*"),
+      baseVersion = band.latestVersion,
+      checkpointDir = scratch("tk-band-grow-ckpt"), queryName = "band_regrow",
+      linked = true)
+    try qG.awaitTermination() finally qG.stop()
+    val bandFull2 = graft.store.DomainStore.create(scratch("tk-band-full2"), spec, conf)
+    bandFull2.write(graft.operators.Dedup.bandIndexKv(
+      docs.where(col("doc_id") % 3 =!= 0 ||
+        (col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)), "doc_id", "text"), 1L)
+    assert(pairs(band) === pairs(bandFull2))
 
     // fingerprint family (build geometry threaded through the stream)
     val fpSrc = scratch("tk-fp-src"); fs.mkdirs(new org.apache.hadoop.fs.Path(fpSrc))
