@@ -48,19 +48,19 @@ object DebugAuditSample {
       println(f"[audit-sample] $what%-26s $best%7.2f s ($n rows)")
       best
     }
-    val fullS = timeIt("full audit (m=1)") {
-      operators.Dedup.bandIndexIdAudit(store, docs, "doc_id", "text").count()
-    }
-    val sampS = timeIt(s"sampled audit (m=$m)") {
-      operators.Dedup.bandIndexIdAudit(store, docs, "doc_id", "text", sampleMod = m).count()
-    }
+    // construct each audit frame ONCE (construction itself runs the
+    // eager tombstone-checkpoint job) — the timed thunks and the plan
+    // dump below reuse the same frames
+    val fullFrame = operators.Dedup.bandIndexIdAudit(store, docs, "doc_id", "text")
+    val sampFrame =
+      operators.Dedup.bandIndexIdAudit(store, docs, "doc_id", "text", sampleMod = m)
+    val fullS = timeIt("full audit (m=1)")(fullFrame.count())
+    val sampS = timeIt(s"sampled audit (m=$m)")(sampFrame.count())
     println(f"[audit-sample] sampled/full wall ratio: ${sampS / fullS}%.2f " +
       f"(1/m = ${1.0 / m}%.3f)")
 
     // plan evidence: is the id-hash predicate at the corpus scan?
-    val plan = operators.Dedup
-      .bandIndexIdAudit(store, docs, "doc_id", "text", sampleMod = m)
-      .queryExecution.optimizedPlan.toString
+    val plan = sampFrame.queryExecution.optimizedPlan.toString
     val pushed = plan.linesIterator
       .filter(l => l.contains("xxhash64") && (l.contains("Filter") || l.contains("Scan")))
       .take(4).toList

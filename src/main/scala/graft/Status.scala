@@ -49,16 +49,19 @@ object Status {
     // per-shard tasks queue behind them on the same pool).
     val domainPool = new java.util.concurrent.ForkJoinPool(
       math.min(8, Runtime.getRuntime.availableProcessors()))
-    val parDomains = cat.metadataAll.par
+    val parDomains = cat.listDomains.par
     parDomains.tasksupport =
       new scala.collection.parallel.ForkJoinTaskSupport(domainPool)
-    val rows = try parDomains.map { m =>
+    val rows = try parDomains.map { name =>
+      // one open per domain (DomainStore.open touches the FS): shared by
+      // the metadata read, the stats fold, the footprint gauge, and the
+      // index census below — metadataAll would open a second store per
+      // domain just to discard it (the DomainCatalog.toDf rule)
+      val store = cat.domain(name)
+      val m = cat.metadata(name, store)
       val servable =
         m.spec.persistenceFormat == DomainSpec.KvSorted ||
           m.spec.persistenceFormat == DomainSpec.KvSortedZ
-      // one open per domain (DomainStore.open touches the FS): shared by
-      // the stats fold and the index census below
-      lazy val store = cat.domain(m.name)
       val (nRows, nBytes, maxShard, minShard, emptyShards) =
         if (m.latestVersion.isEmpty) (0L, 0L, 0L, 0L, m.spec.numShards.toLong)
         else if (m.spec.numShards <= graft.store.DomainStore.DefaultDistributeAbove) {
@@ -96,10 +99,15 @@ object Status {
         census.map(r =>
           s"${r.getString(0)}=${r.getLong(1)}:${r.getLong(2)}").mkString(",")
       }
-      // the retention-valve gauge (DomainCatalog.toDf's columns, here in
-      // the fused ops report): versions of history the linked head pins
+      // the retention-valve gauge (DomainCatalog.toDf's column, here in
+      // the fused ops report): versions of history the linked head pins.
+      // A corrupt _links.json reads -1 (impossible otherwise) instead of
+      // killing the report — the status surface must SHOW the sick
+      // domain, not die on it (data read paths stay fail-loud).
       val pinnedSpan = m.latestVersion
-        .map(v => store.linkFootprint(v).pinnedSpan(v)).getOrElse(0L)
+        .map(v => try store.linkFootprint(v).pinnedSpan(v)
+          catch { case _: Exception => -1L })
+        .getOrElse(0L)
       (m.name, m.status, m.updating, m.spec.numShards, m.spec.persistenceFormat,
         m.latestVersion, m.versions.size, m.failedVersions.size,
         nRows, nBytes, maxShard, minShard, emptyShards,

@@ -60,9 +60,12 @@ class DomainCatalog(val root: Path, conf: Configuration) {
   def domain(name: String): DomainStore =
     DomainStore.open(new Path(root, name).toString, conf)
 
-  def metadata(name: String): DomainMetadata = metadataOf(name, domain(name))
+  def metadata(name: String): DomainMetadata = metadata(name, domain(name))
 
-  private def metadataOf(name: String, d: DomainStore): DomainMetadata =
+  /** [[metadata]] from an already-open store — for surfaces that need the
+    * metadata AND the store (the footprint gauge, shard stats): one
+    * DomainStore.open per domain, never a second discarded one. */
+  def metadata(name: String, d: DomainStore): DomainMetadata =
     DomainMetadata(
       name, d.spec, d.versions.getAllVersions, d.versions.mostRecentVersion,
       d.versions.failedVersions, d.versions.inFlightVersions)
@@ -87,17 +90,25 @@ class DomainCatalog(val root: Path, conf: Configuration) {
     // instance serves the metadata read and the footprint gauge below —
     // metadataAll would open a second store per domain just to discard it
     listDomains.map(n => (n, domain(n))).map { case (name, d) =>
-      val m = metadataOf(name, d)
+      val m = metadata(name, d)
       // the retention-valve gauge rides the status surface (one cached
       // manifest read per READY domain): linked_pinned_span > retention
       // window means "compact now" — the ADVICE compaction cadence as a
-      // queryable number instead of operator folklore
-      val fp = m.latestVersion.map(v => d.linkFootprint(v))
+      // queryable number instead of operator folklore. A PRESENT-but-
+      // corrupt _links.json fails loud on every DATA read path by
+      // design, but the status surface is where an operator looks to
+      // find the sick domain — so HERE it reads as the (-1, -1, -1)
+      // sentinel row instead of killing the whole report (pinned span
+      // is >= 0 on any readable head, so -1 is unambiguous: fsck it).
+      val fp = m.latestVersion.flatMap(v =>
+        try Some(d.linkFootprint(v)) catch { case _: Exception => None })
+      val corrupt = m.latestVersion.isDefined && fp.isEmpty
       (m.name, m.status, m.spec.numShards, m.spec.persistenceFormat,
         m.latestVersion, m.versions.size, m.failedVersions.size, m.updating,
-        fp.map(_.linkedShards).getOrElse(0),
-        fp.map(_.targetVersions).getOrElse(0),
-        m.latestVersion.flatMap(v => fp.map(_.pinnedSpan(v))).getOrElse(0L))
+        fp.map(_.linkedShards).getOrElse(if (corrupt) -1 else 0),
+        fp.map(_.targetVersions).getOrElse(if (corrupt) -1 else 0),
+        m.latestVersion.flatMap(v => fp.map(_.pinnedSpan(v)))
+          .getOrElse(if (corrupt) -1L else 0L))
     }.toDF(
       "domain", "status", "num_shards", "persistence_format",
       "latest_version", "n_versions", "n_failed_versions", "updating",

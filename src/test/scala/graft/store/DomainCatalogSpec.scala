@@ -78,6 +78,20 @@ class DomainCatalogSpec extends SparkSuite {
       .select(col("linked_shards"), col("link_target_versions"), col("linked_pinned_span"))
       .collect()(0)
     assert(g2.getInt(0) > 0 && g2.getInt(1) === 1 && g2.getLong(2) === 1L, g2.toString)
+    // a corrupt _links.json must NOT kill the status surface (that's
+    // where the operator looks for the sick domain): the gauge reads the
+    // -1 sentinel for that domain, the other rows stay intact, and the
+    // data read path stays loud
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/alpha/4/${VersionedStore.LinksFileName}"), true)
+    out.write("{broken".getBytes("UTF-8")); out.close()
+    val g3 = new DomainCatalog(root, conf).toDf(spark)
+      .select(col("domain"), col("linked_pinned_span")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g3 === Map("alpha" -> -1L, "beta" -> 0L), g3.toString)
+    intercept[IllegalStateException](
+      DomainStore.open(s"$root/alpha", conf).read(spark).count())
   }
 
   test("isFullyLoaded / isUpdating / updating mirror the reference's shared service") {
