@@ -962,6 +962,124 @@ object Dedup {
   }
 
   /**
+   * Combined growth + takedown of a PUBLISHED [[bandIndexKv]] domain in
+   * ONE version — the real updater-cycle batch shape (a micro-batch
+   * carries the day's accepts AND its removal requests; publishing them
+   * as delete-then-upsert exposes an intermediate version and pays two
+   * copy-forward/link publishes). Per affected bucket the final
+   * membership is exactly what a rebuild on (corpus ∪ added \ removed)
+   * would count: `(current ∪ additions) \ removals`, canonically
+   * sorted, with the cap semantics of [[bandIndexUpsert]] — a
+   * cur-tombstoned bucket CARRIES (membership unknown; rebuild to
+   * recount), an additions-side tombstone or a merge crossing
+   * `maxBucket` WRITES the tombstone, an emptied bucket lands on the
+   * delete side of one [[graft.store.DomainStore.patch]]. An id on BOTH
+   * sides has no defined final state and fails loud (pass it on the
+   * side you mean). `bandIndexUpdate(added, ∅)` is byte-identical to
+   * [[bandIndexUpsert]] and `bandIndexUpdate(∅, removed)` to
+   * [[bandIndexDelete]] (spec-pinned — the three merges stay in
+   * lockstep). Work is O(batch + affected buckets), never O(index);
+   * per-key buffers are bounded by 2× the publish cap (current and
+   * additions each arrive capped — the [[IndexDelete.publishRemoval]]
+   * re-collect precedent).
+   */
+  def bandIndexUpdate(
+      index: graft.store.DomainStore,
+      added: DataFrame,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long,
+      maxBucket: Int = LshBuckets.MaxBucket,
+      linked: Boolean = false): Unit = {
+    val spark = added.sparkSession
+    import graft.functions.{bytes_utf8, utf8_bytes}
+    IndexDelete.requireIntegralId(added, idCol, "bandIndexUpdate")
+    IndexDelete.requireIntegralId(removed, idCol, "bandIndexUpdate")
+    IndexMarker.require(index, spark, BandIndexType, "bandIndexUpdate", "bandIndexKv")
+    IndexMarker.requireTombstoneCap(index, spark, "bandIndexUpdate", "bandIndexKv")
+    // ambiguous membership fails loud — bounded probe, never a full
+    // materialization (the limit(1) pattern)
+    val clash = added.select(col(idCol).cast("long").as("id"))
+      .intersect(removed.select(col(idCol).cast("long").as("id")))
+      .limit(1).collect()
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"bandIndexUpdate: id ${clash(0).getLong(0)} is in BOTH added and removed — " +
+        "final membership is undefined; pass it on the side you mean")
+    // additions build AT the cap (a delta-hot bucket arrives as a
+    // tombstone, never a multi-GB CSV); removals are (key, id) ROWS
+    val additions = bandIndexKv(added, idCol, textCol, maxBucket = maxBucket)
+      .where(col("key") =!= lit(IndexMarker.Key))
+      .where(col("key") =!= lit(IndexMarker.CapKey))
+      .select(col("key"), bytes_utf8(col("value")).as("add"))
+      .persist()
+    val removals = bandKeyRows(removed, idCol, textCol)
+      .where(col("rid").isNotNull).distinct()
+      .persist()
+    try {
+      val affected = additions.select(col("key"))
+        .unionByName(removals.select(col("key"))).distinct()
+      // the probe feeds three derivations (add-tombstones, the merge,
+      // the delete side) — checkpoint it once (bounded: affected keys ×
+      // ≤ cap-sized cells) so patch's consumption never replans the
+      // multiGet (the publishRemoval one-frame pattern)
+      val current = index.multiGet(affected, includeMisses = true)
+        .select(col("key"), bytes_utf8(col("value")).as("cur"))
+        .join(additions, Seq("key"), "left")
+        // a cur-tombstoned bucket never enters the merge: the tombstone
+        // carries forward untouched, exactly what a rebuild republishes
+        .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
+        .localCheckpoint(true)
+      // additions-side tombstone stands regardless of removals: the
+      // delta ALONE counted past the cap, and no removed id is among
+      // the adds (the clash gate), so the rebuild's final count for
+      // this bucket is ≥ the delta's — tombstoned either way
+      val addTomb = current
+        .where(col("add") === lit(graft.core.IndexTombstone.Value))
+        .select(col("key"),
+          utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value"))
+      val live = current
+        .where(coalesce(col("add"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
+      val entries = live
+        .select(col("key"),
+          explode(split(
+            when(coalesce(col("cur"), lit("")) === "", col("add"))
+              .when(coalesce(col("add"), lit("")) === "", col("cur"))
+              .otherwise(concat_ws(",", col("cur"), col("add"))), ","))
+            .as("id"))
+        .where(col("id") =!= "")
+        .distinct()
+      val kept = entries
+        .join(removals.withColumnRenamed("rid", "id"), Seq("key", "id"), "left_anti")
+        .groupBy(col("key"))
+        // bounded: ≤ 2·maxBucket ids per key by construction (cur and
+        // add each arrive capped)
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+      // one frame feeds both patch sides (the publishRemoval pattern)
+      val sized = kept
+        .select(col("key"), col("ids"), size(col("ids")).as("n"))
+        .localCheckpoint(true)
+      val ups = sized.where(col("n") > 0)
+        .select(col("key"),
+          utf8_bytes(when(col("n") <= maxBucket, concat_ws(",", col("ids")))
+            .otherwise(lit(graft.core.IndexTombstone.Value))).as("value"))
+        .unionByName(addTomb)
+      // fully-emptied buckets: every surviving key came from a CURRENT
+      // hit (an add-only key keeps its adds — no overlap with removals),
+      // so an empty merge is a real stored bucket to delete. A key ONLY
+      // in removals with no hit never enters (no-op, like the delete).
+      val dels = live
+        .select(col("key"))
+        .join(sized.select(col("key")), Seq("key"), "left_anti")
+        .join(addTomb.select(col("key")), Seq("key"), "left_anti")
+        .join(current.where(col("cur").isNotNull).select(col("key")), Seq("key"),
+          "left_semi")
+      index.patch(spark, Some(ups), Some(dels), newVersion, checkDisjoint = false,
+        linked = linked)
+    } finally { additions.unpersist(); removals.unpersist() }
+  }
+
+  /**
    * Takedown from a PUBLISHED [[bandIndexKv]] domain: remove `removed`
    * docs' ids from every band bucket their text maps to, publishing ONE
    * new version (shrunken buckets upserted, emptied buckets absent —

@@ -250,6 +250,44 @@ object StreamingDedup {
       })
       .start()
 
+  /** The COMBINED updater feed — one stream, one version per batch: rows
+    * carry `op` ('add' | 'remove') beside (doc_id, text), and each
+    * micro-batch publishes its accepts AND its removal requests as ONE
+    * [[graft.operators.Dedup.bandIndexUpdate]] version (final bucket
+    * membership == rebuild on corpus ∪ adds \ removes; an id on both
+    * sides of one batch fails loud). This is the version-line answer for
+    * domains fed by growth and takedown simultaneously — two racing
+    * wrapper streams would collide on the `baseVersion + batchId`
+    * arithmetic; here both ride one checkpoint. Unknown op values fail
+    * loud (a silently dropped 'delete' misspelling would leave
+    * court-ordered removals published). */
+  def updaterIndexStream(
+      index: DomainStore,
+      opStream: DataFrame,
+      baseVersion: Long,
+      checkpointDir: String,
+      queryName: String,
+      linked: Boolean = false): StreamingQuery =
+    opStream.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(VersionGate.gated(index, baseVersion) { (batch, version) =>
+        // narrow import: functions.version would shadow the gate's param
+        import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+        val typed = batch.withColumn("op",
+          when(col("op").isin("add", "remove"), col("op"))
+            .otherwise(raise_error(concat(
+              lit("updaterIndexStream: unknown op '"), col("op"),
+              lit("' (use 'add' | 'remove')")))))
+        Dedup.bandIndexUpdate(
+          index,
+          typed.where(col("op") === "add"),
+          typed.where(col("op") === "remove"),
+          "doc_id", "text", newVersion = version, linked = linked)
+      })
+      .start()
+
   /** The FINGERPRINT twin of [[takedownIndexStream]] — geometry params
     * MUST match the build's (they define the key bytes; a mismatched
     * takedown probes keys the index never held and silently no-ops:

@@ -1883,6 +1883,84 @@ class OperatorsSpec extends SparkSuite {
     assert(e.getMessage.contains("not 'fp-anchor'"), e.getMessage)
   }
 
+  test("bandIndexUpdate: one version == rebuild on corpus+added-removed; " +
+      "wrapper lockstep; cap semantics; clash loud") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def kvPairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(30)
+    val added = Seq(
+      (990001L, "a genuinely novel added document text body for the update"),
+      (990002L, "another added document with different novel content body"))
+      .toDF("doc_id", "text")
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val removed = docs.where(col("doc_id") === ids(0) || col("doc_id") === ids(1))
+    val survivors = docs.where(col("doc_id") =!= ids(0) && col("doc_id") =!= ids(1))
+
+    // the flagship claim: ONE update version == the rebuild on
+    // (corpus ∪ added \ removed), byte for byte — incl. emptied-bucket
+    // deletion (the removed ids' unshared buckets)
+    val st = graft.store.DomainStore.create(scratch("upd-band"), spec, conf)
+    st.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexUpdate(st, added, removed, "doc_id", "text", 2L, linked = true)
+    assert(st.latestVersion === 2L)
+    val rebuilt = graft.store.DomainStore.create(scratch("upd-band-rb"), spec, conf)
+    rebuilt.write(
+      Dedup.bandIndexKv(survivors.unionByName(added), "doc_id", "text"), 1L)
+    assert(kvPairs(st) === kvPairs(rebuilt))
+    assert(Dedup.bandIndexRemovalAudit(st, removed, "doc_id", "text").isEmpty)
+
+    // wrapper lockstep: update(adds, none) == upsert, update(none,
+    // removed) == delete — the three merges can never drift apart
+    val a1 = graft.store.DomainStore.create(scratch("upd-a1"), spec, conf)
+    a1.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexUpdate(a1, added, added.limit(0), "doc_id", "text", 2L)
+    val a2 = graft.store.DomainStore.create(scratch("upd-a2"), spec, conf)
+    a2.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexUpsert(a2, added, "doc_id", "text", 2L)
+    assert(kvPairs(a1) === kvPairs(a2))
+    val d1 = graft.store.DomainStore.create(scratch("upd-d1"), spec, conf)
+    d1.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexUpdate(d1, added.limit(0), removed, "doc_id", "text", 2L)
+    val d2 = graft.store.DomainStore.create(scratch("upd-d2"), spec, conf)
+    d2.write(Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    Dedup.bandIndexDelete(d2, removed, "doc_id", "text", 2L)
+    assert(kvPairs(d1) === kvPairs(d2))
+
+    // cap semantics both directions: a build-tombstoned bucket CARRIES
+    // even when the removals would shrink it under cap (membership
+    // unknown — rebuild to recount)...
+    def hotText = "identical boilerplate cluster text body shared verbatim by every document here"
+    val hotDocs = (1L to 6L).map(i => (i, hotText)).toDF("doc_id", "text")
+    val hot = graft.store.DomainStore.create(scratch("upd-hot"), spec, conf)
+    hot.write(Dedup.bandIndexKv(hotDocs, "doc_id", "text", maxBucket = 2), 1L)
+    val hotBefore = kvPairs(hot)
+    Dedup.bandIndexUpdate(hot, hotDocs.limit(0),
+      hotDocs.where(col("doc_id") <= 4L), "doc_id", "text", 2L, maxBucket = 2)
+    assert(kvPairs(hot) === hotBefore, "tombstoned buckets must carry through the update")
+    // ...and a live bucket pushed past the cap by the adds tombstones,
+    // exactly as the rebuild would
+    val l1 = graft.store.DomainStore.create(scratch("upd-live1"), spec, conf)
+    l1.write(Dedup.bandIndexKv(
+      hotDocs.where(col("doc_id") <= 3L), "doc_id", "text", maxBucket = 4), 1L)
+    Dedup.bandIndexUpdate(l1, hotDocs.where(col("doc_id") >= 4L),
+      hotDocs.limit(0), "doc_id", "text", 2L, maxBucket = 4)
+    val l2 = graft.store.DomainStore.create(scratch("upd-live2"), spec, conf)
+    l2.write(Dedup.bandIndexKv(hotDocs, "doc_id", "text", maxBucket = 4), 1L)
+    assert(kvPairs(l1) === kvPairs(l2))
+
+    // an id on both sides has no defined final state: loud, pre-publish
+    val e = intercept[IllegalArgumentException](
+      Dedup.bandIndexUpdate(st, docs.limit(1), docs.limit(1), "doc_id", "text", 9L))
+    assert(e.getMessage.contains("BOTH"), e.getMessage)
+    assert(st.latestVersion === 2L, "the clash must refuse before publishing")
+  }
+
   test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration()

@@ -485,6 +485,63 @@ class StreamingSpec extends SparkSuite {
       ann, emb.where(col("vec_id") % 3 === 0), "vec_id", "embedding", centroids).isEmpty)
   }
 
+  test("streaming combined updater: adds + removes in ONE version per batch; unknown op loud") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def pairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    val docs = spark.read.parquet(sf("sf0.001/documents.parquet"))
+      .select(col("doc_id"), col("text"))
+    val band = graft.store.DomainStore.create(scratch("updstream-dom"), spec, conf)
+    band.write(graft.operators.Dedup.bandIndexKv(docs, "doc_id", "text"), 1L)
+    // one batch carrying BOTH the day's accepts and its removal requests
+    val adds = Seq(
+      (990101L, "a genuinely novel streaming added document text body"),
+      (990102L, "another streaming added document with novel content"))
+      .toDF("doc_id", "text")
+    val src = scratch("updstream-src")
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+    adds.withColumn("op", lit("add"))
+      .unionByName(docs.where(col("doc_id") % 5 === 0).withColumn("op", lit("remove")))
+      .coalesce(1).write.parquet(s"$src/d0")
+    val opSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType)))
+    val q = StreamingDedup.updaterIndexStream(
+      band, spark.readStream.schema(opSchema).parquet(s"$src/*"),
+      baseVersion = 1L, checkpointDir = scratch("updstream-ckpt"),
+      queryName = "band_updater", linked = true)
+    try q.awaitTermination() finally q.stop()
+    assert(band.latestVersion === 2L, "adds and removes must share ONE version")
+    val full = graft.store.DomainStore.create(scratch("updstream-full"), spec, conf)
+    full.write(graft.operators.Dedup.bandIndexKv(
+      docs.where(col("doc_id") % 5 =!= 0).unionByName(adds), "doc_id", "text"), 1L)
+    assert(pairs(band) === pairs(full))
+    // an unrecognized op fails the batch loud — a silently dropped
+    // 'delete' misspelling would leave court-ordered removals published
+    val badSrc = scratch("updstream-bad-src")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(badSrc))
+    adds.withColumn("op", lit("delete")).coalesce(1).write.parquet(s"$badSrc/d0")
+    val qBad = StreamingDedup.updaterIndexStream(
+      band, spark.readStream.schema(opSchema).parquet(s"$badSrc/*"),
+      baseVersion = band.latestVersion,
+      checkpointDir = scratch("updstream-bad-ckpt"), queryName = "band_updater_bad")
+    val eBad = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try qBad.awaitTermination() finally qBad.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(eBad).exists(_.contains("unknown op")), messages(eBad).mkString(" | "))
+    assert(band.latestVersion === 2L, "a refused batch must publish nothing")
+  }
+
   test("streaming search-index growth converges to the from-scratch build across batches") {
     import org.apache.spark.sql.functions._
     val conf = new org.apache.hadoop.conf.Configuration()
