@@ -982,6 +982,14 @@ object Dedup {
    * per-key buffers are bounded by 2× the publish cap (current and
    * additions each arrive capped — the [[IndexDelete.publishRemoval]]
    * re-collect precedent).
+   *
+   * Deliberate fork, not an oversight: [[bandIndexUpsert]] could be a
+   * thin wrapper over `bandIndexUpdate(delta, ∅)` (the lockstep pin
+   * proves byte-identity), but its in-place string merge pays NO
+   * explode+groupBy shuffle — the grow streams' per-trigger hot path —
+   * while this merge must re-aggregate to subtract removals. The
+   * lockstep spec is the guard that keeps the two merges agreeing; a
+   * cap-semantics change must touch both (and the spec will say so).
    */
   def bandIndexUpdate(
       index: graft.store.DomainStore,
@@ -1004,19 +1012,25 @@ object Dedup {
       .intersect(removed.select(col(idCol).cast("long").as("id")))
       .limit(1).collect()
     if (clash.nonEmpty) throw new IllegalArgumentException(
-      s"bandIndexUpdate: id ${clash(0).getLong(0)} is in BOTH added and removed — " +
+      // Row.get, not getLong: INTERSECT matches NULLs null-safely, and a
+      // null-id clash must print its diagnostic, not NPE on the unbox
+      s"bandIndexUpdate: id ${clash(0).get(0)} is in BOTH added and removed — " +
         "final membership is undefined; pass it on the side you mean")
     // additions build AT the cap (a delta-hot bucket arrives as a
-    // tombstone, never a multi-GB CSV); removals are (key, id) ROWS
+    // tombstone, never a multi-GB CSV); removals are (key, id) ROWS.
+    // Both PLANS construct before either persist registers (an
+    // AnalysisException from a schema-drifted input must not leak a
+    // cached frame), and the persists live inside the try — unpersist
+    // on a never-persisted frame is a harmless no-op.
     val additions = bandIndexKv(added, idCol, textCol, maxBucket = maxBucket)
       .where(col("key") =!= lit(IndexMarker.Key))
       .where(col("key") =!= lit(IndexMarker.CapKey))
       .select(col("key"), bytes_utf8(col("value")).as("add"))
-      .persist()
     val removals = bandKeyRows(removed, idCol, textCol)
       .where(col("rid").isNotNull).distinct()
-      .persist()
     try {
+      additions.persist()
+      removals.persist()
       val affected = additions.select(col("key"))
         .unionByName(removals.select(col("key"))).distinct()
       // the probe feeds three derivations (add-tombstones, the merge,

@@ -253,20 +253,25 @@ object StreamingDedup {
   /** The COMBINED updater feed — one stream, one version per batch: rows
     * carry `op` ('add' | 'remove') beside (doc_id, text), and each
     * micro-batch publishes its accepts AND its removal requests as ONE
-    * [[graft.operators.Dedup.bandIndexUpdate]] version (final bucket
-    * membership == rebuild on corpus ∪ adds \ removes; an id on both
-    * sides of one batch fails loud). This is the version-line answer for
+    * [[graft.operators.Dedup.bandIndexUpdate]] version — final bucket
+    * membership == the rebuild on corpus ∪ adds \ removes, modulo the
+    * documented cur-tombstone carve-out (a bucket the publish
+    * cap-tombstoned carries; only a rebuild recounts it). An id on both
+    * sides of one batch fails loud. This is the version-line answer for
     * domains fed by growth and takedown simultaneously — two racing
     * wrapper streams would collide on the `baseVersion + batchId`
     * arithmetic; here both ride one checkpoint. Unknown op values fail
     * loud (a silently dropped 'delete' misspelling would leave
-    * court-ordered removals published). */
+    * court-ordered removals published). `maxBucket` MUST match the
+    * build's cap — a mismatched cap silently diverges from the rebuild
+    * at exactly the bucket sizes between the two values. */
   def updaterIndexStream(
       index: DomainStore,
       opStream: DataFrame,
       baseVersion: Long,
       checkpointDir: String,
       queryName: String,
+      maxBucket: Int = graft.operators.LshBuckets.MaxBucket,
       linked: Boolean = false): StreamingQuery =
     opStream.writeStream
       .queryName(queryName)
@@ -280,11 +285,17 @@ object StreamingDedup {
             .otherwise(raise_error(concat(
               lit("updaterIndexStream: unknown op '"), col("op"),
               lit("' (use 'add' | 'remove')")))))
-        Dedup.bandIndexUpdate(
+          // one source scan per trigger: the clash probe and both build
+          // sides read the cached batch, not the file source 4x (the op
+          // check also evaluates once per row this way)
+          .persist()
+        try Dedup.bandIndexUpdate(
           index,
           typed.where(col("op") === "add"),
           typed.where(col("op") === "remove"),
-          "doc_id", "text", newVersion = version, linked = linked)
+          "doc_id", "text", newVersion = version, maxBucket = maxBucket,
+          linked = linked)
+        finally typed.unpersist()
       })
       .start()
 

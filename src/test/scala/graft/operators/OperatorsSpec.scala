@@ -1959,6 +1959,13 @@ class OperatorsSpec extends SparkSuite {
       Dedup.bandIndexUpdate(st, docs.limit(1), docs.limit(1), "doc_id", "text", 9L))
     assert(e.getMessage.contains("BOTH"), e.getMessage)
     assert(st.latestVersion === 2L, "the clash must refuse before publishing")
+    // INTERSECT matches NULLs null-safely: a null-id clash must print the
+    // diagnostic too, never NPE on the unbox
+    val nullId = Seq((Option.empty[Long], "null id text body"))
+      .toDF("doc_id", "text")
+    val eN = intercept[IllegalArgumentException](
+      Dedup.bandIndexUpdate(st, nullId, nullId, "doc_id", "text", 9L))
+    assert(eN.getMessage.contains("BOTH"), eN.getMessage)
   }
 
   test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
