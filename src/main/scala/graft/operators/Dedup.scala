@@ -1001,96 +1001,26 @@ object Dedup {
       maxBucket: Int = LshBuckets.MaxBucket,
       linked: Boolean = false): Unit = {
     val spark = added.sparkSession
-    import graft.functions.{bytes_utf8, utf8_bytes}
+    import graft.functions.bytes_utf8
     IndexDelete.requireIntegralId(added, idCol, "bandIndexUpdate")
     IndexDelete.requireIntegralId(removed, idCol, "bandIndexUpdate")
     IndexMarker.require(index, spark, BandIndexType, "bandIndexUpdate", "bandIndexKv")
     IndexMarker.requireTombstoneCap(index, spark, "bandIndexUpdate", "bandIndexKv")
     // ambiguous membership fails loud — bounded probe, never a full
     // materialization (the limit(1) pattern)
-    val clash = added.select(col(idCol).cast("long").as("id"))
-      .intersect(removed.select(col(idCol).cast("long").as("id")))
-      .limit(1).collect()
-    if (clash.nonEmpty) throw new IllegalArgumentException(
-      // Row.get, not getLong: INTERSECT matches NULLs null-safely, and a
-      // null-id clash must print its diagnostic, not NPE on the unbox
-      s"bandIndexUpdate: id ${clash(0).get(0)} is in BOTH added and removed — " +
-        "final membership is undefined; pass it on the side you mean")
+    IndexDelete.requireDisjointUpdate(added, removed, idCol, "bandIndexUpdate")
     // additions build AT the cap (a delta-hot bucket arrives as a
-    // tombstone, never a multi-GB CSV); removals are (key, id) ROWS.
-    // Both PLANS construct before either persist registers (an
-    // AnalysisException from a schema-drifted input must not leak a
-    // cached frame), and the persists live inside the try — unpersist
-    // on a never-persisted frame is a harmless no-op.
-    val additions = bandIndexKv(added, idCol, textCol, maxBucket = maxBucket)
-      .where(col("key") =!= lit(IndexMarker.Key))
-      .where(col("key") =!= lit(IndexMarker.CapKey))
-      .select(col("key"), bytes_utf8(col("value")).as("add"))
-    val removals = bandKeyRows(removed, idCol, textCol)
-      .where(col("rid").isNotNull).distinct()
-    try {
-      additions.persist()
-      removals.persist()
-      val affected = additions.select(col("key"))
-        .unionByName(removals.select(col("key"))).distinct()
-      // the probe feeds three derivations (add-tombstones, the merge,
-      // the delete side) — checkpoint it once (bounded: affected keys ×
-      // ≤ cap-sized cells) so patch's consumption never replans the
-      // multiGet (the publishRemoval one-frame pattern)
-      val current = index.multiGet(affected, includeMisses = true)
-        .select(col("key"), bytes_utf8(col("value")).as("cur"))
-        .join(additions, Seq("key"), "left")
-        // a cur-tombstoned bucket never enters the merge: the tombstone
-        // carries forward untouched, exactly what a rebuild republishes
-        .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
-        .localCheckpoint(true)
-      // additions-side tombstone stands regardless of removals: the
-      // delta ALONE counted past the cap, and no removed id is among
-      // the adds (the clash gate), so the rebuild's final count for
-      // this bucket is ≥ the delta's — tombstoned either way
-      val addTomb = current
-        .where(col("add") === lit(graft.core.IndexTombstone.Value))
-        .select(col("key"),
-          utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value"))
-      val live = current
-        .where(coalesce(col("add"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
-      val entries = live
-        .select(col("key"),
-          explode(split(
-            when(coalesce(col("cur"), lit("")) === "", col("add"))
-              .when(coalesce(col("add"), lit("")) === "", col("cur"))
-              .otherwise(concat_ws(",", col("cur"), col("add"))), ","))
-            .as("id"))
-        .where(col("id") =!= "")
-        .distinct()
-      val kept = entries
-        .join(removals.withColumnRenamed("rid", "id"), Seq("key", "id"), "left_anti")
-        .groupBy(col("key"))
-        // bounded: ≤ 2·maxBucket ids per key by construction (cur and
-        // add each arrive capped)
-        .agg(sort_array(collect_list(col("id"))).as("ids"))
-      // one frame feeds both patch sides (the publishRemoval pattern)
-      val sized = kept
-        .select(col("key"), col("ids"), size(col("ids")).as("n"))
-        .localCheckpoint(true)
-      val ups = sized.where(col("n") > 0)
-        .select(col("key"),
-          utf8_bytes(when(col("n") <= maxBucket, concat_ws(",", col("ids")))
-            .otherwise(lit(graft.core.IndexTombstone.Value))).as("value"))
-        .unionByName(addTomb)
-      // fully-emptied buckets: every surviving key came from a CURRENT
-      // hit (an add-only key keeps its adds — no overlap with removals),
-      // so an empty merge is a real stored bucket to delete. A key ONLY
-      // in removals with no hit never enters (no-op, like the delete).
-      val dels = live
-        .select(col("key"))
-        .join(sized.select(col("key")), Seq("key"), "left_anti")
-        .join(addTomb.select(col("key")), Seq("key"), "left_anti")
-        .join(current.where(col("cur").isNotNull).select(col("key")), Seq("key"),
-          "left_semi")
-      index.patch(spark, Some(ups), Some(dels), newVersion, checkDisjoint = false,
-        linked = linked)
-    } finally { additions.unpersist(); removals.unpersist() }
+    // tombstone, never a multi-GB CSV); removals are (key, id) ROWS; the
+    // merge itself is the shared engine (ONE definition across the
+    // band/fp/phash/sem updates)
+    IndexDelete.publishUpdate(
+      index,
+      bandIndexKv(added, idCol, textCol, maxBucket = maxBucket)
+        .where(col("key") =!= lit(IndexMarker.Key))
+        .where(col("key") =!= lit(IndexMarker.CapKey))
+        .select(col("key"), bytes_utf8(col("value")).as("add")),
+      bandKeyRows(removed, idCol, textCol),
+      newVersion, maxBucket, "bandIndexUpdate", "bandIndexKv", linked)
   }
 
   /**
@@ -1533,5 +1463,43 @@ object Dedup {
       "fpIndexRemovalAudit", "fpIndexKv")
     IndexDelete.removalAudit(
       index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus))
+  }
+
+  /**
+   * The FINGERPRINT twin of [[bandIndexUpdate]] — combined growth +
+   * takedown of a published [[fpIndexKv]] domain in ONE version, the
+   * shared [[IndexDelete.publishUpdate]] merge on the anchor kernel.
+   * Geometry params MUST be the build's (they define the key bytes);
+   * same contract: final membership == rebuild on corpus ∪ added \
+   * removed (modulo the cur-tombstone carve-out), an id on both sides
+   * fails loud.
+   */
+  def fpIndexUpdate(
+      index: graft.store.DomainStore,
+      added: DataFrame,
+      removed: DataFrame,
+      idCol: String,
+      textCol: String,
+      newVersion: Long,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16,
+      maxBucket: Int = LshBuckets.MaxBucket,
+      linked: Boolean = false): Unit = {
+    val spark = added.sparkSession
+    import graft.functions.bytes_utf8
+    IndexDelete.requireIntegralId(added, idCol, "fpIndexUpdate")
+    IndexDelete.requireIntegralId(removed, idCol, "fpIndexUpdate")
+    IndexMarker.require(index, spark, SpanIndexType, "fpIndexUpdate", "fpIndexKv")
+    IndexMarker.requireTombstoneCap(index, spark, "fpIndexUpdate", "fpIndexKv")
+    IndexDelete.requireDisjointUpdate(added, removed, idCol, "fpIndexUpdate")
+    IndexDelete.publishUpdate(
+      index,
+      fpIndexKv(added, idCol, textCol, minLen, window, modulus, maxBucket)
+        .where(col("key") =!= lit(IndexMarker.Key))
+        .where(col("key") =!= lit(IndexMarker.CapKey))
+        .select(col("key"), bytes_utf8(col("value")).as("add")),
+      fpKeyRows(removed, idCol, textCol, minLen, window, modulus),
+      newVersion, maxBucket, "fpIndexUpdate", "fpIndexKv", linked)
   }
 }

@@ -139,6 +139,133 @@ private[graft] object IndexDelete {
   private def entryId(e: Column): Column = substring_index(e, ":", 1)
 
   /**
+   * Combined growth + takedown in ONE version — the shared merge behind
+   * the family `*IndexUpdate` wrappers (band/fp/phash/sem): per affected
+   * bucket the final membership is `(current ∪ additions) \ removals`,
+   * canonically sorted by ENTRY STRING (the publish sort of every
+   * membership family: plain-id cells sort their ids as strings, the
+   * phash family sorts full `id:phash` entries), with the upsert cap
+   * semantics — a cur-tombstoned bucket CARRIES (membership unknown), an
+   * additions-side tombstone or a merge past `maxBucket` WRITES the
+   * tombstone, an emptied bucket lands on the delete side of one
+   * [[graft.store.DomainStore.patch]]. Two entries sharing an id part
+   * (an id present in `current` re-added with a CHANGED payload — the
+   * phash family's re-ingest hazard) fail loud naming `op`: the stale
+   * payload would feed the probe's verify wrong data, and neither entry
+   * can silently win (vacuous for plain-id grammars, where entry == id
+   * and the union dedups). Callers gate markers/types and the
+   * added∩removed id clash; `additions` must arrive built AT the cap
+   * with marker rows stripped, `removals` as (key, rid) rows.
+   *
+   * Work is O(batch + affected buckets); per-key buffers ≤ 2× the cap
+   * (both sides arrive capped — the [[publishRemoval]] re-collect
+   * precedent); the probe checkpoints once so the patch never replans
+   * the multiGet.
+   */
+  def publishUpdate(
+      index: graft.store.DomainStore,
+      additions: DataFrame,
+      removals: DataFrame,
+      newVersion: Long,
+      maxBucket: Int,
+      op: String,
+      rebuildOp: String,
+      linked: Boolean = false): Unit = {
+    val spark = additions.sparkSession
+    import graft.functions.{bytes_utf8, utf8_bytes}
+    val adds = additions.select(col("key"), col("add"))
+    val rms = removals
+      .select(col("key"), col("rid"))
+      .where(col("rid").isNotNull).distinct()
+    try {
+      adds.persist()
+      rms.persist()
+      val affected = adds.select(col("key"))
+        .unionByName(rms.select(col("key"))).distinct()
+      // the probe feeds three derivations (add-tombstones, the merge,
+      // the delete side) — checkpoint it once (bounded: affected keys ×
+      // ≤ cap-sized cells) so patch's consumption never replans the
+      // multiGet (the publishRemoval one-frame pattern)
+      val current = index.multiGet(affected, includeMisses = true)
+        .select(col("key"), bytes_utf8(col("value")).as("cur"))
+        .join(adds, Seq("key"), "left")
+        // a cur-tombstoned bucket never enters the merge: the tombstone
+        // carries forward untouched, exactly what a rebuild republishes
+        .where(coalesce(col("cur"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
+        .localCheckpoint(true)
+      // additions-side tombstone stands regardless of removals: the
+      // delta ALONE counted past the cap, and no removed id is among
+      // the adds (the callers' clash gate), so the rebuild's final count
+      // for this bucket is ≥ the delta's — tombstoned either way
+      val addTomb = current
+        .where(col("add") === lit(graft.core.IndexTombstone.Value))
+        .select(col("key"),
+          utf8_bytes(lit(graft.core.IndexTombstone.Value)).as("value"))
+      val live = current
+        .where(coalesce(col("add"), lit("")) =!= lit(graft.core.IndexTombstone.Value))
+      val entries = live
+        .select(col("key"),
+          explode(split(
+            when(coalesce(col("cur"), lit("")) === "", col("add"))
+              .when(coalesce(col("add"), lit("")) === "", col("cur"))
+              .otherwise(concat_ws(",", col("cur"), col("add"))), ","))
+            .as("entry"))
+        .where(col("entry") =!= "")
+        .distinct()
+      val kept = entries
+        .select(col("key"), col("entry"), entryId(col("entry")).as("eid"))
+        .join(rms.select(col("key"), col("rid").as("eid")),
+          Seq("key", "eid"), "left_anti")
+        .groupBy(col("key"))
+        // bounded: ≤ 2·maxBucket entries per key by construction (cur
+        // and add each arrive capped)
+        .agg(sort_array(collect_list(col("entry"))).as("entries"))
+      // one frame feeds both patch sides (the publishRemoval pattern)
+      val sized = kept
+        .select(col("key"), col("entries"), size(col("entries")).as("n"),
+          size(array_distinct(
+            expr("transform(entries, e -> split(e, ':')[0])"))).as("n_ids"))
+        .localCheckpoint(true)
+      val ups = sized.where(col("n") > 0)
+        .select(col("key"),
+          utf8_bytes(
+            when(col("n_ids") =!= col("n"), raise_error(concat(
+              lit(s"$op: an id appears with TWO different payloads in one "),
+              lit("bucket (re-ingested with changed content?) — an update has "),
+              lit(s"no defined winner: rebuild with $rebuildOp instead"))))
+              .when(col("n") <= maxBucket, concat_ws(",", col("entries")))
+              .otherwise(lit(graft.core.IndexTombstone.Value))).as("value"))
+        .unionByName(addTomb)
+      // fully-emptied buckets: every surviving key came from a CURRENT
+      // hit (an add-only key keeps its adds — callers forbid overlap
+      // with removals), so an empty merge is a real stored bucket to
+      // delete. A key ONLY in removals with no hit never enters (no-op).
+      val dels = live
+        .select(col("key"))
+        .join(sized.select(col("key")), Seq("key"), "left_anti")
+        .join(current.where(col("cur").isNotNull).select(col("key")), Seq("key"),
+          "left_semi")
+      index.patch(spark, Some(ups), Some(dels), newVersion, checkDisjoint = false,
+        linked = linked)
+    } finally { adds.unpersist(); rms.unpersist() }
+  }
+
+  /** The added∩removed id clash gate shared by the `*IndexUpdate`
+    * wrappers: an id on both sides has no defined final state (and for
+    * payload-carrying grammars a same-id remove+re-add would drop the
+    * NEW entry too — the removal joins by id part). Bounded probe,
+    * null-safe diagnostic (INTERSECT matches NULLs null-safely). */
+  def requireDisjointUpdate(
+      added: DataFrame, removed: DataFrame, idCol: String, op: String): Unit = {
+    val clash = added.select(col(idCol).cast("long").as("id"))
+      .intersect(removed.select(col(idCol).cast("long").as("id")))
+      .limit(1).collect()
+    if (clash.nonEmpty) throw new IllegalArgumentException(
+      s"$op: id ${clash(0).get(0)} is in BOTH added and removed — " +
+        "final membership is undefined; pass it on the side you mean")
+  }
+
+  /**
    * The stale-entry detector for the content-addressed index families —
    * the global answer to the content-drift caveat documented on this
    * object: a takedown (or a re-ingest) whose content differs from what

@@ -602,6 +602,44 @@ object Multimodal {
     IndexDelete.removalAudit(index, phashKeyRows(hashes))
   }
 
+  /**
+   * The IMAGE twin of `Dedup.bandIndexUpdate` — combined growth +
+   * takedown of a published [[phashIndexKv]] domain in ONE version
+   * ([[IndexDelete.publishUpdate]] on the pigeonhole band kernel): adds
+   * carry (media_id, phash) as indexed, removals drop entries by id
+   * part. The engine's payload-uniqueness guard is LIVE here (not
+   * vacuous): an id present in the index re-added with a CHANGED phash
+   * fails loud wherever old and new share a bucket (guaranteed for
+   * hamming ≤ 3 — [[phashIndexUpsert]]'s re-ingest hazard) — and a
+   * same-id remove+re-add in one batch is refused by the clash gate
+   * (the removal joins by id part and would drop the NEW entry too):
+   * changed-phash re-ingest stays delete-then-upsert or a rebuild.
+   */
+  def phashIndexUpdate(
+      index: graft.store.DomainStore,
+      addedHashes: DataFrame,
+      removedHashes: DataFrame,
+      newVersion: Long,
+      maxBucket: Int = LshBuckets.MaxBucket,
+      linked: Boolean = false): Unit = {
+    val spark = addedHashes.sparkSession
+    import graft.functions.bytes_utf8
+    requireIntegralMediaId(addedHashes, "phashIndexUpdate")
+    requireIntegralMediaId(removedHashes, "phashIndexUpdate")
+    IndexMarker.require(index, spark, PhashIndexType, "phashIndexUpdate", "phashIndexKv")
+    IndexMarker.requireTombstoneCap(index, spark, "phashIndexUpdate", "phashIndexKv")
+    IndexDelete.requireDisjointUpdate(
+      addedHashes, removedHashes, "media_id", "phashIndexUpdate")
+    IndexDelete.publishUpdate(
+      index,
+      phashIndexKv(addedHashes, maxBucket = maxBucket)
+        .where(col("key") =!= lit(IndexMarker.Key))
+        .where(col("key") =!= lit(IndexMarker.CapKey))
+        .select(col("key"), bytes_utf8(col("value")).as("add")),
+      phashKeyRows(removedHashes),
+      newVersion, maxBucket, "phashIndexUpdate", "phashIndexKv", linked)
+  }
+
   private def decodeImageBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
       val img = decodeImage(r)

@@ -1826,6 +1826,41 @@ object Similarity {
   }
 
   /**
+   * The EMBEDDING twin of `Dedup.bandIndexUpdate` — combined growth +
+   * takedown of a published [[semIndexKv]] domain in ONE version
+   * ([[IndexDelete.publishUpdate]] on the hyperplane cell kernel; must
+   * be the build's `planes`). Same contract: final membership == rebuild
+   * on corpus ∪ added \ removed (modulo the cur-tombstone carve-out),
+   * an id on both sides fails loud.
+   */
+  def semIndexUpdate(
+      index: graft.store.DomainStore,
+      added: DataFrame,
+      removed: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      newVersion: Long,
+      maxBucket: Int = LshBuckets.MaxBucket,
+      linked: Boolean = false): Unit = {
+    val spark = added.sparkSession
+    import graft.functions.bytes_utf8
+    IndexDelete.requireIntegralId(added, idCol, "semIndexUpdate")
+    IndexDelete.requireIntegralId(removed, idCol, "semIndexUpdate")
+    IndexMarker.require(index, spark, SemIndexType, "semIndexUpdate", "semIndexKv")
+    IndexMarker.requireTombstoneCap(index, spark, "semIndexUpdate", "semIndexKv")
+    IndexDelete.requireDisjointUpdate(added, removed, idCol, "semIndexUpdate")
+    IndexDelete.publishUpdate(
+      index,
+      semIndexKv(added, idCol, vecCol, planes, maxBucket)
+        .where(col("key") =!= lit(IndexMarker.Key))
+        .where(col("key") =!= lit(IndexMarker.CapKey))
+        .select(col("key"), bytes_utf8(col("value")).as("add")),
+      semKeyRows(removed, idCol, vecCol, planes),
+      newVersion, maxBucket, "semIndexUpdate", "semIndexKv", linked)
+  }
+
+  /**
    * Takedown from a PUBLISHED ANN index domain — [[ivfIndexKv]] (plain
    * posting lists) and [[ivfPqIndexKv]] (`id:codes` entries) both:
    * assign the removed vectors to their cells under the SAME quantizer

@@ -1968,6 +1968,78 @@ class OperatorsSpec extends SparkSuite {
     assert(eN.getMessage.contains("BOTH"), eN.getMessage)
   }
 
+  test("index updates fp/phash/sem: one version == rebuild; phash payload conflict loud") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.core.DomainSpec(
+      numShards = 4, persistenceFormat = graft.core.DomainSpec.KvSorted)
+    def kvPairs(st: graft.store.DomainStore) = st.read(spark)
+      .select(col("key"), col("value")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq)).toSet
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+    // fp family (shared boilerplate run so fingerprints exist)
+    val run = "this exact shared boilerplate run is long enough to anchor " +
+      "and repeats verbatim across documents in the fixture corpus body"
+    val fpDocs = (1L to 8L).map(i => (i, s"doc $i prefix $run suffix $i"))
+      .toDF("doc_id", "text")
+    val fpAdds = Seq(
+      (101L, s"added doc prefix $run trailing a"),
+      (102L, s"second added document $run trailing b")).toDF("doc_id", "text")
+    val fpRm = fpDocs.where(col("doc_id") <= 2L)
+    val fp = graft.store.DomainStore.create(scratch("upd-fam/fp"), spec, conf)
+    fp.write(Dedup.fpIndexKv(fpDocs, "doc_id", "text",
+      minLen = 32, window = 4, modulus = 4), 1L)
+    Dedup.fpIndexUpdate(fp, fpAdds, fpRm, "doc_id", "text", 2L,
+      minLen = 32, window = 4, modulus = 4, linked = true)
+    val fpRb = graft.store.DomainStore.create(scratch("upd-fam/fp-rb"), spec, conf)
+    fpRb.write(Dedup.fpIndexKv(
+      fpDocs.where(col("doc_id") > 2L).unionByName(fpAdds), "doc_id", "text",
+      minLen = 32, window = 4, modulus = 4), 1L)
+    assert(kvPairs(fp) === kvPairs(fpRb) && kvPairs(fp).nonEmpty)
+
+    // phash family: rebuild equality plus the LIVE payload-uniqueness
+    // guard (the engine check that is vacuous for plain-id grammars)
+    val hashes = (0L until 20L).map(i => (i, i * 37L)).toDF("media_id", "phash")
+    val phAdds = Seq((201L, 999L), (202L, 1234L)).toDF("media_id", "phash")
+    val phRm = hashes.where(col("media_id") < 5L)
+    val ph = graft.store.DomainStore.create(scratch("upd-fam/ph"), spec, conf)
+    ph.write(Multimodal.phashIndexKv(hashes), 1L)
+    Multimodal.phashIndexUpdate(ph, phAdds, phRm, 2L)
+    val phRb = graft.store.DomainStore.create(scratch("upd-fam/ph-rb"), spec, conf)
+    phRb.write(Multimodal.phashIndexKv(
+      hashes.where(col("media_id") >= 5L).unionByName(phAdds)), 1L)
+    assert(kvPairs(ph) === kvPairs(phRb) && kvPairs(ph).nonEmpty)
+    // id 7 is still indexed with phash 259; re-adding it with 260 meets
+    // the old entry in every unchanged band's bucket → loud, never a
+    // silent stale-payload winner
+    val eP = intercept[Exception](
+      Multimodal.phashIndexUpdate(ph,
+        Seq((7L, 260L)).toDF("media_id", "phash"),
+        phAdds.limit(0), 3L))
+    assert(messages(eP).exists(_.contains("TWO different payloads")),
+      messages(eP).mkString(" | "))
+    assert(ph.latestVersion === 2L, "a refused conflict must publish nothing")
+
+    // sem family (same vectors re-added under fresh ids; bottom two
+    // vec_ids removed)
+    val emb = spark.read.parquet(sf("sf0.001/embeddings.parquet"))
+      .select(col("vec_id"), col("embedding")).orderBy(col("vec_id")).limit(24)
+    val vids = emb.select("vec_id").as[Long].collect().sorted
+    val semAdds = emb.where(col("vec_id") === vids(0) || col("vec_id") === vids(1))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val semRm = emb.where(col("vec_id") === vids(0) || col("vec_id") === vids(1))
+    val sem = graft.store.DomainStore.create(scratch("upd-fam/sem"), spec, conf)
+    sem.write(Similarity.semIndexKv(emb, "vec_id", "embedding", 4), 1L)
+    Similarity.semIndexUpdate(sem, semAdds, semRm, "vec_id", "embedding", 4, 2L)
+    val semRb = graft.store.DomainStore.create(scratch("upd-fam/sem-rb"), spec, conf)
+    semRb.write(Similarity.semIndexKv(
+      emb.where(col("vec_id") =!= vids(0) && col("vec_id") =!= vids(1))
+        .unionByName(semAdds), "vec_id", "embedding", 4), 1L)
+    assert(kvPairs(sem) === kvPairs(semRb) && kvPairs(sem).nonEmpty)
+  }
+
   test("index type via domain-spec: zero Spark jobs to verify; spec authority overrides") {
     import spark.implicits._
     val conf = new org.apache.hadoop.conf.Configuration()
