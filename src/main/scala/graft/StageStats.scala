@@ -15,6 +15,8 @@ import org.apache.spark.scheduler._
  */
 private[graft] final class StageStats(groupPrefix: String) extends SparkListener {
   private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // stage id -> name (callsite), for attribution in reports
+  private val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
   // per stage: (tasks, max task ms, sum task ms, shuffle write records,
   // shuffle write bytes)
   private val stats =
@@ -30,7 +32,10 @@ private[graft] final class StageStats(groupPrefix: String) extends SparkListener
     if (Option(j.properties)
         .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
         .exists(_.startsWith(groupPrefix)))
-      j.stageInfos.foreach(si => stages.add(si.stageId))
+      j.stageInfos.foreach { si =>
+        stages.add(si.stageId)
+        names.put(si.stageId, si.name.takeWhile(_ != '\n').take(60))
+      }
 
   override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
     // successful attempts only: stage retries and speculative duplicates
@@ -51,8 +56,10 @@ private[graft] final class StageStats(groupPrefix: String) extends SparkListener
       shuffleBytes.addAndGet(bytes)
     }
 
-  def reset(): Unit =
-    { stages.clear(); stats.clear(); shuffleRecords.set(0L); shuffleBytes.set(0L) }
+  def reset(): Unit = {
+    stages.clear(); names.clear(); stats.clear()
+    shuffleRecords.set(0L); shuffleBytes.set(0L)
+  }
 
   /** Print the `top` heaviest stages under `tag` (after a short drain
     * sleep — task-end events trail the action's return). */
@@ -63,7 +70,8 @@ private[graft] final class StageStats(groupPrefix: String) extends SparkListener
       case (sid, (nt, mx, sm, recs, bytes)) =>
         println(f"[$tag]   stage $sid%4d tasks $nt%4d max $mx%6d ms " +
           f"mean ${sm / math.max(nt, 1)}%6d ms  skew ${mx.toDouble * nt / math.max(sm, 1)}%4.1fx" +
-          f"  wrote $recs%8d rec ${bytes / (1024 * 1024)}%5d MB")
+          f"  wrote $recs%8d rec ${bytes / (1024 * 1024)}%5d MB  " +
+          names.getOrDefault(sid, ""))
     }
   }
 }

@@ -45,18 +45,32 @@ private[graft] object LshBuckets {
       .where(col("_bsz") > maxBucket)
   }
 
-  /** ONE explicit hash exchange on the bucket keys, shared by EVERY
-    * consumer of the capped frame: the oversized-key count, the drop/
-    * raise probe, and the caller's downstream groupBy/self-join on the
-    * same keys all read these shuffle files (canonically identical
-    * subplan — ReuseExchange/AQE stage reuse), so the upstream pipeline
-    * (minhash signatures, anchor fingerprints, band projections…)
-    * computes ONCE, exactly as under the old shared-window layout. */
+  /** ONE key-partitioned MATERIALIZATION of the bucket frame, shared by
+    * every consumer of the capped frame: the oversized-key count, the
+    * drop/raise probe, and the caller's downstream self-join on the same
+    * keys all read its blocks.
+    *
+    * Why an eager localCheckpoint and not exchange reuse (optimization
+    * r16, measured): AQE stage reuse does NOT compose transitively —
+    * once a shared upstream exchange is wrapped in per-consumer
+    * ReusedQueryStage instances, the DOWNSTREAM identical exchanges no
+    * longer canonicalize equal and each consumer re-executes the whole
+    * upstream map stage (minhash signatures, anchor fingerprints, band
+    * projections…). Job-group stage stats on dedup_minhash showed the
+    * band exchange's map stage (signature aggregation included) running
+    * TWICE — with broadcasts disabled too, so it is not a broadcast
+    * artifact. The checkpoint stores the same bytes the exchange's
+    * shuffle files already held (MEMORY_AND_DISK, ContextCleaner-reaped
+    * when the caller drops the result frame — the
+    * removeSharedSpansIterated block-ownership precedent), and the
+    * upstream pipeline provably computes once. LogicalRDD preserves the
+    * hash partitioning, so the downstream groupBy/self-join on the keys
+    * still plans exchange-free. */
   private def keyPartitioned(
       df: org.apache.spark.sql.DataFrame,
       keys: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.repartition(keys.map(col): _*)
+    df.repartition(keys.map(col): _*).localCheckpoint(true)
   }
 
   /** Left-anti of `df` against the (tiny, BROADCAST — a shuffled anti

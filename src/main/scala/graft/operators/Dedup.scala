@@ -63,6 +63,18 @@ object Dedup {
     * set-size aggregate both group by `id` and reuse this partitioning —
     * the whole MinHash sketch pipeline runs on a single shuffle. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, n: Int = WordShingleSize): DataFrame =
+    wordShingleSets(df, idCol, textCol, n)
+      .select(col("id"), explode(col("shs")).as("shingle"))
+
+  /** The pre-explode form of [[wordShingles]]: (id, shs array&lt;string&gt;)
+    * — each doc's DISTINCT word n-gram shingle set, one row per doc.
+    * Split out so [[minHashPairs]] can materialize the expensive part
+    * (tokenize + explode + collect_set) ONCE and derive the exploded
+    * shingle table AND the per-doc set size as cheap projections
+    * (`size(shs)` replaces a whole second aggregation over the exploded
+    * rows). */
+  private[operators] def wordShingleSets(
+      df: DataFrame, idCol: String, textCol: String, n: Int = WordShingleSize): DataFrame =
     df.select(
         col(idCol).as("id"),
         TextAnalysis.wordTokens(col(textCol)).as("ts"))
@@ -73,7 +85,6 @@ object Dedup {
         concat_ws(" ", (0 until n).map(i => element_at(col("ts"), col("pos") + i)): _*).as("shingle"))
       .groupBy(col("id"))
       .agg(collect_set(col("shingle")).as("shs"))
-      .select(col("id"), explode(col("shs")).as("shingle"))
 
   /** Exact dedup on normalized text: keep the smallest id per group.
     * Output: (keep_id, n_copies) — one row per distinct normalized text. */
@@ -287,22 +298,40 @@ object Dedup {
       // callers keep the dropping default (the declared recall trade,
       // audited by [[oversizedLshBuckets]]).
       failOversized: Boolean = false): DataFrame = {
-    // Shingles feed three consumers (signatures, sizes, verification). The
-    // shingle table ends in its collect_set aggregate's exchange, so
-    // ReuseExchange runs that shuffle once and each consumer re-reads the
-    // shuffle files — no persist, nothing outlives the query.
-    val sh = wordShingles(df, idCol, textCol)
+    // The shingle SETS feed every consumer (signatures, sizes, both
+    // verification sides) as an eager localCheckpoint: AQE stage reuse
+    // does not compose transitively (see LshBuckets.keyPartitioned —
+    // measured on this exact pipeline: the collect_set map stage ran
+    // twice under the lazy layout), so the tokenize+shingle aggregation
+    // is materialized ONCE and each consumer reads its blocks. The
+    // per-doc set size is `size(shs)` on the set rows — a projection
+    // where the previous layout re-aggregated the exploded shingle
+    // table. Blocks are ContextCleaner-reaped when the caller drops the
+    // result frame (the removeSharedSpansIterated ownership precedent;
+    // OperatorsSpec "checkpoint blocks reap" pins the release).
+    val sets = wordShingleSets(df, idCol, textCol).localCheckpoint(true)
+    val sh = sets.select(col("id"), explode(col("shs")).as("shingle"))
+    val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("n_sh"))
     val cand = lshCandidates(lshBands(minHashSignatures(sh)), failOversized = failOversized)
-    exactJaccardOfCandidates(sh, cand, threshold)
+    exactJaccardOfCandidates(sh, cand, threshold, precomputedSizes = Some(sizes))
   }
 
   /** Exact Jaccard verification restricted to a candidate pair set. No
     * broadcast hint: the candidate set is unbounded (quadratic inside dup
     * clusters), so the join strategy is left to the planner/AQE — small
     * candidate sets still broadcast automatically, huge ones shuffle
-    * instead of blowing the broadcast limit. */
-  def exactJaccardOfCandidates(sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    * instead of blowing the broadcast limit.
+    *
+    * `precomputedSizes` (id, n_sh): callers that already hold the per-id
+    * distinct-shingle count (minHashPairs derives it from the checkpointed
+    * set rows) pass it to skip the count aggregation over `sh`. */
+  def exactJaccardOfCandidates(
+      sh: DataFrame,
+      cand: DataFrame,
+      threshold: Double,
+      precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh")))
     val inter = sh.as("sa")
       .join(cand, col("sa.id") === col("id_a"))
       .join(sh.as("sb"),

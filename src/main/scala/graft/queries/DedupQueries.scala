@@ -52,7 +52,13 @@ object DedupQueries {
     "dedup_source_overlap" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
+      // The pair set is pair-sized (≪ corpus) but its PLAN is the whole
+      // MinHash pipeline: joined twice below, the planner broadcasts it
+      // and each broadcast build re-runs the pipeline (stage stats r16:
+      // up to 3 executions). Eagerly materialize the small result once —
+      // the ngramJaccardPairs pattern.
       Dedup.minHashPairs(docs, "doc_id", "text", MinHashThreshold, failOversized = true)
+        .localCheckpoint(true)
         .join(src.as("sa"), col("id_a") === col("sa.doc_id"))
         .join(src.as("sb"), col("id_b") === col("sb.doc_id"))
         .select(

@@ -743,26 +743,64 @@ class OperatorsSpec extends SparkSuite {
     // ngramJaccardPairs is exempt by design (it eagerly materializes its
     // small audit result and releases its internals before returning);
     // every LAZY operator must leave the block manager untouched.
-    // Also exempt BY DESIGN — operators whose returned plan reads a
-    // BOUNDED ContextCleaner-reaped localCheckpoint (released when the
-    // caller drops the frame, never a permanent pin): prototypePruning
-    // (the ≤ 2^planes-row sums table — re-deriving it would re-run the
-    // whole upstream aggregation for both the tier probe and the
-    // broadcast join), removeSharedSpansIterated (the converged round's
-    // rows — replaying the detector chain per action was the r13 3×
-    // cost), and IndexDelete.publishRemoval internally (the
-    // IndexDelete.scala patch-side precedent).
+    // Exempt BY DESIGN — operators whose returned plan reads a
+    // ContextCleaner-reaped localCheckpoint (released when the caller
+    // drops the frame, never a permanent pin; the reap itself is pinned
+    // by the "checkpoint blocks reap" case below): prototypePruning,
+    // removeSharedSpansIterated, IndexDelete.publishRemoval internally —
+    // and, since the r16 optimization round, every pair family riding
+    // LshBuckets.bounded (minHashPairs, simHashPairsBanded,
+    // nearDupPairsBucketed, sharedSubstringPairs, phashNearDupPairs,
+    // semanticDedup, prefixFilteredJaccardPairs): AQE stage reuse does
+    // not compose transitively, so the shared bucket frame is an eager
+    // checkpoint (LshBuckets.keyPartitioned) instead of a re-executed
+    // exchange.
     val before = spark.sparkContext.getPersistentRDDs.keySet
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    run(Dedup.minHashPairs(docs, "doc_id", "text", 0.8))
-    run(Dedup.simHashPairsBanded(Dedup.simHash(docs, "doc_id", "text"), 3))
-    run(Dedup.components(
-      docs.select(col("doc_id").as("id")),
-      Dedup.minHashPairs(docs, "doc_id", "text", 0.8)))
-    run(Similarity.nearDupPairsBucketed(embs, "vec_id", "embedding", 0.44))
+    run(Dedup.exact(docs, "doc_id", "text"))
+    run(Dedup.simHash(docs, "doc_id", "text"))
+    run(Similarity.nearDupPairs(embs, "vec_id", "embedding", 0.44))
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"operators leaked persisted RDDs: ${leaked.mkString(", ")}")
+  }
+
+  test("pair-family checkpoint blocks reap once the caller drops the frame") {
+    // The r16 optimization moved the band families' shared bucket frame
+    // (and minHashPairs' shingle sets) onto eager localCheckpoints. The
+    // no-leak contract becomes: blocks live only as long as the caller
+    // holds the result frame — once dropped, ContextCleaner reaps them
+    // after GC. A permanent pin (an operator holding a strong reference,
+    // or a persist outside the checkpoint seam) fails this loudly.
+    // Per-op tight capture windows (suites share one SparkContext — a
+    // foreign suite's long-lived persist landing in a wide window would
+    // read as our leak; the window here is one operator construction +
+    // one action).
+    def leakWindow(mk: => org.apache.spark.sql.DataFrame): Set[Int] = {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      mk.write.format("noop").mode("overwrite").save()
+      (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+    }
+    val held =
+      leakWindow(Dedup.minHashPairs(docs, "doc_id", "text", 0.8)) ++
+        leakWindow(Dedup.simHashPairsBanded(Dedup.simHash(docs, "doc_id", "text"), 3)) ++
+        leakWindow(Dedup.components(
+          docs.select(col("doc_id").as("id")),
+          Dedup.minHashPairs(docs, "doc_id", "text", 0.8))) ++
+        leakWindow(Similarity.nearDupPairsBucketed(embs, "vec_id", "embedding", 0.44))
+    assert(held.nonEmpty,
+      "expected the pair families to hold checkpoint blocks while frames are live")
+    // frames were method-local to leakWindow: unreachable now. Reap is
+    // async (weak-ref queue drained by ContextCleaner after GC) — poll
+    // OUR ids with repeated GCs, bounded.
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.intersect(held)
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(500)
+    }
+    assert(leaked.isEmpty,
+      s"checkpoint blocks survived frame drop + GC: ${leaked.mkString(", ")}")
   }
 
   test("bounded_collect: exact cap boundary, canonical orders, merge across partitions") {
