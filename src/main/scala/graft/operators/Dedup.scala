@@ -1184,8 +1184,15 @@ object Dedup {
     }
     IndexMarker.require(
       store, incoming.sparkSession, BandIndexType, "dedupAgainstIndex", "bandIndexKv")
-    val shIn = wordShingles(incoming, idCol, textCol).persist()
+    // Scoped persists (released in finally — the result is an eager
+    // checkpoint, so nothing returned depends on them): the SET rows,
+    // not the exploded shingles — the exploded table, the probe
+    // signatures, and the per-doc sizes all derive from them by cheap
+    // projections, so the tokenize+collect_set pipeline runs once per
+    // side (the verify tail reads the union three times: sizes, sa, sb).
+    val setsIn = wordShingleSets(incoming, idCol, textCol).persist()
     try {
+      val shIn = setsIn.select(col("id"), explode(col("shs")).as("shingle"))
       val probes = lshBands(minHashSignatures(shIn)).select(
         col("id").as("id_a"),
         composite_key(int_be(col("band")), long_be(col("band_hash"))).as("key"))
@@ -1219,11 +1226,15 @@ object Dedup {
       // deduplicates, so no distinct pass on the candidate ids)
       val corpusNeeded = corpus.select(col(idCol), col(textCol)).join(
         cand.select(col("id_b").as("_cand_id")), col(idCol) === col("_cand_id"), "left_semi")
-      val sh = wordShingles(corpusNeeded, idCol, textCol).unionByName(shIn)
-      exactJaccardOfCandidates(sh, cand, threshold)
-        .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
-        .localCheckpoint(true)
-    } finally shIn.unpersist()
+      val sets = wordShingleSets(corpusNeeded, idCol, textCol).unionByName(setsIn).persist()
+      try {
+        val sh = sets.select(col("id"), explode(col("shs")).as("shingle"))
+        val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("n_sh"))
+        exactJaccardOfCandidates(sh, cand, threshold, precomputedSizes = Some(sizes))
+          .select(col("id_a").as("delta_id"), col("id_b").as("corpus_id"), col("jaccard"))
+          .localCheckpoint(true)
+      } finally sets.unpersist()
+    } finally setsIn.unpersist()
   }
 
   /** [[fpIndexKv]]'s `m:index-type` marker / spec-indexType value —

@@ -647,7 +647,7 @@ object Search {
     val termKeys = qterms
       .select(utf8_bytes(concat(lit(PosPrefix), col("term"))).as("key"))
       .distinct()
-    val entries = store.multiGet(termKeys, includeMisses = false)
+    val entriesRaw = store.multiGet(termKeys, includeMisses = false)
       .select(
         substring(bytes_utf8(col("key")), PosPrefix.length + 1, Int.MaxValue).as("term"),
         explode(split(bytes_utf8(col("value")), ",")).as("e"))
@@ -655,6 +655,14 @@ object Search {
         split(col("e"), ":").getItem(0).cast("long").as("doc_id"),
         explode(split(split(col("e"), ":").getItem(1), ";")).as("p"))
       .select(col("term"), col("doc_id"), col("p").cast("long").as("pos"))
+    // The ranked fusion consumes the parsed postings THREE times (the
+    // anchor match, tf, and dfs via tf) — AQE stage reuse is not
+    // transitive (LshBuckets.keyPartitioned), so the lazy layout re-ran
+    // the multiGet + parse pipeline per consumer (stage stats r16: three
+    // identical postings stages). Query-term postings are probe-sized
+    // (≤ terms × maxPostings); materialize once for the multi-consumer
+    // path, stay lazy for the plain phrase match (one consumer).
+    val entries = if (fetchStats) entriesRaw.localCheckpoint(true) else entriesRaw
     val qlen = qterms.groupBy("query_id")
       .agg(countDistinct(col("j")).as("n_terms"))
     val anchors = qterms.join(entries, Seq("term"))

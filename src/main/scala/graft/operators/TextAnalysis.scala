@@ -618,16 +618,23 @@ object TextAnalysis {
     // Laplace-smoothed probability pair (the OOV floor), and the apply
     // half scores corpora the model never saw (the fit-once deployment,
     // streaming included) without silently zeroing novel vocabulary.
-    // Totals are the SUMS OF THE CELL TABLES (1-row crossJoins,
-    // corpus_stats pattern) — not a second pass over the text: the cell
-    // aggregation's exchange is identical on both references, so
-    // ReuseExchange tokenizes each distribution once.
+    // Totals are GLOBAL-WINDOW SUMS over the dense joined table (≤
+    // `buckets` rows in one task), NOT crossJoins against second
+    // references of the cell tables: AQE stage reuse does not compose
+    // transitively (LshBuckets.keyPartitioned), so the crossJoin layout
+    // re-ran each distribution's tokenization pass twice — job-group
+    // stage stats on text_dsir showed the raw-cells exchange's map stage
+    // executing twice. One consumer per cell table = one tokenization
+    // pass per distribution, structurally.
     val spark = raw.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     spark.range(buckets).select(col("id").cast("int").as("b"))
       .join(targetCells, Seq("b"), "left")
       .join(rawCells, Seq("b"), "left")
-      .crossJoin(targetCells.agg(coalesce(sum(col("tc")), lit(0L)).as("tn")))
-      .crossJoin(rawCells.agg(coalesce(sum(col("rc")), lit(0L)).as("rn")))
+      .withColumn("tn", coalesce(sum(col("tc")).over(w), lit(0L)))
+      .withColumn("rn", coalesce(sum(col("rc")).over(w), lit(0L)))
       .select(
         col("b"),
         expr(s"(coalesce(tc, 0L) + 1L) * ${scale}L div (tn + ${buckets}L)").as("p_fp"),

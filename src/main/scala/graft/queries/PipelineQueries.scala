@@ -59,9 +59,14 @@ object PipelineQueries {
       // sliver of the corpus (clean ids are corpus-sized), so the
       // anti-join broadcasts and the text payload never shuffles for
       // this filter — the dataPrune drop-set rule
+      // tiny (the contaminated sliver) and consumed by BOTH survivors
+      // consumers below — materialize once or each consumer's broadcast
+      // build re-runs the whole decontamination pipeline (stage stats
+      // r16: twin ~0.9 s builds; AQE reuse is not transitive)
       val contaminated = TextAnalysis.decontaminate(gated, bench, "doc_id", "text", DecontamN)
         .where(col("contaminated") === 1)
         .select("doc_id")
+        .localCheckpoint(true)
       val surviving = gated.join(contaminated, Seq("doc_id"), "left_anti")
       // dedup decision: keep the min-id representative of each normalized
       // text among survivors. The rep id set is corpus-sized (both join
@@ -83,15 +88,18 @@ object PipelineQueries {
     // becomes packing's ordering key.
     "pipeline_train_mix" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
+      // the kept (doc_id, nt) decisions and the shuffle positions are
+      // each consumed twice below — materialize both (two longs per row)
+      // or every consumer re-runs the mix / prefix-sum machinery (AQE
+      // reuse is not transitive; token counts projected BEFORE the
+      // position join so the exchange never moves text)
       val kept = Sampling.tokenBudgetMix(
-        docs, "doc_id", "source", col("n_chars"), MixWeights, MixBudget)
-      val pos = Sampling.globalShuffle(kept.select(col("doc_id")), "doc_id", ShuffleSeed)
-      // token counts projected BEFORE the position join: both sides are
-      // corpus-sized (every kept doc has a position), so the exchange
-      // must move two longs per row, never the text payload
-      val ordered = kept
+          docs, "doc_id", "source", col("n_chars"), MixWeights, MixBudget)
         .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("nt"))
-        .join(pos, "doc_id")
+        .localCheckpoint(true)
+      val pos = Sampling.globalShuffle(kept.select(col("doc_id")), "doc_id", ShuffleSeed)
+        .localCheckpoint(true)
+      val ordered = kept.join(pos, "doc_id")
       Packing.chunkSpans(ordered, "pos", col("nt"), PackBudget)
         .join(pos, "pos")
         .select(col("doc_id"), col("pos"), col("n_tokens"),

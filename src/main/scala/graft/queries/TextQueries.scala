@@ -160,10 +160,15 @@ object TextQueries {
     // everything else is the raw corpus being selected from.
     "text_dsir" -> { (s, dir) =>
       val docs = Fixtures.table(s, dir, "documents")
+      // weights feed two consumers (the top-k and the selected join) —
+      // materialize the (id, n_grams, weight) rows once or each consumer
+      // re-runs the whole fit+score pipeline (stage stats r16: the score
+      // aggregation executed twice; AQE reuse is not transitive)
       val weights = TextAnalysis.dsirWeights(
         docs.where(col("doc_id") % DsirTargetMod =!= 0),
         docs.where(col("doc_id") % DsirTargetMod === 0),
         "doc_id", "text", DsirBuckets, DsirScale)
+        .localCheckpoint(true)
       val top = weights
         .orderBy(col("dsir_weight_fp").desc, col("doc_id"))
         .limit(DsirTopK)

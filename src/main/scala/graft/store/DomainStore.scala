@@ -368,14 +368,38 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
       if (isKv) kvKeysScan(spark, version, onlyShards.map(_.toSeq))
       else prunedScan(spark, version, onlyShards.map(_.toSeq))
         .select(col("shard"), col("key"))
-    val counts: Map[Int, Long] = scan.groupBy("shard").count()
-      .as[(Int, Long)].collect().toMap // bounded: one entry per shard
     val confEntries = DomainStore.serializableConf(conf)
     val base = versions.versionPath(version).toString
     scan.as[(Int, Array[Byte])]
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
-        val artifact = ix.build(counts.getOrElse(shard, 0L), rows.map(_._2))
+        // The Indexer SPI wants the exact count BEFORE the first key
+        // (bloom sizing). A separate count pass was a whole extra scan
+        // job per publish (plus a driver collect shipped into this
+        // closure) — at 64Ki shards a full remote keys scan just to size
+        // blooms. Instead: drain the group ONCE into an executor-local
+        // spill file while counting, then re-stream it into the build —
+        // bounded memory, local sequential I/O, one job per publish.
+        val spill = java.io.File.createTempFile(s"graft-index-$shard-", ".keys")
+        val artifact =
+          try {
+            var n = 0L
+            val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(spill), 1 << 16))
+            try rows.foreach { r => out.writeInt(r._2.length); out.write(r._2); n += 1L }
+            finally out.close()
+            val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+              new java.io.FileInputStream(spill), 1 << 16))
+            try {
+              require(n <= Int.MaxValue,
+                s"buildIndex: shard $shard holds $n keys (> Int.MaxValue) — reshard before indexing")
+              val keys = Iterator.fill(n.toInt) {
+                val len = in.readInt(); val b = new Array[Byte](len)
+                in.readFully(b); b
+              }
+              ix.build(n, keys)
+            } finally in.close()
+          } finally spill.delete()
         val c = DomainStore.rebuildConf(confEntries)
         val dst = new Path(new Path(base, s"shard=$shard"), Indexer.SidecarName)
         // Attempt-scoped temp + rename: two attempts of this group
