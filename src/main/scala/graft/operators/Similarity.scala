@@ -1982,22 +1982,35 @@ object Similarity {
     require(dropDen > 0 && dropNum >= 0 && dropNum <= dropDen,
       s"prototypePruning: drop fraction $dropNum/$dropDen must be in [0, 1]")
     val p = prepared(df, idCol, vecCol)
-    val unclustered = df.select(col(idCol).as("id"))
-      .join(p.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), lit(-1L).as("cell"), lit(0L).as("proto_rank"),
-        lit(0L).as("cell_n"), lit(true).as("kept"))
     val dimRow = p.select(size(col("vec"))).head(1)
-    if (dimRow.isEmpty) return unclustered
+    if (dimRow.isEmpty)
+      // p is empty (no row passed the norm filter): every input row is
+      // unclustered — same rows the anti-join against an empty p kept
+      return df.select(col(idCol).as("id"), lit(-1L).as("cell"),
+        lit(0L).as("proto_rank"), lit(0L).as("cell_n"), lit(true).as("kept"))
     val dim = dimRow(0).getInt(0)
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val cells = lshBuckets(p, 1, planes, dim)
       .select(col("id"), col("vec"), col("bucket").as("cell"))
-    // quantized elements as dim columns: the partial-agg sketch layout
+    // quantized elements as dim columns (the partial-agg sketch layout),
+    // MATERIALIZED once: the sums aggregate, the broadcast-join probe
+    // side, and the unclustered anti-join all read these blocks — the
+    // lazy layout re-ran prepared() + the plane dot products per
+    // consumer (AQE stage reuse is not transitive, see
+    // LshBuckets.keyPartitioned; ContextCleaner-reaped like the sums
+    // table below).
     val q = cells.select(
       col("id") +: col("cell") +:
         (0 until dim).map(i =>
           floor(element_at(col("vec"), i + 1) * lit(ExactQuantScale) + lit(0.5))
             .cast("long").as(s"_q$i")): _*)
+      .localCheckpoint(true)
+    // rows prepared() dropped (null/zero-norm vectors): q is 1:1 with p,
+    // so its id set is the membership probe
+    val unclustered = df.select(col(idCol).as("id"))
+      .join(q.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("cell"), lit(0L).as("proto_rank"),
+        lit(0L).as("cell_n"), lit(true).as("kept"))
     // The (≤ 2^planes x dim) sum table is SMALL and needed by the probe
     // AND the broadcast join — materialize it once (the ngramJaccard
     // small-result pattern; ContextCleaner-reaped) so the tier decision

@@ -358,10 +358,14 @@ object PipelineQueries {
     * full-data exchange for the same answer. The oracle's `surv` CTE
     * is literally this anti-join. */
   def dataPrune(emb: DataFrame): DataFrame = {
+    // pair-sized drop set consumed through every re-execution of the
+    // pruning input below — materialize it once or each pass re-runs
+    // the whole in-cell pair detection (AQE reuse is not transitive)
     val dropped = Similarity.semanticDropSet(
         emb, "vec_id", "embedding",
         DedupQueries.CosineThreshold, DedupQueries.SemPlanes)
       .select(col("id").as("vec_id"))
+      .localCheckpoint(true)
     val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
     Similarity.prototypePruning(
         kept, "vec_id", "embedding",

@@ -275,13 +275,30 @@ class PlanShapeSpec extends SparkSuite {
     // drop-set dedup exchange (keyed exactly {id}) must move ids alone —
     // an embedding smuggled into the drop set re-widens the exchange AND
     // un-broadcasts the drop-set anti-join that keeps the corpus payload
-    // from shuffling for the filter (the corpus's only big exchange is
-    // the pruning stage's own partial-agg sketch, keyed {cell}, so the
-    // {id} filter isolates the pin).
+    // from shuffling for the filter. Since the r16 optimization the
+    // composed query materializes the drop set at construction (its
+    // exchange no longer appears in the final frame's plan), so the pin
+    // targets the drop-set OPERATOR's own plan; the composed plan is
+    // additionally checked to carry no array column through ANY
+    // remaining exchange.
     val embCorpus = (0 until 200).map(i =>
       (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
     dedupExchangesHaveNoArrays(
-      graft.queries.PipelineQueries.dataPrune(embCorpus), Set("id"))
+      Similarity.semanticDropSet(embCorpus, "vec_id", "embedding", 0.44, 4), Set("id"))
+    locally {
+      val composed = graft.queries.PipelineQueries.dataPrune(embCorpus)
+      val root = composed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"dataPrune exchange carries arrays ${arrays.map(_.name).mkString(",")}:\n$e")
+      }
+    }
   }
 
   test("removeSharedSpans: document text crosses no exchange; reattach join broadcasts") {
