@@ -124,8 +124,15 @@ object Dedup {
     // returning. Only the small result blocks remain, GC-reaped by the
     // ContextCleaner.
     val sh = shingles(df, idCol, textCol, n).persist()
-    try jaccardPairsFromShingles(sh, threshold).localCheckpoint(true)
-    finally sh.unpersist()
+    try {
+      // persist() is LAZY: the quadratic join's sides and the size
+      // aggregate materialize CONCURRENTLY under AQE and race on the
+      // cold cache, each computing the shingle pipeline (measured: twin
+      // 39k-record dedup-exchange stages). One cheap count() fills the
+      // cache before the fan-out.
+      sh.count()
+      jaccardPairsFromShingles(sh, threshold).localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /**
@@ -1192,6 +1199,8 @@ object Dedup {
     // side (the verify tail reads the union three times: sizes, sa, sb).
     val setsIn = wordShingleSets(incoming, idCol, textCol).persist()
     try {
+      setsIn.count() // fill the cache before concurrent consumers race on it
+
       val shIn = setsIn.select(col("id"), explode(col("shs")).as("shingle"))
       val probes = lshBands(minHashSignatures(shIn)).select(
         col("id").as("id_a"),
@@ -1228,6 +1237,8 @@ object Dedup {
         cand.select(col("id_b").as("_cand_id")), col(idCol) === col("_cand_id"), "left_semi")
       val sets = wordShingleSets(corpusNeeded, idCol, textCol).unionByName(setsIn).persist()
       try {
+        sets.count() // fill the cache before the verify's three consumers race on it
+
         val sh = sets.select(col("id"), explode(col("shs")).as("shingle"))
         val sizes = sets.select(col("id"), size(col("shs")).cast("long").as("n_sh"))
         exactJaccardOfCandidates(sh, cand, threshold, precomputedSizes = Some(sizes))

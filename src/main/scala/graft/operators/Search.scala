@@ -322,11 +322,16 @@ object Search {
       .drop("key", "value")
 
   /** `(doc_id, len)` token counts — the shared unit behind both index
-    * builders' `d:` records and `m:stats`. */
+    * builders' `d:` records and `m:stats`. Materialized (one row per
+    * doc, two longs): both callers consume it twice (`d:` records + the
+    * stats aggregate), and AQE stage reuse is not transitive
+    * (LshBuckets.keyPartitioned) — the lazy layout tokenized the corpus
+    * a third time just for the stats row. */
   private def lensOf(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.select(
-      docIdLong(idCol).as("doc_id"),
-      size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+        docIdLong(idCol).as("doc_id"),
+        size(TextAnalysis.wordTokens(col(textCol))).cast("long").as("len"))
+      .localCheckpoint(true)
 
   /** The `m:stats` kv record (corpus doc count + total tokens). */
   private def metaRecordOf(lens: DataFrame): DataFrame =

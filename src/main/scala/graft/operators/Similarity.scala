@@ -1481,9 +1481,14 @@ object Similarity {
     val p = prepared(df, idCol, vecCol)
     val dimRow = p.select(size(col("vec"))).head(1)
     if (dimRow.isEmpty) return df.select(col(idCol).as("id"), lit(-1L).as("cell"))
-    val b = cellsOf(p, planes, dimRow(0).getInt(0))
+    // ONE execution of prepared() + the plane dot products: the keep
+    // side, the drop detection, and the unclustered anti-join (b is 1:1
+    // with p, so its ids are the membership probe) all read the blocks —
+    // the lazy layout re-ran the cell pipeline per consumer (AQE stage
+    // reuse is not transitive, see LshBuckets.keyPartitioned).
+    val b = cellsOf(p, planes, dimRow(0).getInt(0)).localCheckpoint(true)
     val unclustered = df.select(col(idCol).as("id"))
-      .join(p.select(col("id")), Seq("id"), "left_anti")
+      .join(b.select(col("id")), Seq("id"), "left_anti")
       .withColumn("cell", lit(-1L))
     b.select(col("id"), col("cell"))
       .join(droppedOf(b, threshold, maxCell), Seq("id"), "left_anti")
