@@ -1197,9 +1197,10 @@ object Dedup {
     // signatures, and the per-doc sizes all derive from them by cheap
     // projections, so the tokenize+collect_set pipeline runs once per
     // side (the verify tail reads the union three times: sizes, sa, sb).
+    // (no eager fill: the multiGet decision probe is the first and only
+    // cold-cache consumer — later actions hit the filled cache)
     val setsIn = wordShingleSets(incoming, idCol, textCol).persist()
     try {
-      setsIn.count() // fill the cache before concurrent consumers race on it
 
       val shIn = setsIn.select(col("id"), explode(col("shs")).as("shingle"))
       val probes = lshBands(minHashSignatures(shIn)).select(
