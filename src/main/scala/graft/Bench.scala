@@ -199,12 +199,17 @@ object Bench {
         s""","n_ok":${results.size - failed.size},"n_failed":${failed.size}""" +
         s""","per_pass_total":[${num(passTotal(rep1))},${num(passTotal(rep2))}]""" +
         s""","queries":$qs$failuresField$subField,"sf":"$sfDir"}"""
-    // The driver's artifact capture FRONT-truncates long tails, losing the
-    // headline fields that lead the big line — so a SECOND, short summary
-    // line follows it: any tail capture keeps total/n_ok/n_failed.
+    // The driver PARSES THE FINAL JSON LINE (PERF_r16: `parsed` held only
+    // total_summary, so per_query/n_common/geomean were empty two rounds
+    // running — r16 verdict task 1). The final line therefore carries the
+    // FULL record: per-query map (ascending by time, so a tail-truncated
+    // capture still keeps every expensive query) and submetrics,
+    // additions-only on the old summary fields. The first "total" line
+    // stays unchanged for any consumer keyed on metric=="total".
     val summary =
       s"""{"metric":"total_summary","value":${num(total)},"unit":"sec"""" +
-        s""","n_ok":${results.size - failed.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+        s""","n_ok":${results.size - failed.size},"n_failed":${failed.size}""" +
+        s""","queries":$qs$failuresField$subField,"sf":"$sfDir"}"""
     // FILES FIRST, stdout second (r10 verdict task 6): the driver's
     // stdout capture lost per-query data two rounds running; the files
     // are the per-query record and must exist even if the process dies

@@ -93,7 +93,47 @@ object SynthScale {
     println(s"[synth] $skewOut/events.parquet rows=" +
       spark.read.parquet(s"$skewOut/events.parquet").count())
 
-    Seq("customer", "orders", "embeddings", "events").foreach { t =>
+    // documents: the r6 half-text recombination recipe (BASELINE.md
+    // "Round 6 sf1 scale audit"), reinstated for the r17 audit — replica
+    // 0 is the unmodified source; replicas 1-9 concatenate the left half
+    // of parent A (the same-index doc) with the right half of parent B
+    // (a deterministic same-replica partner) plus a unique marker token:
+    // vocabulary and length distributions match the real corpus, exact
+    // duplicates stay rare (the marker), near-dup structure stays
+    // realistic (half-shared shingle sets). lang/source carry from
+    // parent A; n_chars re-derives from the new text.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val src0 = spark.read.parquet(s"$src/documents.parquet")
+      val rn = row_number().over(Window.orderBy(col("doc_id"))) - 1
+      val base = src0.withColumn("rn", rn)
+      val nDocs = base.count()
+      val reps = base.select(col("*"), r).where(col("r") =!= 0)
+      // partner index: a replica-dependent odd stride walks the whole
+      // corpus (gcd(stride, nDocs) == 1 not required for realism — any
+      // collision just reuses a partner)
+      val partnerRn = pmod(col("rn") + col("r") * lit(2654435761L), lit(nDocs))
+      val b = base.select(
+        col("rn").as("brn"),
+        col("text").as("btext"))
+      val recombined = reps
+        .withColumn("brn", partnerRn)
+        .join(b, "brn")
+        .select(
+          (col("doc_id") + col("r") * Offset).as("doc_id"),
+          concat(
+            substring(col("text"), lit(1), (length(col("text")) / 2).cast("int")),
+            lit(" "),
+            substring(col("btext"),
+              (length(col("btext")) / 2).cast("int") + 1, lit(Int.MaxValue)),
+            lit(" m"), col("r"), lit("_"), col("doc_id")).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      src0.unionByName(recombined)
+        .repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
+
+    Seq("customer", "orders", "embeddings", "events", "documents").foreach { t =>
       val n = spark.read.parquet(s"$out/$t.parquet").count()
       println(s"[synth] $out/$t.parquet rows=$n")
     }

@@ -65,7 +65,19 @@ private[graft] object LshBuckets {
     * removeSharedSpansIterated block-ownership precedent), and the
     * upstream pipeline provably computes once. LogicalRDD preserves the
     * hash partitioning, so the downstream groupBy/self-join on the keys
-    * still plans exchange-free. */
+    * still plans exchange-free.
+    *
+    * FAULT-TOLERANCE TRADE (ADVICE r16): localCheckpoint blocks are
+    * single-replica and lineage-free by design — on a multi-executor
+    * cluster a lost executor fails every downstream action of the
+    * returned frame instead of recomputing (acceptable in the local[*]
+    * harness and for job-scoped frames like these, whose consumers all
+    * run within the same operator call; a retry re-runs the operator).
+    * Cluster deployments that want recomputation back set
+    * `spark.checkpoint.compress=true` + a reliable `checkpoint()` dir,
+    * or accept the operator-level retry — the per-consumer duplicate
+    * EXECUTION this seam removes costs more than the retry exposure at
+    * every scale measured. */
   private def keyPartitioned(
       df: org.apache.spark.sql.DataFrame,
       keys: Seq[String]): org.apache.spark.sql.DataFrame = {

@@ -1321,6 +1321,27 @@ object Dedup {
     anchorOccurrences(docs, idCol, textCol, minLen, window, modulus)
       .select(unhex(col("fp")).as("key"), col("id").cast("string").as("rid"))
 
+  /** [[fpKeyRows]] as a caller-ownable frame — for a caller that must pay
+    * the anchor derivation ONCE and share the rows between a takedown and
+    * its certification ([[fpIndexDeleteRows]] + [[fpIndexRemovalAuditRows]];
+    * r16 verdict item 3 — the audit otherwise re-anchors the very set the
+    * takedown just derived, ~0.7× the takedown's bill a second time).
+    * MUST be called with the build's minLen/window/modulus (different
+    * anchor geometry derives different keys — the takedown would silently
+    * no-op). Output: (key binary, rid string), duplicates possible (every
+    * consumer dedupes); anchoring is per-doc, so filtering these rows by
+    * rid is equivalent to deriving from the filtered docs. */
+  def fpIndexKeyRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 64,
+      window: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    IndexDelete.requireIntegralId(docs, idCol, "fpIndexKeyRows")
+    fpKeyRows(docs, idCol, textCol, minLen, window, modulus)
+  }
+
   /**
    * Detect verbatim >= minLen-codepoint overlap of `incoming` docs
    * against a PUBLISHED [[fpIndexKv]] domain: anchor the incoming text,
@@ -1455,15 +1476,26 @@ object Dedup {
       window: Int = 8,
       modulus: Int = 16,
       linked: Boolean = false): Unit = {
-    val spark = removed.sparkSession
     IndexDelete.requireIntegralId(removed, idCol, "fpIndexDelete")
-    IndexMarker.require(index, spark, SpanIndexType, "fpIndexDelete", "fpIndexKv")
     // (key, id) rows straight from the anchor kernel — a boilerplate
     // fingerprint shared by 100M removed docs is the DESIGN POINT of a
     // takedown, and must never pack one aggregation buffer
-    IndexDelete.publishRemoval(
+    fpIndexDeleteRows(
       index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus), newVersion,
       linked = linked)
+  }
+
+  /** [[fpIndexDelete]] on PRE-DERIVED (key, rid) rows — pass
+    * [[fpIndexKeyRows]] output (with the build's geometry) so one anchor
+    * derivation can serve both the takedown and its certification. */
+  def fpIndexDeleteRows(
+      index: graft.store.DomainStore,
+      removalRows: DataFrame,
+      newVersion: Long,
+      linked: Boolean = false): Unit = {
+    IndexMarker.require(
+      index, removalRows.sparkSession, SpanIndexType, "fpIndexDelete", "fpIndexKv")
+    IndexDelete.publishRemoval(index, removalRows, newVersion, linked = linked)
   }
 
   /**
@@ -1511,10 +1543,19 @@ object Dedup {
       window: Int = 8,
       modulus: Int = 16): DataFrame = {
     IndexDelete.requireIntegralId(removed, idCol, "fpIndexRemovalAudit")
-    IndexMarker.require(index, removed.sparkSession, SpanIndexType,
-      "fpIndexRemovalAudit", "fpIndexKv")
-    IndexDelete.removalAudit(
+    fpIndexRemovalAuditRows(
       index, fpKeyRows(removed, idCol, textCol, minLen, window, modulus))
+  }
+
+  /** [[fpIndexRemovalAudit]] on PRE-DERIVED (key, rid) rows — pass
+    * [[fpIndexKeyRows]] output (with the build's geometry) so one anchor
+    * derivation can serve both the takedown and its certification. */
+  def fpIndexRemovalAuditRows(
+      index: graft.store.DomainStore,
+      removalRows: DataFrame): DataFrame = {
+    IndexMarker.require(index, removalRows.sparkSession, SpanIndexType,
+      "fpIndexRemovalAudit", "fpIndexKv")
+    IndexDelete.removalAudit(index, removalRows)
   }
 
   /**

@@ -435,19 +435,22 @@ private[graft] object IndexDelete {
       .distinct()
       .localCheckpoint(true)
     // hits only: an absent bucket is exactly what a complete takedown
-    // leaves behind (emptied cells are ABSENT, never empty strings)
+    // leaves behind (emptied cells are ABSENT, never empty strings).
+    // The probe result is checkpointed EAGERLY — it feeds both report
+    // branches (present + tombstoned), and left lazy each branch would
+    // re-execute the whole probe (the pruned scan / corpus join) per
+    // action: the r16 layout checkpointed only the tombstone sliver and
+    // still paid the probe twice (r17). Bounded: probed keys ×
+    // cap-bounded cells — the same O(removals + affected buckets) bill
+    // this audit already declares; ContextCleaner-reaped with the r
+    // checkpoint above.
     val hits = index
       .multiGet(r.select(col("key")).distinct(), includeMisses = false)
       .select(col("key"), bytes_utf8(col("value")).as("cur"))
-    // eager like idAudit's tombstone list and for the same reason: as a
-    // lazy branch of the union below it would plan the PROBE a second
-    // time into every action (past multiGet's driver threshold that
-    // probe is a corpus join — doubled); bounded (cap-tombstoned probed
-    // keys only), ContextCleaner-reaped with the r checkpoint above
+      .localCheckpoint(true)
     val tombstonedKeys = hits
       .where(col("cur") === lit(graft.core.IndexTombstone.Value))
       .select(col("key"))
-      .localCheckpoint(true)
     val present = hits
       .where(col("cur") =!= lit(graft.core.IndexTombstone.Value))
       .select(col("key"), explode(split(col("cur"), ",")).as("entry"))

@@ -58,11 +58,11 @@ object PipelineQueries {
       // decontamination gate by the SMALL side: contaminated ids are a
       // sliver of the corpus (clean ids are corpus-sized), so the
       // anti-join broadcasts and the text payload never shuffles for
-      // this filter — the dataPrune drop-set rule
-      // tiny (the contaminated sliver) and consumed by BOTH survivors
-      // consumers below — materialize once or each consumer's broadcast
-      // build re-runs the whole decontamination pipeline (stage stats
-      // r16: twin ~0.9 s builds; AQE reuse is not transitive)
+      // this filter — the dataPrune drop-set rule. The sliver is consumed
+      // by BOTH survivors consumers below, so it is materialized once:
+      // left lazy, each consumer's broadcast build re-runs the whole
+      // decontamination pipeline (stage stats r16: twin ~0.9 s builds;
+      // AQE reuse is not transitive)
       val contaminated = TextAnalysis.decontaminate(gated, bench, "doc_id", "text", DecontamN)
         .where(col("contaminated") === 1)
         .select("doc_id")
@@ -198,14 +198,11 @@ object PipelineQueries {
     // joins in closed form.
     "pipeline_takedown_audit" -> { (s, dir) =>
       val store = takedownIndexStore(s, dir)
-      val audit = Fixtures.table(s, dir, "documents")
-        .where(col("doc_id") % DeltaMod =!= 0 &&
-          (col("doc_id") % AuditDropMod === 0 ||
-            col("doc_id") % TakedownExtraMod === 0))
-      Dedup.fpIndexRemovalAudit(store, audit, "doc_id", "text",
-          minLen = DedupQueries.SubstringMinLen,
-          window = DedupQueries.SubstringWindow,
-          modulus = DedupQueries.SubstringModulus)
+      // the audit's key rows ARE the memoized superset derivation the
+      // fixture's takedown filtered (one anchorOccurrences pass serves
+      // both — r16 verdict item 3); same math as deriving from the audit
+      // slice directly, since anchoring is per-doc
+      Dedup.fpIndexRemovalAuditRows(store, takedownKeyRows(s, dir))
         .select(lower(hex(col("key"))).as("fp"),
           col("id").cast("long").as("id"), col("entry"), col("kind"))
     },
@@ -465,7 +462,7 @@ object PipelineQueries {
     * eager localCheckpoint is the materialization both writes reuse;
     * blocks release with the memo at Fixtures.reset, the trained-
     * quantizer memo lifecycle). */
-  private def fpIndexFrame(s: SparkSession, dir: String): DataFrame =
+  private[graft] def fpIndexFrame(s: SparkSession, dir: String): DataFrame =
     Fixtures.memo(s"fp-index-kv:$dir") {
       Dedup.fpIndexKv(
           Fixtures.table(s, dir, "documents").where(col("doc_id") % DeltaMod =!= 0),
@@ -488,12 +485,39 @@ object PipelineQueries {
     }
   }
 
+  /** ONE anchor derivation shared by pipeline_takedown_audit's takedown
+    * (the AuditDropMod slice) and its certification (AuditDropMod ∪
+    * TakedownExtraMod): the audit set is a superset, so the takedown's
+    * removal rows are a FILTER of this memoized frame rather than a
+    * second anchorOccurrences pass over overlapping docs (r16 verdict
+    * item 3 — certification re-derivation ≈ 0.7× the takedown's own
+    * bill, BASELINE r16). Anchoring is per-doc, so filtering derived
+    * rows by rid ≡ deriving from the filtered docs; rows are deduped
+    * here to shrink the checkpoint (every consumer dedupes anyway).
+    * Blocks release with the memo at Fixtures.reset (the fpIndexFrame
+    * lifecycle). */
+  private[graft] def takedownKeyRows(s: SparkSession, dir: String): DataFrame =
+    Fixtures.memo(s"takedown-fp-keyrows:$dir") {
+      Dedup.fpIndexKeyRows(
+          Fixtures.table(s, dir, "documents")
+            .where(col("doc_id") % DeltaMod =!= 0 &&
+              (col("doc_id") % AuditDropMod === 0 ||
+                col("doc_id") % TakedownExtraMod === 0)),
+          "doc_id", "text",
+          minLen = DedupQueries.SubstringMinLen,
+          window = DedupQueries.SubstringWindow,
+          modulus = DedupQueries.SubstringModulus)
+        .dropDuplicates("key", "rid")
+        .localCheckpoint(true)
+    }
+
   /** The BUILD + TAKEDOWN halves of pipeline_takedown_audit: v1 = the
     * fp index over the corpus slice (spanIndexStore's kernel/params,
     * its own root — the shared span fixture must keep serving v1 to the
     * other queries), v2 = a LINKED publishRemoval of the AuditDropMod
     * slice (the O(affected + delta) takedown publish exercised inside a
-    * contract query). Memoized per sf by Fixtures. */
+    * contract query), its removal rows filtered from the shared
+    * [[takedownKeyRows]] derivation. Memoized per sf by Fixtures. */
   def takedownIndexStore(s: SparkSession, dir: String): graft.store.DomainStore = {
     val spec = DomainSpec(
       numShards = 8, indexer = classOf[graft.store.BloomKeyIndexer].getName,
@@ -501,13 +525,10 @@ object PipelineQueries {
       capSemantics = graft.core.DomainSpec.CapTombstoneV1)
     Fixtures.domain(s, dir, "takedown-fp-index", spec) { (st, sp) =>
       st.write(fpIndexFrame(sp, dir), version = 1L)
-      Dedup.fpIndexDelete(st,
-        Fixtures.table(sp, dir, "documents")
-          .where(col("doc_id") % DeltaMod =!= 0 && col("doc_id") % AuditDropMod === 0),
-        "doc_id", "text", newVersion = 2L,
-        minLen = DedupQueries.SubstringMinLen,
-        window = DedupQueries.SubstringWindow,
-        modulus = DedupQueries.SubstringModulus,
+      Dedup.fpIndexDeleteRows(st,
+        takedownKeyRows(sp, dir)
+          .where(col("rid").cast("long") % AuditDropMod === 0),
+        newVersion = 2L,
         linked = true)
     }
   }

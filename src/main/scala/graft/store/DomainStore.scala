@@ -380,7 +380,15 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         // blooms. Instead: drain the group ONCE into an executor-local
         // spill file while counting, then re-stream it into the build —
         // bounded memory, local sequential I/O, one job per publish.
-        val spill = java.io.File.createTempFile(s"graft-index-$shard-", ".keys")
+        // Spill onto the executor's SPARK LOCAL DIRS (the scratch disks
+        // shuffle files live on), not java.io.tmpdir: on real executors
+        // tmp is often a small root partition while spark.local.dir /
+        // SPARK_LOCAL_DIRS point at the big disks (r16 verdict item 3).
+        // deleteOnExit is the leak backstop for a JVM killed mid-build
+        // (the finally below covers every non-fatal path).
+        val spill = java.io.File.createTempFile(
+          s"graft-index-$shard-", ".keys", DomainStore.sparkLocalDir(shard))
+        spill.deleteOnExit()
         val artifact =
           try {
             var n = 0L
@@ -852,8 +860,16 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
           val r = KvFile.open(fs, file)
           Option(org.apache.spark.TaskContext.get())
             .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
+          // the density pick (KvFile.LookupScanRatio): k·log(n) point
+          // probes lose to ONE buffered scan once keys exceed
+          // ~records/ratio — logged so a perf investigation can see
+          // which side a batch took (r16 verdict item 6)
+          val probeSide = ks.length.toLong * r.lookupScanRatio < r.count
+          if (DomainStore.log.isDebugEnabled) DomainStore.log.debug(
+            s"kvLookup $dir: ${ks.length} keys over ${r.count} records -> " +
+              (if (probeSide) "point probes" else "merge scan"))
           val it: Iterator[(Array[Byte], Array[Byte], Boolean)] =
-            if (ks.length.toLong * r.lookupScanRatio < r.count)
+            if (probeSide)
               ks.iterator.map { k =>
                 r.lookup(k) match {
                   case Some(v) => (k, v, true)
@@ -1404,26 +1420,47 @@ class DomainStore(val root: Path, val spec: DomainSpec, conf: Configuration) {
         .withColumn("shard", routedShard(col("key")))
         .persist())
     try {
-      up.foreach { u =>
-        if (!dedupKeys) {
-          val Array(total, distinct) = u
-            .agg(org.apache.spark.sql.functions.count(lit(1)), count_distinct(col("key")))
-            .head().toSeq.map(_.asInstanceOf[Long]).toArray
-          require(
-            total == distinct,
-            s"upsert delta repeats keys ($total rows, $distinct distinct) — " +
-              "pass dedupKeys = true or pre-aggregate the delta")
-        }
+      // ONE census action replaces three sequential driver jobs over the
+      // deltas (the duplicate-key require + a shardsOf collect per side;
+      // guide §1.2 — three passes over the delta become one): per (side,
+      // shard), count + distinct-key count. Summing per-shard distincts
+      // gives the side's distinct count because a key's shard is a
+      // function of the key (no key spans shards). At most 2·numShards
+      // rows reach the driver regardless of delta size. A null key
+      // routes to a null shard and is caught per side below.
+      val census: Array[(String, Option[Int], Long, Long)] = {
+        val sides = Seq(
+          up.map(_.select(col("shard"), col("key")).withColumn("_side", lit("u"))),
+          del.map(_.select(col("shard"), col("key")).withColumn("_side", lit("d")))
+        ).flatten
+        if (sides.isEmpty) throw new IllegalArgumentException(
+          "patch: pass at least one of upserts / deleteKeys")
+        sides.reduce(_.unionByName(_))
+          .groupBy(col("_side"), col("shard"))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("_cnt"),
+            count_distinct(col("key")).as("_dcnt"))
+          .collect()
+          .map(r => (r.getString(0),
+            if (r.isNullAt(1)) None else Some(r.getInt(1)),
+            r.getLong(2), r.getLong(3)))
       }
-      // Affected-shard sets: at most n ints each on the driver.
-      def shardsOf(df: DataFrame, what: String): Set[Int] = {
-        val rows = df.select("shard").distinct().collect()
-        require(!rows.exists(_.isNullAt(0)), s"$what contains a null key")
-        rows.map(_.getInt(0)).toSet
+      def sideShards(side: String, what: String): Set[Int] = {
+        val rows = census.filter(_._1 == side)
+        require(rows.forall(_._2.isDefined), s"$what contains a null key")
+        rows.flatMap(_._2).toSet
+      }
+      up.foreach { _ =>
+        val upRows = census.filter(_._1 == "u")
+        val total = upRows.map(_._3).sum
+        val distinct = upRows.map(_._4).sum
+        if (!dedupKeys) require(
+          total == distinct,
+          s"upsert delta repeats keys ($total rows, $distinct distinct) — " +
+            "pass dedupKeys = true or pre-aggregate the delta")
       }
       val affected =
-        up.map(shardsOf(_, "upsert delta")).getOrElse(Set.empty) ++
-          del.map(shardsOf(_, "delete key set")).getOrElse(Set.empty)
+        up.map(_ => sideShards("u", "upsert delta")).getOrElse(Set.empty) ++
+          del.map(_ => sideShards("d", "delete key set")).getOrElse(Set.empty)
       if (checkDisjoint) for (u <- up; d <- del) {
         val clash = u.join(d, Seq("key"), "left_semi").limit(1).collect()
         require(clash.isEmpty,
@@ -1943,6 +1980,26 @@ object DomainStore {
     val c = new Configuration(false)
     entries.foreach { case (k, v) => c.set(k, v) }
     c
+  }
+
+  /** An executor-local scratch dir for task-side spills, resolved the way
+    * Spark's own Utils.getLocalDir does (that helper is private[spark]):
+    * SPARK_LOCAL_DIRS, then YARN's LOCAL_DIRS, then `spark.local.dir`
+    * from the live SparkEnv, then java.io.tmpdir. `seed` spreads
+    * concurrent spills across the configured disks. Falls back to tmp
+    * (never fails) — a spill dir that does not exist yet is created. */
+  private[store] def sparkLocalDir(seed: Int): java.io.File = {
+    val dirs = sys.env.get("SPARK_LOCAL_DIRS")
+      .orElse(sys.env.get("LOCAL_DIRS"))
+      .map(_.split(","))
+      .orElse(Option(org.apache.spark.SparkEnv.get)
+        .flatMap(_.conf.getOption("spark.local.dir")).map(_.split(",")))
+      .map(_.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .getOrElse(Array(System.getProperty("java.io.tmpdir")))
+    val d = new java.io.File(dirs(math.floorMod(seed, dirs.length)))
+    if (d.isDirectory || d.mkdirs()) d
+    else new java.io.File(System.getProperty("java.io.tmpdir"))
   }
 
   /** Deserialized index-sidecar probes kept per store (LRU). Sized so a

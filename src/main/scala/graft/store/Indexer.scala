@@ -31,7 +31,11 @@ trait Indexer extends Serializable {
     * shard inside an executor task; must be single-pass and bounded-memory
     * (a 100 TB domain's shard can hold millions of keys — do not buffer
     * them). `expectedKeys` is an exact sizing hint (the caller counts each
-    * shard with a metadata-cheap aggregation first). */
+    * shard with a metadata-cheap aggregation first). The iterator is only
+    * valid DURING this call: the caller streams it from a task-scoped
+    * spill file reclaimed when `build` returns, so the iterator must be
+    * fully consumed (or abandoned) here — never captured into the
+    * artifact or a lazy structure. */
   def build(expectedKeys: Long, keys: Iterator[Array[Byte]]): Array[Byte]
 
   /** Deserialize an artifact once and return a membership probe:

@@ -775,11 +775,18 @@ class OperatorsSpec extends SparkSuite {
     // Per-op tight capture windows (suites share one SparkContext — a
     // foreign suite's long-lived persist landing in a wide window would
     // read as our leak; the window here is one operator construction +
-    // one action).
+    // one action), and the capture keeps ONLY checkpointed RDDs
+    // (isCheckpointed — already true at capture because the operators
+    // materialize eagerly via localCheckpoint(true) before returning;
+    // isLocallyCheckpointed would be the precise probe but is
+    // private[spark]): a parallel suite's plain persist() that happens
+    // to land inside a window can never read as ours (ADVICE r16).
     def leakWindow(mk: => org.apache.spark.sql.DataFrame): Set[Int] = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
       mk.write.format("noop").mode("overwrite").save()
-      (spark.sparkContext.getPersistentRDDs.keySet -- before).toSet
+      (spark.sparkContext.getPersistentRDDs -- before.toSeq)
+        .collect { case (id, rdd) if rdd.isCheckpointed => id }
+        .toSet
     }
     val held =
       leakWindow(Dedup.minHashPairs(docs, "doc_id", "text", 0.8)) ++
@@ -1097,6 +1104,19 @@ class OperatorsSpec extends SparkSuite {
     val afterDel = Dedup.sharedSubstringAgainstIndex(idx2, deltaDocs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(afterDel === Set((100L, 2L), (104L, 3L)))
+
+    // the rows-based seam (one shared derivation for takedown +
+    // certification, r17): pre-derived fpIndexKeyRows through
+    // fpIndexDeleteRows must publish byte-identically to the docs-based
+    // delete, and the SAME rows frame must certify the takedown clean
+    val idx3 = graft.store.DomainStore.create(scratch("fp-idx/del-rows"), spec, conf)
+    idx3.write(Dedup.fpIndexKv(baseDocs, "doc_id", "text"), 1L)
+    val delRows = Dedup.fpIndexKeyRows(
+        baseDocs.where(col("doc_id") === 1L), "doc_id", "text")
+      .localCheckpoint(true)
+    Dedup.fpIndexDeleteRows(idx3, delRows, newVersion = 2L)
+    assert(pairs(idx3) === pairs(minus))
+    assert(Dedup.fpIndexRemovalAuditRows(idx3, delRows).count() === 0L)
 
     // cap tombstones: 6 docs sharing one run published at cap 4 -> the
     // shared fingerprints tombstone (not vanish), probes miss them, an
